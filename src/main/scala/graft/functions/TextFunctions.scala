@@ -1,0 +1,103 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for the training-data-pipeline surface:
+  * tokenization, quality scoring, language-ID heuristics, fingerprinting,
+  * shingling. All pure `functions._` compositions — codegen'd, no UDFs —
+  * so a 100 TB documents scan stays in whole-stage codegen with only the
+  * `text` column read from parquet.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens, empties dropped (robust to runs of spaces). */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => length(t) > 0)
+
+  /** Token count. Long for oracle-schema stability. */
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** Average token length (0.0 for empty docs). */
+  def avgTokenLength(text: Column): Column = {
+    val ts = tokens(text)
+    when(size(ts) === 0, lit(0.0)).otherwise(
+      aggregate(ts, lit(0.0), (s, t) => s + length(t).cast("double"))
+        / size(ts).cast("double"))
+  }
+
+  /** Ratio of non-alphanumeric-non-space chars to total chars. */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0)).otherwise(
+      length(regexp_replace(text, "[A-Za-z0-9\\s]", "")).cast("double")
+        / length(text).cast("double"))
+
+  /** Ratio of tokens that are in `stopwords`. */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val ts = tokens(lower(text))
+    val sw = array(stopwords.map(lit): _*)
+    when(size(ts) === 0, lit(0.0)).otherwise(
+      size(filter(ts, t => array_contains(sw, t))).cast("double")
+        / size(ts).cast("double"))
+  }
+
+  /** A composite [0,1] quality score: reward mid-length docs, penalize
+    * punctuation soup and stopword-free (or stopword-only) text. Mirrors the
+    * shape of common corpus-filter heuristics; weights are engine defaults,
+    * not reference-derived. */
+  def qualityScore(text: Column, stopwords: Seq[String]): Column = {
+    val lenScore = least(length(text).cast("double") / 500.0, lit(1.0))
+    val punctScore = lit(1.0) - least(punctRatio(text) * 4.0, lit(1.0))
+    val swr = stopwordRatio(text, stopwords)
+    val swScore = lit(1.0) - abs(swr - 0.4) // sweet spot ~40% stopwords
+    round((lenScore * 0.4 + punctScore * 0.3 + swScore * 0.3), 6)
+  }
+
+  /** Deterministic document fingerprint: md5 of whitespace-normalized,
+    * lowercased text (first 16 hex chars). Portable across engines. */
+  def fingerprint(text: Column): Column =
+    substring(md5(regexp_replace(lower(trim(text)), "\\s+", " ")), 1, 16)
+
+  /** Word n-gram shingles as an array of strings (distinct). */
+  def wordShingles(text: Column, n: Int): Column = {
+    val ts = tokens(lower(text))
+    val count = greatest(size(ts) - (n - 1), lit(0))
+    array_distinct(
+      transform(sequence(lit(1), count),
+        i => concat_ws(" ", slice(ts, i, lit(n)))))
+  }
+
+  /** Jaccard similarity of two shingle arrays (both assumed distinct). */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val uni = size(array_union(a, b)).cast("double")
+    when(uni === 0.0, lit(0.0)).otherwise(inter / uni)
+  }
+
+  /** Character n-gram shingles over normalized text (distinct). */
+  def charShingles(text: Column, n: Int): Column = {
+    val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
+    val count = greatest(length(norm) - (n - 1), lit(0))
+    array_distinct(
+      transform(sequence(lit(1), count), i => substring(norm, i, lit(n))))
+  }
+
+  /** Language-ID heuristic: score text against per-language marker-word
+    * sets, return the argmax (ties broken by language order). The marker
+    * lists are for the synthetic test corpus; swap for real profiles in
+    * production. A scan-only operation — no shuffle. */
+  def langIdHeuristic(text: Column, profiles: Seq[(String, Seq[String])])
+      : Column = {
+    val ts = tokens(lower(text))
+    val scored = profiles.map { case (lang, markers) =>
+      val mv = array(markers.map(lit): _*)
+      struct(
+        size(filter(ts, t => array_contains(mv, t))).as("score"),
+        lit(lang).as("lang"))
+    }
+    // array_max on struct(score, lang) picks highest score; on ties the
+    // lexicographically-largest lang — callers needing first-wins ties
+    // should order profiles accordingly.
+    array_max(array(scored: _*)).getField("lang")
+  }
+}

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** Exact k-nearest-neighbor retrieval — the Spark-native re-expression of
+  * the reference's ANN top-k (`similarity_search_by_vector`,
+  * /root/reference/src/rag/doc_embedder.py:196-220; HNSW DDL
+  * src/tools/load.py:26).
+  *
+  * Exact top-k by `orderBy(dist).limit(k)` compiles to
+  * `TakeOrderedAndProject`: each task keeps a k-element heap, only k rows
+  * per partition cross to the driver — no global sort, no shuffle of the
+  * table. At 100 TB this is a single scan-bound pass; combine with a
+  * partition-column filter (the reference's `partition_names` pruning) so
+  * parquet partition pruning cuts the scan first.
+  *
+  * Approximate variants for scale live in [[IvfIndex]].
+  */
+object KnnSearch {
+
+  sealed trait Metric {
+    /** distance column (smaller = closer) */
+    def dist(v: Column, q: Seq[Float]): Column
+  }
+  case object L2 extends Metric {
+    def dist(v: Column, q: Seq[Float]): Column = l2Distance(v, litVec(q))
+  }
+  case object Cosine extends Metric {
+    def dist(v: Column, q: Seq[Float]): Column = cosineDistance(v, litVec(q))
+  }
+  case object InnerProduct extends Metric {
+    // larger dot = closer, so negate for a distance
+    def dist(v: Column, q: Seq[Float]): Column = -dotProduct(v, litVec(q))
+  }
+
+  def litVec(q: Seq[Float]): Column = array(q.map(x => lit(x)): _*)
+
+  /** Exact top-k: returns the input rows plus a `dist` column, k nearest
+    * first. Deterministic under ties via `tieBreak`. */
+  def topK(
+      corpus: DataFrame,
+      vecCol: String,
+      query: Seq[Float],
+      k: Int,
+      metric: Metric = L2,
+      tieBreak: Option[String] = None): DataFrame = {
+    val withDist = corpus.withColumn("dist", metric.dist(col(vecCol), query))
+    val ordered = tieBreak match {
+      case Some(c) => withDist.orderBy(col("dist"), col(c))
+      case None    => withDist.orderBy(col("dist"))
+    }
+    ordered.limit(k)
+  }
+
+  /** The reference's adaptive per-component k:
+    * `10` when reranking else `max(3, 13 - 3 * nComponents)`
+    * (rag_graph.py:367-375). */
+  def adaptiveK(nComponents: Int, rerank: Boolean): Int =
+    if (rerank) 10 else math.max(3, 13 - 3 * nComponents)
+
+  /** Per-component partition-pruned search + bag union (SURVEY §2.4 A4):
+    * one filtered top-k per component code, then unionAll. Each leg prunes
+    * to its parquet partition; the union is a cheap plan-level concat. */
+  def searchComponents(
+      corpus: DataFrame,
+      vecCol: String,
+      partitionCol: String,
+      query: Seq[Float],
+      componentCodes: Seq[Int],
+      rerank: Boolean,
+      metric: Metric = L2,
+      tieBreak: Option[String] = None): DataFrame = {
+    val k = adaptiveK(componentCodes.size, rerank)
+    componentCodes
+      .map(code => topK(
+        corpus.filter(col(partitionCol) === code),
+        vecCol, query, k, metric, tieBreak))
+      .reduce(_ unionAll _)
+  }
+}
