@@ -24,7 +24,9 @@ def norm(v):
     return str(v) if not isinstance(v, (int, bool, type(None))) else v
 
 def canon(rows):
-    return sorted([tuple(norm(v) for v in r) for r in rows])
+    # sort by stringified key: None/int/str never cross-compare (py3 raises)
+    return sorted([tuple(norm(v) for v in r) for r in rows],
+                  key=lambda r: [(v is None, str(v)) for v in r])
 
 def main():
     # 1. run Verify

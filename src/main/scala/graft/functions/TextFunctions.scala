@@ -58,13 +58,17 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     substring(md5(regexp_replace(lower(trim(text)), "\\s+", " ")), 1, 16)
 
-  /** Word n-gram shingles as an array of strings (distinct). */
+  /** Word n-gram shingles as an array of strings (distinct). Docs with
+    * fewer than n tokens yield an empty array (guarded: `sequence(1, 0)`
+    * would otherwise produce the DESCENDING sequence [1, 0] and a
+    * negative-start `slice` error). */
   def wordShingles(text: Column, n: Int): Column = {
     val ts = tokens(lower(text))
-    val count = greatest(size(ts) - (n - 1), lit(0))
-    array_distinct(
-      transform(sequence(lit(1), count),
-        i => concat_ws(" ", slice(ts, i, lit(n)))))
+    val count = size(ts) - (n - 1)
+    when(count <= 0, array().cast("array<string>")).otherwise(
+      array_distinct(
+        transform(sequence(lit(1), greatest(count, lit(1))),
+          i => concat_ws(" ", slice(ts, i, lit(n))))))
   }
 
   /** Jaccard similarity of two shingle arrays (both assumed distinct). */
@@ -74,12 +78,16 @@ object TextFunctions {
     when(uni === 0.0, lit(0.0)).otherwise(inter / uni)
   }
 
-  /** Character n-gram shingles over normalized text (distinct). */
+  /** Character n-gram shingles over normalized text (distinct). Text
+    * shorter than n chars yields an empty array (same descending-sequence
+    * guard as [[wordShingles]]). */
   def charShingles(text: Column, n: Int): Column = {
     val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
-    val count = greatest(length(norm) - (n - 1), lit(0))
-    array_distinct(
-      transform(sequence(lit(1), count), i => substring(norm, i, lit(n))))
+    val count = length(norm) - (n - 1)
+    when(count <= 0, array().cast("array<string>")).otherwise(
+      array_distinct(
+        transform(sequence(lit(1), greatest(count, lit(1))),
+          i => substring(norm, i, lit(n)))))
   }
 
   /** Language-ID heuristic: score text against per-language marker-word

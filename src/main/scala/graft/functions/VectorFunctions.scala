@@ -59,7 +59,8 @@ object VectorFunctions {
   }
 
   /** Sparse (map<int,float>) dot product — the reference's lexical-weight
-    * fusion term (bge.py:178,222). Iterates the smaller map's keys. */
+    * fusion term (bge.py:178,222). Iterates `a`'s entries and probes `b`;
+    * pass the smaller map as `a` for fewer probes. */
   def sparseDot(a: Column, b: Column): Column =
     aggregate(
       map_entries(a),

@@ -38,19 +38,24 @@ object KnnSearch {
 
   def litVec(q: Seq[Float]): Column = array(q.map(x => lit(x)): _*)
 
-  /** Exact top-k: returns the input rows plus a `dist` column, k nearest
-    * first. Deterministic under ties via `tieBreak`. */
+  /** Exact top-k: returns the input rows plus a distance column (named
+    * `distCol`, default "dist"), k nearest first. Deterministic under ties
+    * via `tieBreak`. Throws if `distCol` already exists in the input —
+    * silently overwriting a user column would corrupt downstream plans. */
   def topK(
       corpus: DataFrame,
       vecCol: String,
       query: Seq[Float],
       k: Int,
       metric: Metric = L2,
-      tieBreak: Option[String] = None): DataFrame = {
-    val withDist = corpus.withColumn("dist", metric.dist(col(vecCol), query))
+      tieBreak: Option[String] = None,
+      distCol: String = "dist"): DataFrame = {
+    require(!corpus.columns.contains(distCol),
+      s"corpus already has a '$distCol' column; pass a different distCol")
+    val withDist = corpus.withColumn(distCol, metric.dist(col(vecCol), query))
     val ordered = tieBreak match {
-      case Some(c) => withDist.orderBy(col("dist"), col(c))
-      case None    => withDist.orderBy(col("dist"))
+      case Some(c) => withDist.orderBy(col(distCol), col(c))
+      case None    => withDist.orderBy(col(distCol))
     }
     ordered.limit(k)
   }
@@ -72,12 +77,20 @@ object KnnSearch {
       componentCodes: Seq[Int],
       rerank: Boolean,
       metric: Metric = L2,
-      tieBreak: Option[String] = None): DataFrame = {
-    val k = adaptiveK(componentCodes.size, rerank)
-    componentCodes
-      .map(code => topK(
-        corpus.filter(col(partitionCol) === code),
-        vecCol, query, k, metric, tieBreak))
-      .reduce(_ unionAll _)
+      tieBreak: Option[String] = None,
+      distCol: String = "dist"): DataFrame = {
+    if (componentCodes.isEmpty) {
+      // the reference path can legitimately route to zero components
+      // (rag_graph.py:343-354 after validation) — return an empty result
+      // with the output schema rather than throwing on reduce.
+      corpus.withColumn(distCol, lit(0.0)).filter(lit(false))
+    } else {
+      val k = adaptiveK(componentCodes.size, rerank)
+      componentCodes
+        .map(code => topK(
+          corpus.filter(col(partitionCol) === code),
+          vecCol, query, k, metric, tieBreak, distCol))
+        .reduce(_ union _)
+    }
   }
 }
