@@ -23,10 +23,20 @@ def norm(v):
     if isinstance(v, bytes): return v.hex()
     return str(v) if not isinstance(v, (int, bool, type(None))) else v
 
+def keypart(v):
+    # type-normalized sort component: None first, then numerics (bool/int/
+    # float compare as float so True vs 1 vs 1.0 collate identically), then
+    # everything else by str — distinct-but-equal values of different types
+    # can no longer order equal multisets differently across the two lists.
+    if v is None:
+        return (0, "")
+    if isinstance(v, (bool, int, float)):
+        return (1, "", float(v))
+    return (2, str(v))
+
 def canon(rows):
-    # sort by stringified key: None/int/str never cross-compare (py3 raises)
     return sorted([tuple(norm(v) for v in r) for r in rows],
-                  key=lambda r: [(v is None, str(v)) for v in r])
+                  key=lambda r: [keypart(v) for v in r])
 
 def main():
     # 1. run Verify

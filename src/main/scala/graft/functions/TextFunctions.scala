@@ -65,7 +65,7 @@ object TextFunctions {
   def wordShingles(text: Column, n: Int): Column = {
     val ts = tokens(lower(text))
     val count = size(ts) - (n - 1)
-    when(count <= 0, array().cast("array<string>")).otherwise(
+    when(text.isNull || count <= 0, array().cast("array<string>")).otherwise(
       array_distinct(
         transform(sequence(lit(1), greatest(count, lit(1))),
           i => concat_ws(" ", slice(ts, i, lit(n))))))
@@ -84,7 +84,7 @@ object TextFunctions {
   def charShingles(text: Column, n: Int): Column = {
     val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
     val count = length(norm) - (n - 1)
-    when(count <= 0, array().cast("array<string>")).otherwise(
+    when(text.isNull || count <= 0, array().cast("array<string>")).otherwise(
       array_distinct(
         transform(sequence(lit(1), greatest(count, lit(1))),
           i => substring(norm, i, lit(n)))))

@@ -49,10 +49,16 @@ object KnnSearch {
       k: Int,
       metric: Metric = L2,
       tieBreak: Option[String] = None,
-      distCol: String = "dist"): DataFrame = {
+      distCol: String = "dist",
+      rankRoundDp: Option[Int] = None): DataFrame = {
     require(!corpus.columns.contains(distCol),
       s"corpus already has a '$distCol' column; pass a different distCol")
-    val withDist = corpus.withColumn(distCol, metric.dist(col(vecCol), query))
+    val rawDist = metric.dist(col(vecCol), query)
+    // Optional cross-engine determinism mode (SURVEY §7.5): round the
+    // distance BEFORE ranking so two engines that disagree below the
+    // rounding precision still produce the identical (dist, tieBreak) order.
+    val distExpr = rankRoundDp.fold(rawDist)(dp => round(rawDist, dp))
+    val withDist = corpus.withColumn(distCol, distExpr)
     val ordered = tieBreak match {
       case Some(c) => withDist.orderBy(col(distCol), col(c))
       case None    => withDist.orderBy(col(distCol))
@@ -67,8 +73,9 @@ object KnnSearch {
     if (rerank) 10 else math.max(3, 13 - 3 * nComponents)
 
   /** Per-component partition-pruned search + bag union (SURVEY §2.4 A4):
-    * one filtered top-k per component code, then unionAll. Each leg prunes
-    * to its parquet partition; the union is a cheap plan-level concat. */
+    * one filtered top-k per component code, then a bag union (`union`).
+    * Each leg prunes to its parquet partition; the union is a cheap
+    * plan-level concat. */
   def searchComponents(
       corpus: DataFrame,
       vecCol: String,
@@ -78,7 +85,11 @@ object KnnSearch {
       rerank: Boolean,
       metric: Metric = L2,
       tieBreak: Option[String] = None,
-      distCol: String = "dist"): DataFrame = {
+      distCol: String = "dist",
+      rankRoundDp: Option[Int] = None): DataFrame = {
+    // same contract on both branches: never silently overwrite a user column
+    require(!corpus.columns.contains(distCol),
+      s"corpus already has a '$distCol' column; pass a different distCol")
     if (componentCodes.isEmpty) {
       // the reference path can legitimately route to zero components
       // (rag_graph.py:343-354 after validation) — return an empty result
@@ -89,7 +100,7 @@ object KnnSearch {
       componentCodes
         .map(code => topK(
           corpus.filter(col(partitionCol) === code),
-          vecCol, query, k, metric, tieBreak, distCol))
+          vecCol, query, k, metric, tieBreak, distCol, rankRoundDp))
         .reduce(_ union _)
     }
   }
