@@ -1,11 +1,13 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
 import graft.operators.KnnSearch
+import graft.sources.MarkdownIngest
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -146,6 +148,60 @@ object SparkEntry {
         .orderBy(col("label"))
     }),
 
+    // --- S-series: ingestion / chunking (SURVEY §2.1) ---
+    "q20_chunker" -> ((s, dir) => {
+      // S2/S3/S4 SQL path: assemble deterministic markdown per source
+      // (H1 = source, one H2 section per doc), split on header lines via a
+      // sentinel (RE2-safe: no lookahead), derive level/title/body, and
+      // rebuild the enhanced_title header path with a running last-H1
+      // window — the same semantics MarkdownIngest.chunkMarkdown implements
+      // as a flatMap for real files (ref doc_processing.py:63-132).
+      // Assembly is one shuffle (groupBy source); the chunk explode and
+      // window are narrow per-source ops.
+      val docs = t(s, dir, "documents")
+      val md = docs.groupBy(col("source")).agg(
+        concat(lit("# "), col("source"), lit("\n"),
+          array_join(
+            transform(
+              array_sort(collect_list(struct(col("doc_id"), col("text")))),
+              x => concat(lit("## doc_"), x.getField("doc_id"), lit("\n"),
+                x.getField("text"))),
+            "\n")).as("content"))
+      val exploded = md.select(col("source"),
+        posexplode(filter(
+          split(regexp_replace(col("content"), "(?m)^#", "\u0001#"), "\u0001"),
+          x => length(x) > 0)).as(Seq("chunk_idx", "chunk")))
+      val parsed = exploded.select(
+        col("source"), col("chunk_idx"),
+        length(regexp_extract(col("chunk"), "^(#+)", 1)).as("level"),
+        regexp_extract(col("chunk"), "^#+ ([^\n]*)", 1).as("chunk_title"),
+        length(trim(regexp_replace(col("chunk"), "^[^\n]*\n?", "")))
+          .as("n_chars"))
+      val w = Window.partitionBy(col("source")).orderBy(col("chunk_idx"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      parsed.select(col("source"), col("chunk_idx"), col("level"),
+          col("chunk_title"),
+          when(col("level") === 1, col("chunk_title"))
+            .otherwise(concat(
+              last(when(col("level") === 1, col("chunk_title")), true).over(w),
+              lit(" -> "), col("chunk_title"))).as("enhanced_title"),
+          col("n_chars"))
+        .orderBy(col("source"), col("chunk_idx"))
+    }),
+
+    "q23_setext" -> ((s, dir) => {
+      // S5/X3: synthesize setext-headed markdown per doc, normalize to ATX
+      // with the engine's normalizeSetext, fingerprint the result. Pure
+      // per-row regex work — scan-only, no shuffle.
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(MarkdownIngest.normalizeSetext(
+            concat(lit("Doc "), col("doc_id"), lit("\n====\n"), col("text"),
+              lit("\nDetails\n----\nbody of "), col("source"))))
+            .as("norm_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- D-series: dedup / text analysis (north-star extensions) ---
     "q40_dedup_exact" -> ((s, dir) => {
       // Exact dedup accounting: per-source distinct text digests (raw and
@@ -240,6 +296,50 @@ object SparkEntry {
            list_transform(embedding::DOUBLE[], x -> x * x),
            (a, b) -> a + b))), 4) AS avg_norm
          FROM embeddings GROUP BY label ORDER BY label""",
+
+    "q20_chunker" ->
+      """WITH md AS (
+           SELECT source,
+             '# ' || source || chr(10) ||
+             string_agg('## doc_' || doc_id || chr(10) || text,
+                        chr(10) ORDER BY doc_id) AS content
+           FROM documents GROUP BY source),
+         lists AS (
+           SELECT source,
+             list_filter(
+               string_split(
+                 regexp_replace(content, '(?m)^#', chr(1) || '#', 'g'),
+                 chr(1)),
+               x -> length(x) > 0) AS l
+           FROM md),
+         split AS (
+           SELECT source, unnest(generate_series(1, len(l))) AS i, l
+           FROM lists),
+         chunks AS (
+           SELECT source, i - 1 AS chunk_idx,
+             length(regexp_extract(l[i], '^(#+)', 1)) AS level,
+             regexp_extract(l[i], '^#+ ([^\n]*)', 1) AS chunk_title,
+             length(trim(regexp_replace(l[i], '^[^\n]*\n?', ''))) AS n_chars
+           FROM split)
+         SELECT source, chunk_idx, level, chunk_title,
+           CASE WHEN level = 1 THEN chunk_title
+                ELSE last_value(CASE WHEN level = 1 THEN chunk_title END
+                                IGNORE NULLS)
+                     OVER (PARTITION BY source ORDER BY chunk_idx
+                           ROWS UNBOUNDED PRECEDING)
+                     || ' -> ' || chunk_title END AS enhanced_title,
+           n_chars
+         FROM chunks ORDER BY source, chunk_idx""",
+
+    "q23_setext" ->
+      """SELECT doc_id,
+         md5(regexp_replace(regexp_replace(
+           'Doc ' || doc_id || chr(10) || '====' || chr(10) || text ||
+             chr(10) || 'Details' || chr(10) || '----' || chr(10) ||
+             'body of ' || source,
+           '(?m)^(.+)\n=+[ \t]*$', '# \1', 'g'),
+           '(?m)^(.+)\n-+[ \t]*$', '## \1', 'g')) AS norm_md5
+         FROM documents ORDER BY doc_id""",
 
     "q40_dedup_exact" ->
       """SELECT source, count(*) AS n_docs,
