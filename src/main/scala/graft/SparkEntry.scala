@@ -148,6 +148,20 @@ object SparkEntry {
         .orderBy(col("label"))
     }),
 
+    "q33_knn_pruned" -> ((s, dir) => {
+      // F3/A4/T2: per-component pruned top-k union via searchComponents.
+      // label stands in for component_code; adaptive k = max(3, 13-3*3) = 4
+      // per component; ranking on 4-dp-rounded dist for cross-engine
+      // determinism (rankRoundDp). On a partitionBy(component_code) corpus
+      // each leg is a pruned directory scan (asserted in CorpusStoreSpec).
+      val q = queryVec(s, dir)
+      KnnSearch.searchComponents(t(s, dir, "embeddings"), "embedding",
+          "label", q, Seq(1, 3, 5), rerank = false,
+          tieBreak = Some("vec_id"), rankRoundDp = Some(4))
+        .select(col("label"), col("vec_id"), col("dist"))
+        .orderBy(col("label"), col("dist"), col("vec_id"))
+    }),
+
     // --- S-series: ingestion / chunking (SURVEY §2.1) ---
     "q20_chunker" -> ((s, dir) => {
       // S2/S3/S4 SQL path: assemble deterministic markdown per source
@@ -296,6 +310,20 @@ object SparkEntry {
            list_transform(embedding::DOUBLE[], x -> x * x),
            (a, b) -> a + b))), 4) AS avg_norm
          FROM embeddings GROUP BY label ORDER BY label""",
+
+    "q33_knn_pruned" ->
+      """WITH d AS (
+           SELECT label, vec_id,
+             round(list_distance(embedding::DOUBLE[],
+               (SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[]),
+               4) AS dist
+           FROM embeddings WHERE label IN (1, 3, 5))
+         SELECT label, vec_id, dist FROM (
+           SELECT label, vec_id, dist,
+             row_number() OVER (PARTITION BY label
+                                ORDER BY dist, vec_id) AS rn
+           FROM d)
+         WHERE rn <= 4 ORDER BY label, dist, vec_id""",
 
     "q20_chunker" ->
       """WITH md AS (

@@ -1,0 +1,140 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.Embedder
+
+/** The partitioned vector-corpus table — SURVEY.md §1 (the reference's one
+  * central table, DDL /root/reference/src/tools/load.py:18-37) plus its
+  * load/export/introspection tooling (§2.1 S8–S11, §2.4 A6).
+  *
+  * Spark-native shape: parquet `partitionBy("component_code")`, which gives
+  * exactly the reference's LIST-partition pruning — a
+  * `filter($"component_code" === code)` prunes whole directories before any
+  * IO (the reference passes `partition_names` to get the same effect,
+  * doc_embedder.py:173-217). At 100 TB the component dirs are the unit of
+  * scan elimination; within a partition, parquet row-group stats prune
+  * further.
+  */
+object CorpusStore {
+
+  /** corpus schema (§1.3): id, embedding, document, metadata struct,
+    * component_code. Metadata fields per DocumentMeta
+    * (doc_processing.py:41-60). */
+  val metadataType: StructType = StructType(Seq(
+    StructField("doc_url", StringType),
+    StructField("doc_name", StringType),
+    StructField("component", StringType),
+    StructField("chunk_title", StringType),
+    StructField("enhanced_title", StringType)))
+
+  val schema: StructType = StructType(Seq(
+    StructField("id", StringType, nullable = false),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("document", StringType),
+    StructField("metadata", metadataType),
+    StructField("component_code", IntegerType, nullable = false)))
+
+  /** Engine-default component dimension (name → partition code). The
+    * reference hardcodes an equivalent map (ob.py:35-47, which ships a
+    * duplicate-key bug we deliberately do not replicate — SURVEY §7.5);
+    * ours is a plain dimension table, broadcast-joined where needed (J2). */
+  val defaultComponents: Map[String, Int] = Map(
+    "observer" -> 1, "ocp" -> 2, "oms" -> 3, "obd" -> 4, "operator" -> 5,
+    "odp" -> 6, "obproxy" -> 7)
+
+  /** default component when the name is unknown (doc_embedder.py:105) */
+  val DefaultCode = 0
+
+  /** J2: component name → code as a column expression (tiny literal map —
+    * the degenerate broadcast join). */
+  def componentCode(
+      name: Column,
+      mapping: Map[String, Int] = defaultComponents): Column = {
+    val m = map(mapping.toSeq.flatMap { case (k, v) =>
+      Seq(lit(k), lit(v)) }: _*)
+    coalesce(element_at(m, name), lit(DefaultCode))
+  }
+
+  /** J2 as a real dimension DataFrame for broadcast joins. */
+  def componentDim(
+      spark: SparkSession,
+      mapping: Map[String, Int] = defaultComponents): DataFrame = {
+    import spark.implicits._
+    mapping.toSeq.sortBy(_._2).toDF("component", "component_code")
+  }
+
+  /** A6: next free partition code = max(component_code) + 1
+    * (db.py:525-545). */
+  def nextComponentCode(corpus: DataFrame): Int =
+    corpus.agg(max(col("component_code"))).head() match {
+      case r if r.isNullAt(0) => DefaultCode + 1
+      case r => r.getInt(0) + 1
+    }
+
+  // ---- build + write (S10) --------------------------------------------
+
+  /** Chunks → corpus rows: per-row UUID id (X4, doc_embedder.py:110),
+    * embedding via the supplied embedder, DocumentMeta struct, and the
+    * ingest call's component (the reference ingests one component per
+    * call, doc_embedder.py:116-168). */
+  def fromChunks(
+      chunks: Dataset[MdChunk],
+      component: String,
+      embedder: Embedder,
+      mapping: Map[String, Int] = defaultComponents): DataFrame = {
+    val code = mapping.getOrElse(component, DefaultCode)
+    chunks.toDF().select(
+      uuid().as("id"),
+      embedder.embedCol(col("text")).as("embedding"),
+      col("text").as("document"),
+      struct(
+        col("path").as("doc_url"),
+        col("docName").as("doc_name"),
+        lit(component).as("component"),
+        col("chunkTitle").as("chunk_title"),
+        col("enhancedTitle").as("enhanced_title")).as("metadata"),
+      lit(code).as("component_code"))
+  }
+
+  /** S10: append a batch into the partitioned corpus. Appending a new
+    * component ≡ a new partition directory (the reference's
+    * `ALTER TABLE ... ADD PARTITION`, db.py:556-566, is free here). */
+  def write(corpus: DataFrame, path: String,
+      mode: SaveMode = SaveMode.Append): Unit =
+    corpus.write.mode(mode).partitionBy("component_code").parquet(path)
+
+  /** Read the corpus back; `component_code` comes from directory names. */
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(schema).parquet(path)
+
+  // ---- JSON round-trip (S8/S9) ----------------------------------------
+
+  /** S9: full-table export as JSON (extract.py:87-166 — its LIMIT/OFFSET
+    * page loop is a wire-protocol artifact; in Spark one scan, one write,
+    * each task streaming its split). */
+  def exportJson(corpus: DataFrame, path: String): Unit =
+    corpus.write.mode(SaveMode.Overwrite).json(path)
+
+  /** S8: bulk load from JSON with schema enforcement at read time — the
+    * declarative replacement for the reference's per-row
+    * INSERT-with-CAST-and-fallback loop (load.py:121-232). Rows that
+    * can't coerce surface as nulls (PERMISSIVE), matching the reference's
+    * "fallback insert without CAST" tolerance. */
+  def loadJson(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  // ---- introspection (S11, A1) ----------------------------------------
+
+  /** `has_collection` analogue (db.py:297-308). */
+  def exists(spark: SparkSession, path: String): Boolean =
+    try { spark.read.parquet(path).schema.nonEmpty }
+    catch { case _: Exception => false }
+
+  /** COUNT(*) + schema — the reference's table-info probe
+    * (db.py:194-210). */
+  def info(corpus: DataFrame): (Long, StructType) =
+    (corpus.count(), corpus.schema)
+}

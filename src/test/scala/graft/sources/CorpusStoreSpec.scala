@@ -1,0 +1,114 @@
+package graft.sources
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.functions.HashEmbedder
+import graft.operators.KnnSearch
+
+class CorpusStoreSpec extends SparkSpec {
+
+  private val corpusDir = getClass.getResource("/corpus").getPath
+  private lazy val tmp = Files.createTempDirectory("graft-corpus-").toString
+
+  private lazy val embedder = HashEmbedder(dim = 16)
+
+  /** shared fixture: two-component corpus written partitionBy once */
+  private lazy val corpusPath: String = {
+    val chunks = MarkdownIngest.ingest(spark, corpusDir, Seq("oracle"))
+    CorpusStore.write(CorpusStore.fromChunks(chunks, "observer", embedder),
+      s"$tmp/corpus", org.apache.spark.sql.SaveMode.Overwrite)
+    CorpusStore.write(CorpusStore.fromChunks(chunks, "ocp", embedder),
+      s"$tmp/corpus")
+    s"$tmp/corpus"
+  }
+
+  test("hash embedder is deterministic, unit-norm, and dimension-stable") {
+    import spark.implicits._
+    val df = Seq("alpha beta gamma", "alpha beta gamma", "other text", "")
+      .toDF("text")
+    val vecs = df.select(embedder.embedCol($"text")).collect()
+      .map(_.getSeq[Float](0))
+    assert(vecs.forall(_.length == 16))
+    assert(vecs(0) == vecs(1)) // same text -> same vector
+    assert(vecs(0) != vecs(2))
+    val norm = math.sqrt(vecs(0).map(x => x.toDouble * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-5)
+    assert(vecs(3).forall(_ == 0f)) // empty text -> zero vector
+  }
+
+  test("embedQuery matches the column path (V2 == V1 on one row)") {
+    import spark.implicits._
+    val q = embedder.embedQuery(spark, "vector search query")
+    val fromCol = Seq("vector search query").toDF("t")
+      .select(embedder.embedCol($"t")).head().getSeq[Float](0)
+    assert(q == fromCol)
+  }
+
+  test("ingest -> corpus -> partitioned write -> pruned read round-trips") {
+    val nChunks = MarkdownIngest.ingest(spark, corpusDir, Seq("oracle")).count()
+    val back = CorpusStore.read(spark, corpusPath)
+    assert(back.count() == nChunks * 2)
+    assert(back.schema("metadata").dataType == CorpusStore.metadataType)
+    // ids are UUIDs, one per row
+    assert(back.select("id").distinct().count() == back.count())
+
+    // partition pruning: the filtered scan must carry a PartitionFilters
+    // entry on component_code — the LIST-prune semantics of the reference
+    val pruned = back.filter(col("component_code") === 1)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("component_code"),
+      s"expected partition pruning in plan:\n$plan")
+    assert(pruned.count() == nChunks)
+  }
+
+  test("searchComponents prunes partitions and honors adaptive k") {
+    val back = CorpusStore.read(spark, corpusPath)
+    val q = embedder.embedQuery(spark, "vector search")
+    val res = KnnSearch.searchComponents(back, "embedding",
+      "component_code", q, Seq(1, 2), rerank = false,
+      tieBreak = Some("id"))
+    // k = max(3, 13 - 3*2) = 7 per component, capped by corpus size
+    val perComp = res.groupBy("component_code").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val compSize = back.filter(col("component_code") === 1).count()
+    assert(perComp.keySet == Set(1, 2))
+    assert(perComp.values.forall(_ == math.min(7, compSize)))
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"))
+  }
+
+  test("JSON export/load round-trip preserves rows and schema (S8/S9)") {
+    val back = CorpusStore.read(spark, corpusPath)
+    CorpusStore.exportJson(back, s"$tmp/export")
+    val loaded = CorpusStore.loadJson(spark, s"$tmp/export")
+    // JSON source reads every field nullable; compare names + types
+    assert(loaded.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      CorpusStore.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(loaded.count() == back.count())
+    val a = back.select("id", "document", "component_code")
+      .collect().map(_.toSeq).toSet
+    val b = loaded.select("id", "document", "component_code")
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
+  test("component dimension + next code (J2/A6/S11)") {
+    assert(CorpusStore.defaultComponents.values.toSeq.distinct.size ==
+      CorpusStore.defaultComponents.size) // no ob.py:42/:44 dup-key bug
+    val back = CorpusStore.read(spark, corpusPath)
+    assert(CorpusStore.nextComponentCode(back) == 3) // max(1,2)+1
+    assert(CorpusStore.exists(spark, corpusPath))
+    assert(!CorpusStore.exists(spark, s"$tmp/no-such-table"))
+    val (n, sch) = CorpusStore.info(back)
+    assert(n == back.count() && sch.fieldNames.contains("component_code"))
+    import spark.implicits._
+    val dim = CorpusStore.componentDim(spark)
+    val joined = Seq("observer", "nope").toDF("component")
+      .join(broadcast(dim), Seq("component"), "left")
+      .select(coalesce($"component_code", lit(CorpusStore.DefaultCode)))
+      .collect().map(_.getInt(0)).toSet
+    assert(joined == Set(1, 0))
+  }
+}
