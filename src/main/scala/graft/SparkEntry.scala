@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
-import graft.operators.KnnSearch
+import graft.operators.{KnnSearch, PostRetrieval, Rerank}
 import graft.sources.MarkdownIngest
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -112,6 +112,88 @@ object SparkEntry {
           .as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
+    }),
+
+    // --- Post-retrieval block (SURVEY §2.4 A3/A5, §2.7 X1/X2, §2.3 J3) ---
+    "q12_ref_numbering" -> ((s, dir) => {
+      // A5: URL dedup with stable first-seen numbering — groupBy(url) +
+      // min(order), then row_number over first_seen. The global window
+      // runs over the deduped (tiny) URL set, not the corpus.
+      val docs = t(s, dir, "documents").withColumn("url",
+        concat(lit("https://docs.example.com/"), col("source")))
+      PostRetrieval.refNumbering(docs, "url", "doc_id")
+        .orderBy(col("ref_id"))
+    }),
+
+    "q13_context_concat" -> ((s, dir) => {
+      // A3: ordered context concat — rank rides inside the collected
+      // struct so the concat order is deterministic under parallel merge.
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      t(s, dir, "documents")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .groupBy(col("lang"))
+        .agg(
+          md5(PostRetrieval.contextConcat(col("rn"), col("text")))
+            .as("context_md5"),
+          count(lit(1)).as("n_docs"))
+        .orderBy(col("lang"))
+    }),
+
+    "q14_citation_join" -> ((s, dir) => {
+      // J3: explode [@N] markers from synthesized answers, broadcast-join
+      // against the numbered reference list from q12's refNumbering.
+      val docs = t(s, dir, "documents")
+      val refs = PostRetrieval.refNumbering(
+        docs.withColumn("url",
+          concat(lit("https://docs.example.com/"), col("source"))),
+        "url", "doc_id")
+      val answers = docs.filter(col("doc_id") < 100)
+        .select(col("doc_id"),
+          concat(lit("cites [@"), col("doc_id") % 25 + 1,
+            lit("] and [@"), col("doc_id") % 7 + 1, lit("]")).as("answer"))
+      PostRetrieval.citationJoin(answers, "answer", refs, "ref_id")
+        .select(col("doc_id"), col("cited_ref"), col("url"))
+        .orderBy(col("doc_id"), col("cited_ref"))
+    }),
+
+    "q21_url_rewrite" -> ((s, dir) => {
+      // X1: ordered regex rewrite chain (foldLeft of regexp_replace).
+      val rules = Seq(
+        ("^https://github\\.com/oceanbase/([^/]+)/blob/main/",
+          "https://docs.example.com/$1/"),
+        ("/docs/doc(\\d+)\\.md$", "/page/$1.html"),
+        ("^https://", "https://www."))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          PostRetrieval.rewriteUrls(
+            concat(lit("https://github.com/oceanbase/"), col("source"),
+              lit("/blob/main/docs/doc"), col("doc_id"), lit(".md")),
+            rules).as("url"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q22_citations" -> ((s, dir) => {
+      // X2: [@N] -> [[N]](url) with per-index map lookup; unknown indices
+      // (here 11, 12, 99 when present) keep their marker.
+      val urlMap = map((1 to 10).flatMap(i =>
+        Seq(lit(i), lit(s"https://ref.example.com/$i"))): _*)
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(PostRetrieval.rewriteCitations(
+            concat(lit("see [@1] and [@"), col("doc_id") % 12 + 1,
+              lit("] plus [@99]")),
+            urlMap)).as("cited_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q34_rerank" -> ((s, dir) => {
+      // T3/V6: lexical rerank — score desc, deterministic tie, keep 10.
+      Rerank.rerank(t(s, dir, "documents"), "text",
+          Rerank.LexicalScorer("spark query join table window agg"),
+          limit = 10, tieBreak = "doc_id")
+        .select(col("doc_id"), col("rerank_score"))
+        .orderBy(col("rerank_score").desc, col("doc_id"))
     }),
 
     // --- V-series: vector search (SURVEY §2.8) ---
@@ -310,6 +392,75 @@ object SparkEntry {
            list_transform(embedding::DOUBLE[], x -> x * x),
            (a, b) -> a + b))), 4) AS avg_norm
          FROM embeddings GROUP BY label ORDER BY label""",
+
+    "q12_ref_numbering" ->
+      """SELECT row_number() OVER (ORDER BY first_seen) AS ref_id,
+           url, first_seen
+         FROM (SELECT 'https://docs.example.com/' || source AS url,
+                 min(doc_id) AS first_seen
+               FROM documents GROUP BY 1)
+         ORDER BY ref_id""",
+
+    "q13_context_concat" ->
+      """WITH ranked AS (
+           SELECT lang, text,
+             row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+           FROM documents)
+         SELECT lang,
+           md5(string_agg(text, chr(10) || '=====' || chr(10) ORDER BY rn))
+             AS context_md5,
+           count(*) AS n_docs
+         FROM ranked WHERE rn <= 3 GROUP BY lang ORDER BY lang""",
+
+    "q14_citation_join" ->
+      """WITH refs AS (
+           SELECT row_number() OVER (ORDER BY first_seen) AS ref_id, url
+           FROM (SELECT 'https://docs.example.com/' || source AS url,
+                   min(doc_id) AS first_seen
+                 FROM documents GROUP BY 1)),
+         ans AS (
+           SELECT doc_id,
+             'cites [@' || (doc_id % 25 + 1) || '] and [@' ||
+               (doc_id % 7 + 1) || ']' AS answer
+           FROM documents WHERE doc_id < 100),
+         cited AS (
+           SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               regexp_extract_all(answer, '\[@(\d+)\]', 1),
+               x -> x::int))) AS cited_ref
+           FROM ans)
+         SELECT doc_id, cited_ref, url
+         FROM cited JOIN refs ON cited_ref = ref_id
+         ORDER BY doc_id, cited_ref""",
+
+    "q21_url_rewrite" ->
+      """SELECT doc_id,
+         regexp_replace(regexp_replace(regexp_replace(
+           'https://github.com/oceanbase/' || source ||
+             '/blob/main/docs/doc' || doc_id || '.md',
+           '^https://github\.com/oceanbase/([^/]+)/blob/main/',
+           'https://docs.example.com/\1/'),
+           '/docs/doc(\d+)\.md$', '/page/\1.html'),
+           '^https://', 'https://www.') AS url
+         FROM documents ORDER BY doc_id""",
+
+    "q22_citations" ->
+      """SELECT doc_id,
+         md5(regexp_replace(
+           'see [@1] and [@' || (doc_id % 12 + 1) || '] plus [@99]',
+           '\[@([1-9]|10)\]', '[[\1]](https://ref.example.com/\1)', 'g'))
+           AS cited_md5
+         FROM documents ORDER BY doc_id""",
+
+    "q34_rerank" ->
+      """SELECT doc_id,
+         len(list_filter(['spark','query','join','table','window','agg'],
+           q -> list_contains(
+             list_distinct(list_filter(
+               string_split_regex(lower(text), '\s+'), t -> len(t) > 0)),
+             q))) AS rerank_score
+         FROM documents
+         ORDER BY rerank_score DESC, doc_id LIMIT 10""",
 
     "q33_knn_pruned" ->
       """WITH d AS (
