@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
-import graft.operators.{KnnSearch, PostRetrieval, Rerank}
+import graft.operators.{KnnSearch, NearDup, PostRetrieval, Rerank}
 import graft.sources.MarkdownIngest
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -311,6 +311,31 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    "q43_near_dup" -> ((s, dir) => {
+      // MinHash + LSH banding near-dup: bucket-join candidates only, exact
+      // Jaccard within candidates — no cartesian (see NearDup scaladoc).
+      NearDup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
+          shingleN = 3, numHashes = 12, bands = 4, threshold = 0.8)
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    "q44_cosine_pairs" -> ((s, dir) => {
+      // Embedding near-dup: sign-bit LSH bucket join + cosine top-k.
+      NearDup.cosinePairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+        bits = 8, k = 10)
+    }),
+
+    "q45_simhash" -> ((s, dir) => {
+      // SimHash exact-collision grouping: one scan + one groupBy on the
+      // 32-bit fingerprint — near-dup detection with zero joins.
+      t(s, dir, "documents")
+        .select(col("doc_id"), simHash(col("text")).as("simhash"))
+        .groupBy(col("simhash"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+        .filter(col("n_docs") > 1)
+        .orderBy(col("simhash"))
+    }),
+
     "q41_token_stats" -> ((s, dir) => {
       // token counting over documents (north-star text analysis).
       t(s, dir, "documents")
@@ -526,6 +551,67 @@ object SparkEntry {
          count(DISTINCT substr(md5(regexp_replace(lower(trim(text)),
            '\s+', ' ', 'g')), 1, 16)) AS n_unique_norm
          FROM documents GROUP BY source ORDER BY source""",
+
+    "q43_near_dup" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(lower(text),
+             '\s+'), t -> len(t) > 0) AS ts FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(list_transform(
+             range(1, greatest(len(ts) - 2, 0) + 1),
+             i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS shingles
+           FROM toks),
+         sigs AS (
+           SELECT doc_id, shingles, list_transform(range(0, 12),
+             i -> list_aggregate(list_transform(shingles,
+               s -> md5(i || '|' || s)), 'min')) AS sig
+           FROM sh WHERE len(shingles) > 0),
+         buckets AS (
+           SELECT doc_id, unnest(list_transform(range(0, 4),
+             b -> b || ':' || md5(array_to_string(sig[b*3+1 : b*3+3], '|'))))
+             AS bucket FROM sigs),
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+           FROM buckets a JOIN buckets b
+             ON a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         scored AS (
+           SELECT a_id, b_id,
+             round(len(list_filter(sa.shingles,
+               x -> list_contains(sb.shingles, x)))::DOUBLE
+               / len(list_distinct(list_concat(sa.shingles, sb.shingles))),
+               4) AS jaccard
+           FROM pairs
+           JOIN sigs sa ON a_id = sa.doc_id
+           JOIN sigs sb ON b_id = sb.doc_id)
+         SELECT a_id, b_id, jaccard FROM scored
+         WHERE jaccard >= 0.8 ORDER BY a_id, b_id""",
+
+    "q44_cosine_pairs" ->
+      """WITH b AS (
+           SELECT vec_id, embedding,
+             array_to_string(list_transform(embedding[1:8],
+               x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+           FROM embeddings)
+         SELECT a.vec_id AS a_id, c.vec_id AS b_id,
+           round(list_cosine_similarity(a.embedding::DOUBLE[],
+             c.embedding::DOUBLE[]), 4) AS cos_sim
+         FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+         ORDER BY cos_sim DESC, a_id, b_id LIMIT 10""",
+
+    "q45_simhash" ->
+      """WITH td AS (
+           SELECT doc_id, list_distinct(list_filter(
+             string_split_regex(lower(text), '\s+'),
+             t -> len(t) > 0)) AS toks FROM documents),
+         s AS (
+           SELECT doc_id, array_to_string(list_transform(range(1, 33), p ->
+             CASE WHEN list_sum(list_transform(toks, t ->
+               2 * ((strpos('0123456789abcdef', substr(md5(t), p, 1)) - 1)
+                 % 2) - 1)) > 0
+             THEN '1' ELSE '0' END), '') AS simhash
+           FROM td)
+         SELECT simhash, count(*) AS n_docs, min(doc_id) AS first_doc
+         FROM s GROUP BY simhash HAVING count(*) > 1 ORDER BY simhash""",
 
     "q41_token_stats" ->
       """SELECT doc_id,

@@ -90,6 +90,25 @@ object TextFunctions {
           i => substring(norm, i, lit(n)))))
   }
 
+  /** SimHash document fingerprint over distinct tokens: bit p of the
+    * `bits`-bit hash is the sign of the sum over tokens of ±1 according
+    * to the parity of hex digit p of the token's md5. Near-identical
+    * documents land on identical (or Hamming-close) fingerprints;
+    * grouping by the fingerprint is an exact-collision near-dup pass
+    * with zero joins. md5-derived (not JVM hash) so the DuckDB oracle
+    * reproduces it bit-for-bit. `bits` ≤ 32 (md5 hex length). */
+  def simHash(text: Column, bits: Int = 32): Column = {
+    require(bits >= 1 && bits <= 32, s"bits=$bits out of md5-hex range")
+    val ts = array_distinct(tokens(lower(text)))
+    array_join(
+      transform(sequence(lit(1), lit(bits)), p =>
+        when(
+          aggregate(ts, lit(0), (s, t) =>
+            s + (conv(md5(t).substr(p, lit(1)), 16, 10).cast("int") % 2)
+              * 2 - 1) > 0,
+          lit("1")).otherwise(lit("0"))), "")
+  }
+
   /** Language-ID heuristic: score text against per-language marker-word
     * sets, return the argmax (ties broken by language order). The marker
     * lists are for the synthetic test corpus; swap for real profiles in

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.functions.TextFunctions.simHash
+
+class NearDupSpec extends SparkSpec {
+
+  private def docs = {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    Seq(
+      (1L, base),
+      (2L, base),                                   // exact dup of 1
+      (3L, base.replace("today", "tomorrow")),      // near dup of 1
+      (4L, "completely different text about spark sql window aggregation plans"),
+      (5L, "another unrelated document mentioning parquet and shuffles only"))
+      .toDF("doc_id", "text")
+  }
+
+  test("minhashPairs finds exact and near dups, not unrelated pairs") {
+    val pairs = NearDup.minhashPairs(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 12, bands = 4, threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))   // exact dup: jaccard 1.0
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L))) // near dup
+    assert(!pairs.exists { case (a, b) => Set(a, b).intersect(Set(4L, 5L)).nonEmpty })
+  }
+
+  test("minhash/cosine plans contain no cartesian product") {
+    val p1 = NearDup.minhashPairs(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!p1.contains("Cartesian"), s"cartesian in minhash plan:\n$p1")
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Seq(1f, 2f, -1f, 0.5f, 1f, -2f, 1f, 1f)),
+      (2L, Seq(1f, 2.1f, -0.9f, 0.4f, 1f, -2f, 1f, 1.1f)),
+      (3L, Seq(-1f, -2f, 1f, -0.5f, -1f, 2f, -1f, -1f)))
+      .toDF("vec_id", "embedding")
+    val cp = NearDup.cosinePairs(vecs, "vec_id", "embedding", bits = 8, k = 5)
+    assert(!cp.queryExecution.executedPlan.toString.contains("Cartesian"))
+    val got = cp.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L))) // 3 has opposite signs -> different bucket
+  }
+
+  test("simHash: identical docs collide, near-dups are Hamming-close") {
+    import spark.implicits._
+    val hashes = docs.select(col("doc_id"), simHash(col("text")).as("h"))
+      .as[(Long, String)].collect().toMap
+    assert(hashes(1L) == hashes(2L))
+    assert(hashes.values.forall(h => h.length == 32 && h.forall("01".contains(_))))
+    def hamming(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+    assert(hamming(hashes(1L), hashes(3L)) <= 8)   // near dup: close
+    assert(hamming(hashes(1L), hashes(4L)) > 8)    // unrelated: far
+  }
+
+  test("lsh collision probability: bucket counts stay bounded (no hot key)") {
+    // signatures of unrelated docs must not all collapse into one bucket
+    val buckets = NearDup.minhashPairs(docs, "doc_id", "text",
+      threshold = 0.0)
+    val n = buckets.count()
+    assert(n < 10, s"suspiciously many candidate pairs: $n") // 5 docs -> few pairs
+  }
+}
