@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
-import graft.operators.{KnnSearch, NearDup, PostRetrieval, Rerank}
+import graft.operators.{IvfIndex, KnnSearch, NearDup, PostRetrieval, Rerank}
 import graft.sources.MarkdownIngest
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -242,6 +242,20 @@ object SparkEntry {
           tieBreak = Some("vec_id"), rankRoundDp = Some(4))
         .select(col("label"), col("vec_id"), col("dist"))
         .orderBy(col("label"), col("dist"), col("vec_id"))
+    }),
+
+    "q36_ivf_knn" -> ((s, dir) => {
+      // V4/V5 approximate path: IVF (k-means nlist=8) + nprobe=6 probe +
+      // exact re-score. No DuckDB oracle (k-means isn't reproducible
+      // there) — the driver records the weaker rows-only check; recall
+      // vs the exact top-k is asserted in IvfIndexSpec instead
+      // (SURVEY §7.5: approximate modes are graded on recall, not hash).
+      val q = queryVec(s, dir)
+      val index = IvfIndex.build(t(s, dir, "embeddings"), "vec_id",
+        "embedding", nlist = 8)
+      index.search(q, 10, nprobe = 6, tieBreak = Some("vec_id"))
+        .select(col("vec_id"), round(col("dist"), 4).as("dist"))
+        .orderBy(col("dist"), col("vec_id"))
     }),
 
     // --- S-series: ingestion / chunking (SURVEY §2.1) ---

@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest-neighbor index — the scale
+  * path for the reference's HNSW index (`VECTOR KEY ... TYPE=HNSW`,
+  * /root/reference/src/tools/load.py:26). SURVEY.md §2.8 V4/V5.
+  *
+  * HNSW is a pointer-chasing in-memory graph — the wrong shape for a
+  * distributed scan engine. The Spark-native equivalent is IVF:
+  *
+  *   1. build: k-means over the corpus vectors → `nlist` centroids
+  *      (a few KB — driver-held, broadcast implicitly as literals);
+  *      each vector is assigned to its nearest centroid and the corpus
+  *      is written `partitionBy(cluster)`;
+  *   2. search: score the query against the centroids on the driver
+  *      (nlist ≪ corpus, microseconds), pick the `nprobe` nearest
+  *      clusters, and run the exact [[KnnSearch.topK]] over only those
+  *      partitions — directory-level pruning cuts the scan to
+  *      ~nprobe/nlist of the data, and within it the plan is the same
+  *      scan-bound TakeOrderedAndProject as the exact path.
+  *
+  * Recall is tunable via nprobe (measured on the synthetic test corpus:
+  * ≈0.86 at nprobe/nlist = 4/8, ≥0.95 at 6/8, 1.0 at 8/8 — see
+  * IvfIndexSpec; recall, not hashes, is the correctness criterion for
+  * approximate search, SURVEY §7.5. Real embedding corpora cluster far
+  * more strongly than this uniform synthetic data, so production
+  * nprobe/nlist ratios run much lower).
+  */
+final case class IvfIndex(
+    centroids: Array[Array[Float]],
+    assigned: DataFrame,
+    idCol: String,
+    vecCol: String) {
+
+  val nlist: Int = centroids.length
+
+  /** nearest-centroid ids for a query, driver-side (nlist is tiny) */
+  def probeOrder(query: Seq[Float]): Seq[Int] =
+    centroids.zipWithIndex
+      .map { case (c, i) =>
+        var s = 0.0
+        var j = 0
+        while (j < c.length) {
+          val d = c(j) - query(j); s += d * d; j += 1
+        }
+        (s, i)
+      }
+      .sortBy(_._1).map(_._2).toSeq
+
+  /** V5 approximate search: probe the `nprobe` nearest clusters, exact
+    * top-k inside them. */
+  def search(
+      query: Seq[Float],
+      k: Int,
+      nprobe: Int,
+      metric: KnnSearch.Metric = KnnSearch.L2,
+      tieBreak: Option[String] = None): DataFrame = {
+    val probes = probeOrder(query).take(math.max(1, nprobe))
+    KnnSearch.topK(
+      assigned.filter(col(IvfIndex.ClusterCol).isin(probes: _*)),
+      vecCol, query, k, metric, tieBreak)
+  }
+
+  /** Persist as a cluster-partitioned table: search then prunes whole
+    * directories, the same mechanism as the component corpus. */
+  def write(path: String): Unit =
+    assigned.write.mode(SaveMode.Overwrite)
+      .partitionBy(IvfIndex.ClusterCol).parquet(path)
+}
+
+object IvfIndex {
+  val ClusterCol = "__ivf_cluster"
+
+  /** V4: build the index — k-means (MLlib, seeded for reproducibility)
+    * then nearest-centroid assignment. One fit over a sample-friendly
+    * dataset; assignment is a narrow map. */
+  def build(
+      vecs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nlist: Int,
+      seed: Long = 42L): IvfIndex = {
+    require(!vecs.columns.contains(ClusterCol),
+      s"input already has a '$ClusterCol' column")
+    val featCol = "__ivf_features"
+    val feats = vecs.withColumn(featCol,
+      array_to_vector(col(vecCol).cast("array<double>")))
+    val model = new KMeans()
+      .setK(nlist).setSeed(seed)
+      .setFeaturesCol(featCol).setPredictionCol(ClusterCol)
+      .fit(feats)
+    val assigned = model.transform(feats).drop(featCol)
+    val centroids = model.clusterCenters
+      .map(_.toArray.map(_.toFloat))
+    IvfIndex(centroids, assigned, idCol, vecCol)
+  }
+
+  /** Reload a persisted index; centroids are recomputed as per-cluster
+    * means (cheap one-pass agg) so no sidecar file is needed. */
+  def load(spark: SparkSession, path: String, idCol: String,
+      vecCol: String): IvfIndex = {
+    val assigned = spark.read.parquet(path)
+    val dim = assigned.select(size(col(vecCol))).head().getInt(0)
+    val zeros = transform(sequence(lit(1), lit(dim)), _ => lit(0.0))
+    val cents = assigned
+      .groupBy(col(ClusterCol))
+      .agg(
+        count(lit(1)).as("n"),
+        aggregate(collect_list(col(vecCol)), zeros,
+          (acc, v) => zip_with(acc, v, (a, x) => a + x)).as("vsum"))
+    val byId = cents.collect()
+      .map { r =>
+        val n = r.getLong(1).toDouble
+        r.getInt(0) -> r.getSeq[Double](2).map(x => (x / n).toFloat).toArray
+      }
+      .toMap
+    val arr = (0 until byId.size).map(byId(_)).toArray
+    IvfIndex(arr, assigned, idCol, vecCol)
+  }
+}

@@ -1,0 +1,77 @@
+package graft.operators
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class IvfIndexSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.01"
+  private lazy val embeddings =
+    spark.read.parquet(s"$sfDir/embeddings.parquet").cache()
+
+  private lazy val index =
+    IvfIndex.build(embeddings, "vec_id", "embedding", nlist = 8)
+
+  private def queryVecs(n: Int): Seq[Seq[Float]] =
+    embeddings.orderBy("vec_id").limit(n)
+      .select("embedding").collect().map(_.getSeq[Float](0)).toSeq
+
+  private def exactTopK(q: Seq[Float], k: Int): Set[Long] =
+    KnnSearch.topK(embeddings, "embedding", q, k, KnnSearch.L2,
+        tieBreak = Some("vec_id"))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+
+  test("full-probe IVF search is exact (recall 1.0)") {
+    val q = queryVecs(1).head
+    val approx = index.search(q, 10, nprobe = index.nlist,
+      tieBreak = Some("vec_id"))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(approx == exactTopK(q, 10))
+  }
+
+  test("nprobe=6/8 reaches recall >= 0.95; recall grows with nprobe") {
+    val ks = 10
+    def meanRecall(nprobe: Int): Double = {
+      val rs = queryVecs(10).map { q =>
+        val exact = exactTopK(q, ks)
+        val approx = index.search(q, ks, nprobe = nprobe,
+          tieBreak = Some("vec_id"))
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        exact.intersect(approx).size.toDouble / ks
+      }
+      rs.sum / rs.size
+    }
+    val atHalf = meanRecall(index.nlist / 2)
+    val atThreeQ = meanRecall(6)
+    assert(atThreeQ >= 0.95, s"recall at nprobe=6: $atThreeQ")
+    assert(atThreeQ >= atHalf, "recall must be monotone in nprobe")
+  }
+
+  test("probe pruning cuts the scanned fraction") {
+    val q = queryVecs(1).head
+    val probes = index.probeOrder(q).take(2)
+    val scanned = index.assigned
+      .filter(col(IvfIndex.ClusterCol).isin(probes: _*)).count()
+    assert(scanned < embeddings.count(),
+      s"probing 2/8 clusters must scan a strict subset ($scanned)")
+  }
+
+  test("persisted index round-trips and still searches with high recall") {
+    val tmp = Files.createTempDirectory("graft-ivf-").toString
+    index.write(s"$tmp/ivf")
+    val loaded = IvfIndex.load(spark, s"$tmp/ivf", "vec_id", "embedding")
+    assert(loaded.nlist == index.nlist)
+    val q = queryVecs(1).head
+    val res = loaded.search(q, 10, nprobe = loaded.nlist,
+      tieBreak = Some("vec_id"))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(res == exactTopK(q, 10))
+    // pruned read carries PartitionFilters on the cluster dir column
+    val probes = loaded.probeOrder(q).take(2)
+    val plan = loaded.assigned
+      .filter(col(IvfIndex.ClusterCol).isin(probes: _*))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"))
+  }
+}
