@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
 import graft.operators.{IvfIndex, KnnSearch, NearDup, PostRetrieval, Rerank}
+import graft.plans.VectorExpressions
 import graft.sources.MarkdownIngest
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -35,9 +36,10 @@ object SparkEntry {
     * vector, prune, exact top-k by L2, join doc metadata shape. */
   def entry(spark: SparkSession): DataFrame = {
     val dir = "/root/testdata/sf0.001"
+    VectorExpressions.ensureRegistered(spark)
     val q = queryVec(spark, dir)
     KnnSearch.topK(t(spark, dir, "embeddings"), "embedding", q, 10,
-        KnnSearch.L2, tieBreak = Some("vec_id"))
+        KnnSearch.NativeL2, tieBreak = Some("vec_id"))
       .select(col("vec_id"), col("label"), round(col("dist"), 4).as("dist"))
   }
 
@@ -201,21 +203,23 @@ object SparkEntry {
       // J1/T1: exact L2 top-k against a deterministic query vector.
       // Round BEFORE the top-k sort: both engines then rank by identical
       // (rounded_dist, vec_id) keys — fully deterministic cross-engine.
+      VectorExpressions.ensureRegistered(s)
       val q = queryVec(s, dir)
       t(s, dir, "embeddings")
         .select(col("vec_id"),
-          round(l2Distance(col("embedding"), KnnSearch.litVec(q)), 4)
+          round(l2DistanceNative(col("embedding"), KnnSearch.litVec(q)), 4)
             .as("dist"))
         .orderBy(col("dist"), col("vec_id"))
         .limit(10)
     }),
 
     "q31_knn_cosine" -> ((s, dir) => {
+      VectorExpressions.ensureRegistered(s)
       val q = queryVec(s, dir)
       t(s, dir, "embeddings")
         .select(col("vec_id"),
-          round(cosineSimilarity(col("embedding"), KnnSearch.litVec(q)), 4)
-            .as("cos_sim"))
+          round(cosineSimilarityNative(col("embedding"), KnnSearch.litVec(q)),
+            4).as("cos_sim"))
         .orderBy(col("cos_sim").desc, col("vec_id"))
         .limit(10)
     }),
@@ -236,9 +240,11 @@ object SparkEntry {
       // per component; ranking on 4-dp-rounded dist for cross-engine
       // determinism (rankRoundDp). On a partitionBy(component_code) corpus
       // each leg is a pruned directory scan (asserted in CorpusStoreSpec).
+      VectorExpressions.ensureRegistered(s)
       val q = queryVec(s, dir)
       KnnSearch.searchComponents(t(s, dir, "embeddings"), "embedding",
           "label", q, Seq(1, 3, 5), rerank = false,
+          metric = KnnSearch.NativeL2,
           tieBreak = Some("vec_id"), rankRoundDp = Some(4))
         .select(col("label"), col("vec_id"), col("dist"))
         .orderBy(col("label"), col("dist"), col("vec_id"))
@@ -250,10 +256,12 @@ object SparkEntry {
       // there) — the driver records the weaker rows-only check; recall
       // vs the exact top-k is asserted in IvfIndexSpec instead
       // (SURVEY §7.5: approximate modes are graded on recall, not hash).
+      VectorExpressions.ensureRegistered(s)
       val q = queryVec(s, dir)
       val index = IvfIndex.build(t(s, dir, "embeddings"), "vec_id",
         "embedding", nlist = 8)
-      index.search(q, 10, nprobe = 6, tieBreak = Some("vec_id"))
+      index.search(q, 10, nprobe = 6, metric = KnnSearch.NativeL2,
+          tieBreak = Some("vec_id"))
         .select(col("vec_id"), round(col("dist"), 4).as("dist"))
         .orderBy(col("dist"), col("vec_id"))
     }),
@@ -335,8 +343,9 @@ object SparkEntry {
 
     "q44_cosine_pairs" -> ((s, dir) => {
       // Embedding near-dup: sign-bit LSH bucket join + cosine top-k.
+      VectorExpressions.ensureRegistered(s)
       NearDup.cosinePairs(t(s, dir, "embeddings"), "vec_id", "embedding",
-        bits = 8, k = 10)
+        bits = 8, k = 10, cosine = cosineSimilarityNative)
     }),
 
     "q45_simhash" -> ((s, dir) => {

@@ -58,6 +58,23 @@ object VectorFunctions {
       .otherwise(transform(a, x => d(x) / n))
   }
 
+  // ---- native codegen'd variants (graft.plans.VectorExpressions) ------
+  // Same semantics as the HOF forms above, one fused Java loop per row —
+  // use on hot scan paths. The session must have the functions registered
+  // (VectorExpressions.ensureRegistered(spark) or GraftExtensions).
+
+  def l2DistanceNative(a: Column, b: Column): Column =
+    sqrt(call_function("graft_l2sq", a, b))
+
+  def l2SquaredNative(a: Column, b: Column): Column =
+    call_function("graft_l2sq", a, b)
+
+  def dotProductNative(a: Column, b: Column): Column =
+    call_function("graft_dot", a, b)
+
+  def cosineSimilarityNative(a: Column, b: Column): Column =
+    call_function("graft_cos", a, b)
+
   /** Sparse (map<int,float>) dot product — the reference's lexical-weight
     * fusion term (bge.py:178,222). Iterates `a`'s entries and probes `b`;
     * pass the smaller map as `a` for fewer probes. */

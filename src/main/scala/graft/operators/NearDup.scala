@@ -104,15 +104,16 @@ object NearDup {
       vecCol: String,
       bits: Int = 8,
       k: Int = 10,
-      roundDp: Int = 4): DataFrame = {
+      roundDp: Int = 4,
+      cosine: (Column, Column) => Column = cosineSimilarity(_, _))
+      : DataFrame = {
     val b = vecs.select(col(idCol).as("id"), col(vecCol).as("v"),
       signBucket(col(vecCol), bits).as("bucket"))
     b.as("a")
       .join(b.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
-        round(cosineSimilarity(col("a.v"), col("b.v")), roundDp)
-          .as("cos_sim"))
+        round(cosine(col("a.v"), col("b.v")), roundDp).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("a_id"), col("b_id"))
       .limit(k)
   }

@@ -1,0 +1,170 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native Catalyst expressions for the vector-distance hot path —
+  * SURVEY.md §4 "custom Catalyst work actually required" item 1.
+  *
+  * The higher-order-function forms in
+  * [[graft.functions.VectorFunctions]] allocate an intermediate array per
+  * row (`zip_with`) and evaluate a lambda per element. These expressions
+  * generate a tight fused Java loop instead (`doGenCode`) — no
+  * allocation, no virtual calls — which matters when a KNN query scans
+  * every embedding of a 100 TB corpus. Interpreted `eval` is also
+  * provided so the expressions work wherever codegen is disabled.
+  *
+  * Semantics match the HOF forms bit-for-bit: accumulate in Double in
+  * element order (oracle reproducibility, SURVEY §7.5); null array or
+  * null element or length mismatch → null.
+  *
+  * Registered as SQL functions `graft_l2sq` / `graft_dot` / `graft_cos`
+  * via [[VectorExpressions.ensureRegistered]] (imperative, any session)
+  * or [[GraftExtensions]] (`spark.sql.extensions`, the declarative
+  * route).
+  */
+abstract class VectorFoldExpression extends BinaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  /** loop body: given a/b/i, update accumulator state decls */
+  protected def stateDecl: String
+  protected def loopBody(a: String, b: String): String
+  protected def resultExpr: String
+
+  protected def evalVectors(x: ArrayData, y: ArrayData): Any
+
+  protected override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) null
+    else {
+      var i = 0
+      val n = x.numElements()
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        i += 1
+      }
+      evalVectors(x, y)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |int n$$ = $a.numElements();
+         |if (n$$ != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  $stateDecl
+         |  boolean anyNull$$ = false;
+         |  for (int i$$ = 0; i$$ < n$$; i$$++) {
+         |    if ($a.isNullAt(i$$) || $b.isNullAt(i$$)) {
+         |      anyNull$$ = true; break;
+         |    }
+         |    ${loopBody(a, b)}
+         |  }
+         |  if (anyNull$$) { ${ev.isNull} = true; }
+         |  else { ${ev.value} = $resultExpr; }
+         |}
+       """.stripMargin
+    })
+}
+
+/** Squared L2 distance over two float arrays (monotone in L2 — rank by
+  * either). SQL name: `graft_l2sq`. */
+case class L2SquaredDistance(left: Expression, right: Expression)
+    extends VectorFoldExpression {
+  override def prettyName: String = "graft_l2sq"
+  protected def stateDecl: String = "double s$ = 0.0;"
+  protected def loopBody(a: String, b: String): String =
+    s"double d$$ = (double)$a.getFloat(i$$) - (double)$b.getFloat(i$$); " +
+      "s$ += d$ * d$;"
+  protected def resultExpr: String = "s$"
+  protected def evalVectors(x: ArrayData, y: ArrayData): Any = {
+    var s = 0.0; var i = 0; val n = x.numElements()
+    while (i < n) {
+      val d = x.getFloat(i).toDouble - y.getFloat(i).toDouble
+      s += d * d; i += 1
+    }
+    s
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Dot product over two float arrays. SQL name: `graft_dot`. */
+case class DotProduct(left: Expression, right: Expression)
+    extends VectorFoldExpression {
+  override def prettyName: String = "graft_dot"
+  protected def stateDecl: String = "double s$ = 0.0;"
+  protected def loopBody(a: String, b: String): String =
+    s"s$$ += (double)$a.getFloat(i$$) * (double)$b.getFloat(i$$);"
+  protected def resultExpr: String = "s$"
+  protected def evalVectors(x: ArrayData, y: ArrayData): Any = {
+    var s = 0.0; var i = 0; val n = x.numElements()
+    while (i < n) {
+      s += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1
+    }
+    s
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Cosine similarity in one fused pass (dot + both norms in a single
+  * loop — the composed HOF form scans the arrays three times). All-zero
+  * vector → 0.0, matching
+  * [[graft.functions.VectorFunctions.cosineSimilarity]]. SQL name:
+  * `graft_cos`. */
+case class CosineSimilarityExpr(left: Expression, right: Expression)
+    extends VectorFoldExpression {
+  override def prettyName: String = "graft_cos"
+  protected def stateDecl: String =
+    "double dot$ = 0.0; double na$ = 0.0; double nb$ = 0.0;"
+  protected def loopBody(a: String, b: String): String =
+    s"""double xa$$ = (double)$a.getFloat(i$$);
+       |double xb$$ = (double)$b.getFloat(i$$);
+       |dot$$ += xa$$ * xb$$; na$$ += xa$$ * xa$$; nb$$ += xb$$ * xb$$;
+     """.stripMargin
+  protected def resultExpr: String =
+    "(na$ == 0.0 || nb$ == 0.0) ? 0.0 " +
+      ": (dot$ / (java.lang.Math.sqrt(na$) * java.lang.Math.sqrt(nb$)))"
+  protected def evalVectors(x: ArrayData, y: ArrayData): Any = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0; val n = x.numElements()
+    while (i < n) {
+      val xa = x.getFloat(i).toDouble; val xb = y.getFloat(i).toDouble
+      dot += xa * xb; na += xa * xa; nb += xb * xb; i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0
+    else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorExpressions {
+  val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    ("graft_l2sq", es => L2SquaredDistance(es(0), es(1))),
+    ("graft_dot", es => DotProduct(es(0), es(1))),
+    ("graft_cos", es => CosineSimilarityExpr(es(0), es(1))))
+
+  /** Idempotently register the native functions on a session — works on
+    * any session, including one the external driver built without
+    * `spark.sql.extensions`. */
+  def ensureRegistered(spark: SparkSession): Unit =
+    functions.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+}
