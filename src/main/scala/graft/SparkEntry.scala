@@ -81,6 +81,63 @@ object SparkEntry {
           .as("revenue"))
     }),
 
+    "q03_quality_score" -> ((s, dir) => {
+      // Text-quality scoring (north-star): composite score + its three
+      // component ratios. Pure codegen'd column math — scan-only.
+      val sw = Seq("the", "a", "of", "and", "value", "table")
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          qualityScore(col("text"), sw).as("quality"),
+          round(stopwordRatio(col("text"), sw), 6).as("sw_ratio"),
+          round(punctRatio(col("text")), 6).as("punct_ratio"),
+          round(avgTokenLength(col("text")), 6).as("avg_token_len"))
+        .orderBy(col("doc_id"))
+        .limit(20)
+    }),
+
+    "q04_langid" -> ((s, dir) => {
+      // Language-ID heuristic: argmax over marker-word scores (ties to the
+      // lexicographically largest language, mirrored in the oracle CASE).
+      val profiles = Seq(
+        "en" -> Seq("the", "a", "fast", "slow"),
+        "es" -> Seq("data", "row", "part"),
+        "zh" -> Seq("spark", "window", "stream"))
+      t(s, dir, "documents")
+        .select(langIdHeuristic(col("text"), profiles).as("predicted"))
+        .groupBy(col("predicted"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("predicted"))
+    }),
+
+    "q05_events_window" -> ((s, dir) => {
+      // Tumbling 1-day event-time window agg — the batch shape of the
+      // Structured Streaming slice (see graft.streaming). One shuffle on
+      // (window, type) after map-side partial agg.
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 2).as("sum_value"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n"), col("sum_value"))
+        .orderBy(col("window_start"), col("event_type"))
+    }),
+
+    "q07_sessionize" -> ((s, dir) => {
+      // Sessionization: 30-min-gap session breaks via lag window, then
+      // per-user session counts. Shuffle keyed on user_id only.
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("is_new",
+          when(col("prev_ts").isNull ||
+            unix_micros(col("ts")) - unix_micros(col("prev_ts"))
+              > 30L * 60 * 1000000, 1L).otherwise(0L))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"), sum(col("is_new")).as("n_sessions"))
+        .orderBy(col("user_id"))
+    }),
+
     "q06_topk_orders" -> ((s, dir) => {
       // T1 top-k: orderBy+limit → TakeOrderedAndProject (per-partition
       // heap, no full sort, no shuffle). Sort on the rounded value so the
@@ -117,6 +174,20 @@ object SparkEntry {
     }),
 
     // --- Post-retrieval block (SURVEY §2.4 A3/A5, §2.7 X1/X2, §2.3 J3) ---
+    "q11_component_dim" -> ((s, dir) => {
+      // J2: component dimension lookup as a broadcast hash join against
+      // the tiny name->code table; unmapped codes fall to 'default'
+      // (doc_embedder.py:105). The dim side is bytes — broadcast, no
+      // shuffle of the fact table.
+      val dim = graft.sources.CorpusStore.componentDim(s)
+      t(s, dir, "embeddings")
+        .join(broadcast(dim), col("label") === col("component_code"), "left")
+        .select(coalesce(col("component"), lit("default")).as("component"))
+        .groupBy(col("component"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("component"))
+    }),
+
     "q12_ref_numbering" -> ((s, dir) => {
       // A5: URL dedup with stable first-seen numbering — groupBy(url) +
       // min(order), then row_number over first_seen. The global window
@@ -307,6 +378,28 @@ object SparkEntry {
         .orderBy(col("source"), col("chunk_idx"))
     }),
 
+    "q24_json_codec" -> ((s, dir) => {
+      // X5: from_json decode of the props payload + to_json re-encode of a
+      // typed struct — schema-on-read both ways, per-row, codegen'd.
+      val k = from_json(col("props"), lit("k INT")).getField("k")
+      t(s, dir, "events")
+        .select(col("event_id"), k.as("k"),
+          md5(to_json(struct(col("event_type"), k.as("k")))).as("json_md5"))
+        .orderBy(col("event_id"))
+        .limit(200)
+    }),
+
+    "q25_props_agg" -> ((s, dir) => {
+      // X5 + A2: aggregate over a JSON-decoded field.
+      val k = from_json(col("props"), lit("k INT")).getField("k")
+      t(s, dir, "events")
+        .select(col("event_type"), k.as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(avg(col("k")), 4).as("avg_k"),
+          max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))
+    }),
+
     "q23_setext" -> ((s, dir) => {
       // S5/X3: synthesize setext-headed markdown per doc, normalize to ATX
       // with the engine's normalizeSetext, fingerprint the result. Pure
@@ -403,6 +496,94 @@ object SparkEntry {
            AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
            AND l_discount BETWEEN 0.05 AND 0.07
            AND l_quantity < 24""",
+
+    "q03_quality_score" ->
+      """WITH tk AS (
+           SELECT doc_id, text,
+             list_filter(string_split_regex(lower(text), '\s+'),
+               t -> len(t) > 0) AS ts
+           FROM documents),
+         comp AS (
+           SELECT doc_id, text, ts,
+             least(len(text) / 500.0, 1.0) AS len_score,
+             CASE WHEN len(text) = 0 THEN 0.0
+               ELSE len(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))::DOUBLE
+                 / len(text) END AS praw,
+             CASE WHEN len(ts) = 0 THEN 0.0
+               ELSE len(list_filter(ts, t -> list_contains(
+                 ['the','a','of','and','value','table'], t)))::DOUBLE
+                 / len(ts) END AS swraw,
+             CASE WHEN len(ts) = 0 THEN 0.0
+               ELSE list_sum(list_transform(ts, t -> len(t)))::DOUBLE
+                 / len(ts) END AS atl
+           FROM tk)
+         SELECT doc_id,
+           round(len_score * 0.4 + (1.0 - least(praw * 4.0, 1.0)) * 0.3
+             + (1.0 - abs(swraw - 0.4)) * 0.3, 6) AS quality,
+           round(swraw, 6) AS sw_ratio,
+           round(praw, 6) AS punct_ratio,
+           round(atl, 6) AS avg_token_len
+         FROM comp ORDER BY doc_id LIMIT 20""",
+
+    "q04_langid" ->
+      """WITH tk AS (
+           SELECT doc_id, list_filter(string_split_regex(lower(text),
+             '\s+'), t -> len(t) > 0) AS ts
+           FROM documents),
+         scores AS (
+           SELECT doc_id,
+             len(list_filter(ts, t -> list_contains(
+               ['the','a','fast','slow'], t))) AS s_en,
+             len(list_filter(ts, t -> list_contains(
+               ['data','row','part'], t))) AS s_es,
+             len(list_filter(ts, t -> list_contains(
+               ['spark','window','stream'], t))) AS s_zh
+           FROM tk),
+         pred AS (
+           SELECT doc_id,
+             CASE WHEN s_zh = greatest(s_en, s_es, s_zh) THEN 'zh'
+                  WHEN s_es = greatest(s_en, s_es) THEN 'es'
+                  ELSE 'en' END AS predicted
+           FROM scores)
+         SELECT predicted, count(*) AS n FROM pred
+         GROUP BY predicted ORDER BY predicted""",
+
+    "q05_events_window" ->
+      """SELECT date_trunc('day', ts)::TIMESTAMP AS window_start,
+           event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""",
+
+    "q07_sessionize" ->
+      """WITH g AS (
+           SELECT user_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                       > 30 * 60 * 1000000
+                  THEN 1 ELSE 0 END AS is_new
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         SELECT user_id, count(*) AS n_events, sum(is_new) AS n_sessions
+         FROM g GROUP BY user_id ORDER BY user_id""",
+
+    "q11_component_dim" ->
+      """SELECT CASE label
+           WHEN 1 THEN 'observer' WHEN 2 THEN 'ocp' WHEN 3 THEN 'oms'
+           WHEN 4 THEN 'obd' WHEN 5 THEN 'operator' WHEN 6 THEN 'odp'
+           WHEN 7 THEN 'obproxy' ELSE 'default' END AS component,
+           count(*) AS n
+         FROM embeddings GROUP BY 1 ORDER BY component""",
+
+    "q24_json_codec" ->
+      """SELECT event_id, json_extract(props, '$.k')::INT AS k,
+           md5('{"event_type":"' || event_type || '","k":' ||
+             json_extract(props, '$.k') || '}') AS json_md5
+         FROM events ORDER BY event_id LIMIT 200""",
+
+    "q25_props_agg" ->
+      """SELECT event_type, count(*) AS n,
+           round(avg(json_extract(props, '$.k')::INT), 4) AS avg_k,
+           max(json_extract(props, '$.k')::INT) AS max_k
+         FROM events GROUP BY event_type ORDER BY event_type""",
 
     "q06_topk_orders" ->
       """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
