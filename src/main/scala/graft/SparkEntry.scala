@@ -230,6 +230,44 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("cited_ref"))
     }),
 
+    "q15_components" -> ((s, dir) => {
+      // F5: component validation — order-preserving first-occurrence
+      // dedup, supported-set filter, force-append default when absent.
+      val req = array(col("lang"), lit("bogus"), col("lang"), lit("en"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.ChatFunctions.validateComponents(req,
+            Seq("en", "zh", "es", "fr", "de"), "en").as("components"))
+        .orderBy(col("doc_id"))
+        .limit(100)
+    }),
+
+    "q16_history" -> ((s, dir) => {
+      // F4/F6: chat-history shaping — per-user ordered message list,
+      // last-10 truncation, user-role filter + newline join. Events stand
+      // in for chat turns (click/view = user, rest = assistant).
+      import graft.functions.ChatFunctions
+      val role = when(col("event_type").isin("click", "view"), "user")
+        .otherwise("assistant")
+      val msgs = t(s, dir, "events")
+        .select(col("user_id"),
+          struct(col("event_id").as("i"), role.as("role"),
+            concat(col("event_type"), lit(" "), col("event_id"))
+              .as("content")).as("m"))
+        .groupBy(col("user_id"))
+        .agg(array_sort(collect_list(col("m"))).as("messages"),
+          count(lit(1)).as("n_messages"))
+      msgs.select(col("user_id"),
+          md5(array_join(
+            transform(
+              filter(ChatFunctions.truncateHistory(col("messages"), 10),
+                m => m.getField("role") === "user"),
+              m => m.getField("content")),
+            "\n")).as("history_md5"),
+          col("n_messages"))
+        .orderBy(col("user_id"))
+    }),
+
     "q21_url_rewrite" -> ((s, dir) => {
       // X1: ordered regex rewrite chain (foldLeft of regexp_replace).
       val rules = Seq(
@@ -661,6 +699,49 @@ object SparkEntry {
          SELECT doc_id, cited_ref, url
          FROM cited JOIN refs ON cited_ref = ref_id
          ORDER BY doc_id, cited_ref""",
+
+    "q15_components" ->
+      """WITH r AS (
+           SELECT doc_id, [lang, 'bogus', lang, 'en'] AS l FROM documents),
+         d AS (
+           SELECT doc_id, list_transform(
+             list_filter(range(1, len(l) + 1),
+               i -> list_position(l, l[i]) = i),
+             i -> l[i]) AS dd
+           FROM r),
+         k AS (
+           SELECT doc_id, list_filter(dd,
+             x -> list_contains(['en','zh','es','fr','de'], x)) AS kept
+           FROM d)
+         SELECT doc_id,
+           CASE WHEN list_contains(kept, 'en') THEN kept
+                ELSE list_append(kept, 'en') END AS components
+         FROM k ORDER BY doc_id LIMIT 100""",
+
+    "q16_history" ->
+      """WITH m AS (
+           SELECT user_id, event_id,
+             CASE WHEN event_type IN ('click', 'view') THEN 'user'
+                  ELSE 'assistant' END AS role,
+             event_type || ' ' || event_id AS content
+           FROM events),
+         agg AS (
+           SELECT user_id,
+             list(struct_pack(role := role, content := content)
+               ORDER BY event_id) AS msgs,
+             count(*) AS n_messages
+           FROM m GROUP BY user_id),
+         tr AS (
+           SELECT user_id, n_messages,
+             CASE WHEN len(msgs) <= 10 THEN msgs
+                  ELSE msgs[len(msgs) - 9 : len(msgs)] END AS t
+           FROM agg)
+         SELECT user_id,
+           md5(array_to_string(list_transform(
+             list_filter(t, x -> x.role = 'user'), x -> x.content),
+             chr(10))) AS history_md5,
+           n_messages
+         FROM tr ORDER BY user_id""",
 
     "q21_url_rewrite" ->
       """SELECT doc_id,

@@ -1,0 +1,73 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.SparkSpec
+import EventStreams.{Event, SessionSummary}
+
+class EventStreamsSpec extends SparkSpec {
+
+  private def ts(min: Long): Timestamp =
+    new Timestamp(1704067200000L + min * 60000) // 2024-01-01 00:00 UTC + min
+
+  test("windowedCounts over a MemoryStream emits per-window aggregates") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val query = EventStreams.windowedCounts(input.toDF(), "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      input.addData(
+        Event(1, ts(5), 1, "click", 1.0),
+        Event(2, ts(10), 2, "click", 2.0),
+        Event(3, ts(70), 1, "view", 3.0))
+      query.processAllAvailable()
+      input.addData(Event(4, ts(80), 2, "view", 4.0))
+      query.processAllAvailable()
+      val rows = spark.table("win_counts")
+        .orderBy("window_start", "event_type")
+        .collect().map(r => (r.getTimestamp(0).getTime / 60000 % 1440,
+          r.getString(1), r.getLong(2), r.getDouble(3)))
+      assert(rows.toSeq == Seq(
+        (0L, "click", 2L, 3.0),   // window [00:00, 01:00)
+        (60L, "view", 2L, 7.0)))  // window [01:00, 02:00)
+    } finally query.stop()
+  }
+
+  test("sessionize accumulates per-user session state across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val query = EventStreams.sessionize(input.toDS())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      // batch 1: user 1 -> 2 events in one session
+      input.addData(
+        Event(1, ts(0), 1, "click", 0), Event(2, ts(5), 1, "view", 0))
+      query.processAllAvailable()
+      // batch 2: user 1 returns after a 40-min gap -> second session;
+      // user 2 appears -> first session
+      input.addData(
+        Event(3, ts(45), 1, "click", 0), Event(4, ts(46), 2, "view", 0))
+      query.processAllAvailable()
+      val last = spark.table("sessions").as[SessionSummary]
+        .collect().groupBy(_.user_id)
+        .map { case (u, rows) => u -> rows.maxBy(_.n_events) }
+      assert(last(1L) == SessionSummary(1, 3, 2))
+      assert(last(2L) == SessionSummary(2, 1, 1))
+    } finally query.stop()
+  }
+
+  test("the same windowedCounts transform runs in batch (unified API)") {
+    import spark.implicits._
+    val batch = Seq(
+      Event(1, ts(5), 1, "click", 1.0),
+      Event(2, ts(70), 1, "click", 2.0)).toDF()
+    val out = EventStreams.windowedCounts(batch, "1 hour", "10 minutes")
+      .orderBy("window_start").collect()
+    assert(out.length == 2 && out.forall(_.getLong(2) == 1L))
+  }
+}
