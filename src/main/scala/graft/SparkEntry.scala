@@ -359,6 +359,33 @@ object SparkEntry {
         .orderBy(col("label"), col("dist"), col("vec_id"))
     }),
 
+    "q35_hybrid" -> ((s, dir) => {
+      // V3 + T3 fusion: three-mode hybrid score with the reference's
+      // weights (dense 0.3 / sparse 0.2 / colbert 0.5, bge.py:29-32) —
+      // dense = char-4-shingle jaccard, sparse = tf-map sparseDot against
+      // literal query weights, colbert stand-in = query-token coverage.
+      // All portable math; ranking on the rounded score.
+      val qText = "spark query join table window agg"
+      val qTokens = qText.split(" ").toSeq
+      val qWeights = Seq("spark" -> 2.0, "query" -> 1.5, "join" -> 1.0,
+        "table" -> 1.0, "window" -> 0.5, "agg" -> 0.5)
+      val qMap = map(qWeights.flatMap { case (k, v) =>
+        Seq(lit(k), lit(v)) }: _*)
+      val ts = tokens(lower(col("text")))
+      val tf = map_from_entries(transform(array_distinct(ts),
+        tk => struct(tk, size(filter(ts, x => x === tk)).cast("double"))))
+      val dense = jaccard(charShingles(col("text"), 4),
+        charShingles(lit(qText), 4))
+      val sparse = sparseDot(tf, qMap)
+      val colbert = size(array_intersect(array_distinct(ts),
+        array(qTokens.map(lit): _*))).cast("double") / qTokens.size
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          round(Rerank.fuse(dense, sparse, colbert), 4).as("hybrid_score"))
+        .orderBy(col("hybrid_score").desc, col("doc_id"))
+        .limit(10)
+    }),
+
     "q36_ivf_knn" -> ((s, dir) => {
       // V4/V5 approximate path: IVF (k-means nlist=8) + nprobe=6 probe +
       // exact re-score. No DuckDB oracle (k-means isn't reproducible
@@ -829,6 +856,45 @@ object SparkEntry {
            '(?m)^(.+)\n=+[ \t]*$', '# \1', 'g'),
            '(?m)^(.+)\n-+[ \t]*$', '## \1', 'g')) AS norm_md5
          FROM documents ORDER BY doc_id""",
+
+    "q35_hybrid" ->
+      """WITH tk AS (
+           SELECT doc_id, text,
+             list_filter(string_split_regex(lower(text), '\s+'),
+               t -> len(t) > 0) AS ts,
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+           FROM documents),
+         qsh AS (
+           SELECT list_distinct(list_transform(
+             range(1, len(q) - 2),
+             i -> q[i : i + 3])) AS qs
+           FROM (SELECT 'spark query join table window agg' AS q)),
+         scored AS (
+           SELECT doc_id,
+             CASE WHEN len(list_distinct(list_concat(ds.dsh, qsh.qs))) = 0
+               THEN 0.0
+               ELSE len(list_filter(ds.dsh,
+                 x -> list_contains(qsh.qs, x)))::DOUBLE
+                 / len(list_distinct(list_concat(ds.dsh, qsh.qs))) END
+               AS dense,
+             coalesce(list_sum(list_transform(ds.ts, t ->
+               CASE t WHEN 'spark' THEN 2.0 WHEN 'query' THEN 1.5
+                      WHEN 'join' THEN 1.0 WHEN 'table' THEN 1.0
+                      WHEN 'window' THEN 0.5 WHEN 'agg' THEN 0.5
+                      ELSE 0.0 END)), 0.0) AS sparse,
+             len(list_filter(['spark','query','join','table','window','agg'],
+               q -> list_contains(ds.ts, q)))::DOUBLE / 6 AS colbert
+           FROM (
+             SELECT doc_id, ts,
+               list_distinct(list_transform(
+                 range(1, greatest(len(norm) - 3, 0) + 1),
+                 i -> norm[i : i + 3])) AS dsh
+             FROM tk) ds, qsh)
+         SELECT doc_id,
+           round(dense * 0.3 + sparse * 0.2 + colbert * 0.5, 4)
+             AS hybrid_score
+         FROM scored
+         ORDER BY hybrid_score DESC, doc_id LIMIT 10""",
 
     "q40_dedup_exact" ->
       """SELECT source, count(*) AS n_docs,

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.functions.VectorFunctions._
+import graft.operators.KnnSearch
+import graft.sources.MarkdownIngest
+
+/** Property-based invariants (SURVEY §5 item 3). Uses raw ScalaCheck Gen
+  * with seeded sampling (the scalatest bridge artifact isn't in the
+  * offline cache) — deterministic across runs. */
+class PropertySpec extends SparkSpec {
+
+  private val vecGen: Gen[Seq[Float]] =
+    Gen.listOfN(16, Gen.chooseNum(-10.0f, 10.0f)).map(_.toSeq)
+
+  /** deterministic samples from a generator */
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  test("distance properties: non-negativity, identity, symmetry") {
+    import spark.implicits._
+    val pairs = samples(Gen.zip(vecGen, vecGen), 40)
+    val rows = pairs.toDF("a", "b")
+      .select(
+        l2Distance(col("a"), col("b")).as("ab"),
+        l2Distance(col("b"), col("a")).as("ba"),
+        l2Distance(col("a"), col("a")).as("aa"),
+        cosineSimilarity(col("a"), col("b")).as("cos"))
+      .collect()
+    rows.foreach { row =>
+      assert(row.getDouble(0) >= 0.0)
+      assert(row.getDouble(0) == row.getDouble(1)) // symmetric
+      assert(row.getDouble(2) == 0.0)              // d(a,a) = 0
+      assert(row.getDouble(3) >= -1.0000001 && row.getDouble(3) <= 1.0000001)
+    }
+  }
+
+  test("top-k is a prefix of the full sort") {
+    import spark.implicits._
+    val cases = samples(
+      Gen.zip(Gen.listOfN(30, vecGen), vecGen, Gen.choose(1, 10)), 8)
+    cases.foreach { case (vs, q, k) =>
+      val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("vec_id", "embedding")
+      val top = KnnSearch.topK(df, "embedding", q, k, KnnSearch.L2,
+        tieBreak = Some("vec_id"))
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+      val full = df
+        .withColumn("d", l2Distance(col("embedding"), KnnSearch.litVec(q)))
+        .orderBy(col("d"), col("vec_id"))
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+      assert(top == full.take(math.min(k, vs.size)))
+    }
+  }
+
+  test("chunker: sub-chunk concat reconstructs the body (oversize split)") {
+    val bodyGen = Gen.chooseNum(1, 3000).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaNumChar).map(_.mkString))
+    samples(Gen.zip(bodyGen, Gen.choose(16, 512)), 60).foreach {
+      case (body, max) =>
+        val chunks = MarkdownIngest.chunkMarkdown("/t.md", s"# T\n$body", max)
+        assert(chunks.map(_.text).mkString == body.trim)
+        assert(chunks.forall(_.text.length <= max))
+    }
+  }
+
+  test("adaptive k formula matches the reference bounds") {
+    (0 to 20).foreach { n =>
+      val k = KnnSearch.adaptiveK(n, rerank = false)
+      assert(k >= 3 && k <= 13)
+      assert(KnnSearch.adaptiveK(n, rerank = true) == 10)
+    }
+  }
+
+  test("shingle guards: short/empty/null inputs yield empty arrays") {
+    import spark.implicits._
+    import graft.functions.TextFunctions._
+    val df = Seq("", "one", "one two", "a b c d").toDF("t")
+    val sizes = df.select(
+      size(wordShingles(col("t"), 3)), size(charShingles(col("t"), 10)))
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+    assert(sizes(0) == ((0, 0)))
+    assert(sizes(1) == ((0, 0)))
+    assert(sizes(2)._1 == 0)
+    assert(sizes(3)._1 == 2) // "a b c", "b c d"
+    val nullRow = Seq(Tuple1(Option.empty[String])).toDF("t")
+      .select(size(wordShingles(col("t"), 3)), size(charShingles(col("t"), 3)))
+      .head()
+    assert(nullRow.getInt(0) == 0 && nullRow.getInt(1) == 0)
+  }
+}
