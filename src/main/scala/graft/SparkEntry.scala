@@ -372,8 +372,14 @@ object SparkEntry {
       val qMap = map(qWeights.flatMap { case (k, v) =>
         Seq(lit(k), lit(v)) }: _*)
       val ts = tokens(lower(col("text")))
-      val tf = map_from_entries(transform(array_distinct(ts),
-        tk => struct(tk, size(filter(ts, x => x === tk)).cast("double"))))
+      // tf restricted to the query's keys: sparseDot only probes qMap's
+      // keys, so counting the other tokens is wasted work — and a
+      // full-vocabulary tf via transform(distinct, filter-count) is
+      // O(distinct × tokens) per row.
+      val qKeys = array(qWeights.map(kv => lit(kv._1)): _*)
+      val tf = map_from_arrays(qKeys,
+        transform(qKeys,
+          k => size(filter(ts, x => x === k)).cast("double")))
       val dense = jaccard(charShingles(col("text"), 4),
         charShingles(lit(qText), 4))
       val sparse = sparseDot(tf, qMap)

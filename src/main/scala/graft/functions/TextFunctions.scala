@@ -59,16 +59,33 @@ object TextFunctions {
     substring(md5(regexp_replace(lower(trim(text)), "\\s+", " ")), 1, 16)
 
   /** Word n-gram shingles as an array of strings (distinct). Docs with
-    * fewer than n tokens yield an empty array (guarded: `sequence(1, 0)`
-    * would otherwise produce the DESCENDING sequence [1, 0] and a
-    * negative-start `slice` error). */
+    * fewer than n tokens yield an empty array.
+    *
+    * Implementation note: built as a zip_with chain over n shifted
+    * slices, NOT `transform(sequence(...), i => slice(ts, i, n))`. A
+    * lambda body that references the token array re-evaluates it (split +
+    * filter) PER ELEMENT in interpreted HOF execution — O(tokens²) per
+    * row, measured as a 100× slowdown on the near-dup bench. Slices are
+    * lambda INPUTS here, so tokenization runs n times per row, not
+    * shingles× times. */
   def wordShingles(text: Column, n: Int): Column = {
     val ts = tokens(lower(text))
-    val count = size(ts) - (n - 1)
-    when(text.isNull || count <= 0, array().cast("array<string>")).otherwise(
-      array_distinct(
-        transform(sequence(lit(1), greatest(count, lit(1))),
-          i => concat_ws(" ", slice(ts, i, lit(n))))))
+    shingleChain(ts, size(ts) - (n - 1), n, " ", text.isNull)
+  }
+
+  /** `count` is passed explicitly: `split(s, "")` yields a trailing empty
+    * element (Spark splits with limit -1), so char counts must come from
+    * `length`, not `size`. */
+  private[functions] def shingleChain(
+      elems: Column, count: Column, n: Int, sep: String,
+      inputNull: Column): Column = {
+    val first = slice(elems, lit(1), count)
+    val chained = (1 until n).foldLeft(first) { (acc, k) =>
+      zip_with(acc, slice(elems, lit(k + 1), count),
+        (a, b) => concat(a, lit(sep), b))
+    }
+    when(inputNull || count <= 0, array().cast("array<string>"))
+      .otherwise(array_distinct(chained))
   }
 
   /** Jaccard similarity of two shingle arrays (both assumed distinct). */
@@ -79,15 +96,14 @@ object TextFunctions {
   }
 
   /** Character n-gram shingles over normalized text (distinct). Text
-    * shorter than n chars yields an empty array (same descending-sequence
-    * guard as [[wordShingles]]). */
+    * shorter than n chars yields an empty array. Same zip_with-chain
+    * construction as [[wordShingles]] (the naive
+    * `transform(sequence, i => substring(norm, i, n))` re-runs the
+    * normalization regex per character position). */
   def charShingles(text: Column, n: Int): Column = {
     val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
-    val count = length(norm) - (n - 1)
-    when(text.isNull || count <= 0, array().cast("array<string>")).otherwise(
-      array_distinct(
-        transform(sequence(lit(1), greatest(count, lit(1))),
-          i => substring(norm, i, lit(n)))))
+    shingleChain(split(norm, ""), length(norm) - (n - 1), n, "",
+      text.isNull)
   }
 
   /** SimHash document fingerprint over distinct tokens: bit p of the
@@ -99,14 +115,19 @@ object TextFunctions {
     * reproduces it bit-for-bit. `bits` ≤ 32 (md5 hex length). */
   def simHash(text: Column, bits: Int = 32): Column = {
     require(bits >= 1 && bits <= 32, s"bits=$bits out of md5-hex range")
-    val ts = array_distinct(tokens(lower(text)))
+    // One fold over the token md5s accumulating all `bits` signed counts
+    // at once. The naive transform-over-positions form re-evaluates the
+    // token array (tokenize + md5 every token) per bit position — bits×
+    // the work per row.
+    val md5s = transform(array_distinct(tokens(lower(text))), t => md5(t))
+    val zeros = transform(sequence(lit(1), lit(bits)), _ => lit(0))
+    val counts = aggregate(md5s, zeros, (acc, h) =>
+      zip_with(acc,
+        transform(sequence(lit(1), lit(bits)),
+          p => (conv(h.substr(p, lit(1)), 16, 10).cast("int") % 2) * 2 - 1),
+        (a, d) => a + d))
     array_join(
-      transform(sequence(lit(1), lit(bits)), p =>
-        when(
-          aggregate(ts, lit(0), (s, t) =>
-            s + (conv(md5(t).substr(p, lit(1)), 16, 10).cast("int") % 2)
-              * 2 - 1) > 0,
-          lit("1")).otherwise(lit("0"))), "")
+      transform(counts, c => when(c > 0, lit("1")).otherwise(lit("0"))), "")
   }
 
   /** Language-ID heuristic: score text against per-language marker-word

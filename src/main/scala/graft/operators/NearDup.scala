@@ -26,7 +26,11 @@ import graft.functions.VectorFunctions.cosineSimilarity
 object NearDup {
 
   /** MinHash signature: element i is the minimum md5 of `i|shingle` over
-    * the doc's shingles — one independent permutation per salt i. */
+    * the doc's shingles — one independent permutation per salt i.
+    * Column form for per-row use; [[minhashPairs]] computes the same
+    * signature relationally (explode + min agg), which scales better —
+    * nested HOF lambdas referencing the shingle array re-evaluate it per
+    * element when interpreted. */
   def minhashSignature(shingles: Column, numHashes: Int): Column =
     transform(sequence(lit(0), lit(numHashes - 1)),
       i => array_min(transform(shingles,
@@ -50,7 +54,9 @@ object NearDup {
     * the pair `distinct`, and two id-keyed joins to re-fetch shingle sets
     * for exact scoring — pairs are rare, so those joins move candidate
     * ids, not the corpus. No cartesian product anywhere (asserted in
-    * NearDupSpec). */
+    * NearDupSpec). At very large corpora, persist `docs` (or the derived
+    * signature frame) first: the self-join otherwise evaluates the
+    * signature subtree on both sides, computing each signature twice. */
   def minhashPairs(
       docs: DataFrame,
       idCol: String,
@@ -67,10 +73,22 @@ object NearDup {
       .select(col(idCol).as("id"),
         wordShingles(col(textCol), shingleN).as("shingles"))
       .filter(size(col("shingles")) > 0)
-    val buckets = sh
-      .withColumn("sig", minhashSignature(col("shingles"), numHashes))
-      .select(col("id"),
-        explode(lshBuckets(col("sig"), bands, rowsPerBand)).as("bucket"))
+    // signature relationally: explode shingles once, take the min salted
+    // md5 per salt as a two-phase (partial, map-side) aggregation — each
+    // shingle is hashed numHashes times total, and the shingle array is
+    // materialized exactly once per doc. A nested-HOF formulation instead
+    // re-derives the array per lambda element (measured 100× slower).
+    val exploded = sh.select(col("id"), explode(col("shingles")).as("s"))
+    val sigAggs = (0 until numHashes).map(i =>
+      min(md5(concat(lit(s"$i|"), col("s")))).as(s"h$i"))
+    val sig = exploded.groupBy(col("id"))
+      .agg(sigAggs.head, sigAggs.tail: _*)
+    val bucketCols = (0 until bands).map { b =>
+      concat(lit(s"$b:"), md5(concat_ws("|",
+        (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*)))
+    }
+    val buckets = sig
+      .select(col("id"), explode(array(bucketCols: _*)).as("bucket"))
     val pairs = buckets.as("a")
       .join(buckets.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
