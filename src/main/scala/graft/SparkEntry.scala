@@ -392,6 +392,20 @@ object SparkEntry {
         .limit(10)
     }),
 
+    "q37_knn_batch" -> ((s, dir) => {
+      // J1 batch form: 3 query vectors share ONE corpus scan (broadcast
+      // queries + per-query window top-k) — the shape for query feeds at
+      // scale, where per-query rescans would be corpus_size × queries.
+      VectorExpressions.ensureRegistered(s)
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id").isin(0, 1, 2))
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      KnnSearch.topKBatch(emb, "embedding", queries, "qid", "qv",
+          k = 3, tieBreak = "vec_id", rankRoundDp = Some(4), native = true)
+        .select(col("query_id"), col("vec_id"), col("dist"))
+        .orderBy(col("query_id"), col("dist"), col("vec_id"))
+    }),
+
     "q36_ivf_knn" -> ((s, dir) => {
       // V4/V5 approximate path: IVF (k-means nlist=8) + nprobe=6 probe +
       // exact re-score. No DuckDB oracle (k-means isn't reproducible
@@ -901,6 +915,22 @@ object SparkEntry {
              AS hybrid_score
          FROM scored
          ORDER BY hybrid_score DESC, doc_id LIMIT 10""",
+
+    "q37_knn_batch" ->
+      """WITH q AS (
+           SELECT vec_id AS query_id, embedding AS qv
+           FROM embeddings WHERE vec_id IN (0, 1, 2)),
+         d AS (
+           SELECT q.query_id, e.vec_id,
+             round(list_distance(e.embedding::DOUBLE[], q.qv::DOUBLE[]), 4)
+               AS dist
+           FROM embeddings e, q)
+         SELECT query_id, vec_id, dist FROM (
+           SELECT query_id, vec_id, dist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY dist, vec_id) AS rn
+           FROM d)
+         WHERE rn <= 3 ORDER BY query_id, dist, vec_id""",
 
     "q40_dedup_exact" ->
       """SELECT source, count(*) AS n_docs,

@@ -86,6 +86,44 @@ object KnnSearch {
     ordered.limit(k)
   }
 
+  /** Batch top-k: many query vectors against the corpus in ONE scan —
+    * broadcast the (small) query set, nested-loop join corpus×queries,
+    * then a per-query window top-k. The corpus-side cost is a single
+    * pass however many queries ride along; the shuffle is keyed on
+    * query_id for the rank, moving only corpus_rows × |queries| scored
+    * pairs (prune first for less). This is J1's "batch of queries"
+    * form (SURVEY §2.3). */
+  def topKBatch(
+      corpus: DataFrame,
+      vecCol: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      k: Int,
+      tieBreak: String,
+      distCol: String = "dist",
+      rankRoundDp: Option[Int] = None,
+      native: Boolean = false): DataFrame = {
+    require(!corpus.columns.contains(distCol),
+      s"corpus already has a '$distCol' column; pass a different distCol")
+    val q = broadcast(queries.select(
+      col(queryIdCol).as("__qid"), col(queryVecCol).as("__qvec")))
+    val dist =
+      if (native) l2DistanceNative(col(vecCol), col("__qvec"))
+      else l2Distance(col(vecCol), col("__qvec"))
+    val scored = corpus.crossJoin(q)
+      .withColumn(distCol,
+        rankRoundDp.fold(dist)(dp => round(dist, dp)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__qid"))
+      .orderBy(col(distCol), col(tieBreak))
+    scored
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn", "__qvec")
+      .withColumnRenamed("__qid", "query_id")
+  }
+
   /** The reference's adaptive per-component k:
     * `10` when reranking else `max(3, 13 - 3 * nComponents)`
     * (rag_graph.py:367-375). */
