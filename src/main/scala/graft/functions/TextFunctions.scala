@@ -88,11 +88,14 @@ object TextFunctions {
       .otherwise(array_distinct(chained))
   }
 
-  /** Jaccard similarity of two shingle arrays (both assumed distinct). */
+  /** Jaccard similarity of two shingle arrays (both assumed distinct).
+    * |A∪B| = |A|+|B|−|A∩B| for sets, so one intersect replaces the
+    * intersect+union pair — half the per-row set work on large shingle
+    * arrays. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
-    val uni = size(array_union(a, b)).cast("double")
-    when(uni === 0.0, lit(0.0)).otherwise(inter / uni)
+    val uni = size(a).cast("double") + size(b).cast("double") - inter
+    when(uni <= 0.0, lit(0.0)).otherwise(inter / uni)
   }
 
   /** Character n-gram shingles over normalized text (distinct). Text
