@@ -138,6 +138,36 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    "q08_running_total" -> ((s, dir) => {
+      // Cumulative window aggregation: per-customer running revenue over
+      // order dates. Shuffle keyed on custkey only; within-partition
+      // running sum is a single ordered pass.
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders")
+        .filter(col("o_custkey") < 50)
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(sum(col("o_totalprice")).over(w), 2).as("running_total"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    "q17_setops" -> ((s, dir) => {
+      // §2.6 set ops: customers ordering in 1994 but not 1995 (except) and
+      // in both years (intersect) — two-phase aggregates over the
+      // distinct key sets, no row explosion.
+      val o = t(s, dir, "orders")
+      val c94 = o.filter(col("o_orderdate").between("1994-01-01", "1994-12-31"))
+        .select("o_custkey")
+      val c95 = o.filter(col("o_orderdate").between("1995-01-01", "1995-12-31"))
+        .select("o_custkey")
+      val only94 = c94.except(c95).agg(count(lit(1)).as("n"))
+        .select(lit("only_1994").as("cohort"), col("n"))
+      val both = c94.intersect(c95).agg(count(lit(1)).as("n"))
+        .select(lit("both_years").as("cohort"), col("n"))
+      only94.union(both).orderBy(col("cohort"))
+    }),
+
     "q06_topk_orders" -> ((s, dir) => {
       // T1 top-k: orderBy+limit → TakeOrderedAndProject (per-partition
       // heap, no full sort, no shuffle). Sort on the rounded value so the
@@ -669,6 +699,31 @@ object SparkEntry {
            round(avg(json_extract(props, '$.k')::INT), 4) AS avg_k,
            max(json_extract(props, '$.k')::INT) AS max_k
          FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q08_running_total" ->
+      """SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS UNBOUNDED PRECEDING), 2) AS running_total
+         FROM orders WHERE o_custkey < 50
+         ORDER BY o_custkey, o_orderkey""",
+
+    "q17_setops" ->
+      """WITH c94 AS (SELECT DISTINCT o_custkey FROM orders
+             WHERE o_orderdate BETWEEN TIMESTAMP '1994-01-01 00:00:00'
+               AND TIMESTAMP '1994-12-31 00:00:00'),
+           c95 AS (SELECT DISTINCT o_custkey FROM orders
+             WHERE o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+               AND TIMESTAMP '1995-12-31 00:00:00')
+         SELECT 'both_years' AS cohort,
+           (SELECT count(*) FROM (SELECT * FROM c94 INTERSECT
+             SELECT * FROM c95)) AS n
+         UNION ALL
+         SELECT 'only_1994',
+           (SELECT count(*) FROM (SELECT * FROM c94 EXCEPT
+             SELECT * FROM c95))
+         ORDER BY cohort""",
 
     "q06_topk_orders" ->
       """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice

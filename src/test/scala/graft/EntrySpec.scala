@@ -1,0 +1,21 @@
+package graft
+
+/** Guard for the driver contract: `entry` must run on a session we did
+  * not configure (the external driver builds its own) and return rows. */
+class EntrySpec extends SparkSpec {
+
+  test("entry returns rows on sf0.001 with an unprepared session") {
+    val rows = SparkEntry.entry(spark).collect()
+    assert(rows.length == 10)
+    assert(rows.forall(r => !r.isNullAt(0) && r.getDouble(2) >= 0.0))
+  }
+
+  test("every query name has either an oracle or a documented omission") {
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // rows-only queries (approximate/nondeterministic paths) — keep this
+    // list in sync deliberately
+    assert(noOracle == Set("q36_ivf_knn"))
+    // and no orphan oracles
+    assert((SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).isEmpty)
+  }
+}
