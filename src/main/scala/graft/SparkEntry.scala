@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
-import graft.operators.{IvfIndex, KnnSearch, NearDup, PostRetrieval, Rerank}
+import graft.operators.{IvfIndex, KnnSearch, NearDup, PostRetrieval, Rerank, SkewJoin}
 import graft.plans.VectorExpressions
 import graft.sources.MarkdownIngest
 
@@ -201,6 +201,19 @@ object SparkEntry {
           .as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
+    }),
+
+    "q18_salted_join" -> ((s, dir) => {
+      // Skew-mitigation salted join: same result as the plain equi-join
+      // (the oracle IS the plain join), but each hot custkey is split
+      // across 8 shuffle partitions.
+      SkewJoin.saltedJoin(
+          t(s, dir, "orders"), t(s, dir, "customer"),
+          "o_custkey", "c_custkey", salt = 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("revenue"))
+        .orderBy(col("c_mktsegment"))
     }),
 
     // --- Post-retrieval block (SURVEY §2.4 A3/A5, §2.7 X1/X2, §2.3 J3) ---
@@ -539,6 +552,27 @@ object SparkEntry {
           countDistinct(md5(col("text"))).as("n_unique"),
           countDistinct(fingerprint(col("text"))).as("n_unique_norm"))
         .orderBy(col("source"))
+    }),
+
+    "q46_subword_tokens" -> ((s, dir) => {
+      // BPE-ish tokenization over punctuated text (synthesized suffix
+      // adds the punctuation the word-soup corpus lacks).
+      val synth = concat(col("text"), lit(", tail-"), col("doc_id"),
+        lit("!"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(subwordTokens(synth)).cast("long").as("n_subwords"),
+          size(array_distinct(subwordTokens(synth))).cast("long")
+            .as("n_distinct"))
+        .orderBy(col("doc_id"))
+        .limit(100)
+    }),
+
+    "q47_rolling_hash" -> ((s, dir) => {
+      // Rolling-hash document fingerprint — scan-only, one pass per doc.
+      t(s, dir, "documents")
+        .select(col("doc_id"), rollingHash(col("text")).as("rhash"))
+        .orderBy(col("doc_id"))
     }),
 
     "q43_near_dup" -> ((s, dir) => {
@@ -887,6 +921,33 @@ object SparkEntry {
                                 ORDER BY dist, vec_id) AS rn
            FROM d)
          WHERE rn <= 4 ORDER BY label, dist, vec_id""",
+
+    "q18_salted_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "q46_subword_tokens" ->
+      """SELECT doc_id,
+           len(regexp_extract_all(lower(text || ', tail-' || doc_id || '!'),
+             '[a-z]+|[0-9]+|[^a-z0-9\s]', 0)) AS n_subwords,
+           len(list_distinct(regexp_extract_all(
+             lower(text || ', tail-' || doc_id || '!'),
+             '[a-z]+|[0-9]+|[^a-z0-9\s]', 0))) AS n_distinct
+         FROM documents ORDER BY doc_id LIMIT 100""",
+
+    "q47_rolling_hash" ->
+      """SELECT doc_id,
+           list_reduce(
+             list_concat([0::BIGINT],
+               list_transform(
+                 range(1, len(regexp_replace(lower(trim(text)), '\s+', ' ',
+                   'g')) + 1),
+                 i -> ascii(substr(regexp_replace(lower(trim(text)), '\s+',
+                   ' ', 'g'), i, 1))::BIGINT)),
+             (a, b) -> (a * 31 + b) % 1000000007) AS rhash
+         FROM documents ORDER BY doc_id""",
 
     "q20_chunker" ->
       """WITH md AS (

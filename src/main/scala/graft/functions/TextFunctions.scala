@@ -18,6 +18,27 @@ object TextFunctions {
   /** Token count. Long for oracle-schema stability. */
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
+  /** BPE-ish subword tokenization (builder brief): letter runs, digit
+    * runs, and single punctuation marks as separate tokens — the regex
+    * approximation of a byte-pair pre-tokenizer. RE2-compatible so the
+    * oracle runs the identical pattern. */
+  def subwordTokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"),
+      lit(0))
+
+  /** Polynomial rolling-hash fingerprint over the normalized character
+    * stream: h = (h·31 + ascii(c)) mod 1e9+7 — the incremental-update
+    * hash family used for content-defined chunking. The char→ascii array
+    * is the aggregate's input, so normalization runs once per row. */
+  def rollingHash(text: Column): Column = {
+    val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
+    val asciiArr = transform(
+      filter(split(norm, ""), c => length(c) > 0),
+      c => ascii(c).cast("long"))
+    aggregate(asciiArr, lit(0L),
+      (h, c) => pmod(h * 31 + c, lit(1000000007L)))
+  }
+
   /** Average token length (0.0 for empty docs). */
   def avgTokenLength(text: Column): Column = {
     val ts = tokens(text)
