@@ -55,8 +55,11 @@ object Bench {
     }
     val ok = times.collect { case (_, v) if v >= 0 => v }
     val total = if (ok.nonEmpty) ok.sum else 0.0
-    val qs = times.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
-      .mkString("{", ",", "}")
+    // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
+    val qs = times.map { case (k, v) =>
+      "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.4f",
+        Double.box(v))
+    }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     println(

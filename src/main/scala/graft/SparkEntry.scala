@@ -510,7 +510,11 @@ object SparkEntry {
       // X5: from_json decode of the props payload + to_json re-encode of a
       // typed struct — schema-on-read both ways, per-row, codegen'd.
       val k = from_json(col("props"), lit("k INT")).getField("k")
+      // k-not-null guard: Spark's to_json DROPS null struct fields while
+      // the oracle's string concat would yield NULL — keep the two
+      // engines on the same (non-null) rows.
       t(s, dir, "events")
+        .filter(k.isNotNull)
         .select(col("event_id"), k.as("k"),
           md5(to_json(struct(col("event_type"), k.as("k")))).as("json_md5"))
         .orderBy(col("event_id"))
@@ -594,6 +598,8 @@ object SparkEntry {
       // SimHash exact-collision grouping: one scan + one groupBy on the
       // 32-bit fingerprint — near-dup detection with zero joins.
       t(s, dir, "documents")
+        .filter(col("text").isNotNull) // null text: Spark hash is null,
+        // the oracle's CASE chain would yield the all-zero string
         .select(col("doc_id"), simHash(col("text")).as("simhash"))
         .groupBy(col("simhash"))
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
@@ -726,7 +732,8 @@ object SparkEntry {
       """SELECT event_id, json_extract(props, '$.k')::INT AS k,
            md5('{"event_type":"' || event_type || '","k":' ||
              json_extract(props, '$.k') || '}') AS json_md5
-         FROM events ORDER BY event_id LIMIT 200""",
+         FROM events WHERE json_extract(props, '$.k') IS NOT NULL
+         ORDER BY event_id LIMIT 200""",
 
     "q25_props_agg" ->
       """SELECT event_type, count(*) AS n,
@@ -1105,7 +1112,8 @@ object SparkEntry {
       """WITH td AS (
            SELECT doc_id, list_distinct(list_filter(
              string_split_regex(lower(text), '\s+'),
-             t -> len(t) > 0)) AS toks FROM documents),
+             t -> len(t) > 0)) AS toks
+           FROM documents WHERE text IS NOT NULL),
          s AS (
            SELECT doc_id, array_to_string(list_transform(range(1, 33), p ->
              CASE WHEN list_sum(list_transform(toks, t ->

@@ -19,6 +19,10 @@ object Tables {
       // events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
       // rejects; read it as epoch-nanos long and convert. Integral `div`
       // (not `/`): epoch nanos ≈ 1.7e18 exceed double's 53-bit mantissa.
+      // DELIBERATE session-wide side effect: nanosAsLong stays set after
+      // this call (restoring it would break the lazy scan at execution
+      // time). Any later nanos-parquet read in the session also arrives
+      // as long.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$sfDir/$name.parquet")
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))

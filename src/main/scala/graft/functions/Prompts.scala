@@ -14,9 +14,12 @@ object Prompts {
   /** Fill `{name}` placeholders from (name -> column) bindings.
     * Placeholders without a binding are left intact; literal `{` not
     * forming a known placeholder is untouched (simpler than Python
-    * format's `{{` escaping, documented divergence). */
+    * format's `{{` escaping, documented divergence). A null binding
+    * renders as the empty string — `replace` with a null replacement
+    * would otherwise null out the whole prompt. */
   def render(template: String, bindings: Seq[(String, Column)]): Column =
     bindings.foldLeft(lit(template): Column) { case (acc, (name, value)) =>
-      replace(acc, lit(s"{$name}"), value.cast("string"))
+      replace(acc, lit(s"{$name}"),
+        coalesce(value.cast("string"), lit("")))
     }
 }

@@ -34,11 +34,17 @@ final case class IvfIndex(
     centroids: Array[Array[Float]],
     assigned: DataFrame,
     idCol: String,
-    vecCol: String) {
+    vecCol: String,
+    clusterIds: Array[Int]) {
+
+  require(clusterIds.length == centroids.length,
+    "clusterIds must align with centroids")
 
   val nlist: Int = centroids.length
 
-  /** nearest-centroid ids for a query, driver-side (nlist is tiny) */
+  /** nearest-centroid CLUSTER ids for a query, driver-side (nlist is
+    * tiny). Cluster ids need not be contiguous — k-means can leave a
+    * cluster empty, so a persisted index may hold a sparse id set. */
   def probeOrder(query: Seq[Float]): Seq[Int] =
     centroids.zipWithIndex
       .map { case (c, i) =>
@@ -47,7 +53,7 @@ final case class IvfIndex(
         while (j < c.length) {
           val d = c(j) - query(j); s += d * d; j += 1
         }
-        (s, i)
+        (s, clusterIds(i))
       }
       .sortBy(_._1).map(_._2).toSeq
 
@@ -96,7 +102,8 @@ object IvfIndex {
     val assigned = model.transform(feats).drop(featCol)
     val centroids = model.clusterCenters
       .map(_.toArray.map(_.toFloat))
-    IvfIndex(centroids, assigned, idCol, vecCol)
+    IvfIndex(centroids, assigned, idCol, vecCol,
+      centroids.indices.toArray)
   }
 
   /** Reload a persisted index; centroids are recomputed as per-cluster
@@ -112,13 +119,15 @@ object IvfIndex {
         count(lit(1)).as("n"),
         aggregate(collect_list(col(vecCol)), zeros,
           (acc, v) => zip_with(acc, v, (a, x) => a + x)).as("vsum"))
+    // cluster ids may be sparse (empty clusters never produced a
+    // partition directory) — keep the id list aligned with the centroid
+    // array instead of assuming contiguous 0..n-1
     val byId = cents.collect()
       .map { r =>
         val n = r.getLong(1).toDouble
         r.getInt(0) -> r.getSeq[Double](2).map(x => (x / n).toFloat).toArray
       }
-      .toMap
-    val arr = (0 until byId.size).map(byId(_)).toArray
-    IvfIndex(arr, assigned, idCol, vecCol)
+      .sortBy(_._1)
+    IvfIndex(byId.map(_._2), assigned, idCol, vecCol, byId.map(_._1))
   }
 }

@@ -51,32 +51,38 @@ object RagPipeline {
     // V2: embed the query once
     val qVec = embedder.embedQuery(spark, queryText)
 
-    // F3/J1/T1/T2/A4: pruned per-component top-k, bag union
+    // F3/J1/T1/T2/A4: pruned per-component top-k, bag union. Cache the
+    // candidate set (k·components rows): three downstream actions (count,
+    // context, refs) would otherwise re-run the corpus KNN scan three
+    // times.
     val candidates = KnnSearch.searchComponents(
       corpus, "embedding", "component_code", qVec, codes,
-      rerank = rerank, tieBreak = Some("id"))
+      rerank = rerank, tieBreak = Some("id")).cache()
+    try {
+      val nCandidates = candidates.count() // also materializes the cache
 
-    // T3/V6: rerank (sort desc, keep 10) — candidate set is tiny
-    val reranked = Rerank.rerank(candidates, "document",
-        Rerank.LexicalScorer(queryText), tieBreak = "id")
-      .withColumn("rank",
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .orderBy(col("rerank_score").desc, col("id"))))
+      // T3/V6: rerank (sort desc, keep 10) — candidate set is tiny
+      val reranked = Rerank.rerank(candidates, "document",
+          Rerank.LexicalScorer(queryText), tieBreak = "id")
+        .withColumn("rank",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("rerank_score").desc, col("id"))))
 
-    // X1 + A5: rewrite urls, dedup with stable first-seen numbering
-    val withUrl = reranked.withColumn("url",
-      PostRetrieval.rewriteUrls(col("metadata.doc_url"), urlRules))
-    val refs = PostRetrieval.refNumbering(withUrl, "url", "rank")
+      // X1 + A5: rewrite urls, dedup with stable first-seen numbering
+      val withUrl = reranked.withColumn("url",
+        PostRetrieval.rewriteUrls(col("metadata.doc_url"), urlRules))
+      val refs = PostRetrieval.refNumbering(withUrl, "url", "rank")
 
-    // A3: ordered context concat
-    val context = withUrl
-      .agg(PostRetrieval.contextConcat(col("rank"), col("document")))
-      .head.getString(0)
+      // A3: ordered context concat
+      val context = withUrl
+        .agg(PostRetrieval.contextConcat(col("rank"), col("document")))
+        .head.getString(0)
 
-    Answer(
-      context,
-      refs.orderBy("ref_id").collect()
-        .map(r => (r.getInt(0), r.getString(1))).toSeq,
-      candidates.count())
+      Answer(
+        context,
+        refs.orderBy("ref_id").collect()
+          .map(r => (r.getInt(0), r.getString(1))).toSeq,
+        nCandidates)
+    } finally candidates.unpersist()
   }
 }

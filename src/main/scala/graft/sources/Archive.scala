@@ -57,8 +57,12 @@ object Archive {
           if (p.endsWith(".gz")) new GzipCompressorInputStream(raw)
           else if (p.endsWith(".bz2")) new BZip2CompressorInputStream(raw)
           else new XZCompressorInputStream(raw)
-        try in.transferTo(new FileOutputStream(s"$destDir/$stem"))
-        finally in.close()
+        val out = new FileOutputStream(s"$destDir/$stem")
+        try in.transferTo(out)
+        finally {
+          out.close()
+          in.close()
+        }
         true
       } else {
         raw.close(); false
@@ -83,7 +87,8 @@ object Archive {
           else {
             Files.createDirectories(target.getParent)
             val out = new FileOutputStream(target.toFile)
-            try in.transferTo(out) finally out.close()
+            try in.transferTo(out)
+            finally out.close()
           }
         }
       true
