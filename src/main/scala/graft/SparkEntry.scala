@@ -673,8 +673,9 @@ object SparkEntry {
                  / len(ts) END AS atl
            FROM tk)
          SELECT doc_id,
-           round(len_score * 0.4 + (1.0 - least(praw * 4.0, 1.0)) * 0.3
-             + (1.0 - abs(swraw - 0.4)) * 0.3, 6) AS quality,
+           floor((len_score * 0.4 + (1.0 - least(praw * 4.0, 1.0)) * 0.3
+             + (1.0 - abs(swraw - 0.4)) * 0.3) * 1000000.0 + 0.5)
+             / 1000000.0 AS quality,
            round(swraw, 6) AS sw_ratio,
            round(praw, 6) AS punct_ratio,
            round(atl, 6) AS avg_token_len
@@ -880,9 +881,9 @@ object SparkEntry {
                   ELSE msgs[len(msgs) - 9 : len(msgs)] END AS t
            FROM agg)
          SELECT user_id,
-           md5(array_to_string(list_transform(
+           md5(coalesce(array_to_string(list_transform(
              list_filter(t, x -> x.role = 'user'), x -> x.content),
-             chr(10))) AS history_md5,
+             chr(10)), '')) AS history_md5,
            n_messages
          FROM tr ORDER BY user_id""",
 

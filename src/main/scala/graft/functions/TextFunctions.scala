@@ -71,7 +71,13 @@ object TextFunctions {
     val punctScore = lit(1.0) - least(punctRatio(text) * 4.0, lit(1.0))
     val swr = stopwordRatio(text, stopwords)
     val swScore = lit(1.0) - abs(swr - 0.4) // sweet spot ~40% stopwords
-    round((lenScore * 0.4 + punctScore * 0.3 + swScore * 0.3), 6)
+    val q = lenScore * 0.4 + punctScore * 0.3 + swScore * 0.3
+    // explicit floor-based half-up rounding: round(x, 6) implementations
+    // disagree at half boundaries across engines (Spark rounds the
+    // shortest decimal repr, DuckDB rounds the binary double — observed
+    // off-by-1e-6 at sf0.1); floor(x*1e6 + 0.5) is the same double ops
+    // everywhere
+    floor(q * 1000000.0 + 0.5).cast("double") / 1000000.0
   }
 
   /** Deterministic document fingerprint: md5 of whitespace-normalized,
