@@ -152,6 +152,17 @@ object SparkEntry {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
 
+    "q09_rollup" -> ((s, dir) => {
+      // Hierarchical rollup: (flag, status), (flag), () grand total in one
+      // pass — Catalyst expands grouping sets before the single shuffle.
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    }),
+
     "q17_setops" -> ((s, dir) => {
       // §2.6 set ops: customers ordering in 1994 but not 1995 (except) and
       // in both years (intersect) — two-phase aggregates over the
@@ -750,6 +761,13 @@ object SparkEntry {
              ROWS UNBOUNDED PRECEDING), 2) AS running_total
          FROM orders WHERE o_custkey < 50
          ORDER BY o_custkey, o_orderkey""",
+
+    "q09_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+           round(sum(l_quantity), 2) AS sum_qty
+         FROM lineitem
+         GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
 
     "q17_setops" ->
       """WITH c94 AS (SELECT DISTINCT o_custkey FROM orders

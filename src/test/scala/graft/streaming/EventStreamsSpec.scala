@@ -2,6 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{expr, sum, timestamp_micros}
 import org.apache.spark.sql.streaming.OutputMode
 import graft.SparkSpec
 import EventStreams.{Event, SessionSummary}
@@ -58,6 +59,33 @@ class EventStreamsSpec extends SparkSpec {
         .map { case (u, rows) => u -> rows.maxBy(_.n_events) }
       assert(last(1L) == SessionSummary(1, 3, 2))
       assert(last(2L) == SessionSummary(2, 1, 1))
+    } finally query.stop()
+  }
+
+  test("windowedCounts runs over a real file stream (readStream source)") {
+    val batchDf = graft.Tables(spark, "/root/testdata/sf0.001", "events")
+    // the raw file stores ts as TIMESTAMP(NANOS) -> read as long
+    // (Tables already set nanosAsLong on this session)
+    val rawSchema = org.apache.spark.sql.types.StructType(
+      batchDf.schema.map(f =>
+        if (f.name == "ts")
+          f.copy(dataType = org.apache.spark.sql.types.LongType)
+        else f))
+    val stream = spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet("/root/testdata/sf0.001")
+    // Tables converts ts for batch reads; the raw stream has nano-longs
+    val streamTs = stream.withColumn("ts",
+      timestamp_micros(expr("ts div 1000")))
+    val query = EventStreams.windowedCounts(streamTs, "1 day", "1 hour")
+      .writeStream.format("memory").queryName("file_win")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      query.processAllAvailable()
+      val streamed = spark.table("file_win")
+        .agg(sum("n")).head.getLong(0)
+      assert(streamed == batchDf.count())
     } finally query.stop()
   }
 
