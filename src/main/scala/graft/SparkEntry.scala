@@ -569,6 +569,20 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    "q48_token_percentiles" -> ((s, dir) => {
+      // Exact interpolated percentiles of the token-count distribution
+      // per language (corpus-profiling). Exact percentile sorts within
+      // the group; at 100 TB use approx_percentile (t-digest sketch,
+      // mergeable map-side) — exact here because the oracle must match.
+      t(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(
+          round(percentile(tokenCount(col("text")), lit(0.5)), 4).as("p50"),
+          round(percentile(tokenCount(col("text")), lit(0.95)), 4).as("p95"),
+          count(lit(1)).as("n"))
+        .orderBy(col("lang"))
+    }),
+
     "q46_subword_tokens" -> ((s, dir) => {
       // BPE-ish tokenization over punctuated text (synthesized suffix
       // adds the punctuation the word-soup corpus lacks).
@@ -953,6 +967,18 @@ object SparkEntry {
            round(sum(o_totalprice), 2) AS revenue
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "q48_token_percentiles" ->
+      """WITH tc AS (
+           SELECT lang,
+             len(list_filter(string_split_regex(text, '\s+'),
+               t -> len(t) > 0)) AS n_tokens
+           FROM documents)
+         SELECT lang,
+           round(quantile_cont(n_tokens, 0.5), 4) AS p50,
+           round(quantile_cont(n_tokens, 0.95), 4) AS p95,
+           count(*) AS n
+         FROM tc GROUP BY lang ORDER BY lang""",
 
     "q46_subword_tokens" ->
       """SELECT doc_id,
