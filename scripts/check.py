@@ -11,6 +11,7 @@ SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
 
 import duckdb
+import numpy as np
 import pyarrow.parquet as pq
 import pyarrow.dataset as pds
 
@@ -67,7 +68,14 @@ def main():
         try:
             res = con.execute(oracle[name])
             duck_cols_raw = [d[0] for d in res.description]
-            duck_all = res.fetchall()
+            duck_pdf = res.df()   # pandas, like the driver (HUGEINT→float64)
+            def topy(v):
+                if v is None: return None
+                if isinstance(v, np.generic): v = v.item()
+                if isinstance(v, float) and math.isnan(v): return None
+                return v
+            duck_all = [tuple(topy(v) for v in r)
+                        for r in duck_pdf.itertuples(index=False, name=None)]
         except Exception as e:
             print(f"FAIL {name}: oracle sql error: {e}"); n_fail += 1; continue
         duck_cols = sorted(duck_cols_raw)
@@ -75,6 +83,27 @@ def main():
         duck_rows = [[r[i] for i in idx] for r in duck_all]
         if spark_cols != duck_cols:
             print(f"FAIL {name}: cols {spark_cols} vs {duck_cols}"); n_fail += 1; continue
+        # --- driver-faithfulness checks (round-3 lessons: the driver's
+        # pandas harness crashes on ndarray cells and hashes dtypes, so
+        # value-equality alone is NOT the contract). Compare the pandas
+        # dtype each side would present to the driver. ---
+        harness_fail = None
+        spark_pdf = spark_tbl.to_pandas()
+        for c in spark_cols:
+            sk, dk = spark_pdf[c].dtype.kind, duck_pdf[c].dtype.kind
+            if "f" in (sk, dk) and (sk in "iu" or dk in "iu"):
+                harness_fail = (f"int-vs-float dtype mismatch in column '{c}' "
+                                f"(spark {spark_pdf[c].dtype} vs duck {duck_pdf[c].dtype}; "
+                                f"driver hashes 56 != 56.0)")
+                break
+            cells = ([v for v in spark_pdf[c].head(3)] +
+                     [v for v in duck_pdf[c].head(3)])
+            if any(isinstance(v, (np.ndarray, list, dict)) for v in cells):
+                harness_fail = (f"array/struct cell in column '{c}' "
+                                f"(driver pandas comparator crashes on ndarray cells)")
+                break
+        if harness_fail:
+            print(f"FAIL {name}: {harness_fail}"); n_fail += 1; continue
         a, b = canon(spark_rows), canon(duck_rows)
         if a == b:
             print(f"PASS {name} ({len(a)} rows)"); n_pass += 1

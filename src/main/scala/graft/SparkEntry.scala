@@ -287,11 +287,14 @@ object SparkEntry {
     "q15_components" -> ((s, dir) => {
       // F5: component validation — order-preserving first-occurrence
       // dedup, supported-set filter, force-append default when absent.
+      // Joined to a scalar: the driver's pandas comparator can't hash raw
+      // array cells (round-3 harness err). The kept list always contains
+      // 'en', so DuckDB's empty-list→NULL array_to_string quirk can't bite.
       val req = array(col("lang"), lit("bogus"), col("lang"), lit("en"))
       t(s, dir, "documents")
         .select(col("doc_id"),
-          graft.functions.ChatFunctions.validateComponents(req,
-            Seq("en", "zh", "es", "fr", "de"), "en").as("components"))
+          array_join(graft.functions.ChatFunctions.validateComponents(req,
+            Seq("en", "zh", "es", "fr", "de"), "en"), ",").as("components"))
         .orderBy(col("doc_id"))
         .limit(100)
     }),
@@ -743,7 +746,8 @@ object SparkEntry {
                   THEN 1 ELSE 0 END AS is_new
            FROM events
            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
-         SELECT user_id, count(*) AS n_events, sum(is_new) AS n_sessions
+         SELECT user_id, count(*) AS n_events,
+           sum(is_new)::BIGINT AS n_sessions
          FROM g GROUP BY user_id ORDER BY user_id""",
 
     "q11_component_dim" ->
@@ -890,8 +894,9 @@ object SparkEntry {
              x -> list_contains(['en','zh','es','fr','de'], x)) AS kept
            FROM d)
          SELECT doc_id,
-           CASE WHEN list_contains(kept, 'en') THEN kept
-                ELSE list_append(kept, 'en') END AS components
+           array_to_string(
+             CASE WHEN list_contains(kept, 'en') THEN kept
+                  ELSE list_append(kept, 'en') END, ',') AS components
          FROM k ORDER BY doc_id LIMIT 100""",
 
     "q16_history" ->
