@@ -72,10 +72,20 @@ final case class IvfIndex(
   }
 
   /** Persist as a cluster-partitioned table: search then prunes whole
-    * directories, the same mechanism as the component corpus. */
-  def write(path: String): Unit =
+    * directories, the same mechanism as the component corpus. The
+    * centroids (nlist × dim floats — a few KB) ride along in a
+    * `_centroids` sidecar so [[IvfIndex.load]] never has to re-derive
+    * them from the corpus; the underscore prefix hides the sidecar from
+    * Spark's data-file listing, so reading `path` sees only the vectors. */
+  def write(path: String): Unit = {
     assigned.write.mode(SaveMode.Overwrite)
       .partitionBy(IvfIndex.ClusterCol).parquet(path)
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    clusterIds.zip(centroids).toSeq.toDF("cluster_id", "centroid")
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$path/${IvfIndex.CentroidSidecar}")
+  }
 }
 
 object IvfIndex {
@@ -106,28 +116,42 @@ object IvfIndex {
       centroids.indices.toArray)
   }
 
-  /** Reload a persisted index; centroids are recomputed as per-cluster
-    * means (cheap one-pass agg) so no sidecar file is needed. */
+  private[operators] val CentroidSidecar = "_centroids"
+
+  /** Reload a persisted index. Centroids come from the `_centroids`
+    * sidecar [[IvfIndex#write]] drops next to the data — a single tiny
+    * file read, no corpus scan. For indexes written without a sidecar,
+    * fall back to recomputing per-cluster means via posexplode +
+    * per-(cluster, dim) avg: nlist × dim aggregation rows, never a
+    * collect_list of whole vectors into one buffer (the round-3 OOM
+    * hazard at cluster scale). */
   def load(spark: SparkSession, path: String, idCol: String,
       vecCol: String): IvfIndex = {
     val assigned = spark.read.parquet(path)
-    val dim = assigned.select(size(col(vecCol))).head().getInt(0)
-    val zeros = transform(sequence(lit(1), lit(dim)), _ => lit(0.0))
-    val cents = assigned
-      .groupBy(col(ClusterCol))
-      .agg(
-        count(lit(1)).as("n"),
-        aggregate(collect_list(col(vecCol)), zeros,
-          (acc, v) => zip_with(acc, v, (a, x) => a + x)).as("vsum"))
-    // cluster ids may be sparse (empty clusters never produced a
-    // partition directory) — keep the id list aligned with the centroid
-    // array instead of assuming contiguous 0..n-1
-    val byId = cents.collect()
-      .map { r =>
-        val n = r.getLong(1).toDouble
-        r.getInt(0) -> r.getSeq[Double](2).map(x => (x / n).toFloat).toArray
-      }
-      .sortBy(_._1)
+    val byId: Array[(Int, Array[Float])] = {
+      val sidecar = s"$path/$CentroidSidecar"
+      val loaded =
+        try {
+          spark.read.parquet(sidecar).collect()
+            .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray)
+        } catch { case _: org.apache.spark.sql.AnalysisException =>
+          // legacy layout: one pass, keyed on (cluster, dim) — the agg
+          // state is a scalar per key, uniform by construction
+          assigned
+            .select(col(ClusterCol),
+              posexplode(col(vecCol)).as(Seq("d", "x")))
+            .groupBy(col(ClusterCol), col("d"))
+            .agg(avg(col("x")).as("m"))
+            .collect()
+            .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+            .groupBy(_._1)
+            .map { case (cid, xs) =>
+              cid -> xs.sortBy(_._2).map(_._3.toFloat).toArray
+            }
+            .toArray
+        }
+      loaded.sortBy(_._1)
+    }
     IvfIndex(byId.map(_._2), assigned, idCol, vecCol, byId.map(_._1))
   }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions._
@@ -86,13 +86,21 @@ object KnnSearch {
     ordered.limit(k)
   }
 
-  /** Batch top-k: many query vectors against the corpus in ONE scan —
-    * broadcast the (small) query set, nested-loop join corpus×queries,
-    * then a per-query window top-k. The corpus-side cost is a single
-    * pass however many queries ride along; the shuffle is keyed on
-    * query_id for the rank, moving only corpus_rows × |queries| scored
-    * pairs (prune first for less). This is J1's "batch of queries"
-    * form (SURVEY §2.3). */
+  /** Batch top-k: many query vectors against the corpus in ONE scan,
+    * the batch analogue of TakeOrderedAndProject. The (small, by
+    * contract) query set is collected and broadcast; each corpus task
+    * keeps a k-element bounded heap PER QUERY over its partition
+    * (mapPartitions — one L2 loop per row×query, no intermediate
+    * allocation), emitting at most k·|queries| rows per partition. Only
+    * that reduced set crosses the final per-query rank — the corpus
+    * itself is never shuffled. (The previous window-rank form moved
+    * corpus_rows × |queries| scored rows through one exchange before
+    * discarding all but k per query — the round-3 scale defect.)
+    *
+    * Note: building the plan collects `queries` (a driver action), so
+    * this operator is eager in the query set, matching the reference's
+    * "embed the query batch first" step. This is J1's "batch of
+    * queries" form (SURVEY §2.3). */
   def topKBatch(
       corpus: DataFrame,
       vecCol: String,
@@ -102,26 +110,81 @@ object KnnSearch {
       k: Int,
       tieBreak: String,
       distCol: String = "dist",
-      rankRoundDp: Option[Int] = None,
-      native: Boolean = false): DataFrame = {
+      rankRoundDp: Option[Int] = None): DataFrame = {
     require(!corpus.columns.contains(distCol),
       s"corpus already has a '$distCol' column; pass a different distCol")
-    val q = broadcast(queries.select(
-      col(queryIdCol).as("__qid"), col(queryVecCol).as("__qvec")))
-    val dist =
-      if (native) l2DistanceNative(col(vecCol), col("__qvec"))
-      else l2Distance(col(vecCol), col("__qvec"))
-    val scored = corpus.crossJoin(q)
-      .withColumn(distCol,
-        rankRoundDp.fold(dist)(dp => round(dist, dp)))
+    require(!corpus.columns.contains("query_id"),
+      "corpus already has a 'query_id' column")
+    val spark = corpus.sparkSession
+    val qSet: Array[(Any, Array[Float])] = queries
+      .select(col(queryIdCol), col(queryVecCol)).collect()
+      .map(r => (r.get(0), r.getSeq[Float](1).toArray))
+    val bc = spark.sparkContext.broadcast(qSet)
+    val outSchema = corpus.schema
+      .add(distCol, org.apache.spark.sql.types.DoubleType)
+      .add("query_id", queries.schema(queryIdCol).dataType)
+    val vecIdx = corpus.schema.fieldIndex(vecCol)
+    val tieIdx = corpus.schema.fieldIndex(tieBreak)
+    val dp = rankRoundDp
+    val local = corpus.mapPartitions { rows =>
+      val qs = bc.value
+      // bounded max-heaps: head = current worst of the best k, evicted
+      // on a strictly better (dist, tie) candidate
+      final class Entry(val dist: Double, val tie: Any, val row: Row)
+      def cmp(a: Entry, b: Entry): Int = {
+        val c = java.lang.Double.compare(a.dist, b.dist)
+        if (c != 0) c
+        else a.tie.asInstanceOf[Comparable[Any]].compareTo(b.tie)
+      }
+      val ord = Ordering.fromLessThan[Entry]((a, b) => cmp(a, b) < 0)
+      val heaps = Array.fill(qs.length)(
+        new scala.collection.mutable.PriorityQueue[Entry]()(ord))
+      rows.foreach { row =>
+        val vSeq = if (row.isNullAt(vecIdx)) null else row.getSeq[Float](vecIdx)
+        if (vSeq != null) {
+          val v = vSeq.toArray
+          val tie = row.get(tieIdx)
+          var qi = 0
+          while (qi < qs.length) {
+            val qv = qs(qi)._2
+            if (qv.length == v.length) {
+              var s = 0.0
+              var i = 0
+              while (i < v.length) {
+                val d = v(i).toDouble - qv(i).toDouble
+                s += d * d
+                i += 1
+              }
+              var dist = math.sqrt(s)
+              // same half-up shortest-decimal rounding as Spark round()
+              dp.foreach { p =>
+                dist = java.math.BigDecimal.valueOf(dist)
+                  .setScale(p, java.math.RoundingMode.HALF_UP).doubleValue()
+              }
+              val h = heaps(qi)
+              if (h.size < k) h.enqueue(new Entry(dist, tie, row))
+              else if (cmp(new Entry(dist, tie, row), h.head) < 0) {
+                h.dequeue(); h.enqueue(new Entry(dist, tie, row))
+              }
+            }
+            qi += 1
+          }
+        }
+      }
+      heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+        val qid = qs(qi)._1
+        h.iterator.map(e => Row.fromSeq(e.row.toSeq :+ e.dist :+ qid))
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+    // final rank over ≤ partitions × |queries| × k rows — tiny by
+    // construction, so this exchange moves k-scale data, not the corpus
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__qid"))
+      .partitionBy(col("query_id"))
       .orderBy(col(distCol), col(tieBreak))
-    scored
+    local
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
-      .drop("__rn", "__qvec")
-      .withColumnRenamed("__qid", "query_id")
+      .drop("__rn")
   }
 
   /** The reference's adaptive per-component k:

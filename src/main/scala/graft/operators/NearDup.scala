@@ -54,9 +54,16 @@ object NearDup {
     * the pair `distinct`, and two id-keyed joins to re-fetch shingle sets
     * for exact scoring — pairs are rare, so those joins move candidate
     * ids, not the corpus. No cartesian product anywhere (asserted in
-    * NearDupSpec). At very large corpora, persist `docs` (or the derived
-    * signature frame) first: the self-join otherwise evaluates the
-    * signature subtree on both sides, computing each signature twice. */
+    * NearDupSpec).
+    *
+    * The (id, shingles) frame feeds THREE subtrees (signatures, a-side
+    * re-fetch, b-side re-fetch), so the operator persists it
+    * (MEMORY_AND_DISK): tokenization + shingling run once per document
+    * instead of three times. Spark's CacheManager keys the entry on the
+    * canonicalized plan, so repeated invocations over the same input
+    * share one cache entry rather than leaking one per call; pass
+    * `persistShingles = false` to opt out (e.g. one-shot jobs on corpora
+    * larger than cluster storage). */
   def minhashPairs(
       docs: DataFrame,
       idCol: String,
@@ -65,14 +72,19 @@ object NearDup {
       numHashes: Int = 12,
       bands: Int = 4,
       threshold: Double = 0.8,
-      roundDp: Int = 4): DataFrame = {
+      roundDp: Int = 4,
+      persistShingles: Boolean = true): DataFrame = {
     val rowsPerBand = numHashes / bands
     require(bands * rowsPerBand == numHashes,
       s"numHashes=$numHashes must be divisible by bands=$bands")
-    val sh = docs
+    val shRaw = docs
       .select(col(idCol).as("id"),
         wordShingles(col(textCol), shingleN).as("shingles"))
       .filter(size(col("shingles")) > 0)
+    val sh =
+      if (persistShingles)
+        shRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else shRaw
     // signature relationally: explode shingles once, take the min salted
     // md5 per salt as a two-phase (partial, map-side) aggregation — each
     // shingle is hashed numHashes times total, and the shingle array is

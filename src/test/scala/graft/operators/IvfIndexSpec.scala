@@ -62,16 +62,47 @@ class IvfIndexSpec extends SparkSpec {
     index.write(s"$tmp/ivf")
     val loaded = IvfIndex.load(spark, s"$tmp/ivf", "vec_id", "embedding")
     assert(loaded.nlist == index.nlist)
+    // centroids come from the sidecar, so the round-trip is bit-exact —
+    // not a lossy mean recomputation
+    assert(loaded.centroids.map(_.toSeq).toSeq ==
+      index.centroids.map(_.toSeq).toSeq)
     val q = queryVecs(1).head
     val res = loaded.search(q, 10, nprobe = loaded.nlist,
       tieBreak = Some("vec_id"))
       .select("vec_id").collect().map(_.getLong(0)).toSet
     assert(res == exactTopK(q, 10))
-    // pruned read carries PartitionFilters on the cluster dir column
+    // pruned probe prunes parquet partition DIRECTORIES on the cluster col
     val probes = loaded.probeOrder(q).take(2)
     val plan = loaded.assigned
       .filter(col(IvfIndex.ClusterCol).isin(probes: _*))
       .queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters"))
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains(IvfIndex.ClusterCol))
+  }
+
+  test("load falls back to per-(cluster,dim) means without a sidecar") {
+    val tmp = Files.createTempDirectory("graft-ivf-").toString
+    index.write(s"$tmp/ivf")
+    // simulate a legacy index: drop the sidecar
+    val sidecar = new java.io.File(s"$tmp/ivf/_centroids")
+    assert(sidecar.exists(), "write() must produce the centroid sidecar")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    rm(sidecar)
+    val loaded = IvfIndex.load(spark, s"$tmp/ivf", "vec_id", "embedding")
+    assert(loaded.nlist == index.nlist)
+    // recomputed means are the k-means cluster centers up to float error
+    loaded.clusterIds.zip(index.clusterIds).foreach { case (a, b) =>
+      assert(a == b)
+    }
+    loaded.centroids.zip(index.centroids).foreach { case (a, b) =>
+      a.zip(b).foreach { case (x, y) => assert(math.abs(x - y) < 1e-3) }
+    }
+    val q = queryVecs(1).head
+    val res = loaded.search(q, 10, nprobe = loaded.nlist,
+      tieBreak = Some("vec_id"))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(res == exactTopK(q, 10))
   }
 }
