@@ -443,9 +443,12 @@ object SparkEntry {
     "q35_hybrid" -> ((s, dir) => {
       // V3 + T3 fusion: three-mode hybrid score with the reference's
       // weights (dense 0.3 / sparse 0.2 / colbert 0.5, bge.py:29-32) —
-      // dense = char-4-shingle jaccard, sparse = tf-map sparseDot against
-      // literal query weights, colbert stand-in = query-token coverage.
-      // All portable math; ranking on the rounded score.
+      // dense = char-4-shingle jaccard via the fused native expression
+      // (graft_char_jac: one windowed pass per row, no shingle arrays),
+      // sparse = tf-map sparseDot against literal query weights, colbert
+      // stand-in = query-token coverage. All portable math; ranking on
+      // the rounded score.
+      VectorExpressions.ensureRegistered(s)
       val qText = "spark query join table window agg"
       val qTokens = qText.split(" ").toSeq
       val qWeights = Seq("spark" -> 2.0, "query" -> 1.5, "join" -> 1.0,
@@ -461,8 +464,7 @@ object SparkEntry {
       val tf = map_from_arrays(qKeys,
         transform(qKeys,
           k => size(filter(ts, x => x === k)).cast("double")))
-      val dense = jaccard(charShingles(col("text"), 4),
-        charShingles(lit(qText), 4))
+      val dense = charJaccardNative(col("text"), qText, 4)
       val sparse = sparseDot(tf, qMap)
       val colbert = size(array_intersect(array_distinct(ts),
         array(qTokens.map(lit): _*))).cast("double") / qTokens.size

@@ -136,6 +136,15 @@ object TextFunctions {
       text.isNull)
   }
 
+  /** Native fused char-n-gram Jaccard against a constant query string —
+    * identical semantics to `jaccard(charShingles(text, n),
+    * charShingles(lit(query), n))` in one pass per row with no
+    * intermediate arrays (see [[graft.plans.CharNgramJaccard]]). The
+    * session must have the graft functions registered
+    * (VectorExpressions.ensureRegistered or GraftExtensions). */
+  def charJaccardNative(text: Column, query: String, n: Int): Column =
+    call_function("graft_char_jac", text, lit(query), lit(n))
+
   /** SimHash document fingerprint over distinct tokens: bit p of the
     * `bits`-bit hash is the sign of the sum over tokens of ±1 according
     * to the parity of hex digit p of the token's md5. Near-identical

@@ -154,10 +154,13 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
 }
 
 object VectorExpressions {
+  /** the engine's full native-expression registry (vector + text) — both
+    * registration routes (imperative + extensions) consume this list */
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     ("graft_l2sq", es => L2SquaredDistance(es(0), es(1))),
     ("graft_dot", es => DotProduct(es(0), es(1))),
-    ("graft_cos", es => CosineSimilarityExpr(es(0), es(1))))
+    ("graft_cos", es => CosineSimilarityExpr(es(0), es(1))),
+    ("graft_char_jac", es => CharNgramJaccard(es(0), es(1), es(2))))
 
   /** Idempotently register the native functions on a session — works on
     * any session, including one the external driver built without
