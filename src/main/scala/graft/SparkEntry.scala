@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
-import graft.operators.{IvfIndex, KnnSearch, NearDup, PostRetrieval, Rerank, SkewJoin}
+import graft.operators.{IvfIndex, KnnSearch, NearDup, PostRetrieval, RagPipeline, Rerank, SkewJoin}
 import graft.plans.VectorExpressions
 import graft.sources.MarkdownIngest
 
@@ -505,6 +505,47 @@ object SparkEntry {
           metric = KnnSearch.NativeL2, tieBreak = Some("vec_id"))
         .select(col("vec_id"), round(col("dist"), 4).as("dist"))
         .orderBy(col("dist"), col("vec_id"))
+    }),
+
+    "q38_rag_pipeline" -> ((s, dir) => {
+      // The flagship §3.1 path end-to-end (rag_graph.py:365-510 minus
+      // LLM calls): corpus = embeddings ⋈ documents, per-component
+      // pruned top-k (label as component_code, rerank=true → k=10 each),
+      // lexical rerank to 10, stable rank, URL derivation, first-seen
+      // reference numbering joined back per candidate. Every stage is
+      // oracle-mirrored, so the whole composition is hash-checked —
+      // not just its pieces.
+      VectorExpressions.ensureRegistered(s)
+      val q = queryVec(s, dir)
+      val emb = t(s, dir, "embeddings")
+      val docs = t(s, dir, "documents")
+      val corpus = emb.join(docs, emb("vec_id") === docs("doc_id"))
+        .select(emb("vec_id").as("id"), col("embedding"),
+          col("label").as("component_code"),
+          col("text").as("document"),
+          struct(concat(lit("https://docs.example.com/"), col("source"))
+            .as("doc_url")).as("metadata"))
+      RagPipeline.retrieve(corpus, q, "spark query join table window agg",
+          Seq(1, 3, 5), rerank = true, metric = KnnSearch.NativeL2,
+          rankRoundDp = Some(4))
+        .select(col("final_rank"), col("id"), col("rerank_score"),
+          col("dist"), col("ref_id"))
+        .orderBy(col("final_rank"))
+    }),
+
+    "q39_model_embed" -> ((s, dir) => {
+      // The model-embedder seam under load: FakeModelEmbedder (the
+      // deterministic stand-in behind the real mapPartitions batching,
+      // one model load per partition, batch=64) over every document.
+      // No DuckDB oracle (md5-byte float math isn't worth mirroring);
+      // rows-only + BatchEmbedderSpec. Bench-visible so the seam's cost
+      // model is measured, not assumed (VERDICT r3 item 8).
+      val emb = graft.functions.FakeModelEmbedder(dim = 64, batchSize = 64)
+      emb.embedDocuments(
+          t(s, dir, "documents").select(col("doc_id"), col("text")), "text")
+        .select(col("doc_id"),
+          round(element_at(col("embedding"), 1), 6).as("e0"))
+        .orderBy(col("doc_id"))
     }),
 
     // --- S-series: ingestion / chunking (SURVEY §2.1) ---
@@ -1132,6 +1173,47 @@ object SparkEntry {
                                 ORDER BY dist, vec_id) AS rn
            FROM d)
          WHERE rn <= 3 ORDER BY query_id, dist, vec_id""",
+
+    "q38_rag_pipeline" ->
+      """WITH corpus AS (
+           SELECT e.vec_id AS id, e.embedding, e.label AS component_code,
+             d.text AS document,
+             'https://docs.example.com/' || d.source AS url
+           FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+           WHERE e.label IN (1, 3, 5)),
+         scored AS (
+           SELECT id, component_code, document, url,
+             round(list_distance(embedding::DOUBLE[],
+               (SELECT embedding FROM embeddings WHERE vec_id = 0)
+                 ::DOUBLE[]), 4) AS dist
+           FROM corpus),
+         cand AS (
+           SELECT id, document, url, dist FROM (
+             SELECT *, row_number() OVER (PARTITION BY component_code
+                                          ORDER BY dist, id) AS rn
+             FROM scored)
+           WHERE rn <= 10),
+         rr AS (
+           SELECT id, dist, url,
+             len(list_filter(
+               ['spark','query','join','table','window','agg'],
+               q -> list_contains(list_distinct(list_filter(
+                 string_split_regex(lower(document), '\s+'),
+                 t -> len(t) > 0)), q))) AS rerank_score
+           FROM cand),
+         ranked AS (
+           SELECT id, rerank_score, dist, url,
+             row_number() OVER (ORDER BY rerank_score DESC, id)
+               AS final_rank
+           FROM (SELECT * FROM rr
+                 ORDER BY rerank_score DESC, id LIMIT 10)),
+         refs AS (
+           SELECT url, row_number() OVER (ORDER BY first_seen) AS ref_id
+           FROM (SELECT url, min(final_rank) AS first_seen
+                 FROM ranked GROUP BY url))
+         SELECT final_rank, id, rerank_score, dist, ref_id
+         FROM ranked JOIN refs USING (url)
+         ORDER BY final_rank""",
 
     "q40_dedup_exact" ->
       """SELECT source, count(*) AS n_docs,

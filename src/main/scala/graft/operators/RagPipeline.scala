@@ -1,9 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{ChatFunctions, Embedder}
+import graft.functions.Embedder
 import graft.sources.CorpusStore
 
 /** The flagship retrieval pipeline — the reference's §3.1 chat-query data
@@ -20,6 +21,11 @@ import graft.sources.CorpusStore
   * corpus, and the candidate set after top-k is tiny, so everything
   * downstream of retrieval costs O(k·components) regardless of corpus
   * size.
+  *
+  * [[retrieve]] is the lazy DataFrame form (one row per kept candidate,
+  * with rank / rerank score / rewritten URL / reference number);
+  * [[answer]] materializes it into the reference's answer payload
+  * (context string + numbered reference list).
   */
 object RagPipeline {
 
@@ -27,6 +33,55 @@ object RagPipeline {
       context: String,
       references: Seq[(Int, String)],
       nCandidates: Long)
+
+  /** Everything after candidate retrieval: rerank (T3), stable rank,
+    * URL rewrite (X1), first-seen reference numbering (A5), numbered
+    * refs joined back per candidate. All ops run on ≤ k·components
+    * rows. */
+  private def postProcess(
+      candidates: DataFrame,
+      queryText: String,
+      urlRules: Seq[(String, String)],
+      idCol: String,
+      docCol: String,
+      urlExpr: Column): DataFrame = {
+    val reranked = Rerank.rerank(candidates, docCol,
+        Rerank.LexicalScorer(queryText), tieBreak = idCol)
+      .withColumn("final_rank",
+        row_number().over(
+          Window.orderBy(col("rerank_score").desc, col(idCol))))
+    val withUrl = reranked.withColumn("url",
+      PostRetrieval.rewriteUrls(urlExpr, urlRules))
+    val refs = PostRetrieval.refNumbering(withUrl, "url", "final_rank")
+      .select(col("ref_id"), col("url"))
+    withUrl.join(broadcast(refs), Seq("url"))
+  }
+
+  /** The §3.1 data path as one lazy DataFrame: pruned per-component
+    * top-k against `queryVec`, lexically reranked for `queryText`, with
+    * rewritten URLs and reference numbers. Callers pick their own
+    * column subset; [[answer]] folds it into the chat payload. */
+  def retrieve(
+      corpus: DataFrame,
+      queryVec: Seq[Float],
+      queryText: String,
+      componentCodes: Seq[Int],
+      rerank: Boolean = true,
+      urlRules: Seq[(String, String)] = Nil,
+      idCol: String = "id",
+      vecCol: String = "embedding",
+      partitionCol: String = "component_code",
+      docCol: String = "document",
+      urlExpr: Option[Column] = None,
+      metric: KnnSearch.Metric = KnnSearch.L2,
+      rankRoundDp: Option[Int] = None): DataFrame = {
+    val candidates = KnnSearch.searchComponents(
+      corpus, vecCol, partitionCol, queryVec, componentCodes,
+      rerank = rerank, metric = metric, tieBreak = Some(idCol),
+      rankRoundDp = rankRoundDp)
+    postProcess(candidates, queryText, urlRules, idCol, docCol,
+      urlExpr.getOrElse(col("metadata.doc_url")))
+  }
 
   def answer(
       spark: SparkSession,
@@ -61,26 +116,19 @@ object RagPipeline {
     try {
       val nCandidates = candidates.count() // also materializes the cache
 
-      // T3/V6: rerank (sort desc, keep 10) — candidate set is tiny
-      val reranked = Rerank.rerank(candidates, "document",
-          Rerank.LexicalScorer(queryText), tieBreak = "id")
-        .withColumn("rank",
-          row_number().over(org.apache.spark.sql.expressions.Window
-            .orderBy(col("rerank_score").desc, col("id"))))
+      val processed = postProcess(candidates, queryText, urlRules,
+        "id", "document", col("metadata.doc_url"))
 
-      // X1 + A5: rewrite urls, dedup with stable first-seen numbering
-      val withUrl = reranked.withColumn("url",
-        PostRetrieval.rewriteUrls(col("metadata.doc_url"), urlRules))
-      val refs = PostRetrieval.refNumbering(withUrl, "url", "rank")
-
-      // A3: ordered context concat
-      val context = withUrl
-        .agg(PostRetrieval.contextConcat(col("rank"), col("document")))
+      // A3: ordered context concat (refs join neither drops nor
+      // duplicates rows — one ref per distinct url, every url present)
+      val context = processed
+        .agg(PostRetrieval.contextConcat(col("final_rank"), col("document")))
         .head.getString(0)
 
       Answer(
         context,
-        refs.orderBy("ref_id").collect()
+        processed.select(col("ref_id"), col("url")).distinct()
+          .orderBy("ref_id").collect()
           .map(r => (r.getInt(0), r.getString(1))).toSeq,
         nCandidates)
     } finally candidates.unpersist()
