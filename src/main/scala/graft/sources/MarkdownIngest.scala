@@ -61,7 +61,14 @@ object MarkdownIngest {
 
   /** Recursive scan of `baseDir` for markdown files.
     * Returns (path, content) rows; `limit`=0 means unlimited (F7,
-    * doc_processing.py:220-226). */
+    * doc_processing.py:220-226).
+    *
+    * Extension pruning happens at LISTING time (`pathGlobFilter`): a
+    * non-markdown file — including large binaries living in the doc
+    * tree — is never opened, not read-then-dropped. The case-insensitive
+    * `isMarkdownPath` filter stays as a correctness belt (glob
+    * matching is case-sensitive, so the glob covers the common casings
+    * and the filter guarantees the contract). */
   def scan(
       spark: SparkSession,
       baseDir: String,
@@ -70,6 +77,8 @@ object MarkdownIngest {
     val raw = spark.read
       .option("wholetext", "true")
       .option("recursiveFileLookup", "true")
+      .option("pathGlobFilter",
+        "*.{md,mD,Md,MD,mdx,mdX,mDx,mDX,Mdx,MdX,MDx,MDX}")
       .text(baseDir)
       .select(input_file_name().as("path"), col("value").as("content"))
     val md = raw.filter(isMarkdownPath(col("path")))

@@ -12,9 +12,11 @@ class EntrySpec extends SparkSpec {
 
   test("every query name has either an oracle or a documented omission") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // rows-only queries (approximate/nondeterministic paths) — keep this
-    // list in sync deliberately
-    assert(noOracle == Set("q36_ivf_knn"))
+    // rows-only queries — keep this list in sync deliberately:
+    //  q36_ivf_knn: k-means isn't reproducible in DuckDB (recall spec
+    //    covers it); q39_model_embed: md5-byte float math not worth
+    //    mirroring (BatchEmbedderSpec covers the plumbing)
+    assert(noOracle == Set("q36_ivf_knn", "q39_model_embed"))
     // and no orphan oracles
     assert((SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).isEmpty)
   }
