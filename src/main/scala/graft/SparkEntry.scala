@@ -670,9 +670,12 @@ object SparkEntry {
     }),
 
     "q47_rolling_hash" -> ((s, dir) => {
-      // Rolling-hash document fingerprint — scan-only, one pass per doc.
+      // Rolling-hash document fingerprint — scan-only, one fused native
+      // pass per doc (graft_rollhash; HOF-equivalence in
+      // TextExpressionsSpec).
+      VectorExpressions.ensureRegistered(s)
       t(s, dir, "documents")
-        .select(col("doc_id"), rollingHash(col("text")).as("rhash"))
+        .select(col("doc_id"), rollingHashNative(col("text")).as("rhash"))
         .orderBy(col("doc_id"))
     }),
 
@@ -693,11 +696,14 @@ object SparkEntry {
 
     "q45_simhash" -> ((s, dir) => {
       // SimHash exact-collision grouping: one scan + one groupBy on the
-      // 32-bit fingerprint — near-dup detection with zero joins.
+      // 32-bit fingerprint — near-dup detection with zero joins. The
+      // fingerprint is the fused native expression (graft_simhash;
+      // HOF-equivalence in TextExpressionsSpec).
+      VectorExpressions.ensureRegistered(s)
       t(s, dir, "documents")
         .filter(col("text").isNotNull) // null text: Spark hash is null,
         // the oracle's CASE chain would yield the all-zero string
-        .select(col("doc_id"), simHash(col("text")).as("simhash"))
+        .select(col("doc_id"), simHashNative(col("text")).as("simhash"))
         .groupBy(col("simhash"))
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
         .filter(col("n_docs") > 1)

@@ -145,6 +145,18 @@ object TextFunctions {
   def charJaccardNative(text: Column, query: String, n: Int): Column =
     call_function("graft_char_jac", text, lit(query), lit(n))
 
+  /** Native fused [[simHash]] — one md5 + parity pass per distinct
+    * token instead of an interpreted aggregate-of-zip_with fold
+    * (see [[graft.plans.SimHashExpr]]). Requires graft registration. */
+  def simHashNative(text: Column, bits: Int = 32): Column =
+    call_function("graft_simhash", text, lit(bits))
+
+  /** Native fused [[rollingHash]] — one modular-fold pass over the
+    * normalized codepoints (see [[graft.plans.RollingHashExpr]]).
+    * Requires graft registration. */
+  def rollingHashNative(text: Column): Column =
+    call_function("graft_rollhash", text)
+
   /** SimHash document fingerprint over distinct tokens: bit p of the
     * `bits`-bit hash is the sign of the sum over tokens of ±1 according
     * to the parity of hex digit p of the token's md5. Near-identical

@@ -2,9 +2,9 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, StringType}
+import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native char-n-gram Jaccard against a constant query — the q35 hybrid
@@ -102,4 +102,115 @@ case class CharNgramJaccard(
       newFirst: Expression, newSecond: Expression,
       newThird: Expression): Expression =
     copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+/** Native SimHash fingerprint — the fused form of
+  * [[graft.functions.TextFunctions.simHash]]'s HOF fold, which is an
+  * interpreted aggregate of a zip_with of a transform PER TOKEN (the
+  * q45 hot path). One pass here: distinct whitespace tokens of
+  * `lower(text)`, one md5 per token, signed hex-digit-parity counts per
+  * bit position, '1'/'0' string out. Value-identical to the HOF form
+  * and the DuckDB oracle (md5-derived, JVM-independent); null text →
+  * null, like the HOF chain's null propagation.
+  */
+case class SimHashExpr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback with ExpectsInputTypes {
+
+  override def prettyName: String = "graft_simhash"
+  override def inputTypes = Seq(StringType, IntegerType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val base = super.checkInputDataTypes()
+    if (base.isFailure) base
+    else if (!right.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: bits (2nd arg) must be a constant")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  @transient private lazy val bits: Int = {
+    val v = right.eval(null).asInstanceOf[Int]
+    require(v >= 1 && v <= 32, s"$prettyName: bits=$v out of md5-hex range")
+    v
+  }
+
+  @transient private lazy val digest =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+  protected override def nullSafeEval(text: Any, bitsArg: Any): Any = {
+    val counts = new Array[Int](bits)
+    val seen = new java.util.HashSet[String]()
+    val md = digest.get()
+    // distinct tokens of lower(text), split on whitespace runs
+    val toks = text.asInstanceOf[UTF8String].toLowerCase.toString
+      .split("\\s+")
+    var ti = 0
+    while (ti < toks.length) {
+      val t = toks(ti)
+      if (t.nonEmpty && seen.add(t)) {
+        md.reset()
+        val h = md.digest(t.getBytes("UTF-8"))
+        var p = 0
+        while (p < bits) {
+          // hex digit p of the md5: high nibble of byte p/2 when p is
+          // even, low nibble when odd; its parity is the nibble's low bit
+          val b = h(p >> 1)
+          val nibble = if ((p & 1) == 0) (b >> 4) & 0xF else b & 0xF
+          counts(p) += ((nibble & 1) << 1) - 1
+          p += 1
+        }
+      }
+      ti += 1
+    }
+    val out = new Array[Byte](bits)
+    var p = 0
+    while (p < bits) {
+      out(p) = if (counts(p) > 0) '1'.toByte else '0'.toByte
+      p += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Native polynomial rolling hash — the fused form of
+  * [[graft.functions.TextFunctions.rollingHash]]'s per-character HOF
+  * fold (the q47 hot path): h = (h·31 + codepoint) mod 1e9+7 over the
+  * whitespace-normalized, lowercased, trimmed text. Codepoint semantics
+  * match Spark's `split(s, "") → ascii(c)`; null → null.
+  */
+case class RollingHashExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+
+  override def prettyName: String = "graft_rollhash"
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  private val Mod = 1000000007L
+
+  protected override def nullSafeEval(text: Any): Any = {
+    val norm = text.asInstanceOf[UTF8String].trim().toLowerCase.toString
+      .replaceAll("\\s+", " ")
+    var h = 0L
+    var i = 0
+    val n = norm.length
+    while (i < n) {
+      val cp = norm.codePointAt(i)
+      h = (h * 31 + cp) % Mod
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
 }

@@ -160,7 +160,9 @@ object VectorExpressions {
     ("graft_l2sq", es => L2SquaredDistance(es(0), es(1))),
     ("graft_dot", es => DotProduct(es(0), es(1))),
     ("graft_cos", es => CosineSimilarityExpr(es(0), es(1))),
-    ("graft_char_jac", es => CharNgramJaccard(es(0), es(1), es(2))))
+    ("graft_char_jac", es => CharNgramJaccard(es(0), es(1), es(2))),
+    ("graft_simhash", es => SimHashExpr(es(0), es(1))),
+    ("graft_rollhash", es => RollingHashExpr(es(0))))
 
   /** Idempotently register the native functions on a session — works on
     * any session, including one the external driver built without

@@ -44,6 +44,43 @@ class TextExpressionsSpec extends SparkSpec {
     assert(self == 1.0)
   }
 
+  test("graft_simhash matches the HOF simHash on the documents corpus") {
+    VectorExpressions.ensureRegistered(spark)
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.01/documents.parquet")
+      .filter(col("text").isNotNull)
+    val mismatches = docs.select(
+        simHashNative(col("text")).as("native"),
+        simHash(col("text")).as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(mismatches == 0)
+    // edge cases incl. whitespace runs, case folding, duplicate tokens
+    import spark.implicits._
+    val edge = Seq("", "  ", "a", "A a  a\tb", "x Y z y x").toDF("text")
+    edge.select(col("text"), simHashNative(col("text")).as("n"),
+        simHash(col("text")).as("h")).collect()
+      .foreach(r => assert(r.getString(1) == r.getString(2),
+        s"text='${r.getString(0)}'"))
+  }
+
+  test("graft_rollhash matches the HOF rollingHash on the documents corpus") {
+    VectorExpressions.ensureRegistered(spark)
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.01/documents.parquet")
+      .filter(col("text").isNotNull)
+    val mismatches = docs.select(
+        rollingHashNative(col("text")).as("native"),
+        rollingHash(col("text")).as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(mismatches == 0)
+    import spark.implicits._
+    val edge = Seq("", " x ", "A  B\n\tc", "1234").toDF("text")
+    edge.select(col("text"), rollingHashNative(col("text")).as("n"),
+        rollingHash(col("text")).as("h")).collect()
+      .foreach(r => assert(r.getLong(1) == r.getLong(2),
+        s"text='${r.getString(0)}'"))
+  }
+
   test("non-constant query is rejected at analysis") {
     VectorExpressions.ensureRegistered(spark)
     val docs = spark.read
