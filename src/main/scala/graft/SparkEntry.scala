@@ -107,14 +107,19 @@ object SparkEntry {
 
     "q03_quality_score" -> ((s, dir) => {
       // Text-quality scoring (north-star): composite score + its three
-      // component ratios. Pure codegen'd column math — scan-only.
+      // component ratios. ONE tokenization pass per row
+      // (graft_tok_stats), then pure codegen'd column math over the
+      // struct fields — the HOF form re-tokenized per metric.
+      VectorExpressions.ensureRegistered(s)
       val sw = Seq("the", "a", "of", "and", "value", "table")
       t(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          tokenStatsNative(col("text"), sw).as("st"))
         .select(col("doc_id"),
-          qualityScore(col("text"), sw).as("quality"),
-          round(stopwordRatio(col("text"), sw), 6).as("sw_ratio"),
+          qualityFromStats(col("text"), col("st")).as("quality"),
+          round(stopwordRatioFromStats(col("st")), 6).as("sw_ratio"),
           round(punctRatio(col("text")), 6).as("punct_ratio"),
-          round(avgTokenLength(col("text")), 6).as("avg_token_len"))
+          round(avgTokenLengthFromStats(col("st")), 6).as("avg_token_len"))
         .orderBy(col("doc_id"))
         .limit(20)
     }),

@@ -157,6 +157,48 @@ object TextFunctions {
   def rollingHashNative(text: Column): Column =
     call_function("graft_rollhash", text)
 
+  /** Native fused [[wordShingles]] — tokenize + n-gram + distinct in
+    * one pass (see [[graft.plans.WordShinglesExpr]]). Requires graft
+    * registration. */
+  def wordShinglesNative(text: Column, n: Int): Column =
+    call_function("graft_word_shingles", text, lit(n))
+
+  /** One-pass token statistics `struct<n_tokens, sum_len, n_stop>` —
+    * feed the fields to [[qualityFromStats]] / ratio arithmetic instead
+    * of re-tokenizing per metric (see [[graft.plans.TokenStatsExpr]]).
+    * Stopwords must not contain commas (CSV-packed literal). Requires
+    * graft registration. */
+  def tokenStatsNative(text: Column, stopwords: Seq[String]): Column = {
+    require(stopwords.forall(!_.contains(",")),
+      "stopwords must be comma-free")
+    call_function("graft_tok_stats", text, lit(stopwords.mkString(",")))
+  }
+
+  /** [[stopwordRatio]] from a [[tokenStatsNative]] struct. */
+  def stopwordRatioFromStats(st: Column): Column = {
+    val n = st.getField("n_tokens").cast("double")
+    when(n === 0.0, lit(0.0))
+      .otherwise(st.getField("n_stop").cast("double") / n)
+  }
+
+  /** [[avgTokenLength]] from a [[tokenStatsNative]] struct. */
+  def avgTokenLengthFromStats(st: Column): Column = {
+    val n = st.getField("n_tokens").cast("double")
+    when(n === 0.0, lit(0.0))
+      .otherwise(st.getField("sum_len").cast("double") / n)
+  }
+
+  /** [[qualityScore]] from a [[tokenStatsNative]] struct + the text
+    * column (length/punct terms are already-native column math). Same
+    * floor-based half-up rounding as [[qualityScore]]. */
+  def qualityFromStats(text: Column, st: Column): Column = {
+    val lenScore = least(length(text).cast("double") / 500.0, lit(1.0))
+    val punctScore = lit(1.0) - least(punctRatio(text) * 4.0, lit(1.0))
+    val swScore = lit(1.0) - abs(stopwordRatioFromStats(st) - 0.4)
+    val q = lenScore * 0.4 + punctScore * 0.3 + swScore * 0.3
+    floor(q * 1000000.0 + 0.5).cast("double") / 1000000.0
+  }
+
   /** SimHash document fingerprint over distinct tokens: bit p of the
     * `bits`-bit hash is the sign of the sum over tokens of ±1 according
     * to the parity of hex digit p of the token's md5. Near-identical

@@ -3,8 +3,9 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextFunctions.{jaccard, wordShingles}
+import graft.functions.TextFunctions.{jaccard, wordShinglesNative}
 import graft.functions.VectorFunctions.cosineSimilarity
+import graft.plans.VectorExpressions
 
 /** Near-duplicate detection that scales — the north-star dedup extensions
   * (builder brief) layered on the shingle/jaccard primitives in
@@ -77,9 +78,12 @@ object NearDup {
     val rowsPerBand = numHashes / bands
     require(bands * rowsPerBand == numHashes,
       s"numHashes=$numHashes must be divisible by bands=$bands")
+    // driver-side, idempotent: the fused native shingler needs the graft
+    // function registry on whatever session owns `docs`
+    VectorExpressions.ensureRegistered(docs.sparkSession)
     val shRaw = docs
       .select(col(idCol).as("id"),
-        wordShingles(col(textCol), shingleN).as("shingles"))
+        wordShinglesNative(col(textCol), shingleN).as("shingles"))
       .filter(size(col("shingles")) > 0)
     val sh =
       if (persistShingles)

@@ -181,6 +181,140 @@ case class SimHashExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native token statistics — one tokenization pass feeding the
+  * text-quality surface (the q03 hot path). The HOF formulation
+  * re-tokenizes per metric (stopword ratio, average token length, and
+  * the composite score recomputing both — four splits per row, each an
+  * interpreted filter/aggregate). This returns
+  * `struct<n_tokens, sum_len, n_stop>` from a single pass; the ratios
+  * and the composite score are then plain codegen'd arithmetic over the
+  * struct fields (see [[graft.functions.TextFunctions.tokenStatsNative]]).
+  *
+  * Semantics match the HOF forms: tokens are `\s+`-separated non-empty
+  * runs, `sum_len` counts codepoints of the original-case tokens,
+  * `n_stop` counts (non-distinct) tokens whose lowercase form is in the
+  * constant stopword set. Null text → null struct (HOF null
+  * propagation).
+  */
+case class TokenStatsExpr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback with ExpectsInputTypes {
+  import org.apache.spark.sql.types.{StructField, StructType}
+
+  override def prettyName: String = "graft_tok_stats"
+  override def inputTypes = Seq(StringType, StringType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("sum_len", LongType, nullable = false),
+    StructField("n_stop", LongType, nullable = false)))
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val base = super.checkInputDataTypes()
+    if (base.isFailure) base
+    else if (!right.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: stopwords (2nd arg, comma-joined) must be constant")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  @transient private lazy val stopSet: java.util.HashSet[String] = {
+    val out = new java.util.HashSet[String]()
+    val csv = right.eval(null).asInstanceOf[UTF8String]
+    if (csv != null)
+      csv.toString.split(",").foreach(s => if (s.nonEmpty) out.add(s))
+    out
+  }
+
+  protected override def nullSafeEval(text: Any, stops: Any): Any = {
+    val toks = text.asInstanceOf[UTF8String].toString.split("\\s+")
+    var n = 0L
+    var sumLen = 0L
+    var nStop = 0L
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      if (t.nonEmpty) {
+        n += 1
+        sumLen += t.codePointCount(0, t.length)
+        if (stopSet.contains(t.toLowerCase(java.util.Locale.ROOT))) nStop += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n, sumLen, nStop))
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Native word-n-gram shingling — the fused form of
+  * [[graft.functions.TextFunctions.wordShingles]]'s zip_with chain (the
+  * q43 near-dup hot path): tokenize `lower(text)` on whitespace, emit
+  * the distinct space-joined n-grams in first-occurrence order. Null or
+  * too-short text → empty array, exactly like the HOF form's
+  * `when(inputNull || count <= 0, array())`.
+  */
+case class WordShinglesExpr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback with ExpectsInputTypes {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.sql.types.ArrayType
+
+  override def prettyName: String = "graft_word_shingles"
+  override def inputTypes = Seq(StringType, IntegerType)
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val base = super.checkInputDataTypes()
+    if (base.isFailure) base
+    else if (!right.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: n (2nd arg) must be a constant")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  @transient private lazy val n: Int = {
+    val v = right.eval(null).asInstanceOf[Int]
+    require(v > 0, s"$prettyName: n must be positive, got $v")
+    v
+  }
+
+  // handles null itself: null text means an EMPTY shingle set, not null
+  override def eval(input: InternalRow): Any = {
+    val t = left.eval(input)
+    if (t == null) return new GenericArrayData(Array.empty[Any])
+    val toks = t.asInstanceOf[UTF8String].toLowerCase.toString
+      .split("\\s+").filter(_.nonEmpty)
+    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String]()
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i + n <= toks.length) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size())
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Native polynomial rolling hash — the fused form of
   * [[graft.functions.TextFunctions.rollingHash]]'s per-character HOF
   * fold (the q47 hot path): h = (h·31 + codepoint) mod 1e9+7 over the

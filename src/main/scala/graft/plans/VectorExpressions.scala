@@ -162,7 +162,9 @@ object VectorExpressions {
     ("graft_cos", es => CosineSimilarityExpr(es(0), es(1))),
     ("graft_char_jac", es => CharNgramJaccard(es(0), es(1), es(2))),
     ("graft_simhash", es => SimHashExpr(es(0), es(1))),
-    ("graft_rollhash", es => RollingHashExpr(es(0))))
+    ("graft_rollhash", es => RollingHashExpr(es(0))),
+    ("graft_tok_stats", es => TokenStatsExpr(es(0), es(1))),
+    ("graft_word_shingles", es => WordShinglesExpr(es(0), es(1))))
 
   /** Idempotently register the native functions on a session — works on
     * any session, including one the external driver built without

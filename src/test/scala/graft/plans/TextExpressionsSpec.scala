@@ -81,6 +81,57 @@ class TextExpressionsSpec extends SparkSpec {
         s"text='${r.getString(0)}'"))
   }
 
+  test("graft_tok_stats-derived metrics match the HOF quality surface") {
+    VectorExpressions.ensureRegistered(spark)
+    val sw = Seq("the", "a", "of", "and", "value", "table")
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.01/documents.parquet")
+      .filter(col("text").isNotNull)
+    val st = tokenStatsNative(col("text"), sw)
+    val mismatches = docs.select(col("text"), st.as("st"))
+      .select(
+        qualityFromStats(col("text"), col("st")).as("nq"),
+        qualityScore(col("text"), sw).as("hq"),
+        stopwordRatioFromStats(col("st")).as("ns"),
+        stopwordRatio(col("text"), sw).as("hs"),
+        avgTokenLengthFromStats(col("st")).as("na"),
+        avgTokenLength(col("text")).as("ha"))
+      .filter(col("nq") =!= col("hq") || col("ns") =!= col("hs") ||
+        col("na") =!= col("ha"))
+      .count()
+    assert(mismatches == 0)
+    // empty text: both forms give 0-ratios
+    import spark.implicits._
+    val empty = Seq("", "   ").toDF("text")
+      .select(tokenStatsNative(col("text"), sw).as("st"))
+      .select(stopwordRatioFromStats(col("st")).as("s"),
+        avgTokenLengthFromStats(col("st")).as("a")).collect()
+    empty.foreach { r =>
+      assert(r.getDouble(0) == 0.0 && r.getDouble(1) == 0.0)
+    }
+  }
+
+  test("graft_word_shingles matches the HOF wordShingles") {
+    VectorExpressions.ensureRegistered(spark)
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.01/documents.parquet")
+    val mismatches = docs.select(
+        wordShinglesNative(col("text"), 3).as("native"),
+        wordShingles(col("text"), 3).as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(mismatches == 0)
+    import spark.implicits._
+    val edge = Seq(null.asInstanceOf[String], "", "a b", "a b c",
+      "A  b\tC d a b c").toDF("text")
+    edge.select(col("text"),
+        wordShinglesNative(col("text"), 3).as("n"),
+        wordShingles(col("text"), 3).as("h")).collect()
+      .foreach { r =>
+        assert(r.getSeq[String](1) == r.getSeq[String](2),
+          s"text='${r.get(0)}'")
+      }
+  }
+
   test("non-constant query is rejected at analysis") {
     VectorExpressions.ensureRegistered(spark)
     val docs = spark.read
