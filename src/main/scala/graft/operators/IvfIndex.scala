@@ -46,16 +46,7 @@ final case class IvfIndex(
     * tiny). Cluster ids need not be contiguous — k-means can leave a
     * cluster empty, so a persisted index may hold a sparse id set. */
   def probeOrder(query: Seq[Float]): Seq[Int] =
-    centroids.zipWithIndex
-      .map { case (c, i) =>
-        var s = 0.0
-        var j = 0
-        while (j < c.length) {
-          val d = c(j) - query(j); s += d * d; j += 1
-        }
-        (s, clusterIds(i))
-      }
-      .sortBy(_._1).map(_._2).toSeq
+    IvfIndex.probeOrder(centroids, clusterIds, query)
 
   /** V5 approximate search: probe the `nprobe` nearest clusters, exact
     * top-k inside them. */
@@ -90,6 +81,22 @@ final case class IvfIndex(
 
 object IvfIndex {
   val ClusterCol = "__ivf_cluster"
+
+  /** nearest-centroid cluster ids, closest first — shared by
+    * [[IvfIndex#probeOrder]] and the [[graft.plans.IvfAutoProbe]]
+    * optimizer rule. */
+  def probeOrder(centroids: Array[Array[Float]], clusterIds: Array[Int],
+      query: Seq[Float]): Seq[Int] =
+    centroids.zipWithIndex
+      .map { case (c, i) =>
+        var s = 0.0
+        var j = 0
+        while (j < c.length) {
+          val d = c(j) - query(j); s += d * d; j += 1
+        }
+        (s, clusterIds(i))
+      }
+      .sortBy(_._1).map(_._2).toSeq
 
   /** V4: build the index — k-means (MLlib, seeded for reproducibility)
     * then nearest-centroid assignment. One fit over a sample-friendly

@@ -11,11 +11,15 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * [[VectorExpressions.ensureRegistered]].
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     VectorExpressions.functions.foreach { case (name, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo(classOf[VectorFoldExpression].getName, name),
         builder))
     }
+    // opt-in ANN rewrite: ORDER BY graft_l2sq LIMIT k over an
+    // IVF-partitioned table → probe-pruned scan (spark.graft.ivf.nprobe)
+    ext.injectOptimizerRule(session => IvfAutoProbe(session))
+  }
 }

@@ -1,0 +1,182 @@
+package graft.plans
+
+import scala.util.Try
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, AttributeReference, Expression, ExprId, In, Literal, SortOrder}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, GlobalLimit, LocalLimit, LogicalPlan, Project, Sort}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType, LongType}
+
+import graft.operators.IvfIndex
+
+/** OPT-IN optimizer rule: rewrite an exact vector top-k over an
+  * IVF-partitioned table into a probe-pruned scan — the engine-level
+  * analogue of the reference's "the HNSW index serves ORDER BY distance
+  * LIMIT k" contract (`VECTOR KEY ... TYPE=HNSW`,
+  * /root/reference/src/tools/load.py:26), and SURVEY §4's declared
+  * custom-planner work.
+  *
+  * Matched shape (exactly what [[graft.operators.KnnSearch.topK]]
+  * produces over a loaded index):
+  *
+  *   GlobalLimit → LocalLimit → Sort(dist ASC, ...) →
+  *     (Project|Filter)* → LogicalRelation(parquet partitioned by
+  *     __ivf_cluster, with a `_centroids` sidecar)
+  *
+  * where `dist` resolves (through the Project aliases) to an expression
+  * containing `graft_l2sq(vecCol, <constant vector>)`. The rule reads
+  * the (tiny, cached) centroid sidecar on the driver, picks the
+  * `nprobe` nearest clusters for the constant query vector, and injects
+  * `Filter(__ivf_cluster IN probes)` directly above the relation, where
+  * the planner's PhysicalOperation collapse turns it into parquet
+  * PartitionFilters — whole directories are skipped.
+  *
+  * APPROXIMATION IS OPT-IN: the rewrite changes exact top-k into
+  * IVF-recall top-k, so it only fires when
+  * `spark.graft.ivf.nprobe` is set to a positive value (0 / unset =
+  * off; ≥ nlist = no-op since every cluster would be probed). Sessions
+  * get the rule via [[GraftExtensions]] (declarative) or
+  * `spark.experimental.extraOptimizations` (imperative).
+  */
+case class IvfAutoProbe(spark: SparkSession) extends Rule[LogicalPlan] {
+  import IvfAutoProbe._
+
+  private def nprobe: Int =
+    Try(spark.conf.get(NprobeConf, "0").toInt).getOrElse(0)
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val np = nprobe
+    if (np <= 0) plan
+    else plan.transformDown {
+      case gl @ GlobalLimit(_, ll @ LocalLimit(_, inner)) =>
+        // column pruning may interleave Projects between the limit and
+        // the sort — look through them
+        def rew(p: LogicalPlan): Option[LogicalPlan] = p match {
+          case s: Sort if s.global => rewriteSort(s, np)
+          case pr: Project => rew(pr.child).map(c => pr.copy(child = c))
+          case _ => None
+        }
+        rew(inner)
+          .map(ni => gl.copy(child = ll.copy(child = ni)))
+          .getOrElse(gl)
+    }
+  }
+
+  /** Rewrite one Sort subtree, or None when the shape doesn't match. */
+  private def rewriteSort(s: Sort, np: Int): Option[Sort] = {
+    // 1. walk the Project/Filter chain down to a single parquet relation,
+    //    collecting aliases; bail on anything else (joins, unions, ...)
+    var aliases = Map.empty[ExprId, Expression]
+    var node: LogicalPlan = s.child
+    var probedAlready = false
+    var rel: LogicalRelation = null
+    var clusterAttr: AttributeReference = null
+    while (rel == null) {
+      node match {
+        case p: Project =>
+          p.projectList.foreach {
+            case a: Alias => aliases += (a.exprId -> a.child)
+            case _ =>
+          }
+          node = p.child
+        case f: Filter =>
+          if (f.condition.references.exists(_.name == IvfIndex.ClusterCol))
+            probedAlready = true
+          node = f.child
+        case lr: LogicalRelation =>
+          rel = lr
+        case _ => return None
+      }
+    }
+    if (probedAlready) return None
+    val fs = rel.relation match {
+      case h: HadoopFsRelation
+          if h.partitionSchema.fieldNames.contains(IvfIndex.ClusterCol) => h
+      case _ => return None
+    }
+    clusterAttr = rel.output.collectFirst {
+      case a: AttributeReference if a.name == IvfIndex.ClusterCol => a
+    }.getOrElse(return None)
+
+    // 2. the primary sort key must be ascending and resolve to a
+    //    graft_l2sq(relationColumn, constant vector) subtree
+    val qVec: Array[Float] = s.order.headOption match {
+      case Some(SortOrder(key, Ascending, _, _)) =>
+        val resolved = resolve(key, aliases)
+        val found = resolved.collectFirst {
+          case L2SquaredDistance(a: AttributeReference, l)
+              if rel.outputSet.contains(a) && constVector(l).isDefined =>
+            constVector(l).get
+        }
+        found.getOrElse(return None)
+      case _ => return None
+    }
+
+    // 3. centroids from the sidecar (driver-side, cached per root path)
+    val root = fs.location.rootPaths.headOption.getOrElse(return None)
+    val cents = centroidsFor(spark, root.toString).getOrElse(return None)
+    if (np >= cents.length) return None // full scan anyway
+    val probes = IvfIndex
+      .probeOrder(cents.map(_._2), cents.map(_._1), qVec.toSeq)
+      .take(np)
+
+    // 4. inject the probe filter directly above the relation; the
+    //    planner's PhysicalOperation collapse makes it a PartitionFilter
+    val lits = clusterAttr.dataType match {
+      case IntegerType => probes.map(p => Literal(p))
+      case LongType    => probes.map(p => Literal(p.toLong))
+      case _           => return None
+    }
+    val newChild = s.child.transformUp {
+      case lr: LogicalRelation if lr eq rel =>
+        Filter(In(clusterAttr, lits), lr)
+    }
+    Some(s.copy(child = newChild))
+  }
+
+  /** substitute Project aliases into the sort key (bounded — alias
+    * chains in the matched shape are at most a few levels) */
+  private def resolve(e: Expression,
+      aliases: Map[ExprId, Expression]): Expression = {
+    var cur = e
+    var i = 0
+    while (i < 4) {
+      cur = cur.transformUp {
+        case ar: AttributeReference if aliases.contains(ar.exprId) =>
+          aliases(ar.exprId)
+      }
+      i += 1
+    }
+    cur
+  }
+
+  private def constVector(e: Expression): Option[Array[Float]] = e match {
+    case Literal(ad: ArrayData, ArrayType(FloatType, _)) =>
+      Try(ad.toFloatArray()).toOption
+    case _ => None
+  }
+}
+
+object IvfAutoProbe {
+  val NprobeConf = "spark.graft.ivf.nprobe"
+
+  private val centroidCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      Option[Array[(Int, Array[Float])]]]()
+
+  /** (clusterId, centroid) pairs from the `_centroids` sidecar, or None
+    * when the table has no sidecar (then it is not an IVF index and the
+    * rule must not fire). Cached: index roots are immutable-once-written
+    * (write() is Overwrite-whole-directory). */
+  private def centroidsFor(spark: SparkSession,
+      root: String): Option[Array[(Int, Array[Float])]] =
+    centroidCache.computeIfAbsent(root, _ =>
+      Try {
+        spark.read.parquet(s"$root/_centroids").collect()
+          .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray)
+          .sortBy(_._1)
+      }.toOption)
+}

@@ -1,0 +1,98 @@
+package graft.plans
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.operators.{IvfIndex, KnnSearch}
+
+/** The opt-in ANN rewrite: a plain exact top-k over an IVF-partitioned
+  * table becomes a probe-pruned scan when spark.graft.ivf.nprobe is set,
+  * stays exact when it is not, and never fires on non-index tables. */
+class IvfAutoProbeSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.01"
+  private lazy val embeddings =
+    spark.read.parquet(s"$sfDir/embeddings.parquet").cache()
+
+  private lazy val indexPath: String = {
+    val tmp = Files.createTempDirectory("graft-autoprobe-").toString
+    IvfIndex.build(embeddings, "vec_id", "embedding", nlist = 8)
+      .write(s"$tmp/ivf")
+    s"$tmp/ivf"
+  }
+
+  private def withRule[A](nprobe: Int)(body: => A): A = {
+    VectorExpressions.ensureRegistered(spark)
+    val rule = IvfAutoProbe(spark)
+    if (!spark.experimental.extraOptimizations.contains(rule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ rule
+    spark.conf.set(IvfAutoProbe.NprobeConf, nprobe.toString)
+    try body
+    finally spark.conf.set(IvfAutoProbe.NprobeConf, "0")
+  }
+
+  private def queryVec: Seq[Float] =
+    embeddings.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0)
+
+  private def topKPlanAndRows(nprobe: Int) = withRule(nprobe) {
+    val loaded = spark.read.parquet(indexPath)
+    val df = KnnSearch.topK(loaded, "embedding", queryVec, 10,
+      KnnSearch.NativeL2, tieBreak = Some("vec_id"))
+    (df.queryExecution.executedPlan.toString,
+      df.select("vec_id").collect().map(_.getLong(0)).toSet)
+  }
+
+  test("nprobe conf turns an exact top-k into a pruned probe") {
+    val (plan, rows) = topKPlanAndRows(nprobe = 6)
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains(IvfIndex.ClusterCol),
+      s"expected a partition-pruned scan in:\n$plan")
+    // recall vs the exact path at nprobe=6/8 (recall ≥ 0.9 on this corpus)
+    val exact = KnnSearch.topK(embeddings, "embedding", queryVec, 10,
+        KnnSearch.L2, tieBreak = Some("vec_id"))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(rows.intersect(exact).size >= 9,
+      s"recall too low: ${rows.intersect(exact).size}/10")
+  }
+
+  test("rule is off without the conf and results stay exact") {
+    val (plan, rows) = topKPlanAndRows(nprobe = 0)
+    assert(!plan.contains(s"${IvfIndex.ClusterCol} IN"),
+      s"rule must not fire when disabled:\n$plan")
+    val exact = KnnSearch.topK(embeddings, "embedding", queryVec, 10,
+        KnnSearch.L2, tieBreak = Some("vec_id"))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(rows == exact)
+  }
+
+  test("never fires on a table without the sidecar / partition column") {
+    withRule(6) {
+      val df = KnnSearch.topK(embeddings, "embedding", queryVec, 10,
+        KnnSearch.NativeL2, tieBreak = Some("vec_id"))
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains(IvfIndex.ClusterCol))
+      // and the result is the exact answer
+      val rows = df.select("vec_id").collect().map(_.getLong(0)).toSet
+      val exact = KnnSearch.topK(embeddings, "embedding", queryVec, 10,
+          KnnSearch.L2, tieBreak = Some("vec_id"))
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(rows == exact)
+    }
+  }
+
+  test("probe filter prunes directories (fewer files read than full scan)") {
+    withRule(2) {
+      val loaded = spark.read.parquet(indexPath)
+      val df = KnnSearch.topK(loaded, "embedding", queryVec, 5,
+        KnnSearch.NativeL2, tieBreak = Some("vec_id"))
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") &&
+        plan.contains(IvfIndex.ClusterCol))
+      // scanning 2/8 clusters must return rows from ≤ 2 distinct clusters
+      val clusters = df.select(IvfIndex.ClusterCol).distinct().count()
+      assert(clusters <= 2)
+    }
+  }
+}
