@@ -163,6 +163,12 @@ object TextFunctions {
   def wordShinglesNative(text: Column, n: Int): Column =
     call_function("graft_word_shingles", text, lit(n))
 
+  /** Native fused MinHash signature over a shingle-array column — one
+    * narrow pass per row, no explode/shuffle (see
+    * [[graft.plans.MinHashSigExpr]]). Requires graft registration. */
+  def minhashNative(shingles: Column, numHashes: Int): Column =
+    call_function("graft_minhash", shingles, lit(numHashes))
+
   /** One-pass token statistics `struct<n_tokens, sum_len, n_stop>` —
     * feed the fields to [[qualityFromStats]] / ratio arithmetic instead
     * of re-tokenizing per metric (see [[graft.plans.TokenStatsExpr]]).

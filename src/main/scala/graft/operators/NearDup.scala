@@ -89,19 +89,19 @@ object NearDup {
       if (persistShingles)
         shRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else shRaw
-    // signature relationally: explode shingles once, take the min salted
-    // md5 per salt as a two-phase (partial, map-side) aggregation — each
-    // shingle is hashed numHashes times total, and the shingle array is
-    // materialized exactly once per doc. A nested-HOF formulation instead
-    // re-derives the array per lambda element (measured 100× slower).
-    val exploded = sh.select(col("id"), explode(col("shingles")).as("s"))
-    val sigAggs = (0 until numHashes).map(i =>
-      min(md5(concat(lit(s"$i|"), col("s")))).as(s"h$i"))
-    val sig = exploded.groupBy(col("id"))
-      .agg(sigAggs.head, sigAggs.tail: _*)
+    // signature natively: graft_minhash computes all numHashes salted-md5
+    // minima in ONE narrow pass per row — no shingle explosion, no
+    // aggregation shuffle. (History: a nested-HOF formulation re-derived
+    // the shingle array per lambda element, 100× slower; the round-3
+    // explode → per-salt min agg fixed that but still materialized
+    // shingles× rows through a shuffle.)
+    val sig = sh.select(col("id"),
+      graft.functions.TextFunctions.minhashNative(col("shingles"),
+        numHashes).as("sig"))
     val bucketCols = (0 until bands).map { b =>
       concat(lit(s"$b:"), md5(concat_ws("|",
-        (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*)))
+        (0 until rowsPerBand).map(r =>
+          element_at(col("sig"), b * rowsPerBand + r + 1)): _*)))
     }
     val buckets = sig
       .select(col("id"), explode(array(bucketCols: _*)).as("bucket"))

@@ -315,6 +315,104 @@ case class WordShinglesExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native MinHash signature — element i is the minimum md5 of
+  * `"i|" + shingle` over the row's shingle set, i = 0..numHashes-1
+  * (one independent permutation per salt; the q43 near-dup signature,
+  * identical to the relational explode → per-salt min formulation in
+  * [[graft.operators.NearDup.minhashPairs]] and to the DuckDB oracle).
+  * One narrow pass per row: no shingle explosion, no aggregation
+  * shuffle, the same numHashes md5s per shingle. Minima are tracked on
+  * raw digest bytes (unsigned lexicographic == hex-string order) and
+  * hex-encoded once at the end. Empty shingle set → null (the
+  * relational form never emits a row for it).
+  */
+case class MinHashSigExpr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback with ExpectsInputTypes {
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+  import org.apache.spark.sql.types.ArrayType
+
+  override def prettyName: String = "graft_minhash"
+  override def inputTypes = Seq(ArrayType(StringType), IntegerType)
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val base = super.checkInputDataTypes()
+    if (base.isFailure) base
+    else if (!right.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: numHashes (2nd arg) must be a constant")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  @transient private lazy val numHashes: Int = {
+    val v = right.eval(null).asInstanceOf[Int]
+    require(v > 0, s"$prettyName: numHashes must be positive, got $v")
+    v
+  }
+
+  @transient private lazy val saltPrefixes: Array[Array[Byte]] =
+    Array.tabulate(numHashes)(i => s"$i|".getBytes("UTF-8"))
+
+  @transient private lazy val digest =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+  private def lessUnsigned(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var k = 0
+    while (k < a.length) {
+      val d = (a(k) & 0xff) - (b(k) & 0xff)
+      if (d != 0) return d < 0
+      k += 1
+    }
+    false
+  }
+
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  private def hex(bytes: Array[Byte]): String = {
+    val out = new Array[Char](bytes.length * 2)
+    var k = 0
+    while (k < bytes.length) {
+      out(k * 2) = HexChars((bytes(k) >> 4) & 0xF)
+      out(k * 2 + 1) = HexChars(bytes(k) & 0xF)
+      k += 1
+    }
+    new String(out)
+  }
+
+  protected override def nullSafeEval(shingles: Any, n: Any): Any = {
+    val arr = shingles.asInstanceOf[ArrayData]
+    val count = arr.numElements()
+    if (count == 0) return null
+    val md = digest.get()
+    val mins = new Array[Array[Byte]](numHashes)
+    var si = 0
+    while (si < count) {
+      val sBytes = arr.getUTF8String(si).getBytes
+      var i = 0
+      while (i < numHashes) {
+        md.reset()
+        md.update(saltPrefixes(i))
+        md.update(sBytes)
+        val h = md.digest()
+        if (mins(i) == null || lessUnsigned(h, mins(i))) mins(i) = h
+        i += 1
+      }
+      si += 1
+    }
+    new GenericArrayData(
+      mins.map(m => UTF8String.fromString(hex(m)): Any))
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Native polynomial rolling hash — the fused form of
   * [[graft.functions.TextFunctions.rollingHash]]'s per-character HOF
   * fold (the q47 hot path): h = (h·31 + codepoint) mod 1e9+7 over the

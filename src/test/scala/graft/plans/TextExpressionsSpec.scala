@@ -132,6 +132,26 @@ class TextExpressionsSpec extends SparkSpec {
       }
   }
 
+  test("graft_minhash matches the HOF minhashSignature") {
+    VectorExpressions.ensureRegistered(spark)
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.01/documents.parquet")
+      .filter(col("text").isNotNull)
+    val sh = docs.select(wordShinglesNative(col("text"), 3).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+    val mismatches = sh.select(
+        minhashNative(col("shingles"), 12).as("native"),
+        graft.operators.NearDup.minhashSignature(col("shingles"), 12)
+          .as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(mismatches == 0)
+    // empty shingle set → null signature
+    import spark.implicits._
+    val empty = Seq(Seq.empty[String]).toDF("shingles")
+      .select(minhashNative(col("shingles"), 4)).collect()
+    assert(empty.head.isNullAt(0))
+  }
+
   test("non-constant query is rejected at analysis") {
     VectorExpressions.ensureRegistered(spark)
     val docs = spark.read
