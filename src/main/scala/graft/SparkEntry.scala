@@ -458,24 +458,18 @@ object SparkEntry {
       val qTokens = qText.split(" ").toSeq
       val qWeights = Seq("spark" -> 2.0, "query" -> 1.5, "join" -> 1.0,
         "table" -> 1.0, "window" -> 0.5, "agg" -> 0.5)
-      val qMap = map(qWeights.flatMap { case (k, v) =>
-        Seq(lit(k), lit(v)) }: _*)
-      val ts = tokens(lower(col("text")))
-      // tf restricted to the query's keys: sparseDot only probes qMap's
-      // keys, so counting the other tokens is wasted work — and a
-      // full-vocabulary tf via transform(distinct, filter-count) is
-      // O(distinct × tokens) per row.
-      val qKeys = array(qWeights.map(kv => lit(kv._1)): _*)
-      val tf = map_from_arrays(qKeys,
-        transform(qKeys,
-          k => size(filter(ts, x => x === k)).cast("double")))
+      // sparse (tf × weights over all tokens) + colbert (distinct query
+      // coverage) come from ONE native tokenization pass; the query's
+      // weight keys equal its tokens, so n_hit IS the intersect count.
       val dense = charJaccardNative(col("text"), qText, 4)
-      val sparse = sparseDot(tf, qMap)
-      val colbert = size(array_intersect(array_distinct(ts),
-        array(qTokens.map(lit): _*))).cast("double") / qTokens.size
+      val ov = queryOverlapNative(col("text"), qWeights)
       t(s, dir, "documents")
+        .select(col("doc_id"), dense.as("d"), ov.as("ov"))
         .select(col("doc_id"),
-          round(Rerank.fuse(dense, sparse, colbert), 4).as("hybrid_score"))
+          round(Rerank.fuse(col("d"),
+            col("ov").getField("sparse"),
+            col("ov").getField("n_hit").cast("double") / qTokens.size), 4)
+            .as("hybrid_score"))
         .orderBy(col("hybrid_score").desc, col("doc_id"))
         .limit(10)
     }),

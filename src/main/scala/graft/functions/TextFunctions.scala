@@ -169,6 +169,19 @@ object TextFunctions {
   def minhashNative(shingles: Column, numHashes: Int): Column =
     call_function("graft_minhash", shingles, lit(numHashes))
 
+  /** Native weighted-query overlap `struct<sparse, n_hit>` — the tf ×
+    * weight dot product over ALL tokens plus the distinct-hit count, in
+    * one pass (see [[graft.plans.QueryOverlapExpr]]). Keys must be
+    * comma- and colon-free. Requires graft registration. */
+  def queryOverlapNative(text: Column, weights: Seq[(String, Double)])
+      : Column = {
+    require(weights.forall { case (k, _) =>
+      !k.contains(",") && !k.contains(":") },
+      "weight keys must be comma- and colon-free")
+    call_function("graft_query_overlap", text,
+      lit(weights.map { case (k, w) => s"$k:$w" }.mkString(",")))
+  }
+
   /** One-pass token statistics `struct<n_tokens, sum_len, n_stop>` —
     * feed the fields to [[qualityFromStats]] / ratio arithmetic instead
     * of re-tokenizing per metric (see [[graft.plans.TokenStatsExpr]]).

@@ -315,6 +315,75 @@ case class WordShinglesExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native weighted-query overlap — the sparse + colbert terms of the
+  * hybrid fusion (q35) in one tokenization pass. Returns
+  * `struct<sparse: double, n_hit: long>` where `sparse` is the sum over
+  * ALL tokens of the constant query weight map (the tf × weight dot
+  * product) and `n_hit` counts the DISTINCT weighted-query tokens
+  * present (the colbert coverage numerator). Value-identical to the
+  * composed HOF form (tf map restricted to query keys → sparseDot;
+  * array_intersect of distinct tokens); null text → null.
+  */
+case class QueryOverlapExpr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback with ExpectsInputTypes {
+  import org.apache.spark.sql.types.{StructField, StructType}
+
+  override def prettyName: String = "graft_query_overlap"
+  override def inputTypes = Seq(StringType, StringType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("sparse", DoubleType, nullable = false),
+    StructField("n_hit", LongType, nullable = false)))
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val base = super.checkInputDataTypes()
+    if (base.isFailure) base
+    else if (!right.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: weights (2nd arg, 'k:w,k:w' CSV) must be constant")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  @transient private lazy val weights
+      : java.util.HashMap[String, java.lang.Double] = {
+    val out = new java.util.HashMap[String, java.lang.Double]()
+    val csv = right.eval(null).asInstanceOf[UTF8String]
+    if (csv != null && csv.numChars() > 0)
+      csv.toString.split(",").foreach { kv =>
+        val i = kv.lastIndexOf(':')
+        require(i > 0, s"$prettyName: malformed weight entry '$kv'")
+        out.put(kv.substring(0, i),
+          java.lang.Double.valueOf(kv.substring(i + 1)))
+      }
+    out
+  }
+
+  protected override def nullSafeEval(text: Any, w: Any): Any = {
+    val toks = text.asInstanceOf[UTF8String].toLowerCase.toString
+      .split("\\s+")
+    var sparse = 0.0
+    val hit = new java.util.HashSet[String]()
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      if (t.nonEmpty) {
+        val wv = weights.get(t)
+        if (wv != null) {
+          sparse += wv.doubleValue()
+          hit.add(t)
+        }
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](sparse, hit.size().toLong))
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Native MinHash signature — element i is the minimum md5 of
   * `"i|" + shingle` over the row's shingle set, i = 0..numHashes-1
   * (one independent permutation per salt; the q43 near-dup signature,

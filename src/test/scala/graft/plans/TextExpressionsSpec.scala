@@ -152,6 +152,38 @@ class TextExpressionsSpec extends SparkSpec {
     assert(empty.head.isNullAt(0))
   }
 
+  test("graft_query_overlap matches the HOF tf/sparseDot + intersect form") {
+    VectorExpressions.ensureRegistered(spark)
+    import graft.functions.VectorFunctions.sparseDot
+    val qWeights = Seq("spark" -> 2.0, "query" -> 1.5, "join" -> 1.0,
+      "table" -> 1.0, "window" -> 0.5, "agg" -> 0.5)
+    val qMap = map(qWeights.flatMap { case (k, v) =>
+      Seq(lit(k), lit(v)) }: _*)
+    val qKeys = array(qWeights.map(kv => lit(kv._1)): _*)
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.01/documents.parquet")
+      .filter(col("text").isNotNull)
+    val ts = tokens(lower(col("text")))
+    val tf = map_from_arrays(qKeys,
+      transform(qKeys, k => size(filter(ts, x => x === k)).cast("double")))
+    val mismatches = docs.select(
+        queryOverlapNative(col("text"), qWeights).as("ov"),
+        sparseDot(tf, qMap).as("hs"),
+        size(array_intersect(array_distinct(ts), qKeys)).cast("long")
+          .as("hh"))
+      .filter(col("ov.sparse") =!= col("hs") ||
+        col("ov.n_hit") =!= col("hh"))
+      .count()
+    assert(mismatches == 0)
+    import spark.implicits._
+    val empty = Seq("", "none of these").toDF("text")
+      .select(queryOverlapNative(col("text"), qWeights).as("ov"))
+      .select(col("ov.sparse"), col("ov.n_hit")).collect()
+    empty.foreach { r =>
+      assert(r.getDouble(0) == 0.0 && r.getLong(1) == 0L)
+    }
+  }
+
   test("non-constant query is rejected at analysis") {
     VectorExpressions.ensureRegistered(spark)
     val docs = spark.read
