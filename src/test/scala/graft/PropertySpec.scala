@@ -75,6 +75,46 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("native text expressions == HOF forms on random unicode-ish text") {
+    import spark.implicits._
+    import graft.functions.TextFunctions._
+    import graft.plans.VectorExpressions
+    VectorExpressions.ensureRegistered(spark)
+    // words over a mixed alphabet (ascii, digits, punctuation, accents,
+    // CJK) separated by random whitespace runs — exercises the
+    // normalization/tokenization corners the word-soup corpus doesn't
+    val charGen = Gen.frequency(
+      8 -> Gen.alphaNumChar,
+      2 -> Gen.oneOf('.', ',', '!', '-', '@'),
+      1 -> Gen.oneOf('é', 'ü', 'ß', 'λ', '中', '文'))
+    val wordGen = Gen.chooseNum(1, 8)
+      .flatMap(n => Gen.listOfN(n, charGen).map(_.mkString))
+    val wsGen = Gen.oneOf(" ", "  ", "\t", "\n", " \t ")
+    val textGen = Gen.chooseNum(0, 30).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(wordGen, wsGen))
+        .map(_.map { case (w, s) => w + s }.mkString))
+    val texts = samples(textGen, 120)
+    val sw = Seq("the", "a", "of")
+    val df = texts.toDF("text")
+    val bad = df.select(
+        simHashNative(col("text")).as("ns"),
+        simHash(col("text")).as("hs"),
+        rollingHashNative(col("text")).as("nr"),
+        rollingHash(col("text")).as("hr"),
+        wordShinglesNative(col("text"), 2).as("nw"),
+        wordShingles(col("text"), 2).as("hw"),
+        charJaccardNative(col("text"), "the quick brown", 3).as("nj"),
+        jaccard(charShingles(col("text"), 3),
+          charShingles(lit("the quick brown"), 3)).as("hj"),
+        stopwordRatioFromStats(tokenStatsNative(col("text"), sw)).as("nt"),
+        stopwordRatio(col("text"), sw).as("ht"))
+      .filter(col("ns") =!= col("hs") || col("nr") =!= col("hr") ||
+        col("nw") =!= col("hw") || col("nj") =!= col("hj") ||
+        col("nt") =!= col("ht"))
+      .count()
+    assert(bad == 0)
+  }
+
   test("shingle guards: short/empty/null inputs yield empty arrays") {
     import spark.implicits._
     import graft.functions.TextFunctions._
