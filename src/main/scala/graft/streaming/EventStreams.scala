@@ -47,6 +47,31 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Streaming exact dedup for a continuously-ingested document feed —
+    * the streaming form of the q40 batch dedup (north-star: a training
+    * pipeline deduping data as it lands). Keyed on the whitespace/case-
+    * normalized content fingerprint; `dropDuplicatesWithinWatermark`
+    * bounds the dedup state by the watermark horizon, so two copies
+    * arriving within `watermark` of each other dedup while state stays
+    * finite on an unbounded stream — the correct trade for crawl-style
+    * feeds where duplicates cluster in time. Same code shape works on a
+    * batch frame via plain `dropDuplicates` (tested both ways in
+    * EventStreamsSpec). */
+  def dedupStream(
+      docs: DataFrame,
+      textCol: String,
+      tsCol: String,
+      watermark: String = "1 hour"): DataFrame = {
+    val fp = docs.withColumn("__fp",
+      graft.functions.TextFunctions.fingerprint(col(textCol)))
+    val deduped =
+      if (docs.isStreaming)
+        fp.withWatermark(tsCol, watermark)
+          .dropDuplicatesWithinWatermark("__fp")
+      else fp.dropDuplicates("__fp")
+    deduped.drop("__fp")
+  }
+
   /** Stateful sessionization with the GroupState API
     * (`mapGroupsWithState`) — the Spark-native analogue of the
     * reference's stateful stream buffer (ST2, rag_graph.py:451-477),

@@ -62,6 +62,43 @@ class EventStreamsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("dedupStream drops repeated content across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val docs = input.toDF().toDF("doc_id", "ts", "text")
+    val query = EventStreams.dedupStream(docs, "text", "ts", "2 hours")
+      .writeStream.format("memory").queryName("dedup_docs")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        (1L, ts(0), "the quick brown fox"),
+        (2L, ts(1), "entirely different text"),
+        (3L, ts(2), "The  quick   brown fox")) // normalized duplicate of 1
+      query.processAllAvailable()
+      // next batch: another duplicate (within the watermark) + a new doc
+      input.addData(
+        (4L, ts(30), "the quick brown fox"),
+        (5L, ts(31), "a third distinct document"))
+      query.processAllAvailable()
+      val kept = spark.table("dedup_docs")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept == Set(1L, 2L, 5L),
+        s"expected normalized + cross-batch dupes dropped, got $kept")
+    } finally query.stop()
+  }
+
+  test("dedupStream batch form dedups on the same fingerprint") {
+    import spark.implicits._
+    val batch = Seq(
+      (1L, ts(0), "alpha beta"),
+      (2L, ts(1), "ALPHA    beta"),
+      (3L, ts(2), "gamma")).toDF("doc_id", "ts", "text")
+    val out = EventStreams.dedupStream(batch, "text", "ts")
+      .select("text").collect().map(_.getString(0)).toSet
+    assert(out.size == 2 && out.contains("gamma"))
+  }
+
   test("windowedCounts runs over a real file stream (readStream source)") {
     val batchDf = graft.Tables(spark, "/root/testdata/sf0.001", "events")
     // the raw file stores ts as TIMESTAMP(NANOS) -> read as long
