@@ -127,12 +127,14 @@ object SparkEntry {
     "q04_langid" -> ((s, dir) => {
       // Language-ID heuristic: argmax over marker-word scores (ties to the
       // lexicographically largest language, mirrored in the oracle CASE).
+      // Marker counting is one fused native token walk (graft_marker_counts).
+      VectorExpressions.ensureRegistered(s)
       val profiles = Seq(
         "en" -> Seq("the", "a", "fast", "slow"),
         "es" -> Seq("data", "row", "part"),
         "zh" -> Seq("spark", "window", "stream"))
       t(s, dir, "documents")
-        .select(langIdHeuristic(col("text"), profiles).as("predicted"))
+        .select(langIdHeuristicNative(col("text"), profiles).as("predicted"))
         .groupBy(col("predicted"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("predicted"))

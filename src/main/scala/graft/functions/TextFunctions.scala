@@ -242,6 +242,26 @@ object TextFunctions {
       transform(counts, c => when(c > 0, lit("1")).otherwise(lit("0"))), "")
   }
 
+  /** Native-scored [[langIdHeuristic]]: marker counting is one fused
+    * token walk (see [[graft.plans.MarkerCountsExpr]]); the argmax stays
+    * the same struct array_max, so tie semantics are identical. Requires
+    * graft registration. */
+  def langIdHeuristicNative(text: Column,
+      profiles: Seq[(String, Seq[String])]): Column = {
+    require(profiles.forall { case (l, ms) =>
+      !l.contains(",") && !l.contains(":") &&
+        ms.forall(m => !m.contains(",") && !m.contains(":") &&
+          !m.contains("|")) },
+      "profile names/markers must be free of ',', ':' and '|'")
+    val spec = profiles
+      .map { case (l, ms) => s"$l:${ms.mkString("|")}" }.mkString(",")
+    val counts = call_function("graft_marker_counts", text, lit(spec))
+    val scored = profiles.zipWithIndex.map { case ((lang, _), i) =>
+      struct(element_at(counts, i + 1).as("score"), lit(lang).as("lang"))
+    }
+    array_max(array(scored: _*)).getField("lang")
+  }
+
   /** Language-ID heuristic: score text against per-language marker-word
     * sets, return the argmax (ties broken by language order). The marker
     * lists are for the synthetic test corpus; swap for real profiles in

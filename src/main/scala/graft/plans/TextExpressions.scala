@@ -384,6 +384,79 @@ case class QueryOverlapExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native marker-word counts — the language-ID scoring pass (q04) in
+  * one tokenization walk. The constant profile spec is
+  * `"lang:m1|m2|...,lang2:..."`; the result is `array<long>` of
+  * (non-distinct) token hits per profile, in spec order. A token may
+  * belong to several profiles and counts for each. Value-identical to
+  * the per-profile HOF `size(filter(tokens, contains))` chain; null
+  * text → null.
+  */
+case class MarkerCountsExpr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback with ExpectsInputTypes {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.sql.types.ArrayType
+
+  override def prettyName: String = "graft_marker_counts"
+  override def inputTypes = Seq(StringType, StringType)
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val base = super.checkInputDataTypes()
+    if (base.isFailure) base
+    else if (!right.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: profiles (2nd arg) must be constant")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  /** marker → indices of the profiles containing it, plus profile count */
+  @transient private lazy val (markerToProfiles, nProfiles)
+      : (java.util.HashMap[String, Array[Int]], Int) = {
+    val map = new java.util.HashMap[String, Array[Int]]()
+    val spec = right.eval(null).asInstanceOf[UTF8String]
+    require(spec != null && spec.numChars() > 0,
+      s"$prettyName: empty profile spec")
+    val profiles = spec.toString.split(",")
+    profiles.zipWithIndex.foreach { case (p, i) =>
+      val sep = p.indexOf(':')
+      require(sep > 0, s"$prettyName: malformed profile '$p'")
+      p.substring(sep + 1).split("\\|").foreach { m =>
+        if (m.nonEmpty) {
+          val prev = map.get(m)
+          map.put(m, if (prev == null) Array(i) else prev :+ i)
+        }
+      }
+    }
+    (map, profiles.length)
+  }
+
+  protected override def nullSafeEval(text: Any, spec: Any): Any = {
+    val counts = new Array[Long](nProfiles)
+    val toks = text.asInstanceOf[UTF8String].toLowerCase.toString
+      .split("\\s+")
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      if (t.nonEmpty) {
+        val hits = markerToProfiles.get(t)
+        if (hits != null) {
+          var j = 0
+          while (j < hits.length) { counts(hits(j)) += 1L; j += 1 }
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(counts.map(c => c: Any))
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Native MinHash signature — element i is the minimum md5 of
   * `"i|" + shingle` over the row's shingle set, i = 0..numHashes-1
   * (one independent permutation per salt; the q43 near-dup signature,

@@ -166,7 +166,8 @@ object VectorExpressions {
     ("graft_tok_stats", es => TokenStatsExpr(es(0), es(1))),
     ("graft_word_shingles", es => WordShinglesExpr(es(0), es(1))),
     ("graft_minhash", es => MinHashSigExpr(es(0), es(1))),
-    ("graft_query_overlap", es => QueryOverlapExpr(es(0), es(1))))
+    ("graft_query_overlap", es => QueryOverlapExpr(es(0), es(1))),
+    ("graft_marker_counts", es => MarkerCountsExpr(es(0), es(1))))
 
   /** Idempotently register the native functions on a session — works on
     * any session, including one the external driver built without

@@ -184,6 +184,27 @@ class TextExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("langIdHeuristicNative matches the HOF langIdHeuristic") {
+    VectorExpressions.ensureRegistered(spark)
+    val profiles = Seq(
+      "en" -> Seq("the", "a", "fast", "slow"),
+      "es" -> Seq("data", "row", "part"),
+      "zh" -> Seq("spark", "window", "stream"))
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.01/documents.parquet")
+      .filter(col("text").isNotNull)
+    val mismatches = docs.select(
+        langIdHeuristicNative(col("text"), profiles).as("native"),
+        langIdHeuristic(col("text"), profiles).as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(mismatches == 0)
+    // tie behavior: zero-score text picks the lexicographically largest
+    import spark.implicits._
+    val tie = Seq("nothing matches here").toDF("text")
+      .select(langIdHeuristicNative(col("text"), profiles)).head()
+    assert(tie.getString(0) == "zh")
+  }
+
   test("non-constant query is rejected at analysis") {
     VectorExpressions.ensureRegistered(spark)
     val docs = spark.read
