@@ -510,23 +510,26 @@ object SparkEntry {
 
     "q38_rag_pipeline" -> ((s, dir) => {
       // The flagship §3.1 path end-to-end (rag_graph.py:365-510 minus
-      // LLM calls): corpus = embeddings ⋈ documents, per-component
-      // pruned top-k (label as component_code, rerank=true → k=10 each),
-      // lexical rerank to 10, stable rank, URL derivation, first-seen
-      // reference numbering joined back per candidate. Every stage is
-      // oracle-mirrored, so the whole composition is hash-checked —
-      // not just its pieces.
+      // LLM calls), in the scale-correct two-table shape: per-component
+      // pruned top-k over the THIN embeddings table (label as
+      // component_code, rerank=true → k=10 each), documents joined in
+      // ONLY for the ≤30 candidates (broadcast), lexical rerank to 10,
+      // stable rank, URL derivation, first-seen reference numbering.
+      // Every embedding id has a document row, so this equals the
+      // oracle's join-first formulation row-for-row while never joining
+      // the full tables. Every stage is oracle-mirrored, so the whole
+      // composition is hash-checked — not just its pieces.
       VectorExpressions.ensureRegistered(s)
       val q = queryVec(s, dir)
-      val emb = t(s, dir, "embeddings")
-      val docs = t(s, dir, "documents")
-      val corpus = emb.join(docs, emb("vec_id") === docs("doc_id"))
-        .select(emb("vec_id").as("id"), col("embedding"),
-          col("label").as("component_code"),
-          col("text").as("document"),
+      val vectors = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding"),
+          col("label").as("component_code"))
+      val docsT = t(s, dir, "documents")
+        .select(col("doc_id"), col("text").as("document"),
           struct(concat(lit("https://docs.example.com/"), col("source"))
             .as("doc_url")).as("metadata"))
-      RagPipeline.retrieve(corpus, q, "spark query join table window agg",
+      RagPipeline.retrieveThin(vectors, docsT, "doc_id", q,
+          "spark query join table window agg",
           Seq(1, 3, 5), rerank = true, metric = KnnSearch.NativeL2,
           rankRoundDp = Some(4))
         .select(col("final_rank"), col("id"), col("rerank_score"),

@@ -83,6 +83,41 @@ object RagPipeline {
       urlExpr.getOrElse(col("metadata.doc_url")))
   }
 
+  /** The scale-correct two-table form: top-k runs on the THIN vector
+    * table alone (id, vector, component — the only columns retrieval
+    * needs), and document text/metadata are joined in only for the
+    * ≤ k·components candidates, explicitly broadcast — the reference's
+    * "fetch full docs for the hits" shape. Joining a 100 TB document
+    * table into the corpus BEFORE retrieval would shuffle both tables to
+    * discard all but k rows; here the docs table is scanned once against
+    * a broadcast hash of the candidate ids. Use [[retrieve]] when the
+    * corpus already stores text inline (CorpusStore's layout). */
+  def retrieveThin(
+      vectors: DataFrame,
+      docs: DataFrame,
+      docKeyCol: String,
+      queryVec: Seq[Float],
+      queryText: String,
+      componentCodes: Seq[Int],
+      rerank: Boolean = true,
+      urlRules: Seq[(String, String)] = Nil,
+      idCol: String = "id",
+      vecCol: String = "embedding",
+      partitionCol: String = "component_code",
+      docCol: String = "document",
+      urlExpr: Option[Column] = None,
+      metric: KnnSearch.Metric = KnnSearch.L2,
+      rankRoundDp: Option[Int] = None): DataFrame = {
+    val candidates = KnnSearch.searchComponents(
+      vectors, vecCol, partitionCol, queryVec, componentCodes,
+      rerank = rerank, metric = metric, tieBreak = Some(idCol),
+      rankRoundDp = rankRoundDp)
+    val hydrated = broadcast(candidates)
+      .join(docs, candidates(idCol) === docs(docKeyCol))
+    postProcess(hydrated, queryText, urlRules, idCol, docCol,
+      urlExpr.getOrElse(col("metadata.doc_url")))
+  }
+
   def answer(
       spark: SparkSession,
       corpus: DataFrame,

@@ -46,4 +46,24 @@ class RagPipelineSpec extends SparkSpec {
       queryText = "anything", requestedComponents = Seq("nope", "zilch"))
     assert(ans.nCandidates == 8) // observer only
   }
+
+  test("retrieveThin broadcasts the candidate set into the docs join") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val vectors = emb.select(col("vec_id").as("id"), col("embedding"),
+      col("label").as("component_code"))
+    val docsT = docs.select(col("doc_id"), col("text").as("document"),
+      struct(lit("file:x").as("doc_url")).as("metadata"))
+    val q = emb.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0)
+    val df = RagPipeline.retrieveThin(vectors, docsT, "doc_id", q,
+      "spark table", Seq(1, 3), rerank = true)
+    val plan = df.queryExecution.executedPlan.toString
+    // the ≤ k·components candidate side must reach the docs scan as a
+    // broadcast — never a shuffle of the documents table against it
+    assert(plan.contains("BroadcastExchange"), s"no broadcast in:\n$plan")
+    val rows = df.select("final_rank", "id", "ref_id").collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+  }
 }
