@@ -552,6 +552,22 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q49_model_rerank" -> ((s, dir) => {
+      // The model-reranker seam under corpus-wide load: FakeCrossEncoder
+      // (the deterministic stand-in behind the real mapPartitions
+      // batching — one model load per partition, the reference's BGE
+      // compute_score lifecycle) pointwise-scores every document and
+      // keeps the top 10. No DuckDB oracle (md5-jitter float math not
+      // worth mirroring); rows-only + BatchRerankerSpec. Bench-visible
+      // so the seam's cost model is measured, like q39 for embedding.
+      graft.operators.FakeCrossEncoder()
+        .rerank(t(s, dir, "documents").select(col("doc_id"), col("text")),
+          "text", "spark query join table window agg", limit = 10,
+          tieBreak = "doc_id")
+        .select(col("doc_id"), round(col("rerank_score"), 4).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+
     // --- S-series: ingestion / chunking (SURVEY §2.1) ---
     "q20_chunker" -> ((s, dir) => {
       // S2/S3/S4 SQL path: assemble deterministic markdown per source

@@ -14,9 +14,11 @@ class EntrySpec extends SparkSpec {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // rows-only queries — keep this list in sync deliberately:
     //  q36_ivf_knn: k-means isn't reproducible in DuckDB (recall spec
-    //    covers it); q39_model_embed: md5-byte float math not worth
-    //    mirroring (BatchEmbedderSpec covers the plumbing)
-    assert(noOracle == Set("q36_ivf_knn", "q39_model_embed"))
+    //    covers it); q39_model_embed / q49_model_rerank: md5-derived
+    //    float math not worth mirroring (BatchEmbedderSpec /
+    //    BatchRerankerSpec cover the plumbing)
+    assert(noOracle ==
+      Set("q36_ivf_knn", "q39_model_embed", "q49_model_rerank"))
     // and no orphan oracles
     assert((SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).isEmpty)
   }
