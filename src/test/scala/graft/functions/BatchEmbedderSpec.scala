@@ -44,4 +44,31 @@ class BatchEmbedderSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
   }
+
+  test("the same embedDocuments transform runs under readStream") {
+    // the reference's ingest → embed flow as a stream: mapPartitions is
+    // a streaming-compatible typed op, so continuous corpus building
+    // reuses the identical operator
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val query = embedder.embedDocuments(docs, "text")
+      .writeStream.format("memory").queryName("embedded_docs")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((1L, "first chunk"), (2L, "second chunk"))
+      query.processAllAvailable()
+      input.addData((3L, "first chunk")) // same text, later batch
+      query.processAllAvailable()
+      val rows = spark.table("embedded_docs")
+        .select(col("doc_id"), col("embedding")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+      assert(rows.keySet == Set(1L, 2L, 3L))
+      assert(rows(1L) == rows(3L), "same text must embed identically")
+      assert(rows(1L) != rows(2L))
+    } finally query.stop()
+  }
 }
