@@ -43,17 +43,22 @@ object SparkEntry {
     * and serve every subsequent search from the LOADED index so probes
     * prune parquet partition directories — never refit per query
     * (round-3 scale defect). */
-  private val ivfCache =
-    new java.util.concurrent.ConcurrentHashMap[String, IvfIndex]()
-  private def ivfIndexFor(s: SparkSession, dir: String): IvfIndex =
-    ivfCache.computeIfAbsent(dir, _ => {
+  private val ivfPathCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ivfIndexFor(s: SparkSession, dir: String): IvfIndex = {
+    // cache the PATH, not the index: a cached IvfIndex would pin
+    // DataFrames to whichever session built it, breaking later sessions
+    // in the same JVM. Re-loading is a sidecar read — cheap.
+    val path = ivfPathCache.computeIfAbsent(dir, _ => {
       val built = IvfIndex.build(t(s, dir, "embeddings"), "vec_id",
         "embedding", nlist = 8)
-      val path = java.nio.file.Files
+      val p = java.nio.file.Files
         .createTempDirectory("graft_ivf_").toString
-      built.write(path)
-      IvfIndex.load(s, path, "vec_id", "embedding")
+      built.write(p)
+      p
     })
+    IvfIndex.load(s, path, "vec_id", "embedding")
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's whole §3.1 data path minus LLM calls: take a query

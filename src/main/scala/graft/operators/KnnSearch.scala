@@ -131,9 +131,13 @@ object KnnSearch {
       // bounded max-heaps: head = current worst of the best k, evicted
       // on a strictly better (dist, tie) candidate
       final class Entry(val dist: Double, val tie: Any, val row: Row)
+      // null ties sort first, matching Spark's ascending null ordering
       def cmp(a: Entry, b: Entry): Int = {
         val c = java.lang.Double.compare(a.dist, b.dist)
         if (c != 0) c
+        else if (a.tie == null && b.tie == null) 0
+        else if (a.tie == null) -1
+        else if (b.tie == null) 1
         else a.tie.asInstanceOf[Comparable[Any]].compareTo(b.tie)
       }
       val ord = Ordering.fromLessThan[Entry]((a, b) => cmp(a, b) < 0)

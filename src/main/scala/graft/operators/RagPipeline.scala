@@ -52,9 +52,14 @@ object RagPipeline {
           Window.orderBy(col("rerank_score").desc, col(idCol))))
     val withUrl = reranked.withColumn("url",
       PostRetrieval.rewriteUrls(urlExpr, urlRules))
+    // null-safe equality: a candidate with a NULL url (missing
+    // metadata) still gets numbered and kept — refNumbering's groupBy
+    // emits a null-url group, and <=> matches it back, so the join
+    // neither drops nor duplicates rows
     val refs = PostRetrieval.refNumbering(withUrl, "url", "final_rank")
-      .select(col("ref_id"), col("url"))
-    withUrl.join(broadcast(refs), Seq("url"))
+      .select(col("ref_id"), col("url").as("__ref_url"))
+    withUrl.join(broadcast(refs), col("url") <=> col("__ref_url"))
+      .drop("__ref_url")
   }
 
   /** The §3.1 data path as one lazy DataFrame: pruned per-component

@@ -101,17 +101,20 @@ case class IvfAutoProbe(spark: SparkSession) extends Rule[LogicalPlan] {
       case a: AttributeReference if a.name == IvfIndex.ClusterCol => a
     }.getOrElse(return None)
 
-    // 2. the primary sort key must be ascending and resolve to a
-    //    graft_l2sq(relationColumn, constant vector) subtree
+    // 2. the primary sort key must be ascending and BE the
+    //    graft_l2sq(relationColumn, constant vector) term — possibly
+    //    under monotonic non-decreasing wrappers (sqrt / round / cast) —
+    //    never merely contain it: a non-monotonic transform (negation,
+    //    reciprocal, subtraction) would invert the ordering and make
+    //    nearest-cluster pruning return the wrong rows.
     val qVec: Array[Float] = s.order.headOption match {
       case Some(SortOrder(key, Ascending, _, _)) =>
-        val resolved = resolve(key, aliases)
-        val found = resolved.collectFirst {
+        unwrapMonotonic(resolve(key, aliases)) match {
           case L2SquaredDistance(a: AttributeReference, l)
-              if rel.outputSet.contains(a) && constVector(l).isDefined =>
-            constVector(l).get
+              if rel.outputSet.contains(a) =>
+            constVector(l).getOrElse(return None)
+          case _ => return None
         }
-        found.getOrElse(return None)
       case _ => return None
     }
 
@@ -153,6 +156,19 @@ case class IvfAutoProbe(spark: SparkSession) extends Rule[LogicalPlan] {
     cur
   }
 
+  /** strip wrappers that preserve the ascending order of a non-negative
+    * distance: sqrt, round (non-decreasing), casts, aliases */
+  private def unwrapMonotonic(e: Expression): Expression = e match {
+    case org.apache.spark.sql.catalyst.expressions.Sqrt(c) =>
+      unwrapMonotonic(c)
+    case org.apache.spark.sql.catalyst.expressions.Round(c, _, _) =>
+      unwrapMonotonic(c)
+    case c: org.apache.spark.sql.catalyst.expressions.Cast =>
+      unwrapMonotonic(c.child)
+    case a: Alias => unwrapMonotonic(a.child)
+    case other => other
+  }
+
   private def constVector(e: Expression): Option[Array[Float]] = e match {
     case Literal(ad: ArrayData, ArrayType(FloatType, _)) =>
       Try(ad.toFloatArray()).toOption
@@ -165,18 +181,26 @@ object IvfAutoProbe {
 
   private val centroidCache =
     new java.util.concurrent.ConcurrentHashMap[String,
-      Option[Array[(Int, Array[Float])]]]()
+      Array[(Int, Array[Float])]]()
 
   /** (clusterId, centroid) pairs from the `_centroids` sidecar, or None
     * when the table has no sidecar (then it is not an IVF index and the
-    * rule must not fire). Cached: index roots are immutable-once-written
-    * (write() is Overwrite-whole-directory). */
+    * rule must not fire). Positive results are cached — index roots are
+    * immutable-once-written (write() is Overwrite-whole-directory;
+    * rebuild to a NEW path, the lifecycle `SparkEntry.ivfIndexFor`
+    * follows). Misses are NOT cached, so a table that gains a sidecar
+    * later is picked up. */
   private def centroidsFor(spark: SparkSession,
-      root: String): Option[Array[(Int, Array[Float])]] =
-    centroidCache.computeIfAbsent(root, _ =>
-      Try {
-        spark.read.parquet(s"$root/_centroids").collect()
-          .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray)
-          .sortBy(_._1)
-      }.toOption)
+      root: String): Option[Array[(Int, Array[Float])]] = {
+    val cached = centroidCache.get(root)
+    if (cached != null) Some(cached)
+    else Try {
+      spark.read.parquet(s"$root/_centroids").collect()
+        .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray)
+        .sortBy(_._1)
+    }.toOption match {
+      case Some(cents) => centroidCache.putIfAbsent(root, cents); Some(cents)
+      case None => None
+    }
+  }
 }

@@ -534,18 +534,24 @@ case class MinHashSigExpr(left: Expression, right: Expression)
     val mins = new Array[Array[Byte]](numHashes)
     var si = 0
     while (si < count) {
-      val sBytes = arr.getUTF8String(si).getBytes
-      var i = 0
-      while (i < numHashes) {
-        md.reset()
-        md.update(saltPrefixes(i))
-        md.update(sBytes)
-        val h = md.digest()
-        if (mins(i) == null || lessUnsigned(h, mins(i))) mins(i) = h
-        i += 1
+      // skip null elements: a null shingle carries no content (callers
+      // built via wordShingles never produce one, but the function is
+      // registered session-wide)
+      if (!arr.isNullAt(si)) {
+        val sBytes = arr.getUTF8String(si).getBytes
+        var i = 0
+        while (i < numHashes) {
+          md.reset()
+          md.update(saltPrefixes(i))
+          md.update(sBytes)
+          val h = md.digest()
+          if (mins(i) == null || lessUnsigned(h, mins(i))) mins(i) = h
+          i += 1
+        }
       }
       si += 1
     }
+    if (mins(0) == null) return null // all elements were null
     new GenericArrayData(
       mins.map(m => UTF8String.fromString(hex(m)): Any))
   }

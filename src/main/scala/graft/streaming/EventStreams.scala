@@ -62,7 +62,11 @@ object EventStreams {
       textCol: String,
       tsCol: String,
       watermark: String = "1 hour"): DataFrame = {
-    val fp = docs.withColumn("__fp",
+    // null text has no content to dedup on — and a NULL fingerprint key
+    // would make dropDuplicates treat ALL null-text docs as copies of
+    // each other. A training feed discards empty documents; do so
+    // explicitly here.
+    val fp = docs.filter(col(textCol).isNotNull).withColumn("__fp",
       graft.functions.TextFunctions.fingerprint(col(textCol)))
     val deduped =
       if (docs.isStreaming)

@@ -82,6 +82,23 @@ class IvfAutoProbeSpec extends SparkSpec {
     }
   }
 
+  test("non-monotonic sort keys are not rewritten (farthest-k stays exact)") {
+    withRule(6) {
+      val loaded = spark.read.parquet(indexPath)
+      // farthest-k phrased as ascending of the NEGATED distance: a
+      // contains-check would prune to the NEAREST clusters and return
+      // the wrong rows — the rule must require the distance itself
+      val neg = -org.apache.spark.sql.functions.sqrt(
+        call_function("graft_l2sq", col("embedding"),
+          KnnSearch.litVec(queryVec)))
+      val df = loaded.withColumn("negdist", neg)
+        .orderBy(col("negdist"), col("vec_id")).limit(10)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains(s"${IvfIndex.ClusterCol} IN"),
+        s"rule must not fire on a negated distance:\n$plan")
+    }
+  }
+
   test("probe filter prunes directories (fewer files read than full scan)") {
     withRule(2) {
       val loaded = spark.read.parquet(indexPath)
