@@ -62,6 +62,33 @@ final case class IvfIndex(
       vecCol, query, k, metric, tieBreak)
   }
 
+  /** Batch V5: ONE pruned scan serves a whole query set. The scan
+    * covers the UNION of every query's `nprobe` nearest clusters
+    * (partition-pruned directories, like [[search]]); per-query
+    * bounded k-heaps ([[KnnSearch.topKBatch]]) then rank inside it.
+    * Each query sees a superset of its own probed clusters, so
+    * per-query recall is ≥ the single-query search at the same nprobe;
+    * the scan fraction is |union| / nlist — batch queries that cluster
+    * together (the common case for related questions) share most of
+    * their probes. */
+  def searchBatch(
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      k: Int,
+      nprobe: Int,
+      tieBreak: String,
+      rankRoundDp: Option[Int] = None): DataFrame = {
+    val np = math.max(1, nprobe)
+    val probes = queries.select(queryVecCol).collect()
+      .flatMap(r => probeOrder(r.getSeq[Float](0)).take(np))
+      .distinct.toSeq
+    KnnSearch.topKBatch(
+      assigned.filter(col(IvfIndex.ClusterCol).isin(probes: _*)),
+      vecCol, queries, queryIdCol, queryVecCol, k, tieBreak,
+      rankRoundDp = rankRoundDp)
+  }
+
   /** Persist as a cluster-partitioned table: search then prunes whole
     * directories, the same mechanism as the component corpus. The
     * centroids (nlist × dim floats — a few KB) ride along in a

@@ -80,6 +80,34 @@ class IvfIndexSpec extends SparkSpec {
       plan.contains(IvfIndex.ClusterCol))
   }
 
+  test("searchBatch equals per-query exact top-k over the union-probed scan") {
+    val qs = embeddings.filter(col("vec_id").isin(0, 1, 2))
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val batch = index.searchBatch(qs, "qid", "qv", k = 5, nprobe = 3,
+        tieBreak = "vec_id", rankRoundDp = Some(4))
+      .select(col("query_id"), col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // reference: the same pruned subset, per query, through exact topK
+    val probes = queryVecs(3).flatMap(q => index.probeOrder(q).take(3))
+      .distinct
+    val pruned = index.assigned
+      .filter(col(IvfIndex.ClusterCol).isin(probes: _*))
+    val single = queryVecs(3).zipWithIndex.flatMap { case (q, i) =>
+      KnnSearch.topK(pruned, "embedding", q, 5, KnnSearch.L2,
+          tieBreak = Some("vec_id"), rankRoundDp = Some(4))
+        .select("vec_id").collect().map(r => (i.toLong, r.getLong(0)))
+    }.toSet
+    assert(batch == single)
+    // and each query's recall ≥ its own single-probe search recall
+    queryVecs(3).zipWithIndex.foreach { case (q, i) =>
+      val exact = exactTopK(q, 5)
+      val own = index.search(q, 5, nprobe = 3, tieBreak = Some("vec_id"))
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      val got = batch.collect { case (qid, v) if qid == i.toLong => v }
+      assert(got.intersect(exact).size >= own.intersect(exact).size)
+    }
+  }
+
   test("load falls back to per-(cluster,dim) means without a sidecar") {
     val tmp = Files.createTempDirectory("graft-ivf-").toString
     index.write(s"$tmp/ivf")
