@@ -503,6 +503,14 @@ case class MinHashSigExpr(left: Expression, right: Expression)
         java.security.MessageDigest.getInstance("MD5")
     }
 
+  // per-thread 16-byte scratch: the digest loop runs numHashes× per
+  // shingle over the whole corpus — digesting into a reused buffer and
+  // copying only on a new minimum keeps the loop allocation-free
+  @transient private lazy val scratch =
+    new ThreadLocal[Array[Byte]] {
+      override def initialValue(): Array[Byte] = new Array[Byte](16)
+    }
+
   private def lessUnsigned(a: Array[Byte], b: Array[Byte]): Boolean = {
     var k = 0
     while (k < a.length) {
@@ -531,6 +539,7 @@ case class MinHashSigExpr(left: Expression, right: Expression)
     val count = arr.numElements()
     if (count == 0) return null
     val md = digest.get()
+    val buf = scratch.get()
     val mins = new Array[Array[Byte]](numHashes)
     var si = 0
     while (si < count) {
@@ -544,8 +553,12 @@ case class MinHashSigExpr(left: Expression, right: Expression)
           md.reset()
           md.update(saltPrefixes(i))
           md.update(sBytes)
-          val h = md.digest()
-          if (mins(i) == null || lessUnsigned(h, mins(i))) mins(i) = h
+          md.digest(buf, 0, 16)
+          if (mins(i) == null) {
+            mins(i) = java.util.Arrays.copyOf(buf, 16)
+          } else if (lessUnsigned(buf, mins(i))) {
+            System.arraycopy(buf, 0, mins(i), 0, 16)
+          }
           i += 1
         }
       }
