@@ -110,6 +110,34 @@ object CorpusStore {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.schema(schema).parquet(path)
 
+  /** Compact a fragmented corpus into `destPath`: streaming/incremental
+    * appends (dedupStream → write per micro-batch, or many small ingest
+    * calls) leave one file per batch per partition, and at scale the
+    * small-file COUNT — not data volume — dominates listing and scan
+    * task overhead. Rewrites each partition's rows into
+    * ~`targetRowsPerFile`-row files: one shuffle keyed on the partition
+    * column, `maxRecordsPerFile` bounding file size, the same
+    * `partitionBy` layout out.
+    *
+    * Deliberately copy-compact, not in-place: Spark (correctly) refuses
+    * to overwrite a path it is reading from, and delete-then-rewrite of
+    * the live corpus would lose data on a mid-job failure. Compact to a
+    * fresh directory, then swap readers (or the directory symlink) —
+    * the reference's single-writer ingest model (load.py) makes the
+    * swap a metadata operation. */
+  def compact(spark: SparkSession, srcPath: String, destPath: String,
+      targetRowsPerFile: Long = 500000L): Unit = {
+    require(new java.io.File(destPath).getCanonicalPath !=
+      new java.io.File(srcPath).getCanonicalPath,
+      "compact is copy-based: destPath must differ from srcPath")
+    read(spark, srcPath)
+      .repartition(col("component_code"))
+      .write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", targetRowsPerFile)
+      .partitionBy("component_code")
+      .parquet(destPath)
+  }
+
   // ---- JSON round-trip (S8/S9) ----------------------------------------
 
   /** S9: full-table export as JSON (extract.py:87-166 — its LIMIT/OFFSET

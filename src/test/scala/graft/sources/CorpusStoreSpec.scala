@@ -94,6 +94,53 @@ class CorpusStoreSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("compact collapses small files while preserving data and pruning") {
+    // fragment: 8 tiny appends per component → many files per partition
+    val chunks = MarkdownIngest.ingest(spark, corpusDir, Seq("oracle"))
+    val frag = s"$tmp/fragmented"
+    (1 to 8).foreach { i =>
+      CorpusStore.write(
+        CorpusStore.fromChunks(chunks.limit(2), "observer", embedder),
+        frag,
+        if (i == 1) org.apache.spark.sql.SaveMode.Overwrite
+        else org.apache.spark.sql.SaveMode.Append)
+      CorpusStore.write(
+        CorpusStore.fromChunks(chunks.limit(2), "ocp", embedder), frag)
+    }
+    def parquetFiles(p: String): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(p)).count(_.getName.endsWith(".parquet"))
+    }
+    val before = CorpusStore.read(spark, frag)
+    val nRows = before.count()
+    val filesBefore = parquetFiles(frag)
+    assert(filesBefore >= 16, s"fixture should be fragmented: $filesBefore")
+
+    val dest = s"$tmp/compacted"
+    CorpusStore.compact(spark, frag, dest)
+    val after = CorpusStore.read(spark, dest)
+    assert(after.count() == nRows)
+    val filesAfter = parquetFiles(dest)
+    assert(filesAfter < filesBefore,
+      s"expected fewer files: $filesBefore -> $filesAfter")
+    // data identical (ids are row-unique across the appends)
+    val a = before.select("id", "document", "component_code")
+      .collect().map(_.toSeq).toSet
+    val b = after.select("id", "document", "component_code")
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+    // the compacted layout still partition-prunes
+    val plan = after.filter(col("component_code") === 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"))
+    // in-place compaction is refused
+    intercept[IllegalArgumentException] {
+      CorpusStore.compact(spark, frag, frag)
+    }
+  }
+
   test("component dimension + next code (J2/A6/S11)") {
     assert(CorpusStore.defaultComponents.values.toSeq.distinct.size ==
       CorpusStore.defaultComponents.size) // no ob.py:42/:44 dup-key bug
