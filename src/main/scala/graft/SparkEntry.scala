@@ -76,7 +76,7 @@ object SparkEntry {
   // Queries. Names sort lexicographically in implementation-area groups:
   //   q0x relational aggregation/filter, q1x joins/windows/setops,
   //   q2x strings/regex/json/dates, q3x vector, q4x dedup/text,
-  //   q5x events/streaming-batch.
+  //   q5x pipeline tooling (splits).
   // ---------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -744,6 +744,18 @@ object SparkEntry {
         .limit(20)
     }),
 
+    "q50_hash_split" -> ((s, dir) => {
+      // Reproducible dataset splits by content hash (north-star
+      // pipeline tooling): a doc's split depends only on its own bytes,
+      // so re-runs, engine swaps, and corpus growth never reassign it.
+      // Scan-only derivation + one two-key groupBy.
+      t(s, dir, "documents")
+        .select(col("lang"), hashSplit(col("text")).as("split"))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("split"))
+    }),
+
     "q42_lang_profile" -> ((s, dir) => {
       // groupBy-count + numeric agg per language (A2 analogue).
       t(s, dir, "documents")
@@ -1321,6 +1333,14 @@ object SparkEntry {
            t -> len(t) > 0)) AS n_tokens,
          n_chars
          FROM documents ORDER BY n_tokens DESC, doc_id LIMIT 20""",
+
+    "q50_hash_split" ->
+      """SELECT lang,
+           CASE WHEN substr(md5(text), 1, 2) < 'cc' THEN 'train'
+                WHEN substr(md5(text), 1, 2) < 'e6' THEN 'val'
+                ELSE 'test' END AS split,
+           count(*) AS n
+         FROM documents GROUP BY 1, 2 ORDER BY lang, split""",
 
     "q42_lang_profile" ->
       """SELECT lang, count(*) AS n_docs,

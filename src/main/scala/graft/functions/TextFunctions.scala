@@ -85,6 +85,24 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     substring(md5(regexp_replace(lower(trim(text)), "\\s+", " ")), 1, 16)
 
+  /** Reproducible train/val/test split assignment by content hash — the
+    * standard trick for dataset splits that survive re-runs, engine
+    * swaps, and corpus growth (a document's split never changes because
+    * it depends only on its own bytes, never on row order or a seed).
+    * The first two md5 hex chars are uniform over 256 values; the split
+    * is a lexicographic range test on them, so any engine with md5
+    * reproduces it exactly. Defaults ≈ 79.7 / 10.2 / 10.2 (%).
+    * Null text falls to "test" (every branch's null comparison fails). */
+  def hashSplit(text: Column, trainUpperHex: String = "cc",
+      valUpperHex: String = "e6"): Column = {
+    require(trainUpperHex < valUpperHex,
+      s"train bound '$trainUpperHex' must precede val bound '$valUpperHex'")
+    val h = substring(md5(text), 1, 2)
+    when(h < trainUpperHex, "train")
+      .when(h < valUpperHex, "val")
+      .otherwise("test")
+  }
+
   /** Word n-gram shingles as an array of strings (distinct). Docs with
     * fewer than n tokens yield an empty array.
     *
