@@ -756,6 +756,34 @@ object SparkEntry {
         .orderBy(col("lang"), col("split"))
     }),
 
+    "q51_decontam" -> ((s, dir) => {
+      // Decontamination audit (north-star pipeline tooling): count test
+      // docs sharing any word-8-gram with the train split — the
+      // standard benchmark-leakage check before pre-training. Shape:
+      // shingle-keyed equi-join (distinct train grams × test grams), no
+      // cartesian; at 100 TB prefilter candidates with a bloom filter
+      // or MinHash bands (operators/NearDup.scala) before the exact
+      // join.
+      VectorExpressions.ensureRegistered(s)
+      val base = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"),
+          hashSplit(col("text")).as("split"))
+      val sh = base.select(col("doc_id"), col("lang"), col("split"),
+        explode(wordShinglesNative(col("text"), 8)).as("g"))
+      val trainG = sh.filter(col("split") === "train")
+        .select("g").distinct()
+      val contaminated = sh.filter(col("split") === "test")
+        .join(trainG, "g")
+        .select("lang", "doc_id").distinct()
+        .groupBy("lang").agg(count(lit(1)).as("n_contaminated"))
+      base.filter(col("split") === "test")
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_test"))
+        .join(contaminated, Seq("lang"), "left")
+        .select(col("lang"), col("n_test"),
+          coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
+        .orderBy(col("lang"))
+    }),
+
     "q42_lang_profile" -> ((s, dir) => {
       // groupBy-count + numeric agg per language (A2 analogue).
       t(s, dir, "documents")
@@ -1341,6 +1369,36 @@ object SparkEntry {
                 ELSE 'test' END AS split,
            count(*) AS n
          FROM documents GROUP BY 1, 2 ORDER BY lang, split""",
+
+    "q51_decontam" ->
+      """WITH s AS (
+           SELECT doc_id, lang,
+             CASE WHEN substr(md5(text), 1, 2) < 'cc' THEN 'train'
+                  WHEN substr(md5(text), 1, 2) < 'e6' THEN 'val'
+                  ELSE 'test' END AS split,
+             list_filter(string_split_regex(lower(text), '\s+'),
+               t -> len(t) > 0) AS ts
+           FROM documents),
+         sh AS (
+           SELECT doc_id, lang, split,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(ts) - 7, 0) + 1),
+               i -> array_to_string(ts[i : i + 7], ' ')))) AS g
+           FROM s),
+         train AS (SELECT DISTINCT g FROM sh WHERE split = 'train'),
+         cont AS (
+           SELECT lang, count(*) AS n_contaminated
+           FROM (SELECT DISTINCT sh.lang, sh.doc_id
+                 FROM sh JOIN train USING (g)
+                 WHERE sh.split = 'test')
+           GROUP BY lang),
+         tests AS (
+           SELECT lang, count(*) AS n_test FROM s
+           WHERE split = 'test' GROUP BY lang)
+         SELECT tests.lang AS lang, n_test,
+           coalesce(n_contaminated, 0) AS n_contaminated
+         FROM tests LEFT JOIN cont ON tests.lang = cont.lang
+         ORDER BY tests.lang""",
 
     "q42_lang_profile" ->
       """SELECT lang, count(*) AS n_docs,
