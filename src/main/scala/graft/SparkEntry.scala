@@ -760,22 +760,29 @@ object SparkEntry {
       // Decontamination audit (north-star pipeline tooling): count test
       // docs sharing any word-8-gram with the train split — the
       // standard benchmark-leakage check before pre-training. Shape:
-      // shingle-keyed equi-join (distinct train grams × test grams), no
-      // cartesian; at 100 TB prefilter candidates with a bloom filter
-      // or MinHash bands (operators/NearDup.scala) before the exact
-      // join.
+      // ONE shingle pass and ONE shuffle keyed on the gram — each gram
+      // group records whether train contains it and which test docs hit
+      // it (collect_set bounded by docs-per-gram, tiny), so there is no
+      // self-join and the shingle subtree is never evaluated twice. At
+      // 100 TB the same aggregation is map-side partial on uniform gram
+      // keys.
       VectorExpressions.ensureRegistered(s)
       val base = t(s, dir, "documents")
         .select(col("doc_id"), col("lang"), col("text"),
           hashSplit(col("text")).as("split"))
       val sh = base.select(col("doc_id"), col("lang"), col("split"),
         explode(wordShinglesNative(col("text"), 8)).as("g"))
-      val trainG = sh.filter(col("split") === "train")
-        .select("g").distinct()
-      val contaminated = sh.filter(col("split") === "test")
-        .join(trainG, "g")
-        .select("lang", "doc_id").distinct()
-        .groupBy("lang").agg(count(lit(1)).as("n_contaminated"))
+      val contaminated = sh.groupBy(col("g"))
+        .agg(
+          max(when(col("split") === "train", 1).otherwise(0))
+            .as("in_train"),
+          collect_set(when(col("split") === "test",
+            struct(col("lang"), col("doc_id")))).as("test_hits"))
+        .filter(col("in_train") === 1 && size(col("test_hits")) > 0)
+        .select(explode(col("test_hits")).as("td"))
+        .select(col("td.lang").as("lang"), col("td.doc_id").as("doc_id"))
+        .distinct()
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_contaminated"))
       base.filter(col("split") === "test")
         .groupBy(col("lang")).agg(count(lit(1)).as("n_test"))
         .join(contaminated, Seq("lang"), "left")
