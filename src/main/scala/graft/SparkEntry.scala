@@ -759,29 +759,32 @@ object SparkEntry {
     "q51_decontam" -> ((s, dir) => {
       // Decontamination audit (north-star pipeline tooling): count test
       // docs sharing any word-8-gram with the train split — the
-      // standard benchmark-leakage check before pre-training. Shape:
-      // ONE shingle pass and ONE shuffle keyed on the gram — each gram
-      // group records whether train contains it and which test docs hit
-      // it (collect_set bounded by docs-per-gram, tiny), so there is no
-      // self-join and the shingle subtree is never evaluated twice. At
-      // 100 TB the same aggregation is map-side partial on uniform gram
-      // keys.
+      // standard benchmark-leakage check before pre-training.
+      //
+      // Bounded-state shape: every per-group aggregation buffer here is
+      // a scalar. Train grams reduce to DISTINCT g (map-side partial
+      // combine, no value state); test rows — already distinct
+      // (g, doc_id) pairs because the native shingler emits distinct
+      // grams per doc — meet them in a SHUFFLED left-semi join keyed on
+      // the gram. A boilerplate gram shared by millions of docs streams
+      // through the probe side without accumulating anything, unlike the
+      // previous collect_set(test_hits) whose one hot gram group held a
+      // struct per test doc. The build side is explicitly
+      // hint("shuffle_hash"), never broadcast: the distinct-train-gram
+      // set scales with the corpus and must not be collected to the
+      // driver (asserted, with the no-collect_set shape, in EntrySpec).
       VectorExpressions.ensureRegistered(s)
       val base = t(s, dir, "documents")
         .select(col("doc_id"), col("lang"), col("text"),
           hashSplit(col("text")).as("split"))
       val sh = base.select(col("doc_id"), col("lang"), col("split"),
         explode(wordShinglesNative(col("text"), 8)).as("g"))
-      val contaminated = sh.groupBy(col("g"))
-        .agg(
-          max(when(col("split") === "train", 1).otherwise(0))
-            .as("in_train"),
-          collect_set(when(col("split") === "test",
-            struct(col("lang"), col("doc_id")))).as("test_hits"))
-        .filter(col("in_train") === 1 && size(col("test_hits")) > 0)
-        .select(explode(col("test_hits")).as("td"))
-        .select(col("td.lang").as("lang"), col("td.doc_id").as("doc_id"))
-        .distinct()
+      val trainGrams = sh.filter(col("split") === "train")
+        .select(col("g")).distinct()
+      val contaminated = sh.filter(col("split") === "test")
+        .select(col("g"), col("lang"), col("doc_id"))
+        .join(trainGrams.hint("shuffle_hash"), Seq("g"), "left_semi")
+        .select(col("lang"), col("doc_id")).distinct()
         .groupBy(col("lang")).agg(count(lit(1)).as("n_contaminated"))
       base.filter(col("split") === "test")
         .groupBy(col("lang")).agg(count(lit(1)).as("n_test"))

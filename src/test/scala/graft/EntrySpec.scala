@@ -22,4 +22,21 @@ class EntrySpec extends SparkSpec {
     // and no orphan oracles
     assert((SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).isEmpty)
   }
+
+  test("q51_decontam plan is bounded-state: no collect, shuffled semi join") {
+    val plan = SparkEntry.queries("q51_decontam")(
+        spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    // the round-4 shape held a collect_set buffer per gram — a hot-key
+    // OOM at 100 TB on boilerplate grams. The rewrite must keep every
+    // aggregation buffer scalar...
+    assert(!plan.contains("collect_set") && !plan.contains("collect_list"),
+      s"unbounded per-group collect in q51 plan:\n$plan")
+    // ...and join test rows to the (corpus-scale) distinct train-gram
+    // set with a shuffle, never a driver-sized broadcast.
+    val semiLines = plan.linesIterator.filter(_.contains("LeftSemi")).toSeq
+    assert(semiLines.nonEmpty, s"no semi join in q51 plan:\n$plan")
+    assert(semiLines.forall(l => !l.contains("Broadcast")),
+      s"broadcast semi join in q51 plan:\n$plan")
+  }
 }
