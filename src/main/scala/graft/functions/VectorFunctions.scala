@@ -75,6 +75,14 @@ object VectorFunctions {
   def cosineSimilarityNative(a: Column, b: Column): Column =
     call_function("graft_cos", a, b)
 
+  /** Random-hyperplane LSH bucket (sign bits of dots with the packed
+    * row-major plane matrix) — see
+    * [[graft.plans.HyperplaneBucketExpr]]. */
+  def hyperplaneBucketNative(vec: Column, packedPlanes: Seq[Double])
+      : Column =
+    call_function("graft_hyperplane_bucket", vec,
+      array(packedPlanes.map(lit(_)): _*))
+
   /** Sparse (map<int,float>) dot product — the reference's lexical-weight
     * fusion term (bge.py:178,222). Iterates `a`'s entries and probes `b`;
     * pass the smaller map as `a` for fewer probes. */

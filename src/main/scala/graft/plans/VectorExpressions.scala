@@ -153,6 +153,86 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Random-hyperplane LSH bucket: the concatenated sign bits of the dot
+  * products of `left` (array<float> vector, dim n) with `bits` fixed
+  * hyperplanes packed row-major into `right` (array<double>, length
+  * bits·n). One fused pass — no per-plane intermediate arrays. Returns a
+  * '0'/'1' string of length bits; null when either input is null, the
+  * vector is empty, a plane length doesn't divide the packed array, or
+  * any element is null. Signs of dots with FIXED PSEUDO-RANDOM
+  * directions (not raw axes) keep buckets balanced on anisotropic
+  * real-world embeddings — positive-mean sentence encoders collapse raw
+  * first-dim sign buckets into one. Accumulation is Double in element
+  * order, so an oracle evaluating the same literal dot-product chain
+  * reproduces the bucket exactly. SQL name: `graft_hyperplane_bucket`.
+  */
+case class HyperplaneBucketExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def prettyName: String = "graft_hyperplane_bucket"
+  override def inputTypes = Seq(ArrayType(FloatType), ArrayType(DoubleType))
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def nullable: Boolean = true
+
+  protected override def nullSafeEval(a: Any, b: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val p = b.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    val pl = p.numElements()
+    if (n == 0 || pl % n != 0) return null
+    val bits = pl / n
+    val out = new Array[Byte](bits)
+    var bi = 0
+    while (bi < bits) {
+      var s = 0.0
+      var j = 0
+      while (j < n) {
+        if (v.isNullAt(j) || p.isNullAt(bi * n + j)) return null
+        s += v.getFloat(j).toDouble * p.getDouble(bi * n + j)
+        j += 1
+      }
+      out(bi) = if (s >= 0) '1' else '0'
+      bi += 1
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromBytes(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |int n$$ = $a.numElements();
+         |int pl$$ = $b.numElements();
+         |if (n$$ == 0 || pl$$ % n$$ != 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int bits$$ = pl$$ / n$$;
+         |  byte[] out$$ = new byte[bits$$];
+         |  boolean anyNull$$ = false;
+         |  for (int bi$$ = 0; bi$$ < bits$$ && !anyNull$$; bi$$++) {
+         |    double s$$ = 0.0;
+         |    for (int j$$ = 0; j$$ < n$$; j$$++) {
+         |      if ($a.isNullAt(j$$) || $b.isNullAt(bi$$ * n$$ + j$$)) {
+         |        anyNull$$ = true; break;
+         |      }
+         |      s$$ += (double)$a.getFloat(j$$)
+         |        * $b.getDouble(bi$$ * n$$ + j$$);
+         |    }
+         |    out$$[bi$$] = s$$ >= 0 ? (byte)'1' : (byte)'0';
+         |  }
+         |  if (anyNull$$) { ${ev.isNull} = true; }
+         |  else {
+         |    ${ev.value} =
+         |      org.apache.spark.unsafe.types.UTF8String.fromBytes(out$$);
+         |  }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   /** the engine's full native-expression registry (vector + text) — both
     * registration routes (imperative + extensions) consume this list */
@@ -160,6 +240,7 @@ object VectorExpressions {
     ("graft_l2sq", es => L2SquaredDistance(es(0), es(1))),
     ("graft_dot", es => DotProduct(es(0), es(1))),
     ("graft_cos", es => CosineSimilarityExpr(es(0), es(1))),
+    ("graft_hyperplane_bucket", es => HyperplaneBucketExpr(es(0), es(1))),
     ("graft_char_jac", es => CharNgramJaccard(es(0), es(1), es(2))),
     ("graft_simhash", es => SimHashExpr(es(0), es(1))),
     ("graft_rollhash", es => RollingHashExpr(es(0))),
