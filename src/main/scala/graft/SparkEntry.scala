@@ -713,10 +713,16 @@ object SparkEntry {
     }),
 
     "q44_cosine_pairs" -> ((s, dir) => {
-      // Embedding near-dup: sign-bit LSH bucket join + cosine top-k.
+      // Embedding near-dup: random-hyperplane LSH bucket join + cosine
+      // top-k. The fixed pseudo-random plane matrix (NearDup.hyperplanes)
+      // keeps buckets balanced on anisotropic embeddings — raw
+      // leading-dim sign bits collapse positive-mean corpora into one
+      // bucket and the within-bucket join goes quadratic at scale. The
+      // oracle evaluates the identical plane literals (element-order
+      // Double dots), so buckets match bit-for-bit.
       VectorExpressions.ensureRegistered(s)
       NearDup.cosinePairs(t(s, dir, "embeddings"), "vec_id", "embedding",
-        bits = 8, k = 10, cosine = cosineSimilarityNative)
+        dim = 64, bits = 8, k = 10, cosine = cosineSimilarityNative)
     }),
 
     "q45_simhash" -> ((s, dir) => {
@@ -808,6 +814,25 @@ object SparkEntry {
   // ---------------------------------------------------------------------
   // DuckDB oracle SQL — same tables, same column names, same rounding.
   // ---------------------------------------------------------------------
+
+  /** q44's bucket expression, generated from the SAME plane constants the
+    * Spark side uses (NearDup.hyperplanes(8, 64)): per bit, an explicit
+    * left-associated dot-product chain over the 64 dims. Identical IEEE
+    * Double ops in identical element order on both engines → identical
+    * sign → identical bucket. The plane components are exact binary
+    * fractions (k/1024) whose shortest decimal repr round-trips exactly
+    * through both parsers. */
+  private lazy val q44BucketSql: String = {
+    val dim = 64
+    val bits = 8
+    val planes = NearDup.hyperplanes(bits, dim)
+    (0 until bits).map { b =>
+      val dot = (0 until dim).map(j =>
+        s"embedding[${j + 1}]::DOUBLE * (${planes(b * dim + j)})")
+        .mkString(" + ")
+      s"(CASE WHEN $dot >= 0 THEN '1' ELSE '0' END)"
+    }.mkString(" || ")
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -1338,10 +1363,8 @@ object SparkEntry {
          WHERE jaccard >= 0.8 ORDER BY a_id, b_id""",
 
     "q44_cosine_pairs" ->
-      """WITH b AS (
-           SELECT vec_id, embedding,
-             array_to_string(list_transform(embedding[1:8],
-               x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+      s"""WITH b AS (
+           SELECT vec_id, embedding, $q44BucketSql AS bucket
            FROM embeddings)
          SELECT a.vec_id AS a_id, c.vec_id AS b_id,
            round(list_cosine_similarity(a.embedding::DOUBLE[],

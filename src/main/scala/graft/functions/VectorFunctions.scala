@@ -77,11 +77,15 @@ object VectorFunctions {
 
   /** Random-hyperplane LSH bucket (sign bits of dots with the packed
     * row-major plane matrix) — see
-    * [[graft.plans.HyperplaneBucketExpr]]. */
+    * [[graft.plans.HyperplaneBucketExpr]]. The plane matrix becomes ONE
+    * array literal (`typedLit`), not bits·dim individual `lit()`
+    * expressions — a 512-element plane set would otherwise bloat every
+    * plan it appears in. */
   def hyperplaneBucketNative(vec: Column, packedPlanes: Seq[Double])
-      : Column =
-    call_function("graft_hyperplane_bucket", vec,
-      array(packedPlanes.map(lit(_)): _*))
+      : Column = {
+    require(packedPlanes.nonEmpty, "packedPlanes must be non-empty")
+    call_function("graft_hyperplane_bucket", vec, typedLit(packedPlanes))
+  }
 
   /** Sparse (map<int,float>) dot product — the reference's lexical-weight
     * fusion term (bge.py:178,222). Iterates `a`'s entries and probes `b`;

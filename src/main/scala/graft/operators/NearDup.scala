@@ -118,31 +118,57 @@ object NearDup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** Random-hyperplane-style sign bucket for embeddings: the concatenated
-    * sign bits of the first `bits` dimensions. Vectors with high cosine
+  /** Deterministic pseudo-random hyperplane matrix: `bits` planes × `dim`
+    * components, packed row-major. Components are exact binary fractions
+    * (k/1024, k ∈ [-1000, 1000], fixed-seed splitmix-style LCG), so a
+    * DuckDB oracle embedding the identical decimal literals reproduces
+    * every dot product — and therefore every bucket — bit-for-bit
+    * (IEEE Double ops in identical element order on both engines). */
+  def hyperplanes(bits: Int, dim: Int, seed: Long = 0x9E3779B97F4A7C15L)
+      : Seq[Double] = {
+    var x = seed
+    Seq.fill(bits * dim) {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      (((x >>> 33) % 2001).toInt - 1000) / 1024.0
+    }
+  }
+
+  /** Random-hyperplane sign bucket for embeddings: the concatenated sign
+    * bits of the vector's dot products with `planes` (packed row-major,
+    * length = bits·dim — see [[hyperplanes]]). Vectors with high cosine
     * similarity agree on most signs, so true near-dups land in the same
     * bucket with high probability — the standard recall/cost LSH
-    * trade-off. */
-  def signBucket(vec: Column, bits: Int): Column =
-    array_join(
-      transform(slice(vec, 1, bits),
-        x => when(x >= 0, lit("1")).otherwise(lit("0"))), "")
+    * trade-off. Signs of dots with FIXED PSEUDO-RANDOM directions (not
+    * raw leading dimensions) keep buckets balanced on anisotropic
+    * real-world embeddings: positive-mean sentence encoders collapse
+    * raw-axis sign buckets into one, turning the within-bucket join
+    * near-quadratic. Fused native expression
+    * ([[graft.plans.HyperplaneBucketExpr]]); HOF-equivalence + balance
+    * covered in VectorExpressionsSpec. */
+  def signBucket(vec: Column, planes: Seq[Double]): Column =
+    graft.functions.VectorFunctions.hyperplaneBucketNative(vec, planes)
 
-  /** Embedding-cosine near-dup: bucket by sign bits, pair within buckets
-    * only (bucket-keyed equi-join — no cartesian), score by cosine, keep
-    * the global top-k pairs. Ranking uses the rounded score + id ties so
-    * the result is deterministic cross-engine. */
+  /** Embedding-cosine near-dup: bucket by hyperplane sign bits, pair
+    * within buckets only (bucket-keyed equi-join — no cartesian), score
+    * by cosine, keep the global top-k pairs. `dim` must match the
+    * embedding dimension (the plane matrix is sized bits·dim). Ranking
+    * uses the rounded score + id ties so the result is deterministic
+    * cross-engine. */
   def cosinePairs(
       vecs: DataFrame,
       idCol: String,
       vecCol: String,
+      dim: Int,
       bits: Int = 8,
       k: Int = 10,
       roundDp: Int = 4,
       cosine: (Column, Column) => Column = cosineSimilarity(_, _))
       : DataFrame = {
+    // the native bucket expression needs the graft registry on whatever
+    // session owns `vecs` (driver-side, idempotent)
+    VectorExpressions.ensureRegistered(vecs.sparkSession)
     val b = vecs.select(col(idCol).as("id"), col(vecCol).as("v"),
-      signBucket(col(vecCol), bits).as("bucket"))
+      signBucket(col(vecCol), hyperplanes(bits, dim)).as("bucket"))
     b.as("a")
       .join(b.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))

@@ -57,7 +57,12 @@ abstract class VectorFoldExpression extends BinaryExpression
   override protected def doGenCode(ctx: CodegenContext,
       ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // the outer braces scope the $-suffixed locals: with non-nullable
+      // children nullSafeExec emits no enclosing block, so two instances
+      // of a fold expression in one codegen scope would otherwise declare
+      // duplicate Java locals and fail Janino compilation
       s"""
+         |{
          |int n$$ = $a.numElements();
          |if (n$$ != $b.numElements()) {
          |  ${ev.isNull} = true;
@@ -72,6 +77,7 @@ abstract class VectorFoldExpression extends BinaryExpression
          |  }
          |  if (anyNull$$) { ${ev.isNull} = true; }
          |  else { ${ev.value} = $resultExpr; }
+         |}
          |}
        """.stripMargin
     })
@@ -158,8 +164,8 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
   * hyperplanes packed row-major into `right` (array<double>, length
   * bits·n). One fused pass — no per-plane intermediate arrays. Returns a
   * '0'/'1' string of length bits; null when either input is null, the
-  * vector is empty, a plane length doesn't divide the packed array, or
-  * any element is null. Signs of dots with FIXED PSEUDO-RANDOM
+  * vector or plane array is empty, a plane length doesn't divide the
+  * packed array, or any element is null. Signs of dots with FIXED PSEUDO-RANDOM
   * directions (not raw axes) keep buckets balanced on anisotropic
   * real-world embeddings — positive-mean sentence encoders collapse raw
   * first-dim sign buckets into one. Accumulation is Double in element
@@ -178,7 +184,7 @@ case class HyperplaneBucketExpr(left: Expression, right: Expression)
     val p = b.asInstanceOf[ArrayData]
     val n = v.numElements()
     val pl = p.numElements()
-    if (n == 0 || pl % n != 0) return null
+    if (n == 0 || pl == 0 || pl % n != 0) return null
     val bits = pl / n
     val out = new Array[Byte](bits)
     var bi = 0
@@ -199,30 +205,42 @@ case class HyperplaneBucketExpr(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext,
       ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // ctx.freshName: with non-nullable children nullSafeExec emits no
+      // enclosing block, so fixed local names would collide (duplicate
+      // Java declarations → Janino failure) if the expression appears
+      // twice in one codegen scope
+      val n = ctx.freshName("n")
+      val pl = ctx.freshName("pl")
+      val bits = ctx.freshName("bits")
+      val out = ctx.freshName("out")
+      val anyNull = ctx.freshName("anyNull")
+      val bi = ctx.freshName("bi")
+      val s = ctx.freshName("s")
+      val j = ctx.freshName("j")
       s"""
-         |int n$$ = $a.numElements();
-         |int pl$$ = $b.numElements();
-         |if (n$$ == 0 || pl$$ % n$$ != 0) {
+         |int $n = $a.numElements();
+         |int $pl = $b.numElements();
+         |if ($n == 0 || $pl == 0 || $pl % $n != 0) {
          |  ${ev.isNull} = true;
          |} else {
-         |  int bits$$ = pl$$ / n$$;
-         |  byte[] out$$ = new byte[bits$$];
-         |  boolean anyNull$$ = false;
-         |  for (int bi$$ = 0; bi$$ < bits$$ && !anyNull$$; bi$$++) {
-         |    double s$$ = 0.0;
-         |    for (int j$$ = 0; j$$ < n$$; j$$++) {
-         |      if ($a.isNullAt(j$$) || $b.isNullAt(bi$$ * n$$ + j$$)) {
-         |        anyNull$$ = true; break;
+         |  int $bits = $pl / $n;
+         |  byte[] $out = new byte[$bits];
+         |  boolean $anyNull = false;
+         |  for (int $bi = 0; $bi < $bits && !$anyNull; $bi++) {
+         |    double $s = 0.0;
+         |    for (int $j = 0; $j < $n; $j++) {
+         |      if ($a.isNullAt($j) || $b.isNullAt($bi * $n + $j)) {
+         |        $anyNull = true; break;
          |      }
-         |      s$$ += (double)$a.getFloat(j$$)
-         |        * $b.getDouble(bi$$ * n$$ + j$$);
+         |      $s += (double)$a.getFloat($j)
+         |        * $b.getDouble($bi * $n + $j);
          |    }
-         |    out$$[bi$$] = s$$ >= 0 ? (byte)'1' : (byte)'0';
+         |    $out[$bi] = $s >= 0 ? (byte)'1' : (byte)'0';
          |  }
-         |  if (anyNull$$) { ${ev.isNull} = true; }
+         |  if ($anyNull) { ${ev.isNull} = true; }
          |  else {
          |    ${ev.value} =
-         |      org.apache.spark.unsafe.types.UTF8String.fromBytes(out$$);
+         |      org.apache.spark.unsafe.types.UTF8String.fromBytes($out);
          |  }
          |}
        """.stripMargin

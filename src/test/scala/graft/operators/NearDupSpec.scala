@@ -37,7 +37,8 @@ class NearDupSpec extends SparkSpec {
       (2L, Seq(1f, 2.1f, -0.9f, 0.4f, 1f, -2f, 1f, 1.1f)),
       (3L, Seq(-1f, -2f, 1f, -0.5f, -1f, 2f, -1f, -1f)))
       .toDF("vec_id", "embedding")
-    val cp = NearDup.cosinePairs(vecs, "vec_id", "embedding", bits = 8, k = 5)
+    val cp = NearDup.cosinePairs(vecs, "vec_id", "embedding",
+      dim = 8, bits = 8, k = 5)
     assert(!cp.queryExecution.executedPlan.toString.contains("Cartesian"))
     val got = cp.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == Set((1L, 2L))) // 3 has opposite signs -> different bucket

@@ -81,4 +81,105 @@ class VectorExpressionsSpec extends SparkSpec {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext) // must not throw
   }
+
+  // ---- graft_hyperplane_bucket --------------------------------------
+
+  /** Reference bucket composed from built-in HOFs: per plane, an
+    * element-order Double fold of the dot product, then the sign bit.
+    * Same op order as the native fused loop → bit-identical signs. */
+  private def hofBucket(vec: org.apache.spark.sql.Column,
+      planes: Seq[Double], dim: Int): org.apache.spark.sql.Column = {
+    val bits = planes.length / dim
+    concat((0 until bits).map { b =>
+      val plane = typedLit(planes.slice(b * dim, (b + 1) * dim))
+      val dot = aggregate(
+        zip_with(vec, plane, (x, p) => x.cast("double") * p),
+        lit(0.0), (s, x) => s + x)
+      when(dot >= 0, lit("1")).otherwise(lit("0"))
+    }: _*)
+  }
+
+  test("hyperplane bucket matches the HOF form bit-for-bit") {
+    import graft.operators.NearDup
+    val planes = NearDup.hyperplanes(bits = 8, dim = 64)
+    val df = vecsDf.select(
+      hyperplaneBucketNative(col("a"), planes).as("nat"),
+      hofBucket(col("a"), planes, 64).as("hof"))
+    assert(df.filter(col("nat") =!= col("hof")).count() == 0)
+    // sane shape: 8 chars of 0/1
+    val one = df.head().getString(0)
+    assert(one.length == 8 && one.forall("01".contains(_)))
+  }
+
+  test("hyperplane bucket runs inside WholeStageCodegen and agrees with interpreted eval") {
+    import graft.operators.NearDup
+    val planes = NearDup.hyperplanes(bits = 4, dim = 8)
+    val gen = spark.range(500).select(col("id"),
+      array((1 to 8).map(i =>
+        (pmod(col("id") * i, lit(97)) - lit(48)).cast("float")): _*).as("v"))
+    val df = gen.select(col("id"),
+      hyperplaneBucketNative(col("v"), planes).as("bkt"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.contains("*(") && l.contains("graft_hyperplane_bucket")), plan)
+    // interpreted eval (expression.eval) must agree with the codegen path
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+    val viaCodegen = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    (0L until 500L by 37L).foreach { id =>
+      val v = (1 to 8).map(i => (((id * i) % 97) - 48).toFloat)
+      val expr = HyperplaneBucketExpr(
+        Literal.create(v, ArrayType(FloatType)),
+        Literal.create(planes, ArrayType(DoubleType)))
+      assert(expr.eval(null).toString == viaCodegen(id),
+        s"interpreted != codegen for id=$id")
+    }
+  }
+
+  test("hyperplane bucket null/edge semantics") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+    def e(v: Any, p: Any) = HyperplaneBucketExpr(
+      Literal.create(v, ArrayType(FloatType)),
+      Literal.create(p, ArrayType(DoubleType))).eval(null)
+    assert(e(null, Seq(1.0)) == null)                    // null vector
+    assert(e(Seq(1f), null) == null)                     // null planes
+    assert(e(Seq.empty[Float], Seq(1.0)) == null)        // empty vector
+    assert(e(Seq(1f, 2f), Seq.empty[Double]) == null)    // empty planes
+    assert(e(Seq(1f, 2f), Seq(1.0, 2.0, 3.0)) == null)   // non-dividing
+    assert(e(Seq(1f, null), Seq(1.0, 1.0)) == null)      // null element
+    assert(e(Seq(1f, -3f), Seq(1.0, 1.0, 1.0, 0.1)).toString == "01")
+    intercept[IllegalArgumentException] {
+      hyperplaneBucketNative(col("a"), Seq.empty) // wrapper refuses
+    }
+  }
+
+  test("hyperplane buckets stay balanced on shifted-mean (anisotropic) vectors") {
+    // positive-mean embeddings: every component in (0, 2) — the old
+    // raw-first-8-dim sign bucket collapses ALL of these into "11111111";
+    // random hyperplanes must keep the bucket histogram spread out so the
+    // within-bucket self-join cannot go quadratic.
+    import spark.implicits._
+    import graft.operators.NearDup
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 400).map { i =>
+      (i.toLong, Seq.fill(64)(rnd.nextFloat() * 2f)) // strictly positive
+    }
+    val df = rows.toDF("id", "v")
+    val planes = NearDup.hyperplanes(bits = 8, dim = 64)
+    val hist = df
+      .select(hyperplaneBucketNative(col("v"), planes).as("b"))
+      .groupBy("b").count().as[(String, Long)].collect()
+    val nBuckets = hist.length
+    val maxShare = hist.map(_._2).max.toDouble / 400.0
+    assert(nBuckets >= 16, s"bucket collapse: only $nBuckets buckets")
+    assert(maxShare <= 0.25, s"hot bucket holds ${maxShare * 100}% of rows")
+    // and the raw-sign scheme indeed collapses on this corpus (the bug
+    // this expression exists to fix)
+    val rawCollapsed = df.select(array_join(
+      transform(slice(col("v"), 1, 8),
+        x => when(x >= 0, lit("1")).otherwise(lit("0"))), "").as("b"))
+      .groupBy("b").count().count()
+    assert(rawCollapsed == 1L)
+  }
 }
