@@ -150,7 +150,7 @@ object IvfIndex {
       centroids.indices.toArray)
   }
 
-  private[operators] val CentroidSidecar = "_centroids"
+  private[graft] val CentroidSidecar = "_centroids"
 
   /** Reload a persisted index. Centroids come from the `_centroids`
     * sidecar [[IvfIndex#write]] drops next to the data — a single tiny

@@ -157,13 +157,21 @@ case class IvfAutoProbe(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 
   /** strip wrappers that preserve the ascending order of a non-negative
-    * distance: sqrt, round (non-decreasing), casts, aliases */
+    * distance: sqrt, round (non-decreasing), WIDENING numeric casts,
+    * aliases. A cast to string orders lexicographically ('10' < '9') and
+    * a narrowing cast can truncate — stripping either would prune to the
+    * wrong clusters and return wrong rows beyond the sanctioned IVF
+    * approximation, so only numeric→numeric up-casts pass. */
   private def unwrapMonotonic(e: Expression): Expression = e match {
     case org.apache.spark.sql.catalyst.expressions.Sqrt(c) =>
       unwrapMonotonic(c)
     case org.apache.spark.sql.catalyst.expressions.Round(c, _, _) =>
       unwrapMonotonic(c)
-    case c: org.apache.spark.sql.catalyst.expressions.Cast =>
+    case c: org.apache.spark.sql.catalyst.expressions.Cast
+        if c.child.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] &&
+          c.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] &&
+          org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(
+            c.child.dataType, c.dataType) =>
       unwrapMonotonic(c.child)
     case a: Alias => unwrapMonotonic(a.child)
     case other => other
@@ -181,25 +189,44 @@ object IvfAutoProbe {
 
   private val centroidCache =
     new java.util.concurrent.ConcurrentHashMap[String,
-      Array[(Int, Array[Float])]]()
+      (String, Array[(Int, Array[Float])])]()
+
+  /** Stable fingerprint of a root's `_centroids` sidecar directory: file
+    * names + lengths + mtimes. Parquet part-file names embed a fresh
+    * UUID per write, so ANY rebuild — including an in-place
+    * SaveMode.Overwrite to the same root within one mtime tick — changes
+    * the fingerprint. None when the sidecar is absent or empty (not an
+    * IVF index). Driver-side metadata listing, a few μs on any fs. */
+  private def sidecarFingerprint(spark: SparkSession,
+      root: String): Option[String] = Try {
+    val p = new org.apache.hadoop.fs.Path(
+      s"$root/${IvfIndex.CentroidSidecar}")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(p).filter(_.isFile)
+      .map(st =>
+        s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+      .sorted.mkString(",")
+  }.toOption.filter(_.nonEmpty)
 
   /** (clusterId, centroid) pairs from the `_centroids` sidecar, or None
     * when the table has no sidecar (then it is not an IVF index and the
-    * rule must not fire). Positive results are cached — index roots are
-    * immutable-once-written (write() is Overwrite-whole-directory;
-    * rebuild to a NEW path, the lifecycle `SparkEntry.ivfIndexFor`
-    * follows). Misses are NOT cached, so a table that gains a sidecar
-    * later is picked up. */
+    * rule must not fire). Positive results are cached keyed on the
+    * sidecar fingerprint, so an in-place rebuild of the same root is
+    * picked up on the next query — a stale-centroid prune would be a
+    * silent recall collapse. Misses are NOT cached, so a table that
+    * gains a sidecar later is picked up too. */
   private def centroidsFor(spark: SparkSession,
       root: String): Option[Array[(Int, Array[Float])]] = {
+    val fp = sidecarFingerprint(spark, root).getOrElse(return None)
     val cached = centroidCache.get(root)
-    if (cached != null) Some(cached)
+    if (cached != null && cached._1 == fp) Some(cached._2)
     else Try {
-      spark.read.parquet(s"$root/_centroids").collect()
+      spark.read.parquet(s"$root/${IvfIndex.CentroidSidecar}").collect()
         .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray)
         .sortBy(_._1)
     }.toOption match {
-      case Some(cents) => centroidCache.putIfAbsent(root, cents); Some(cents)
+      case Some(cents) =>
+        centroidCache.put(root, (fp, cents)); Some(cents)
       case None => None
     }
   }

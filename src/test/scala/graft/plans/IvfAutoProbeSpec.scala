@@ -99,6 +99,49 @@ class IvfAutoProbeSpec extends SparkSpec {
     }
   }
 
+  test("string-cast sort keys are not rewritten (lexicographic order differs)") {
+    withRule(6) {
+      val loaded = spark.read.parquet(indexPath)
+      // '10' < '9' lexicographically: pruning to the nearest clusters
+      // under a string sort would return wrong rows beyond the IVF
+      // approximation — the rule must refuse to unwrap the cast
+      val df = loaded.withColumn("diststr",
+        call_function("graft_l2sq", col("embedding"),
+          KnnSearch.litVec(queryVec)).cast("string"))
+        .orderBy(col("diststr"), col("vec_id")).limit(10)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains(s"${IvfIndex.ClusterCol} IN"),
+        s"rule must not fire on a string-cast distance:\n$plan")
+    }
+  }
+
+  test("in-place index rebuild is picked up (no stale centroid cache)") {
+    withRule(6) {
+      val tmp = Files.createTempDirectory("graft-rebuild-").toString
+      val path = s"$tmp/ivf"
+      // build A: nlist=4. With nprobe=6 >= nlist the rule loads + caches
+      // the centroids but declines to rewrite (full scan anyway).
+      IvfIndex.build(embeddings, "vec_id", "embedding", nlist = 4)
+        .write(path)
+      def planFor(): String = {
+        val loaded = spark.read.parquet(path)
+        KnnSearch.topK(loaded, "embedding", queryVec, 10,
+            KnnSearch.NativeL2, tieBreak = Some("vec_id"))
+          .queryExecution.executedPlan.toString
+      }
+      assert(!planFor().contains(s"${IvfIndex.ClusterCol} IN"))
+      // rebuild IN PLACE: nlist=8. A stale 4-centroid cache would keep
+      // the rule off (6 >= 4) — with fresh centroids it must now fire
+      // and prune to 6 of the 8 new clusters.
+      IvfIndex.build(embeddings, "vec_id", "embedding", nlist = 8)
+        .write(path)
+      val plan = planFor()
+      assert(plan.contains("PartitionFilters") &&
+        plan.contains(IvfIndex.ClusterCol),
+        s"rebuilt index not picked up (stale centroid cache?):\n$plan")
+    }
+  }
+
   test("probe filter prunes directories (fewer files read than full scan)") {
     withRule(2) {
       val loaded = spark.read.parquet(indexPath)
