@@ -8,7 +8,7 @@ import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
 import graft.operators.{IvfIndex, KnnSearch, NearDup, PostRetrieval, RagPipeline, Rerank, SkewJoin}
 import graft.plans.VectorExpressions
-import graft.sources.MarkdownIngest
+import graft.sources.{MarkdownIngest, Multimodal}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -725,6 +725,25 @@ object SparkEntry {
         dim = 64, bits = 8, k = 10, cosine = cosineSimilarityNative)
     }),
 
+    "q52_media_stats" -> ((s, dir) => {
+      // Multimodal decode end-to-end (north-star multimodal columns):
+      // synthesize the deterministic GRFT container payloads from
+      // documents, DECODE THE BYTES in the mapPartitions codec seam
+      // (Multimodal.decode — the exact path a real image/audio codec
+      // slots into), aggregate per kind. The oracle re-derives the same
+      // header fields arithmetically from doc_id/text, so this checks
+      // the full encode→decode round trip, not just the plumbing.
+      val media = Multimodal.syntheticMedia(
+        t(s, dir, "documents").filter(col("text").isNotNull))
+      Multimodal.decode(media)
+        .groupBy(col("kind"))
+        .agg(count(lit(1)).as("n_media"),
+          round(avg(col("width")), 4).as("avg_width"),
+          round(avg(col("height")), 4).as("avg_height"),
+          sum(col("n_body_bytes")).as("sum_body_bytes"))
+        .orderBy(col("kind"))
+    }),
+
     "q45_simhash" -> ((s, dir) => {
       // SimHash exact-collision grouping: one scan + one groupBy on the
       // 32-bit fingerprint — near-dup detection with zero joins. The
@@ -1371,6 +1390,26 @@ object SparkEntry {
              c.embedding::DOUBLE[]), 4) AS cos_sim
          FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
          ORDER BY cos_sim DESC, a_id, b_id LIMIT 10""",
+
+    // q52: the Spark side routes documents through the GRFT fake-media
+    // encode→mapPartitions-decode round trip; header fields are pure
+    // functions of doc_id (syntheticMedia) and the body is the text's
+    // UTF-8 bytes, so the oracle derives the identical stats directly.
+    "q52_media_stats" ->
+      """WITH m AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN 'image'
+                  WHEN doc_id % 3 = 1 THEN 'audio'
+                  ELSE 'video' END AS kind,
+             doc_id % 640 + 16 AS width,
+             doc_id % 480 + 16 AS height,
+             octet_length(encode(text)) AS n_body_bytes
+           FROM documents WHERE text IS NOT NULL)
+         SELECT kind, count(*) AS n_media,
+           round(avg(width), 4) AS avg_width,
+           round(avg(height), 4) AS avg_height,
+           sum(n_body_bytes)::BIGINT AS sum_body_bytes
+         FROM m GROUP BY kind ORDER BY kind""",
 
     "q45_simhash" ->
       """WITH td AS (
