@@ -89,6 +89,24 @@ final case class IvfIndex(
       rankRoundDp = rankRoundDp)
   }
 
+  /** Incremental maintenance (the reference's continuous inserts into
+    * the indexed table — doc_embedder.py:90-114 insert into the HNSW
+    * table, load.py:26): assign new vectors to the EXISTING centroids —
+    * NO refit, centroids and cluster ids unchanged — and return the
+    * extended index. Assignment is a narrow per-row map (nlist native
+    * distance expressions, no shuffle, no k-means job in the plan), so
+    * appends are cheap at any corpus size; recall for existing vectors
+    * is untouched, and each new vector lands exactly where a fresh
+    * assignment against these centroids would put it. Centroid drift
+    * after MANY appends is the standard IVF trade-off — rebuild (and
+    * write to a new root) to refresh. */
+  def append(newVecs: DataFrame): IvfIndex = {
+    require(!newVecs.columns.contains(IvfIndex.ClusterCol),
+      s"input already has a '${IvfIndex.ClusterCol}' column")
+    copy(assigned = assigned.unionByName(
+      IvfIndex.assignToCentroids(newVecs, vecCol, centroids, clusterIds)))
+  }
+
   /** Persist as a cluster-partitioned table: search then prunes whole
     * directories, the same mechanism as the component corpus. The
     * centroids (nlist × dim floats — a few KB) ride along in a
@@ -151,6 +169,46 @@ object IvfIndex {
   }
 
   private[graft] val CentroidSidecar = "_centroids"
+
+  /** Nearest-EXISTING-centroid assignment as one narrow column
+    * expression: per row, an array of (native l2sq distance, cluster id)
+    * structs — struct ordering makes `array_min` the argmin with a
+    * deterministic lowest-id tie-break — no shuffle, no ML job. A null
+    * or dimension-mismatched vector raises instead of silently landing
+    * in a null partition. */
+  private[graft] def assignToCentroids(vecs: DataFrame, vecCol: String,
+      centroids: Array[Array[Float]], clusterIds: Array[Int]): DataFrame = {
+    graft.plans.VectorExpressions.ensureRegistered(vecs.sparkSession)
+    val dim = centroids.head.length
+    val pairs = array(centroids.zip(clusterIds).map { case (c, cid) =>
+      struct(
+        call_function("graft_l2sq", col(vecCol), KnnSearch.litVec(c.toSeq))
+          .as("d"),
+        lit(cid).as("c"))
+    }: _*)
+    vecs.withColumn(ClusterCol,
+      when(col(vecCol).isNull || size(col(vecCol)) =!= dim,
+        raise_error(concat(lit(s"IvfIndex.append: vector must be " +
+          s"non-null with dim $dim, got dim "),
+          coalesce(size(col(vecCol)).cast("string"), lit("null")))))
+        .otherwise(array_min(pairs).getField("c")))
+  }
+
+  /** [[IvfIndex#append]] against a PERSISTED index root: assign to the
+    * existing centroids (sidecar read only — no corpus scan, no refit)
+    * and append the new rows into the cluster-partitioned layout.
+    * The `_centroids` sidecar is untouched, so concurrent readers and
+    * the [[graft.plans.IvfAutoProbe]] centroid cache stay valid. Many
+    * small appends accumulate small files per partition — compact with
+    * [[graft.sources.CorpusStore.compact]]-style repartition-on-the-
+    * partition-column to a fresh root when file counts grow. */
+  def appendTo(spark: SparkSession, path: String, newVecs: DataFrame,
+      idCol: String, vecCol: String): Unit = {
+    val idx = load(spark, path, idCol, vecCol)
+    assignToCentroids(newVecs, vecCol, idx.centroids, idx.clusterIds)
+      .write.mode(SaveMode.Append)
+      .partitionBy(ClusterCol).parquet(path)
+  }
 
   /** Reload a persisted index. Centroids come from the `_centroids`
     * sidecar [[IvfIndex#write]] drops next to the data — a single tiny

@@ -108,6 +108,77 @@ class IvfIndexSpec extends SparkSpec {
     }
   }
 
+  test("append assigns to existing centroids — no refit, appended vectors searchable") {
+    val base = embeddings.filter(col("vec_id") % 2 === 0)
+    val extra = embeddings.filter(col("vec_id") % 2 === 1)
+    val idx = IvfIndex.build(base, "vec_id", "embedding", nlist = 8)
+    val appended = idx.append(extra)
+    // no refit: centroids and cluster ids are bit-identical
+    assert(appended.centroids.map(_.toSeq).toSeq ==
+      idx.centroids.map(_.toSeq).toSeq)
+    assert(appended.clusterIds.toSeq == idx.clusterIds.toSeq)
+    // assignment is narrow: union of two shuffle-free branches
+    val aPlan = appended.assigned.queryExecution.executedPlan.toString
+    assert(!aPlan.contains("Exchange"), s"append must be narrow:\n$aPlan")
+    // full-probe search over the appended index == exact over everything
+    val q = queryVecs(1).head
+    val res = appended.search(q, 10, nprobe = appended.nlist,
+        tieBreak = Some("vec_id"))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(res == exactTopK(q, 10))
+    // an appended vector finds itself under a narrow probe
+    val oddQ = embeddings.filter(col("vec_id") === 1)
+      .select("embedding").head().getSeq[Float](0)
+    val hit = appended.search(oddQ, 1, nprobe = 2,
+        tieBreak = Some("vec_id"))
+      .select("vec_id").head().getLong(0)
+    assert(hit == 1L)
+  }
+
+  test("append surfaces null / dimension-mismatched vectors instead of mis-assigning") {
+    import spark.implicits._
+    val bad = Seq((9999L, Seq(1f, 2f), 0)).toDF("vec_id", "embedding", "label")
+    val ex = intercept[Exception] {
+      index.append(bad).assigned.collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("IvfIndex.append")), ex.toString)
+  }
+
+  test("appendTo extends a persisted index without touching the sidecar") {
+    val tmp = Files.createTempDirectory("graft-ivf-append-").toString
+    val path = s"$tmp/ivf"
+    val base = embeddings.filter(col("vec_id") % 2 === 0)
+    val extra = embeddings.filter(col("vec_id") % 2 === 1)
+    IvfIndex.build(base, "vec_id", "embedding", nlist = 8).write(path)
+    def sidecarListing: Seq[String] = {
+      val d = new java.io.File(s"$path/_centroids")
+      d.listFiles().filter(_.isFile)
+        .map(f => s"${f.getName}:${f.length}:${f.lastModified}").sorted.toSeq
+    }
+    val before = sidecarListing
+    IvfIndex.appendTo(spark, path, extra, "vec_id", "embedding")
+    assert(sidecarListing == before, "sidecar must be untouched by append")
+    val loaded = IvfIndex.load(spark, path, "vec_id", "embedding")
+    assert(loaded.assigned.count() == embeddings.count())
+    // full-probe over the appended persisted index is exact again
+    val q = queryVecs(1).head
+    val res = loaded.search(q, 10, nprobe = loaded.nlist,
+        tieBreak = Some("vec_id"))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(res == exactTopK(q, 10))
+    // appended rows live inside the cluster directories: the pruned scan
+    // still gets directory-level PartitionFilters
+    val probes = loaded.probeOrder(q).take(2)
+    val plan = loaded.assigned
+      .filter(col(IvfIndex.ClusterCol).isin(probes: _*))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains(IvfIndex.ClusterCol))
+  }
+
   test("load falls back to per-(cluster,dim) means without a sidecar") {
     val tmp = Files.createTempDirectory("graft-ivf-").toString
     index.write(s"$tmp/ivf")
