@@ -1,11 +1,39 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.execution.QueryExecution
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.util.QueryExecutionListener
 
 import graft.functions.TextFunctions.{jaccard, wordShinglesNative}
 import graft.functions.VectorFunctions.cosineSimilarity
 import graft.plans.VectorExpressions
+
+/** Scoped ownership for an in-operator cache: unpersists `target` after
+  * the FIRST completed action whose analyzed plan consumed it, then
+  * unregisters itself. A long-lived service calling
+  * [[NearDup.minhashPairs]] over distinct corpora no longer accumulates
+  * MEMORY_AND_DISK entries for the JVM lifetime. A second action on the
+  * same returned frame recomputes instead of reading cache — correct,
+  * just uncached; the operator's result is meant to be materialized
+  * once. Listener delivery is async (the SQL listener bus), so release
+  * happens shortly after the action returns, not within it. */
+private final class UnpersistAfterFirstAction(
+    spark: SparkSession, target: DataFrame)
+    extends QueryExecutionListener {
+  private val key = target.queryExecution.analyzed.canonicalized
+  private val armed = new java.util.concurrent.atomic.AtomicBoolean(true)
+  private def maybeRelease(qe: QueryExecution): Unit =
+    if (qe.analyzed.exists(_.canonicalized == key) &&
+        armed.compareAndSet(true, false)) {
+      target.unpersist()
+      spark.listenerManager.unregister(this)
+    }
+  override def onSuccess(funcName: String, qe: QueryExecution,
+      durationNs: Long): Unit = maybeRelease(qe)
+  override def onFailure(funcName: String, qe: QueryExecution,
+      exception: Exception): Unit = maybeRelease(qe)
+}
 
 /** Near-duplicate detection that scales — the north-star dedup extensions
   * (builder brief) layered on the shingle/jaccard primitives in
@@ -60,11 +88,14 @@ object NearDup {
     * The (id, shingles) frame feeds THREE subtrees (signatures, a-side
     * re-fetch, b-side re-fetch), so the operator persists it
     * (MEMORY_AND_DISK): tokenization + shingling run once per document
-    * instead of three times. Spark's CacheManager keys the entry on the
-    * canonicalized plan, so repeated invocations over the same input
-    * share one cache entry rather than leaking one per call; pass
-    * `persistShingles = false` to opt out (e.g. one-shot jobs on corpora
-    * larger than cluster storage). */
+    * instead of three times. The cache's lifetime is OWNED by the
+    * operator: a [[UnpersistAfterFirstAction]] listener releases the
+    * entry as soon as the first action over the result completes, so a
+    * long-lived service calling this over distinct corpora never
+    * accumulates JVM-lifetime cache entries. Within that first action
+    * Spark's CacheManager still dedupes concurrent same-plan persists.
+    * Pass `persistShingles = false` to skip caching entirely (one-shot
+    * jobs on corpora larger than cluster storage). */
   def minhashPairs(
       docs: DataFrame,
       idCol: String,
@@ -86,9 +117,13 @@ object NearDup {
         wordShinglesNative(col(textCol), shingleN).as("shingles"))
       .filter(size(col("shingles")) > 0)
     val sh =
-      if (persistShingles)
-        shRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else shRaw
+      if (persistShingles) {
+        val p = shRaw
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        p.sparkSession.listenerManager.register(
+          new UnpersistAfterFirstAction(p.sparkSession, p))
+        p
+      } else shRaw
     // signature natively: graft_minhash computes all numHashes salted-md5
     // minima in ONE narrow pass per row — no shingle explosion, no
     // aggregation shuffle. (History: a nested-HOF formulation re-derived

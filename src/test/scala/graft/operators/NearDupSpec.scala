@@ -55,6 +55,27 @@ class NearDupSpec extends SparkSpec {
     assert(hamming(hashes(1L), hashes(4L)) > 8)    // unrelated: far
   }
 
+  test("shingle cache is released after the result is materialized") {
+    import graft.functions.TextFunctions.wordShinglesNative
+    val pairs = NearDup.minhashPairs(docs, "doc_id", "text",
+      threshold = 0.6)
+    pairs.collect()
+    // an equivalent-plan frame resolves to the same CacheManager entry,
+    // so its public storageLevel tells us whether the operator's
+    // internal persist is still alive. Listener delivery is async —
+    // poll briefly.
+    val shEquivalent = docs
+      .select(col("doc_id").as("id"),
+        wordShinglesNative(col("text"), 3).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+    val deadline = System.currentTimeMillis + 15000
+    def level = shEquivalent.storageLevel
+    while (level != org.apache.spark.storage.StorageLevel.NONE &&
+        System.currentTimeMillis < deadline) Thread.sleep(100)
+    assert(level == org.apache.spark.storage.StorageLevel.NONE,
+      "shingle cache entry must be released after the first action")
+  }
+
   test("lsh collision probability: bucket counts stay bounded (no hot key)") {
     // signatures of unrelated docs must not all collapse into one bucket
     val buckets = NearDup.minhashPairs(docs, "doc_id", "text",
