@@ -143,6 +143,49 @@ object IvfIndex {
       }
       .sortBy(_._1).map(_._2).toSeq
 
+  /** cluster ids ranked most-cosine-similar to the query first: both
+    * sides are unit-normalized in the scoring (on the unit sphere
+    * L2² = 2 − 2·cos, so this is [[probeOrder]]'s cosine analogue for
+    * `1 − graft_cos` orderings). A zero-norm side scores 0, matching
+    * [[graft.plans.CosineSimilarityExpr]]. */
+  def probeOrderCosine(centroids: Array[Array[Float]],
+      clusterIds: Array[Int], query: Seq[Float]): Seq[Int] = {
+    val q = query.toArray
+    var qn = 0.0
+    var i = 0
+    while (i < q.length) { qn += q(i).toDouble * q(i).toDouble; i += 1 }
+    centroids.zipWithIndex
+      .map { case (c, ci) =>
+        var dot = 0.0; var cn = 0.0; var j = 0
+        while (j < c.length) {
+          dot += c(j).toDouble * q(j).toDouble
+          cn += c(j).toDouble * c(j).toDouble
+          j += 1
+        }
+        val cos =
+          if (qn == 0.0 || cn == 0.0) 0.0
+          else dot / (math.sqrt(qn) * math.sqrt(cn))
+        (-cos, clusterIds(ci))
+      }
+      .sortBy(_._1).map(_._2).toSeq
+  }
+
+  /** cluster ids ranked by query·centroid descending — the MIPS probe
+    * ranking for negated-dot (`-graft_dot`) orderings. */
+  def probeOrderDot(centroids: Array[Array[Float]],
+      clusterIds: Array[Int], query: Seq[Float]): Seq[Int] = {
+    val q = query.toArray
+    centroids.zipWithIndex
+      .map { case (c, ci) =>
+        var dot = 0.0; var j = 0
+        while (j < c.length) {
+          dot += c(j).toDouble * q(j).toDouble; j += 1
+        }
+        (-dot, clusterIds(ci))
+      }
+      .sortBy(_._1).map(_._2).toSeq
+  }
+
   /** V4: build the index — k-means (MLlib, seeded for reproducibility)
     * then nearest-centroid assignment. One fit over a sample-friendly
     * dataset; assignment is a narrow map. */

@@ -3,12 +3,12 @@ package graft.plans
 import scala.util.Try
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, AttributeReference, Expression, ExprId, In, Literal, SortOrder}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, AttributeReference, Expression, ExprId, In, Literal, SortOrder, Subtract, UnaryMinus}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, GlobalLimit, LocalLimit, LogicalPlan, Project, Sort}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, IntegerType, LongType}
 
 import graft.operators.IvfIndex
 
@@ -26,10 +26,12 @@ import graft.operators.IvfIndex
   *     (Project|Filter)* → LogicalRelation(parquet partitioned by
   *     __ivf_cluster, with a `_centroids` sidecar)
   *
-  * where `dist` resolves (through the Project aliases) to an expression
-  * containing `graft_l2sq(vecCol, <constant vector>)`. The rule reads
+  * where `dist` resolves (through the Project aliases) to a supported
+  * distance ordering over `(vecCol, <constant vector>)` —
+  * `graft_l2sq`, `1.0 - graft_cos`, or `-graft_dot`. The rule reads
   * the (tiny, cached) centroid sidecar on the driver, picks the
-  * `nprobe` nearest clusters for the constant query vector, and injects
+  * `nprobe` best clusters for the constant query vector under the
+  * matching centroid ranking (L2 / cosine / dot), and injects
   * `Filter(__ivf_cluster IN probes)` directly above the relation, where
   * the planner's PhysicalOperation collapse turns it into parquet
   * PartitionFilters — whole directories are skipped.
@@ -101,29 +103,42 @@ case class IvfAutoProbe(spark: SparkSession) extends Rule[LogicalPlan] {
       case a: AttributeReference if a.name == IvfIndex.ClusterCol => a
     }.getOrElse(return None)
 
-    // 2. the primary sort key must be ascending and BE the
-    //    graft_l2sq(relationColumn, constant vector) term — possibly
-    //    under monotonic non-decreasing wrappers (sqrt / round / cast) —
-    //    never merely contain it: a non-monotonic transform (negation,
-    //    reciprocal, subtraction) would invert the ordering and make
-    //    nearest-cluster pruning return the wrong rows.
-    val qVec: Array[Float] = s.order.headOption match {
-      case Some(SortOrder(key, Ascending, _, _)) =>
-        unwrapMonotonic(resolve(key, aliases)) match {
-          case L2SquaredDistance(a: AttributeReference, l)
-              if rel.outputSet.contains(a) =>
-            constVector(l).getOrElse(return None)
-          case _ => return None
-        }
-      case _ => return None
-    }
+    // 2. the primary sort key must be ascending and BE a supported
+    //    distance term over a relation column and a constant query
+    //    vector — possibly under monotonic non-decreasing wrappers
+    //    (sqrt / round / widening numeric cast) — never merely contain
+    //    it: a non-monotonic transform (negation, reciprocal,
+    //    subtraction) of the matched term would invert the ordering and
+    //    make nearest-cluster pruning return the wrong rows. Supported
+    //    orderings and their centroid rankings:
+    //      graft_l2sq(v, q)       → nearest-centroid L2
+    //      1.0 - graft_cos(v, q)  → most-cosine-similar centroid
+    //      -graft_dot(v, q)       → highest query·centroid (MIPS)
+    val matched: Option[(Array[Float], ProbeRanker)] =
+      s.order.headOption match {
+        case Some(SortOrder(key, Ascending, _, _)) =>
+          unwrapMonotonic(resolve(key, aliases)) match {
+            case L2SquaredDistance(a: AttributeReference, l)
+                if rel.outputSet.contains(a) =>
+              constVector(l).map((_, IvfIndex.probeOrder _))
+            case Subtract(Literal(one, DoubleType),
+                CosineSimilarityExpr(a: AttributeReference, l), _)
+                if one == 1.0 && rel.outputSet.contains(a) =>
+              constVector(l).map((_, IvfIndex.probeOrderCosine _))
+            case UnaryMinus(DotProduct(a: AttributeReference, l), _)
+                if rel.outputSet.contains(a) =>
+              constVector(l).map((_, IvfIndex.probeOrderDot _))
+            case _ => None
+          }
+        case _ => None
+      }
+    val (qVec, ranker) = matched.getOrElse(return None)
 
-    // 3. centroids from the sidecar (driver-side, cached per root path)
+    // 3. centroids from the sidecar (driver-side, fingerprint-cached)
     val root = fs.location.rootPaths.headOption.getOrElse(return None)
     val cents = centroidsFor(spark, root.toString).getOrElse(return None)
     if (np >= cents.length) return None // full scan anyway
-    val probes = IvfIndex
-      .probeOrder(cents.map(_._2), cents.map(_._1), qVec.toSeq)
+    val probes = ranker(cents.map(_._2), cents.map(_._1), qVec.toSeq)
       .take(np)
 
     // 4. inject the probe filter directly above the relation; the
@@ -186,6 +201,11 @@ case class IvfAutoProbe(spark: SparkSession) extends Rule[LogicalPlan] {
 
 object IvfAutoProbe {
   val NprobeConf = "spark.graft.ivf.nprobe"
+
+  /** centroid-ranking strategy: (centroids, clusterIds, query) → cluster
+    * ids best-first, one per supported distance ordering */
+  private[plans] type ProbeRanker =
+    (Array[Array[Float]], Array[Int], Seq[Float]) => Seq[Int]
 
   private val centroidCache =
     new java.util.concurrent.ConcurrentHashMap[String,

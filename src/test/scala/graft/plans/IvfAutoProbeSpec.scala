@@ -99,6 +99,57 @@ class IvfAutoProbeSpec extends SparkSpec {
     }
   }
 
+  test("cosine-distance top-k is rewritten with a cosine centroid ranking") {
+    withRule(6) {
+      val loaded = spark.read.parquet(indexPath)
+      val df = KnnSearch.topK(loaded, "embedding", queryVec, 10,
+        KnnSearch.NativeCosine, tieBreak = Some("vec_id"))
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") &&
+        plan.contains(IvfIndex.ClusterCol),
+        s"expected a pruned scan for 1 - graft_cos:\n$plan")
+      val rows = df.select("vec_id").collect().map(_.getLong(0)).toSet
+      val exact = KnnSearch.topK(embeddings, "embedding", queryVec, 10,
+          KnnSearch.Cosine, tieBreak = Some("vec_id"))
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(rows.intersect(exact).size >= 8,
+        s"cosine recall too low: ${rows.intersect(exact).size}/10")
+    }
+  }
+
+  test("negated-dot (MIPS) top-k is rewritten with a dot centroid ranking") {
+    withRule(6) {
+      val loaded = spark.read.parquet(indexPath)
+      val df = KnnSearch.topK(loaded, "embedding", queryVec, 10,
+        KnnSearch.NativeInnerProduct, tieBreak = Some("vec_id"))
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") &&
+        plan.contains(IvfIndex.ClusterCol),
+        s"expected a pruned scan for -graft_dot:\n$plan")
+      val rows = df.select("vec_id").collect().map(_.getLong(0)).toSet
+      val exact = KnnSearch.topK(embeddings, "embedding", queryVec, 10,
+          KnnSearch.InnerProduct, tieBreak = Some("vec_id"))
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(rows.intersect(exact).size >= 7,
+        s"MIPS recall too low: ${rows.intersect(exact).size}/10")
+    }
+  }
+
+  test("decreasing transforms of a distance are still refused") {
+    withRule(6) {
+      val loaded = spark.read.parquet(indexPath)
+      // 1 - l2sq is DECREASING in the distance: ascending sort = farthest
+      // first. Only the exact 1 - graft_cos similarity shape may match.
+      val df = loaded.withColumn("inv",
+        lit(1.0) - call_function("graft_l2sq", col("embedding"),
+          KnnSearch.litVec(queryVec)))
+        .orderBy(col("inv"), col("vec_id")).limit(10)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains(s"${IvfIndex.ClusterCol} IN"),
+        s"rule must not fire on 1 - graft_l2sq:\n$plan")
+    }
+  }
+
   test("string-cast sort keys are not rewritten (lexicographic order differs)") {
     withRule(6) {
       val loaded = spark.read.parquet(indexPath)
