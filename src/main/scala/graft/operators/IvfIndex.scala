@@ -80,12 +80,17 @@ final case class IvfIndex(
       tieBreak: String,
       rankRoundDp: Option[Int] = None): DataFrame = {
     val np = math.max(1, nprobe)
-    val probes = queries.select(queryVecCol).collect()
-      .flatMap(r => probeOrder(r.getSeq[Float](0)).take(np))
+    // ONE driver-side collect serves both probe planning and the
+    // broadcast heap pass (the query table is small by contract, but
+    // re-collecting it would still re-run its plan — e.g. a model
+    // embedder seam — twice)
+    val qSet = KnnSearch.collectQueries(queries, queryIdCol, queryVecCol)
+    val probes = qSet
+      .flatMap(q => probeOrder(q._2.toSeq).take(np))
       .distinct.toSeq
-    KnnSearch.topKBatch(
+    KnnSearch.topKBatchCollected(
       assigned.filter(col(IvfIndex.ClusterCol).isin(probes: _*)),
-      vecCol, queries, queryIdCol, queryVecCol, k, tieBreak,
+      vecCol, qSet, queries.schema(queryIdCol).dataType, k, tieBreak,
       rankRoundDp = rankRoundDp)
   }
 

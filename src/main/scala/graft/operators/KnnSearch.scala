@@ -110,21 +110,69 @@ object KnnSearch {
       k: Int,
       tieBreak: String,
       distCol: String = "dist",
+      rankRoundDp: Option[Int] = None): DataFrame =
+    topKBatchCollected(corpus, vecCol,
+      collectQueries(queries, queryIdCol, queryVecCol),
+      queries.schema(queryIdCol).dataType,
+      k, tieBreak, distCol, rankRoundDp)
+
+  /** Driver-side query-set collection shared by [[topKBatch]] and
+    * [[IvfIndex#searchBatch]] — the query table is collected ONCE and
+    * reused for probe planning and the broadcast heap pass. Null query
+    * vectors fail loudly here instead of NPE-ing inside an executor. */
+  private[operators] def collectQueries(queries: DataFrame,
+      queryIdCol: String, queryVecCol: String)
+      : Array[(Any, Array[Float])] =
+    queries.select(col(queryIdCol), col(queryVecCol)).collect()
+      .map { r =>
+        require(!r.isNullAt(1),
+          s"null $queryVecCol for query ${r.get(0)}")
+        (r.get(0), r.getSeq[Float](1).toArray)
+      }
+
+  /** Per-query tie keys must order exactly as Spark's final window rank
+    * will: Strings compare as UTF8 binary (java.lang.String.compareTo
+    * diverges on supplementary characters), numerics/temporal/boolean
+    * via their Comparable boxes. Anything else is rejected UP FRONT at
+    * plan time — not as a ClassCastException halfway through a corpus
+    * scan. */
+  private def tieKeyFn(
+      dt: org.apache.spark.sql.types.DataType): Any => Any = dt match {
+    case org.apache.spark.sql.types.StringType =>
+      a => if (a == null) null
+        else org.apache.spark.unsafe.types.UTF8String
+          .fromString(a.asInstanceOf[String])
+    case _: org.apache.spark.sql.types.NumericType |
+        org.apache.spark.sql.types.BooleanType |
+        org.apache.spark.sql.types.DateType |
+        org.apache.spark.sql.types.TimestampType |
+        org.apache.spark.sql.types.TimestampNTZType => identity
+    case other => throw new IllegalArgumentException(
+      s"topKBatch tieBreak column has non-orderable type $other")
+  }
+
+  private[operators] def topKBatchCollected(
+      corpus: DataFrame,
+      vecCol: String,
+      qSet: Array[(Any, Array[Float])],
+      queryIdType: org.apache.spark.sql.types.DataType,
+      k: Int,
+      tieBreak: String,
+      distCol: String = "dist",
       rankRoundDp: Option[Int] = None): DataFrame = {
     require(!corpus.columns.contains(distCol),
       s"corpus already has a '$distCol' column; pass a different distCol")
     require(!corpus.columns.contains("query_id"),
       "corpus already has a 'query_id' column")
     val spark = corpus.sparkSession
-    val qSet: Array[(Any, Array[Float])] = queries
-      .select(col(queryIdCol), col(queryVecCol)).collect()
-      .map(r => (r.get(0), r.getSeq[Float](1).toArray))
     val bc = spark.sparkContext.broadcast(qSet)
     val outSchema = corpus.schema
       .add(distCol, org.apache.spark.sql.types.DoubleType)
-      .add("query_id", queries.schema(queryIdCol).dataType)
+      .add("query_id", queryIdType)
     val vecIdx = corpus.schema.fieldIndex(vecCol)
     val tieIdx = corpus.schema.fieldIndex(tieBreak)
+    // validated at plan time, serialized into the closure
+    val tieKey = tieKeyFn(corpus.schema(tieBreak).dataType)
     val dp = rankRoundDp
     val local = corpus.mapPartitions { rows =>
       val qs = bc.value
@@ -147,29 +195,33 @@ object KnnSearch {
         val vSeq = if (row.isNullAt(vecIdx)) null else row.getSeq[Float](vecIdx)
         if (vSeq != null) {
           val v = vSeq.toArray
-          val tie = row.get(tieIdx)
+          val tie = tieKey(row.get(tieIdx))
           var qi = 0
           while (qi < qs.length) {
             val qv = qs(qi)._2
-            if (qv.length == v.length) {
-              var s = 0.0
-              var i = 0
-              while (i < v.length) {
-                val d = v(i).toDouble - qv(i).toDouble
-                s += d * d
-                i += 1
-              }
-              var dist = math.sqrt(s)
-              // same half-up shortest-decimal rounding as Spark round()
-              dp.foreach { p =>
-                dist = java.math.BigDecimal.valueOf(dist)
-                  .setScale(p, java.math.RoundingMode.HALF_UP).doubleValue()
-              }
-              val h = heaps(qi)
-              if (h.size < k) h.enqueue(new Entry(dist, tie, row))
-              else if (cmp(new Entry(dist, tie, row), h.head) < 0) {
-                h.dequeue(); h.enqueue(new Entry(dist, tie, row))
-              }
+            // a silent skip here would quietly drop corpus rows from
+            // every result — mixed dimensions are a data bug, surface it
+            if (qv.length != v.length)
+              throw new IllegalArgumentException(
+                s"dimension mismatch in topKBatch: corpus vector has " +
+                  s"${v.length} dims, query '${qs(qi)._1}' has ${qv.length}")
+            var s = 0.0
+            var i = 0
+            while (i < v.length) {
+              val d = v(i).toDouble - qv(i).toDouble
+              s += d * d
+              i += 1
+            }
+            var dist = math.sqrt(s)
+            // same half-up shortest-decimal rounding as Spark round()
+            dp.foreach { p =>
+              dist = java.math.BigDecimal.valueOf(dist)
+                .setScale(p, java.math.RoundingMode.HALF_UP).doubleValue()
+            }
+            val h = heaps(qi)
+            if (h.size < k) h.enqueue(new Entry(dist, tie, row))
+            else if (cmp(new Entry(dist, tie, row), h.head) < 0) {
+              h.dequeue(); h.enqueue(new Entry(dist, tie, row))
             }
             qi += 1
           }

@@ -69,4 +69,65 @@ class KnnSearchSpec extends SparkSpec {
       .select("vec_id").collect().map(_.getLong(0)).toSeq
     assert(top == Seq(0L, 100000L))
   }
+
+  test("string ties break in UTF8 binary order, matching the final rank") {
+    import spark.implicits._
+    // U+FFFF is a single UTF-16 char but three UTF-8 bytes (EF BF BF);
+    // U+10000 is a surrogate pair but four bytes (F0 90 80 80). Java's
+    // String.compareTo says U+10000 < U+FFFF; Spark's binary ordering
+    // (and the final window rank) says U+FFFF < U+10000. The heap must
+    // agree with the rank or the survivor set is wrong.
+    val v = Seq.fill(4)(0f)
+    val corpus = Seq(
+      ("𐀀", v), // U+10000
+      ("￿", v)
+    ).toDF("name", "embedding").repartition(1) // both in one heap
+    val queries = Seq(("q1", v)).toDF("qid", "qv")
+    val got = KnnSearch.topKBatch(corpus, "embedding", queries,
+        "qid", "qv", k = 1, tieBreak = "name")
+      .select("name").head().getString(0)
+    assert(got == "￿",
+      "heap tie order diverged from Spark's UTF8 binary ordering")
+  }
+
+  test("non-orderable tieBreak types are rejected at plan time") {
+    import spark.implicits._
+    val corpus = Seq((Seq(1, 2), Seq.fill(4)(0f)))
+      .toDF("arr_tie", "embedding")
+    val queries = Seq(("q1", Seq.fill(4)(0f))).toDF("qid", "qv")
+    val ex = intercept[IllegalArgumentException] {
+      KnnSearch.topKBatch(corpus, "embedding", queries,
+        "qid", "qv", k = 1, tieBreak = "arr_tie")
+    }
+    assert(ex.getMessage.contains("non-orderable"))
+  }
+
+  test("dimension mismatches surface an error instead of dropping rows") {
+    import spark.implicits._
+    val corpus = Seq((1L, Seq(1f, 2f))).toDF("vec_id", "embedding")
+    val queries = Seq(("q1", Seq(1f, 2f, 3f))).toDF("qid", "qv")
+    val ex = intercept[Exception] {
+      KnnSearch.topKBatch(corpus, "embedding", queries,
+        "qid", "qv", k = 1, tieBreak = "vec_id").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("dimension mismatch")),
+      ex.toString)
+  }
+
+  test("searchBatch collects the query table exactly once") {
+    val queries = embeddings.filter(col("vec_id").isin(0, 1))
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val before = spark.sparkContext.longAccumulator("probe")
+    // count query-side plan executions via an accumulator-bumping UDF
+    val bump = udf { (id: Long) => before.add(1); id }
+    val counted = queries.select(bump(col("qid")).as("qid"), col("qv"))
+    val idx = IvfIndex.build(embeddings, "vec_id", "embedding", nlist = 4)
+    idx.searchBatch(counted, "qid", "qv", k = 3, nprobe = 2,
+      tieBreak = "vec_id").collect()
+    assert(before.value == 2L,
+      s"query plan ran ${before.value / 2.0} times; must be collected once")
+  }
 }
