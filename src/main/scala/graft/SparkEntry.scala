@@ -798,6 +798,13 @@ object SparkEntry {
       // hint("shuffle_hash"), never broadcast: the distinct-train-gram
       // set scales with the corpus and must not be collected to the
       // driver (asserted, with the no-collect_set shape, in EntrySpec).
+      //
+      // DELIBERATE TRADE-OFF: the shingle subtree `sh` feeds BOTH the
+      // train-gram build side and the test probe side, so the documents
+      // scan + shingling run twice per query. That 2× narrow scan cost
+      // is the price of bounded aggregation state — do NOT "optimize"
+      // this back into a single pass that groups test hits per gram:
+      // that shape's hot-gram value state is the round-4 scale killer.
       VectorExpressions.ensureRegistered(s)
       val base = t(s, dir, "documents")
         .select(col("doc_id"), col("lang"), col("text"),
