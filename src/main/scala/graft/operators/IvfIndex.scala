@@ -126,6 +126,9 @@ final case class IvfIndex(
     clusterIds.zip(centroids).toSeq.toDF("cluster_id", "centroid")
       .coalesce(1).write.mode(SaveMode.Overwrite)
       .parquet(s"$path/${IvfIndex.CentroidSidecar}")
+    // same-JVM in-place rebuild: the auto-probe rule's driver caches
+    // (listing TTL + centroids) must not serve the old index
+    graft.plans.IvfAutoProbe.invalidate(spark, path)
   }
 }
 

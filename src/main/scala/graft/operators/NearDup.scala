@@ -17,17 +17,31 @@ import graft.plans.VectorExpressions
   * same returned frame recomputes instead of reading cache — correct,
   * just uncached; the operator's result is meant to be materialized
   * once. Listener delivery is async (the SQL listener bus), so release
-  * happens shortly after the action returns, not within it. */
+  * happens shortly after the action returns, not within it.
+  *
+  * The listener's own lifetime is bounded too: a frame that is built but
+  * never materialized would otherwise leak one registered listener per
+  * call for the JVM lifetime, each walking/canonicalizing every
+  * completed query's analyzed plan on the listener bus. After
+  * `maxMisses` completed actions that did NOT consume the target, the
+  * listener gives up, unpersists (a no-op if never computed) and
+  * unregisters — the abandoned frame's cache entry goes with it. */
 private final class UnpersistAfterFirstAction(
-    spark: SparkSession, target: DataFrame)
+    spark: SparkSession, target: DataFrame,
+    maxMisses: Int = NearDup.ListenerMaxUnrelatedActions)
     extends QueryExecutionListener {
   private val key = target.queryExecution.analyzed.canonicalized
   private val armed = new java.util.concurrent.atomic.AtomicBoolean(true)
-  private def maybeRelease(qe: QueryExecution): Unit =
-    if (qe.analyzed.exists(_.canonicalized == key) &&
-        armed.compareAndSet(true, false)) {
+  private val misses = new java.util.concurrent.atomic.AtomicInteger(0)
+  private def release(): Unit =
+    if (armed.compareAndSet(true, false)) {
       target.unpersist()
       spark.listenerManager.unregister(this)
+    }
+  private def maybeRelease(qe: QueryExecution): Unit =
+    if (armed.get()) {
+      if (qe.analyzed.exists(_.canonicalized == key)) release()
+      else if (misses.incrementAndGet() >= maxMisses) release()
     }
   override def onSuccess(funcName: String, qe: QueryExecution,
       durationNs: Long): Unit = maybeRelease(qe)
@@ -53,6 +67,14 @@ private final class UnpersistAfterFirstAction(
   * buckets.
   */
 object NearDup {
+
+  /** How many completed actions NOT consuming the shingle cache a
+    * [[UnpersistAfterFirstAction]] listener tolerates before concluding
+    * the frame was abandoned and releasing cache + listener. Small
+    * enough that an abandoned call stops taxing the listener bus
+    * quickly; large enough that a caller interleaving a few unrelated
+    * queries before materializing still gets the cached shingles. */
+  private[operators] val ListenerMaxUnrelatedActions = 32
 
   /** MinHash signature: element i is the minimum md5 of `i|shingle` over
     * the doc's shingles — one independent permutation per salt i.
@@ -202,8 +224,19 @@ object NearDup {
     // the native bucket expression needs the graft registry on whatever
     // session owns `vecs` (driver-side, idempotent)
     VectorExpressions.ensureRegistered(vecs.sparkSession)
+    // A wrong `dim` must fail LOUDLY: the plane matrix is packed
+    // row-major at bits·dim, so a mismatched vector either reinterprets
+    // the matrix as the wrong planes (garbage-but-deterministic buckets,
+    // silently degraded recall) or buckets to null (rows silently vanish
+    // from the self-join). Same guard shape as IvfIndex.assignToCentroids.
     val b = vecs.select(col(idCol).as("id"), col(vecCol).as("v"),
-      signBucket(col(vecCol), hyperplanes(bits, dim)).as("bucket"))
+      when(col(vecCol).isNull || size(col(vecCol)) =!= dim,
+        raise_error(concat(
+          lit(s"NearDup.cosinePairs: vector must be non-null with " +
+            s"dim $dim, got dim "),
+          coalesce(size(col(vecCol)).cast("string"), lit("null")))))
+        .otherwise(signBucket(col(vecCol), hyperplanes(bits, dim)))
+        .as("bucket"))
     b.as("a")
       .join(b.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))

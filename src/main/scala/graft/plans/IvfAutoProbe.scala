@@ -106,7 +106,9 @@ case class IvfAutoProbe(spark: SparkSession) extends Rule[LogicalPlan] {
     // 2. the primary sort key must be ascending and BE a supported
     //    distance term over a relation column and a constant query
     //    vector — possibly under monotonic non-decreasing wrappers
-    //    (sqrt / round / widening numeric cast) — never merely contain
+    //    (round / widening numeric cast; sqrt only over the non-negative
+    //    l2sq and 1-cos terms, never over -dot, whose negatives sqrt
+    //    to NaN) — never merely contain
     //    it: a non-monotonic transform (negation, reciprocal,
     //    subtraction) of the matched term would invert the ordering and
     //    make nearest-cluster pruning return the wrong rows. Supported
@@ -117,7 +119,8 @@ case class IvfAutoProbe(spark: SparkSession) extends Rule[LogicalPlan] {
     val matched: Option[(Array[Float], ProbeRanker)] =
       s.order.headOption match {
         case Some(SortOrder(key, Ascending, _, _)) =>
-          unwrapMonotonic(resolve(key, aliases)) match {
+          val (inner, sqrtStripped) = unwrapMonotonic(resolve(key, aliases))
+          inner match {
             case L2SquaredDistance(a: AttributeReference, l)
                 if rel.outputSet.contains(a) =>
               constVector(l).map((_, IvfIndex.probeOrder _))
@@ -125,8 +128,11 @@ case class IvfAutoProbe(spark: SparkSession) extends Rule[LogicalPlan] {
                 CosineSimilarityExpr(a: AttributeReference, l), _)
                 if one == 1.0 && rel.outputSet.contains(a) =>
               constVector(l).map((_, IvfIndex.probeOrderCosine _))
+            // -dot can be NEGATIVE: sqrt of it is NaN (sorts last in
+            // Spark), so sqrt(-graft_dot) is NOT order-equivalent to the
+            // dot ranking — refuse the match when a Sqrt was stripped.
             case UnaryMinus(DotProduct(a: AttributeReference, l), _)
-                if rel.outputSet.contains(a) =>
+                if !sqrtStripped && rel.outputSet.contains(a) =>
               constVector(l).map((_, IvfIndex.probeOrderDot _))
             case _ => None
           }
@@ -171,26 +177,33 @@ case class IvfAutoProbe(spark: SparkSession) extends Rule[LogicalPlan] {
     cur
   }
 
-  /** strip wrappers that preserve the ascending order of a non-negative
-    * distance: sqrt, round (non-decreasing), WIDENING numeric casts,
-    * aliases. A cast to string orders lexicographically ('10' < '9') and
-    * a narrowing cast can truncate — stripping either would prune to the
-    * wrong clusters and return wrong rows beyond the sanctioned IVF
-    * approximation, so only numeric→numeric up-casts pass. */
-  private def unwrapMonotonic(e: Expression): Expression = e match {
-    case org.apache.spark.sql.catalyst.expressions.Sqrt(c) =>
-      unwrapMonotonic(c)
-    case org.apache.spark.sql.catalyst.expressions.Round(c, _, _) =>
-      unwrapMonotonic(c)
-    case c: org.apache.spark.sql.catalyst.expressions.Cast
-        if c.child.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] &&
-          c.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] &&
-          org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(
-            c.child.dataType, c.dataType) =>
-      unwrapMonotonic(c.child)
-    case a: Alias => unwrapMonotonic(a.child)
-    case other => other
-  }
+  /** strip wrappers that preserve ascending order: round
+    * (non-decreasing), WIDENING numeric casts, aliases — and sqrt, which
+    * is order-preserving ONLY on non-negative inputs (NaN on negatives,
+    * and NaN sorts LAST in Spark, inverting nothing but breaking
+    * equivalence). The returned flag records whether a Sqrt was
+    * stripped, so the caller can refuse matches whose inner term may be
+    * negative (`-graft_dot`); `graft_l2sq` and `1 − graft_cos` are
+    * non-negative by construction and stay safe. A cast to string orders
+    * lexicographically ('10' < '9') and a narrowing cast can truncate —
+    * stripping either would prune to the wrong clusters and return wrong
+    * rows beyond the sanctioned IVF approximation, so only
+    * numeric→numeric up-casts pass. */
+  private def unwrapMonotonic(e: Expression): (Expression, Boolean) =
+    e match {
+      case org.apache.spark.sql.catalyst.expressions.Sqrt(c) =>
+        (unwrapMonotonic(c)._1, true)
+      case org.apache.spark.sql.catalyst.expressions.Round(c, _, _) =>
+        unwrapMonotonic(c)
+      case c: org.apache.spark.sql.catalyst.expressions.Cast
+          if c.child.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] &&
+            c.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] &&
+            org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(
+              c.child.dataType, c.dataType) =>
+        unwrapMonotonic(c.child)
+      case a: Alias => unwrapMonotonic(a.child)
+      case other => (other, false)
+    }
 
   private def constVector(e: Expression): Option[Array[Float]] = e match {
     case Literal(ad: ArrayData, ArrayType(FloatType, _)) =>
@@ -211,30 +224,74 @@ object IvfAutoProbe {
     new java.util.concurrent.ConcurrentHashMap[String,
       (String, Array[(Int, Array[Float])])]()
 
+  /** (nanoTime, fingerprint) per root — see [[sidecarFingerprint]]. */
+  private val fingerprintCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      (Long, Option[String])]()
+
+  /** How long a listed fingerprint stays fresh. Optimizer rules can run
+    * several times per query; on an object store each
+    * [[sidecarFingerprint]] listing is a list RPC of driver latency, so
+    * steady-state queries reuse the last listing for a few seconds while
+    * out-of-JVM in-place rebuilds are still picked up promptly.
+    * Same-JVM rebuilds bypass the TTL entirely: [[invalidate]] is called
+    * from [[graft.operators.IvfIndex.write]]. */
+  private val FingerprintTtlNanos = 3_000_000_000L
+
+  /** Drop cached listing + centroids for `root` — called by
+    * [[graft.operators.IvfIndex.write]] so a same-JVM in-place rebuild
+    * is visible to the very next query, TTL notwithstanding. The rule
+    * keys caches on the relation's QUALIFIED root
+    * (`file:/...`, `s3a://bucket/...`); writers pass whatever path they
+    * were given, so both the raw and the fs-qualified form are dropped. */
+  private[graft] def invalidate(spark: SparkSession, root: String): Unit = {
+    fingerprintCache.remove(root)
+    centroidCache.remove(root)
+    Try {
+      val p = new org.apache.hadoop.fs.Path(root)
+      val q = p.getFileSystem(spark.sessionState.newHadoopConf())
+        .makeQualified(p).toString
+      fingerprintCache.remove(q)
+      centroidCache.remove(q)
+    }
+  }
+
   /** Stable fingerprint of a root's `_centroids` sidecar directory: file
     * names + lengths + mtimes. Parquet part-file names embed a fresh
     * UUID per write, so ANY rebuild — including an in-place
     * SaveMode.Overwrite to the same root within one mtime tick — changes
     * the fingerprint. None when the sidecar is absent or empty (not an
-    * IVF index). Driver-side metadata listing, a few μs on any fs. */
+    * IVF index). Driver-side metadata listing memoized per root for
+    * [[FingerprintTtlNanos]] (negative results too — a non-index table
+    * should not cost a list RPC per optimizer pass either). */
   private def sidecarFingerprint(spark: SparkSession,
-      root: String): Option[String] = Try {
-    val p = new org.apache.hadoop.fs.Path(
-      s"$root/${IvfIndex.CentroidSidecar}")
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    fs.listStatus(p).filter(_.isFile)
-      .map(st =>
-        s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
-      .sorted.mkString(",")
-  }.toOption.filter(_.nonEmpty)
+      root: String): Option[String] = {
+    val now = System.nanoTime()
+    val cached = fingerprintCache.get(root)
+    if (cached != null && now - cached._1 < FingerprintTtlNanos) cached._2
+    else {
+      val fp = Try {
+        val p = new org.apache.hadoop.fs.Path(
+          s"$root/${IvfIndex.CentroidSidecar}")
+        val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+        fs.listStatus(p).filter(_.isFile)
+          .map(st =>
+            s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+          .sorted.mkString(",")
+      }.toOption.filter(_.nonEmpty)
+      fingerprintCache.put(root, (now, fp))
+      fp
+    }
+  }
 
   /** (clusterId, centroid) pairs from the `_centroids` sidecar, or None
     * when the table has no sidecar (then it is not an IVF index and the
     * rule must not fire). Positive results are cached keyed on the
     * sidecar fingerprint, so an in-place rebuild of the same root is
     * picked up on the next query — a stale-centroid prune would be a
-    * silent recall collapse. Misses are NOT cached, so a table that
-    * gains a sidecar later is picked up too. */
+    * silent recall collapse. Centroid-read misses are NOT cached;
+    * fingerprint misses are, but only for the short listing TTL, so a
+    * table that gains a sidecar later is picked up too. */
   private def centroidsFor(spark: SparkSession,
       root: String): Option[Array[(Int, Array[Float])]] = {
     val fp = sidecarFingerprint(spark, root).getOrElse(return None)

@@ -76,6 +76,49 @@ class NearDupSpec extends SparkSpec {
       "shingle cache entry must be released after the first action")
   }
 
+  test("cosinePairs fails loudly on a dim mismatch instead of degrading") {
+    import spark.implicits._
+    // planes are packed row-major at bits*dim: a 4-dim vector against
+    // dim=8 planes would either reinterpret the matrix (garbage buckets)
+    // or bucket to null (rows vanish from the self-join) — must raise
+    val vecs = Seq(
+      (1L, Seq(1f, 2f, -1f, 0.5f)),
+      (2L, Seq(1f, 2.1f, -0.9f, 0.4f)))
+      .toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      NearDup.cosinePairs(vecs, "vec_id", "embedding",
+        dim = 8, bits = 8, k = 5).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("dim 8")),
+      s"expected a loud dim-mismatch error, got: $ex")
+  }
+
+  test("abandoned shingle cache is released after bounded unrelated actions") {
+    import graft.functions.TextFunctions.wordShinglesNative
+    // build but NEVER materialize: the listener must not wait forever —
+    // after ListenerMaxUnrelatedActions completed foreign actions it
+    // gives up, unpersists and unregisters
+    NearDup.minhashPairs(docs, "doc_id", "text", threshold = 0.6)
+    val shEquivalent = docs
+      .select(col("doc_id").as("id"),
+        wordShinglesNative(col("text"), 3).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+    import spark.implicits._
+    (0 until 33).foreach(_ => Seq(1).toDF("x").count())
+    val deadline = System.currentTimeMillis + 15000
+    def level = shEquivalent.storageLevel
+    while (level != org.apache.spark.storage.StorageLevel.NONE &&
+        System.currentTimeMillis < deadline) {
+      Seq(1).toDF("x").count() // keep the listener bus draining
+      Thread.sleep(100)
+    }
+    assert(level == org.apache.spark.storage.StorageLevel.NONE,
+      "abandoned shingle cache must be released after bounded misses")
+  }
+
   test("lsh collision probability: bucket counts stay bounded (no hot key)") {
     // signatures of unrelated docs must not all collapse into one bucket
     val buckets = NearDup.minhashPairs(docs, "doc_id", "text",

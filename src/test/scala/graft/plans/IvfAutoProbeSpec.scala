@@ -150,6 +150,40 @@ class IvfAutoProbeSpec extends SparkSpec {
     }
   }
 
+  test("sqrt of a negated dot is not rewritten (negative dots sqrt to NaN)") {
+    withRule(6) {
+      val loaded = spark.read.parquet(indexPath)
+      // -graft_dot can be negative; sqrt of a negative is NaN and NaN
+      // sorts LAST ascending — sqrt(-dot) is NOT order-equivalent to the
+      // dot ranking, so pruning to highest-dot clusters would return
+      // wrong rows beyond the IVF approximation. sqrt is only safe over
+      // the non-negative l2sq / 1-cos terms (covered above).
+      val df = loaded.withColumn("sqnegdot",
+        org.apache.spark.sql.functions.sqrt(
+          -call_function("graft_dot", col("embedding"),
+            KnnSearch.litVec(queryVec))))
+        .orderBy(col("sqnegdot"), col("vec_id")).limit(10)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains(s"${IvfIndex.ClusterCol} IN"),
+        s"rule must not fire on sqrt(-graft_dot):\n$plan")
+    }
+  }
+
+  test("sqrt over l2sq still rewrites (non-negative term, order preserved)") {
+    withRule(6) {
+      val loaded = spark.read.parquet(indexPath)
+      val df = loaded.withColumn("dist",
+        org.apache.spark.sql.functions.sqrt(
+          call_function("graft_l2sq", col("embedding"),
+            KnnSearch.litVec(queryVec))))
+        .orderBy(col("dist"), col("vec_id")).limit(10)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") &&
+        plan.contains(IvfIndex.ClusterCol),
+        s"sqrt(l2sq) must still be rewritten:\n$plan")
+    }
+  }
+
   test("string-cast sort keys are not rewritten (lexicographic order differs)") {
     withRule(6) {
       val loaded = spark.read.parquet(indexPath)
