@@ -712,6 +712,19 @@ object SparkEntry {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
+    "q53_jaccard_pairs" -> ((s, dir) => {
+      // EXACT n-gram Jaccard near-dup via prefix filtering (AllPairs/
+      // PPJoin): only the md5-order prefix of each shingle set is
+      // indexed, the equi-join on prefix grams is a guaranteed superset
+      // of all true pairs at the threshold, and exact scoring runs on
+      // candidates only — no cartesian, no MinHash recall loss. The
+      // oracle brute-forces ALL pairs in DuckDB: hash equality IS the
+      // no-false-negatives proof for the prefix filter.
+      NearDup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+          shingleN = 3, threshold = 0.8)
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
     "q44_cosine_pairs" -> ((s, dir) => {
       // Embedding near-dup: random-hyperplane LSH bucket join + cosine
       // top-k. The fixed pseudo-random plane matrix (NearDup.hyperplanes)
@@ -1385,6 +1398,31 @@ object SparkEntry {
            FROM pairs
            JOIN sigs sa ON a_id = sa.doc_id
            JOIN sigs sb ON b_id = sb.doc_id)
+         SELECT a_id, b_id, jaccard FROM scored
+         WHERE jaccard >= 0.8 ORDER BY a_id, b_id""",
+
+    // q53: the oracle deliberately does NOT mirror the prefix filter —
+    // it scores EVERY pair. The Spark side only joins docs sharing an
+    // md5-prefix gram, so a hash match proves the filter admits every
+    // true pair (exactness), not just that both engines agree on a
+    // shared approximation.
+    "q53_jaccard_pairs" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(lower(text),
+             '\s+'), t -> len(t) > 0) AS ts FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(list_transform(
+             range(1, greatest(len(ts) - 2, 0) + 1),
+             i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS shingles
+           FROM toks),
+         nz AS (SELECT doc_id, shingles FROM sh WHERE len(shingles) > 0),
+         scored AS (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             round(len(list_filter(a.shingles,
+               x -> list_contains(b.shingles, x)))::DOUBLE
+               / len(list_distinct(list_concat(a.shingles, b.shingles))),
+               4) AS jaccard
+           FROM nz a JOIN nz b ON a.doc_id < b.doc_id)
          SELECT a_id, b_id, jaccard FROM scored
          WHERE jaccard >= 0.8 ORDER BY a_id, b_id""",
 

@@ -138,14 +138,7 @@ object NearDup {
       .select(col(idCol).as("id"),
         wordShinglesNative(col(textCol), shingleN).as("shingles"))
       .filter(size(col("shingles")) > 0)
-    val sh =
-      if (persistShingles) {
-        val p = shRaw
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        p.sparkSession.listenerManager.register(
-          new UnpersistAfterFirstAction(p.sparkSession, p))
-        p
-      } else shRaw
+    val sh = ownedShingleCache(shRaw, persistShingles)
     // signature natively: graft_minhash computes all numHashes salted-md5
     // minima in ONE narrow pass per row — no shingle explosion, no
     // aggregation shuffle. (History: a nested-HOF formulation re-derived
@@ -165,6 +158,87 @@ object NearDup {
     val pairs = buckets.as("a")
       .join(buckets.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
+      .distinct()
+    val shA = sh.select(col("id").as("a_id"), col("shingles").as("sh_a"))
+    val shB = sh.select(col("id").as("b_id"), col("shingles").as("sh_b"))
+    pairs.join(shA, "a_id").join(shB, "b_id")
+      .select(col("a_id"), col("b_id"),
+        round(jaccard(col("sh_a"), col("sh_b")), roundDp).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Operator-owned persist for the (id, shingles) frame feeding several
+    * subtrees: MEMORY_AND_DISK with an [[UnpersistAfterFirstAction]]
+    * listener, so tokenization + shingling run once and the cache entry
+    * is released after the caller's first action (or after a bounded
+    * number of unrelated actions if the frame is abandoned). */
+  private def ownedShingleCache(shRaw: DataFrame,
+      persist: Boolean): DataFrame =
+    if (!persist) shRaw
+    else {
+      val p = shRaw
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      p.sparkSession.listenerManager.register(
+        new UnpersistAfterFirstAction(p.sparkSession, p))
+      p
+    }
+
+  /** EXACT n-gram Jaccard near-dup pairs: every pair (a_id < b_id) with
+    * word-`shingleN`-gram Jaccard ≥ `threshold` — no approximation,
+    * unlike [[minhashPairs]] (MinHash recall < 1) — yet still no
+    * all-pairs cartesian.
+    *
+    * Candidate generation is PREFIX FILTERING (the AllPairs/PPJoin
+    * family): each doc's shingle set is ordered under a fixed global
+    * total order (md5 of the gram — engine-independent, and effectively
+    * random so no gram is systematically hot), and only the first
+    * `m − ⌈t·m⌉ + 1` grams of the `m` are indexed. Two sets with
+    * Jaccard ≥ t overlap in ≥ ⌈t·max(|A|,|B|)⌉ elements, so they MUST
+    * share at least one gram inside those prefixes — candidates sharing
+    * a prefix gram are a superset of all true pairs, and exact scoring
+    * keeps precision. At 100 TB the shuffle is keyed on prefix grams
+    * only: a (1−t) fraction of the corpus's grams, pseudo-randomly
+    * chosen, so boilerplate grams are indexed by almost none of the
+    * docs containing them (compare the raw inverted-index join, whose
+    * hottest gram pairs quadratically).
+    *
+    * The ⌈t·m⌉ is computed as `ceil(t·m − 1e-9)`: binary Double noise
+    * (0.8·10 = 8.000000000000002) must never round the required overlap
+    * UP — a too-large overlap bound would shorten the prefix and drop
+    * true pairs; the epsilon can only lengthen the prefix, which costs
+    * candidates but never correctness. */
+  def jaccardPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      threshold: Double = 0.8,
+      roundDp: Int = 4,
+      persistShingles: Boolean = true): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    VectorExpressions.ensureRegistered(docs.sparkSession)
+    val shRaw = docs
+      .select(col(idCol).as("id"),
+        wordShinglesNative(col(textCol), shingleN).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+    val sh = ownedShingleCache(shRaw, persistShingles)
+    // md5-ordered prefix: sort (h, g) structs (struct order = field
+    // order, so by hash), project the gram back out, slice the prefix
+    val m = size(col("shingles"))
+    val prefixLen =
+      (m - ceil(lit(threshold) * m - lit(1e-9)).cast("int") + 1)
+    val prefixes = sh.select(col("id"),
+      explode(slice(
+        transform(
+          array_sort(transform(col("shingles"),
+            s => struct(md5(s).as("h"), s.as("g")))),
+          p => p.getField("g")),
+        lit(1), prefixLen)).as("gram"))
+    val pairs = prefixes.as("a")
+      .join(prefixes.as("b"),
+        col("a.gram") === col("b.gram") && col("a.id") < col("b.id"))
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
       .distinct()
     val shA = sh.select(col("id").as("a_id"), col("shingles").as("sh_a"))

@@ -76,6 +76,49 @@ class NearDupSpec extends SparkSpec {
       "shingle cache entry must be released after the first action")
   }
 
+  test("jaccardPairs: prefix filtering equals brute force (no false negatives)") {
+    import spark.implicits._
+    import graft.functions.TextFunctions.wordShinglesNative
+    // varied overlap levels, incl. pairs near the threshold boundary
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliett kilo lima mike november oscar papa quebec romeo sierra"
+    val many = (1 to 12).map { i =>
+      val words = base.split(" ").toVector
+      // doc i mutates the last i words -> smoothly decreasing jaccard
+      val mutated = words.dropRight(i) ++ Vector.fill(i)(s"zz$i")
+      (100L + i, mutated.mkString(" "))
+    }
+    val df = (Seq((1L, base), (2L, base)) ++ many).toDF("doc_id", "text")
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val got = NearDup.jaccardPairs(df, "doc_id", "text",
+          shingleN = 3, threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      // brute force over ALL pairs with identical shingle + rounding math
+      val sh = df.select(col("doc_id"),
+          wordShinglesNative(col("text"), 3).as("sh"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[String](1).toSet)
+        .filter(_._2.nonEmpty)
+      val want = (for {
+        (a, sa) <- sh; (b, sb) <- sh if a < b
+        j = sa.intersect(sb).size.toDouble / sa.union(sb).size
+        jr = BigDecimal.valueOf(j)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        if jr >= t
+      } yield (a, b, jr)).toSet
+      assert(got == want,
+        s"threshold $t: prefix-filtered ${got.size} != brute ${want.size}\n" +
+          s"missing: ${want -- got}\nextra: ${got -- want}")
+    }
+  }
+
+  test("jaccardPairs plan has no cartesian product") {
+    val p = NearDup.jaccardPairs(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Cartesian"), s"cartesian in jaccard plan:\n$p")
+  }
+
   test("cosinePairs fails loudly on a dim mismatch instead of degrading") {
     import spark.implicits._
     // planes are packed row-major at bits*dim: a 4-dim vector against
