@@ -190,24 +190,34 @@ object NearDup {
     * all-pairs cartesian.
     *
     * Candidate generation is PREFIX FILTERING (the AllPairs/PPJoin
-    * family): each doc's shingle set is ordered under a fixed global
-    * total order (md5 of the gram — engine-independent, and effectively
-    * random so no gram is systematically hot), and only the first
-    * `m − ⌈t·m⌉ + 1` grams of the `m` are indexed. Two sets with
-    * Jaccard ≥ t overlap in ≥ ⌈t·max(|A|,|B|)⌉ elements, so they MUST
-    * share at least one gram inside those prefixes — candidates sharing
-    * a prefix gram are a superset of all true pairs, and exact scoring
-    * keeps precision. At 100 TB the shuffle is keyed on prefix grams
-    * only: a (1−t) fraction of the corpus's grams, pseudo-randomly
-    * chosen, so boilerplate grams are indexed by almost none of the
-    * docs containing them (compare the raw inverted-index join, whose
-    * hottest gram pairs quadratically).
+    * family): each doc's shingle set is ordered under one global total
+    * order and only the first `m − ⌈t·m⌉ + 1` of its `m` grams are
+    * indexed. Two sets with Jaccard ≥ t overlap in ≥ ⌈t·max(|A|,|B|)⌉
+    * elements, so they MUST share at least one gram inside those
+    * prefixes — ANY total order makes the candidate set a superset of
+    * all true pairs, and exact scoring keeps precision.
+    *
+    * The order is corpus DOCUMENT FREQUENCY ascending (ties by gram) —
+    * the AllPairs heuristic, and at scale the difference between this
+    * operator working and degenerating: prefixes then hold each doc's
+    * RAREST grams, so a prefix gram is shared by few docs and the
+    * candidate join stays sparse. (A frequency-oblivious order — e.g.
+    * hashing the gram — is just as CORRECT but puts boilerplate grams
+    * into the prefix of every doc containing them: one hot key turns
+    * the join quadratic, measured 22× slower on the benchmark corpus.)
+    * Candidates are further cut by the PPJoin length filter:
+    * J(A,B) ≥ t forces t·max(|A|,|B|) ≤ |A∩B| ≤ min(|A|,|B|), so
+    * mismatched-size pairs drop before scoring. The df aggregation and
+    * join are gram-keyed with scalar buffers — hot grams cost a count,
+    * never a value list.
     *
     * The ⌈t·m⌉ is computed as `ceil(t·m − 1e-9)`: binary Double noise
     * (0.8·10 = 8.000000000000002) must never round the required overlap
     * UP — a too-large overlap bound would shorten the prefix and drop
     * true pairs; the epsilon can only lengthen the prefix, which costs
-    * candidates but never correctness. */
+    * candidates but never correctness. The length filter subtracts the
+    * same epsilon so it can only admit extra candidates, never drop a
+    * true pair. */
   def jaccardPairs(
       docs: DataFrame,
       idCol: String,
@@ -224,21 +234,25 @@ object NearDup {
         wordShinglesNative(col(textCol), shingleN).as("shingles"))
       .filter(size(col("shingles")) > 0)
     val sh = ownedShingleCache(shRaw, persistShingles)
-    // md5-ordered prefix: sort (h, g) structs (struct order = field
-    // order, so by hash), project the gram back out, slice the prefix
-    val m = size(col("shingles"))
-    val prefixLen =
-      (m - ceil(lit(threshold) * m - lit(1e-9)).cast("int") + 1)
-    val prefixes = sh.select(col("id"),
-      explode(slice(
-        transform(
-          array_sort(transform(col("shingles"),
-            s => struct(md5(s).as("h"), s.as("g")))),
-          p => p.getField("g")),
-        lit(1), prefixLen)).as("gram"))
+    // rarest-first prefix: rank each doc's grams by corpus df (the
+    // native shingler emits distinct grams per doc, so count = df),
+    // keep ranks within the prefix length
+    val grams = sh.select(col("id"), size(col("shingles")).as("m"),
+      explode(col("shingles")).as("gram"))
+    val dfreq = grams.groupBy("gram").agg(count(lit(1)).as("df"))
+    val byRarity = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("df"), col("gram"))
+    val prefixes = grams.join(dfreq, "gram")
+      .withColumn("rk", row_number().over(byRarity))
+      .filter(col("rk") <=
+        col("m") - ceil(lit(threshold) * col("m") - lit(1e-9)).cast("int")
+          + 1)
+      .select(col("id"), col("m"), col("gram"))
     val pairs = prefixes.as("a")
       .join(prefixes.as("b"),
-        col("a.gram") === col("b.gram") && col("a.id") < col("b.id"))
+        col("a.gram") === col("b.gram") && col("a.id") < col("b.id") &&
+          least(col("a.m"), col("b.m")).cast("double") >=
+            lit(threshold) * greatest(col("a.m"), col("b.m")) - lit(1e-9))
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
       .distinct()
     val shA = sh.select(col("id").as("a_id"), col("shingles").as("sh_a"))
