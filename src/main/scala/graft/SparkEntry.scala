@@ -725,6 +725,56 @@ object SparkEntry {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
+    "q54_curation_pipeline" -> ((s, dir) => {
+      // The full pretraining-data curation composition (north-star
+      // pipeline tooling; the data-plane analogue of q38's RAG
+      // composition): quality-score + language-ID → threshold filter →
+      // exact dedup on the normalized fingerprint (keep lowest doc_id)
+      // → MinHash near-dup removal (drop the higher id of every pair ≥
+      // 0.8) → reproducible content-hash split assignment → per
+      // (lang, split) corpus accounting. Every stage is the already-
+      // oracled operator (q03/q04/q40/q43/q50) chained end-to-end, and
+      // the oracle replays the identical chain in SQL — this checks the
+      // COMPOSITION (filter ordering, dedup-before-near-dup, survivor
+      // semantics), not just the stages.
+      //
+      // Scale shape: scoring is one native token walk per row; exact
+      // dedup is a window over the uniform 128-bit fingerprint;
+      // near-dup candidates come from the banded LSH equi-join (q43's
+      // shape, no cartesian); the anti-join removing dominated docs is
+      // keyed on doc ids (pairs are rare); the final rollup has scalar
+      // buffers only.
+      VectorExpressions.ensureRegistered(s)
+      val sw = Seq("the", "a", "of", "and", "value", "table")
+      val profiles = Seq(
+        "en" -> Seq("the", "a", "fast", "slow"),
+        "es" -> Seq("data", "row", "part"),
+        "zh" -> Seq("spark", "window", "stream"))
+      val kept = t(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), col("text"),
+          tokenStatsNative(col("text"), sw).as("st"),
+          langIdHeuristicNative(col("text"), profiles).as("pred_lang"))
+        .select(col("doc_id"), col("text"), col("pred_lang"),
+          qualityFromStats(col("text"), col("st")).as("quality"))
+        .filter(col("quality") >= 0.5)
+      val byFp = Window
+        .partitionBy(fingerprint(col("text"))).orderBy(col("doc_id"))
+      val deduped = kept
+        .withColumn("rn", row_number().over(byFp))
+        .filter(col("rn") === 1).drop("rn")
+      val dominated = NearDup.minhashPairs(deduped, "doc_id", "text",
+          shingleN = 3, numHashes = 12, bands = 4, threshold = 0.8)
+        .select(col("b_id").as("doc_id")).distinct()
+      deduped.join(dominated, Seq("doc_id"), "left_anti")
+        .select(col("pred_lang"), hashSplit(col("text")).as("split"),
+          col("quality"))
+        .groupBy(col("pred_lang"), col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("quality")), 4).as("avg_quality"))
+        .orderBy(col("pred_lang"), col("split"))
+    }),
+
     "q44_cosine_pairs" -> ((s, dir) => {
       // Embedding near-dup: random-hyperplane LSH bucket join + cosine
       // top-k. The fixed pseudo-random plane matrix (NearDup.hyperplanes)
@@ -1400,6 +1450,94 @@ object SparkEntry {
            JOIN sigs sb ON b_id = sb.doc_id)
          SELECT a_id, b_id, jaccard FROM scored
          WHERE jaccard >= 0.8 ORDER BY a_id, b_id""",
+
+    // q54: the q03 quality / q04 langid / q40 fingerprint / q43 minhash
+    // / q50 split oracle fragments chained in the same order as the
+    // Spark pipeline — quality+lang filter, THEN exact dedup (lowest id
+    // per normalized fingerprint), THEN near-dup drop (higher id of
+    // every banded-LSH pair with rounded jaccard >= 0.8), THEN split.
+    "q54_curation_pipeline" ->
+      """WITH tk AS (
+           SELECT doc_id, text,
+             list_filter(string_split_regex(lower(text), '\s+'),
+               t -> len(t) > 0) AS ts
+           FROM documents WHERE text IS NOT NULL),
+         comp AS (
+           SELECT doc_id, text, ts,
+             least(len(text) / 500.0, 1.0) AS len_score,
+             CASE WHEN len(text) = 0 THEN 0.0
+               ELSE len(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))::DOUBLE
+                 / len(text) END AS praw,
+             CASE WHEN len(ts) = 0 THEN 0.0
+               ELSE len(list_filter(ts, t -> list_contains(
+                 ['the','a','of','and','value','table'], t)))::DOUBLE
+                 / len(ts) END AS swraw
+           FROM tk),
+         scored AS (
+           SELECT doc_id, text, ts,
+             floor((len_score * 0.4 + (1.0 - least(praw * 4.0, 1.0)) * 0.3
+               + (1.0 - abs(swraw - 0.4)) * 0.3) * 1000000.0 + 0.5)
+               / 1000000.0 AS quality
+           FROM comp),
+         lang AS (
+           SELECT doc_id,
+             len(list_filter(ts, t -> list_contains(
+               ['the','a','fast','slow'], t))) AS s_en,
+             len(list_filter(ts, t -> list_contains(
+               ['data','row','part'], t))) AS s_es,
+             len(list_filter(ts, t -> list_contains(
+               ['spark','window','stream'], t))) AS s_zh
+           FROM tk),
+         kept AS (
+           SELECT s.doc_id, s.text, s.ts, s.quality,
+             CASE WHEN l.s_zh = greatest(l.s_en, l.s_es, l.s_zh) THEN 'zh'
+                  WHEN l.s_es = greatest(l.s_en, l.s_es) THEN 'es'
+                  ELSE 'en' END AS pred_lang
+           FROM scored s JOIN lang l USING (doc_id)
+           WHERE s.quality >= 0.5),
+         dedup AS (
+           SELECT doc_id, text, ts, quality, pred_lang FROM (
+             SELECT k.*, row_number() OVER (
+               PARTITION BY substr(md5(regexp_replace(lower(trim(text)),
+                 '\s+', ' ', 'g')), 1, 16)
+               ORDER BY doc_id) AS rn
+             FROM kept k) WHERE rn = 1),
+         sh AS (
+           SELECT doc_id, list_distinct(list_transform(
+             range(1, greatest(len(ts) - 2, 0) + 1),
+             i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS shingles
+           FROM dedup),
+         sigs AS (
+           SELECT doc_id, shingles, list_transform(range(0, 12),
+             i -> list_aggregate(list_transform(shingles,
+               s -> md5(i || '|' || s)), 'min')) AS sig
+           FROM sh WHERE len(shingles) > 0),
+         buckets AS (
+           SELECT doc_id, unnest(list_transform(range(0, 4),
+             b -> b || ':' || md5(array_to_string(sig[b*3+1 : b*3+3], '|'))))
+             AS bucket FROM sigs),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+           FROM buckets a JOIN buckets b
+             ON a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         dropped AS (
+           SELECT DISTINCT b_id AS doc_id FROM cand
+           JOIN sigs sa ON a_id = sa.doc_id
+           JOIN sigs sb ON b_id = sb.doc_id
+           WHERE round(len(list_filter(sa.shingles,
+               x -> list_contains(sb.shingles, x)))::DOUBLE
+             / len(list_distinct(list_concat(sa.shingles, sb.shingles))),
+             4) >= 0.8),
+         surv AS (
+           SELECT * FROM dedup
+           WHERE doc_id NOT IN (SELECT doc_id FROM dropped))
+         SELECT pred_lang,
+           CASE WHEN substr(md5(text), 1, 2) < 'cc' THEN 'train'
+                WHEN substr(md5(text), 1, 2) < 'e6' THEN 'val'
+                ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           round(avg(quality), 4) AS avg_quality
+         FROM surv GROUP BY 1, 2 ORDER BY pred_lang, split""",
 
     // q53: the oracle deliberately does NOT mirror the prefix filter —
     // it scores EVERY pair. The Spark side only joins docs sharing an
