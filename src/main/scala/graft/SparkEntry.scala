@@ -714,7 +714,8 @@ object SparkEntry {
 
     "q53_jaccard_pairs" -> ((s, dir) => {
       // EXACT n-gram Jaccard near-dup via prefix filtering (AllPairs/
-      // PPJoin): only the md5-order prefix of each shingle set is
+      // PPJoin): only each shingle set's rarest-first prefix (global
+      // document-frequency order — rare grams make sparse join keys) is
       // indexed, the equi-join on prefix grams is a guaranteed superset
       // of all true pairs at the threshold, and exact scoring runs on
       // candidates only — no cartesian, no MinHash recall loss. The
@@ -766,12 +767,21 @@ object SparkEntry {
       val dominated = NearDup.minhashPairs(deduped, "doc_id", "text",
           shingleN = 3, numHashes = 12, bands = 4, threshold = 0.8)
         .select(col("b_id").as("doc_id")).distinct()
+      // avg in exact integer micro-units: quality is a 6-dp value by
+      // construction, so sum(round(q·1e6)) is an order-independent
+      // integer — both engines then divide and floor-round the SAME
+      // double, sidestepping round()'s Spark-vs-DuckDB half-boundary
+      // disagreement (see TextFunctions.qualityScore), which a float
+      // avg() + round() would reintroduce.
       deduped.join(dominated, Seq("doc_id"), "left_anti")
         .select(col("pred_lang"), hashSplit(col("text")).as("split"),
           col("quality"))
         .groupBy(col("pred_lang"), col("split"))
         .agg(count(lit(1)).as("n_docs"),
-          round(avg(col("quality")), 4).as("avg_quality"))
+          sum(round(col("quality") * 1e6, 0).cast("long")).as("qm"))
+        .select(col("pred_lang"), col("split"), col("n_docs"),
+          (floor(col("qm") / col("n_docs") / 100.0 + 0.5) / 10000.0)
+            .as("avg_quality"))
         .orderBy(col("pred_lang"), col("split"))
     }),
 
@@ -1536,7 +1546,8 @@ object SparkEntry {
                 WHEN substr(md5(text), 1, 2) < 'e6' THEN 'val'
                 ELSE 'test' END AS split,
            count(*) AS n_docs,
-           round(avg(quality), 4) AS avg_quality
+           floor(sum(CAST(round(quality * 1000000, 0) AS BIGINT))
+             / count(*) / 100.0 + 0.5) / 10000.0 AS avg_quality
          FROM surv GROUP BY 1, 2 ORDER BY pred_lang, split""",
 
     // q53: the oracle deliberately does NOT mirror the prefix filter —

@@ -134,11 +134,8 @@ object NearDup {
     // driver-side, idempotent: the fused native shingler needs the graft
     // function registry on whatever session owns `docs`
     VectorExpressions.ensureRegistered(docs.sparkSession)
-    val shRaw = docs
-      .select(col(idCol).as("id"),
-        wordShinglesNative(col(textCol), shingleN).as("shingles"))
-      .filter(size(col("shingles")) > 0)
-    val sh = ownedShingleCache(shRaw, persistShingles)
+    val sh = ownedShingleCache(
+      shingleFrame(docs, idCol, textCol, shingleN), persistShingles)
     // signature natively: graft_minhash computes all numHashes salted-md5
     // minima in ONE narrow pass per row — no shingle explosion, no
     // aggregation shuffle. (History: a nested-HOF formulation re-derived
@@ -167,6 +164,16 @@ object NearDup {
         round(jaccard(col("sh_a"), col("sh_b")), roundDp).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  /** The (id, shingles) frame both pair operators start from: distinct
+    * word-`n`-grams per doc via the fused native shingler, empty-shingle
+    * docs dropped (they can never pair). ONE definition so the two
+    * operators can never diverge on shingle semantics. */
+  private def shingleFrame(docs: DataFrame, idCol: String,
+      textCol: String, shingleN: Int): DataFrame =
+    docs.select(col(idCol).as("id"),
+        wordShinglesNative(col(textCol), shingleN).as("shingles"))
+      .filter(size(col("shingles")) > 0)
 
   /** Operator-owned persist for the (id, shingles) frame feeding several
     * subtrees: MEMORY_AND_DISK with an [[UnpersistAfterFirstAction]]
@@ -229,11 +236,8 @@ object NearDup {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
     VectorExpressions.ensureRegistered(docs.sparkSession)
-    val shRaw = docs
-      .select(col(idCol).as("id"),
-        wordShinglesNative(col(textCol), shingleN).as("shingles"))
-      .filter(size(col("shingles")) > 0)
-    val sh = ownedShingleCache(shRaw, persistShingles)
+    val sh = ownedShingleCache(
+      shingleFrame(docs, idCol, textCol, shingleN), persistShingles)
     // rarest-first prefix: rank each doc's grams by corpus df (the
     // native shingler emits distinct grams per doc, so count = df),
     // keep ranks within the prefix length
@@ -317,14 +321,19 @@ object NearDup {
     // the matrix as the wrong planes (garbage-but-deterministic buckets,
     // silently degraded recall) or buckets to null (rows silently vanish
     // from the self-join). Same guard shape as IvfIndex.assignToCentroids.
-    val b = vecs.select(col(idCol).as("id"), col(vecCol).as("v"),
-      when(col(vecCol).isNull || size(col(vecCol)) =!= dim,
-        raise_error(concat(
-          lit(s"NearDup.cosinePairs: vector must be non-null with " +
-            s"dim $dim, got dim "),
-          coalesce(size(col(vecCol)).cast("string"), lit("null")))))
-        .otherwise(signBucket(col(vecCol), hyperplanes(bits, dim)))
-        .as("bucket"))
+    // NULL vectors are data (a doc without an embedding), not an arg
+    // error: they are filtered like every other operator here — raising
+    // on them would crash the job on one dirty row while the oracle
+    // (whose null bucket never equi-joins) kept going.
+    val b = vecs.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("id"), col(vecCol).as("v"),
+        when(size(col(vecCol)) =!= dim,
+          raise_error(concat(
+            lit(s"NearDup.cosinePairs: vector must have dim $dim, " +
+              "got dim "),
+            size(col(vecCol)).cast("string"))))
+          .otherwise(signBucket(col(vecCol), hyperplanes(bits, dim)))
+          .as("bucket"))
     b.as("a")
       .join(b.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))

@@ -235,8 +235,20 @@ object IvfAutoProbe {
     * steady-state queries reuse the last listing for a few seconds while
     * out-of-JVM in-place rebuilds are still picked up promptly.
     * Same-JVM rebuilds bypass the TTL entirely: [[invalidate]] is called
-    * from [[graft.operators.IvfIndex.write]]. */
+    * from [[graft.operators.IvfIndex.write]]. The accepted trade-off: a
+    * query racing an OUT-of-JVM in-place rebuild can prune with
+    * centroids up to TTL seconds stale — on the opt-in approximate path,
+    * within the staleness any reader of an in-place-overwritten table
+    * already tolerates. Rebuild to a fresh root when that window
+    * matters. */
   private val FingerprintTtlNanos = 3_000_000_000L
+
+  /** Cap on distinct roots the two driver caches remember. A long-lived
+    * driver building a fresh temp-dir index per job would otherwise
+    * accumulate entries for the JVM lifetime; past the cap both caches
+    * are simply cleared — worst case one extra listing plus a few-KB
+    * sidecar re-read per live root. */
+  private val MaxCachedRoots = 256
 
   /** Drop cached listing + centroids for `root` — called by
     * [[graft.operators.IvfIndex.write]] so a same-JVM in-place rebuild
@@ -279,6 +291,7 @@ object IvfAutoProbe {
             s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
           .sorted.mkString(",")
       }.toOption.filter(_.nonEmpty)
+      if (fingerprintCache.size >= MaxCachedRoots) fingerprintCache.clear()
       fingerprintCache.put(root, (now, fp))
       fp
     }
@@ -303,6 +316,7 @@ object IvfAutoProbe {
         .sortBy(_._1)
     }.toOption match {
       case Some(cents) =>
+        if (centroidCache.size >= MaxCachedRoots) centroidCache.clear()
         centroidCache.put(root, (fp, cents)); Some(cents)
       case None => None
     }

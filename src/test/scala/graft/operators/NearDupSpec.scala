@@ -139,6 +139,19 @@ class NearDupSpec extends SparkSpec {
       s"expected a loud dim-mismatch error, got: $ex")
   }
 
+  test("cosinePairs drops null vectors (data) but still raises on wrong dim (arg)") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Some(Seq(1f, 2f, -1f, 0.5f, 1f, -2f, 1f, 1f))),
+      (2L, Some(Seq(1f, 2.1f, -0.9f, 0.4f, 1f, -2f, 1f, 1.1f))),
+      (3L, Option.empty[Seq[Float]])) // doc without an embedding: data,
+      .toDF("vec_id", "embedding")    // not an arg error — must not crash
+    val got = NearDup.cosinePairs(vecs, "vec_id", "embedding",
+        dim = 8, bits = 8, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L)))
+  }
+
   test("abandoned shingle cache is released after bounded unrelated actions") {
     import graft.functions.TextFunctions.wordShinglesNative
     // build but NEVER materialize: the listener must not wait forever —
