@@ -726,6 +726,26 @@ object SparkEntry {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
+    "q55_dup_clusters" -> ((s, dir) => {
+      // Connected-component duplicate clusters over the MinHash pair
+      // graph: each near-dup group collapses to its minimum doc id via
+      // distributed min-label propagation (NearDup.duplicateClusters).
+      // Greedy pair-dropping (q54) can over-drop on tangled graphs;
+      // clustering keeps exactly one representative per component. The
+      // oracle computes the same fixpoint with a recursive CTE —
+      // label propagation and transitive reachability agree exactly on
+      // the min-reachable-id, so this cross-checks the ITERATION
+      // (convergence included) against a closed-form recursion.
+      val pairs = NearDup.minhashPairs(t(s, dir, "documents"),
+        "doc_id", "text",
+        shingleN = 3, numHashes = 12, bands = 4, threshold = 0.8)
+      NearDup.duplicateClusters(pairs)
+        .groupBy(col("cluster_rep"))
+        .agg(count(lit(1)).as("n_members"),
+          max(col("doc_id")).as("max_doc"))
+        .orderBy(col("cluster_rep"))
+    }),
+
     "q54_curation_pipeline" -> ((s, dir) => {
       // The full pretraining-data curation composition (north-star
       // pipeline tooling; the data-plane analogue of q38's RAG
@@ -1460,6 +1480,52 @@ object SparkEntry {
            JOIN sigs sb ON b_id = sb.doc_id)
          SELECT a_id, b_id, jaccard FROM scored
          WHERE jaccard >= 0.8 ORDER BY a_id, b_id""",
+
+    // q55: q43's pair derivation, then connected components as a
+    // recursive CTE — reach(id, m) is all (node, reachable id) pairs,
+    // min per node is the cluster representative, the same fixpoint the
+    // Spark side's label propagation converges to.
+    "q55_dup_clusters" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id, list_filter(string_split_regex(lower(text),
+             '\s+'), t -> len(t) > 0) AS ts FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(list_transform(
+             range(1, greatest(len(ts) - 2, 0) + 1),
+             i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS shingles
+           FROM toks),
+         sigs AS (
+           SELECT doc_id, shingles, list_transform(range(0, 12),
+             i -> list_aggregate(list_transform(shingles,
+               s -> md5(i || '|' || s)), 'min')) AS sig
+           FROM sh WHERE len(shingles) > 0),
+         buckets AS (
+           SELECT doc_id, unnest(list_transform(range(0, 4),
+             b -> b || ':' || md5(array_to_string(sig[b*3+1 : b*3+3], '|'))))
+             AS bucket FROM sigs),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+           FROM buckets a JOIN buckets b
+             ON a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         pr AS (
+           SELECT a_id, b_id FROM cand
+           JOIN sigs sa ON a_id = sa.doc_id
+           JOIN sigs sb ON b_id = sb.doc_id
+           WHERE round(len(list_filter(sa.shingles,
+               x -> list_contains(sb.shingles, x)))::DOUBLE
+             / len(list_distinct(list_concat(sa.shingles, sb.shingles))),
+             4) >= 0.8),
+         edges AS (
+           SELECT a_id AS u, b_id AS v FROM pr
+           UNION SELECT b_id, a_id FROM pr),
+         reach AS (
+           SELECT u AS id, u AS m FROM edges
+           UNION
+           SELECT e.u, r.m FROM edges e JOIN reach r ON e.v = r.id),
+         labels AS (
+           SELECT id, min(m) AS cluster_rep FROM reach GROUP BY id)
+         SELECT cluster_rep, count(*) AS n_members, max(id) AS max_doc
+         FROM labels GROUP BY cluster_rep ORDER BY cluster_rep""",
 
     // q54: the q03 quality / q04 langid / q40 fingerprint / q43 minhash
     // / q50 split oracle fragments chained in the same order as the

@@ -267,6 +267,104 @@ object NearDup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Duplicate-cluster resolution: connected components over a near-dup
+    * pair graph, each doc labeled with the MINIMUM doc id reachable from
+    * it — the cluster representative. Real curation keeps one doc per
+    * CLUSTER; dropping the higher id of every pair (q54's greedy) can
+    * drop both docs of a pair whose ids are each dominated elsewhere,
+    * while clustering keeps exactly one representative however tangled
+    * the duplicate graph is.
+    *
+    * Distributed min-label propagation WITH POINTER JUMPING: every node
+    * starts labeled with itself; each round every node takes the min of
+    * its own label, its neighbors' labels, and its current
+    * representative's label (rep-of-rep — one extra pairs-sized
+    * self-join that makes label distances double per round, so
+    * convergence is O(log diameter) rounds, not O(diameter); a 1000-doc
+    * boilerplate CHAIN converges in ~10 rounds instead of ~1000).
+    * Rounds run as id-keyed shuffles over the PAIR graph — pairs-sized,
+    * not corpus-sized: at 100 TB the corpus never enters this loop, only
+    * the near-dup edges (rare by construction). Convergence detection is
+    * a scalar: labels are monotone non-increasing, so sum(rep) strictly
+    * decreases until the fixpoint — one tiny aggregate per round, no
+    * old-vs-new join (decimal sum: a long would wrap silently on a huge
+    * graph and could fake a fixpoint). `maxIter` is the pathological
+    * backstop and raises rather than returning half-propagated labels.
+    *
+    * Every iteration boundary is an EAGER `localCheckpoint`, not a
+    * persist: persist short-circuits execution but every derived plan
+    * still EMBEDS the full upstream tree (here: the whole MinHash
+    * pipeline), so analysis + optimization re-walk a growing plan each
+    * round — measured as 3× the actual compute on this operator.
+    * Checkpointing truncates the plan to a flat scan of materialized
+    * partitions, so round plans stay O(1) deep forever. Superseded
+    * round RDDs become unreferenced on reassignment and Spark's
+    * ContextCleaner releases them; the final round's partitions back
+    * the returned frame and are likewise GC-released when the caller
+    * drops it. (localCheckpoint trades executor-loss recovery for
+    * speed — on executor loss the job fails and the caller reruns,
+    * the right trade for a pairs-sized working set.) */
+  def duplicateClusters(
+      pairs: DataFrame,
+      aCol: String = "a_id",
+      bCol: String = "b_id",
+      maxIter: Int = 32): DataFrame = {
+    // both directions from ONE pass over the pairs plan — a union of two
+    // selects would execute the (possibly expensive) pairs subtree
+    // twice. No dedup: min-propagation is insensitive to duplicate
+    // edges (groupBy-min absorbs them), so a distinct here would buy
+    // nothing for a shuffle. The eager checkpoint runs the pairs plan
+    // exactly once and flattens it out of every downstream plan.
+    val edges = pairs
+      .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .select(explode(array(
+        struct(col("a").as("u"), col("b").as("v")),
+        struct(col("b").as("u"), col("a").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .localCheckpoint()
+    var labels = edges.select(col("u").as("id")).distinct()
+      .withColumn("rep", col("id"))
+      .localCheckpoint()
+    def labelSum(l: DataFrame): java.math.BigDecimal = {
+      val r = l.agg(sum(col("rep").cast("decimal(38,0)"))).head()
+      if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
+    }
+    val dbg = sys.env.contains("GRAFT_CLUSTER_DEBUG")
+    var t0 = System.nanoTime()
+    var prevSum = labelSum(labels)
+    if (dbg) System.err.println(
+      f"duplicateClusters init: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      t0 = System.nanoTime()
+      // min over self, neighbors' labels, and rep's label (jump)
+      val viaEdges = edges
+        .join(labels.select(col("id").as("v"), col("rep")), "v")
+        .select(col("u").as("id"), col("rep"))
+      val viaReps = labels.as("l")
+        .join(labels.select(col("id").as("r_id"),
+          col("rep").as("r_rep")), col("l.rep") === col("r_id"))
+        .select(col("l.id").as("id"), col("r_rep").as("rep"))
+      val next = viaEdges.union(viaReps).union(labels)
+        .groupBy("id").agg(min(col("rep")).as("rep"))
+        .localCheckpoint()
+      val nextSum = labelSum(next)
+      labels = next
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
+      iter += 1
+      if (dbg) System.err.println(
+        f"duplicateClusters round $iter: " +
+          f"${(System.nanoTime() - t0) / 1e9}%.3f s (converged=$converged)")
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"duplicateClusters did not converge in $maxIter rounds — " +
+          "pathological near-dup chain; raise maxIter")
+    labels.select(col("id").as("doc_id"), col("rep").as("cluster_rep"))
+  }
+
   /** Deterministic pseudo-random hyperplane matrix: `bits` planes × `dim`
     * components, packed row-major. Components are exact binary fractions
     * (k/1024, k ∈ [-1000, 1000], fixed-seed splitmix-style LCG), so a

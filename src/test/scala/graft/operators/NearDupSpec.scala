@@ -175,6 +175,27 @@ class NearDupSpec extends SparkSpec {
       "abandoned shingle cache must be released after bounded misses")
   }
 
+  test("duplicateClusters: min-label propagation finds connected components") {
+    import spark.implicits._
+    // a 4-node CHAIN (needs multi-round propagation, not just one hop),
+    // plus two separate components
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+        (10L, 11L), (20L, 21L), (21L, 22L))
+      .toDF("a_id", "b_id")
+    val got = NearDup.duplicateClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("duplicateClusters: empty pair graph converges to empty labels") {
+    import spark.implicits._
+    val pairs = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
+    assert(NearDup.duplicateClusters(pairs).count() == 0)
+  }
+
   test("lsh collision probability: bucket counts stay bounded (no hot key)") {
     // signatures of unrelated docs must not all collapse into one bucket
     val buckets = NearDup.minhashPairs(docs, "doc_id", "text",
