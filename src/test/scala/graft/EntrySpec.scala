@@ -23,6 +23,16 @@ class EntrySpec extends SparkSpec {
     assert((SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).isEmpty)
   }
 
+  test("q53/q54 plans: no cartesian, no unbounded per-group collect") {
+    for (q <- Seq("q53_jaccard_pairs", "q54_curation_pipeline")) {
+      val plan = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Cartesian"), s"cartesian in $q plan:\n$plan")
+      assert(!plan.contains("collect_set") && !plan.contains("collect_list"),
+        s"unbounded per-group collect in $q plan:\n$plan")
+    }
+  }
+
   test("q51_decontam plan is bounded-state: no collect, shuffled semi join") {
     val plan = SparkEntry.queries("q51_decontam")(
         spark, "/root/testdata/sf0.001")

@@ -56,6 +56,69 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("jaccardPairs equals brute force on random corpora and thresholds") {
+    import spark.implicits._
+    import graft.functions.TextFunctions.wordShinglesNative
+    import graft.operators.NearDup
+    // small vocab so shingles genuinely collide across docs
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps",
+      "zeta", "eta", "theta")
+    val docGen: Gen[String] =
+      Gen.chooseNum(3, 25).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf(vocab)).map(_.mkString(" ")))
+    val caseGen = Gen.zip(
+      Gen.listOfN(30, docGen), Gen.oneOf(0.3, 0.5, 0.7, 0.9))
+    samples(caseGen, 6).foreach { case (texts, t) =>
+      val df = texts.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+        .toDF("doc_id", "text")
+      val got = NearDup.jaccardPairs(df, "doc_id", "text",
+          shingleN = 3, threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      val sh = df.select(col("doc_id"),
+          wordShinglesNative(col("text"), 3).as("sh"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[String](1).toSet)
+        .filter(_._2.nonEmpty)
+      val want = (for {
+        (a, sa) <- sh; (b, sb) <- sh if a < b
+        j = sa.intersect(sb).size.toDouble / sa.union(sb).size
+        jr = BigDecimal.valueOf(j)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        if jr >= t
+      } yield (a, b, jr)).toSet
+      assert(got == want,
+        s"threshold $t: prefix ${got.size} != brute ${want.size}; " +
+          s"missing ${want -- got}, extra ${got -- want}")
+    }
+  }
+
+  test("duplicateClusters labels equal transitive-closure min on random graphs") {
+    import spark.implicits._
+    import graft.operators.NearDup
+    val edgeGen = Gen.zip(Gen.chooseNum(0L, 25L), Gen.chooseNum(0L, 25L))
+      .suchThat { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+    samples(Gen.listOfN(20, edgeGen), 6).foreach { edges =>
+      val df = edges.toDF("a_id", "b_id")
+      val got = NearDup.duplicateClusters(df)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // reference: union-find
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // normalize: root = min member of each component
+      val want = parent.keys.map(x => x -> find(x)).toMap
+      assert(got == want, s"labels $got != union-find $want on $edges")
+    }
+  }
+
   test("chunker: sub-chunk concat reconstructs the body (oversize split)") {
     val bodyGen = Gen.chooseNum(1, 3000).flatMap(n =>
       Gen.listOfN(n, Gen.alphaNumChar).map(_.mkString))
