@@ -779,11 +779,16 @@ object SparkEntry {
         .select(col("doc_id"), col("text"), col("pred_lang"),
           qualityFromStats(col("text"), col("st")).as("quality"))
         .filter(col("quality") >= 0.5)
-      val byFp = Window
-        .partitionBy(fingerprint(col("text"))).orderBy(col("doc_id"))
-      val deduped = kept
-        .withColumn("rn", row_number().over(byFp))
-        .filter(col("rn") === 1).drop("rn")
+      // keep the lowest doc_id per normalized fingerprint via
+      // groupBy-min + semi join, NOT a window: min gets a map-side
+      // partial combine and never sorts, so a pathological
+      // million-duplicate boilerplate group costs a scalar buffer
+      // instead of one giant sorted window partition
+      val firstIds = kept
+        .groupBy(fingerprint(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      val deduped = kept.join(firstIds, Seq("doc_id"), "left_semi")
       val dominated = NearDup.minhashPairs(deduped, "doc_id", "text",
           shingleN = 3, numHashes = 12, bands = 4, threshold = 0.8)
         .select(col("b_id").as("doc_id")).distinct()
