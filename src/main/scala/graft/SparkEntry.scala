@@ -779,16 +779,21 @@ object SparkEntry {
         .select(col("doc_id"), col("text"), col("pred_lang"),
           qualityFromStats(col("text"), col("st")).as("quality"))
         .filter(col("quality") >= 0.5)
-      // keep the lowest doc_id per normalized fingerprint via
-      // groupBy-min + semi join, NOT a window: min gets a map-side
-      // partial combine and never sorts, so a pathological
-      // million-duplicate boilerplate group costs a scalar buffer
-      // instead of one giant sorted window partition
-      val firstIds = kept
+      // keep the lowest-doc_id row per normalized fingerprint via
+      // min_by in ONE aggregation pass — no window (a pathological
+      // million-duplicate boilerplate group would serialize into one
+      // giant sorted partition; min_by's buffer is a single struct with
+      // map-side partial combine) and no min+semi-join (which evaluates
+      // the scoring subtree twice and silently leans on global doc_id
+      // uniqueness; min_by keeps exactly one survivor per group
+      // regardless)
+      val deduped = kept
         .groupBy(fingerprint(col("text")).as("fp"))
-        .agg(min(col("doc_id")).as("doc_id"))
-        .select(col("doc_id"))
-      val deduped = kept.join(firstIds, Seq("doc_id"), "left_semi")
+        .agg(min_by(struct(col("doc_id"), col("text"), col("pred_lang"),
+          col("quality")), col("doc_id")).as("r"))
+        .select(col("r.doc_id").as("doc_id"), col("r.text").as("text"),
+          col("r.pred_lang").as("pred_lang"),
+          col("r.quality").as("quality"))
       val dominated = NearDup.minhashPairs(deduped, "doc_id", "text",
           shingleN = 3, numHashes = 12, bands = 4, threshold = 0.8)
         .select(col("b_id").as("doc_id")).distinct()

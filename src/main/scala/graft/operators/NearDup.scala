@@ -309,6 +309,16 @@ object NearDup {
       aCol: String = "a_id",
       bCol: String = "b_id",
       maxIter: Int = 32): DataFrame = {
+    // ids must already be integral: a silent cast of string/UUID ids
+    // would turn every id into null and return one garbage row instead
+    // of failing — loud beats wrong, as everywhere in this operator set
+    Seq(aCol, bCol).foreach { c =>
+      val dt = pairs.schema(c).dataType
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+        s"duplicateClusters: column '$c' must be an integral id type, " +
+          s"got ${dt.simpleString} — map ids to longs first")
+    }
     // both directions from ONE pass over the pairs plan — a union of two
     // selects would execute the (possibly expensive) pairs subtree
     // twice. No dedup: min-propagation is insensitive to duplicate

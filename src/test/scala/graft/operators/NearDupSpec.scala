@@ -190,6 +190,15 @@ class NearDupSpec extends SparkSpec {
       20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("duplicateClusters refuses non-integral id columns loudly") {
+    import spark.implicits._
+    val pairs = Seq(("a", "b"), ("b", "c")).toDF("a_id", "b_id")
+    val ex = intercept[IllegalArgumentException] {
+      NearDup.duplicateClusters(pairs)
+    }
+    assert(ex.getMessage.contains("integral id type"))
+  }
+
   test("duplicateClusters: empty pair graph converges to empty labels") {
     import spark.implicits._
     val pairs = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
