@@ -60,6 +60,26 @@ object SparkEntry {
     IvfIndex.load(s, path, "vec_id", "embedding")
   }
 
+  /** The COMPONENT-SCOPED index for the same corpus: two-level
+    * `partitionBy(label, __ivf_cluster)` layout (the reference's
+    * `partition_names` + HNSW flagship — ANN inside pruned partitions,
+    * doc_embedder.py:196-220). Separate root from [[ivfIndexFor]]: the
+    * layouts differ, and a scoped search against the single-level root
+    * could not prune the component level. */
+  private val ivfComponentPathCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ivfComponentIndexFor(s: SparkSession, dir: String): IvfIndex = {
+    val path = ivfComponentPathCache.computeIfAbsent(dir, _ => {
+      val built = IvfIndex.build(t(s, dir, "embeddings"), "vec_id",
+        "embedding", nlist = 8, componentCol = Some("label"))
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_ivf_comp_").toString
+      built.write(p)
+      p
+    })
+    IvfIndex.load(s, path, "vec_id", "embedding")
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's whole §3.1 data path minus LLM calls: take a query
     * vector, prune, exact top-k by L2, join doc metadata shape. */
@@ -510,6 +530,26 @@ object SparkEntry {
       ivfIndexFor(s, dir).search(q, 10, nprobe = 6,
           metric = KnnSearch.NativeL2, tieBreak = Some("vec_id"))
         .select(col("vec_id"), round(col("dist"), 4).as("dist"))
+        .orderBy(col("dist"), col("vec_id"))
+    }),
+
+    "q56_ivf_component" -> ((s, dir) => {
+      // The reference's flagship retrieval shape at scale: ANN *inside*
+      // pruned partitions (similarity_search_by_vector(...,
+      // partition_names=[...]), doc_embedder.py:196-220) — component
+      // prune AND cluster probe compose in ONE scan over the two-level
+      // partitionBy(label, __ivf_cluster) layout; both filters are
+      // parquet PartitionFilters (asserted in IvfIndexSpec), so the scan
+      // reads ~(3/10 components × 6/8 clusters) of the corpus and
+      // neither prune shuffles. Same rows-only driver check as q36
+      // (k-means isn't reproducible in DuckDB); scoped recall is
+      // spec-asserted instead.
+      VectorExpressions.ensureRegistered(s)
+      val q = queryVec(s, dir)
+      ivfComponentIndexFor(s, dir).search(q, 10, nprobe = 6,
+          metric = KnnSearch.NativeL2, tieBreak = Some("vec_id"),
+          components = Seq(1, 3, 5))
+        .select(col("label"), col("vec_id"), round(col("dist"), 4).as("dist"))
         .orderBy(col("dist"), col("vec_id"))
     }),
 

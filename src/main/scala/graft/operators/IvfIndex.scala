@@ -29,13 +29,30 @@ import org.apache.spark.sql.functions._
   * approximate search, SURVEY §7.5. Real embedding corpora cluster far
   * more strongly than this uniform synthetic data, so production
   * nprobe/nlist ratios run much lower).
+  *
+  * COMPONENT-SCOPED form: the reference's flagship query is ANN *inside*
+  * pruned LIST partitions (`similarity_search_by_vector(...,
+  * partition_names=[...])`, doc_embedder.py:196-220; DDL load.py:26-36) —
+  * partition pruning and ANN pruning compose in ONE scan. Build with
+  * `componentCol = Some(...)` and [[write]] lays the corpus out
+  * `partitionBy(component, __ivf_cluster)`; [[search]] with a non-empty
+  * `components` then prunes BOTH directory levels — the scan touches only
+  * `|components|/ncomponents × ~nprobe/nlist` of the data, and neither
+  * prune costs a shuffle. Centroids stay GLOBAL (one k-means, like the
+  * reference's one HNSW index serving every partition subset): a
+  * per-component refit would fragment the index lifecycle and force a
+  * rebuild whenever a component is added, while global centroids make
+  * `components` a pure filter over the same layout. (An out-of-JVM
+  * rebuild invalidation hook for the optimizer-rule path is
+  * [[graft.plans.IvfAutoProbe.invalidate]].)
   */
 final case class IvfIndex(
     centroids: Array[Array[Float]],
     assigned: DataFrame,
     idCol: String,
     vecCol: String,
-    clusterIds: Array[Int]) {
+    clusterIds: Array[Int],
+    componentCol: Option[String] = None) {
 
   require(clusterIds.length == centroids.length,
     "clusterIds must align with centroids")
@@ -49,16 +66,24 @@ final case class IvfIndex(
     IvfIndex.probeOrder(centroids, clusterIds, query)
 
   /** V5 approximate search: probe the `nprobe` nearest clusters, exact
-    * top-k inside them. */
+    * top-k inside them. A non-empty `components` additionally restricts
+    * the scan to those component partitions — on a two-level
+    * [[write]] layout both filters become parquet PartitionFilters, so
+    * the reference's `partition_names` + ANN flagship query is ONE
+    * doubly-pruned directory scan (asserted in IvfIndexSpec). Requires a
+    * component-scoped index; silently ignoring `components` on an
+    * unscoped index would return out-of-scope rows. */
   def search(
       query: Seq[Float],
       k: Int,
       nprobe: Int,
       metric: KnnSearch.Metric = KnnSearch.L2,
-      tieBreak: Option[String] = None): DataFrame = {
+      tieBreak: Option[String] = None,
+      components: Seq[Int] = Nil): DataFrame = {
     val probes = probeOrder(query).take(math.max(1, nprobe))
     KnnSearch.topK(
-      assigned.filter(col(IvfIndex.ClusterCol).isin(probes: _*)),
+      componentScope(components)
+        .filter(col(IvfIndex.ClusterCol).isin(probes: _*)),
       vecCol, query, k, metric, tieBreak)
   }
 
@@ -78,7 +103,8 @@ final case class IvfIndex(
       k: Int,
       nprobe: Int,
       tieBreak: String,
-      rankRoundDp: Option[Int] = None): DataFrame = {
+      rankRoundDp: Option[Int] = None,
+      components: Seq[Int] = Nil): DataFrame = {
     val np = math.max(1, nprobe)
     // ONE driver-side collect serves both probe planning and the
     // broadcast heap pass (the query table is small by contract, but
@@ -89,10 +115,24 @@ final case class IvfIndex(
       .flatMap(q => probeOrder(q._2.toSeq).take(np))
       .distinct.toSeq
     KnnSearch.topKBatchCollected(
-      assigned.filter(col(IvfIndex.ClusterCol).isin(probes: _*)),
+      componentScope(components)
+        .filter(col(IvfIndex.ClusterCol).isin(probes: _*)),
       vecCol, qSet, queries.schema(queryIdCol).dataType, k, tieBreak,
       rankRoundDp = rankRoundDp)
   }
+
+  /** the corpus restricted to `components` (the reference's
+    * `partition_names`) — a partition-column filter on the two-level
+    * layout, the whole corpus when unscoped. */
+  private def componentScope(components: Seq[Int]): DataFrame =
+    if (components.isEmpty) assigned
+    else componentCol match {
+      case Some(c) => assigned.filter(col(c).isin(components: _*))
+      case None => throw new IllegalArgumentException(
+        "components passed but this index was built without a " +
+          "componentCol — build(..., componentCol = Some(...)) for the " +
+          "two-level partitioned layout")
+    }
 
   /** Incremental maintenance (the reference's continuous inserts into
     * the indexed table — doc_embedder.py:90-114 insert into the HNSW
@@ -113,14 +153,18 @@ final case class IvfIndex(
   }
 
   /** Persist as a cluster-partitioned table: search then prunes whole
-    * directories, the same mechanism as the component corpus. The
-    * centroids (nlist × dim floats — a few KB) ride along in a
-    * `_centroids` sidecar so [[IvfIndex.load]] never has to re-derive
-    * them from the corpus; the underscore prefix hides the sidecar from
-    * Spark's data-file listing, so reading `path` sees only the vectors. */
+    * directories, the same mechanism as the component corpus. A
+    * component-scoped index nests the cluster directories INSIDE the
+    * component directories (`component=X/__ivf_cluster=Y/`), so a scoped
+    * search prunes both levels. The centroids (nlist × dim floats — a
+    * few KB) ride along in a `_centroids` sidecar so [[IvfIndex.load]]
+    * never has to re-derive them from the corpus; the underscore prefix
+    * hides the sidecar from Spark's data-file listing, so reading `path`
+    * sees only the vectors. */
   def write(path: String): Unit = {
     assigned.write.mode(SaveMode.Overwrite)
-      .partitionBy(IvfIndex.ClusterCol).parquet(path)
+      .partitionBy(componentCol.toSeq :+ IvfIndex.ClusterCol: _*)
+      .parquet(path)
     val spark = assigned.sparkSession
     import spark.implicits._
     clusterIds.zip(centroids).toSeq.toDF("cluster_id", "centroid")
@@ -196,15 +240,23 @@ object IvfIndex {
 
   /** V4: build the index — k-means (MLlib, seeded for reproducibility)
     * then nearest-centroid assignment. One fit over a sample-friendly
-    * dataset; assignment is a narrow map. */
+    * dataset; assignment is a narrow map. Pass `componentCol` to get the
+    * component-scoped two-level layout from [[IvfIndex#write]]
+    * (centroids stay global — see the class scaladoc). */
   def build(
       vecs: DataFrame,
       idCol: String,
       vecCol: String,
       nlist: Int,
-      seed: Long = 42L): IvfIndex = {
+      seed: Long = 42L,
+      componentCol: Option[String] = None): IvfIndex = {
     require(!vecs.columns.contains(ClusterCol),
       s"input already has a '$ClusterCol' column")
+    componentCol.foreach { c =>
+      require(vecs.columns.contains(c),
+        s"componentCol '$c' not in input columns " +
+          vecs.columns.mkString("[", ", ", "]"))
+    }
     val featCol = "__ivf_features"
     val feats = vecs.withColumn(featCol,
       array_to_vector(col(vecCol).cast("array<double>")))
@@ -216,7 +268,7 @@ object IvfIndex {
     val centroids = model.clusterCenters
       .map(_.toArray.map(_.toFloat))
     IvfIndex(centroids, assigned, idCol, vecCol,
-      centroids.indices.toArray)
+      centroids.indices.toArray, componentCol)
   }
 
   private[graft] val CentroidSidecar = "_centroids"
@@ -256,10 +308,25 @@ object IvfIndex {
   def appendTo(spark: SparkSession, path: String, newVecs: DataFrame,
       idCol: String, vecCol: String): Unit = {
     val idx = load(spark, path, idCol, vecCol)
+    // append INTO the existing directory layout — flattening a two-level
+    // component/cluster index down to cluster-only partitions would
+    // silently break the component prune for every later scoped search
     assignToCentroids(newVecs, vecCol, idx.centroids, idx.clusterIds)
       .write.mode(SaveMode.Append)
-      .partitionBy(ClusterCol).parquet(path)
+      .partitionBy(idx.componentCol.toSeq :+ ClusterCol: _*).parquet(path)
   }
+
+  /** partition columns of a parquet-backed frame, in directory-nesting
+    * order — how [[load]] recovers the layout (component level included)
+    * without a manifest. */
+  private def partitionColsOf(df: DataFrame): Seq[String] =
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation
+    }.collectFirst {
+      case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+        h.partitionSchema.fieldNames.toSeq
+    }.getOrElse(Seq.empty)
 
   /** Reload a persisted index. Centroids come from the `_centroids`
     * sidecar [[IvfIndex#write]] drops next to the data — a single tiny
@@ -271,6 +338,10 @@ object IvfIndex {
   def load(spark: SparkSession, path: String, idCol: String,
       vecCol: String): IvfIndex = {
     val assigned = spark.read.parquet(path)
+    // the layout IS the manifest: a partition level other than the
+    // cluster column means this index was written component-scoped
+    val component = partitionColsOf(assigned)
+      .filterNot(_ == ClusterCol).headOption
     val byId: Array[(Int, Array[Float])] = {
       val sidecar = s"$path/$CentroidSidecar"
       val loaded =
@@ -295,6 +366,7 @@ object IvfIndex {
         }
       loaded.sortBy(_._1)
     }
-    IvfIndex(byId.map(_._2), assigned, idCol, vecCol, byId.map(_._1))
+    IvfIndex(byId.map(_._2), assigned, idCol, vecCol, byId.map(_._1),
+      component)
   }
 }

@@ -13,12 +13,14 @@ class EntrySpec extends SparkSpec {
   test("every query name has either an oracle or a documented omission") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // rows-only queries — keep this list in sync deliberately:
-    //  q36_ivf_knn: k-means isn't reproducible in DuckDB (recall spec
-    //    covers it); q39_model_embed / q49_model_rerank: md5-derived
+    //  q36_ivf_knn / q56_ivf_component: k-means isn't reproducible in
+    //    DuckDB (recall specs cover both, scoped and unscoped);
+    //  q39_model_embed / q49_model_rerank: md5-derived
     //    float math not worth mirroring (BatchEmbedderSpec /
     //    BatchRerankerSpec cover the plumbing)
     assert(noOracle ==
-      Set("q36_ivf_knn", "q39_model_embed", "q49_model_rerank"))
+      Set("q36_ivf_knn", "q56_ivf_component",
+        "q39_model_embed", "q49_model_rerank"))
     // and no orphan oracles
     assert((SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).isEmpty)
   }
