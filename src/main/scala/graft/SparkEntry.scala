@@ -1667,10 +1667,12 @@ object SparkEntry {
          FROM surv GROUP BY 1, 2 ORDER BY pred_lang, split""",
 
     // q53: the oracle deliberately does NOT mirror the prefix filter —
-    // it scores EVERY pair. The Spark side only joins docs sharing an
-    // md5-prefix gram, so a hash match proves the filter admits every
+    // it scores EVERY pair. The Spark side only joins docs sharing a
+    // rare-gram prefix, so a hash match proves the filter admits every
     // true pair (exactness), not just that both engines agree on a
-    // shared approximation.
+    // shared approximation. The threshold applies to the UNROUNDED
+    // jaccard on both sides (that is the bound the prefix filter
+    // guarantees); rounding is display-only.
     "q53_jaccard_pairs" ->
       """WITH toks AS (
            SELECT doc_id, list_filter(string_split_regex(lower(text),
@@ -1683,13 +1685,13 @@ object SparkEntry {
          nz AS (SELECT doc_id, shingles FROM sh WHERE len(shingles) > 0),
          scored AS (
            SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-             round(len(list_filter(a.shingles,
+             len(list_filter(a.shingles,
                x -> list_contains(b.shingles, x)))::DOUBLE
-               / len(list_distinct(list_concat(a.shingles, b.shingles))),
-               4) AS jaccard
+               / len(list_distinct(list_concat(a.shingles, b.shingles)))
+               AS j
            FROM nz a JOIN nz b ON a.doc_id < b.doc_id)
-         SELECT a_id, b_id, jaccard FROM scored
-         WHERE jaccard >= 0.8 ORDER BY a_id, b_id""",
+         SELECT a_id, b_id, round(j, 4) AS jaccard FROM scored
+         WHERE j >= 0.8 ORDER BY a_id, b_id""",
 
     "q44_cosine_pairs" ->
       s"""WITH b AS (

@@ -261,10 +261,19 @@ object NearDup {
       .distinct()
     val shA = sh.select(col("id").as("a_id"), col("shingles").as("sh_a"))
     val shB = sh.select(col("id").as("b_id"), col("shingles").as("sh_b"))
+    // threshold on the UNROUNDED jaccard, round only for display: the
+    // prefix/length filters guarantee candidates for TRUE J ≥ t, so a
+    // rounded filter would admit pairs with true J ∈ [t − 5e-5, t) that
+    // the filter never promised to generate — on a large-union doc that
+    // would silently break "hash equality IS the exactness proof". Both
+    // sides divide the same two integers (|A∩B| / |A∪B|), so the
+    // unrounded comparison is IEEE-identical cross-engine.
     pairs.join(shA, "a_id").join(shB, "b_id")
       .select(col("a_id"), col("b_id"),
-        round(jaccard(col("sh_a"), col("sh_b")), roundDp).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+        jaccard(col("sh_a"), col("sh_b")).as("__j"))
+      .filter(col("__j") >= threshold)
+      .select(col("a_id"), col("b_id"),
+        round(col("__j"), roundDp).as("jaccard"))
   }
 
   /** Duplicate-cluster resolution: connected components over a near-dup
@@ -325,8 +334,17 @@ object NearDup {
     // edges (groupBy-min absorbs them), so a distinct here would buy
     // nothing for a shuffle. The eager checkpoint runs the pairs plan
     // exactly once and flattens it out of every downstream plan.
+    // A null id would propagate as a (null, null) label row and silently
+    // drop that edge — same fail-loud stance as the integral-type check,
+    // but nulls are data so the check must run per row, not on the schema.
     val edges = pairs
-      .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .select(
+        when(col(aCol).isNull || col(bCol).isNull,
+          raise_error(lit("duplicateClusters: null id in pair — " +
+            "near-dup edges must reference real documents; filter or " +
+            "repair null ids before clustering")))
+          .otherwise(col(aCol).cast("long")).as("a"),
+        col(bCol).cast("long").as("b"))
       .select(explode(array(
         struct(col("a").as("u"), col("b").as("v")),
         struct(col("b").as("u"), col("a").as("v")))).as("e"))

@@ -245,18 +245,31 @@ object IvfAutoProbe {
 
   /** Cap on distinct roots the two driver caches remember. A long-lived
     * driver building a fresh temp-dir index per job would otherwise
-    * accumulate entries for the JVM lifetime; past the cap both caches
-    * are simply cleared — worst case one extra listing plus a few-KB
-    * sidecar re-read per live root. */
+    * accumulate entries for the JVM lifetime; past the cap ONE arbitrary
+    * entry is evicted per insert (not a wholesale clear, which would
+    * evict every hot root at once and make sustained temp-root churn
+    * re-list and re-read every live index each time the cap refills) —
+    * worst case one extra listing or sidecar re-read for the one
+    * evicted root. */
   private val MaxCachedRoots = 256
+
+  /** evict one arbitrary entry to make room — see [[MaxCachedRoots]] */
+  private def evictOne(
+      m: java.util.concurrent.ConcurrentHashMap[String, _]): Unit = {
+    val it = m.keySet().iterator()
+    if (it.hasNext) { it.next(); it.remove() }
+  }
 
   /** Drop cached listing + centroids for `root` — called by
     * [[graft.operators.IvfIndex.write]] so a same-JVM in-place rebuild
-    * is visible to the very next query, TTL notwithstanding. The rule
-    * keys caches on the relation's QUALIFIED root
+    * is visible to the very next query, TTL notwithstanding. PUBLIC so
+    * alternative rebuild paths (a job that writes the sidecar directly,
+    * an external compactor signalling through the driver) can make their
+    * rebuild visible immediately instead of waiting out the listing TTL.
+    * The rule keys caches on the relation's QUALIFIED root
     * (`file:/...`, `s3a://bucket/...`); writers pass whatever path they
     * were given, so both the raw and the fs-qualified form are dropped. */
-  private[graft] def invalidate(spark: SparkSession, root: String): Unit = {
+  def invalidate(spark: SparkSession, root: String): Unit = {
     fingerprintCache.remove(root)
     centroidCache.remove(root)
     Try {
@@ -291,7 +304,7 @@ object IvfAutoProbe {
             s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
           .sorted.mkString(",")
       }.toOption.filter(_.nonEmpty)
-      if (fingerprintCache.size >= MaxCachedRoots) fingerprintCache.clear()
+      if (fingerprintCache.size >= MaxCachedRoots) evictOne(fingerprintCache)
       fingerprintCache.put(root, (now, fp))
       fp
     }
@@ -316,7 +329,7 @@ object IvfAutoProbe {
         .sortBy(_._1)
     }.toOption match {
       case Some(cents) =>
-        if (centroidCache.size >= MaxCachedRoots) centroidCache.clear()
+        if (centroidCache.size >= MaxCachedRoots) evictOne(centroidCache)
         centroidCache.put(root, (fp, cents)); Some(cents)
       case None => None
     }

@@ -205,6 +205,45 @@ class NearDupSpec extends SparkSpec {
     assert(NearDup.duplicateClusters(pairs).count() == 0)
   }
 
+  test("duplicateClusters raises on null ids instead of dropping edges") {
+    import spark.implicits._
+    // a null id would otherwise become a (null, null) label row and the
+    // edge would silently vanish from propagation — fail-loud instead
+    val pairs = Seq((Option(1L), Option(2L)), (Option.empty[Long], Option(3L)))
+      .toDF("a_id", "b_id")
+    val ex = intercept[Exception] {
+      NearDup.duplicateClusters(pairs).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("null id")), ex.toString)
+  }
+
+  test("giant-cluster stress: long chain converges in O(log diameter) rounds, 10k star resolves") {
+    // CHAIN, diameter 1023 — the pointer-jumping worst case. Label
+    // distance doubles per round (d_r = 2^(r-1)), so propagation needs
+    // ⌈log₂ 1023⌉ + 1 = 11 rounds plus one convergence-detection round;
+    // maxIter = 15 asserts the log-diameter bound with headroom — plain
+    // min-propagation without the jump would need ~1023 rounds and throw.
+    val chain = spark.range(1023)
+      .select(col("id").as("a_id"), (col("id") + 1).as("b_id"))
+    val labels = NearDup.duplicateClusters(chain, maxIter = 15)
+    assert(labels.count() == 1024)
+    assert(labels.filter(col("cluster_rep") =!= 0L).count() == 0,
+      "every chain node must resolve to the minimum id")
+    // STAR: one 10⁴-member boilerplate cluster — every member shares one
+    // rep, so the rep-join (l.rep === r_id) funnels the whole cluster
+    // through one join key. Must resolve in ~2 rounds (1 propagation +
+    // 1 detection) and keep exactly one representative.
+    val star = spark.range(1, 10000)
+      .select(lit(0L).as("a_id"), col("id").as("b_id"))
+    val sLabels = NearDup.duplicateClusters(star, maxIter = 4)
+    assert(sLabels.count() == 10000)
+    assert(sLabels.filter(col("cluster_rep") =!= 0L).count() == 0,
+      "every star member must resolve to the hub id")
+  }
+
   test("lsh collision probability: bucket counts stay bounded (no hot key)") {
     // signatures of unrelated docs must not all collapse into one bucket
     val buckets = NearDup.minhashPairs(docs, "doc_id", "text",
