@@ -179,6 +179,107 @@ class IvfIndexSpec extends SparkSpec {
       plan.contains(IvfIndex.ClusterCol))
   }
 
+  test("component-scoped index: layout round-trips, scoped search exact, BOTH directory levels pruned") {
+    val tmp = Files.createTempDirectory("graft-ivf-comp-").toString
+    val cIdx = IvfIndex.build(embeddings, "vec_id", "embedding",
+      nlist = 8, componentCol = Some("label"))
+    cIdx.write(s"$tmp/ivf")
+    // the two-level layout IS the manifest: load recovers the component
+    // level from the directory structure, no sidecar field needed
+    val loaded = IvfIndex.load(spark, s"$tmp/ivf", "vec_id", "embedding")
+    assert(loaded.componentCol.contains("label"),
+      s"load must recover the component level, got ${loaded.componentCol}")
+    val comps = Seq(1, 3, 5)
+    val q = queryVecs(1).head
+    // full-probe scoped search == exact top-k over the scoped corpus —
+    // the component restriction is a pure filter, not an approximation
+    val scoped = loaded.search(q, 10, nprobe = loaded.nlist,
+        tieBreak = Some("vec_id"), components = comps)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val exactScoped = KnnSearch.topK(
+        embeddings.filter(col("label").isin(comps: _*)),
+        "embedding", q, 10, KnnSearch.L2, tieBreak = Some("vec_id"))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(scoped == exactScoped)
+    // the flagship shape: narrow probe + component scope in ONE scan with
+    // PartitionFilters on BOTH levels — whole component directories and
+    // whole cluster directories inside them are skipped at listing time
+    val plan = loaded.search(q, 10, nprobe = 2,
+        tieBreak = Some("vec_id"), components = comps)
+      .queryExecution.executedPlan.toString
+    val pf = "PartitionFilters: \\[[^\\]]*\\]".r.findFirstIn(plan)
+    assert(pf.exists(f => f.contains("label") &&
+        f.contains(IvfIndex.ClusterCol)),
+      s"scan must prune both directory levels, got: $pf\n$plan")
+    // a narrow scoped probe returns ONLY in-scope rows
+    val rows = loaded.search(q, 10, nprobe = 2,
+        tieBreak = Some("vec_id"), components = comps)
+      .select("label").collect().map(_.getInt(0)).toSet
+    assert(rows.subsetOf(comps.toSet), s"out-of-scope rows: $rows")
+  }
+
+  test("scoped recall at nprobe=6/8 holds against the exact within-scope top-k") {
+    val tmp = Files.createTempDirectory("graft-ivf-comp-").toString
+    IvfIndex.build(embeddings, "vec_id", "embedding",
+      nlist = 8, componentCol = Some("label")).write(s"$tmp/ivf")
+    val loaded = IvfIndex.load(spark, s"$tmp/ivf", "vec_id", "embedding")
+    val comps = Seq(1, 3, 5)
+    val scopedCorpus = embeddings.filter(col("label").isin(comps: _*))
+    val ks = 10
+    def meanRecall(nprobe: Int): Double = {
+      val rs = queryVecs(10).map { q =>
+        val exact = KnnSearch.topK(scopedCorpus, "embedding", q, ks,
+            KnnSearch.L2, tieBreak = Some("vec_id"))
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        val approx = loaded.search(q, ks, nprobe = nprobe,
+            tieBreak = Some("vec_id"), components = comps)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        exact.intersect(approx).size.toDouble / ks
+      }
+      rs.sum / rs.size
+    }
+    // a scoped top-k is HARDER than the global one at equal nprobe: the
+    // within-scope neighbors sit farther out, crossing more cluster
+    // boundaries (uniform synthetic data is the worst case — measured
+    // 0.94 at 6/8 vs 0.95+ unscoped), so the scoped curve is asserted
+    // one probe behind the unscoped test's, still monotone
+    val at6 = meanRecall(6)
+    val at7 = meanRecall(7)
+    assert(at6 >= 0.90, s"scoped recall at nprobe=6: $at6")
+    assert(at7 >= 0.95, s"scoped recall at nprobe=7: $at7")
+    assert(at7 >= at6, "scoped recall must be monotone in nprobe")
+  }
+
+  test("components on an unscoped index raise instead of silently returning out-of-scope rows") {
+    val ex = intercept[IllegalArgumentException] {
+      index.search(queryVecs(1).head, 10, nprobe = 2,
+        components = Seq(1))
+    }
+    assert(ex.getMessage.contains("componentCol"))
+  }
+
+  test("appendTo preserves the two-level layout; appended rows stay scoped-searchable") {
+    val tmp = Files.createTempDirectory("graft-ivf-comp-append-").toString
+    val path = s"$tmp/ivf"
+    val base = embeddings.filter(col("vec_id") % 2 === 0)
+    val extra = embeddings.filter(col("vec_id") % 2 === 1)
+    IvfIndex.build(base, "vec_id", "embedding",
+      nlist = 8, componentCol = Some("label")).write(path)
+    IvfIndex.appendTo(spark, path, extra, "vec_id", "embedding")
+    val loaded = IvfIndex.load(spark, path, "vec_id", "embedding")
+    assert(loaded.componentCol.contains("label"),
+      "append must not flatten the component level")
+    assert(loaded.assigned.count() == embeddings.count())
+    // an appended (odd) vector finds itself through a scoped search of
+    // its own component — it landed inside the right directories
+    val probe = embeddings.filter(col("vec_id") === 1)
+      .select(col("embedding"), col("label")).head()
+    val hit = loaded.search(probe.getSeq[Float](0), 1, nprobe = 2,
+        tieBreak = Some("vec_id"), components = Seq(probe.getInt(1)))
+      .select("vec_id").head().getLong(0)
+    assert(hit == 1L)
+  }
+
   test("load falls back to per-(cluster,dim) means without a sidecar") {
     val tmp = Files.createTempDirectory("graft-ivf-").toString
     index.write(s"$tmp/ivf")
