@@ -80,6 +80,61 @@ object SparkEntry {
     IvfIndex.load(s, path, "vec_id", "embedding")
   }
 
+  /** The curation front end q54/q57 share: quality-score + language-ID →
+    * threshold filter → exact dedup keeping the lowest doc_id per
+    * normalized fingerprint. The dedup is min_by in ONE aggregation
+    * pass — no window (a pathological million-duplicate boilerplate
+    * group would serialize into one giant sorted partition; min_by's
+    * buffer is a single struct with map-side partial combine) and no
+    * min+semi-join (which evaluates the scoring subtree twice and
+    * silently leans on global doc_id uniqueness; min_by keeps exactly
+    * one survivor per group regardless). Scoring is one native token
+    * walk per row. The queries diverge only at near-dup survivor
+    * selection (greedy pair-drop vs connected-component rep). */
+  private def curationDeduped(s: SparkSession, dir: String): DataFrame = {
+    VectorExpressions.ensureRegistered(s)
+    val sw = Seq("the", "a", "of", "and", "value", "table")
+    val profiles = Seq(
+      "en" -> Seq("the", "a", "fast", "slow"),
+      "es" -> Seq("data", "row", "part"),
+      "zh" -> Seq("spark", "window", "stream"))
+    val kept = t(s, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"),
+        tokenStatsNative(col("text"), sw).as("st"),
+        langIdHeuristicNative(col("text"), profiles).as("pred_lang"))
+      .select(col("doc_id"), col("text"), col("pred_lang"),
+        qualityFromStats(col("text"), col("st")).as("quality"))
+      .filter(col("quality") >= 0.5)
+    kept
+      .groupBy(fingerprint(col("text")).as("fp"))
+      .agg(min_by(struct(col("doc_id"), col("text"), col("pred_lang"),
+        col("quality")), col("doc_id")).as("r"))
+      .select(col("r.doc_id").as("doc_id"), col("r.text").as("text"),
+        col("r.pred_lang").as("pred_lang"),
+        col("r.quality").as("quality"))
+  }
+
+  /** The curation accounting tail q54/q57 share: reproducible
+    * content-hash split assignment, then per-(lang, split) counts with
+    * avg quality in exact integer micro-units — quality is a 6-dp value
+    * by construction, so sum(round(q·1e6)) is an order-independent
+    * integer; both engines then divide and floor-round the SAME double,
+    * sidestepping round()'s Spark-vs-DuckDB half-boundary disagreement
+    * (see TextFunctions.qualityScore), which a float avg() + round()
+    * would reintroduce. Scalar agg buffers only. */
+  private def curationRollup(survivors: DataFrame): DataFrame =
+    survivors
+      .select(col("pred_lang"), hashSplit(col("text")).as("split"),
+        col("quality"))
+      .groupBy(col("pred_lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(round(col("quality") * 1e6, 0).cast("long")).as("qm"))
+      .select(col("pred_lang"), col("split"), col("n_docs"),
+        (floor(col("qm") / col("n_docs") / 100.0 + 0.5) / 10000.0)
+          .as("avg_quality"))
+      .orderBy(col("pred_lang"), col("split"))
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's whole §3.1 data path minus LLM calls: take a query
     * vector, prune, exact top-k by L2, join doc metadata shape. */
@@ -799,60 +854,40 @@ object SparkEntry {
       // COMPOSITION (filter ordering, dedup-before-near-dup, survivor
       // semantics), not just the stages.
       //
-      // Scale shape: scoring is one native token walk per row; exact
-      // dedup is a window over the uniform 128-bit fingerprint;
-      // near-dup candidates come from the banded LSH equi-join (q43's
-      // shape, no cartesian); the anti-join removing dominated docs is
-      // keyed on doc ids (pairs are rare); the final rollup has scalar
-      // buffers only.
-      VectorExpressions.ensureRegistered(s)
-      val sw = Seq("the", "a", "of", "and", "value", "table")
-      val profiles = Seq(
-        "en" -> Seq("the", "a", "fast", "slow"),
-        "es" -> Seq("data", "row", "part"),
-        "zh" -> Seq("spark", "window", "stream"))
-      val kept = t(s, dir, "documents")
-        .filter(col("text").isNotNull)
-        .select(col("doc_id"), col("text"),
-          tokenStatsNative(col("text"), sw).as("st"),
-          langIdHeuristicNative(col("text"), profiles).as("pred_lang"))
-        .select(col("doc_id"), col("text"), col("pred_lang"),
-          qualityFromStats(col("text"), col("st")).as("quality"))
-        .filter(col("quality") >= 0.5)
-      // keep the lowest-doc_id row per normalized fingerprint via
-      // min_by in ONE aggregation pass — no window (a pathological
-      // million-duplicate boilerplate group would serialize into one
-      // giant sorted partition; min_by's buffer is a single struct with
-      // map-side partial combine) and no min+semi-join (which evaluates
-      // the scoring subtree twice and silently leans on global doc_id
-      // uniqueness; min_by keeps exactly one survivor per group
-      // regardless)
-      val deduped = kept
-        .groupBy(fingerprint(col("text")).as("fp"))
-        .agg(min_by(struct(col("doc_id"), col("text"), col("pred_lang"),
-          col("quality")), col("doc_id")).as("r"))
-        .select(col("r.doc_id").as("doc_id"), col("r.text").as("text"),
-          col("r.pred_lang").as("pred_lang"),
-          col("r.quality").as("quality"))
+      // Scale shape: see curationDeduped/curationRollup; the anti-join
+      // removing dominated docs is keyed on doc ids (pairs are rare).
+      //
+      // The greedy pair-drop here is the simple industry rule and is
+      // oracle-replayed exactly; q57 upgrades survivor selection to the
+      // cluster-correct form (one representative per connected
+      // component), which cannot over-drop on tangled pair graphs.
+      val deduped = curationDeduped(s, dir)
       val dominated = NearDup.minhashPairs(deduped, "doc_id", "text",
           shingleN = 3, numHashes = 12, bands = 4, threshold = 0.8)
         .select(col("b_id").as("doc_id")).distinct()
-      // avg in exact integer micro-units: quality is a 6-dp value by
-      // construction, so sum(round(q·1e6)) is an order-independent
-      // integer — both engines then divide and floor-round the SAME
-      // double, sidestepping round()'s Spark-vs-DuckDB half-boundary
-      // disagreement (see TextFunctions.qualityScore), which a float
-      // avg() + round() would reintroduce.
-      deduped.join(dominated, Seq("doc_id"), "left_anti")
-        .select(col("pred_lang"), hashSplit(col("text")).as("split"),
-          col("quality"))
-        .groupBy(col("pred_lang"), col("split"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(round(col("quality") * 1e6, 0).cast("long")).as("qm"))
-        .select(col("pred_lang"), col("split"), col("n_docs"),
-          (floor(col("qm") / col("n_docs") / 100.0 + 0.5) / 10000.0)
-            .as("avg_quality"))
-        .orderBy(col("pred_lang"), col("split"))
+      curationRollup(deduped.join(dominated, Seq("doc_id"), "left_anti"))
+    }),
+
+    "q57_curation_clustered" -> ((s, dir) => {
+      // q54's curation chain with CLUSTER-CORRECT near-dup survivor
+      // selection: connected components over the MinHash pair graph
+      // (NearDup.duplicateClusters), keep exactly the cluster
+      // representative (doc_id == cluster_rep) — the greedy rule can
+      // drop BOTH docs of a pair whose ids are each dominated elsewhere
+      // (q54's own caveat); clustering keeps one doc per duplicate
+      // group however tangled the graph. The oracle replays the
+      // fixpoint as a recursive CTE feeding the same rollup, so the
+      // hash checks the label-propagation ITERATION against a closed-
+      // form recursion INSIDE the full composition. Scale shape: the
+      // clustering loop runs on the pairs graph only (never the
+      // corpus); survivor removal stays an id-keyed anti-join.
+      val deduped = curationDeduped(s, dir)
+      val pairs = NearDup.minhashPairs(deduped, "doc_id", "text",
+        shingleN = 3, numHashes = 12, bands = 4, threshold = 0.8)
+      val dropped = NearDup.duplicateClusters(pairs)
+        .filter(col("doc_id") =!= col("cluster_rep"))
+        .select(col("doc_id"))
+      curationRollup(deduped.join(dropped, Seq("doc_id"), "left_anti"))
     }),
 
     "q44_cosine_pairs" -> ((s, dir) => {
@@ -1654,6 +1689,106 @@ object SparkEntry {
                x -> list_contains(sb.shingles, x)))::DOUBLE
              / len(list_distinct(list_concat(sa.shingles, sb.shingles))),
              4) >= 0.8),
+         surv AS (
+           SELECT * FROM dedup
+           WHERE doc_id NOT IN (SELECT doc_id FROM dropped))
+         SELECT pred_lang,
+           CASE WHEN substr(md5(text), 1, 2) < 'cc' THEN 'train'
+                WHEN substr(md5(text), 1, 2) < 'e6' THEN 'val'
+                ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           floor(sum(CAST(round(quality * 1000000, 0) AS BIGINT))
+             / count(*) / 100.0 + 0.5) / 10000.0 AS avg_quality
+         FROM surv GROUP BY 1, 2 ORDER BY pred_lang, split""",
+
+    // q57: q54's chain with the cluster-correct survivor rule — the
+    // recursive CTE computes the same connected-component fixpoint as
+    // the Spark side's pointer-jumping label propagation (q55's oracle
+    // shape), and only non-representatives are dropped before the
+    // identical rollup.
+    "q57_curation_clustered" ->
+      """WITH RECURSIVE tk AS (
+           SELECT doc_id, text,
+             list_filter(string_split_regex(lower(text), '\s+'),
+               t -> len(t) > 0) AS ts
+           FROM documents WHERE text IS NOT NULL),
+         comp AS (
+           SELECT doc_id, text, ts,
+             least(len(text) / 500.0, 1.0) AS len_score,
+             CASE WHEN len(text) = 0 THEN 0.0
+               ELSE len(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))::DOUBLE
+                 / len(text) END AS praw,
+             CASE WHEN len(ts) = 0 THEN 0.0
+               ELSE len(list_filter(ts, t -> list_contains(
+                 ['the','a','of','and','value','table'], t)))::DOUBLE
+                 / len(ts) END AS swraw
+           FROM tk),
+         scored AS (
+           SELECT doc_id, text, ts,
+             floor((len_score * 0.4 + (1.0 - least(praw * 4.0, 1.0)) * 0.3
+               + (1.0 - abs(swraw - 0.4)) * 0.3) * 1000000.0 + 0.5)
+               / 1000000.0 AS quality
+           FROM comp),
+         lang AS (
+           SELECT doc_id,
+             len(list_filter(ts, t -> list_contains(
+               ['the','a','fast','slow'], t))) AS s_en,
+             len(list_filter(ts, t -> list_contains(
+               ['data','row','part'], t))) AS s_es,
+             len(list_filter(ts, t -> list_contains(
+               ['spark','window','stream'], t))) AS s_zh
+           FROM tk),
+         kept AS (
+           SELECT s.doc_id, s.text, s.ts, s.quality,
+             CASE WHEN l.s_zh = greatest(l.s_en, l.s_es, l.s_zh) THEN 'zh'
+                  WHEN l.s_es = greatest(l.s_en, l.s_es) THEN 'es'
+                  ELSE 'en' END AS pred_lang
+           FROM scored s JOIN lang l USING (doc_id)
+           WHERE s.quality >= 0.5),
+         dedup AS (
+           SELECT doc_id, text, ts, quality, pred_lang FROM (
+             SELECT k.*, row_number() OVER (
+               PARTITION BY substr(md5(regexp_replace(lower(trim(text)),
+                 '\s+', ' ', 'g')), 1, 16)
+               ORDER BY doc_id) AS rn
+             FROM kept k) WHERE rn = 1),
+         sh AS (
+           SELECT doc_id, list_distinct(list_transform(
+             range(1, greatest(len(ts) - 2, 0) + 1),
+             i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS shingles
+           FROM dedup),
+         sigs AS (
+           SELECT doc_id, shingles, list_transform(range(0, 12),
+             i -> list_aggregate(list_transform(shingles,
+               s -> md5(i || '|' || s)), 'min')) AS sig
+           FROM sh WHERE len(shingles) > 0),
+         buckets AS (
+           SELECT doc_id, unnest(list_transform(range(0, 4),
+             b -> b || ':' || md5(array_to_string(sig[b*3+1 : b*3+3], '|'))))
+             AS bucket FROM sigs),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+           FROM buckets a JOIN buckets b
+             ON a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         pr AS (
+           SELECT a_id, b_id FROM cand
+           JOIN sigs sa ON a_id = sa.doc_id
+           JOIN sigs sb ON b_id = sb.doc_id
+           WHERE round(len(list_filter(sa.shingles,
+               x -> list_contains(sb.shingles, x)))::DOUBLE
+             / len(list_distinct(list_concat(sa.shingles, sb.shingles))),
+             4) >= 0.8),
+         edges AS (
+           SELECT a_id AS u, b_id AS v FROM pr
+           UNION SELECT b_id, a_id FROM pr),
+         reach AS (
+           SELECT u AS id, u AS m FROM edges
+           UNION
+           SELECT e.u, r.m FROM edges e JOIN reach r ON e.v = r.id),
+         labels AS (
+           SELECT id, min(m) AS cluster_rep FROM reach GROUP BY id),
+         dropped AS (
+           SELECT id AS doc_id FROM labels WHERE id != cluster_rep),
          surv AS (
            SELECT * FROM dedup
            WHERE doc_id NOT IN (SELECT doc_id FROM dropped))
