@@ -637,6 +637,31 @@ object SparkEntry {
         .orderBy(col("final_rank"))
     }),
 
+    "q58_rag_ivf" -> ((s, dir) => {
+      // q38's flagship retrieval composition routed through the
+      // component-scoped IVF index (RagPipeline.retrieveThinIvf): one
+      // doubly-pruned ANN leg per component (both directory levels are
+      // PartitionFilters), candidates-only broadcast hydration, lexical
+      // rerank, URL + reference numbering — the reference's
+      // partition_names+HNSW flagship end-to-end at scale shape. Same
+      // rows-only driver check as q36/q56 (k-means isn't reproducible
+      // in DuckDB); RagPipelineSpec asserts the plan shape AND that the
+      // composition equals the hash-checked exact path at full probe.
+      VectorExpressions.ensureRegistered(s)
+      val q = queryVec(s, dir)
+      val docsT = t(s, dir, "documents")
+        .select(col("doc_id"), col("text").as("document"),
+          struct(concat(lit("https://docs.example.com/"), col("source"))
+            .as("doc_url")).as("metadata"))
+      RagPipeline.retrieveThinIvf(ivfComponentIndexFor(s, dir), docsT,
+          "doc_id", q, "spark query join table window agg",
+          Seq(1, 3, 5), nprobe = 6, metric = KnnSearch.NativeL2)
+        .select(col("final_rank"), col("vec_id"),
+          round(col("rerank_score"), 4).as("rerank_score"),
+          round(col("dist"), 4).as("dist"), col("ref_id"))
+        .orderBy(col("final_rank"))
+    }),
+
     "q39_model_embed" -> ((s, dir) => {
       // The model-embedder seam under load: FakeModelEmbedder (the
       // deterministic stand-in behind the real mapPartitions batching,

@@ -123,6 +123,57 @@ object RagPipeline {
       urlExpr.getOrElse(col("metadata.doc_url")))
   }
 
+  /** [[retrieveThin]] through a component-scoped [[IvfIndex]] — the
+    * reference's flagship retrieval made scale-shaped end-to-end:
+    * `similarity_search_by_vector(..., partition_names=[comp])` runs ANN
+    * inside pruned LIST partitions (rag_graph.py:365-417 via
+    * doc_embedder.py:196-220), and here each per-component top-k leg is
+    * ONE doubly-pruned directory scan (component partition AND probed
+    * clusters are both parquet PartitionFilters — asserted in
+    * RagPipelineSpec), so a routed query reads
+    * ~|components|/ncomponents × nprobe/nlist of the corpus. Candidate
+    * hydration and post-processing are identical to [[retrieveThin]]:
+    * docs join only the ≤ k·components candidates, broadcast. The
+    * trade is IVF recall (tunable via nprobe; nprobe ≥ nlist makes each
+    * leg exact and the result equal to [[retrieveThin]] on the same
+    * scope). Requires an index built with `componentCol` — the unscoped
+    * layout cannot prune the component level and [[IvfIndex#search]]
+    * refuses rather than silently scanning out of scope. */
+  def retrieveThinIvf(
+      index: IvfIndex,
+      docs: DataFrame,
+      docKeyCol: String,
+      queryVec: Seq[Float],
+      queryText: String,
+      componentCodes: Seq[Int],
+      nprobe: Int,
+      rerank: Boolean = true,
+      urlRules: Seq[(String, String)] = Nil,
+      docCol: String = "document",
+      urlExpr: Option[Column] = None,
+      metric: KnnSearch.Metric = KnnSearch.L2): DataFrame = {
+    val idCol = index.idCol
+    val candidates =
+      if (componentCodes.isEmpty)
+        // same zero-component contract as KnnSearch.searchComponents
+        index.assigned.withColumn("dist", lit(0.0)).filter(lit(false))
+      else {
+        val k = KnnSearch.adaptiveK(componentCodes.size, rerank)
+        // one scoped leg per component (the reference's per-partition
+        // top-k semantics), bag-unioned — each leg prunes both
+        // directory levels; probe planning is driver-side per leg over
+        // the same tiny centroid set
+        componentCodes
+          .map(code => index.search(queryVec, k, nprobe, metric,
+            tieBreak = Some(idCol), components = Seq(code)))
+          .reduce(_ unionByName _)
+      }
+    val hydrated = broadcast(candidates)
+      .join(docs, candidates(idCol) === docs(docKeyCol))
+    postProcess(hydrated, queryText, urlRules, idCol, docCol,
+      urlExpr.getOrElse(col("metadata.doc_url")))
+  }
+
   def answer(
       spark: SparkSession,
       corpus: DataFrame,

@@ -13,13 +13,15 @@ class EntrySpec extends SparkSpec {
   test("every query name has either an oracle or a documented omission") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // rows-only queries — keep this list in sync deliberately:
-    //  q36_ivf_knn / q56_ivf_component: k-means isn't reproducible in
-    //    DuckDB (recall specs cover both, scoped and unscoped);
+    //  q36_ivf_knn / q56_ivf_component / q58_rag_ivf: k-means isn't
+    //    reproducible in DuckDB (recall specs cover scoped + unscoped
+    //    search; RagPipelineSpec proves the q58 composition equals the
+    //    hash-checked q38 path at full probe);
     //  q39_model_embed / q49_model_rerank: md5-derived
     //    float math not worth mirroring (BatchEmbedderSpec /
     //    BatchRerankerSpec cover the plumbing)
     assert(noOracle ==
-      Set("q36_ivf_knn", "q56_ivf_component",
+      Set("q36_ivf_knn", "q56_ivf_component", "q58_rag_ivf",
         "q39_model_embed", "q49_model_rerank"))
     // and no orphan oracles
     assert((SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).isEmpty)
