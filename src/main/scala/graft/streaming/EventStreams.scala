@@ -1,9 +1,9 @@
 package graft.streaming
 
 import java.sql.Timestamp
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout}
 
 /** Structured Streaming slice — SURVEY.md §2.9.
   *
@@ -75,6 +75,44 @@ object EventStreams {
       else fp.dropDuplicates("__fp")
     deduped.drop("__fp")
   }
+
+  /** Streaming index ingest — the reference's continuous lifecycle
+    * (create the indexed table once, insert embedded documents forever
+    * after: load.py:26 + doc_embedder.py:90-114) as one Structured
+    * Streaming composition over an EXISTING persisted
+    * [[graft.operators.IvfIndex]]:
+    *
+    *   [[dedupStream]] (exact content dedup, state bounded by the
+    *   watermark) → `embed` (any DataFrame→DataFrame embedder stage —
+    *   the model seam, e.g. a BatchEmbedder, producing the index's
+    *   (id, vector[, component]) schema) → foreachBatch
+    *   [[graft.operators.IvfIndex.appendTo]].
+    *
+    * Each micro-batch assigns its new vectors to the index's EXISTING
+    * centroids — a sidecar read plus a narrow per-row argmin, NO k-means
+    * refit, no corpus scan, no shuffle — and appends into the
+    * cluster-partitioned (or two-level component-scoped) layout, so
+    * appended vectors are immediately searchable with recall untouched
+    * for existing ones. Returns the writer un-started: callers set their
+    * own checkpoint/trigger options (a production stream needs a durable
+    * `checkpointLocation` for exactly-once appends). */
+  def indexedIngest(
+      docs: DataFrame,
+      textCol: String,
+      tsCol: String,
+      embed: DataFrame => DataFrame,
+      indexPath: String,
+      idCol: String,
+      vecCol: String,
+      watermark: String = "1 hour"): DataStreamWriter[Row] =
+    embed(dedupStream(docs, textCol, tsCol, watermark))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // an empty micro-batch must not pay the load + write job
+        if (!batch.isEmpty)
+          graft.operators.IvfIndex.appendTo(
+            batch.sparkSession, indexPath, batch, idCol, vecCol)
+      }
 
   /** Stateful sessionization with the GroupState API
     * (`mapGroupsWithState`) — the Spark-native analogue of the

@@ -88,6 +88,63 @@ class EventStreamsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("indexedIngest: stream dedup → embed seam → appendTo, no refit, appended vectors searchable") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions.col
+    import graft.operators.IvfIndex
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val base = emb.filter(col("vec_id") % 2 === 0)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-stream-ivf-").toString
+    val path = s"$tmp/ivf"
+    val built = IvfIndex.build(base, "vec_id", "embedding", nlist = 8)
+    built.write(path)
+
+    // the stream: odd vectors with synthesized unique texts; the embed
+    // stage is the model seam reduced to a projection (the vectors ride
+    // along), exactly where a BatchEmbedder would slot in
+    val odds = emb.filter(col("vec_id") % 2 === 1)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val (b1, b2) = odds.splitAt(odds.length / 2)
+    def rows(xs: Array[(Long, Seq[Float])], off: Long) =
+      xs.map { case (id, v) => (id, ts(off), s"stream doc $id", v) }.toSeq
+    val input = MemoryStream[(Long, Timestamp, String, Seq[Float])]
+    val docs = input.toDF().toDF("vec_id", "ts", "text", "embedding")
+    val embedStage =
+      (df: DataFrame) => df.select(col("vec_id"), col("embedding"))
+    val query = EventStreams.indexedIngest(docs, "text", "ts",
+        embedStage, path, "vec_id", "embedding")
+      .option("checkpointLocation", s"$tmp/ckpt").start()
+    try {
+      input.addData(rows(b1, 0): _*)
+      query.processAllAvailable()
+      // batch 2 carries a cross-batch DUPLICATE (same content as a
+      // batch-1 doc, new id) — dedup state spans micro-batches within
+      // the watermark, so it must never reach the index
+      val dup = (999999L, ts(10), s"stream doc ${b1.head._1}", b1.head._2)
+      input.addData(rows(b2, 10) :+ dup: _*)
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val loaded = IvfIndex.load(spark, path, "vec_id", "embedding")
+    assert(loaded.assigned.count() == base.count() + odds.length,
+      "every distinct streamed doc appended exactly once")
+    assert(loaded.assigned.filter(col("vec_id") === 999999L).count() == 0,
+      "the cross-batch duplicate must be dropped before the index")
+    // no refit in any micro-batch: a k-means rerun would move centroids;
+    // append-only assignment leaves them bit-identical
+    assert(loaded.centroids.map(_.toSeq).toSeq ==
+      built.centroids.map(_.toSeq).toSeq)
+    // an appended vector is immediately searchable under a narrow probe
+    val hit = loaded.search(odds.head._2, 1, nprobe = 2,
+        tieBreak = Some("vec_id"))
+      .select("vec_id").head().getLong(0)
+    assert(hit == odds.head._1)
+  }
+
   test("dedupStream batch form dedups on the same fingerprint") {
     import spark.implicits._
     val batch = Seq(
