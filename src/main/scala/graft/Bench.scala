@@ -9,7 +9,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - one untimed warm-up pass per query (absorbs SparkSession/JIT/IO-cache
   *     startup that previously charged ~7s to whichever query ran first);
   *   - timed min-of-3 per query (min, not mean: we measure the engine, not
-  *     the noise);
+  *     the noise); heavy queries (best > 1 s) get 2 extra reps — on the
+  *     slow tail a single noisy machine pause distorts the record most
+  *     (round-7's driver showed a 4.7× phantom on one query that two
+  *     re-runs measured at 2.5 s), and extra reps there cost little
+  *     relative to the query itself;
   *   - materialization via `queryExecution.toRdd` foreach-noop so every
   *     projected column is actually computed — `df.count()` lets Catalyst
   *     prune expression-heavy projections to nothing;
@@ -17,6 +21,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     its failure never silently improves the total.
   */
 object Bench {
+
+  /** queries whose best-of-`reps` exceeds this get extra reps */
+  private val HeavyQuerySecs = 1.0
+  private val HeavyExtraReps = 2
 
   private def materialize(df: DataFrame): Unit =
     df.queryExecution.toRdd.foreach(_ => ())
@@ -39,12 +47,15 @@ object Bench {
     SparkEntry.queries.foreach { case (name, fn) =>
       try {
         materialize(fn(spark, sfDir)) // warm-up, untimed
-        val best = (1 to reps).map { _ =>
+        def timed(): Double = {
           val t0 = System.nanoTime()
           materialize(fn(spark, sfDir))
           (System.nanoTime() - t0) / 1e9
-        }.min
-        times(name) = best
+        }
+        val best = (1 to reps).map(_ => timed()).min
+        times(name) =
+          if (best <= HeavyQuerySecs) best
+          else best.min((1 to HeavyExtraReps).map(_ => timed()).min)
       } catch {
         case e: Throwable =>
           times(name) = -1.0
