@@ -57,6 +57,38 @@ class IvfAutoProbeSpec extends SparkSpec {
       s"recall too low: ${rows.intersect(exact).size}/10")
   }
 
+  test("two-level layout: a component-filtered exact top-k gets the cluster probe injected on top") {
+    // the flagship auto-rewrite: user writes partition_names-style SQL
+    // (filter on the component column + ORDER BY distance LIMIT k) over
+    // a component-scoped index; the rule walks through the component
+    // Filter, injects the cluster probe above the relation, and the
+    // planner collapses BOTH into one doubly-pruned scan
+    val tmp = Files.createTempDirectory("graft-autoprobe-comp-").toString
+    IvfIndex.build(embeddings, "vec_id", "embedding", nlist = 8,
+      componentCol = Some("label")).write(s"$tmp/ivf")
+    withRule(6) {
+      val loaded = spark.read.parquet(s"$tmp/ivf")
+      val df = KnnSearch.topK(loaded.filter(col("label").isin(1, 3)),
+        "embedding", queryVec, 10, KnnSearch.NativeL2,
+        tieBreak = Some("vec_id"))
+      val plan = df.queryExecution.executedPlan.toString
+      val pf = "PartitionFilters: \\[[^\\]]*\\]".r.findFirstIn(plan)
+      assert(pf.exists(f => f.contains("label") &&
+          f.contains(IvfIndex.ClusterCol)),
+        s"expected BOTH partition levels pruned, got $pf in:\n$plan")
+      val rows = df.select("vec_id", "label").collect()
+      assert(rows.map(_.getInt(1)).toSet.subsetOf(Set(1, 3)),
+        "probe injection must never widen the component scope")
+      val exact = KnnSearch.topK(
+          embeddings.filter(col("label").isin(1, 3)),
+          "embedding", queryVec, 10, KnnSearch.L2,
+          tieBreak = Some("vec_id"))
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(rows.map(_.getLong(0)).toSet.intersect(exact).size >= 8,
+        "scoped recall under the auto-probe must stay high")
+    }
+  }
+
   test("rule is off without the conf and results stay exact") {
     val (plan, rows) = topKPlanAndRows(nprobe = 0)
     assert(!plan.contains(s"${IvfIndex.ClusterCol} IN"),
