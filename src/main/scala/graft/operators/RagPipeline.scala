@@ -88,6 +88,18 @@ object RagPipeline {
       urlExpr.getOrElse(col("metadata.doc_url")))
   }
 
+  /** Candidate hydration shared by the thin-table forms: the
+    * ≤ k·components candidate rows reach the (corpus-scale) docs table
+    * as an EXPLICIT broadcast hash — the docs table is scanned once
+    * against a hash of candidate ids, never shuffled against them. */
+  private def hydrate(
+      candidates: DataFrame,
+      docs: DataFrame,
+      docKeyCol: String,
+      idCol: String): DataFrame =
+    broadcast(candidates)
+      .join(docs, candidates(idCol) === docs(docKeyCol))
+
   /** The scale-correct two-table form: top-k runs on the THIN vector
     * table alone (id, vector, component — the only columns retrieval
     * needs), and document text/metadata are joined in only for the
@@ -117,10 +129,8 @@ object RagPipeline {
       vectors, vecCol, partitionCol, queryVec, componentCodes,
       rerank = rerank, metric = metric, tieBreak = Some(idCol),
       rankRoundDp = rankRoundDp)
-    val hydrated = broadcast(candidates)
-      .join(docs, candidates(idCol) === docs(docKeyCol))
-    postProcess(hydrated, queryText, urlRules, idCol, docCol,
-      urlExpr.getOrElse(col("metadata.doc_url")))
+    postProcess(hydrate(candidates, docs, docKeyCol, idCol), queryText,
+      urlRules, idCol, docCol, urlExpr.getOrElse(col("metadata.doc_url")))
   }
 
   /** [[retrieveThin]] through a component-scoped [[IvfIndex]] — the
@@ -168,10 +178,8 @@ object RagPipeline {
             tieBreak = Some(idCol), components = Seq(code)))
           .reduce(_ unionByName _)
       }
-    val hydrated = broadcast(candidates)
-      .join(docs, candidates(idCol) === docs(docKeyCol))
-    postProcess(hydrated, queryText, urlRules, idCol, docCol,
-      urlExpr.getOrElse(col("metadata.doc_url")))
+    postProcess(hydrate(candidates, docs, docKeyCol, idCol), queryText,
+      urlRules, idCol, docCol, urlExpr.getOrElse(col("metadata.doc_url")))
   }
 
   def answer(

@@ -304,7 +304,11 @@ object IvfAutoProbe {
             s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
           .sorted.mkString(",")
       }.toOption.filter(_.nonEmpty)
-      if (fingerprintCache.size >= MaxCachedRoots) evictOne(fingerprintCache)
+      // evict only when INSERTING a new root: a TTL refresh of an
+      // already-cached root replaces in place and must not push out an
+      // unrelated live entry on every refresh at cap
+      if (!fingerprintCache.containsKey(root) &&
+        fingerprintCache.size >= MaxCachedRoots) evictOne(fingerprintCache)
       fingerprintCache.put(root, (now, fp))
       fp
     }
@@ -329,7 +333,8 @@ object IvfAutoProbe {
         .sortBy(_._1)
     }.toOption match {
       case Some(cents) =>
-        if (centroidCache.size >= MaxCachedRoots) evictOne(centroidCache)
+        if (!centroidCache.containsKey(root) &&
+          centroidCache.size >= MaxCachedRoots) evictOne(centroidCache)
         centroidCache.put(root, (fp, cents)); Some(cents)
       case None => None
     }

@@ -94,8 +94,17 @@ object EventStreams {
     * cluster-partitioned (or two-level component-scoped) layout, so
     * appended vectors are immediately searchable with recall untouched
     * for existing ones. Returns the writer un-started: callers set their
-    * own checkpoint/trigger options (a production stream needs a durable
-    * `checkpointLocation` for exactly-once appends). */
+    * own checkpoint/trigger options.
+    *
+    * Delivery: foreachBatch is AT-LEAST-ONCE — after a restart from the
+    * checkpoint, Spark re-runs the last uncommitted batch. A re-run of a
+    * batch whose append already COMMITTED is made idempotent here with a
+    * per-batchId marker under `_ingest_log/` (underscore-hidden from
+    * Spark's data listing, like the centroid sidecar): marked batches
+    * skip the write. A crash BETWEEN the data commit and the marker can
+    * still duplicate that one batch — plain parquet has no atomic
+    * multi-file commit; feed a transactional table format through a
+    * custom `embed`+sink when strict exactly-once matters. */
   def indexedIngest(
       docs: DataFrame,
       textCol: String,
@@ -107,12 +116,32 @@ object EventStreams {
       watermark: String = "1 hour"): DataStreamWriter[Row] =
     embed(dedupStream(docs, textCol, tsCol, watermark))
       .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        // an empty micro-batch must not pay the load + write job
-        if (!batch.isEmpty)
-          graft.operators.IvfIndex.appendTo(
-            batch.sparkSession, indexPath, batch, idCol, vecCol)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val marker = new org.apache.hadoop.fs.Path(
+          s"$indexPath/${IngestLogDir}/batch-$batchId")
+        val fs = marker.getFileSystem(
+          spark.sessionState.newHadoopConf())
+        if (!fs.exists(marker)) {
+          // the batch frame feeds TWO actions (emptiness probe + append
+          // write) and foreachBatch re-executes its plan per action —
+          // with a real model in the embed seam that would double the
+          // model compute — so pin it for the batch's lifetime
+          batch.persist()
+          try {
+            // an empty micro-batch must not pay the load + write job
+            if (!batch.isEmpty)
+              graft.operators.IvfIndex.appendTo(
+                spark, indexPath, batch, idCol, vecCol)
+            fs.mkdirs(marker.getParent)
+            fs.create(marker, true).close()
+          } finally batch.unpersist()
+        }
       }
+
+  /** per-batch commit markers for [[indexedIngest]] — underscore prefix
+    * hides the directory from Spark's parquet file listing */
+  private[streaming] val IngestLogDir = "_ingest_log"
 
   /** Stateful sessionization with the GroupState API
     * (`mapGroupsWithState`) — the Spark-native analogue of the

@@ -129,6 +129,12 @@ class EventStreamsSpec extends SparkSpec {
       query.processAllAvailable()
     } finally query.stop()
 
+    // per-batch commit markers exist (the at-least-once re-run guard)
+    // and, being underscore-prefixed, don't break the parquet listing
+    // that IvfIndex.load is about to do
+    val markers = new java.io.File(s"$path/_ingest_log").listFiles()
+    assert(markers != null && markers.nonEmpty,
+      "committed batches must leave _ingest_log markers")
     val loaded = IvfIndex.load(spark, path, "vec_id", "embedding")
     assert(loaded.assigned.count() == base.count() + odds.length,
       "every distinct streamed doc appended exactly once")
