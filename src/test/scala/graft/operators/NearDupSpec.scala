@@ -205,6 +205,37 @@ class NearDupSpec extends SparkSpec {
     assert(NearDup.duplicateClusters(pairs).count() == 0)
   }
 
+  test("jaccardPairs large-union rounding boundary: true J < t is excluded even when it rounds to t; J == t is kept") {
+    import spark.implicits._
+    // the 4-dp rounding gap only opens at unions > ~4000 shingles —
+    // beyond anything the test corpora produce — so synthesize it: a
+    // shared prefix of p distinct words plus per-doc unique tails gives
+    // exactly (p−2) shared 3-gram shingles out of (n−2) per doc
+    def words(n: Int, tag: String) =
+      (0 until n).map(i => s"$tag$i").mkString(" ")
+    // true J = 19999/25000 = 0.79996 < 0.8, but round(J, 4) = 0.8000:
+    // the threshold must apply to the unrounded value (the bound the
+    // prefix filter actually guarantees), so NO pair at t = 0.8 …
+    val below = Seq(
+      (1L, words(20001, "c") + " " + words(2500, "a")),
+      (2L, words(20001, "c") + " " + words(2501, "b")))
+      .toDF("doc_id", "text")
+    assert(NearDup.jaccardPairs(below, "doc_id", "text",
+      threshold = 0.8).count() == 0)
+    // … while a threshold below the true J finds it, displayed rounded
+    val shown = NearDup.jaccardPairs(below, "doc_id", "text",
+      threshold = 0.7999).collect()
+    assert(shown.length == 1 && shown.head.getDouble(2) == 0.8)
+    // true J = 20000/25000 = 0.8 exactly — the prefix/length epsilons
+    // only widen bounds, so the boundary-true pair must survive
+    val atT = Seq(
+      (1L, words(20002, "c") + " " + words(2500, "a")),
+      (2L, words(20002, "c") + " " + words(2500, "b")))
+      .toDF("doc_id", "text")
+    assert(NearDup.jaccardPairs(atT, "doc_id", "text",
+      threshold = 0.8).count() == 1)
+  }
+
   test("duplicateClusters raises on null ids instead of dropping edges") {
     import spark.implicits._
     // a null id would otherwise become a (null, null) label row and the
