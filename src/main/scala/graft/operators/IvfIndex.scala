@@ -316,6 +316,43 @@ object IvfIndex {
       .partitionBy(idx.componentCol.toSeq :+ ClusterCol: _*).parquet(path)
   }
 
+  /** Compact a fragmented index root into `destPath`: incremental
+    * [[appendTo]] (streaming ingest appends one file per micro-batch
+    * per partition directory) makes the small-file COUNT — not data
+    * volume — dominate listing and scan-task overhead at scale. One
+    * shuffle keyed on the partition columns (component level included
+    * when present), `maxRecordsPerFile` bounding file size, the SAME
+    * directory layout out; the `_centroids` sidecar is copied
+    * byte-for-byte so the compacted root is bit-compatible for
+    * [[load]]/search and the [[graft.plans.IvfAutoProbe]] rule.
+    * Copy-compact, never in-place (same rationale as
+    * CorpusStore.compact: Spark refuses to overwrite a path it reads,
+    * and delete-then-rewrite would lose the live index on a mid-job
+    * failure) — swap readers to the fresh root afterwards, which also
+    * gives the auto-probe caches a fresh key for free. Ingest-log
+    * markers are deliberately NOT copied: the fresh root starts a
+    * fresh streaming-ingest lifecycle. */
+  def compact(spark: SparkSession, srcPath: String, destPath: String,
+      targetRowsPerFile: Long = 500000L): Unit = {
+    require(new java.io.File(destPath).getCanonicalPath !=
+      new java.io.File(srcPath).getCanonicalPath,
+      "compact is copy-based: destPath must differ from srcPath")
+    val df = spark.read.parquet(srcPath)
+    val parts = partitionColsOf(df)
+    require(parts.contains(ClusterCol),
+      s"$srcPath is not an IVF index root (no $ClusterCol partition level)")
+    df.repartition(parts.map(col): _*)
+      .write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", targetRowsPerFile)
+      .partitionBy(parts: _*)
+      .parquet(destPath)
+    val conf = spark.sessionState.newHadoopConf()
+    val src = new org.apache.hadoop.fs.Path(s"$srcPath/$CentroidSidecar")
+    val dst = new org.apache.hadoop.fs.Path(s"$destPath/$CentroidSidecar")
+    org.apache.hadoop.fs.FileUtil.copy(src.getFileSystem(conf), src,
+      dst.getFileSystem(conf), dst, false, conf)
+  }
+
   /** partition columns of a parquet-backed frame, in directory-nesting
     * order — how [[load]] recovers the layout (component level included)
     * without a manifest. */

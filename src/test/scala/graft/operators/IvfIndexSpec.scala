@@ -280,6 +280,52 @@ class IvfIndexSpec extends SparkSpec {
     assert(hit == 1L)
   }
 
+  test("compact: fewer files, identical layout/centroids/results") {
+    val tmp = Files.createTempDirectory("graft-ivf-compact-").toString
+    val path = s"$tmp/ivf"
+    // fragment the root: base write + three appends = up to 4 files per
+    // partition directory (the streaming-ingest accumulation pattern)
+    val slices = (0 until 4).map(i =>
+      embeddings.filter(col("vec_id") % 4 === i))
+    IvfIndex.build(slices.head, "vec_id", "embedding", nlist = 8,
+      componentCol = Some("label")).write(path)
+    slices.tail.foreach(s =>
+      IvfIndex.appendTo(spark, path, s, "vec_id", "embedding"))
+    def dataFiles(root: String): Seq[java.io.File] = {
+      // recurse into partition dirs (they contain '='; the cluster level
+      // itself starts with '_'), skip sidecar dirs like _centroids
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory &&
+            (!f.getName.startsWith("_") || f.getName.contains("=")))
+          f.listFiles().toSeq.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f)
+        else Nil
+      walk(new java.io.File(root))
+    }
+    val before = dataFiles(path).size
+    IvfIndex.compact(spark, path, s"$tmp/ivf2")
+    val after = dataFiles(s"$tmp/ivf2").size
+    assert(after < before, s"compact must cut file count ($before -> $after)")
+    val orig = IvfIndex.load(spark, path, "vec_id", "embedding")
+    val comp = IvfIndex.load(spark, s"$tmp/ivf2", "vec_id", "embedding")
+    // layout, centroids (byte-copied sidecar), rows, and search results
+    // all survive the rewrite
+    assert(comp.componentCol == orig.componentCol)
+    assert(comp.centroids.map(_.toSeq).toSeq ==
+      orig.centroids.map(_.toSeq).toSeq)
+    assert(comp.assigned.count() == orig.assigned.count())
+    val q = queryVecs(1).head
+    def hits(i: IvfIndex) =
+      i.search(q, 10, nprobe = 3, tieBreak = Some("vec_id"),
+          components = Seq(1, 3, 5))
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(hits(comp) == hits(orig))
+    // in-place compaction is refused, not silently destructive
+    intercept[IllegalArgumentException] {
+      IvfIndex.compact(spark, path, path)
+    }
+  }
+
   test("load falls back to per-(cluster,dim) means without a sidecar") {
     val tmp = Files.createTempDirectory("graft-ivf-").toString
     index.write(s"$tmp/ivf")
