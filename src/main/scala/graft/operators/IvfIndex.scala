@@ -325,32 +325,41 @@ object IvfIndex {
     * directory layout out; the `_centroids` sidecar is copied
     * byte-for-byte so the compacted root is bit-compatible for
     * [[load]]/search and the [[graft.plans.IvfAutoProbe]] rule.
-    * Copy-compact, never in-place (same rationale as
-    * CorpusStore.compact: Spark refuses to overwrite a path it reads,
-    * and delete-then-rewrite would lose the live index on a mid-job
-    * failure) — swap readers to the fresh root afterwards, which also
-    * gives the auto-probe caches a fresh key for free. Ingest-log
-    * markers are deliberately NOT copied: the fresh root starts a
-    * fresh streaming-ingest lifecycle. */
+    * Copy-compact, never in-place (shared core with
+    * [[graft.sources.CorpusStore]]: Spark refuses to overwrite a path
+    * it reads, and delete-then-rewrite would lose the live index on a
+    * mid-job failure; the guard compares Hadoop-qualified roots and
+    * refuses nesting too) — swap readers to the fresh root afterwards.
+    * QUIESCE streaming ingest into srcPath first: the read snapshots
+    * the file listing at plan time, so micro-batches appended after
+    * that are committed per their markers yet absent from destPath —
+    * silent loss with no error anywhere. Ingest-log markers are
+    * deliberately NOT copied: the fresh root starts a fresh
+    * streaming-ingest lifecycle. A failure AFTER the data write but
+    * before the sidecar lands raises (and the partial destPath would
+    * load through the lossy per-(cluster,dim)-means fallback) — re-run
+    * the compact; destPath's auto-probe caches are invalidated at the
+    * end so compacting onto a previously-used root cannot serve stale
+    * centroids. */
   def compact(spark: SparkSession, srcPath: String, destPath: String,
       targetRowsPerFile: Long = 500000L): Unit = {
-    require(new java.io.File(destPath).getCanonicalPath !=
-      new java.io.File(srcPath).getCanonicalPath,
-      "compact is copy-based: destPath must differ from srcPath")
     val df = spark.read.parquet(srcPath)
     val parts = partitionColsOf(df)
     require(parts.contains(ClusterCol),
       s"$srcPath is not an IVF index root (no $ClusterCol partition level)")
-    df.repartition(parts.map(col): _*)
-      .write.mode(SaveMode.Overwrite)
-      .option("maxRecordsPerFile", targetRowsPerFile)
-      .partitionBy(parts: _*)
-      .parquet(destPath)
+    graft.sources.CorpusStore.copyCompactInto(df, parts, srcPath,
+      destPath, targetRowsPerFile)
     val conf = spark.sessionState.newHadoopConf()
     val src = new org.apache.hadoop.fs.Path(s"$srcPath/$CentroidSidecar")
     val dst = new org.apache.hadoop.fs.Path(s"$destPath/$CentroidSidecar")
-    org.apache.hadoop.fs.FileUtil.copy(src.getFileSystem(conf), src,
-      dst.getFileSystem(conf), dst, false, conf)
+    val copied = org.apache.hadoop.fs.FileUtil.copy(
+      src.getFileSystem(conf), src, dst.getFileSystem(conf), dst,
+      false, conf)
+    require(copied && dst.getFileSystem(conf).exists(dst),
+      s"compact: centroid sidecar copy to $dst failed — destPath is " +
+        "incomplete (it would load via the lossy means fallback); " +
+        "re-run compact")
+    graft.plans.IvfAutoProbe.invalidate(spark, destPath)
   }
 
   /** partition columns of a parquet-backed frame, in directory-nesting

@@ -126,15 +126,37 @@ object CorpusStore {
     * the reference's single-writer ingest model (load.py) makes the
     * swap a metadata operation. */
   def compact(spark: SparkSession, srcPath: String, destPath: String,
-      targetRowsPerFile: Long = 500000L): Unit = {
-    require(new java.io.File(destPath).getCanonicalPath !=
-      new java.io.File(srcPath).getCanonicalPath,
-      "compact is copy-based: destPath must differ from srcPath")
-    read(spark, srcPath)
-      .repartition(col("component_code"))
+      targetRowsPerFile: Long = 500000L): Unit =
+    copyCompactInto(read(spark, srcPath), Seq("component_code"),
+      srcPath, destPath, targetRowsPerFile)
+
+  /** Copy-compact core shared with [[graft.operators.IvfIndex.compact]]:
+    * refuse non-disjoint roots, then one shuffle keyed on the partition
+    * columns with `maxRecordsPerFile` bounding output sizes, written in
+    * the same `partitionBy` layout. The guard compares HADOOP-qualified
+    * paths (a `java.io.File` canonicalization would neither resolve
+    * `hdfs://` URIs nor catch nesting): equal or ancestor/descendant
+    * roots would let the lazy read list srcPath and the Overwrite write
+    * delete it mid-job — the live data would be lost. */
+  private[graft] def copyCompactInto(df: DataFrame,
+      partitionCols: Seq[String], srcPath: String, destPath: String,
+      targetRowsPerFile: Long): Unit = {
+    val conf = df.sparkSession.sessionState.newHadoopConf()
+    def qualified(p: String) = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(conf).makeQualified(hp)
+    }
+    val (s, d) = (qualified(srcPath), qualified(destPath))
+    def covers(a: org.apache.hadoop.fs.Path,
+        b: org.apache.hadoop.fs.Path) =
+      (b.toString + "/").startsWith(a.toString + "/")
+    require(!covers(s, d) && !covers(d, s),
+      s"compact is copy-based: destPath must be disjoint from srcPath " +
+        s"(got $s vs $d)")
+    df.repartition(partitionCols.map(col): _*)
       .write.mode(SaveMode.Overwrite)
       .option("maxRecordsPerFile", targetRowsPerFile)
-      .partitionBy("component_code")
+      .partitionBy(partitionCols: _*)
       .parquet(destPath)
   }
 

@@ -99,12 +99,18 @@ object EventStreams {
     * Delivery: foreachBatch is AT-LEAST-ONCE — after a restart from the
     * checkpoint, Spark re-runs the last uncommitted batch. A re-run of a
     * batch whose append already COMMITTED is made idempotent here with a
-    * per-batchId marker under `_ingest_log/` (underscore-hidden from
+    * marker under `_ingest_log/<ingestId>/` (underscore-hidden from
     * Spark's data listing, like the centroid sidecar): marked batches
-    * skip the write. A crash BETWEEN the data commit and the marker can
-    * still duplicate that one batch — plain parquet has no atomic
-    * multi-file commit; feed a transactional table format through a
-    * custom `embed`+sink when strict exactly-once matters. */
+    * skip the write. `ingestId` must be 1:1 with the CHECKPOINT
+    * lifecycle — batchIds restart at 0 for a fresh checkpoint or a
+    * second query into the same root, and bare-batchId markers from an
+    * earlier lifecycle would then silently SKIP the new stream's first
+    * batches (data loss, strictly worse than the duplicates they
+    * prevent); hence the id is a required parameter, not a default.
+    * A crash BETWEEN the data commit and the marker can still duplicate
+    * that one batch — plain parquet has no atomic multi-file commit;
+    * feed a transactional table format through a custom `embed`+sink
+    * when strict exactly-once matters. */
   def indexedIngest(
       docs: DataFrame,
       textCol: String,
@@ -113,13 +119,16 @@ object EventStreams {
       indexPath: String,
       idCol: String,
       vecCol: String,
-      watermark: String = "1 hour"): DataStreamWriter[Row] =
+      ingestId: String,
+      watermark: String = "1 hour"): DataStreamWriter[Row] = {
+    require(ingestId.nonEmpty && !ingestId.contains("/"),
+      s"ingestId must be a non-empty path segment, got '$ingestId'")
     embed(dedupStream(docs, textCol, tsCol, watermark))
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val marker = new org.apache.hadoop.fs.Path(
-          s"$indexPath/${IngestLogDir}/batch-$batchId")
+          s"$indexPath/${IngestLogDir}/$ingestId/batch-$batchId")
         val fs = marker.getFileSystem(
           spark.sessionState.newHadoopConf())
         if (!fs.exists(marker)) {
@@ -133,11 +142,12 @@ object EventStreams {
             if (!batch.isEmpty)
               graft.operators.IvfIndex.appendTo(
                 spark, indexPath, batch, idCol, vecCol)
-            fs.mkdirs(marker.getParent)
+            // create() makes missing parents itself — no mkdirs RPC
             fs.create(marker, true).close()
           } finally batch.unpersist()
         }
       }
+  }
 
   /** per-batch commit markers for [[indexedIngest]] — underscore prefix
     * hides the directory from Spark's parquet file listing */

@@ -320,9 +320,16 @@ class IvfIndexSpec extends SparkSpec {
           components = Seq(1, 3, 5))
         .select("vec_id").collect().map(_.getLong(0)).toSeq
     assert(hits(comp) == hits(orig))
-    // in-place compaction is refused, not silently destructive
+    // in-place and NESTED compaction are refused, not silently
+    // destructive (the overwrite would delete the live source mid-job)
     intercept[IllegalArgumentException] {
       IvfIndex.compact(spark, path, path)
+    }
+    intercept[IllegalArgumentException] {
+      IvfIndex.compact(spark, path, s"$path/nested")
+    }
+    intercept[IllegalArgumentException] {
+      IvfIndex.compact(spark, s"$tmp/ivf2", tmp)
     }
   }
 

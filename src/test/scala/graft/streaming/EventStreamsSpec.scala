@@ -116,7 +116,7 @@ class EventStreamsSpec extends SparkSpec {
     val embedStage =
       (df: DataFrame) => df.select(col("vec_id"), col("embedding"))
     val query = EventStreams.indexedIngest(docs, "text", "ts",
-        embedStage, path, "vec_id", "embedding")
+        embedStage, path, "vec_id", "embedding", ingestId = "ingest-a")
       .option("checkpointLocation", s"$tmp/ckpt").start()
     try {
       input.addData(rows(b1, 0): _*)
@@ -129,10 +129,13 @@ class EventStreamsSpec extends SparkSpec {
       query.processAllAvailable()
     } finally query.stop()
 
-    // per-batch commit markers exist (the at-least-once re-run guard)
-    // and, being underscore-prefixed, don't break the parquet listing
-    // that IvfIndex.load is about to do
-    val markers = new java.io.File(s"$path/_ingest_log").listFiles()
+    // per-batch commit markers exist under the ingestId namespace (the
+    // at-least-once re-run guard; a fresh checkpoint gets a fresh id so
+    // old markers can never silently swallow its first batches) and,
+    // being underscore-prefixed, don't break the parquet listing that
+    // IvfIndex.load is about to do
+    val markers =
+      new java.io.File(s"$path/_ingest_log/ingest-a").listFiles()
     assert(markers != null && markers.nonEmpty,
       "committed batches must leave _ingest_log markers")
     val loaded = IvfIndex.load(spark, path, "vec_id", "embedding")
