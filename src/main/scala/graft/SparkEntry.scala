@@ -55,9 +55,35 @@ object SparkEntry {
       val p = java.nio.file.Files
         .createTempDirectory("graft_ivf_").toString
       built.write(p)
+      exportIvfOracle(s, p, s"$IvfOracleRoot/single")
       p
     })
     IvfIndex.load(s, path, "vec_id", "embedding")
+  }
+
+  /** Fixed location of the DuckDB-readable replica of each persisted IVF
+    * root. The index roots themselves are per-corpus temp dirs (aliasing
+    * two corpora onto one root in a shared JVM would corrupt live
+    * readers), but [[oracleSql]] is a STATIC map — so after every build
+    * the persisted root (data + `_centroids` sidecar) is re-exported,
+    * overwrite-mode, to this fixed path. The driver's DuckDB pass runs
+    * strictly after Verify's Spark pass in the same filesystem, so the
+    * replica it reads is exactly the index the queries searched; the
+    * oracle then REPLAYS probe selection (argmin over centroid
+    * distances — plain SQL) + the scoped scan + top-k independently,
+    * which upgrades q36/q56/q58 from rows-only to hash-checked. Only the
+    * k-means FIT stays trusted (its output IS the exported artifact);
+    * everything downstream of it is verified. */
+  private[graft] val IvfOracleRoot = "/tmp/graft_ivf_oracle"
+  private def exportIvfOracle(s: SparkSession, indexRoot: String,
+      dest: String): Unit = {
+    // read BACK the persisted root (not the in-memory frame): the oracle
+    // must replay what a fresh reader sees — partition-column types
+    // included
+    s.read.parquet(indexRoot).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dest/data")
+    s.read.parquet(s"$indexRoot/${IvfIndex.CentroidSidecar}").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dest/centroids")
   }
 
   /** The COMPONENT-SCOPED index for the same corpus: two-level
@@ -75,9 +101,19 @@ object SparkEntry {
       val p = java.nio.file.Files
         .createTempDirectory("graft_ivf_comp_").toString
       built.write(p)
+      exportIvfOracle(s, p, s"$IvfOracleRoot/scoped")
       p
     })
     IvfIndex.load(s, path, "vec_id", "embedding")
+  }
+
+  /** Build (or reuse) both IVF roots for `dir` — [[Bench]] calls this in
+    * its warm-up phase so no timed rep ever pays a k-means fit, index
+    * write, or oracle export (the round-9 driver bench charged a lazy
+    * scoped-index build to one q56 sample). */
+  private[graft] def warmIvfIndexes(s: SparkSession, dir: String): Unit = {
+    ivfIndexFor(s, dir)
+    ivfComponentIndexFor(s, dir)
   }
 
   /** The curation front end q54/q57 share: quality-score + language-ID →
@@ -576,15 +612,18 @@ object SparkEntry {
       // ONCE per corpus via ivfIndexFor) + nprobe=6 probe + exact
       // re-score against the LOADED cluster-partitioned parquet, so the
       // probe filter prunes partition directories (asserted in
-      // IvfIndexSpec). No DuckDB oracle (k-means isn't reproducible
-      // there) — the driver records the weaker rows-only check; recall
-      // vs the exact top-k is asserted in IvfIndexSpec instead
-      // (SURVEY §7.5: approximate modes are graded on recall, not hash).
+      // IvfIndexSpec). HASH-ORACLED since round 10: the oracle reads the
+      // exported index replica (exportIvfOracle) and independently
+      // replays probe selection + pruned scan + top-k in SQL; ranking is
+      // on the 4-dp-rounded distance (rankRoundDp, the q30/q33 pattern)
+      // so both engines rank identical (dist, vec_id) keys. Only the
+      // k-means fit itself stays recall-graded (IvfIndexSpec ≥0.95@6/8).
       VectorExpressions.ensureRegistered(s)
       val q = queryVec(s, dir)
       ivfIndexFor(s, dir).search(q, 10, nprobe = 6,
-          metric = KnnSearch.NativeL2, tieBreak = Some("vec_id"))
-        .select(col("vec_id"), round(col("dist"), 4).as("dist"))
+          metric = KnnSearch.NativeL2, tieBreak = Some("vec_id"),
+          rankRoundDp = Some(4))
+        .select(col("vec_id"), col("dist"))
         .orderBy(col("dist"), col("vec_id"))
     }),
 
@@ -596,15 +635,15 @@ object SparkEntry {
       // partitionBy(label, __ivf_cluster) layout; both filters are
       // parquet PartitionFilters (asserted in IvfIndexSpec), so the scan
       // reads ~(3/10 components × 6/8 clusters) of the corpus and
-      // neither prune shuffles. Same rows-only driver check as q36
-      // (k-means isn't reproducible in DuckDB); scoped recall is
-      // spec-asserted instead.
+      // neither prune shuffles. Hash-oracled like q36 (round 10): the
+      // oracle replays the component filter + probe selection + top-k
+      // over the exported scoped replica; ranking on the rounded dist.
       VectorExpressions.ensureRegistered(s)
       val q = queryVec(s, dir)
       ivfComponentIndexFor(s, dir).search(q, 10, nprobe = 6,
           metric = KnnSearch.NativeL2, tieBreak = Some("vec_id"),
-          components = Seq(1, 3, 5))
-        .select(col("label"), col("vec_id"), round(col("dist"), 4).as("dist"))
+          components = Seq(1, 3, 5), rankRoundDp = Some(4))
+        .select(col("label"), col("vec_id"), col("dist"))
         .orderBy(col("dist"), col("vec_id"))
     }),
 
@@ -643,10 +682,11 @@ object SparkEntry {
       // doubly-pruned ANN leg per component (both directory levels are
       // PartitionFilters), candidates-only broadcast hydration, lexical
       // rerank, URL + reference numbering — the reference's
-      // partition_names+HNSW flagship end-to-end at scale shape. Same
-      // rows-only driver check as q36/q56 (k-means isn't reproducible
-      // in DuckDB); RagPipelineSpec asserts the plan shape AND that the
-      // composition equals the hash-checked exact path at full probe.
+      // partition_names+HNSW flagship end-to-end at scale shape.
+      // Hash-oracled like q36/q56 (round 10): the oracle is q38's
+      // proven composition SQL with candidate generation swapped for
+      // the probe-pruned replica scan; RagPipelineSpec additionally
+      // asserts the plan shape and full-probe == exact-path equality.
       VectorExpressions.ensureRegistered(s)
       val q = queryVec(s, dir)
       val docsT = t(s, dir, "documents")
@@ -655,10 +695,10 @@ object SparkEntry {
             .as("doc_url")).as("metadata"))
       RagPipeline.retrieveThinIvf(ivfComponentIndexFor(s, dir), docsT,
           "doc_id", q, "spark query join table window agg",
-          Seq(1, 3, 5), nprobe = 6, metric = KnnSearch.NativeL2)
-        .select(col("final_rank"), col("vec_id"),
-          round(col("rerank_score"), 4).as("rerank_score"),
-          round(col("dist"), 4).as("dist"), col("ref_id"))
+          Seq(1, 3, 5), nprobe = 6, metric = KnnSearch.NativeL2,
+          rankRoundDp = Some(4))
+        .select(col("final_rank"), col("vec_id"), col("rerank_score"),
+          col("dist"), col("ref_id"))
         .orderBy(col("final_rank"))
     }),
 
@@ -1547,6 +1587,106 @@ object SparkEntry {
            FROM (SELECT url, min(final_rank) AS first_seen
                  FROM ranked GROUP BY url))
          SELECT final_rank, id, rerank_score, dist, ref_id
+         FROM ranked JOIN refs USING (url)
+         ORDER BY final_rank""",
+
+    // IVF family (q36/q56/q58): the oracle reads the exported replica of
+    // the PERSISTED index (data + _centroids sidecar — see
+    // exportIvfOracle) and independently replays everything downstream
+    // of the k-means fit: probe selection (argmin over centroid L2,
+    // ties by cluster_id — exactly IvfIndex.probeOrder's double math),
+    // the partition-pruned scan, and the rounded-distance top-k.
+    "q36_ivf_knn" ->
+      """WITH q AS (
+           SELECT embedding::DOUBLE[] AS qv FROM embeddings
+           WHERE vec_id = 0),
+         cent AS (
+           SELECT cluster_id, centroid FROM
+             read_parquet('/tmp/graft_ivf_oracle/single/centroids/*.parquet')),
+         probes AS (
+           SELECT cluster_id FROM cent
+           ORDER BY list_distance(centroid::DOUBLE[], (SELECT qv FROM q)),
+             cluster_id
+           LIMIT 6)
+         SELECT vec_id,
+           round(list_distance(embedding::DOUBLE[], (SELECT qv FROM q)), 4)
+             AS dist
+         FROM read_parquet('/tmp/graft_ivf_oracle/single/data/*.parquet')
+         WHERE __ivf_cluster IN (SELECT cluster_id FROM probes)
+         ORDER BY dist, vec_id LIMIT 10""",
+
+    "q56_ivf_component" ->
+      """WITH q AS (
+           SELECT embedding::DOUBLE[] AS qv FROM embeddings
+           WHERE vec_id = 0),
+         cent AS (
+           SELECT cluster_id, centroid FROM
+             read_parquet('/tmp/graft_ivf_oracle/scoped/centroids/*.parquet')),
+         probes AS (
+           SELECT cluster_id FROM cent
+           ORDER BY list_distance(centroid::DOUBLE[], (SELECT qv FROM q)),
+             cluster_id
+           LIMIT 6)
+         SELECT label, vec_id,
+           round(list_distance(embedding::DOUBLE[], (SELECT qv FROM q)), 4)
+             AS dist
+         FROM read_parquet('/tmp/graft_ivf_oracle/scoped/data/*.parquet')
+         WHERE label IN (1, 3, 5)
+           AND __ivf_cluster IN (SELECT cluster_id FROM probes)
+         ORDER BY dist, vec_id LIMIT 10""",
+
+    // q38's proven composition SQL with candidate generation swapped for
+    // the probe-pruned scoped-replica scan (per-component top-10 inside
+    // the probed clusters — retrieveThinIvf's per-leg semantics).
+    "q58_rag_ivf" ->
+      """WITH q AS (
+           SELECT embedding::DOUBLE[] AS qv FROM embeddings
+           WHERE vec_id = 0),
+         cent AS (
+           SELECT cluster_id, centroid FROM
+             read_parquet('/tmp/graft_ivf_oracle/scoped/centroids/*.parquet')),
+         probes AS (
+           SELECT cluster_id FROM cent
+           ORDER BY list_distance(centroid::DOUBLE[], (SELECT qv FROM q)),
+             cluster_id
+           LIMIT 6),
+         corpus AS (
+           SELECT e.vec_id, e.label, e.embedding, d.text AS document,
+             'https://docs.example.com/' || d.source AS url
+           FROM read_parquet('/tmp/graft_ivf_oracle/scoped/data/*.parquet') e
+           JOIN documents d ON e.vec_id = d.doc_id
+           WHERE e.label IN (1, 3, 5)
+             AND e.__ivf_cluster IN (SELECT cluster_id FROM probes)),
+         scored AS (
+           SELECT vec_id, label, document, url,
+             round(list_distance(embedding::DOUBLE[], (SELECT qv FROM q)), 4)
+               AS dist
+           FROM corpus),
+         cand AS (
+           SELECT vec_id, document, url, dist FROM (
+             SELECT *, row_number() OVER (PARTITION BY label
+                                          ORDER BY dist, vec_id) AS rn
+             FROM scored)
+           WHERE rn <= 10),
+         rr AS (
+           SELECT vec_id, dist, url,
+             len(list_filter(
+               ['spark','query','join','table','window','agg'],
+               w -> list_contains(list_distinct(list_filter(
+                 string_split_regex(lower(document), '\s+'),
+                 t -> len(t) > 0)), w))) AS rerank_score
+           FROM cand),
+         ranked AS (
+           SELECT vec_id, rerank_score, dist, url,
+             row_number() OVER (ORDER BY rerank_score DESC, vec_id)
+               AS final_rank
+           FROM (SELECT * FROM rr
+                 ORDER BY rerank_score DESC, vec_id LIMIT 10)),
+         refs AS (
+           SELECT url, row_number() OVER (ORDER BY first_seen) AS ref_id
+           FROM (SELECT url, min(final_rank) AS first_seen
+                 FROM ranked GROUP BY url))
+         SELECT final_rank, vec_id, rerank_score, dist, ref_id
          FROM ranked JOIN refs USING (url)
          ORDER BY final_rank""",
 

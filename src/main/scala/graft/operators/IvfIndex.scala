@@ -79,12 +79,13 @@ final case class IvfIndex(
       nprobe: Int,
       metric: KnnSearch.Metric = KnnSearch.L2,
       tieBreak: Option[String] = None,
-      components: Seq[Int] = Nil): DataFrame = {
+      components: Seq[Int] = Nil,
+      rankRoundDp: Option[Int] = None): DataFrame = {
     val probes = probeOrder(query).take(math.max(1, nprobe))
     KnnSearch.topK(
       componentScope(components)
         .filter(col(IvfIndex.ClusterCol).isin(probes: _*)),
-      vecCol, query, k, metric, tieBreak)
+      vecCol, query, k, metric, tieBreak, rankRoundDp = rankRoundDp)
   }
 
   /** Batch V5: ONE pruned scan serves a whole query set. The scan
@@ -186,10 +187,16 @@ object IvfIndex {
       query: Seq[Float]): Seq[Int] =
     centroids.zipWithIndex
       .map { case (c, i) =>
+        // double math per term (not float-subtract-then-widen): the probe
+        // ranking is then exactly what any double-precision replay — the
+        // DuckDB oracle's `list_distance(centroid::DOUBLE[], q::DOUBLE[])`
+        // included — computes, so probe selection is cross-engine
+        // deterministic, not just deterministic in this JVM. Ties break
+        // ascending cluster id (stable sortBy over id-ordered input).
         var s = 0.0
         var j = 0
         while (j < c.length) {
-          val d = c(j) - query(j); s += d * d; j += 1
+          val d = c(j).toDouble - query(j).toDouble; s += d * d; j += 1
         }
         (s, clusterIds(i))
       }

@@ -161,7 +161,8 @@ object RagPipeline {
       urlRules: Seq[(String, String)] = Nil,
       docCol: String = "document",
       urlExpr: Option[Column] = None,
-      metric: KnnSearch.Metric = KnnSearch.L2): DataFrame = {
+      metric: KnnSearch.Metric = KnnSearch.L2,
+      rankRoundDp: Option[Int] = None): DataFrame = {
     val idCol = index.idCol
     val candidates =
       if (componentCodes.isEmpty)
@@ -175,7 +176,8 @@ object RagPipeline {
         // the same tiny centroid set
         componentCodes
           .map(code => index.search(queryVec, k, nprobe, metric,
-            tieBreak = Some(idCol), components = Seq(code)))
+            tieBreak = Some(idCol), components = Seq(code),
+            rankRoundDp = rankRoundDp))
           .reduce(_ unionByName _)
       }
     postProcess(hydrate(candidates, docs, docKeyCol, idCol), queryText,

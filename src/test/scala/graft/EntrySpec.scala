@@ -12,17 +12,14 @@ class EntrySpec extends SparkSpec {
 
   test("every query name has either an oracle or a documented omission") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // rows-only queries — keep this list in sync deliberately:
-    //  q36_ivf_knn / q56_ivf_component / q58_rag_ivf: k-means isn't
-    //    reproducible in DuckDB (recall specs cover scoped + unscoped
-    //    search; RagPipelineSpec proves the q58 composition equals the
-    //    hash-checked q38 path at full probe);
-    //  q39_model_embed / q49_model_rerank: md5-derived
-    //    float math not worth mirroring (BatchEmbedderSpec /
-    //    BatchRerankerSpec cover the plumbing)
-    assert(noOracle ==
-      Set("q36_ivf_knn", "q56_ivf_component", "q58_rag_ivf",
-        "q39_model_embed", "q49_model_rerank"))
+    // rows-only queries — keep this list in sync deliberately. This is
+    // the TERMINAL set: the model seams are the only operators whose
+    // md5-derived float stand-ins aren't worth mirroring in SQL
+    // (BatchEmbedderSpec / BatchRerankerSpec cover the plumbing). The
+    // IVF family (q36/q56/q58) left this list in round 10 — the oracle
+    // replays search over the exported persisted index, so only the
+    // k-means fit itself remains recall-graded (IvfIndexSpec).
+    assert(noOracle == Set("q39_model_embed", "q49_model_rerank"))
     // and no orphan oracles
     assert((SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).isEmpty)
   }

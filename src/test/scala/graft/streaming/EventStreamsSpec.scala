@@ -154,6 +154,93 @@ class EventStreamsSpec extends SparkSpec {
     assert(hit == odds.head._1)
   }
 
+  test("lifecycle: indexedIngest batches → compact → scoped search parity (one chain)") {
+    // The reference's continuous index lifecycle (load.py:26 DDL +
+    // doc_embedder.py:90-114 inserts) as ONE test: a component-scoped
+    // root takes N streamed micro-batches (each appending small files),
+    // is compacted to a fresh root, and the compacted root must answer
+    // a scoped search identically, keep the two-level layout, and start
+    // a fresh ingest-marker lifecycle. The pieces are spec'd separately
+    // (indexedIngest above, compact in IvfIndexSpec) — this pins the
+    // CHAIN, where a layout-flattening or sidecar-dropping regression
+    // in any stage would corrupt every stage after it.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions.col
+    import graft.operators.IvfIndex
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val base = emb.filter(col("vec_id") % 2 === 0)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-lifecycle-").toString
+    val path = s"$tmp/ivf"
+    IvfIndex.build(base, "vec_id", "embedding", nlist = 4,
+      componentCol = Some("label")).write(path)
+
+    val odds = emb.filter(col("vec_id") % 2 === 1)
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2)))
+    val batches = odds.grouped(math.max(1, odds.length / 3)).toSeq
+    val input = MemoryStream[(Long, Int, Timestamp, String, Seq[Float])]
+    val docs = input.toDF().toDF("vec_id", "label", "ts", "text", "embedding")
+    val embedStage = (df: DataFrame) =>
+      df.select(col("vec_id"), col("label"), col("embedding"))
+    val query = EventStreams.indexedIngest(docs, "text", "ts", embedStage,
+        path, "vec_id", "embedding", ingestId = "lifecycle-a")
+      .option("checkpointLocation", s"$tmp/ckpt").start()
+    try {
+      batches.zipWithIndex.foreach { case (b, i) =>
+        input.addData(b.map { case (id, lab, v) =>
+          (id, lab, ts(i * 10L), s"lifecycle doc $id", v) }: _*)
+        query.processAllAvailable()
+      }
+    } finally query.stop()
+
+    def parquetFiles(root: String): Int = {
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory) {
+          // skip sidecar/marker dirs (_centroids, _ingest_log) but NOT
+          // partition dirs like `__ivf_cluster=3` — Spark's convention
+          // distinguishes them by the `=`
+          if (f.getName.startsWith("_") && !f.getName.contains("=")) 0
+          else f.listFiles().map(walk).sum
+        } else if (f.getName.endsWith(".parquet")) 1 else 0
+      walk(new java.io.File(root))
+    }
+
+    // streaming ingest QUIESCED above (query stopped) — the documented
+    // precondition for compact's listing-time snapshot
+    val fragmented = IvfIndex.load(spark, path, "vec_id", "embedding")
+    val qv = odds.head._3
+    val comp = odds.head._2
+    def hits(idx: IvfIndex) =
+      idx.search(qv, 5, nprobe = 4, tieBreak = Some("vec_id"),
+          components = Seq(comp))
+        .select("vec_id", "dist").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val before = hits(fragmented)
+    assert(before.nonEmpty)
+
+    val dest = s"$tmp/ivf-compacted"
+    IvfIndex.compact(spark, path, dest)
+    assert(parquetFiles(dest) < parquetFiles(path),
+      s"compact must cut data-file count " +
+        s"(${parquetFiles(path)} -> ${parquetFiles(dest)})")
+    val compacted = IvfIndex.load(spark, dest, "vec_id", "embedding")
+    // two-level layout survived the whole chain (load recovers the
+    // component column FROM the directory layout, so this asserts the
+    // on-disk structure, not in-memory state)
+    assert(compacted.componentCol.contains("label"))
+    assert(compacted.assigned.count() == fragmented.assigned.count())
+    // bit-identical centroid sidecar -> identical probe planning
+    assert(compacted.centroids.map(_.toSeq).toSeq ==
+      fragmented.centroids.map(_.toSeq).toSeq)
+    assert(hits(compacted) == before,
+      "scoped search must answer identically from the compacted root")
+    // the fresh root starts a fresh ingest-marker lifecycle
+    assert(!new java.io.File(s"$dest/${EventStreams.IngestLogDir}").exists())
+  }
+
   test("dedupStream batch form dedups on the same fingerprint") {
     import spark.implicits._
     val batch = Seq(
