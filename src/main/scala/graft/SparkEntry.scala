@@ -706,14 +706,19 @@ object SparkEntry {
       // The model-embedder seam under load: FakeModelEmbedder (the
       // deterministic stand-in behind the real mapPartitions batching,
       // one model load per partition, batch=64) over every document.
-      // No DuckDB oracle (md5-byte float math isn't worth mirroring);
-      // rows-only + BatchEmbedderSpec. Bench-visible so the seam's cost
+      // Hash-oracled since round 10: the stand-in's md5→float32→
+      // normalize chain IS replayable in SQL (DuckDB FLOAT arithmetic
+      // is IEEE float32, md5 is md5), so the oracle recomputes e0
+      // byte-for-byte. The float32 component is cast to double BEFORE
+      // the display rounding — comparing a float32 against the oracle's
+      // double at the harness's 9-dp precision would fail on
+      // representation error alone. Bench-visible so the seam's cost
       // model is measured, not assumed (VERDICT r3 item 8).
       val emb = graft.functions.FakeModelEmbedder(dim = 64, batchSize = 64)
       emb.embedDocuments(
           t(s, dir, "documents").select(col("doc_id"), col("text")), "text")
         .select(col("doc_id"),
-          round(element_at(col("embedding"), 1), 6).as("e0"))
+          round(element_at(col("embedding"), 1).cast("double"), 6).as("e0"))
         .orderBy(col("doc_id"))
     }),
 
@@ -1689,6 +1694,58 @@ object SparkEntry {
          SELECT final_rank, vec_id, rerank_score, dist, ref_id
          FROM ranked JOIN refs USING (url)
          ORDER BY final_rank""",
+
+    // Model-seam stand-ins (q39/q49): the fakes are md5-derived by
+    // construction, and DuckDB has md5 + IEEE float32 (FLOAT) + IEEE
+    // double — so the oracle recomputes the stand-in's exact arithmetic.
+    // q39 replays FakeModelEmbedder: per component j, the first 4 bytes
+    // of md5(j|text) as a signed int32, cast to float32, divided (in
+    // float32) by Int.MaxValue; the norm accumulates in double; the
+    // output component rounds the double view of the float32 quotient.
+    "q39_model_embed" ->
+      """WITH comps AS (
+           SELECT d.doc_id, j.range AS j,
+             list_reduce(list_transform(
+               string_split(substr(md5(j.range || '|' || d.text),1,8),''),
+               c -> CAST(instr('0123456789abcdef', c) - 1 AS BIGINT)),
+               (a,b) -> a*16 + b) AS v
+           FROM documents d CROSS JOIN range(0,64) j),
+         raw AS (
+           SELECT doc_id, j,
+             CAST(CASE WHEN v >= 2147483648 THEN v - 4294967296 ELSE v END
+               AS FLOAT) / CAST(2147483647 AS FLOAT) AS rawv
+           FROM comps),
+         norms AS (
+           SELECT doc_id, sqrt(sum(rawv::DOUBLE * rawv::DOUBLE)) AS nrm,
+             first(rawv ORDER BY j) AS raw0
+           FROM raw GROUP BY doc_id)
+         SELECT doc_id,
+           round(CAST(CAST(raw0::DOUBLE / nrm AS FLOAT) AS DOUBLE), 6) AS e0
+         FROM norms ORDER BY doc_id""",
+
+    // q49 replays FakeCrossEncoder: distinct-token overlap / 6 plus an
+    // md5-first-2-bytes jitter / 2^17 — every term is an exact binary
+    // fraction or a small-int quotient, so the double sum and the
+    // (score desc, doc_id) top-10 reproduce bit-for-bit.
+    "q49_model_rerank" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             list_distinct(list_filter(string_split_regex(lower(text),
+               '\s+'), t -> len(t) > 0)) AS dt,
+             text
+           FROM documents),
+         scored AS (
+           SELECT doc_id,
+             len(list_filter(['spark','query','join','table','window','agg'],
+               w -> list_contains(dt, w))) / 6
+             + list_reduce(list_transform(
+                 string_split(substr(md5(
+                   'spark query join table window agg|' || text),1,4),''),
+                 c -> CAST(instr('0123456789abcdef', c) - 1 AS BIGINT)),
+                 (a,b) -> a*16 + b) / 131072.0 AS score
+           FROM toks)
+         SELECT doc_id, round(score, 4) AS score
+         FROM scored ORDER BY score DESC, doc_id LIMIT 10""",
 
     "q40_dedup_exact" ->
       """SELECT source, count(*) AS n_docs,

@@ -12,14 +12,14 @@ class EntrySpec extends SparkSpec {
 
   test("every query name has either an oracle or a documented omission") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // rows-only queries — keep this list in sync deliberately. This is
-    // the TERMINAL set: the model seams are the only operators whose
-    // md5-derived float stand-ins aren't worth mirroring in SQL
-    // (BatchEmbedderSpec / BatchRerankerSpec cover the plumbing). The
-    // IVF family (q36/q56/q58) left this list in round 10 — the oracle
-    // replays search over the exported persisted index, so only the
-    // k-means fit itself remains recall-graded (IvfIndexSpec).
-    assert(noOracle == Set("q39_model_embed", "q49_model_rerank"))
+    // EMPTY as of round 10: every query is oracle-checked. The last two
+    // holdouts fell because their "not reproducible in SQL" premises
+    // didn't survive scrutiny — the IVF family (q36/q56/q58) replays
+    // search over the exported persisted index (only the k-means FIT
+    // stays recall-graded, IvfIndexSpec), and the model seams (q39/q49)
+    // are md5-derived BY CONSTRUCTION, so DuckDB's md5 + IEEE
+    // float32/double arithmetic recompute them bit-for-bit.
+    assert(noOracle == Set.empty[String])
     // and no orphan oracles
     assert((SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).isEmpty)
   }
