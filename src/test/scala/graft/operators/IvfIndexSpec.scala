@@ -203,9 +203,12 @@ class IvfIndexSpec extends SparkSpec {
     assert(scoped == exactScoped)
     // the flagship shape: narrow probe + component scope in ONE scan with
     // PartitionFilters on BOTH levels — whole component directories and
-    // whole cluster directories inside them are skipped at listing time
+    // whole cluster directories inside them are skipped at listing time.
+    // rankRoundDp = Some(4) is the driver-entry (q56) form: the rounding
+    // is a projection and must not disturb the listing-time prune.
     val plan = loaded.search(q, 10, nprobe = 2,
-        tieBreak = Some("vec_id"), components = comps)
+        tieBreak = Some("vec_id"), components = comps,
+        rankRoundDp = Some(4))
       .queryExecution.executedPlan.toString
     val pf = "PartitionFilters: \\[[^\\]]*\\]".r.findFirstIn(plan)
     assert(pf.exists(f => f.contains("label") &&
