@@ -65,6 +65,22 @@ final case class IvfIndex(
   def probeOrder(query: Seq[Float]): Seq[Int] =
     IvfIndex.probeOrder(centroids, clusterIds, query)
 
+  /** probe ranking matched to the SEARCH metric, mirroring the
+    * [[graft.plans.IvfAutoProbe]] rule's dispatch: a cosine search over
+    * a non-normalized corpus must rank probes by centroid ANGLE — the
+    * L2-nearest centroid can be an angularly-wrong small-norm cluster,
+    * and probing it burns the nprobe budget on rows the final ranking
+    * will discard (recall loss invisible to any error). MIPS likewise
+    * ranks by dot product. */
+  private def probesFor(metric: KnnSearch.Metric,
+      query: Seq[Float]): Seq[Int] = metric match {
+    case KnnSearch.Cosine | KnnSearch.NativeCosine =>
+      IvfIndex.probeOrderCosine(centroids, clusterIds, query)
+    case KnnSearch.InnerProduct | KnnSearch.NativeInnerProduct =>
+      IvfIndex.probeOrderDot(centroids, clusterIds, query)
+    case _ => probeOrder(query)
+  }
+
   /** V5 approximate search: probe the `nprobe` nearest clusters, exact
     * top-k inside them. A non-empty `components` additionally restricts
     * the scan to those component partitions — on a two-level
@@ -81,7 +97,7 @@ final case class IvfIndex(
       tieBreak: Option[String] = None,
       components: Seq[Int] = Nil,
       rankRoundDp: Option[Int] = None): DataFrame = {
-    val probes = probeOrder(query).take(math.max(1, nprobe))
+    val probes = probesFor(metric, query).take(math.max(1, nprobe))
     KnnSearch.topK(
       componentScope(components)
         .filter(col(IvfIndex.ClusterCol).isin(probes: _*)),

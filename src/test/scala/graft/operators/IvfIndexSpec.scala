@@ -48,6 +48,36 @@ class IvfIndexSpec extends SparkSpec {
     assert(atThreeQ >= atHalf, "recall must be monotone in nprobe")
   }
 
+  test("search probes by the SEARCH metric: cosine probes the angularly-right cluster") {
+    import spark.implicits._
+    graft.plans.VectorExpressions.ensureRegistered(spark)
+    // Two well-separated clusters: FAR sits along the query direction
+    // with a large norm, NEAR is angularly wrong with a small norm. The
+    // L2-nearest centroid is NEAR (≈0.9 away vs ≈9 away), but every good
+    // cosine hit lives in FAR — an L2-ranked probe at nprobe=1 would
+    // spend the whole budget on rows the cosine ranking discards.
+    val far = (0L until 20L).map(i =>
+      (i, Seq(10f + (i % 5) * 0.1f, (i % 3) * 0.05f)))
+    val near = (100L until 120L).map(i =>
+      (i, Seq(0.1f + (i % 5) * 0.01f, 0.12f + (i % 3) * 0.01f)))
+    val idx = IvfIndex.build((far ++ near).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", nlist = 2)
+    val q = Seq(1f, 0f)
+    // the metrics genuinely disagree on the first probe for this layout
+    assert(IvfIndex.probeOrder(idx.centroids, idx.clusterIds, q).head !=
+      IvfIndex.probeOrderCosine(idx.centroids, idx.clusterIds, q).head)
+    val hits = idx.search(q, 5, nprobe = 1,
+        metric = KnnSearch.NativeCosine, tieBreak = Some("vec_id"))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(hits.nonEmpty && hits.subsetOf(far.map(_._1).toSet),
+      s"cosine search must probe the angularly-aligned cluster, got $hits")
+    // and the L2 metric still probes by L2 (NEAR first)
+    val l2Hits = idx.search(q, 5, nprobe = 1,
+        metric = KnnSearch.NativeL2, tieBreak = Some("vec_id"))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(l2Hits.nonEmpty && l2Hits.subsetOf(near.map(_._1).toSet))
+  }
+
   test("probe pruning cuts the scanned fraction") {
     val q = queryVecs(1).head
     val probes = index.probeOrder(q).take(2)
