@@ -44,11 +44,11 @@ object Bench {
 
     // build (or load) both IVF roots BEFORE any query's timed reps:
     // SparkEntry builds them lazily on first touch, and although each
-    // query gets an untimed warm-up pass, a k-means fit + index write +
-    // oracle export landing inside the bench loop still distorts
-    // scheduling noise around it (the round-9 driver record charged a
-    // scoped-index build to one q56 sample). Failures fall through to
-    // the per-query error accounting below.
+    // query gets an untimed warm-up pass, a k-means fit + index write
+    // landing inside the bench loop still distorts scheduling noise
+    // around it (the round-9 driver record charged a scoped-index build
+    // to one q56 sample). Failures fall through to the per-query error
+    // accounting below.
     try SparkEntry.warmIvfIndexes(spark, sfDir)
     catch { case e: Throwable =>
       System.err.println(s"[bench] IVF warm-up failed: ${e.getMessage}")

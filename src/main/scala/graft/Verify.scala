@@ -22,6 +22,14 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // LAST step before the oracle dump: refresh the fixed-path IVF
+    // replicas the q36/q56/q58 oracles read. Exporting here — not in the
+    // index build path — guarantees the replica matches THIS sfDir even
+    // if another JVM (a Bench at a different SF) built indexes since.
+    try SparkEntry.exportIvfOracles(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] ivf oracle export failed: ${e.getMessage}")
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
