@@ -48,9 +48,10 @@ object Bench {
     // landing inside the bench loop still distorts scheduling noise
     // around it (the round-9 driver record charged a scoped-index build
     // to one q56 sample). Failures fall through to the per-query error
-    // accounting below.
+    // accounting below. NonFatal only: an OOM in warm-up must kill the
+    // bench, not leave it limping in a corrupted JVM (round-10 advice).
     try SparkEntry.warmIvfIndexes(spark, sfDir)
-    catch { case e: Throwable =>
+    catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] IVF warm-up failed: ${e.getMessage}")
     }
 

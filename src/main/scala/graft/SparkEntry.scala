@@ -74,8 +74,22 @@ object SparkEntry {
     * (argmin over centroid distances — plain SQL) + the scoped scan +
     * top-k independently, which upgrades q36/q56/q58 from rows-only to
     * hash-checked. Only the k-means FIT stays trusted (its output IS the
-    * exported artifact); everything downstream of it is verified. */
-  private[graft] val IvfOracleRoot = "/tmp/graft_ivf_oracle"
+    * exported artifact); everything downstream of it is verified.
+    *
+    * The path is PER-PROCESS (user + pid under java.io.tmpdir), not a
+    * fixed world-writable location: a foreign owner of a fixed /tmp dir
+    * can no longer fail the export, and two concurrent Verify runs at
+    * different SFs can no longer race on one replica. The [[oracleSql]]
+    * strings interpolate this value, and Verify writes them to
+    * oracle_sql.json in the SAME JVM, so the DuckDB pass always reads
+    * the replica THIS process exported; a failed export leaves nothing
+    * at the per-run path, so the oracle queries error loudly instead of
+    * silently replaying a stale replica from an earlier run. */
+  private[graft] val IvfOracleRoot: String = {
+    val tmp = sys.props.getOrElse("java.io.tmpdir", "/tmp").stripSuffix("/")
+    val user = sys.props.getOrElse("user.name", "anon")
+    s"$tmp/graft_ivf_oracle_${user}_${ProcessHandle.current().pid()}"
+  }
   private def exportIvfOracle(s: SparkSession, indexRoot: String,
       dest: String): Unit = {
     // read BACK the persisted root (not the in-memory frame): the oracle
@@ -711,6 +725,79 @@ object SparkEntry {
         .select(col("final_rank"), col("vec_id"), col("rerank_score"),
           col("dist"), col("ref_id"))
         .orderBy(col("final_rank"))
+    }),
+
+    "q59_ivf_batch_cosine" -> ((s, dir) => {
+      // Batch ANN with a NON-L2 metric — the round-10 verdict's parity
+      // gap: searchBatch used to plan probes AND rank the heap in L2
+      // regardless of metric, while single-query search dispatched
+      // cosine/MIPS. Now the metric threads through both: probes per
+      // query are ranked by centroid ANGLE (probeOrderCosine), the scan
+      // covers the probe UNION of the 3 queries, and the per-task
+      // k-heaps rank on cosine distance with the exact double
+      // arithmetic of CosineSimilarityExpr. Hash-oracled via the
+      // exported single-index replica: the oracle replays per-query
+      // angular probe ranking, the union-pruned scan, and the rounded
+      // cosine top-k (all per-term double math, list_sum fold order =
+      // the Scala loop).
+      VectorExpressions.ensureRegistered(s)
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id").isin(0, 1, 2))
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      ivfIndexFor(s, dir).searchBatch(queries, "qid", "qv",
+          k = 3, nprobe = 4, tieBreak = "vec_id", rankRoundDp = Some(4),
+          metric = KnnSearch.Cosine)
+        .select(col("query_id"), col("vec_id"), col("dist"))
+        .orderBy(col("query_id"), col("dist"), col("vec_id"))
+    }),
+
+    "q60_ivf_autoprobe" -> ((s, dir) => {
+      // The OPTIMIZER-RULE route to the same probe-pruned scan: a plain
+      // declarative top-k (ORDER BY round(sqrt(graft_l2sq), 4) LIMIT 10)
+      // over the persisted index root, with spark.graft.ivf.nprobe=6 —
+      // IvfAutoProbe injects Filter(__ivf_cluster IN probes) and the
+      // planner collapses it into parquet PartitionFilters. This puts
+      // the REWRITE itself behind the correctness gate (q36/q56/q58
+      // call the index API directly): the oracle replays q36's probe
+      // selection + pruned scan + top-k, so a hash match proves the
+      // rewrite fired AND pruned to exactly the right clusters — if the
+      // rule failed to fire the require below fails the query loudly
+      // rather than letting an exact scan impersonate the IVF path.
+      // The result is materialized WHILE the nprobe conf is set (a
+      // downstream re-plan — Verify's coalesce-write — would otherwise
+      // re-optimize with the conf restored and silently lose the
+      // rewrite); 10 rows, answer-contract sized.
+      VectorExpressions.ensureRegistered(s)
+      ivfIndexFor(s, dir) // ensure the persisted root exists
+      val root = ivfPathCache.get(dir)
+      val q = queryVec(s, dir)
+      val exp = s.experimental
+      exp.synchronized {
+        if (!exp.extraOptimizations.exists(_.isInstanceOf[graft.plans.IvfAutoProbe]))
+          exp.extraOptimizations = exp.extraOptimizations :+
+            graft.plans.IvfAutoProbe(s)
+      }
+      val prev = s.conf.getOption(graft.plans.IvfAutoProbe.NprobeConf)
+      s.conf.set(graft.plans.IvfAutoProbe.NprobeConf, "6")
+      try {
+        val df = s.read.parquet(root)
+          .select(col("vec_id"),
+            round(sqrt(call_function("graft_l2sq", col("embedding"),
+              KnnSearch.litVec(q))), 4).as("dist"))
+          .orderBy(col("dist"), col("vec_id"))
+          .limit(10)
+        val fired = df.queryExecution.optimizedPlan.collectFirst {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+              if f.condition.references.exists(_.name == IvfIndex.ClusterCol)
+            => f
+        }.nonEmpty
+        require(fired, "IvfAutoProbe rewrite did not fire on the q60 plan")
+        val rows = df.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+      } finally prev match {
+        case Some(v) => s.conf.set(graft.plans.IvfAutoProbe.NprobeConf, v)
+        case None => s.conf.unset(graft.plans.IvfAutoProbe.NprobeConf)
+      }
     }),
 
     "q39_model_embed" -> ((s, dir) => {
@@ -1608,70 +1695,164 @@ object SparkEntry {
          FROM ranked JOIN refs USING (url)
          ORDER BY final_rank""",
 
-    // IVF family (q36/q56/q58): the oracle reads the exported replica of
-    // the PERSISTED index (data + _centroids sidecar — see
-    // exportIvfOracle) and independently replays everything downstream
-    // of the k-means fit: probe selection (argmin over centroid L2,
-    // ties by cluster_id — exactly IvfIndex.probeOrder's double math),
-    // the partition-pruned scan, and the rounded-distance top-k.
+    // IVF family (q36/q56/q58/q59/q60): the oracle reads the exported
+    // replica of the PERSISTED index (data + _centroids sidecar — see
+    // exportIvfOracle, per-run path interpolated from IvfOracleRoot) and
+    // independently replays everything downstream of the k-means fit:
+    // probe selection (argmin over centroid distance, ties by
+    // cluster_id), the partition-pruned scan, and the rounded-distance
+    // top-k. Probe ranking is on the per-term SQUARED L2 sum — the
+    // EXACT double arithmetic of IvfIndex.probeOrder (list_sum folds the
+    // per-term squares sequentially in list order, like the Scala
+    // while-loop) — not list_distance: sqrt is monotone but can collapse
+    // two adjacent distinct squared distances to one double, silently
+    // flipping the oracle to its cluster-id tie-break at the nprobe
+    // boundary while Spark keeps the true squared order (round-10
+    // advice).
     "q36_ivf_knn" ->
-      """WITH q AS (
+      raw"""WITH q AS (
            SELECT embedding::DOUBLE[] AS qv FROM embeddings
            WHERE vec_id = 0),
          cent AS (
            SELECT cluster_id, centroid FROM
-             read_parquet('/tmp/graft_ivf_oracle/single/centroids/*.parquet')),
+             read_parquet('$IvfOracleRoot/single/centroids/*.parquet')),
          probes AS (
-           SELECT cluster_id FROM cent
-           ORDER BY list_distance(centroid::DOUBLE[], (SELECT qv FROM q)),
+           SELECT cluster_id FROM cent, q
+           ORDER BY list_sum(list_transform(range(1, len(centroid) + 1),
+             i -> (centroid[i]::DOUBLE - qv[i]) *
+                  (centroid[i]::DOUBLE - qv[i]))),
              cluster_id
            LIMIT 6)
          SELECT vec_id,
            round(list_distance(embedding::DOUBLE[], (SELECT qv FROM q)), 4)
              AS dist
-         FROM read_parquet('/tmp/graft_ivf_oracle/single/data/*.parquet')
+         FROM read_parquet('$IvfOracleRoot/single/data/*.parquet')
          WHERE __ivf_cluster IN (SELECT cluster_id FROM probes)
          ORDER BY dist, vec_id LIMIT 10""",
 
     "q56_ivf_component" ->
-      """WITH q AS (
+      raw"""WITH q AS (
            SELECT embedding::DOUBLE[] AS qv FROM embeddings
            WHERE vec_id = 0),
          cent AS (
            SELECT cluster_id, centroid FROM
-             read_parquet('/tmp/graft_ivf_oracle/scoped/centroids/*.parquet')),
+             read_parquet('$IvfOracleRoot/scoped/centroids/*.parquet')),
          probes AS (
-           SELECT cluster_id FROM cent
-           ORDER BY list_distance(centroid::DOUBLE[], (SELECT qv FROM q)),
+           SELECT cluster_id FROM cent, q
+           ORDER BY list_sum(list_transform(range(1, len(centroid) + 1),
+             i -> (centroid[i]::DOUBLE - qv[i]) *
+                  (centroid[i]::DOUBLE - qv[i]))),
              cluster_id
            LIMIT 6)
          SELECT label, vec_id,
            round(list_distance(embedding::DOUBLE[], (SELECT qv FROM q)), 4)
              AS dist
-         FROM read_parquet('/tmp/graft_ivf_oracle/scoped/data/*.parquet')
+         FROM read_parquet('$IvfOracleRoot/scoped/data/*.parquet')
          WHERE label IN (1, 3, 5)
            AND __ivf_cluster IN (SELECT cluster_id FROM probes)
+         ORDER BY dist, vec_id LIMIT 10""",
+
+    // The batch-cosine replay (q59): per-query ANGULAR probe ranking
+    // (probeOrderCosine's double math — negated cosine, zero-norm → 0,
+    // ties by cluster_id), the UNION of the 3 queries' top-nprobe sets
+    // pruning one scan, then per-query rounded cosine-distance top-k
+    // with vec_id ties — exactly searchBatch's heap arithmetic
+    // (KnnSearch.batchDistFn mirrors CosineSimilarityExpr).
+    "q59_ivf_batch_cosine" ->
+      raw"""WITH q AS (
+           SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id IN (0, 1, 2)),
+         cent AS (
+           SELECT cluster_id, centroid FROM
+             read_parquet('$IvfOracleRoot/single/centroids/*.parquet')),
+         pranked AS (
+           SELECT q.qid, c.cluster_id,
+             row_number() OVER (PARTITION BY q.qid ORDER BY
+               CASE WHEN list_sum(list_transform(q.qv, x -> x * x)) = 0
+                      OR list_sum(list_transform(c.centroid,
+                           x -> x::DOUBLE * x::DOUBLE)) = 0
+                    THEN 0.0
+                    ELSE -(list_sum(list_transform(
+                             range(1, len(c.centroid) + 1),
+                             i -> c.centroid[i]::DOUBLE * q.qv[i]))
+                           / (sqrt(list_sum(list_transform(q.qv,
+                                x -> x * x)))
+                              * sqrt(list_sum(list_transform(c.centroid,
+                                  x -> x::DOUBLE * x::DOUBLE)))))
+               END, c.cluster_id) AS rn
+           FROM cent c, q),
+         probes AS (
+           SELECT DISTINCT cluster_id FROM pranked WHERE rn <= 4),
+         d AS (
+           SELECT q.qid AS query_id, e.vec_id,
+             list_sum(list_transform(range(1, len(e.embedding) + 1),
+               i -> e.embedding[i]::DOUBLE * q.qv[i])) AS dot,
+             list_sum(list_transform(e.embedding,
+               x -> x::DOUBLE * x::DOUBLE)) AS nv,
+             list_sum(list_transform(q.qv, x -> x * x)) AS nq
+           FROM read_parquet('$IvfOracleRoot/single/data/*.parquet') e, q
+           WHERE e.__ivf_cluster IN (SELECT cluster_id FROM probes)),
+         scored AS (
+           SELECT query_id, vec_id,
+             round(CASE WHEN nv = 0 OR nq = 0 THEN 1.0
+                        ELSE 1.0 - dot / (sqrt(nv) * sqrt(nq)) END, 4)
+               AS dist
+           FROM d)
+         SELECT query_id, vec_id, dist FROM (
+           SELECT query_id, vec_id, dist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY dist, vec_id) AS rn
+           FROM scored)
+         WHERE rn <= 3 ORDER BY query_id, dist, vec_id""",
+
+    // The optimizer-rule route (q60) replays EXACTLY like q36 — same
+    // root, nprobe, metric, rounding — because IvfAutoProbe's rewrite
+    // must produce the very scan IvfIndex.search plans directly; a hash
+    // match therefore proves the rewrite fired (the entry also requires
+    // the injected Filter in the optimized plan) AND pruned to the same
+    // probe set.
+    "q60_ivf_autoprobe" ->
+      raw"""WITH q AS (
+           SELECT embedding::DOUBLE[] AS qv FROM embeddings
+           WHERE vec_id = 0),
+         cent AS (
+           SELECT cluster_id, centroid FROM
+             read_parquet('$IvfOracleRoot/single/centroids/*.parquet')),
+         probes AS (
+           SELECT cluster_id FROM cent, q
+           ORDER BY list_sum(list_transform(range(1, len(centroid) + 1),
+             i -> (centroid[i]::DOUBLE - qv[i]) *
+                  (centroid[i]::DOUBLE - qv[i]))),
+             cluster_id
+           LIMIT 6)
+         SELECT vec_id,
+           round(list_distance(embedding::DOUBLE[], (SELECT qv FROM q)), 4)
+             AS dist
+         FROM read_parquet('$IvfOracleRoot/single/data/*.parquet')
+         WHERE __ivf_cluster IN (SELECT cluster_id FROM probes)
          ORDER BY dist, vec_id LIMIT 10""",
 
     // q38's proven composition SQL with candidate generation swapped for
     // the probe-pruned scoped-replica scan (per-component top-10 inside
     // the probed clusters — retrieveThinIvf's per-leg semantics).
     "q58_rag_ivf" ->
-      """WITH q AS (
+      raw"""WITH q AS (
            SELECT embedding::DOUBLE[] AS qv FROM embeddings
            WHERE vec_id = 0),
          cent AS (
            SELECT cluster_id, centroid FROM
-             read_parquet('/tmp/graft_ivf_oracle/scoped/centroids/*.parquet')),
+             read_parquet('$IvfOracleRoot/scoped/centroids/*.parquet')),
          probes AS (
-           SELECT cluster_id FROM cent
-           ORDER BY list_distance(centroid::DOUBLE[], (SELECT qv FROM q)),
+           SELECT cluster_id FROM cent, q
+           ORDER BY list_sum(list_transform(range(1, len(centroid) + 1),
+             i -> (centroid[i]::DOUBLE - qv[i]) *
+                  (centroid[i]::DOUBLE - qv[i]))),
              cluster_id
            LIMIT 6),
          corpus AS (
            SELECT e.vec_id, e.label, e.embedding, d.text AS document,
              'https://docs.example.com/' || d.source AS url
-           FROM read_parquet('/tmp/graft_ivf_oracle/scoped/data/*.parquet') e
+           FROM read_parquet('$IvfOracleRoot/scoped/data/*.parquet') e
            JOIN documents d ON e.vec_id = d.doc_id
            WHERE e.label IN (1, 3, 5)
              AND e.__ivf_cluster IN (SELECT cluster_id FROM probes)),

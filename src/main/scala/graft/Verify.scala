@@ -22,12 +22,17 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
-    // LAST step before the oracle dump: refresh the fixed-path IVF
-    // replicas the q36/q56/q58 oracles read. Exporting here — not in the
-    // index build path — guarantees the replica matches THIS sfDir even
-    // if another JVM (a Bench at a different SF) built indexes since.
+    // LAST step before the oracle dump: export the per-run IVF replicas
+    // the q36/q56/q58/q59/q60 oracles read (the oracle SQL interpolates
+    // this process's SparkEntry.IvfOracleRoot). Exporting here — not in
+    // the index build path — guarantees the replica matches THIS sfDir
+    // even if another JVM (a Bench at a different SF) built indexes
+    // since; a failure leaves NOTHING at the per-run path, so the IVF
+    // oracles error loudly instead of replaying a stale replica.
+    // NonFatal only: swallowing an OOM here would let the run continue
+    // in a corrupted JVM (round-10 advice).
     try SparkEntry.exportIvfOracles(spark, sfDir)
-    catch { case e: Throwable =>
+    catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[verify] ivf oracle export failed: ${e.getMessage}")
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

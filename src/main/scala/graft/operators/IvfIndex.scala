@@ -106,13 +106,30 @@ final case class IvfIndex(
 
   /** Batch V5: ONE pruned scan serves a whole query set. The scan
     * covers the UNION of every query's `nprobe` nearest clusters
-    * (partition-pruned directories, like [[search]]); per-query
-    * bounded k-heaps ([[KnnSearch.topKBatch]]) then rank inside it.
+    * (partition-pruned directories, like [[search]]), ranked per the
+    * search `metric` like single-query [[search]]; per-query bounded
+    * k-heaps ([[KnnSearch.topKBatch]], same metric) then rank inside it.
     * Each query sees a superset of its own probed clusters, so
     * per-query recall is ≥ the single-query search at the same nprobe;
     * the scan fraction is |union| / nlist — batch queries that cluster
     * together (the common case for related questions) share most of
-    * their probes. */
+    * their probes.
+    *
+    * DIVERSE batches are the scale hazard: as |union| → nlist the prune
+    * evaporates AND every scanned row is scored against every heap, so
+    * the work is scan_fraction × |queries|. `maxProbeUnion` (> 0) caps
+    * the per-scan union: queries are greedily packed — in probe-set
+    * signature order, so near-identical probe sets adjoin — into groups
+    * whose probe union stays within the cap, and each group gets its own
+    * pruned scan + heap pass (`⌈cap/nprobe⌉`-bounded queries per scan
+    * never under-fill a group). Work drops to Σ_g |union_g|/nlist × |g|
+    * versus |union|/nlist × |queries| unsplit (measured: ~10× on a
+    * 100-query diverse batch at nlist=64 — graft.tools.ProbeUnionBench,
+    * PLANS.md). Per-query results stay a ≥-recall superset of the
+    * single-query search; at cap = nprobe each group scans exactly its
+    * queries' own probe set, making the batch bit-equal to per-query
+    * [[search]] calls (spec-asserted). 0 = unsplit (one scan, the
+    * related-batch default). */
   def searchBatch(
       queries: DataFrame,
       queryIdCol: String,
@@ -121,21 +138,50 @@ final case class IvfIndex(
       nprobe: Int,
       tieBreak: String,
       rankRoundDp: Option[Int] = None,
-      components: Seq[Int] = Nil): DataFrame = {
+      components: Seq[Int] = Nil,
+      metric: KnnSearch.Metric = KnnSearch.L2,
+      maxProbeUnion: Int = 0): DataFrame = {
     val np = math.max(1, nprobe)
     // ONE driver-side collect serves both probe planning and the
     // broadcast heap pass (the query table is small by contract, but
     // re-collecting it would still re-run its plan — e.g. a model
     // embedder seam — twice)
     val qSet = KnnSearch.collectQueries(queries, queryIdCol, queryVecCol)
-    val probes = qSet
-      .flatMap(q => probeOrder(q._2.toSeq).take(np))
-      .distinct.toSeq
-    KnnSearch.topKBatchCollected(
-      componentScope(components)
-        .filter(col(IvfIndex.ClusterCol).isin(probes: _*)),
-      vecCol, qSet, queries.schema(queryIdCol).dataType, k, tieBreak,
-      rankRoundDp = rankRoundDp)
+    val qidType = queries.schema(queryIdCol).dataType
+    val planned: Array[((Any, Array[Float]), Seq[Int])] =
+      qSet.map(q => q -> probesFor(metric, q._2.toSeq).take(np))
+    def scanOf(group: Array[((Any, Array[Float]), Seq[Int])]): DataFrame = {
+      val probes = group.flatMap(_._2).distinct.toSeq
+      KnnSearch.topKBatchCollected(
+        componentScope(components)
+          .filter(col(IvfIndex.ClusterCol).isin(probes: _*)),
+        vecCol, group.map(_._1), qidType, k, tieBreak,
+        rankRoundDp = rankRoundDp, metric = metric)
+    }
+    if (maxProbeUnion <= 0 || planned.isEmpty) scanOf(planned)
+    else {
+      // a cap below one query's own probe set cannot be honored — a
+      // group always carries at least one full probe set
+      val cap = math.max(maxProbeUnion, np)
+      val groups = scala.collection.mutable.ArrayBuffer
+        .empty[Array[((Any, Array[Float]), Seq[Int])]]
+      val cur = scala.collection.mutable.ArrayBuffer
+        .empty[((Any, Array[Float]), Seq[Int])]
+      val curUnion = scala.collection.mutable.Set.empty[Int]
+      // signature order: identical probe sets become adjacent, near-
+      // identical ones likely so — deterministic, no similarity search
+      planned.sortBy(_._2.sorted.mkString(",")).foreach { q =>
+        val added = q._2.filterNot(curUnion)
+        if (cur.nonEmpty && curUnion.size + added.size > cap) {
+          groups += cur.toArray; cur.clear(); curUnion.clear()
+        }
+        cur += q; curUnion ++= q._2
+      }
+      if (cur.nonEmpty) groups += cur.toArray
+      // groups partition the query set, so the per-group window ranks
+      // are already per-query-complete — the union is a plain concat
+      groups.map(scanOf).reduce(_ unionByName _)
+    }
   }
 
   /** the corpus restricted to `components` (the reference's
@@ -356,7 +402,18 @@ object IvfIndex {
     * QUIESCE streaming ingest into srcPath first: the read snapshots
     * the file listing at plan time, so micro-batches appended after
     * that are committed per their markers yet absent from destPath —
-    * silent loss with no error anywhere. Ingest-log markers are
+    * silent loss with no error anywhere. That precondition is now also
+    * ENFORCED mechanically: the `_ingest_log` marker listing is
+    * snapshotted BEFORE the source read and re-listed after the copy —
+    * a marker that appeared in between means a streaming batch
+    * committed mid-compact, and the compact ABORTS (destPath must be
+    * discarded) instead of publishing a root that silently lost that
+    * batch. The residual race — a batch whose data landed after the
+    * plan-time listing but whose marker had not yet been created at the
+    * re-list — is the same crash window [[
+    * graft.streaming.EventStreams.indexedIngest]] already documents;
+    * only a filesystem lock the sink honors could close it, and plain
+    * parquet has none. Ingest-log markers are
     * deliberately NOT copied: the fresh root starts a fresh
     * streaming-ingest lifecycle. A failure AFTER the data write but
     * before the sidecar lands raises (and the partial destPath would
@@ -366,13 +423,19 @@ object IvfIndex {
     * centroids. */
   def compact(spark: SparkSession, srcPath: String, destPath: String,
       targetRowsPerFile: Long = 500000L): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val srcRoot = new org.apache.hadoop.fs.Path(srcPath)
+    val srcFs = srcRoot.getFileSystem(conf)
+    // BEFORE the read: the read's plan-time file listing defines what
+    // the copy can possibly carry, so any marker not already present
+    // here describes a batch the copy may have missed
+    val markersBefore = ingestMarkers(srcFs, srcRoot)
     val df = spark.read.parquet(srcPath)
     val parts = partitionColsOf(df)
     require(parts.contains(ClusterCol),
       s"$srcPath is not an IVF index root (no $ClusterCol partition level)")
     graft.sources.CorpusStore.copyCompactInto(df, parts, srcPath,
       destPath, targetRowsPerFile)
-    val conf = spark.sessionState.newHadoopConf()
     val src = new org.apache.hadoop.fs.Path(s"$srcPath/$CentroidSidecar")
     val dst = new org.apache.hadoop.fs.Path(s"$destPath/$CentroidSidecar")
     val copied = org.apache.hadoop.fs.FileUtil.copy(
@@ -382,7 +445,37 @@ object IvfIndex {
       s"compact: centroid sidecar copy to $dst failed — destPath is " +
         "incomplete (it would load via the lossy means fallback); " +
         "re-run compact")
+    val markersAfter = ingestMarkers(srcFs, srcRoot)
+    if (markersAfter != markersBefore) {
+      val gained = (markersAfter -- markersBefore).toSeq.sorted
+      throw new IllegalStateException(
+        s"compact: streaming ingest committed ${gained.size} batch(es) " +
+          s"into $srcPath MID-COMPACT (${gained.mkString(", ")}) — " +
+          s"destPath $destPath is missing them and must be discarded. " +
+          "Quiesce the ingest query (stop it, or wait for its markers " +
+          "to settle) and re-run compact.")
+    }
     graft.plans.IvfAutoProbe.invalidate(spark, destPath)
+  }
+
+  /** every committed-batch marker under `root/_ingest_log`, as
+    * root-relative paths — the concurrent-ingest tripwire for
+    * [[compact]]. Empty when the directory is absent (a root never fed
+    * by streaming ingest). */
+  private def ingestMarkers(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Set[String] = {
+    val log = new org.apache.hadoop.fs.Path(root,
+      graft.streaming.EventStreams.IngestLogDir)
+    try {
+      val out = Set.newBuilder[String]
+      val it = fs.listFiles(log, true)
+      while (it.hasNext) {
+        val st = it.next()
+        out += st.getPath.toString.stripPrefix(
+          fs.makeQualified(root).toString)
+      }
+      out.result()
+    } catch { case _: java.io.FileNotFoundException => Set.empty }
   }
 
   /** partition columns of a parquet-backed frame, in directory-nesting

@@ -90,8 +90,9 @@ object KnnSearch {
     * the batch analogue of TakeOrderedAndProject. The (small, by
     * contract) query set is collected and broadcast; each corpus task
     * keeps a k-element bounded heap PER QUERY over its partition
-    * (mapPartitions — one L2 loop per row×query, no intermediate
-    * allocation), emitting at most k·|queries| rows per partition. Only
+    * (mapPartitions — one fused metric-dispatched distance loop per
+    * row×query, no intermediate allocation; L2 / cosine / inner-product
+    * via `metric`), emitting at most k·|queries| rows per partition. Only
     * that reduced set crosses the final per-query rank — the corpus
     * itself is never shuffled. (The previous window-rank form moved
     * corpus_rows × |queries| scored rows through one exchange before
@@ -110,11 +111,12 @@ object KnnSearch {
       k: Int,
       tieBreak: String,
       distCol: String = "dist",
-      rankRoundDp: Option[Int] = None): DataFrame =
+      rankRoundDp: Option[Int] = None,
+      metric: Metric = L2): DataFrame =
     topKBatchCollected(corpus, vecCol,
       collectQueries(queries, queryIdCol, queryVecCol),
       queries.schema(queryIdCol).dataType,
-      k, tieBreak, distCol, rankRoundDp)
+      k, tieBreak, distCol, rankRoundDp, metric)
 
   /** Driver-side query-set collection shared by [[topKBatch]] and
     * [[IvfIndex#searchBatch]] — the query table is collected ONCE and
@@ -151,6 +153,37 @@ object KnnSearch {
       s"topKBatch tieBreak column has non-orderable type $other")
   }
 
+  /** The heap pass's per-(corpus row, query) distance, one closure per
+    * metric — mirrors the native expressions' double arithmetic EXACTLY
+    * (same accumulation order, same zero-norm → similarity-0 convention
+    * as [[graft.plans.CosineSimilarityExpr]]), so a batch result is
+    * bit-identical to the single-query [[topK]] over the same rows and
+    * replayable by a double-precision oracle. */
+  private def batchDistFn(metric: Metric)
+      : (Array[Float], Array[Float]) => Double = metric match {
+    case L2 | NativeL2 => (v, q) => {
+      var s = 0.0; var i = 0
+      while (i < v.length) {
+        val d = v(i).toDouble - q(i).toDouble; s += d * d; i += 1
+      }
+      math.sqrt(s)
+    }
+    case Cosine | NativeCosine => (v, q) => {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < v.length) {
+        val xa = v(i).toDouble; val xb = q(i).toDouble
+        dot += xa * xb; na += xa * xa; nb += xb * xb; i += 1
+      }
+      if (na == 0.0 || nb == 0.0) 1.0
+      else 1.0 - dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    case InnerProduct | NativeInnerProduct => (v, q) => {
+      var dot = 0.0; var i = 0
+      while (i < v.length) { dot += v(i).toDouble * q(i).toDouble; i += 1 }
+      -dot
+    }
+  }
+
   private[operators] def topKBatchCollected(
       corpus: DataFrame,
       vecCol: String,
@@ -159,7 +192,8 @@ object KnnSearch {
       k: Int,
       tieBreak: String,
       distCol: String = "dist",
-      rankRoundDp: Option[Int] = None): DataFrame = {
+      rankRoundDp: Option[Int] = None,
+      metric: Metric = L2): DataFrame = {
     require(!corpus.columns.contains(distCol),
       s"corpus already has a '$distCol' column; pass a different distCol")
     require(!corpus.columns.contains("query_id"),
@@ -174,6 +208,7 @@ object KnnSearch {
     // validated at plan time, serialized into the closure
     val tieKey = tieKeyFn(corpus.schema(tieBreak).dataType)
     val dp = rankRoundDp
+    val distFn = batchDistFn(metric)
     val local = corpus.mapPartitions { rows =>
       val qs = bc.value
       // bounded max-heaps: head = current worst of the best k, evicted
@@ -205,14 +240,7 @@ object KnnSearch {
               throw new IllegalArgumentException(
                 s"dimension mismatch in topKBatch: corpus vector has " +
                   s"${v.length} dims, query '${qs(qi)._1}' has ${qv.length}")
-            var s = 0.0
-            var i = 0
-            while (i < v.length) {
-              val d = v(i).toDouble - qv(i).toDouble
-              s += d * d
-              i += 1
-            }
-            var dist = math.sqrt(s)
+            var dist = distFn(v, qv)
             // same half-up shortest-decimal rounding as Spark round()
             dp.foreach { p =>
               dist = java.math.BigDecimal.valueOf(dist)

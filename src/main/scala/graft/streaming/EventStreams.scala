@@ -145,13 +145,24 @@ object EventStreams {
             // create() makes missing parents itself — no mkdirs RPC
             fs.create(marker, true).close()
           } finally batch.unpersist()
+        } else {
+          // a marked (already-committed) batch is skipped for the SINK,
+          // but its plan must still EXECUTE: the upstream stateful dedup
+          // holds per-key state whose store commits Spark validates per
+          // micro-batch — leaving a re-delivered batch unexecuted fails
+          // the restarted query (BatchCommitTracker: "Expected N commits
+          // but got 0"; caught by the chaos spec). One full no-op pass
+          // commits every state partition and writes nothing.
+          batch.queryExecution.toRdd.foreach(_ => ())
         }
       }
   }
 
   /** per-batch commit markers for [[indexedIngest]] — underscore prefix
-    * hides the directory from Spark's parquet file listing */
-  private[streaming] val IngestLogDir = "_ingest_log"
+    * hides the directory from Spark's parquet file listing. Visible to
+    * [[graft.operators.IvfIndex.compact]], whose concurrent-ingest guard
+    * watches this directory for markers appearing mid-compact. */
+  private[graft] val IngestLogDir = "_ingest_log"
 
   /** Stateful sessionization with the GroupState API
     * (`mapGroupsWithState`) — the Spark-native analogue of the

@@ -138,6 +138,54 @@ class IvfIndexSpec extends SparkSpec {
     }
   }
 
+  test("searchBatch threads the metric: at cap=nprobe the batch is bit-equal to per-query search, per metric") {
+    graft.plans.VectorExpressions.ensureRegistered(spark)
+    val qs = embeddings.filter(col("vec_id").isin(0, 1, 2))
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    for (metric <- Seq(KnnSearch.L2, KnnSearch.Cosine,
+        KnnSearch.InnerProduct)) {
+      // maxProbeUnion = nprobe: the greedy packer can only group queries
+      // with IDENTICAL probe sets, so every group scans exactly its
+      // queries' own probes — the batch must reproduce per-query
+      // single search bit-for-bit, metric-dispatched probes included
+      val batch = index.searchBatch(qs, "qid", "qv", k = 5, nprobe = 3,
+          tieBreak = "vec_id", rankRoundDp = Some(4), metric = metric,
+          maxProbeUnion = 3)
+        .select(col("query_id"), col("vec_id"), col("dist"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      val single = queryVecs(3).zipWithIndex.flatMap { case (q, i) =>
+        index.search(q, 5, nprobe = 3, metric = metric,
+            tieBreak = Some("vec_id"), rankRoundDp = Some(4))
+          .select("vec_id", "dist").collect()
+          .map(r => (i.toLong, r.getLong(0), r.getDouble(1)))
+      }.toSet
+      assert(batch == single, s"batch != per-query search for $metric")
+    }
+  }
+
+  test("searchBatch cosine probes angularly — same disagreeing layout as single-query search") {
+    import spark.implicits._
+    graft.plans.VectorExpressions.ensureRegistered(spark)
+    // the probeOrder-vs-probeOrderCosine disagreeing layout from the
+    // single-query spec: FAR along the query direction (large norm),
+    // NEAR angularly wrong (small norm) — an L2-planned batch probe at
+    // nprobe=1 would scan only NEAR and lose every cosine hit
+    val far = (0L until 20L).map(i =>
+      (i, Seq(10f + (i % 5) * 0.1f, (i % 3) * 0.05f)))
+    val near = (100L until 120L).map(i =>
+      (i, Seq(0.1f + (i % 5) * 0.01f, 0.12f + (i % 3) * 0.01f)))
+    val idx = IvfIndex.build((far ++ near).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", nlist = 2)
+    val queries = Seq((0L, Seq(1f, 0f)), (1L, Seq(5f, 0.1f)))
+      .toDF("qid", "qv")
+    val hits = idx.searchBatch(queries, "qid", "qv", k = 5, nprobe = 1,
+        tieBreak = "vec_id", metric = KnnSearch.Cosine)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(hits.nonEmpty && hits.subsetOf(far.map(_._1).toSet),
+      s"cosine batch must probe the angularly-aligned cluster, got $hits")
+  }
+
   test("append assigns to existing centroids — no refit, appended vectors searchable") {
     val base = embeddings.filter(col("vec_id") % 2 === 0)
     val extra = embeddings.filter(col("vec_id") % 2 === 1)
@@ -364,6 +412,44 @@ class IvfIndexSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       IvfIndex.compact(spark, s"$tmp/ivf2", tmp)
     }
+  }
+
+  test("compact aborts when a streaming batch commits mid-compact") {
+    val tmp = Files.createTempDirectory("graft-ivf-guard-").toString
+    val path = s"$tmp/ivf"
+    IvfIndex.build(embeddings, "vec_id", "embedding", nlist = 8)
+      .write(path)
+    // a marker already present BEFORE compact is a settled batch — the
+    // guard must not trip on it
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    def mark(name: String): Unit =
+      fs.create(new org.apache.hadoop.fs.Path(
+        s"$path/_ingest_log/stream-a/$name"), true).close()
+    mark("batch-0")
+    IvfIndex.compact(spark, path, s"$tmp/ok")
+    assert(IvfIndex.load(spark, s"$tmp/ok", "vec_id", "embedding")
+      .assigned.count() == embeddings.count())
+    // simulate a batch committing DURING the copy: run compact
+    // concurrently and inject a marker as soon as the dest directory
+    // appears (the copy job is underway, the re-list still ahead) — the
+    // guard must notice the new marker and abort rather than publish a
+    // root that silently lost that batch
+    val t = new Thread(() => {
+      // wait until the dest directory appears (copy underway), then add
+      // a new marker — a committed concurrent micro-batch
+      val dest = new java.io.File(s"$tmp/racy")
+      var spins = 0
+      while (!dest.exists() && spins < 2000) { Thread.sleep(5); spins += 1 }
+      mark("batch-1")
+    })
+    t.start()
+    val ex = intercept[IllegalStateException] {
+      IvfIndex.compact(spark, path, s"$tmp/racy")
+    }
+    t.join()
+    assert(ex.getMessage.contains("MID-COMPACT"), ex.getMessage)
+    assert(ex.getMessage.contains("batch-1"), ex.getMessage)
   }
 
   test("load falls back to per-(cluster,dim) means without a sidecar") {

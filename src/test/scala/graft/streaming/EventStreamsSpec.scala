@@ -241,6 +241,85 @@ class EventStreamsSpec extends SparkSpec {
     assert(!new java.io.File(s"$dest/${EventStreams.IngestLogDir}").exists())
   }
 
+  test("chaos: the at-least-once window duplicates EXACTLY the marker-less batch, and only it") {
+    // The documented crash window (EventStreams.indexedIngest: data
+    // append committed, crash before the marker lands) — demonstrated,
+    // not just documented. Re-delivery is simulated the way Spark's
+    // recovery produces it: a fresh run of the same ingestId re-processes
+    // the batch under the same batchId. Three acts:
+    //   1. normal ingest of one batch — appended once, marker exists;
+    //   2. re-delivery WITH the marker intact — idempotently skipped;
+    //   3. delete the marker (the crash) and re-deliver — the batch is
+    //      re-appended EXACTLY once more; nothing else changes, search
+    //      still answers correctly over the duplicated rows.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions.col
+    import graft.operators.IvfIndex
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val base = emb.filter(col("vec_id") % 2 === 0)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-chaos-").toString
+    val path = s"$tmp/ivf"
+    val built = IvfIndex.build(base, "vec_id", "embedding", nlist = 8)
+    built.write(path)
+    val b1 = emb.filter(col("vec_id") % 2 === 1).limit(50)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val embedStage =
+      (df: DataFrame) => df.select(col("vec_id"), col("embedding"))
+    def deliver(ckpt: String): Unit = {
+      val input = MemoryStream[(Long, Timestamp, String, Seq[Float])]
+      val docs = input.toDF().toDF("vec_id", "ts", "text", "embedding")
+      val query = EventStreams.indexedIngest(docs, "text", "ts",
+          embedStage, path, "vec_id", "embedding", ingestId = "chaos-a")
+        .option("checkpointLocation", s"$tmp/$ckpt").start()
+      try {
+        input.addData(b1.map { case (id, v) =>
+          (id, ts(0), s"chaos doc $id", v) }.toSeq: _*)
+        query.processAllAvailable()
+      } finally query.stop()
+    }
+    def count(): Long =
+      spark.read.parquet(path).count()
+    val marker =
+      new java.io.File(s"$path/_ingest_log/chaos-a/batch-0")
+
+    deliver("ckpt1") // act 1: normal commit
+    assert(marker.exists(), "committed batch must leave its marker")
+    val afterFirst = count()
+    assert(afterFirst == base.count() + b1.length)
+
+    deliver("ckpt2") // act 2: re-delivery, marker intact → skipped
+    assert(count() == afterFirst,
+      "a marked batch must be idempotently skipped on re-delivery")
+
+    assert(marker.delete()) // act 3: crash between append and marker
+    deliver("ckpt3")
+    val loaded = IvfIndex.load(spark, path, "vec_id", "embedding")
+    assert(loaded.assigned.count() == afterFirst + b1.length,
+      "the marker-less batch must be re-appended exactly once")
+    // blast radius is EXACTLY that batch: every b1 row twice, every
+    // other row exactly once
+    val perId = loaded.assigned.groupBy("vec_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b1Ids = b1.map(_._1).toSet
+    assert(b1Ids.forall(id => perId(id) == 2L),
+      "each row of the crashed batch appears exactly twice")
+    assert(perId.filter(_._2 != 1L).keySet == b1Ids,
+      "no row outside the crashed batch is duplicated")
+    // the duplicate is benign for search: identical (dist, vec_id) keys
+    // rank adjacently, so top-1 still answers the right id, and the
+    // centroids (and so probe planning) are untouched
+    assert(loaded.centroids.map(_.toSeq).toSeq ==
+      built.centroids.map(_.toSeq).toSeq)
+    val hit = loaded.search(b1.head._2, 1, nprobe = 2,
+        tieBreak = Some("vec_id"))
+      .select("vec_id").head().getLong(0)
+    assert(hit == b1.head._1)
+  }
+
   test("dedupStream batch form dedups on the same fingerprint") {
     import spark.implicits._
     val batch = Seq(
