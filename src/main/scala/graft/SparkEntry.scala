@@ -732,12 +732,14 @@ object SparkEntry {
       // gap: searchBatch used to plan probes AND rank the heap in L2
       // regardless of metric, while single-query search dispatched
       // cosine/MIPS. Now the metric threads through both: probes per
-      // query are ranked by centroid ANGLE (probeOrderCosine), the scan
-      // covers the probe UNION of the 3 queries, and the per-task
-      // k-heaps rank on cosine distance with the exact double
-      // arithmetic of CosineSimilarityExpr. Hash-oracled via the
-      // exported single-index replica: the oracle replays per-query
-      // angular probe ranking, the union-pruned scan, and the rounded
+      // query are ranked by centroid ANGLE (probeOrderCosine), ONE scan
+      // covers the probe union, and the per-task k-heaps — scoring each
+      // row only for queries whose OWN probe set holds its cluster (the
+      // probe gate) — rank on cosine distance with the exact double
+      // arithmetic of CosineSimilarityExpr, so each query's rows equal
+      // its single-query search. Hash-oracled via the exported
+      // single-index replica: the oracle replays per-query angular
+      // probe ranking, each query's own-probe scan, and the rounded
       // cosine top-k (all per-term double math, list_sum fold order =
       // the Scala loop).
       VectorExpressions.ensureRegistered(s)
@@ -1754,10 +1756,13 @@ object SparkEntry {
 
     // The batch-cosine replay (q59): per-query ANGULAR probe ranking
     // (probeOrderCosine's double math — negated cosine, zero-norm → 0,
-    // ties by cluster_id), the UNION of the 3 queries' top-nprobe sets
-    // pruning one scan, then per-query rounded cosine-distance top-k
-    // with vec_id ties — exactly searchBatch's heap arithmetic
-    // (KnnSearch.batchDistFn mirrors CosineSimilarityExpr).
+    // ties by cluster_id), then — mirroring searchBatch's probe GATE —
+    // each query scores ONLY rows inside its OWN top-nprobe clusters
+    // (the join on (qid, cluster) below; the engine's one physical scan
+    // over the probe union is an execution detail the gate makes
+    // invisible in the result), rounded cosine-distance top-k with
+    // vec_id ties — exactly the heap arithmetic (KnnSearch.batchDistFn
+    // mirrors CosineSimilarityExpr).
     "q59_ivf_batch_cosine" ->
       raw"""WITH q AS (
            SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
@@ -1781,8 +1786,6 @@ object SparkEntry {
                                   x -> x::DOUBLE * x::DOUBLE)))))
                END, c.cluster_id) AS rn
            FROM cent c, q),
-         probes AS (
-           SELECT DISTINCT cluster_id FROM pranked WHERE rn <= 4),
          d AS (
            SELECT q.qid AS query_id, e.vec_id,
              list_sum(list_transform(range(1, len(e.embedding) + 1),
@@ -1790,8 +1793,11 @@ object SparkEntry {
              list_sum(list_transform(e.embedding,
                x -> x::DOUBLE * x::DOUBLE)) AS nv,
              list_sum(list_transform(q.qv, x -> x * x)) AS nq
-           FROM read_parquet('$IvfOracleRoot/single/data/*.parquet') e, q
-           WHERE e.__ivf_cluster IN (SELECT cluster_id FROM probes)),
+           FROM pranked p
+           JOIN q ON q.qid = p.qid
+           JOIN read_parquet('$IvfOracleRoot/single/data/*.parquet') e
+             ON e.__ivf_cluster = p.cluster_id
+           WHERE p.rn <= 4),
          scored AS (
            SELECT query_id, vec_id,
              round(CASE WHEN nv = 0 OR nq = 0 THEN 1.0

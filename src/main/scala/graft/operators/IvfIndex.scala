@@ -104,32 +104,30 @@ final case class IvfIndex(
       vecCol, query, k, metric, tieBreak, rankRoundDp = rankRoundDp)
   }
 
-  /** Batch V5: ONE pruned scan serves a whole query set. The scan
+  /** Batch V5: ONE pruned scan serves a whole query set, and every
+    * query gets EXACTLY its single-query [[search]] result. The scan
     * covers the UNION of every query's `nprobe` nearest clusters
-    * (partition-pruned directories, like [[search]]), ranked per the
-    * search `metric` like single-query [[search]]; per-query bounded
-    * k-heaps ([[KnnSearch.topKBatch]], same metric) then rank inside it.
-    * Each query sees a superset of its own probed clusters, so
-    * per-query recall is ≥ the single-query search at the same nprobe;
-    * the scan fraction is |union| / nlist — batch queries that cluster
-    * together (the common case for related questions) share most of
-    * their probes.
+    * (partition-pruned directories; probes ranked per the search
+    * `metric`, like [[search]]); inside it, per-query bounded k-heaps
+    * ([[KnnSearch.topKBatchCollected]], same metric arithmetic) are
+    * GATED on the row's cluster: a row is scored against query `i` only
+    * when its `__ivf_cluster` is in query i's own probe set.
     *
-    * DIVERSE batches are the scale hazard: as |union| → nlist the prune
-    * evaporates AND every scanned row is scored against every heap, so
-    * the work is scan_fraction × |queries|. `maxProbeUnion` (> 0) caps
-    * the per-scan union: queries are greedily packed — in probe-set
-    * signature order, so near-identical probe sets adjoin — into groups
-    * whose probe union stays within the cap, and each group gets its own
-    * pruned scan + heap pass (`⌈cap/nprobe⌉`-bounded queries per scan
-    * never under-fill a group). Work drops to Σ_g |union_g|/nlist × |g|
-    * versus |union|/nlist × |queries| unsplit (measured: ~10× on a
-    * 100-query diverse batch at nlist=64 — graft.tools.ProbeUnionBench,
-    * PLANS.md). Per-query results stay a ≥-recall superset of the
-    * single-query search; at cap = nprobe each group scans exactly its
-    * queries' own probe set, making the batch bit-equal to per-query
-    * [[search]] calls (spec-asserted). 0 = unsplit (one scan, the
-    * related-batch default). */
+    * The gate is what makes this shape hold at scale. Ungated, a
+    * diverse batch is quadratic-ish: the union approaches nlist (the
+    * prune evaporates) AND every scanned row pays every query's
+    * distance loop — |union|/nlist × |queries| row-scores. Gated, the
+    * work is Σ_q nprobe/nlist — the same minimum as |queries| separate
+    * single searches — while the bytes stay ONE union scan instead of
+    * |queries| scans (measured 100-query diverse batch at nlist=64:
+    * 87.5 → 12.5 ×corpus row-scores, one 0.88×corpus scan vs 12.5
+    * ×corpus for per-group scans — graft.tools.ProbeUnionBench,
+    * PLANS.md round 11; an earlier cap-the-union grouping design hit
+    * the same row-score floor but paid those re-reads, so gating
+    * replaced it). Per-query results are bit-equal to [[search]] at the
+    * same (metric, nprobe, rankRoundDp) — spec-asserted per metric —
+    * so batch recall IS single-query recall, not a scan-shape-dependent
+    * superset. */
   def searchBatch(
       queries: DataFrame,
       queryIdCol: String,
@@ -139,49 +137,22 @@ final case class IvfIndex(
       tieBreak: String,
       rankRoundDp: Option[Int] = None,
       components: Seq[Int] = Nil,
-      metric: KnnSearch.Metric = KnnSearch.L2,
-      maxProbeUnion: Int = 0): DataFrame = {
+      metric: KnnSearch.Metric = KnnSearch.L2): DataFrame = {
     val np = math.max(1, nprobe)
     // ONE driver-side collect serves both probe planning and the
     // broadcast heap pass (the query table is small by contract, but
     // re-collecting it would still re-run its plan — e.g. a model
     // embedder seam — twice)
     val qSet = KnnSearch.collectQueries(queries, queryIdCol, queryVecCol)
-    val qidType = queries.schema(queryIdCol).dataType
-    val planned: Array[((Any, Array[Float]), Seq[Int])] =
-      qSet.map(q => q -> probesFor(metric, q._2.toSeq).take(np))
-    def scanOf(group: Array[((Any, Array[Float]), Seq[Int])]): DataFrame = {
-      val probes = group.flatMap(_._2).distinct.toSeq
-      KnnSearch.topKBatchCollected(
-        componentScope(components)
-          .filter(col(IvfIndex.ClusterCol).isin(probes: _*)),
-        vecCol, group.map(_._1), qidType, k, tieBreak,
-        rankRoundDp = rankRoundDp, metric = metric)
-    }
-    if (maxProbeUnion <= 0 || planned.isEmpty) scanOf(planned)
-    else {
-      // a cap below one query's own probe set cannot be honored — a
-      // group always carries at least one full probe set
-      val cap = math.max(maxProbeUnion, np)
-      val groups = scala.collection.mutable.ArrayBuffer
-        .empty[Array[((Any, Array[Float]), Seq[Int])]]
-      val cur = scala.collection.mutable.ArrayBuffer
-        .empty[((Any, Array[Float]), Seq[Int])]
-      val curUnion = scala.collection.mutable.Set.empty[Int]
-      // signature order: identical probe sets become adjacent, near-
-      // identical ones likely so — deterministic, no similarity search
-      planned.sortBy(_._2.sorted.mkString(",")).foreach { q =>
-        val added = q._2.filterNot(curUnion)
-        if (cur.nonEmpty && curUnion.size + added.size > cap) {
-          groups += cur.toArray; cur.clear(); curUnion.clear()
-        }
-        cur += q; curUnion ++= q._2
-      }
-      if (cur.nonEmpty) groups += cur.toArray
-      // groups partition the query set, so the per-group window ranks
-      // are already per-query-complete — the union is a plain concat
-      groups.map(scanOf).reduce(_ unionByName _)
-    }
+    val perQueryProbes: Array[Array[Int]] =
+      qSet.map(q => probesFor(metric, q._2.toSeq).take(np).toArray)
+    val union = perQueryProbes.flatten.distinct.toSeq
+    KnnSearch.topKBatchCollected(
+      componentScope(components)
+        .filter(col(IvfIndex.ClusterCol).isin(union: _*)),
+      vecCol, qSet, queries.schema(queryIdCol).dataType, k, tieBreak,
+      rankRoundDp = rankRoundDp, metric = metric,
+      gate = Some(KnnSearch.BatchGate(IvfIndex.ClusterCol, perQueryProbes)))
   }
 
   /** the corpus restricted to `components` (the reference's

@@ -184,6 +184,17 @@ object KnnSearch {
     }
   }
 
+  /** Optional per-query scoring gate for [[topKBatchCollected]]: a row
+    * is scored against query `i` only when the row's `col` value is in
+    * `allowed(i)` (aligned with the query set). [[IvfIndex.searchBatch]]
+    * passes each query's own probed clusters here, which makes the
+    * shared scan's per-row work Σ_q nprobe/nlist instead of |queries| —
+    * the whole row loop for rows no query probed is skipped — and the
+    * per-query result EXACTLY the single-query search's (not a
+    * scan-dependent superset). */
+  private[operators] final case class BatchGate(
+      col: String, allowed: Array[Array[Int]])
+
   private[operators] def topKBatchCollected(
       corpus: DataFrame,
       vecCol: String,
@@ -193,7 +204,8 @@ object KnnSearch {
       tieBreak: String,
       distCol: String = "dist",
       rankRoundDp: Option[Int] = None,
-      metric: Metric = L2): DataFrame = {
+      metric: Metric = L2,
+      gate: Option[BatchGate] = None): DataFrame = {
     require(!corpus.columns.contains(distCol),
       s"corpus already has a '$distCol' column; pass a different distCol")
     require(!corpus.columns.contains("query_id"),
@@ -209,6 +221,21 @@ object KnnSearch {
     val tieKey = tieKeyFn(corpus.schema(tieBreak).dataType)
     val dp = rankRoundDp
     val distFn = batchDistFn(metric)
+    gate.foreach(g => require(g.allowed.length == qSet.length,
+      s"gate.allowed (${g.allowed.length}) must align with the query " +
+        s"set (${qSet.length})"))
+    val gateIdx = gate.map(g => corpus.schema.fieldIndex(g.col)).getOrElse(-1)
+    // dense per-query lookup keyed by the gate value (cluster ids are
+    // small non-negative ints by construction) — one array probe per
+    // (row, query), no boxing in the hot loop
+    val gateLookup: Array[Array[Boolean]] = gate.map { g =>
+      val max = g.allowed.iterator.flatten.foldLeft(-1)(math.max)
+      g.allowed.map { ps =>
+        val a = new Array[Boolean](max + 1)
+        ps.foreach(a(_) = true)
+        a
+      }
+    }.orNull
     val local = corpus.mapPartitions { rows =>
       val qs = bc.value
       // bounded max-heaps: head = current worst of the best k, evicted
@@ -231,25 +258,34 @@ object KnnSearch {
         if (vSeq != null) {
           val v = vSeq.toArray
           val tie = tieKey(row.get(tieIdx))
+          // one gate read per row; a null gate value (can't occur for a
+          // partition column) scores against no query
+          val gv =
+            if (gateLookup == null) -1
+            else if (row.isNullAt(gateIdx)) -1
+            else row.getAs[Number](gateIdx).intValue()
           var qi = 0
           while (qi < qs.length) {
-            val qv = qs(qi)._2
-            // a silent skip here would quietly drop corpus rows from
-            // every result — mixed dimensions are a data bug, surface it
-            if (qv.length != v.length)
-              throw new IllegalArgumentException(
-                s"dimension mismatch in topKBatch: corpus vector has " +
-                  s"${v.length} dims, query '${qs(qi)._1}' has ${qv.length}")
-            var dist = distFn(v, qv)
-            // same half-up shortest-decimal rounding as Spark round()
-            dp.foreach { p =>
-              dist = java.math.BigDecimal.valueOf(dist)
-                .setScale(p, java.math.RoundingMode.HALF_UP).doubleValue()
-            }
-            val h = heaps(qi)
-            if (h.size < k) h.enqueue(new Entry(dist, tie, row))
-            else if (cmp(new Entry(dist, tie, row), h.head) < 0) {
-              h.dequeue(); h.enqueue(new Entry(dist, tie, row))
+            if (gateLookup == null ||
+              (gv >= 0 && gv < gateLookup(qi).length && gateLookup(qi)(gv))) {
+              val qv = qs(qi)._2
+              // a silent skip here would quietly drop corpus rows from
+              // every result — mixed dimensions are a data bug, surface it
+              if (qv.length != v.length)
+                throw new IllegalArgumentException(
+                  s"dimension mismatch in topKBatch: corpus vector has " +
+                    s"${v.length} dims, query '${qs(qi)._1}' has ${qv.length}")
+              var dist = distFn(v, qv)
+              // same half-up shortest-decimal rounding as Spark round()
+              dp.foreach { p =>
+                dist = java.math.BigDecimal.valueOf(dist)
+                  .setScale(p, java.math.RoundingMode.HALF_UP).doubleValue()
+              }
+              val h = heaps(qi)
+              if (h.size < k) h.enqueue(new Entry(dist, tie, row))
+              else if (cmp(new Entry(dist, tie, row), h.head) < 0) {
+                h.dequeue(); h.enqueue(new Entry(dist, tie, row))
+              }
             }
             qi += 1
           }

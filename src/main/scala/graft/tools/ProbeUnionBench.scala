@@ -5,30 +5,33 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.IvfIndex
 
-/** Scale probe for [[IvfIndex.searchBatch]]'s DIVERSE-batch hazard: the
-  * unsplit batch scans the UNION of every query's probes and scores
-  * every scanned row against every per-query heap, so its work is
-  * |union|/nlist × |queries| row-scores (in corpus-row units). With a
-  * diverse 100-query batch the union approaches nlist and the IVF prune
-  * evaporates — exactly the regime `maxProbeUnion` grouping targets:
-  * Σ_g |union_g|/nlist × |g| with each group a separate pruned scan.
+/** Scale probe for [[IvfIndex.searchBatch]]'s DIVERSE-batch design.
   *
-  * This tool makes the trade a NUMBER at a realistic shape (nlist=64,
-  * the sf0.1 embeddings corpus, 100 spread queries, nprobe=8) so
-  * PLANS.md records measured scan/work fractions instead of an argument:
-  * for each cap it reports group count, Σ|union_g| (bytes-read proxy —
-  * grouping re-reads shared clusters, so it RISES as caps shrink), the
-  * work fraction (row-scores, the dominant term — it FALLS), and the
-  * wall-clock of the real searchBatch call on the persisted index. Run:
-  * `scripts/run_main.sh graft.tools.ProbeUnionBench [sfDir] [caps...]`
-  * (defaults: /root/testdata/sf0.1, caps 0 32 16 8; cap 0 = unsplit).
+  * An ungated shared scan is the hazard: with a diverse batch the probe
+  * union approaches nlist (the prune evaporates) and every scanned row
+  * pays every query's distance loop — |union|/nlist × |queries| corpus
+  * row-scores. Two remedies were evaluated; the numbers below are why
+  * the probe GATE won and a cap-the-union grouping design was dropped:
+  *
+  *   - grouping (per-group pruned scans) reaches the row-score floor
+  *     Σ_q nprobe/nlist only at cap = nprobe, where it degenerates to
+  *     ~|queries| scans — it buys compute by RE-READING shared clusters
+  *     (measured here: 12.5 ×corpus bytes at the floor);
+  *   - gating (one union scan; a row is scored against query i only if
+  *     its cluster is in query i's own probe set) reaches the same
+  *     floor with ONE |union|-scan — strictly better on both axes, and
+  *     it makes each query's result bit-equal to single-query search.
+  *
+  * This tool prints the analytic fractions for the current corpus and
+  * times the real gated [[IvfIndex.searchBatch]] against the per-query
+  * [[IvfIndex.search]] loop it replaces (|queries| separate jobs). Run:
+  * `scripts/run_main.sh graft.tools.ProbeUnionBench [sfDir]`
+  * (default /root/testdata/sf0.1; nlist=64, nprobe=8, 100 stride-spread
+  * queries — the diverse worst case).
   */
 object ProbeUnionBench {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val caps =
-      if (args.length > 1) args.drop(1).toSeq.map(_.toInt)
-      else Seq(0, 32, 16, 8)
     val nlist = 64
     val nprobe = 8
     val nQueries = 100
@@ -47,9 +50,8 @@ object ProbeUnionBench {
     IvfIndex.build(emb, "vec_id", "embedding", nlist = nlist).write(root)
     val index = IvfIndex.load(spark, root, "vec_id", "embedding")
 
-    // a DIVERSE batch: queries spread across the whole id range land in
-    // different clusters (the worst case for one shared scan). Stride
-    // sampling keeps it deterministic.
+    // a DIVERSE batch: stride-spread queries land across many clusters —
+    // the worst case for a shared scan, deterministic by construction
     val stride = math.max(1L, n / nQueries)
     val queries = emb.filter(col("vec_id") % stride === 0)
       .limit(nQueries)
@@ -57,45 +59,35 @@ object ProbeUnionBench {
       .cache()
     val qVecs = queries.collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1))
-    println(s"corpus=$n nlist=$nlist nprobe=$nprobe queries=${qVecs.length}")
 
-    // analytic side: probe sets + the same greedy signature-ordered
-    // packing searchBatch applies (kept in sync by the cap=nprobe
-    // bit-equality spec in IvfIndexSpec)
     val probeSets = qVecs.map { case (_, v) =>
       index.probeOrder(v).take(nprobe)
     }
-    def groupsFor(cap: Int): Seq[Seq[Seq[Int]]] =
-      if (cap <= 0) Seq(probeSets.toSeq)
-      else {
-        val out = scala.collection.mutable.ArrayBuffer.empty[Seq[Seq[Int]]]
-        val cur = scala.collection.mutable.ArrayBuffer.empty[Seq[Int]]
-        val union = scala.collection.mutable.Set.empty[Int]
-        probeSets.sortBy(_.sorted.mkString(",")).foreach { ps =>
-          val added = ps.filterNot(union)
-          if (cur.nonEmpty && union.size + added.size > math.max(cap, nprobe)) {
-            out += cur.toSeq; cur.clear(); union.clear()
-          }
-          cur += ps; union ++= ps
-        }
-        if (cur.nonEmpty) out += cur.toSeq
-        out.toSeq
-      }
+    val union = probeSets.flatten.distinct.length
+    val ungatedWork = union.toDouble / nlist * qVecs.length
+    val floorWork = probeSets.map(_.length.toDouble / nlist).sum
+    println(s"corpus=$n nlist=$nlist nprobe=$nprobe queries=${qVecs.length}")
+    println(f"union=$union/$nlist scan=${union.toDouble / nlist}%.2f×corpus  " +
+      f"row-scores ungated=${ungatedWork}%.1f gated=${floorWork}%.1f ×corpus")
 
-    caps.foreach { cap =>
-      val gs = groupsFor(cap)
-      val unionSizes = gs.map(_.flatten.distinct.size)
-      val scanRows = unionSizes.sum.toDouble / nlist // bytes-read proxy
-      val work = gs.zip(unionSizes)
-        .map { case (g, u) => u.toDouble / nlist * g.size }.sum
+    def timed(label: String)(body: => Long): Unit = {
       val t0 = System.nanoTime()
-      val got = index.searchBatch(queries, "qid", "qv", k = 10,
-          nprobe = nprobe, tieBreak = "vec_id", maxProbeUnion = cap)
-        .count()
-      val secs = (System.nanoTime() - t0) / 1e9
-      println(f"cap=$cap%3d groups=${gs.size}%3d " +
-        f"scan=${scanRows}%5.2f×corpus work=${work}%6.1f×corpus-rows " +
-        f"wall=$secs%6.2f s rows=$got")
+      val rows = body
+      println(f"$label%-22s wall=${(System.nanoTime() - t0) / 1e9}%6.2f s " +
+        s"rows=$rows")
+    }
+    // warm both paths once (JIT + IO cache), then time
+    index.searchBatch(queries, "qid", "qv", k = 10, nprobe = nprobe,
+      tieBreak = "vec_id").count()
+    index.search(qVecs.head._2, 10, nprobe, tieBreak = Some("vec_id")).count()
+    timed("gated batch (1 scan)") {
+      index.searchBatch(queries, "qid", "qv", k = 10, nprobe = nprobe,
+        tieBreak = "vec_id").count()
+    }
+    timed(s"per-query loop (×${qVecs.length})") {
+      qVecs.map { case (_, v) =>
+        index.search(v, 10, nprobe, tieBreak = Some("vec_id")).count()
+      }.sum
     }
     spark.stop()
   }

@@ -110,47 +110,51 @@ class IvfIndexSpec extends SparkSpec {
       plan.contains(IvfIndex.ClusterCol))
   }
 
-  test("searchBatch equals per-query exact top-k over the union-probed scan") {
+  test("searchBatch gates each query to its OWN probes inside the one union scan") {
     val qs = embeddings.filter(col("vec_id").isin(0, 1, 2))
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
     val batch = index.searchBatch(qs, "qid", "qv", k = 5, nprobe = 3,
         tieBreak = "vec_id", rankRoundDp = Some(4))
       .select(col("query_id"), col("vec_id"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    // reference: the same pruned subset, per query, through exact topK
-    val probes = queryVecs(3).flatMap(q => index.probeOrder(q).take(3))
-      .distinct
-    val pruned = index.assigned
-      .filter(col(IvfIndex.ClusterCol).isin(probes: _*))
+    // reference: per query, exact topK over EXACTLY that query's own
+    // probed clusters — NOT the batch union; a query whose result
+    // depended on what else was in the batch would have
+    // batch-composition-dependent recall
     val single = queryVecs(3).zipWithIndex.flatMap { case (q, i) =>
+      val own = index.probeOrder(q).take(3)
+      val pruned = index.assigned
+        .filter(col(IvfIndex.ClusterCol).isin(own: _*))
       KnnSearch.topK(pruned, "embedding", q, 5, KnnSearch.L2,
           tieBreak = Some("vec_id"), rankRoundDp = Some(4))
         .select("vec_id").collect().map(r => (i.toLong, r.getLong(0)))
     }.toSet
     assert(batch == single)
-    // and each query's recall ≥ its own single-probe search recall
+    // every hit lies inside its query's own probed clusters
+    val clusterOf = index.assigned
+      .select(col("vec_id"), col(IvfIndex.ClusterCol))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     queryVecs(3).zipWithIndex.foreach { case (q, i) =>
-      val exact = exactTopK(q, 5)
-      val own = index.search(q, 5, nprobe = 3, tieBreak = Some("vec_id"))
-        .select("vec_id").collect().map(_.getLong(0)).toSet
+      val own = index.probeOrder(q).take(3).toSet
       val got = batch.collect { case (qid, v) if qid == i.toLong => v }
-      assert(got.intersect(exact).size >= own.intersect(exact).size)
+      assert(got.forall(v => own.contains(clusterOf(v))),
+        s"query $i scored rows outside its own probes")
     }
   }
 
-  test("searchBatch threads the metric: at cap=nprobe the batch is bit-equal to per-query search, per metric") {
+  test("searchBatch is bit-equal to per-query search, per metric (probe gating)") {
     graft.plans.VectorExpressions.ensureRegistered(spark)
     val qs = embeddings.filter(col("vec_id").isin(0, 1, 2))
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
     for (metric <- Seq(KnnSearch.L2, KnnSearch.Cosine,
         KnnSearch.InnerProduct)) {
-      // maxProbeUnion = nprobe: the greedy packer can only group queries
-      // with IDENTICAL probe sets, so every group scans exactly its
-      // queries' own probes — the batch must reproduce per-query
-      // single search bit-for-bit, metric-dispatched probes included
+      // the scan covers the probe UNION, but the per-query heaps are
+      // GATED on each query's own probe set — so whatever the batch's
+      // diversity, every query must reproduce its single-query search
+      // bit-for-bit: same rows, same distances, metric-dispatched
+      // probes included
       val batch = index.searchBatch(qs, "qid", "qv", k = 5, nprobe = 3,
-          tieBreak = "vec_id", rankRoundDp = Some(4), metric = metric,
-          maxProbeUnion = 3)
+          tieBreak = "vec_id", rankRoundDp = Some(4), metric = metric)
         .select(col("query_id"), col("vec_id"), col("dist"))
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
         .toSet
