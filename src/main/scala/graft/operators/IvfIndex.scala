@@ -397,36 +397,94 @@ object IvfIndex {
     val conf = spark.sessionState.newHadoopConf()
     val srcRoot = new org.apache.hadoop.fs.Path(srcPath)
     val srcFs = srcRoot.getFileSystem(conf)
-    // BEFORE the read: the read's plan-time file listing defines what
-    // the copy can possibly carry, so any marker not already present
-    // here describes a batch the copy may have missed
-    val markersBefore = ingestMarkers(srcFs, srcRoot)
-    val df = spark.read.parquet(srcPath)
-    val parts = partitionColsOf(df)
-    require(parts.contains(ClusterCol),
-      s"$srcPath is not an IVF index root (no $ClusterCol partition level)")
-    graft.sources.CorpusStore.copyCompactInto(df, parts, srcPath,
-      destPath, targetRowsPerFile)
-    val src = new org.apache.hadoop.fs.Path(s"$srcPath/$CentroidSidecar")
-    val dst = new org.apache.hadoop.fs.Path(s"$destPath/$CentroidSidecar")
-    val copied = org.apache.hadoop.fs.FileUtil.copy(
-      src.getFileSystem(conf), src, dst.getFileSystem(conf), dst,
-      false, conf)
-    require(copied && dst.getFileSystem(conf).exists(dst),
-      s"compact: centroid sidecar copy to $dst failed — destPath is " +
-        "incomplete (it would load via the lossy means fallback); " +
-        "re-run compact")
-    val markersAfter = ingestMarkers(srcFs, srcRoot)
-    if (markersAfter != markersBefore) {
-      val gained = (markersAfter -- markersBefore).toSeq.sorted
-      throw new IllegalStateException(
-        s"compact: streaming ingest committed ${gained.size} batch(es) " +
-          s"into $srcPath MID-COMPACT (${gained.mkString(", ")}) — " +
-          s"destPath $destPath is missing them and must be discarded. " +
-          "Quiesce the ingest query (stop it, or wait for its markers " +
-          "to settle) and re-run compact.")
+    acquireCompactLock(srcFs, srcRoot)
+    try {
+      // AFTER the lock, BEFORE the read: the ingest sink refuses new
+      // batches once the lock exists, and the marker re-list below
+      // catches any batch that was already in flight across the
+      // acquisition; the read's plan-time file listing defines what the
+      // copy can possibly carry, so any marker not already present here
+      // describes a batch the copy may have missed
+      val markersBefore = ingestMarkers(srcFs, srcRoot)
+      val df = spark.read.parquet(srcPath)
+      val parts = partitionColsOf(df)
+      require(parts.contains(ClusterCol),
+        s"$srcPath is not an IVF index root (no $ClusterCol partition level)")
+      graft.sources.CorpusStore.copyCompactInto(df, parts, srcPath,
+        destPath, targetRowsPerFile)
+      val src = new org.apache.hadoop.fs.Path(s"$srcPath/$CentroidSidecar")
+      val dst = new org.apache.hadoop.fs.Path(s"$destPath/$CentroidSidecar")
+      val copied = org.apache.hadoop.fs.FileUtil.copy(
+        src.getFileSystem(conf), src, dst.getFileSystem(conf), dst,
+        false, conf)
+      require(copied && dst.getFileSystem(conf).exists(dst),
+        s"compact: centroid sidecar copy to $dst failed — destPath is " +
+          "incomplete (it would load via the lossy means fallback); " +
+          "re-run compact")
+      val markersAfter = ingestMarkers(srcFs, srcRoot)
+      if (markersAfter != markersBefore) {
+        val gained = (markersAfter -- markersBefore).toSeq.sorted
+        throw new IllegalStateException(
+          s"compact: streaming ingest committed ${gained.size} batch(es) " +
+            s"into $srcPath MID-COMPACT (${gained.mkString(", ")}) — " +
+            s"destPath $destPath is missing them and must be discarded. " +
+            "Quiesce the ingest query (stop it, or wait for its markers " +
+            "to settle) and re-run compact.")
+      }
+      graft.plans.IvfAutoProbe.invalidate(spark, destPath)
+    } finally releaseCompactLock(spark, srcPath)
+  }
+
+  /** Lock file [[compact]] holds on the SOURCE root while it copies —
+    * underscore-prefixed, so hidden from Spark's data listing like the
+    * sidecar and the ingest log. [[graft.streaming.EventStreams
+    * .indexedIngest]] refuses to start a batch while it exists, turning
+    * the compact-vs-ingest race from silent data loss into a loud,
+    * restartable failure (markers make the post-restart re-run
+    * idempotent). */
+  private[graft] val CompactLockFile = "_compact_lock"
+
+  /** Atomically create the lock (`create(overwrite = false)` — the
+    * same primitive Spark's own checkpoint managers rely on for
+    * rename-free filesystems). An existing lock means another compact
+    * is running — or crashed without cleanup, since plain filesystems
+    * give no lease expiry; the error says which and names
+    * [[releaseCompactLock]] as the recovery for the stale case. The
+    * lock body records owner pid + timestamp for diagnosis. */
+  private def acquireCompactLock(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Unit = {
+    val lock = new org.apache.hadoop.fs.Path(root, CompactLockFile)
+    try {
+      val out = fs.create(lock, false)
+      out.write(
+        s"pid=${ProcessHandle.current().pid()} ts=${
+          java.time.Instant.now()}".getBytes("UTF-8"))
+      out.close()
+    } catch {
+      // filesystems disagree on the no-overwrite failure type (hadoop
+      // FileAlreadyExistsException vs plain IOException on the local
+      // fs) — what is uniform is that the lock exists afterwards
+      case _: java.io.IOException if fs.exists(lock) =>
+        val owner =
+          try {
+            val in = fs.open(lock)
+            try new String(in.readAllBytes(), "UTF-8") finally in.close()
+          } catch { case scala.util.control.NonFatal(_) => "unknown" }
+        throw new IllegalStateException(
+          s"compact: $lock already exists ($owner) — another compact of " +
+            "this root is running, or a previous one crashed without " +
+            "cleanup. If no compact is live, release it with " +
+            "IvfIndex.releaseCompactLock and re-run.")
     }
-    graft.plans.IvfAutoProbe.invalidate(spark, destPath)
+  }
+
+  /** Remove the compact lock from `root` — called by [[compact]] on
+    * every exit, and PUBLIC as the documented recovery for a lock left
+    * behind by a crashed compact process (verify no compact is live
+    * first; plain filesystems cannot expire it automatically). */
+  def releaseCompactLock(spark: SparkSession, root: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/$CompactLockFile")
+    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, false)
   }
 
   /** every committed-batch marker under `root/_ingest_log`, as

@@ -110,7 +110,13 @@ object EventStreams {
     * A crash BETWEEN the data commit and the marker can still duplicate
     * that one batch — plain parquet has no atomic multi-file commit;
     * feed a transactional table format through a custom `embed`+sink
-    * when strict exactly-once matters. */
+    * when strict exactly-once matters.
+    *
+    * Coordination with [[graft.operators.IvfIndex.compact]]: while the
+    * compactor holds `_compact_lock` on this root, every batch FAILS
+    * loudly (no append, no marker) instead of racing the copy — restart
+    * the query after the compact; the markers make the re-run
+    * idempotent. */
   def indexedIngest(
       docs: DataFrame,
       textCol: String,
@@ -131,6 +137,22 @@ object EventStreams {
           s"$indexPath/${IngestLogDir}/$ingestId/batch-$batchId")
         val fs = marker.getFileSystem(
           spark.sessionState.newHadoopConf())
+        // a compacting root must not take new batches: the compactor's
+        // copy would silently miss them in the fresh root. Fail the
+        // query LOUDLY instead — restarting it after the compact (onto
+        // the old or the swapped root) is safe, because the per-batch
+        // markers make the re-run idempotent. A batch already past this
+        // check when the lock lands is caught by compact's marker
+        // re-list guard.
+        val lock = new org.apache.hadoop.fs.Path(
+          s"$indexPath/${graft.operators.IvfIndex.CompactLockFile}")
+        if (fs.exists(lock))
+          throw new IllegalStateException(
+            s"indexedIngest: $indexPath is being compacted ($lock " +
+              "present) — batches are refused so the compacted root " +
+              "cannot silently lose them. Restart this query after the " +
+              "compact finishes (re-runs are idempotent via the batch " +
+              "markers).")
         if (!fs.exists(marker)) {
           // the batch frame feeds TWO actions (emptiness probe + append
           // write) and foreachBatch re-executes its plan per action —

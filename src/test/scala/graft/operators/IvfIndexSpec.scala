@@ -454,6 +454,32 @@ class IvfIndexSpec extends SparkSpec {
     t.join()
     assert(ex.getMessage.contains("MID-COMPACT"), ex.getMessage)
     assert(ex.getMessage.contains("batch-1"), ex.getMessage)
+    // the lock is released on BOTH exits: after the earlier success and
+    // after this abort — a leak would freeze every future compact and
+    // ingest batch on this root
+    assert(!new java.io.File(s"$path/${IvfIndex.CompactLockFile}").exists(),
+      "compact must release its lock on success and abort alike")
+  }
+
+  test("a held compact lock refuses a second compact until released") {
+    val tmp = Files.createTempDirectory("graft-ivf-lock-").toString
+    val path = s"$tmp/ivf"
+    IvfIndex.build(embeddings, "vec_id", "embedding", nlist = 8)
+      .write(path)
+    // a crashed compactor's leftover lock
+    val lock = new java.io.File(s"$path/${IvfIndex.CompactLockFile}")
+    java.nio.file.Files.writeString(lock.toPath, "pid=0 ts=crashed")
+    val ex = intercept[IllegalStateException] {
+      IvfIndex.compact(spark, path, s"$tmp/dest")
+    }
+    assert(ex.getMessage.contains("releaseCompactLock"), ex.getMessage)
+    // the refused compact must NOT have deleted someone else's lock
+    assert(lock.exists(), "a refused compact must not release a lock " +
+      "it does not own")
+    IvfIndex.releaseCompactLock(spark, path)
+    IvfIndex.compact(spark, path, s"$tmp/dest")
+    assert(IvfIndex.load(spark, s"$tmp/dest", "vec_id", "embedding")
+      .assigned.count() == embeddings.count())
   }
 
   test("load falls back to per-(cluster,dim) means without a sidecar") {

@@ -320,6 +320,62 @@ class EventStreamsSpec extends SparkSpec {
     assert(hit == b1.head._1)
   }
 
+  test("indexedIngest refuses batches while the compact lock is held, resumes after release") {
+    // the lockfile side of the compact-vs-ingest coordination (the
+    // compact side — abort on a mid-copy marker — is IvfIndexSpec's):
+    // a batch arriving while _compact_lock exists must FAIL the query
+    // loudly, append nothing, leave no marker; after release the same
+    // data ingests normally.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions.col
+    import graft.operators.IvfIndex
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val base = emb.filter(col("vec_id") % 2 === 0)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-lock-ingest-").toString
+    val path = s"$tmp/ivf"
+    IvfIndex.build(base, "vec_id", "embedding", nlist = 8).write(path)
+    val baseCount = spark.read.parquet(path).count()
+    val rows = emb.filter(col("vec_id") % 2 === 1).limit(20)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), ts(0), s"locked doc ${r.getLong(0)}",
+        r.getSeq[Float](1))).toSeq
+    val embedStage =
+      (df: DataFrame) => df.select(col("vec_id"), col("embedding"))
+    def deliver(ckpt: String): Unit = {
+      val input = MemoryStream[(Long, Timestamp, String, Seq[Float])]
+      val docs = input.toDF().toDF("vec_id", "ts", "text", "embedding")
+      val query = EventStreams.indexedIngest(docs, "text", "ts",
+          embedStage, path, "vec_id", "embedding", ingestId = "locked-a")
+        .option("checkpointLocation", s"$tmp/$ckpt").start()
+      try {
+        input.addData(rows: _*)
+        query.processAllAvailable()
+      } finally query.stop()
+    }
+    // a compactor is (as far as the sink knows) mid-copy
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$path/${IvfIndex.CompactLockFile}"),
+      "pid=0 ts=test")
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      deliver("ckpt-locked")
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("being compacted")), ex.toString)
+    assert(spark.read.parquet(path).count() == baseCount,
+      "a refused batch must append nothing")
+    assert(!new java.io.File(s"$path/_ingest_log/locked-a/batch-0").exists(),
+      "a refused batch must leave no commit marker")
+    // release → the SAME data ingests cleanly on a fresh run
+    IvfIndex.releaseCompactLock(spark, path)
+    deliver("ckpt-after")
+    assert(spark.read.parquet(path).count() == baseCount + rows.length)
+  }
+
   test("dedupStream batch form dedups on the same fingerprint") {
     import spark.implicits._
     val batch = Seq(
