@@ -802,6 +802,47 @@ object SparkEntry {
       }
     }),
 
+    "q61_ivf_autoprobe_cos" -> ((s, dir) => {
+      // q60's optimizer-rule route with the COSINE ordering: the rule
+      // must recognize `1.0 - graft_cos(vec, const)` (under the
+      // monotonic round wrapper) and rank probes ANGULARLY
+      // (probeOrderCosine) — the metric dispatch that, single-query,
+      // is only reachable through the rewrite. Same conf dance and
+      // fired-require as q60; the oracle replays angular probe
+      // selection + the pruned scan + the rounded cosine top-k.
+      VectorExpressions.ensureRegistered(s)
+      ivfIndexFor(s, dir)
+      val root = ivfPathCache.get(dir)
+      val q = queryVec(s, dir)
+      val exp = s.experimental
+      exp.synchronized {
+        if (!exp.extraOptimizations.exists(_.isInstanceOf[graft.plans.IvfAutoProbe]))
+          exp.extraOptimizations = exp.extraOptimizations :+
+            graft.plans.IvfAutoProbe(s)
+      }
+      val prev = s.conf.getOption(graft.plans.IvfAutoProbe.NprobeConf)
+      s.conf.set(graft.plans.IvfAutoProbe.NprobeConf, "6")
+      try {
+        val df = s.read.parquet(root)
+          .select(col("vec_id"),
+            round(KnnSearch.NativeCosine.dist(col("embedding"), q), 4)
+              .as("dist"))
+          .orderBy(col("dist"), col("vec_id"))
+          .limit(10)
+        val fired = df.queryExecution.optimizedPlan.collectFirst {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+              if f.condition.references.exists(_.name == IvfIndex.ClusterCol)
+            => f
+        }.nonEmpty
+        require(fired, "IvfAutoProbe rewrite did not fire on the q61 plan")
+        val rows = df.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+      } finally prev match {
+        case Some(v) => s.conf.set(graft.plans.IvfAutoProbe.NprobeConf, v)
+        case None => s.conf.unset(graft.plans.IvfAutoProbe.NprobeConf)
+      }
+    }),
+
     "q39_model_embed" -> ((s, dir) => {
       // The model-embedder seam under load: FakeModelEmbedder (the
       // deterministic stand-in behind the real mapPartitions batching,
@@ -1836,6 +1877,50 @@ object SparkEntry {
              AS dist
          FROM read_parquet('$IvfOracleRoot/single/data/*.parquet')
          WHERE __ivf_cluster IN (SELECT cluster_id FROM probes)
+         ORDER BY dist, vec_id LIMIT 10""",
+
+    // The cosine optimizer-rule route (q61): probe selection must be
+    // ANGULAR (probeOrderCosine's negated-cosine double math, zero-norm
+    // → 0, ties by cluster_id) — an L2-ranked replay would prove the
+    // rewrite fired but not that it dispatched the metric; the scan +
+    // top-k replay the rounded cosine distance like q59's per-query leg.
+    "q61_ivf_autoprobe_cos" ->
+      raw"""WITH q AS (
+           SELECT embedding::DOUBLE[] AS qv FROM embeddings
+           WHERE vec_id = 0),
+         cent AS (
+           SELECT cluster_id, centroid FROM
+             read_parquet('$IvfOracleRoot/single/centroids/*.parquet')),
+         probes AS (
+           SELECT cluster_id FROM cent, q
+           ORDER BY
+             CASE WHEN list_sum(list_transform(qv, x -> x * x)) = 0
+                    OR list_sum(list_transform(centroid,
+                         x -> x::DOUBLE * x::DOUBLE)) = 0
+                  THEN 0.0
+                  ELSE -(list_sum(list_transform(
+                           range(1, len(centroid) + 1),
+                           i -> centroid[i]::DOUBLE * qv[i]))
+                         / (sqrt(list_sum(list_transform(qv,
+                              x -> x * x)))
+                            * sqrt(list_sum(list_transform(centroid,
+                                x -> x::DOUBLE * x::DOUBLE)))))
+             END, cluster_id
+           LIMIT 6),
+         d AS (
+           SELECT e.vec_id,
+             list_sum(list_transform(range(1, len(e.embedding) + 1),
+               i -> e.embedding[i]::DOUBLE * q.qv[i])) AS dot,
+             list_sum(list_transform(e.embedding,
+               x -> x::DOUBLE * x::DOUBLE)) AS nv,
+             list_sum(list_transform(q.qv, x -> x * x)) AS nq
+           FROM read_parquet('$IvfOracleRoot/single/data/*.parquet') e, q
+           WHERE e.__ivf_cluster IN (SELECT cluster_id FROM probes))
+         SELECT vec_id,
+           round(CASE WHEN nv = 0 OR nq = 0 THEN 1.0
+                      ELSE 1.0 - dot / (sqrt(nv) * sqrt(nq)) END, 4)
+             AS dist
+         FROM d
          ORDER BY dist, vec_id LIMIT 10""",
 
     // q38's proven composition SQL with candidate generation swapped for

@@ -211,7 +211,6 @@ object KnnSearch {
     require(!corpus.columns.contains("query_id"),
       "corpus already has a 'query_id' column")
     val spark = corpus.sparkSession
-    val bc = spark.sparkContext.broadcast(qSet)
     val outSchema = corpus.schema
       .add(distCol, org.apache.spark.sql.types.DoubleType)
       .add("query_id", queryIdType)
@@ -225,19 +224,26 @@ object KnnSearch {
       s"gate.allowed (${g.allowed.length}) must align with the query " +
         s"set (${qSet.length})"))
     val gateIdx = gate.map(g => corpus.schema.fieldIndex(g.col)).getOrElse(-1)
-    // dense per-query lookup keyed by the gate value (cluster ids are
-    // small non-negative ints by construction) — one array probe per
-    // (row, query), no boxing in the hot loop
-    val gateLookup: Array[Array[Boolean]] = gate.map { g =>
-      val max = g.allowed.iterator.flatten.foldLeft(-1)(math.max)
+    // bit-packed per-query lookup keyed by the gate value (cluster ids
+    // are small non-negative ints by construction): one word-index probe
+    // per (row, query), no boxing in the hot loop, and ~nlist/8 bytes
+    // per query — at production shapes (nlist 64k, 1k queries) ~1 MB
+    // total, shipped through the SAME broadcast as the query vectors so
+    // it rides to each executor once rather than in every task closure
+    val gateWords: Array[Array[Long]] = gate.map { g =>
+      val max = g.allowed.iterator.flatten.foldLeft(0)(math.max)
       g.allowed.map { ps =>
-        val a = new Array[Boolean](max + 1)
-        ps.foreach(a(_) = true)
-        a
+        val w = new Array[Long]((max >> 6) + 1)
+        ps.foreach { c =>
+          require(c >= 0, s"gate values must be non-negative, got $c")
+          w(c >> 6) |= 1L << (c & 63)
+        }
+        w
       }
     }.orNull
+    val bc = spark.sparkContext.broadcast((qSet, gateWords))
     val local = corpus.mapPartitions { rows =>
-      val qs = bc.value
+      val (qs, gw) = bc.value
       // bounded max-heaps: head = current worst of the best k, evicted
       // on a strictly better (dist, tie) candidate
       final class Entry(val dist: Double, val tie: Any, val row: Row)
@@ -261,13 +267,14 @@ object KnnSearch {
           // one gate read per row; a null gate value (can't occur for a
           // partition column) scores against no query
           val gv =
-            if (gateLookup == null) -1
+            if (gw == null) -1
             else if (row.isNullAt(gateIdx)) -1
             else row.getAs[Number](gateIdx).intValue()
           var qi = 0
           while (qi < qs.length) {
-            if (gateLookup == null ||
-              (gv >= 0 && gv < gateLookup(qi).length && gateLookup(qi)(gv))) {
+            if (gw == null ||
+              (gv >= 0 && (gv >> 6) < gw(qi).length &&
+                (gw(qi)(gv >> 6) & (1L << (gv & 63))) != 0L)) {
               val qv = qs(qi)._2
               // a silent skip here would quietly drop corpus rows from
               // every result — mixed dimensions are a data bug, surface it
