@@ -190,6 +190,37 @@ class IvfIndexSpec extends SparkSpec {
       s"cosine batch must probe the angularly-aligned cluster, got $hits")
   }
 
+  test("searchBatch over a persisted scoped index prunes BOTH levels and equals per-query scoped search") {
+    val tmp = Files.createTempDirectory("graft-ivf-batch-scope-").toString
+    IvfIndex.build(embeddings, "vec_id", "embedding", nlist = 8,
+      componentCol = Some("label")).write(s"$tmp/ivf")
+    val loaded = IvfIndex.load(spark, s"$tmp/ivf", "vec_id", "embedding")
+    val comps = Seq(1, 3, 5)
+    val qs = embeddings.filter(col("vec_id").isin(0, 1, 2))
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val batchDf = loaded.searchBatch(qs, "qid", "qv", k = 5, nprobe = 3,
+      tieBreak = "vec_id", rankRoundDp = Some(4), components = comps)
+    // ONE scan, with the component restriction AND the probe union both
+    // as parquet PartitionFilters — the batch form keeps the flagship
+    // doubly-pruned shape
+    val plan = batchDf.queryExecution.executedPlan.toString
+    val pf = "PartitionFilters: \\[[^\\]]*\\]".r.findFirstIn(plan)
+    assert(pf.exists(f => f.contains("label") &&
+        f.contains(IvfIndex.ClusterCol)),
+      s"batch scan must prune both directory levels, got: $pf\n$plan")
+    // and the gate keeps per-query results equal to scoped single search
+    val batch = batchDf.select(col("query_id"), col("vec_id"), col("dist"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val single = queryVecs(3).zipWithIndex.flatMap { case (q, i) =>
+      loaded.search(q, 5, nprobe = 3, tieBreak = Some("vec_id"),
+          components = comps, rankRoundDp = Some(4))
+        .select("vec_id", "dist").collect()
+        .map(r => (i.toLong, r.getLong(0), r.getDouble(1)))
+    }.toSet
+    assert(batch == single)
+  }
+
   test("append assigns to existing centroids — no refit, appended vectors searchable") {
     val base = embeddings.filter(col("vec_id") % 2 === 0)
     val extra = embeddings.filter(col("vec_id") % 2 === 1)
