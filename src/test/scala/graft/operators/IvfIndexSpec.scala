@@ -465,24 +465,26 @@ class IvfIndexSpec extends SparkSpec {
     IvfIndex.compact(spark, path, s"$tmp/ok")
     assert(IvfIndex.load(spark, s"$tmp/ok", "vec_id", "embedding")
       .assigned.count() == embeddings.count())
-    // simulate a batch committing DURING the copy: run compact
-    // concurrently and inject a marker as soon as the dest directory
-    // appears (the copy job is underway, the re-list still ahead) — the
-    // guard must notice the new marker and abort rather than publish a
-    // root that silently lost that batch
-    val t = new Thread(() => {
-      // wait until the dest directory appears (copy underway), then add
-      // a new marker — a committed concurrent micro-batch
-      val dest = new java.io.File(s"$tmp/racy")
-      var spins = 0
-      while (!dest.exists() && spins < 2000) { Thread.sleep(5); spins += 1 }
-      mark("batch-1")
-    })
-    t.start()
-    val ex = intercept[IllegalStateException] {
-      IvfIndex.compact(spark, path, s"$tmp/racy")
+    // simulate a batch committing DURING the copy: a listener drops a
+    // new marker the moment compact runs its first Spark job — strictly
+    // after compact's marker snapshot (taken before the source read),
+    // strictly before its final re-list — so the injection is
+    // deterministic, not a sleep race. The guard must notice the marker
+    // and abort rather than publish a root that silently lost the batch.
+    val armedAt = System.currentTimeMillis()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        // the bus is async: ignore stragglers from jobs submitted before
+        // this test armed the listener — one delivered between arming
+        // and compact's snapshot would put the marker in BOTH listings
+        if (js.time >= armedAt) mark("batch-1")
     }
-    t.join()
+    spark.sparkContext.addSparkListener(listener)
+    val ex =
+      try intercept[IllegalStateException] {
+        IvfIndex.compact(spark, path, s"$tmp/racy")
+      } finally spark.sparkContext.removeSparkListener(listener)
     assert(ex.getMessage.contains("MID-COMPACT"), ex.getMessage)
     assert(ex.getMessage.contains("batch-1"), ex.getMessage)
     // the lock is released on BOTH exits: after the earlier success and
