@@ -103,8 +103,31 @@ object SparkEntry {
 
   /** Export DuckDB-readable replicas of BOTH persisted IVF roots for
     * `dir` (building them first if this JVM hasn't yet) — see
-    * [[IvfOracleRoot]]. Called by [[Verify]] after the query dump. */
+    * [[IvfOracleRoot]]. Called by [[Verify]] after the query dump.
+    * First reaps replica dirs left by FINISHED earlier runs (the
+    * per-pid path means nothing overwrites them): only sibling dirs
+    * whose embedded pid is no longer alive are deleted, so a concurrent
+    * Verify at another SF — the race the per-run path exists to
+    * prevent — is never touched. Best-effort: a cleanup failure must
+    * not fail the export. */
   private[graft] def exportIvfOracles(s: SparkSession, dir: String): Unit = {
+    try {
+      val tmp = new java.io.File(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"))
+      val prefix = s"graft_ivf_oracle_${sys.props.getOrElse("user.name", "anon")}_"
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      Option(tmp.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(f => f.isDirectory && f.getName.startsWith(prefix) &&
+          f.getName != new java.io.File(IvfOracleRoot).getName)
+        .foreach { f =>
+          val alive = f.getName.stripPrefix(prefix).toLongOption
+            .exists(pid => ProcessHandle.of(pid)
+              .map[java.lang.Boolean](_.isAlive).orElse(false))
+          if (!alive) rm(f)
+        }
+    } catch { case scala.util.control.NonFatal(_) => }
     ivfIndexFor(s, dir)
     ivfComponentIndexFor(s, dir)
     exportIvfOracle(s, ivfPathCache.get(dir), s"$IvfOracleRoot/single")
@@ -139,6 +162,53 @@ object SparkEntry {
   private[graft] def warmIvfIndexes(s: SparkSession, dir: String): Unit = {
     ivfIndexFor(s, dir)
     ivfComponentIndexFor(s, dir)
+  }
+
+  /** Shared scaffold for the optimizer-rule queries (q60/q61): install
+    * [[graft.plans.IvfAutoProbe]] imperatively (idempotent — the driver's
+    * session is not built with GraftExtensions; leaving it installed is
+    * safe because the rule no-ops while the nprobe conf is unset), set
+    * `spark.graft.ivf.nprobe`, build the declarative
+    * ORDER-BY-distance-LIMIT shape over the persisted single root,
+    * REQUIRE the injected `__ivf_cluster` Filter in the optimized plan
+    * (a silent non-fire must fail the query loudly, not let an exact
+    * scan impersonate the IVF path), and materialize the 10-row result
+    * WHILE the conf is set — a downstream re-plan (Verify's
+    * coalesce-write) would re-optimize with the conf restored and
+    * silently lose the rewrite. `distOf` supplies the per-query
+    * distance ordering (L2 for q60, cosine for q61). */
+  private def ivfAutoProbeQuery(s: SparkSession, dir: String,
+      label: String)(distOf: (Column, Seq[Float]) => Column): DataFrame = {
+    VectorExpressions.ensureRegistered(s)
+    ivfIndexFor(s, dir) // ensure the persisted root exists
+    val root = ivfPathCache.get(dir)
+    val q = queryVec(s, dir)
+    val exp = s.experimental
+    exp.synchronized {
+      if (!exp.extraOptimizations.exists(_.isInstanceOf[graft.plans.IvfAutoProbe]))
+        exp.extraOptimizations = exp.extraOptimizations :+
+          graft.plans.IvfAutoProbe(s)
+    }
+    val prev = s.conf.getOption(graft.plans.IvfAutoProbe.NprobeConf)
+    s.conf.set(graft.plans.IvfAutoProbe.NprobeConf, "6")
+    try {
+      val df = s.read.parquet(root)
+        .select(col("vec_id"),
+          round(distOf(col("embedding"), q), 4).as("dist"))
+        .orderBy(col("dist"), col("vec_id"))
+        .limit(10)
+      val fired = df.queryExecution.optimizedPlan.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+            if f.condition.references.exists(_.name == IvfIndex.ClusterCol)
+          => f
+      }.nonEmpty
+      require(fired, s"IvfAutoProbe rewrite did not fire on the $label plan")
+      val rows = df.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+    } finally prev match {
+      case Some(v) => s.conf.set(graft.plans.IvfAutoProbe.NprobeConf, v)
+      case None => s.conf.unset(graft.plans.IvfAutoProbe.NprobeConf)
+    }
   }
 
   /** The curation front end q54/q57 share: quality-score + language-ID →
@@ -753,7 +823,7 @@ object SparkEntry {
         .orderBy(col("query_id"), col("dist"), col("vec_id"))
     }),
 
-    "q60_ivf_autoprobe" -> ((s, dir) => {
+    "q60_ivf_autoprobe" -> ((s, dir) =>
       // The OPTIMIZER-RULE route to the same probe-pruned scan: a plain
       // declarative top-k (ORDER BY round(sqrt(graft_l2sq), 4) LIMIT 10)
       // over the persisted index root, with spark.graft.ivf.nprobe=6 —
@@ -762,86 +832,21 @@ object SparkEntry {
       // the REWRITE itself behind the correctness gate (q36/q56/q58
       // call the index API directly): the oracle replays q36's probe
       // selection + pruned scan + top-k, so a hash match proves the
-      // rewrite fired AND pruned to exactly the right clusters — if the
-      // rule failed to fire the require below fails the query loudly
-      // rather than letting an exact scan impersonate the IVF path.
-      // The result is materialized WHILE the nprobe conf is set (a
-      // downstream re-plan — Verify's coalesce-write — would otherwise
-      // re-optimize with the conf restored and silently lose the
-      // rewrite); 10 rows, answer-contract sized.
-      VectorExpressions.ensureRegistered(s)
-      ivfIndexFor(s, dir) // ensure the persisted root exists
-      val root = ivfPathCache.get(dir)
-      val q = queryVec(s, dir)
-      val exp = s.experimental
-      exp.synchronized {
-        if (!exp.extraOptimizations.exists(_.isInstanceOf[graft.plans.IvfAutoProbe]))
-          exp.extraOptimizations = exp.extraOptimizations :+
-            graft.plans.IvfAutoProbe(s)
-      }
-      val prev = s.conf.getOption(graft.plans.IvfAutoProbe.NprobeConf)
-      s.conf.set(graft.plans.IvfAutoProbe.NprobeConf, "6")
-      try {
-        val df = s.read.parquet(root)
-          .select(col("vec_id"),
-            round(sqrt(call_function("graft_l2sq", col("embedding"),
-              KnnSearch.litVec(q))), 4).as("dist"))
-          .orderBy(col("dist"), col("vec_id"))
-          .limit(10)
-        val fired = df.queryExecution.optimizedPlan.collectFirst {
-          case f: org.apache.spark.sql.catalyst.plans.logical.Filter
-              if f.condition.references.exists(_.name == IvfIndex.ClusterCol)
-            => f
-        }.nonEmpty
-        require(fired, "IvfAutoProbe rewrite did not fire on the q60 plan")
-        val rows = df.collect()
-        s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
-      } finally prev match {
-        case Some(v) => s.conf.set(graft.plans.IvfAutoProbe.NprobeConf, v)
-        case None => s.conf.unset(graft.plans.IvfAutoProbe.NprobeConf)
-      }
-    }),
+      // rewrite fired AND pruned to exactly the right clusters.
+      ivfAutoProbeQuery(s, dir, "q60")((v, q) =>
+        sqrt(call_function("graft_l2sq", v, KnnSearch.litVec(q))))),
 
-    "q61_ivf_autoprobe_cos" -> ((s, dir) => {
+    "q61_ivf_autoprobe_cos" -> ((s, dir) =>
       // q60's optimizer-rule route with the COSINE ordering: the rule
       // must recognize `1.0 - graft_cos(vec, const)` (under the
       // monotonic round wrapper) and rank probes ANGULARLY
       // (probeOrderCosine) — the metric dispatch that, single-query,
-      // is only reachable through the rewrite. Same conf dance and
-      // fired-require as q60; the oracle replays angular probe
-      // selection + the pruned scan + the rounded cosine top-k.
-      VectorExpressions.ensureRegistered(s)
-      ivfIndexFor(s, dir)
-      val root = ivfPathCache.get(dir)
-      val q = queryVec(s, dir)
-      val exp = s.experimental
-      exp.synchronized {
-        if (!exp.extraOptimizations.exists(_.isInstanceOf[graft.plans.IvfAutoProbe]))
-          exp.extraOptimizations = exp.extraOptimizations :+
-            graft.plans.IvfAutoProbe(s)
-      }
-      val prev = s.conf.getOption(graft.plans.IvfAutoProbe.NprobeConf)
-      s.conf.set(graft.plans.IvfAutoProbe.NprobeConf, "6")
-      try {
-        val df = s.read.parquet(root)
-          .select(col("vec_id"),
-            round(KnnSearch.NativeCosine.dist(col("embedding"), q), 4)
-              .as("dist"))
-          .orderBy(col("dist"), col("vec_id"))
-          .limit(10)
-        val fired = df.queryExecution.optimizedPlan.collectFirst {
-          case f: org.apache.spark.sql.catalyst.plans.logical.Filter
-              if f.condition.references.exists(_.name == IvfIndex.ClusterCol)
-            => f
-        }.nonEmpty
-        require(fired, "IvfAutoProbe rewrite did not fire on the q61 plan")
-        val rows = df.collect()
-        s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
-      } finally prev match {
-        case Some(v) => s.conf.set(graft.plans.IvfAutoProbe.NprobeConf, v)
-        case None => s.conf.unset(graft.plans.IvfAutoProbe.NprobeConf)
-      }
-    }),
+      // is only reachable through the rewrite. The oracle replays
+      // angular probe selection + the pruned scan + the rounded cosine
+      // top-k, so a hash match proves the rule dispatched the metric,
+      // not merely that it fired.
+      ivfAutoProbeQuery(s, dir, "q61")((v, q) =>
+        KnnSearch.NativeCosine.dist(v, q))),
 
     "q39_model_embed" -> ((s, dir) => {
       // The model-embedder seam under load: FakeModelEmbedder (the

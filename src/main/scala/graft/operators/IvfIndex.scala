@@ -377,9 +377,9 @@ object IvfIndex {
     * ENFORCED mechanically: the `_ingest_log` marker listing is
     * snapshotted BEFORE the source read and re-listed after the copy —
     * a marker that appeared in between means a streaming batch
-    * committed mid-compact, and the compact ABORTS (destPath must be
-    * discarded) instead of publishing a root that silently lost that
-    * batch. The residual race — a batch whose data landed after the
+    * committed mid-compact, and the compact ABORTS, deleting the
+    * fully-formed-but-incomplete destPath (left on disk it would load
+    * as a valid index that silently lost that batch). The residual race — a batch whose data landed after the
     * plan-time listing but whose marker had not yet been created at the
     * re-list — is the same crash window [[
     * graft.streaming.EventStreams.indexedIngest]] already documents;
@@ -421,15 +421,25 @@ object IvfIndex {
         s"compact: centroid sidecar copy to $dst failed — destPath is " +
           "incomplete (it would load via the lossy means fallback); " +
           "re-run compact")
-      val markersAfter = ingestMarkers(srcFs, srcRoot)
-      if (markersAfter != markersBefore) {
-        val gained = (markersAfter -- markersBefore).toSeq.sorted
+      // GAINED markers only: a marker that disappeared (crash-recovery
+      // cleanup, manual deletion) means no data the copy could have
+      // missed — aborting on it would discard a complete destPath
+      val gained = (ingestMarkers(srcFs, srcRoot) -- markersBefore)
+        .toSeq.sorted
+      if (gained.nonEmpty) {
+        // destPath is fully formed at this point (data + sidecar) yet
+        // silently missing the mid-compact batches — DELETE it before
+        // throwing, or any retry script that races/swallows the
+        // exception would load it as a valid index (the exact silent
+        // loss this guard exists to prevent)
+        val destRoot = new org.apache.hadoop.fs.Path(destPath)
+        destRoot.getFileSystem(conf).delete(destRoot, true)
         throw new IllegalStateException(
           s"compact: streaming ingest committed ${gained.size} batch(es) " +
             s"into $srcPath MID-COMPACT (${gained.mkString(", ")}) — " +
-            s"destPath $destPath is missing them and must be discarded. " +
-            "Quiesce the ingest query (stop it, or wait for its markers " +
-            "to settle) and re-run compact.")
+            s"destPath $destPath would have silently lost them and has " +
+            "been deleted. Quiesce the ingest query (stop it, or wait " +
+            "for its markers to settle) and re-run compact.")
       }
       graft.plans.IvfAutoProbe.invalidate(spark, destPath)
     } finally releaseCompactLock(spark, srcPath)
@@ -454,27 +464,39 @@ object IvfIndex {
   private def acquireCompactLock(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path): Unit = {
     val lock = new org.apache.hadoop.fs.Path(root, CompactLockFile)
+    // the already-exists diagnosis wraps ONLY the create: a failure
+    // writing the diagnostic body below happens on a lock WE own, and
+    // routing it here would misreport our own half-written lock as a
+    // foreign compactor's and leak it — wedging every future compact
+    // and ingest batch on this root until a human intervenes
+    val out =
+      try fs.create(lock, false)
+      catch {
+        // filesystems disagree on the no-overwrite failure type (hadoop
+        // FileAlreadyExistsException vs plain IOException on the local
+        // fs) — what is uniform is that the lock exists afterwards
+        case _: java.io.IOException if fs.exists(lock) =>
+          val owner =
+            try {
+              val in = fs.open(lock)
+              try new String(in.readAllBytes(), "UTF-8") finally in.close()
+            } catch { case scala.util.control.NonFatal(_) => "unknown" }
+          throw new IllegalStateException(
+            s"compact: $lock already exists ($owner) — another compact " +
+              "of this root is running, or a previous one crashed " +
+              "without cleanup. If no compact is live, release it with " +
+              "IvfIndex.releaseCompactLock and re-run.")
+      }
     try {
-      val out = fs.create(lock, false)
       out.write(
         s"pid=${ProcessHandle.current().pid()} ts=${
           java.time.Instant.now()}".getBytes("UTF-8"))
       out.close()
-    } catch {
-      // filesystems disagree on the no-overwrite failure type (hadoop
-      // FileAlreadyExistsException vs plain IOException on the local
-      // fs) — what is uniform is that the lock exists afterwards
-      case _: java.io.IOException if fs.exists(lock) =>
-        val owner =
-          try {
-            val in = fs.open(lock)
-            try new String(in.readAllBytes(), "UTF-8") finally in.close()
-          } catch { case scala.util.control.NonFatal(_) => "unknown" }
-        throw new IllegalStateException(
-          s"compact: $lock already exists ($owner) — another compact of " +
-            "this root is running, or a previous one crashed without " +
-            "cleanup. If no compact is live, release it with " +
-            "IvfIndex.releaseCompactLock and re-run.")
+    } catch { case e: java.io.IOException =>
+      // best-effort removal of our own lock; surface the ORIGINAL error
+      try fs.delete(lock, false)
+      catch { case scala.util.control.NonFatal(_) => }
+      throw e
     }
   }
 

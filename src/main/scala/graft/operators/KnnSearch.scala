@@ -227,9 +227,10 @@ object KnnSearch {
     // bit-packed per-query lookup keyed by the gate value (cluster ids
     // are small non-negative ints by construction): one word-index probe
     // per (row, query), no boxing in the hot loop, and ~nlist/8 bytes
-    // per query — at production shapes (nlist 64k, 1k queries) ~1 MB
-    // total, shipped through the SAME broadcast as the query vectors so
-    // it rides to each executor once rather than in every task closure
+    // per query — at production shapes (nlist 64k → 8 KB/query, so
+    // ~8 MB for a 1k-query batch) — shipped through the SAME broadcast
+    // as the query vectors so it rides to each executor once rather
+    // than in every task closure
     val gateWords: Array[Array[Long]] = gate.map { g =>
       val max = g.allowed.iterator.flatten.foldLeft(0)(math.max)
       g.allowed.map { ps =>

@@ -487,6 +487,10 @@ class IvfIndexSpec extends SparkSpec {
       } finally spark.sparkContext.removeSparkListener(listener)
     assert(ex.getMessage.contains("MID-COMPACT"), ex.getMessage)
     assert(ex.getMessage.contains("batch-1"), ex.getMessage)
+    // the abort must DELETE the fully-formed dest — left on disk it
+    // would load as a valid index silently missing the mid-copy batch
+    assert(!new java.io.File(s"$tmp/racy").exists(),
+      "aborted compact must delete its incomplete destPath")
     // the lock is released on BOTH exits: after the earlier success and
     // after this abort — a leak would freeze every future compact and
     // ingest batch on this root
