@@ -279,36 +279,59 @@ object IvfIndex {
   }
 
   /** V4: build the index — k-means (MLlib, seeded for reproducibility)
-    * then nearest-centroid assignment. One fit over a sample-friendly
-    * dataset; assignment is a narrow map. Pass `componentCol` to get the
+    * then nearest-centroid assignment. Pass `componentCol` to get the
     * component-scoped two-level layout from [[IvfIndex#write]]
-    * (centroids stay global — see the class scaladoc). */
+    * (centroids stay global — see the class scaladoc).
+    *
+    * `fitSampleFraction` is the 100 TB lever: k-means is an ITERATIVE
+    * algorithm — each iteration re-scans its input — so fitting on the
+    * full corpus pays ~iterations × corpus scans, which at scale
+    * dwarfs everything else in the build. Centroid quality needs only a
+    * representative sample (standard IVF practice: FAISS trains on
+    * ~30–256 points per centroid), so `fitSampleFraction < 1` fits on a
+    * seeded Bernoulli sample and then assigns the FULL corpus in ONE
+    * narrow pass over [[assignToCentroids]]'s fused native
+    * expressions — no shuffle, no per-iteration rescans of the corpus.
+    * The default 1.0 keeps the historical exact-fit path (its
+    * assignment comes from `model.transform`, preserved bit-for-bit for
+    * persisted-index reproducibility). Recall at equal nprobe degrades
+    * only marginally under sampling (spec: ≥ full-fit − 0.1 at 6/8 on
+    * the synthetic corpus) because probe pruning depends on cluster
+    * GEOMETRY, not on which rows voted for it. */
   def build(
       vecs: DataFrame,
       idCol: String,
       vecCol: String,
       nlist: Int,
       seed: Long = 42L,
-      componentCol: Option[String] = None): IvfIndex = {
+      componentCol: Option[String] = None,
+      fitSampleFraction: Double = 1.0): IvfIndex = {
     require(!vecs.columns.contains(ClusterCol),
       s"input already has a '$ClusterCol' column")
+    require(fitSampleFraction > 0.0 && fitSampleFraction <= 1.0,
+      s"fitSampleFraction must be in (0, 1], got $fitSampleFraction")
     componentCol.foreach { c =>
       require(vecs.columns.contains(c),
         s"componentCol '$c' not in input columns " +
           vecs.columns.mkString("[", ", ", "]"))
     }
     val featCol = "__ivf_features"
-    val feats = vecs.withColumn(featCol,
+    val fitInput =
+      if (fitSampleFraction >= 1.0) vecs
+      else vecs.sample(withReplacement = false, fitSampleFraction, seed)
+    val feats = fitInput.withColumn(featCol,
       array_to_vector(col(vecCol).cast("array<double>")))
     val model = new KMeans()
       .setK(nlist).setSeed(seed)
       .setFeaturesCol(featCol).setPredictionCol(ClusterCol)
       .fit(feats)
-    val assigned = model.transform(feats).drop(featCol)
     val centroids = model.clusterCenters
       .map(_.toArray.map(_.toFloat))
-    IvfIndex(centroids, assigned, idCol, vecCol,
-      centroids.indices.toArray, componentCol)
+    val clusterIds = centroids.indices.toArray
+    val assigned =
+      if (fitSampleFraction >= 1.0) model.transform(feats).drop(featCol)
+      else assignToCentroids(vecs, vecCol, centroids, clusterIds)
+    IvfIndex(centroids, assigned, idCol, vecCol, clusterIds, componentCol)
   }
 
   private[graft] val CentroidSidecar = "_centroids"

@@ -78,6 +78,39 @@ class IvfIndexSpec extends SparkSpec {
     assert(l2Hits.nonEmpty && l2Hits.subsetOf(near.map(_._1).toSet))
   }
 
+  test("sampled-fit build: exact at full probe, recall close to the full fit, narrow assignment") {
+    graft.plans.VectorExpressions.ensureRegistered(spark)
+    val sampled = IvfIndex.build(embeddings, "vec_id", "embedding",
+      nlist = 8, fitSampleFraction = 0.5)
+    // full-probe search is EXACT whatever the centroid quality — the
+    // sampling lever cannot cost correctness, only (bounded) recall
+    val q = queryVecs(1).head
+    val res = sampled.search(q, 10, nprobe = sampled.nlist,
+        tieBreak = Some("vec_id"))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(res == exactTopK(q, 10))
+    // the full corpus is assigned (not just the fit sample), in one
+    // NARROW pass — the whole point of sampling the iterative fit
+    assert(sampled.assigned.count() == embeddings.count())
+    val plan = sampled.assigned.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"sampled-fit assignment must be narrow:\n$plan")
+    // centroids fitted on half the corpus still prune well: recall at
+    // nprobe=6/8 within 0.1 of the full fit's (geometry, not votes)
+    def meanRecall(idx: IvfIndex): Double = {
+      val rs = queryVecs(10).map { qv =>
+        val exact = exactTopK(qv, 10)
+        val approx = idx.search(qv, 10, nprobe = 6,
+            tieBreak = Some("vec_id"))
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        exact.intersect(approx).size.toDouble / 10
+      }
+      rs.sum / rs.size
+    }
+    assert(meanRecall(sampled) >= meanRecall(index) - 0.1,
+      "sampled fit must not collapse recall")
+  }
+
   test("probe pruning cuts the scanned fraction") {
     val q = queryVecs(1).head
     val probes = index.probeOrder(q).take(2)
