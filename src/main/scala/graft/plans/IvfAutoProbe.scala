@@ -215,6 +215,18 @@ case class IvfAutoProbe(spark: SparkSession) extends Rule[LogicalPlan] {
 object IvfAutoProbe {
   val NprobeConf = "spark.graft.ivf.nprobe"
 
+  /** How long (ms) a root's sidecar LISTING stays fresh —
+    * see [[sidecarFingerprint]]. The default keeps steady-state queries
+    * from paying a list RPC per optimizer pass while out-of-JVM
+    * in-place rebuilds surface within a few seconds; set 0 to re-list
+    * on EVERY pass, making such rebuilds visible immediately at the
+    * cost of one driver-side list RPC per optimization — the knob that
+    * retires the "≤TTL stale probe" trade-off when a workload can't
+    * tolerate it. (Same-JVM rebuilds never wait on the TTL:
+    * [[invalidate]] drops the caches directly.) */
+  val ListingTtlConf = "spark.graft.ivf.listingTtlMs"
+  private val DefaultListingTtlMs = 3000L
+
   /** centroid-ranking strategy: (centroids, clusterIds, query) → cluster
     * ids best-first, one per supported distance ordering */
   private[plans] type ProbeRanker =
@@ -229,19 +241,14 @@ object IvfAutoProbe {
     new java.util.concurrent.ConcurrentHashMap[String,
       (Long, Option[String])]()
 
-  /** How long a listed fingerprint stays fresh. Optimizer rules can run
-    * several times per query; on an object store each
-    * [[sidecarFingerprint]] listing is a list RPC of driver latency, so
-    * steady-state queries reuse the last listing for a few seconds while
-    * out-of-JVM in-place rebuilds are still picked up promptly.
-    * Same-JVM rebuilds bypass the TTL entirely: [[invalidate]] is called
-    * from [[graft.operators.IvfIndex.write]]. The accepted trade-off: a
-    * query racing an OUT-of-JVM in-place rebuild can prune with
-    * centroids up to TTL seconds stale — on the opt-in approximate path,
-    * within the staleness any reader of an in-place-overwritten table
-    * already tolerates. Rebuild to a fresh root when that window
-    * matters. */
-  private val FingerprintTtlNanos = 3_000_000_000L
+  // The former fixed 3 s fingerprint TTL is now the [[ListingTtlConf]]
+  // session conf (default unchanged): a query racing an OUT-of-JVM
+  // in-place rebuild can prune with centroids up to TTL ms stale — on
+  // the opt-in approximate path, within the staleness any reader of an
+  // in-place-overwritten table already tolerates — and workloads that
+  // can't tolerate even that set the conf to 0 (or rebuild to a fresh
+  // root). Same-JVM rebuilds bypass the TTL entirely: [[invalidate]]
+  // is called from [[graft.operators.IvfIndex.write]].
 
   /** Cap on distinct roots the two driver caches remember. A long-lived
     * driver building a fresh temp-dir index per job would otherwise
@@ -287,13 +294,18 @@ object IvfAutoProbe {
     * SaveMode.Overwrite to the same root within one mtime tick — changes
     * the fingerprint. None when the sidecar is absent or empty (not an
     * IVF index). Driver-side metadata listing memoized per root for
-    * [[FingerprintTtlNanos]] (negative results too — a non-index table
-    * should not cost a list RPC per optimizer pass either). */
-  private def sidecarFingerprint(spark: SparkSession,
+    * [[ListingTtlConf]] ms (negative results too — a non-index table
+    * should not cost a list RPC per optimizer pass either).
+    * Package-visible so the spec can pin the TTL-vs-conf behavior
+    * directly. */
+  private[plans] def sidecarFingerprint(spark: SparkSession,
       root: String): Option[String] = {
+    val ttlNanos = Try(spark.conf.get(ListingTtlConf,
+      DefaultListingTtlMs.toString).toLong).getOrElse(DefaultListingTtlMs)
+      .max(0L) * 1_000_000L
     val now = System.nanoTime()
     val cached = fingerprintCache.get(root)
-    if (cached != null && now - cached._1 < FingerprintTtlNanos) cached._2
+    if (cached != null && now - cached._1 < ttlNanos) cached._2
     else {
       val fp = Try {
         val p = new org.apache.hadoop.fs.Path(

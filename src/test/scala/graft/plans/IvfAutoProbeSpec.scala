@@ -259,6 +259,33 @@ class IvfAutoProbeSpec extends SparkSpec {
     }
   }
 
+  test("listing TTL is a conf: default serves the cached listing, 0 re-lists every pass") {
+    val tmp = Files.createTempDirectory("graft-ttl-").toString
+    val path = s"$tmp/ivf"
+    IvfIndex.build(embeddings, "vec_id", "embedding", nlist = 4)
+      .write(path)
+    IvfAutoProbe.invalidate(spark, path) // start cold
+    val fp1 = IvfAutoProbe.sidecarFingerprint(spark, path)
+    assert(fp1.nonEmpty)
+    // out-of-JVM in-place rebuild, reduced to its observable: the
+    // sidecar's (name, length, mtime) listing changes underneath the
+    // cache (append a byte — mtime granularity alone can be coarse)
+    val f = new java.io.File(s"$path/_centroids").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val out = new java.io.FileOutputStream(f, true)
+    out.write(0); out.close()
+    // within the default TTL the STALE listing is served — the
+    // documented ≤TTL trade-off this conf exists to tune away
+    assert(IvfAutoProbe.sidecarFingerprint(spark, path) == fp1,
+      "within the default TTL the cached listing must be served")
+    spark.conf.set(IvfAutoProbe.ListingTtlConf, "0")
+    try {
+      val fp2 = IvfAutoProbe.sidecarFingerprint(spark, path)
+      assert(fp2.nonEmpty && fp2 != fp1,
+        "TTL 0 must pick up the rebuild on the very next pass")
+    } finally spark.conf.unset(IvfAutoProbe.ListingTtlConf)
+  }
+
   test("probe filter prunes directories (fewer files read than full scan)") {
     withRule(2) {
       val loaded = spark.read.parquet(indexPath)
