@@ -54,7 +54,11 @@ object SparkEntry {
         "embedding", nlist = 8)
       val p = java.nio.file.Files
         .createTempDirectory("graft_ivf_").toString
-      built.write(p)
+      // quantize: the SAME root serves the exact probed path (q36 reads
+      // only the float vectors) and the SQ8 path (q62 reads only the
+      // 1-byte/dim codes) — parquet column pruning keeps each from
+      // paying for the other's column
+      built.write(p, quantize = true)
       p
     })
     IvfIndex.load(s, path, "vec_id", "embedding")
@@ -99,6 +103,11 @@ object SparkEntry {
       .write.mode("overwrite").parquet(s"$dest/data")
     s.read.parquet(s"$indexRoot/${IvfIndex.CentroidSidecar}").coalesce(1)
       .write.mode("overwrite").parquet(s"$dest/centroids")
+    // quantized roots also export their SQ8 grid so the q62 oracle can
+    // replay the byte decode (index roots are local temp dirs)
+    if (new java.io.File(s"$indexRoot/${IvfIndex.Sq8Sidecar}").exists())
+      s.read.parquet(s"$indexRoot/${IvfIndex.Sq8Sidecar}").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dest/sq8")
   }
 
   /** Export DuckDB-readable replicas of BOTH persisted IVF roots for
@@ -847,6 +856,26 @@ object SparkEntry {
       // not merely that it fired.
       ivfAutoProbeQuery(s, dir, "q61")((v, q) =>
         KnnSearch.NativeCosine.dist(v, q))),
+
+    "q62_ivf_sq8" -> ((s, dir) => {
+      // IVF-SQ8 (the FAISS `IVF..,SQ8` shape): the probed scan's
+      // approximate ranking pass reads the 1-byte/dim __sq8_code column
+      // — 4× less data than the float vectors — via the fused
+      // decode-and-distance native expression; the top k·refine
+      // candidates then get an exact re-rank over only their full
+      // vectors. Hash-oracled end-to-end: the oracle hex-decodes the
+      // exported code bytes, replays the same affine decode + squared
+      // distance (all double, list_sum in dim order), the candidate
+      // cut, and the exact rounded top-k. The approximate pass is thus
+      // verified BIT-EXACTLY, not just recall-graded — quantization is
+      // deterministic even though it is lossy.
+      VectorExpressions.ensureRegistered(s)
+      val q = queryVec(s, dir)
+      ivfIndexFor(s, dir).searchQuantized(q, 10, nprobe = 6, refine = 4,
+          tieBreak = Some("vec_id"), rankRoundDp = Some(4))
+        .select(col("vec_id"), col("dist"))
+        .orderBy(col("dist"), col("vec_id"))
+    }),
 
     "q39_model_embed" -> ((s, dir) => {
       // The model-embedder seam under load: FakeModelEmbedder (the
@@ -1926,6 +1955,53 @@ object SparkEntry {
                       ELSE 1.0 - dot / (sqrt(nv) * sqrt(nq)) END, 4)
              AS dist
          FROM d
+         ORDER BY dist, vec_id LIMIT 10""",
+
+    // The IVF-SQ8 replay (q62): probes as q36, then the APPROXIMATE
+    // pass bit-exactly — each code byte comes back via
+    // hex()/substr/CAST, decodes through the exported affine grid
+    // (mins/scales, the exact doubles Spark used), and the squared
+    // diffs fold in dim order like the fused expression; the top
+    // k·refine = 40 candidate ids (ties by vec_id) then get the exact
+    // rounded re-rank. A hash match proves the lossy-but-deterministic
+    // quantization arithmetic end to end.
+    "q62_ivf_sq8" ->
+      raw"""WITH q AS (
+           SELECT embedding::DOUBLE[] AS qv FROM embeddings
+           WHERE vec_id = 0),
+         cent AS (
+           SELECT cluster_id, centroid FROM
+             read_parquet('$IvfOracleRoot/single/centroids/*.parquet')),
+         probes AS (
+           SELECT cluster_id FROM cent, q
+           ORDER BY list_sum(list_transform(range(1, len(centroid) + 1),
+             i -> (centroid[i]::DOUBLE - qv[i]) *
+                  (centroid[i]::DOUBLE - qv[i]))),
+             cluster_id
+           LIMIT 6),
+         p AS (
+           SELECT mins, scales FROM
+             read_parquet('$IvfOracleRoot/single/sq8/*.parquet')),
+         a AS (
+           SELECT e.vec_id,
+             list_sum(list_transform(range(1, len(q.qv) + 1), i ->
+               ((p.mins[i] + CAST(concat('0x',
+                   substr(hex(e.__sq8_code), 2 * i - 1, 2)) AS INT)
+                   * p.scales[i]) - q.qv[i])
+               * ((p.mins[i] + CAST(concat('0x',
+                   substr(hex(e.__sq8_code), 2 * i - 1, 2)) AS INT)
+                   * p.scales[i]) - q.qv[i]))) AS ad
+           FROM read_parquet('$IvfOracleRoot/single/data/*.parquet') e,
+             q, p
+           WHERE e.__ivf_cluster IN (SELECT cluster_id FROM probes)),
+         cand AS (
+           SELECT vec_id FROM a ORDER BY ad, vec_id LIMIT 40)
+         SELECT e.vec_id,
+           round(list_distance(e.embedding::DOUBLE[], (SELECT qv FROM q)),
+             4) AS dist
+         FROM read_parquet('$IvfOracleRoot/single/data/*.parquet') e, q
+         WHERE e.vec_id IN (SELECT vec_id FROM cand)
+           AND e.__ivf_cluster IN (SELECT cluster_id FROM probes)
          ORDER BY dist, vec_id LIMIT 10""",
 
     // q38's proven composition SQL with candidate generation swapped for

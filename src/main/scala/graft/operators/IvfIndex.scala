@@ -52,7 +52,8 @@ final case class IvfIndex(
     idCol: String,
     vecCol: String,
     clusterIds: Array[Int],
-    componentCol: Option[String] = None) {
+    componentCol: Option[String] = None,
+    sq8Params: Option[(Seq[Double], Seq[Double])] = None) {
 
   require(clusterIds.length == centroids.length,
     "clusterIds must align with centroids")
@@ -155,6 +156,62 @@ final case class IvfIndex(
       gate = Some(KnnSearch.BatchGate(IvfIndex.ClusterCol, perQueryProbes)))
   }
 
+  /** Quantized V5 (IVF-SQ8, the FAISS `IVF...,SQ8` shape): the
+    * approximate ranking pass scans the 1-byte/dim `__sq8_code` column
+    * instead of the 4-byte/dim float vectors — parquet column pruning
+    * makes the probed scan read ~4× less data — ranking by the fused
+    * decode-and-distance expression ([[graft.plans.Sq8L2SquaredExpr]]);
+    * the top `k·refine` candidate ids then get an EXACT re-rank reading
+    * the full vectors of only those rows (same partition-pruned scan
+    * plus an id filter). Output contract matches [[search]] (corpus
+    * columns + rounded-rank `dist`); metric is L2 — the quantization
+    * grid is affine per dimension, which preserves L2 geometry but not
+    * angles. Requires an index written with `quantize = true` and
+    * loaded from disk; recall loss beyond the IVF probe approximation
+    * is bounded by the refine margin (spec: ≥0.9 at refine=4 on the
+    * synthetic corpus, and bit-equal to [[search]] when refine covers
+    * the whole probed scan). Both passes — byte decode arithmetic
+    * included — are double-deterministic, so the driver oracle (q62)
+    * replays candidate selection from the hex bytes and the exact
+    * re-rank independently. */
+  def searchQuantized(
+      query: Seq[Float],
+      k: Int,
+      nprobe: Int,
+      refine: Int = 4,
+      tieBreak: Option[String] = None,
+      components: Seq[Int] = Nil,
+      rankRoundDp: Option[Int] = None): DataFrame = {
+    val (mins, scales) = sq8Params.getOrElse(throw new IllegalStateException(
+      "searchQuantized needs a quantized index: write(path, " +
+        "quantize = true), then load(...) — this one has no " +
+        s"${IvfIndex.Sq8Sidecar} params"))
+    require(assigned.columns.contains(IvfIndex.Sq8CodeCol),
+      s"quantized params present but no ${IvfIndex.Sq8CodeCol} column — " +
+        "corrupted index root?")
+    require(refine >= 1, s"refine must be >= 1, got $refine")
+    graft.plans.VectorExpressions.ensureRegistered(assigned.sparkSession)
+    val probes = probeOrder(query).take(math.max(1, nprobe))
+    val scan = componentScope(components)
+      .filter(col(IvfIndex.ClusterCol).isin(probes: _*))
+    // approximate pass: ReadSchema is (id, code) + partition columns —
+    // the float vectors are never read here (spec-asserted)
+    val cand = scan
+      .select(col(idCol), call_function("graft_sq8_l2sq",
+        col(IvfIndex.Sq8CodeCol), KnnSearch.litVec(query),
+        typedLit(mins ++ scales)).as("__sq8_d"))
+      .orderBy(col("__sq8_d"), col(idCol))
+      .limit(k * refine)
+      .select(idCol).collect().map(_.get(0))
+    // exact pass over ONLY the candidates: same doubly-pruned scan plus
+    // an id filter; k·refine rows cross it
+    KnnSearch.topK(
+      scan.filter(col(idCol).isin(cand.toSeq: _*))
+        .drop(IvfIndex.Sq8CodeCol),
+      vecCol, query, k, KnnSearch.NativeL2, tieBreak,
+      rankRoundDp = rankRoundDp)
+  }
+
   /** the corpus restricted to `components` (the reference's
     * `partition_names`) — a partition-column filter on the two-level
     * layout, the whole corpus when unscoped. */
@@ -194,16 +251,45 @@ final case class IvfIndex(
     * few KB) ride along in a `_centroids` sidecar so [[IvfIndex.load]]
     * never has to re-derive them from the corpus; the underscore prefix
     * hides the sidecar from Spark's data-file listing, so reading `path`
-    * sees only the vectors. */
-  def write(path: String): Unit = {
-    assigned.write.mode(SaveMode.Overwrite)
-      .partitionBy(componentCol.toSeq :+ IvfIndex.ClusterCol: _*)
-      .parquet(path)
+    * sees only the vectors.
+    *
+    * `quantize = true` additionally derives per-dimension SQ8 affine
+    * params from THIS corpus (one cheap 64-key aggregation), stores a
+    * 1-byte/dim `__sq8_code` column beside each vector, and drops the
+    * params into a `_sq8_params` sidecar — enabling
+    * [[searchQuantized]]'s 4×-less-bytes approximate ranking pass on
+    * the loaded index. The float vectors stay: parquet is columnar, so
+    * exact searches read only `vecCol` and quantized first passes read
+    * only the code column; nothing pays for both. */
+  def write(path: String, quantize: Boolean = false): Unit = {
     val spark = assigned.sparkSession
     import spark.implicits._
+    val sq8 =
+      if (!quantize) None
+      else {
+        require(!assigned.columns.contains(IvfIndex.Sq8CodeCol),
+          s"input already has a '${IvfIndex.Sq8CodeCol}' column")
+        graft.plans.VectorExpressions.ensureRegistered(spark)
+        Some(IvfIndex.sq8ParamsOf(assigned, vecCol))
+      }
+    val data = sq8 match {
+      case Some((mins, scales)) =>
+        assigned.withColumn(IvfIndex.Sq8CodeCol,
+          call_function("graft_sq8_encode", col(vecCol),
+            typedLit(mins ++ scales)))
+      case None => assigned
+    }
+    data.write.mode(SaveMode.Overwrite)
+      .partitionBy(componentCol.toSeq :+ IvfIndex.ClusterCol: _*)
+      .parquet(path)
     clusterIds.zip(centroids).toSeq.toDF("cluster_id", "centroid")
       .coalesce(1).write.mode(SaveMode.Overwrite)
       .parquet(s"$path/${IvfIndex.CentroidSidecar}")
+    sq8.foreach { case (mins, scales) =>
+      Seq((mins, scales)).toDF("mins", "scales")
+        .coalesce(1).write.mode(SaveMode.Overwrite)
+        .parquet(s"$path/${IvfIndex.Sq8Sidecar}")
+    }
     // same-JVM in-place rebuild: the auto-probe rule's driver caches
     // (listing TTL + centroids) must not serve the old index
     graft.plans.IvfAutoProbe.invalidate(spark, path)
@@ -336,6 +422,34 @@ object IvfIndex {
 
   private[graft] val CentroidSidecar = "_centroids"
 
+  /** 1-byte/dim SQ8 code column a `quantize = true` [[IvfIndex#write]]
+    * stores beside each vector */
+  private[graft] val Sq8CodeCol = "__sq8_code"
+
+  /** sidecar holding the per-dimension SQ8 affine params (one row:
+    * mins array<double>, scales array<double>) — underscore-hidden from
+    * Spark's data listing like the centroid sidecar */
+  private[graft] val Sq8Sidecar = "_sq8_params"
+
+  /** Per-dimension SQ8 affine params from the corpus: min_d and
+    * scale_d = (max_d − min_d)/255. One aggregation keyed on (dim) —
+    * dim-count keys with scalar min/max buffers, order-independent and
+    * therefore deterministic; the mins/maxes are exact float values
+    * widened to double, so a SQL replay reproduces the grid exactly.
+    * A constant dimension gets scale 0 (its codes are all 0 and decode
+    * to the exact constant). */
+  private[graft] def sq8ParamsOf(vecs: DataFrame, vecCol: String)
+      : (Seq[Double], Seq[Double]) = {
+    val rows = vecs
+      .select(posexplode(col(vecCol)).as(Seq("d", "x")))
+      .groupBy("d").agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .collect()
+      .map(r => (r.getInt(0), r.getFloat(1).toDouble, r.getFloat(2).toDouble))
+      .sortBy(_._1)
+    (rows.map(_._2).toSeq,
+      rows.map { case (_, mn, mx) => (mx - mn) / 255.0 }.toSeq)
+  }
+
   /** Nearest-EXISTING-centroid assignment as one narrow column
     * expression: per row, an array of (native l2sq distance, cluster id)
     * structs — struct ordering makes `array_min` the argmin with a
@@ -371,11 +485,26 @@ object IvfIndex {
   def appendTo(spark: SparkSession, path: String, newVecs: DataFrame,
       idCol: String, vecCol: String): Unit = {
     val idx = load(spark, path, idCol, vecCol)
+    val assignedNew =
+      assignToCentroids(newVecs, vecCol, idx.centroids, idx.clusterIds)
+    // a QUANTIZED root's appended rows must carry codes too — appending
+    // without the column would leave nulls under schema merge and make
+    // the rows silently invisible to searchQuantized's first pass. The
+    // grid is FIXED at build time (like the centroids): out-of-range
+    // appended values clamp to the grid edge, the standard SQ8 drift
+    // trade-off — rebuild to refresh the grid along with the centroids.
+    val withCodes = idx.sq8Params match {
+      case Some((mins, scales)) =>
+        graft.plans.VectorExpressions.ensureRegistered(spark)
+        assignedNew.withColumn(Sq8CodeCol,
+          call_function("graft_sq8_encode", col(vecCol),
+            typedLit(mins ++ scales)))
+      case None => assignedNew
+    }
     // append INTO the existing directory layout — flattening a two-level
     // component/cluster index down to cluster-only partitions would
     // silently break the component prune for every later scoped search
-    assignToCentroids(newVecs, vecCol, idx.centroids, idx.clusterIds)
-      .write.mode(SaveMode.Append)
+    withCodes.write.mode(SaveMode.Append)
       .partitionBy(idx.componentCol.toSeq :+ ClusterCol: _*).parquet(path)
   }
 
@@ -444,6 +573,17 @@ object IvfIndex {
         s"compact: centroid sidecar copy to $dst failed — destPath is " +
           "incomplete (it would load via the lossy means fallback); " +
           "re-run compact")
+      // a quantized root's SQ8 params ride along the same way — losing
+      // them would turn every searchQuantized on the compacted root
+      // into a (loud) failure
+      val sq8Src = new org.apache.hadoop.fs.Path(s"$srcPath/$Sq8Sidecar")
+      if (sq8Src.getFileSystem(conf).exists(sq8Src)) {
+        val sq8Dst = new org.apache.hadoop.fs.Path(s"$destPath/$Sq8Sidecar")
+        require(org.apache.hadoop.fs.FileUtil.copy(
+          sq8Src.getFileSystem(conf), sq8Src,
+          sq8Dst.getFileSystem(conf), sq8Dst, false, conf),
+          s"compact: SQ8 params sidecar copy to $sq8Dst failed — re-run")
+      }
       // GAINED markers only: a marker that disappeared (crash-recovery
       // cleanup, manual deletion) means no data the copy could have
       // missed — aborting on it would discard a complete destPath
@@ -602,7 +742,15 @@ object IvfIndex {
         }
       loaded.sortBy(_._1)
     }
+    // quantized roots carry their SQ8 grid in a sidecar; its absence
+    // just means the index was written unquantized
+    val sq8 =
+      try {
+        val r = spark.read.parquet(s"$path/$Sq8Sidecar").head()
+        Some((r.getSeq[Double](r.fieldIndex("mins")),
+          r.getSeq[Double](r.fieldIndex("scales"))))
+      } catch { case _: org.apache.spark.sql.AnalysisException => None }
     IvfIndex(byId.map(_._2), assigned, idCol, vecCol, byId.map(_._1),
-      component)
+      component, sq8)
   }
 }

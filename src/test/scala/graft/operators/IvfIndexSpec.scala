@@ -111,6 +111,73 @@ class IvfIndexSpec extends SparkSpec {
       "sampled fit must not collapse recall")
   }
 
+  test("SQ8: round-trips, exact when refine covers the scan, recall holds, code-only first pass, survives append+compact") {
+    graft.plans.VectorExpressions.ensureRegistered(spark)
+    val tmp = Files.createTempDirectory("graft-ivf-sq8-").toString
+    val path = s"$tmp/ivf"
+    index.write(path, quantize = true)
+    val loaded = IvfIndex.load(spark, path, "vec_id", "embedding")
+    assert(loaded.sq8Params.nonEmpty, "load must recover the SQ8 grid")
+    val q = queryVecs(1).head
+    def quantized(idx: IvfIndex, refine: Int) =
+      idx.searchQuantized(q, 10, nprobe = 6, refine = refine,
+          tieBreak = Some("vec_id"), rankRoundDp = Some(4))
+        .select("vec_id", "dist").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // refine covering the whole probed scan ⇒ the exact re-rank sees
+    // every probed row ⇒ bit-equal to the unquantized probed search
+    val exact = loaded.search(q, 10, nprobe = 6,
+        metric = KnnSearch.NativeL2, tieBreak = Some("vec_id"),
+        rankRoundDp = Some(4))
+      .select("vec_id", "dist").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(quantized(loaded, refine = 1000) == exact)
+    // the production refine margin holds recall against the true top-k
+    val rs = queryVecs(10).map { qv =>
+      val ex = exactTopK(qv, 10)
+      val ap = loaded.searchQuantized(qv, 10, nprobe = loaded.nlist,
+          refine = 4, tieBreak = Some("vec_id"))
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      ex.intersect(ap).size.toDouble / 10
+    }
+    assert(rs.sum / rs.size >= 0.9, s"SQ8 recall: ${rs.sum / rs.size}")
+    // the approximate pass reads codes, never the float vectors — the
+    // 4×-less-bytes point of quantizing (same shape searchQuantized
+    // plans internally)
+    val (mins, scales) = loaded.sq8Params.get
+    val approxPlan = loaded.assigned
+      .filter(col(IvfIndex.ClusterCol)
+        .isin(loaded.probeOrder(q).take(6): _*))
+      .select(col("vec_id"), call_function("graft_sq8_l2sq",
+        col("__sq8_code"), KnnSearch.litVec(q),
+        typedLit(mins ++ scales)).as("d"))
+      .orderBy(col("d"), col("vec_id")).limit(40)
+      .queryExecution.executedPlan.toString
+    assert(approxPlan.contains("PartitionFilters") &&
+      !approxPlan.contains("embedding"),
+      s"approx pass must scan codes only:\n$approxPlan")
+    // appended rows get codes against the FIXED grid (no silent
+    // null-code rows invisible to the first pass)...
+    val extraQ = embeddings.filter(col("vec_id") === 1)
+      .select("embedding").head().getSeq[Float](0)
+    val half = Files.createTempDirectory("graft-ivf-sq8h-").toString
+    IvfIndex.build(embeddings.filter(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", nlist = 8).write(s"$half/ivf", quantize = true)
+    IvfIndex.appendTo(spark, s"$half/ivf",
+      embeddings.filter(col("vec_id") % 2 === 1), "vec_id", "embedding")
+    val grown = IvfIndex.load(spark, s"$half/ivf", "vec_id", "embedding")
+    val hit = grown.searchQuantized(extraQ, 1, nprobe = 2, refine = 4,
+        tieBreak = Some("vec_id"))
+      .select("vec_id").head().getLong(0)
+    assert(hit == 1L, "appended rows must be visible to the SQ8 pass")
+    // ...and compact carries the SQ8 sidecar to the fresh root
+    IvfIndex.compact(spark, path, s"$tmp/ivf2")
+    val comp = IvfIndex.load(spark, s"$tmp/ivf2", "vec_id", "embedding")
+    assert(comp.sq8Params == loaded.sq8Params,
+      "compact must preserve the SQ8 grid")
+    assert(quantized(comp, refine = 4) == quantized(loaded, refine = 4))
+  }
+
   test("probe pruning cuts the scanned fraction") {
     val q = queryVecs(1).head
     val probes = index.probeOrder(q).take(2)

@@ -182,4 +182,59 @@ class VectorExpressionsSpec extends SparkSpec {
       .groupBy("b").count().count()
     assert(rawCollapsed == 1L)
   }
+
+  test("sq8 encode/distance: exact on grid points, bounded error off-grid, null edges") {
+    import spark.implicits._
+    // grid min=0 scale=1 per dim: values ON grid points decode exactly,
+    // so the fused code-vs-self distance must be 0.0 exactly
+    val onGrid = Seq(Tuple1(Seq(0f, 1f, 255f))).toDF("v")
+    val params3 = typedLit(Seq(0.0, 0.0, 0.0, 1.0, 1.0, 1.0))
+    val zero = onGrid.select(
+      call_function("graft_sq8_l2sq",
+        call_function("graft_sq8_encode", col("v"), params3),
+        col("v"), params3).as("d")).head().getDouble(0)
+    assert(zero == 0.0)
+    // off-grid values quantize within half a step per dim: the
+    // code-space distance to self is bounded by n·(scale/2)²
+    val off = vecsDf.select(col("a").as("v"))
+    val params = {
+      val (mins, scales) =
+        graft.operators.IvfIndex.sq8ParamsOf(off, "v")
+      typedLit(mins ++ scales)
+    }
+    val maxSelf = off.select(
+      call_function("graft_sq8_l2sq",
+        call_function("graft_sq8_encode", col("v"), params),
+        col("v"), params).as("d"))
+      .agg(max(col("d"))).head().getDouble(0)
+    // 64 dims × (scale/2)² with scale ≈ 2/255 → ≈ 64 × 1.6e-5
+    assert(maxSelf <= 64 * math.pow(2.0 / 255 / 2, 2) * 1.01,
+      s"self distance too large: $maxSelf")
+    // codegen (DataFrame path) agrees with interpreted eval on literals
+    // (same guard as the other native exprs)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+    val (mins, scales) = graft.operators.IvfIndex.sq8ParamsOf(off, "v")
+    val sample = vecsDf.limit(20)
+      .select(col("a"),
+        call_function("graft_sq8_encode", col("a"), params).as("c"),
+        call_function("graft_sq8_l2sq",
+          call_function("graft_sq8_encode", col("a"), params),
+          col("a"), params).as("d"))
+      .collect()
+    sample.foreach { r =>
+      val v = r.getSeq[Float](0)
+      val interp = Sq8L2SquaredExpr(
+        Literal.create(r.getAs[Array[Byte]](1),
+          org.apache.spark.sql.types.BinaryType),
+        Literal.create(v, ArrayType(FloatType)),
+        Literal.create(mins ++ scales, ArrayType(DoubleType)))
+        .eval(null).asInstanceOf[Double]
+      assert(interp == r.getDouble(2), "interpreted != codegen")
+    }
+    // length-mismatched params → null, not garbage
+    val bad = onGrid.select(call_function("graft_sq8_encode", col("v"),
+      typedLit(Seq(0.0))).as("c")).head()
+    assert(bad.isNullAt(0))
+  }
 }
