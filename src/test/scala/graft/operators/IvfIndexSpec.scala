@@ -178,6 +178,47 @@ class IvfIndexSpec extends SparkSpec {
     assert(quantized(comp, refine = 4) == quantized(loaded, refine = 4))
   }
 
+  test("SQ8 composes with component scope: both prunes + code-only pass, parity with scoped exact search") {
+    graft.plans.VectorExpressions.ensureRegistered(spark)
+    val tmp = Files.createTempDirectory("graft-ivf-sq8-scope-").toString
+    IvfIndex.build(embeddings, "vec_id", "embedding", nlist = 8,
+      componentCol = Some("label")).write(s"$tmp/ivf", quantize = true)
+    val loaded = IvfIndex.load(spark, s"$tmp/ivf", "vec_id", "embedding")
+    assert(loaded.sq8Params.nonEmpty && loaded.componentCol.contains("label"))
+    val comps = Seq(1, 3, 5)
+    val q = queryVecs(1).head
+    // refine covering the scoped probed scan ⇒ bit-equal to the scoped
+    // exact search — quantization composes with the component filter
+    val wide = loaded.searchQuantized(q, 10, nprobe = 6, refine = 1000,
+        tieBreak = Some("vec_id"), components = comps,
+        rankRoundDp = Some(4))
+      .select("vec_id", "dist").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val exact = loaded.search(q, 10, nprobe = 6,
+        metric = KnnSearch.NativeL2, tieBreak = Some("vec_id"),
+        components = comps, rankRoundDp = Some(4))
+      .select("vec_id", "dist").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(wide == exact)
+    // the scoped approx pass prunes BOTH directory levels and reads
+    // codes, not floats
+    val (mins, scales) = loaded.sq8Params.get
+    val plan = loaded.assigned
+      .filter(col("label").isin(comps: _*))
+      .filter(col(IvfIndex.ClusterCol)
+        .isin(loaded.probeOrder(q).take(6): _*))
+      .select(col("vec_id"), call_function("graft_sq8_l2sq",
+        col("__sq8_code"), KnnSearch.litVec(q),
+        typedLit(mins ++ scales)).as("d"))
+      .orderBy(col("d"), col("vec_id")).limit(40)
+      .queryExecution.executedPlan.toString
+    val pf = "PartitionFilters: \\[[^\\]]*\\]".r.findFirstIn(plan)
+    assert(pf.exists(f => f.contains("label") &&
+      f.contains(IvfIndex.ClusterCol)), s"both prunes expected: $pf")
+    assert(!plan.contains("embedding"),
+      s"scoped approx pass must scan codes only:\n$plan")
+  }
+
   test("probe pruning cuts the scanned fraction") {
     val q = queryVecs(1).head
     val probes = index.probeOrder(q).take(2)
