@@ -114,19 +114,21 @@ object SparkEntry {
     * `dir` (building them first if this JVM hasn't yet) — see
     * [[IvfOracleRoot]]. Called by [[Verify]] after the query dump.
     * First reaps replica dirs left by FINISHED earlier runs (the
-    * per-pid path means nothing overwrites them): only sibling dirs
-    * whose embedded pid is no longer alive are deleted, so a concurrent
-    * Verify at another SF — the race the per-run path exists to
-    * prevent — is never touched. Best-effort: a cleanup failure must
-    * not fail the export. */
+    * per-pid path means nothing overwrites them). A dir is reaped only
+    * when its embedded pid is dead AND it is older than a generous
+    * grace window: pid death alone is the WRONG criterion, because the
+    * replica's consumer (the DuckDB compare) runs strictly AFTER its
+    * Verify JVM exits — a concurrent run's reaper keyed on liveness
+    * alone would delete a replica mid-compare. Within the window
+    * nothing is touched; past it the compare has long finished.
+    * Best-effort: a cleanup failure must not fail the export. */
   private[graft] def exportIvfOracles(s: SparkSession, dir: String): Unit = {
     try {
       val tmp = new java.io.File(
         sys.props.getOrElse("java.io.tmpdir", "/tmp"))
       val prefix = s"graft_ivf_oracle_${sys.props.getOrElse("user.name", "anon")}_"
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-      }
+      val graceMs = 6L * 60 * 60 * 1000 // 6 h ≫ any Verify→compare gap
+      val cutoff = System.currentTimeMillis() - graceMs
       Option(tmp.listFiles()).getOrElse(Array.empty[java.io.File])
         .filter(f => f.isDirectory && f.getName.startsWith(prefix) &&
           f.getName != new java.io.File(IvfOracleRoot).getName)
@@ -134,7 +136,8 @@ object SparkEntry {
           val alive = f.getName.stripPrefix(prefix).toLongOption
             .exists(pid => ProcessHandle.of(pid)
               .map[java.lang.Boolean](_.isAlive).orElse(false))
-          if (!alive) rm(f)
+          if (!alive && f.lastModified() < cutoff)
+            org.apache.hadoop.fs.FileUtil.fullyDelete(f)
         }
     } catch { case scala.util.control.NonFatal(_) => }
     ivfIndexFor(s, dir)

@@ -239,8 +239,24 @@ final case class IvfIndex(
   def append(newVecs: DataFrame): IvfIndex = {
     require(!newVecs.columns.contains(IvfIndex.ClusterCol),
       s"input already has a '${IvfIndex.ClusterCol}' column")
-    copy(assigned = assigned.unionByName(
-      IvfIndex.assignToCentroids(newVecs, vecCol, centroids, clusterIds)))
+    require(!newVecs.columns.contains(IvfIndex.Sq8CodeCol),
+      s"input already has a '${IvfIndex.Sq8CodeCol}' column")
+    val assignedNew =
+      IvfIndex.assignToCentroids(newVecs, vecCol, centroids, clusterIds)
+    // a QUANTIZED index's appended rows need codes too, or the
+    // unionByName would fail on the column mismatch — and even a lenient
+    // union would leave null codes invisible to searchQuantized's first
+    // pass. Same fixed-grid encode as [[IvfIndex.appendTo]].
+    val withCodes = sq8Params match {
+      case Some((mins, scales)) =>
+        graft.plans.VectorExpressions
+          .ensureRegistered(assigned.sparkSession)
+        assignedNew.withColumn(IvfIndex.Sq8CodeCol,
+          call_function("graft_sq8_encode", col(vecCol),
+            typedLit(mins ++ scales)))
+      case None => assignedNew
+    }
+    copy(assigned = assigned.unionByName(withCodes))
   }
 
   /** Persist as a cluster-partitioned table: search then prunes whole
@@ -264,21 +280,34 @@ final case class IvfIndex(
   def write(path: String, quantize: Boolean = false): Unit = {
     val spark = assigned.sparkSession
     import spark.implicits._
-    val sq8 =
-      if (!quantize) None
+    val alreadyCoded = assigned.columns.contains(IvfIndex.Sq8CodeCol)
+    // a LOADED quantized index round-trips: its rows already carry codes
+    // cut against sq8Params' grid, so re-persist those and the SAME grid
+    // (re-deriving a fresh grid would silently desync it from the stored
+    // bytes) — with or without `quantize`, since dropping the params
+    // while keeping a dead code column would strand ~25% storage that no
+    // search can use
+    val sq8: Option[(Seq[Double], Seq[Double])] =
+      if (alreadyCoded) Some(sq8Params.getOrElse(
+        throw new IllegalStateException(
+          s"assigned has a ${IvfIndex.Sq8CodeCol} column but this index " +
+            "carries no sq8Params — refusing to persist codes whose " +
+            "grid is unknown (corrupted index, or a user column " +
+            "colliding with the reserved name)")))
+      else if (!quantize) None
       else {
-        require(!assigned.columns.contains(IvfIndex.Sq8CodeCol),
-          s"input already has a '${IvfIndex.Sq8CodeCol}' column")
         graft.plans.VectorExpressions.ensureRegistered(spark)
         Some(IvfIndex.sq8ParamsOf(assigned, vecCol))
       }
-    val data = sq8 match {
-      case Some((mins, scales)) =>
+    val data =
+      if (alreadyCoded || sq8.isEmpty) assigned
+      else {
+        graft.plans.VectorExpressions.ensureRegistered(spark)
+        val (mins, scales) = sq8.get
         assigned.withColumn(IvfIndex.Sq8CodeCol,
           call_function("graft_sq8_encode", col(vecCol),
             typedLit(mins ++ scales)))
-      case None => assigned
-    }
+      }
     data.write.mode(SaveMode.Overwrite)
       .partitionBy(componentCol.toSeq :+ IvfIndex.ClusterCol: _*)
       .parquet(path)
@@ -594,14 +623,23 @@ object IvfIndex {
         // silently missing the mid-compact batches — DELETE it before
         // throwing, or any retry script that races/swallows the
         // exception would load it as a valid index (the exact silent
-        // loss this guard exists to prevent)
+        // loss this guard exists to prevent). The delete is best-effort:
+        // its own failure must not REPLACE the MID-COMPACT diagnostic
+        // (the message then says the discard is on the operator).
         val destRoot = new org.apache.hadoop.fs.Path(destPath)
-        destRoot.getFileSystem(conf).delete(destRoot, true)
+        val deleted =
+          try destRoot.getFileSystem(conf).delete(destRoot, true)
+          catch { case scala.util.control.NonFatal(_) => false }
+        val destNote =
+          if (deleted) s"destPath $destPath would have silently lost " +
+            "them and has been deleted."
+          else s"destPath $destPath would silently lose them and could " +
+            "NOT be deleted — DISCARD IT MANUALLY before any reader " +
+            "finds it."
         throw new IllegalStateException(
           s"compact: streaming ingest committed ${gained.size} batch(es) " +
             s"into $srcPath MID-COMPACT (${gained.mkString(", ")}) — " +
-            s"destPath $destPath would have silently lost them and has " +
-            "been deleted. Quiesce the ingest query (stop it, or wait " +
+            s"$destNote Quiesce the ingest query (stop it, or wait " +
             "for its markers to settle) and re-run compact.")
       }
       graft.plans.IvfAutoProbe.invalidate(spark, destPath)
@@ -742,13 +780,14 @@ object IvfIndex {
         }
       loaded.sortBy(_._1)
     }
-    // quantized roots carry their SQ8 grid in a sidecar; its absence
-    // just means the index was written unquantized
+    // quantized roots carry their SQ8 grid in a sidecar; its absence —
+    // or a present-but-empty directory left by an interrupted write —
+    // just means the index loads unquantized (exact search unaffected)
     val sq8 =
       try {
-        val r = spark.read.parquet(s"$path/$Sq8Sidecar").head()
-        Some((r.getSeq[Double](r.fieldIndex("mins")),
-          r.getSeq[Double](r.fieldIndex("scales"))))
+        spark.read.parquet(s"$path/$Sq8Sidecar").take(1).headOption
+          .map(r => (r.getSeq[Double](r.fieldIndex("mins")),
+            r.getSeq[Double](r.fieldIndex("scales"))))
       } catch { case _: org.apache.spark.sql.AnalysisException => None }
     IvfIndex(byId.map(_._2), assigned, idCol, vecCol, byId.map(_._1),
       component, sq8)

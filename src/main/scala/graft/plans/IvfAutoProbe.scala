@@ -300,9 +300,12 @@ object IvfAutoProbe {
     * directly. */
   private[plans] def sidecarFingerprint(spark: SparkSession,
       root: String): Option[String] = {
+    // clamp before the ms→ns multiply: an effectively-infinite TTL
+    // (Long.MaxValue ms) would otherwise overflow negative and behave
+    // like TTL 0 — the exact opposite of what was asked for
     val ttlNanos = Try(spark.conf.get(ListingTtlConf,
       DefaultListingTtlMs.toString).toLong).getOrElse(DefaultListingTtlMs)
-      .max(0L) * 1_000_000L
+      .max(0L).min(Long.MaxValue / 1_000_000L) * 1_000_000L
     val now = System.nanoTime()
     val cached = fingerprintCache.get(root)
     if (cached != null && now - cached._1 < ttlNanos) cached._2

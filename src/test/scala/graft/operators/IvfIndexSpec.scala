@@ -176,6 +176,24 @@ class IvfIndexSpec extends SparkSpec {
     assert(comp.sq8Params == loaded.sq8Params,
       "compact must preserve the SQ8 grid")
     assert(quantized(comp, refine = 4) == quantized(loaded, refine = 4))
+    // the IN-MEMORY append also encodes codes (a code-less union would
+    // fail on the column mismatch — or worse, null-merge invisibly)
+    import spark.implicits._
+    val qv2 = q.map(x => x * 1.01f)
+    val memAppended = loaded.append(
+      Seq((99999L, qv2, 0)).toDF("vec_id", "embedding", "label"))
+    val memHit = memAppended.searchQuantized(qv2, 1, nprobe = 2,
+        refine = 4, tieBreak = Some("vec_id"))
+      .select("vec_id").head().getLong(0)
+    assert(memHit == 99999L,
+      "in-memory-appended rows must be visible to the SQ8 pass")
+    // and a LOADED quantized index round-trips through write(): codes
+    // and grid both survive, no quantize flag needed
+    loaded.write(s"$tmp/ivf-rt")
+    val rt = IvfIndex.load(spark, s"$tmp/ivf-rt", "vec_id", "embedding")
+    assert(rt.sq8Params == loaded.sq8Params,
+      "write() of a quantized index must persist its grid")
+    assert(quantized(rt, refine = 4) == quantized(loaded, refine = 4))
   }
 
   test("SQ8 composes with component scope: both prunes + code-only pass, parity with scoped exact search") {
