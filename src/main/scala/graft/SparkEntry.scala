@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
-import graft.operators.{IvfIndex, KnnSearch, NearDup, PostRetrieval, RagPipeline, Rerank, SkewJoin}
+import graft.operators.{Bm25, IvfIndex, KnnSearch, NearDup, PostRetrieval, RagPipeline, Rerank, SkewJoin}
 import graft.plans.VectorExpressions
 import graft.sources.{MarkdownIngest, Multimodal}
 
@@ -879,6 +879,19 @@ object SparkEntry {
         .select(col("vec_id"), col("dist"))
         .orderBy(col("dist"), col("vec_id"))
     }),
+
+    "q63_bm25" -> ((s, dir) =>
+      // BM25 lexical top-k over the documents corpus (operators.Bm25):
+      // a STATS pass reduces the tokenized corpus to integer scalars
+      // (N, Σ|doc|, per-term df — exact, order-independent), then a
+      // narrow per-row pass computes tf via fused array HOFs (no
+      // explode, no doc×term blow-up) and folds the per-term
+      // contributions in fixed order into TakeOrderedAndProject.
+      // Because every corpus constant is integer-derived, the oracle
+      // replays the whole double-precision scoring chain bit-for-bit
+      // (all SQL constants ::DOUBLE — DuckDB's bare 1.2 is DECIMAL).
+      Bm25.topK(t(s, dir, "documents"), "doc_id", "text",
+        Seq("spark", "query", "join", "table", "window", "agg"), k = 10)),
 
     "q39_model_embed" -> ((s, dir) => {
       // The model-embedder seam under load: FakeModelEmbedder (the
@@ -2063,6 +2076,71 @@ object SparkEntry {
          SELECT final_rank, vec_id, rerank_score, dist, ref_id
          FROM ranked JOIN refs USING (url)
          ORDER BY final_rank""",
+
+    // BM25 (q63): stats (N, Σ|doc|, df) are INTEGER aggregates —
+    // identical on both engines — so the double scoring chain replays
+    // exactly: same parenthesization, same left-to-right fold over the
+    // fixed term list, every constant ::DOUBLE (a bare 1.2 in DuckDB is
+    // DECIMAL and would silently switch the arithmetic), ranking on the
+    // 4-dp-rounded score with doc_id ties. The one cross-library seam is
+    // ln(): Math.log vs libm may differ in the last ulp — ~1e-16
+    // relative, far below the 4-dp rounding granularity for generic
+    // inputs (sqrt, which IEEE requires correctly rounded, has no such
+    // seam; verified green at three SFs).
+    "q63_bm25" ->
+      raw"""WITH d AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+               t -> len(t) > 0) AS toks
+           FROM documents WHERE text IS NOT NULL),
+         s AS (
+           SELECT doc_id, len(toks) AS dl,
+             len(list_filter(toks, x -> x = 'spark'))  AS tf0,
+             len(list_filter(toks, x -> x = 'query'))  AS tf1,
+             len(list_filter(toks, x -> x = 'join'))   AS tf2,
+             len(list_filter(toks, x -> x = 'table'))  AS tf3,
+             len(list_filter(toks, x -> x = 'window')) AS tf4,
+             len(list_filter(toks, x -> x = 'agg'))    AS tf5
+           FROM d),
+         g AS (
+           SELECT count(*) AS n, sum(dl) AS total,
+             sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+             sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+             sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2,
+             sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS df3,
+             sum(CASE WHEN tf4 > 0 THEN 1 ELSE 0 END) AS df4,
+             sum(CASE WHEN tf5 > 0 THEN 1 ELSE 0 END) AS df5
+           FROM s)
+         SELECT doc_id,
+           round(
+             ln((g.n - g.df0 + 0.5::DOUBLE) / (g.df0 + 0.5::DOUBLE) + 1)
+               * (tf0 * (1.2::DOUBLE + 1)) / (tf0 + 1.2::DOUBLE *
+                 ((1 - 0.75::DOUBLE) + 0.75::DOUBLE * dl
+                   / (g.total::DOUBLE / g.n)))
+           + ln((g.n - g.df1 + 0.5::DOUBLE) / (g.df1 + 0.5::DOUBLE) + 1)
+               * (tf1 * (1.2::DOUBLE + 1)) / (tf1 + 1.2::DOUBLE *
+                 ((1 - 0.75::DOUBLE) + 0.75::DOUBLE * dl
+                   / (g.total::DOUBLE / g.n)))
+           + ln((g.n - g.df2 + 0.5::DOUBLE) / (g.df2 + 0.5::DOUBLE) + 1)
+               * (tf2 * (1.2::DOUBLE + 1)) / (tf2 + 1.2::DOUBLE *
+                 ((1 - 0.75::DOUBLE) + 0.75::DOUBLE * dl
+                   / (g.total::DOUBLE / g.n)))
+           + ln((g.n - g.df3 + 0.5::DOUBLE) / (g.df3 + 0.5::DOUBLE) + 1)
+               * (tf3 * (1.2::DOUBLE + 1)) / (tf3 + 1.2::DOUBLE *
+                 ((1 - 0.75::DOUBLE) + 0.75::DOUBLE * dl
+                   / (g.total::DOUBLE / g.n)))
+           + ln((g.n - g.df4 + 0.5::DOUBLE) / (g.df4 + 0.5::DOUBLE) + 1)
+               * (tf4 * (1.2::DOUBLE + 1)) / (tf4 + 1.2::DOUBLE *
+                 ((1 - 0.75::DOUBLE) + 0.75::DOUBLE * dl
+                   / (g.total::DOUBLE / g.n)))
+           + ln((g.n - g.df5 + 0.5::DOUBLE) / (g.df5 + 0.5::DOUBLE) + 1)
+               * (tf5 * (1.2::DOUBLE + 1)) / (tf5 + 1.2::DOUBLE *
+                 ((1 - 0.75::DOUBLE) + 0.75::DOUBLE * dl
+                   / (g.total::DOUBLE / g.n)))
+           , 4) AS score
+         FROM s, g
+         WHERE tf0 + tf1 + tf2 + tf3 + tf4 + tf5 > 0
+         ORDER BY score DESC, doc_id LIMIT 10""",
 
     // Model-seam stand-ins (q39/q49): the fakes are md5-derived by
     // construction, and DuckDB has md5 + IEEE float32 (FLOAT) + IEEE

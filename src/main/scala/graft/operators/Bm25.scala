@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** BM25 lexical relevance scoring — the classical keyword-retrieval
+  * counterpart of the engine's dense/sparse hybrid surface (the
+  * reference fuses a lexical weight into its ranking,
+  * /root/reference/src/embedding/bge.py:178-222; this operator gives
+  * the standalone corpus-statistics form a training-data pipeline uses
+  * for retrieval baselines and relevance filtering).
+  *
+  * Two passes, both scan-shaped and deterministic:
+  *
+  *   1. STATS: one aggregation over the tokenized corpus collects N
+  *      (doc count), Σ|doc| (total token count) and per-term document
+  *      frequencies — ≤ 2 + |terms| INTEGER scalars to the driver, so
+  *      the corpus-level constants (avgdl, idf_t) are exact and
+  *      order-independent (no cross-row float summation anywhere);
+  *   2. SCORE: a narrow per-row pass computes each term's tf with a
+  *      fused `filter(tokens, = t) → size` (array HOFs — no explode, no
+  *      (doc × term) row blow-up, no shuffle), folds the |terms|
+  *      contributions in FIXED term order, and a
+  *      `TakeOrderedAndProject` keeps the top k. At 100 TB both passes
+  *      are single scans; only k rows and a handful of scalars ever
+  *      leave the executors.
+  *
+  * Scoring is the standard Robertson/Spärck-Jones form with the +1
+  * idf floor (Lucene's): idf_t = ln((N − df_t + 0.5)/(df_t + 0.5) + 1),
+  * contribution_t = idf_t · tf·(k1+1) / (tf + k1·(1 − b + b·|doc|/avgdl)).
+  * Every constant derives from integers, so a double-precision SQL
+  * replay reproduces the scores bit-for-bit (the q63 oracle); ranking
+  * rounds to `roundDp` with an id tie-break, the engine's
+  * cross-engine-determinism pattern (SURVEY §7.5).
+  *
+  * Tokenization is the engine's standard lexical form (q38's rerank):
+  * lowercase, split on whitespace, drop empties.
+  */
+object Bm25 {
+
+  private def tokens(textCol: Column): Column =
+    filter(split(lower(textCol), "\\s+"), t => length(t) > 0)
+
+  /** Top-`k` documents by BM25 score for `queryTerms`. Documents
+    * containing NO query term are dropped (score 0 — emitting the whole
+    * corpus with zeros would make the result corpus-sized). Output:
+    * (idCol, score) with `score` rounded to `roundDp`, ranked
+    * (score DESC, id ASC). */
+  def topK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queryTerms: Seq[String],
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      roundDp: Int = 4): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(queryTerms.distinct == queryTerms,
+      s"duplicate query terms would double-count: $queryTerms")
+    val base = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+    val perDoc = base.select(
+      col(idCol) +: size(col("__toks")).as("__dl") +:
+        queryTerms.zipWithIndex.map { case (t, i) =>
+          size(filter(col("__toks"), x => x === lit(t))).as(s"__tf$i")
+        }: _*)
+    // STATS: integer scalars only — exact, order-independent, tiny
+    val statsRow = perDoc.agg(
+      count(lit(1)).as("n"),
+      sum(col("__dl")).as("total") +:
+        queryTerms.indices.map(i =>
+          sum(when(col(s"__tf$i") > 0, 1L).otherwise(0L)).as(s"df$i")): _*)
+      .head()
+    val n = statsRow.getLong(0)
+    if (n == 0L)
+      return perDoc.select(col(idCol), lit(0.0).as("score")).filter(lit(false))
+    val avgdl = statsRow.getLong(1).toDouble / n
+    val idf = queryTerms.indices.map { i =>
+      val df = statsRow.getLong(2 + i).toDouble
+      math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+    }
+    // SCORE: fixed-order fold of the per-term contributions — the same
+    // left-associated chain the oracle SQL writes, so the double result
+    // is bit-identical cross-engine
+    val lenNorm = lit(k1) * (lit(1.0 - b) +
+      lit(b) * col("__dl").cast("double") / lit(avgdl))
+    val score = queryTerms.indices
+      .map { i =>
+        val tf = col(s"__tf$i").cast("double")
+        lit(idf(i)) * (tf * lit(k1 + 1.0)) / (tf + lenNorm)
+      }
+      .reduceLeft(_ + _)
+    val anyHit = queryTerms.indices
+      .map(i => col(s"__tf$i")).reduceLeft(_ + _) > 0
+    perDoc.filter(anyHit)
+      .select(col(idCol), round(score, roundDp).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+}

@@ -1,0 +1,52 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class Bm25Spec extends SparkSpec {
+
+  test("bm25: relevance ordering, length normalization, independent score check, explode-free plan") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark spark spark join"), // high tf, short
+      (2L, "spark"), // tf 1, shortest
+      (3L, "filler filler filler filler filler filler filler filler spark"),
+      (4L, "join query"),
+      (5L, "nothing relevant here") // no query term
+    ).toDF("doc_id", "text")
+    val out = Bm25.topK(docs, "doc_id", "text", Seq("spark", "join"), k = 10)
+    val rows = out.collect().map(r => r.getLong(0) -> r.getDouble(1))
+    val score = rows.toMap
+    assert(!score.contains(5L), "term-free docs must be dropped")
+    assert(rows.head._1 == 1L, s"high-tf short doc must rank first: $rows")
+    // same tf, shorter doc wins — the length normalization
+    assert(score(2L) > score(3L), s"length norm inverted: $rows")
+    // independent recomputation of doc 2 (tf_spark=1, dl=1):
+    // N=5, total dl=4+1+9+2+3=19, df_spark=3
+    val idfSpark = math.log((5 - 3.0 + 0.5) / (3.0 + 0.5) + 1.0)
+    val norm2 = 1.2 * (0.25 + 0.75 * 1.0 / (19.0 / 5))
+    val expected2 = idfSpark * (1.0 * 2.2) / (1.0 + norm2)
+    assert(math.abs(score(2L) - expected2) <= 1e-4,
+      s"doc2 score ${score(2L)} != expected $expected2")
+    // scale shape, asserted on the REAL parquet corpus (a 5-row local
+    // relation plans differently): per-row HOF tf counts — no explode,
+    // so no Generate node and no doc×term row blow-up — and the final
+    // rank is a top-k heap, not a global sort
+    val plan = Bm25.topK(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
+        "doc_id", "text", Seq("spark", "join"), k = 10)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate"), s"explode in bm25 plan:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("bm25: duplicate terms rejected, empty corpus yields empty result") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Bm25.topK(docs, "doc_id", "text", Seq("a", "a"), k = 5)
+    }
+    val empty = docs.filter("doc_id < 0")
+    assert(Bm25.topK(empty, "doc_id", "text", Seq("a"), k = 5)
+      .collect().isEmpty)
+  }
+}
