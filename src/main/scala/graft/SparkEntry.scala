@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
-import graft.operators.{Bm25, IvfIndex, KnnSearch, NearDup, PostRetrieval, RagPipeline, Rerank, SkewJoin}
+import graft.operators.{Bm25, Fusion, IvfIndex, KnnSearch, NearDup, PostRetrieval, RagPipeline, Rerank, SkewJoin}
 import graft.plans.VectorExpressions
 import graft.sources.{MarkdownIngest, Multimodal}
 
@@ -892,6 +892,34 @@ object SparkEntry {
       // (all SQL constants ::DOUBLE — DuckDB's bare 1.2 is DECIMAL).
       Bm25.topK(t(s, dir, "documents"), "doc_id", "text",
         Seq("spark", "query", "join", "table", "window", "agg"), k = 10)),
+
+    "q64_rrf_fusion" -> ((s, dir) => {
+      // Hybrid retrieval by RANK fusion (operators.Fusion): the dense
+      // leg (exact L2 top-20 over embeddings) and the lexical leg (BM25
+      // top-20 over documents) produce incomparable score scales; RRF
+      // combines them in rank space — Σ 1/(60 + rank) — needing no
+      // calibration. Both legs' ranks are deterministic (rounded-key
+      // orderings + id ties), the k-scale full-outer join is
+      // broadcast-sized, and 1/(60+r) divides exact small integers, so
+      // the fused score replays bit-for-bit in the oracle.
+      VectorExpressions.ensureRegistered(s)
+      val q = queryVec(s, dir)
+      val terms = Seq("spark", "query", "join", "table", "window", "agg")
+      val denseRank = KnnSearch.topK(t(s, dir, "embeddings"), "embedding",
+          q, 20, KnnSearch.NativeL2, tieBreak = Some("vec_id"),
+          rankRoundDp = Some(4))
+        .select(col("vec_id").as("doc_id"), col("dist"))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("dist"), col("doc_id"))))
+        .select("doc_id", "rank")
+      val lexRank = Bm25.topK(t(s, dir, "documents"), "doc_id", "text",
+          terms, k = 20)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id"))))
+        .select("doc_id", "rank")
+      Fusion.rrf(Seq(denseRank, lexRank), "doc_id", "rank", k = 10)
+        .orderBy(col("rrf_score").desc, col("doc_id"))
+    }),
 
     "q39_model_embed" -> ((s, dir) => {
       // The model-embedder seam under load: FakeModelEmbedder (the
@@ -2141,6 +2169,93 @@ object SparkEntry {
          FROM s, g
          WHERE tf0 + tf1 + tf2 + tf3 + tf4 + tf5 > 0
          ORDER BY score DESC, doc_id LIMIT 10""",
+
+    // RRF fusion (q64): the lexical leg replays q63's integer-stats
+    // BM25 chain (top-20 with ranks), the dense leg the q30-style
+    // rounded L2 top-20; 1/(60 + rank) divides exact small integers so
+    // the rank-space sum is IEEE-identical cross-engine, with a missing
+    // leg contributing 0 through NULL propagation + coalesce exactly
+    // like the Spark side.
+    "q64_rrf_fusion" ->
+      raw"""WITH d AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+               t -> len(t) > 0) AS toks
+           FROM documents WHERE text IS NOT NULL),
+         s AS (
+           SELECT doc_id, len(toks) AS dl,
+             len(list_filter(toks, x -> x = 'spark'))  AS tf0,
+             len(list_filter(toks, x -> x = 'query'))  AS tf1,
+             len(list_filter(toks, x -> x = 'join'))   AS tf2,
+             len(list_filter(toks, x -> x = 'table'))  AS tf3,
+             len(list_filter(toks, x -> x = 'window')) AS tf4,
+             len(list_filter(toks, x -> x = 'agg'))    AS tf5
+           FROM d),
+         g AS (
+           SELECT count(*) AS n, sum(dl) AS total,
+             sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+             sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+             sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2,
+             sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS df3,
+             sum(CASE WHEN tf4 > 0 THEN 1 ELSE 0 END) AS df4,
+             sum(CASE WHEN tf5 > 0 THEN 1 ELSE 0 END) AS df5
+           FROM s),
+         lex AS (
+           SELECT doc_id,
+             round(
+               ln((g.n - g.df0 + 0.5::DOUBLE) / (g.df0 + 0.5::DOUBLE) + 1)
+                 * (tf0 * (1.2::DOUBLE + 1)) / (tf0 + 1.2::DOUBLE *
+                   ((1 - 0.75::DOUBLE) + 0.75::DOUBLE * dl
+                     / (g.total::DOUBLE / g.n)))
+             + ln((g.n - g.df1 + 0.5::DOUBLE) / (g.df1 + 0.5::DOUBLE) + 1)
+                 * (tf1 * (1.2::DOUBLE + 1)) / (tf1 + 1.2::DOUBLE *
+                   ((1 - 0.75::DOUBLE) + 0.75::DOUBLE * dl
+                     / (g.total::DOUBLE / g.n)))
+             + ln((g.n - g.df2 + 0.5::DOUBLE) / (g.df2 + 0.5::DOUBLE) + 1)
+                 * (tf2 * (1.2::DOUBLE + 1)) / (tf2 + 1.2::DOUBLE *
+                   ((1 - 0.75::DOUBLE) + 0.75::DOUBLE * dl
+                     / (g.total::DOUBLE / g.n)))
+             + ln((g.n - g.df3 + 0.5::DOUBLE) / (g.df3 + 0.5::DOUBLE) + 1)
+                 * (tf3 * (1.2::DOUBLE + 1)) / (tf3 + 1.2::DOUBLE *
+                   ((1 - 0.75::DOUBLE) + 0.75::DOUBLE * dl
+                     / (g.total::DOUBLE / g.n)))
+             + ln((g.n - g.df4 + 0.5::DOUBLE) / (g.df4 + 0.5::DOUBLE) + 1)
+                 * (tf4 * (1.2::DOUBLE + 1)) / (tf4 + 1.2::DOUBLE *
+                   ((1 - 0.75::DOUBLE) + 0.75::DOUBLE * dl
+                     / (g.total::DOUBLE / g.n)))
+             + ln((g.n - g.df5 + 0.5::DOUBLE) / (g.df5 + 0.5::DOUBLE) + 1)
+                 * (tf5 * (1.2::DOUBLE + 1)) / (tf5 + 1.2::DOUBLE *
+                   ((1 - 0.75::DOUBLE) + 0.75::DOUBLE * dl
+                     / (g.total::DOUBLE / g.n)))
+             , 4) AS score
+           FROM s, g
+           WHERE tf0 + tf1 + tf2 + tf3 + tf4 + tf5 > 0),
+         lex20 AS (
+           SELECT doc_id, score FROM lex
+           ORDER BY score DESC, doc_id LIMIT 20),
+         lr AS (
+           SELECT doc_id,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS r
+           FROM lex20),
+         q AS (
+           SELECT embedding::DOUBLE[] AS qv FROM embeddings
+           WHERE vec_id = 0),
+         dense AS (
+           SELECT vec_id AS doc_id,
+             round(list_distance(embedding::DOUBLE[],
+               (SELECT qv FROM q)), 4) AS dist
+           FROM embeddings ORDER BY dist, vec_id LIMIT 20),
+         dr AS (
+           SELECT doc_id,
+             row_number() OVER (ORDER BY dist, doc_id) AS r
+           FROM dense),
+         f AS (
+           SELECT coalesce(dr.doc_id, lr.doc_id) AS doc_id,
+             round(coalesce(1.0::DOUBLE / (60 + dr.r), 0)
+               + coalesce(1.0::DOUBLE / (60 + lr.r), 0), 6) AS rrf_score
+           FROM dr FULL OUTER JOIN lr ON dr.doc_id = lr.doc_id)
+         SELECT doc_id, rrf_score FROM f
+         ORDER BY rrf_score DESC, doc_id LIMIT 10""",
 
     // Model-seam stand-ins (q39/q49): the fakes are md5-derived by
     // construction, and DuckDB has md5 + IEEE float32 (FLOAT) + IEEE
