@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
-import graft.operators.{Bm25, Fusion, IvfIndex, KnnSearch, NearDup, PostRetrieval, RagPipeline, Rerank, SkewJoin}
+import graft.operators.{Bm25, Fusion, IvfIndex, KnnSearch, Mixer, NearDup, PostRetrieval, RagPipeline, Rerank, SkewJoin}
 import graft.plans.VectorExpressions
 import graft.sources.{MarkdownIngest, Multimodal}
 
@@ -919,6 +919,28 @@ object SparkEntry {
         .select("doc_id", "rank")
       Fusion.rrf(Seq(denseRank, lexRank), "doc_id", "rank", k = 10)
         .orderBy(col("rrf_score").desc, col("doc_id"))
+    }),
+
+    "q65_stratified_mix" -> ((s, dir) => {
+      // Deterministic data mixing (operators.Mixer): per-language keep
+      // rates (en 0.5, es 0.25, zh 0.1, everything else 0.05) gated on
+      // the first 16 bits of md5(text) — no RNG state, so the mix is
+      // identical on any rerun, engine, or partitioning, and the
+      // per-row decision is a narrow filter (no shuffle before the
+      // count rollup). Output: per-language totals and kept counts —
+      // integers, so the oracle replays the md5-prefix thresholds and
+      // counts exactly (the q50 reproducible-split pattern generalized
+      // to rates).
+      val rates = Map("en" -> 0.5, "es" -> 0.25, "zh" -> 0.1)
+      t(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_total"),
+          // when/otherwise, not a bare cast: a null text yields a NULL
+          // keep decision, and an all-null stratum would sum to NULL
+          // where the oracle's CASE sums to 0
+          sum(when(Mixer.keepExpr(col("lang"), col("text"), rates, 0.05),
+            1L).otherwise(0L)).as("n_kept"))
+        .orderBy(col("lang"))
     }),
 
     "q39_model_embed" -> ((s, dir) => {
@@ -2256,6 +2278,21 @@ object SparkEntry {
            FROM dr FULL OUTER JOIN lr ON dr.doc_id = lr.doc_id)
          SELECT doc_id, rrf_score FROM f
          ORDER BY rrf_score DESC, doc_id LIMIT 10""",
+
+    // Stratified mix (q65): md5-prefix thresholds per stratum — the
+    // q50 reproducible-split pattern generalized to rates. Thresholds
+    // are the 4-hex-char forms of round(rate·65536): en 0.5 → 8000,
+    // es 0.25 → 4000, zh 0.1 → 199a, default 0.05 → 0ccd (must match
+    // Mixer.thresholdHex exactly). Counts are integers — exact.
+    "q65_stratified_mix" ->
+      raw"""SELECT lang, count(*) AS n_total,
+           sum(CASE WHEN substr(md5(text), 1, 4) <
+                 CASE lang WHEN 'en' THEN '8000'
+                           WHEN 'es' THEN '4000'
+                           WHEN 'zh' THEN '199a'
+                           ELSE '0ccd' END
+               THEN 1 ELSE 0 END)::BIGINT AS n_kept
+         FROM documents GROUP BY lang ORDER BY lang""",
 
     // Model-seam stand-ins (q39/q49): the fakes are md5-derived by
     // construction, and DuckDB has md5 + IEEE float32 (FLOAT) + IEEE

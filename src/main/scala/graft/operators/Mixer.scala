@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic stratified sampling — the data-MIXING primitive of a
+  * training pipeline (down-weight overrepresented languages/sources,
+  * up-weight scarce ones, reproducibly). The reference has no sampling
+  * surface; this extends the engine's reproducible-split family
+  * ([[graft.functions.TextFunctions.hashSplit]]) from fixed splits to
+  * per-stratum RATES.
+  *
+  * A row is kept iff the first 16 bits of md5(key) — as the 4-hex-char
+  * prefix, compared as a string against a per-stratum threshold — fall
+  * under rate·2¹⁶. Content-hash gating means: no RNG state, identical
+  * decisions on every rerun/engine/partitioning (md5 prefixes are
+  * SQL-replayable — the q50 split pattern), per-row independence (a
+  * narrow filter, no shuffle, no sort), and the same document keeps or
+  * drops consistently across pipeline versions — the property that
+  * makes ablation mixes comparable. Granularity is 1/65536 ≈ 0.0015%;
+  * rates round half-up to the grid (0 drops the stratum, ≥ 1 keeps all
+  * of it).
+  *
+  * The keep decision composes as a COLUMN ([[keepExpr]]) so callers can
+  * combine it with other predicates before a scan prune; [[sample]] is
+  * the plain filter form.
+  */
+object Mixer {
+
+  /** 4-hex-char threshold for `rate` — rows keep when
+    * `substring(md5(key), 1, 4) < threshold`. Rates ≥ 1 map to "g",
+    * which every hex prefix sorts before (hex digits stop at 'f'). */
+  private[graft] def thresholdHex(rate: Double): String = {
+    require(rate >= 0.0, s"rate must be >= 0, got $rate")
+    val bucket = math.round(rate * 65536.0)
+    if (bucket >= 65536L) "g" else f"${bucket.toInt}%04x"
+  }
+
+  /** the deterministic keep/drop decision as a boolean column */
+  def keepExpr(
+      stratum: Column,
+      key: Column,
+      rates: Map[String, Double],
+      defaultRate: Double): Column = {
+    val threshold = rates.toSeq.sortBy(_._1)
+      .foldLeft(lit(thresholdHex(defaultRate))) {
+        case (acc, (s, r)) =>
+          when(stratum === lit(s), lit(thresholdHex(r))).otherwise(acc)
+      }
+    substring(md5(key), 1, 4) < threshold
+  }
+
+  /** `df` filtered to its deterministic per-stratum sample. */
+  def sample(
+      df: DataFrame,
+      stratumCol: String,
+      keyCol: String,
+      rates: Map[String, Double],
+      defaultRate: Double = 0.0): DataFrame =
+    df.filter(keepExpr(col(stratumCol), col(keyCol), rates, defaultRate))
+}

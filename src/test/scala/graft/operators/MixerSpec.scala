@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class MixerSpec extends SparkSpec {
+
+  private lazy val docs =
+    spark.read.parquet("/root/testdata/sf0.01/documents.parquet").cache()
+
+  test("stratified sample: deterministic, rate-proportional, rate edge cases") {
+    val rates = Map("en" -> 0.5, "es" -> 0.25)
+    val a = Mixer.sample(docs, "lang", "text", rates, defaultRate = 0.05)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Mixer.sample(docs, "lang", "text", rates, defaultRate = 0.05)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b, "resampling must keep the identical row set")
+    // kept fraction tracks the stratum rate (16-bit hash grid; the
+    // corpus is small, so allow generous statistical slack)
+    val perLang = docs.groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        sum(when(Mixer.keepExpr(col("lang"), col("text"), rates, 0.05),
+          1L).otherwise(0L)).as("kept"))
+      .collect().map(r =>
+        r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def frac(l: String) = perLang(l)._2.toDouble / perLang(l)._1
+    assert(math.abs(frac("en") - 0.5) < 0.15, s"en ${frac("en")}")
+    assert(math.abs(frac("es") - 0.25) < 0.15, s"es ${frac("es")}")
+    assert(frac("de") < 0.2, s"default-rate stratum too big ${frac("de")}")
+    // rate 0 drops the stratum entirely; rate 1 keeps it entirely
+    val extremes = Map("en" -> 0.0, "es" -> 1.0)
+    val kept = Mixer.sample(docs, "lang", "text", extremes, 0.0)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!kept.contains("en"))
+    assert(kept("es") == perLang("es")._1)
+    assert(kept.keySet == Set("es"))
+    // the decision is a narrow filter — no shuffle before it
+    val plan = Mixer.sample(docs, "lang", "text", rates, 0.05)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"sample must be narrow:\n$plan")
+  }
+
+  test("thresholdHex grid: rounding, caps, rejection") {
+    assert(Mixer.thresholdHex(0.5) == "8000")
+    assert(Mixer.thresholdHex(0.25) == "4000")
+    assert(Mixer.thresholdHex(0.1) == "199a")
+    assert(Mixer.thresholdHex(0.05) == "0ccd")
+    assert(Mixer.thresholdHex(0.0) == "0000")
+    assert(Mixer.thresholdHex(1.0) == "g")
+    assert(Mixer.thresholdHex(2.0) == "g")
+    intercept[IllegalArgumentException](Mixer.thresholdHex(-0.1))
+    // "g" sorts after every hex prefix — rate 1 keeps everything
+    assert("ffff" < "g" && "0000" < "g")
+  }
+}
