@@ -1351,6 +1351,74 @@ object SparkEntry {
     }.mkString(" || ")
   }
 
+  /** The BM25 replay CTEs (tokenize → per-term tf → integer corpus
+    * stats → scored `lex`), shared VERBATIM by the q63 oracle and
+    * q64's lexical leg so the two can never drift apart. Stats (N,
+    * Σ|doc|, df) are integer aggregates — identical on both engines —
+    * so the double scoring chain replays exactly: same
+    * parenthesization, same left-to-right fold over the fixed term
+    * list, every constant `::DOUBLE` (a bare 1.2 in DuckDB is DECIMAL
+    * and would silently switch the arithmetic), ranking on the
+    * 4-dp-rounded score with doc_id ties. The one cross-library seam
+    * is ln(): Math.log vs libm may differ in the last ulp — ~1e-16
+    * relative, far below the 4-dp rounding granularity for generic
+    * inputs (sqrt, which IEEE requires correctly rounded, has no such
+    * seam; verified green at three SFs). */
+  private val Bm25LexCtes: String =
+    raw"""d AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+               t -> len(t) > 0) AS toks
+           FROM documents WHERE text IS NOT NULL),
+         s AS (
+           SELECT doc_id, len(toks) AS dl,
+             len(list_filter(toks, x -> x = 'spark'))  AS tf0,
+             len(list_filter(toks, x -> x = 'query'))  AS tf1,
+             len(list_filter(toks, x -> x = 'join'))   AS tf2,
+             len(list_filter(toks, x -> x = 'table'))  AS tf3,
+             len(list_filter(toks, x -> x = 'window')) AS tf4,
+             len(list_filter(toks, x -> x = 'agg'))    AS tf5
+           FROM d),
+         g AS (
+           SELECT count(*) AS n, sum(dl) AS total,
+             sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+             sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+             sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2,
+             sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS df3,
+             sum(CASE WHEN tf4 > 0 THEN 1 ELSE 0 END) AS df4,
+             sum(CASE WHEN tf5 > 0 THEN 1 ELSE 0 END) AS df5
+           FROM s),
+         lex AS (
+           SELECT doc_id,
+             round(
+               ln((g.n - g.df0 + 0.5::DOUBLE) / (g.df0 + 0.5::DOUBLE) + 1)
+                 * (tf0 * (1.2::DOUBLE + 1)) / (tf0 + 1.2::DOUBLE *
+                   ((1 - 0.75::DOUBLE) + 0.75::DOUBLE * dl
+                     / (g.total::DOUBLE / g.n)))
+             + ln((g.n - g.df1 + 0.5::DOUBLE) / (g.df1 + 0.5::DOUBLE) + 1)
+                 * (tf1 * (1.2::DOUBLE + 1)) / (tf1 + 1.2::DOUBLE *
+                   ((1 - 0.75::DOUBLE) + 0.75::DOUBLE * dl
+                     / (g.total::DOUBLE / g.n)))
+             + ln((g.n - g.df2 + 0.5::DOUBLE) / (g.df2 + 0.5::DOUBLE) + 1)
+                 * (tf2 * (1.2::DOUBLE + 1)) / (tf2 + 1.2::DOUBLE *
+                   ((1 - 0.75::DOUBLE) + 0.75::DOUBLE * dl
+                     / (g.total::DOUBLE / g.n)))
+             + ln((g.n - g.df3 + 0.5::DOUBLE) / (g.df3 + 0.5::DOUBLE) + 1)
+                 * (tf3 * (1.2::DOUBLE + 1)) / (tf3 + 1.2::DOUBLE *
+                   ((1 - 0.75::DOUBLE) + 0.75::DOUBLE * dl
+                     / (g.total::DOUBLE / g.n)))
+             + ln((g.n - g.df4 + 0.5::DOUBLE) / (g.df4 + 0.5::DOUBLE) + 1)
+                 * (tf4 * (1.2::DOUBLE + 1)) / (tf4 + 1.2::DOUBLE *
+                   ((1 - 0.75::DOUBLE) + 0.75::DOUBLE * dl
+                     / (g.total::DOUBLE / g.n)))
+             + ln((g.n - g.df5 + 0.5::DOUBLE) / (g.df5 + 0.5::DOUBLE) + 1)
+                 * (tf5 * (1.2::DOUBLE + 1)) / (tf5 + 1.2::DOUBLE *
+                   ((1 - 0.75::DOUBLE) + 0.75::DOUBLE * dl
+                     / (g.total::DOUBLE / g.n)))
+             , 4) AS score
+           FROM s, g
+           WHERE tf0 + tf1 + tf2 + tf3 + tf4 + tf5 > 0)"""
+
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -2129,129 +2197,21 @@ object SparkEntry {
 
     // BM25 (q63): stats (N, Σ|doc|, df) are INTEGER aggregates —
     // identical on both engines — so the double scoring chain replays
-    // exactly: same parenthesization, same left-to-right fold over the
-    // fixed term list, every constant ::DOUBLE (a bare 1.2 in DuckDB is
-    // DECIMAL and would silently switch the arithmetic), ranking on the
-    // 4-dp-rounded score with doc_id ties. The one cross-library seam is
-    // ln(): Math.log vs libm may differ in the last ulp — ~1e-16
-    // relative, far below the 4-dp rounding granularity for generic
-    // inputs (sqrt, which IEEE requires correctly rounded, has no such
-    // seam; verified green at three SFs).
+    // exactly (see Bm25LexCtes, shared verbatim with q64's lexical leg
+    // so the two oracles can never drift apart).
     "q63_bm25" ->
-      raw"""WITH d AS (
-           SELECT doc_id,
-             list_filter(string_split_regex(lower(text), '\s+'),
-               t -> len(t) > 0) AS toks
-           FROM documents WHERE text IS NOT NULL),
-         s AS (
-           SELECT doc_id, len(toks) AS dl,
-             len(list_filter(toks, x -> x = 'spark'))  AS tf0,
-             len(list_filter(toks, x -> x = 'query'))  AS tf1,
-             len(list_filter(toks, x -> x = 'join'))   AS tf2,
-             len(list_filter(toks, x -> x = 'table'))  AS tf3,
-             len(list_filter(toks, x -> x = 'window')) AS tf4,
-             len(list_filter(toks, x -> x = 'agg'))    AS tf5
-           FROM d),
-         g AS (
-           SELECT count(*) AS n, sum(dl) AS total,
-             sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
-             sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
-             sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2,
-             sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS df3,
-             sum(CASE WHEN tf4 > 0 THEN 1 ELSE 0 END) AS df4,
-             sum(CASE WHEN tf5 > 0 THEN 1 ELSE 0 END) AS df5
-           FROM s)
-         SELECT doc_id,
-           round(
-             ln((g.n - g.df0 + 0.5::DOUBLE) / (g.df0 + 0.5::DOUBLE) + 1)
-               * (tf0 * (1.2::DOUBLE + 1)) / (tf0 + 1.2::DOUBLE *
-                 ((1 - 0.75::DOUBLE) + 0.75::DOUBLE * dl
-                   / (g.total::DOUBLE / g.n)))
-           + ln((g.n - g.df1 + 0.5::DOUBLE) / (g.df1 + 0.5::DOUBLE) + 1)
-               * (tf1 * (1.2::DOUBLE + 1)) / (tf1 + 1.2::DOUBLE *
-                 ((1 - 0.75::DOUBLE) + 0.75::DOUBLE * dl
-                   / (g.total::DOUBLE / g.n)))
-           + ln((g.n - g.df2 + 0.5::DOUBLE) / (g.df2 + 0.5::DOUBLE) + 1)
-               * (tf2 * (1.2::DOUBLE + 1)) / (tf2 + 1.2::DOUBLE *
-                 ((1 - 0.75::DOUBLE) + 0.75::DOUBLE * dl
-                   / (g.total::DOUBLE / g.n)))
-           + ln((g.n - g.df3 + 0.5::DOUBLE) / (g.df3 + 0.5::DOUBLE) + 1)
-               * (tf3 * (1.2::DOUBLE + 1)) / (tf3 + 1.2::DOUBLE *
-                 ((1 - 0.75::DOUBLE) + 0.75::DOUBLE * dl
-                   / (g.total::DOUBLE / g.n)))
-           + ln((g.n - g.df4 + 0.5::DOUBLE) / (g.df4 + 0.5::DOUBLE) + 1)
-               * (tf4 * (1.2::DOUBLE + 1)) / (tf4 + 1.2::DOUBLE *
-                 ((1 - 0.75::DOUBLE) + 0.75::DOUBLE * dl
-                   / (g.total::DOUBLE / g.n)))
-           + ln((g.n - g.df5 + 0.5::DOUBLE) / (g.df5 + 0.5::DOUBLE) + 1)
-               * (tf5 * (1.2::DOUBLE + 1)) / (tf5 + 1.2::DOUBLE *
-                 ((1 - 0.75::DOUBLE) + 0.75::DOUBLE * dl
-                   / (g.total::DOUBLE / g.n)))
-           , 4) AS score
-         FROM s, g
-         WHERE tf0 + tf1 + tf2 + tf3 + tf4 + tf5 > 0
+      raw"""WITH $Bm25LexCtes
+         SELECT doc_id, score FROM lex
          ORDER BY score DESC, doc_id LIMIT 10""",
 
-    // RRF fusion (q64): the lexical leg replays q63's integer-stats
-    // BM25 chain (top-20 with ranks), the dense leg the q30-style
-    // rounded L2 top-20; 1/(60 + rank) divides exact small integers so
-    // the rank-space sum is IEEE-identical cross-engine, with a missing
-    // leg contributing 0 through NULL propagation + coalesce exactly
-    // like the Spark side.
+    // RRF fusion (q64): the lexical leg is the SAME Bm25LexCtes
+    // fragment q63 replays (top-20 with ranks), the dense leg the
+    // q30-style rounded L2 top-20; 1/(60 + rank) divides exact small
+    // integers so the rank-space sum is IEEE-identical cross-engine,
+    // with a missing leg contributing 0 through NULL propagation +
+    // coalesce exactly like the Spark side.
     "q64_rrf_fusion" ->
-      raw"""WITH d AS (
-           SELECT doc_id,
-             list_filter(string_split_regex(lower(text), '\s+'),
-               t -> len(t) > 0) AS toks
-           FROM documents WHERE text IS NOT NULL),
-         s AS (
-           SELECT doc_id, len(toks) AS dl,
-             len(list_filter(toks, x -> x = 'spark'))  AS tf0,
-             len(list_filter(toks, x -> x = 'query'))  AS tf1,
-             len(list_filter(toks, x -> x = 'join'))   AS tf2,
-             len(list_filter(toks, x -> x = 'table'))  AS tf3,
-             len(list_filter(toks, x -> x = 'window')) AS tf4,
-             len(list_filter(toks, x -> x = 'agg'))    AS tf5
-           FROM d),
-         g AS (
-           SELECT count(*) AS n, sum(dl) AS total,
-             sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
-             sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
-             sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2,
-             sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS df3,
-             sum(CASE WHEN tf4 > 0 THEN 1 ELSE 0 END) AS df4,
-             sum(CASE WHEN tf5 > 0 THEN 1 ELSE 0 END) AS df5
-           FROM s),
-         lex AS (
-           SELECT doc_id,
-             round(
-               ln((g.n - g.df0 + 0.5::DOUBLE) / (g.df0 + 0.5::DOUBLE) + 1)
-                 * (tf0 * (1.2::DOUBLE + 1)) / (tf0 + 1.2::DOUBLE *
-                   ((1 - 0.75::DOUBLE) + 0.75::DOUBLE * dl
-                     / (g.total::DOUBLE / g.n)))
-             + ln((g.n - g.df1 + 0.5::DOUBLE) / (g.df1 + 0.5::DOUBLE) + 1)
-                 * (tf1 * (1.2::DOUBLE + 1)) / (tf1 + 1.2::DOUBLE *
-                   ((1 - 0.75::DOUBLE) + 0.75::DOUBLE * dl
-                     / (g.total::DOUBLE / g.n)))
-             + ln((g.n - g.df2 + 0.5::DOUBLE) / (g.df2 + 0.5::DOUBLE) + 1)
-                 * (tf2 * (1.2::DOUBLE + 1)) / (tf2 + 1.2::DOUBLE *
-                   ((1 - 0.75::DOUBLE) + 0.75::DOUBLE * dl
-                     / (g.total::DOUBLE / g.n)))
-             + ln((g.n - g.df3 + 0.5::DOUBLE) / (g.df3 + 0.5::DOUBLE) + 1)
-                 * (tf3 * (1.2::DOUBLE + 1)) / (tf3 + 1.2::DOUBLE *
-                   ((1 - 0.75::DOUBLE) + 0.75::DOUBLE * dl
-                     / (g.total::DOUBLE / g.n)))
-             + ln((g.n - g.df4 + 0.5::DOUBLE) / (g.df4 + 0.5::DOUBLE) + 1)
-                 * (tf4 * (1.2::DOUBLE + 1)) / (tf4 + 1.2::DOUBLE *
-                   ((1 - 0.75::DOUBLE) + 0.75::DOUBLE * dl
-                     / (g.total::DOUBLE / g.n)))
-             + ln((g.n - g.df5 + 0.5::DOUBLE) / (g.df5 + 0.5::DOUBLE) + 1)
-                 * (tf5 * (1.2::DOUBLE + 1)) / (tf5 + 1.2::DOUBLE *
-                   ((1 - 0.75::DOUBLE) + 0.75::DOUBLE * dl
-                     / (g.total::DOUBLE / g.n)))
-             , 4) AS score
-           FROM s, g
-           WHERE tf0 + tf1 + tf2 + tf3 + tf4 + tf5 > 0),
+      raw"""WITH $Bm25LexCtes,
          lex20 AS (
            SELECT doc_id, score FROM lex
            ORDER BY score DESC, doc_id LIMIT 20),

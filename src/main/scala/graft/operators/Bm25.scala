@@ -38,8 +38,11 @@ import org.apache.spark.sql.functions._
   */
 object Bm25 {
 
+  // the engine's ONE lexical tokenizer (whitespace split, empties
+  // dropped) — composed, not copied, so BM25 can never drift from the
+  // rerank/shingle surface that shares it
   private def tokens(textCol: Column): Column =
-    filter(split(lower(textCol), "\\s+"), t => length(t) > 0)
+    graft.functions.TextFunctions.tokens(lower(textCol))
 
   /** Top-`k` documents by BM25 score for `queryTerms`. Documents
     * containing NO query term are dropped (score 0 — emitting the whole
