@@ -44,11 +44,59 @@ object Bm25 {
   private def tokens(textCol: Column): Column =
     graft.functions.TextFunctions.tokens(lower(textCol))
 
+  /** Corpus-level BM25 constants: doc count, total token count, and
+    * per-term document frequency — all integers, all order-independent.
+    * At scale these are the REUSABLE artifact: corpus statistics drift
+    * slowly, so a query service computes them once per corpus version
+    * ([[stats]], one aggregation scan) and serves every query from one
+    * scoring scan — re-deriving them per query would double every
+    * query's corpus scans for values that didn't change. */
+  final case class CorpusStats(n: Long, totalLen: Long,
+      df: Map[String, Long]) {
+    require(n >= 0 && totalLen >= 0, s"negative stats: $this")
+  }
+
+  private def perDocFrame(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String]): DataFrame =
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(
+        col(idCol) +: size(col("__toks")).as("__dl") +:
+          queryTerms.zipWithIndex.map { case (t, i) =>
+            size(filter(col("__toks"), x => x === lit(t))).as(s"__tf$i")
+          }: _*)
+
+  /** ONE aggregation scan → the corpus constants for `queryTerms`
+    * (more generally: for any term vocabulary you plan to query). */
+  def stats(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String]): CorpusStats = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val perDoc = perDocFrame(docs, idCol, textCol, queryTerms)
+    val row = perDoc.agg(
+      count(lit(1)).as("n"),
+      sum(col("__dl")).as("total") +:
+        queryTerms.indices.map(i =>
+          sum(when(col(s"__tf$i") > 0, 1L).otherwise(0L)).as(s"df$i")): _*)
+      .head()
+    // sums over an EMPTY corpus are NULL, not 0
+    CorpusStats(row.getLong(0),
+      if (row.isNullAt(1)) 0L else row.getLong(1),
+      queryTerms.zipWithIndex.map { case (t, i) =>
+        t -> (if (row.isNullAt(2 + i)) 0L else row.getLong(2 + i))
+      }.toMap)
+  }
+
   /** Top-`k` documents by BM25 score for `queryTerms`. Documents
     * containing NO query term are dropped (score 0 — emitting the whole
     * corpus with zeros would make the result corpus-sized). Output:
     * (idCol, score) with `score` rounded to `roundDp`, ranked
-    * (score DESC, id ASC). */
+    * (score DESC, id ASC).
+    *
+    * `precomputed` supplies the corpus constants (from [[stats]],
+    * usually computed once per corpus version) so the query costs ONE
+    * scoring scan; None derives them fresh with an extra stats scan —
+    * fine for ad-hoc use, wasteful per-query at scale. The two paths
+    * are bit-identical for matching stats (spec-asserted). */
   def topK(
       docs: DataFrame,
       idCol: String,
@@ -57,30 +105,22 @@ object Bm25 {
       k: Int,
       k1: Double = 1.2,
       b: Double = 0.75,
-      roundDp: Int = 4): DataFrame = {
+      roundDp: Int = 4,
+      precomputed: Option[CorpusStats] = None): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
     require(queryTerms.distinct == queryTerms,
       s"duplicate query terms would double-count: $queryTerms")
-    val base = docs.filter(col(textCol).isNotNull)
-      .select(col(idCol), tokens(col(textCol)).as("__toks"))
-    val perDoc = base.select(
-      col(idCol) +: size(col("__toks")).as("__dl") +:
-        queryTerms.zipWithIndex.map { case (t, i) =>
-          size(filter(col("__toks"), x => x === lit(t))).as(s"__tf$i")
-        }: _*)
-    // STATS: integer scalars only — exact, order-independent, tiny
-    val statsRow = perDoc.agg(
-      count(lit(1)).as("n"),
-      sum(col("__dl")).as("total") +:
-        queryTerms.indices.map(i =>
-          sum(when(col(s"__tf$i") > 0, 1L).otherwise(0L)).as(s"df$i")): _*)
-      .head()
-    val n = statsRow.getLong(0)
+    val perDoc = perDocFrame(docs, idCol, textCol, queryTerms)
+    val cs = precomputed.getOrElse(stats(docs, idCol, textCol, queryTerms))
+    precomputed.foreach(s => require(
+      queryTerms.forall(s.df.contains),
+      s"precomputed stats lack df for ${queryTerms.filterNot(s.df.contains)}"))
+    val n = cs.n
     if (n == 0L)
       return perDoc.select(col(idCol), lit(0.0).as("score")).filter(lit(false))
-    val avgdl = statsRow.getLong(1).toDouble / n
-    val idf = queryTerms.indices.map { i =>
-      val df = statsRow.getLong(2 + i).toDouble
+    val avgdl = cs.totalLen.toDouble / n
+    val idf = queryTerms.map { t =>
+      val df = cs.df(t).toDouble
       math.log((n - df + 0.5) / (df + 0.5) + 1.0)
     }
     // SCORE: fixed-order fold of the per-term contributions — the same

@@ -39,6 +39,23 @@ class Bm25Spec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("bm25: precomputed stats path is bit-identical to the fresh-stats path") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val terms = Seq("spark", "join", "query")
+    val cs = Bm25.stats(docs, "doc_id", "text", terms)
+    assert(cs.n > 0 && terms.forall(cs.df.contains))
+    def rows(pre: Option[Bm25.CorpusStats]) =
+      Bm25.topK(docs, "doc_id", "text", terms, k = 10, precomputed = pre)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(rows(Some(cs)) == rows(None),
+      "served-stats scoring must equal the fresh-stats scoring")
+    // stats for a term the query set lacks are rejected up front
+    intercept[IllegalArgumentException] {
+      Bm25.topK(docs, "doc_id", "text", Seq("spark", "unseen-term"),
+        k = 5, precomputed = Some(cs))
+    }
+  }
+
   test("bm25: duplicate terms rejected, empty corpus yields empty result") {
     import spark.implicits._
     val docs = Seq((1L, "a b")).toDF("doc_id", "text")
