@@ -54,6 +54,12 @@ object Bm25 {
   final case class CorpusStats(n: Long, totalLen: Long,
       df: Map[String, Long]) {
     require(n >= 0 && totalLen >= 0, s"negative stats: $this")
+    // df > n can only come from stats of a DIFFERENT corpus — it would
+    // push the idf argument ≤ 0 and score NaN, which sorts silently
+    // instead of failing; reject at construction
+    require(df.values.forall(d => d >= 0 && d <= n),
+      s"document frequency exceeds corpus size — stats from another " +
+        s"corpus? $this")
   }
 
   private def perDocFrame(docs: DataFrame, idCol: String, textCol: String,
