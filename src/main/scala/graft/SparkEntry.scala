@@ -860,6 +860,16 @@ object SparkEntry {
       ivfAutoProbeQuery(s, dir, "q61")((v, q) =>
         KnnSearch.NativeCosine.dist(v, q))),
 
+    "q66_ivf_autoprobe_dot" -> ((s, dir) =>
+      // The THIRD supported ordering through the rewrite — MIPS
+      // (`-graft_dot`): probes must rank by query·centroid descending
+      // (probeOrderDot), completing the rule's dispatch matrix behind
+      // the gate (q60 L2, q61 cosine, q66 dot). The rule refuses
+      // sqrt-wrapped dot orderings (negatives sqrt to NaN) but plain
+      // round() is monotone and matches.
+      ivfAutoProbeQuery(s, dir, "q66")((v, q) =>
+        -call_function("graft_dot", v, KnnSearch.litVec(q)))),
+
     "q62_ivf_sq8" -> ((s, dir) => {
       // IVF-SQ8 (the FAISS `IVF..,SQ8` shape): the probed scan's
       // approximate ranking pass reads the 1-byte/dim __sq8_code column
@@ -2089,6 +2099,31 @@ object SparkEntry {
                       ELSE 1.0 - dot / (sqrt(nv) * sqrt(nq)) END, 4)
              AS dist
          FROM d
+         ORDER BY dist, vec_id LIMIT 10""",
+
+    // The MIPS rule route (q66): probes ranked by query·centroid
+    // DESCENDING (probeOrderDot's negated-dot ascending sort, ties by
+    // cluster_id), scan pruned to them, ranking on the rounded negated
+    // dot — per-term double products folded in dim order, exactly
+    // DotProduct's loop.
+    "q66_ivf_autoprobe_dot" ->
+      raw"""WITH q AS (
+           SELECT embedding::DOUBLE[] AS qv FROM embeddings
+           WHERE vec_id = 0),
+         cent AS (
+           SELECT cluster_id, centroid FROM
+             read_parquet('$IvfOracleRoot/single/centroids/*.parquet')),
+         probes AS (
+           SELECT cluster_id FROM cent, q
+           ORDER BY -(list_sum(list_transform(range(1, len(centroid) + 1),
+             i -> centroid[i]::DOUBLE * qv[i]))),
+             cluster_id
+           LIMIT 6)
+         SELECT vec_id,
+           round(-(list_sum(list_transform(range(1, len(embedding) + 1),
+             i -> embedding[i]::DOUBLE * q.qv[i]))), 4) AS dist
+         FROM read_parquet('$IvfOracleRoot/single/data/*.parquet') e, q
+         WHERE e.__ivf_cluster IN (SELECT cluster_id FROM probes)
          ORDER BY dist, vec_id LIMIT 10""",
 
     // The IVF-SQ8 replay (q62): probes as q36, then the APPROXIMATE
