@@ -206,7 +206,8 @@ object SparkEntry {
     try {
       val df = s.read.parquet(root)
         .select(col("vec_id"),
-          round(distOf(col("embedding"), q), 4).as("dist"))
+          KnnSearch.roundHalfUpCol(distOf(col("embedding"), q), 4)
+            .as("dist"))
         .orderBy(col("dist"), col("vec_id"))
         .limit(10)
       val fired = df.queryExecution.optimizedPlan.collectFirst {
@@ -627,7 +628,8 @@ object SparkEntry {
       val q = queryVec(s, dir)
       t(s, dir, "embeddings")
         .select(col("vec_id"),
-          round(l2DistanceNative(col("embedding"), KnnSearch.litVec(q)), 4)
+          KnnSearch.roundHalfUpCol(
+            l2DistanceNative(col("embedding"), KnnSearch.litVec(q)), 4)
             .as("dist"))
         .orderBy(col("dist"), col("vec_id"))
         .limit(10)
@@ -638,8 +640,9 @@ object SparkEntry {
       val q = queryVec(s, dir)
       t(s, dir, "embeddings")
         .select(col("vec_id"),
-          round(cosineSimilarityNative(col("embedding"), KnnSearch.litVec(q)),
-            4).as("cos_sim"))
+          KnnSearch.roundHalfUpCol(
+            cosineSimilarityNative(col("embedding"), KnnSearch.litVec(q)), 4)
+            .as("cos_sim"))
         .orderBy(col("cos_sim").desc, col("vec_id"))
         .limit(10)
     }),
@@ -837,7 +840,8 @@ object SparkEntry {
 
     "q60_ivf_autoprobe" -> ((s, dir) =>
       // The OPTIMIZER-RULE route to the same probe-pruned scan: a plain
-      // declarative top-k (ORDER BY round(sqrt(graft_l2sq), 4) LIMIT 10)
+      // declarative top-k (ORDER BY floor(sqrt(graft_l2sq)·1e4+0.5)/1e4
+      // LIMIT 10 — roundHalfUpCol's cross-engine floor rounding)
       // over the persisted index root, with spark.graft.ivf.nprobe=6 —
       // IvfAutoProbe injects Filter(__ivf_cluster IN probes) and the
       // planner collapses it into parquet PartitionFilters. This puts
@@ -851,7 +855,7 @@ object SparkEntry {
     "q61_ivf_autoprobe_cos" -> ((s, dir) =>
       // q60's optimizer-rule route with the COSINE ordering: the rule
       // must recognize `1.0 - graft_cos(vec, const)` (under the
-      // monotonic round wrapper) and rank probes ANGULARLY
+      // monotone floor-form rounding wrapper) and rank probes ANGULARLY
       // (probeOrderCosine) — the metric dispatch that, single-query,
       // is only reachable through the rewrite. The oracle replays
       // angular probe selection + the pruned scan + the rounded cosine
@@ -865,8 +869,8 @@ object SparkEntry {
       // (`-graft_dot`): probes must rank by query·centroid descending
       // (probeOrderDot), completing the rule's dispatch matrix behind
       // the gate (q60 L2, q61 cosine, q66 dot). The rule refuses
-      // sqrt-wrapped dot orderings (negatives sqrt to NaN) but plain
-      // round() is monotone and matches.
+      // sqrt-wrapped dot orderings (negatives sqrt to NaN) but the
+      // floor-form rounding wrapper is monotone and matches.
       ivfAutoProbeQuery(s, dir, "q66")((v, q) =>
         -call_function("graft_dot", v, KnnSearch.litVec(q)))),
 
@@ -1589,17 +1593,26 @@ object SparkEntry {
          GROUP BY l_orderkey
          ORDER BY revenue DESC, l_orderkey LIMIT 10""",
 
+    // Every ranked-distance oracle replays KnnSearch.roundHalfUpCol's
+    // primitive floor arithmetic — floor(x·1e4 + 0.5)/1e4 — NEVER
+    // engine-native round(): Spark's round goes through the shortest
+    // decimal string while DuckDB's rounds in binary, and the two
+    // disagree when a distance lands on a 4-dp half boundary (the
+    // round-11 q59/q61 driver red). The floor form is the identical
+    // IEEE op sequence on both engines.
     "q30_knn_l2" ->
       """SELECT vec_id,
-         round(list_distance(embedding::DOUBLE[],
-           (SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[]), 4)
+         floor(list_distance(embedding::DOUBLE[],
+           (SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[])
+           * 1e4 + 0.5::DOUBLE) / 1e4
            AS dist
          FROM embeddings ORDER BY dist, vec_id LIMIT 10""",
 
     "q31_knn_cosine" ->
       """SELECT vec_id,
-         round(list_cosine_similarity(embedding::DOUBLE[],
-           (SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[]), 4)
+         floor(list_cosine_similarity(embedding::DOUBLE[],
+           (SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[])
+           * 1e4 + 0.5::DOUBLE) / 1e4
            AS cos_sim
          FROM embeddings ORDER BY cos_sim DESC, vec_id LIMIT 10""",
 
@@ -1726,9 +1739,9 @@ object SparkEntry {
     "q33_knn_pruned" ->
       """WITH d AS (
            SELECT label, vec_id,
-             round(list_distance(embedding::DOUBLE[],
-               (SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[]),
-               4) AS dist
+             floor(list_distance(embedding::DOUBLE[],
+               (SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[])
+               * 1e4 + 0.5::DOUBLE) / 1e4 AS dist
            FROM embeddings WHERE label IN (1, 3, 5))
          SELECT label, vec_id, dist FROM (
            SELECT label, vec_id, dist,
@@ -1865,7 +1878,8 @@ object SparkEntry {
            FROM embeddings WHERE vec_id IN (0, 1, 2)),
          d AS (
            SELECT q.query_id, e.vec_id,
-             round(list_distance(e.embedding::DOUBLE[], q.qv::DOUBLE[]), 4)
+             floor(list_distance(e.embedding::DOUBLE[], q.qv::DOUBLE[])
+               * 1e4 + 0.5::DOUBLE) / 1e4
                AS dist
            FROM embeddings e, q)
          SELECT query_id, vec_id, dist FROM (
@@ -1884,9 +1898,9 @@ object SparkEntry {
            WHERE e.label IN (1, 3, 5)),
          scored AS (
            SELECT id, component_code, document, url,
-             round(list_distance(embedding::DOUBLE[],
+             floor(list_distance(embedding::DOUBLE[],
                (SELECT embedding FROM embeddings WHERE vec_id = 0)
-                 ::DOUBLE[]), 4) AS dist
+                 ::DOUBLE[]) * 1e4 + 0.5::DOUBLE) / 1e4 AS dist
            FROM corpus),
          cand AS (
            SELECT id, document, url, dist FROM (
@@ -1945,7 +1959,8 @@ object SparkEntry {
              cluster_id
            LIMIT 6)
          SELECT vec_id,
-           round(list_distance(embedding::DOUBLE[], (SELECT qv FROM q)), 4)
+           floor(list_distance(embedding::DOUBLE[], (SELECT qv FROM q))
+             * 1e4 + 0.5::DOUBLE) / 1e4
              AS dist
          FROM read_parquet('$IvfOracleRoot/single/data/*.parquet')
          WHERE __ivf_cluster IN (SELECT cluster_id FROM probes)
@@ -1966,7 +1981,8 @@ object SparkEntry {
              cluster_id
            LIMIT 6)
          SELECT label, vec_id,
-           round(list_distance(embedding::DOUBLE[], (SELECT qv FROM q)), 4)
+           floor(list_distance(embedding::DOUBLE[], (SELECT qv FROM q))
+             * 1e4 + 0.5::DOUBLE) / 1e4
              AS dist
          FROM read_parquet('$IvfOracleRoot/scoped/data/*.parquet')
          WHERE label IN (1, 3, 5)
@@ -1974,14 +1990,18 @@ object SparkEntry {
          ORDER BY dist, vec_id LIMIT 10""",
 
     // The batch-cosine replay (q59): per-query ANGULAR probe ranking
-    // (probeOrderCosine's double math — negated cosine, zero-norm → 0,
-    // ties by cluster_id), then — mirroring searchBatch's probe GATE —
+    // (probeOrderCosine's double math — negated cosine QUANTIZED to
+    // 1e-12 via the primitive floor form, IvfIndex.quantizeKey, so a
+    // last-ulp disagreement in the norm division cannot flip the probe
+    // set at the nprobe boundary; zero-norm → 0, quantized ties by
+    // cluster_id), then — mirroring searchBatch's probe GATE —
     // each query scores ONLY rows inside its OWN top-nprobe clusters
     // (the join on (qid, cluster) below; the engine's one physical scan
     // over the probe union is an execution detail the gate makes
-    // invisible in the result), rounded cosine-distance top-k with
-    // vec_id ties — exactly the heap arithmetic (KnnSearch.batchDistFn
-    // mirrors CosineSimilarityExpr).
+    // invisible in the result), cosine-distance top-k rounded by the
+    // identical primitive floor arithmetic as the heap closure
+    // (KnnSearch.roundHalfUp — never engine-native round(), whose
+    // decimal-vs-binary seam was the round-11 driver red), vec_id ties.
     "q59_ivf_batch_cosine" ->
       raw"""WITH q AS (
            SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
@@ -1992,10 +2012,11 @@ object SparkEntry {
          pranked AS (
            SELECT q.qid, c.cluster_id,
              row_number() OVER (PARTITION BY q.qid ORDER BY
-               CASE WHEN list_sum(list_transform(q.qv, x -> x * x)) = 0
+               floor((CASE
+                 WHEN list_sum(list_transform(q.qv, x -> x * x)) = 0
                       OR list_sum(list_transform(c.centroid,
                            x -> x::DOUBLE * x::DOUBLE)) = 0
-                    THEN 0.0
+                    THEN 0.0::DOUBLE
                     ELSE -(list_sum(list_transform(
                              range(1, len(c.centroid) + 1),
                              i -> c.centroid[i]::DOUBLE * q.qv[i]))
@@ -2003,7 +2024,7 @@ object SparkEntry {
                                 x -> x * x)))
                               * sqrt(list_sum(list_transform(c.centroid,
                                   x -> x::DOUBLE * x::DOUBLE)))))
-               END, c.cluster_id) AS rn
+               END) * 1e12 + 0.5::DOUBLE), c.cluster_id) AS rn
            FROM cent c, q),
          d AS (
            SELECT q.qid AS query_id, e.vec_id,
@@ -2019,8 +2040,9 @@ object SparkEntry {
            WHERE p.rn <= 4),
          scored AS (
            SELECT query_id, vec_id,
-             round(CASE WHEN nv = 0 OR nq = 0 THEN 1.0
-                        ELSE 1.0 - dot / (sqrt(nv) * sqrt(nq)) END, 4)
+             floor((CASE WHEN nv = 0 OR nq = 0 THEN 1.0::DOUBLE
+                         ELSE 1.0 - dot / (sqrt(nv) * sqrt(nq)) END)
+                   * 1e4 + 0.5::DOUBLE) / 1e4
                AS dist
            FROM d)
          SELECT query_id, vec_id, dist FROM (
@@ -2051,17 +2073,22 @@ object SparkEntry {
              cluster_id
            LIMIT 6)
          SELECT vec_id,
-           round(list_distance(embedding::DOUBLE[], (SELECT qv FROM q)), 4)
+           floor(list_distance(embedding::DOUBLE[], (SELECT qv FROM q))
+             * 1e4 + 0.5::DOUBLE) / 1e4
              AS dist
          FROM read_parquet('$IvfOracleRoot/single/data/*.parquet')
          WHERE __ivf_cluster IN (SELECT cluster_id FROM probes)
          ORDER BY dist, vec_id LIMIT 10""",
 
     // The cosine optimizer-rule route (q61): probe selection must be
-    // ANGULAR (probeOrderCosine's negated-cosine double math, zero-norm
-    // → 0, ties by cluster_id) — an L2-ranked replay would prove the
-    // rewrite fired but not that it dispatched the metric; the scan +
-    // top-k replay the rounded cosine distance like q59's per-query leg.
+    // ANGULAR (probeOrderCosine's negated-cosine double math, quantized
+    // to 1e-12 by the primitive floor form — IvfIndex.quantizeKey — so
+    // ULP noise in the norm division can't flip the probe set; zero-norm
+    // → 0, quantized ties by cluster_id) — an L2-ranked replay would
+    // prove the rewrite fired but not that it dispatched the metric; the
+    // scan + top-k replay the cosine distance rounded by the identical
+    // floor arithmetic as the Spark entry (KnnSearch.roundHalfUpCol,
+    // never engine-native round() — the round-11 driver red's seam).
     "q61_ivf_autoprobe_cos" ->
       raw"""WITH q AS (
            SELECT embedding::DOUBLE[] AS qv FROM embeddings
@@ -2072,10 +2099,11 @@ object SparkEntry {
          probes AS (
            SELECT cluster_id FROM cent, q
            ORDER BY
-             CASE WHEN list_sum(list_transform(qv, x -> x * x)) = 0
+             floor((CASE
+               WHEN list_sum(list_transform(qv, x -> x * x)) = 0
                     OR list_sum(list_transform(centroid,
                          x -> x::DOUBLE * x::DOUBLE)) = 0
-                  THEN 0.0
+                  THEN 0.0::DOUBLE
                   ELSE -(list_sum(list_transform(
                            range(1, len(centroid) + 1),
                            i -> centroid[i]::DOUBLE * qv[i]))
@@ -2083,7 +2111,7 @@ object SparkEntry {
                               x -> x * x)))
                             * sqrt(list_sum(list_transform(centroid,
                                 x -> x::DOUBLE * x::DOUBLE)))))
-             END, cluster_id
+             END) * 1e12 + 0.5::DOUBLE), cluster_id
            LIMIT 6),
          d AS (
            SELECT e.vec_id,
@@ -2095,8 +2123,9 @@ object SparkEntry {
            FROM read_parquet('$IvfOracleRoot/single/data/*.parquet') e, q
            WHERE e.__ivf_cluster IN (SELECT cluster_id FROM probes))
          SELECT vec_id,
-           round(CASE WHEN nv = 0 OR nq = 0 THEN 1.0
-                      ELSE 1.0 - dot / (sqrt(nv) * sqrt(nq)) END, 4)
+           floor((CASE WHEN nv = 0 OR nq = 0 THEN 1.0::DOUBLE
+                       ELSE 1.0 - dot / (sqrt(nv) * sqrt(nq)) END)
+                 * 1e4 + 0.5::DOUBLE) / 1e4
              AS dist
          FROM d
          ORDER BY dist, vec_id LIMIT 10""",
@@ -2120,8 +2149,9 @@ object SparkEntry {
              cluster_id
            LIMIT 6)
          SELECT vec_id,
-           round(-(list_sum(list_transform(range(1, len(embedding) + 1),
-             i -> embedding[i]::DOUBLE * q.qv[i]))), 4) AS dist
+           floor(-(list_sum(list_transform(range(1, len(embedding) + 1),
+             i -> embedding[i]::DOUBLE * q.qv[i]))) * 1e4 + 0.5::DOUBLE)
+             / 1e4 AS dist
          FROM read_parquet('$IvfOracleRoot/single/data/*.parquet') e, q
          WHERE e.__ivf_cluster IN (SELECT cluster_id FROM probes)
          ORDER BY dist, vec_id LIMIT 10""",
@@ -2166,8 +2196,8 @@ object SparkEntry {
          cand AS (
            SELECT vec_id FROM a ORDER BY ad, vec_id LIMIT 40)
          SELECT e.vec_id,
-           round(list_distance(e.embedding::DOUBLE[], (SELECT qv FROM q)),
-             4) AS dist
+           floor(list_distance(e.embedding::DOUBLE[], (SELECT qv FROM q))
+             * 1e4 + 0.5::DOUBLE) / 1e4 AS dist
          FROM read_parquet('$IvfOracleRoot/single/data/*.parquet') e, q
          WHERE e.vec_id IN (SELECT vec_id FROM cand)
            AND e.__ivf_cluster IN (SELECT cluster_id FROM probes)
@@ -2199,7 +2229,8 @@ object SparkEntry {
              AND e.__ivf_cluster IN (SELECT cluster_id FROM probes)),
          scored AS (
            SELECT vec_id, label, document, url,
-             round(list_distance(embedding::DOUBLE[], (SELECT qv FROM q)), 4)
+             floor(list_distance(embedding::DOUBLE[], (SELECT qv FROM q))
+               * 1e4 + 0.5::DOUBLE) / 1e4
                AS dist
            FROM corpus),
          cand AS (
@@ -2259,8 +2290,8 @@ object SparkEntry {
            WHERE vec_id = 0),
          dense AS (
            SELECT vec_id AS doc_id,
-             round(list_distance(embedding::DOUBLE[],
-               (SELECT qv FROM q)), 4) AS dist
+             floor(list_distance(embedding::DOUBLE[],
+               (SELECT qv FROM q)) * 1e4 + 0.5::DOUBLE) / 1e4 AS dist
            FROM embeddings ORDER BY dist, vec_id LIMIT 20),
          dr AS (
            SELECT doc_id,

@@ -354,7 +354,18 @@ object IvfIndex {
     * sides are unit-normalized in the scoring (on the unit sphere
     * L2² = 2 − 2·cos, so this is [[probeOrder]]'s cosine analogue for
     * `1 − graft_cos` orderings). A zero-norm side scores 0, matching
-    * [[graft.plans.CosineSimilarityExpr]]. */
+    * [[graft.plans.CosineSimilarityExpr]].
+    *
+    * Unlike [[probeOrder]]'s per-term squared sums — whose cross-engine
+    * replay is the identical double fold — the cosine key divides by
+    * sqrt-norms, so an independent replay (the DuckDB oracle) can
+    * disagree in the LAST ULP; at an nprobe boundary that flips the
+    * probe set and every downstream row (the round-11 q59/q61 driver
+    * red). The ranking therefore quantizes the key to 1e-12 via
+    * [[quantizeKey]] — primitive floor arithmetic any IEEE-double engine
+    * reproduces bit-for-bit — and breaks quantized ties by ascending
+    * cluster id, so sub-ULP disagreement collapses onto the same key
+    * instead of reordering probes. */
   def probeOrderCosine(centroids: Array[Array[Float]],
       clusterIds: Array[Int], query: Seq[Float]): Seq[Int] = {
     val q = query.toArray
@@ -372,10 +383,21 @@ object IvfIndex {
         val cos =
           if (qn == 0.0 || cn == 0.0) 0.0
           else dot / (math.sqrt(qn) * math.sqrt(cn))
-        (-cos, clusterIds(ci))
+        (quantizeKey(-cos), clusterIds(ci))
       }
-      .sortBy(_._1).map(_._2).toSeq
+      .sortBy(identity).map(_._2).toSeq
   }
+
+  /** Quantize a probe-ranking key to 1e-12 with primitive arithmetic —
+    * `floor(x·1e12 + 0.5)` — that SQL engines replay as the literal
+    * expression `floor(x * 1e12 + 0.5)`: every step is a single IEEE
+    * double op, so identical inputs give the identical key on any
+    * engine, and inputs disagreeing below 1e-12 (ULP noise from
+    * division/sqrt computed in a different engine) land on the SAME key
+    * unless the true value sits within an ulp of a quantization edge.
+    * For |x| ≤ ~2 (negated cosine) the product stays far below 2^53, so
+    * the floor is exact. */
+  def quantizeKey(x: Double): Double = math.floor(x * 1e12 + 0.5)
 
   /** cluster ids ranked by query·centroid descending — the MIPS probe
     * ranking for negated-dot (`-graft_dot`) orderings. */

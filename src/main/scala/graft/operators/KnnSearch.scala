@@ -58,6 +58,29 @@ object KnnSearch {
 
   def litVec(q: Seq[Float]): Column = array(q.map(x => lit(x)): _*)
 
+  /** Cross-engine-replayable half-up rounding: `floor(x·10^dp + 0.5) /
+    * 10^dp` — every step a single IEEE double op, so ANY engine
+    * replaying the literal formula (`floor(x * 1e4 + 0.5) / 1e4` in the
+    * DuckDB oracles) produces the identical double from the identical
+    * input. Spark's own `round()` goes through the SHORTEST-DECIMAL
+    * string (`BigDecimal.valueOf` HALF_UP) while DuckDB's
+    * `round(DOUBLE, n)` rounds in binary, and the two disagree when a
+    * distance lands within an ulp of a `…x5·10^-(dp+1)` boundary —
+    * the round-11 q59/q61 driver red (a machine-dependent k-means fit
+    * produced exactly such a value). The primitive form has no decimal
+    * seam to disagree over. Distances are O(1)–O(10^3), so x·10^4 stays
+    * far below 2^53 and the floor is exact. */
+  def roundHalfUp(x: Double, scale: Double): Double =
+    math.floor(x * scale + 0.5) / scale
+
+  /** [[roundHalfUp]] as a codegen'd Column expression — used for every
+    * ranked `dist` the oracles replay, NEVER Spark's `round()` (see
+    * [[roundHalfUp]] for why). */
+  def roundHalfUpCol(c: Column, dp: Int): Column = {
+    val s = math.pow(10, dp)
+    floor(c * lit(s) + lit(0.5)) / lit(s)
+  }
+
   /** Exact top-k: returns the input rows plus a distance column (named
     * `distCol`, default "dist"), k nearest first. Deterministic under ties
     * via `tieBreak`. Throws if `distCol` already exists in the input —
@@ -76,8 +99,10 @@ object KnnSearch {
     val rawDist = metric.dist(col(vecCol), query)
     // Optional cross-engine determinism mode (SURVEY §7.5): round the
     // distance BEFORE ranking so two engines that disagree below the
-    // rounding precision still produce the identical (dist, tieBreak) order.
-    val distExpr = rankRoundDp.fold(rawDist)(dp => round(rawDist, dp))
+    // rounding precision still produce the identical (dist, tieBreak)
+    // order — via the primitive floor form, which an oracle replays
+    // bit-for-bit (roundHalfUpCol scaladoc).
+    val distExpr = rankRoundDp.fold(rawDist)(dp => roundHalfUpCol(rawDist, dp))
     val withDist = corpus.withColumn(distCol, distExpr)
     val ordered = tieBreak match {
       case Some(c) => withDist.orderBy(col(distCol), col(c))
@@ -218,7 +243,7 @@ object KnnSearch {
     val tieIdx = corpus.schema.fieldIndex(tieBreak)
     // validated at plan time, serialized into the closure
     val tieKey = tieKeyFn(corpus.schema(tieBreak).dataType)
-    val dp = rankRoundDp
+    val roundScale = rankRoundDp.map(p => math.pow(10, p))
     val distFn = batchDistFn(metric)
     gate.foreach(g => require(g.allowed.length == qSet.length,
       s"gate.allowed (${g.allowed.length}) must align with the query " +
@@ -284,11 +309,10 @@ object KnnSearch {
                   s"dimension mismatch in topKBatch: corpus vector has " +
                     s"${v.length} dims, query '${qs(qi)._1}' has ${qv.length}")
               var dist = distFn(v, qv)
-              // same half-up shortest-decimal rounding as Spark round()
-              dp.foreach { p =>
-                dist = java.math.BigDecimal.valueOf(dist)
-                  .setScale(p, java.math.RoundingMode.HALF_UP).doubleValue()
-              }
+              // the same primitive half-up rounding as topK's ranked
+              // dist — batch results stay bit-equal to single-query
+              // search AND to the oracle's floor-form replay
+              roundScale.foreach(sc => dist = roundHalfUp(dist, sc))
               val h = heaps(qi)
               if (h.size < k) h.enqueue(new Entry(dist, tie, row))
               else if (cmp(new Entry(dist, tie, row), h.head) < 0) {

@@ -3,7 +3,7 @@ package graft.plans
 import scala.util.Try
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, AttributeReference, Expression, ExprId, In, Literal, SortOrder, Subtract, UnaryMinus}
+import org.apache.spark.sql.catalyst.expressions.{Add, Alias, Ascending, AttributeReference, Divide, Expression, ExprId, Floor, In, Literal, Multiply, SortOrder, Subtract, UnaryMinus}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, GlobalLimit, LocalLimit, LogicalPlan, Project, Sort}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -177,8 +177,13 @@ case class IvfAutoProbe(spark: SparkSession) extends Rule[LogicalPlan] {
     cur
   }
 
-  /** strip wrappers that preserve ascending order: round
-    * (non-decreasing), WIDENING numeric casts, aliases — and sqrt, which
+  /** strip wrappers that preserve ascending order: round and floor
+    * (non-decreasing), monotone affine arithmetic over constants
+    * (`x + c`, `x · c` / `c · x` for c > 0, `x / c` for c > 0 — the
+    * shape of [[graft.operators.KnnSearch.roundHalfUpCol]]'s
+    * `floor(x·10^dp + 0.5) / 10^dp`, the engine's cross-engine
+    * deterministic rounding of every ranked distance), WIDENING numeric
+    * casts, aliases — and sqrt, which
     * is order-preserving ONLY on non-negative inputs (NaN on negatives,
     * and NaN sorts LAST in Spark, inverting nothing but breaking
     * equivalence). The returned flag records whether a Sqrt was
@@ -188,13 +193,24 @@ case class IvfAutoProbe(spark: SparkSession) extends Rule[LogicalPlan] {
     * lexicographically ('10' < '9') and a narrowing cast can truncate —
     * stripping either would prune to the wrong clusters and return wrong
     * rows beyond the sanctioned IVF approximation, so only
-    * numeric→numeric up-casts pass. */
+    * numeric→numeric up-casts pass; likewise `x · c` / `x / c` with
+    * c ≤ 0 (order-inverting or degenerate) and `c / x` (non-monotone)
+    * never strip. */
   private def unwrapMonotonic(e: Expression): (Expression, Boolean) =
     e match {
       case org.apache.spark.sql.catalyst.expressions.Sqrt(c) =>
         (unwrapMonotonic(c)._1, true)
       case org.apache.spark.sql.catalyst.expressions.Round(c, _, _) =>
         unwrapMonotonic(c)
+      case Floor(c) => unwrapMonotonic(c)
+      case Add(l, r, _) if numConst(r).isDefined => unwrapMonotonic(l)
+      case Add(l, r, _) if numConst(l).isDefined => unwrapMonotonic(r)
+      case Multiply(l, r, _) if numConst(r).exists(_ > 0) =>
+        unwrapMonotonic(l)
+      case Multiply(l, r, _) if numConst(l).exists(_ > 0) =>
+        unwrapMonotonic(r)
+      case Divide(l, r, _) if numConst(r).exists(_ > 0) =>
+        unwrapMonotonic(l)
       case c: org.apache.spark.sql.catalyst.expressions.Cast
           if c.child.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] &&
             c.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] &&
@@ -204,6 +220,14 @@ case class IvfAutoProbe(spark: SparkSession) extends Rule[LogicalPlan] {
       case a: Alias => unwrapMonotonic(a.child)
       case other => (other, false)
     }
+
+  /** the numeric value of a foldable literal, None for everything else
+    * (including Decimal — the matched shape only produces primitive
+    * numeric literals) */
+  private def numConst(e: Expression): Option[Double] = e match {
+    case Literal(v: java.lang.Number, _) => Some(v.doubleValue())
+    case _ => None
+  }
 
   private def constVector(e: Expression): Option[Array[Float]] = e match {
     case Literal(ad: ArrayData, ArrayType(FloatType, _)) =>

@@ -703,4 +703,113 @@ class IvfIndexSpec extends SparkSpec {
       .select("vec_id").collect().map(_.getLong(0)).toSet
     assert(res == exactTopK(q, 10))
   }
+
+  test("probeOrderCosine ranks on the QUANTIZED key: sub-1e-12 cosine " +
+      "noise collapses to the cluster-id tie-break") {
+    // c2 = 4·c1 (exact power-of-2 float scale): dot scales by 4 and the
+    // norm by 4 with NO new rounding (IEEE scaling by 2^k commutes with
+    // add/multiply), so cos(q,c1) and cos(q,c2) are BIT-identical — the
+    // degenerate limit of the driver-machine ULP noise that flipped the
+    // round-11 probe sets. The quantized keys collide and the ranking
+    // MUST fall to ascending cluster id, whatever the input order.
+    val c1 = Array(0.25f, 0.55f, -0.15f)
+    val c2 = c1.map(_ * 4.0f)
+    val q = Seq(0.3f, 0.7f, -0.2f)
+    assert(IvfIndex.probeOrderCosine(Array(c2, c1), Array(7, 3), q)
+      == Seq(3, 7))
+    assert(IvfIndex.probeOrderCosine(Array(c1, c2), Array(3, 7), q)
+      == Seq(3, 7))
+    // a genuinely different direction still ranks by VALUE, not id:
+    // c3 is near-orthogonal to q (far lower cosine), so it sorts last
+    // despite the smallest id
+    val c3 = Array(-0.7f, 0.3f, -0.01f)
+    assert(IvfIndex.probeOrderCosine(Array(c3, c2, c1), Array(1, 7, 3), q)
+      == Seq(3, 7, 1))
+    // and the key itself is the primitive floor form any engine replays
+    assert(IvfIndex.quantizeKey(-0.5) == math.floor(-0.5 * 1e12 + 0.5))
+  }
+
+  test("cosine replays survive a PERTURBED k-means fit: batch == " +
+      "single == the oracle-arithmetic simulation") {
+    // The round-11 driver red came from a machine-dependent fit landing
+    // a cosine value on a rounding/probe boundary that the local fit
+    // never exercised. Simulate "someone else's machine" by perturbing
+    // the fit (sample fraction, seed, nlist) and, for EACH geometry,
+    // replaying the full oracle arithmetic in-JVM — sequential per-term
+    // folds, the quantized probe key, the floor-form 4-dp rounding,
+    // (dist, id) ordering — exactly the DuckDB SQL's op sequence. The
+    // engine must match its own replay bit-for-bit under every fit; the
+    // arithmetic being identical-by-construction is what makes the
+    // DuckDB run on any machine agree too.
+    import spark.implicits._
+    val dim = 6
+    val rnd = new scala.util.Random(1234)
+    val corpus = (0L until 240L).map(i =>
+      (i, Seq.fill(dim)((rnd.nextFloat() - 0.5f) * 2f)))
+    val corpusDf = corpus.toDF("vec_id", "embedding").cache()
+    val queries = corpus.take(3)
+    val k = 4
+    val nprobe = 3
+
+    def fold(xs: Seq[Double]): Double = xs.foldLeft(0.0)(_ + _)
+    def negCos(c: Array[Float], q: Seq[Float]): Double = {
+      val dot = fold(c.indices.map(j => c(j).toDouble * q(j).toDouble))
+      val cn = fold(c.map(x => x.toDouble * x.toDouble).toSeq)
+      val qn = fold(q.map(x => x.toDouble * x.toDouble))
+      if (qn == 0.0 || cn == 0.0) 0.0
+      else -(dot / (math.sqrt(qn) * math.sqrt(cn)))
+    }
+    def cosDist(v: Seq[Float], q: Seq[Float]): Double = {
+      val dot = fold(v.indices.map(j => v(j).toDouble * q(j).toDouble))
+      val nv = fold(v.map(x => x.toDouble * x.toDouble))
+      val nq = fold(q.map(x => x.toDouble * x.toDouble))
+      if (nv == 0.0 || nq == 0.0) 1.0
+      else 1.0 - dot / (math.sqrt(nv) * math.sqrt(nq))
+    }
+
+    val fits = Seq((1.0, 42L, 5), (0.7, 42L, 5), (0.6, 7L, 4), (1.0, 7L, 3))
+    for ((frac, seed, nlist) <- fits) {
+      val idx = IvfIndex.build(corpusDf, "vec_id", "embedding",
+        nlist = nlist, seed = seed, fitSampleFraction = frac)
+      val assignedRows = idx.assigned
+        .select("vec_id", "embedding", IvfIndex.ClusterCol)
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1), r.getInt(2)))
+
+      // oracle-arithmetic simulation, per query
+      val expected = queries.flatMap { case (qid, qv) =>
+        val probes = idx.centroids.zip(idx.clusterIds)
+          .map { case (c, id) =>
+            (IvfIndex.quantizeKey(negCos(c, qv)), id)
+          }
+          .sortBy(identity).map(_._2).take(nprobe).toSet
+        assignedRows.filter(r => probes.contains(r._3))
+          .map { case (vid, v, _) =>
+            (vid, KnnSearch.roundHalfUp(cosDist(v, qv), 1e4))
+          }
+          .sortBy { case (vid, d) => (d, vid) }.take(k)
+          .map { case (vid, d) => (qid, vid, d) }
+      }.toSet
+
+      val batch = idx.searchBatch(
+          queries.toDF("qid", "qv"), "qid", "qv",
+          k = k, nprobe = nprobe, tieBreak = "vec_id",
+          rankRoundDp = Some(4), metric = KnnSearch.Cosine)
+        .select("query_id", "vec_id", "dist").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(batch == expected,
+        s"batch != oracle simulation under fit (frac=$frac, seed=$seed, " +
+          s"nlist=$nlist)")
+
+      val single = queries.flatMap { case (qid, qv) =>
+        idx.search(qv, k, nprobe = nprobe, metric = KnnSearch.NativeCosine,
+            tieBreak = Some("vec_id"), rankRoundDp = Some(4))
+          .select("vec_id", "dist").collect()
+          .map(r => (qid, r.getLong(0), r.getDouble(1)))
+      }.toSet
+      assert(single == expected,
+        s"single-query != oracle simulation under fit (frac=$frac, " +
+          s"seed=$seed, nlist=$nlist)")
+    }
+  }
 }
