@@ -190,7 +190,8 @@ object SparkEntry {
     * silently lose the rewrite. `distOf` supplies the per-query
     * distance ordering (L2 for q60, cosine for q61). */
   private def ivfAutoProbeQuery(s: SparkSession, dir: String,
-      label: String)(distOf: (Column, Seq[Float]) => Column): DataFrame = {
+      label: String, desc: Boolean = false)(
+      distOf: (Column, Seq[Float]) => Column): DataFrame = {
     VectorExpressions.ensureRegistered(s)
     ivfIndexFor(s, dir) // ensure the persisted root exists
     val root = ivfPathCache.get(dir)
@@ -204,11 +205,15 @@ object SparkEntry {
     val prev = s.conf.getOption(graft.plans.IvfAutoProbe.NprobeConf)
     s.conf.set(graft.plans.IvfAutoProbe.NprobeConf, "6")
     try {
+      // desc = the natural SIMILARITY spelling (ORDER BY graft_cos DESC
+      // LIMIT k) — the form a user porting the reference's cosine
+      // retrieval writes first; the rule must fire on it like on the
+      // distance form
       val df = s.read.parquet(root)
         .select(col("vec_id"),
           KnnSearch.roundHalfUpCol(distOf(col("embedding"), q), 4)
             .as("dist"))
-        .orderBy(col("dist"), col("vec_id"))
+        .orderBy(if (desc) col("dist").desc else col("dist"), col("vec_id"))
         .limit(10)
       val fired = df.queryExecution.optimizedPlan.collectFirst {
         case f: org.apache.spark.sql.catalyst.plans.logical.Filter
@@ -873,6 +878,19 @@ object SparkEntry {
       // floor-form rounding wrapper is monotone and matches.
       ivfAutoProbeQuery(s, dir, "q66")((v, q) =>
         -call_function("graft_dot", v, KnnSearch.litVec(q)))),
+
+    "q67_ivf_autoprobe_cos_desc" -> ((s, dir) =>
+      // The DESCENDING-similarity spelling — `ORDER BY graft_cos(v, q)
+      // DESC LIMIT k` — the form a user porting the reference's cosine
+      // retrieval (README FAQ) writes first. Round 11's matcher only
+      // recognized ascending distance orderings, so this spelling
+      // silently took a FULL scan; the rule now dispatches
+      // SortOrder(graft_cos, Descending) to the same angular probe
+      // ranking as q61, and the scaffold's fired-Filter require makes a
+      // silent non-fire fail loudly. Emits the rounded cosine
+      // SIMILARITY (higher = better), ties by vec_id.
+      ivfAutoProbeQuery(s, dir, "q67", desc = true)((v, q) =>
+        call_function("graft_cos", v, KnnSearch.litVec(q)))),
 
     "q62_ivf_sq8" -> ((s, dir) => {
       // IVF-SQ8 (the FAISS `IVF..,SQ8` shape): the probed scan's
@@ -2155,6 +2173,52 @@ object SparkEntry {
          FROM read_parquet('$IvfOracleRoot/single/data/*.parquet') e, q
          WHERE e.__ivf_cluster IN (SELECT cluster_id FROM probes)
          ORDER BY dist, vec_id LIMIT 10""",
+
+    // The descending-similarity route (q67): identical angular probe
+    // selection to q61 (quantized negated-cosine key, cluster-id ties —
+    // most-similar-first is the same centroid ranking whichever way the
+    // row ordering is spelled), then the pruned scan emits the
+    // floor-rounded cosine SIMILARITY and ranks it DESC.
+    "q67_ivf_autoprobe_cos_desc" ->
+      raw"""WITH q AS (
+           SELECT embedding::DOUBLE[] AS qv FROM embeddings
+           WHERE vec_id = 0),
+         cent AS (
+           SELECT cluster_id, centroid FROM
+             read_parquet('$IvfOracleRoot/single/centroids/*.parquet')),
+         probes AS (
+           SELECT cluster_id FROM cent, q
+           ORDER BY
+             floor((CASE
+               WHEN list_sum(list_transform(qv, x -> x * x)) = 0
+                    OR list_sum(list_transform(centroid,
+                         x -> x::DOUBLE * x::DOUBLE)) = 0
+                  THEN 0.0::DOUBLE
+                  ELSE -(list_sum(list_transform(
+                           range(1, len(centroid) + 1),
+                           i -> centroid[i]::DOUBLE * qv[i]))
+                         / (sqrt(list_sum(list_transform(qv,
+                              x -> x * x)))
+                            * sqrt(list_sum(list_transform(centroid,
+                                x -> x::DOUBLE * x::DOUBLE)))))
+             END) * 1e12 + 0.5::DOUBLE), cluster_id
+           LIMIT 6),
+         d AS (
+           SELECT e.vec_id,
+             list_sum(list_transform(range(1, len(e.embedding) + 1),
+               i -> e.embedding[i]::DOUBLE * q.qv[i])) AS dot,
+             list_sum(list_transform(e.embedding,
+               x -> x::DOUBLE * x::DOUBLE)) AS nv,
+             list_sum(list_transform(q.qv, x -> x * x)) AS nq
+           FROM read_parquet('$IvfOracleRoot/single/data/*.parquet') e, q
+           WHERE e.__ivf_cluster IN (SELECT cluster_id FROM probes))
+         SELECT vec_id,
+           floor((CASE WHEN nv = 0 OR nq = 0 THEN 0.0::DOUBLE
+                       ELSE dot / (sqrt(nv) * sqrt(nq)) END)
+                 * 1e4 + 0.5::DOUBLE) / 1e4
+             AS dist
+         FROM d
+         ORDER BY dist DESC, vec_id LIMIT 10""",
 
     // The IVF-SQ8 replay (q62): probes as q36, then the APPROXIMATE
     // pass bit-exactly — each code byte comes back via

@@ -3,7 +3,7 @@ package graft.plans
 import scala.util.Try
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Add, Alias, Ascending, AttributeReference, Divide, Expression, ExprId, Floor, In, Literal, Multiply, SortOrder, Subtract, UnaryMinus}
+import org.apache.spark.sql.catalyst.expressions.{Add, Alias, Ascending, AttributeReference, Descending, Divide, Expression, ExprId, Floor, In, Literal, Multiply, SortOrder, Subtract, UnaryMinus}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, GlobalLimit, LocalLimit, LogicalPlan, Project, Sort}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -28,7 +28,9 @@ import graft.operators.IvfIndex
   *
   * where `dist` resolves (through the Project aliases) to a supported
   * distance ordering over `(vecCol, <constant vector>)` —
-  * `graft_l2sq`, `1.0 - graft_cos`, or `-graft_dot`. The rule reads
+  * `graft_l2sq`, `1.0 - graft_cos`, or `-graft_dot` ascending, or the
+  * natural similarity spellings `graft_cos` / `graft_dot` descending.
+  * The rule reads
   * the (tiny, cached) centroid sidecar on the driver, picks the
   * `nprobe` best clusters for the constant query vector under the
   * matching centroid ranking (L2 / cosine / dot), and injects
@@ -103,19 +105,27 @@ case class IvfAutoProbe(spark: SparkSession) extends Rule[LogicalPlan] {
       case a: AttributeReference if a.name == IvfIndex.ClusterCol => a
     }.getOrElse(return None)
 
-    // 2. the primary sort key must be ascending and BE a supported
-    //    distance term over a relation column and a constant query
-    //    vector — possibly under monotonic non-decreasing wrappers
-    //    (round / widening numeric cast; sqrt only over the non-negative
-    //    l2sq and 1-cos terms, never over -dot, whose negatives sqrt
-    //    to NaN) — never merely contain
+    // 2. the primary sort key must BE a supported distance (ascending)
+    //    or similarity (descending) term over a relation column and a
+    //    constant query vector — possibly under monotonic non-decreasing
+    //    wrappers (round / floor-form rounding / widening numeric cast;
+    //    sqrt only over the non-negative l2sq and 1-cos terms, never
+    //    over terms that can go negative, whose sqrt is NaN) — never
+    //    merely contain
     //    it: a non-monotonic transform (negation, reciprocal,
     //    subtraction) of the matched term would invert the ordering and
     //    make nearest-cluster pruning return the wrong rows. Supported
     //    orderings and their centroid rankings:
-    //      graft_l2sq(v, q)       → nearest-centroid L2
-    //      1.0 - graft_cos(v, q)  → most-cosine-similar centroid
-    //      -graft_dot(v, q)       → highest query·centroid (MIPS)
+    //      graft_l2sq(v, q) ASC       → nearest-centroid L2
+    //      1.0 - graft_cos(v, q) ASC  → most-cosine-similar centroid
+    //      -graft_dot(v, q) ASC       → highest query·centroid (MIPS)
+    //      graft_cos(v, q) DESC       → most-cosine-similar centroid
+    //      graft_dot(v, q) DESC       → highest query·centroid (MIPS)
+    //    The DESC similarity spellings are what a user porting the
+    //    reference's cosine retrieval (README FAQ) writes first; they
+    //    rank probes identically to their negated-ASC twins. A stripped
+    //    monotone NON-DECREASING wrapper preserves descending order
+    //    equivalence exactly as it preserves ascending.
     val matched: Option[(Array[Float], ProbeRanker)] =
       s.order.headOption match {
         case Some(SortOrder(key, Ascending, _, _)) =>
@@ -132,6 +142,21 @@ case class IvfAutoProbe(spark: SparkSession) extends Rule[LogicalPlan] {
             // Spark), so sqrt(-graft_dot) is NOT order-equivalent to the
             // dot ranking — refuse the match when a Sqrt was stripped.
             case UnaryMinus(DotProduct(a: AttributeReference, l), _)
+                if !sqrtStripped && rel.outputSet.contains(a) =>
+              constVector(l).map((_, IvfIndex.probeOrderDot _))
+            case _ => None
+          }
+        case Some(SortOrder(key, Descending, _, _)) =>
+          val (inner, sqrtStripped) = unwrapMonotonic(resolve(key, aliases))
+          // both similarity terms can be NEGATIVE (cos ∈ [-1,1], dot
+          // unbounded), so a stripped Sqrt — NaN on the negative side,
+          // which sorts FIRST under descending order in Spark — breaks
+          // order equivalence for both: refuse any sqrt-wrapped match.
+          inner match {
+            case CosineSimilarityExpr(a: AttributeReference, l)
+                if !sqrtStripped && rel.outputSet.contains(a) =>
+              constVector(l).map((_, IvfIndex.probeOrderCosine _))
+            case DotProduct(a: AttributeReference, l)
                 if !sqrtStripped && rel.outputSet.contains(a) =>
               constVector(l).map((_, IvfIndex.probeOrderDot _))
             case _ => None

@@ -167,6 +167,67 @@ class IvfAutoProbeSpec extends SparkSpec {
     }
   }
 
+  test("descending SIMILARITY spellings fire and agree with their " +
+      "ascending-distance twins") {
+    // ORDER BY graft_cos(v, q) DESC / graft_dot(v, q) DESC — the natural
+    // user spellings when porting the reference's cosine retrieval.
+    // Round 11's matcher only knew the ascending distance forms, so
+    // these silently took a full scan.
+    withRule(6) {
+      val loaded = spark.read.parquet(indexPath)
+      val qv = KnnSearch.litVec(queryVec)
+      val cosDesc = loaded
+        .select(col("vec_id"), KnnSearch.roundHalfUpCol(
+          call_function("graft_cos", col("embedding"), qv), 4).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(10)
+      val plan = cosDesc.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") &&
+        plan.contains(IvfIndex.ClusterCol),
+        s"expected a pruned scan for graft_cos DESC:\n$plan")
+      // same probe ranking as the ascending 1-cos spelling → identical rows
+      val cosAsc = KnnSearch.topK(loaded, "embedding", queryVec, 10,
+          KnnSearch.NativeCosine, tieBreak = Some("vec_id"),
+          rankRoundDp = Some(4))
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(cosDesc.select("vec_id").collect().map(_.getLong(0)).toSet
+        == cosAsc)
+
+      val dotDesc = loaded
+        .select(col("vec_id"),
+          call_function("graft_dot", col("embedding"), qv).as("score"))
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(10)
+      val dotPlan = dotDesc.queryExecution.executedPlan.toString
+      assert(dotPlan.contains("PartitionFilters") &&
+        dotPlan.contains(IvfIndex.ClusterCol),
+        s"expected a pruned scan for graft_dot DESC:\n$dotPlan")
+      val dotAsc = KnnSearch.topK(loaded, "embedding", queryVec, 10,
+          KnnSearch.NativeInnerProduct, tieBreak = Some("vec_id"))
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(dotDesc.select("vec_id").collect().map(_.getLong(0)).toSet
+        == dotAsc)
+    }
+  }
+
+  test("sqrt-wrapped descending similarity is refused (negative cos/dot " +
+      "sqrt to NaN, which sorts FIRST under DESC)") {
+    withRule(6) {
+      val loaded = spark.read.parquet(indexPath)
+      val qv = KnnSearch.litVec(queryVec)
+      for (fn <- Seq("graft_cos", "graft_dot")) {
+        val df = loaded
+          .select(col("vec_id"),
+            sqrt(call_function(fn, col("embedding"), qv)).as("s"))
+          .orderBy(col("s").desc, col("vec_id"))
+          .limit(10)
+        val plan = df.queryExecution.executedPlan.toString
+        assert(!plan.contains(s"${IvfIndex.ClusterCol} IN"),
+          s"sqrt($fn) DESC must NOT be rewritten:\n$plan")
+      }
+    }
+  }
+
   test("decreasing transforms of a distance are still refused") {
     withRule(6) {
       val loaded = spark.read.parquet(indexPath)
