@@ -34,7 +34,14 @@ object Fusion {
     require(legs.size >= 2, s"rrf needs >= 2 legs, got ${legs.size}")
     require(kRrf >= 1, s"kRrf must be >= 1, got $kRrf")
     val named = legs.zipWithIndex.map { case (df, i) =>
+      // guard: a leg emitting the same id twice (a buggy upstream top-k)
+      // would fan out through the full-outer chain — every later leg's
+      // row duplicates, and this leg's 1/(k+rank) double-counts.
+      // Collapse to the BEST (minimum) rank per id: a no-op for
+      // well-formed distinct legs (k-scale groupBy, broadcast-sized),
+      // the standard RRF convention otherwise.
       df.select(col(idCol), col(rankCol).as(s"__rrf_r$i"))
+        .groupBy(col(idCol)).agg(min(col(s"__rrf_r$i")).as(s"__rrf_r$i"))
     }
     val joined = named.reduce((l, r) => l.join(r, Seq(idCol), "full_outer"))
     val score = named.indices
