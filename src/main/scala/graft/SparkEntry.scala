@@ -159,9 +159,12 @@ object SparkEntry {
     } catch { case scala.util.control.NonFatal(_) => }
     ivfIndexFor(s, dir)
     ivfComponentIndexFor(s, dir)
+    ivfCosIndexFor(s, dir)
     exportIvfOracle(s, ivfPathCache.get(dir), s"$IvfOracleRoot/single")
     exportIvfOracle(s, ivfComponentPathCache.get(dir),
       s"$IvfOracleRoot/scoped")
+    exportIvfOracle(s, ivfCosPathCache.get(dir),
+      s"$IvfOracleRoot/singlen")
   }
 
   /** The COMPONENT-SCOPED index for the same corpus: two-level
@@ -184,13 +187,35 @@ object SparkEntry {
     IvfIndex.load(s, path, "vec_id", "embedding")
   }
 
-  /** Build (or reuse) both IVF roots for `dir` — [[Bench]] calls this in
+  /** The COSINE-QUANTIZED index for the same corpus: a separate root
+    * whose SQ8 grid is derived over, and whose codes encode, the
+    * UNIT-NORMALIZED vectors (write(quantizeNormalized = true)) — the
+    * grid that serves cosine searchQuantized/searchQuantizedBatch (q69).
+    * Separate from [[ivfIndexFor]]'s root because one root carries ONE
+    * grid: its raw-grid codes serve L2 (q62/q68) and cannot also serve
+    * cosine. */
+  private val ivfCosPathCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ivfCosIndexFor(s: SparkSession, dir: String): IvfIndex = {
+    val path = ivfCosPathCache.computeIfAbsent(dir, _ => {
+      val built = IvfIndex.build(t(s, dir, "embeddings"), "vec_id",
+        "embedding", nlist = 8)
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_ivf_cos_").toString
+      built.write(p, quantizeNormalized = true)
+      p
+    })
+    IvfIndex.load(s, path, "vec_id", "embedding")
+  }
+
+  /** Build (or reuse) every IVF root for `dir` — [[Bench]] calls this in
     * its warm-up phase so no timed rep ever pays a k-means fit, index
     * write, or oracle export (the round-9 driver bench charged a lazy
     * scoped-index build to one q56 sample). */
   private[graft] def warmIvfIndexes(s: SparkSession, dir: String): Unit = {
     ivfIndexFor(s, dir)
     ivfComponentIndexFor(s, dir)
+    ivfCosIndexFor(s, dir)
   }
 
   /** Shared scaffold for the optimizer-rule queries (q60/q61): install
@@ -927,6 +952,48 @@ object SparkEntry {
           tieBreak = Some("vec_id"), rankRoundDp = Some(4))
         .select(col("vec_id"), col("dist"))
         .orderBy(col("dist"), col("vec_id"))
+    }),
+
+    "q68_ivf_sq8_batch" -> ((s, dir) => {
+      // q62's IVF-SQ8 two-pass shape composed with q59's batch probe
+      // gate (searchQuantizedBatch): many queries, ONE narrow scan of
+      // the 1-byte/dim code column — each row scored only for queries
+      // whose own probe set holds its cluster, per-query k·refine
+      // candidate heaps, then an exact floor-rounded re-rank of only
+      // the candidate rows. Hash-oracled by composing the two proven
+      // replay patterns: per-query L2 probe ranking + (qid, cluster)
+      // gate join (q59) and hex-decoded affine code distance + candidate
+      // cut + exact re-rank (q62), here with a per-query candidate cut.
+      VectorExpressions.ensureRegistered(s)
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id").isin(0, 1, 2))
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      ivfIndexFor(s, dir).searchQuantizedBatch(queries, "qid", "qv",
+          k = 3, nprobe = 4, refine = 4, tieBreak = "vec_id",
+          rankRoundDp = Some(4))
+        .select(col("query_id"), col("vec_id"), col("dist"))
+        .orderBy(col("query_id"), col("dist"), col("vec_id"))
+    }),
+
+    "q69_ivf_sq8_cos_batch" -> ((s, dir) => {
+      // The full SQ8 composition: batch + COSINE on the normalized-grid
+      // index (ivfCosIndexFor — codes encode UNIT-NORMALIZED vectors,
+      // so decoded-code L2² against the normalized query is a cosine
+      // candidate ranking: unit-sphere L2² = 2 − 2·cos, the grid
+      // argument). Probes rank ANGULARLY on the raw query (q61's
+      // quantized-key ranking), the code pass ranks against the
+      // float-normalized query, and the exact re-rank scores true
+      // cosine over the raw vectors with the floor-form rounding —
+      // every stage independently replayed by the oracle.
+      VectorExpressions.ensureRegistered(s)
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id").isin(0, 1, 2))
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      ivfCosIndexFor(s, dir).searchQuantizedBatch(queries, "qid", "qv",
+          k = 3, nprobe = 4, refine = 4, tieBreak = "vec_id",
+          rankRoundDp = Some(4), metric = KnnSearch.Cosine)
+        .select(col("query_id"), col("vec_id"), col("dist"))
+        .orderBy(col("query_id"), col("dist"), col("vec_id"))
     }),
 
     "q63_bm25" -> ((s, dir) =>
@@ -2289,6 +2356,157 @@ object SparkEntry {
          WHERE e.vec_id IN (SELECT vec_id FROM cand)
            AND e.__ivf_cluster IN (SELECT cluster_id FROM probes)
          ORDER BY dist, vec_id LIMIT 10""",
+
+    // The batch IVF-SQ8 replay (q68): q59's per-query probe structure
+    // (L2 ranking + the (qid, cluster) gate join) composed with q62's
+    // hex-decoded affine code distance — candidate cut PER QUERY
+    // (k·refine = 12), then the exact floor-rounded re-rank of each
+    // query's own candidates.
+    "q68_ivf_sq8_batch" ->
+      raw"""WITH q AS (
+           SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id IN (0, 1, 2)),
+         cent AS (
+           SELECT cluster_id, centroid FROM
+             read_parquet('$IvfOracleRoot/single/centroids/*.parquet')),
+         p AS (
+           SELECT mins, scales FROM
+             read_parquet('$IvfOracleRoot/single/sq8/*.parquet')),
+         pranked AS (
+           SELECT q.qid, c.cluster_id,
+             row_number() OVER (PARTITION BY q.qid ORDER BY
+               list_sum(list_transform(range(1, len(c.centroid) + 1),
+                 i -> (c.centroid[i]::DOUBLE - q.qv[i]) *
+                      (c.centroid[i]::DOUBLE - q.qv[i]))),
+               c.cluster_id) AS rn
+           FROM cent c, q),
+         a AS (
+           SELECT pr.qid, e.vec_id,
+             list_sum(list_transform(range(1, len(q.qv) + 1), i ->
+               ((p.mins[i] + CAST(concat('0x',
+                   substr(hex(e.__sq8_code), 2 * i - 1, 2)) AS INT)
+                   * p.scales[i]) - q.qv[i])
+               * ((p.mins[i] + CAST(concat('0x',
+                   substr(hex(e.__sq8_code), 2 * i - 1, 2)) AS INT)
+                   * p.scales[i]) - q.qv[i]))) AS ad
+           FROM pranked pr
+           JOIN q ON q.qid = pr.qid
+           JOIN read_parquet('$IvfOracleRoot/single/data/*.parquet') e
+             ON e.__ivf_cluster = pr.cluster_id
+           CROSS JOIN p
+           WHERE pr.rn <= 4),
+         cand AS (
+           SELECT qid, vec_id FROM (
+             SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY ad, vec_id) AS rn
+             FROM a)
+           WHERE rn <= 12),
+         d AS (
+           SELECT c.qid AS query_id, e.vec_id,
+             floor(list_distance(e.embedding::DOUBLE[], q.qv)
+               * 1e4 + 0.5::DOUBLE) / 1e4 AS dist
+           FROM cand c
+           JOIN q ON q.qid = c.qid
+           JOIN read_parquet('$IvfOracleRoot/single/data/*.parquet') e
+             ON e.vec_id = c.vec_id)
+         SELECT query_id, vec_id, dist FROM (
+           SELECT query_id, vec_id, dist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY dist, vec_id) AS rn
+           FROM d)
+         WHERE rn <= 3 ORDER BY query_id, dist, vec_id""",
+
+    // The batch-cosine SQ8 replay (q69): q59's ANGULAR probe ranking
+    // (quantized negated-cosine key) over the NORMALIZED-grid root,
+    // code distances against the FLOAT-normalized query (the exact
+    // double-divide + float-cast the driver performs), per-query
+    // candidate cut, then the true-cosine floor-rounded re-rank of raw
+    // vectors.
+    "q69_ivf_sq8_cos_batch" ->
+      raw"""WITH q AS (
+           SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id IN (0, 1, 2)),
+         qn AS (
+           SELECT qid, qv,
+             list_sum(list_transform(qv, x -> x * x)) AS nq
+           FROM q),
+         qnorm AS (
+           SELECT qid, qv,
+             CASE WHEN nq = 0 THEN qv
+                  ELSE list_transform(qv,
+                    x -> CAST(x / sqrt(nq) AS FLOAT)::DOUBLE)
+             END AS qnv
+           FROM qn),
+         cent AS (
+           SELECT cluster_id, centroid FROM
+             read_parquet('$IvfOracleRoot/singlen/centroids/*.parquet')),
+         p AS (
+           SELECT mins, scales FROM
+             read_parquet('$IvfOracleRoot/singlen/sq8/*.parquet')),
+         pranked AS (
+           SELECT q.qid, c.cluster_id,
+             row_number() OVER (PARTITION BY q.qid ORDER BY
+               floor((CASE
+                 WHEN list_sum(list_transform(q.qv, x -> x * x)) = 0
+                      OR list_sum(list_transform(c.centroid,
+                           x -> x::DOUBLE * x::DOUBLE)) = 0
+                    THEN 0.0::DOUBLE
+                    ELSE -(list_sum(list_transform(
+                             range(1, len(c.centroid) + 1),
+                             i -> c.centroid[i]::DOUBLE * q.qv[i]))
+                           / (sqrt(list_sum(list_transform(q.qv,
+                                x -> x * x)))
+                              * sqrt(list_sum(list_transform(c.centroid,
+                                  x -> x::DOUBLE * x::DOUBLE)))))
+               END) * 1e12 + 0.5::DOUBLE), c.cluster_id) AS rn
+           FROM cent c, q),
+         a AS (
+           SELECT pr.qid, e.vec_id,
+             list_sum(list_transform(range(1, len(qn2.qnv) + 1), i ->
+               ((p.mins[i] + CAST(concat('0x',
+                   substr(hex(e.__sq8_code), 2 * i - 1, 2)) AS INT)
+                   * p.scales[i]) - qn2.qnv[i])
+               * ((p.mins[i] + CAST(concat('0x',
+                   substr(hex(e.__sq8_code), 2 * i - 1, 2)) AS INT)
+                   * p.scales[i]) - qn2.qnv[i]))) AS ad
+           FROM pranked pr
+           JOIN qnorm qn2 ON qn2.qid = pr.qid
+           JOIN read_parquet('$IvfOracleRoot/singlen/data/*.parquet') e
+             ON e.__ivf_cluster = pr.cluster_id
+           CROSS JOIN p
+           WHERE pr.rn <= 4),
+         cand AS (
+           SELECT qid, vec_id FROM (
+             SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY ad, vec_id) AS rn
+             FROM a)
+           WHERE rn <= 12),
+         d AS (
+           SELECT c.qid AS query_id, e.vec_id,
+             list_sum(list_transform(range(1, len(e.embedding) + 1),
+               i -> e.embedding[i]::DOUBLE * q.qv[i])) AS dot,
+             list_sum(list_transform(e.embedding,
+               x -> x::DOUBLE * x::DOUBLE)) AS nv,
+             list_sum(list_transform(q.qv, x -> x * x)) AS nq
+           FROM cand c
+           JOIN q ON q.qid = c.qid
+           JOIN read_parquet('$IvfOracleRoot/singlen/data/*.parquet') e
+             ON e.vec_id = c.vec_id),
+         scored AS (
+           SELECT query_id, vec_id,
+             floor((CASE WHEN nv = 0 OR nq = 0 THEN 1.0::DOUBLE
+                         ELSE 1.0 - dot / (sqrt(nv) * sqrt(nq)) END)
+                   * 1e4 + 0.5::DOUBLE) / 1e4
+               AS dist
+           FROM d)
+         SELECT query_id, vec_id, dist FROM (
+           SELECT query_id, vec_id, dist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY dist, vec_id) AS rn
+           FROM scored)
+         WHERE rn <= 3 ORDER BY query_id, dist, vec_id""",
 
     // q38's proven composition SQL with candidate generation swapped for
     // the probe-pruned scoped-replica scan (per-component top-10 inside

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.functions.array_to_vector
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** IVF (inverted-file) approximate nearest-neighbor index — the scale
@@ -53,7 +53,8 @@ final case class IvfIndex(
     vecCol: String,
     clusterIds: Array[Int],
     componentCol: Option[String] = None,
-    sq8Params: Option[(Seq[Double], Seq[Double])] = None) {
+    sq8Params: Option[(Seq[Double], Seq[Double])] = None,
+    sq8Normalized: Boolean = false) {
 
   require(clusterIds.length == centroids.length,
     "clusterIds must align with centroids")
@@ -164,9 +165,14 @@ final case class IvfIndex(
     * the top `k·refine` candidate ids then get an EXACT re-rank reading
     * the full vectors of only those rows (same partition-pruned scan
     * plus an id filter). Output contract matches [[search]] (corpus
-    * columns + rounded-rank `dist`); metric is L2 — the quantization
-    * grid is affine per dimension, which preserves L2 geometry but not
-    * angles. Requires an index written with `quantize = true` and
+    * columns + rounded-rank `dist`). Metric follows the GRID: a raw
+    * affine grid (write(`quantize = true`)) preserves L2 geometry but
+    * not angles, so it serves L2; a grid over unit-normalized vectors
+    * (write(`quantizeNormalized = true`)) serves COSINE — on the unit
+    * sphere L2² = 2 − 2·cos, so the code ranking against the normalized
+    * query is a cosine candidate ranking, and the exact re-rank scores
+    * true cosine over the raw vectors. The metric↔grid match is
+    * enforced. Requires an index written with `quantize = true` and
     * loaded from disk; recall loss beyond the IVF probe approximation
     * is bounded by the refine margin (spec: ≥0.9 at refine=4 on the
     * synthetic corpus, and bit-equal to [[search]] when refine covers
@@ -181,7 +187,8 @@ final case class IvfIndex(
       refine: Int = 4,
       tieBreak: Option[String] = None,
       components: Seq[Int] = Nil,
-      rankRoundDp: Option[Int] = None): DataFrame = {
+      rankRoundDp: Option[Int] = None,
+      metric: KnnSearch.Metric = KnnSearch.L2): DataFrame = {
     val (mins, scales) = sq8Params.getOrElse(throw new IllegalStateException(
       "searchQuantized needs a quantized index: write(path, " +
         "quantize = true), then load(...) — this one has no " +
@@ -190,26 +197,179 @@ final case class IvfIndex(
       s"quantized params present but no ${IvfIndex.Sq8CodeCol} column — " +
         "corrupted index root?")
     require(refine >= 1, s"refine must be >= 1, got $refine")
+    val cosine = requireMetricMatchesGrid(metric, "searchQuantized")
     graft.plans.VectorExpressions.ensureRegistered(assigned.sparkSession)
-    val probes = probeOrder(query).take(math.max(1, nprobe))
+    // cosine: probes rank ANGULARLY on the raw query; the code distance
+    // ranks against the unit-normalized query (the codes encode
+    // normalized vectors — unit-sphere L2² = 2 − 2·cos is monotone in
+    // cosine distance, the grid argument in [[write]])
+    val probes = probesFor(metric, query).take(math.max(1, nprobe))
+    val codeQuery = if (cosine) IvfIndex.unitNormalize(query) else query
     val scan = componentScope(components)
       .filter(col(IvfIndex.ClusterCol).isin(probes: _*))
     // approximate pass: ReadSchema is (id, code) + partition columns —
     // the float vectors are never read here (spec-asserted)
     val cand = scan
       .select(col(idCol), call_function("graft_sq8_l2sq",
-        col(IvfIndex.Sq8CodeCol), KnnSearch.litVec(query),
+        col(IvfIndex.Sq8CodeCol), KnnSearch.litVec(codeQuery),
         typedLit(mins ++ scales)).as("__sq8_d"))
       .orderBy(col("__sq8_d"), col(idCol))
       .limit(k * refine)
       .select(idCol).collect().map(_.get(0))
     // exact pass over ONLY the candidates: same doubly-pruned scan plus
-    // an id filter; k·refine rows cross it
+    // an id filter; k·refine rows cross it — true metric over the RAW
+    // vectors
+    val exactMetric =
+      if (cosine) KnnSearch.NativeCosine else KnnSearch.NativeL2
     KnnSearch.topK(
       scan.filter(col(idCol).isin(cand.toSeq: _*))
         .drop(IvfIndex.Sq8CodeCol),
-      vecCol, query, k, KnnSearch.NativeL2, tieBreak,
+      vecCol, query, k, exactMetric, tieBreak,
       rankRoundDp = rankRoundDp)
+  }
+
+  /** the SQ8 grid's metric contract: a raw (L2) grid serves only L2
+    * searches, a normalized grid only cosine — anything else silently
+    * ranks candidates in the wrong geometry. Returns whether the
+    * dispatch is cosine. */
+  private def requireMetricMatchesGrid(metric: KnnSearch.Metric,
+      op: String): Boolean = metric match {
+    case KnnSearch.L2 | KnnSearch.NativeL2 =>
+      require(!sq8Normalized,
+        s"$op: this index's SQ8 grid was built over UNIT-NORMALIZED " +
+          "vectors (write(quantizeNormalized = true)) — it serves " +
+          "cosine searches; L2 needs a raw grid (write(quantize = true))")
+      false
+    case KnnSearch.Cosine | KnnSearch.NativeCosine =>
+      require(sq8Normalized,
+        s"$op: cosine needs an SQ8 grid built over UNIT-NORMALIZED " +
+          "vectors — write(quantizeNormalized = true); this index's " +
+          "grid is raw (L2). The affine grid preserves L2 geometry, " +
+          "not angles.")
+      true
+    case other => throw new IllegalArgumentException(
+      s"$op supports L2 and Cosine, got $other")
+  }
+
+  /** Batch IVF-SQ8: [[searchQuantized]]'s two-pass shape composed with
+    * [[searchBatch]]'s probe gate — many queries, ONE narrow code scan.
+    *
+    * Approximate pass: one scan over the probe UNION reading only
+    * `(id, __sq8_code, cluster)` — the float vectors are never read —
+    * with per-task bounded heaps of `k·refine` candidates PER QUERY,
+    * each row scored only for queries whose own probe set holds its
+    * cluster (the bit-packed gate), by the identical decode-and-distance
+    * double math as [[graft.plans.Sq8L2SquaredExpr]]. Exact pass: the
+    * union of all candidate ids (k·refine·|queries| — answer-contract
+    * sized, like the single-query candidate collect) is re-read from the
+    * doubly-pruned scan, joined broadcast-style to the per-query
+    * candidate pairs and the query vectors, scored exactly
+    * (`sqrt(graft_l2sq)` / `1 − graft_cos`, the single-query exact
+    * formulas, rounded by the cross-engine floor form), and ranked per
+    * query — the final exchange moves k-scale rows, never the corpus.
+    * Metric follows the grid exactly as in [[searchQuantized]] (L2 on a
+    * raw grid, cosine on a normalized grid — enforced). Per-query
+    * results are bit-equal to [[searchQuantized]] at the same
+    * (metric, nprobe, refine, rankRoundDp) — spec-asserted — and to
+    * [[searchBatch]] when `refine` covers the whole probed scan. */
+  def searchQuantizedBatch(
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      k: Int,
+      nprobe: Int,
+      refine: Int = 4,
+      tieBreak: String = "",
+      rankRoundDp: Option[Int] = None,
+      components: Seq[Int] = Nil,
+      metric: KnnSearch.Metric = KnnSearch.L2): DataFrame = {
+    val (mins, scales) = sq8Params.getOrElse(throw new IllegalStateException(
+      "searchQuantizedBatch needs a quantized index: write(path, " +
+        "quantize = true), then load(...) — this one has no " +
+        s"${IvfIndex.Sq8Sidecar} params"))
+    require(assigned.columns.contains(IvfIndex.Sq8CodeCol),
+      s"quantized params present but no ${IvfIndex.Sq8CodeCol} column — " +
+        "corrupted index root?")
+    require(refine >= 1, s"refine must be >= 1, got $refine")
+    val cosine = requireMetricMatchesGrid(metric, "searchQuantizedBatch")
+    val spark = assigned.sparkSession
+    graft.plans.VectorExpressions.ensureRegistered(spark)
+    val np = math.max(1, nprobe)
+    val qSet = KnnSearch.collectQueries(queries, queryIdCol, queryVecCol)
+    val perQueryProbes: Array[Array[Int]] =
+      qSet.map(q => probesFor(metric, q._2.toSeq).take(np).toArray)
+    // cosine ranks codes against the UNIT-NORMALIZED query (the grid
+    // argument — see [[searchQuantized]]); probes and the exact re-rank
+    // use the raw query
+    val qSetCode =
+      if (cosine)
+        qSet.map { case (qid, qv) =>
+          (qid, IvfIndex.unitNormalize(qv.toSeq).toArray)
+        }
+      else qSet
+    val union = perQueryProbes.flatten.distinct.toSeq
+    val scan = componentScope(components)
+      .filter(col(IvfIndex.ClusterCol).isin(union: _*))
+    val minsArr = mins.toArray
+    val scalesArr = scales.toArray
+    val scorer = KnnSearch.RawScorer { (row, codeIdx, qv) =>
+      val codes = row.getAs[Array[Byte]](codeIdx)
+      if (codes.length != qv.length)
+        throw new IllegalArgumentException(
+          s"dimension mismatch in searchQuantizedBatch: code has " +
+            s"${codes.length} dims, query has ${qv.length}")
+      // mirrors Sq8L2SquaredExpr.nullSafeEval term for term
+      var s = 0.0
+      var i = 0
+      while (i < codes.length) {
+        val xhat = minsArr(i) + (codes(i) & 0xFF).toDouble * scalesArr(i)
+        val d = xhat - qv(i).toDouble
+        s += d * d
+        i += 1
+      }
+      s
+    }
+    val qidType = queries.schema(queryIdCol).dataType
+    val cand = KnnSearch.topKBatchCollected(
+      scan.select(col(idCol), col(IvfIndex.Sq8CodeCol),
+        col(IvfIndex.ClusterCol)),
+      IvfIndex.Sq8CodeCol, qSetCode, qidType, k * refine, tieBreak = idCol,
+      distCol = "__sq8_d", rankRoundDp = None,
+      gate = Some(KnnSearch.BatchGate(IvfIndex.ClusterCol, perQueryProbes)),
+      rawScorer = Some(scorer))
+      .select(col("query_id"), col(idCol))
+    // ONE materialization serves both the id filter and the pair join —
+    // re-planning `cand` would re-run the whole approximate scan
+    val candRows = cand.collect()
+    val candIds = candRows.map(_.get(1)).distinct.toSeq
+    val candDf = spark.createDataFrame(
+      java.util.Arrays.asList(candRows: _*), cand.schema)
+    val qDf = spark.createDataFrame(
+      java.util.Arrays.asList(qSet.map { case (qid, qv) =>
+        org.apache.spark.sql.Row(qid, qv.toSeq) }: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("query_id", qidType),
+        org.apache.spark.sql.types.StructField("__qv",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)))))
+    val exact = scan.drop(IvfIndex.Sq8CodeCol)
+      .filter(col(idCol).isin(candIds: _*))
+      .join(broadcast(candDf), Seq(idCol))
+      .join(broadcast(qDf), Seq("query_id"))
+    val rawDist =
+      if (cosine)
+        lit(1.0) - call_function("graft_cos", col(vecCol), col("__qv"))
+      else sqrt(call_function("graft_l2sq", col(vecCol), col("__qv")))
+    val distExpr =
+      rankRoundDp.fold(rawDist)(dp => KnnSearch.roundHalfUpCol(rawDist, dp))
+    val tb = if (tieBreak.nonEmpty) tieBreak else idCol
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("dist"), col(tb))
+    exact.withColumn("dist", distExpr)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn", "__qv")
   }
 
   /** the corpus restricted to `components` (the reference's
@@ -251,8 +411,11 @@ final case class IvfIndex(
       case Some((mins, scales)) =>
         graft.plans.VectorExpressions
           .ensureRegistered(assigned.sparkSession)
+        // a normalized (cosine) grid encodes the UNIT-normalized vector
+        val enc = if (sq8Normalized) IvfIndex.unitNormalizeCol(col(vecCol))
+          else col(vecCol)
         assignedNew.withColumn(IvfIndex.Sq8CodeCol,
-          call_function("graft_sq8_encode", col(vecCol),
+          call_function("graft_sq8_encode", enc,
             typedLit(mins ++ scales)))
       case None => assignedNew
     }
@@ -277,7 +440,8 @@ final case class IvfIndex(
     * the loaded index. The float vectors stay: parquet is columnar, so
     * exact searches read only `vecCol` and quantized first passes read
     * only the code column; nothing pays for both. */
-  def write(path: String, quantize: Boolean = false): Unit = {
+  def write(path: String, quantize: Boolean = false,
+      quantizeNormalized: Boolean = false): Unit = {
     val spark = assigned.sparkSession
     import spark.implicits._
     val alreadyCoded = assigned.columns.contains(IvfIndex.Sq8CodeCol)
@@ -294,18 +458,35 @@ final case class IvfIndex(
             "carries no sq8Params — refusing to persist codes whose " +
             "grid is unknown (corrupted index, or a user column " +
             "colliding with the reserved name)")))
-      else if (!quantize) None
+      else if (!quantize && !quantizeNormalized) None
       else {
         graft.plans.VectorExpressions.ensureRegistered(spark)
-        Some(IvfIndex.sq8ParamsOf(assigned, vecCol))
+        // COSINE grid (quantizeNormalized): the affine per-dimension
+        // grid preserves L2 geometry, not angles — so for cosine search
+        // the grid is derived over, and the codes encode, the
+        // UNIT-NORMALIZED vectors: on the unit sphere
+        // L2²(x̂, q̂) = 2 − 2·cos, monotone in cosine distance, which
+        // makes decoded-code L2² a faithful cosine candidate ranking up
+        // to quantization error (the FAISS normalize-then-SQ8 IP
+        // recipe). Raw vectors stay untouched — the exact re-rank reads
+        // them for the true cosine.
+        val gridInput =
+          if (quantizeNormalized)
+            assigned.select(
+              IvfIndex.unitNormalizeCol(col(vecCol)).as(vecCol))
+          else assigned.select(col(vecCol))
+        Some(IvfIndex.sq8ParamsOf(gridInput, vecCol))
       }
+    val normalized = if (alreadyCoded) sq8Normalized else quantizeNormalized
     val data =
       if (alreadyCoded || sq8.isEmpty) assigned
       else {
         graft.plans.VectorExpressions.ensureRegistered(spark)
         val (mins, scales) = sq8.get
+        val enc = if (normalized) IvfIndex.unitNormalizeCol(col(vecCol))
+          else col(vecCol)
         assigned.withColumn(IvfIndex.Sq8CodeCol,
-          call_function("graft_sq8_encode", col(vecCol),
+          call_function("graft_sq8_encode", enc,
             typedLit(mins ++ scales)))
       }
     data.write.mode(SaveMode.Overwrite)
@@ -315,7 +496,7 @@ final case class IvfIndex(
       .coalesce(1).write.mode(SaveMode.Overwrite)
       .parquet(s"$path/${IvfIndex.CentroidSidecar}")
     sq8.foreach { case (mins, scales) =>
-      Seq((mins, scales)).toDF("mins", "scales")
+      Seq((mins, scales, normalized)).toDF("mins", "scales", "normalized")
         .coalesce(1).write.mode(SaveMode.Overwrite)
         .parquet(s"$path/${IvfIndex.Sq8Sidecar}")
     }
@@ -489,6 +670,31 @@ object IvfIndex {
     * widened to double, so a SQL replay reproduces the grid exactly.
     * A constant dimension gets scale 0 (its codes are all 0 and decode
     * to the exact constant). */
+  /** Unit-normalize a float-vector column: each element becomes
+    * `(x / ||v||)` cast back to float (so the driver-side query
+    * normalization — the same double divide + float cast — is
+    * bit-identical). A zero-norm vector passes through unchanged,
+    * matching [[graft.plans.CosineSimilarityExpr]]'s zero-similarity
+    * convention. Spark HOFs (CodegenFallback) — build/append-time only,
+    * never on the search hot path. */
+  private[operators] def unitNormalizeCol(v: Column): Column = {
+    val n = sqrt(aggregate(v, lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+    when(n === lit(0.0), v)
+      .otherwise(transform(v, x => (x.cast("double") / n).cast("float")))
+  }
+
+  /** driver-side twin of [[unitNormalizeCol]] for query vectors */
+  private[operators] def unitNormalize(q: Seq[Float]): Seq[Float] = {
+    var n = 0.0
+    q.foreach(x => n += x.toDouble * x.toDouble)
+    if (n == 0.0) q
+    else {
+      val s = math.sqrt(n)
+      q.map(x => (x.toDouble / s).toFloat)
+    }
+  }
+
   private[graft] def sq8ParamsOf(vecs: DataFrame, vecCol: String)
       : (Seq[Double], Seq[Double]) = {
     val rows = vecs
@@ -547,8 +753,10 @@ object IvfIndex {
     val withCodes = idx.sq8Params match {
       case Some((mins, scales)) =>
         graft.plans.VectorExpressions.ensureRegistered(spark)
+        val enc = if (idx.sq8Normalized) unitNormalizeCol(col(vecCol))
+          else col(vecCol)
         assignedNew.withColumn(Sq8CodeCol,
-          call_function("graft_sq8_encode", col(vecCol),
+          call_function("graft_sq8_encode", enc,
             typedLit(mins ++ scales)))
       case None => assignedNew
     }
@@ -805,13 +1013,17 @@ object IvfIndex {
     // quantized roots carry their SQ8 grid in a sidecar; its absence —
     // or a present-but-empty directory left by an interrupted write —
     // just means the index loads unquantized (exact search unaffected)
-    val sq8 =
+    val sq8Row =
       try {
         spark.read.parquet(s"$path/$Sq8Sidecar").take(1).headOption
-          .map(r => (r.getSeq[Double](r.fieldIndex("mins")),
-            r.getSeq[Double](r.fieldIndex("scales"))))
       } catch { case _: org.apache.spark.sql.AnalysisException => None }
+    val sq8 = sq8Row.map(r => (r.getSeq[Double](r.fieldIndex("mins")),
+      r.getSeq[Double](r.fieldIndex("scales"))))
+    // legacy sidecars predate the flag: absent column = raw (L2) grid
+    val normalized = sq8Row.exists(r =>
+      r.schema.fieldNames.contains("normalized") &&
+        r.getBoolean(r.fieldIndex("normalized")))
     IvfIndex(byId.map(_._2), assigned, idCol, vecCol, byId.map(_._1),
-      component, sq8)
+      component, sq8, normalized)
   }
 }

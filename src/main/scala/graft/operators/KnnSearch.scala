@@ -220,6 +220,17 @@ object KnnSearch {
   private[operators] final case class BatchGate(
       col: String, allowed: Array[Array[Int]])
 
+  /** Pluggable per-(row, query) scoring for [[topKBatchCollected]]:
+    * replaces the default float-vector extract + metric closure for
+    * corpora whose ranked representation is not a float array —
+    * [[IvfIndex.searchQuantizedBatch]] scores 1-byte/dim SQ8 codes
+    * here. `vecCol` still names the scored column (its null-ness skips
+    * the row, and it anchors column pruning); the scorer receives that
+    * column's row index and is responsible for its own dimension
+    * validation. */
+  private[operators] final case class RawScorer(
+      fn: (org.apache.spark.sql.Row, Int, Array[Float]) => Double)
+
   private[operators] def topKBatchCollected(
       corpus: DataFrame,
       vecCol: String,
@@ -230,7 +241,8 @@ object KnnSearch {
       distCol: String = "dist",
       rankRoundDp: Option[Int] = None,
       metric: Metric = L2,
-      gate: Option[BatchGate] = None): DataFrame = {
+      gate: Option[BatchGate] = None,
+      rawScorer: Option[RawScorer] = None): DataFrame = {
     require(!corpus.columns.contains(distCol),
       s"corpus already has a '$distCol' column; pass a different distCol")
     require(!corpus.columns.contains("query_id"),
@@ -245,6 +257,7 @@ object KnnSearch {
     val tieKey = tieKeyFn(corpus.schema(tieBreak).dataType)
     val roundScale = rankRoundDp.map(p => math.pow(10, p))
     val distFn = batchDistFn(metric)
+    val raw = rawScorer.map(_.fn).orNull
     gate.foreach(g => require(g.allowed.length == qSet.length,
       s"gate.allowed (${g.allowed.length}) must align with the query " +
         s"set (${qSet.length})"))
@@ -286,9 +299,10 @@ object KnnSearch {
       val heaps = Array.fill(qs.length)(
         new scala.collection.mutable.PriorityQueue[Entry]()(ord))
       rows.foreach { row =>
-        val vSeq = if (row.isNullAt(vecIdx)) null else row.getSeq[Float](vecIdx)
-        if (vSeq != null) {
-          val v = vSeq.toArray
+        if (!row.isNullAt(vecIdx)) {
+          // the default path extracts the float vector once per row; a
+          // raw scorer reads its own representation inside fn
+          val v = if (raw == null) row.getSeq[Float](vecIdx).toArray else null
           val tie = tieKey(row.get(tieIdx))
           // one gate read per row; a null gate value (can't occur for a
           // partition column) scores against no query
@@ -304,11 +318,12 @@ object KnnSearch {
               val qv = qs(qi)._2
               // a silent skip here would quietly drop corpus rows from
               // every result — mixed dimensions are a data bug, surface it
-              if (qv.length != v.length)
+              if (raw == null && qv.length != v.length)
                 throw new IllegalArgumentException(
                   s"dimension mismatch in topKBatch: corpus vector has " +
                     s"${v.length} dims, query '${qs(qi)._1}' has ${qv.length}")
-              var dist = distFn(v, qv)
+              var dist =
+                if (raw != null) raw(row, vecIdx, qv) else distFn(v, qv)
               // the same primitive half-up rounding as topK's ranked
               // dist — batch results stay bit-equal to single-query
               // search AND to the oracle's floor-form replay

@@ -196,6 +196,125 @@ class IvfIndexSpec extends SparkSpec {
     assert(quantized(rt, refine = 4) == quantized(loaded, refine = 4))
   }
 
+  test("SQ8 batch: per-query bit-equal to single-query searchQuantized; " +
+      "equals unquantized searchBatch at full refine") {
+    graft.plans.VectorExpressions.ensureRegistered(spark)
+    val tmp = Files.createTempDirectory("graft-ivf-sq8b-").toString
+    index.write(s"$tmp/ivf", quantize = true)
+    val loaded = IvfIndex.load(spark, s"$tmp/ivf", "vec_id", "embedding")
+    val queries = embeddings.filter(col("vec_id").isin(0, 1, 2))
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val qVecs = queries.orderBy("qid").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("query_id"), col("vec_id"), col("dist")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // batch == the union of per-query single searches (the probe gate
+    // makes each query's rows independent of its batchmates)
+    val batch = rows(loaded.searchQuantizedBatch(queries, "qid", "qv",
+      k = 5, nprobe = 4, refine = 4, tieBreak = "vec_id",
+      rankRoundDp = Some(4)))
+    val singles = qVecs.flatMap { case (qid, qv) =>
+      loaded.searchQuantized(qv, 5, nprobe = 4, refine = 4,
+          tieBreak = Some("vec_id"), rankRoundDp = Some(4))
+        .select("vec_id", "dist").collect()
+        .map(r => (qid, r.getLong(0), r.getDouble(1)))
+    }.toSet
+    assert(batch == singles, "batch must be bit-equal to single-query")
+    // refine covering the probed scan ⇒ the exact re-rank sees every
+    // probed row ⇒ bit-equal to the UNQUANTIZED batch search
+    val full = rows(loaded.searchQuantizedBatch(queries, "qid", "qv",
+      k = 5, nprobe = 4, refine = 100000, tieBreak = "vec_id",
+      rankRoundDp = Some(4)))
+    val unquantized = rows(loaded.searchBatch(queries, "qid", "qv",
+      k = 5, nprobe = 4, tieBreak = "vec_id", rankRoundDp = Some(4)))
+    assert(full == unquantized,
+      "full-refine quantized batch must equal the unquantized batch")
+  }
+
+  test("SQ8 cosine: a normalized grid serves cosine (single == batch, " +
+      "full refine == unquantized), metric-grid mismatches rejected, " +
+      "appends encode normalized") {
+    import spark.implicits._
+    graft.plans.VectorExpressions.ensureRegistered(spark)
+    val tmp = Files.createTempDirectory("graft-ivf-sq8cos-").toString
+    index.write(s"$tmp/ivf", quantizeNormalized = true)
+    val loaded = IvfIndex.load(spark, s"$tmp/ivf", "vec_id", "embedding")
+    assert(loaded.sq8Normalized, "load must recover the normalized flag")
+    val q = queryVecs(1).head
+    // grid-metric contract: L2 on a normalized grid is wrong geometry,
+    // cosine on a raw grid likewise — both rejected loudly
+    intercept[IllegalArgumentException] {
+      loaded.searchQuantized(q, 5, nprobe = 4)
+    }
+    val rawTmp = Files.createTempDirectory("graft-ivf-sq8raw-").toString
+    index.write(s"$rawTmp/ivf", quantize = true)
+    val rawLoaded = IvfIndex.load(spark, s"$rawTmp/ivf", "vec_id",
+      "embedding")
+    intercept[IllegalArgumentException] {
+      rawLoaded.searchQuantized(q, 5, nprobe = 4,
+        metric = KnnSearch.NativeCosine)
+    }
+    // single-query == batch, per query
+    val queries = embeddings.filter(col("vec_id").isin(0, 1, 2))
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val qVecs = queries.orderBy("qid").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("query_id"), col("vec_id"), col("dist")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = rows(loaded.searchQuantizedBatch(queries, "qid", "qv",
+      k = 5, nprobe = 4, refine = 4, tieBreak = "vec_id",
+      rankRoundDp = Some(4), metric = KnnSearch.Cosine))
+    val singles = qVecs.flatMap { case (qid, qv) =>
+      loaded.searchQuantized(qv, 5, nprobe = 4, refine = 4,
+          tieBreak = Some("vec_id"), rankRoundDp = Some(4),
+          metric = KnnSearch.Cosine)
+        .select("vec_id", "dist").collect()
+        .map(r => (qid, r.getLong(0), r.getDouble(1)))
+    }.toSet
+    assert(batch == singles,
+      "cosine batch must be bit-equal to single-query")
+    // refine covering the probed scan ⇒ bit-equal to the UNQUANTIZED
+    // cosine batch (same angular probes, same exact scoring)
+    val full = rows(loaded.searchQuantizedBatch(queries, "qid", "qv",
+      k = 5, nprobe = 4, refine = 100000, tieBreak = "vec_id",
+      rankRoundDp = Some(4), metric = KnnSearch.Cosine))
+    val unquantized = rows(loaded.searchBatch(queries, "qid", "qv",
+      k = 5, nprobe = 4, tieBreak = "vec_id", rankRoundDp = Some(4),
+      metric = KnnSearch.Cosine))
+    assert(full == unquantized,
+      "full-refine cosine quantized batch must equal unquantized")
+    // recall at the production refine margin against the exact cosine
+    // top-k (full probe: isolates quantization error from probe error)
+    val rs = qVecs.map { case (_, qv) =>
+      val ex = KnnSearch.topK(embeddings, "embedding", qv, 10,
+          KnnSearch.Cosine, tieBreak = Some("vec_id"))
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      val ap = loaded.searchQuantized(qv, 10, nprobe = loaded.nlist,
+          refine = 4, tieBreak = Some("vec_id"),
+          metric = KnnSearch.Cosine)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      ex.intersect(ap).size.toDouble / 10
+    }
+    assert(rs.sum / rs.size >= 0.9,
+      s"SQ8 cosine recall: ${rs.sum / rs.size}")
+    // appended rows encode through the SAME normalized grid — visible
+    // to the code pass at their true angular position
+    val qv2 = q.map(x => x * 1.01f)
+    val memAppended = loaded.append(
+      Seq((99999L, qv2, 0)).toDF("vec_id", "embedding", "label"))
+    val memHit = memAppended.searchQuantized(qv2, 1, nprobe = 2,
+        refine = 4, tieBreak = Some("vec_id"),
+        metric = KnnSearch.Cosine)
+      .select("vec_id").head().getLong(0)
+    // qv2 is a pure scaling of q: identical direction, so the nearest
+    // cosine neighbor must be either the appended row or an exactly
+    // colinear original — assert the appended row surfaces
+    assert(memHit == 99999L,
+      "normalized-grid append must be visible to the cosine SQ8 pass")
+  }
+
   test("SQ8 composes with component scope: both prunes + code-only pass, parity with scoped exact search") {
     graft.plans.VectorExpressions.ensureRegistered(spark)
     val tmp = Files.createTempDirectory("graft-ivf-sq8-scope-").toString
