@@ -1062,7 +1062,10 @@ object SparkEntry {
           // where the oracle's CASE sums to 0
           sum(when(Mixer.keepExpr(col("lang"), col("text"), rates, 0.05),
             1L).otherwise(0L)).as("n_kept"))
-        .orderBy(col("lang"))
+        // null placement pinned on BOTH sides (oracle: NULLS FIRST):
+        // Spark ascending defaults nulls-first, DuckDB nulls-last — a
+        // null lang stratum would otherwise hash-diverge on row order
+        .orderBy(col("lang").asc_nulls_first)
     }),
 
     "q39_model_embed" -> ((s, dir) => {
@@ -2623,7 +2626,7 @@ object SparkEntry {
                            WHEN 'zh' THEN '199a'
                            ELSE '0ccd' END
                THEN 1 ELSE 0 END)::BIGINT AS n_kept
-         FROM documents GROUP BY lang ORDER BY lang""",
+         FROM documents GROUP BY lang ORDER BY lang NULLS FIRST""",
 
     // Model-seam stand-ins (q39/q49): the fakes are md5-derived by
     // construction, and DuckDB has md5 + IEEE float32 (FLOAT) + IEEE

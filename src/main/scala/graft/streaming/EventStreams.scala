@@ -142,8 +142,10 @@ object EventStreams {
         // query LOUDLY instead — restarting it after the compact (onto
         // the old or the swapped root) is safe, because the per-batch
         // markers make the re-run idempotent. A batch already past this
-        // check when the lock lands is caught by compact's marker
-        // re-list guard.
+        // check when the lock lands is caught twice more: the lock is
+        // RE-CHECKED just before the marker write (shrinking the race
+        // window to the append duration — see below), and compact's
+        // marker re-list tripwire aborts on markers that land anyway.
         val lock = new org.apache.hadoop.fs.Path(
           s"$indexPath/${graft.operators.IvfIndex.CompactLockFile}")
         if (fs.exists(lock))
@@ -164,6 +166,20 @@ object EventStreams {
             if (!batch.isEmpty)
               graft.operators.IvfIndex.appendTo(
                 spark, indexPath, batch, idCol, vecCol)
+            // TOCTOU shrink: a compact lock that landed DURING the
+            // append means the compactor's plan-time listing may not
+            // include this batch's files — refuse to mark the batch
+            // committed, so a restart RE-DELIVERS it (bounded by the
+            // documented at-least-once window via the markers) instead
+            // of the compacted root silently losing it. The residual
+            // race is now only the marker-write duration, and compact's
+            // mid-copy marker tripwire covers exactly that.
+            if (fs.exists(lock))
+              throw new IllegalStateException(
+                s"indexedIngest: compact lock appeared during batch " +
+                  s"$batchId's append on $indexPath — leaving the batch " +
+                  "UNMARKED so a restart re-delivers it; marking it now " +
+                  "could let the compacted root silently miss its files.")
             // create() makes missing parents itself — no mkdirs RPC
             fs.create(marker, true).close()
           } finally batch.unpersist()
