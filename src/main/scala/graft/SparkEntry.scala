@@ -198,11 +198,18 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def ivfCosIndexFor(s: SparkSession, dir: String): IvfIndex = {
     val path = ivfCosPathCache.computeIfAbsent(dir, _ => {
-      val built = IvfIndex.build(t(s, dir, "embeddings"), "vec_id",
-        "embedding", nlist = 8)
+      // ONE k-means serves both quantized roots: reuse the raw root's
+      // fit (building that root first if this JVM hasn't) and derive
+      // only the grid — drop the raw-grid codes + params so write()
+      // re-encodes NORMALIZED from the untouched raw vectors. A second
+      // build() would pay an identical fit for identical centroids.
+      val raw = ivfIndexFor(s, dir)
+      val uncoded = raw.copy(
+        assigned = raw.assigned.drop(IvfIndex.Sq8CodeCol),
+        sq8Params = None, sq8Normalized = false)
       val p = java.nio.file.Files
         .createTempDirectory("graft_ivf_cos_").toString
-      built.write(p, quantizeNormalized = true)
+      uncoded.write(p, quantizeNormalized = true)
       p
     })
     IvfIndex.load(s, path, "vec_id", "embedding")
@@ -1704,13 +1711,18 @@ object SparkEntry {
          GROUP BY l_orderkey
          ORDER BY revenue DESC, l_orderkey LIMIT 10""",
 
-    // Every ranked-distance oracle replays KnnSearch.roundHalfUpCol's
-    // primitive floor arithmetic — floor(x·1e4 + 0.5)/1e4 — NEVER
-    // engine-native round(): Spark's round goes through the shortest
-    // decimal string while DuckDB's rounds in binary, and the two
-    // disagree when a distance lands on a 4-dp half boundary (the
-    // round-11 q59/q61 driver red). The floor form is the identical
-    // IEEE op sequence on both engines.
+    // Every ranked vector DISTANCE/SIMILARITY oracle (the KNN/IVF/
+    // near-dup families) replays KnnSearch.roundHalfUpCol's primitive
+    // floor arithmetic — floor(x·1e4 + 0.5)/1e4 — never engine-native
+    // round(): Spark's round goes through the shortest decimal string
+    // while DuckDB's rounds in binary, and the two disagree when a
+    // value lands on a 4-dp half boundary (the round-11 q59/q61 driver
+    // red). The floor form is the identical IEEE op sequence on both
+    // engines. Non-vector SCORE roundings (q35 hybrid, q53 jaccard,
+    // q63/q64 BM25/RRF) still use native round() on both sides: their
+    // inputs are integer-derived and identical cross-engine, so only an
+    // exact decimal half boundary could split them — a measure-zero
+    // hazard, accepted and documented here rather than silently.
     "q30_knn_l2" ->
       """SELECT vec_id,
          floor(list_distance(embedding::DOUBLE[],
@@ -2999,8 +3011,8 @@ object SparkEntry {
            SELECT vec_id, embedding, $q44BucketSql AS bucket
            FROM embeddings)
          SELECT a.vec_id AS a_id, c.vec_id AS b_id,
-           round(list_cosine_similarity(a.embedding::DOUBLE[],
-             c.embedding::DOUBLE[]), 4) AS cos_sim
+           floor(list_cosine_similarity(a.embedding::DOUBLE[],
+             c.embedding::DOUBLE[]) * 1e4 + 0.5::DOUBLE) / 1e4 AS cos_sim
          FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
          ORDER BY cos_sim DESC, a_id, b_id LIMIT 10""",
 

@@ -291,6 +291,14 @@ final case class IvfIndex(
       s"quantized params present but no ${IvfIndex.Sq8CodeCol} column — " +
         "corrupted index root?")
     require(refine >= 1, s"refine must be >= 1, got $refine")
+    // same collision contract as topK/searchBatch: the exact pass adds
+    // these columns to the corpus rows, and a silent overwrite (or an
+    // ambiguous-join AnalysisException halfway through) would corrupt
+    // or confuse downstream plans
+    for (c <- Seq("dist", "query_id", "__qv"))
+      require(!assigned.columns.contains(c),
+        s"corpus already has a '$c' column — searchQuantizedBatch " +
+          "adds it to the output")
     val cosine = requireMetricMatchesGrid(metric, "searchQuantizedBatch")
     val spark = assigned.sparkSession
     graft.plans.VectorExpressions.ensureRegistered(spark)
@@ -477,6 +485,21 @@ final case class IvfIndex(
           else assigned.select(col(vecCol))
         Some(IvfIndex.sq8ParamsOf(gridInput, vecCol))
       }
+    // an already-coded index re-persists its EXISTING codes + grid; an
+    // explicit request for the OTHER grid must fail loudly, not write a
+    // root whose grid silently contradicts what the caller asked for
+    if (alreadyCoded) {
+      require(!(quantizeNormalized && !sq8Normalized),
+        "write(quantizeNormalized = true) on an index whose codes were " +
+          "cut against the RAW (L2) grid — re-encoding under a " +
+          "different grid is not supported on a coded index; rebuild " +
+          "from the raw vectors (drop the code column and sq8Params) " +
+          "and write(quantizeNormalized = true)")
+      require(!(quantize && !quantizeNormalized && sq8Normalized),
+        "write(quantize = true) on an index whose codes were cut " +
+          "against the NORMALIZED (cosine) grid — rebuild from the raw " +
+          "vectors to get an L2 grid")
+    }
     val normalized = if (alreadyCoded) sq8Normalized else quantizeNormalized
     val data =
       if (alreadyCoded || sq8.isEmpty) assigned

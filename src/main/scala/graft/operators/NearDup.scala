@@ -464,7 +464,11 @@ object NearDup {
       .join(b.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
-        round(cosine(col("a.v"), col("b.v")), roundDp).as("cos_sim"))
+        // the cross-engine floor rounding of every other ranked
+        // similarity — never engine-native round() (KnnSearch.roundHalfUp
+        // scaladoc: the decimal-vs-binary seam)
+        KnnSearch.roundHalfUpCol(cosine(col("a.v"), col("b.v")), roundDp)
+          .as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("a_id"), col("b_id"))
       .limit(k)
   }

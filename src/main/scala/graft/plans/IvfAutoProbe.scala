@@ -246,11 +246,15 @@ case class IvfAutoProbe(spark: SparkSession) extends Rule[LogicalPlan] {
       case other => (other, false)
     }
 
-  /** the numeric value of a foldable literal, None for everything else
-    * (including Decimal — the matched shape only produces primitive
-    * numeric literals) */
+  /** the numeric value of a FINITE foldable literal, None for
+    * everything else (including Decimal — the matched shape only
+    * produces primitive numeric literals — and ±Inf/NaN: multiplying
+    * by +Inf collapses all positive values to one tie and sends an
+    * exact zero to NaN, and adding NaN poisons every key, so neither
+    * is an order-preserving wrapper) */
   private def numConst(e: Expression): Option[Double] = e match {
-    case Literal(v: java.lang.Number, _) => Some(v.doubleValue())
+    case Literal(v: java.lang.Number, _) =>
+      Some(v.doubleValue()).filter(java.lang.Double.isFinite)
     case _ => None
   }
 
