@@ -60,6 +60,72 @@ object SparkEntry {
     bm25StatsCache.computeIfAbsent(dir, _ =>
       Bm25.stats(t(s, dir, "documents"), "doc_id", "text", bm25Terms))
 
+  /** q70's query batch, shared by the entry and its GENERATED oracle so
+    * the two cannot drift. 'join' appears in two queries — the union
+    * vocabulary dedups it, exercising the shared-tf path. */
+  private val bm25BatchQueries: Seq[(Int, Seq[String])] = Seq(
+    0 -> Seq("spark", "query", "join"),
+    1 -> Seq("table", "window", "agg"),
+    2 -> Seq("data", "fast", "join"))
+
+  /** The Bm25LexCtes structure generalized to q70's union vocabulary and
+    * per-query folds: tf/df per union term once, then each query scores
+    * ONLY its own terms (same contribution arithmetic, same fold order
+    * as Bm25.topKBatch's closure) with the floor-form rounding, ranked
+    * top-5 per query. */
+  private lazy val bm25BatchOracleSql: String = {
+    val vocab = bm25BatchQueries.flatMap(_._2).distinct
+    val vIdx = vocab.zipWithIndex.toMap
+    val tfCols = vocab.zipWithIndex.map { case (t, i) =>
+      s"             len(list_filter(toks, x -> x = '$t')) AS tf$i"
+    }.mkString(",\n")
+    val dfCols = vocab.indices.map { i =>
+      s"             sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i"
+    }.mkString(",\n")
+    def contrib(i: Int): String =
+      s"ln((g.n - g.df$i + 0.5::DOUBLE) / (g.df$i + 0.5::DOUBLE) + 1)\n" +
+        s"                 * (tf$i * (1.2::DOUBLE + 1)) / (tf$i + 1.2::DOUBLE *\n" +
+        s"                   ((1 - 0.75::DOUBLE) + 0.75::DOUBLE * dl\n" +
+        s"                     / (g.total::DOUBLE / g.n)))"
+    val perQuery = bm25BatchQueries.map { case (qid, ts) =>
+      val idxs = ts.map(vIdx)
+      val scoreExpr = idxs.map(contrib).mkString("\n             + ")
+      val hit = idxs.map(i => s"tf$i").mkString(" + ")
+      s"         qs$qid AS (\n" +
+        s"           SELECT doc_id,\n" +
+        s"             floor(($scoreExpr\n" +
+        s"             ) * 1e4 + 0.5::DOUBLE) / 1e4 AS score\n" +
+        s"           FROM s, g\n" +
+        s"           WHERE $hit > 0),\n" +
+        s"         qr$qid AS (\n" +
+        s"           SELECT $qid AS query_id, doc_id, score FROM (\n" +
+        s"             SELECT doc_id, score,\n" +
+        s"               row_number() OVER (ORDER BY score DESC, doc_id)\n" +
+        s"                 AS rn\n" +
+        s"             FROM qs$qid)\n" +
+        s"           WHERE rn <= 5)"
+    }.mkString(",\n")
+    val unions = bm25BatchQueries
+      .map { case (qid, _) => s"SELECT * FROM qr$qid" }
+      .mkString("\n         UNION ALL ")
+    "WITH d AS (\n" +
+      "           SELECT doc_id,\n" +
+      "             list_filter(string_split_regex(lower(text), '\\s+'),\n" +
+      "               t -> len(t) > 0) AS toks\n" +
+      "           FROM documents WHERE text IS NOT NULL),\n" +
+      "         s AS (\n" +
+      "           SELECT doc_id, len(toks) AS dl,\n" +
+      s"$tfCols\n" +
+      "           FROM d),\n" +
+      "         g AS (\n" +
+      "           SELECT count(*) AS n, sum(dl) AS total,\n" +
+      s"$dfCols\n" +
+      "           FROM s),\n" +
+      s"$perQuery\n" +
+      s"         $unions\n" +
+      "         ORDER BY query_id, score DESC, doc_id"
+  }
+
   private val ivfPathCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def ivfIndexFor(s: SparkSession, dir: String): IvfIndex = {
@@ -1019,6 +1085,22 @@ object SparkEntry {
       Bm25.topK(t(s, dir, "documents"), "doc_id", "text",
         bm25Terms, k = 10, precomputed = Some(bm25StatsFor(s, dir)))),
 
+    "q70_bm25_batch" -> ((s, dir) => {
+      // Batch BM25 (Bm25.topKBatch): three term queries share ONE
+      // tokenization + scoring scan over the union vocabulary — the
+      // lexical analogue of q59's batch ANN. Stats derive once for the
+      // whole batch; per-task per-query bounded k-heaps fold each
+      // query's own terms with topK's exact arithmetic (floor-form
+      // rounding before ranking), so per-query results are bit-equal
+      // to q63-style single queries (spec-asserted). The oracle is
+      // GENERATED from the same query table (bm25BatchOracleSql), so
+      // entry and replay cannot drift.
+      import s.implicits._
+      Bm25.topKBatch(t(s, dir, "documents"), "doc_id", "text",
+          bm25BatchQueries.toDF("qid", "terms"), "qid", "terms", k = 5)
+        .orderBy(col("query_id"), col("score").desc, col("doc_id"))
+    }),
+
     "q64_rrf_fusion" -> ((s, dir) => {
       // Hybrid retrieval by RANK fusion (operators.Fusion): the dense
       // leg (exact L2 top-20 over embeddings) and the lexical leg (BM25
@@ -1522,7 +1604,7 @@ object SparkEntry {
            FROM s),
          lex AS (
            SELECT doc_id,
-             round(
+             floor((
                ln((g.n - g.df0 + 0.5::DOUBLE) / (g.df0 + 0.5::DOUBLE) + 1)
                  * (tf0 * (1.2::DOUBLE + 1)) / (tf0 + 1.2::DOUBLE *
                    ((1 - 0.75::DOUBLE) + 0.75::DOUBLE * dl
@@ -1547,7 +1629,7 @@ object SparkEntry {
                  * (tf5 * (1.2::DOUBLE + 1)) / (tf5 + 1.2::DOUBLE *
                    ((1 - 0.75::DOUBLE) + 0.75::DOUBLE * dl
                      / (g.total::DOUBLE / g.n)))
-             , 4) AS score
+             ) * 1e4 + 0.5::DOUBLE) / 1e4 AS score
            FROM s, g
            WHERE tf0 + tf1 + tf2 + tf3 + tf4 + tf5 > 0)"""
 
@@ -1718,8 +1800,9 @@ object SparkEntry {
     // while DuckDB's rounds in binary, and the two disagree when a
     // value lands on a 4-dp half boundary (the round-11 q59/q61 driver
     // red). The floor form is the identical IEEE op sequence on both
-    // engines. Non-vector SCORE roundings (q35 hybrid, q53 jaccard,
-    // q63/q64 BM25/RRF) still use native round() on both sides: their
+    // engines. BM25 scores (q63/q64/q70) use the same floor form.
+    // The remaining native-round() score sites (q35 hybrid, q53
+    // jaccard, q64's final RRF fold) keep native rounding: their
     // inputs are integer-derived and identical cross-engine, so only an
     // exact decimal half boundary could split them — a measure-zero
     // hazard, accepted and documented here rather than silently.
@@ -2596,6 +2679,8 @@ object SparkEntry {
     // integers so the rank-space sum is IEEE-identical cross-engine,
     // with a missing leg contributing 0 through NULL propagation +
     // coalesce exactly like the Spark side.
+    "q70_bm25_batch" -> bm25BatchOracleSql,
+
     "q64_rrf_fusion" ->
       raw"""WITH $Bm25LexCtes,
          lex20 AS (

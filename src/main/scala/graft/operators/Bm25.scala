@@ -143,8 +143,157 @@ object Bm25 {
     val anyHit = queryTerms.indices
       .map(i => col(s"__tf$i")).reduceLeft(_ + _) > 0
     perDoc.filter(anyHit)
-      .select(col(idCol), round(score, roundDp).as("score"))
+      // the cross-engine floor rounding of every ranked score in the
+      // retrieval family — never engine-native round() (see
+      // KnnSearch.roundHalfUp: the decimal-vs-binary seam)
+      .select(col(idCol),
+        KnnSearch.roundHalfUpCol(score, roundDp).as("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
+  }
+
+  /** Batch BM25: many queries, ONE tokenization + scoring scan — the
+    * lexical analogue of [[IvfIndex.searchBatch]]'s shape, for query
+    * feeds at scale where per-query [[topK]] calls would re-scan the
+    * corpus |queries| times.
+    *
+    * The UNION vocabulary of all queries drives a single
+    * `perDocFrame` pass (tf per union term, fused HOFs — no explode,
+    * no doc×term blow-up); inside it, per-task bounded k-heaps PER
+    * QUERY rank each query's own term fold (bit-identical arithmetic
+    * to [[topK]]'s column expressions — same fold order, same
+    * floor-form rounding BEFORE ranking), a doc matching none of a
+    * query's terms is skipped for that query, and only
+    * ≤ partitions·|queries|·k rows reach the final per-query rank —
+    * the corpus is never shuffled. Stats amortize across the whole
+    * batch: one [[stats]] pass over the union vocabulary (or
+    * `precomputed`) serves every query. Per-query results are
+    * bit-equal to [[topK]] at the same (stats, k1, b, roundDp) —
+    * spec-asserted. Output: (query_id, idCol, score), top-k per query
+    * ranked (score DESC, id ASC). */
+  def topKBatch(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      termsCol: String,
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      roundDp: Int = 4,
+      precomputed: Option[CorpusStats] = None): DataFrame = {
+    require(idCol != "query_id" && idCol != "score",
+      s"idCol '$idCol' collides with a topKBatch output column")
+    val qRows: Array[(Any, Seq[String])] = queries
+      .select(col(queryIdCol), col(termsCol)).collect()
+      .map { r =>
+        require(!r.isNullAt(1), s"null $termsCol for query ${r.get(0)}")
+        (r.get(0), r.getSeq[String](1).toSeq)
+      }
+    require(qRows.nonEmpty, "topKBatch needs at least one query")
+    qRows.foreach { case (qid, ts) =>
+      require(ts.nonEmpty, s"query $qid has no terms")
+      require(ts.distinct == ts,
+        s"duplicate query terms would double-count in query $qid: $ts")
+    }
+    val vocab = qRows.flatMap(_._2).distinct.toSeq
+    val cs = precomputed.getOrElse(stats(docs, idCol, textCol, vocab))
+    precomputed.foreach(s => require(
+      vocab.forall(s.df.contains),
+      s"precomputed stats lack df for ${vocab.filterNot(s.df.contains)}"))
+    val spark = docs.sparkSession
+    val qidType = queries.schema(queryIdCol).dataType
+    val perDoc = perDocFrame(docs, idCol, textCol, vocab)
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("query_id", qidType),
+      perDoc.schema(idCol),
+      org.apache.spark.sql.types.StructField("score",
+        org.apache.spark.sql.types.DoubleType)))
+    val n = cs.n
+    if (n == 0L)
+      return spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        outSchema)
+    val avgdl = cs.totalLen.toDouble / n
+    val idfVocab = vocab.map { t =>
+      val df = cs.df(t).toDouble
+      math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+    }.toArray
+    // per query: tf-column indices into the union frame + aligned idfs
+    val qMeta: Array[(Any, Array[Int], Array[Double])] =
+      qRows.map { case (qid, ts) =>
+        val idxs = ts.map(vocab.indexOf).toArray
+        (qid, idxs, idxs.map(idfVocab))
+      }
+    val tieKey = KnnSearch.tieKeyFn(perDoc.schema(idCol).dataType)
+    val roundScale = math.pow(10, roundDp)
+    val k1p1 = k1 + 1.0
+    val oneMinusB = 1.0 - b
+    val bc = spark.sparkContext.broadcast(qMeta)
+    val local = perDoc.mapPartitions { rows =>
+      val qs = bc.value
+      // bounded min-heaps: head = current WORST of the best k (lowest
+      // score, then LARGEST tie — the exact inverse of the final
+      // (score DESC, id ASC) rank, nulls first like Spark)
+      final class Entry(val score: Double, val tie: Any, val id: Any)
+      def cmpTie(a: Any, bb: Any): Int =
+        if (a == null && bb == null) 0
+        else if (a == null) -1
+        else if (bb == null) 1
+        else a.asInstanceOf[Comparable[Any]].compareTo(bb)
+      // "a before b" in heap-priority order = a is WORSE than b
+      def worse(a: Entry, bb: Entry): Boolean = {
+        val c = java.lang.Double.compare(a.score, bb.score)
+        if (c != 0) c < 0 else cmpTie(a.tie, bb.tie) > 0
+      }
+      // a < b iff a is BETTER than b, so the PriorityQueue head (the
+      // maximum) is the worst kept entry — the eviction candidate
+      val ord = Ordering.fromLessThan[Entry]((a, bb) => worse(bb, a))
+      val heaps = Array.fill(qs.length)(
+        new scala.collection.mutable.PriorityQueue[Entry]()(ord))
+      rows.foreach { row =>
+        val dl = row.getInt(1)
+        val idRaw = row.get(0)
+        val tie = tieKey(idRaw)
+        var qi = 0
+        while (qi < qs.length) {
+          val (_, idxs, idfs) = qs(qi)
+          var hit = 0L
+          var i = 0
+          while (i < idxs.length) { hit += row.getInt(2 + idxs(i)); i += 1 }
+          if (hit > 0) {
+            // identical arithmetic to topK's column expressions: the
+            // same left fold in the QUERY's term order, the same
+            // association inside each term
+            val lenNorm = k1 * (oneMinusB + (b * dl.toDouble) / avgdl)
+            var score = 0.0
+            i = 0
+            while (i < idxs.length) {
+              val tf = row.getInt(2 + idxs(i)).toDouble
+              score += idfs(i) * (tf * k1p1) / (tf + lenNorm)
+              i += 1
+            }
+            score = KnnSearch.roundHalfUp(score, roundScale)
+            val h = heaps(qi)
+            val e = new Entry(score, tie, idRaw)
+            if (h.size < k) h.enqueue(e)
+            else if (worse(h.head, e)) { h.dequeue(); h.enqueue(e) }
+          }
+          qi += 1
+        }
+      }
+      heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+        h.iterator.map(e =>
+          org.apache.spark.sql.Row(qs(qi)._1, e.id, e.score))
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col(idCol))
+    local
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
   }
 }

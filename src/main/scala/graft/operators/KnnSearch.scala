@@ -163,7 +163,7 @@ object KnnSearch {
     * via their Comparable boxes. Anything else is rejected UP FRONT at
     * plan time — not as a ClassCastException halfway through a corpus
     * scan. */
-  private def tieKeyFn(
+  private[operators] def tieKeyFn(
       dt: org.apache.spark.sql.types.DataType): Any => Any = dt match {
     case org.apache.spark.sql.types.StringType =>
       a => if (a == null) null

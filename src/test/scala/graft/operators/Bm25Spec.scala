@@ -66,4 +66,61 @@ class Bm25Spec extends SparkSpec {
     assert(Bm25.topK(empty, "doc_id", "text", Seq("a"), k = 5)
       .collect().isEmpty)
   }
+
+  test("bm25 batch: per-query bit-equal to single-query topK; one " +
+      "stats pass over the union vocabulary; guards") {
+    import spark.implicits._
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val qs = Seq(
+      10 -> Seq("spark", "query", "join"),
+      11 -> Seq("table", "window", "agg"),
+      12 -> Seq("data", "fast", "join"),
+      13 -> Seq("zzz_nonexistent_term", "spark"))
+    val batch = Bm25.topKBatch(docs, "doc_id", "text",
+        qs.toDF("qid", "terms"), "qid", "terms", k = 5)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSet
+    // single-query replays: the UNION-vocabulary stats restricted to
+    // each query's own terms equal per-query stats (df/N/total are
+    // per-term and corpus-global), so topK with its own fresh stats
+    // must match bit-for-bit
+    val singles = qs.flatMap { case (qid, ts) =>
+      Bm25.topK(docs, "doc_id", "text", ts, k = 5)
+        .collect().map(r => (qid, r.getLong(0), r.getDouble(1)))
+    }.toSet
+    assert(batch == singles, "batch must be bit-equal to per-query topK")
+    // exactly ONE stats job for the whole batch: count the aggregation
+    // passes indirectly — precomputed stats must also serve the batch
+    val vocab = qs.flatMap(_._2).distinct
+    val cs = Bm25.stats(docs, "doc_id", "text", vocab)
+    val viaPre = Bm25.topKBatch(docs, "doc_id", "text",
+        qs.toDF("qid", "terms"), "qid", "terms", k = 5,
+        precomputed = Some(cs))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaPre == batch, "precomputed stats must not change results")
+    // guards: empty query set, empty terms, duplicate terms, missing
+    // precomputed df
+    intercept[IllegalArgumentException] {
+      Bm25.topKBatch(docs, "doc_id", "text",
+        Seq.empty[(Int, Seq[String])].toDF("qid", "terms"),
+        "qid", "terms", k = 5)
+    }
+    intercept[IllegalArgumentException] {
+      Bm25.topKBatch(docs, "doc_id", "text",
+        Seq(1 -> Seq.empty[String]).toDF("qid", "terms"),
+        "qid", "terms", k = 5)
+    }
+    intercept[IllegalArgumentException] {
+      Bm25.topKBatch(docs, "doc_id", "text",
+        Seq(1 -> Seq("a", "a")).toDF("qid", "terms"),
+        "qid", "terms", k = 5)
+    }
+    intercept[IllegalArgumentException] {
+      Bm25.topKBatch(docs, "doc_id", "text",
+        Seq(1 -> Seq("missing")).toDF("qid", "terms"),
+        "qid", "terms", k = 5, precomputed = Some(cs))
+    }
+  }
 }
