@@ -1157,6 +1157,61 @@ object SparkEntry {
         .orderBy(col("lang").asc_nulls_first)
     }),
 
+    "q71_temperature_mix" -> ((s, dir) => {
+      // Temperature-scaled mixing (Mixer.temperatureRates, the mC4 /
+      // XLM-R scheme): per-language keep rates n^(tau-1)/max n^(tau-1)
+      // derived from ONE counts aggregation (integer-exact), then the
+      // same md5-prefix gate as q65. The scarcest language keeps
+      // everything; overrepresented ones are down-weighted toward the
+      // tau-tempered mix. The oracle recomputes counts -> rates ->
+      // thresholds in SQL with the identical double ops (pow's
+      // cross-library last-ulp seam is the same accepted class as
+      // BM25's ln, far below the 1/65536 threshold grid).
+      val base = t(s, dir, "documents")
+        .filter(col("text").isNotNull && col("lang").isNotNull)
+      val counts = base.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val rates = Mixer.temperatureRates(counts, temperature = 0.7)
+      base.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(Mixer.keepExpr(col("lang"), col("text"), rates, 0.0),
+            1L).otherwise(0L)).as("n_kept"))
+        .orderBy(col("lang"))
+    }),
+
+    "q72_pii_redaction" -> ((s, dir) => {
+      // The PII scrubbing pass (TextFunctions.redactPii): the corpus
+      // itself is clean, so deterministic PII-bearing text is
+      // synthesized from doc fields (email, IPv4, SSN-style id per
+      // doc), redacted by the engine-native regexp_replace chain, and
+      // verified by typed redaction counts PLUS an order-independent
+      // integer checksum of md5(redacted) — the oracle replays the
+      // same RE2-safe patterns, so a hash match proves the exact
+      // redacted bytes, not just that something was replaced.
+      val base = t(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          concat(col("text"),
+            lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com via 10.0."),
+            (col("doc_id") % 256).cast("string"), lit(".77 ref "),
+            lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+            lit("-"),
+            lpad((col("doc_id") % 100).cast("string"), 2, "0"),
+            lit("-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+            .as("raw"))
+      base.select(redactPii(col("raw")).as("red"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("red").contains("<EMAIL>"), 1L).otherwise(0L))
+            .as("n_email"),
+          sum(when(col("red").contains("<SSN>"), 1L).otherwise(0L))
+            .as("n_ssn"),
+          sum(when(col("red").contains("<IP>"), 1L).otherwise(0L))
+            .as("n_ip"),
+          sum(conv(substring(md5(col("red")), 1, 8), 16, 10)
+            .cast("long")).as("checksum"))
+    }),
+
     "q39_model_embed" -> ((s, dir) => {
       // The model-embedder seam under load: FakeModelEmbedder (the
       // deterministic stand-in behind the real mapPartitions batching,
@@ -2715,6 +2770,54 @@ object SparkEntry {
     // are the 4-hex-char forms of round(rate·65536): en 0.5 → 8000,
     // es 0.25 → 4000, zh 0.1 → 199a, default 0.05 → 0ccd (must match
     // Mixer.thresholdHex exactly). Counts are integers — exact.
+    "q71_temperature_mix" ->
+      raw"""WITH base AS (
+           SELECT lang, text FROM documents
+           WHERE text IS NOT NULL AND lang IS NOT NULL),
+         g AS (SELECT lang, count(*) AS n FROM base GROUP BY lang),
+         w AS (SELECT lang, n,
+                 pow(n::DOUBLE, 0.7::DOUBLE - 1) AS wt FROM g),
+         m AS (SELECT max(wt) AS wmax FROM w),
+         th AS (SELECT w.lang,
+                  floor(w.wt / m.wmax * 65536::DOUBLE + 0.5::DOUBLE)
+                    AS bucket
+                FROM w, m)
+         SELECT b.lang, count(*) AS n_total,
+           sum(CASE WHEN CAST(concat('0x', substr(md5(b.text), 1, 4))
+                          AS INT) < th.bucket
+               THEN 1 ELSE 0 END)::BIGINT AS n_kept
+         FROM base b JOIN th ON b.lang = th.lang
+         GROUP BY b.lang ORDER BY b.lang""",
+
+    "q72_pii_redaction" ->
+      raw"""WITH base AS (
+           SELECT doc_id,
+             text || ' contact user' || doc_id::VARCHAR ||
+             '@example.com via 10.0.' || (doc_id % 256)::VARCHAR ||
+             '.77 ref ' ||
+             lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-' ||
+             lpad((doc_id % 100)::VARCHAR, 2, '0') || '-' ||
+             lpad((doc_id % 10000)::VARCHAR, 4, '0') AS raw
+           FROM documents WHERE text IS NOT NULL),
+         red AS (
+           SELECT regexp_replace(regexp_replace(regexp_replace(raw,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+',
+             '<EMAIL>', 'g'),
+             '\b\d\d\d-\d\d-\d\d\d\d\b', '<SSN>', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+             '<IP>', 'g') AS red
+           FROM base)
+         SELECT count(*) AS n_docs,
+           sum(CASE WHEN contains(red, '<EMAIL>') THEN 1 ELSE 0 END)
+             ::BIGINT AS n_email,
+           sum(CASE WHEN contains(red, '<SSN>') THEN 1 ELSE 0 END)
+             ::BIGINT AS n_ssn,
+           sum(CASE WHEN contains(red, '<IP>') THEN 1 ELSE 0 END)
+             ::BIGINT AS n_ip,
+           sum(CAST(concat('0x', substr(md5(red), 1, 8)) AS BIGINT))
+             ::BIGINT AS checksum
+         FROM red""",
+
     "q65_stratified_mix" ->
       raw"""SELECT lang, count(*) AS n_total,
            sum(CASE WHEN substr(md5(text), 1, 4) <

@@ -85,6 +85,30 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     substring(md5(regexp_replace(lower(trim(text)), "\\s+", " ")), 1, 16)
 
+  /** PII patterns redacted by [[redactPii]], applied in this order.
+    * Every pattern is RE2-safe (no lookarounds, no backrefs — the
+    * subset Java regex and RE2/DuckDB agree on byte-for-byte for ASCII
+    * input) so a SQL engine replays the redaction exactly. Greedy
+    * quantifiers behave identically in both engines for these shapes. */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+",
+      "<EMAIL>"),
+    ("ssn", "\\b\\d\\d\\d-\\d\\d-\\d\\d\\d\\d\\b", "<SSN>"),
+    ("ipv4",
+      "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"))
+
+  /** Redact common PII shapes (emails, SSN-style ids, IPv4 addresses)
+    * with typed placeholders — the scrubbing pass a training-data
+    * pipeline runs before anything else sees the text. A chain of
+    * engine-native `regexp_replace` (codegen'd, one narrow projection,
+    * no UDF); patterns applied in [[PiiPatterns]] order, so an email
+    * containing digits is redacted as an email before the ip/ssn
+    * patterns could bite its fragments. Null text stays null. */
+  def redactPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (c, (_, pat, repl)) =>
+      regexp_replace(c, pat, repl)
+    }
+
   /** Reproducible train/val/test split assignment by content hash — the
     * standard trick for dataset splits that survive re-runs, engine
     * swaps, and corpus growth (a document's split never changes because

@@ -58,4 +58,33 @@ object Mixer {
       rates: Map[String, Double],
       defaultRate: Double = 0.0): DataFrame =
     df.filter(keepExpr(col(stratumCol), col(keyCol), rates, defaultRate))
+
+  /** Temperature-scaled mixture rates — the standard multilingual
+    * sampling scheme (mC4 / XLM-R: sample stratum i with probability
+    * ∝ n_i^τ): keep-rate_i = n_i^(τ−1) / max_j n_j^(τ−1), so the
+    * scarcest stratum keeps EVERYTHING (rate 1) and overrepresented
+    * strata are down-weighted toward the τ-tempered mix. τ = 1 keeps
+    * every stratum whole (no resampling); τ → 0 approaches a uniform
+    * mix (rate n_min/n_i). Counts are exact integers (one aggregation
+    * scan, driver-side — |strata| scalars), the rates are pure double
+    * arithmetic from them, and the keep decision is [[keepExpr]]'s
+    * md5 gate — so the whole mix replays deterministically (the pow()
+    * cross-library seam is last-ulp, the same accepted class as BM25's
+    * ln()). Empty strata get rate 0 (nothing to keep). */
+  def temperatureRates(
+      counts: Map[String, Long],
+      temperature: Double): Map[String, Double] = {
+    require(temperature > 0.0 && temperature <= 1.0,
+      s"temperature must be in (0, 1], got $temperature")
+    require(counts.nonEmpty, "temperatureRates needs at least one stratum")
+    require(counts.values.forall(_ >= 0), s"negative count in $counts")
+    val weights = counts.collect { case (s, n) if n > 0 =>
+      s -> math.pow(n.toDouble, temperature - 1.0)
+    }
+    require(weights.nonEmpty, s"every stratum is empty: $counts")
+    val wMax = weights.values.max
+    counts.map { case (s, n) =>
+      s -> (if (n == 0L) 0.0 else weights(s) / wMax)
+    }
+  }
 }

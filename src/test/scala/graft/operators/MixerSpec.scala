@@ -53,4 +53,48 @@ class MixerSpec extends SparkSpec {
     // "g" sorts after every hex prefix — rate 1 keeps everything
     assert("ffff" < "g" && "0000" < "g")
   }
+
+  test("temperatureRates: scarcest stratum keeps all, tau=1 keeps " +
+      "everything, tau->0 approaches the uniform mix, guards") {
+    val counts = Map("en" -> 1000L, "es" -> 100L, "zh" -> 10L)
+    val r = Mixer.temperatureRates(counts, temperature = 0.7)
+    assert(r("zh") == 1.0, s"scarcest stratum must keep all: $r")
+    assert(r("en") < r("es") && r("es") < r("zh"),
+      s"rates must be monotone decreasing in count: $r")
+    // rate_i = (n_i / n_min)^(tau - 1), checked against the closed form
+    assert(math.abs(r("en") -
+      math.pow(1000.0, -0.3) / math.pow(10.0, -0.3)) < 1e-12)
+    // tau = 1: no resampling anywhere
+    assert(Mixer.temperatureRates(counts, 1.0).values.forall(_ == 1.0))
+    // small tau approaches the uniform mix n_min/n_i
+    val r0 = Mixer.temperatureRates(counts, 1e-9)
+    assert(math.abs(r0("en") - 10.0 / 1000.0) < 1e-6, r0.toString)
+    // empty strata get rate 0; all-empty and bad tau are rejected
+    assert(Mixer.temperatureRates(counts + ("xx" -> 0L), 0.7)("xx") == 0.0)
+    intercept[IllegalArgumentException](
+      Mixer.temperatureRates(Map("a" -> 0L), 0.7))
+    intercept[IllegalArgumentException](
+      Mixer.temperatureRates(counts, 0.0))
+    intercept[IllegalArgumentException](
+      Mixer.temperatureRates(counts, 1.5))
+    intercept[IllegalArgumentException](
+      Mixer.temperatureRates(Map.empty[String, Long], 0.7))
+  }
+
+  test("redactPii: typed placeholders, order, idempotence on clean text") {
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    val rows = Seq(
+      (1L, "write to alice.smith+x@sub.example.org today"),
+      (2L, "server at 192.168.0.1 and id 123-45-6789"),
+      (3L, "no pii here, just 1234 and a.b"),
+      (4L, "two mails a@b.co c@d.io and ip 10.0.0.255"))
+      .toDF("id", "t")
+      .select(col("id"), TextFunctions.redactPii(col("t")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows(1L) == "write to <EMAIL> today", rows(1L))
+    assert(rows(2L) == "server at <IP> and id <SSN>", rows(2L))
+    assert(rows(3L) == "no pii here, just 1234 and a.b", rows(3L))
+    assert(rows(4L) == "two mails <EMAIL> <EMAIL> and ip <IP>", rows(4L))
+  }
 }
