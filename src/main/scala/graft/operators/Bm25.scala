@@ -192,6 +192,12 @@ object Bm25 {
         (r.get(0), r.getSeq[String](1).toSeq)
       }
     require(qRows.nonEmpty, "topKBatch needs at least one query")
+    require(k > 0, s"k must be > 0, got $k")
+    // colliding ids would silently MERGE two queries' candidate pools
+    // through the shared final window rank — wrong results, no error
+    require(qRows.forall(_._1 != null), "null query id in topKBatch")
+    require(qRows.map(_._1).distinct.length == qRows.length,
+      s"duplicate query ids in topKBatch: ${qRows.map(_._1).toSeq}")
     qRows.foreach { case (qid, ts) =>
       require(ts.nonEmpty, s"query $qid has no terms")
       require(ts.distinct == ts,

@@ -247,6 +247,9 @@ object KnnSearch {
       s"corpus already has a '$distCol' column; pass a different distCol")
     require(!corpus.columns.contains("query_id"),
       "corpus already has a 'query_id' column")
+    // k = 0 would NoSuchElementException on the empty heap's head mid-
+    // scan instead of failing fast here
+    require(k > 0, s"k must be > 0, got $k")
     val spark = corpus.sparkSession
     val outSchema = corpus.schema
       .add(distCol, org.apache.spark.sql.types.DoubleType)

@@ -32,7 +32,13 @@ object Mixer {
     * which every hex prefix sorts before (hex digits stop at 'f'). */
   private[graft] def thresholdHex(rate: Double): String = {
     require(rate >= 0.0, s"rate must be >= 0, got $rate")
-    val bucket = math.round(rate * 65536.0)
+    // floor(x + 0.5), NOT Math.round: the JDK special-cases inputs one
+    // ulp below a half (0.49999999999999994 -> 0) while a SQL replay's
+    // floor(x + 0.5) rounds them up — for a data-derived rate (q71's
+    // temperature rates) that op-sequence mismatch is the same seam
+    // class as the round-11 q59/q61 red. The primitive form is the
+    // identical IEEE op sequence on any engine.
+    val bucket = math.floor(rate * 65536.0 + 0.5).toLong
     if (bucket >= 65536L) "g" else f"${bucket.toInt}%04x"
   }
 

@@ -81,20 +81,4 @@ class MixerSpec extends SparkSpec {
       Mixer.temperatureRates(Map.empty[String, Long], 0.7))
   }
 
-  test("redactPii: typed placeholders, order, idempotence on clean text") {
-    import spark.implicits._
-    import graft.functions.TextFunctions
-    val rows = Seq(
-      (1L, "write to alice.smith+x@sub.example.org today"),
-      (2L, "server at 192.168.0.1 and id 123-45-6789"),
-      (3L, "no pii here, just 1234 and a.b"),
-      (4L, "two mails a@b.co c@d.io and ip 10.0.0.255"))
-      .toDF("id", "t")
-      .select(col("id"), TextFunctions.redactPii(col("t")).as("r"))
-      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
-    assert(rows(1L) == "write to <EMAIL> today", rows(1L))
-    assert(rows(2L) == "server at <IP> and id <SSN>", rows(2L))
-    assert(rows(3L) == "no pii here, just 1234 and a.b", rows(3L))
-    assert(rows(4L) == "two mails <EMAIL> <EMAIL> and ip <IP>", rows(4L))
-  }
 }
