@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
-import graft.operators.{Bm25, Fusion, IvfIndex, KnnSearch, Mixer, NearDup, PostRetrieval, RagPipeline, Rerank, SkewJoin}
+import graft.operators.{Bm25, Fusion, IvfIndex, KnnSearch, Mixer, NearDup, PostRetrieval, Pq, RagPipeline, Rerank, SkewJoin}
 import graft.plans.VectorExpressions
 import graft.sources.{MarkdownIngest, Multimodal}
 
@@ -269,6 +269,11 @@ object SparkEntry {
       s"$IvfOracleRoot/scoped")
     exportIvfOracle(s, ivfCosPathCache.get(dir),
       s"$IvfOracleRoot/singlen")
+    val pqRoot = pqRootFor(s, dir)
+    s.read.parquet(s"$pqRoot/data").coalesce(1)
+      .write.mode("overwrite").parquet(s"$IvfOracleRoot/pq/data")
+    s.read.parquet(s"$pqRoot/books").coalesce(1)
+      .write.mode("overwrite").parquet(s"$IvfOracleRoot/pq/books")
   }
 
   /** The COMPONENT-SCOPED index for the same corpus: two-level
@@ -319,6 +324,63 @@ object SparkEntry {
     IvfIndex.load(s, path, "vec_id", "embedding")
   }
 
+  /** The PQ artifacts for `dir` (q73): codebooks fit on the
+    * deterministic lowest-id sample, corpus encoded ONCE, both
+    * persisted — so Verify exports the exact bytes and centroids the
+    * oracle replays (the q36/q62 trust model: only the fit is trusted,
+    * everything downstream is verified). */
+  private val pqPathCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def pqRootFor(s: SparkSession, dir: String): String =
+    pqPathCache.computeIfAbsent(dir, _ => {
+      val emb = t(s, dir, "embeddings")
+      val books = Pq.fit(emb, "vec_id", "embedding", m = 8, ksub = 16)
+      val p = java.nio.file.Files.createTempDirectory("graft_pq_")
+        .toString
+      Pq.encode(emb, "embedding", books).write.mode("overwrite")
+        .parquet(s"$p/data")
+      books.write(s, s"$p/books")
+      p
+    })
+
+  /** q73's oracle, generated for the fixed (dim=64, m=8) layout: the
+    * decoded vector is the concat of 8 per-subspace codebook lookups
+    * (scalar subqueries over the exported books; code bytes via the
+    * q62 hex-substr pattern), the candidate distance is the
+    * per-dimension double fold in index order — Pq.topK's exact op
+    * sequence — and the exact re-rank is the floor-form rounded L2. */
+  private lazy val pqAdcOracleSql: String = {
+    val dim = 64
+    val m = 8
+    val dec = (0 until m).map { sub =>
+      s"""        (SELECT centroid FROM
+           read_parquet('$IvfOracleRoot/pq/books/*.parquet') cb
+           WHERE cb.sub = $sub AND cb.code = CAST(concat('0x',
+             substr(hex(e.__pq_code), ${2 * sub + 1}, 2)) AS INT))"""
+    }.mkString("\n     || \n")
+    raw"""WITH q AS (
+           SELECT embedding::DOUBLE[] AS qv FROM embeddings
+           WHERE vec_id = 0),
+         a AS (
+           SELECT e.vec_id,
+$dec
+             AS dec
+           FROM read_parquet('$IvfOracleRoot/pq/data/*.parquet') e),
+         ad AS (
+           SELECT a.vec_id,
+             list_sum(list_transform(range(1, $dim + 1),
+               i -> (a.dec[i]::DOUBLE - q.qv[i]) *
+                    (a.dec[i]::DOUBLE - q.qv[i]))) AS d
+           FROM a, q),
+         cand AS (SELECT vec_id FROM ad ORDER BY d, vec_id LIMIT 40)
+         SELECT e.vec_id,
+           floor(list_distance(e.embedding::DOUBLE[], (SELECT qv FROM q))
+             * 1e4 + 0.5::DOUBLE) / 1e4 AS dist
+         FROM read_parquet('$IvfOracleRoot/pq/data/*.parquet') e, q
+         WHERE e.vec_id IN (SELECT vec_id FROM cand)
+         ORDER BY dist, vec_id LIMIT 10"""
+  }
+
   /** Build (or reuse) every IVF root for `dir` — [[Bench]] calls this in
     * its warm-up phase so no timed rep ever pays a k-means fit, index
     * write, or oracle export (the round-9 driver bench charged a lazy
@@ -327,6 +389,7 @@ object SparkEntry {
     ivfIndexFor(s, dir)
     ivfComponentIndexFor(s, dir)
     ivfCosIndexFor(s, dir)
+    pqRootFor(s, dir)
   }
 
   /** Shared scaffold for the optimizer-rule queries (q60/q61): install
@@ -1105,6 +1168,27 @@ object SparkEntry {
           rankRoundDp = Some(4), metric = KnnSearch.Cosine)
         .select(col("query_id"), col("vec_id"), col("dist"))
         .orderBy(col("query_id"), col("dist"), col("vec_id"))
+    }),
+
+    "q73_pq_adc" -> ((s, dir) => {
+      // Product quantization (the FAISS PQ8 shape, operators.Pq):
+      // 8 one-byte subspace codes per vector (32x less than the float
+      // column), approximate ranking by the exact L2^2 against each
+      // row's DECODED vector (per-dimension fold — bit-replayable from
+      // the exported codebooks + codes), exact floor-rounded re-rank
+      // of the top k*refine candidates. Completes the quantization
+      // family next to IVF-SQ8 (q62/q68/q69): coarser codes, the
+      // standard memory/recall knob. The oracle decodes every row via
+      // per-subspace codebook lookups and replays both passes.
+      VectorExpressions.ensureRegistered(s)
+      val root = pqRootFor(s, dir)
+      val books = Pq.load(s, s"$root/books")
+      val enc = s.read.parquet(s"$root/data")
+      Pq.topK(enc, "vec_id", "embedding", queryVec(s, dir), k = 10,
+          books, refine = 4, tieBreak = Some("vec_id"),
+          rankRoundDp = Some(4))
+        .select(col("vec_id"), col("dist"))
+        .orderBy(col("dist"), col("vec_id"))
     }),
 
     "q63_bm25" -> ((s, dir) =>
@@ -2734,6 +2818,8 @@ object SparkEntry {
     // with a missing leg contributing 0 through NULL propagation +
     // coalesce exactly like the Spark side.
     "q70_bm25_batch" -> bm25BatchOracleSql,
+
+    "q73_pq_adc" -> pqAdcOracleSql,
 
     "q64_rrf_fusion" ->
       raw"""WITH $Bm25LexCtes,

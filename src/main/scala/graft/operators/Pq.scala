@@ -1,0 +1,258 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BinaryType, StructField, StructType}
+
+/** Product quantization (PQ) — the FAISS `PQm` shape, completing the
+  * engine's quantization family next to IVF-SQ8 (SURVEY §8.2): the
+  * vector is split into `m` subspaces of `dim/m` dimensions, each
+  * subspace gets its own small codebook (`ksub` centroids from a
+  * k-means fit), and a vector is stored as `m` one-byte codes —
+  * m bytes instead of 4·dim float bytes (32× at dim 64 / m 8). The
+  * approximate ranking pass reads ONLY the code column and scores each
+  * row by the L2² between the query and the row's DECODED vector
+  * (per-dimension fold in index order — the same op sequence as
+  * [[graft.plans.Sq8L2SquaredExpr]]'s replay discipline, so a SQL
+  * oracle reproduces every candidate distance bit-for-bit from the
+  * exported codebooks + codes); the top `k·refine` candidates then get
+  * an exact re-rank over only their full vectors.
+  *
+  * Where SQ8's per-dimension affine grid keeps 1 byte PER DIMENSION,
+  * PQ keeps 1 byte per SUBSPACE — coarser, smaller, and the standard
+  * memory/recall trade-off knob (m up = finer). Like SQ8 the
+  * quantization is lossy but DETERMINISTIC: fit, encode, and scoring
+  * are all fixed-order double arithmetic, so correctness is
+  * hash-checkable end-to-end (q73), not merely recall-graded.
+  *
+  * The FIT ([[fit]]) follows FAISS practice: train on a small sample,
+  * not the corpus — here the `sampleN` lowest-id vectors (a
+  * DETERMINISTIC sample: no partition-order or RNG dependence) via one
+  * driver-side Lloyd's k-means per subspace with seeded distinct-point
+  * init and lowest-index tie-breaks. Codebooks are tiny
+  * (m·ksub·dim/m floats) and ride a parquet sidecar like the IVF
+  * centroids; the oracle replays scoring FROM the exported artifact,
+  * so only the fit itself is trusted — everything downstream is
+  * verified (the q36/q62 trust model).
+  */
+object Pq {
+
+  /** the trained codebooks: `cb(sub)(code)` is the `dim/m`-length
+    * centroid for `code` in subspace `sub` */
+  final case class Codebooks(dim: Int, m: Int,
+      cb: Array[Array[Array[Float]]]) {
+    require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
+    require(cb.length == m, s"expected $m subspace codebooks")
+    val dsub: Int = dim / m
+    val ksub: Int = cb.head.length
+    require(cb.forall(_.length == ksub) &&
+      cb.forall(_.forall(_.length == dsub)),
+      "ragged codebooks")
+    require(ksub >= 1 && ksub <= 256,
+      s"ksub=$ksub must fit one byte per code")
+
+    /** persist as (sub, code, centroid) rows — the DuckDB-readable
+      * sidecar shape the q73 oracle replays from */
+    def write(spark: SparkSession, path: String): Unit = {
+      import spark.implicits._
+      (for (s <- 0 until m; c <- 0 until ksub)
+        yield (s, c, cb(s)(c).toSeq))
+        .toDF("sub", "code", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(path)
+    }
+  }
+
+  def load(spark: SparkSession, path: String): Codebooks = {
+    val rows = spark.read.parquet(path).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    val m = rows.map(_._1).max + 1
+    val cb = Array.tabulate(m) { s =>
+      rows.filter(_._1 == s).sortBy(_._2).map(_._3)
+    }
+    Codebooks(cb.head.head.length * m, m, cb)
+  }
+
+  /** Train per-subspace codebooks on the `sampleN` LOWEST-ID vectors —
+    * a deterministic sample (content-independent of partitioning and
+    * RNG; FAISS-style train-on-sample, so the fit cost is O(sample),
+    * never O(corpus)). Lloyd's iterations are fixed-order double
+    * arithmetic with seeded distinct-point init and lowest-index
+    * tie-breaks: the same inputs produce the same codebooks anywhere. */
+  def fit(
+      vecs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int,
+      ksub: Int = 16,
+      sampleN: Int = 256,
+      seed: Long = 42L,
+      iterations: Int = 10): Codebooks = {
+    val sample = vecs.filter(col(vecCol).isNotNull)
+      .orderBy(col(idCol)).limit(sampleN)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(sample.nonEmpty, "fit needs a non-empty corpus")
+    val dim = sample.head.length
+    require(sample.forall(_.length == dim), "mixed dimensions in corpus")
+    require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
+    val dsub = dim / m
+    val cb = Array.tabulate(m) { s =>
+      val sub = sample.map(v => v.slice(s * dsub, (s + 1) * dsub))
+      lloyd(sub, math.min(ksub, sub.length), seed + s, iterations)
+    }
+    Codebooks(dim, m, cb)
+  }
+
+  /** driver-side Lloyd's k-means: seeded distinct-index init, fixed
+    * iteration count, lowest-index assignment ties, empty clusters keep
+    * their previous centroid — every step deterministic */
+  private def lloyd(points: Array[Array[Float]], k: Int, seed: Long,
+      iterations: Int): Array[Array[Float]] = {
+    val d = points.head.length
+    val rnd = new scala.util.Random(seed)
+    val init = rnd.shuffle(points.indices.toList).take(k).sorted
+    var cents = init.map(i => points(i).clone).toArray
+    for (_ <- 0 until iterations) {
+      val sums = Array.fill(k)(new Array[Double](d))
+      val counts = new Array[Int](k)
+      points.foreach { p =>
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var s = 0.0
+          var j = 0
+          while (j < d) {
+            val diff = p(j).toDouble - cents(c)(j).toDouble
+            s += diff * diff
+            j += 1
+          }
+          if (s < bestD) { bestD = s; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var j = 0
+        while (j < d) { sums(best)(j) += p(j).toDouble; j += 1 }
+      }
+      cents = Array.tabulate(k) { c =>
+        if (counts(c) == 0) cents(c)
+        else Array.tabulate(d)(j => (sums(c)(j) / counts(c)).toFloat)
+      }
+    }
+    cents
+  }
+
+  /** column name of the PQ code bytes [[encode]] adds */
+  private[graft] val CodeCol = "__pq_code"
+
+  /** Append the m-byte PQ code to every row (nearest centroid per
+    * subspace, per-term double L2², lowest code ties — the fold any
+    * replay reproduces). A build/ingest-time pass (mapPartitions with
+    * broadcast codebooks — the codebooks are KBs); the search hot path
+    * only READS the codes. Null or mis-sized vectors fail loudly — a
+    * silent null code would hide rows from every quantized search. */
+  def encode(df: DataFrame, vecCol: String, books: Codebooks): DataFrame = {
+    require(!df.columns.contains(CodeCol),
+      s"input already has a '$CodeCol' column")
+    val spark = df.sparkSession
+    val bc = spark.sparkContext.broadcast(books)
+    val vecIdx = df.schema.fieldIndex(vecCol)
+    val outSchema = StructType(df.schema.fields :+
+      StructField(CodeCol, BinaryType, nullable = false))
+    df.mapPartitions { rows =>
+      val b = bc.value
+      rows.map { row =>
+        if (row.isNullAt(vecIdx))
+          throw new IllegalArgumentException(
+            "Pq.encode: null vector — filter nulls before encoding")
+        val v = row.getSeq[Float](vecIdx).toArray
+        if (v.length != b.dim)
+          throw new IllegalArgumentException(
+            s"Pq.encode: vector has dim ${v.length}, codebooks ${b.dim}")
+        val code = new Array[Byte](b.m)
+        var s = 0
+        while (s < b.m) {
+          var best = 0
+          var bestD = Double.MaxValue
+          var c = 0
+          while (c < b.ksub) {
+            var acc = 0.0
+            var j = 0
+            while (j < b.dsub) {
+              val diff = v(s * b.dsub + j).toDouble -
+                b.cb(s)(c)(j).toDouble
+              acc += diff * diff
+              j += 1
+            }
+            if (acc < bestD) { bestD = acc; best = c }
+            c += 1
+          }
+          code(s) = best.toByte
+          s += 1
+        }
+        Row.fromSeq(row.toSeq :+ code)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
+  /** ADC top-k over a PQ-encoded corpus: the approximate pass scans
+    * ONLY `(idCol, __pq_code)` — m bytes per row instead of 4·dim —
+    * scoring each row by the exact L2² between the query and its
+    * DECODED vector (per-dimension fold in index order: bit-replayable
+    * from the exported artifacts), keeps the best `k·refine` candidate
+    * ids (unrounded distance, id ties — the [[IvfIndex.searchQuantized]]
+    * candidate contract), and exactly re-ranks only those rows' full
+    * vectors with the cross-engine floor rounding. At 100 TB the
+    * approximate pass is the 32×-lighter scan and the exact pass
+    * touches k·refine rows. */
+  def topK(
+      encoded: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Seq[Float],
+      k: Int,
+      books: Codebooks,
+      refine: Int = 4,
+      tieBreak: Option[String] = None,
+      rankRoundDp: Option[Int] = None): DataFrame = {
+    require(encoded.columns.contains(CodeCol),
+      s"corpus has no '$CodeCol' column — Pq.encode it first")
+    require(k > 0, s"k must be > 0, got $k")
+    require(refine >= 1, s"refine must be >= 1, got $refine")
+    require(query.length == books.dim,
+      s"query has dim ${query.length}, codebooks ${books.dim}")
+    val spark = encoded.sparkSession
+    graft.plans.VectorExpressions.ensureRegistered(spark)
+    val bc = spark.sparkContext.broadcast(books)
+    val q = query.toArray
+    val narrow = encoded.select(col(idCol), col(CodeCol))
+    val idIdx = 0
+    val codeIdx = 1
+    val adSchema = StructType(Seq(narrow.schema.head,
+      StructField("__pq_d", org.apache.spark.sql.types.DoubleType)))
+    val scored = narrow.mapPartitions { rows =>
+      val b = bc.value
+      rows.map { row =>
+        val code = row.getAs[Array[Byte]](codeIdx)
+        var s = 0.0
+        var i = 0
+        while (i < b.dim) {
+          val sub = i / b.dsub
+          val j = i % b.dsub
+          val dec = b.cb(sub)((code(sub) & 0xFF))(j).toDouble
+          val diff = dec - q(i).toDouble
+          s += diff * diff
+          i += 1
+        }
+        Row(row.get(idIdx), s)
+      }
+    }(org.apache.spark.sql.Encoders.row(adSchema))
+    val cand = scored.orderBy(col("__pq_d"), col(idCol))
+      .limit(k * refine)
+      .select(idCol).collect().map(_.get(0))
+    KnnSearch.topK(
+      encoded.filter(col(idCol).isin(cand.toSeq: _*)).drop(CodeCol),
+      vecCol, query, k, KnnSearch.NativeL2, tieBreak,
+      rankRoundDp = rankRoundDp)
+  }
+}

@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class PqSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.01"
+  private lazy val embeddings =
+    spark.read.parquet(s"$sfDir/embeddings.parquet").cache()
+  private lazy val books =
+    Pq.fit(embeddings, "vec_id", "embedding", m = 8, ksub = 16)
+  private lazy val encoded =
+    Pq.encode(embeddings, "embedding", books).cache()
+
+  private def queryVecs(n: Int): Seq[Seq[Float]] =
+    embeddings.orderBy("vec_id").limit(n)
+      .select("embedding").collect().map(_.getSeq[Float](0)).toSeq
+
+  test("fit and encode are deterministic; round-trip through parquet") {
+    val again = Pq.fit(embeddings, "vec_id", "embedding", m = 8,
+      ksub = 16)
+    books.cb.zip(again.cb).foreach { case (a, b) =>
+      a.zip(b).foreach { case (x, y) => assert(x.sameElements(y)) }
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pq-")
+      .toString
+    books.write(spark, s"$tmp/books")
+    val loaded = Pq.load(spark, s"$tmp/books")
+    assert(loaded.dim == books.dim && loaded.m == books.m &&
+      loaded.ksub == books.ksub)
+    loaded.cb.zip(books.cb).foreach { case (a, b) =>
+      a.zip(b).foreach { case (x, y) => assert(x.sameElements(y)) }
+    }
+    // identical codes from the loaded codebooks
+    val c1 = encoded.select("vec_id", Pq.CodeCol).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    val c2 = Pq.encode(embeddings, "embedding", loaded)
+      .select("vec_id", Pq.CodeCol).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    assert(c1 == c2)
+  }
+
+  test("full-refine ADC equals the exact search; recall holds at the " +
+      "production refine") {
+    val q = queryVecs(1).head
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "dist").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // refine covering the corpus: the exact re-rank sees every row, so
+    // the lossy candidate cut cannot drop a true neighbor
+    val full = rows(Pq.topK(encoded, "vec_id", "embedding", q, 10,
+      books, refine = 100000, tieBreak = Some("vec_id"),
+      rankRoundDp = Some(4)))
+    val exact = rows(KnnSearch.topK(
+      embeddings, "embedding", q, 10, KnnSearch.NativeL2,
+      tieBreak = Some("vec_id"), rankRoundDp = Some(4)))
+    assert(full == exact, "full-refine PQ must equal exact search")
+    // recall at the production margin — uniform synthetic vectors are
+    // PQ's WORST case (no cluster structure for the codebooks to
+    // exploit), so the bound is modest by design; real embedding
+    // corpora sit far higher
+    val rs = queryVecs(10).map { qv =>
+      val ex = KnnSearch.topK(embeddings, "embedding", qv, 10,
+          KnnSearch.L2, tieBreak = Some("vec_id"))
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      val ap = Pq.topK(encoded, "vec_id", "embedding", qv, 10, books,
+          refine = 4, tieBreak = Some("vec_id"))
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      ex.intersect(ap).size.toDouble / 10
+    }
+    val recall = rs.sum / rs.size
+    assert(recall >= 0.5, s"PQ recall at refine=4: $recall")
+    // and refine widens recall monotonically toward exact
+    val rs16 = queryVecs(10).map { qv =>
+      val ex = KnnSearch.topK(embeddings, "embedding", qv, 10,
+          KnnSearch.L2, tieBreak = Some("vec_id"))
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      val ap = Pq.topK(encoded, "vec_id", "embedding", qv, 10, books,
+          refine = 16, tieBreak = Some("vec_id"))
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      ex.intersect(ap).size.toDouble / 10
+    }
+    assert(rs16.sum / rs16.size >= recall,
+      "recall must not shrink as refine grows")
+  }
+
+  test("guards: null vectors, dimension mismatch, code collision, " +
+      "bad params") {
+    import spark.implicits._
+    intercept[Exception] {
+      Pq.encode(Seq((1L, null: Seq[Float])).toDF("vec_id", "embedding"),
+        "embedding", books).collect()
+    }
+    intercept[Exception] {
+      Pq.encode(Seq((1L, Seq(1f, 2f))).toDF("vec_id", "embedding"),
+        "embedding", books).collect()
+    }
+    intercept[IllegalArgumentException] {
+      Pq.encode(encoded, "embedding", books)
+    }
+    intercept[IllegalArgumentException] {
+      Pq.topK(embeddings, "vec_id", "embedding", queryVecs(1).head,
+        10, books)
+    }
+    intercept[IllegalArgumentException] {
+      Pq.topK(encoded, "vec_id", "embedding", Seq(1f, 2f), 10, books)
+    }
+    intercept[IllegalArgumentException] {
+      Pq.Codebooks(64, 7, books.cb) // m must divide dim
+    }
+  }
+
+  test("the approximate pass reads only (id, code) — never the floats") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pq-scan-")
+      .toString
+    encoded.write.mode("overwrite").parquet(s"$tmp/data")
+    val onDisk = spark.read.parquet(s"$tmp/data")
+    // the narrow projection Pq.topK scans internally
+    val plan = onDisk.select(col("vec_id"), col(Pq.CodeCol))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains(Pq.CodeCol) && !plan.contains("embedding"),
+      s"approx pass must not read the float column:\n$plan")
+  }
+}
