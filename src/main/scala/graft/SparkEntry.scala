@@ -331,10 +331,18 @@ object SparkEntry {
     * everything downstream is verified). */
   private val pqPathCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  // q73's PQ layout — ONE set of constants shared by the fit, the
+  // entry, and the generated oracle, so a config change cannot leave
+  // the replay behind (dim is derived dynamically on both sides)
+  private val pqM = 8
+  private val pqKsub = 16
+  private val pqK = 10
+  private val pqRefine = 4
   private def pqRootFor(s: SparkSession, dir: String): String =
     pqPathCache.computeIfAbsent(dir, _ => {
       val emb = t(s, dir, "embeddings")
-      val books = Pq.fit(emb, "vec_id", "embedding", m = 8, ksub = 16)
+      val books = Pq.fit(emb, "vec_id", "embedding", m = pqM,
+        ksub = pqKsub)
       val p = java.nio.file.Files.createTempDirectory("graft_pq_")
         .toString
       Pq.encode(emb, "embedding", books).write.mode("overwrite")
@@ -343,16 +351,15 @@ object SparkEntry {
       p
     })
 
-  /** q73's oracle, generated for the fixed (dim=64, m=8) layout: the
+  /** q73's oracle, generated from the shared pqM/pqK/pqRefine
+    * constants (dim derived via len(qv) on the SQL side): the
     * decoded vector is the concat of 8 per-subspace codebook lookups
     * (scalar subqueries over the exported books; code bytes via the
     * q62 hex-substr pattern), the candidate distance is the
     * per-dimension double fold in index order — Pq.topK's exact op
     * sequence — and the exact re-rank is the floor-form rounded L2. */
   private lazy val pqAdcOracleSql: String = {
-    val dim = 64
-    val m = 8
-    val dec = (0 until m).map { sub =>
+    val dec = (0 until pqM).map { sub =>
       s"""        (SELECT centroid FROM
            read_parquet('$IvfOracleRoot/pq/books/*.parquet') cb
            WHERE cb.sub = $sub AND cb.code = CAST(concat('0x',
@@ -368,17 +375,18 @@ $dec
            FROM read_parquet('$IvfOracleRoot/pq/data/*.parquet') e),
          ad AS (
            SELECT a.vec_id,
-             list_sum(list_transform(range(1, $dim + 1),
+             list_sum(list_transform(range(1, len(q.qv) + 1),
                i -> (a.dec[i]::DOUBLE - q.qv[i]) *
                     (a.dec[i]::DOUBLE - q.qv[i]))) AS d
            FROM a, q),
-         cand AS (SELECT vec_id FROM ad ORDER BY d, vec_id LIMIT 40)
+         cand AS (SELECT vec_id FROM ad ORDER BY d, vec_id
+                  LIMIT ${pqK * pqRefine})
          SELECT e.vec_id,
            floor(list_distance(e.embedding::DOUBLE[], (SELECT qv FROM q))
              * 1e4 + 0.5::DOUBLE) / 1e4 AS dist
          FROM read_parquet('$IvfOracleRoot/pq/data/*.parquet') e, q
          WHERE e.vec_id IN (SELECT vec_id FROM cand)
-         ORDER BY dist, vec_id LIMIT 10"""
+         ORDER BY dist, vec_id LIMIT $pqK"""
   }
 
   /** Build (or reuse) every IVF root for `dir` — [[Bench]] calls this in
@@ -1184,8 +1192,8 @@ $dec
       val root = pqRootFor(s, dir)
       val books = Pq.load(s, s"$root/books")
       val enc = s.read.parquet(s"$root/data")
-      Pq.topK(enc, "vec_id", "embedding", queryVec(s, dir), k = 10,
-          books, refine = 4, tieBreak = Some("vec_id"),
+      Pq.topK(enc, "vec_id", "embedding", queryVec(s, dir), k = pqK,
+          books, refine = pqRefine, tieBreak = Some("vec_id"),
           rankRoundDp = Some(4))
         .select(col("vec_id"), col("dist"))
         .orderBy(col("dist"), col("vec_id"))
