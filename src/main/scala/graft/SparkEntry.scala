@@ -274,6 +274,8 @@ object SparkEntry {
       .write.mode("overwrite").parquet(s"$IvfOracleRoot/pq/data")
     s.read.parquet(s"$pqRoot/books").coalesce(1)
       .write.mode("overwrite").parquet(s"$IvfOracleRoot/pq/books")
+    s.read.parquet(s"${pqIvfRootFor(s, dir)}/data").coalesce(1)
+      .write.mode("overwrite").parquet(s"$IvfOracleRoot/pqivf/data")
   }
 
   /** The COMPONENT-SCOPED index for the same corpus: two-level
@@ -351,20 +353,46 @@ object SparkEntry {
       p
     })
 
-  /** q73's oracle, generated from the shared pqM/pqK/pqRefine
-    * constants (dim derived via len(qv) on the SQL side): the
-    * decoded vector is the concat of 8 per-subspace codebook lookups
-    * (scalar subqueries over the exported books; code bytes via the
-    * q62 hex-substr pattern), the candidate distance is the
-    * per-dimension double fold in index order — Pq.topK's exact op
-    * sequence — and the exact re-rank is the floor-form rounded L2. */
-  private lazy val pqAdcOracleSql: String = {
-    val dec = (0 until pqM).map { sub =>
+  /** The IVF-PQ root for `dir` (q74): the single IVF root's rows —
+    * cluster assignment and layout intact — PQ-encoded with the SAME
+    * codebooks as [[pqRootFor]] (one fit serves both PQ roots) and
+    * re-persisted partitionBy(cluster), so probe filters prune
+    * directories AND rows carry m-byte codes. */
+  private val pqIvfPathCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def pqIvfRootFor(s: SparkSession, dir: String): String =
+    pqIvfPathCache.computeIfAbsent(dir, _ => {
+      val ivfRoot = { ivfIndexFor(s, dir); ivfPathCache.get(dir) }
+      val books = Pq.load(s, s"${pqRootFor(s, dir)}/books")
+      val p = java.nio.file.Files.createTempDirectory("graft_pqivf_")
+        .toString
+      Pq.encode(
+          s.read.parquet(ivfRoot).drop(IvfIndex.Sq8CodeCol),
+          "embedding", books)
+        .write.mode("overwrite")
+        .partitionBy(IvfIndex.ClusterCol).parquet(s"$p/data")
+      p
+    })
+
+  /** the decoded-vector SQL fragment shared by the q73/q74 oracles:
+    * the concat of pqM per-subspace codebook lookups (scalar subqueries
+    * over the exported books; code bytes via the q62 hex-substr
+    * pattern) */
+  private def pqDecodeSql: String =
+    (0 until pqM).map { sub =>
       s"""        (SELECT centroid FROM
            read_parquet('$IvfOracleRoot/pq/books/*.parquet') cb
            WHERE cb.sub = $sub AND cb.code = CAST(concat('0x',
              substr(hex(e.__pq_code), ${2 * sub + 1}, 2)) AS INT))"""
     }.mkString("\n     || \n")
+
+  /** q73's oracle, generated from the shared pqM/pqK/pqRefine
+    * constants (dim derived via len(qv) on the SQL side): the
+    * decoded vector via [[pqDecodeSql]], the candidate distance is the
+    * per-dimension double fold in index order — Pq.topK's exact op
+    * sequence — and the exact re-rank is the floor-form rounded L2. */
+  private lazy val pqAdcOracleSql: String = {
+    val dec = pqDecodeSql
     raw"""WITH q AS (
            SELECT embedding::DOUBLE[] AS qv FROM embeddings
            WHERE vec_id = 0),
@@ -389,6 +417,48 @@ $dec
          ORDER BY dist, vec_id LIMIT $pqK"""
   }
 
+  /** q74's oracle: q36's per-term-squared probe selection over the
+    * single root's exported centroids (the pqivf data preserves that
+    * root's assignment), then q73's decode + candidate + exact replay
+    * restricted to the probed clusters. */
+  private lazy val ivfPqOracleSql: String = {
+    val dec = pqDecodeSql
+    raw"""WITH q AS (
+           SELECT embedding::DOUBLE[] AS qv FROM embeddings
+           WHERE vec_id = 0),
+         cent AS (
+           SELECT cluster_id, centroid FROM
+             read_parquet('$IvfOracleRoot/single/centroids/*.parquet')),
+         probes AS (
+           SELECT cluster_id FROM cent, q
+           ORDER BY list_sum(list_transform(range(1, len(centroid) + 1),
+             i -> (centroid[i]::DOUBLE - qv[i]) *
+                  (centroid[i]::DOUBLE - qv[i]))),
+             cluster_id
+           LIMIT 6),
+         a AS (
+           SELECT e.vec_id,
+$dec
+             AS dec
+           FROM read_parquet('$IvfOracleRoot/pqivf/data/*.parquet') e
+           WHERE e.__ivf_cluster IN (SELECT cluster_id FROM probes)),
+         ad AS (
+           SELECT a.vec_id,
+             list_sum(list_transform(range(1, len(q.qv) + 1),
+               i -> (a.dec[i]::DOUBLE - q.qv[i]) *
+                    (a.dec[i]::DOUBLE - q.qv[i]))) AS d
+           FROM a, q),
+         cand AS (SELECT vec_id FROM ad ORDER BY d, vec_id
+                  LIMIT ${pqK * pqRefine})
+         SELECT e.vec_id,
+           floor(list_distance(e.embedding::DOUBLE[], (SELECT qv FROM q))
+             * 1e4 + 0.5::DOUBLE) / 1e4 AS dist
+         FROM read_parquet('$IvfOracleRoot/pqivf/data/*.parquet') e, q
+         WHERE e.vec_id IN (SELECT vec_id FROM cand)
+           AND e.__ivf_cluster IN (SELECT cluster_id FROM probes)
+         ORDER BY dist, vec_id LIMIT $pqK"""
+  }
+
   /** Build (or reuse) every IVF root for `dir` — [[Bench]] calls this in
     * its warm-up phase so no timed rep ever pays a k-means fit, index
     * write, or oracle export (the round-9 driver bench charged a lazy
@@ -398,6 +468,7 @@ $dec
     ivfComponentIndexFor(s, dir)
     ivfCosIndexFor(s, dir)
     pqRootFor(s, dir)
+    pqIvfRootFor(s, dir)
   }
 
   /** Shared scaffold for the optimizer-rule queries (q60/q61): install
@@ -1194,6 +1265,27 @@ $dec
       val enc = s.read.parquet(s"$root/data")
       Pq.topK(enc, "vec_id", "embedding", queryVec(s, dir), k = pqK,
           books, refine = pqRefine, tieBreak = Some("vec_id"),
+          rankRoundDp = Some(4))
+        .select(col("vec_id"), col("dist"))
+        .orderBy(col("dist"), col("vec_id"))
+    }),
+
+    "q74_ivf_pq" -> ((s, dir) => {
+      // IVF-PQ (the FAISS flagship IVFx,PQm shape, Pq.topKProbed):
+      // probe the 6 L2-nearest clusters exactly like q36 (directory
+      // pruning on the preserved IVF layout), then q73's two ADC
+      // passes over ONLY the probed partitions — the candidate scan
+      // reads m bytes/row of ~nprobe/nlist of the corpus. One codebook
+      // fit serves q73 and this query; the oracle composes q36's probe
+      // replay with q73's decode replay over the probed subset.
+      VectorExpressions.ensureRegistered(s)
+      val idx = ivfIndexFor(s, dir)
+      val root = pqIvfRootFor(s, dir)
+      val books = Pq.load(s, s"${pqRootFor(s, dir)}/books")
+      val enc = s.read.parquet(s"$root/data")
+      Pq.topKProbed(enc, "vec_id", "embedding", queryVec(s, dir),
+          k = pqK, books, idx.centroids, idx.clusterIds, nprobe = 6,
+          refine = pqRefine, tieBreak = Some("vec_id"),
           rankRoundDp = Some(4))
         .select(col("vec_id"), col("dist"))
         .orderBy(col("dist"), col("vec_id"))
@@ -2828,6 +2920,8 @@ $dec
     "q70_bm25_batch" -> bm25BatchOracleSql,
 
     "q73_pq_adc" -> pqAdcOracleSql,
+
+    "q74_ivf_pq" -> ivfPqOracleSql,
 
     "q64_rrf_fusion" ->
       raw"""WITH $Bm25LexCtes,

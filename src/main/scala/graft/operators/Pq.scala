@@ -218,6 +218,38 @@ object Pq {
     * vectors with the cross-engine floor rounding. At 100 TB the
     * approximate pass is the 32×-lighter scan and the exact pass
     * touches k·refine rows. */
+  /** IVF-PQ (the FAISS flagship `IVFx,PQm` shape): probe the `nprobe`
+    * nearest clusters — the corpus must carry the IVF layout's
+    * `__ivf_cluster` partition column, so the filter is directory-level
+    * pruning — then run [[topK]]'s two ADC passes over ONLY the probed
+    * partitions: the candidate scan reads (id, code) of ~nprobe/nlist
+    * of the corpus (m bytes/row of that), and the exact re-rank
+    * touches k·refine rows. Probe selection is
+    * [[IvfIndex.probeOrder]]'s L2 ranking — identical to the
+    * unquantized IVF path, so an oracle replays probes + decode +
+    * re-rank entirely from the exported artifacts (q74). */
+  def topKProbed(
+      encoded: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Seq[Float],
+      k: Int,
+      books: Codebooks,
+      centroids: Array[Array[Float]],
+      clusterIds: Array[Int],
+      nprobe: Int,
+      refine: Int = 4,
+      tieBreak: Option[String] = None,
+      rankRoundDp: Option[Int] = None): DataFrame = {
+    require(encoded.columns.contains(IvfIndex.ClusterCol),
+      s"corpus has no '${IvfIndex.ClusterCol}' column — IVF-PQ needs " +
+        "the IVF cluster layout (assign + partition first, then encode)")
+    val probes = IvfIndex.probeOrder(centroids, clusterIds, query)
+      .take(math.max(1, nprobe))
+    topK(encoded.filter(col(IvfIndex.ClusterCol).isin(probes: _*)),
+      idCol, vecCol, query, k, books, refine, tieBreak, rankRoundDp)
+  }
+
   def topK(
       encoded: DataFrame,
       idCol: String,

@@ -111,6 +111,43 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("IVF-PQ: full-probe equals flat ADC; the probe filter prunes " +
+      "partitions; missing cluster layout refused") {
+    val idx = IvfIndex.build(embeddings, "vec_id", "embedding", nlist = 8)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivfpq-")
+      .toString
+    Pq.encode(idx.assigned, "embedding", books)
+      .write.partitionBy(IvfIndex.ClusterCol).parquet(s"$tmp/data")
+    val enc = spark.read.parquet(s"$tmp/data")
+    val q = queryVecs(1).head
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "dist").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // nprobe = nlist: every cluster probed — identical to flat ADC
+    val full = rows(Pq.topKProbed(enc, "vec_id", "embedding", q, 10,
+      books, idx.centroids, idx.clusterIds, nprobe = idx.nlist,
+      refine = 4, tieBreak = Some("vec_id"), rankRoundDp = Some(4)))
+    val flat = rows(Pq.topK(encoded, "vec_id", "embedding", q, 10,
+      books, refine = 4, tieBreak = Some("vec_id"),
+      rankRoundDp = Some(4)))
+    assert(full == flat, "full-probe IVF-PQ must equal flat ADC")
+    // the probed narrow scan is directory-pruned
+    val probes = IvfIndex.probeOrder(idx.centroids, idx.clusterIds, q)
+      .take(2)
+    val plan = enc
+      .filter(col(IvfIndex.ClusterCol).isin(probes: _*))
+      .select(col("vec_id"), col(Pq.CodeCol))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains(IvfIndex.ClusterCol),
+      s"expected a partition-pruned code scan:\n$plan")
+    // a corpus without the cluster layout is refused loudly
+    intercept[IllegalArgumentException] {
+      Pq.topKProbed(encoded, "vec_id", "embedding", q, 10, books,
+        idx.centroids, idx.clusterIds, nprobe = 2)
+    }
+  }
+
   test("the approximate pass reads only (id, code) — never the floats") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-pq-scan-")
       .toString
