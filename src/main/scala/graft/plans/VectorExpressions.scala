@@ -383,8 +383,8 @@ case class Sq8L2SquaredExpr(left: Expression, middle: Expression,
       val d = ctx.freshName("d")
       s"""
          |int $n = $a.length;
-         |if ($n == 0 || $b.numElements() != $n
-         |    || $c.numElements() != 2 * $n) {
+         |if ($n == 0 || $b.numElements() != $n ||
+         |    $c.numElements() != 2 * $n) {
          |  ${ev.isNull} = true;
          |} else {
          |  double $s = 0.0;
