@@ -340,6 +340,9 @@ object SparkEntry {
   private val pqKsub = 16
   private val pqK = 10
   private val pqRefine = 4
+  // q75's batch layout (mirrors q68's: 3 queries, smaller k/nprobe)
+  private val pqBatchK = 3
+  private val pqBatchNprobe = 4
   private def pqRootFor(s: SparkSession, dir: String): String =
     pqPathCache.computeIfAbsent(dir, _ => {
       val emb = t(s, dir, "embeddings")
@@ -374,39 +377,53 @@ object SparkEntry {
       p
     })
 
-  /** the decoded-vector SQL fragment shared by the q73/q74 oracles:
-    * the concat of pqM per-subspace codebook lookups (scalar subqueries
-    * over the exported books; code bytes via the q62 hex-substr
-    * pattern) */
-  private def pqDecodeSql: String =
+  /** the per-query ADC lookup-table CTE shared by the q73/q74/q75
+    * oracles — Pq.adcTable's replay: one row per (sub, code) (per
+    * (qid, sub, code) when `perQuery`), `partial` = the fixed-order
+    * per-subspace L2² fold between the query slice and that code's
+    * exported centroid (`len(centroid)` IS dsub, so the 1-based global
+    * dim is `sub·dsub + j`) */
+  private def pqTabCteSql(perQuery: Boolean): String = {
+    val qid = if (perQuery) "q.qid, " else ""
+    s"""tab AS (
+           SELECT $qid cb.sub, cb.code,
+             list_sum(list_transform(range(1, len(cb.centroid) + 1),
+               j -> (cb.centroid[j]::DOUBLE
+                       - q.qv[cb.sub * len(cb.centroid) + j]) *
+                    (cb.centroid[j]::DOUBLE
+                       - q.qv[cb.sub * len(cb.centroid) + j])))
+               AS partial
+           FROM read_parquet('$IvfOracleRoot/pq/books/*.parquet') cb, q)"""
+  }
+
+  /** the per-row ADC sum shared by the q73/q74/q75 oracles —
+    * Pq.adcScore's replay: pqM scalar-subquery lookups into `tab` (code
+    * bytes via the q62 hex-substr pattern), summed LEFT-TO-RIGHT — the
+    * literal `p0 + p1 + … + p7` chain is the same IEEE sequence as the
+    * Scala fold (0.0 + p0 ≡ p0). `corr` correlates the lookup to the
+    * row's query in the batch oracle (e.g. "tab.qid = pr.qid AND"). */
+  private def pqAdcSumSql(corr: String = ""): String =
     (0 until pqM).map { sub =>
-      s"""        (SELECT centroid FROM
-           read_parquet('$IvfOracleRoot/pq/books/*.parquet') cb
-           WHERE cb.sub = $sub AND cb.code = CAST(concat('0x',
+      s"""        (SELECT partial FROM tab
+           WHERE $corr tab.sub = $sub AND tab.code = CAST(concat('0x',
              substr(hex(e.__pq_code), ${2 * sub + 1}, 2)) AS INT))"""
-    }.mkString("\n     || \n")
+    }.mkString("\n      + \n")
 
   /** q73's oracle, generated from the shared pqM/pqK/pqRefine
-    * constants (dim derived via len(qv) on the SQL side): the
-    * decoded vector via [[pqDecodeSql]], the candidate distance is the
-    * per-dimension double fold in index order — Pq.topK's exact op
-    * sequence — and the exact re-rank is the floor-form rounded L2. */
+    * constants (dim derived via len() on the SQL side): candidate
+    * distances from the ADC lookup table ([[pqTabCteSql]] +
+    * [[pqAdcSumSql]] — Pq.topK's exact op sequence), then the
+    * floor-form rounded exact L2 re-rank. */
   private lazy val pqAdcOracleSql: String = {
-    val dec = pqDecodeSql
     raw"""WITH q AS (
            SELECT embedding::DOUBLE[] AS qv FROM embeddings
            WHERE vec_id = 0),
-         a AS (
-           SELECT e.vec_id,
-$dec
-             AS dec
-           FROM read_parquet('$IvfOracleRoot/pq/data/*.parquet') e),
+         ${pqTabCteSql(perQuery = false)},
          ad AS (
-           SELECT a.vec_id,
-             list_sum(list_transform(range(1, len(q.qv) + 1),
-               i -> (a.dec[i]::DOUBLE - q.qv[i]) *
-                    (a.dec[i]::DOUBLE - q.qv[i]))) AS d
-           FROM a, q),
+           SELECT e.vec_id,
+${pqAdcSumSql()}
+             AS d
+           FROM read_parquet('$IvfOracleRoot/pq/data/*.parquet') e),
          cand AS (SELECT vec_id FROM ad ORDER BY d, vec_id
                   LIMIT ${pqK * pqRefine})
          SELECT e.vec_id,
@@ -419,10 +436,9 @@ $dec
 
   /** q74's oracle: q36's per-term-squared probe selection over the
     * single root's exported centroids (the pqivf data preserves that
-    * root's assignment), then q73's decode + candidate + exact replay
+    * root's assignment), then q73's ADC-table candidate + exact replay
     * restricted to the probed clusters. */
   private lazy val ivfPqOracleSql: String = {
-    val dec = pqDecodeSql
     raw"""WITH q AS (
            SELECT embedding::DOUBLE[] AS qv FROM embeddings
            WHERE vec_id = 0),
@@ -436,18 +452,13 @@ $dec
                   (centroid[i]::DOUBLE - qv[i]))),
              cluster_id
            LIMIT 6),
-         a AS (
+         ${pqTabCteSql(perQuery = false)},
+         ad AS (
            SELECT e.vec_id,
-$dec
-             AS dec
+${pqAdcSumSql()}
+             AS d
            FROM read_parquet('$IvfOracleRoot/pqivf/data/*.parquet') e
            WHERE e.__ivf_cluster IN (SELECT cluster_id FROM probes)),
-         ad AS (
-           SELECT a.vec_id,
-             list_sum(list_transform(range(1, len(q.qv) + 1),
-               i -> (a.dec[i]::DOUBLE - q.qv[i]) *
-                    (a.dec[i]::DOUBLE - q.qv[i]))) AS d
-           FROM a, q),
          cand AS (SELECT vec_id FROM ad ORDER BY d, vec_id
                   LIMIT ${pqK * pqRefine})
          SELECT e.vec_id,
@@ -457,6 +468,59 @@ $dec
          WHERE e.vec_id IN (SELECT vec_id FROM cand)
            AND e.__ivf_cluster IN (SELECT cluster_id FROM probes)
          ORDER BY dist, vec_id LIMIT $pqK"""
+  }
+
+  /** q75's oracle: q68's batch structure (per-query L2 probe ranking +
+    * the probe gate join) composed with the PER-QUERY ADC table — `tab`
+    * gains a `qid` key, each row's sum chain correlates to its query —
+    * then per-query candidate cuts and the floor-rounded exact re-rank.
+    * Probes rank over the SINGLE root's centroids (the pqivf layout
+    * preserves that root's assignment). */
+  private lazy val pqBatchOracleSql: String = {
+    raw"""WITH q AS (
+           SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id IN (0, 1, 2)),
+         cent AS (
+           SELECT cluster_id, centroid FROM
+             read_parquet('$IvfOracleRoot/single/centroids/*.parquet')),
+         pranked AS (
+           SELECT q.qid, c.cluster_id,
+             row_number() OVER (PARTITION BY q.qid ORDER BY
+               list_sum(list_transform(range(1, len(c.centroid) + 1),
+                 i -> (c.centroid[i]::DOUBLE - q.qv[i]) *
+                      (c.centroid[i]::DOUBLE - q.qv[i]))),
+               c.cluster_id) AS rn
+           FROM cent c, q),
+         ${pqTabCteSql(perQuery = true)},
+         a AS (
+           SELECT pr.qid, e.vec_id,
+${pqAdcSumSql("tab.qid = pr.qid AND")}
+             AS d
+           FROM pranked pr
+           JOIN read_parquet('$IvfOracleRoot/pqivf/data/*.parquet') e
+             ON e.__ivf_cluster = pr.cluster_id
+           WHERE pr.rn <= $pqBatchNprobe),
+         cand AS (
+           SELECT qid, vec_id FROM (
+             SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY d, vec_id) AS rn
+             FROM a)
+           WHERE rn <= ${pqBatchK * pqRefine}),
+         d AS (
+           SELECT c.qid AS query_id, e.vec_id,
+             floor(list_distance(e.embedding::DOUBLE[], q.qv)
+               * 1e4 + 0.5::DOUBLE) / 1e4 AS dist
+           FROM cand c
+           JOIN q ON q.qid = c.qid
+           JOIN read_parquet('$IvfOracleRoot/pqivf/data/*.parquet') e
+             ON e.vec_id = c.vec_id)
+         SELECT query_id, vec_id, dist FROM (
+           SELECT query_id, vec_id, dist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY dist, vec_id) AS rn
+           FROM d)
+         WHERE rn <= $pqBatchK ORDER BY query_id, dist, vec_id"""
   }
 
   /** Build (or reuse) every IVF root for `dir` — [[Bench]] calls this in
@@ -1252,13 +1316,15 @@ $dec
     "q73_pq_adc" -> ((s, dir) => {
       // Product quantization (the FAISS PQ8 shape, operators.Pq):
       // 8 one-byte subspace codes per vector (32x less than the float
-      // column), approximate ranking by the exact L2^2 against each
-      // row's DECODED vector (per-dimension fold — bit-replayable from
-      // the exported codebooks + codes), exact floor-rounded re-rank
-      // of the top k*refine candidates. Completes the quantization
-      // family next to IVF-SQ8 (q62/q68/q69): coarser codes, the
-      // standard memory/recall knob. The oracle decodes every row via
-      // per-subspace codebook lookups and replays both passes.
+      // column), approximate ranking via the per-query ADC lookup
+      // table (canonical FAISS ADC: m table lookups + adds per row
+      // instead of dim multiply-adds — each partial a fixed-order
+      // fold, bit-replayable from the exported codebooks + codes),
+      // exact floor-rounded re-rank of the top k*refine candidates.
+      // Completes the quantization family next to IVF-SQ8
+      // (q62/q68/q69): coarser codes, the standard memory/recall knob.
+      // The oracle rebuilds the same table from the exported books and
+      // replays both passes.
       VectorExpressions.ensureRegistered(s)
       val root = pqRootFor(s, dir)
       val books = Pq.load(s, s"$root/books")
@@ -1289,6 +1355,32 @@ $dec
           rankRoundDp = Some(4))
         .select(col("vec_id"), col("dist"))
         .orderBy(col("dist"), col("vec_id"))
+    }),
+
+    "q75_ivf_pq_batch" -> ((s, dir) => {
+      // Batch IVF-PQ (Pq.topKBatchProbed): q74's two ADC passes
+      // composed with q68's per-query probe gate — many queries, ONE
+      // narrow m-byte code scan, each row scored only for queries
+      // whose own probe set holds its cluster, by m lookups into that
+      // query's ADC table; per-query k*refine candidate heaps, then
+      // the shared exact floor-rounded re-rank. Bit-equal per query to
+      // q74's single path at the same shape (spec-asserted); the
+      // oracle composes q68's probe/gate replay with q73's ADC-table
+      // replay keyed per query.
+      VectorExpressions.ensureRegistered(s)
+      val idx = ivfIndexFor(s, dir)
+      val root = pqIvfRootFor(s, dir)
+      val books = Pq.load(s, s"${pqRootFor(s, dir)}/books")
+      val enc = s.read.parquet(s"$root/data")
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id").isin(0, 1, 2))
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Pq.topKBatchProbed(enc, "vec_id", "embedding", queries, "qid",
+          "qv", k = pqBatchK, books, idx.centroids, idx.clusterIds,
+          nprobe = pqBatchNprobe, refine = pqRefine,
+          tieBreak = "vec_id", rankRoundDp = Some(4))
+        .select(col("query_id"), col("vec_id"), col("dist"))
+        .orderBy(col("query_id"), col("dist"), col("vec_id"))
     }),
 
     "q63_bm25" -> ((s, dir) =>
@@ -2922,6 +3014,8 @@ $dec
     "q73_pq_adc" -> pqAdcOracleSql,
 
     "q74_ivf_pq" -> ivfPqOracleSql,
+
+    "q75_ivf_pq_batch" -> pqBatchOracleSql,
 
     "q64_rrf_fusion" ->
       raw"""WITH $Bm25LexCtes,

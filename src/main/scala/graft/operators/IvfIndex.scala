@@ -320,7 +320,7 @@ final case class IvfIndex(
       .filter(col(IvfIndex.ClusterCol).isin(union: _*))
     val minsArr = mins.toArray
     val scalesArr = scales.toArray
-    val scorer = KnnSearch.RawScorer { (row, codeIdx, qv) =>
+    val scorer = KnnSearch.RawScorer { (row, codeIdx, _, qv) =>
       val codes = row.getAs[Array[Byte]](codeIdx)
       if (codes.length != qv.length)
         throw new IllegalArgumentException(
@@ -346,38 +346,8 @@ final case class IvfIndex(
       gate = Some(KnnSearch.BatchGate(IvfIndex.ClusterCol, perQueryProbes)),
       rawScorer = Some(scorer))
       .select(col("query_id"), col(idCol))
-    // ONE materialization serves both the id filter and the pair join —
-    // re-planning `cand` would re-run the whole approximate scan
-    val candRows = cand.collect()
-    val candIds = candRows.map(_.get(1)).distinct.toSeq
-    val candDf = spark.createDataFrame(
-      java.util.Arrays.asList(candRows: _*), cand.schema)
-    val qDf = spark.createDataFrame(
-      java.util.Arrays.asList(qSet.map { case (qid, qv) =>
-        org.apache.spark.sql.Row(qid, qv.toSeq) }: _*),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("query_id", qidType),
-        org.apache.spark.sql.types.StructField("__qv",
-          org.apache.spark.sql.types.ArrayType(
-            org.apache.spark.sql.types.FloatType)))))
-    val exact = scan.drop(IvfIndex.Sq8CodeCol)
-      .filter(col(idCol).isin(candIds: _*))
-      .join(broadcast(candDf), Seq(idCol))
-      .join(broadcast(qDf), Seq("query_id"))
-    val rawDist =
-      if (cosine)
-        lit(1.0) - call_function("graft_cos", col(vecCol), col("__qv"))
-      else sqrt(call_function("graft_l2sq", col(vecCol), col("__qv")))
-    val distExpr =
-      rankRoundDp.fold(rawDist)(dp => KnnSearch.roundHalfUpCol(rawDist, dp))
-    val tb = if (tieBreak.nonEmpty) tieBreak else idCol
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("dist"), col(tb))
-    exact.withColumn("dist", distExpr)
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= k)
-      .drop("__rn", "__qv")
+    KnnSearch.batchExactRerank(scan.drop(IvfIndex.Sq8CodeCol), idCol,
+      vecCol, cand, qSet, qidType, k, tieBreak, rankRoundDp, cosine)
   }
 
   /** the corpus restricted to `components` (the reference's

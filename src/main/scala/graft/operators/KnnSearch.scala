@@ -224,12 +224,15 @@ object KnnSearch {
     * replaces the default float-vector extract + metric closure for
     * corpora whose ranked representation is not a float array —
     * [[IvfIndex.searchQuantizedBatch]] scores 1-byte/dim SQ8 codes
-    * here. `vecCol` still names the scored column (its null-ness skips
-    * the row, and it anchors column pruning); the scorer receives that
-    * column's row index and is responsible for its own dimension
-    * validation. */
+    * here, [[Pq.topKBatchProbed]] m-byte PQ codes against per-query ADC
+    * tables. `vecCol` still names the scored column (its null-ness
+    * skips the row, and it anchors column pruning); the scorer receives
+    * `(row, that column's row index, query index into the collected
+    * query set, query vector)` and is responsible for its own dimension
+    * validation — the query INDEX is what lets a scorer key per-query
+    * precomputed state (an ADC table) without re-deriving it per row. */
   private[operators] final case class RawScorer(
-      fn: (org.apache.spark.sql.Row, Int, Array[Float]) => Double)
+      fn: (org.apache.spark.sql.Row, Int, Int, Array[Float]) => Double)
 
   private[operators] def topKBatchCollected(
       corpus: DataFrame,
@@ -326,7 +329,7 @@ object KnnSearch {
                   s"dimension mismatch in topKBatch: corpus vector has " +
                     s"${v.length} dims, query '${qs(qi)._1}' has ${qv.length}")
               var dist =
-                if (raw != null) raw(row, vecIdx, qv) else distFn(v, qv)
+                if (raw != null) raw(row, vecIdx, qi, qv) else distFn(v, qv)
               // the same primitive half-up rounding as topK's ranked
               // dist — batch results stay bit-equal to single-query
               // search AND to the oracle's floor-form replay
@@ -355,6 +358,59 @@ object KnnSearch {
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
       .drop("__rn")
+  }
+
+  /** The batch EXACT re-rank pass shared by the quantized batch
+    * searches ([[IvfIndex.searchQuantizedBatch]], [[Pq.topKBatchProbed]]):
+    * materialize the per-query candidate pairs ONCE (re-planning `cand`
+    * would re-run the whole approximate scan), re-read only the
+    * candidate rows from the already-pruned `scan` (its code column
+    * dropped by the caller), broadcast-join the pairs and the query
+    * vectors, score the true metric over the raw vectors with the
+    * cross-engine floor rounding, and rank per query — the final
+    * exchange moves k-scale rows, never the corpus. */
+  private[operators] def batchExactRerank(
+      scan: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cand: DataFrame,
+      qSet: Array[(Any, Array[Float])],
+      qidType: org.apache.spark.sql.types.DataType,
+      k: Int,
+      tieBreak: String,
+      rankRoundDp: Option[Int],
+      cosine: Boolean): DataFrame = {
+    val spark = scan.sparkSession
+    val candRows = cand.collect()
+    val candIds = candRows.map(_.get(1)).distinct.toSeq
+    val candDf = spark.createDataFrame(
+      java.util.Arrays.asList(candRows: _*), cand.schema)
+    val qDf = spark.createDataFrame(
+      java.util.Arrays.asList(qSet.map { case (qid, qv) =>
+        org.apache.spark.sql.Row(qid, qv.toSeq) }: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("query_id", qidType),
+        org.apache.spark.sql.types.StructField("__qv",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)))))
+    val exact = scan
+      .filter(col(idCol).isin(candIds: _*))
+      .join(broadcast(candDf), Seq(idCol))
+      .join(broadcast(qDf), Seq("query_id"))
+    val rawDist =
+      if (cosine)
+        lit(1.0) - call_function("graft_cos", col(vecCol), col("__qv"))
+      else sqrt(call_function("graft_l2sq", col(vecCol), col("__qv")))
+    val distExpr =
+      rankRoundDp.fold(rawDist)(dp => roundHalfUpCol(rawDist, dp))
+    val tb = if (tieBreak.nonEmpty) tieBreak else idCol
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("dist"), col(tb))
+    exact.withColumn("dist", distExpr)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn", "__qv")
   }
 
   /** The reference's adaptive per-component k:

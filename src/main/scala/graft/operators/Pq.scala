@@ -96,20 +96,32 @@ object Pq {
     require(sample.forall(_.length == dim), "mixed dimensions in corpus")
     require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
     val dsub = dim / m
-    // uniform effective k: seeds are DISTINCT POINTS (two equal seeds
-    // would freeze one centroid dead for the whole fit — the strict-<
-    // assignment tie starves the higher index forever), and Codebooks
-    // requires rectangular codebooks, so every subspace trains with
-    // min(ksub, fewest distinct subvectors over subspaces) centroids
-    val kEff = math.min(ksub, (0 until m).map { s =>
-      sample.map(v => v.slice(s * dsub, (s + 1) * dsub).toSeq)
-        .distinct.length
-    }.min)
+    // PER-SUBSPACE effective k: seeds are DISTINCT POINTS (two equal
+    // seeds would freeze one centroid dead for the whole fit — the
+    // strict-< assignment tie starves the higher index forever), so a
+    // subspace trains with min(ksub, its own distinct-subvector count).
+    // One degenerate subspace (a constant or zero-padded dimension
+    // block, common in padded embeddings) therefore costs only ITSELF
+    // resolution — it must not drag every other subspace's codebook
+    // down to its distinct count, which would flatten ADC distances
+    // corpus-wide.
     val cb = Array.tabulate(m) { s =>
       val sub = sample.map(v => v.slice(s * dsub, (s + 1) * dsub))
-      lloyd(sub, kEff, seed + s, iterations)
+      val kS = math.min(ksub,
+        sub.map(_.toSeq).distinct.length)
+      lloyd(sub, kS, seed + s, iterations)
     }
-    Codebooks(dim, m, cb)
+    // Codebooks requires rectangular shape: pad short subspaces by
+    // REPEATING their last centroid. encode scans codes in ascending
+    // order with a strict-< winner, so a duplicate at a higher index
+    // can never be selected — padding cannot change any code, score,
+    // or replay.
+    val kMax = cb.map(_.length).max
+    val padded = cb.map { b =>
+      if (b.length == kMax) b
+      else b ++ Array.fill(kMax - b.length)(b.last.clone())
+    }
+    Codebooks(dim, m, padded)
   }
 
   /** driver-side Lloyd's k-means: seeded distinct-index init, fixed
@@ -208,16 +220,75 @@ object Pq {
     }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
+  /** The per-query ADC lookup table (canonical FAISS ADC): `tab(sub)
+    * (code)` is the partial L2² between the query's `sub`-th slice and
+    * that code's centroid — each partial the same fixed-order double
+    * fold an oracle replays from the exported books. Scoring a row is
+    * then `m` table lookups + adds instead of `dim` multiply-adds
+    * (~dim/m× less row arithmetic); the row total is the left-assoc
+    * sum of partials in subspace order, which an oracle replays as a
+    * literal `p0 + p1 + … + p_{m-1}` chain. O(m·ksub·dsub) = one
+    * decoded-corpus-row's work to build, KBs to hold. */
+  private[operators] def adcTable(b: Codebooks,
+      q: Array[Float]): Array[Array[Double]] = {
+    require(q.length == b.dim,
+      s"query has dim ${q.length}, codebooks ${b.dim}")
+    Array.tabulate(b.m) { sub =>
+      Array.tabulate(b.ksub) { c =>
+        val cent = b.cb(sub)(c)
+        var acc = 0.0
+        var j = 0
+        while (j < b.dsub) {
+          val diff = cent(j).toDouble - q(sub * b.dsub + j).toDouble
+          acc += diff * diff
+          j += 1
+        }
+        acc
+      }
+    }
+  }
+
+  /** ADC row score against a prebuilt table, with the loud per-row
+    * code validation ([[IvfIndex.searchQuantized]]'s guard discipline):
+    * a null or mis-sized or out-of-range code means the corpus and the
+    * passed codebooks don't match — silently scoring the first bytes
+    * against the wrong books would return wrong neighbors with no
+    * error. */
+  private[operators] def adcScore(tab: Array[Array[Double]],
+      code: Array[Byte], m: Int, ksub: Int): Double = {
+    if (code == null)
+      throw new IllegalArgumentException(
+        "Pq: null __pq_code — row not encoded with Pq.encode, or the " +
+          "code column was overwritten")
+    if (code.length != m)
+      throw new IllegalArgumentException(
+        s"Pq: code has ${code.length} bytes, codebooks have m=$m " +
+          "subspaces — corpus encoded with different codebooks?")
+    var s = 0.0
+    var sub = 0
+    while (sub < m) {
+      val ci = code(sub) & 0xFF
+      if (ci >= ksub)
+        throw new IllegalArgumentException(
+          s"Pq: code byte $ci >= ksub=$ksub — corpus encoded with " +
+            "different codebooks?")
+      s += tab(sub)(ci)
+      sub += 1
+    }
+    s
+  }
+
   /** ADC top-k over a PQ-encoded corpus: the approximate pass scans
     * ONLY `(idCol, __pq_code)` — m bytes per row instead of 4·dim —
-    * scoring each row by the exact L2² between the query and its
-    * DECODED vector (per-dimension fold in index order: bit-replayable
-    * from the exported artifacts), keeps the best `k·refine` candidate
-    * ids (unrounded distance, id ties — the [[IvfIndex.searchQuantized]]
-    * candidate contract), and exactly re-ranks only those rows' full
-    * vectors with the cross-engine floor rounding. At 100 TB the
-    * approximate pass is the 32×-lighter scan and the exact pass
-    * touches k·refine rows. */
+    * scoring each row from the per-query [[adcTable]] (`m` lookups +
+    * adds; partials and their subspace-order sum are fixed-order double
+    * arithmetic, bit-replayable from the exported artifacts), keeps the
+    * best `k·refine` candidate ids (unrounded distance, id ties — the
+    * [[IvfIndex.searchQuantized]] candidate contract), and exactly
+    * re-ranks only those rows' full vectors with the cross-engine floor
+    * rounding. At 100 TB the approximate pass is the 32×-lighter scan
+    * doing ~dim/m× less row arithmetic, and the exact pass touches
+    * k·refine rows. */
   /** IVF-PQ (the FAISS flagship `IVFx,PQm` shape): probe the `nprobe`
     * nearest clusters — the corpus must carry the IVF layout's
     * `__ivf_cluster` partition column, so the filter is directory-level
@@ -277,26 +348,12 @@ object Pq {
       StructField("__pq_d", org.apache.spark.sql.types.DoubleType)))
     val scored = narrow.mapPartitions { rows =>
       val b = bc.value
+      // the per-query ADC table, built ONCE per partition (one decoded
+      // row's worth of arithmetic), then m lookups + adds per row
+      val tab = adcTable(b, q)
       rows.map { row =>
         val code = row.getAs[Array[Byte]](codeIdx)
-        // nested (sub, j) loops with the centroid hoisted per subspace:
-        // the SAME double op sequence as a flat per-dimension fold
-        // (dims visit in ascending order), ~8x less indexing arithmetic
-        var s = 0.0
-        var i = 0
-        var sub = 0
-        while (sub < b.m) {
-          val cent = b.cb(sub)(code(sub) & 0xFF)
-          var j = 0
-          while (j < b.dsub) {
-            val diff = cent(j).toDouble - q(i).toDouble
-            s += diff * diff
-            i += 1
-            j += 1
-          }
-          sub += 1
-        }
-        Row(row.get(idIdx), s)
+        Row(row.get(idIdx), adcScore(tab, code, b.m, b.ksub))
       }
     }(org.apache.spark.sql.Encoders.row(adSchema))
     val cand = scored.orderBy(col("__pq_d"), col(idCol))
@@ -306,5 +363,79 @@ object Pq {
       encoded.filter(col(idCol).isin(cand.toSeq: _*)).drop(CodeCol),
       vecCol, query, k, KnnSearch.NativeL2, tieBreak,
       rankRoundDp = rankRoundDp)
+  }
+
+  /** Batch IVF-PQ: [[topKProbed]]'s two ADC passes composed with the
+    * per-query probe gate — many queries, ONE narrow m-byte code scan,
+    * exactly the [[IvfIndex.searchQuantizedBatch]] shape with the SQ8
+    * decode swapped for per-query [[adcTable]]s. The approximate pass
+    * scans the probe UNION reading only `(id, code, cluster)`, scores a
+    * row for query `i` only when its cluster is in query i's own probe
+    * set (the bit-packed gate), by `m` lookups into query i's table —
+    * the identical partial-sum chain as [[topK]], so per-query results
+    * are bit-equal to [[topKProbed]] at the same (nprobe, refine,
+    * rankRoundDp) (spec-asserted). Candidates are per-query `k·refine`
+    * bounded heaps (unrounded distance, id ties); the exact pass is the
+    * shared [[KnnSearch.batchExactRerank]] — broadcast candidate pairs,
+    * true L2 over raw vectors, floor-form rounding, per-query rank. At
+    * scale: Σ_q nprobe/nlist row-scores over one union scan instead of
+    * |queries| separate scans. */
+  def topKBatchProbed(
+      encoded: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      k: Int,
+      books: Codebooks,
+      centroids: Array[Array[Float]],
+      clusterIds: Array[Int],
+      nprobe: Int,
+      refine: Int = 4,
+      tieBreak: String = "",
+      rankRoundDp: Option[Int] = None): DataFrame = {
+    require(encoded.columns.contains(IvfIndex.ClusterCol),
+      s"corpus has no '${IvfIndex.ClusterCol}' column — IVF-PQ needs " +
+        "the IVF cluster layout (assign + partition first, then encode)")
+    require(encoded.columns.contains(CodeCol),
+      s"corpus has no '$CodeCol' column — Pq.encode it first")
+    require(k > 0, s"k must be > 0, got $k")
+    require(refine >= 1, s"refine must be >= 1, got $refine")
+    // same collision contract as searchQuantizedBatch: the exact pass
+    // adds these columns, and a silent overwrite (or an ambiguous-join
+    // AnalysisException mid-plan) would corrupt downstream plans
+    for (c <- Seq("dist", "query_id", "__qv", "__pq_d"))
+      require(!encoded.columns.contains(c),
+        s"corpus already has a '$c' column — topKBatchProbed adds it")
+    val spark = encoded.sparkSession
+    graft.plans.VectorExpressions.ensureRegistered(spark)
+    val np = math.max(1, nprobe)
+    val qSet = KnnSearch.collectQueries(queries, queryIdCol, queryVecCol)
+    val perQueryProbes: Array[Array[Int]] = qSet.map(q =>
+      IvfIndex.probeOrder(centroids, clusterIds, q._2.toSeq)
+        .take(np).toArray)
+    val union = perQueryProbes.flatten.distinct.toSeq
+    val scan = encoded.filter(col(IvfIndex.ClusterCol).isin(union: _*))
+    // per-query ADC tables, built once driver-side (m·ksub doubles per
+    // query — KBs) and shipped in the scorer closure; the query INDEX
+    // from the heap pass selects the right table without any per-row
+    // map lookup
+    val tables = qSet.map(q => adcTable(books, q._2))
+    val m = books.m
+    val ksub = books.ksub
+    val scorer = KnnSearch.RawScorer { (row, codeIdx, qi, _) =>
+      adcScore(tables(qi), row.getAs[Array[Byte]](codeIdx), m, ksub)
+    }
+    val qidType = queries.schema(queryIdCol).dataType
+    val cand = KnnSearch.topKBatchCollected(
+      scan.select(col(idCol), col(CodeCol), col(IvfIndex.ClusterCol)),
+      CodeCol, qSet, qidType, k * refine, tieBreak = idCol,
+      distCol = "__pq_d", rankRoundDp = None,
+      gate = Some(KnnSearch.BatchGate(IvfIndex.ClusterCol, perQueryProbes)),
+      rawScorer = Some(scorer))
+      .select(col("query_id"), col(idCol))
+    KnnSearch.batchExactRerank(scan.drop(CodeCol), idCol, vecCol, cand,
+      qSet, qidType, k, tieBreak, rankRoundDp, cosine = false)
   }
 }

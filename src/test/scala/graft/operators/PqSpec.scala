@@ -148,6 +148,100 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("batch IVF-PQ is bit-equal per query to single topKProbed; " +
+      "guards hold") {
+    import spark.implicits._
+    val idx = IvfIndex.build(embeddings, "vec_id", "embedding", nlist = 8)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivfpqb-")
+      .toString
+    Pq.encode(idx.assigned, "embedding", books)
+      .write.partitionBy(IvfIndex.ClusterCol).parquet(s"$tmp/data")
+    val enc = spark.read.parquet(s"$tmp/data")
+    val queries = embeddings.filter(col("vec_id").isin(0L, 1L, 2L))
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val batch = Pq.topKBatchProbed(enc, "vec_id", "embedding", queries,
+        "qid", "qv", k = 3, books, idx.centroids, idx.clusterIds,
+        nprobe = 4, refine = 4, tieBreak = "vec_id",
+        rankRoundDp = Some(4))
+      .select("query_id", "vec_id", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+      .map { case (q, rs) => q -> rs.map(t => (t._2, t._3))
+        .sortBy(identity).toSeq }
+    val single = Seq(0L, 1L, 2L).map { qid =>
+      val qv = embeddings.filter(col("vec_id") === qid)
+        .select("embedding").head().getSeq[Float](0)
+      qid -> Pq.topKProbed(enc, "vec_id", "embedding", qv, 3, books,
+          idx.centroids, idx.clusterIds, nprobe = 4, refine = 4,
+          tieBreak = Some("vec_id"), rankRoundDp = Some(4))
+        .select("vec_id", "dist").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).sortBy(identity).toSeq
+    }.toMap
+    assert(batch == single,
+      "batch IVF-PQ must equal the single-query path per query")
+    // corpus/books mismatch fails LOUDLY, not with wrong neighbors:
+    // wrong m (code length) and wrong ksub (code byte out of range)
+    val books4 = Pq.fit(embeddings, "vec_id", "embedding", m = 4,
+      ksub = 16)
+    val e1 = intercept[Exception] {
+      Pq.topK(encoded, "vec_id", "embedding", queryVecs(1).head, 3,
+        books4).collect()
+    }
+    assert(e1.getMessage != null && e1.getMessage.contains("codebooks"),
+      s"wrong-m error should name the codebooks: ${e1.getMessage}")
+    val books8 = Pq.fit(embeddings, "vec_id", "embedding", m = 8,
+      ksub = 8)
+    val e2 = intercept[Exception] {
+      Pq.topK(encoded, "vec_id", "embedding", queryVecs(1).head, 3,
+        books8).collect()
+    }
+    assert(e2.getMessage != null && e2.getMessage.contains("codebooks"),
+      s"wrong-ksub error should name the codebooks: ${e2.getMessage}")
+    // batch collision + missing-layout guards
+    intercept[IllegalArgumentException] {
+      Pq.topKBatchProbed(encoded, "vec_id", "embedding", queries, "qid",
+        "qv", 3, books, idx.centroids, idx.clusterIds, nprobe = 2)
+    }
+    intercept[IllegalArgumentException] {
+      Pq.topKBatchProbed(enc.withColumn("dist", lit(0.0)), "vec_id",
+        "embedding", queries, "qid", "qv", 3, books, idx.centroids,
+        idx.clusterIds, nprobe = 2)
+    }
+  }
+
+  test("a degenerate subspace keeps its own codebook small without " +
+      "collapsing the others") {
+    import spark.implicits._
+    // subspace 0 constant (a zero-padded dimension block); subspaces
+    // 1..3 carry real signal. Before the per-subspace fit, ONE such
+    // block clamped every codebook to a single centroid, flattening
+    // ADC distances corpus-wide.
+    val rows = (0 until 32).map { i =>
+      (i.toLong, Seq(0f, 0f) ++ Seq.tabulate(6)(j =>
+        ((i * 7 + j * 13) % 29).toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val b = Pq.fit(df, "vec_id", "embedding", m = 4, ksub = 4,
+      sampleN = 32)
+    // rectangular, padded to the largest subspace's k
+    assert(b.ksub == 4, s"healthy subspaces must keep ksub=4, got " +
+      s"${b.ksub}")
+    // the degenerate subspace is all-padding (one distinct centroid)
+    assert(b.cb(0).map(_.toSeq).distinct.length == 1)
+    // the healthy ones are not collapsed
+    assert(b.cb(1).map(_.toSeq).distinct.length == 4)
+    // padded codes never appear in encodes, and ADC still separates
+    val enc2 = Pq.encode(df, "embedding", b)
+    val codes = enc2.select(Pq.CodeCol).collect()
+      .map(_.getAs[Array[Byte]](0))
+    assert(codes.forall(_(0) == 0), "degenerate subspace codes all 0")
+    val top = Pq.topK(enc2, "vec_id", "embedding",
+        rows(5)._2, 3, b, refine = 8, tieBreak = Some("vec_id"))
+      .select("vec_id").collect().map(_.getLong(0))
+    assert(top.head == 5L,
+      s"self should be its own nearest neighbor, got ${top.toSeq}")
+  }
+
   test("the approximate pass reads only (id, code) — never the floats") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-pq-scan-")
       .toString
