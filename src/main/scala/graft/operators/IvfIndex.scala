@@ -795,9 +795,20 @@ object IvfIndex {
     * load through the lossy per-(cluster,dim)-means fallback) — re-run
     * the compact; destPath's auto-probe caches are invalidated at the
     * end so compacting onto a previously-used root cannot serve stale
-    * centroids. */
+    * centroids.
+    *
+    * `dedupIdCol`: the streaming ingest's at-least-once windows (the
+    * marker-crash gap and the post-append lock re-check, both
+    * documented at [[graft.streaming.EventStreams.indexedIngest]]) can
+    * leave the SAME id appended twice — a top-k would then return one
+    * id in two rows. Passing the id column collapses duplicates here
+    * (one row per id survives; duplicate rows from a re-delivered
+    * batch are byte-identical under a deterministic embed seam, so
+    * which one is immaterial) at the cost of one extra shuffle —
+    * opt-in because a clean batch-built root shouldn't pay it. */
   def compact(spark: SparkSession, srcPath: String, destPath: String,
-      targetRowsPerFile: Long = 500000L): Unit = {
+      targetRowsPerFile: Long = 500000L,
+      dedupIdCol: Option[String] = None): Unit = {
     val conf = spark.sessionState.newHadoopConf()
     val srcRoot = new org.apache.hadoop.fs.Path(srcPath)
     val srcFs = srcRoot.getFileSystem(conf)
@@ -814,7 +825,14 @@ object IvfIndex {
       val parts = partitionColsOf(df)
       require(parts.contains(ClusterCol),
         s"$srcPath is not an IVF index root (no $ClusterCol partition level)")
-      graft.sources.CorpusStore.copyCompactInto(df, parts, srcPath,
+      val data = dedupIdCol match {
+        case Some(id) =>
+          require(df.columns.contains(id),
+            s"compact: dedupIdCol '$id' is not a column of $srcPath")
+          df.dropDuplicates(id)
+        case None => df
+      }
+      graft.sources.CorpusStore.copyCompactInto(data, parts, srcPath,
         destPath, targetRowsPerFile)
       val src = new org.apache.hadoop.fs.Path(s"$srcPath/$CentroidSidecar")
       val dst = new org.apache.hadoop.fs.Path(s"$destPath/$CentroidSidecar")

@@ -365,6 +365,142 @@ object Pq {
       rankRoundDp = rankRoundDp)
   }
 
+  /** temp column carrying the per-row residual during [[encodeResidual]]
+    * / [[fitResidual]] */
+  private val ResidCol = "__pq_resid"
+
+  /** Append `outCol` = `v − centroid(cluster(v))` per row — the
+    * residual FAISS's IVFPQ actually codes. Fixed arithmetic (double
+    * subtract, float cast) per element, broadcast centroid map, narrow
+    * map — no shuffle. */
+  private def withResidual(df: DataFrame, vecCol: String,
+      centroids: Array[Array[Float]], clusterIds: Array[Int],
+      outCol: String): DataFrame = {
+    require(df.columns.contains(IvfIndex.ClusterCol),
+      s"residual coding needs the '${IvfIndex.ClusterCol}' column — " +
+        "assign the corpus to IVF centroids first")
+    require(!df.columns.contains(outCol),
+      s"input already has a '$outCol' column")
+    val spark = df.sparkSession
+    val bc = spark.sparkContext.broadcast(
+      clusterIds.zip(centroids).toMap)
+    val vecIdx = df.schema.fieldIndex(vecCol)
+    val cIdx = df.schema.fieldIndex(IvfIndex.ClusterCol)
+    val outSchema = StructType(df.schema.fields :+
+      StructField(outCol,
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType), nullable = false))
+    df.mapPartitions { rows =>
+      val cmap = bc.value
+      rows.map { row =>
+        if (row.isNullAt(vecIdx))
+          throw new IllegalArgumentException(
+            "Pq residual: null vector — filter nulls first")
+        val v = row.getSeq[Float](vecIdx)
+        val cent = cmap.getOrElse(row.getAs[Number](cIdx).intValue(),
+          throw new IllegalArgumentException(
+            s"Pq residual: row's cluster ${row.get(cIdx)} is not in " +
+              "the passed centroid set — corpus assigned against " +
+              "different centroids?"))
+        if (v.length != cent.length)
+          throw new IllegalArgumentException(
+            s"Pq residual: vector dim ${v.length} != centroid dim " +
+              s"${cent.length}")
+        val r = Array.tabulate(v.length)(j =>
+          (v(j).toDouble - cent(j).toDouble).toFloat)
+        Row.fromSeq(row.toSeq :+ r.toSeq)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
+  /** Residual-PQ fit (FAISS IVFPQ's default): train the codebooks on
+    * `v − centroid(cluster(v))` instead of the raw vectors, so ALL
+    * codebook resolution is spent on the within-cluster delta — at
+    * equal m the decoded error is smaller and recall at the same
+    * (nprobe, refine) is ≥ the raw-vector PQ's (spec-graded on the
+    * synthetic corpus). Same deterministic sample + Lloyd mechanism as
+    * [[fit]]; requires the IVF layout. */
+  def fitResidual(assigned: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Float]], clusterIds: Array[Int],
+      m: Int, ksub: Int = 16, sampleN: Int = 256, seed: Long = 42L,
+      iterations: Int = 10): Codebooks =
+    fit(withResidual(assigned, vecCol, centroids, clusterIds, ResidCol),
+      idCol, ResidCol, m, ksub, sampleN, seed, iterations)
+
+  /** Encode each row's RESIDUAL (books from [[fitResidual]]) — the
+    * original columns, raw vector included, ride through untouched for
+    * the exact re-rank; only the m-byte code is added. */
+  def encodeResidual(df: DataFrame, vecCol: String, books: Codebooks,
+      centroids: Array[Array[Float]], clusterIds: Array[Int]): DataFrame =
+    encode(withResidual(df, vecCol, centroids, clusterIds, ResidCol),
+      ResidCol, books).drop(ResidCol)
+
+  /** Residual IVF-PQ search: `v − q = (v − cent) − (q − cent)`, so the
+    * approximate distance is the ADC between the row's RESIDUAL code
+    * and the query's residual against that row's OWN cluster — one
+    * [[adcTable]] per probed cluster (nprobe tables, KBs), still m
+    * lookups + adds per row, distances comparable across clusters
+    * (all approximate ‖v − q‖²). Candidate cut and exact re-rank as
+    * [[topKProbed]]. */
+  def topKProbedResidual(
+      encoded: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Seq[Float],
+      k: Int,
+      books: Codebooks,
+      centroids: Array[Array[Float]],
+      clusterIds: Array[Int],
+      nprobe: Int,
+      refine: Int = 4,
+      tieBreak: Option[String] = None,
+      rankRoundDp: Option[Int] = None): DataFrame = {
+    require(encoded.columns.contains(IvfIndex.ClusterCol),
+      s"corpus has no '${IvfIndex.ClusterCol}' column — residual " +
+        "IVF-PQ needs the IVF cluster layout")
+    require(encoded.columns.contains(CodeCol),
+      s"corpus has no '$CodeCol' column — Pq.encodeResidual it first")
+    require(k > 0, s"k must be > 0, got $k")
+    require(refine >= 1, s"refine must be >= 1, got $refine")
+    require(query.length == books.dim,
+      s"query has dim ${query.length}, codebooks ${books.dim}")
+    val spark = encoded.sparkSession
+    graft.plans.VectorExpressions.ensureRegistered(spark)
+    val q = query.toArray
+    val probes = IvfIndex.probeOrder(centroids, clusterIds, query)
+      .take(math.max(1, nprobe))
+    val cmap = clusterIds.zip(centroids).toMap
+    // the query's residual against each probed cluster — the same
+    // double-subtract/float-cast arithmetic the encoder used
+    val residQ: Map[Int, Array[Float]] = probes.map { c =>
+      val cent = cmap(c)
+      c -> Array.tabulate(q.length)(j =>
+        (q(j).toDouble - cent(j).toDouble).toFloat)
+    }.toMap
+    val bc = spark.sparkContext.broadcast((books, residQ))
+    val scan = encoded.filter(col(IvfIndex.ClusterCol).isin(probes: _*))
+    val narrow = scan.select(col(idCol), col(CodeCol),
+      col(IvfIndex.ClusterCol))
+    val adSchema = StructType(Seq(narrow.schema.head,
+      StructField("__pq_d", org.apache.spark.sql.types.DoubleType)))
+    val scored = narrow.mapPartitions { rows =>
+      val (b, rq) = bc.value
+      val tabs = rq.map { case (c, qr) => c -> adcTable(b, qr) }
+      rows.map { row =>
+        val tab = tabs(row.getAs[Number](2).intValue())
+        Row(row.get(0),
+          adcScore(tab, row.getAs[Array[Byte]](1), b.m, b.ksub))
+      }
+    }(org.apache.spark.sql.Encoders.row(adSchema))
+    val cand = scored.orderBy(col("__pq_d"), col(idCol))
+      .limit(k * refine)
+      .select(idCol).collect().map(_.get(0))
+    KnnSearch.topK(
+      scan.filter(col(idCol).isin(cand.toSeq: _*)).drop(CodeCol),
+      vecCol, query, k, KnnSearch.NativeL2, tieBreak,
+      rankRoundDp = rankRoundDp)
+  }
+
   /** Batch IVF-PQ: [[topKProbed]]'s two ADC passes composed with the
     * per-query probe gate — many queries, ONE narrow m-byte code scan,
     * exactly the [[IvfIndex.searchQuantizedBatch]] shape with the SQ8

@@ -107,8 +107,14 @@ object EventStreams {
     * earlier lifecycle would then silently SKIP the new stream's first
     * batches (data loss, strictly worse than the duplicates they
     * prevent); hence the id is a required parameter, not a default.
-    * A crash BETWEEN the data commit and the marker can still duplicate
-    * that one batch — plain parquet has no atomic multi-file commit;
+    * Two windows can still DUPLICATE one batch — plain parquet has no
+    * atomic multi-file commit: a crash BETWEEN the data commit and the
+    * marker, and the post-append compact-lock re-check below (an
+    * appended batch deliberately left unmarked so the compacted root
+    * cannot silently lose it — the re-delivery appends its rows again).
+    * Both are at-least-once-with-duplication, never silent loss;
+    * collapse the duplicate ids at the next
+    * [[graft.operators.IvfIndex.compact]] (`dedupIdCol = Some(id)`), or
     * feed a transactional table format through a custom `embed`+sink
     * when strict exactly-once matters.
     *
@@ -179,7 +185,12 @@ object EventStreams {
                 s"indexedIngest: compact lock appeared during batch " +
                   s"$batchId's append on $indexPath — leaving the batch " +
                   "UNMARKED so a restart re-delivers it; marking it now " +
-                  "could let the compacted root silently miss its files.")
+                  "could let the compacted root silently miss its files. " +
+                  "NOTE: this batch's append already landed, so the " +
+                  "re-delivery APPENDS ITS ROWS AGAIN — at-least-once " +
+                  "with duplication for this one batch (loss traded for " +
+                  "dupes); collapse duplicates with " +
+                  "IvfIndex.compact(dedupIdCol = Some(id)).")
             // create() makes missing parents itself — no mkdirs RPC
             fs.create(marker, true).close()
           } finally batch.unpersist()

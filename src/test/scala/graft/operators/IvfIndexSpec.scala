@@ -727,6 +727,45 @@ class IvfIndexSpec extends SparkSpec {
     }
   }
 
+  test("compact(dedupIdCol) collapses the at-least-once duplicate ids") {
+    val tmp = Files.createTempDirectory("graft-ivf-dedup-").toString
+    val path = s"$tmp/ivf"
+    IvfIndex.build(embeddings, "vec_id", "embedding", nlist = 8)
+      .write(path)
+    // re-deliver one "batch" — the post-append lock-race window leaves
+    // it appended but unmarked, so a restart appends it AGAIN
+    val batch = embeddings.filter(col("vec_id") < 20)
+    IvfIndex.appendTo(spark, path, batch, "vec_id", "embedding")
+    val n = embeddings.count()
+    assert(spark.read.parquet(path).count() == n + 20)
+    // a plain compact faithfully keeps the duplicates...
+    IvfIndex.compact(spark, path, s"$tmp/plain")
+    assert(spark.read.parquet(s"$tmp/plain").count() == n + 20)
+    // ...and the duplicated id surfaces twice in a top-k near itself
+    val qv = embeddings.filter(col("vec_id") === 0L)
+      .select("embedding").head().getSeq[Float](0)
+    val dupHits = IvfIndex.load(spark, s"$tmp/plain", "vec_id",
+        "embedding")
+      .search(qv, 10, nprobe = 8, tieBreak = Some("vec_id"))
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(dupHits.count(_ == 0L) == 2,
+      s"expected the duplicated id twice in $dupHits")
+    // the dedup compact collapses to one row per id, search is clean
+    IvfIndex.compact(spark, path, s"$tmp/dedup",
+      dedupIdCol = Some("vec_id"))
+    assert(spark.read.parquet(s"$tmp/dedup").count() == n)
+    val cleanHits = IvfIndex.load(spark, s"$tmp/dedup", "vec_id",
+        "embedding")
+      .search(qv, 10, nprobe = 8, tieBreak = Some("vec_id"))
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(cleanHits.count(_ == 0L) == 1)
+    // a bogus column is refused up front
+    intercept[IllegalArgumentException] {
+      IvfIndex.compact(spark, path, s"$tmp/bad",
+        dedupIdCol = Some("no_such_col"))
+    }
+  }
+
   test("compact aborts when a streaming batch commits mid-compact") {
     val tmp = Files.createTempDirectory("graft-ivf-guard-").toString
     val path = s"$tmp/ivf"
