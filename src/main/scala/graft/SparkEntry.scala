@@ -276,6 +276,11 @@ object SparkEntry {
       .write.mode("overwrite").parquet(s"$IvfOracleRoot/pq/books")
     s.read.parquet(s"${pqIvfRootFor(s, dir)}/data").coalesce(1)
       .write.mode("overwrite").parquet(s"$IvfOracleRoot/pqivf/data")
+    val prRoot = pqResidRootFor(s, dir)
+    s.read.parquet(s"$prRoot/data").coalesce(1)
+      .write.mode("overwrite").parquet(s"$IvfOracleRoot/pqres/data")
+    s.read.parquet(s"$prRoot/books").coalesce(1)
+      .write.mode("overwrite").parquet(s"$IvfOracleRoot/pqres/books")
   }
 
   /** The COMPONENT-SCOPED index for the same corpus: two-level
@@ -374,6 +379,31 @@ object SparkEntry {
           "embedding", books)
         .write.mode("overwrite")
         .partitionBy(IvfIndex.ClusterCol).parquet(s"$p/data")
+      p
+    })
+
+  /** The RESIDUAL IVF-PQ root for `dir` (q76): FAISS IVFPQ's default
+    * form — codebooks trained on and codes representing
+    * `v − centroid(cluster(v))` over the single root's rows (its own
+    * fit: residual geometry differs from raw), layout preserved so
+    * probe filters prune directories; books + data exported for the
+    * oracle's per-cluster table replay. */
+  private val pqResidPathCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def pqResidRootFor(s: SparkSession, dir: String): String =
+    pqResidPathCache.computeIfAbsent(dir, _ => {
+      val idx = ivfIndexFor(s, dir)
+      val ivfRoot = ivfPathCache.get(dir)
+      val assigned = s.read.parquet(ivfRoot).drop(IvfIndex.Sq8CodeCol)
+      val books = Pq.fitResidual(assigned, "vec_id", "embedding",
+        idx.centroids, idx.clusterIds, m = pqM, ksub = pqKsub)
+      val p = java.nio.file.Files.createTempDirectory("graft_pqres_")
+        .toString
+      Pq.encodeResidual(assigned, "embedding", books, idx.centroids,
+          idx.clusterIds)
+        .write.mode("overwrite")
+        .partitionBy(IvfIndex.ClusterCol).parquet(s"$p/data")
+      books.write(s, s"$p/books")
       p
     })
 
@@ -523,6 +553,60 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
          WHERE rn <= $pqBatchK ORDER BY query_id, dist, vec_id"""
   }
 
+  /** q76's oracle: q74's probe structure over the RESIDUAL root — the
+    * query's residual per probed cluster (double subtract, FLOAT cast,
+    * back to double: Pq.topKProbedResidual's exact arithmetic), one
+    * ADC table per (cluster, sub, code), each row's sum chain keyed to
+    * its OWN cluster's table, then the floor-rounded exact L2 re-rank
+    * over the raw vectors. */
+  private lazy val pqResidOracleSql: String = {
+    raw"""WITH q AS (
+           SELECT embedding::DOUBLE[] AS qv FROM embeddings
+           WHERE vec_id = 0),
+         cent AS (
+           SELECT cluster_id, centroid FROM
+             read_parquet('$IvfOracleRoot/single/centroids/*.parquet')),
+         probes AS (
+           SELECT cluster_id FROM cent, q
+           ORDER BY list_sum(list_transform(range(1, len(centroid) + 1),
+             i -> (centroid[i]::DOUBLE - qv[i]) *
+                  (centroid[i]::DOUBLE - qv[i]))),
+             cluster_id
+           LIMIT 6),
+         rq AS (
+           SELECT c.cluster_id,
+             list_transform(range(1, len(c.centroid) + 1),
+               i -> CAST(q.qv[i] - c.centroid[i]::DOUBLE AS FLOAT)
+                      ::DOUBLE) AS rv
+           FROM cent c, q
+           WHERE c.cluster_id IN (SELECT cluster_id FROM probes)),
+         tab AS (
+           SELECT rq.cluster_id, cb.sub, cb.code,
+             list_sum(list_transform(range(1, len(cb.centroid) + 1),
+               j -> (cb.centroid[j]::DOUBLE
+                       - rq.rv[cb.sub * len(cb.centroid) + j]) *
+                    (cb.centroid[j]::DOUBLE
+                       - rq.rv[cb.sub * len(cb.centroid) + j])))
+               AS partial
+           FROM read_parquet('$IvfOracleRoot/pqres/books/*.parquet') cb,
+             rq),
+         ad AS (
+           SELECT e.vec_id,
+${pqAdcSumSql("tab.cluster_id = e.__ivf_cluster AND")}
+             AS d
+           FROM read_parquet('$IvfOracleRoot/pqres/data/*.parquet') e
+           WHERE e.__ivf_cluster IN (SELECT cluster_id FROM probes)),
+         cand AS (SELECT vec_id FROM ad ORDER BY d, vec_id
+                  LIMIT ${pqK * pqRefine})
+         SELECT e.vec_id,
+           floor(list_distance(e.embedding::DOUBLE[], (SELECT qv FROM q))
+             * 1e4 + 0.5::DOUBLE) / 1e4 AS dist
+         FROM read_parquet('$IvfOracleRoot/pqres/data/*.parquet') e, q
+         WHERE e.vec_id IN (SELECT vec_id FROM cand)
+           AND e.__ivf_cluster IN (SELECT cluster_id FROM probes)
+         ORDER BY dist, vec_id LIMIT $pqK"""
+  }
+
   /** Build (or reuse) every IVF root for `dir` — [[Bench]] calls this in
     * its warm-up phase so no timed rep ever pays a k-means fit, index
     * write, or oracle export (the round-9 driver bench charged a lazy
@@ -533,6 +617,7 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
     ivfCosIndexFor(s, dir)
     pqRootFor(s, dir)
     pqIvfRootFor(s, dir)
+    pqResidRootFor(s, dir)
   }
 
   /** Shared scaffold for the optimizer-rule queries (q60/q61): install
@@ -1381,6 +1466,30 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
           tieBreak = "vec_id", rankRoundDp = Some(4))
         .select(col("query_id"), col("vec_id"), col("dist"))
         .orderBy(col("query_id"), col("dist"), col("vec_id"))
+    }),
+
+    "q76_ivf_pq_residual" -> ((s, dir) => {
+      // Residual IVF-PQ (FAISS IVFPQ's default form,
+      // Pq.topKProbedResidual): codes represent v - centroid(v), so
+      // all codebook resolution is spent on the within-cluster delta;
+      // the search builds one ADC table per probed cluster against
+      // query - centroid(c) (v - q = (v-cent) - (q-cent), distances
+      // comparable across clusters) and stays m lookups + adds per
+      // row. The oracle replays the FLOAT-cast query residuals, the
+      // per-cluster tables, each row's own-cluster sum chain, and the
+      // exact rounded re-rank — the lossy-but-deterministic residual
+      // arithmetic verified end to end, not just recall-graded.
+      VectorExpressions.ensureRegistered(s)
+      val idx = ivfIndexFor(s, dir)
+      val root = pqResidRootFor(s, dir)
+      val books = Pq.load(s, s"$root/books")
+      val enc = s.read.parquet(s"$root/data")
+      Pq.topKProbedResidual(enc, "vec_id", "embedding",
+          queryVec(s, dir), k = pqK, books, idx.centroids,
+          idx.clusterIds, nprobe = 6, refine = pqRefine,
+          tieBreak = Some("vec_id"), rankRoundDp = Some(4))
+        .select(col("vec_id"), col("dist"))
+        .orderBy(col("dist"), col("vec_id"))
     }),
 
     "q63_bm25" -> ((s, dir) =>
@@ -3016,6 +3125,8 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
     "q74_ivf_pq" -> ivfPqOracleSql,
 
     "q75_ivf_pq_batch" -> pqBatchOracleSql,
+
+    "q76_ivf_pq_residual" -> pqResidOracleSql,
 
     "q64_rrf_fusion" ->
       raw"""WITH $Bm25LexCtes,
