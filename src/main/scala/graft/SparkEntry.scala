@@ -281,6 +281,13 @@ object SparkEntry {
       .write.mode("overwrite").parquet(s"$IvfOracleRoot/pqres/data")
     s.read.parquet(s"$prRoot/books").coalesce(1)
       .write.mode("overwrite").parquet(s"$IvfOracleRoot/pqres/books")
+    val pcRoot = pqCosRootFor(s, dir)
+    s.read.parquet(s"$pcRoot/data").coalesce(1)
+      .write.mode("overwrite").parquet(s"$IvfOracleRoot/pqcos/data")
+    s.read.parquet(s"$pcRoot/books").coalesce(1)
+      .write.mode("overwrite").parquet(s"$IvfOracleRoot/pqcos/books")
+    s.read.parquet(s"${pqIvfCosRootFor(s, dir)}/data").coalesce(1)
+      .write.mode("overwrite").parquet(s"$IvfOracleRoot/pqivfcos/data")
   }
 
   /** The COMPONENT-SCOPED index for the same corpus: two-level
@@ -404,6 +411,43 @@ object SparkEntry {
         .write.mode("overwrite")
         .partitionBy(IvfIndex.ClusterCol).parquet(s"$p/data")
       books.write(s, s"$p/books")
+      p
+    })
+
+  /** The COSINE-PQ roots for `dir` (q77 flat, q78 probed): one fit of
+    * NORMALIZED codebooks (fit(normalized = true) — the FAISS
+    * normalize-then-quantize recipe, the PQ analogue of the SQ8
+    * normalized grid) serves both — a flat root over the embeddings
+    * table and a cluster-partitioned root over the single IVF root's
+    * rows (angular probes prune its directories). */
+  private val pqCosPathCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def pqCosRootFor(s: SparkSession, dir: String): String =
+    pqCosPathCache.computeIfAbsent(dir, _ => {
+      val emb = t(s, dir, "embeddings")
+      val books = Pq.fit(emb, "vec_id", "embedding", m = pqM,
+        ksub = pqKsub, normalized = true)
+      val p = java.nio.file.Files.createTempDirectory("graft_pqcos_")
+        .toString
+      Pq.encode(emb, "embedding", books).write.mode("overwrite")
+        .parquet(s"$p/data")
+      books.write(s, s"$p/books")
+      p
+    })
+
+  private val pqIvfCosPathCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def pqIvfCosRootFor(s: SparkSession, dir: String): String =
+    pqIvfCosPathCache.computeIfAbsent(dir, _ => {
+      val ivfRoot = { ivfIndexFor(s, dir); ivfPathCache.get(dir) }
+      val books = Pq.load(s, s"${pqCosRootFor(s, dir)}/books")
+      val p = java.nio.file.Files.createTempDirectory("graft_pqivfcos_")
+        .toString
+      Pq.encode(
+          s.read.parquet(ivfRoot).drop(IvfIndex.Sq8CodeCol),
+          "embedding", books)
+        .write.mode("overwrite")
+        .partitionBy(IvfIndex.ClusterCol).parquet(s"$p/data")
       p
     })
 
@@ -607,6 +651,133 @@ ${pqAdcSumSql("tab.cluster_id = e.__ivf_cluster AND")}
          ORDER BY dist, vec_id LIMIT $pqK"""
   }
 
+  /** q77's oracle (flat cosine PQ): the query unit-normalized with the
+    * float cast (q69's qnorm pattern — the exact driver arithmetic),
+    * the ADC table built against it from the NORMALIZED books, the
+    * candidate cut on code distance (unit-sphere L2² is monotone in
+    * cosine distance), then the TRUE-cosine floor-rounded re-rank over
+    * the raw vectors and raw query. */
+  private lazy val pqCosOracleSql: String = {
+    raw"""WITH q AS (
+           SELECT embedding::DOUBLE[] AS qv FROM embeddings
+           WHERE vec_id = 0),
+         qn AS (
+           SELECT qv, list_sum(list_transform(qv, x -> x * x)) AS nq
+           FROM q),
+         qnorm AS (
+           SELECT qv,
+             CASE WHEN nq = 0 THEN qv
+                  ELSE list_transform(qv,
+                    x -> CAST(x / sqrt(nq) AS FLOAT)::DOUBLE)
+             END AS qnv
+           FROM qn),
+         tab AS (
+           SELECT cb.sub, cb.code,
+             list_sum(list_transform(range(1, len(cb.centroid) + 1),
+               j -> (cb.centroid[j]::DOUBLE
+                       - qnorm.qnv[cb.sub * len(cb.centroid) + j]) *
+                    (cb.centroid[j]::DOUBLE
+                       - qnorm.qnv[cb.sub * len(cb.centroid) + j])))
+               AS partial
+           FROM read_parquet('$IvfOracleRoot/pqcos/books/*.parquet') cb,
+             qnorm),
+         ad AS (
+           SELECT e.vec_id,
+${pqAdcSumSql()}
+             AS d
+           FROM read_parquet('$IvfOracleRoot/pqcos/data/*.parquet') e),
+         cand AS (SELECT vec_id FROM ad ORDER BY d, vec_id
+                  LIMIT ${pqK * pqRefine}),
+         d2 AS (
+           SELECT e.vec_id,
+             list_sum(list_transform(range(1, len(e.embedding) + 1),
+               i -> e.embedding[i]::DOUBLE * q.qv[i])) AS dot,
+             list_sum(list_transform(e.embedding,
+               x -> x::DOUBLE * x::DOUBLE)) AS nv,
+             list_sum(list_transform(q.qv, x -> x * x)) AS nq
+           FROM read_parquet('$IvfOracleRoot/pqcos/data/*.parquet') e, q
+           WHERE e.vec_id IN (SELECT vec_id FROM cand))
+         SELECT vec_id,
+           floor((CASE WHEN nv = 0 OR nq = 0 THEN 1.0::DOUBLE
+                       ELSE 1.0 - dot / (sqrt(nv) * sqrt(nq)) END)
+                 * 1e4 + 0.5::DOUBLE) / 1e4 AS dist
+         FROM d2 ORDER BY dist, vec_id LIMIT $pqK"""
+  }
+
+  /** q78's oracle (cosine IVF-PQ): q61's ANGULAR quantized-key probe
+    * ranking over the single root's centroids, then q77's
+    * normalized-query ADC table + candidate cut + true-cosine re-rank
+    * restricted to the probed clusters of the cosine-coded root. */
+  private lazy val pqIvfCosOracleSql: String = {
+    raw"""WITH q AS (
+           SELECT embedding::DOUBLE[] AS qv FROM embeddings
+           WHERE vec_id = 0),
+         cent AS (
+           SELECT cluster_id, centroid FROM
+             read_parquet('$IvfOracleRoot/single/centroids/*.parquet')),
+         probes AS (
+           SELECT cluster_id FROM cent, q
+           ORDER BY
+             floor((CASE
+               WHEN list_sum(list_transform(qv, x -> x * x)) = 0
+                    OR list_sum(list_transform(centroid,
+                         x -> x::DOUBLE * x::DOUBLE)) = 0
+                  THEN 0.0::DOUBLE
+                  ELSE -(list_sum(list_transform(
+                           range(1, len(centroid) + 1),
+                           i -> centroid[i]::DOUBLE * qv[i]))
+                         / (sqrt(list_sum(list_transform(qv,
+                              x -> x * x)))
+                            * sqrt(list_sum(list_transform(centroid,
+                                x -> x::DOUBLE * x::DOUBLE)))))
+             END) * 1e12 + 0.5::DOUBLE), cluster_id
+           LIMIT 6),
+         qn AS (
+           SELECT qv, list_sum(list_transform(qv, x -> x * x)) AS nq
+           FROM q),
+         qnorm AS (
+           SELECT qv,
+             CASE WHEN nq = 0 THEN qv
+                  ELSE list_transform(qv,
+                    x -> CAST(x / sqrt(nq) AS FLOAT)::DOUBLE)
+             END AS qnv
+           FROM qn),
+         tab AS (
+           SELECT cb.sub, cb.code,
+             list_sum(list_transform(range(1, len(cb.centroid) + 1),
+               j -> (cb.centroid[j]::DOUBLE
+                       - qnorm.qnv[cb.sub * len(cb.centroid) + j]) *
+                    (cb.centroid[j]::DOUBLE
+                       - qnorm.qnv[cb.sub * len(cb.centroid) + j])))
+               AS partial
+           FROM read_parquet('$IvfOracleRoot/pqcos/books/*.parquet') cb,
+             qnorm),
+         ad AS (
+           SELECT e.vec_id,
+${pqAdcSumSql()}
+             AS d
+           FROM read_parquet('$IvfOracleRoot/pqivfcos/data/*.parquet') e
+           WHERE e.__ivf_cluster IN (SELECT cluster_id FROM probes)),
+         cand AS (SELECT vec_id FROM ad ORDER BY d, vec_id
+                  LIMIT ${pqK * pqRefine}),
+         d2 AS (
+           SELECT e.vec_id,
+             list_sum(list_transform(range(1, len(e.embedding) + 1),
+               i -> e.embedding[i]::DOUBLE * q.qv[i])) AS dot,
+             list_sum(list_transform(e.embedding,
+               x -> x::DOUBLE * x::DOUBLE)) AS nv,
+             list_sum(list_transform(q.qv, x -> x * x)) AS nq
+           FROM read_parquet('$IvfOracleRoot/pqivfcos/data/*.parquet') e,
+             q
+           WHERE e.vec_id IN (SELECT vec_id FROM cand)
+             AND e.__ivf_cluster IN (SELECT cluster_id FROM probes))
+         SELECT vec_id,
+           floor((CASE WHEN nv = 0 OR nq = 0 THEN 1.0::DOUBLE
+                       ELSE 1.0 - dot / (sqrt(nv) * sqrt(nq)) END)
+                 * 1e4 + 0.5::DOUBLE) / 1e4 AS dist
+         FROM d2 ORDER BY dist, vec_id LIMIT $pqK"""
+  }
+
   /** Build (or reuse) every IVF root for `dir` — [[Bench]] calls this in
     * its warm-up phase so no timed rep ever pays a k-means fit, index
     * write, or oracle export (the round-9 driver bench charged a lazy
@@ -618,6 +789,8 @@ ${pqAdcSumSql("tab.cluster_id = e.__ivf_cluster AND")}
     pqRootFor(s, dir)
     pqIvfRootFor(s, dir)
     pqResidRootFor(s, dir)
+    pqCosRootFor(s, dir)
+    pqIvfCosRootFor(s, dir)
   }
 
   /** Shared scaffold for the optimizer-rule queries (q60/q61): install
@@ -1488,6 +1661,43 @@ ${pqAdcSumSql("tab.cluster_id = e.__ivf_cluster AND")}
           queryVec(s, dir), k = pqK, books, idx.centroids,
           idx.clusterIds, nprobe = 6, refine = pqRefine,
           tieBreak = Some("vec_id"), rankRoundDp = Some(4))
+        .select(col("vec_id"), col("dist"))
+        .orderBy(col("dist"), col("vec_id"))
+    }),
+
+    "q77_pq_cos" -> ((s, dir) => {
+      // Cosine PQ (normalize-then-quantize, the SQ8 cosine recipe
+      // applied to the PQ family): codebooks trained on and codes
+      // representing UNIT-NORMALIZED vectors, the ADC table built
+      // against the float-normalized query (unit-sphere L2^2 is
+      // monotone in cosine distance), exact TRUE-cosine floor-rounded
+      // re-rank over the raw vectors. The metric<->books contract is
+      // enforced both ways like SQ8's metric<->grid.
+      VectorExpressions.ensureRegistered(s)
+      val root = pqCosRootFor(s, dir)
+      val books = Pq.load(s, s"$root/books")
+      val enc = s.read.parquet(s"$root/data")
+      Pq.topK(enc, "vec_id", "embedding", queryVec(s, dir), k = pqK,
+          books, refine = pqRefine, tieBreak = Some("vec_id"),
+          rankRoundDp = Some(4), metric = KnnSearch.Cosine)
+        .select(col("vec_id"), col("dist"))
+        .orderBy(col("dist"), col("vec_id"))
+    }),
+
+    "q78_ivf_pq_cos" -> ((s, dir) => {
+      // Cosine IVF-PQ: q77's normalized codes over the single root's
+      // cluster layout, probes ranked ANGULARLY on the raw query
+      // (probeOrderCosine's quantized key — the whole cosine IVF
+      // family's ranking), directory-pruned ADC, true-cosine re-rank.
+      VectorExpressions.ensureRegistered(s)
+      val idx = ivfIndexFor(s, dir)
+      val root = pqIvfCosRootFor(s, dir)
+      val books = Pq.load(s, s"${pqCosRootFor(s, dir)}/books")
+      val enc = s.read.parquet(s"$root/data")
+      Pq.topKProbed(enc, "vec_id", "embedding", queryVec(s, dir),
+          k = pqK, books, idx.centroids, idx.clusterIds, nprobe = 6,
+          refine = pqRefine, tieBreak = Some("vec_id"),
+          rankRoundDp = Some(4), metric = KnnSearch.Cosine)
         .select(col("vec_id"), col("dist"))
         .orderBy(col("dist"), col("vec_id"))
     }),
@@ -3127,6 +3337,10 @@ ${pqAdcSumSql("tab.cluster_id = e.__ivf_cluster AND")}
     "q75_ivf_pq_batch" -> pqBatchOracleSql,
 
     "q76_ivf_pq_residual" -> pqResidOracleSql,
+
+    "q77_pq_cos" -> pqCosOracleSql,
+
+    "q78_ivf_pq_cos" -> pqIvfCosOracleSql,
 
     "q64_rrf_fusion" ->
       raw"""WITH $Bm25LexCtes,

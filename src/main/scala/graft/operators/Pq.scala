@@ -38,9 +38,14 @@ import org.apache.spark.sql.types.{BinaryType, StructField, StructType}
 object Pq {
 
   /** the trained codebooks: `cb(sub)(code)` is the `dim/m`-length
-    * centroid for `code` in subspace `sub` */
+    * centroid for `code` in subspace `sub`. `normalized` records the
+    * GEOMETRY the books were trained on — raw vectors (serves L2) or
+    * unit-normalized ones (serves cosine: on the unit sphere
+    * L2² = 2 − 2·cos, the same grid argument as the SQ8 family's
+    * normalize-then-quantize) — and is enforced against the search
+    * metric both ways, exactly like the SQ8 metric↔grid contract. */
   final case class Codebooks(dim: Int, m: Int,
-      cb: Array[Array[Array[Float]]]) {
+      cb: Array[Array[Array[Float]]], normalized: Boolean = false) {
     require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
     require(cb.length == m, s"expected $m subspace codebooks")
     val dsub: Int = dim / m
@@ -51,25 +56,30 @@ object Pq {
     require(ksub >= 1 && ksub <= 256,
       s"ksub=$ksub must fit one byte per code")
 
-    /** persist as (sub, code, centroid) rows — the DuckDB-readable
-      * sidecar shape the q73 oracle replays from */
+    /** persist as (sub, code, centroid, normalized) rows — the
+      * DuckDB-readable sidecar shape the q73 oracle replays from */
     def write(spark: SparkSession, path: String): Unit = {
       import spark.implicits._
       (for (s <- 0 until m; c <- 0 until ksub)
-        yield (s, c, cb(s)(c).toSeq))
-        .toDF("sub", "code", "centroid")
+        yield (s, c, cb(s)(c).toSeq, normalized))
+        .toDF("sub", "code", "centroid", "normalized")
         .coalesce(1).write.mode("overwrite").parquet(path)
     }
   }
 
   def load(spark: SparkSession, path: String): Codebooks = {
-    val rows = spark.read.parquet(path).collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    val df = spark.read.parquet(path)
+    // pre-round-13 sidecars have no geometry column — raw (L2) books
+    val hasNorm = df.columns.contains("normalized")
+    val rows = df.collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray,
+        hasNorm && r.getBoolean(3)))
     val m = rows.map(_._1).max + 1
     val cb = Array.tabulate(m) { s =>
       rows.filter(_._1 == s).sortBy(_._2).map(_._3)
     }
-    Codebooks(cb.head.head.length * m, m, cb)
+    Codebooks(cb.head.head.length * m, m, cb,
+      normalized = rows.head._4)
   }
 
   /** Train per-subspace codebooks on the `sampleN` LOWEST-ID vectors —
@@ -86,11 +96,17 @@ object Pq {
       ksub: Int = 16,
       sampleN: Int = 256,
       seed: Long = 42L,
-      iterations: Int = 10): Codebooks = {
-    val sample = vecs.filter(col(vecCol).isNotNull)
+      iterations: Int = 10,
+      normalized: Boolean = false): Codebooks = {
+    val raw = vecs.filter(col(vecCol).isNotNull)
       .orderBy(col(idCol)).limit(sampleN)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).toArray)
+    // cosine books train on the UNIT-NORMALIZED sample (the FAISS
+    // normalize-then-quantize recipe — encode normalizes the same way)
+    val sample =
+      if (normalized) raw.map(v => IvfIndex.unitNormalize(v.toSeq).toArray)
+      else raw
     require(sample.nonEmpty, "fit needs a non-empty corpus")
     val dim = sample.head.length
     require(sample.forall(_.length == dim), "mixed dimensions in corpus")
@@ -121,7 +137,7 @@ object Pq {
       if (b.length == kMax) b
       else b ++ Array.fill(kMax - b.length)(b.last.clone())
     }
-    Codebooks(dim, m, padded)
+    Codebooks(dim, m, padded, normalized = normalized)
   }
 
   /** driver-side Lloyd's k-means: seeded distinct-index init, fixed
@@ -190,10 +206,15 @@ object Pq {
         if (row.isNullAt(vecIdx))
           throw new IllegalArgumentException(
             "Pq.encode: null vector — filter nulls before encoding")
-        val v = row.getSeq[Float](vecIdx).toArray
-        if (v.length != b.dim)
+        val vRaw = row.getSeq[Float](vecIdx)
+        if (vRaw.length != b.dim)
           throw new IllegalArgumentException(
-            s"Pq.encode: vector has dim ${v.length}, codebooks ${b.dim}")
+            s"Pq.encode: vector has dim ${vRaw.length}, codebooks ${b.dim}")
+        // cosine books code the unit-normalized vector (the metric's
+        // geometry); raw books code the vector as-is
+        val v =
+          if (b.normalized) IvfIndex.unitNormalize(vRaw).toArray
+          else vRaw.toArray
         val code = new Array[Byte](b.m)
         var s = 0
         while (s < b.m) {
@@ -311,14 +332,46 @@ object Pq {
       nprobe: Int,
       refine: Int = 4,
       tieBreak: Option[String] = None,
-      rankRoundDp: Option[Int] = None): DataFrame = {
+      rankRoundDp: Option[Int] = None,
+      metric: KnnSearch.Metric = KnnSearch.NativeL2): DataFrame = {
     require(encoded.columns.contains(IvfIndex.ClusterCol),
       s"corpus has no '${IvfIndex.ClusterCol}' column — IVF-PQ needs " +
         "the IVF cluster layout (assign + partition first, then encode)")
-    val probes = IvfIndex.probeOrder(centroids, clusterIds, query)
-      .take(math.max(1, nprobe))
+    // cosine probes rank ANGULARLY on the raw query (the quantized-key
+    // ranking the whole cosine IVF family uses) — the books contract
+    // itself is enforced inside topK
+    val cosine =
+      requireMetricMatchesBooks(metric, books, "Pq.topKProbed")
+    val probes =
+      (if (cosine) IvfIndex.probeOrderCosine(centroids, clusterIds, query)
+       else IvfIndex.probeOrder(centroids, clusterIds, query))
+        .take(math.max(1, nprobe))
     topK(encoded.filter(col(IvfIndex.ClusterCol).isin(probes: _*)),
-      idCol, vecCol, query, k, books, refine, tieBreak, rankRoundDp)
+      idCol, vecCol, query, k, books, refine, tieBreak, rankRoundDp,
+      metric)
+  }
+
+  /** the PQ metric↔books contract (the SQ8 family's metric↔grid
+    * discipline): raw books preserve L2 geometry, not angles — they
+    * serve only L2; normalized books serve only cosine. Returns whether
+    * the dispatch is cosine. */
+  private def requireMetricMatchesBooks(metric: KnnSearch.Metric,
+      books: Codebooks, op: String): Boolean = metric match {
+    case KnnSearch.L2 | KnnSearch.NativeL2 =>
+      require(!books.normalized,
+        s"$op: these codebooks were trained on UNIT-NORMALIZED vectors " +
+          "(fit(normalized = true)) — they serve cosine searches; L2 " +
+          "needs raw books")
+      false
+    case KnnSearch.Cosine | KnnSearch.NativeCosine =>
+      require(books.normalized,
+        s"$op: cosine needs codebooks trained on UNIT-NORMALIZED " +
+          "vectors — fit(normalized = true); these books are raw (L2). " +
+          "PQ codebooks over raw vectors preserve L2 geometry, not " +
+          "angles.")
+      true
+    case other => throw new IllegalArgumentException(
+      s"$op supports L2 and Cosine, got $other")
   }
 
   def topK(
@@ -330,17 +383,24 @@ object Pq {
       books: Codebooks,
       refine: Int = 4,
       tieBreak: Option[String] = None,
-      rankRoundDp: Option[Int] = None): DataFrame = {
+      rankRoundDp: Option[Int] = None,
+      metric: KnnSearch.Metric = KnnSearch.NativeL2): DataFrame = {
     require(encoded.columns.contains(CodeCol),
       s"corpus has no '$CodeCol' column — Pq.encode it first")
     require(k > 0, s"k must be > 0, got $k")
     require(refine >= 1, s"refine must be >= 1, got $refine")
     require(query.length == books.dim,
       s"query has dim ${query.length}, codebooks ${books.dim}")
+    val cosine = requireMetricMatchesBooks(metric, books, "Pq.topK")
     val spark = encoded.sparkSession
     graft.plans.VectorExpressions.ensureRegistered(spark)
     val bc = spark.sparkContext.broadcast(books)
-    val q = query.toArray
+    // cosine: the codes represent unit-normalized vectors, so the ADC
+    // table is built against the unit-normalized query (on the unit
+    // sphere L2² is monotone in cosine distance); the exact re-rank
+    // below scores TRUE cosine over the raw vectors and raw query
+    val q =
+      if (cosine) IvfIndex.unitNormalize(query).toArray else query.toArray
     val narrow = encoded.select(col(idCol), col(CodeCol))
     val idIdx = 0
     val codeIdx = 1
@@ -361,8 +421,9 @@ object Pq {
       .select(idCol).collect().map(_.get(0))
     KnnSearch.topK(
       encoded.filter(col(idCol).isin(cand.toSeq: _*)).drop(CodeCol),
-      vecCol, query, k, KnnSearch.NativeL2, tieBreak,
-      rankRoundDp = rankRoundDp)
+      vecCol, query, k,
+      if (cosine) KnnSearch.NativeCosine else KnnSearch.NativeL2,
+      tieBreak, rankRoundDp = rankRoundDp)
   }
 
   /** temp column carrying the per-row residual during [[encodeResidual]]
@@ -464,6 +525,10 @@ object Pq {
     require(refine >= 1, s"refine must be >= 1, got $refine")
     require(query.length == books.dim,
       s"query has dim ${query.length}, codebooks ${books.dim}")
+    require(!books.normalized,
+      "Pq.topKProbedResidual: residual coding composes with L2 books " +
+        "only — residuals of unit-normalized vectors are not what " +
+        "fitResidual trains on")
     val spark = encoded.sparkSession
     graft.plans.VectorExpressions.ensureRegistered(spark)
     val q = query.toArray
@@ -544,6 +609,10 @@ object Pq {
     for (c <- Seq("dist", "query_id", "__qv", "__pq_d"))
       require(!encoded.columns.contains(c),
         s"corpus already has a '$c' column — topKBatchProbed adds it")
+    require(!books.normalized,
+      "Pq.topKBatchProbed is L2-only today — cosine PQ serves " +
+        "single-query topK/topKProbed (metric = Cosine); compose the " +
+        "batch form the same way the SQ8 cosine batch did if needed")
     val spark = encoded.sparkSession
     graft.plans.VectorExpressions.ensureRegistered(spark)
     val np = math.max(1, nprobe)

@@ -311,6 +311,51 @@ class PqSpec extends SparkSpec {
     assert(e.getMessage != null && e.getMessage.contains("centroid"))
   }
 
+  test("cosine PQ: metric<->books enforced both ways, sidecar " +
+      "round-trips geometry, full-refine equals exact cosine") {
+    val cosBooks = Pq.fit(embeddings, "vec_id", "embedding", m = 8,
+      ksub = 16, normalized = true)
+    assert(cosBooks.normalized)
+    val cosEnc = Pq.encode(embeddings, "embedding", cosBooks).cache()
+    val q = queryVecs(1).head
+    // contract: raw books refuse cosine, normalized books refuse L2
+    intercept[IllegalArgumentException] {
+      Pq.topK(encoded, "vec_id", "embedding", q, 5, books,
+        metric = KnnSearch.Cosine)
+    }
+    intercept[IllegalArgumentException] {
+      Pq.topK(cosEnc, "vec_id", "embedding", q, 5, cosBooks)
+    }
+    // the sidecar carries the geometry; a legacy sidecar (no column)
+    // loads as raw books
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pqcos-")
+      .toString
+    cosBooks.write(spark, s"$tmp/books")
+    assert(Pq.load(spark, s"$tmp/books").normalized)
+    spark.read.parquet(s"$tmp/books").drop("normalized")
+      .write.parquet(s"$tmp/legacy")
+    assert(!Pq.load(spark, s"$tmp/legacy").normalized)
+    // full-refine cosine ADC == the exact cosine search (the lossy
+    // candidate cut cannot drop a true neighbor when it sees all rows)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "dist").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val full = rows(Pq.topK(cosEnc, "vec_id", "embedding", q, 10,
+      cosBooks, refine = 100000, tieBreak = Some("vec_id"),
+      rankRoundDp = Some(4), metric = KnnSearch.Cosine))
+    val exact = rows(KnnSearch.topK(embeddings, "embedding", q, 10,
+      KnnSearch.NativeCosine, tieBreak = Some("vec_id"),
+      rankRoundDp = Some(4)))
+    assert(full == exact, "full-refine cosine PQ must equal exact " +
+      "cosine search")
+    // residual and batch forms refuse normalized books loudly
+    val idx = IvfIndex.build(embeddings, "vec_id", "embedding", nlist = 8)
+    intercept[IllegalArgumentException] {
+      Pq.topKProbedResidual(cosEnc, "vec_id", "embedding", q, 5,
+        cosBooks, idx.centroids, idx.clusterIds, nprobe = 2)
+    }
+  }
+
   test("the approximate pass reads only (id, code) — never the floats") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-pq-scan-")
       .toString
