@@ -778,6 +778,96 @@ ${pqAdcSumSql()}
          FROM d2 ORDER BY dist, vec_id LIMIT $pqK"""
   }
 
+  /** q79's oracle: q69's batch ANGULAR probe structure (quantized-key
+    * pranked per query + the probe gate join) composed with q77's
+    * normalized-query ADC table keyed PER QUERY, per-query candidate
+    * cuts, and the true-cosine floor-rounded re-rank. */
+  private lazy val pqCosBatchOracleSql: String = {
+    raw"""WITH q AS (
+           SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id IN (0, 1, 2)),
+         cent AS (
+           SELECT cluster_id, centroid FROM
+             read_parquet('$IvfOracleRoot/single/centroids/*.parquet')),
+         pranked AS (
+           SELECT q.qid, c.cluster_id,
+             row_number() OVER (PARTITION BY q.qid ORDER BY
+               floor((CASE
+                 WHEN list_sum(list_transform(q.qv, x -> x * x)) = 0
+                      OR list_sum(list_transform(c.centroid,
+                           x -> x::DOUBLE * x::DOUBLE)) = 0
+                    THEN 0.0::DOUBLE
+                    ELSE -(list_sum(list_transform(
+                             range(1, len(c.centroid) + 1),
+                             i -> c.centroid[i]::DOUBLE * q.qv[i]))
+                           / (sqrt(list_sum(list_transform(q.qv,
+                                x -> x * x)))
+                              * sqrt(list_sum(list_transform(c.centroid,
+                                  x -> x::DOUBLE * x::DOUBLE)))))
+               END) * 1e12 + 0.5::DOUBLE), c.cluster_id) AS rn
+           FROM cent c, q),
+         qn AS (
+           SELECT qid, qv,
+             list_sum(list_transform(qv, x -> x * x)) AS nq
+           FROM q),
+         qnorm AS (
+           SELECT qid, qv,
+             CASE WHEN nq = 0 THEN qv
+                  ELSE list_transform(qv,
+                    x -> CAST(x / sqrt(nq) AS FLOAT)::DOUBLE)
+             END AS qnv
+           FROM qn),
+         tab AS (
+           SELECT qnorm.qid, cb.sub, cb.code,
+             list_sum(list_transform(range(1, len(cb.centroid) + 1),
+               j -> (cb.centroid[j]::DOUBLE
+                       - qnorm.qnv[cb.sub * len(cb.centroid) + j]) *
+                    (cb.centroid[j]::DOUBLE
+                       - qnorm.qnv[cb.sub * len(cb.centroid) + j])))
+               AS partial
+           FROM read_parquet('$IvfOracleRoot/pqcos/books/*.parquet') cb,
+             qnorm),
+         a AS (
+           SELECT pr.qid, e.vec_id,
+${pqAdcSumSql("tab.qid = pr.qid AND")}
+             AS d
+           FROM pranked pr
+           JOIN read_parquet('$IvfOracleRoot/pqivfcos/data/*.parquet') e
+             ON e.__ivf_cluster = pr.cluster_id
+           WHERE pr.rn <= $pqBatchNprobe),
+         cand AS (
+           SELECT qid, vec_id FROM (
+             SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY d, vec_id) AS rn
+             FROM a)
+           WHERE rn <= ${pqBatchK * pqRefine}),
+         d2 AS (
+           SELECT c.qid AS query_id, e.vec_id,
+             list_sum(list_transform(range(1, len(e.embedding) + 1),
+               i -> e.embedding[i]::DOUBLE * q.qv[i])) AS dot,
+             list_sum(list_transform(e.embedding,
+               x -> x::DOUBLE * x::DOUBLE)) AS nv,
+             list_sum(list_transform(q.qv, x -> x * x)) AS nq
+           FROM cand c
+           JOIN q ON q.qid = c.qid
+           JOIN read_parquet('$IvfOracleRoot/pqivfcos/data/*.parquet') e
+             ON e.vec_id = c.vec_id),
+         scored AS (
+           SELECT query_id, vec_id,
+             floor((CASE WHEN nv = 0 OR nq = 0 THEN 1.0::DOUBLE
+                         ELSE 1.0 - dot / (sqrt(nv) * sqrt(nq)) END)
+                   * 1e4 + 0.5::DOUBLE) / 1e4
+               AS dist
+           FROM d2)
+         SELECT query_id, vec_id, dist FROM (
+           SELECT query_id, vec_id, dist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY dist, vec_id) AS rn
+           FROM scored)
+         WHERE rn <= $pqBatchK ORDER BY query_id, dist, vec_id"""
+  }
+
   /** Build (or reuse) every IVF root for `dir` — [[Bench]] calls this in
     * its warm-up phase so no timed rep ever pays a k-means fit, index
     * write, or oracle export (the round-9 driver bench charged a lazy
@@ -1700,6 +1790,30 @@ ${pqAdcSumSql()}
           rankRoundDp = Some(4), metric = KnnSearch.Cosine)
         .select(col("vec_id"), col("dist"))
         .orderBy(col("dist"), col("vec_id"))
+    }),
+
+    "q79_ivf_pq_cos_batch" -> ((s, dir) => {
+      // The full PQ composition — batch + COSINE (the q69 shape on the
+      // PQ family): angular per-query probe ranking, per-query ADC
+      // tables against the float-normalized queries, the bit-packed
+      // probe gate over ONE narrow code scan of the cosine-coded
+      // root, true-cosine floor-rounded exact re-rank. Completes the
+      // quantization matrix: {SQ8, PQ} x {single, batch} x {L2, cos}.
+      VectorExpressions.ensureRegistered(s)
+      val idx = ivfIndexFor(s, dir)
+      val root = pqIvfCosRootFor(s, dir)
+      val books = Pq.load(s, s"${pqCosRootFor(s, dir)}/books")
+      val enc = s.read.parquet(s"$root/data")
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id").isin(0, 1, 2))
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Pq.topKBatchProbed(enc, "vec_id", "embedding", queries, "qid",
+          "qv", k = pqBatchK, books, idx.centroids, idx.clusterIds,
+          nprobe = pqBatchNprobe, refine = pqRefine,
+          tieBreak = "vec_id", rankRoundDp = Some(4),
+          metric = KnnSearch.Cosine)
+        .select(col("query_id"), col("vec_id"), col("dist"))
+        .orderBy(col("query_id"), col("dist"), col("vec_id"))
     }),
 
     "q63_bm25" -> ((s, dir) =>
@@ -3341,6 +3455,8 @@ ${pqAdcSumSql()}
     "q77_pq_cos" -> pqCosOracleSql,
 
     "q78_ivf_pq_cos" -> pqIvfCosOracleSql,
+
+    "q79_ivf_pq_cos_batch" -> pqCosBatchOracleSql,
 
     "q64_rrf_fusion" ->
       raw"""WITH $Bm25LexCtes,

@@ -575,7 +575,7 @@ object Pq {
     * set (the bit-packed gate), by `m` lookups into query i's table —
     * the identical partial-sum chain as [[topK]], so per-query results
     * are bit-equal to [[topKProbed]] at the same (nprobe, refine,
-    * rankRoundDp) (spec-asserted). Candidates are per-query `k·refine`
+    * rankRoundDp, metric) (spec-asserted). Candidates are per-query `k·refine`
     * bounded heaps (unrounded distance, id ties); the exact pass is the
     * shared [[KnnSearch.batchExactRerank]] — broadcast candidate pairs,
     * true L2 over raw vectors, floor-form rounding, per-query rank. At
@@ -595,7 +595,8 @@ object Pq {
       nprobe: Int,
       refine: Int = 4,
       tieBreak: String = "",
-      rankRoundDp: Option[Int] = None): DataFrame = {
+      rankRoundDp: Option[Int] = None,
+      metric: KnnSearch.Metric = KnnSearch.NativeL2): DataFrame = {
     require(encoded.columns.contains(IvfIndex.ClusterCol),
       s"corpus has no '${IvfIndex.ClusterCol}' column — IVF-PQ needs " +
         "the IVF cluster layout (assign + partition first, then encode)")
@@ -609,16 +610,19 @@ object Pq {
     for (c <- Seq("dist", "query_id", "__qv", "__pq_d"))
       require(!encoded.columns.contains(c),
         s"corpus already has a '$c' column — topKBatchProbed adds it")
-    require(!books.normalized,
-      "Pq.topKBatchProbed is L2-only today — cosine PQ serves " +
-        "single-query topK/topKProbed (metric = Cosine); compose the " +
-        "batch form the same way the SQ8 cosine batch did if needed")
+    val cosine =
+      requireMetricMatchesBooks(metric, books, "Pq.topKBatchProbed")
     val spark = encoded.sparkSession
     graft.plans.VectorExpressions.ensureRegistered(spark)
     val np = math.max(1, nprobe)
     val qSet = KnnSearch.collectQueries(queries, queryIdCol, queryVecCol)
+    // cosine: probes rank angularly on the RAW query; the ADC tables
+    // build against the unit-normalized one (the single-query
+    // dispatch); the exact pass scores true cosine on raw vectors
     val perQueryProbes: Array[Array[Int]] = qSet.map(q =>
-      IvfIndex.probeOrder(centroids, clusterIds, q._2.toSeq)
+      (if (cosine)
+         IvfIndex.probeOrderCosine(centroids, clusterIds, q._2.toSeq)
+       else IvfIndex.probeOrder(centroids, clusterIds, q._2.toSeq))
         .take(np).toArray)
     val union = perQueryProbes.flatten.distinct.toSeq
     val scan = encoded.filter(col(IvfIndex.ClusterCol).isin(union: _*))
@@ -626,7 +630,8 @@ object Pq {
     // query — KBs) and shipped in the scorer closure; the query INDEX
     // from the heap pass selects the right table without any per-row
     // map lookup
-    val tables = qSet.map(q => adcTable(books, q._2))
+    val tables = qSet.map(q => adcTable(books,
+      if (cosine) IvfIndex.unitNormalize(q._2.toSeq).toArray else q._2))
     val m = books.m
     val ksub = books.ksub
     val scorer = KnnSearch.RawScorer { (row, codeIdx, qi, _) =>
@@ -641,6 +646,6 @@ object Pq {
       rawScorer = Some(scorer))
       .select(col("query_id"), col(idCol))
     KnnSearch.batchExactRerank(scan.drop(CodeCol), idCol, vecCol, cand,
-      qSet, qidType, k, tieBreak, rankRoundDp, cosine = false)
+      qSet, qidType, k, tieBreak, rankRoundDp, cosine = cosine)
   }
 }

@@ -348,12 +348,39 @@ class PqSpec extends SparkSpec {
       rankRoundDp = Some(4)))
     assert(full == exact, "full-refine cosine PQ must equal exact " +
       "cosine search")
-    // residual and batch forms refuse normalized books loudly
+    // the residual form refuses normalized books loudly
     val idx = IvfIndex.build(embeddings, "vec_id", "embedding", nlist = 8)
     intercept[IllegalArgumentException] {
       Pq.topKProbedResidual(cosEnc, "vec_id", "embedding", q, 5,
         cosBooks, idx.centroids, idx.clusterIds, nprobe = 2)
     }
+    // batch cosine is bit-equal per query to single probed cosine
+    import spark.implicits._
+    val clusterEnc = Pq.encode(idx.assigned, "embedding", cosBooks)
+      .cache()
+    val queries = embeddings.filter(col("vec_id").isin(0L, 1L, 2L))
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val batch = Pq.topKBatchProbed(clusterEnc, "vec_id", "embedding",
+        queries, "qid", "qv", k = 3, cosBooks, idx.centroids,
+        idx.clusterIds, nprobe = 4, refine = 4, tieBreak = "vec_id",
+        rankRoundDp = Some(4), metric = KnnSearch.Cosine)
+      .select("query_id", "vec_id", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+      .map { case (qi, rs) => qi -> rs.map(t => (t._2, t._3))
+        .sortBy(identity).toSeq }
+    val single = Seq(0L, 1L, 2L).map { qid =>
+      val qv = embeddings.filter(col("vec_id") === qid)
+        .select("embedding").head().getSeq[Float](0)
+      qid -> Pq.topKProbed(clusterEnc, "vec_id", "embedding", qv, 3,
+          cosBooks, idx.centroids, idx.clusterIds, nprobe = 4,
+          refine = 4, tieBreak = Some("vec_id"), rankRoundDp = Some(4),
+          metric = KnnSearch.Cosine)
+        .select("vec_id", "dist").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).sortBy(identity).toSeq
+    }.toMap
+    assert(batch == single,
+      "batch cosine IVF-PQ must equal the single-query path per query")
   }
 
   test("the approximate pass reads only (id, code) — never the floats") {
