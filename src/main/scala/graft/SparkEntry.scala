@@ -1060,6 +1060,19 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
         .limit(20)
     }),
 
+    "q80_gopher_rules" -> ((s, dir) =>
+      // The Gopher quality-filter battery (Rae et al. 2021 §A1.1) —
+      // the standard pre-training corpus gate — as one narrow
+      // codegen'd projection: count signals + a keep verdict whose
+      // thresholds are CROSS-MULTIPLIED integer comparisons (no
+      // ratios, no rounding discipline needed — exact on any engine).
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.gopherSignals(col("text"))
+            .as("g"))
+        .select(col("doc_id"), col("g.*"))
+        .orderBy(col("doc_id"))),
+
     "q04_langid" -> ((s, dir) => {
       // Language-ID heuristic: argmax over marker-word scores (ties to the
       // lexicographically largest language, mirrored in the oracle CASE).
@@ -2445,6 +2458,53 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
            round(praw, 6) AS punct_ratio,
            round(atl, 6) AS avg_token_len
          FROM comp ORDER BY doc_id LIMIT 20""",
+
+    // q80: every signal is a COUNT and every threshold a
+    // cross-multiplied integer comparison — no division, no rounding,
+    // nothing engine-specific to replay
+    "q80_gopher_rules" ->
+      raw"""WITH t AS (
+           SELECT doc_id, text,
+             list_filter(string_split_regex(text, '\s+'),
+               w -> len(w) > 0) AS ws,
+             list_filter(string_split_regex(lower(text), '\s+'),
+               w -> len(w) > 0) AS wsl,
+             string_split(text, chr(10)) AS lines
+           FROM documents),
+         s AS (
+           SELECT doc_id,
+             len(ws)::BIGINT AS word_count,
+             coalesce(list_sum(list_transform(ws, w -> len(w))), 0)
+               ::BIGINT AS char_sum,
+             (length(text) - length(replace(text, '#', '')))::BIGINT
+               + ((length(text) - length(replace(text, '...', '')))
+                  // 3)::BIGINT AS symbol_count,
+             len(lines)::BIGINT AS line_count,
+             len(list_filter(lines,
+               l -> substr(ltrim(l), 1, 1) IN ('-', '*')))::BIGINT
+               AS bullet_lines,
+             len(list_filter(lines,
+               l -> ends_with(rtrim(l), '...')))::BIGINT
+               AS ellipsis_lines,
+             len(list_filter(ws,
+               w -> regexp_matches(w, '[A-Za-z]')))::BIGINT
+               AS alpha_words,
+             len(list_filter(
+               ['the','be','to','of','and','that','have','with'],
+               sw -> list_contains(wsl, sw)))::BIGINT AS stopword_hits
+           FROM t)
+         SELECT doc_id, word_count, char_sum, symbol_count, line_count,
+           bullet_lines, ellipsis_lines, alpha_words, stopword_hits,
+           (CASE WHEN word_count >= 50 AND word_count <= 100000
+                 AND 3 * word_count <= char_sum
+                 AND char_sum <= 10 * word_count
+                 AND symbol_count * 10 <= word_count
+                 AND bullet_lines * 10 <= line_count * 9
+                 AND ellipsis_lines * 10 <= line_count * 3
+                 AND alpha_words * 10 >= word_count * 8
+                 AND stopword_hits >= 2
+            THEN 1 ELSE 0 END)::BIGINT AS keep
+         FROM s ORDER BY doc_id""",
 
     "q04_langid" ->
       """WITH tk AS (

@@ -85,6 +85,67 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     substring(md5(regexp_replace(lower(trim(text)), "\\s+", " ")), 1, 16)
 
+  /** the Gopher paper's required-stopword set: a document that contains
+    * fewer than two of these is very unlikely to be natural English
+    * prose (Rae et al. 2021, §A1.1 "quality filtering") */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style document quality rules (Rae et al. 2021 §A1.1 — the
+    * standard pre-training corpus filter battery), as ONE narrow
+    * codegen'd projection emitting the raw signals plus the composite
+    * `keep` verdict. Signals are COUNTS (longs) and every threshold
+    * compares cross-multiplied integers (`bullet_lines·10 ≤
+    * line_count·9` rather than a ratio ≤ 0.9), so the whole operator is
+    * exact integer arithmetic end to end — any SQL engine replays it
+    * bit-for-bit with no rounding discipline needed. Thresholds are the
+    * paper's: 50–100k words, mean word length 3–10, symbol-to-word
+    * ratio ≤ 0.1 (`#` and `...`), ≤ 90% bullet-started lines, ≤ 30%
+    * ellipsis-ended lines, ≥ 80% words with an alphabetic char, ≥ 2
+    * distinct required stopwords. Returns a struct; flatten with
+    * `.select(col("g.*"))`. */
+  def gopherSignals(text: Column,
+      stopwords: Seq[String] = GopherStopwords): Column = {
+    val ts = tokens(text)
+    val tsLower = tokens(lower(text))
+    val lines = split(text, "\n")
+    val wordCount = size(ts).cast("long")
+    val charSum = aggregate(ts, lit(0L),
+      (s, t) => s + length(t).cast("long"))
+    val symbolCount =
+      (length(text) - length(regexp_replace(text, "#", ""))).cast("long") +
+        ((length(text) -
+          length(regexp_replace(text, "\\.\\.\\.", ""))) / lit(3))
+          .cast("long")
+    val lineCount = size(lines).cast("long")
+    val bulletLines = size(filter(lines, l =>
+      array_contains(array(lit("-"), lit("*")),
+        substring(ltrim(l), 1, 1)))).cast("long")
+    val ellipsisLines = size(filter(lines, l =>
+      rtrim(l).endsWith("..."))).cast("long")
+    val alphaWords = size(filter(ts, w => w.rlike("[A-Za-z]")))
+      .cast("long")
+    val stopwordHits = size(filter(array(stopwords.map(lit): _*),
+      s => array_contains(tsLower, s))).cast("long")
+    val keep = (wordCount >= 50L && wordCount <= 100000L &&
+      lit(3L) * wordCount <= charSum && charSum <= lit(10L) * wordCount &&
+      symbolCount * 10L <= wordCount &&
+      bulletLines * 10L <= lineCount * 9L &&
+      ellipsisLines * 10L <= lineCount * 3L &&
+      alphaWords * 10L >= wordCount * 8L &&
+      stopwordHits >= 2L).cast("long")
+    struct(
+      wordCount.as("word_count"),
+      charSum.as("char_sum"),
+      symbolCount.as("symbol_count"),
+      lineCount.as("line_count"),
+      bulletLines.as("bullet_lines"),
+      ellipsisLines.as("ellipsis_lines"),
+      alphaWords.as("alpha_words"),
+      stopwordHits.as("stopword_hits"),
+      keep.as("keep"))
+  }
+
   /** PII patterns redacted by [[redactPii]], applied in this order.
     * Every pattern is RE2-safe (no lookarounds, no backrefs — the
     * subset Java regex and RE2/DuckDB agree on byte-for-byte for ASCII

@@ -5,6 +5,49 @@ import graft.SparkSpec
 
 class TextFunctionsSpec extends SparkSpec {
 
+  test("gopherSignals: each rule trips on its crafted document, " +
+      "healthy prose keeps") {
+    import spark.implicits._
+    // 60 words of plausible prose: mean word length in [3,10], all
+    // alphabetic, two+ required stopwords — every rule passes
+    val healthy = (("the quick brown fox jumps over another lazy dog " +
+      "and that animal have fun with friends ") * 4).trim
+    // rule-specific trip wires (each otherwise healthy)
+    val short = "the cat and that dog have fun with food" // < 50 words
+    val symbols = healthy + " " + Seq.fill(12)("###").mkString(" ")
+    val bullets = (1 to 10).map(i =>
+      s"- the item and that note have weight with value $i").mkString("\n")
+    val ellipsis = (1 to 10).map(i =>
+      s"the line and that thought have more with number $i ...")
+      .mkString("\n")
+    val numeric = healthy + " " + (1 to 60).map(_.toString).mkString(" ")
+    val noStop = ("alpha beta gamma delta epsilon zeta eta theta " +
+      "iota kappa ") * 6
+    val df = Seq(
+      (1L, healthy), (2L, short), (3L, symbols), (4L, bullets),
+      (5L, ellipsis), (6L, numeric), (7L, noStop))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        TextFunctions.gopherSignals(col("text")).as("g"))
+      .select(col("doc_id"), col("g.*"))
+    val rows = df.collect().map(r => r.getLong(0) ->
+      r.getValuesMap[Any](df.columns.filter(_ != "doc_id"))).toMap
+    assert(rows(1L)("keep") == 1L, s"healthy doc must keep: ${rows(1L)}")
+    assert(rows(2L)("keep") == 0L && rows(2L)("word_count")
+      .asInstanceOf[Long] < 50L)
+    assert(rows(3L)("keep") == 0L && rows(3L)("symbol_count") == 36L)
+    // 10 of 10 bullet lines > 90%
+    assert(rows(4L)("keep") == 0L && rows(4L)("bullet_lines") == 10L &&
+      rows(4L)("line_count") == 10L)
+    // 10 of 10 ellipsis lines > 30%
+    assert(rows(5L)("keep") == 0L && rows(5L)("ellipsis_lines") == 10L)
+    // 60 of 132 words alphabetic < 80%
+    assert(rows(6L)("keep") == 0L &&
+      rows(6L)("alpha_words").asInstanceOf[Long] * 10L <
+        rows(6L)("word_count").asInstanceOf[Long] * 8L)
+    assert(rows(7L)("keep") == 0L && rows(7L)("stopword_hits") == 0L)
+  }
+
   test("redactPii: typed placeholders, pattern order, clean text " +
       "untouched") {
     import spark.implicits._
