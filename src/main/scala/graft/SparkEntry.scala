@@ -1073,6 +1073,22 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
         .select(col("doc_id"), col("g.*"))
         .orderBy(col("doc_id"))),
 
+    "q81_repetition_rules" -> ((s, dir) => {
+      // The Gopher REPETITION filters (q80's complement): duplicate
+      // lines and most-frequent-2-gram coverage, computed by ONE
+      // native hash-map pass per row (graft_rep_stats — the HOF
+      // formulation recounts per element, O(n^2)/row). Counts + a
+      // cross-multiplied integer keep verdict; the oracle recounts
+      // with O(n^2) list lambdas and must land on identical longs.
+      VectorExpressions.ensureRegistered(s)
+      import graft.functions.TextFunctions.{repetitionKeep, repetitionStats}
+      t(s, dir, "documents")
+        .select(col("doc_id"), repetitionStats(col("text")).as("r"))
+        .select(col("doc_id"), col("r.*"),
+          repetitionKeep(col("r")).as("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q04_langid" -> ((s, dir) => {
       // Language-ID heuristic: argmax over marker-word scores (ties to the
       // lexicographically largest language, mirrored in the oracle CASE).
@@ -2503,6 +2519,67 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
                  AND ellipsis_lines * 10 <= line_count * 3
                  AND alpha_words * 10 >= word_count * 8
                  AND stopword_hits >= 2
+            THEN 1 ELSE 0 END)::BIGINT AS keep
+         FROM s ORDER BY doc_id""",
+
+    // q81: the oracle recounts with O(n²) list lambdas — layered CTEs
+    // so the top count is computed once, then the tie-broken smallest
+    // top gram via list 'min'
+    "q81_repetition_rules" ->
+      raw"""WITH t AS (
+           SELECT doc_id, text,
+             list_filter(string_split(text, chr(10)),
+               l -> len(l) > 0) AS lines,
+             list_filter(string_split_regex(text, '\s+'),
+               w -> len(w) > 0) AS ws
+           FROM documents),
+         g AS (
+           SELECT doc_id, lines, ws,
+             CASE WHEN len(ws) < 2 THEN []::VARCHAR[]
+                  ELSE list_transform(range(1, len(ws)),
+                    i -> ws[i] || ' ' || ws[i + 1])
+             END AS grams
+           FROM t),
+         c AS (
+           SELECT doc_id, lines, ws, grams,
+             CASE WHEN len(grams) = 0 THEN 0
+                  ELSE list_max(list_transform(grams, g2 ->
+                    len(list_filter(grams, x -> x = g2))))
+             END AS topc
+           FROM g),
+         c2 AS (
+           SELECT doc_id, lines, ws, grams, topc,
+             CASE WHEN len(grams) = 0 THEN NULL
+                  ELSE list_aggregate(list_filter(grams, g2 ->
+                    len(list_filter(grams, x -> x = g2)) = topc), 'min')
+             END AS top_gram
+           FROM c),
+         s AS (
+           SELECT doc_id,
+             len(lines)::BIGINT AS line_count,
+             len(list_filter(lines, l ->
+               len(list_filter(lines, x -> x = l)) >= 2))::BIGINT
+               AS dup_line_count,
+             coalesce(list_sum(list_transform(lines, l -> len(l))), 0)
+               ::BIGINT AS line_chars,
+             coalesce(list_sum(list_transform(
+               list_filter(lines, l ->
+                 len(list_filter(lines, x -> x = l)) >= 2),
+               l -> len(l))), 0)::BIGINT AS dup_line_chars,
+             top_gram,
+             topc::BIGINT AS top_gram_count,
+             (CASE WHEN top_gram IS NULL THEN 0
+                   ELSE topc * (len(top_gram) - 1) END)::BIGINT
+               AS top_gram_chars,
+             coalesce(list_sum(list_transform(ws, w -> len(w))), 0)
+               ::BIGINT AS word_chars
+           FROM c2)
+         SELECT doc_id, line_count, dup_line_count, line_chars,
+           dup_line_chars, top_gram, top_gram_count, top_gram_chars,
+           word_chars,
+           (CASE WHEN dup_line_count * 10 <= line_count * 3
+                 AND dup_line_chars * 5 <= line_chars
+                 AND top_gram_chars * 50 <= word_chars * 9
             THEN 1 ELSE 0 END)::BIGINT AS keep
          FROM s ORDER BY doc_id""",
 

@@ -85,6 +85,23 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     substring(md5(regexp_replace(lower(trim(text)), "\\s+", " ")), 1, 16)
 
+  /** The Gopher REPETITION signals ([[graft.plans.RepetitionStatsExpr]]
+    * — one native hash-map pass per row): duplicate-line counts/chars
+    * and the most-frequent word-2-gram's coverage. Requires
+    * [[graft.plans.VectorExpressions.ensureRegistered]]. */
+  def repetitionStats(text: Column): Column =
+    call_function("graft_rep_stats", text)
+
+  /** The repetition keep verdict (Rae et al. 2021 §A1.1 thresholds:
+    * duplicate-line fraction ≤ 0.30, duplicate-line CHAR fraction
+    * ≤ 0.20, top word-2-gram char coverage ≤ 0.18) over a
+    * [[repetitionStats]] struct — cross-multiplied integer
+    * comparisons, exact on any engine. */
+  def repetitionKeep(st: Column): Column =
+    (st("dup_line_count") * 10L <= st("line_count") * 3L &&
+      st("dup_line_chars") * 5L <= st("line_chars") &&
+      st("top_gram_chars") * 50L <= st("word_chars") * 9L).cast("long")
+
   /** the Gopher paper's required-stopword set: a document that contains
     * fewer than two of these is very unlikely to be natural English
     * prose (Rae et al. 2021, §A1.1 "quality filtering") */

@@ -607,3 +607,110 @@ case class RollingHashExpr(child: Expression)
   override protected def withNewChildInternal(
       newChild: Expression): Expression = copy(child = newChild)
 }
+
+/** Native repetition statistics — the signals behind the Gopher
+  * REPETITION filters (Rae et al. 2021 §A1.1: duplicate-line fractions
+  * and most-frequent word-2-gram coverage, the boilerplate/spam gate
+  * that complements [[graft.functions.TextFunctions.gopherSignals]]'s
+  * per-document rules) in ONE hash-map pass per row — O(lines + words),
+  * where the per-row HOF formulation is O(n²) recounting (fine in an
+  * oracle, wrong in a 100 TB scan).
+  *
+  * `struct<line_count, dup_line_count, line_chars, dup_line_chars,
+  * top_gram, top_gram_count, top_gram_chars, word_chars>`. Semantics
+  * (engine defaults, replayed verbatim by the q81 oracle): lines =
+  * text split on `\n` with EMPTY lines excluded; a duplicate line is
+  * an exact-text line occurring ≥2 times, ALL its occurrences counted
+  * in both `dup_line_count` and `dup_line_chars`; words = whitespace
+  * tokens (raw case); grams = adjacent word pairs keyed `"w1 w2"`;
+  * the top gram is the most frequent with ties to the
+  * lexicographically SMALLEST key (binary order — ASCII corpus
+  * contract, like the PII patterns); `top_gram_chars` =
+  * count · (keyLength − 1) (both words' chars, the joining space
+  * excluded). Fewer than 2 words → `top_gram` null, count/chars 0.
+  * Null text → null. SQL name: `graft_rep_stats`. */
+case class RepetitionStatsExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+  import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+  override def prettyName: String = "graft_rep_stats"
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("line_count", LongType, nullable = false),
+    StructField("dup_line_count", LongType, nullable = false),
+    StructField("line_chars", LongType, nullable = false),
+    StructField("dup_line_chars", LongType, nullable = false),
+    StructField("top_gram", StringType, nullable = true),
+    StructField("top_gram_count", LongType, nullable = false),
+    StructField("top_gram_chars", LongType, nullable = false),
+    StructField("word_chars", LongType, nullable = false)))
+  override def nullable: Boolean = true
+
+  protected override def nullSafeEval(text: Any): Any = {
+    val s = text.asInstanceOf[UTF8String].toString
+    // line stats: one counting pass, one classification pass
+    val lines = s.split("\n", -1)
+    val lineCounts = new java.util.HashMap[String, Int]()
+    var lineCount = 0L
+    var lineChars = 0L
+    var i = 0
+    while (i < lines.length) {
+      val l = lines(i)
+      if (l.nonEmpty) {
+        lineCount += 1
+        lineChars += l.length
+        lineCounts.merge(l, 1, Integer.sum)
+      }
+      i += 1
+    }
+    var dupLineCount = 0L
+    var dupLineChars = 0L
+    i = 0
+    while (i < lines.length) {
+      val l = lines(i)
+      if (l.nonEmpty && lineCounts.get(l) >= 2) {
+        dupLineCount += 1
+        dupLineChars += l.length
+      }
+      i += 1
+    }
+    // word + gram stats
+    val rawWords = s.split("\\s+")
+    val words = new java.util.ArrayList[String](rawWords.length)
+    var wordChars = 0L
+    i = 0
+    while (i < rawWords.length) {
+      val w = rawWords(i)
+      if (w.nonEmpty) { words.add(w); wordChars += w.length }
+      i += 1
+    }
+    val gramCounts = new java.util.HashMap[String, Int]()
+    i = 0
+    while (i < words.size() - 1) {
+      gramCounts.merge(words.get(i) + " " + words.get(i + 1), 1,
+        Integer.sum)
+      i += 1
+    }
+    var topGram: String = null
+    var topCount = 0
+    val it = gramCounts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getValue > topCount ||
+        (e.getValue == topCount && topGram != null &&
+          e.getKey.compareTo(topGram) < 0)) {
+        topGram = e.getKey
+        topCount = e.getValue
+      }
+    }
+    val topChars =
+      if (topGram == null) 0L else topCount.toLong * (topGram.length - 1)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](lineCount, dupLineCount, lineChars, dupLineChars,
+        if (topGram == null) null else UTF8String.fromString(topGram),
+        topCount.toLong, topChars, wordChars))
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
+}

@@ -422,6 +422,7 @@ object VectorExpressions {
     ("graft_char_jac", es => CharNgramJaccard(es(0), es(1), es(2))),
     ("graft_simhash", es => SimHashExpr(es(0), es(1))),
     ("graft_rollhash", es => RollingHashExpr(es(0))),
+    ("graft_rep_stats", es => RepetitionStatsExpr(es(0))),
     ("graft_tok_stats", es => TokenStatsExpr(es(0), es(1))),
     ("graft_word_shingles", es => WordShinglesExpr(es(0), es(1))),
     ("graft_minhash", es => MinHashSigExpr(es(0), es(1))),

@@ -48,6 +48,47 @@ class TextFunctionsSpec extends SparkSpec {
     assert(rows(7L)("keep") == 0L && rows(7L)("stopword_hits") == 0L)
   }
 
+  test("repetitionStats: duplicate lines, top-gram ties, edges") {
+    import spark.implicits._
+    graft.plans.VectorExpressions.ensureRegistered(spark)
+    val dupLines = "alpha beta\n\ngamma delta\nalpha beta\nepsilon"
+    val gramTie = "b c a b c"  // "b c" twice; ties broken smallest key
+    val boiler = Seq.fill(8)("click here to subscribe now").mkString("\n")
+    val df = Seq(
+      (1L, dupLines), (2L, gramTie), (3L, "single"), (4L, ""),
+      (5L, boiler))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        TextFunctions.repetitionStats(col("text")).as("r"))
+      .select(col("doc_id"), col("r.*"),
+        TextFunctions.repetitionKeep(col("r")).as("keep"))
+    val rows = df.collect().map(r => r.getLong(0) ->
+      r.getValuesMap[Any](df.columns.filter(_ != "doc_id"))).toMap
+    // 4 non-empty lines (the blank excluded), "alpha beta" twice
+    assert(rows(1L)("line_count") == 4L &&
+      rows(1L)("dup_line_count") == 2L &&
+      rows(1L)("dup_line_chars") == 20L)
+    // top gram: "a b" and "c a" occur once, "b c" twice
+    assert(rows(2L)("top_gram") == "b c" &&
+      rows(2L)("top_gram_count") == 2L &&
+      rows(2L)("top_gram_chars") == 4L)
+    // tie at count 1 goes to the lexicographically smallest key
+    assert(rows(3L)("top_gram") == null &&
+      rows(3L)("top_gram_count") == 0L)
+    assert(rows(4L)("line_count") == 0L && rows(4L)("word_chars") == 0L
+      && rows(4L)("keep") == 1L)
+    // 8 identical boilerplate lines: every repetition rule trips
+    assert(rows(5L)("dup_line_count") == 8L && rows(5L)("keep") == 0L)
+    assert(rows(1L)("keep") == 0L, "half the lines duplicated")
+    assert(rows(2L)("keep") == 0L,
+      "top gram covers 4 of 9 word chars > 18%")
+    // null text propagates
+    val n = Seq((9L, null: String)).toDF("doc_id", "text")
+      .select(TextFunctions.repetitionStats(col("text")).as("r"))
+      .collect()
+    assert(n.head.isNullAt(0))
+  }
+
   test("redactPii: typed placeholders, pattern order, clean text " +
       "untouched") {
     import spark.implicits._
