@@ -868,6 +868,123 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
          WHERE rn <= $pqBatchK ORDER BY query_id, dist, vec_id"""
   }
 
+  /** the q80 Gopher-signal CTEs (`gt`, `gs`) over `src(doc_id, text)` —
+    * ONE generator serves q80 and q82's composed replay so the two can
+    * never drift (the q70 discipline) */
+  private def gopherSignalCtes(src: String): String =
+    raw"""gt AS (
+           SELECT doc_id, text,
+             list_filter(string_split_regex(text, '\s+'),
+               w -> len(w) > 0) AS ws,
+             list_filter(string_split_regex(lower(text), '\s+'),
+               w -> len(w) > 0) AS wsl,
+             string_split(text, chr(10)) AS lines
+           FROM $src),
+         gs AS (
+           SELECT doc_id,
+             len(ws)::BIGINT AS word_count,
+             coalesce(list_sum(list_transform(ws, w -> len(w))), 0)
+               ::BIGINT AS char_sum,
+             (length(text) - length(replace(text, '#', '')))::BIGINT
+               + ((length(text) - length(replace(text, '...', '')))
+                  // 3)::BIGINT AS symbol_count,
+             len(lines)::BIGINT AS line_count,
+             len(list_filter(lines,
+               l -> substr(ltrim(l), 1, 1) IN ('-', '*')))::BIGINT
+               AS bullet_lines,
+             len(list_filter(lines,
+               l -> ends_with(rtrim(l), '...')))::BIGINT
+               AS ellipsis_lines,
+             len(list_filter(ws,
+               w -> regexp_matches(w, '[A-Za-z]')))::BIGINT
+               AS alpha_words,
+             len(list_filter(
+               ['the','be','to','of','and','that','have','with'],
+               sw -> list_contains(wsl, sw)))::BIGINT AS stopword_hits
+           FROM gt)"""
+
+  /** the Gopher keep predicate over `gs`'s columns — shared verbatim by
+    * q80's emitted verdict and q82's funnel */
+  private val gopherKeepPredSql: String =
+    """gs.word_count >= 50 AND gs.word_count <= 100000
+                 AND 3 * gs.word_count <= gs.char_sum
+                 AND gs.char_sum <= 10 * gs.word_count
+                 AND gs.symbol_count * 10 <= gs.word_count
+                 AND gs.bullet_lines * 10 <= gs.line_count * 9
+                 AND gs.ellipsis_lines * 10 <= gs.line_count * 3
+                 AND gs.alpha_words * 10 >= gs.word_count * 8
+                 AND gs.stopword_hits >= 2"""
+
+  /** the q81 repetition-signal CTEs (`rt`…`rs`) over
+    * `src(doc_id, text)` — same one-generator discipline */
+  private def repetitionSignalCtes(src: String): String =
+    raw"""rt AS (
+           SELECT doc_id, text,
+             list_filter(string_split(text, chr(10)),
+               l -> len(l) > 0) AS lines,
+             list_filter(string_split_regex(text, '\s+'),
+               w -> len(w) > 0) AS ws
+           FROM $src),
+         rg AS (
+           SELECT doc_id, lines, ws,
+             CASE WHEN len(ws) < 2 THEN []::VARCHAR[]
+                  ELSE list_transform(range(1, len(ws)),
+                    i -> ws[i] || ' ' || ws[i + 1])
+             END AS grams
+           FROM rt),
+         rc AS (
+           SELECT doc_id, lines, ws, grams,
+             CASE WHEN len(grams) = 0 THEN 0
+                  ELSE list_max(list_transform(grams, g2 ->
+                    len(list_filter(grams, x -> x = g2))))
+             END AS topc
+           FROM rg),
+         rc2 AS (
+           SELECT doc_id, lines, ws, grams, topc,
+             CASE WHEN len(grams) = 0 THEN NULL
+                  ELSE list_aggregate(list_filter(grams, g2 ->
+                    len(list_filter(grams, x -> x = g2)) = topc), 'min')
+             END AS top_gram
+           FROM rc),
+         rs AS (
+           SELECT doc_id,
+             len(lines)::BIGINT AS line_count,
+             len(list_filter(lines, l ->
+               len(list_filter(lines, x -> x = l)) >= 2))::BIGINT
+               AS dup_line_count,
+             coalesce(list_sum(list_transform(lines, l -> len(l))), 0)
+               ::BIGINT AS line_chars,
+             coalesce(list_sum(list_transform(
+               list_filter(lines, l ->
+                 len(list_filter(lines, x -> x = l)) >= 2),
+               l -> len(l))), 0)::BIGINT AS dup_line_chars,
+             top_gram,
+             topc::BIGINT AS top_gram_count,
+             (CASE WHEN top_gram IS NULL THEN 0
+                   ELSE topc * (len(top_gram) - 1) END)::BIGINT
+               AS top_gram_chars,
+             coalesce(list_sum(list_transform(ws, w -> len(w))), 0)
+               ::BIGINT AS word_chars
+           FROM rc2)"""
+
+  /** the repetition keep predicate over `rs`'s columns — shared by q81
+    * and q82 */
+  private val repetitionKeepPredSql: String =
+    """rs.dup_line_count * 10 <= rs.line_count * 3
+                 AND rs.dup_line_chars * 5 <= rs.line_chars
+                 AND rs.top_gram_chars * 50 <= rs.word_chars * 9"""
+
+  /** the PII-redaction regexp chain over a column expression — shared
+    * by q72's checksum replay and q82's curation funnel (the patterns
+    * mirror TextFunctions.PiiPatterns in application order) */
+  private def redactSql(colExpr: String): String =
+    raw"""regexp_replace(regexp_replace(regexp_replace($colExpr,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+',
+             '<EMAIL>', 'g'),
+             '\b\d\d\d-\d\d-\d\d\d\d\b', '<SSN>', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+             '<IP>', 'g')"""
+
   /** Build (or reuse) every IVF root for `dir` — [[Bench]] calls this in
     * its warm-up phase so no timed rep ever pays a k-means fit, index
     * write, or oracle export (the round-9 driver bench charged a lazy
@@ -1087,6 +1204,41 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
         .select(col("doc_id"), col("r.*"),
           repetitionKeep(col("r")).as("keep"))
         .orderBy(col("doc_id"))
+    }),
+
+    "q82_curation_gopher" -> ((s, dir) => {
+      // The full curation funnel a pre-training pipeline runs, as ONE
+      // scan + one scalar aggregate: PII-redact, then the Gopher
+      // quality battery (q80) AND the repetition battery (q81) on the
+      // CLEAN text, then exact dedup of the survivors — reported as
+      // exact integer stage counts (total, changed-by-redaction,
+      // per-battery keeps, both, distinct-after-dedup). The oracle
+      // composes the same generator CTEs q72/q80/q81 replay, so the
+      // stages can never drift from their standalone queries.
+      VectorExpressions.ensureRegistered(s)
+      import graft.functions.TextFunctions.{fingerprint, gopherSignals,
+        redactPii, repetitionKeep, repetitionStats}
+      val per = t(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), col("text"),
+          redactPii(col("text")).as("clean"))
+        .select(col("doc_id"),
+          (col("clean") =!= col("text")).cast("long").as("chg"),
+          gopherSignals(col("clean")).as("g"),
+          repetitionStats(col("clean")).as("r"),
+          col("clean"))
+        .select(col("chg"), col("g.keep").as("gk"),
+          repetitionKeep(col("r")).as("rk"),
+          when(col("g.keep") === 1L, fingerprint(col("clean")))
+            .as("gfp"))
+      per.agg(
+        count(lit(1)).as("n_total"),
+        sum(col("chg")).as("n_redacted_changed"),
+        sum(col("gk")).as("n_gopher_keep"),
+        sum(col("rk")).as("n_rep_keep"),
+        sum(col("gk") * col("rk")).as("n_kept"),
+        count_distinct(when(col("gk") === 1L && col("rk") === 1L,
+          col("gfp"))).as("n_kept_distinct"))
     }),
 
     "q04_langid" -> ((s, dir) => {
@@ -2479,109 +2631,54 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
     // cross-multiplied integer comparison — no division, no rounding,
     // nothing engine-specific to replay
     "q80_gopher_rules" ->
-      raw"""WITH t AS (
-           SELECT doc_id, text,
-             list_filter(string_split_regex(text, '\s+'),
-               w -> len(w) > 0) AS ws,
-             list_filter(string_split_regex(lower(text), '\s+'),
-               w -> len(w) > 0) AS wsl,
-             string_split(text, chr(10)) AS lines
-           FROM documents),
-         s AS (
-           SELECT doc_id,
-             len(ws)::BIGINT AS word_count,
-             coalesce(list_sum(list_transform(ws, w -> len(w))), 0)
-               ::BIGINT AS char_sum,
-             (length(text) - length(replace(text, '#', '')))::BIGINT
-               + ((length(text) - length(replace(text, '...', '')))
-                  // 3)::BIGINT AS symbol_count,
-             len(lines)::BIGINT AS line_count,
-             len(list_filter(lines,
-               l -> substr(ltrim(l), 1, 1) IN ('-', '*')))::BIGINT
-               AS bullet_lines,
-             len(list_filter(lines,
-               l -> ends_with(rtrim(l), '...')))::BIGINT
-               AS ellipsis_lines,
-             len(list_filter(ws,
-               w -> regexp_matches(w, '[A-Za-z]')))::BIGINT
-               AS alpha_words,
-             len(list_filter(
-               ['the','be','to','of','and','that','have','with'],
-               sw -> list_contains(wsl, sw)))::BIGINT AS stopword_hits
-           FROM t)
+      raw"""WITH ${gopherSignalCtes("documents")}
          SELECT doc_id, word_count, char_sum, symbol_count, line_count,
            bullet_lines, ellipsis_lines, alpha_words, stopword_hits,
-           (CASE WHEN word_count >= 50 AND word_count <= 100000
-                 AND 3 * word_count <= char_sum
-                 AND char_sum <= 10 * word_count
-                 AND symbol_count * 10 <= word_count
-                 AND bullet_lines * 10 <= line_count * 9
-                 AND ellipsis_lines * 10 <= line_count * 3
-                 AND alpha_words * 10 >= word_count * 8
-                 AND stopword_hits >= 2
+           (CASE WHEN $gopherKeepPredSql
             THEN 1 ELSE 0 END)::BIGINT AS keep
-         FROM s ORDER BY doc_id""",
+         FROM gs ORDER BY doc_id""",
 
     // q81: the oracle recounts with O(n²) list lambdas — layered CTEs
     // so the top count is computed once, then the tie-broken smallest
     // top gram via list 'min'
     "q81_repetition_rules" ->
-      raw"""WITH t AS (
-           SELECT doc_id, text,
-             list_filter(string_split(text, chr(10)),
-               l -> len(l) > 0) AS lines,
-             list_filter(string_split_regex(text, '\s+'),
-               w -> len(w) > 0) AS ws
-           FROM documents),
-         g AS (
-           SELECT doc_id, lines, ws,
-             CASE WHEN len(ws) < 2 THEN []::VARCHAR[]
-                  ELSE list_transform(range(1, len(ws)),
-                    i -> ws[i] || ' ' || ws[i + 1])
-             END AS grams
-           FROM t),
-         c AS (
-           SELECT doc_id, lines, ws, grams,
-             CASE WHEN len(grams) = 0 THEN 0
-                  ELSE list_max(list_transform(grams, g2 ->
-                    len(list_filter(grams, x -> x = g2))))
-             END AS topc
-           FROM g),
-         c2 AS (
-           SELECT doc_id, lines, ws, grams, topc,
-             CASE WHEN len(grams) = 0 THEN NULL
-                  ELSE list_aggregate(list_filter(grams, g2 ->
-                    len(list_filter(grams, x -> x = g2)) = topc), 'min')
-             END AS top_gram
-           FROM c),
-         s AS (
-           SELECT doc_id,
-             len(lines)::BIGINT AS line_count,
-             len(list_filter(lines, l ->
-               len(list_filter(lines, x -> x = l)) >= 2))::BIGINT
-               AS dup_line_count,
-             coalesce(list_sum(list_transform(lines, l -> len(l))), 0)
-               ::BIGINT AS line_chars,
-             coalesce(list_sum(list_transform(
-               list_filter(lines, l ->
-                 len(list_filter(lines, x -> x = l)) >= 2),
-               l -> len(l))), 0)::BIGINT AS dup_line_chars,
-             top_gram,
-             topc::BIGINT AS top_gram_count,
-             (CASE WHEN top_gram IS NULL THEN 0
-                   ELSE topc * (len(top_gram) - 1) END)::BIGINT
-               AS top_gram_chars,
-             coalesce(list_sum(list_transform(ws, w -> len(w))), 0)
-               ::BIGINT AS word_chars
-           FROM c2)
+      raw"""WITH ${repetitionSignalCtes("documents")}
          SELECT doc_id, line_count, dup_line_count, line_chars,
            dup_line_chars, top_gram, top_gram_count, top_gram_chars,
            word_chars,
-           (CASE WHEN dup_line_count * 10 <= line_count * 3
-                 AND dup_line_chars * 5 <= line_chars
-                 AND top_gram_chars * 50 <= word_chars * 9
+           (CASE WHEN $repetitionKeepPredSql
             THEN 1 ELSE 0 END)::BIGINT AS keep
-         FROM s ORDER BY doc_id""",
+         FROM rs ORDER BY doc_id""",
+
+    // q82: the full curation funnel — redact → quality battery →
+    // repetition battery → exact dedup — composed from the SAME CTE
+    // generators q72/q80/q81 replay, aggregated to exact integer
+    // stage counts
+    "q82_curation_gopher" ->
+      raw"""WITH red AS (
+           SELECT d.doc_id, d.text AS orig,
+             ${redactSql("d.text")} AS text
+           FROM documents d WHERE d.text IS NOT NULL),
+         ${gopherSignalCtes("red")},
+         ${repetitionSignalCtes("red")},
+         j AS (
+           SELECT red.doc_id,
+             (CASE WHEN red.text != red.orig THEN 1 ELSE 0 END) AS chg,
+             (CASE WHEN $gopherKeepPredSql THEN 1 ELSE 0 END) AS gk,
+             (CASE WHEN $repetitionKeepPredSql THEN 1 ELSE 0 END) AS rk,
+             substr(md5(regexp_replace(lower(trim(red.text)), '\s+',
+               ' ', 'g')), 1, 16) AS fp
+           FROM red
+           JOIN gs ON gs.doc_id = red.doc_id
+           JOIN rs ON rs.doc_id = red.doc_id)
+         SELECT count(*)::BIGINT AS n_total,
+           sum(chg)::BIGINT AS n_redacted_changed,
+           sum(gk)::BIGINT AS n_gopher_keep,
+           sum(rk)::BIGINT AS n_rep_keep,
+           sum(gk * rk)::BIGINT AS n_kept,
+           count(DISTINCT CASE WHEN gk = 1 AND rk = 1 THEN fp END)
+             ::BIGINT AS n_kept_distinct
+         FROM j""",
 
     "q04_langid" ->
       """WITH tk AS (
@@ -3659,12 +3756,7 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
              lpad((doc_id % 10000)::VARCHAR, 4, '0') AS raw
            FROM documents WHERE text IS NOT NULL),
          red AS (
-           SELECT regexp_replace(regexp_replace(regexp_replace(raw,
-             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+',
-             '<EMAIL>', 'g'),
-             '\b\d\d\d-\d\d-\d\d\d\d\b', '<SSN>', 'g'),
-             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
-             '<IP>', 'g') AS red
+           SELECT ${redactSql("raw")} AS red
            FROM base)
          SELECT count(*) AS n_docs,
            sum(CASE WHEN contains(red, '<EMAIL>') THEN 1 ELSE 0 END)
