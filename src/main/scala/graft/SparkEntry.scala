@@ -1241,6 +1241,113 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
           col("gfp"))).as("n_kept_distinct"))
     }),
 
+    "q83_dup_spans" -> ((s, dir) => {
+      // Duplicated-span detection (Lee et al. 2021, "Deduplicating
+      // Training Data Makes Language Models Better") in its distributed
+      // n-gram form: every overlapping 8-word span, keyed by a 64-bit
+      // md5 prefix, counted corpus-wide; a span occurring >= 2 times
+      // marks duplicated text. Per doc: span count, spans whose key
+      // repeats anywhere, spans whose key appears in >= 2 DISTINCT
+      // docs, and a keep verdict (<= 20% duplicated span positions,
+      // cross-multiplied integers). Plan shape for 100 TB: explode ->
+      // groupBy(span_key) with map-side partial aggregation (the only
+      // corpus-scale shuffle), then a key-stats equi-join back and a
+      // per-doc re-aggregation — the canonical suffix-array
+      // alternative that needs no global sort.
+      import graft.functions.TextFunctions.{spanKey, wordSpans}
+      val spans = t(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          explode(wordSpans(col("text"), 8)).as("span"))
+        .select(col("doc_id"), spanKey(col("span")).as("k"))
+      val keyStats = spans.groupBy(col("k")).agg(
+        count(lit(1)).as("c"),
+        count_distinct(col("doc_id")).as("d"))
+      spans.join(keyStats, "k")
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_spans"),
+          sum((col("c") >= 2L).cast("long")).as("dup_spans"),
+          sum((col("d") >= 2L).cast("long")).as("xdoc_spans"))
+        .withColumn("keep",
+          (col("dup_spans") * 5L <= col("n_spans")).cast("long"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q84_quality_buckets" -> ((s, dir) => {
+      // CCNet-style corpus partitioning (Wenzek et al. 2020): within
+      // each language, rank documents by a quality proxy and cut into
+      // head/middle/tail (30/40/30). CCNet ranks by LM perplexity; the
+      // proxy here is n_chars with doc_id ties — integer and
+      // deterministic — and the cut is cross-multiplied integer
+      // arithmetic (rank*10 <= cnt*3 -> head, <= cnt*7 -> middle),
+      // exact on any engine. 100 TB note: the within-language rank is
+      // a range-partitioned sort (exactly what CCNet runs); when
+      // exactness isn't required, an approx-quantile threshold on the
+      // proxy avoids the sort entirely.
+      import org.apache.spark.sql.expressions.Window
+      val byLang = Window.partitionBy(col("lang"))
+      val w = byLang.orderBy(col("n_chars").desc, col("doc_id"))
+      t(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("lang"), col("doc_id"), col("n_chars"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .withColumn("cnt", count(lit(1)).over(byLang))
+        .withColumn("bucket",
+          when(col("rnk") * 10L <= col("cnt") * 3L, "head")
+            .when(col("rnk") * 10L <= col("cnt") * 7L, "middle")
+            .otherwise("tail"))
+        .groupBy(col("lang"), col("bucket"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("char_sum"),
+          max(col("n_chars")).as("max_chars"),
+          min(col("n_chars")).as("min_chars"))
+        .orderBy(col("lang"), col("bucket"))
+    }),
+
+    "q85_importance" -> ((s, dir) => {
+      // DSIR-style data selection (Xie et al. 2023, "Data Selection
+      // for Language Models via Importance Resampling"): score every
+      // document by how much its hashed-token distribution looks like
+      // a TARGET slice (lang='en') vs the RAW corpus. Tokens hash to
+      // 256 md5 buckets; each bucket gets integer occurrence RATES
+      // per million (count*1e6 DIV total — truncating division,
+      // identical on positive longs in both engines), and a document's
+      // importance is the sum over its token positions of
+      // (target_rate − raw_rate) — the log-ratio surrogate that stays
+      // in exact integer arithmetic so any engine replays it
+      // bit-for-bit (the true log-ratio form is the production path at
+      // scales where rates overflow nothing anyway). Top 20 by
+      // (importance DESC, doc_id) — a deterministic total order.
+      // Plan shape for 100 TB: ONE explode pass feeds both the
+      // 256-row bucket profile (map-side combined) and the per-doc
+      // fold; the profile side is broadcast, so the only corpus-scale
+      // shuffle is the final per-doc aggregation.
+      import graft.functions.TextFunctions.tokens
+      val toks = t(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), col("lang"),
+          explode(tokens(col("text"))).as("tok"))
+        .select(col("doc_id"), col("lang"),
+          conv(substring(md5(col("tok")), 1, 2), 16, 10)
+            .cast("long").as("b"))
+      val profile = toks.groupBy(col("b")).agg(
+        count(lit(1)).as("cr"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
+      val totals = profile.agg(
+        sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
+      val rates = profile.crossJoin(broadcast(totals))
+        .selectExpr("b", "ct * 1000000 DIV nt AS rt",
+          "cr * 1000000 DIV nr AS rr")
+      toks.join(broadcast(rates), "b")
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(count(lit(1)).as("n_toks"),
+          sum(col("rt") - col("rr")).as("importance"))
+        .orderBy(col("importance").desc, col("doc_id"))
+        .limit(20)
+    }),
+
     "q04_langid" -> ((s, dir) => {
       // Language-ID heuristic: argmax over marker-word scores (ties to the
       // lexicographically largest language, mirrored in the oracle CASE).
@@ -2679,6 +2786,82 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
            count(DISTINCT CASE WHEN gk = 1 AND rk = 1 THEN fp END)
              ::BIGINT AS n_kept_distinct
          FROM j""",
+
+    // q83: the oracle regenerates every 8-word span with list lambdas,
+    // keys it with the SAME md5-prefix the engine shuffles on, and
+    // recounts — pure integer counts, no rounding surface
+    "q83_dup_spans" ->
+      raw"""WITH t AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'),
+               w -> len(w) > 0) AS ws
+           FROM documents WHERE text IS NOT NULL),
+         sp AS (
+           SELECT doc_id,
+             substr(md5(unnest(CASE WHEN len(ws) < 8 THEN []::VARCHAR[]
+               ELSE list_transform(range(1, len(ws) - 6),
+                 i -> list_aggregate(ws[i:i+7], 'string_agg', ' '))
+               END)), 1, 16) AS k
+           FROM t),
+         ks AS (
+           SELECT k, count(*) AS c, count(DISTINCT doc_id) AS d
+           FROM sp GROUP BY k)
+         SELECT sp.doc_id,
+           count(*)::BIGINT AS n_spans,
+           sum(CASE WHEN ks.c >= 2 THEN 1 ELSE 0 END)::BIGINT
+             AS dup_spans,
+           sum(CASE WHEN ks.d >= 2 THEN 1 ELSE 0 END)::BIGINT
+             AS xdoc_spans,
+           (CASE WHEN sum(CASE WHEN ks.c >= 2 THEN 1 ELSE 0 END) * 5
+                 <= count(*) THEN 1 ELSE 0 END)::BIGINT AS keep
+         FROM sp JOIN ks ON sp.k = ks.k
+         GROUP BY sp.doc_id ORDER BY sp.doc_id""",
+
+    // q84: identical window + cross-multiplied cut — all integers
+    "q84_quality_buckets" ->
+      """WITH r AS (
+           SELECT lang, doc_id, n_chars,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY n_chars DESC, doc_id) AS rnk,
+             count(*) OVER (PARTITION BY lang) AS cnt
+           FROM documents WHERE text IS NOT NULL)
+         SELECT lang,
+           (CASE WHEN rnk * 10 <= cnt * 3 THEN 'head'
+                 WHEN rnk * 10 <= cnt * 7 THEN 'middle'
+                 ELSE 'tail' END) AS bucket,
+           count(*)::BIGINT AS n_docs,
+           sum(n_chars)::BIGINT AS char_sum,
+           max(n_chars)::BIGINT AS max_chars,
+           min(n_chars)::BIGINT AS min_chars
+         FROM r GROUP BY lang, bucket ORDER BY lang, bucket""",
+
+    // q85: same hashed buckets, same truncating-division integer
+    // rates (// floors, DIV truncates — equal on positive longs)
+    "q85_importance" ->
+      raw"""WITH tk AS (
+           SELECT doc_id, lang,
+             unnest(list_filter(string_split_regex(text, '\s+'),
+               w -> len(w) > 0)) AS tok
+           FROM documents WHERE text IS NOT NULL),
+         tb AS (
+           SELECT doc_id, lang,
+             concat('0x', substr(md5(tok), 1, 2))::BIGINT AS b
+           FROM tk),
+         bc AS (
+           SELECT b, count(*)::BIGINT AS cr,
+             sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS ct
+           FROM tb GROUP BY b),
+         tot AS (
+           SELECT sum(cr)::BIGINT AS nr, sum(ct)::BIGINT AS nt FROM bc),
+         rates AS (
+           SELECT b, (ct * 1000000) // nt AS rt,
+             (cr * 1000000) // nr AS rr
+           FROM bc, tot)
+         SELECT tb.doc_id, tb.lang, count(*)::BIGINT AS n_toks,
+           sum(r.rt - r.rr)::BIGINT AS importance
+         FROM tb JOIN rates r ON tb.b = r.b
+         GROUP BY tb.doc_id, tb.lang
+         ORDER BY importance DESC, tb.doc_id LIMIT 20""",
 
     "q04_langid" ->
       """WITH tk AS (

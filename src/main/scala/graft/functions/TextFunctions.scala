@@ -85,6 +85,27 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     substring(md5(regexp_replace(lower(trim(text)), "\\s+", " ")), 1, 16)
 
+  /** All overlapping word `n`-gram spans of a document, space-joined —
+    * the unit of the Lee et al. 2021 ("Deduplicating Training Data
+    * Makes Language Models Better") substring-dedup pass in its
+    * distributed n-gram form: a span that occurs twice anywhere in the
+    * corpus marks duplicated text. Shorter documents (< n words) yield
+    * an empty array, never null. Pure `functions._` (sequence +
+    * transform + slice), so the span generation is a narrow projection.
+    */
+  def wordSpans(text: Column, n: Int): Column = {
+    require(n >= 1, s"span length must be >= 1, got $n")
+    val ws = tokens(text)
+    when(size(ws) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(ws) - lit(n - 1)),
+        i => array_join(slice(ws, i, lit(n)), " ")))
+  }
+
+  /** Fixed-width shuffle key for a span: first 16 md5 hex chars (64
+    * bits — collision-free at any realistic corpus size, and 4-10×
+    * narrower than the span text on the wire). */
+  def spanKey(span: Column): Column = substring(md5(span), 1, 16)
+
   /** The Gopher REPETITION signals ([[graft.plans.RepetitionStatsExpr]]
     * — one native hash-map pass per row): duplicate-line counts/chars
     * and the most-frequent word-2-gram's coverage. Requires

@@ -89,6 +89,31 @@ class TextFunctionsSpec extends SparkSpec {
     assert(n.head.isNullAt(0))
   }
 
+  test("wordSpans: overlapping n-grams, short-doc empties, key width") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "a b c d"),     // 3 overlapping 2-grams
+      (2L, "a  b"),        // run of spaces collapses
+      (3L, "solo"),        // < n words -> empty, not null
+      (4L, ""))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        TextFunctions.wordSpans(col("text"), 2).as("sp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(rows(1L) == Seq("a b", "b c", "c d"), rows(1L))
+    assert(rows(2L) == Seq("a b"), rows(2L))
+    assert(rows(3L) == Seq.empty, rows(3L))
+    assert(rows(4L) == Seq.empty, rows(4L))
+    // the shuffle key is 16 hex chars of the span's md5
+    val k = Seq(("a b c")).toDF("t")
+      .select(TextFunctions.spanKey(lit("a b")).as("k")).head.getString(0)
+    assert(k.length == 16 && k.matches("[0-9a-f]{16}"), k)
+    // null text yields null spans (tokens null-propagates)
+    val n = Seq((9L, null: String)).toDF("doc_id", "text")
+      .select(TextFunctions.wordSpans(col("text"), 2).as("sp")).head()
+    assert(n.isNullAt(0))
+  }
+
   test("redactPii: typed placeholders, pattern order, clean text " +
       "untouched") {
     import spark.implicits._
