@@ -34,6 +34,30 @@ class EntrySpec extends SparkSpec {
     }
   }
 
+  test("q83/q85 plans: no cartesian, q85 profile side broadcasts") {
+    // q83 (dup spans): the span-key stats join must be a real equi-join
+    // (corpus-scale both sides), never a cartesian, and nothing may
+    // buffer per-group lists.
+    val p83 = SparkEntry.queries("q83_dup_spans")(
+        spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(!p83.contains("Cartesian") && !p83.contains("NestedLoop"),
+      s"non-equi join in q83 plan:\n$p83")
+    assert(!p83.contains("collect_set") && !p83.contains("collect_list"),
+      s"unbounded per-group collect in q83 plan:\n$p83")
+    // q85 (importance): both the 1-row totals and the 256-row rate
+    // profile must reach their joins as broadcasts — the per-token
+    // corpus side must never shuffle for a join (its only shuffle is
+    // the per-doc aggregation).
+    val p85 = SparkEntry.queries("q85_importance")(
+        spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(!p85.contains("Cartesian"), s"cartesian in q85 plan:\n$p85")
+    assert(!p85.contains("SortMergeJoin") &&
+      !p85.contains("ShuffledHashJoin"),
+      s"shuffled join in q85 plan (profile must broadcast):\n$p85")
+  }
+
   test("q51_decontam plan is bounded-state: no collect, shuffled semi join") {
     val plan = SparkEntry.queries("q51_decontam")(
         spark, "/root/testdata/sf0.001")
