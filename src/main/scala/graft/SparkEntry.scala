@@ -1177,18 +1177,20 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
         .limit(20)
     }),
 
-    "q80_gopher_rules" -> ((s, dir) =>
+    "q80_gopher_rules" -> ((s, dir) => {
       // The Gopher quality-filter battery (Rae et al. 2021 §A1.1) —
-      // the standard pre-training corpus gate — as one narrow
-      // codegen'd projection: count signals + a keep verdict whose
+      // the standard pre-training corpus gate — ONE native pass per
+      // row (GopherStatsExpr): count signals + a keep verdict whose
       // thresholds are CROSS-MULTIPLIED integer comparisons (no
       // ratios, no rounding discipline needed — exact on any engine).
+      VectorExpressions.ensureRegistered(s)
       t(s, dir, "documents")
         .select(col("doc_id"),
           graft.functions.TextFunctions.gopherSignals(col("text"))
             .as("g"))
         .select(col("doc_id"), col("g.*"))
-        .orderBy(col("doc_id"))),
+        .orderBy(col("doc_id"))
+    }),
 
     "q81_repetition_rules" -> ((s, dir) => {
       // The Gopher REPETITION filters (q80's complement): duplicate
@@ -1216,21 +1218,12 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
       // composes the same generator CTEs q72/q80/q81 replay, so the
       // stages can never drift from their standalone queries.
       VectorExpressions.ensureRegistered(s)
-      import graft.functions.TextFunctions.{fingerprint, gopherSignals,
-        redactPii, repetitionKeep, repetitionStats}
       val per = t(s, dir, "documents")
         .filter(col("text").isNotNull)
-        .select(col("doc_id"), col("text"),
-          redactPii(col("text")).as("clean"))
-        .select(col("doc_id"),
-          (col("clean") =!= col("text")).cast("long").as("chg"),
-          gopherSignals(col("clean")).as("g"),
-          repetitionStats(col("clean")).as("r"),
-          col("clean"))
-        .select(col("chg"), col("g.keep").as("gk"),
-          repetitionKeep(col("r")).as("rk"),
-          when(col("g.keep") === 1L, fingerprint(col("clean")))
-            .as("gfp"))
+        .select(graft.functions.TextFunctions.curationFlags(col("text"))
+          .as("c"))
+        .select(col("c.chg").as("chg"), col("c.gopher_keep").as("gk"),
+          col("c.rep_keep").as("rk"), col("c.fp").as("gfp"))
       per.agg(
         count(lit(1)).as("n_total"),
         sum(col("chg")).as("n_redacted_changed"),
@@ -1254,6 +1247,7 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
       // corpus-scale shuffle), then a key-stats equi-join back and a
       // per-doc re-aggregation — the canonical suffix-array
       // alternative that needs no global sort.
+      VectorExpressions.ensureRegistered(s)
       import graft.functions.TextFunctions.{spanKey, wordSpans}
       val spans = t(s, dir, "documents")
         .filter(col("text").isNotNull)

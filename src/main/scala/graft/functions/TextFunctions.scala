@@ -90,15 +90,15 @@ object TextFunctions {
     * Makes Language Models Better") substring-dedup pass in its
     * distributed n-gram form: a span that occurs twice anywhere in the
     * corpus marks duplicated text. Shorter documents (< n words) yield
-    * an empty array, never null. Pure `functions._` (sequence +
-    * transform + slice), so the span generation is a narrow projection.
-    */
+    * an empty array; null text stays null. ONE native tokenization pass
+    * ([[graft.plans.WordSpansExpr]] — the HOF `transform(sequence(...),
+    * i => array_join(slice(ws, i, n)))` spelling re-evaluates the
+    * captured token subtree per element under interpreted eval, O(n²)
+    * splits/row). Requires
+    * [[graft.plans.VectorExpressions.ensureRegistered]]. */
   def wordSpans(text: Column, n: Int): Column = {
     require(n >= 1, s"span length must be >= 1, got $n")
-    val ws = tokens(text)
-    when(size(ws) < n, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), size(ws) - lit(n - 1)),
-        i => array_join(slice(ws, i, lit(n)), " ")))
+    call_function("graft_word_spans", text, lit(n))
   }
 
   /** Fixed-width shuffle key for a span: first 16 md5 hex chars (64
@@ -130,8 +130,10 @@ object TextFunctions {
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
   /** Gopher-style document quality rules (Rae et al. 2021 §A1.1 — the
-    * standard pre-training corpus filter battery), as ONE narrow
-    * codegen'd projection emitting the raw signals plus the composite
+    * standard pre-training corpus filter battery), as ONE native pass
+    * per row ([[graft.plans.GopherStatsExpr]]; the HOF spelling
+    * re-split the text once per signal under interpreted eval)
+    * emitting the raw signals plus the composite
     * `keep` verdict. Signals are COUNTS (longs) and every threshold
     * compares cross-multiplied integers (`bullet_lines·10 ≤
     * line_count·9` rather than a ratio ≤ 0.9), so the whole operator is
@@ -144,44 +146,32 @@ object TextFunctions {
     * `.select(col("g.*"))`. */
   def gopherSignals(text: Column,
       stopwords: Seq[String] = GopherStopwords): Column = {
-    val ts = tokens(text)
-    val tsLower = tokens(lower(text))
-    val lines = split(text, "\n")
-    val wordCount = size(ts).cast("long")
-    val charSum = aggregate(ts, lit(0L),
-      (s, t) => s + length(t).cast("long"))
-    val symbolCount =
-      (length(text) - length(regexp_replace(text, "#", ""))).cast("long") +
-        ((length(text) -
-          length(regexp_replace(text, "\\.\\.\\.", ""))) / lit(3))
-          .cast("long")
-    val lineCount = size(lines).cast("long")
-    val bulletLines = size(filter(lines, l =>
-      array_contains(array(lit("-"), lit("*")),
-        substring(ltrim(l), 1, 1)))).cast("long")
-    val ellipsisLines = size(filter(lines, l =>
-      rtrim(l).endsWith("..."))).cast("long")
-    val alphaWords = size(filter(ts, w => w.rlike("[A-Za-z]")))
-      .cast("long")
-    val stopwordHits = size(filter(array(stopwords.map(lit): _*),
-      s => array_contains(tsLower, s))).cast("long")
-    val keep = (wordCount >= 50L && wordCount <= 100000L &&
-      lit(3L) * wordCount <= charSum && charSum <= lit(10L) * wordCount &&
-      symbolCount * 10L <= wordCount &&
-      bulletLines * 10L <= lineCount * 9L &&
-      ellipsisLines * 10L <= lineCount * 3L &&
-      alphaWords * 10L >= wordCount * 8L &&
-      stopwordHits >= 2L).cast("long")
+    require(stopwords.nonEmpty && stopwords.forall(!_.contains(" ")),
+      "stopwords must be non-empty single words")
+    call_function("graft_gopher_stats", text,
+      lit(stopwords.mkString(" ")))
+  }
+
+  /** Per-document curation verdicts — the q82 funnel's per-row stage as
+    * one reusable narrow projection: PII-redact, then the Gopher
+    * quality battery and the repetition battery on the CLEAN text, plus
+    * the dedup fingerprint of the clean bytes. STATELESS by
+    * construction (row-local, no window/agg/join), so the identical
+    * column expression runs unchanged under Structured Streaming —
+    * curation filtering composes with any ingest stream before the
+    * stateful stages (dedup, indexing) see a byte. Requires
+    * [[graft.plans.VectorExpressions.ensureRegistered]] (the repetition
+    * signals are a native expression). Returns
+    * struct(chg, gopher_keep, rep_keep, fp, clean). */
+  def curationFlags(text: Column): Column = {
+    val clean = redactPii(text)
+    val g = gopherSignals(clean)
     struct(
-      wordCount.as("word_count"),
-      charSum.as("char_sum"),
-      symbolCount.as("symbol_count"),
-      lineCount.as("line_count"),
-      bulletLines.as("bullet_lines"),
-      ellipsisLines.as("ellipsis_lines"),
-      alphaWords.as("alpha_words"),
-      stopwordHits.as("stopword_hits"),
-      keep.as("keep"))
+      (clean =!= text).cast("long").as("chg"),
+      g("keep").as("gopher_keep"),
+      repetitionKeep(repetitionStats(clean)).as("rep_keep"),
+      fingerprint(clean).as("fp"),
+      clean.as("clean"))
   }
 
   /** PII patterns redacted by [[redactPii]], applied in this order.

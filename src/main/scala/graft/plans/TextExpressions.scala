@@ -315,6 +315,206 @@ case class WordShinglesExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native overlapping word n-gram spans — the Lee et al. 2021
+  * substring-dedup unit (q83) in ONE tokenization pass. Unlike
+  * [[WordShinglesExpr]] (a dedup SET for MinHash), this preserves
+  * MULTIPLICITY and ORDER and the original case: every position i
+  * yields tokens[i..i+n) space-joined, so corpus-wide span counts
+  * measure duplicated text exactly. The HOF spelling
+  * (`transform(sequence(...), i => array_join(slice(ws, i, n)))`)
+  * re-evaluates the captured token subtree per sequence element under
+  * interpreted eval — O(n²) regex splits per document; this is the
+  * one-pass form. Fewer than n words → empty array; null text → null
+  * (tokens-of-null is null, unlike the shingle SET where null means
+  * "no shingles"). SQL name: `graft_word_spans`.
+  */
+case class WordSpansExpr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback with ExpectsInputTypes {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.sql.types.ArrayType
+
+  override def prettyName: String = "graft_word_spans"
+  override def inputTypes = Seq(StringType, IntegerType)
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = left.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val base = super.checkInputDataTypes()
+    if (base.isFailure) base
+    else if (!right.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: n (2nd arg) must be a constant")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  @transient private lazy val n: Int = {
+    val v = right.eval(null).asInstanceOf[Int]
+    require(v > 0, s"$prettyName: n must be positive, got $v")
+    v
+  }
+
+  protected override def nullSafeEval(text: Any, nArg: Any): Any = {
+    val toks = text.asInstanceOf[UTF8String].toString
+      .split("\\s+").filter(_.nonEmpty)
+    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](toks.length - n + 1)
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i + n <= toks.length) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Native Gopher quality-filter signals (Rae et al. 2021 §A1.1, q80)
+  * in ONE pass over the document: word/char counts, symbol counts
+  * (`#` chars plus non-overlapping `...` occurrences — the exact
+  * `replace`-then-length arithmetic the oracle replays), line
+  * bullet/ellipsis counts, alphabetic-word count, and required-stopword
+  * hits, plus the composite cross-multiplied `keep` verdict. The HOF
+  * spelling re-splits the text once per signal under interpreted eval
+  * (~8 regex splits/row); this does one token split, one lowercase
+  * split, one line split. Field-for-field identical to the HOF form —
+  * the q80/q82 oracles replay the same integer arithmetic. Second arg:
+  * space-joined stopword list (constant). Null text → null. SQL name:
+  * `graft_gopher_stats`.
+  */
+case class GopherStatsExpr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback with ExpectsInputTypes {
+  import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+  override def prettyName: String = "graft_gopher_stats"
+  override def inputTypes = Seq(StringType, StringType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("word_count", LongType, nullable = false),
+    StructField("char_sum", LongType, nullable = false),
+    StructField("symbol_count", LongType, nullable = false),
+    StructField("line_count", LongType, nullable = false),
+    StructField("bullet_lines", LongType, nullable = false),
+    StructField("ellipsis_lines", LongType, nullable = false),
+    StructField("alpha_words", LongType, nullable = false),
+    StructField("stopword_hits", LongType, nullable = false),
+    StructField("keep", LongType, nullable = false)))
+  override def nullable: Boolean = left.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val base = super.checkInputDataTypes()
+    if (base.isFailure) base
+    else if (!right.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: stopwords (2nd arg) must be constant")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  @transient private lazy val stopwords: Array[String] = {
+    val spec = right.eval(null).asInstanceOf[UTF8String]
+    require(spec != null, s"$prettyName: null stopword spec")
+    spec.toString.split(" ").filter(_.nonEmpty)
+  }
+
+  protected override def nullSafeEval(text: Any, sw: Any): Any = {
+    val s = text.asInstanceOf[UTF8String].toString
+    // token pass (case preserved): count, char sum, alphabetic words
+    var wordCount = 0L
+    var charSum = 0L
+    var alphaWords = 0L
+    val toks = s.split("\\s+")
+    var i = 0
+    while (i < toks.length) {
+      val w = toks(i)
+      if (w.nonEmpty) {
+        wordCount += 1
+        charSum += w.length
+        var j = 0
+        var alpha = false
+        while (!alpha && j < w.length) {
+          val c = w.charAt(j)
+          if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z'))
+            alpha = true
+          j += 1
+        }
+        if (alpha) alphaWords += 1
+      }
+      i += 1
+    }
+    // lowercase token pass: distinct required-stopword hits
+    var stopwordHits = 0L
+    val lowSet = new java.util.HashSet[String]()
+    val lowToks = s.toLowerCase.split("\\s+")
+    i = 0
+    while (i < lowToks.length) {
+      if (lowToks(i).nonEmpty) lowSet.add(lowToks(i))
+      i += 1
+    }
+    i = 0
+    while (i < stopwords.length) {
+      if (lowSet.contains(stopwords(i))) stopwordHits += 1
+      i += 1
+    }
+    // symbol pass: '#' chars + NON-OVERLAPPING "..." occurrences
+    // (length(text) − length(replace(text,'...','')))/3 semantics)
+    var hashCount = 0L
+    i = 0
+    while (i < s.length) { if (s.charAt(i) == '#') hashCount += 1; i += 1 }
+    var ellipsisCount = 0L
+    var from = s.indexOf("...")
+    while (from >= 0) {
+      ellipsisCount += 1
+      from = s.indexOf("...", from + 3)
+    }
+    val symbolCount = hashCount + ellipsisCount
+    // line pass (split keeps empties, like split(text,'\n'))
+    val lines = s.split("\n", -1)
+    val lineCount = lines.length.toLong
+    var bulletLines = 0L
+    var ellipsisLines = 0L
+    i = 0
+    while (i < lines.length) {
+      val l = lines(i)
+      // first char after leading SPACES (ltrim default = ' ')
+      var p = 0
+      while (p < l.length && l.charAt(p) == ' ') p += 1
+      if (p < l.length && (l.charAt(p) == '-' || l.charAt(p) == '*'))
+        bulletLines += 1
+      // trailing spaces stripped (rtrim default = ' ')
+      var q = l.length
+      while (q > 0 && l.charAt(q - 1) == ' ') q -= 1
+      if (q >= 3 && l.charAt(q - 1) == '.' && l.charAt(q - 2) == '.' &&
+        l.charAt(q - 3) == '.') ellipsisLines += 1
+      i += 1
+    }
+    val keep =
+      if (wordCount >= 50L && wordCount <= 100000L &&
+        3L * wordCount <= charSum && charSum <= 10L * wordCount &&
+        symbolCount * 10L <= wordCount &&
+        bulletLines * 10L <= lineCount * 9L &&
+        ellipsisLines * 10L <= lineCount * 3L &&
+        alphaWords * 10L >= wordCount * 8L &&
+        stopwordHits >= 2L) 1L else 0L
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](wordCount, charSum, symbolCount, lineCount,
+        bulletLines, ellipsisLines, alphaWords, stopwordHits, keep))
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Native weighted-query overlap — the sparse + colbert terms of the
   * hybrid fusion (q35) in one tokenization pass. Returns
   * `struct<sparse: double, n_hit: long>` where `sparse` is the sum over

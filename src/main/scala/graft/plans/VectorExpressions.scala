@@ -425,6 +425,8 @@ object VectorExpressions {
     ("graft_rep_stats", es => RepetitionStatsExpr(es(0))),
     ("graft_tok_stats", es => TokenStatsExpr(es(0), es(1))),
     ("graft_word_shingles", es => WordShinglesExpr(es(0), es(1))),
+    ("graft_word_spans", es => WordSpansExpr(es(0), es(1))),
+    ("graft_gopher_stats", es => GopherStatsExpr(es(0), es(1))),
     ("graft_minhash", es => MinHashSigExpr(es(0), es(1))),
     ("graft_query_overlap", es => QueryOverlapExpr(es(0), es(1))),
     ("graft_marker_counts", es => MarkerCountsExpr(es(0), es(1))))

@@ -8,6 +8,7 @@ class TextFunctionsSpec extends SparkSpec {
   test("gopherSignals: each rule trips on its crafted document, " +
       "healthy prose keeps") {
     import spark.implicits._
+    graft.plans.VectorExpressions.ensureRegistered(spark)
     // 60 words of plausible prose: mean word length in [3,10], all
     // alphabetic, two+ required stopwords — every rule passes
     val healthy = (("the quick brown fox jumps over another lazy dog " +
@@ -91,6 +92,7 @@ class TextFunctionsSpec extends SparkSpec {
 
   test("wordSpans: overlapping n-grams, short-doc empties, key width") {
     import spark.implicits._
+    graft.plans.VectorExpressions.ensureRegistered(spark)
     val rows = Seq(
       (1L, "a b c d"),     // 3 overlapping 2-grams
       (2L, "a  b"),        // run of spaces collapses

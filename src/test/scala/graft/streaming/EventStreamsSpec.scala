@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.{expr, sum, timestamp_micros}
+import org.apache.spark.sql.functions.{col, expr, sum, timestamp_micros}
 import org.apache.spark.sql.streaming.OutputMode
 import graft.SparkSpec
 import EventStreams.{Event, SessionSummary}
@@ -385,6 +385,48 @@ class EventStreamsSpec extends SparkSpec {
     val out = EventStreams.dedupStream(batch, "text", "ts")
       .select("text").collect().map(_.getString(0)).toSet
     assert(out.size == 2 && out.contains("gamma"))
+  }
+
+  test("curationFlags is stateless: the identical expression streams " +
+      "unchanged and matches its batch run") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    graft.plans.VectorExpressions.ensureRegistered(spark)
+    val healthy = (("the quick brown fox jumps over another lazy dog " +
+      "and that animal have fun with friends ") * 4).trim
+    val docs = Seq(
+      (1L, healthy),                        // keeps both batteries
+      (2L, "the cat and dog"),              // gopher: too short
+      (3L, healthy + " mail me at a@b.co"), // redaction changes bytes
+      (4L, Seq.fill(8)("the same exact line of words here again")
+        .mkString("\n")))                   // repetition: dup lines
+    def flags(df: org.apache.spark.sql.DataFrame) = df
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), TextFunctions.curationFlags(col("text"))
+        .as("c"))
+      .select(col("doc_id"), col("c.chg"), col("c.gopher_keep"),
+        col("c.rep_keep"), col("c.fp"))
+    val input = MemoryStream[(Long, String)]
+    val query = flags(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("cur_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(docs.take(2): _*)
+      query.processAllAvailable()
+      input.addData(docs.drop(2): _*) // second micro-batch: no state
+      query.processAllAvailable()
+      val streamed = spark.table("cur_stream").collect()
+        .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+      val batch = flags(docs.toDF("doc_id", "text")).collect()
+        .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+      assert(streamed == batch,
+        s"stream/batch divergence: $streamed vs $batch")
+      assert(batch(1L).take(3) == Seq(0L, 1L, 1L), batch(1L))
+      assert(batch(2L)(1) == 0L, batch(2L))
+      assert(batch(3L)(0) == 1L, batch(3L))
+      assert(batch(4L)(2) == 0L, batch(4L))
+    } finally query.stop()
   }
 
   test("windowedCounts runs over a real file stream (readStream source)") {
