@@ -72,6 +72,14 @@ object SparkEntry {
     * cut — outside this val the no-drift guarantee wouldn't cover it. */
   private val bm25BatchK = 5
 
+  /** q86's SemDeDup cosine threshold, shared by the entry and its oracle
+    * string so the two cannot drift. Both engines parse the same decimal
+    * literal to the same double and compare it against the SAME
+    * floor-quantized (4 dp) cosine. 0.3 sits far inside this corpus's
+    * cosine spread (pairwise p99 ~ 0.289, max ~ 0.51), so the verdict
+    * set is non-trivial at every SF. */
+  private val SemDedupTau = "0.3"
+
   /** q70's batch corpus stats, derived once per dir over the UNION
     * vocabulary (the per-dir cache convention — a bench rep must not
     * re-pay the stats scan). Separate from [[bm25StatsCache]], whose
@@ -1340,6 +1348,116 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
           sum(col("rt") - col("rr")).as("importance"))
         .orderBy(col("importance").desc, col("doc_id"))
         .limit(20)
+    }),
+
+    "q86_semdedup" -> ((s, dir) => {
+      // SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+      // at web-scale through semantic deduplication"): k-means-partition
+      // the embedding space, then look for semantic duplicates ONLY
+      // within a cluster — the clustering is what bounds the otherwise
+      // quadratic pair search (the paper runs ~100k clusters over LAION;
+      // here the corpus IVF fit is reused, so the same persisted
+      // artifact serves ANN search and dedup). A vector is dropped when
+      // some LOWER-ID vector in its cluster has quantized cosine >= tau
+      // (the paper keeps one representative per epsilon-ball; min-id is
+      // the deterministic stand-in for its centroid-distance choice).
+      // Cosine rounds through the primitive floor form (4 dp) before the
+      // threshold compare, so both engines gate on identical doubles.
+      // 100 TB shape: the pair join is an equi-join on the cluster key —
+      // cluster size bounds the blowup, no cartesian — and the result
+      // aggregates are cluster-count-sized; nothing corpus-scale reaches
+      // the driver.
+      VectorExpressions.ensureRegistered(s)
+      val d = ivfIndexFor(s, dir).assigned
+        .select(col("vec_id"), col("embedding"),
+          col(IvfIndex.ClusterCol).cast("long").as("cluster_id"))
+      val pairs = d.select(col("cluster_id"), col("vec_id").as("a_id"),
+          col("embedding").as("a_emb"))
+        .join(d.select(col("cluster_id"), col("vec_id").as("b_id"),
+          col("embedding").as("b_emb")), Seq("cluster_id"))
+        .filter(col("a_id") < col("b_id"))
+        .filter(KnnSearch.roundHalfUpCol(
+          cosineSimilarityNative(col("a_emb"), col("b_emb")), 4)
+          >= lit(SemDedupTau.toDouble))
+      val nDropped = pairs.select(col("cluster_id"), col("b_id"))
+        .distinct()
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_dropped"))
+      d.groupBy(col("cluster_id")).agg(count(lit(1)).as("n_vecs"))
+        .join(nDropped, Seq("cluster_id"), "left")
+        .select(col("cluster_id"), col("n_vecs"),
+          coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+          (col("n_vecs") - coalesce(col("n_dropped"), lit(0L)))
+            .as("n_kept"))
+        .orderBy(col("cluster_id"))
+    }),
+
+    "q87_token_budget" -> ((s, dir) => {
+      // Deterministic token-budget subsampling: every pre-training mix
+      // caps each stratum (here: language) at a token budget. Docs are
+      // ordered by CONTENT HASH (md5 of the bytes, doc_id ties) — the
+      // reproducible-split convention of q50: membership depends only on
+      // a doc's own bytes plus the stratum's total, never on engine,
+      // partitioning, or insertion order — and kept while the RUNNING
+      // token sum stays within 30% of the stratum's total
+      // (cross-multiplied integers: cum*10 <= tot*3, exact on any
+      // engine). 100 TB shape: one scan derives (hash, tokens); the
+      // running sum is a range-partitioned window per language — the
+      // same sort CCNet-style pipelines already run — and the output is
+      // strata-sized.
+      val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("lang"), col("doc_id"),
+          tokenCount(col("text")).as("n_toks"), md5(col("text")).as("h"))
+      val wCum = Window.partitionBy(col("lang"))
+        .orderBy(col("h"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs
+        .withColumn("cum", sum(col("n_toks")).over(wCum))
+        .withColumn("tot",
+          sum(col("n_toks")).over(Window.partitionBy(col("lang"))))
+        .withColumn("kept",
+          (col("cum") * 10L <= col("tot") * 3L).cast("long"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("kept")).as("n_kept"),
+          sum(col("n_toks")).as("tok_total"),
+          sum(col("n_toks") * col("kept")).as("tok_kept"))
+        .orderBy(col("lang"))
+    }),
+
+    "q88_boilerplate" -> ((s, dir) => {
+      // Per-source boilerplate n-gram detection (the CCNet/RefinedWeb
+      // boilerplate-removal shape, at n-gram rather than paragraph
+      // granularity): a word 2-gram that appears in >= 25% of a source's
+      // documents (sources with >= 5 docs; cross-multiplied integers) is
+      // site template, not content. Output per source: doc count,
+      // boilerplate-gram count, and how many docs carry at least one
+      // such gram. 100 TB shape: explode distinct grams -> ONE
+      // (source, gram) key shuffle with map-side combine; the
+      // boilerplate set is tiny and joins back broadcast; every
+      // aggregate afterward is source-count-sized.
+      val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+      val grams = docs.select(col("source"), col("doc_id"),
+        explode(wordShingles(col("text"), 2)).as("gram"))
+      val srcDocs = docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"))
+      val boiler = grams.groupBy(col("source"), col("gram"))
+        .agg(count(lit(1)).as("in_docs"))
+        .join(srcDocs, Seq("source"))
+        .filter(col("in_docs") * 4L >= col("n_docs") &&
+          col("n_docs") >= 5L)
+      val nBoiler = boiler.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_boiler_grams"))
+      val flagged = grams
+        .join(broadcast(boiler.select(col("source"), col("gram"))),
+          Seq("source", "gram"))
+        .select(col("source"), col("doc_id")).distinct()
+        .groupBy(col("source")).agg(count(lit(1)).as("n_flagged_docs"))
+      srcDocs.join(nBoiler, Seq("source"), "left")
+        .join(flagged, Seq("source"), "left")
+        .select(col("source"), col("n_docs"),
+          coalesce(col("n_boiler_grams"), lit(0L)).as("n_boiler_grams"),
+          coalesce(col("n_flagged_docs"), lit(0L)).as("n_flagged_docs"))
+        .orderBy(col("source"))
     }),
 
     "q04_langid" -> ((s, dir) => {
@@ -2856,6 +2974,79 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
          FROM tb JOIN rates r ON tb.b = r.b
          GROUP BY tb.doc_id, tb.lang
          ORDER BY importance DESC, tb.doc_id LIMIT 20""",
+
+    // q86: the oracle replays SemDeDup over the EXPORTED index replica —
+    // cluster assignments come from the same persisted artifact the
+    // engine searched, the pair predicate compares the identical
+    // floor-quantized (4 dp) cosine against the shared tau literal, and
+    // every output is an exact integer count.
+    "q86_semdedup" ->
+      raw"""WITH d AS (
+           SELECT vec_id, embedding::DOUBLE[] AS v,
+             __ivf_cluster::BIGINT AS c
+           FROM read_parquet('$IvfOracleRoot/single/data/*.parquet')),
+         dr AS (
+           SELECT DISTINCT a.c, b.vec_id AS b_id
+           FROM d a JOIN d b ON a.c = b.c AND a.vec_id < b.vec_id
+           WHERE floor(list_cosine_similarity(a.v, b.v) * 1e4
+               + 0.5::DOUBLE) / 1e4 >= $SemDedupTau),
+         nv AS (SELECT c, count(*) AS n_vecs FROM d GROUP BY c),
+         nd AS (SELECT c, count(*) AS n_dropped FROM dr GROUP BY c)
+         SELECT nv.c AS cluster_id, nv.n_vecs,
+           coalesce(nd.n_dropped, 0)::BIGINT AS n_dropped,
+           (nv.n_vecs - coalesce(nd.n_dropped, 0))::BIGINT AS n_kept
+         FROM nv LEFT JOIN nd ON nv.c = nd.c
+         ORDER BY cluster_id""",
+
+    "q87_token_budget" ->
+      raw"""WITH t AS (
+           SELECT lang, doc_id,
+             len(list_filter(string_split_regex(text, '\s+'),
+               x -> len(x) > 0))::BIGINT AS n_toks,
+             md5(text) AS h
+           FROM documents WHERE text IS NOT NULL),
+         c AS (
+           SELECT lang, doc_id, n_toks,
+             sum(n_toks) OVER (PARTITION BY lang ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             sum(n_toks) OVER (PARTITION BY lang) AS tot
+           FROM t)
+         SELECT lang, count(*) AS n_docs,
+           sum((cum * 10 <= tot * 3)::BIGINT)::BIGINT AS n_kept,
+           sum(n_toks)::BIGINT AS tok_total,
+           sum(n_toks * (cum * 10 <= tot * 3)::BIGINT)::BIGINT AS tok_kept
+         FROM c GROUP BY lang ORDER BY lang""",
+
+    "q88_boilerplate" ->
+      raw"""WITH docs AS (
+           SELECT source, doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+               x -> len(x) > 0) AS ts
+           FROM documents WHERE text IS NOT NULL),
+         grams AS (
+           SELECT source, doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(ts) - 1, 0) + 1),
+               i -> ts[i] || ' ' || ts[i+1]))) AS gram
+           FROM docs),
+         sd AS (SELECT source, count(*) AS n_docs FROM docs GROUP BY 1),
+         boiler AS (
+           SELECT g.source, g.gram, count(*) AS in_docs
+           FROM grams g JOIN sd ON g.source = sd.source
+           GROUP BY g.source, g.gram, sd.n_docs
+           HAVING count(*) * 4 >= sd.n_docs AND sd.n_docs >= 5),
+         nb AS (
+           SELECT source, count(*) AS n_boiler_grams
+           FROM boiler GROUP BY 1),
+         fl AS (
+           SELECT source, count(DISTINCT doc_id) AS n_flagged_docs
+           FROM grams JOIN boiler USING (source, gram) GROUP BY 1)
+         SELECT sd.source, sd.n_docs,
+           coalesce(nb.n_boiler_grams, 0)::BIGINT AS n_boiler_grams,
+           coalesce(fl.n_flagged_docs, 0)::BIGINT AS n_flagged_docs
+         FROM sd LEFT JOIN nb ON sd.source = nb.source
+         LEFT JOIN fl ON sd.source = fl.source
+         ORDER BY sd.source""",
 
     "q04_langid" ->
       """WITH tk AS (

@@ -58,6 +58,29 @@ class EntrySpec extends SparkSpec {
       s"shuffled join in q85 plan (profile must broadcast):\n$p85")
   }
 
+  test("q86/q88 plans: cluster-bounded pair join, broadcast boiler set") {
+    // q86 (SemDeDup): the pair search must be an equi-join on the
+    // cluster key — the clustering is what bounds the quadratic — and
+    // never a cartesian; nothing may buffer per-cluster lists.
+    val p86 = SparkEntry.queries("q86_semdedup")(
+        spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(!p86.contains("Cartesian") && !p86.contains("NestedLoop"),
+      s"non-equi pair join in q86 plan:\n$p86")
+    assert(!p86.contains("collect_set") && !p86.contains("collect_list"),
+      s"unbounded per-group collect in q86 plan:\n$p86")
+    // q88 (boilerplate): the tiny boilerplate-gram set must join back to
+    // the corpus-scale gram stream as a broadcast, and the gram-stats
+    // join must never go cartesian.
+    val p88 = SparkEntry.queries("q88_boilerplate")(
+        spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(!p88.contains("Cartesian") && !p88.contains("NestedLoop"),
+      s"non-equi join in q88 plan:\n$p88")
+    assert(p88.contains("BroadcastHashJoin"),
+      s"boiler join-back did not broadcast in q88 plan:\n$p88")
+  }
+
   test("q51_decontam plan is bounded-state: no collect, shuffled semi join") {
     val plan = SparkEntry.queries("q51_decontam")(
         spark, "/root/testdata/sf0.001")
