@@ -1435,9 +1435,10 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
       // (source, gram) key shuffle with map-side combine; the
       // boilerplate set is tiny and joins back broadcast; every
       // aggregate afterward is source-count-sized.
+      VectorExpressions.ensureRegistered(s)
       val docs = t(s, dir, "documents").filter(col("text").isNotNull)
       val grams = docs.select(col("source"), col("doc_id"),
-        explode(wordShingles(col("text"), 2)).as("gram"))
+        explode(wordShinglesNative(col("text"), 2)).as("gram"))
       val srcDocs = docs.groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"))
       val boiler = grams.groupBy(col("source"), col("gram"))
@@ -1457,6 +1458,42 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
         .select(col("source"), col("n_docs"),
           coalesce(col("n_boiler_grams"), lit(0L)).as("n_boiler_grams"),
           coalesce(col("n_flagged_docs"), lit(0L)).as("n_flagged_docs"))
+        .orderBy(col("source"))
+    }),
+
+    "q89_source_drift" -> ((s, dir) => {
+      // Source-distribution drift monitor: when a 100 TB ingestion feed
+      // goes bad (a crawler stuck on one site, an encoding regression),
+      // the first visible symptom is a source whose token distribution
+      // walks away from the corpus mix. Per source: the q85-style
+      // hashed-token bucket profile (256 md5 buckets, integer
+      // rates-per-million via truncating division) and its L1 distance
+      // to the CORPUS profile — sum over buckets of
+      // |rate_source − rate_corpus|, an exact integer in [0, 2e6].
+      // 100 TB shape: ONE explode pass feeds the (source, bucket)
+      // aggregation with map-side combine — the only corpus-scale
+      // shuffle; every frame after it is sources×256-sized (at real
+      // scale you'd persist that tiny profile rather than let each
+      // branch recompute it — here Spark's exchange reuse serves).
+      import graft.functions.TextFunctions.tokens
+      val sb = t(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("source"), explode(tokens(col("text"))).as("tok"))
+        .select(col("source"),
+          conv(substring(md5(col("tok")), 1, 2), 16, 10)
+            .cast("long").as("b"))
+        .groupBy(col("source"), col("b")).agg(count(lit(1)).as("c"))
+      val st = sb.groupBy(col("source")).agg(sum(col("c")).as("n"))
+      val cb = sb.groupBy(col("b")).agg(sum(col("c")).as("cc"))
+      val ct = cb.agg(sum(col("cc")).as("nc"))
+      st.crossJoin(broadcast(cb))
+        .join(sb, Seq("source", "b"), "left")
+        .crossJoin(broadcast(ct))
+        .selectExpr("source", "n",
+          "(coalesce(c, 0L) * 1000000L) DIV n AS rs",
+          "(cc * 1000000L) DIV nc AS rc")
+        .groupBy(col("source"))
+        .agg(max(col("n")).as("n_toks"),
+          sum(abs(col("rs") - col("rc"))).as("l1_drift"))
         .orderBy(col("source"))
     }),
 
@@ -3047,6 +3084,30 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
          FROM sd LEFT JOIN nb ON sd.source = nb.source
          LEFT JOIN fl ON sd.source = fl.source
          ORDER BY sd.source""",
+
+    "q89_source_drift" ->
+      raw"""WITH tk AS (
+           SELECT source,
+             concat('0x', substr(md5(tok), 1, 2))::BIGINT AS b
+           FROM (
+             SELECT source,
+               unnest(list_filter(string_split_regex(text, '\s+'),
+                 w -> len(w) > 0)) AS tok
+             FROM documents WHERE text IS NOT NULL)),
+         sb AS (
+           SELECT source, b, count(*)::BIGINT AS c FROM tk GROUP BY 1, 2),
+         st AS (SELECT source, sum(c)::BIGINT AS n FROM sb GROUP BY 1),
+         cb AS (SELECT b, sum(c)::BIGINT AS cc FROM sb GROUP BY 1),
+         ct AS (SELECT sum(cc)::BIGINT AS nc FROM cb),
+         grid AS (
+           SELECT st.source, st.n,
+             (coalesce(sb.c, 0) * 1000000) // st.n AS rs,
+             (cb.cc * 1000000) // ct.nc AS rc
+           FROM st CROSS JOIN cb CROSS JOIN ct
+           LEFT JOIN sb ON sb.source = st.source AND sb.b = cb.b)
+         SELECT source, max(n)::BIGINT AS n_toks,
+           sum(abs(rs - rc))::BIGINT AS l1_drift
+         FROM grid GROUP BY source ORDER BY source""",
 
     "q04_langid" ->
       """WITH tk AS (
