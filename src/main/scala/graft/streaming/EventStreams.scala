@@ -76,6 +76,40 @@ object EventStreams {
     deduped.drop("__fp")
   }
 
+  /** Streaming NEAR-dup suppression — the streaming form of the q45
+    * batch SimHash grouping, for feeds where duplicates are lightly
+    * mutated rather than byte-identical (re-crawls with reordered
+    * boilerplate, trackers, timestamps). Keyed on the 32-bit SimHash of
+    * the token multiset (graft_simhash, one fused native pass): token
+    * REORDERINGS and whitespace/case noise collapse to the same key —
+    * strictly more aggressive than [[dedupStream]]'s exact fingerprint —
+    * while state stays one tiny key per surviving doc, bounded by the
+    * watermark horizon. The first arrival in hash order wins, exactly
+    * like the batch form's min-doc_id representative. Same code runs
+    * batch via plain `dropDuplicates` (spec'd both ways). SimHash
+    * exact-collision is the conservative end of near-dup (Hamming
+    * radius 0); radius-k lookup needs the banded MinHash join
+    * ([[graft.operators.NearDup]]), which is a batch/compaction-time
+    * operation — pair joins don't fit the one-pass streaming state
+    * model, and that split (cheap stream gate now, thorough batch pass
+    * at compaction) is how production pipelines layer it. */
+  def nearDupStream(
+      docs: DataFrame,
+      textCol: String,
+      tsCol: String,
+      watermark: String = "1 hour",
+      bits: Int = 32): DataFrame = {
+    graft.plans.VectorExpressions.ensureRegistered(docs.sparkSession)
+    val keyed = docs.filter(col(textCol).isNotNull).withColumn("__sh",
+      graft.functions.TextFunctions.simHashNative(col(textCol), bits))
+    val deduped =
+      if (docs.isStreaming)
+        keyed.withWatermark(tsCol, watermark)
+          .dropDuplicatesWithinWatermark("__sh")
+      else keyed.dropDuplicates("__sh")
+    deduped.drop("__sh")
+  }
+
   /** Streaming index ingest — the reference's continuous lifecycle
     * (create the indexed table once, insert embedded documents forever
     * after: load.py:26 + doc_embedder.py:90-114) as one Structured

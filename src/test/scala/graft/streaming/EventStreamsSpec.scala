@@ -88,6 +88,53 @@ class EventStreamsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("nearDupStream drops token-reordered near-dups; batch form agrees") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val rows = Seq(
+      (1L, ts(0), "the quick brown fox"),
+      (2L, ts(1), "entirely different text"),
+      // token REORDERING of 1: same token multiset -> same SimHash,
+      // but a different exact fingerprint (dedupStream would keep it)
+      (3L, ts(2), "brown fox the quick"),
+      (4L, ts(30), "QUICK the fox brown"), // case + order noise, batch 2
+      (5L, ts(31), "a third distinct document"))
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val docs = input.toDF().toDF("doc_id", "ts", "text")
+    val query = EventStreams.nearDupStream(docs, "text", "ts", "2 hours")
+      .writeStream.format("memory").queryName("neardup_docs")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(rows.take(3): _*)
+      query.processAllAvailable()
+      input.addData(rows.drop(3): _*)
+      query.processAllAvailable()
+      // docs 1/3/4 share a SimHash key (same token multiset); which
+      // representative survives is dropDuplicates' choice — assert ONE
+      // survivor per key, not a specific id
+      val reordered = Set(1L, 3L, 4L)
+      val kept = spark.table("neardup_docs")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert((kept & reordered).size == 1 && kept(2L) && kept(5L) &&
+        kept.size == 3,
+        s"expected reordered near-dups dropped across batches, got $kept")
+      // exact dedup would NOT have caught the reordering — the near-dup
+      // gate is strictly more aggressive
+      val exactKept = EventStreams.dedupStream(
+          rows.toDF("doc_id", "ts", "text"), "text", "ts")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert((exactKept & reordered).size == 3,
+        s"exact dedup should keep all reorderings, got $exactKept")
+      // batch form of the same code dedups to the same key structure
+      val batchKept = EventStreams.nearDupStream(
+          rows.toDF("doc_id", "ts", "text"), "text", "ts")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert((batchKept & reordered).size == 1 && batchKept(2L) &&
+        batchKept(5L) && batchKept.size == 3,
+        s"batch/stream drift: $batchKept")
+    } finally query.stop()
+  }
+
   test("indexedIngest: stream dedup → embed seam → appendTo, no refit, appended vectors searchable") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
