@@ -2692,6 +2692,30 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
         .orderBy(col("kind"))
     }),
 
+    "q90_media_resize" -> ((s, dir) => {
+      // The rest of the multimodal pipeline behind the gate (q52 checks
+      // decode): decode → aspect-preserving RESIZE into a 64×64 box
+      // (pure integer arithmetic: cross-multiplied binding-axis choice,
+      // truncating-division rescale, area-proportional byte model) and
+      // decode → FEATURE-EXTRACT (the embed seam — four 32-bit md5
+      // words standing in for a vision encoder, fused with decode in
+      // one partition pass). Both stages are narrow mapPartitions —
+      // no shuffle until the kind-count-sized aggregates, which join
+      // on `kind` at the end. The oracle re-derives every number
+      // arithmetically from doc_id/text, so this hash-checks the
+      // encode→decode→resize/featurize round trip, not just plumbing.
+      val media = Multimodal.syntheticMedia(
+        t(s, dir, "documents").filter(col("text").isNotNull))
+      val rs = Multimodal.resize(Multimodal.decode(media), 64, 64)
+        .groupBy(col("kind"))
+        .agg(count(lit(1)).as("n_media"),
+          sum(col("width")).as("sum_w"), sum(col("height")).as("sum_h"),
+          sum(col("n_body_bytes")).as("sum_bytes"))
+      val ft = Multimodal.features(media)
+        .groupBy(col("kind")).agg(sum(col("f0")).as("sum_f0"))
+      rs.join(ft, Seq("kind")).orderBy(col("kind"))
+    }),
+
     "q45_simhash" -> ((s, dir) => {
       // SimHash exact-collision grouping: one scan + one groupBy on the
       // 32-bit fingerprint — near-dup detection with zero joins. The
@@ -4603,6 +4627,38 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
            round(avg(height), 4) AS avg_height,
            sum(n_body_bytes)::BIGINT AS sum_body_bytes
          FROM m GROUP BY kind ORDER BY kind""",
+
+    // q90: the resize dims replay the engine's integer arithmetic —
+    // pass-through inside the 64×64 box, else cross-multiplied
+    // binding-axis choice (64·h <= 64·w ⇔ width binds) + truncating
+    // division; the byte model is area-proportional truncating; f0 is
+    // the first 32-bit word of the body md5 (body = the text's UTF-8
+    // bytes by construction of the synthetic container).
+    "q90_media_resize" ->
+      """WITH m AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN 'image'
+                  WHEN doc_id % 3 = 1 THEN 'audio'
+                  ELSE 'video' END AS kind,
+             (doc_id % 640 + 16)::BIGINT AS w,
+             (doc_id % 480 + 16)::BIGINT AS h,
+             octet_length(encode(text))::BIGINT AS nb,
+             concat('0x', substr(md5(text), 1, 8))::BIGINT AS f0
+           FROM documents WHERE text IS NOT NULL),
+         r AS (
+           SELECT kind, w, h, nb, f0,
+             CASE WHEN w <= 64 AND h <= 64 THEN w
+                  WHEN 64 * h <= 64 * w THEN 64
+                  ELSE (w * 64) // h END AS nw,
+             CASE WHEN w <= 64 AND h <= 64 THEN h
+                  WHEN 64 * h <= 64 * w THEN (h * 64) // w
+                  ELSE 64 END AS nh
+           FROM m)
+         SELECT kind, count(*) AS n_media,
+           sum(nw)::BIGINT AS sum_w, sum(nh)::BIGINT AS sum_h,
+           sum((nb * (nw * nh)) // (w * h))::BIGINT AS sum_bytes,
+           sum(f0)::BIGINT AS sum_f0
+         FROM r GROUP BY kind ORDER BY kind""",
 
     "q45_simhash" ->
       """WITH td AS (

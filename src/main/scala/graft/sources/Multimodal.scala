@@ -81,4 +81,77 @@ object Multimodal {
     media.select(col("media_id"),
       posexplode(sequence(lit(0), nFramesCol - 1, lit(stride)))
         .as(Seq("sample_idx", "frame_idx")))
+
+  case class ResizedMedia(
+      media_id: Long, kind: String, width: Int, height: Int,
+      format: String, n_body_bytes: Int)
+
+  /** Aspect-preserving downscale INTO a `tw`×`th` box, in pure integer
+    * arithmetic so any engine replays the dims exactly: media already
+    * inside the box passes through; otherwise the binding axis is the
+    * one with the smaller scale ratio (compared cross-multiplied:
+    * `tw·h ≤ th·w` → width binds) and the other dimension is the
+    * truncating-division rescale. The body is NOT re-encoded here — the
+    * stub tracks the byte count a real resampler would produce
+    * (area-proportional, truncating), which is the part the pipeline
+    * plans on (shuffle sizing, storage estimates). A real implementation
+    * replaces the byte-count model with the codec call; schema,
+    * batching, and the narrow no-shuffle shape stay. */
+  def resizePartition(tw: Int, th: Int)(
+      rows: Iterator[DecodedMedia]): Iterator[ResizedMedia] = {
+    require(tw > 0 && th > 0, s"resize box must be positive, got ($tw,$th)")
+    rows.map { m =>
+      val (w, h) = (m.width, m.height)
+      val (nw, nh) =
+        if (w <= tw && h <= th) (w, h)
+        else if (tw.toLong * h <= th.toLong * w)
+          (tw, (h.toLong * tw / w).toInt)
+        else ((w.toLong * th / h).toInt, th)
+      val nBytes =
+        (m.n_body_bytes.toLong * (nw.toLong * nh) / (w.toLong * h)).toInt
+      ResizedMedia(m.media_id, m.kind, nw, nh, m.format, nBytes)
+    }
+  }
+
+  /** Distributed resize: narrow mapPartitions over decoded metadata —
+    * composes with [[decode]] without a shuffle between the stages. */
+  def resize(decoded: Dataset[DecodedMedia], tw: Int, th: Int)
+      : Dataset[ResizedMedia] = {
+    import decoded.sparkSession.implicits._
+    decoded.mapPartitions(resizePartition(tw, th))
+  }
+
+  case class MediaFeatures(
+      media_id: Long, kind: String, f0: Long, f1: Long, f2: Long, f3: Long)
+
+  /** STUB feature extraction — the "embed the decoded media" model seam,
+    * fused with decode in ONE partition pass (decode→embed with no
+    * materialized intermediate, exactly how a real vision/audio encoder
+    * batches). The fake features are four 32-bit words of the body's md5
+    * (deterministic, so the pipeline is hash-oracle-checkable
+    * end-to-end); a real model replaces the digest with an inference
+    * call — per-partition setup (here: the MessageDigest instance) is
+    * already where the model load belongs. */
+  def featuresPartition(rows: Iterator[MediaRow]): Iterator[MediaFeatures] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    rows.map { r =>
+      val s = new String(r.payload, "UTF-8")
+      val parts = s.split("\\|", 5)
+      require(parts.length == 5 && parts(0) == Magic,
+        s"not a $Magic payload for media_id=${r.media_id}")
+      md.reset()
+      val hex = md.digest(parts(4).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      def word(i: Int): Long =
+        java.lang.Long.parseLong(hex.substring(8 * i, 8 * i + 8), 16)
+      MediaFeatures(r.media_id, r.kind, word(0), word(1), word(2), word(3))
+    }
+  }
+
+  /** Distributed decode→featurize: narrow, one digest/model instance per
+    * partition. */
+  def features(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(featuresPartition)
+  }
 }
