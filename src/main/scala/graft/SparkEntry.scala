@@ -2716,6 +2716,29 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
       rs.join(ft, Seq("kind")).orderBy(col("kind"))
     }),
 
+    "q91_frame_sample" -> ((s, dir) => {
+      // Frame sampling behind the gate: plan every stride-10 frame
+      // extraction job for the video rows WITHOUT decoding anything —
+      // frame counts come from metadata (here derived from doc_id; a
+      // real container carries them in the header the same way), the
+      // sample plan is a pure posexplode, and the aggregate checks the
+      // whole explode: per-video-bucket job counts, first/last frame
+      // index sums. 100 TB shape: narrow explode (no shuffle until the
+      // small aggregate); the explode factor is bounded by
+      // n_frames/stride, so executor memory never holds a decoded
+      // frame, only (media_id, frame_idx) pairs.
+      val vids = t(s, dir, "documents").filter(col("text").isNotNull)
+        .filter(col("doc_id") % 3 === 2) // the 'video' kind of q52/q90
+        .select(col("doc_id").as("media_id"),
+          (col("doc_id") % 100 + 1).cast("int").as("n_frames"))
+      Multimodal.sampleFrames(vids, col("n_frames"), 10)
+        .groupBy((col("media_id") % 10).as("bucket"))
+        .agg(count(lit(1)).as("n_jobs"),
+          sum(col("frame_idx")).as("sum_frame_idx"),
+          max(col("frame_idx")).as("max_frame_idx"))
+        .orderBy(col("bucket"))
+    }),
+
     "q45_simhash" -> ((s, dir) => {
       // SimHash exact-collision grouping: one scan + one groupBy on the
       // 32-bit fingerprint — near-dup detection with zero joins. The
@@ -4659,6 +4682,17 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
            sum((nb * (nw * nh)) // (w * h))::BIGINT AS sum_bytes,
            sum(f0)::BIGINT AS sum_f0
          FROM r GROUP BY kind ORDER BY kind""",
+
+    "q91_frame_sample" ->
+      """WITH v AS (
+           SELECT doc_id AS media_id, (doc_id % 100 + 1)::BIGINT AS n
+           FROM documents WHERE text IS NOT NULL AND doc_id % 3 = 2),
+         f AS (
+           SELECT media_id, unnest(range(0, n, 10)) AS frame_idx FROM v)
+         SELECT (media_id % 10)::BIGINT AS bucket, count(*) AS n_jobs,
+           sum(frame_idx)::BIGINT AS sum_frame_idx,
+           max(frame_idx)::BIGINT AS max_frame_idx
+         FROM f GROUP BY 1 ORDER BY 1""",
 
     "q45_simhash" ->
       """WITH td AS (
