@@ -110,6 +110,30 @@ object CorpusStore {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.schema(schema).parquet(path)
 
+  /** Z-ordered rewrite: range-partition and sort by the MORTON
+    * interleave of two layout coordinates (graft_morton — low-32-bit
+    * keys; bucket/offset real values into that domain first), so
+    * parquet's per-file min/max statistics tile the (a, b) PLANE
+    * instead of striping one axis. A conjunctive range predicate on
+    * both columns then skips every file whose 2-D envelope misses the
+    * query box — the Delta/Iceberg `OPTIMIZE ZORDER BY` layout for
+    * vanilla parquet. One range shuffle (the same cost as any sorted
+    * rewrite); file count = `nFiles`. Pruning is MEASURED in ZOrderSpec:
+    * on a 64×64 grid in 16 files, a 16×16 box intersects every
+    * linear-sorted file's envelope but only ~1/4 of the z-ordered
+    * tiles' — at 100 TB that difference is the scan. */
+  def writeZOrdered(df: DataFrame, path: String, colA: String,
+      colB: String, nFiles: Int): Unit = {
+    graft.plans.VectorExpressions.ensureRegistered(df.sparkSession)
+    df.withColumn("__z",
+        org.apache.spark.sql.functions.call_function("graft_morton",
+          col(colA).cast("long"), col(colB).cast("long")))
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   /** Compact a fragmented corpus into `destPath`: streaming/incremental
     * appends (dedupStream → write per micro-batch, or many small ingest
     * calls) leave one file per batch per partition, and at scale the
