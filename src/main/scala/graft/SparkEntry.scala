@@ -1526,6 +1526,25 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
         .orderBy(col("window_start"), col("event_type"))
     }),
 
+    "q92_sliding_window" -> ((s, dir) => {
+      // Sliding event-time windows (1 day long, 12 h slide) — the third
+      // window shape next to q05's tumbling and q07's sessions, and the
+      // one monitoring dashboards actually chart. Each event lands in
+      // exactly length/slide = 2 windows; Spark expands that fan-out
+      // BEFORE the shuffle (the explode is narrow), then one
+      // (window, type) aggregation with map-side combine — the same
+      // single-shuffle shape as tumbling, 2× the shuffled rows, which
+      // is the whole cost model at 100 TB. The oracle replays the
+      // window membership arithmetically in epoch seconds.
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 day", "12 hours"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 2).as("sum_value"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n"), col("sum_value"))
+        .orderBy(col("window_start"), col("event_type"))
+    }),
+
     "q07_sessionize" -> ((s, dir) => {
       // Sessionization: 30-min-gap session breaks via lag window, then
       // per-user session counts. Shuffle keyed on user_id only.
@@ -3183,6 +3202,22 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
       """SELECT date_trunc('day', ts)::TIMESTAMP AS window_start,
            event_type, count(*) AS n, round(sum(value), 2) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""",
+
+    // q92: every event belongs to the two epoch-aligned 12h-slide
+    // windows covering it: starts floor12h(ts) and floor12h(ts)−12h
+    // (length 1 day ⇒ length/slide = 2 memberships, exactly Spark's
+    // pre-shuffle expansion). Pure integer epoch arithmetic; the sum
+    // rounds at 2 dp like q05.
+    "q92_sliding_window" ->
+      """WITH e AS (
+           SELECT epoch_us(ts) // 1000000 AS es, event_type, value
+           FROM events),
+         w AS (
+           SELECT (es // 43200) * 43200 - x AS ws, event_type, value
+           FROM e CROSS JOIN (SELECT unnest([0, 43200]) AS x))
+         SELECT make_timestamp(ws * 1000000) AS window_start, event_type,
+           count(*) AS n, round(sum(value), 2) AS sum_value
+         FROM w GROUP BY 1, 2 ORDER BY window_start, event_type""",
 
     "q07_sessionize" ->
       """WITH g AS (

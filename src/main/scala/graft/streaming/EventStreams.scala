@@ -39,10 +39,13 @@ object EventStreams {
   def windowedCounts(
       events: DataFrame,
       windowLength: String = "1 day",
-      watermark: String = "1 hour"): DataFrame =
+      watermark: String = "1 hour",
+      slide: Option[String] = None): DataFrame =
     events
       .withWatermark("ts", watermark)
-      .groupBy(window(col("ts"), windowLength), col("event_type"))
+      .groupBy(
+        slide.map(sl => window(col("ts"), windowLength, sl))
+          .getOrElse(window(col("ts"), windowLength)), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))

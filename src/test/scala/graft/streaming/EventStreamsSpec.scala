@@ -37,6 +37,26 @@ class EventStreamsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("windowedCounts slides: each event lands in length/slide windows") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val query = EventStreams.windowedCounts(input.toDF(), "1 hour",
+        "10 minutes", slide = Some("30 minutes"))
+      .writeStream.format("memory").queryName("slide_counts")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      input.addData(Event(1, ts(45), 1, "click", 2.0)) // 00:45
+      query.processAllAvailable()
+      val rows = spark.table("slide_counts")
+        .orderBy("window_start")
+        .collect().map(r => (r.getTimestamp(0).getTime / 60000 % 1440,
+          r.getLong(2)))
+      // 1h windows sliding 30min: starts 00:00 and 00:30 both cover 00:45
+      assert(rows.toSeq == Seq((0L, 1L), (30L, 1L)), rows.toSeq.toString)
+    } finally query.stop()
+  }
+
   test("sessionize accumulates per-user session state across batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
