@@ -1526,6 +1526,64 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
         .orderBy(col("window_start"), col("event_type"))
     }),
 
+    "q93_quality_classifier" -> ((s, dir) => {
+      // Model-based quality filtering (the GPT-3/LLaMA/FineWeb-Edu
+      // stage: a cheap linear classifier scores every document and the
+      // pipeline keeps the high scorers) as a hashed-bag-of-words
+      // linear model — the fastText architecture with DETERMINISTIC
+      // fake weights (signed integers derived from each bucket's md5,
+      // uniform in [-1000, 1000]), so the whole stage is exact-integer
+      // and hash-oracled; swapping real trained weights changes one
+      // literal table, not the plan. Per doc: score = Σ_tokens
+      // w[bucket(tok)]; keep = score > 0. Reported per language
+      // (keeps, totals, score sums). 100 TB shape: the 256-weight
+      // table is a broadcast join onto ONE token explode, partial
+      // aggregation folds tokens back to docs before the per-lang
+      // rollup — two key shuffles, both map-side combined, no
+      // driver-side anything.
+      import graft.functions.TextFunctions.tokens
+      val w = broadcast(t(s, dir, "documents").sparkSession.range(0, 256)
+        .select(col("id").as("b"),
+          (conv(substring(md5(col("id").cast("string")), 1, 4), 16, 10)
+            .cast("long") % 2001L - 1000L).as("w")))
+      t(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), col("lang"),
+          explode(tokens(col("text"))).as("tok"))
+        .select(col("doc_id"), col("lang"),
+          conv(substring(md5(col("tok")), 1, 2), 16, 10)
+            .cast("long").as("b"))
+        .join(w, Seq("b"))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(sum(col("w")).as("score"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum((col("score") > 0L).cast("long")).as("n_keep"),
+          sum(col("score")).as("score_sum"),
+          max(col("score")).as("score_max"))
+        .orderBy(col("lang"))
+    }),
+
+    "q94_corpus_cube" -> ((s, dir) => {
+      // The dataset-card rollup: doc/token/char totals for every
+      // (lang, source) cell AND both marginals AND the grand total in
+      // ONE pass — CUBE grouping sets, the classic OLAP surface a
+      // corpus report needs (per-language table, per-source table, and
+      // the headline row come from the same aggregation instead of
+      // four scans). Spark expands grouping sets before the shuffle;
+      // grouping_id disambiguates NULL-as-rollup from a (non-existent
+      // here) NULL group value, and orders the report. Exact integers
+      // throughout.
+      import graft.functions.TextFunctions.tokenCount
+      t(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("lang"), col("source"),
+          tokenCount(col("text")).as("n_toks"), col("n_chars"))
+        .cube(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("tok_sum"),
+          sum(col("n_chars")).as("char_sum"),
+          grouping_id(col("lang"), col("source")).as("gid"))
+        .orderBy(col("gid"), col("lang"), col("source"))
+    }),
+
     "q92_sliding_window" -> ((s, dir) => {
       // Sliding event-time windows (1 day long, 12 h slide) — the third
       // window shape next to q05's tumbling and q07's sessions, and the
@@ -3202,6 +3260,47 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
       """SELECT date_trunc('day', ts)::TIMESTAMP AS window_start,
            event_type, count(*) AS n, round(sum(value), 2) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""",
+
+    "q93_quality_classifier" ->
+      raw"""WITH tk AS (
+           SELECT doc_id, lang,
+             ('0x' || substr(md5(tok), 1, 2))::BIGINT AS b
+           FROM (
+             SELECT doc_id, lang,
+               unnest(list_filter(string_split_regex(text, '\s+'),
+                 w -> len(w) > 0)) AS tok
+             FROM documents WHERE text IS NOT NULL)),
+         wt AS (
+           SELECT b,
+             ('0x' || substr(md5(b::VARCHAR), 1, 4))::BIGINT
+               % 2001 - 1000 AS w
+           FROM (SELECT unnest(range(0, 256)) AS b)),
+         ds AS (
+           SELECT tk.doc_id, tk.lang, sum(wt.w)::BIGINT AS score
+           FROM tk JOIN wt ON tk.b = wt.b GROUP BY 1, 2)
+         SELECT lang, count(*) AS n_docs,
+           sum((score > 0)::BIGINT)::BIGINT AS n_keep,
+           sum(score)::BIGINT AS score_sum,
+           max(score)::BIGINT AS score_max
+         FROM ds GROUP BY lang ORDER BY lang""",
+
+    // q94: DuckDB's GROUPING(lang, source) bit order (first argument
+    // most significant) matches Spark's grouping_id — verified; within
+    // one gid the null pattern is uniform, so NULLS FIRST/LAST
+    // divergence between engines cannot reorder the report.
+    "q94_corpus_cube" ->
+      raw"""WITH d AS (
+           SELECT lang, source,
+             len(list_filter(string_split_regex(text, '\s+'),
+               w -> len(w) > 0))::BIGINT AS n_toks,
+             n_chars
+           FROM documents WHERE text IS NOT NULL)
+         SELECT lang, source, count(*) AS n_docs,
+           sum(n_toks)::BIGINT AS tok_sum,
+           sum(n_chars)::BIGINT AS char_sum,
+           GROUPING(lang, source)::INTEGER AS gid
+         FROM d GROUP BY CUBE (lang, source)
+         ORDER BY gid, lang, source""",
 
     // q92: every event belongs to the two epoch-aligned 12h-slide
     // windows covering it: starts floor12h(ts) and floor12h(ts)−12h
