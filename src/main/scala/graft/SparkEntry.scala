@@ -1368,28 +1368,12 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
       // aggregates are cluster-count-sized; nothing corpus-scale reaches
       // the driver.
       VectorExpressions.ensureRegistered(s)
-      val d = ivfIndexFor(s, dir).assigned
-        .select(col("vec_id"), col("embedding"),
-          col(IvfIndex.ClusterCol).cast("long").as("cluster_id"))
-      val pairs = d.select(col("cluster_id"), col("vec_id").as("a_id"),
-          col("embedding").as("a_emb"))
-        .join(d.select(col("cluster_id"), col("vec_id").as("b_id"),
-          col("embedding").as("b_emb")), Seq("cluster_id"))
-        .filter(col("a_id") < col("b_id"))
-        .filter(KnnSearch.roundHalfUpCol(
-          cosineSimilarityNative(col("a_emb"), col("b_emb")), 4)
-          >= lit(SemDedupTau.toDouble))
-      val nDropped = pairs.select(col("cluster_id"), col("b_id"))
-        .distinct()
-        .groupBy(col("cluster_id"))
-        .agg(count(lit(1)).as("n_dropped"))
-      d.groupBy(col("cluster_id")).agg(count(lit(1)).as("n_vecs"))
-        .join(nDropped, Seq("cluster_id"), "left")
-        .select(col("cluster_id"), col("n_vecs"),
-          coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
-          (col("n_vecs") - coalesce(col("n_dropped"), lit(0L)))
-            .as("n_kept"))
-        .orderBy(col("cluster_id"))
+      NearDup.semDedup(ivfIndexFor(s, dir).assigned, "vec_id",
+        "embedding", IvfIndex.ClusterCol, SemDedupTau.toDouble,
+        cosine = cosineSimilarityNative(_, _))
+      // maxCellRows stays off here (the oracle replays whole clusters);
+      // at corpus scale the cap is the bounded-work valve — measured in
+      // NearDupSpec's mega-cluster test
     }),
 
     "q87_token_budget" -> ((s, dir) => {

@@ -472,4 +472,77 @@ object NearDup {
       .orderBy(col("cos_sim").desc, col("a_id"), col("b_id"))
       .limit(k)
   }
+
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication") over a PRE-CLUSTERED
+    * embedding frame (any k-means assignment — in practice the
+    * persisted [[IvfIndex]], so one artifact serves ANN search and
+    * dedup). A vector is dropped when some lower-id vector in its
+    * cluster (and sub-cell, see below) has floor-quantized cosine
+    * >= `tau` — min-id as the deterministic stand-in for the paper's
+    * centroid-distance representative choice. Returns per-cluster
+    * `(cluster_id, n_vecs, n_dropped, n_kept)`.
+    *
+    * The pair search is an equi-join on the cluster key, so cluster
+    * size bounds the quadratic — but K-MEANS DOES NOT BOUND CLUSTER
+    * SIZE: one mega-cluster (a boilerplate-heavy corpus collapses
+    * embeddings into a dense ball) makes the join quadratic again.
+    * `maxCellRows = Some(cap)` is the bounded-work valve: clusters over
+    * the cap deterministically sub-split into ceil(n/cap) cells keyed
+    * by the md5 of the VECTOR BYTES, and pairs form within cells only.
+    * Identical vectors always share a cell (exact duplicates can never
+    * escape the cap), near-identical pairs may split across cells —
+    * the explicit recall-for-boundedness trade the paper's recluster
+    * step makes; measured in NearDupSpec (a 600-row mega-cluster's
+    * pair work drops ~6x at cap 100 while every planted exact
+    * duplicate still drops). */
+  def semDedup(
+      clustered: DataFrame,
+      idCol: String,
+      vecCol: String,
+      clusterCol: String,
+      tau: Double,
+      roundDp: Int = 4,
+      maxCellRows: Option[Int] = None,
+      cosine: (Column, Column) => Column = cosineSimilarity(_, _))
+      : DataFrame = {
+    val base = clustered.filter(col(vecCol).isNotNull)
+      .select(col(clusterCol).cast("long").as("cluster_id"),
+        col(idCol).as("id"), col(vecCol).as("v"))
+    val cell = maxCellRows match {
+      case None => base.withColumn("cell", lit(0L))
+      case Some(cap) =>
+        require(cap > 0, s"maxCellRows must be positive, got $cap")
+        // cluster sizes are a clusters-count frame — broadcast; the
+        // cell key hashes the vector BYTES so identical vectors
+        // co-locate by construction
+        val sizes = base.groupBy(col("cluster_id"))
+          .agg(count(lit(1)).as("__n"))
+        base.join(broadcast(sizes), Seq("cluster_id"))
+          .withColumn("cell",
+            pmod(conv(substring(md5(col("v").cast("string")), 1, 8),
+                16, 10).cast("long"),
+              // ceil(n/cap) cells; Column `/` is true division, so
+              // truncate back to long AFTER the add (positives only)
+              ((col("__n") + (cap - 1)) / cap).cast("long")))
+          .drop("__n")
+    }
+    val pairs = cell.as("a")
+      .join(cell.as("b"),
+        col("a.cluster_id") === col("b.cluster_id") &&
+          col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+      .filter(KnnSearch.roundHalfUpCol(
+        cosine(col("a.v"), col("b.v")), roundDp) >= lit(tau))
+    val nDropped = pairs
+      .select(col("a.cluster_id").as("cluster_id"), col("b.id").as("id"))
+      .distinct()
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("n_dropped"))
+    cell.groupBy(col("cluster_id")).agg(count(lit(1)).as("n_vecs"))
+      .join(nDropped, Seq("cluster_id"), "left")
+      .select(col("cluster_id"), col("n_vecs"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        (col("n_vecs") - coalesce(col("n_dropped"), lit(0L)))
+          .as("n_kept"))
+      .orderBy(col("cluster_id"))
+  }
 }

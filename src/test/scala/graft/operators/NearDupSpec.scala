@@ -275,6 +275,52 @@ class NearDupSpec extends SparkSpec {
       "every star member must resolve to the hub id")
   }
 
+  test("semDedup: mega-cluster cap bounds pair work, exact dups never escape") {
+    import spark.implicits._
+    // one 600-row mega-cluster: k-means does not bound cluster size, so
+    // the uncapped pair join would be C(600,2) = 179,700 pairs. Vectors
+    // are md5-derived signed dim-32 noise (pairwise |cos| concentrates
+    // near 1/√32 — nowhere near τ), EXCEPT ids 300..309 which duplicate
+    // ids 0..9 exactly (the planted dups).
+    val mdg = java.security.MessageDigest.getInstance("MD5")
+    def vec(i: Long): Seq[Float] = {
+      val j = if (i >= 300 && i < 310) i - 300 else i
+      (0 until 32).map { d =>
+        mdg.reset()
+        val h = mdg.digest(s"$j|$d".getBytes("UTF-8"))
+        val v = ((h(0) & 0xFF) << 8) | (h(1) & 0xFF)
+        (v % 2001 - 1000).toFloat / 1000f
+      }
+    }
+    val rows = (0L until 600L).map(i => (i, 0, vec(i)))
+      .toDF("vec_id", "cl", "embedding")
+    val cap = 100
+    val capped = NearDup.semDedup(rows, "vec_id", "embedding", "cl",
+      tau = 0.9999, maxCellRows = Some(cap)).collect()
+    assert(capped.length == 1)
+    // every planted duplicate drops: identical vectors share a cell by
+    // construction (the cell key is the md5 of the vector bytes)
+    assert(capped(0).getAs[Long]("n_dropped") >= 10,
+      s"planted exact dups escaped the cap: ${capped(0)}")
+    // and the cap actually bounds the quadratic: recompute the cell
+    // assignment the operator uses and compare pair counts
+    val cells = rows
+      .withColumn("cell",
+        pmod(conv(substring(md5(col("embedding").cast("string")), 1, 8),
+          16, 10).cast("long"), lit((600 + cap - 1) / cap)))
+      .groupBy("cell").count().collect().map(_.getLong(1))
+    val cappedPairs = cells.map(n => n * (n - 1) / 2).sum
+    assert(cappedPairs < 179700L / 3,
+      s"sub-split did not bound the pair join: $cappedPairs")
+    // uncapped on the same frame agrees on totals and finds the same
+    // planted dups (no cross-cell NEAR-dups exist at this tau)
+    val flat = NearDup.semDedup(rows, "vec_id", "embedding", "cl",
+      tau = 0.9999).collect()
+    assert(flat(0).getAs[Long]("n_vecs") == 600)
+    assert(flat(0).getAs[Long]("n_dropped") ==
+      capped(0).getAs[Long]("n_dropped"))
+  }
+
   test("lsh collision probability: bucket counts stay bounded (no hot key)") {
     // signatures of unrelated docs must not all collapse into one bucket
     val buckets = NearDup.minhashPairs(docs, "doc_id", "text",
