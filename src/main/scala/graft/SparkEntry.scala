@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
-import graft.operators.{Bm25, Fusion, IvfIndex, KnnSearch, Mixer, NearDup, PostRetrieval, Pq, RagPipeline, Rerank, SkewJoin}
+import graft.operators.{AsofJoin, Bm25, Fusion, IvfIndex, KnnSearch, Mixer, NearDup, PostRetrieval, Pq, RagPipeline, Rerank, SkewJoin}
 import graft.plans.VectorExpressions
 import graft.sources.{MarkdownIngest, Multimodal}
 
@@ -1508,6 +1508,31 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
         .select(col("window.start").as("window_start"), col("event_type"),
           col("n"), col("sum_value"))
         .orderBy(col("window_start"), col("event_type"))
+    }),
+
+    "q95_asof_join" -> ((s, dir) => {
+      // As-of (point-in-time) join — the operator Spark's API lacks
+      // (Pandas merge_asof / kdb aj / Flink temporal join): for every
+      // click, the latest view by the same user at-or-before the click
+      // instant. AsofJoin.backward is the scale-correct form: ONE
+      // co-partitioning shuffle of the tagged union, one sort, a
+      // linear carry pass with O(1) state — never a join explosion,
+      // never a window buffer. The oracle replays it with DuckDB's
+      // native ASOF LEFT JOIN (right side deduped per (user, ts) to
+      // the max event_id — the operator's documented tie contract).
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("ts"), col("user_id"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      AsofJoin.backward(clicks, views, "user_id", "ts",
+          rightVals = Seq("value"), rightTieBreak = "event_id")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_clicks"),
+          sum(col("asof_value").isNotNull.cast("long")).as("n_matched"),
+          round(sum(coalesce(col("asof_value"), lit(0.0))), 2)
+            .as("matched_value_sum"))
+        .orderBy(col("user_id"))
     }),
 
     "q93_quality_classifier" -> ((s, dir) => {
@@ -3244,6 +3269,24 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
       """SELECT date_trunc('day', ts)::TIMESTAMP AS window_start,
            event_type, count(*) AS n, round(sum(value), 2) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""",
+
+    "q95_asof_join" ->
+      """WITH c AS (
+           SELECT event_id, ts, user_id FROM events
+           WHERE event_type = 'click'),
+         v AS (
+           SELECT user_id, ts, value, row_number() OVER (
+             PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+           FROM events WHERE event_type = 'view'),
+         vd AS (SELECT user_id, ts, value FROM v WHERE rn = 1),
+         j AS (
+           SELECT c.user_id, vd.value AS av
+           FROM c ASOF LEFT JOIN vd
+             ON c.user_id = vd.user_id AND c.ts >= vd.ts)
+         SELECT user_id, count(*) AS n_clicks,
+           count(av)::BIGINT AS n_matched,
+           round(sum(coalesce(av, 0.0)), 2) AS matched_value_sum
+         FROM j GROUP BY user_id ORDER BY user_id""",
 
     "q93_quality_classifier" ->
       raw"""WITH tk AS (

@@ -1,0 +1,85 @@
+package graft.operators
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class AsofJoinSpec extends SparkSpec {
+
+  private def ts(min: Long): Timestamp = new Timestamp(1704067200000L +
+    min * 60000)
+
+  test("backward as-of: latest at-or-before match, inclusive, per key") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, ts(10), 100L), // after both right rows for key 1
+      (1L, ts(4), 101L),  // between: matches the ts(3) row
+      (1L, ts(2), 102L),  // before everything: unmatched
+      (2L, ts(5), 103L),  // exactly AT a right ts: inclusive match
+      (3L, ts(9), 104L)   // key with no right rows at all
+    ).toDF("user_id", "ts", "event_id")
+    val right = Seq(
+      (1L, ts(3), 1L, 30.0),
+      (1L, ts(7), 2L, 70.0),
+      (2L, ts(5), 3L, 50.0)
+    ).toDF("user_id", "ts", "event_id", "value")
+    val out = AsofJoin.backward(left, right, "user_id", "ts",
+        Seq("value"), "event_id")
+      .collect().map(r => r.getLong(2) ->
+        Option(r.getAs[Any]("asof_value"))).toMap
+    assert(out(100L) == Some(70.0)) // latest preceding
+    assert(out(101L) == Some(30.0)) // skips the later row
+    assert(out(102L) == None)       // nothing precedes
+    assert(out(103L) == Some(50.0)) // equal ts matches (inclusive)
+    assert(out(104L) == None)       // empty right group
+    // left columns pass through untouched
+    val cols = AsofJoin.backward(left, right, "user_id", "ts",
+      Seq("value"), "event_id").columns.toSeq
+    assert(cols == Seq("user_id", "ts", "event_id", "asof_value"))
+  }
+
+  test("ties on (key, ts) resolve to the greatest tiebreak; null-safe") {
+    import spark.implicits._
+    val left = Seq((1L, ts(6), 200L), (1L, ts(5), 201L))
+      .toDF("user_id", "ts", "event_id")
+    val right = Seq(
+      (1L, ts(5), 1L, 11.0), // same instant, lower event_id
+      (1L, ts(5), 9L, 99.0)  // same instant, higher event_id -> wins
+    ).toDF("user_id", "ts", "event_id", "value")
+    val out = AsofJoin.backward(left, right, "user_id", "ts",
+        Seq("value"), "event_id")
+      .collect().map(r => r.getLong(2) -> r.getAs[Double]("asof_value"))
+      .toMap
+    assert(out(200L) == 99.0 && out(201L) == 99.0,
+      s"tie must resolve to the max-tiebreak right row: $out")
+    // null key / null ts LEFT rows survive unmatched (left-join
+    // contract); null-key right rows are dropped (can't be a match)
+    val leftN = Seq((Option.empty[Long], Option(ts(6)), 300L),
+        (Option(1L), Option.empty[Timestamp], 301L))
+      .toDF("user_id", "ts", "event_id")
+    val outN = AsofJoin.backward(leftN, right, "user_id", "ts",
+        Seq("value"), "event_id")
+      .collect().map(r => r.getLong(2) ->
+        Option(r.getAs[Any]("asof_value"))).toMap
+    assert(outN == Map(300L -> None, 301L -> None))
+  }
+
+  test("plan shape: one exchange on the union, no join operator") {
+    import spark.implicits._
+    val left = (0L until 100L).map(i => (i % 7, ts(i), i))
+      .toDF("user_id", "ts", "event_id")
+    val right = (0L until 50L).map(i => (i % 7, ts(i * 2), i, i * 1.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    val df = AsofJoin.backward(left, right, "user_id", "ts",
+      Seq("value"), "event_id")
+    val plan = df.queryExecution.executedPlan.toString
+    // no join OPERATOR anywhere ("AsofJoin" itself appears in the
+    // MapPartitions lambda name — match the physical operators)
+    for (op <- Seq("SortMergeJoin", "BroadcastHashJoin",
+        "ShuffledHashJoin", "CartesianProduct", "BroadcastNestedLoop"))
+      assert(!plan.contains(op), s"as-of must not plan a $op:\n$plan")
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 1,
+      s"exactly one co-partitioning shuffle expected, got $exchanges:\n$plan")
+  }
+}
