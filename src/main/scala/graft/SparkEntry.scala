@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
-import graft.operators.{AsofJoin, Bm25, Fusion, IvfIndex, KnnSearch, Mixer, NearDup, PostRetrieval, Pq, RagPipeline, Rerank, SkewJoin}
+import graft.operators.{AsofJoin, Bm25, Fusion, IvfIndex, KnnSearch, Mixer, NearDup, PostRetrieval, Pq, RagPipeline, RangeJoin, Rerank, SkewJoin}
 import graft.plans.VectorExpressions
 import graft.sources.{MarkdownIngest, Multimodal}
 
@@ -1532,6 +1532,32 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
           sum(col("asof_value").isNotNull.cast("long")).as("n_matched"),
           round(sum(coalesce(col("asof_value"), lit(0.0))), 2)
             .as("matched_value_sum"))
+        .orderBy(col("user_id"))
+    }),
+
+    "q96_range_join" -> ((s, dir) => {
+      // Range join (point-in-interval) — purchase attribution: every
+      // click landing inside the 30-minute window before a purchase by
+      // the same user. A raw `BETWEEN` join plans nested-loop;
+      // RangeJoin.pointInInterval bins both sides at the window width
+      // (≤ 2 bins per interval) and matches on the EQUI key
+      // (user_id, bin) + a residual filter — work scales with matches,
+      // not the cross product. Counts are exact integers; timestamps
+      // compare in epoch seconds (integer div on both engines).
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts").cast("long").as("p"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          (col("ts").cast("long") - 1800L).as("lo"),
+          col("ts").cast("long").as("hi"))
+      RangeJoin.pointInInterval(clicks, "p", purchases, "lo", "hi",
+          keys = Seq("user_id"), binWidth = 1800L)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+          count_distinct(col("click_id")).as("n_clicks"),
+          count_distinct(col("purchase_id")).as("n_purchases"))
         .orderBy(col("user_id"))
     }),
 
@@ -3286,6 +3312,24 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
          SELECT user_id, count(*) AS n_clicks,
            count(av)::BIGINT AS n_matched,
            round(sum(coalesce(av, 0.0)), 2) AS matched_value_sum
+         FROM j GROUP BY user_id ORDER BY user_id""",
+
+    "q96_range_join" ->
+      """WITH c AS (
+           SELECT user_id, event_id AS click_id,
+             epoch_us(ts) // 1000000 AS p
+           FROM events WHERE event_type = 'click'),
+         pu AS (
+           SELECT user_id, event_id AS purchase_id,
+             epoch_us(ts) // 1000000 AS hi
+           FROM events WHERE event_type = 'purchase'),
+         j AS (
+           SELECT c.user_id, c.click_id, pu.purchase_id
+           FROM c JOIN pu ON c.user_id = pu.user_id
+             AND c.p BETWEEN pu.hi - 1800 AND pu.hi)
+         SELECT user_id, count(*) AS n_pairs,
+           count(DISTINCT click_id)::BIGINT AS n_clicks,
+           count(DISTINCT purchase_id)::BIGINT AS n_purchases
          FROM j GROUP BY user_id ORDER BY user_id""",
 
     "q93_quality_classifier" ->
