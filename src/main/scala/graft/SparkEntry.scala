@@ -1561,6 +1561,48 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
         .orderBy(col("user_id"))
     }),
 
+    "q97_countmin" -> ((s, dir) => {
+      // Count-min sketch — the mergeable-sketch shape for counting at
+      // 100 TB: d=4 hash rows × w=256 buckets of EXACT integer counts
+      // (bucket = first md5 byte of "row|token"), built by one explode
+      // + one (row, bucket) aggregation with map-side combine; the
+      // sketch is 1 KB, merges by addition across partitions/corpora
+      // (what makes it a sketch), and answers point queries as
+      // min over rows of the bucket count — an upper bound on the true
+      // count by construction. Every hash is md5 and every count an
+      // integer, so the ORACLE replays the whole sketch bit-for-bit —
+      // the estimate column is deterministic, not a property assertion.
+      // Reported for the six BM25 vocabulary terms next to their true
+      // counts (est >= true always; collisions show as est > true).
+      import graft.functions.TextFunctions.tokens
+      val toks = t(s, dir, "documents").filter(col("text").isNotNull)
+        .select(explode(tokens(col("text"))).as("tok"))
+      val rb = toks.select(explode(array((0 until 4).map(r =>
+          struct(lit(r).as("r"),
+            conv(substring(md5(concat_ws("|", lit(r.toString),
+              col("tok"))), 1, 2), 16, 10).cast("long").as("b"))): _*))
+          .as("rb"))
+        .select(col("rb.r").as("r"), col("rb.b").as("b"))
+      val sketch = rb.groupBy(col("r"), col("b"))
+        .agg(count(lit(1)).as("cnt"))
+      import s.implicits._
+      val trb = bm25Terms.toDF("term")
+        .crossJoin(s.range(0, 4).select(col("id").cast("int").as("r")))
+        .withColumn("b",
+          conv(substring(md5(concat_ws("|", col("r").cast("string"),
+            col("term"))), 1, 2), 16, 10).cast("long"))
+      val est = trb.join(sketch, Seq("r", "b"), "left")
+        .groupBy(col("term"))
+        .agg(min(coalesce(col("cnt"), lit(0L))).as("cm_est"))
+      val truth = toks.filter(col("tok").isin(bm25Terms: _*))
+        .groupBy(col("tok")).agg(count(lit(1)).as("true_count"))
+      est.join(truth.withColumnRenamed("tok", "term"), Seq("term"), "left")
+        .select(col("term"),
+          coalesce(col("true_count"), lit(0L)).as("true_count"),
+          col("cm_est"))
+        .orderBy(col("term"))
+    }),
+
     "q93_quality_classifier" -> ((s, dir) => {
       // Model-based quality filtering (the GPT-3/LLaMA/FineWeb-Edu
       // stage: a cheap linear classifier scores every document and the
@@ -3331,6 +3373,39 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
            count(DISTINCT click_id)::BIGINT AS n_clicks,
            count(DISTINCT purchase_id)::BIGINT AS n_purchases
          FROM j GROUP BY user_id ORDER BY user_id""",
+
+    // q97: the oracle rebuilds the IDENTICAL sketch (same "r|token" md5
+    // buckets, same integer counts) and answers the same point queries —
+    // the estimate is replayed, not bounded.
+    "q97_countmin" ->
+      raw"""WITH tk AS (
+           SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+             w -> len(w) > 0)) AS tok
+           FROM documents WHERE text IS NOT NULL),
+         rb AS (
+           SELECT r, ('0x' || substr(md5(r::VARCHAR || '|' || tok),
+             1, 2))::BIGINT AS b
+           FROM tk CROSS JOIN (SELECT unnest(range(0, 4)) AS r)),
+         sk AS (SELECT r, b, count(*)::BIGINT AS cnt
+           FROM rb GROUP BY 1, 2),
+         terms(term) AS (VALUES ${bm25Terms.map(t => s"('$t')")
+             .mkString(", ")}),
+         trb AS (
+           SELECT term, r, ('0x' || substr(md5(r::VARCHAR || '|' ||
+             term), 1, 2))::BIGINT AS b
+           FROM terms CROSS JOIN (SELECT unnest(range(0, 4)) AS r)),
+         est AS (
+           SELECT term, min(coalesce(sk.cnt, 0))::BIGINT AS cm_est
+           FROM trb LEFT JOIN sk ON trb.r = sk.r AND trb.b = sk.b
+           GROUP BY term),
+         tr AS (
+           SELECT tok AS term, count(*)::BIGINT AS true_count FROM tk
+           WHERE tok IN (${bm25Terms.map(t => s"'$t'").mkString(", ")})
+           GROUP BY 1)
+         SELECT est.term, coalesce(tr.true_count, 0)::BIGINT AS true_count,
+           est.cm_est
+         FROM est LEFT JOIN tr ON est.term = tr.term
+         ORDER BY est.term""",
 
     "q93_quality_classifier" ->
       raw"""WITH tk AS (
