@@ -1577,14 +1577,18 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
       import graft.functions.TextFunctions.tokens
       val toks = t(s, dir, "documents").filter(col("text").isNotNull)
         .select(explode(tokens(col("text"))).as("tok"))
-      val rb = toks.select(explode(array((0 until 4).map(r =>
-          struct(lit(r).as("r"),
-            conv(substring(md5(concat_ws("|", lit(r.toString),
-              col("tok"))), 1, 2), 16, 10).cast("long").as("b"))): _*))
-          .as("rb"))
-        .select(col("rb.r").as("r"), col("rb.b").as("b"))
-      val sketch = rb.groupBy(col("r"), col("b"))
-        .agg(count(lit(1)).as("cnt"))
+      // fold to term frequencies FIRST (map-side combined, the only
+      // corpus-scale shuffle), then expand the VOCAB-sized frame into
+      // its 4 hash rows — never 4 rows per token occurrence
+      val tf = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      val sketch = tf.select(col("c"),
+          explode(array((0 until 4).map(r =>
+            struct(lit(r).as("r"),
+              conv(substring(md5(concat_ws("|", lit(r.toString),
+                col("tok"))), 1, 2), 16, 10).cast("long").as("b"))): _*))
+            .as("rb"))
+        .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+        .agg(sum(col("c")).as("cnt"))
       import s.implicits._
       val trb = bm25Terms.toDF("term")
         .crossJoin(s.range(0, 4).select(col("id").cast("int").as("r")))

@@ -36,4 +36,28 @@ object RangeJoin {
       .filter(col(pCol) >= col(loCol) && col(pCol) <= col(hiCol))
       .drop("__bin")
   }
+
+  /** Interval-overlap join: pairs where `[lLo,lHi]` and `[rLo,rHi]`
+    * intersect (closed intervals, same non-negative-long contract).
+    * Overlapping pairs meet in EVERY bin their intersection covers, so
+    * unlike the point form a dedup rule is needed: a pair is emitted
+    * only from its CANONICAL bin — the first bin of the intersection,
+    * `max(lLo, rLo) div binWidth` — which both sides necessarily
+    * cover, keeping exactly one copy without a distinct/shuffle. */
+  def intervalOverlap(left: DataFrame, lLo: String, lHi: String,
+      right: DataFrame, rLo: String, rHi: String,
+      keys: Seq[String], binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val l = left.withColumn("__bin",
+      explode(sequence(expr(s"`$lLo` div ${binWidth}L"),
+        expr(s"`$lHi` div ${binWidth}L"))))
+    val r = right.withColumn("__bin",
+      explode(sequence(expr(s"`$rLo` div ${binWidth}L"),
+        expr(s"`$rHi` div ${binWidth}L"))))
+    l.join(r, (keys :+ "__bin").toIndexedSeq)
+      .filter(col(lLo) <= col(rHi) && col(rLo) <= col(lHi))
+      .filter(col("__bin") ===
+        expr(s"greatest(`$lLo`, `$rLo`) div ${binWidth}L"))
+      .drop("__bin")
+  }
 }

@@ -35,6 +35,33 @@ class RangeJoinSpec extends SparkSpec {
     assert(n == out.size, s"duplicate pair rows: $n vs ${out.size}")
   }
 
+  test("interval overlap: closed-interval semantics, canonical-bin dedup") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 0L, 100L, 10L),   // spans many width-10 bins
+      (1L, 50L, 60L, 11L),
+      (2L, 0L, 5L, 12L)      // other key
+    ).toDF("k", "llo", "lhi", "lid")
+    val right = Seq(
+      (1L, 90L, 200L, 20L),  // overlaps [0,100] in [90,100]
+      (1L, 100L, 110L, 21L), // TOUCHES [0,100] at exactly 100 (closed)
+      (1L, 101L, 110L, 22L), // just misses
+      (1L, 55L, 58L, 23L),   // nested inside [50,60] and [0,100]
+      (2L, 5L, 9L, 24L)      // touches [0,5] at 5 on the other key
+    ).toDF("k", "rlo", "rhi", "rid")
+    val out = RangeJoin.intervalOverlap(left, "llo", "lhi",
+        right, "rlo", "rhi", keys = Seq("k"), binWidth = 10L)
+    val pairs = out.select("lid", "rid").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet == Set(
+      (10L, 20L), (10L, 21L), (10L, 23L), (11L, 23L), (12L, 24L)),
+      s"got ${pairs.toSet}")
+    // the canonical-bin rule keeps exactly ONE copy of each pair even
+    // though wide intersections cover many bins
+    assert(pairs.length == pairs.toSet.size,
+      s"duplicate pair rows: ${pairs.length} vs ${pairs.toSet.size}")
+  }
+
   test("plan: equi-join on (key, bin), never a nested loop") {
     import spark.implicits._
     val points = (0L until 500L).map(i => (i % 7, i, i)).toDF("k", "p", "pid")
