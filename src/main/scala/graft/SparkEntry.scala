@@ -1561,6 +1561,43 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
         .orderBy(col("user_id"))
     }),
 
+    "q98_sequence_packing" -> ((s, dir) => {
+      // Sequence packing — the last step before a training run: docs
+      // concatenate in a FIXED order and split into 2048-token
+      // sequences (the GPT-style concat-and-chunk pack; greedy bin
+      // packing is sequential, concat-and-chunk is the form that
+      // distributes). Order is the reproducible content-hash order of
+      // q87 per language; a doc's sequence assignments follow from the
+      // running token sum alone: start seq = (cum − n) div 2048, end
+      // seq = (cum − 1) div 2048, doc crosses a boundary iff they
+      // differ. Reported per language: docs, tokens, sequence count
+      // (= last doc's end seq + 1), boundary-crossing docs, and tail
+      // waste (unused slots in the final sequence) — every number an
+      // exact integer. 100 TB shape: one scan + the per-language
+      // range-partitioned window q84/q87 already run; the report is
+      // strata-sized.
+      val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("lang"), col("doc_id"),
+          tokenCount(col("text")).as("n_toks"), md5(col("text")).as("h"))
+        .filter(col("n_toks") > 0L)
+      val wCum = Window.partitionBy(col("lang"))
+        .orderBy(col("h"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs
+        .withColumn("cum", sum(col("n_toks")).over(wCum))
+        .withColumn("start_seq", expr("(cum - n_toks) div 2048L"))
+        .withColumn("end_seq", expr("(cum - 1) div 2048L"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("tok_total"),
+          (max(col("end_seq")) + 1L).as("n_seqs"),
+          sum((col("start_seq") =!= col("end_seq")).cast("long"))
+            .as("n_crossing"),
+          ((max(col("end_seq")) + 1L) * 2048L - sum(col("n_toks")))
+            .as("tail_waste"))
+        .orderBy(col("lang"))
+    }),
+
     "q97_countmin" -> ((s, dir) => {
       // Count-min sketch — the mergeable-sketch shape for counting at
       // 100 TB: d=4 hash rows × w=256 buckets of EXACT integer counts
@@ -3377,6 +3414,27 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
            count(DISTINCT click_id)::BIGINT AS n_clicks,
            count(DISTINCT purchase_id)::BIGINT AS n_purchases
          FROM j GROUP BY user_id ORDER BY user_id""",
+
+    "q98_sequence_packing" ->
+      raw"""WITH t AS (
+           SELECT lang, doc_id,
+             len(list_filter(string_split_regex(text, '\s+'),
+               x -> len(x) > 0))::BIGINT AS n_toks,
+             md5(text) AS h
+           FROM documents WHERE text IS NOT NULL),
+         c AS (
+           SELECT lang, n_toks,
+             sum(n_toks) OVER (PARTITION BY lang ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM t WHERE n_toks > 0)
+         SELECT lang, count(*) AS n_docs,
+           sum(n_toks)::BIGINT AS tok_total,
+           (max((cum - 1) // 2048) + 1)::BIGINT AS n_seqs,
+           sum(((cum - n_toks) // 2048
+             != (cum - 1) // 2048)::BIGINT)::BIGINT AS n_crossing,
+           ((max((cum - 1) // 2048) + 1) * 2048
+             - sum(n_toks))::BIGINT AS tail_waste
+         FROM c GROUP BY lang ORDER BY lang""",
 
     // q97: the oracle rebuilds the IDENTICAL sketch (same "r|token" md5
     // buckets, same integer counts) and answers the same point queries —
