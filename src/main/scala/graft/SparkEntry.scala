@@ -1561,6 +1561,31 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
         .orderBy(col("user_id"))
     }),
 
+    "q99_window_overlap" -> ((s, dir) => {
+      // Interval-overlap range join behind the gate: did a user's
+      // click activity window overlap an error window? (the
+      // incident-correlation question). 10-minute closed windows
+      // around each event; RangeJoin.intervalOverlap bins both sides,
+      // equi-joins on (user_id, bin), and emits each overlapping pair
+      // from its canonical first-intersection bin — exactly once, no
+      // distinct. The oracle is the plain inequality join.
+      val ev = t(s, dir, "events")
+      def windows(kind: String, idAs: String) =
+        ev.filter(col("event_type") === kind)
+          .select(col("user_id"), col("event_id").as(idAs),
+            col("ts").cast("long").as(s"${idAs.take(1)}lo"),
+            (col("ts").cast("long") + 600L).as(s"${idAs.take(1)}hi"))
+      RangeJoin.intervalOverlap(
+          windows("click", "click_id"), "clo", "chi",
+          windows("error", "error_id"), "elo", "ehi",
+          keys = Seq("user_id"), binWidth = 600L)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+          count_distinct(col("click_id")).as("n_clicks"),
+          count_distinct(col("error_id")).as("n_errors"))
+        .orderBy(col("user_id"))
+    }),
+
     "q98_sequence_packing" -> ((s, dir) => {
       // Sequence packing — the last step before a training run: docs
       // concatenate in a FIXED order and split into 2048-token
@@ -3413,6 +3438,26 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
          SELECT user_id, count(*) AS n_pairs,
            count(DISTINCT click_id)::BIGINT AS n_clicks,
            count(DISTINCT purchase_id)::BIGINT AS n_purchases
+         FROM j GROUP BY user_id ORDER BY user_id""",
+
+    "q99_window_overlap" ->
+      """WITH c AS (
+           SELECT user_id, event_id AS click_id,
+             epoch_us(ts) // 1000000 AS clo,
+             epoch_us(ts) // 1000000 + 600 AS chi
+           FROM events WHERE event_type = 'click'),
+         e AS (
+           SELECT user_id, event_id AS error_id,
+             epoch_us(ts) // 1000000 AS elo,
+             epoch_us(ts) // 1000000 + 600 AS ehi
+           FROM events WHERE event_type = 'error'),
+         j AS (
+           SELECT c.user_id, c.click_id, e.error_id
+           FROM c JOIN e ON c.user_id = e.user_id
+             AND c.clo <= e.ehi AND e.elo <= c.chi)
+         SELECT user_id, count(*) AS n_pairs,
+           count(DISTINCT click_id)::BIGINT AS n_clicks,
+           count(DISTINCT error_id)::BIGINT AS n_errors
          FROM j GROUP BY user_id ORDER BY user_id""",
 
     "q98_sequence_packing" ->
