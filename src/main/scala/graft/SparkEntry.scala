@@ -1561,6 +1561,64 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
         .orderBy(col("user_id"))
     }),
 
+    "q100_boilerplate_removal" -> ((s, dir) => {
+      // The TRANSFORM counterpart of q88's detection (RefinedWeb
+      // removes boilerplate, not just flags it): drop every token
+      // position covered by a boilerplate 2-gram occurrence and emit
+      // the cleaned token stream — verified at byte level (md5 of the
+      // space-joined cleaned tokens), not by counts alone. Mechanics:
+      // q88's boiler set per source (distinct-per-doc occurrence >= 25%
+      // of >= 5 docs) gathers into one SMALL per-source array (bounded
+      // by construction — boilerplate is the stuff that repeats, its
+      // distinct count is tiny) and broadcasts; each doc then computes
+      // POSITIONAL grams and keep-flags with materialized-column HOFs
+      // (arrays are attributes, not re-evaluated expressions — the
+      // round-3 interpreted-HOF trap). One corpus scan + the q88 gram
+      // shuffle; the removal itself is narrow.
+      VectorExpressions.ensureRegistered(s)
+      val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+      val grams = docs.select(col("source"), col("doc_id"),
+        explode(wordShinglesNative(col("text"), 2)).as("gram"))
+      val srcDocs = docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"))
+      val boiler = grams.groupBy(col("source"), col("gram"))
+        .agg(count(lit(1)).as("in_docs"))
+        .join(srcDocs, Seq("source"))
+        .filter(col("in_docs") * 4L >= col("n_docs") &&
+          col("n_docs") >= 5L)
+      val bgPerSource = boiler.groupBy(col("source"))
+        .agg(collect_list(col("gram")).as("bg"))
+      val withToks = docs
+        .select(col("source"), col("doc_id"),
+          tokens(lower(col("text"))).as("ts"))
+        .join(broadcast(bgPerSource), Seq("source"), "left")
+      // positional grams: g(i) = ts(i)+" "+ts(i+1); zip_with pads the
+      // short side with null, so g(n-1) is null (no gram starts there)
+      val staged = withToks.select(col("source"), col("doc_id"),
+        col("ts"), col("bg"),
+        zip_with(col("ts"), slice(col("ts"), lit(2), greatest(
+            size(col("ts")) - 1, lit(0))),
+          (a, b) => concat(a, lit(" "), b)).as("g"))
+      val flagged = staged.select(col("source"), col("doc_id"), col("ts"),
+        transform(col("g"),
+          x => coalesce(array_contains(col("bg"), x), lit(false)))
+          .as("c1"))
+      val cleaned = flagged.select(col("source"), col("doc_id"), col("ts"),
+        zip_with(col("c1"),
+          concat(array(lit(false)), slice(col("c1"), lit(1), greatest(
+            size(col("c1")) - 1, lit(0)))),
+          (a, b) => !(coalesce(a, lit(false)) ||
+            coalesce(b, lit(false)))).as("k"))
+      cleaned.select(col("source"), col("doc_id"),
+          size(col("ts")).cast("long").as("n_before"),
+          filter(zip_with(col("ts"), col("k"),
+            (t, kf) => when(kf, t)), x => x.isNotNull).as("clean"))
+        .select(col("source"), col("doc_id"), col("n_before"),
+          size(col("clean")).cast("long").as("n_after"),
+          md5(concat_ws(" ", col("clean"))).as("clean_fp"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q99_window_overlap" -> ((s, dir) => {
       // Interval-overlap range join behind the gate: did a user's
       // click activity window overlap an error window? (the
@@ -3439,6 +3497,46 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
            count(DISTINCT click_id)::BIGINT AS n_clicks,
            count(DISTINCT purchase_id)::BIGINT AS n_purchases
          FROM j GROUP BY user_id ORDER BY user_id""",
+
+    // q100: the oracle recomputes the boiler set with q88's CTEs, then
+    // replays the positional removal — 1-based in SQL, 0-based in the
+    // engine, same covered-position predicate — and the md5 of the
+    // space-joined cleaned tokens must match byte-for-byte.
+    "q100_boilerplate_removal" ->
+      raw"""WITH docs AS (
+           SELECT source, doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+               x -> len(x) > 0) AS ts
+           FROM documents WHERE text IS NOT NULL),
+         dg AS (
+           SELECT source, doc_id, unnest(list_distinct(list_transform(
+             range(1, greatest(len(ts) - 1, 0) + 1),
+             i -> ts[i] || ' ' || ts[i+1]))) AS gram
+           FROM docs),
+         sd AS (SELECT source, count(*) AS n_docs FROM docs GROUP BY 1),
+         boiler AS (
+           SELECT g.source, g.gram
+           FROM dg g JOIN sd ON g.source = sd.source
+           GROUP BY g.source, g.gram, sd.n_docs
+           HAVING count(*) * 4 >= sd.n_docs AND sd.n_docs >= 5),
+         bgs AS (SELECT source, list(gram) AS bg FROM boiler GROUP BY 1),
+         j AS (
+           SELECT d.source, d.doc_id, d.ts,
+             coalesce(b.bg, []::VARCHAR[]) AS bg
+           FROM docs d LEFT JOIN bgs b ON d.source = b.source),
+         cl AS (
+           SELECT source, doc_id, len(ts)::BIGINT AS n_before,
+             list_transform(
+               list_filter(range(1, len(ts) + 1), i ->
+                 NOT ((i < len(ts)
+                     AND list_contains(bg, ts[i] || ' ' || ts[i+1]))
+                   OR (i > 1
+                     AND list_contains(bg, ts[i-1] || ' ' || ts[i])))),
+               i -> ts[i]) AS clean
+           FROM j)
+         SELECT source, doc_id, n_before, len(clean)::BIGINT AS n_after,
+           md5(array_to_string(clean, ' ')) AS clean_fp
+         FROM cl ORDER BY doc_id""",
 
     "q99_window_overlap" ->
       """WITH c AS (
