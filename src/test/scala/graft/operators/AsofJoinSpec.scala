@@ -64,6 +64,54 @@ class AsofJoinSpec extends SparkSpec {
     assert(outN == Map(300L -> None, 301L -> None))
   }
 
+  test("differential: carry pass agrees with a window-function reference") {
+    // independent formulation of the same semantics: union both sides,
+    // last(rv) IGNORE NULLS over (key ORDER BY ts, side, tb) — the
+    // declarative (buffer-paying) form the carry pass optimizes away.
+    // Deterministic pseudo-random data with repeated keys, repeated
+    // timestamps, and same-instant left/right collisions.
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    def h(i: Long, salt: String): Long =
+      java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$salt|$i".getBytes("UTF-8"))
+          .take(4).map("%02x".format(_)).mkString, 16)
+    val left = (0L until 400L)
+      .map(i => (h(i, "lk") % 11, ts(h(i, "lt") % 97), i))
+      .toDF("k", "ts", "lid")
+    val right = (0L until 300L)
+      .map(i => (h(i, "rk") % 11, ts(h(i, "rt") % 97), i, (i * 7 % 50).toDouble))
+      .toDF("k", "ts", "rid", "value")
+
+    val got = AsofJoin.backward(left, right, "k", "ts",
+        Seq("value"), "rid")
+      .select(col("lid"), col("asof_value"))
+      .collect().map(r => r.getLong(0) ->
+        Option(r.getAs[Any](1))).toMap
+
+    val u = right.select(col("k"), col("ts"), lit(0).as("side"),
+        col("rid").as("tb"), col("value").as("rv"),
+        lit(null).cast("long").as("lid"))
+      .unionByName(left.select(col("k"), col("ts"), lit(1).as("side"),
+        lit(Long.MaxValue).as("tb"), lit(null).cast("double").as("rv"),
+        col("lid")))
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("ts"), col("side"), col("tb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expected = u
+      .withColumn("carry", last(col("rv"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("lid"), col("carry"))
+      .collect().map(r => r.getLong(0) ->
+        Option(r.getAs[Any](1))).toMap
+
+    assert(got.size == 400 && got == expected,
+      s"carry pass diverged from the window reference: " +
+        s"${(got.toSet -- expected.toSet).take(5)} vs " +
+        s"${(expected.toSet -- got.toSet).take(5)}")
+  }
+
   test("plan shape: one exchange on the union, no join operator") {
     import spark.implicits._
     val left = (0L until 100L).map(i => (i % 7, ts(i), i))
