@@ -62,6 +62,54 @@ class RangeJoinSpec extends SparkSpec {
       s"duplicate pair rows: ${pairs.length} vs ${pairs.toSet.size}")
   }
 
+  test("differential: both range joins agree with brute-force filters") {
+    import spark.implicits._
+    def h(i: Long, salt: String): Long =
+      java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$salt|$i".getBytes("UTF-8"))
+          .take(4).map("%02x".format(_)).mkString, 16)
+    val points = (0L until 300L)
+      .map(i => (h(i, "pk") % 5, h(i, "pp") % 500, i))
+      .toDF("k", "p", "pid")
+    val ints = (0L until 200L).map { i =>
+      val lo = h(i, "il") % 500
+      (h(i, "ik") % 5, lo, lo + h(i, "iw") % 60, i)
+    }.toDF("k", "lo", "hi", "iid")
+
+    val gotP = RangeJoin.pointInInterval(points, "p", ints, "lo", "hi",
+        Seq("k"), binWidth = 32L)
+      .select("pid", "iid").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expP = points.as("a").crossJoin(ints.as("b"))
+      .filter(col("a.k") === col("b.k") &&
+        col("p") >= col("lo") && col("p") <= col("hi"))
+      .select("pid", "iid").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(gotP.length == gotP.toSet.size, "point form emitted dups")
+    assert(gotP.toSet == expP.toSet,
+      s"point form diverged: ${(gotP.toSet -- expP.toSet).take(3)} / " +
+        s"${(expP.toSet -- gotP.toSet).take(3)}")
+
+    val ints2 = (0L until 150L).map { i =>
+      val lo = h(i, "jl") % 500
+      (h(i, "jk") % 5, lo, lo + h(i, "jw") % 90, i)
+    }.toDF("k", "lo2", "hi2", "jid")
+    val gotO = RangeJoin.intervalOverlap(ints, "lo", "hi",
+        ints2, "lo2", "hi2", Seq("k"), binWidth = 32L)
+      .select("iid", "jid").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expO = ints.as("a").crossJoin(ints2.as("b"))
+      .filter(col("a.k") === col("b.k") &&
+        col("lo") <= col("hi2") && col("lo2") <= col("hi"))
+      .select("iid", "jid").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(gotO.length == gotO.toSet.size, "overlap form emitted dups")
+    assert(gotO.toSet == expO.toSet,
+      s"overlap form diverged: ${(gotO.toSet -- expO.toSet).take(3)} / " +
+        s"${(expO.toSet -- gotO.toSet).take(3)}")
+  }
+
   test("plan: equi-join on (key, bin), never a nested loop") {
     import spark.implicits._
     val points = (0L until 500L).map(i => (i % 7, i, i)).toDF("k", "p", "pid")
