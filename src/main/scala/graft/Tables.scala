@@ -16,16 +16,31 @@ object Tables {
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
-      // rejects; read it as epoch-nanos long and convert. Integral `div`
-      // (not `/`): epoch nanos ≈ 1.7e18 exceed double's 53-bit mantissa.
-      // DELIBERATE session-wide side effect: nanosAsLong stays set after
-      // this call (restoring it would break the lazy scan at execution
-      // time). Any later nanos-parquet read in the session also arrives
-      // as long.
+      // events.ts has shipped as parquet TIMESTAMP(NANOS) in some data
+      // drops and TIMESTAMP(MICROS, isAdjustedToUTC=false) in others —
+      // normalize BOTH to TimestampType so every downstream window/
+      // sessionize query sees one type regardless of the generator's
+      // pyarrow version.
+      //  - NANOS: Spark's reader rejects it outright; nanosAsLong reads
+      //    it as epoch-nanos long, converted here with integral `div`
+      //    (not `/`: epoch nanos ≈ 1.7e18 exceed double's 53-bit
+      //    mantissa). DELIBERATE session-wide side effect: nanosAsLong
+      //    stays set after this call (restoring it would break the lazy
+      //    scan at execution time).
+      //  - MICROS non-UTC: arrives as TIMESTAMP_NTZ; under the
+      //    session's pinned UTC zone the cast to TimestampType keeps
+      //    every wall value = the same UTC instant the nanos form
+      //    produced, so query results are identical across drops.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sfDir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          raw.withColumn("ts",
+            col("ts").cast(org.apache.spark.sql.types.TimestampType))
+        case _ => raw
+      }
     } else {
       spark.read.parquet(s"$sfDir/$name.parquet")
     }

@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mergeable sketches for corpus-scale counting — the "novel sketch"
+  * family next to q97's inline count-min: HyperLogLog cardinality
+  * registers and a generalized count-min surface with the classic
+  * sketch-gated heavy-hitters composition.
+  *
+  * Everything here is DETERMINISTIC AND ENGINE-EXACT by construction,
+  * in the repo's round-12 regime (no libm, no machine-dependent seam):
+  *
+  *  - every hash is md5 over an explicit string key;
+  *  - every register / bucket update is an integer max / integer sum;
+  *  - the HLL harmonic denominator `Σ 2^-M(r)` is computed as
+  *    `1.0 / (1L << M)` — a power-of-two reciprocal, exact in IEEE
+  *    doubles — and since every term is a multiple of 2^-33 and there
+  *    are at most 256 of them, EVERY partial sum is exactly
+  *    representable (≤ 41 mantissa bits), so the sum is
+  *    order-independent: partition count and merge order cannot move
+  *    a single bit. A DuckDB oracle rebuilding the same registers
+  *    replays the estimate bit-for-bit; no property bound needed.
+  *
+  * Scale shape (the reason sketches exist at 100 TB): registers /
+  * buckets aggregate with map-side combine, so each executor emits at
+  * most `m` (HLL) or `d·w` (CMS) rows per partition regardless of
+  * input size, and two corpora's sketches merge by `max` / `+` —
+  * the streaming/cross-datacenter union never reshuffles raw data.
+  */
+object Sketches {
+
+  /** HyperLogLog ρ (rank) of the 32-bit hash tail `w`: the number of
+    * leading zeros in 32 bits, plus one. Exact integer arithmetic via
+    * the minimal-binary-string length (`bin()` drops leading zeros in
+    * both Spark and DuckDB): bitlen(w) = len(bin(w)) for w > 0, so
+    * ρ = 33 − bitlen; the all-zero tail (probability 2^-32) takes the
+    * ρ = 33 sentinel. */
+  private def rho(w: Column): Column =
+    when(w === 0L, lit(33L)).otherwise(lit(33L) - length(bin(w)).cast("long"))
+
+  /** Per-group HLL registers over the md5 of `item`: register index =
+    * first hash byte mod `m` (m a power of two ≤ 256 keeps the index
+    * uniform and the mod exact), register value = max ρ of the 32-bit
+    * hash tail (hex chars 3-10). One aggregation with map-side
+    * combine; output is ≤ groups·m rows of (groups..., r, mreg).
+    * Registers merge across sketches by `max(mreg)` — the HLL merge. */
+  def hllRegisters(df: DataFrame, item: Column, groupCols: Seq[String],
+      m: Int): DataFrame = {
+    require(m >= 2 && m <= 256 && (m & (m - 1)) == 0,
+      s"m must be a power of two in [2, 256], got $m")
+    val h = md5(item.cast("string"))
+    df.select(
+        groupCols.map(col) :+
+          (conv(substring(h, 1, 2), 16, 10).cast("long") % m).as("r") :+
+          conv(substring(h, 3, 8), 16, 10).cast("long").as("w"): _*)
+      .groupBy((groupCols.map(col) :+ col("r")): _*)
+      .agg(max(rho(col("w"))).as("mreg"))
+  }
+
+  /** The raw HLL estimate per group from [[hllRegisters]] output:
+    * `α·m² / (V + Σ_present 2^-M(r))` with V = m − registers present
+    * (each absent register contributes 2^0 = 1 to the harmonic sum),
+    * rounded half-up to `dp` decimals in the repo's floor form.
+    * `alpha` is the standard bias constant for the caller's m (0.697
+    * for m=32, 0.709 for m=64, 0.7213/(1+1.079/m) for m ≥ 128) —
+    * passed as a literal so both engines parse the same decimal.
+    * Emits (groups..., n_zero_registers, hll_est). The small-range
+    * linear-counting correction (`m·ln(m/V)`) is deliberately NOT
+    * applied: it needs libm `ln`, the one op in the formula whose
+    * last bit is not pinned by IEEE across engines — callers in the
+    * small-n regime should size m down instead (this module's whole
+    * regime is "remove the seam, don't hope"). */
+  def hllEstimate(registers: DataFrame, groupCols: Seq[String], m: Int,
+      alpha: Double, dp: Int): DataFrame = {
+    val gs = groupCols.map(col)
+    registers
+      .groupBy(gs: _*)
+      .agg(count(lit(1)).as("__present"),
+        sum(expr("1.0 / cast(shiftleft(cast(1 as bigint), " +
+          "cast(mreg as int)) as double)")).as("__hsum"))
+      .select(gs :+
+        (lit(m.toLong) - col("__present")).as("n_zero_registers") :+
+        KnnSearch.roundHalfUpCol(
+          lit(alpha) * lit((m.toLong * m.toLong).toDouble) /
+            ((lit(m.toLong) - col("__present")).cast("double") +
+              col("__hsum")), dp).as("hll_est"): _*)
+  }
+
+  /** Count-min sketch rows from a term-frequency frame `(term, c)`:
+    * d hash rows × w buckets (w a power of two ≤ 256; bucket = first
+    * md5 byte of "row|term" mod w) of exact integer counts. The
+    * d-way expansion happens AFTER the tf fold, so the only
+    * corpus-scale shuffle carries one row per distinct term (q97's
+    * r13 lesson, generalized). Merges across sketches by summing
+    * bucket counts. */
+  def cmsFromTf(tf: DataFrame, termCol: String, cCol: String, d: Int,
+      w: Int): DataFrame = {
+    require(d >= 1 && d <= 8, s"d must be in [1, 8], got $d")
+    require(w >= 2 && w <= 256 && (w & (w - 1)) == 0,
+      s"w must be a power of two in [2, 256], got $w")
+    tf.select(col(cCol).as("__c"),
+        explode(array((0 until d).map(r =>
+          struct(lit(r).as("r"),
+            (conv(substring(md5(concat_ws("|", lit(r.toString),
+              col(termCol))), 1, 2), 16, 10).cast("long") % w)
+              .as("b"))): _*)).as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+      .agg(sum(col("__c")).as("cnt"))
+  }
+
+  /** Point estimates for `terms` against a [[cmsFromTf]] sketch:
+    * min over the d rows of the bucket count — an upper bound on the
+    * true count by construction (collisions only inflate). */
+  def cmsEstimate(sketch: DataFrame, terms: DataFrame, termCol: String,
+      d: Int, w: Int): DataFrame = {
+    val trb = terms
+      .crossJoin(terms.sparkSession.range(0, d)
+        .select(col("id").cast("int").as("r")))
+      .withColumn("b",
+        conv(substring(md5(concat_ws("|", col("r").cast("string"),
+          col(termCol))), 1, 2), 16, 10).cast("long") % w)
+    trb.join(sketch, Seq("r", "b"), "left")
+      .groupBy(col(termCol))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cm_est"))
+  }
+}

@@ -498,20 +498,22 @@ class EventStreamsSpec extends SparkSpec {
 
   test("windowedCounts runs over a real file stream (readStream source)") {
     val batchDf = graft.Tables(spark, "/root/testdata/sf0.001", "events")
-    // the raw file stores ts as TIMESTAMP(NANOS) -> read as long
-    // (Tables already set nanosAsLong on this session)
-    val rawSchema = org.apache.spark.sql.types.StructType(
-      batchDf.schema.map(f =>
-        if (f.name == "ts")
-          f.copy(dataType = org.apache.spark.sql.types.LongType)
-        else f))
+    // The raw file's ts type varies by data drop (TIMESTAMP(NANOS) read
+    // as long under nanosAsLong, vs TIMESTAMP(MICROS) read as NTZ) —
+    // read the ON-DISK schema and normalize exactly as Tables does.
+    val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     val stream = spark.readStream
-      .schema(rawSchema)
+      .schema(raw.schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet("/root/testdata/sf0.001")
-    // Tables converts ts for batch reads; the raw stream has nano-longs
-    val streamTs = stream.withColumn("ts",
-      timestamp_micros(expr("ts div 1000")))
+    val streamTs = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        stream.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => stream
+    }
     val query = EventStreams.windowedCounts(streamTs, "1 day", "1 hour")
       .writeStream.format("memory").queryName("file_win")
       .outputMode(OutputMode.Complete()).start()
