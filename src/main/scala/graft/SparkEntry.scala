@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
-import graft.operators.{AsofJoin, Bm25, Fusion, IvfIndex, KnnSearch, Mixer, NearDup, PostRetrieval, Pq, RagPipeline, RangeJoin, Rerank, SkewJoin}
+import graft.operators.{AsofJoin, Bm25, Fusion, IvfIndex, KnnSearch, Mixer, NearDup, PostRetrieval, Pq, RagPipeline, RangeJoin, Rerank, Sketches, SkewJoin}
 import graft.plans.VectorExpressions
 import graft.sources.{MarkdownIngest, Multimodal}
 
@@ -1559,6 +1559,181 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
           count_distinct(col("click_id")).as("n_clicks"),
           count_distinct(col("purchase_id")).as("n_purchases"))
         .orderBy(col("user_id"))
+    }),
+
+    "q101_hll_cardinality" -> ((s, dir) => {
+      // HyperLogLog distinct counting (Flajolet et al. 2007) — the
+      // cardinality sketch a 100 TB profiling pass runs instead of a
+      // count-distinct shuffle: per-language doc cardinality from 32
+      // one-byte registers (the whole per-group state is 32 B; exact
+      // distinct state is unbounded). Registers aggregate with map-side
+      // combine and merge across corpora by max — see
+      // [[graft.operators.Sketches]] for why every register, the
+      // harmonic sum, and the estimate replay bit-for-bit in any IEEE
+      // engine (no libm op anywhere). The raw estimate sits next to
+      // the exact distinct count so the report shows the sketch's
+      // actual error (~1.04/√32 ≈ 18%) instead of asserting it.
+      val docs = t(s, dir, "documents")
+      val reg = Sketches.hllRegisters(docs, col("doc_id"), Seq("lang"), 32)
+      val est = Sketches.hllEstimate(reg, Seq("lang"), 32, 0.697, 4)
+      val truth = docs.groupBy(col("lang"))
+        .agg(count_distinct(col("doc_id")).as("true_distinct"))
+      est.join(truth, Seq("lang")).orderBy(col("lang"))
+    }),
+
+    "q102_kmv_source_overlap" -> ((s, dir) => {
+      // KMV (K-minimum-values) theta sketch overlap — "which sources
+      // mirror each other?": per-source sketches of the 8-word-span
+      // key sets, pairwise Jaccard from the k smallest hashes of each
+      // union. The pairwise comparison work collapses from
+      // |corpus|² to sources²·k — the reason a crawl-health pass can
+      // afford all pairs at 100 TB. Deterministic end-to-end: hashes
+      // are 52-bit md5 prefixes (fit a positive BIGINT; (k−1)·2^52
+      // can't overflow), the sketch is the k smallest DISTINCT values
+      // (order-independent, tie-free), and the estimates are integer
+      // ppm divisions — the oracle rebuilds the identical sketch.
+      // Exact shared counts ride along so the report shows the
+      // sketch's error. Scale shape: the per-source min-k runs in TWO
+      // bounded phases — min-k per (source, input partition), then
+      // min-k of the ≤ partitions·k survivors — never a single
+      // sort of one giant source's span set.
+      VectorExpressions.ensureRegistered(s)
+      import graft.functions.TextFunctions.{spanKey, wordSpans}
+      val kSk = 128
+      val sp = t(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("source"), explode(wordSpans(col("text"), 8)).as("sp"))
+        .select(col("source"), spanKey(col("sp")).as("k"))
+        .distinct()
+      val hh = sp.select(col("source"),
+          conv(substring(md5(col("k")), 1, 13), 16, 10)
+            .cast("long").as("h"))
+        .distinct()
+      val wPre = Window.partitionBy(col("source"), col("pid"))
+        .orderBy(col("h"))
+      val pre = hh.withColumn("pid", spark_partition_id())
+        .withColumn("rn", row_number().over(wPre))
+        .filter(col("rn") <= kSk).drop("rn", "pid")
+      val wSrc = Window.partitionBy(col("source")).orderBy(col("h"))
+      val sk = pre.withColumn("rn", row_number().over(wSrc))
+        .filter(col("rn") <= kSk).drop("rn")
+      val sources = sp.select("source").distinct()
+      val pairs = sources.as("a").join(sources.as("b"),
+          col("a.source") < col("b.source"))
+        .select(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      val ev = broadcast(pairs).join(sk,
+          sk("source") === col("src_a") || sk("source") === col("src_b"))
+        .groupBy(col("src_a"), col("src_b"), col("h"))
+        .agg(max((col("source") === col("src_a")).cast("int")).as("ina"),
+          max((col("source") === col("src_b")).cast("int")).as("inb"))
+      val wu = Window.partitionBy(col("src_a"), col("src_b"))
+        .orderBy(col("h"))
+      val us = ev.withColumn("rn", row_number().over(wu))
+        .filter(col("rn") <= kSk)
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(count(lit(1)).as("ksz"),
+          sum(((col("ina") === 1) && (col("inb") === 1)).cast("long"))
+            .as("bothk"))
+      val tru = sp.as("x").join(sp.as("y"),
+          col("x.k") === col("y.k") && col("x.source") < col("y.source"))
+        .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
+        .agg(count(lit(1)).as("true_shared"))
+      val tcnt = sp.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      us.join(tru, Seq("src_a", "src_b"), "left")
+        .join(broadcast(tcnt.select(col("source").as("src_a"),
+          col("n").as("na"))), Seq("src_a"))
+        .join(broadcast(tcnt.select(col("source").as("src_b"),
+          col("n").as("nb"))), Seq("src_b"))
+        .select(col("src_a"), col("src_b"),
+          expr("bothk * 1000000 div ksz").as("est_jaccard_ppm"),
+          expr("coalesce(true_shared, 0) * 1000000 div " +
+            "(na + nb - coalesce(true_shared, 0))").as("true_jaccard_ppm"),
+          coalesce(col("true_shared"), lit(0L)).as("true_shared"))
+        .orderBy(col("est_jaccard_ppm").desc, col("src_a"), col("src_b"))
+        .limit(10)
+    }),
+
+    "q103_lm_perplexity" -> ((s, dir) => {
+      // CCNet's actual quality ranker (Wenzek et al. 2020 §4.2 rank
+      // documents by target-domain LM perplexity; q84 cut on a proxy
+      // rank — this is the LM itself): an add-one-smoothed bigram
+      // model trained on the English slice scores every document.
+      // The repo's no-libm regime replaces −log2 p with its integer
+      // envelope: cost(a,b) = bitlen(ctx(a)+V) − bitlen(big(a,b)+1)
+      // (bitlen via the minimal-binary-string length — exact on any
+      // engine), so ranking is exact-integer end-to-end; swapping a
+      // real KenLM changes the scoring seam, not the plan. Plan shape
+      // for 100 TB: the model tables are vocab-bounded → BROADCAST
+      // joins onto one bigram explode of the corpus; per-doc partial
+      // aggregation folds bigrams back to docs; integer-ppm average
+      // (truncating div, doc_id tiebreak) ranks. Reported: the 20
+      // most target-like docs.
+      VectorExpressions.ensureRegistered(s)
+      import graft.functions.TextFunctions.{tokens, wordSpans}
+      val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+      val en = docs.filter(col("lang") === "en")
+      val tgtBg = en.select(explode(wordSpans(col("text"), 2)).as("bg"))
+        .select(element_at(split(col("bg"), " "), 1).as("ctx"), col("bg"))
+      val bc = tgtBg.groupBy(col("bg")).agg(count(lit(1)).as("bc"))
+      val cc = tgtBg.groupBy(col("ctx")).agg(count(lit(1)).as("cc"))
+      val vf = en.select(explode(tokens(col("text"))).as("tok"))
+        .agg(count_distinct(col("tok")).as("v"))
+      docs
+        .select(col("doc_id"), col("lang"),
+          explode(wordSpans(col("text"), 2)).as("bg"))
+        .withColumn("ctx", element_at(split(col("bg"), " "), 1))
+        .join(broadcast(bc), Seq("bg"), "left")
+        .join(broadcast(cc), Seq("ctx"), "left")
+        .crossJoin(broadcast(vf))
+        .select(col("doc_id"), col("lang"),
+          (length(bin(coalesce(col("cc"), lit(0L)) + col("v"))) -
+            length(bin(coalesce(col("bc"), lit(0L)) + lit(1L))))
+            .cast("long").as("cost"))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("cost")).as("cost_sum"))
+        .withColumn("avg_ppm", expr("cost_sum * 1000000 div n_bigrams"))
+        .orderBy(col("avg_ppm"), col("doc_id"))
+        .limit(20)
+    }),
+
+    "q104_maxsim_late_interaction" -> ((s, dir) => {
+      // ColBERT-style late interaction (Khattab & Zaharia 2020):
+      // score(q, d) = Σ_{query tokens} max_{doc tokens} ⟨E(qt), E(dt)⟩
+      // — the retrieval family between bi-encoder KNN (q30) and
+      // cross-encoder rerank (q34). Token embeddings come from the
+      // repo's deterministic fake-model seam as INTEGER vectors
+      // (dim 16, each component an md5-derived signed int), so every
+      // dot product, max, and sum is exact-integer and the oracle
+      // replays them bit-for-bit; a real encoder swaps the seam, not
+      // the plan. MaxSim over token SETS (max is duplicate-invariant,
+      // so distinct (doc, token) first cuts the interaction work to
+      // |vocab per doc| × |query|). Plan shape: distinct → broadcast
+      // of the 3-row query frame → (doc, qtok) max — partial-agg
+      // folds before the one doc-keyed shuffle — → per-doc sum.
+      import graft.functions.TextFunctions.tokens
+      def emb(tok: Column): Column =
+        transform(sequence(lit(0), lit(15)), j =>
+          conv(substring(md5(concat_ws("|", j.cast("string"), tok)),
+            1, 4), 16, 10).cast("long") % 2001L - 1000L)
+      val qtoks = Seq("spark", "query", "join")
+      import s.implicits._
+      val qdf = broadcast(qtoks.toDF("qtok")
+        .withColumn("qe", emb(col("qtok"))))
+      val dtok = t(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .distinct()
+      dtok.withColumn("de", emb(col("tok")))
+        .crossJoin(qdf)
+        .select(col("doc_id"), col("tok"), col("qtok"),
+          aggregate(zip_with(col("qe"), col("de"), (x, y) => x * y),
+            lit(0L), (acc, x) => acc + x).as("dot"))
+        .groupBy(col("doc_id"), col("qtok"))
+        .agg(max(col("dot")).as("m"),
+          count_distinct(col("tok")).as("nt"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("nt")).as("n_doc_tokens"),
+          sum(col("m")).as("maxsim"))
+        .orderBy(col("maxsim").desc, col("doc_id"))
+        .limit(20)
     }),
 
     "q100_boilerplate_removal" -> ((s, dir) => {
@@ -3502,6 +3677,163 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
     // replays the positional removal — 1-based in SQL, 0-based in the
     // engine, same covered-position predicate — and the md5 of the
     // space-joined cleaned tokens must match byte-for-byte.
+    // q101: the HLL registers, harmonic sum, and estimate are
+    // engine-exact (md5 registers, power-of-two reciprocals whose
+    // partial sums are all representable — see Sketches scaladoc), so
+    // the oracle rebuilds the sketch and replays the estimate
+    // bit-for-bit.
+    "q101_hll_cardinality" ->
+      raw"""WITH h AS (
+           SELECT lang,
+             ('0x' || substr(md5(doc_id::VARCHAR), 1, 2))::BIGINT % 32
+               AS r,
+             ('0x' || substr(md5(doc_id::VARCHAR), 3, 8))::BIGINT AS w
+           FROM documents),
+         reg AS (
+           SELECT lang, r,
+             max(CASE WHEN w = 0 THEN 33
+                 ELSE 33 - length(bin(w)) END)::BIGINT AS mreg
+           FROM h GROUP BY 1, 2),
+         agg AS (
+           SELECT lang, count(*)::BIGINT AS n_present,
+             sum(1.0 / ((1::BIGINT << mreg)::DOUBLE)) AS s
+           FROM reg GROUP BY 1),
+         td AS (SELECT lang, count(DISTINCT doc_id)::BIGINT
+             AS true_distinct
+           FROM documents GROUP BY 1)
+         SELECT agg.lang,
+           (32 - n_present)::BIGINT AS n_zero_registers,
+           floor(0.697 * 1024.0 / ((32 - n_present)::DOUBLE + s)
+             * 10000.0 + 0.5) / 10000.0 AS hll_est,
+           td.true_distinct
+         FROM agg JOIN td ON agg.lang = td.lang
+         ORDER BY agg.lang""",
+
+    // q102: the KMV sketch is the k smallest distinct 52-bit hashes —
+    // order-independent and tie-free, so the oracle's single
+    // window-sort rebuilds the identical sketch the two-phase Spark
+    // plan produces, and the integer ppm divisions replay exactly.
+    "q102_kmv_source_overlap" ->
+      raw"""WITH t AS (
+           SELECT doc_id, source,
+             list_filter(string_split_regex(text, '\s+'),
+               w -> len(w) > 0) AS ws
+           FROM documents WHERE text IS NOT NULL),
+         sp AS (
+           SELECT DISTINCT source,
+             substr(md5(unnest(CASE WHEN len(ws) < 8 THEN []::VARCHAR[]
+               ELSE list_transform(range(1, len(ws) - 6),
+                 i -> list_aggregate(ws[i:i+7], 'string_agg', ' '))
+               END)), 1, 16) AS k
+           FROM t),
+         hh AS (SELECT DISTINCT source,
+             ('0x' || substr(md5(k), 1, 13))::BIGINT AS h
+           FROM sp),
+         sk AS (SELECT source, h FROM (
+             SELECT source, h,
+               row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+             FROM hh) WHERE rn <= 128),
+         pairs AS (SELECT a.source AS src_a, b.source AS src_b
+           FROM (SELECT DISTINCT source FROM sp) a
+           JOIN (SELECT DISTINCT source FROM sp) b
+             ON a.source < b.source),
+         ev AS (
+           SELECT p.src_a, p.src_b, s.h,
+             max(CASE WHEN s.source = p.src_a THEN 1 ELSE 0 END) AS ina,
+             max(CASE WHEN s.source = p.src_b THEN 1 ELSE 0 END) AS inb
+           FROM pairs p JOIN sk s ON s.source IN (p.src_a, p.src_b)
+           GROUP BY 1, 2, 3),
+         un AS (SELECT src_a, src_b, h, ina, inb,
+             row_number() OVER (PARTITION BY src_a, src_b ORDER BY h)
+               AS rn
+           FROM ev),
+         us AS (SELECT src_a, src_b, count(*)::BIGINT AS ksz,
+             sum(CASE WHEN ina = 1 AND inb = 1 THEN 1 ELSE 0
+               END)::BIGINT AS bothk
+           FROM un WHERE rn <= 128 GROUP BY 1, 2),
+         tru AS (
+           SELECT a.source AS src_a, b.source AS src_b,
+             count(*)::BIGINT AS true_shared
+           FROM sp a JOIN sp b ON a.k = b.k AND a.source < b.source
+           GROUP BY 1, 2),
+         tcnt AS (SELECT source, count(*)::BIGINT AS n FROM sp
+           GROUP BY 1)
+         SELECT us.src_a, us.src_b,
+           (bothk * 1000000 // ksz)::BIGINT AS est_jaccard_ppm,
+           (coalesce(tru.true_shared, 0) * 1000000 //
+             (ta.n + tb.n - coalesce(tru.true_shared, 0)))::BIGINT
+             AS true_jaccard_ppm,
+           coalesce(tru.true_shared, 0)::BIGINT AS true_shared
+         FROM us
+         LEFT JOIN tru ON us.src_a = tru.src_a AND us.src_b = tru.src_b
+         JOIN tcnt ta ON ta.source = us.src_a
+         JOIN tcnt tb ON tb.source = us.src_b
+         ORDER BY est_jaccard_ppm DESC, us.src_a, us.src_b
+         LIMIT 10""",
+
+    // q103: bigrams replay wordSpans(text, 2) (space-joined adjacent
+    // token pairs over the whitespace-split nonempty tokens); the
+    // integer -log2 envelope is bitlen via the minimal binary string,
+    // identical in both engines.
+    "q103_lm_perplexity" ->
+      raw"""WITH t AS (
+           SELECT doc_id, lang,
+             list_filter(string_split_regex(text, '\s+'),
+               w -> len(w) > 0) AS ws
+           FROM documents WHERE text IS NOT NULL),
+         db AS (
+           SELECT doc_id, lang, u.a AS ctx, u.b AS big FROM (
+             SELECT doc_id, lang,
+               unnest(list_transform(range(1, len(ws)),
+                 i -> struct_pack(a := ws[i],
+                   b := ws[i] || ' ' || ws[i+1]))) AS u
+             FROM t)),
+         tgt AS (SELECT ctx, big FROM db WHERE lang = 'en'),
+         bc AS (SELECT big, count(*)::BIGINT AS bc FROM tgt GROUP BY 1),
+         cc AS (SELECT ctx, count(*)::BIGINT AS cc FROM tgt GROUP BY 1),
+         v AS (SELECT count(DISTINCT tok)::BIGINT AS v FROM (
+             SELECT unnest(ws) AS tok FROM t WHERE lang = 'en')),
+         sc AS (
+           SELECT db.doc_id, db.lang,
+             (length(bin(coalesce(cc.cc, 0) + (SELECT v FROM v))) -
+              length(bin(coalesce(bc.bc, 0) + 1)))::BIGINT AS cost
+           FROM db
+           LEFT JOIN bc ON db.big = bc.big
+           LEFT JOIN cc ON db.ctx = cc.ctx),
+         d AS (SELECT doc_id, lang, count(*)::BIGINT AS n_bigrams,
+             sum(cost)::BIGINT AS cost_sum
+           FROM sc GROUP BY 1, 2)
+         SELECT doc_id, lang, n_bigrams, cost_sum,
+           (cost_sum * 1000000 // n_bigrams)::BIGINT AS avg_ppm
+         FROM d ORDER BY avg_ppm, doc_id LIMIT 20""",
+
+    // q104: every dot product, max, and sum is exact-integer (md5-
+    // derived signed-int token embeddings), so the oracle's j-explode
+    // formulation reaches the identical longs as Spark's zip_with fold.
+    "q104_maxsim_late_interaction" ->
+      raw"""WITH tk AS (
+           SELECT DISTINCT doc_id, tok FROM (
+             SELECT doc_id,
+               unnest(list_filter(string_split_regex(text, '\s+'),
+                 w -> len(w) > 0)) AS tok
+             FROM documents WHERE text IS NOT NULL)),
+         qt(qtok) AS (VALUES ('spark'), ('query'), ('join')),
+         jj AS (SELECT unnest(range(0, 16)) AS j),
+         dot AS (
+           SELECT tk.doc_id, tk.tok, qt.qtok,
+             sum((('0x' || substr(md5(jj.j::VARCHAR || '|' || tk.tok),
+                 1, 4))::BIGINT % 2001 - 1000)
+               * (('0x' || substr(md5(jj.j::VARCHAR || '|' || qt.qtok),
+                 1, 4))::BIGINT % 2001 - 1000))::BIGINT AS d
+           FROM tk CROSS JOIN qt CROSS JOIN jj
+           GROUP BY 1, 2, 3),
+         mx AS (SELECT doc_id, qtok, max(d) AS m FROM dot GROUP BY 1, 2),
+         nt AS (SELECT doc_id, count(*)::BIGINT AS n_doc_tokens
+           FROM tk GROUP BY 1)
+         SELECT mx.doc_id, nt.n_doc_tokens, sum(mx.m)::BIGINT AS maxsim
+         FROM mx JOIN nt ON mx.doc_id = nt.doc_id
+         GROUP BY 1, 2 ORDER BY maxsim DESC, mx.doc_id LIMIT 20""",
+
     "q100_boilerplate_removal" ->
       raw"""WITH docs AS (
            SELECT source, doc_id,
