@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** [[Sketches]] — the properties that make a sketch a sketch: merge
+  * laws (union without raw-data reshuffle) and layout invariance (the
+  * q101/q102 oracles depend on the estimate being bit-stable under any
+  * partitioning — this spec pins the in-JVM half of that claim; the
+  * cross-engine half is the driver's DuckDB hash compare). */
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("HLL registers merge by max: sketch(A union B) == max-merge of the sketches") {
+    val a = (0 until 400).map(i => ("g", s"item$i")).toDF("g", "x")
+    val b = (200 until 700).map(i => ("g", s"item$i")).toDF("g", "x")
+    val whole = Sketches.hllRegisters(a.union(b), col("x"), Seq("g"), 64)
+    val merged = Sketches.hllRegisters(a, col("x"), Seq("g"), 64)
+      .union(Sketches.hllRegisters(b, col("x"), Seq("g"), 64))
+      .groupBy(col("g"), col("r")).agg(max(col("mreg")).as("mreg"))
+    assert(whole.except(merged).isEmpty && merged.except(whole).isEmpty,
+      "merged register frame diverged from the whole-set sketch")
+  }
+
+  test("HLL estimate lands within the sketch's error envelope") {
+    val n = 5000
+    val df = (0 until n).map(i => ("g", s"v$i")).toDF("g", "x")
+    val reg = Sketches.hllRegisters(df, col("x"), Seq("g"), 256)
+    val est = Sketches
+      .hllEstimate(reg, Seq("g"), 256, 0.7213 / (1.0 + 1.079 / 256.0), 4)
+      .select("hll_est").head().getDouble(0)
+    // 1.04/sqrt(256) = 6.5% std error; 4 sigma is a deterministic
+    // pass/fail here (fixed hash, fixed data), the bound just documents
+    // the regime
+    assert(math.abs(est - n) < 0.26 * n, s"estimate $est vs true $n")
+  }
+
+  test("HLL estimate is bit-identical under any partitioning") {
+    val df = (0 until 3000).map(i => ("g", s"v$i")).toDF("g", "x")
+    def estOf(parts: Int): Double = Sketches
+      .hllEstimate(
+        Sketches.hllRegisters(df.repartition(parts), col("x"), Seq("g"),
+          32),
+        Seq("g"), 32, 0.697, 4)
+      .select("hll_est").head().getDouble(0)
+    val e1 = estOf(1)
+    assert(java.lang.Double.doubleToRawLongBits(e1) ==
+      java.lang.Double.doubleToRawLongBits(estOf(7)),
+      s"estimate moved with partition count: $e1 vs ${estOf(7)}")
+  }
+
+  test("degenerate groups: empty input yields no rows; one item shows the documented raw-regime bias") {
+    val one = Seq(("g", "only")).toDF("g", "x")
+    val row = Sketches
+      .hllEstimate(Sketches.hllRegisters(one, col("x"), Seq("g"), 32),
+        Seq("g"), 32, 0.697, 4)
+      .select("n_zero_registers", "hll_est").head()
+    assert(row.getLong(0) == 31L, s"expected 31 zero registers, ${row.getLong(0)}")
+    // the RAW estimator without linear counting reads ~alpha*m for a
+    // near-empty sketch — the small-range bias hllEstimate's scaladoc
+    // documents (callers size m to their n); pin it so a silent
+    // behavior change is caught
+    val est = row.getDouble(1)
+    assert(est > 0.697 * 1024.0 / 32.0 - 0.5 &&
+      est < 0.697 * 1024.0 / 31.0 + 0.5, s"single-item raw estimate $est")
+    val empty = one.filter(col("x") =!= col("x"))
+    assert(Sketches.hllRegisters(empty, col("x"), Seq("g"), 32).isEmpty)
+  }
+}
