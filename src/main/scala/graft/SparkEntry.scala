@@ -1736,6 +1736,27 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
         .limit(20)
     }),
 
+    "q105_stream_correlate" -> ((s, dir) => {
+      // The batch face of EventStreams.correlate — the stream-stream
+      // interval join (click→purchase attribution within 30 minutes,
+      // per user), run over the events table with the IDENTICAL code
+      // the streaming form uses (watermarks no-op in batch). With the
+      // selective user_id equi-key, Catalyst plans a key join +
+      // residual range filter — the keyless bin-bucketed RangeJoin
+      // trick is unnecessary here, and that distinction is the point.
+      // Lag is exact whole seconds (epoch truncation both engines).
+      val ev = t(s, dir, "events")
+      graft.streaming.EventStreams.correlate(
+          ev.filter(col("event_type") === "click"),
+          ev.filter(col("event_type") === "purchase"),
+          key = "user_id", horizon = "30 minutes")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("lag_s")).as("lag_sum_s"),
+          min(col("lag_s")).as("min_lag_s"))
+        .orderBy(col("user_id"))
+    }),
+
     "q100_boilerplate_removal" -> ((s, dir) => {
       // The TRANSFORM counterpart of q88's detection (RefinedWeb
       // removes boilerplate, not just flags it): drop every token
@@ -3833,6 +3854,17 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
          SELECT mx.doc_id, nt.n_doc_tokens, sum(mx.m)::BIGINT AS maxsim
          FROM mx JOIN nt ON mx.doc_id = nt.doc_id
          GROUP BY 1, 2 ORDER BY maxsim DESC, mx.doc_id LIMIT 20""",
+
+    // q105: date_diff('second') = truncated-epoch difference =
+    // Spark's unix_timestamp subtraction — exact longs both ways.
+    "q105_stream_correlate" ->
+      raw"""SELECT c.user_id, count(*)::BIGINT AS n_pairs,
+           sum(date_diff('second', c.ts, p.ts))::BIGINT AS lag_sum_s,
+           min(date_diff('second', c.ts, p.ts))::BIGINT AS min_lag_s
+         FROM events c JOIN events p ON c.user_id = p.user_id
+           AND c.event_type = 'click' AND p.event_type = 'purchase'
+           AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+         GROUP BY 1 ORDER BY c.user_id""",
 
     "q100_boilerplate_removal" ->
       raw"""WITH docs AS (

@@ -113,6 +113,52 @@ object EventStreams {
     deduped.drop("__sh")
   }
 
+  /** Stream-stream interval join — correlate two event feeds per key
+    * within a bounded event-time horizon (click→purchase attribution,
+    * request→error correlation). INNER join on the key plus a range
+    * predicate, with watermarks on BOTH inputs: the time bound and the
+    * watermarks together are what make the join's buffered state
+    * FINITE — each side holds only rows within `horizon` of the other
+    * side's watermark and Spark evicts everything older (an unbounded
+    * stream-stream join is the textbook state-OOM). Append mode is the
+    * only output mode a watermarked stream-stream inner join supports,
+    * and it's the right one: a pair is emitted exactly once, when both
+    * sides have arrived.
+    *
+    * The same code runs in batch (watermarks no-op): with a selective
+    * equi-key present, Catalyst plans the key join + residual range
+    * filter natively — the bin-bucketed trick of
+    * [[graft.operators.RangeJoin]] is for KEYLESS range predicates,
+    * which would otherwise go nested-loop. q105 gates the batch form
+    * against a DuckDB replay.
+    *
+    * Output columns: the key, both event ids/timestamps, and the lag
+    * in whole seconds (exact long via epoch-second truncation — the
+    * arithmetic any engine replays). */
+  def correlate(
+      left: DataFrame,
+      right: DataFrame,
+      key: String = "user_id",
+      horizon: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame = {
+    def side(df: DataFrame, p: String): DataFrame = {
+      val renamed = df.select(
+        col(key).as(s"${p}_key"), col("ts").as(s"${p}_ts"),
+        col("event_id").as(s"${p}_event_id"))
+      if (df.isStreaming) renamed.withWatermark(s"${p}_ts", watermark)
+      else renamed
+    }
+    side(left, "l")
+      .join(side(right, "r"),
+        col("l_key") === col("r_key") &&
+          col("r_ts") >= col("l_ts") &&
+          col("r_ts") <= col("l_ts") + expr(s"INTERVAL $horizon"))
+      .select(col("l_key").as(key), col("l_event_id"), col("r_event_id"),
+        col("l_ts"), col("r_ts"),
+        (unix_timestamp(col("r_ts")) - unix_timestamp(col("l_ts")))
+          .as("lag_s"))
+  }
+
   /** Streaming index ingest — the reference's continuous lifecycle
     * (create the indexed table once, insert embedded documents forever
     * after: load.py:26 + doc_embedder.py:90-114) as one Structured

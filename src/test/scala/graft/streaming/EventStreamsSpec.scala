@@ -496,6 +496,43 @@ class EventStreamsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("correlate joins two streams within the horizon and matches its own batch run") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val clicks = MemoryStream[Event]
+    val buys = MemoryStream[Event]
+    val joined = EventStreams.correlate(
+      clicks.toDF(), buys.toDF(), horizon = "30 minutes")
+    val query = joined.writeStream.format("memory")
+      .queryName("corr").outputMode(OutputMode.Append()).start()
+    val clickRows = Seq(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(2, ts(10), 2, "click", 1.0),
+      Event(3, ts(100), 1, "click", 1.0))
+    val buyRows = Seq(
+      Event(10, ts(20), 1, "purchase", 5.0),  // pairs with click 1 (lag 20m)
+      Event(11, ts(50), 2, "purchase", 5.0),  // 40m after click 2 — outside
+      Event(12, ts(110), 1, "purchase", 5.0), // pairs with click 3 (lag 10m)
+      Event(13, ts(95), 3, "purchase", 5.0))  // no click at all
+    try {
+      clicks.addData(clickRows: _*)
+      buys.addData(buyRows: _*)
+      query.processAllAvailable()
+      val streamed = spark.table("corr")
+        .select("l_event_id", "r_event_id", "lag_s")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      assert(streamed == Set((1L, 10L, 1200L), (3L, 12L, 600L)), streamed)
+      // the SAME function over batch frames returns the same pairs
+      val batch = EventStreams.correlate(
+          clickRows.toDF(), buyRows.toDF(), horizon = "30 minutes")
+        .select("l_event_id", "r_event_id", "lag_s")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      assert(batch == streamed, s"batch $batch vs streamed $streamed")
+    } finally query.stop()
+  }
+
   test("windowedCounts runs over a real file stream (readStream source)") {
     val batchDf = graft.Tables(spark, "/root/testdata/sf0.001", "events")
     // The raw file's ts type varies by data drop (TIMESTAMP(NANOS) read
