@@ -1593,10 +1593,11 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
       // (order-independent, tie-free), and the estimates are integer
       // ppm divisions — the oracle rebuilds the identical sketch.
       // Exact shared counts ride along so the report shows the
-      // sketch's error. Scale shape: the per-source min-k runs in TWO
-      // bounded phases — min-k per (source, input partition), then
-      // min-k of the ≤ partitions·k survivors — never a single
-      // sort of one giant source's span set.
+      // sketch's error. Scale shape: the per-source min-k plans as a
+      // PARTIAL WindowGroupLimit before the exchange (Spark 3.5+
+      // rewrites a row_number<=k filter into bounded map-side top-k),
+      // so no executor ever sorts one giant source's full span set —
+      // each task forwards at most k rows per source.
       VectorExpressions.ensureRegistered(s)
       import graft.functions.TextFunctions.{spanKey, wordSpans}
       val kSk = 128
@@ -1608,23 +1609,25 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
           conv(substring(md5(col("k")), 1, 13), 16, 10)
             .cast("long").as("h"))
         .distinct()
-      val wPre = Window.partitionBy(col("source"), col("pid"))
-        .orderBy(col("h"))
-      val pre = hh.withColumn("pid", spark_partition_id())
-        .withColumn("rn", row_number().over(wPre))
-        .filter(col("rn") <= kSk).drop("rn", "pid")
       val wSrc = Window.partitionBy(col("source")).orderBy(col("h"))
-      val sk = pre.withColumn("rn", row_number().over(wSrc))
+      val sk = hh.withColumn("rn", row_number().over(wSrc))
         .filter(col("rn") <= kSk).drop("rn")
       val sources = sp.select("source").distinct()
       val pairs = sources.as("a").join(sources.as("b"),
           col("a.source") < col("b.source"))
         .select(col("a.source").as("src_a"), col("b.source").as("src_b"))
-      val ev = broadcast(pairs).join(sk,
-          sk("source") === col("src_a") || sk("source") === col("src_b"))
+      // fan each sketch row out to its pairs via TWO broadcast HASH
+      // joins (src_a leg + src_b leg) — an OR-equality join would plan
+      // nested-loop; the union of equi-legs is the same relation
+      val evA = broadcast(pairs).join(sk, sk("source") === col("src_a"))
+        .select(col("src_a"), col("src_b"), col("h"),
+          lit(1).as("ina"), lit(0).as("inb"))
+      val evB = broadcast(pairs).join(sk, sk("source") === col("src_b"))
+        .select(col("src_a"), col("src_b"), col("h"),
+          lit(0).as("ina"), lit(1).as("inb"))
+      val ev = evA.union(evB)
         .groupBy(col("src_a"), col("src_b"), col("h"))
-        .agg(max((col("source") === col("src_a")).cast("int")).as("ina"),
-          max((col("source") === col("src_b")).cast("int")).as("inb"))
+        .agg(max(col("ina")).as("ina"), max(col("inb")).as("inb"))
       val wu = Window.partitionBy(col("src_a"), col("src_b"))
         .orderBy(col("h"))
       val us = ev.withColumn("rn", row_number().over(wu))
