@@ -50,6 +50,37 @@ class SketchesSpec extends SparkSpec {
       s"estimate moved with partition count: $e1 vs ${estOf(7)}")
   }
 
+  test("HLL registers run as STREAMING state: complete-mode snapshot == batch sketch") {
+    // the max-merge law is what makes the registers a valid streaming
+    // aggregation — per-key state is one byte-sized long, never a set
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, String)]
+    val query = Sketches
+      .hllRegisters(input.toDF().toDF("g", "x"), col("x"), Seq("g"), 32)
+      .writeStream.format("memory").queryName("hll_regs")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+      .start()
+    try {
+      input.addData((0 until 300).map(i => ("g", s"v$i")): _*)
+      query.processAllAvailable()
+      input.addData((150 until 500).map(i => ("g", s"v$i")): _*)
+      query.processAllAvailable()
+      val streamed = spark.table("hll_regs")
+      val batch = Sketches.hllRegisters(
+        (0 until 500).map(i => ("g", s"v$i")).toDF("g", "x"),
+        col("x"), Seq("g"), 32)
+      assert(streamed.except(batch).isEmpty &&
+        batch.except(streamed).isEmpty,
+        "streaming register snapshot diverged from the batch sketch")
+      // the estimate is a plain batch aggregation over the snapshot
+      // (streaming can't chain two aggs; the monitor reads the sink)
+      val est = Sketches.hllEstimate(streamed, Seq("g"), 32, 0.697, 4)
+        .select("hll_est").head().getDouble(0)
+      assert(math.abs(est - 500) < 0.75 * 500, s"estimate $est vs 500")
+    } finally query.stop()
+  }
+
   test("degenerate groups: empty input yields no rows; one item shows the documented raw-regime bias") {
     val one = Seq(("g", "only")).toDF("g", "x")
     val row = Sketches
