@@ -1760,6 +1760,63 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
         .orderBy(col("user_id"))
     }),
 
+    "q106_dedup_removal" -> ((s, dir) => {
+      // Lee et al. 2021's substring dedup as a TRANSFORM (q83 only
+      // detects): every occurrence of a corpus-duplicated 8-token span
+      // is removed EXCEPT the canonical first copy (min doc_id, then
+      // min start — one exact-integer key, min(doc_id·1e9 + pos), so
+      // both engines pick the identical survivor), and the cleaned
+      // token stream is verified at BYTE level (md5 of the re-joined
+      // tokens). Exact-duplicate docs collapse to zero tokens — their
+      // canonical copy keeps the text. Plan shape: one positional-span
+      // explode → key-stats shuffle with map-side combine (the only
+      // corpus-scale shuffle) → removable starts re-join per doc →
+      // NARROW positional drop via materialized-column HOFs (the
+      // round-3 interpreted-HOF trap: arrays are attributes between
+      // stages, never re-evaluated expressions).
+      import graft.functions.TextFunctions.tokens
+      val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), tokens(col("text")).as("ts"))
+      // positional 8-token spans, 0-based starts; the when() guards
+      // sequence()'s descending-output trap for size < 8
+      val spanned = docs.select(col("doc_id"), col("ts"),
+        when(size(col("ts")) >= 8,
+          transform(sequence(lit(0), size(col("ts")) - 8),
+            i => substring(
+              md5(array_join(slice(col("ts"), i + 1, lit(8)), " ")),
+              1, 16)))
+          .otherwise(array().cast("array<string>")).as("ks"))
+      val occ = spanned
+        .select(col("doc_id"), posexplode(col("ks")).as(Seq("p", "k")))
+      val ks = occ.groupBy(col("k")).agg(count(lit(1)).as("c"),
+        min(col("doc_id") * 1000000000L + col("p")).as("canon"))
+      val rem = occ.join(ks, "k")
+        .filter(col("c") >= 2L &&
+          col("doc_id") * 1000000000L + col("p") =!= col("canon"))
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(col("p"))).as("starts"))
+      val flagged = docs.join(rem, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("ts"),
+          coalesce(col("starts"), array().cast("array<int>"))
+            .as("starts"))
+      val cleaned = flagged.select(col("doc_id"),
+        size(col("ts")).cast("long").as("n_before"),
+        when(size(col("ts")) >= 1,
+          filter(
+            transform(sequence(lit(0), size(col("ts")) - 1),
+              i => when(!exists(col("starts"),
+                  s => s <= i && i <= s + 7),
+                element_at(col("ts"), i + 1))),
+            x => x.isNotNull))
+          .otherwise(array().cast("array<string>")).as("clean"))
+      cleaned
+        .select(col("doc_id"), col("n_before"),
+          size(col("clean")).cast("long").as("n_after"),
+          md5(concat_ws(" ", col("clean"))).as("clean_fp"))
+        .filter(col("n_after") < col("n_before"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q100_boilerplate_removal" -> ((s, dir) => {
       // The TRANSFORM counterpart of q88's detection (RefinedWeb
       // removes boilerplate, not just flags it): drop every token
@@ -3857,6 +3914,52 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
          SELECT mx.doc_id, nt.n_doc_tokens, sum(mx.m)::BIGINT AS maxsim
          FROM mx JOIN nt ON mx.doc_id = nt.doc_id
          GROUP BY 1, 2 ORDER BY maxsim DESC, mx.doc_id LIMIT 20""",
+
+    // q106: the canonical-survivor key, coverage windows, and byte
+    // fingerprints are exact integers/md5 — the oracle replays the
+    // rewrite and the fingerprint of every changed doc bit-for-bit
+    // (empty results coalesce to '' so md5('') matches Spark's
+    // concat_ws on an empty array).
+    "q106_dedup_removal" ->
+      raw"""WITH t AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'),
+               w -> len(w) > 0) AS ws
+           FROM documents WHERE text IS NOT NULL),
+         occ AS (
+           SELECT doc_id, u.p AS p, u.k AS k FROM (
+             SELECT doc_id, unnest(
+               CASE WHEN len(ws) < 8
+                 THEN []::STRUCT(p BIGINT, k VARCHAR)[]
+               ELSE list_transform(range(1, len(ws) - 6),
+                 i -> struct_pack(p := i - 1,
+                   k := substr(md5(list_aggregate(ws[i:i+7],
+                     'string_agg', ' ')), 1, 16)))
+               END) AS u
+             FROM t)),
+         ks AS (SELECT k, count(*)::BIGINT AS c,
+             min(doc_id * 1000000000 + p)::BIGINT AS canon
+           FROM occ GROUP BY 1),
+         rem AS (
+           SELECT occ.doc_id, list(occ.p ORDER BY occ.p) AS starts
+           FROM occ JOIN ks ON occ.k = ks.k
+           WHERE ks.c >= 2
+             AND occ.doc_id * 1000000000 + occ.p != ks.canon
+           GROUP BY 1),
+         cl AS (
+           SELECT t.doc_id, len(t.ws)::BIGINT AS n_before,
+             list_filter(list_transform(range(1, len(t.ws) + 1),
+               i -> CASE WHEN len(list_filter(
+                   coalesce(rem.starts, []::BIGINT[]),
+                   s -> s <= i - 1 AND i - 1 <= s + 7)) > 0
+                 THEN NULL ELSE t.ws[i] END),
+               x -> x IS NOT NULL) AS clean
+           FROM t LEFT JOIN rem ON t.doc_id = rem.doc_id)
+         SELECT doc_id, n_before, len(clean)::BIGINT AS n_after,
+           md5(coalesce(list_aggregate(clean, 'string_agg', ' '), ''))
+             AS clean_fp
+         FROM cl WHERE len(clean) < n_before
+         ORDER BY doc_id""",
 
     // q105: date_diff('second') = truncated-epoch difference =
     // Spark's unix_timestamp subtraction — exact longs both ways.
