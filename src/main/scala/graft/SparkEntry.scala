@@ -1760,6 +1760,30 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
         .orderBy(col("user_id"))
     }),
 
+    "q107_ivf_stats" -> ((s, dir) => {
+      // Index-health introspection — the ops surface a deployed ANN
+      // index needs (FAISS imbalance_factor): per-cluster row counts
+      // from the persisted index and the max/avg imbalance (integer
+      // ppm) that predicts probe-cost variance and flags a degenerate
+      // fit; empty clusters surface as nlist − n_clusters. The scan
+      // reads ONLY the partition column (column pruning makes this a
+      // metadata-sized pass), and the oracle recounts the exported
+      // replica — the same artifact q36's search oracle replays, so
+      // the health report and the search verdict describe one index.
+      VectorExpressions.ensureRegistered(s)
+      val idx = ivfIndexFor(s, dir)
+      idx.assigned
+        .groupBy(col(IvfIndex.ClusterCol).cast("long").as("cluster_id"))
+        .agg(count(lit(1)).as("n_rows"))
+        .agg(lit(idx.nlist.toLong).as("nlist"),
+          count(lit(1)).as("n_clusters"),
+          sum(col("n_rows")).as("n_rows_total"),
+          min(col("n_rows")).as("min_cluster"),
+          max(col("n_rows")).as("max_cluster"),
+          expr("max(n_rows) * count(*) * 1000000 div sum(n_rows)")
+            .as("imbalance_ppm"))
+    }),
+
     "q106_dedup_removal" -> ((s, dir) => {
       // Lee et al. 2021's substring dedup as a TRANSFORM (q83 only
       // detects): every occurrence of a corpus-duplicated 8-token span
@@ -3914,6 +3938,23 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
          SELECT mx.doc_id, nt.n_doc_tokens, sum(mx.m)::BIGINT AS maxsim
          FROM mx JOIN nt ON mx.doc_id = nt.doc_id
          GROUP BY 1, 2 ORDER BY maxsim DESC, mx.doc_id LIMIT 20""",
+
+    // q107: recounts the exported index replica (see IvfOracleRoot) —
+    // every stat an exact integer, imbalance an integer ppm division.
+    "q107_ivf_stats" ->
+      raw"""WITH sz AS (
+           SELECT __ivf_cluster, count(*)::BIGINT AS n_rows
+           FROM read_parquet('$IvfOracleRoot/single/data/*.parquet')
+           GROUP BY 1),
+         c AS (SELECT count(*)::BIGINT AS nlist
+           FROM read_parquet('$IvfOracleRoot/single/centroids/*.parquet'))
+         SELECT c.nlist, count(*)::BIGINT AS n_clusters,
+           sum(n_rows)::BIGINT AS n_rows_total,
+           min(n_rows)::BIGINT AS min_cluster,
+           max(n_rows)::BIGINT AS max_cluster,
+           (max(n_rows) * count(*) * 1000000 // sum(n_rows))::BIGINT
+             AS imbalance_ppm
+         FROM sz, c GROUP BY c.nlist""",
 
     // q106: the canonical-survivor key, coverage windows, and byte
     // fingerprints are exact integers/md5 — the oracle replays the
