@@ -533,6 +533,43 @@ class EventStreamsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("correlate survives a checkpointed restart: every pair lands exactly once") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-corr-").toString
+    val (inC, inB, out, ckpt) =
+      (s"$tmp/c", s"$tmp/b", s"$tmp/out", s"$tmp/ckpt")
+    val schema = implicitly[org.apache.spark.sql.Encoder[Event]].schema
+    def add(dir: String, rows: Event*): Unit =
+      rows.toDF().coalesce(1).write.mode("append").parquet(dir)
+    def run(): Unit = {
+      val q = EventStreams.correlate(
+          spark.readStream.schema(schema).parquet(inC),
+          spark.readStream.schema(schema).parquet(inB),
+          horizon = "30 minutes")
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append()).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    def pairs(): Set[(Long, Long)] = spark.read.parquet(out)
+      .select("l_event_id", "r_event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    add(inC, Event(1, ts(0), 1, "click", 1.0))
+    add(inB, Event(10, ts(20), 1, "purchase", 5.0))
+    run()
+    assert(pairs() == Set((1L, 10L)))
+    // new data on both sides, then a FRESH query from the same
+    // checkpoint: the committed batch is not re-emitted (the file
+    // sink's metadata log is the exactly-once boundary), the new pair
+    // joins across the restart
+    add(inC, Event(2, ts(40), 2, "click", 1.0))
+    add(inB, Event(11, ts(45), 2, "purchase", 5.0))
+    run()
+    assert(pairs() == Set((1L, 10L), (2L, 11L)),
+      s"restart must add exactly the new pair: ${pairs()}")
+  }
+
   test("windowedCounts runs over a real file stream (readStream source)") {
     val batchDf = graft.Tables(spark, "/root/testdata/sf0.001", "events")
     // The raw file's ts type varies by data drop (TIMESTAMP(NANOS) read
