@@ -1708,10 +1708,17 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
       // dot product, max, and sum is exact-integer and the oracle
       // replays them bit-for-bit; a real encoder swaps the seam, not
       // the plan. MaxSim over token SETS (max is duplicate-invariant,
-      // so distinct (doc, token) first cuts the interaction work to
-      // |vocab per doc| × |query|). Plan shape: distinct → broadcast
-      // of the 3-row query frame → (doc, qtok) max — partial-agg
-      // folds before the one doc-keyed shuffle — → per-doc sum.
+      // so distinct (doc, token) first cuts the interaction work), and
+      // — the score-matrix factoring — every dot product depends on
+      // (vocabulary token, query token) ONLY, so the md5 embedding +
+      // dot arithmetic runs once per DISTINCT corpus token against the
+      // tiny query frame (vocab × |query| rows, broadcast back), never
+      // once per (doc, token) pair: the corpus-scale legs carry ids
+      // and precomputed longs, no interpreted md5 lambdas (measured
+      // 4.17 s → sub-second at sf0.1). Plan shape: distinct tokens →
+      // dot matrix broadcast onto the (doc, token) set → (doc, qtok)
+      // max with partial agg before the one doc-keyed shuffle →
+      // per-doc sum.
       import graft.functions.TextFunctions.tokens
       def emb(tok: Column): Column =
         transform(sequence(lit(0), lit(15)), j =>
@@ -1719,16 +1726,17 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
             1, 4), 16, 10).cast("long") % 2001L - 1000L)
       val qtoks = Seq("spark", "query", "join")
       import s.implicits._
-      val qdf = broadcast(qtoks.toDF("qtok")
-        .withColumn("qe", emb(col("qtok"))))
+      val qdf = qtoks.toDF("qtok").withColumn("qe", emb(col("qtok")))
       val dtok = t(s, dir, "documents").filter(col("text").isNotNull)
         .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
         .distinct()
-      dtok.withColumn("de", emb(col("tok")))
-        .crossJoin(qdf)
-        .select(col("doc_id"), col("tok"), col("qtok"),
+      val dots = dtok.select(col("tok")).distinct()
+        .withColumn("de", emb(col("tok")))
+        .crossJoin(broadcast(qdf))
+        .select(col("tok"), col("qtok"),
           aggregate(zip_with(col("qe"), col("de"), (x, y) => x * y),
             lit(0L), (acc, x) => acc + x).as("dot"))
+      dtok.join(broadcast(dots), Seq("tok"))
         .groupBy(col("doc_id"), col("qtok"))
         .agg(max(col("dot")).as("m"),
           count_distinct(col("tok")).as("nt"))
@@ -1793,25 +1801,25 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
       // token stream is verified at BYTE level (md5 of the re-joined
       // tokens). Exact-duplicate docs collapse to zero tokens — their
       // canonical copy keeps the text. Plan shape: one positional-span
-      // explode → key-stats shuffle with map-side combine (the only
-      // corpus-scale shuffle) → removable starts re-join per doc →
-      // NARROW positional drop via materialized-column HOFs (the
-      // round-3 interpreted-HOF trap: arrays are attributes between
-      // stages, never re-evaluated expressions).
-      import graft.functions.TextFunctions.tokens
+      // explode (NATIVE wordSpans — one tokenize+join pass per row,
+      // codegen'd md5 keys on the exploded rows, no lambdas) →
+      // key-stats shuffle with map-side combine (the only corpus-scale
+      // shuffle) → removable starts re-join per doc → NARROW
+      // positional drop via the native graft_drop_covered two-pointer
+      // sweep, O(tokens+starts)/row. The HOF spelling of the span +
+      // drop passes (transform/sequence/exists lambdas) measured 16 s
+      // at sf0.1 — lambdas never enter codegen and the exists() scan
+      // is O(tokens x starts) — vs sub-second native: the q81 lesson
+      // again.
+      VectorExpressions.ensureRegistered(s)
+      import graft.functions.TextFunctions.{dropCovered, spanKey, tokens, wordSpans}
       val docs = t(s, dir, "documents").filter(col("text").isNotNull)
-        .select(col("doc_id"), tokens(col("text")).as("ts"))
-      // positional 8-token spans, 0-based starts; the when() guards
-      // sequence()'s descending-output trap for size < 8
-      val spanned = docs.select(col("doc_id"), col("ts"),
-        when(size(col("ts")) >= 8,
-          transform(sequence(lit(0), size(col("ts")) - 8),
-            i => substring(
-              md5(array_join(slice(col("ts"), i + 1, lit(8)), " ")),
-              1, 16)))
-          .otherwise(array().cast("array<string>")).as("ks"))
-      val occ = spanned
-        .select(col("doc_id"), posexplode(col("ks")).as(Seq("p", "k")))
+        .select(col("doc_id"), tokens(col("text")).as("ts"),
+          wordSpans(col("text"), 8).as("sp"))
+      val occ = docs
+        .select(col("doc_id"),
+          posexplode(col("sp")).as(Seq("p", "span")))
+        .select(col("doc_id"), col("p"), spanKey(col("span")).as("k"))
       val ks = occ.groupBy(col("k")).agg(count(lit(1)).as("c"),
         min(col("doc_id") * 1000000000L + col("p")).as("canon"))
       val rem = occ.join(ks, "k")
@@ -1819,20 +1827,12 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
           col("doc_id") * 1000000000L + col("p") =!= col("canon"))
         .groupBy(col("doc_id"))
         .agg(sort_array(collect_list(col("p"))).as("starts"))
-      val flagged = docs.join(rem, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("ts"),
-          coalesce(col("starts"), array().cast("array<int>"))
-            .as("starts"))
-      val cleaned = flagged.select(col("doc_id"),
-        size(col("ts")).cast("long").as("n_before"),
-        when(size(col("ts")) >= 1,
-          filter(
-            transform(sequence(lit(0), size(col("ts")) - 1),
-              i => when(!exists(col("starts"),
-                  s => s <= i && i <= s + 7),
-                element_at(col("ts"), i + 1))),
-            x => x.isNotNull))
-          .otherwise(array().cast("array<string>")).as("clean"))
+      val cleaned = docs.join(rem, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          size(col("ts")).cast("long").as("n_before"),
+          dropCovered(col("ts"),
+            coalesce(col("starts"), array().cast("array<int>")), 8)
+            .as("clean"))
       cleaned
         .select(col("doc_id"), col("n_before"),
           size(col("clean")).cast("long").as("n_after"),

@@ -101,6 +101,16 @@ object TextFunctions {
     call_function("graft_word_spans", text, lit(n))
   }
 
+  /** Drop the tokens covered by any removable fixed-width span
+    * ([[graft.plans.DropCoveredExpr]] — one O(tokens+starts) sweep;
+    * the HOF spelling is O(tokens×starts) interpreted). `starts` must
+    * be sorted ascending (sort_array upstream). Requires
+    * [[graft.plans.VectorExpressions.ensureRegistered]]. */
+  def dropCovered(toks: Column, starts: Column, width: Int): Column = {
+    require(width >= 1, s"width must be >= 1, got $width")
+    call_function("graft_drop_covered", toks, starts, lit(width))
+  }
+
   /** Fixed-width shuffle key for a span: first 16 md5 hex chars (64
     * bits — collision-free at any realistic corpus size, and 4-10×
     * narrower than the span text on the wire). */

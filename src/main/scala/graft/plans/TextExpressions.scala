@@ -914,3 +914,73 @@ case class RepetitionStatsExpr(child: Expression)
   override protected def withNewChildInternal(
       newChild: Expression): Expression = copy(child = newChild)
 }
+
+/** Native positional-coverage removal (q106, the substring-dedup
+  * rewrite; same family as q100's boilerplate drop): given a token
+  * array and the SORTED 0-based start positions of removable
+  * fixed-width spans, returns the tokens NOT covered by any
+  * `[s, s+width-1]` window — one two-pointer sweep, O(tokens + starts)
+  * per row. The HOF spelling (`transform(sequence(...), i ->
+  * exists(starts, ...))`) is O(tokens × starts) UNDER INTERPRETED EVAL
+  * (lambdas never enter whole-stage codegen) and measured 16 s at
+  * sf0.1 where this pass runs in well under a second — the q81 lesson
+  * again: one native pass where the lambda form is quadratic.
+  * Args: (array<string> tokens, array<int> sorted starts, width
+  * constant). Null tokens → null; CodegenFallback is fine (per-row
+  * cost is the sweep itself). SQL name: `graft_drop_covered`.
+  */
+case class DropCoveredExpr(
+    first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with CodegenFallback with ExpectsInputTypes {
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+  import org.apache.spark.sql.types.ArrayType
+
+  override def prettyName: String = "graft_drop_covered"
+  override def inputTypes =
+    Seq(ArrayType(StringType), ArrayType(IntegerType), IntegerType)
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = first.nullable || second.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val base = super.checkInputDataTypes()
+    if (base.isFailure) base
+    else if (!third.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: width (3rd arg) must be a constant")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  @transient private lazy val width: Int = {
+    val v = third.eval(null).asInstanceOf[Int]
+    require(v > 0, s"$prettyName: width must be positive, got $v")
+    v
+  }
+
+  protected override def nullSafeEval(
+      toksAny: Any, startsAny: Any, widthAny: Any): Any = {
+    val toks = toksAny.asInstanceOf[ArrayData]
+    val starts = startsAny.asInstanceOf[ArrayData]
+    val n = toks.numElements()
+    val m = starts.numElements()
+    val out = new java.util.ArrayList[Any](n)
+    var p = 0
+    var coveredEnd = -1L
+    var i = 0
+    while (i < n) {
+      while (p < m && starts.getInt(p) <= i) {
+        val end = starts.getInt(p).toLong + width - 1
+        if (end > coveredEnd) coveredEnd = end
+        p += 1
+      }
+      if (i > coveredEnd) out.add(toks.getUTF8String(i))
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}

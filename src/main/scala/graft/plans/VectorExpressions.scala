@@ -430,7 +430,8 @@ object VectorExpressions {
     ("graft_minhash", es => MinHashSigExpr(es(0), es(1))),
     ("graft_query_overlap", es => QueryOverlapExpr(es(0), es(1))),
     ("graft_marker_counts", es => MarkerCountsExpr(es(0), es(1))),
-    ("graft_morton", es => MortonCodeExpr(es(0), es(1))))
+    ("graft_morton", es => MortonCodeExpr(es(0), es(1))),
+    ("graft_drop_covered", es => DropCoveredExpr(es(0), es(1), es(2))))
 
   /** Idempotently register the native functions on a session — works on
     * any session, including one the external driver built without
