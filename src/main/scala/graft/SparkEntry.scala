@@ -1768,6 +1768,63 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
         .orderBy(col("user_id"))
     }),
 
+    "q108_hard_negatives" -> ((s, dir) => {
+      // Hard-negative mining for contrastive training (DPR/SimCSE's
+      // data prep): for the anchor vector, the top-k most-similar
+      // candidates whose LABEL differs from the anchor's — similar
+      // enough to be informative, guaranteed non-positive by the
+      // label. Scale shape: the 1-row anchor label is a broadcast
+      // literal join, the cosine is the native codegen'd expression,
+      // and the top-k is TakeOrderedAndProject on the
+      // (rounded cos DESC, vec_id) key — one scan, no shuffle beyond
+      // the k-row merge; at 100 TB this runs per anchor BATCH through
+      // the same machinery as q37/q59.
+      VectorExpressions.ensureRegistered(s)
+      val q = queryVec(s, dir)
+      val emb = t(s, dir, "embeddings")
+      val anchor = emb.filter(col("vec_id") === 0)
+        .select(col("label").as("anchor_label"))
+      emb.crossJoin(broadcast(anchor))
+        .filter(col("vec_id") =!= 0 &&
+          col("label") =!= col("anchor_label"))
+        .select(col("vec_id"), col("label"),
+          KnnSearch.roundHalfUpCol(
+            cosineSimilarityNative(col("embedding"), KnnSearch.litVec(q)),
+            4).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+        .limit(10)
+    }),
+
+    "q109_ann_recall" -> ((s, dir) => {
+      // Retrieval-quality EVAL behind the correctness gate: recall@10
+      // of the probed IVF search (nprobe 6 of 8) against the exact
+      // scan, as integers — the index-quality report a deployed ANN
+      // service publishes next to q107's structural health. Both legs
+      // are the already-hash-green q30/q36 paths; the oracle replays
+      // BOTH independently (exact SQL top-k + replica probe replay)
+      // and intersects, so even the eval's arithmetic is
+      // cross-checked. n_union < 2k would flag tie-spill divergence.
+      VectorExpressions.ensureRegistered(s)
+      val q = queryVec(s, dir)
+      val exact = t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          KnnSearch.roundHalfUpCol(
+            l2DistanceNative(col("embedding"), KnnSearch.litVec(q)), 4)
+            .as("dist"))
+        .orderBy(col("dist"), col("vec_id"))
+        .limit(10).select(col("vec_id").as("id_e"))
+      val approx = ivfIndexFor(s, dir)
+        .search(q, 10, nprobe = 6, metric = KnnSearch.NativeL2,
+          tieBreak = Some("vec_id"), rankRoundDp = Some(4))
+        .select(col("vec_id").as("id_a"))
+      exact.join(approx, col("id_e") === col("id_a"), "full_outer")
+        .agg(lit(10L).as("k"),
+          sum(when(col("id_e").isNotNull && col("id_a").isNotNull, 1L)
+            .otherwise(0L)).as("n_overlap"),
+          count(lit(1)).as("n_union"))
+        .withColumn("recall_ppm", expr("n_overlap * 1000000 div k"))
+    }),
+
     "q107_ivf_stats" -> ((s, dir) => {
       // Index-health introspection — the ops surface a deployed ANN
       // index needs (FAISS imbalance_factor): per-cluster row counts
@@ -3938,6 +3995,57 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
          SELECT mx.doc_id, nt.n_doc_tokens, sum(mx.m)::BIGINT AS maxsim
          FROM mx JOIN nt ON mx.doc_id = nt.doc_id
          GROUP BY 1, 2 ORDER BY maxsim DESC, mx.doc_id LIMIT 20""",
+
+    // q108: q31's cosine replay + the label exclusion — the anchor
+    // label via the same 1-row subquery both engines fold.
+    "q108_hard_negatives" ->
+      raw"""SELECT vec_id, label,
+         floor(list_cosine_similarity(embedding::DOUBLE[],
+           (SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[])
+           * 1e4 + 0.5::DOUBLE) / 1e4 AS cos_sim
+         FROM embeddings
+         WHERE vec_id != 0
+           AND label != (SELECT label FROM embeddings WHERE vec_id = 0)
+         ORDER BY cos_sim DESC, vec_id LIMIT 10""",
+
+    // q109: BOTH legs replayed independently (exact SQL top-k; probe
+    // selection + pruned scan over the exported replica, q36's
+    // machinery) and intersected — integer recall arithmetic.
+    "q109_ann_recall" ->
+      raw"""WITH q AS (
+           SELECT embedding::DOUBLE[] AS qv FROM embeddings
+           WHERE vec_id = 0),
+         cent AS (
+           SELECT cluster_id, centroid FROM
+             read_parquet('$IvfOracleRoot/single/centroids/*.parquet')),
+         probes AS (
+           SELECT cluster_id FROM cent, q
+           ORDER BY list_sum(list_transform(range(1, len(centroid) + 1),
+             i -> (centroid[i]::DOUBLE - qv[i]) *
+                  (centroid[i]::DOUBLE - qv[i]))),
+             cluster_id
+           LIMIT 6),
+         ap AS (
+           SELECT vec_id FROM (
+             SELECT vec_id,
+               floor(list_distance(embedding::DOUBLE[],
+                 (SELECT qv FROM q)) * 1e4 + 0.5::DOUBLE) / 1e4 AS dist
+             FROM read_parquet('$IvfOracleRoot/single/data/*.parquet')
+             WHERE __ivf_cluster IN (SELECT cluster_id FROM probes)
+             ORDER BY dist, vec_id LIMIT 10)),
+         ex AS (
+           SELECT vec_id FROM (
+             SELECT vec_id,
+               floor(list_distance(embedding::DOUBLE[],
+                 (SELECT qv FROM q)) * 1e4 + 0.5::DOUBLE) / 1e4 AS dist
+             FROM embeddings ORDER BY dist, vec_id LIMIT 10))
+         SELECT 10::BIGINT AS k,
+           (SELECT count(*) FROM ex JOIN ap USING (vec_id))::BIGINT
+             AS n_overlap,
+           (SELECT count(*) FROM (SELECT vec_id FROM ex
+             UNION SELECT vec_id FROM ap))::BIGINT AS n_union,
+           ((SELECT count(*) FROM ex JOIN ap USING (vec_id)) * 1000000
+             // 10)::BIGINT AS recall_ppm""",
 
     // q107: recounts the exported index replica (see IvfOracleRoot) —
     // every stat an exact integer, imbalance an integer ppm division.
