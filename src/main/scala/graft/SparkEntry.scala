@@ -1605,13 +1605,7 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
         .select(col("source"), explode(wordSpans(col("text"), 8)).as("sp"))
         .select(col("source"), spanKey(col("sp")).as("k"))
         .distinct()
-      val hh = sp.select(col("source"),
-          conv(substring(md5(col("k")), 1, 13), 16, 10)
-            .cast("long").as("h"))
-        .distinct()
-      val wSrc = Window.partitionBy(col("source")).orderBy(col("h"))
-      val sk = hh.withColumn("rn", row_number().over(wSrc))
-        .filter(col("rn") <= kSk).drop("rn")
+      val sk = Sketches.kmvSketch(sp, col("k"), Seq("source"), kSk)
       val sources = sp.select("source").distinct()
       val pairs = sources.as("a").join(sources.as("b"),
           col("a.source") < col("b.source"))
@@ -2038,23 +2032,12 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
       // corpus-scale shuffle), then expand the VOCAB-sized frame into
       // its 4 hash rows — never 4 rows per token occurrence
       val tf = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
-      val sketch = tf.select(col("c"),
-          explode(array((0 until 4).map(r =>
-            struct(lit(r).as("r"),
-              conv(substring(md5(concat_ws("|", lit(r.toString),
-                col("tok"))), 1, 2), 16, 10).cast("long").as("b"))): _*))
-            .as("rb"))
-        .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
-        .agg(sum(col("c")).as("cnt"))
+      // via the Sketches library surface (r13): identical hash-row
+      // arithmetic, % 256 a no-op on the one-byte bucket
+      val sketch = Sketches.cmsFromTf(tf, "tok", "c", d = 4, w = 256)
       import s.implicits._
-      val trb = bm25Terms.toDF("term")
-        .crossJoin(s.range(0, 4).select(col("id").cast("int").as("r")))
-        .withColumn("b",
-          conv(substring(md5(concat_ws("|", col("r").cast("string"),
-            col("term"))), 1, 2), 16, 10).cast("long"))
-      val est = trb.join(sketch, Seq("r", "b"), "left")
-        .groupBy(col("term"))
-        .agg(min(coalesce(col("cnt"), lit(0L))).as("cm_est"))
+      val est = Sketches.cmsEstimate(sketch, bm25Terms.toDF("term"),
+        "term", d = 4, w = 256)
       val truth = toks.filter(col("tok").isin(bm25Terms: _*))
         .groupBy(col("tok")).agg(count(lit(1)).as("true_count"))
       est.join(truth.withColumnRenamed("tok", "term"), Seq("term"), "left")

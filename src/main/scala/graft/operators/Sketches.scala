@@ -87,6 +87,31 @@ object Sketches {
               col("__hsum")), dp).as("hll_est"): _*)
   }
 
+  /** KMV (bottom-k / theta) sketch: the `k` smallest DISTINCT 52-bit
+    * md5 hashes of `item` per group — order-independent and tie-free
+    * (distinct values of one total order), so any partitioning and any
+    * merge order produce the identical sketch. 52 bits fit a positive
+    * long with room for `(k−1)·2^52` estimator arithmetic. Emits
+    * (groups..., h). Merge law (spec-pinned): the min-k of two groups'
+    * sketch ROWS equals the sketch of the union set — the property
+    * that lets source-pair overlap work collapse from |corpus|² to
+    * groups²·k. The per-group min-k plans as a PARTIAL
+    * WindowGroupLimit before the exchange (bounded map-side top-k —
+    * no executor sorts one giant group's full set). */
+  def kmvSketch(df: DataFrame, item: Column, groupCols: Seq[String],
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val gs = groupCols.map(col)
+    val hh = df.select(gs :+
+        conv(substring(md5(item.cast("string")), 1, 13), 16, 10)
+          .cast("long").as("h"): _*)
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(gs: _*).orderBy(col("h"))
+    hh.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k).drop("__rn")
+  }
+
   /** Count-min sketch rows from a term-frequency frame `(term, c)`:
     * d hash rows × w buckets (w a power of two ≤ 256; bucket = first
     * md5 byte of "row|term" mod w) of exact integer counts. The

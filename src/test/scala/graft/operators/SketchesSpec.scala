@@ -81,6 +81,30 @@ class SketchesSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("KMV merge law: min-k over two sketches' rows == sketch of the union set") {
+    val a = (0 until 500).map(i => ("g", s"item$i")).toDF("g", "x")
+    val b = (300 until 900).map(i => ("g", s"item$i")).toDF("g", "x")
+    val whole = Sketches.kmvSketch(a.union(b), col("x"), Seq("g"), 64)
+    // merge = pool the two sketches' ROWS and keep the k smallest
+    // distinct h values — no raw data revisited
+    val pooled = Sketches.kmvSketch(a, col("x"), Seq("g"), 64)
+      .union(Sketches.kmvSketch(b, col("x"), Seq("g"), 64))
+      .distinct()
+      .orderBy(col("h")).limit(64)
+    assert(whole.except(pooled).isEmpty && pooled.except(whole).isEmpty,
+      "pooled min-k diverged from the whole-set sketch")
+  }
+
+  test("KMV sketch is layout-invariant and tie-free") {
+    val df = (0 until 2000).map(i => ("g", s"v$i")).toDF("g", "x")
+    val s1 = Sketches.kmvSketch(df.repartition(1), col("x"), Seq("g"), 32)
+      .orderBy("h").collect().map(_.getLong(1)).toSeq
+    val s9 = Sketches.kmvSketch(df.repartition(9), col("x"), Seq("g"), 32)
+      .orderBy("h").collect().map(_.getLong(1)).toSeq
+    assert(s1 == s9, "sketch moved with partition count")
+    assert(s1.distinct.length == 32, "hash ties in a 52-bit space")
+  }
+
   test("degenerate groups: empty input yields no rows; one item shows the documented raw-regime bias") {
     val one = Seq(("g", "only")).toDF("g", "x")
     val row = Sketches
