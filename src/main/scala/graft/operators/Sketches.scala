@@ -3,10 +3,10 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** Mergeable sketches for corpus-scale counting — the "novel sketch"
-  * family next to q97's inline count-min: HyperLogLog cardinality
-  * registers and a generalized count-min surface with the classic
-  * sketch-gated heavy-hitters composition.
+/** Mergeable sketches for corpus-scale counting: HyperLogLog
+  * cardinality registers (q101), KMV/theta bottom-k sketches for
+  * set-overlap estimation (q102), and the count-min frequency sketch
+  * (q97).
   *
   * Everything here is DETERMINISTIC AND ENGINE-EXACT by construction,
   * in the repo's round-12 regime (no libm, no machine-dependent seam):
