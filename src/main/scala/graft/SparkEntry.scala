@@ -1762,6 +1762,87 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
         .orderBy(col("user_id"))
     }),
 
+    "q110_embedding_qa" -> ((s, dir) => {
+      // Embedding QA — the validation pass that runs BEFORE an index
+      // build or a training export at 100 TB (a handful of NaN rows
+      // from a crashed encoder shard will poison k-means fits and
+      // cosine ranking silently): per label, counts of null vectors,
+      // wrong dimensionality, all-zero vectors, and non-finite
+      // components, plus rounded norm² extremes (native dot fold;
+      // min/max are order-independent — a cross-row SUM of doubles
+      // would not be, so it's deliberately absent). One scan,
+      // map-side combined. A clean corpus reports zeros — the gate
+      // then proves the CHECKS agree across engines, which is the
+      // point of a validator.
+      VectorExpressions.ensureRegistered(s)
+      import graft.functions.VectorFunctions.dotProductNative
+      val e = col("embedding")
+      t(s, dir, "embeddings")
+        .select(col("label"), e,
+          KnnSearch.roundHalfUpCol(dotProductNative(e, e), 4)
+            .as("norm2"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(e.isNull.cast("long")).as("n_null_vec"),
+          sum((size(e) =!= 64).cast("long")).as("n_wrong_dim"),
+          sum(forall(e, x => x === 0.0f).cast("long")).as("n_zero_vec"),
+          sum(exists(e, x => isnan(x) ||
+            x === lit(Float.PositiveInfinity) ||
+            x === lit(Float.NegativeInfinity)).cast("long"))
+            .as("n_nonfinite"),
+          min(col("norm2")).as("norm2_min"),
+          max(col("norm2")).as("norm2_max"))
+        .orderBy(col("label"))
+    }),
+
+    "q111_funnel" -> ((s, dir) => {
+      // Funnel analysis (signup → click → purchase by FIRST-occurrence
+      // order) — the classic product-analytics operator: one
+      // conditional aggregation collapses each user's history to three
+      // min-timestamps (map-side combined, the only shuffle keyed on
+      // user), then strict-< comparisons count stage conversions.
+      // Exact timestamp comparisons; no sessionization state needed.
+      val ev = t(s, dir, "events")
+      ev.groupBy(col("user_id"))
+        .agg(
+          min(when(col("event_type") === "signup", col("ts"))).as("s"),
+          min(when(col("event_type") === "click", col("ts"))).as("c"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("p"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("s").isNotNull.cast("long")).as("n_signup"),
+          sum((col("s") < col("c")).cast("long")).as("n_signup_click"),
+          sum((col("s") < col("c") && col("c") < col("p")).cast("long"))
+            .as("n_full_funnel"))
+    }),
+
+    "q112_retention" -> ((s, dir) => {
+      // Retention cohorts — the other classic: cohort = a user's first
+      // active day; retained@k = any event exactly k days later.
+      // Two aggregations (user day set → cohort counts), both
+      // map-side combined; the per-user day ARRAY stays bounded by
+      // the observation window (30 days here), so the collect is a
+      // bitmap-sized payload, not an event log. Exact date arithmetic.
+      val days = t(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("d"))
+        .distinct()
+      days.groupBy(col("user_id"))
+        .agg(min(col("d")).as("cohort"),
+          collect_set(col("d")).as("ds"))
+        .select(col("cohort"),
+          array_contains(col("ds"), date_add(col("cohort"), 1))
+            .cast("long").as("r1"),
+          array_contains(col("ds"), date_add(col("cohort"), 7))
+            .cast("long").as("r7"),
+          array_contains(col("ds"), date_add(col("cohort"), 14))
+            .cast("long").as("r14"))
+        .groupBy(col("cohort").cast("string").as("cohort"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("r1")).as("n_day1"),
+          sum(col("r7")).as("n_day7"),
+          sum(col("r14")).as("n_day14"))
+        .orderBy(col("cohort"))
+    }),
+
     "q108_hard_negatives" -> ((s, dir) => {
       // Hard-negative mining for contrastive training (DPR/SimCSE's
       // data prep): for the anchor vector, the top-k most-similar
@@ -3978,6 +4059,63 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
          SELECT mx.doc_id, nt.n_doc_tokens, sum(mx.m)::BIGINT AS maxsim
          FROM mx JOIN nt ON mx.doc_id = nt.doc_id
          GROUP BY 1, 2 ORDER BY maxsim DESC, mx.doc_id LIMIT 20""",
+
+    // q110: the validator's checks replayed check-for-check; norm² is
+    // the q66 dot-fold pattern (list_sum over DOUBLE transforms =
+    // graft_dot's left fold), floor-rounded per row BEFORE min/max
+    // (both order-independent — no cross-row double sum anywhere).
+    "q110_embedding_qa" ->
+      raw"""SELECT label, count(*)::BIGINT AS n_vecs,
+           sum(CASE WHEN embedding IS NULL THEN 1 ELSE 0 END)::BIGINT
+             AS n_null_vec,
+           sum(CASE WHEN len(embedding) != 64 THEN 1 ELSE 0
+             END)::BIGINT AS n_wrong_dim,
+           sum(CASE WHEN len(list_filter(embedding, x -> x = 0)) =
+               len(embedding) THEN 1 ELSE 0 END)::BIGINT AS n_zero_vec,
+           sum(CASE WHEN len(list_filter(embedding, x -> isnan(x)
+               OR NOT isfinite(x))) > 0 THEN 1 ELSE 0 END)::BIGINT
+             AS n_nonfinite,
+           min(norm2) AS norm2_min, max(norm2) AS norm2_max
+         FROM (SELECT label, embedding,
+             floor(list_sum(list_transform(embedding::DOUBLE[],
+               x -> x * x)) * 1e4 + 0.5::DOUBLE) / 1e4 AS norm2
+           FROM embeddings)
+         GROUP BY 1 ORDER BY 1""",
+
+    // q111: min-per-step then strict-< conversions — exact timestamp
+    // comparisons, null semantics identical (a missing step never
+    // converts).
+    "q111_funnel" ->
+      raw"""WITH u AS (
+           SELECT user_id,
+             min(CASE WHEN event_type = 'signup' THEN ts END) AS s,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS c,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS p
+           FROM events GROUP BY 1)
+         SELECT count(*)::BIGINT AS n_users,
+           sum(CASE WHEN s IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+             AS n_signup,
+           sum(CASE WHEN s < c THEN 1 ELSE 0 END)::BIGINT
+             AS n_signup_click,
+           sum(CASE WHEN s < c AND c < p THEN 1 ELSE 0 END)::BIGINT
+             AS n_full_funnel
+         FROM u""",
+
+    // q112: cohort = first active DATE (naive-ts truncation == the
+    // UTC-session truncation Spark applies); DATE + k arithmetic.
+    "q112_retention" ->
+      raw"""WITH dd AS (
+           SELECT DISTINCT user_id, ts::DATE AS d FROM events),
+         u AS (SELECT user_id, min(d) AS cohort, list(d) AS ds
+           FROM dd GROUP BY 1)
+         SELECT cohort::VARCHAR AS cohort, count(*)::BIGINT AS n_users,
+           sum(CASE WHEN list_contains(ds, cohort + 1) THEN 1 ELSE 0
+             END)::BIGINT AS n_day1,
+           sum(CASE WHEN list_contains(ds, cohort + 7) THEN 1 ELSE 0
+             END)::BIGINT AS n_day7,
+           sum(CASE WHEN list_contains(ds, cohort + 14) THEN 1 ELSE 0
+             END)::BIGINT AS n_day14
+         FROM u GROUP BY 1 ORDER BY 1""",
 
     // q108: q31's cosine replay + the label exclusion — the anchor
     // label via the same 1-row subquery both engines fold.
