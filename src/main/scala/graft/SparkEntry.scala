@@ -1762,6 +1762,54 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
         .orderBy(col("user_id"))
     }),
 
+    "q113_training_export" -> ((s, dir) => {
+      // The grand composition — "produce the training shard" end to
+      // end in ONE query: PII-redact → repetition battery (on the
+      // clean text) → exact dedup keeping the first fingerprint
+      // occurrence → per-language sequence packing of the SURVIVORS
+      // in content-hash order (q98's arithmetic on q82's funnel
+      // stages). The Gopher battery is deliberately NOT a gate here:
+      // q82's report shows it keeps 0/500 on this synthetic drop (no
+      // natural stopwords), which would make the export vacuous — the
+      // battery is tuned for natural-language corpora and stays a
+      // REPORTED stage (q80/q82), while the export gates on the
+      // stages this data can discriminate. Every stage reuses the
+      // operator the standalone query gates, and the oracle composes
+      // those queries' own generator CTEs — so the export can never
+      // drift from its audited parts. Plan shape: ONE corpus scan
+      // computes flags + clean-text features; the dedup window keys
+      // on the fingerprint (the only corpus-scale shuffle before the
+      // strata-sized packing window).
+      VectorExpressions.ensureRegistered(s)
+      import graft.functions.TextFunctions.{curationFlags, tokenCount}
+      val flagged = t(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), col("lang"),
+          curationFlags(col("text")).as("c"))
+        .filter(col("c.rep_keep") === 1L)
+        .select(col("doc_id"), col("lang"), col("c.fp").as("fp"),
+          tokenCount(col("c.clean")).as("n_toks"),
+          md5(col("c.clean")).as("h"))
+        .filter(col("n_toks") > 0L)
+      val wFp = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+      val surv = flagged.withColumn("rn", row_number().over(wFp))
+        .filter(col("rn") === 1).drop("rn")
+      val wCum = Window.partitionBy(col("lang"))
+        .orderBy(col("h"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      surv.withColumn("cum", sum(col("n_toks")).over(wCum))
+        .withColumn("start_seq", expr("(cum - n_toks) div 2048L"))
+        .withColumn("end_seq", expr("(cum - 1) div 2048L"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("tok_total"),
+          (max(col("end_seq")) + 1L).as("n_seqs"),
+          sum((col("start_seq") =!= col("end_seq")).cast("long"))
+            .as("n_crossing"),
+          ((max(col("end_seq")) + 1L) * 2048L - sum(col("n_toks")))
+            .as("tail_waste"))
+        .orderBy(col("lang"))
+    }),
+
     "q110_embedding_qa" -> ((s, dir) => {
       // Embedding QA — the validation pass that runs BEFORE an index
       // build or a training export at 100 TB (a handful of NaN rows
@@ -4059,6 +4107,44 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
          SELECT mx.doc_id, nt.n_doc_tokens, sum(mx.m)::BIGINT AS maxsim
          FROM mx JOIN nt ON mx.doc_id = nt.doc_id
          GROUP BY 1, 2 ORDER BY maxsim DESC, mx.doc_id LIMIT 20""",
+
+    // q113: the same generator CTEs as q82 (redact + the repetition
+    // battery) feeding q98's packing arithmetic over the deduped
+    // survivors — composed oracles for a composed pipeline.
+    "q113_training_export" ->
+      raw"""WITH red AS (
+           SELECT d.doc_id, d.lang, ${redactSql("d.text")} AS text
+           FROM documents d WHERE d.text IS NOT NULL),
+         ${repetitionSignalCtes("red")},
+         srv0 AS (
+           SELECT red.doc_id, red.lang,
+             substr(md5(regexp_replace(lower(trim(red.text)), '\s+',
+               ' ', 'g')), 1, 16) AS fp,
+             len(list_filter(string_split_regex(red.text, '\s+'),
+               w -> len(w) > 0))::BIGINT AS n_toks,
+             md5(red.text) AS h
+           FROM red
+           JOIN rs ON rs.doc_id = red.doc_id
+           WHERE ($repetitionKeepPredSql)),
+         srv1 AS (SELECT * FROM srv0 WHERE n_toks > 0),
+         surv AS (
+           SELECT * FROM (
+             SELECT *, row_number() OVER (PARTITION BY fp
+               ORDER BY doc_id) AS rn
+             FROM srv1) WHERE rn = 1),
+         pk AS (
+           SELECT lang, n_toks,
+             sum(n_toks) OVER (PARTITION BY lang ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM surv)
+         SELECT lang, count(*)::BIGINT AS n_docs,
+           sum(n_toks)::BIGINT AS tok_total,
+           (max((cum - 1) // 2048) + 1)::BIGINT AS n_seqs,
+           sum(((cum - n_toks) // 2048
+             != (cum - 1) // 2048)::BIGINT)::BIGINT AS n_crossing,
+           ((max((cum - 1) // 2048) + 1) * 2048
+             - sum(n_toks))::BIGINT AS tail_waste
+         FROM pk GROUP BY lang ORDER BY lang""",
 
     // q110: the validator's checks replayed check-for-check; norm² is
     // the q66 dot-fold pattern (list_sum over DOUBLE transforms =
