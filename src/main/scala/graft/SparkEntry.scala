@@ -1762,6 +1762,32 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
         .orderBy(col("user_id"))
     }),
 
+    "q114_langid_confusion" -> ((s, dir) => {
+      // Language-ID QA: the confusion matrix of DECLARED lang vs the
+      // q04 detector — the calibration report a multilingual corpus
+      // pipeline publishes before trusting either column (CCNet keeps
+      // docs only where detector confidence is high; the matrix is
+      // how you pick that threshold). Same fused native marker walk
+      // as q04, one (declared, predicted) aggregation with map-side
+      // combine, plus per-declared-language agreement ppm.
+      VectorExpressions.ensureRegistered(s)
+      val profiles = Seq(
+        "en" -> Seq("the", "a", "fast", "slow"),
+        "es" -> Seq("data", "row", "part"),
+        "zh" -> Seq("spark", "window", "stream"))
+      val w = Window.partitionBy(col("lang"))
+      t(s, dir, "documents")
+        .select(col("lang"),
+          langIdHeuristicNative(col("text"), profiles).as("predicted"))
+        .groupBy(col("lang"), col("predicted"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("lang_total", sum(col("n")).over(w))
+        .withColumn("agree_ppm",
+          when(col("lang") === col("predicted"),
+            expr("n * 1000000 div lang_total")).otherwise(lit(0L)))
+        .orderBy(col("lang"), col("predicted"))
+    }),
+
     "q113_training_export" -> ((s, dir) => {
       // The grand composition — "produce the training shard" end to
       // end in ONE query: PII-redact → repetition battery (on the
@@ -4107,6 +4133,38 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
          SELECT mx.doc_id, nt.n_doc_tokens, sum(mx.m)::BIGINT AS maxsim
          FROM mx JOIN nt ON mx.doc_id = nt.doc_id
          GROUP BY 1, 2 ORDER BY maxsim DESC, mx.doc_id LIMIT 20""",
+
+    // q114: q04's detector CTEs + the declared column; agreement as
+    // integer ppm (window total per declared lang).
+    "q114_langid_confusion" ->
+      raw"""WITH tk AS (
+           SELECT doc_id, lang, list_filter(string_split_regex(
+             lower(text), '\s+'), t -> len(t) > 0) AS ts
+           FROM documents),
+         scores AS (
+           SELECT doc_id, lang,
+             len(list_filter(ts, t -> list_contains(
+               ['the','a','fast','slow'], t))) AS s_en,
+             len(list_filter(ts, t -> list_contains(
+               ['data','row','part'], t))) AS s_es,
+             len(list_filter(ts, t -> list_contains(
+               ['spark','window','stream'], t))) AS s_zh
+           FROM tk),
+         pred AS (
+           SELECT doc_id, lang,
+             CASE WHEN s_zh = greatest(s_en, s_es, s_zh) THEN 'zh'
+                  WHEN s_es = greatest(s_en, s_es) THEN 'es'
+                  ELSE 'en' END AS predicted
+           FROM scores),
+         cell AS (
+           SELECT lang, predicted, count(*)::BIGINT AS n
+           FROM pred GROUP BY 1, 2)
+         SELECT lang, predicted, n,
+           sum(n) OVER (PARTITION BY lang)::BIGINT AS lang_total,
+           (CASE WHEN lang = predicted
+             THEN n * 1000000 // sum(n) OVER (PARTITION BY lang)
+             ELSE 0 END)::BIGINT AS agree_ppm
+         FROM cell ORDER BY lang, predicted""",
 
     // q113: the same generator CTEs as q82 (redact + the repetition
     // battery) feeding q98's packing arithmetic over the deduped
