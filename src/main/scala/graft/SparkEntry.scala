@@ -1706,11 +1706,14 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
       // — the score-matrix factoring — every dot product depends on
       // (vocabulary token, query token) ONLY, so the md5 embedding +
       // dot arithmetic runs once per DISTINCT corpus token against the
-      // tiny query frame (vocab × |query| rows, broadcast back), never
-      // once per (doc, token) pair: the corpus-scale legs carry ids
-      // and precomputed longs, no interpreted md5 lambdas (measured
-      // 4.17 s → sub-second at sf0.1). Plan shape: distinct tokens →
-      // dot matrix broadcast onto the (doc, token) set → (doc, qtok)
+      // tiny query frame (vocab × |query| rows), never once per
+      // (doc, token) pair: the corpus-scale legs carry ids and
+      // precomputed longs, no interpreted md5 lambdas (measured
+      // 4.17 s → sub-second at sf0.1). The dots→tokens join is
+      // deliberately UNHINTED: corpus vocabulary is unbounded at
+      // 100 TB, so AQE broadcasts the matrix while it's small and
+      // falls back to a token-keyed shuffle join when it isn't —
+      // forcing broadcast here would be the OOM. Then (doc, qtok)
       // max with partial agg before the one doc-keyed shuffle →
       // per-doc sum.
       import graft.functions.TextFunctions.tokens
@@ -1730,7 +1733,7 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
         .select(col("tok"), col("qtok"),
           aggregate(zip_with(col("qe"), col("de"), (x, y) => x * y),
             lit(0L), (acc, x) => acc + x).as("dot"))
-      dtok.join(broadcast(dots), Seq("tok"))
+      dtok.join(dots, Seq("tok"))
         .groupBy(col("doc_id"), col("qtok"))
         .agg(max(col("dot")).as("m"),
           count_distinct(col("tok")).as("nt"))
