@@ -1678,8 +1678,8 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
         .select(col("doc_id"), col("lang"),
           explode(wordSpans(col("text"), 2)).as("bg"))
         .withColumn("ctx", element_at(split(col("bg"), " "), 1))
-        .join(broadcast(bc), Seq("bg"), "left")
-        .join(broadcast(cc), Seq("ctx"), "left")
+        .join(bc, Seq("bg"), "left")
+        .join(cc, Seq("ctx"), "left")
         .crossJoin(broadcast(vf))
         .select(col("doc_id"), col("lang"),
           (length(bin(coalesce(col("cc"), lit(0L)) + col("v"))) -
