@@ -9,6 +9,8 @@ import json, math, subprocess, sys, glob, os
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
+# optional: comma-separated query-name prefixes for fast local iteration
+ONLY = sys.argv[3] if len(sys.argv) > 3 else None
 
 import duckdb
 import numpy as np
@@ -41,8 +43,9 @@ def canon(rows):
 
 def main():
     # 1. run Verify
-    r = subprocess.run(["bash", "scripts/run_main.sh", "graft.Verify", SF, OUT],
-                       capture_output=True, text=True)
+    argv = ["bash", "scripts/run_main.sh", "graft.Verify", SF, OUT]
+    if ONLY: argv.append(ONLY)
+    r = subprocess.run(argv, capture_output=True, text=True)
     if r.returncode != 0:
         print("VERIFY FAILED"); print(r.stdout[-3000:]); print(r.stderr[-5000:])
         sys.exit(1)

@@ -1765,6 +1765,97 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
         .orderBy(col("user_id"))
     }),
 
+    "q116_pivot_matrix" -> ((s, dir) => {
+      // Pivot: the per-source language matrix a corpus health report
+      // leads with, as a WIDE frame (one row per source, one column
+      // per language). The language list is an EXPLICIT literal —
+      // at 100 TB the two-arg `pivot(col)` form would burn a full
+      // distinct-scan of the corpus just to learn its own schema, and
+      // a schema that depends on data content breaks every downstream
+      // consumer the day a new language appears. With fixed values the
+      // whole pivot compiles to ONE hash aggregate with map-side
+      // combine (count per (source, lang) fused into the row layout) —
+      // no per-column scan, no second shuffle.
+      val langs = Seq("de", "en", "es", "fr", "zh")
+      t(s, dir, "documents")
+        .groupBy(col("source"))
+        .pivot("lang", langs)
+        .agg(count(lit(1)))
+        .na.fill(0L, langs)
+        .withColumn("total", langs.map(col).reduce(_ + _))
+        .orderBy(col("source"))
+    }),
+
+    "q117_gap_fill" -> ((s, dir) => {
+      // Time-series gap fill + carry-forward — the resample pass that
+      // turns an irregular event stream into a dense per-minute grid
+      // (monitoring rollups, training-data time features). Scale
+      // shape: the corpus-sized work is ONE aggregation to minute
+      // bins (map-side combine); the dense spine is generated per
+      // type from the binned extent (`sequence()` over minutes — its
+      // size is the TIME RANGE, not the event count, so a 100 TB
+      // stream still spines at ~0.5M rows/type/year), and the
+      // carry-forward window orders SPINE rows per type, never corpus
+      // rows. All arithmetic is long epoch-seconds; `last(ignoreNulls)`
+      // replays as DuckDB's `last_value(... IGNORE NULLS)`.
+      val ev = t(s, dir, "events")
+      val sec = col("ts").cast("long")
+      val bins = ev
+        .select(col("event_type"),
+          (sec - (sec % lit(60L))).as("minute_start"),
+          col("event_id"))
+        .groupBy(col("event_type"), col("minute_start"))
+        .agg(count(lit(1)).as("n_events"),
+          max(col("event_id")).as("max_eid"))
+      val spine = bins.groupBy(col("event_type"))
+        .agg(min(col("minute_start")).as("lo"),
+          max(col("minute_start")).as("hi"))
+        .select(col("event_type"),
+          explode(sequence(col("lo"), col("hi"), lit(60L)))
+            .as("minute_start"))
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("minute_start"))
+      spine.join(bins, Seq("event_type", "minute_start"), "left")
+        .withColumn("n_events", coalesce(col("n_events"), lit(0L)))
+        .withColumn("last_seen_eid",
+          last(col("max_eid"), ignoreNulls = true).over(w))
+        .select(col("event_type"), col("minute_start"), col("n_events"),
+          col("last_seen_eid"))
+        .orderBy(col("event_type"), col("minute_start"))
+    }),
+
+    "q115_quantile_sketch" -> ((s, dir) => {
+      // Mergeable equi-width histogram quantiles — the length-
+      // distribution profile a 100 TB pass computes WITHOUT a global
+      // sort: per-language p50/p90/p99 of n_chars from a
+      // (lang, bucket, count) sketch whose rows aggregate with
+      // map-side combine and merge across corpora by summing counts
+      // (the same union law the HLL/KMV/CMS family pins). Every op is
+      // long arithmetic — floor-mod bucketing, IntegralDivide rank —
+      // so the estimate replays bit-for-bit in any engine. The exact
+      // discrete percentile rides along as the error report (its
+      // per-group sort is the test-scale luxury the sketch exists to
+      // avoid, exactly like q101's true_distinct column).
+      val docs = t(s, dir, "documents")
+      val width = 256L
+      val qs = Seq(500000L, 900000L, 990000L)
+      val est = Sketches.histQuantiles(
+        Sketches.histSketch(docs, col("n_chars"), Seq("lang"), width),
+        Seq("lang"), width, qs)
+      val wN = Window.partitionBy(col("lang"))
+      val wR = Window.partitionBy(col("lang"))
+        .orderBy(col("n_chars"), col("doc_id"))
+      val exact = docs.select(col("lang"), col("n_chars"), col("doc_id"))
+        .withColumn("rn", row_number().over(wR))
+        .withColumn("n", count(lit(1)).over(wN))
+        .select(col("lang"), col("n_chars"), col("rn"), col("n"),
+          explode(array(qs.map(lit): _*)).as("q_ppm"))
+        .filter(col("rn") === expr("(n * q_ppm + 999999) div 1000000"))
+        .select(col("lang"), col("q_ppm"), col("n_chars").as("exact"))
+      est.join(exact, Seq("lang", "q_ppm"))
+        .orderBy(col("lang"), col("q_ppm"))
+    }),
+
     "q114_langid_confusion" -> ((s, dir) => {
       // Language-ID QA: the confusion matrix of DECLARED lang vs the
       // q04 detector — the calibration report a multilingual corpus
@@ -4136,6 +4227,82 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
          SELECT mx.doc_id, nt.n_doc_tokens, sum(mx.m)::BIGINT AS maxsim
          FROM mx JOIN nt ON mx.doc_id = nt.doc_id
          GROUP BY 1, 2 ORDER BY maxsim DESC, mx.doc_id LIMIT 20""",
+
+    // q116: the pivot is conditional aggregation in disguise — the
+    // oracle spells it as FILTER counts with the same column names.
+    "q116_pivot_matrix" ->
+      raw"""SELECT source,
+           count(*) FILTER (lang = 'de')::BIGINT AS de,
+           count(*) FILTER (lang = 'en')::BIGINT AS en,
+           count(*) FILTER (lang = 'es')::BIGINT AS es,
+           count(*) FILTER (lang = 'fr')::BIGINT AS fr,
+           count(*) FILTER (lang = 'zh')::BIGINT AS zh,
+           count(*)::BIGINT AS total
+         FROM documents GROUP BY source ORDER BY source""",
+
+    // q117: minute bins, a generated dense spine, and IGNORE NULLS
+    // carry-forward — all long epoch arithmetic, replayed exactly.
+    "q117_gap_fill" ->
+      raw"""WITH bins AS (
+           SELECT event_type,
+             (epoch_us(ts) // 1000000
+               - (epoch_us(ts) // 1000000) % 60) AS minute_start,
+             count(*)::BIGINT AS n_events,
+             max(event_id)::BIGINT AS max_eid
+           FROM events GROUP BY 1, 2),
+         rng AS (SELECT event_type, min(minute_start) AS lo,
+             max(minute_start) AS hi
+           FROM bins GROUP BY 1),
+         spine AS (SELECT event_type,
+             unnest(range(lo, hi + 60, 60)) AS minute_start
+           FROM rng),
+         j AS (SELECT s.event_type, s.minute_start,
+             coalesce(b.n_events, 0)::BIGINT AS n_events, b.max_eid
+           FROM spine s LEFT JOIN bins b
+             ON s.event_type = b.event_type
+             AND s.minute_start = b.minute_start)
+         SELECT event_type, minute_start, n_events,
+           last_value(max_eid IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY minute_start)::BIGINT
+             AS last_seen_eid
+         FROM j ORDER BY event_type, minute_start""",
+
+    // q115: the histogram sketch is pure long arithmetic (floor-mod
+    // bucketing, IntegralDivide ceil-rank), so the oracle rebuilds the
+    // identical sketch and the identical rank in DuckDB's `//`.
+    "q115_quantile_sketch" ->
+      raw"""WITH sk AS (
+           SELECT lang,
+             (n_chars - ((n_chars % 256) + 256) % 256) // 256 AS b,
+             count(*)::BIGINT AS cnt
+           FROM documents GROUP BY 1, 2),
+         cum AS (
+           SELECT lang, b, cnt,
+             sum(cnt) OVER (PARTITION BY lang ORDER BY b)::BIGINT
+               AS cum,
+             sum(cnt) OVER (PARTITION BY lang)::BIGINT AS n
+           FROM sk),
+         q AS (SELECT unnest([500000, 900000, 990000])::BIGINT
+             AS q_ppm),
+         est AS (
+           SELECT lang, q_ppm, (min(b) * 256)::BIGINT AS est
+           FROM cum CROSS JOIN q
+           WHERE cum >= (n * q_ppm + 999999) // 1000000
+           GROUP BY 1, 2),
+         rk AS (
+           SELECT lang, n_chars, doc_id,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY n_chars, doc_id) AS rn,
+             count(*) OVER (PARTITION BY lang)::BIGINT AS n
+           FROM documents),
+         ex AS (
+           SELECT lang, q_ppm, n_chars AS exact
+           FROM rk CROSS JOIN q
+           WHERE rn = (n * q_ppm + 999999) // 1000000)
+         SELECT est.lang, est.q_ppm, est.est, ex.exact
+         FROM est JOIN ex ON est.lang = ex.lang
+           AND est.q_ppm = ex.q_ppm
+         ORDER BY est.lang, est.q_ppm""",
 
     // q114: q04's detector CTEs + the declared column; agreement as
     // integer ppm (window total per declared lang).

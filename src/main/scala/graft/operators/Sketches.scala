@@ -112,6 +112,62 @@ object Sketches {
       .filter(col("__rn") <= k).drop("__rn")
   }
 
+  /** Mergeable equi-width histogram sketch over a LONG-valued column:
+    * one row per (group, bucket) with bucket = floor(value / width)
+    * computed in pure integer arithmetic (the `((v % w) + w) % w`
+    * floor-mod form, exact for negatives too — no double cast, so a
+    * value beyond 2^53 still buckets exactly). One aggregation with
+    * map-side combine: each executor emits at most
+    * `groups · (value range / width)` rows per partition regardless of
+    * input size, and two corpora's histograms merge by summing bucket
+    * counts — the same union-without-reshuffling-raw-data property as
+    * the HLL/KMV/CMS sketches above. This is what a 100 TB profiling
+    * pass runs instead of a global sort: quantiles come from the
+    * sketch rows ([[histQuantiles]]), never from ordering the corpus. */
+  def histSketch(df: DataFrame, value: Column, groupCols: Seq[String],
+      width: Long): DataFrame = {
+    require(width >= 1, s"width must be >= 1, got $width")
+    val v = value.cast("long")
+    val w = lit(width)
+    // `div` (IntegralDivide) keeps the arithmetic in longs end-to-end;
+    // the numerator is an exact multiple of width so the division is
+    // exact for negatives too (a double-cast `/` would start lying
+    // past 2^53)
+    val b = call_function("div", v - (((v % w) + w) % w), w)
+    df.select(groupCols.map(col) :+ b.cast("long").as("b"): _*)
+      .groupBy((groupCols.map(col) :+ col("b")): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Quantile estimates from a [[histSketch]]: for each requested rank
+    * `q` (in ppm, so the rank arithmetic stays integer), the smallest
+    * bucket whose cumulative count reaches `ceil(N·q / 1e6)`, reported
+    * as that bucket's LOWER EDGE `b·width` — a deterministic
+    * under-estimate with error < `width`, identical in any engine
+    * (every op is a long add/mul/div). The window sort runs over
+    * SKETCH rows (≤ range/width per group), not corpus rows. Emits
+    * (groups..., q_ppm, est). */
+  def histQuantiles(sketch: DataFrame, groupCols: Seq[String],
+      width: Long, qsPpm: Seq[Long]): DataFrame = {
+    require(qsPpm.nonEmpty && qsPpm.forall(q => q >= 1 && q <= 1000000),
+      "quantile ranks must be ppm values in [1, 1000000]")
+    val gs = groupCols.map(col)
+    val wSpec = org.apache.spark.sql.expressions.Window
+      .partitionBy(gs: _*).orderBy(col("b"))
+    val withCum = sketch
+      .withColumn("__cum", sum(col("cnt")).over(wSpec))
+      .withColumn("__n", sum(col("cnt")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(gs: _*)))
+    val qf = explode(array(qsPpm.map(lit): _*)).as("q_ppm")
+    withCum.select((gs :+ col("b") :+ col("__cum") :+ col("__n")) :+ qf: _*)
+      // ceil(N·q/1e6) in integer form: (N·q + 999999) div 1e6 — long
+      // IntegralDivide, so a trillion-row group's rank is still exact
+      .filter(col("__cum") >= call_function("div",
+        col("__n") * col("q_ppm") + lit(999999L), lit(1000000L)))
+      .groupBy((gs :+ col("q_ppm")): _*)
+      .agg((min(col("b")) * lit(width)).as("est"))
+  }
+
   /** Count-min sketch rows from a term-frequency frame `(term, c)`:
     * d hash rows × w buckets (w a power of two ≤ 256; bucket = first
     * md5 byte of "row|term" mod w) of exact integer counts. The

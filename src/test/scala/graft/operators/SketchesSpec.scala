@@ -122,4 +122,47 @@ class SketchesSpec extends SparkSpec {
     val empty = one.filter(col("x") =!= col("x"))
     assert(Sketches.hllRegisters(empty, col("x"), Seq("g"), 32).isEmpty)
   }
+
+  test("histogram merge law: sketch(A union B) == bucket-count sum of the sketches") {
+    val a = (0 until 600).map(i => ("g", (i * 7 % 997).toLong)).toDF("g", "v")
+    val b = (0 until 400).map(i => ("g", (i * 13 % 997 - 100).toLong)).toDF("g", "v")
+    val whole = Sketches.histSketch(a.union(b), col("v"), Seq("g"), 64L)
+    val merged = Sketches.histSketch(a, col("v"), Seq("g"), 64L)
+      .union(Sketches.histSketch(b, col("v"), Seq("g"), 64L))
+      .groupBy(col("g"), col("b")).agg(sum(col("cnt")).as("cnt"))
+    assert(whole.except(merged).isEmpty && merged.except(whole).isEmpty,
+      "summed bucket counts diverged from the whole-set sketch")
+  }
+
+  test("histogram bucketing floors negatives and is layout-invariant") {
+    val df = Seq(("g", -130L), ("g", -64L), ("g", -1L), ("g", 0L),
+      ("g", 63L), ("g", 64L)).toDF("g", "v")
+    val got = Sketches.histSketch(df, col("v"), Seq("g"), 64L)
+      .orderBy("b").collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    // floor(-130/64) = -3, floor(-64/64) = -1... floor division, not
+    // the truncate-toward-zero a naive integer `/` would compute
+    assert(got == Seq((-3L, 1L), (-1L, 2L), (0L, 2L), (1L, 1L)), got.toString)
+    val p1 = Sketches.histSketch(df.repartition(1), col("v"), Seq("g"), 64L)
+    val p7 = Sketches.histSketch(df.repartition(7), col("v"), Seq("g"), 64L)
+    assert(p1.except(p7).isEmpty && p7.except(p1).isEmpty)
+  }
+
+  test("histogram quantile: lower-edge estimate brackets the exact discrete percentile within one width") {
+    val vals = (0 until 5000).map(i => ("g", (i * 37 % 10007).toLong))
+    val df = vals.toDF("g", "v")
+    val width = 128L
+    val qs = Seq(250000L, 500000L, 900000L, 990000L)
+    val est = Sketches
+      .histQuantiles(Sketches.histSketch(df, col("v"), Seq("g"), width),
+        Seq("g"), width, qs)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    val sorted = vals.map(_._2).sorted
+    qs.foreach { q =>
+      val r = ((vals.size.toLong * q + 999999L) / 1000000L).toInt
+      val exact = sorted(r - 1)
+      val e = est(q)
+      assert(e <= exact && exact < e + width,
+        s"q=$q: estimate $e does not bracket exact $exact (width $width)")
+    }
+  }
 }
