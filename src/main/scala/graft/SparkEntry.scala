@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
-import graft.operators.{AsofJoin, Bm25, Fusion, IvfIndex, KnnSearch, Mixer, NearDup, PostRetrieval, Pq, RagPipeline, RangeJoin, Rerank, Sketches, SkewJoin}
+import graft.operators.{AsofJoin, Bm25, Fusion, Graph, IvfIndex, KnnSearch, Mixer, NearDup, PostRetrieval, Pq, RagPipeline, RangeJoin, Rerank, Sketches, SkewJoin, SnapshotDiff}
 import graft.plans.VectorExpressions
 import graft.sources.{MarkdownIngest, Multimodal}
 
@@ -1763,6 +1763,61 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
           sum(col("lag_s")).as("lag_sum_s"),
           min(col("lag_s")).as("min_lag_s"))
         .orderBy(col("user_id"))
+    }),
+
+    "q118_snapshot_diff" -> ((s, dir) => {
+      // Incremental-crawl snapshot diff — what changed between two
+      // corpus drops, per language. v2 is a deterministic mutation of
+      // the documents table (md5-bucketed: bucket 0 deleted, bucket 1
+      // re-edited, bucket 2 additionally re-crawled under a new id),
+      // so both engines construct the identical pair of snapshots.
+      // The diff itself is [[graft.operators.SnapshotDiff]]: one
+      // keyspace-sized full-outer join on doc_id comparing md5
+      // fingerprints — the pass that lets a 100 TB pipeline re-embed
+      // only `added`+`changed` instead of reprocessing the world.
+      val v1 = t(s, dir, "documents")
+      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4),
+        16, 10).cast("long") % 10
+      val kept = v1.filter(bucket =!= 0)
+        .withColumn("text",
+          when(bucket === 1, upper(col("text"))).otherwise(col("text")))
+      val added = v1.filter(bucket === 2)
+        .withColumn("doc_id", col("doc_id") + lit(10000000L))
+        .withColumn("text", reverse(col("text")))
+      val v2 = kept.unionByName(added)
+      val d = SnapshotDiff.diff(v1, v2, Seq("doc_id"),
+        md5(coalesce(col("text"), lit(""))))
+      // join back to the union of snapshots for the lang dimension
+      val langOf = v1.select(col("doc_id"), col("lang"))
+        .unionByName(added.select(col("doc_id"), col("lang")))
+        .distinct()
+      d.join(langOf, Seq("doc_id"))
+        .groupBy(col("status"), col("lang"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("status"), col("lang"))
+    }),
+
+    "q119_pagerank" -> ((s, dir) => {
+      // PageRank over the supplier↔customer trade graph (edges =
+      // distinct supplier–customer pairs from lineitem⋈orders,
+      // mirrored both ways) — [[graft.operators.Graph.pageRankPpb]]:
+      // integer parts-per-billion ranks, 3 damped hops, one shuffle
+      // per hop with out-degrees folded into the edge frame before
+      // the loop. The ppb form is what makes a GATED PageRank
+      // possible at all: long sums are order-exact, so the oracle's
+      // unrolled SQL iterations land on the same bits. Top 20 by
+      // rank with the node id as the deterministic tiebreak.
+      val li = t(s, dir, "lineitem")
+      val ord = t(s, dir, "orders")
+      val pairs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("s"), col("l_suppkey")).as("a"),
+          concat(lit("c"), col("o_custkey")).as("b"))
+        .distinct()
+      val edges = pairs.unionByName(
+        pairs.select(col("b").as("a"), col("a").as("b")))
+      Graph.pageRankPpb(edges, "a", "b", iterations = 3)
+        .orderBy(col("rank_ppb").desc, col("node"))
+        .limit(20)
     }),
 
     "q116_pivot_matrix" -> ((s, dir) => {
@@ -4227,6 +4282,75 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
          SELECT mx.doc_id, nt.n_doc_tokens, sum(mx.m)::BIGINT AS maxsim
          FROM mx JOIN nt ON mx.doc_id = nt.doc_id
          GROUP BY 1, 2 ORDER BY maxsim DESC, mx.doc_id LIMIT 20""",
+
+    // q118: both engines construct the identical v2 from md5 buckets,
+    // then the diff is a full-outer join comparing fingerprints —
+    // fingerprints only ever compare WITHIN an engine, so the gate
+    // checks the classification logic, not md5 itself.
+    "q118_snapshot_diff" ->
+      raw"""WITH b AS (
+           SELECT doc_id, lang, text,
+             ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 10
+               AS bk
+           FROM documents),
+         kept AS (SELECT doc_id, lang,
+             CASE WHEN bk = 1 THEN upper(text) ELSE text END AS text
+           FROM b WHERE bk <> 0),
+         added AS (SELECT doc_id + 10000000 AS doc_id, lang,
+             reverse(text) AS text
+           FROM b WHERE bk = 2),
+         v2 AS (SELECT doc_id, lang, text FROM kept
+           UNION ALL SELECT doc_id, lang, text FROM added),
+         o AS (SELECT doc_id, md5(coalesce(text, '')) AS fp FROM b),
+         n AS (SELECT doc_id, md5(coalesce(text, '')) AS fp FROM v2),
+         d AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+             CASE WHEN o.doc_id IS NULL THEN 'added'
+                  WHEN n.doc_id IS NULL THEN 'removed'
+                  WHEN o.fp = n.fp THEN 'unchanged'
+                  ELSE 'changed' END AS status
+           FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id),
+         lo AS (SELECT DISTINCT doc_id, lang FROM (
+             SELECT doc_id, lang FROM b
+             UNION ALL SELECT doc_id, lang FROM added))
+         SELECT d.status, lo.lang, count(*)::BIGINT AS n
+         FROM d JOIN lo ON d.doc_id = lo.doc_id
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // q119: the ppb ranks are long sums of IntegralDivide terms, so
+    // three unrolled SQL iterations replay the exact bits; the top-20
+    // order is total (rank desc, node asc).
+    "q119_pagerank" ->
+      raw"""WITH pairs AS (
+           SELECT DISTINCT 's' || l_suppkey::VARCHAR AS a,
+             'c' || o_custkey::VARCHAR AS b
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         edges AS (SELECT a, b FROM pairs
+           UNION ALL SELECT b AS a, a AS b FROM pairs),
+         nodes AS (SELECT a AS node FROM edges
+           UNION SELECT b AS node FROM edges),
+         deg AS (SELECT a AS node, count(*)::BIGINT AS outdeg
+           FROM edges GROUP BY 1),
+         r0 AS (SELECT node, 1000000000::BIGINT AS r FROM nodes),
+         c1 AS (SELECT e.b AS node,
+             sum(((rr.r * 85) // 100) // d.outdeg)::BIGINT AS m
+           FROM edges e JOIN r0 rr ON e.a = rr.node
+             JOIN deg d ON e.a = d.node GROUP BY 1),
+         r1 AS (SELECT n.node, (150000000 + coalesce(m, 0))::BIGINT AS r
+           FROM nodes n LEFT JOIN c1 ON n.node = c1.node),
+         c2 AS (SELECT e.b AS node,
+             sum(((rr.r * 85) // 100) // d.outdeg)::BIGINT AS m
+           FROM edges e JOIN r1 rr ON e.a = rr.node
+             JOIN deg d ON e.a = d.node GROUP BY 1),
+         r2 AS (SELECT n.node, (150000000 + coalesce(m, 0))::BIGINT AS r
+           FROM nodes n LEFT JOIN c2 ON n.node = c2.node),
+         c3 AS (SELECT e.b AS node,
+             sum(((rr.r * 85) // 100) // d.outdeg)::BIGINT AS m
+           FROM edges e JOIN r2 rr ON e.a = rr.node
+             JOIN deg d ON e.a = d.node GROUP BY 1),
+         r3 AS (SELECT n.node, (150000000 + coalesce(m, 0))::BIGINT AS r
+           FROM nodes n LEFT JOIN c3 ON n.node = c3.node)
+         SELECT node, r AS rank_ppb FROM r3
+         ORDER BY rank_ppb DESC, node LIMIT 20""",
 
     // q116: the pivot is conditional aggregation in disguise — the
     // oracle spells it as FILTER counts with the same column names.

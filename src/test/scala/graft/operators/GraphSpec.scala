@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** [[Graph.pageRankPpb]] — the integer-ppb PageRank: fixed points,
+  * pinned dangling-variant values, mass conservation up to truncation,
+  * and bit-stability under partitioning (the property the q119 oracle's
+  * unrolled SQL iterations depend on). */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ranksOf(edges: Seq[(String, String)], iters: Int,
+      parts: Int = 4): Map[String, Long] =
+    Graph.pageRankPpb(edges.toDF("s", "d").repartition(parts), "s", "d",
+        iters)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("two-node cycle is a fixed point at exactly 10^9 per node") {
+    val r = ranksOf(Seq(("a", "b"), ("b", "a")), 5)
+    // base + damped whole rank: 150e6 + (1e9·85 div 100) = 1e9 — no
+    // truncation anywhere, so the start vector never moves
+    assert(r == Map("a" -> 1000000000L, "b" -> 1000000000L), r.toString)
+  }
+
+  test("dangling variant is pinned: un-mirrored edge leaks the sink's damped mass") {
+    // a -> b only. r1(a) = base; r1(b) = base + 850e6;
+    // r2(a) = base; r2(b) = base + (base·85 div 100) = 277_500_000
+    val r1 = ranksOf(Seq(("a", "b")), 1)
+    assert(r1 == Map("a" -> 150000000L, "b" -> 1000000000L), r1.toString)
+    val r2 = ranksOf(Seq(("a", "b")), 2)
+    assert(r2 == Map("a" -> 150000000L, "b" -> 277500000L), r2.toString)
+  }
+
+  test("mirrored graphs conserve mass up to IntegralDivide truncation") {
+    // star: hub <-> 6 spokes, mirrored = no dangling nodes
+    val spokes = (1 to 6).map(i => ("hub", s"n$i"))
+    val edges = spokes ++ spokes.map(_.swap)
+    val n = 7L
+    val iters = 4
+    val total = ranksOf(edges, iters).values.sum
+    val whole = n * 1000000000L
+    // each edge's contribution truncates < 2 per hop (two divs), and
+    // the base term is exact — the leak is bounded and tiny
+    val maxLeak = iters.toLong * 2L * edges.size
+    assert(total <= whole && total >= whole - maxLeak,
+      s"total mass $total vs whole $whole (max leak $maxLeak)")
+  }
+
+  test("ranks are bit-identical under any edge partitioning") {
+    val edges = for (i <- 0 until 40; j <- Seq((i * 7) % 40, (i * 11) % 40)
+      if i != j) yield (s"n$i", s"n$j")
+    val mirrored = (edges ++ edges.map(_.swap)).distinct
+    assert(ranksOf(mirrored, 3, parts = 1) == ranksOf(mirrored, 3, parts = 13),
+      "rank vector moved with partition count")
+  }
+}
