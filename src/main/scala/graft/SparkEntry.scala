@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
-import graft.operators.{AsofJoin, Bm25, Fusion, Graph, IvfIndex, KnnSearch, Mixer, NearDup, PostRetrieval, Pq, RagPipeline, RangeJoin, Rerank, Sketches, SkewJoin, SnapshotDiff}
+import graft.operators.{AsofJoin, Bm25, Fusion, Graph, IvfIndex, KnnSearch, Mixer, NearDup, PostRetrieval, Pq, RagPipeline, RangeJoin, Rerank, Sampler, Sketches, SkewJoin, SnapshotDiff}
 import graft.plans.VectorExpressions
 import graft.sources.{MarkdownIngest, Multimodal}
 
@@ -1763,6 +1763,22 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
           sum(col("lag_s")).as("lag_sum_s"),
           min(col("lag_s")).as("min_lag_s"))
         .orderBy(col("user_id"))
+    }),
+
+    "q120_weighted_sample" -> ((s, dir) => {
+      // Deterministic token-budget sampling — draw ~200 slots across
+      // the corpus with probability exactly proportional to document
+      // length, no RNG: [[graft.operators.Sampler.systematicWeighted]]
+      // walks the cumulative n_chars line and keeps rows whose weight
+      // interval covers one of the 200 evenly-spaced thresholds
+      // (multiplicity = slots covered). Pure long arithmetic, so the
+      // DuckDB window-cumsum replay lands on the same rows; the Spark
+      // side never builds a single-partition window — range partition,
+      // per-partition cumsum, partition-count-sized offset collect.
+      val docs = t(s, dir, "documents").filter(col("n_chars") >= 1)
+      Sampler.systematicWeighted(docs, "doc_id", "n_chars", 200)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("slots"))
+        .orderBy(col("doc_id"))
     }),
 
     "q118_snapshot_diff" -> ((s, dir) => {
@@ -4282,6 +4298,21 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
          SELECT mx.doc_id, nt.n_doc_tokens, sum(mx.m)::BIGINT AS maxsim
          FROM mx JOIN nt ON mx.doc_id = nt.doc_id
          GROUP BY 1, 2 ORDER BY maxsim DESC, mx.doc_id LIMIT 20""",
+
+    // q120: one window cumsum ORDER BY the unique doc_id replays the
+    // two-phase Spark cumsum exactly (long IntegralDivide thresholds).
+    "q120_weighted_sample" ->
+      raw"""WITH c AS (
+           SELECT doc_id, lang, n_chars,
+             sum(n_chars) OVER (ORDER BY doc_id)::BIGINT AS cum
+           FROM documents WHERE n_chars >= 1),
+         tot AS (SELECT max(cum)::BIGINT AS w FROM c)
+         SELECT doc_id, lang, n_chars,
+           ((cum * 200) // w
+             - ((cum - n_chars) * 200) // w)::BIGINT AS slots
+         FROM c, tot
+         WHERE (cum * 200) // w > ((cum - n_chars) * 200) // w
+         ORDER BY doc_id""",
 
     // q118: both engines construct the identical v2 from md5 buckets,
     // then the diff is a full-outer join comparing fingerprints —
