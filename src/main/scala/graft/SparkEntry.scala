@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
-import graft.operators.{AsofJoin, Bm25, Fusion, Graph, IvfIndex, KnnSearch, Mixer, NearDup, PostRetrieval, Pq, RagPipeline, RangeJoin, Rerank, Sampler, Sketches, SkewJoin, SnapshotDiff}
+import graft.operators.{AsofJoin, Bm25, Fusion, Graph, IvfIndex, KnnSearch, Mixer, NearDup, PostRetrieval, Pq, RagPipeline, RangeJoin, Rerank, Sampler, Sketches, SkewJoin, SnapshotDiff, TimeSeries}
 import graft.plans.VectorExpressions
 import graft.sources.{MarkdownIngest, Multimodal}
 
@@ -1762,6 +1762,31 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
         .agg(count(lit(1)).as("n_pairs"),
           sum(col("lag_s")).as("lag_sum_s"),
           min(col("lag_s")).as("min_lag_s"))
+        .orderBy(col("user_id"))
+    }),
+
+    "q121_ewma" -> ((s, dir) => {
+      // Per-user EWMA of purchase values — the recurrence a window
+      // cannot express (each output depends on the previous OUTPUT):
+      // [[graft.operators.TimeSeries.ewmaLast]] runs it as a
+      // secondary-sort fold — ONE shuffle on user_id, sort within
+      // partitions, O(1) state per user, no group ever materialized.
+      // alpha = 0.25 is an exact binary fraction, so the fold
+      // `e + (x − e)·α` is a fixed chain of correctly-rounded IEEE
+      // ops and DuckDB's recursive-CTE replay of the same chain lands
+      // on the same bits; the output rounds half-up at 9 dp in the
+      // repo's floor form only to survive the harness's text round.
+      val ev = t(s, dir, "events")
+        .filter(col("event_type") === "purchase" && col("value").isNotNull)
+      TimeSeries.ewmaLast(
+          ev.select(col("user_id"), col("ts"), col("event_id"),
+            col("value")),
+          keyCols = Seq("user_id"),
+          orderCols = Seq("ts", "event_id"),
+          valueCol = "value", alpha = 0.25)
+        .filter(col("n_points") >= 5)
+        .select(col("user_id"), col("n_points"),
+          KnnSearch.roundHalfUpCol(col("ewma"), 9).as("ewma"))
         .orderBy(col("user_id"))
     }),
 
@@ -4298,6 +4323,28 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
          SELECT mx.doc_id, nt.n_doc_tokens, sum(mx.m)::BIGINT AS maxsim
          FROM mx JOIN nt ON mx.doc_id = nt.doc_id
          GROUP BY 1, 2 ORDER BY maxsim DESC, mx.doc_id LIMIT 20""",
+
+    // q121: the same recurrence chain, step by step, as a recursive
+    // CTE — alpha 0.25 cast to DOUBLE so both engines multiply the
+    // same exact binary fraction; the rn-walk order is the fold order.
+    "q121_ewma" ->
+      raw"""WITH RECURSIVE e AS (
+           SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n
+           FROM events
+           WHERE event_type = 'purchase' AND value IS NOT NULL),
+         r(user_id, rn, n, ewma) AS (
+           SELECT user_id, rn, n, value FROM e WHERE rn = 1
+           UNION ALL
+           SELECT e2.user_id, e2.rn, e2.n,
+             r.ewma + (e2.value - r.ewma) * 0.25::DOUBLE
+           FROM r JOIN e e2
+             ON e2.user_id = r.user_id AND e2.rn = r.rn + 1)
+         SELECT user_id, n::BIGINT AS n_points,
+           floor(ewma * 1000000000.0 + 0.5) / 1000000000.0 AS ewma
+         FROM r WHERE rn = n AND n >= 5 ORDER BY user_id""",
 
     // q120: one window cumsum ORDER BY the unique doc_id replays the
     // two-phase Spark cumsum exactly (long IntegralDivide thresholds).
