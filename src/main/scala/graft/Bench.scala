@@ -55,10 +55,13 @@ object Bench {
       System.err.println(s"[bench] IVF warm-up failed: ${e.getMessage}")
     }
 
+    // optional local-iteration filter (comma-separated name prefixes);
+    // the driver sets no env and benches everything
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSeq)
     val times = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try {
+      if (only.forall(_.exists(name.startsWith))) try {
         materialize(fn(spark, sfDir)) // warm-up, untimed
         def timed(): Double = {
           val t0 = System.nanoTime()

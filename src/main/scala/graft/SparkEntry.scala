@@ -1765,6 +1765,46 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
         .orderBy(col("user_id"))
     }),
 
+    "q122_anomaly" -> ((s, dir) => {
+      // Rate-anomaly detection over the event stream: 10-minute bins
+      // per type (gap-filled — a silent lull is data, not absence),
+      // flagged where the count exceeds the trailing 12-hour mean by
+      // 3σ. The entire test is INTEGER arithmetic: with trailing
+      // sums S = Σn, Q = Σn² over w bins, "x > mean + 3σ" rewrites to
+      // `w·x > S  AND  (w·x − S)² > 9·(w·Q − S²)` — no division, no
+      // sqrt, no doubles, so both engines compare the same longs.
+      // (Bound: per-bin counts must stay under ~2·10⁸ for S² to fit a
+      // long — at 100 TB that means sizing bins so no bin exceeds it,
+      // the same discipline as any counter width.) Scale shape: one
+      // corpus aggregation to bins, then windows over SPINE rows.
+      val ev = t(s, dir, "events")
+      val sec = col("ts").cast("long")
+      val binW = 600L
+      val bins = ev
+        .select(col("event_type"), (sec - (sec % lit(binW))).as("bin_start"))
+        .groupBy(col("event_type"), col("bin_start"))
+        .agg(count(lit(1)).as("n"))
+      val spine = bins.groupBy(col("event_type"))
+        .agg(min(col("bin_start")).as("lo"), max(col("bin_start")).as("hi"))
+        .select(col("event_type"),
+          explode(sequence(col("lo"), col("hi"), lit(binW))).as("bin_start"))
+      val filled = spine.join(bins, Seq("event_type", "bin_start"), "left")
+        .withColumn("n", coalesce(col("n"), lit(0L)))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("bin_start"))
+        .rowsBetween(-72, -1)
+      filled
+        .withColumn("win_n", count(lit(1)).over(w))
+        .withColumn("s", sum(col("n")).over(w))
+        .withColumn("q", sum(col("n") * col("n")).over(w))
+        .filter(col("win_n") === 72 &&
+          col("n") * 72 > col("s") &&
+          (col("n") * 72 - col("s")) * (col("n") * 72 - col("s")) >
+            (col("q") * 72 - col("s") * col("s")) * 9)
+        .select(col("event_type"), col("bin_start"), col("n"),
+          col("s").as("trailing_sum"))
+        .orderBy(col("event_type"), col("bin_start"))
+    }),
+
     "q121_ewma" -> ((s, dir) => {
       // Per-user EWMA of purchase values — the recurrence a window
       // cannot express (each output depends on the previous OUTPUT):
@@ -1848,15 +1888,26 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
       // possible at all: long sums are order-exact, so the oracle's
       // unrolled SQL iterations land on the same bits. Top 20 by
       // rank with the node id as the deterministic tiebreak.
+      // node ids are LONGS while the iteration runs — supplier k ↦ 2k,
+      // customer k ↦ 2k+1 — because every shuffle in the loop keys on
+      // the node id, and hashing/comparing longs beats concatenated
+      // strings at any scale; the human-readable spelling is applied
+      // to the FINAL 20 rows only
       val li = t(s, dir, "lineitem")
       val ord = t(s, dir, "orders")
       val pairs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .select(concat(lit("s"), col("l_suppkey")).as("a"),
-          concat(lit("c"), col("o_custkey")).as("b"))
+        .select(col("l_suppkey").as("sk"), col("o_custkey").as("ck"))
         .distinct()
-      val edges = pairs.unionByName(
-        pairs.select(col("b").as("a"), col("a").as("b")))
+      val fwd = pairs.select((col("sk") * 2).as("a"),
+        (col("ck") * 2 + 1).as("b"))
+      val edges = fwd.unionByName(
+        fwd.select(col("b").as("a"), col("a").as("b")))
       Graph.pageRankPpb(edges, "a", "b", iterations = 3)
+        .select(
+          when(col("node") % 2 === 0,
+            concat(lit("s"), expr("node div 2")))
+            .otherwise(concat(lit("c"), expr("node div 2"))).as("node"),
+          col("rank_ppb"))
         .orderBy(col("rank_ppb").desc, col("node"))
         .limit(20)
     }),
@@ -4323,6 +4374,37 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
          SELECT mx.doc_id, nt.n_doc_tokens, sum(mx.m)::BIGINT AS maxsim
          FROM mx JOIN nt ON mx.doc_id = nt.doc_id
          GROUP BY 1, 2 ORDER BY maxsim DESC, mx.doc_id LIMIT 20""",
+
+    // q122: the integer 3σ rewrite — both engines compare longs, no
+    // division or sqrt anywhere.
+    "q122_anomaly" ->
+      raw"""WITH bins AS (
+           SELECT event_type,
+             (epoch_us(ts) // 1000000
+               - (epoch_us(ts) // 1000000) % 600) AS bin_start,
+             count(*)::BIGINT AS n
+           FROM events GROUP BY 1, 2),
+         rng AS (SELECT event_type, min(bin_start) AS lo,
+             max(bin_start) AS hi FROM bins GROUP BY 1),
+         spine AS (SELECT event_type,
+             unnest(range(lo, hi + 600, 600)) AS bin_start FROM rng),
+         filled AS (SELECT s.event_type, s.bin_start,
+             coalesce(b.n, 0)::BIGINT AS n
+           FROM spine s LEFT JOIN bins b
+             ON s.event_type = b.event_type
+             AND s.bin_start = b.bin_start),
+         win AS (SELECT event_type, bin_start, n,
+             count(*) OVER tw AS win_n,
+             sum(n) OVER tw::BIGINT AS s,
+             sum(n * n) OVER tw::BIGINT AS q
+           FROM filled
+           WINDOW tw AS (PARTITION BY event_type ORDER BY bin_start
+             ROWS BETWEEN 72 PRECEDING AND 1 PRECEDING))
+         SELECT event_type, bin_start, n, s AS trailing_sum
+         FROM win
+         WHERE win_n = 72 AND n * 72 > s
+           AND (n * 72 - s) * (n * 72 - s) > (q * 72 - s * s) * 9
+         ORDER BY event_type, bin_start""",
 
     // q121: the same recurrence chain, step by step, as a recursive
     // CTE — alpha 0.25 cast to DOUBLE so both engines multiply the

@@ -24,8 +24,11 @@ import org.apache.spark.sql.functions._
   *  - the edge frame is the big side and is never moved by rank
   *    updates — only (node, rank) pairs reshuffle, which is
   *    node-count-sized;
-  *  - lineage grows linearly with iterations; past ~10 hops callers
-  *    should checkpoint the rank frame (documented, not hidden).
+  *  - the loop-invariant frames and each iteration's ranks take an
+  *    eager localCheckpoint, so iteration i never re-derives the edge
+  *    frame or replays iterations 0..i−1 (the quadratic recompute a
+  *    lazy Pregel loop silently pays) and the plan tree stays one hop
+  *    deep no matter the iteration count.
   *
   * Dangling nodes (no out-edges) leak their damped mass rather than
   * redistributing it — the variant is pinned by the spec and the
@@ -42,16 +45,28 @@ object Graph {
       s"iterations must be in [0, 50], got $iterations")
     require(dampPct >= 0 && dampPct <= 100,
       s"dampPct must be a percentage, got $dampPct")
-    val nodes = edges.select(col(srcCol).as("node"))
-      .union(edges.select(col(dstCol).as("node")))
-      .distinct()
     // out-degree folded into the edge list ONCE — the per-iteration
-    // join then touches exactly two frames
+    // join then touches exactly two frames. The loop-invariant frames
+    // and every iteration's ranks go through an EAGER localCheckpoint:
+    // without it, iteration i's lineage re-derives the edge frame
+    // (often a join over corpus tables) i times over — the
+    // quadratic-recompute trap every Pregel-style loop on lazy frames
+    // falls into — and the plan tree deepens with every hop.
+    // localCheckpoint (not persist) because it TRUNCATES lineage and
+    // is invisible to the CacheManager, so repeated runs pay their own
+    // compute instead of silently replaying another run's cache; the
+    // executor-loss durability tradeoff is the standard one iterative
+    // graph engines make (GraphX keeps Pregel state the same way).
     val deg = edges.groupBy(col(srcCol).as("__src"))
       .agg(count(lit(1)).as("__outdeg"))
     val degEdges = edges
       .select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
       .join(deg, "__src")
+      .localCheckpoint()
+    val nodes = degEdges.select(col("__src").as("node"))
+      .union(degEdges.select(col("__dst").as("node")))
+      .distinct()
+      .localCheckpoint()
     val basePpb = (100L - dampPct) * 10000000L
     var ranks = nodes.withColumn("rank_ppb", lit(1000000000L))
     for (_ <- 0 until iterations) {
@@ -63,6 +78,7 @@ object Graph {
       ranks = nodes.join(inMass, Seq("node"), "left")
         .select(col("node"),
           (lit(basePpb) + coalesce(col("__m"), lit(0L))).as("rank_ppb"))
+        .localCheckpoint()
     }
     ranks
   }
