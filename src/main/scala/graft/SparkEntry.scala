@@ -1765,6 +1765,45 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
         .orderBy(col("user_id"))
     }),
 
+    "q123_event_paths" -> ((s, dir) => {
+      // Session path analysis — the "what do users DO first" report:
+      // batch sessionization (30-min inactivity gap via lag + running
+      // marker sum, the standard window pair), then each session's
+      // first three event types as a '>' -joined path string and the
+      // top-15 path frequencies. The path is assembled from three
+      // FIXED conditional-max slots, not collect_list — an unordered
+      // list agg would be layout-dependent, and an array cell can't
+      // cross the driver's comparator anyway. One user-keyed shuffle
+      // serves both windows (same partitioning); everything after the
+      // session frame is path-cardinality-sized.
+      val ev = t(s, dir, "events")
+      val sec = col("ts").cast("long")
+      val wU = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val sess = ev
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("prev", lag(sec, 1).over(wU))
+        .withColumn("newsess",
+          when(col("prev").isNull || sec - col("prev") > 1800L, 1L)
+            .otherwise(0L))
+        .withColumn("sid", sum(col("newsess")).over(
+          wU.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val wS = Window.partitionBy(col("user_id"), col("sid"))
+        .orderBy(col("ts"), col("event_id"))
+      sess.withColumn("rn", row_number().over(wS))
+        .filter(col("rn") <= 3)
+        .groupBy(col("user_id"), col("sid"))
+        .agg(
+          max(when(col("rn") === 1, col("event_type"))).as("e1"),
+          max(when(col("rn") === 2, col("event_type"))).as("e2"),
+          max(when(col("rn") === 3, col("event_type"))).as("e3"))
+        .select(concat_ws(">", col("e1"), col("e2"), col("e3")).as("path"))
+        .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+        .orderBy(col("n_sessions").desc, col("path"))
+        .limit(15)
+    }),
+
     "q122_anomaly" -> ((s, dir) => {
       // Rate-anomaly detection over the event stream: 10-minute bins
       // per type (gap-filled — a silent lull is data, not absence),
@@ -4374,6 +4413,39 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
          SELECT mx.doc_id, nt.n_doc_tokens, sum(mx.m)::BIGINT AS maxsim
          FROM mx JOIN nt ON mx.doc_id = nt.doc_id
          GROUP BY 1, 2 ORDER BY maxsim DESC, mx.doc_id LIMIT 20""",
+
+    // q123: identical lag/marker-sum sessionization and fixed
+    // conditional-max path slots; epoch seconds keep the gap integer.
+    "q123_event_paths" ->
+      raw"""WITH e AS (
+           SELECT user_id, ts, event_id, event_type,
+             epoch_us(ts) // 1000000 AS sec
+           FROM events),
+         m AS (
+           SELECT *,
+             CASE WHEN lag(sec) OVER w IS NULL
+                 OR sec - lag(sec) OVER w > 1800 THEN 1 ELSE 0
+               END AS newsess
+           FROM e
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         sess AS (
+           SELECT *, sum(newsess) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+           FROM m),
+         rk AS (
+           SELECT *, row_number() OVER (PARTITION BY user_id, sid
+             ORDER BY ts, event_id) AS rn
+           FROM sess),
+         p AS (
+           SELECT user_id, sid,
+             concat_ws('>',
+               max(CASE WHEN rn = 1 THEN event_type END),
+               max(CASE WHEN rn = 2 THEN event_type END),
+               max(CASE WHEN rn = 3 THEN event_type END)) AS path
+           FROM rk WHERE rn <= 3 GROUP BY 1, 2)
+         SELECT path, count(*)::BIGINT AS n_sessions
+         FROM p GROUP BY 1
+         ORDER BY n_sessions DESC, path LIMIT 15""",
 
     // q122: the integer 3σ rewrite — both engines compare longs, no
     // division or sqrt anywhere.

@@ -147,6 +147,33 @@ class SketchesSpec extends SparkSpec {
     assert(p1.except(p7).isEmpty && p7.except(p1).isEmpty)
   }
 
+  test("histogram runs as STREAMING state: complete-mode snapshot == batch sketch") {
+    // the sum-merge law makes the bucket counts a valid streaming
+    // aggregation — per-(group, bucket) state is ONE long
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, Long)]
+    val query = Sketches
+      .histSketch(input.toDF().toDF("g", "v"), col("v"), Seq("g"), 64L)
+      .writeStream.format("memory").queryName("hist_buckets")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+      .start()
+    try {
+      input.addData((0 until 300).map(i => ("g", (i * 7 % 997).toLong)): _*)
+      query.processAllAvailable()
+      input.addData((0 until 200).map(i => ("g", (i * 13 % 997).toLong)): _*)
+      query.processAllAvailable()
+      val streamed = spark.table("hist_buckets")
+      val batch = Sketches.histSketch(
+        ((0 until 300).map(i => ("g", (i * 7 % 997).toLong)) ++
+          (0 until 200).map(i => ("g", (i * 13 % 997).toLong))).toDF("g", "v"),
+        col("v"), Seq("g"), 64L)
+      assert(streamed.except(batch).isEmpty &&
+        batch.except(streamed).isEmpty,
+        "streaming bucket snapshot diverged from the batch sketch")
+    } finally query.stop()
+  }
+
   test("histogram quantile: lower-edge estimate brackets the exact discrete percentile within one width") {
     val vals = (0 until 5000).map(i => ("g", (i * 37 % 10007).toLong))
     val df = vals.toDF("g", "v")
