@@ -1823,6 +1823,7 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
         .select(col("event_type"), (sec - (sec % lit(binW))).as("bin_start"))
         .groupBy(col("event_type"), col("bin_start"))
         .agg(count(lit(1)).as("n"))
+        .localCheckpoint() // one corpus scan; spine + join replay bins
       val spine = bins.groupBy(col("event_type"))
         .agg(min(col("bin_start")).as("lo"), max(col("bin_start")).as("hi"))
         .select(col("event_type"),
@@ -1959,9 +1960,10 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
       // distinct-scan of the corpus just to learn its own schema, and
       // a schema that depends on data content breaks every downstream
       // consumer the day a new language appears. With fixed values the
-      // whole pivot compiles to ONE hash aggregate with map-side
-      // combine (count per (source, lang) fused into the row layout) —
-      // no per-column scan, no second shuffle.
+      // pivot plans as TWO map-side-combined aggregates — (source,
+      // lang) pair counts, then pivotfirst over the pairs — so the
+      // only corpus-sized pass is the first partial aggregate; both
+      // exchanges carry at most sources×langs rows.
       val langs = Seq("de", "en", "es", "fr", "zh")
       t(s, dir, "documents")
         .groupBy(col("source"))
@@ -1993,6 +1995,11 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
         .groupBy(col("event_type"), col("minute_start"))
         .agg(count(lit(1)).as("n_events"),
           max(col("event_id")).as("max_eid"))
+        // materialized ONCE: both the spine extent and the join read
+        // this frame, and without a checkpoint each side re-derives
+        // the bin aggregation from the corpus — two 100 TB scans
+        // where one (plus a time-range-sized replay) will do
+        .localCheckpoint()
       val spine = bins.groupBy(col("event_type"))
         .agg(min(col("minute_start")).as("lo"),
           max(col("minute_start")).as("hi"))
