@@ -296,6 +296,99 @@ object EventStreams {
     * watches this directory for markers appearing mid-compact. */
   private[graft] val IngestLogDir = "_ingest_log"
 
+  case class FlagRow(event_type: String, bin_start: Long, n: Long,
+      trailing_sum: Long)
+
+  /** per-type monitor state: open (not-yet-final) bin counts, the ring
+    * of the last `trailing` FINALIZED bin counts (oldest first), and
+    * the next expected bin start (−1 until the first bin finalizes) */
+  case class AnomalyState(pending: Map[Long, Long], ring: Seq[Long],
+      nextBin: Long)
+
+  /** Streaming rate-anomaly monitor — the streaming face of the q122
+    * batch query: per event type, counts land in event-time bins; a bin
+    * FINALIZES when the watermark passes its end; finalized bins fold
+    * into a ring of the last `trailing` counts (missing bins synthesize
+    * as zeros — a silent lull is data) and a bin is flagged by the
+    * same integer 3σ test q122 gates
+    * (`w·x > S && (w·x−S)² > 9·(w·Q−S²)` — no doubles anywhere).
+    *
+    * Mechanics: `flatMapGroupsWithState` keyed on event_type; binning
+    * happens INSIDE the state handler because Structured Streaming
+    * does not allow another stateful op after a streaming aggregation.
+    * The watermark upstream bounds `pending` (a bin stays open only
+    * while the watermark can still admit its events) and drops late
+    * rows; the ring is a fixed `trailing` longs; a gap wider than the
+    * ring short-circuits to an all-zero ring, so state size and
+    * per-batch work are bounded no matter how long the stream idles.
+    * Output depends only on the finalized-bin sequence (pending bins
+    * are folded in bin order), never on trigger boundaries.
+    *
+    * Batch note: on a batch frame the watermark is a no-op (always 0),
+    * so nothing ever finalizes and this emits no rows — the batch face
+    * of this monitor IS q122; tested against it differentially. */
+  def anomalyFlags(
+      events: Dataset[Event],
+      binSecs: Long = 600L,
+      trailing: Int = 72,
+      watermark: String = "10 minutes"): Dataset[FlagRow] = {
+    import events.sparkSession.implicits._
+    require(binSecs >= 1 && trailing >= 1,
+      s"binSecs/trailing must be positive, got $binSecs/$trailing")
+    val w = trailing.toLong
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[AnomalyState, FlagRow](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) {
+        (typ: String, rows: Iterator[Event], state: GroupState[AnomalyState]) =>
+          var st = state.getOption
+            .getOrElse(AnomalyState(Map.empty, Vector.empty, -1L))
+          rows.foreach { e =>
+            val sec = Math.floorDiv(e.ts.getTime, 1000L)
+            val b = sec - Math.floorMod(sec, binSecs)
+            // bins at or past nextBin are still open; earlier ones
+            // already finalized (the watermark should have dropped
+            // such rows upstream — ignoring them keeps the fold pure)
+            if (st.nextBin < 0 || b >= st.nextBin)
+              st = st.copy(pending =
+                st.pending + (b -> (st.pending.getOrElse(b, 0L) + 1L)))
+          }
+          // batch execution has no watermark and THROWS here (rather
+          // than returning 0); treat it as watermark 0 — nothing ever
+          // finalizes, which is exactly the documented batch behavior
+          val wmSec = scala.util.Try(state.getCurrentWatermarkMs())
+            .getOrElse(0L) / 1000L
+          val (done, keep) = st.pending.partition {
+            case (b, _) => b + binSecs <= wmSec
+          }
+          val out = scala.collection.mutable.ListBuffer[FlagRow]()
+          var ring = st.ring
+          var next = st.nextBin
+          def push(c: Long): Unit = {
+            ring = (if (ring.size >= trailing) ring.drop(1) else ring) :+ c
+          }
+          done.toSeq.sortBy(_._1).foreach { case (b, n) =>
+            if (next >= 0 && b > next) {
+              val gapBins = (b - next) / binSecs
+              if (gapBins >= trailing) ring = Vector.fill(trailing)(0L)
+              else (0L until gapBins).foreach(_ => push(0L))
+            }
+            if (ring.size == trailing) {
+              val s = ring.sum
+              val q = ring.iterator.map(x => x * x).sum
+              if (n * w > s && (n * w - s) * (n * w - s) > (q * w - s * s) * 9)
+                out += FlagRow(typ, b, n, s)
+            }
+            push(n)
+            next = b + binSecs
+          }
+          state.update(AnomalyState(keep, ring, next))
+          out.iterator
+      }
+  }
+
   /** Stateful sessionization with the GroupState API
     * (`mapGroupsWithState`) — the Spark-native analogue of the
     * reference's stateful stream buffer (ST2, rag_graph.py:451-477),

@@ -608,4 +608,53 @@ class EventStreamsSpec extends SparkSpec {
       .orderBy("window_start").collect()
     assert(out.length == 2 && out.forall(_.getLong(2) == 1L))
   }
+
+  test("anomalyFlags: bins finalize at the watermark, gaps synthesize zeros, and only q122's integer 3-sigma test fires") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def tsec(s: Long): Timestamp = new Timestamp(1704067200000L + s * 1000)
+    var id = 0L
+    def ev(s: Long, typ: String = "click"): Event = {
+      id += 1; Event(id, tsec(s), 1, typ, 1.0)
+    }
+    // bins (60 s, trailing ring of 4): counts 1,2,1,2,4,·,·,2,7 — the
+    // hand-checked expectation: m4 flags on ring [1,2,1,2]
+    // ((16−6)²=100 > 9·(40−36)=36), m7 does NOT on [2,4,0,0]
+    // (4 < 396), m8 flags on [4,0,0,2] ((28−6)²=484 > 396); the
+    // first four bins can't flag (ring not yet full)
+    val input = MemoryStream[Event]
+    val query = EventStreams
+      .anomalyFlags(input.toDS(), binSecs = 60L, trailing = 4,
+        watermark = "2 minutes")
+      .writeStream.format("memory").queryName("anomaly_flags")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        Seq(ev(5), ev(65), ev(70), ev(125), ev(185), ev(190),
+          ev(245), ev(246), ev(247), ev(250)): _*)
+      query.processAllAvailable()
+      input.addData(
+        Seq(ev(425), ev(430),
+          ev(485), ev(486), ev(487), ev(488), ev(489), ev(490),
+          ev(491)): _*)
+      query.processAllAvailable()
+      // watermark advances batch-by-batch; sentinels push it past m8
+      input.addData(ev(1800)); query.processAllAvailable()
+      input.addData(ev(2400)); query.processAllAvailable()
+      val flags = spark.table("anomaly_flags")
+        .orderBy("bin_start")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSeq
+      assert(flags == Seq(
+        ("click", 1704067200L + 240L, 4L, 6L),
+        ("click", 1704067200L + 480L, 7L, 6L)), flags.toString)
+    } finally query.stop()
+  }
+
+  test("anomalyFlags on a batch frame emits nothing (watermark is 0; the batch face is q122)") {
+    import spark.implicits._
+    val batch = (0 until 50).map(i =>
+      Event(i.toLong, ts(i.toLong), 1, "click", 1.0)).toDS()
+    assert(EventStreams.anomalyFlags(batch, 60L, 4).isEmpty)
+  }
 }
