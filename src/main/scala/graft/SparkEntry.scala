@@ -1765,6 +1765,74 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
         .orderBy(col("user_id"))
     }),
 
+    "q124_range_boundaries" -> ((s, dir) => {
+      // Equi-depth range partitioning from the histogram sketch — the
+      // primitive behind every 100 TB global sort/range-write: pick 7
+      // boundaries for an 8-way split of n_chars from SKETCH rows
+      // (Spark's own RangePartitioner samples with an RNG; the sketch
+      // form is deterministic AND mergeable across corpora), then
+      // show the achieved balance by bucketing the corpus against the
+      // broadcast boundaries. Boundary choice and bucket assignment
+      // are all long arithmetic; the per-bucket profile is exact.
+      val docs = t(s, dir, "documents")
+      val width = 64L
+      val nSplit = 8
+      val bounds = Sketches.histQuantiles(
+        Sketches.histSketch(docs, col("n_chars"), Seq.empty, width),
+        Seq.empty, width,
+        (1 until nSplit).map(i => i * 1000000L / nSplit))
+      // bucket(doc) = number of boundaries strictly below n_chars
+      val b = broadcast(bounds.select(col("est")))
+      docs.join(b, col("n_chars") > col("est"), "left")
+        .groupBy(col("doc_id"), col("n_chars"))
+        .agg(count(col("est")).as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_chars")).as("lo_chars"),
+          max(col("n_chars")).as("hi_chars"))
+        .orderBy(col("bucket"))
+    }),
+
+    "q125_regional_revenue" -> ((s, dir) => {
+      // The TPC-H Q5 shape — revenue per nation where customer and
+      // supplier share the nation, one region, one order year: the
+      // canonical star-join pipeline. Join ORDER is the scale story:
+      // region→nation (25 rows) broadcasts into customer and supplier;
+      // the fact chain shuffles lineitem once on orderkey against the
+      // date-filtered orders, and the c_nationkey = s_nationkey
+      // equality rides the existing joins as a residual filter — no
+      // extra shuffle. Revenue rounds AFTER the double sum (2 dp),
+      // the same discipline as q10.
+      val nr = t(s, dir, "nation")
+        .join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .select(col("n_nationkey"), col("n_name"))
+      val cust = t(s, dir, "customer")
+        .join(broadcast(nr), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_nationkey"))
+      val supp = t(s, dir, "supplier")
+        .join(broadcast(nr.select(col("n_nationkey").as("sn_key"))),
+          col("s_nationkey") === col("sn_key"))
+        .select(col("s_suppkey"), col("s_nationkey"))
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1997-01-01"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("rev"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(supp, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nr), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("rev")), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
     "q123_event_paths" -> ((s, dir) => {
       // Session path analysis — the "what do users DO first" report:
       // batch sessionization (30-min inactivity gap via lag + running
@@ -4420,6 +4488,53 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
          SELECT mx.doc_id, nt.n_doc_tokens, sum(mx.m)::BIGINT AS maxsim
          FROM mx JOIN nt ON mx.doc_id = nt.doc_id
          GROUP BY 1, 2 ORDER BY maxsim DESC, mx.doc_id LIMIT 20""",
+
+    // q124: q115's sketch CTEs at the 8-way split ppms, then the
+    // bucket assignment is a left join counting boundaries below.
+    "q124_range_boundaries" ->
+      raw"""WITH sk AS (
+           SELECT (n_chars - ((n_chars % 64) + 64) % 64) // 64 AS b,
+             count(*)::BIGINT AS cnt
+           FROM documents GROUP BY 1),
+         cum AS (
+           SELECT b, cnt,
+             sum(cnt) OVER (ORDER BY b)::BIGINT AS cum,
+             sum(cnt) OVER ()::BIGINT AS n
+           FROM sk),
+         q AS (SELECT unnest([125000, 250000, 375000, 500000,
+             625000, 750000, 875000])::BIGINT AS q_ppm),
+         est AS (
+           SELECT q_ppm, (min(b) * 64)::BIGINT AS est
+           FROM cum CROSS JOIN q
+           WHERE cum >= (n * q_ppm + 999999) // 1000000
+           GROUP BY 1),
+         bk AS (
+           SELECT d.doc_id, d.n_chars, count(e.est)::BIGINT AS bucket
+           FROM documents d LEFT JOIN est e ON d.n_chars > e.est
+           GROUP BY 1, 2)
+         SELECT bucket, count(*)::BIGINT AS n_docs,
+           min(n_chars)::BIGINT AS lo_chars,
+           max(n_chars)::BIGINT AS hi_chars
+         FROM bk GROUP BY 1 ORDER BY 1""",
+
+    // q125: the flat SQL spelling of the same star join; revenue
+    // rounds after the sum on both engines (2 dp, q10's discipline).
+    "q125_regional_revenue" ->
+      raw"""SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)
+             AS revenue,
+           count(*)::BIGINT AS n_items
+         FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN supplier ON l_suppkey = s_suppkey
+             AND c_nationkey = s_nationkey
+           JOIN nation ON c_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= '1996-01-01'
+           AND o_orderdate < '1997-01-01'
+         GROUP BY 1 ORDER BY revenue DESC, n_name""",
 
     // q123: identical lag/marker-sum sessionization and fixed
     // conditional-max path slots; epoch seconds keep the gap integer.

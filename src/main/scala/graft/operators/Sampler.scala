@@ -46,9 +46,17 @@ object Sampler {
       .withColumn("__pid", spark_partition_id())
     val wLocal = Window.partitionBy(col("__pid")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // FROZEN once (eager localCheckpoint): the per-partition cumsum is
+    // read by two downstream consumers (the offset collect and the
+    // final join), and re-evaluating it would re-run
+    // repartitionByRange, whose sampled boundaries need not land the
+    // same rows in the same partitions twice — the offsets from one
+    // evaluation would then be applied to the OTHER evaluation's
+    // partition ids (observed as a wrong sample at sf0.1)
     val withCum = parted
       .withColumn("__w", col(weightCol).cast("long"))
       .withColumn("__cum_local", sum(col("__w")).over(wLocal))
+      .localCheckpoint()
     // partition totals: a collect bounded by the partition COUNT (the
     // one driver-side structure this operator owns), never by rows
     val partSums = withCum.groupBy(col("__pid"))
