@@ -178,6 +178,75 @@ class PropertySpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("histogram quantile property: any (values, width, rank) brackets the exact percentile") {
+    import spark.implicits._
+    import graft.operators.Sketches
+    val caseGen = Gen.zip(
+      Gen.listOfN(400, Gen.chooseNum(-5000L, 5000L)),
+      Gen.oneOf(16L, 64L, 250L),
+      Gen.listOfN(3, Gen.chooseNum(1L, 1000000L)))
+    samples(caseGen, 5).foreach { case (vals, width, qs) =>
+      val df = vals.map(("g", _)).toDF("g", "v")
+      val est = Sketches.histQuantiles(
+          Sketches.histSketch(df, col("v"), Seq("g"), width),
+          Seq("g"), width, qs.distinct)
+        .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+      val sorted = vals.sorted
+      qs.distinct.foreach { q =>
+        val r = ((vals.size.toLong * q + 999999L) / 1000000L).toInt
+        val exact = sorted(r - 1)
+        assert(est(q) <= exact && exact < est(q) + width,
+          s"width=$width q=$q: ${est(q)} !~ $exact")
+      }
+    }
+  }
+
+  test("systematic sampler property: every multiplicity is floor-or-ceil of its weight share, sum is exactly k") {
+    import spark.implicits._
+    import graft.operators.Sampler
+    val caseGen = Gen.zip(
+      Gen.listOfN(200, Gen.chooseNum(1L, 500L)),
+      Gen.chooseNum(1, 150))
+    samples(caseGen, 5).foreach { case (ws, k) =>
+      val rows = ws.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      val total = ws.sum
+      val got = Sampler
+        .systematicWeighted(rows.toDF("id", "w"), "id", "w", k)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(got.values.sum == k, s"k=$k: slots sum ${got.values.sum}")
+      rows.foreach { case (id, w) =>
+        val share = w.toDouble * k / total
+        val slots = got.getOrElse(id, 0L).toDouble
+        assert(slots == math.floor(share) || slots == math.ceil(share),
+          s"id=$id w=$w k=$k: $slots slots for share $share")
+      }
+    }
+  }
+
+  test("ewma property: random series fold to the sequential reference bit-for-bit") {
+    import spark.implicits._
+    import graft.operators.TimeSeries
+    val caseGen = Gen.listOfN(60,
+      Gen.zip(Gen.chooseNum(0L, 5L), Gen.chooseNum(-100.0, 100.0)))
+    samples(caseGen, 4).foreach { series =>
+      val rows = series.zipWithIndex.map { case ((u, x), i) =>
+        (u, i.toLong, x)
+      }
+      val want = rows.groupBy(_._1).map { case (u, rs) =>
+        val xs = rs.sortBy(_._2).map(_._3)
+        u -> xs.tail.foldLeft(xs.head)((e, x) => e + (x - e) * 0.125)
+      }
+      val got = TimeSeries
+        .ewmaLast(rows.toDF("u", "i", "x").repartition(7),
+          Seq("u"), Seq("i"), "x", 0.125)
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      want.foreach { case (u, e) =>
+        assert(java.lang.Double.doubleToRawLongBits(got(u)) ==
+          java.lang.Double.doubleToRawLongBits(e), s"u=$u: ${got(u)} vs $e")
+      }
+    }
+  }
+
   test("shingle guards: short/empty/null inputs yield empty arrays") {
     import spark.implicits._
     import graft.functions.TextFunctions._
