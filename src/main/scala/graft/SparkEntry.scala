@@ -1765,6 +1765,37 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
         .orderBy(col("user_id"))
     }),
 
+    "q126_decayed_popularity" -> ((s, dir) => {
+      // Exponential time-decay popularity (half-life 1 day, 20-day
+      // horizon) — the trending metric, computed EXACTLY: weight
+      // 2^(−days) becomes an integer shift `cents << (20 − days)`, so
+      // the per-type score is a plain long sum (order-free, replayed
+      // bit-for-bit) instead of a pow()-of-double sum whose value
+      // depends on partition order. Overflow bound documented by the
+      // guard: Σ cents·2^20 must fit a long — at 49k max cents that
+      // admits ~10^8 rows/group/day-horizon; wider corpora size the
+      // shift down, same discipline as q122's counter bound. The
+      // reference instant is the corpus max ts (one scalar broadcast).
+      val ev = t(s, dir, "events").filter(col("value").isNotNull)
+      val sec = col("ts").cast("long")
+      val refF = ev.agg(max(sec).as("ref"))
+      val scored = ev.crossJoin(broadcast(refF))
+        .withColumn("days",
+          expr("(ref - cast(ts as long)) div 86400"))
+        .filter(col("days") < 20)
+        .withColumn("cents", round(col("value") * 100).cast("long"))
+        .withColumn("term", expr(
+          "cents * shiftleft(cast(1 as bigint), cast(20 - days as int))"))
+      scored.groupBy(col("event_type"))
+        .agg(sum(col("term")).as("score_scaled"),
+          count(lit(1)).as("n_events"))
+        .select(col("event_type"), col("score_scaled"),
+          (col("score_scaled").cast("double") / lit(1048576.0) /
+            lit(100.0)).as("decayed_value"),
+          col("n_events"))
+        .orderBy(col("score_scaled").desc, col("event_type"))
+    }),
+
     "q124_range_boundaries" -> ((s, dir) => {
       // Equi-depth range partitioning from the histogram sketch — the
       // primitive behind every 100 TB global sort/range-write: pick 7
@@ -4488,6 +4519,26 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
          SELECT mx.doc_id, nt.n_doc_tokens, sum(mx.m)::BIGINT AS maxsim
          FROM mx JOIN nt ON mx.doc_id = nt.doc_id
          GROUP BY 1, 2 ORDER BY maxsim DESC, mx.doc_id LIMIT 20""",
+
+    // q126: the shift-weighted long sum replays exactly; the display
+    // double divides the same long by the same powers on both engines.
+    "q126_decayed_popularity" ->
+      raw"""WITH ref AS (
+           SELECT max(epoch_us(ts) // 1000000) AS ref
+           FROM events WHERE value IS NOT NULL),
+         sc AS (
+           SELECT event_type,
+             round(value * 100)::BIGINT
+               * (1::BIGINT << (20 - (ref - epoch_us(ts) // 1000000)
+                   // 86400)::INT) AS term
+           FROM events, ref
+           WHERE value IS NOT NULL
+             AND (ref - epoch_us(ts) // 1000000) // 86400 < 20)
+         SELECT event_type, sum(term)::BIGINT AS score_scaled,
+           (sum(term)::BIGINT)::DOUBLE / 1048576.0 / 100.0
+             AS decayed_value,
+           count(*)::BIGINT AS n_events
+         FROM sc GROUP BY 1 ORDER BY score_scaled DESC, event_type""",
 
     // q124: q115's sketch CTEs at the 8-way split ppms, then the
     // bucket assignment is a left join counting boundaries below.
