@@ -1765,6 +1765,39 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
         .orderBy(col("user_id"))
     }),
 
+    "q127_approx_distinct" -> ((s, dir) => {
+      // The count(DISTINCT) → HLL optimizer rewrite BEHIND the gate:
+      // a vanilla `count_distinct` aggregation, transformed by the
+      // opt-in [[graft.plans.ApproxDistinctRewrite]] rule into the
+      // register pipeline (shuffle ≤ groups·m register rows instead
+      // of every distinct pair). Scoped to a FORKED session so the
+      // approximation flag cannot leak into any other query's plan —
+      // the returned frame carries its session, so Verify/Bench
+      // execute it under the fork with the rule and flag intact. The
+      // truth column is spelled distinct-then-count — structurally
+      // outside the rule's shape no matter what the optimizer prunes
+      // (a two-aggregate guard column is NOT enough: column pruning
+      // deletes it and the collapsed frame matches the rule again —
+      // caught by the sf sweep). Oracle replays the q101 register
+      // arithmetic at m=64 plus the rule's half-up long rounding.
+      val s2 = s.newSession()
+      if (!s2.experimental.extraOptimizations
+          .exists(_.isInstanceOf[graft.plans.ApproxDistinctRewrite]))
+        s2.experimental.extraOptimizations =
+          s2.experimental.extraOptimizations :+
+            graft.plans.ApproxDistinctRewrite(s2)
+      s2.conf.set(graft.plans.ApproxDistinctRewrite.MConf, "64")
+      s2.conf.set("spark.sql.shuffle.partitions",
+        s.conf.get("spark.sql.shuffle.partitions"))
+      val docs = t(s2, dir, "documents")
+      val approx = docs.groupBy(col("lang"))
+        .agg(count_distinct(col("doc_id")).as("approx_distinct"))
+      val truth = docs.select(col("lang"), col("doc_id")).distinct()
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("true_distinct"))
+      approx.join(truth, Seq("lang")).orderBy(col("lang"))
+    }),
+
     "q126_decayed_popularity" -> ((s, dir) => {
       // Exponential time-decay popularity (half-life 1 day, 20-day
       // horizon) — the trending metric, computed EXACTLY: weight
@@ -4519,6 +4552,34 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
          SELECT mx.doc_id, nt.n_doc_tokens, sum(mx.m)::BIGINT AS maxsim
          FROM mx JOIN nt ON mx.doc_id = nt.doc_id
          GROUP BY 1, 2 ORDER BY maxsim DESC, mx.doc_id LIMIT 20""",
+
+    // q127: q101's register CTEs at m=64 + the rule's half-up long
+    // rounding; the truth column is DuckDB's exact distinct.
+    "q127_approx_distinct" ->
+      raw"""WITH h AS (
+           SELECT lang,
+             ('0x' || substr(md5(doc_id::VARCHAR), 1, 2))::BIGINT % 64
+               AS r,
+             ('0x' || substr(md5(doc_id::VARCHAR), 3, 8))::BIGINT AS w
+           FROM documents),
+         reg AS (
+           SELECT lang, r,
+             max(CASE WHEN w = 0 THEN 33
+                 ELSE 33 - length(bin(w)) END)::BIGINT AS mreg
+           FROM h GROUP BY 1, 2),
+         agg AS (
+           SELECT lang, count(*)::BIGINT AS np,
+             sum(1.0 / ((1::BIGINT << mreg)::DOUBLE)) AS s
+           FROM reg GROUP BY 1),
+         td AS (SELECT lang, count(DISTINCT doc_id)::BIGINT
+             AS true_distinct
+           FROM documents GROUP BY 1)
+         SELECT agg.lang,
+           floor(0.709 * 4096.0 / ((64 - np)::DOUBLE + s)
+             + 0.5)::BIGINT AS approx_distinct,
+           td.true_distinct
+         FROM agg JOIN td ON agg.lang = td.lang
+         ORDER BY agg.lang""",
 
     // q126: the shift-weighted long sum replays exactly; the display
     // double divides the same long by the same powers on both engines.

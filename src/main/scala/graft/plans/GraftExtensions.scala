@@ -21,5 +21,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // opt-in ANN rewrite: ORDER BY graft_l2sq LIMIT k over an
     // IVF-partitioned table → probe-pruned scan (spark.graft.ivf.nprobe)
     ext.injectOptimizerRule(session => IvfAutoProbe(session))
+    // opt-in approximate-distinct rewrite: count(DISTINCT x) → the HLL
+    // register pipeline (spark.graft.approxDistinct.m)
+    ext.injectOptimizerRule(session => ApproxDistinctRewrite(session))
   }
 }
