@@ -1765,6 +1765,29 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
         .orderBy(col("user_id"))
     }),
 
+    "q128_above_avg_orders" -> ((s, dir) => {
+      // Correlated scalar subqueries through spark.sql — "orders
+      // beating their customer's average" — the decorrelation test:
+      // Catalyst rewrites both correlated aggregates into one
+      // per-customer join (RewriteCorrelatedScalarSubquery), so the
+      // executed plan is the two-phase aggregate + shuffled join a
+      // hand-decorrelated spelling would produce; the oracle runs the
+      // IDENTICAL SQL text in DuckDB. The x > avg comparison is
+      // integer-exact: cents·n > sum_cents — no double division on
+      // either engine, so a borderline order can't flip with
+      // summation order.
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT o_orderpriority, count(*) AS n_above
+        FROM orders o
+        WHERE cast(round(o_totalprice * 100) AS bigint)
+            * (SELECT count(*) FROM orders i
+               WHERE i.o_custkey = o.o_custkey)
+          > (SELECT sum(cast(round(o_totalprice * 100) AS bigint))
+             FROM orders i WHERE i.o_custkey = o.o_custkey)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+    }),
+
     "q127_approx_distinct" -> ((s, dir) => {
       // The count(DISTINCT) → HLL optimizer rewrite BEHIND the gate:
       // a vanilla `count_distinct` aggregation, transformed by the
@@ -4552,6 +4575,19 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
          SELECT mx.doc_id, nt.n_doc_tokens, sum(mx.m)::BIGINT AS maxsim
          FROM mx JOIN nt ON mx.doc_id = nt.doc_id
          GROUP BY 1, 2 ORDER BY maxsim DESC, mx.doc_id LIMIT 20""",
+
+    // q128: the IDENTICAL SQL text — DuckDB evaluates the correlated
+    // subqueries directly, Spark decorrelates them; integer cents
+    // keep the comparison engine-exact.
+    "q128_above_avg_orders" ->
+      raw"""SELECT o_orderpriority, count(*) AS n_above
+         FROM orders o
+         WHERE cast(round(o_totalprice * 100) AS bigint)
+             * (SELECT count(*) FROM orders i
+                WHERE i.o_custkey = o.o_custkey)
+           > (SELECT sum(cast(round(o_totalprice * 100) AS bigint))
+              FROM orders i WHERE i.o_custkey = o.o_custkey)
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
 
     // q127: q101's register CTEs at m=64 + the rule's half-up long
     // rounding; the truth column is DuckDB's exact distinct.
