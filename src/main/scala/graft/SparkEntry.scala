@@ -1765,6 +1765,29 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
         .orderBy(col("user_id"))
     }),
 
+    "q129_revenue_quartiles" -> ((s, dir) => {
+      // Ranking-function breadth in one pass: per-customer revenue
+      // (integer cents, exact) ranked into quartiles (ntile), with
+      // percent_rank and cume_dist — the distribution-position
+      // columns an analytics layer serves. ONE window over a
+      // customer-count-sized frame (the corpus-scale work is the
+      // cents aggregation with map-side combine); the order is total
+      // (cents desc, custkey) so every rank function is
+      // deterministic, and the two double columns are single
+      // divisions of exact integers — identical in any engine.
+      val cents = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(expr("cast(round(o_totalprice * 100) as bigint)"))
+          .as("rev_cents"))
+      val w = Window.orderBy(col("rev_cents").desc, col("o_custkey"))
+      cents
+        .withColumn("quartile", ntile(4).over(w))
+        .withColumn("pct_rank", percent_rank().over(w))
+        .withColumn("cume", cume_dist().over(w))
+        .filter(col("o_custkey") % 100 === 0)
+        .orderBy(col("o_custkey"))
+    }),
+
     "q128_above_avg_orders" -> ((s, dir) => {
       // Correlated scalar subqueries through spark.sql — "orders
       // beating their customer's average" — the decorrelation test:
@@ -4575,6 +4598,24 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
          SELECT mx.doc_id, nt.n_doc_tokens, sum(mx.m)::BIGINT AS maxsim
          FROM mx JOIN nt ON mx.doc_id = nt.doc_id
          GROUP BY 1, 2 ORDER BY maxsim DESC, mx.doc_id LIMIT 20""",
+
+    // q129: same total window order; both doubles are one division
+    // of exact integers ((rank−1)/(n−1), rank/n).
+    "q129_revenue_quartiles" ->
+      raw"""WITH c AS (
+           SELECT o_custkey,
+             sum(cast(round(o_totalprice * 100) AS BIGINT))::BIGINT
+               AS rev_cents
+           FROM orders GROUP BY 1),
+         r AS (
+           SELECT o_custkey, rev_cents,
+             ntile(4) OVER w AS quartile,
+             percent_rank() OVER w AS pct_rank,
+             cume_dist() OVER w AS cume
+           FROM c
+           WINDOW w AS (ORDER BY rev_cents DESC, o_custkey))
+         SELECT o_custkey, rev_cents, quartile, pct_rank, cume
+         FROM r WHERE o_custkey % 100 = 0 ORDER BY o_custkey""",
 
     // q128: the IDENTICAL SQL text — DuckDB evaluates the correlated
     // subqueries directly, Spark decorrelates them; integer cents

@@ -110,6 +110,61 @@ object CorpusStore {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.schema(schema).parquet(path)
 
+  /** Targeted deletion (the right-to-be-forgotten pass) as a
+    * PARTITION-SCOPED rewrite: only the partitions that actually
+    * contain a doomed id are rewritten (survivors re-written minus the
+    * ids, under `partitionOverwriteMode=dynamic`); every other
+    * partition's files are untouched. At 100 TB a delete request
+    * usually names a handful of documents — rewriting the whole corpus
+    * for it is the naive shape this method exists to avoid, and the
+    * file-level blast radius is exactly the affected partition set.
+    *
+    * `ids` is a 1-column frame of doomed id values. The affected
+    * partition codes come from a partition-pruned semi-join collect
+    * (bounded by the PARTITION count, not the corpus); the rewrite
+    * scans only `component_code IN affected` (directory-pruned).
+    * Deletes of ids that don't exist are no-ops. Returns the affected
+    * partition codes (empty = nothing touched). NOT atomic across
+    * partitions — a crash mid-write leaves some partitions rewritten
+    * and others not, which re-running the same delete heals
+    * (idempotent); pair with a transactional table format when
+    * multi-partition atomicity matters. */
+  def deleteByIds(spark: SparkSession, path: String,
+      ids: DataFrame): Seq[Int] = {
+    require(ids.schema.fields.length == 1,
+      s"ids must be a 1-column frame, got ${ids.schema.simpleString}")
+    val idCol = ids.columns.head
+    val corpus = read(spark, path)
+    val affected = corpus
+      .join(ids.distinct(), corpus("id") === ids(idCol), "left_semi")
+      .select(col("component_code")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    if (affected.nonEmpty) {
+      // materialized BEFORE the write: the rewrite reads the same
+      // path it overwrites, and Spark (rightly) refuses a lazy
+      // read-while-overwrite; the checkpoint is affected-partitions-
+      // sized, the blast radius this method bounds. AQE picks the
+      // anti-join strategy (delete requests are usually tiny, but an
+      // unbounded forced broadcast is this repo's standing OOM smell).
+      val survivors = corpus
+        .filter(col("component_code").isin(affected.map(Integer.valueOf): _*))
+        .join(ids.distinct(), corpus("id") === ids(idCol), "left_anti")
+        .localCheckpoint()
+      val prev = spark.conf
+        .getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try survivors.write.mode(SaveMode.Overwrite)
+        .partitionBy("component_code").parquet(path)
+      finally prev match {
+        case Some(v) => spark.conf
+          .set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf
+          .unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+    affected
+  }
+
   /** Z-ordered rewrite: range-partition and sort by the MORTON
     * interleave of two layout coordinates (graft_morton — low-32-bit
     * keys; bucket/offset real values into that domain first), so
