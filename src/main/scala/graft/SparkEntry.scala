@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
-import graft.operators.{AsofJoin, Bm25, Fusion, Graph, IvfIndex, KnnSearch, Mixer, NearDup, PostRetrieval, Pq, RagPipeline, RangeJoin, Rerank, Sampler, Sketches, SkewJoin, SnapshotDiff, TimeSeries}
+import graft.operators.{AsofJoin, Bm25, Fusion, Graph, IvfIndex, KnnSearch, Mixer, NearDup, PostRetrieval, Pq, RagPipeline, Ranker, RangeJoin, Rerank, Sampler, Sketches, SkewJoin, SnapshotDiff, TimeSeries}
 import graft.plans.VectorExpressions
 import graft.sources.{MarkdownIngest, Multimodal}
 
@@ -1766,25 +1766,27 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
     }),
 
     "q129_revenue_quartiles" -> ((s, dir) => {
-      // Ranking-function breadth in one pass: per-customer revenue
-      // (integer cents, exact) ranked into quartiles (ntile), with
-      // percent_rank and cume_dist — the distribution-position
-      // columns an analytics layer serves. ONE window over a
-      // customer-count-sized frame (the corpus-scale work is the
-      // cents aggregation with map-side combine); the order is total
-      // (cents desc, custkey) so every rank function is
-      // deterministic, and the two double columns are single
-      // divisions of exact integers — identical in any engine.
+      // Ranking-function breadth WITHOUT the single-partition window:
+      // per-customer revenue (integer cents, exact) ranked into
+      // quartiles with percent_rank and cume_dist via
+      // [[graft.operators.Ranker.globalDistribution]] — a plain
+      // `Window.orderBy` with no partition key executes on ONE task
+      // (Spark warns about exactly this), which is fine at report
+      // scale and a wall at 10⁹ customers; the two-phase ranker range-
+      // partitions, numbers per partition, and broadcasts the offset
+      // map. RankerSpec pins it bit-equal to the window form —
+      // including the SQL-standard uneven ntile split — so the oracle
+      // below can keep using DuckDB's window functions. Revenue DESC
+      // spelled as the negated cents (the ranker orders ascending).
       val cents = t(s, dir, "orders")
         .groupBy(col("o_custkey"))
         .agg(sum(expr("cast(round(o_totalprice * 100) as bigint)"))
           .as("rev_cents"))
-      val w = Window.orderBy(col("rev_cents").desc, col("o_custkey"))
-      cents
-        .withColumn("quartile", ntile(4).over(w))
-        .withColumn("pct_rank", percent_rank().over(w))
-        .withColumn("cume", cume_dist().over(w))
+        .withColumn("__neg", -col("rev_cents"))
+      Ranker.globalDistribution(cents, Seq("__neg", "o_custkey"), 4)
         .filter(col("o_custkey") % 100 === 0)
+        .select(col("o_custkey"), col("rev_cents"),
+          col("ntile_bucket").as("quartile"), col("pct_rank"), col("cume"))
         .orderBy(col("o_custkey"))
     }),
 
