@@ -1765,6 +1765,39 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
         .orderBy(col("user_id"))
     }),
 
+    "q130_word_subsample" -> ((s, dir) => {
+      // word2vec-style frequent-word subsampling (Mikolov et al.
+      // 2013): each occurrence of token w survives with
+      // p = √(t / f(w)) — and the whole draw is DETERMINISTIC, no
+      // RNG: the per-occurrence uniform is a 52-bit md5 fraction
+      // (u = h·2⁻⁵², h exactly representable), p is one division and
+      // one √ — the two libm-free ops IEEE pins to the last bit — so
+      // the keep decision replays exactly in DuckDB. Scale shape:
+      // token frequencies with map-side combine, the 1-row total
+      // broadcast onto the stream, keep-counting folded into the same
+      // per-token aggregation; reported for the 30 most frequent
+      // tokens (the only ones subsampling meaningfully thins).
+      val toks = t(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          posexplode(split(lower(col("text")), "\\s+"))
+            .as(Seq("pos", "token")))
+        .filter(length(col("token")) > 0)
+      val total = toks.agg(count(lit(1)).as("n_total_tokens"))
+      val top = toks.groupBy(col("token"))
+        .agg(count(lit(1)).as("n_total"))
+        .orderBy(col("n_total").desc, col("token")).limit(30)
+      toks.join(broadcast(top), "token")
+        .crossJoin(broadcast(total))
+        .withColumn("u",
+          expr("cast(conv(substring(md5(concat_ws(':', doc_id, pos)), " +
+            "1, 13), 16, 10) as double) / 4503599627370496.0"))
+        .withColumn("p",
+          expr("sqrt(cast(0.001 as double) * n_total_tokens / n_total)"))
+        .groupBy(col("token"), col("n_total"))
+        .agg(sum(when(col("u") < col("p"), 1L).otherwise(0L)).as("n_kept"))
+        .orderBy(col("n_total").desc, col("token"))
+    }),
+
     "q129_revenue_quartiles" -> ((s, dir) => {
       // Ranking-function breadth WITHOUT the single-partition window:
       // per-customer revenue (integer cents, exact) ranked into
@@ -4600,6 +4633,36 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
          SELECT mx.doc_id, nt.n_doc_tokens, sum(mx.m)::BIGINT AS maxsim
          FROM mx JOIN nt ON mx.doc_id = nt.doc_id
          GROUP BY 1, 2 ORDER BY maxsim DESC, mx.doc_id LIMIT 20""",
+
+    // q130: position-aligned token explode (empties filtered AFTER
+    // positions assign, so (doc_id, pos) matches Spark's split
+    // indices), the same 52-bit md5 uniform, and sqrt/division — both
+    // correctly-rounded IEEE ops — reproduce every keep decision.
+    "q130_word_subsample" ->
+      raw"""WITH raw AS (
+           SELECT doc_id,
+             string_split_regex(lower(text), '\s+') AS ts
+           FROM documents WHERE text IS NOT NULL),
+         toks AS (
+           SELECT doc_id, i AS pos, ts[i + 1] AS token
+           FROM raw, unnest(range(len(ts))) AS g(i)
+           WHERE len(ts[i + 1]) > 0),
+         tot AS (SELECT count(*)::BIGINT AS n_total_tokens FROM toks),
+         top AS (
+           SELECT token, count(*)::BIGINT AS n_total
+           FROM toks GROUP BY 1
+           ORDER BY n_total DESC, token LIMIT 30),
+         drawn AS (
+           SELECT t.token, p.n_total,
+             ('0x' || substr(md5(t.doc_id::VARCHAR || ':'
+               || t.pos::VARCHAR), 1, 13))::BIGINT::DOUBLE
+               / 4503599627370496.0 AS u,
+             sqrt(0.001::DOUBLE * tot.n_total_tokens / p.n_total) AS p
+           FROM toks t JOIN top p ON t.token = p.token, tot)
+         SELECT token, n_total,
+           sum(CASE WHEN u < p THEN 1 ELSE 0 END)::BIGINT AS n_kept
+         FROM drawn GROUP BY 1, 2
+         ORDER BY n_total DESC, token""",
 
     // q129: same total window order; both doubles are one division
     // of exact integers ((rank−1)/(n−1), rank/n).
