@@ -1765,6 +1765,37 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
         .orderBy(col("user_id"))
     }),
 
+    "q131_char_token_corr" -> ((s, dir) => {
+      // Pearson correlation with EXACT INTEGER cores — the
+      // profiling-pass statistic builtin `corr()` computes in
+      // partition-order-dependent doubles: here Σx, Σy, Σxy, Σx², Σy²
+      // are long sums of long products (order-free, one map-side-
+      // combined aggregation), and the final r touches doubles only
+      // for one sqrt·sqrt product and one division — correctly-
+      // rounded IEEE ops both engines replay. Per-language n_chars vs
+      // token-count correlation; moment bound documented: n·Σxy must
+      // stay under 2^63 (chars ~10³, tokens ~10², that admits ~10¹²
+      // rows per group — size the cohort or scale the units past it).
+      VectorExpressions.ensureRegistered(s)
+      val d = t(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("lang"), col("n_chars").as("x"),
+          tokenCount(col("text")).cast("long").as("y"))
+      d.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .select(col("lang"), col("n"),
+          KnnSearch.roundHalfUpCol(
+            (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              (sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+                .cast("double")) *
+               sqrt((col("n") * col("syy") - col("sy") * col("sy"))
+                .cast("double"))), 9).as("pearson_r"))
+        .orderBy(col("lang"))
+    }),
+
     "q130_word_subsample" -> ((s, dir) => {
       // word2vec-style frequent-word subsampling (Mikolov et al.
       // 2013): each occurrence of token w survives with
@@ -4633,6 +4664,28 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
          SELECT mx.doc_id, nt.n_doc_tokens, sum(mx.m)::BIGINT AS maxsim
          FROM mx JOIN nt ON mx.doc_id = nt.doc_id
          GROUP BY 1, 2 ORDER BY maxsim DESC, mx.doc_id LIMIT 20""",
+
+    // q131: identical integer moments, then the one sqrt·sqrt product
+    // and division in doubles; floor-form rounding at 9 dp.
+    "q131_char_token_corr" ->
+      raw"""WITH d AS (
+           SELECT lang, n_chars AS x,
+             len(list_filter(string_split_regex(text, '\s+'),
+               t -> len(t) > 0))::BIGINT AS y
+           FROM documents WHERE text IS NOT NULL),
+         m AS (
+           SELECT lang, count(*)::BIGINT AS n,
+             sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+             sum(x * y)::BIGINT AS sxy,
+             sum(x * x)::BIGINT AS sxx,
+             sum(y * y)::BIGINT AS syy
+           FROM d GROUP BY 1)
+         SELECT lang, n,
+           floor((n * sxy - sx * sy)::DOUBLE
+               / (sqrt((n * sxx - sx * sx)::DOUBLE)
+                  * sqrt((n * syy - sy * sy)::DOUBLE))
+               * 1000000000.0 + 0.5) / 1000000000.0 AS pearson_r
+         FROM m ORDER BY lang""",
 
     // q130: position-aligned token explode (empties filtered AFTER
     // positions assign, so (doc_id, pos) matches Spark's split
