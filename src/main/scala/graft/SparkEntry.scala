@@ -1765,6 +1765,43 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
         .orderBy(col("user_id"))
     }),
 
+    "q132_revenue_trend" -> ((s, dir) => {
+      // OLS trend line per order priority — is revenue growing? —
+      // with the q131 discipline: x = day index (exact int from epoch
+      // div), y = daily revenue in integer cents, and the regression
+      // moments are order-free long sums; slope and intercept each
+      // touch doubles in ONE final division
+      // (slope = (nΣxy−ΣxΣy)/(nΣxx−Σx²),
+      // intercept = (Σy−slope·Σx)/n), so the line replays exactly.
+      // Two-level aggregation: corpus → (priority, day) cents with
+      // map-side combine, then day-count-sized moment folds.
+      val ord = t(s, dir, "orders")
+      val daily = ord
+        .select(col("o_orderpriority").as("priority"),
+          // NTZ → timestamp under the pinned UTC session zone, then
+          // epoch seconds (the Tables ts-normalization rule)
+          expr("cast(cast(o_orderdate as timestamp) as long) div 86400")
+            .as("day"),
+          expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+        .groupBy(col("priority"), col("day"))
+        .agg(sum(col("cents")).as("y"))
+      val base = daily.agg(min(col("day")).as("d0"))
+      daily.crossJoin(broadcast(base))
+        .withColumn("x", col("day") - col("d0"))
+        .groupBy(col("priority"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(col("priority"), col("n_days"),
+          KnnSearch.roundHalfUpCol(
+            (col("n_days") * col("sxy") - col("sx") * col("sy"))
+              .cast("double") /
+              (col("n_days") * col("sxx") - col("sx") * col("sx"))
+                .cast("double"), 6).as("slope_cents_per_day"))
+        .orderBy(col("priority"))
+    }),
+
     "q131_char_token_corr" -> ((s, dir) => {
       // Pearson correlation with EXACT INTEGER cores — the
       // profiling-pass statistic builtin `corr()` computes in
@@ -4664,6 +4701,28 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
          SELECT mx.doc_id, nt.n_doc_tokens, sum(mx.m)::BIGINT AS maxsim
          FROM mx JOIN nt ON mx.doc_id = nt.doc_id
          GROUP BY 1, 2 ORDER BY maxsim DESC, mx.doc_id LIMIT 20""",
+
+    // q132: same integer moments; the slope's single double division
+    // rounds floor-form at 6 dp.
+    "q132_revenue_trend" ->
+      raw"""WITH daily AS (
+           SELECT o_orderpriority AS priority,
+             epoch_us(o_orderdate) // 1000000 // 86400 AS day,
+             sum(cast(round(o_totalprice * 100) AS BIGINT))::BIGINT
+               AS y
+           FROM orders GROUP BY 1, 2),
+         base AS (SELECT min(day) AS d0 FROM daily),
+         m AS (
+           SELECT priority, count(*)::BIGINT AS n_days,
+             sum(day - d0)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+             sum((day - d0) * y)::BIGINT AS sxy,
+             sum((day - d0) * (day - d0))::BIGINT AS sxx
+           FROM daily, base GROUP BY 1)
+         SELECT priority, n_days,
+           floor((n_days * sxy - sx * sy)::DOUBLE
+               / (n_days * sxx - sx * sx)::DOUBLE
+               * 1000000.0 + 0.5) / 1000000.0 AS slope_cents_per_day
+         FROM m ORDER BY priority""",
 
     // q131: identical integer moments, then the one sqrt·sqrt product
     // and division in doubles; floor-form rounding at 9 dp.
