@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
-import graft.operators.{AsofJoin, Bm25, Fusion, Graph, IvfIndex, KnnSearch, Mixer, NearDup, PostRetrieval, Pq, RagPipeline, Ranker, RangeJoin, Rerank, Sampler, Sketches, SkewJoin, SnapshotDiff, TimeSeries}
+import graft.operators.{AsofJoin, BinaryHash, Bm25, Fusion, Graph, IvfIndex, KnnSearch, Mixer, NearDup, PostRetrieval, Pq, RagPipeline, Ranker, RangeJoin, Rerank, Sampler, Sketches, SkewJoin, SnapshotDiff, TimeSeries}
 import graft.plans.VectorExpressions
 import graft.sources.{MarkdownIngest, Multimodal}
 
@@ -4150,6 +4150,26 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
           round(avg(tokenCount(col("text"))), 4).as("avg_tokens"),
           round(avg(col("n_chars")), 4).as("avg_chars"))
         .orderBy(col("lang"))
+    }),
+
+    "q133_hamming_knn" -> ((s, dir) => {
+      // Binary sign-bit retrieval (Charikar 2002 sign random
+      // projection / FAISS IndexBinaryFlat, the fourth rung of the
+      // quantization ladder after float32 -> SQ8 -> PQ): each
+      // dimension contributes one bit (v > 0), packed into 32-bit
+      // words, and the approximate pass ranks on Hamming distance =
+      // xor + popcount — EXACT integers end to end, 16 bytes/row
+      // scanned instead of 256. Production two-pass shape: Hamming
+      // prefilter to 50 candidates (TakeOrderedAndProject — bounded
+      // per-partition state, k-row driver merge), exact rounded
+      // cosine re-rank of the survivors — the same
+      // approximate-then-refine contract as the SQ8/PQ searches.
+      VectorExpressions.ensureRegistered(s)
+      val q = queryVec(s, dir)
+      BinaryHash.topK(t(s, dir, "embeddings"), "embedding", "vec_id",
+        q, k = 10, candidates = 50,
+        rerank = v => KnnSearch.roundHalfUpCol(
+          cosineSimilarityNative(v, KnnSearch.litVec(q)), 4))
     })
   )
 
@@ -7143,6 +7163,33 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
          round(avg(len(list_filter(string_split_regex(text, '\s+'),
            t -> len(t) > 0))), 4) AS avg_tokens,
          round(avg(n_chars), 4) AS avg_chars
-         FROM documents GROUP BY lang ORDER BY lang"""
+         FROM documents GROUP BY lang ORDER BY lang""",
+
+    // q133: the pack is a sum of distinct powers of two and the
+    // distance is xor + popcount — pure integers, replayed verbatim;
+    // only the final cosine re-rank rounds (the q31 spelling). 32-bit
+    // words because DuckDB's << range-checks the sign bit.
+    "q133_hamming_knn" ->
+      raw"""WITH p AS (
+           SELECT vec_id, embedding,
+             list_sum(list_transform(range(0, 32), i ->
+               CASE WHEN embedding[i + 1] > 0
+                 THEN (1::BIGINT << i) ELSE 0::BIGINT END))::BIGINT AS w0,
+             list_sum(list_transform(range(0, 32), i ->
+               CASE WHEN embedding[i + 33] > 0
+                 THEN (1::BIGINT << i) ELSE 0::BIGINT END))::BIGINT AS w1
+           FROM embeddings),
+         q AS (SELECT w0 AS qw0, w1 AS qw1, embedding AS qe
+               FROM p WHERE vec_id = 0),
+         h AS (
+           SELECT p.vec_id, p.embedding, q.qe,
+             (bit_count(xor(p.w0, q.qw0))
+              + bit_count(xor(p.w1, q.qw1)))::BIGINT AS hamming
+           FROM p CROSS JOIN q),
+         cand AS (SELECT * FROM h ORDER BY hamming, vec_id LIMIT 50)
+         SELECT vec_id, hamming,
+           floor(list_cosine_similarity(embedding::DOUBLE[], qe::DOUBLE[])
+             * 1e4 + 0.5::DOUBLE) / 1e4 AS cos_sim
+         FROM cand ORDER BY cos_sim DESC, vec_id LIMIT 10"""
   )
 }

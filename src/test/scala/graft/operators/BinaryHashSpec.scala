@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.plans.VectorExpressions
+
+class BinaryHashSpec extends SparkSpec {
+
+  private def toRows(vs: Seq[Seq[Float]]) = {
+    import spark.implicits._
+    vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "embedding")
+  }
+
+  test("packCol agrees with the driver-side packVec on every row") {
+    val vs = Seq(
+      Seq.fill(64)(0.5f),
+      Seq.fill(64)(-0.5f),
+      (0 until 64).map(i => if (i % 3 == 0) 1f else -1f),
+      (0 until 64).map(i => if (i < 32) 0f else 0.25f))
+    val got = toRows(vs)
+      .select(col("vec_id"), BinaryHash.packCol(col("embedding"), 64).as("w"))
+      .orderBy("vec_id").collect()
+      .map(_.getSeq[Long](1))
+    vs.zip(got).foreach { case (v, w) =>
+      assert(w == BinaryHash.packVec(v), s"pack mismatch for $v")
+    }
+  }
+
+  test("zero is not a set bit (the > 0 test, both pack paths)") {
+    val v = Seq.fill(64)(0f)
+    assert(BinaryHash.packVec(v) == Seq(0L, 0L))
+  }
+
+  test("hamming equals the naive differing-sign count, and is 0 on self") {
+    val a = (0 until 64).map(i => if (i % 5 == 0) 1f else -1f)
+    val b = (0 until 64).map(i => if (i % 7 == 0) 1f else -1f)
+    val naive = (0 until 64).count(i => (a(i) > 0f) != (b(i) > 0f))
+    val df = toRows(Seq(a, b))
+      .select(col("vec_id"),
+        BinaryHash.hammingCol(
+          BinaryHash.packCol(col("embedding"), 64),
+          BinaryHash.packVec(a)).as("h"))
+      .orderBy("vec_id").collect()
+    assert(df(0).getLong(1) == 0L)
+    assert(df(1).getLong(1) == naive.toLong)
+  }
+
+  test("two-pass topK with candidates = n equals the exact cosine ranking") {
+    VectorExpressions.ensureRegistered(spark)
+    val rnd = new scala.util.Random(7)
+    val vs = Seq.fill(40)(Seq.fill(64)(rnd.nextFloat() - 0.5f))
+    val q = vs.head
+    val rerank = (v: org.apache.spark.sql.Column) =>
+      KnnSearch.roundHalfUpCol(
+        graft.functions.VectorFunctions.cosineSimilarityNative(
+          v, KnnSearch.litVec(q)), 4)
+    val twoPass = BinaryHash.topK(toRows(vs), "embedding", "vec_id",
+        q, k = 5, candidates = 40, rerank = rerank)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val exact = toRows(vs)
+      .select(col("vec_id"), rerank(col("embedding")).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(5).select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(twoPass == exact)
+  }
+
+  test("packCol rejects a non-positive dim") {
+    intercept[IllegalArgumentException] {
+      BinaryHash.packCol(col("x"), 0)
+    }
+  }
+}
