@@ -80,6 +80,25 @@ object SparkEntry {
     * set is non-trivial at every SF. */
   private val SemDedupTau = "0.3"
 
+  /** q134's bloom geometry, shared by the entry and its generated
+    * oracle so the two cannot drift: 2^20 bits (32 KB of 32-bit
+    * words), 3 probes. mBits is a power of two ≤ 2^24, so each 24-bit
+    * md5 substring mod mBits is an EXACT uniform projection (no
+    * modulo bias). At the sf0.1 fill (~24k test grams → fill ≈ 6.8%)
+    * the gram false-positive rate is ~3·10^-4 — small enough that doc
+    * verdicts mostly agree with the exact join, large enough that the
+    * q134 report shows real nonzero false-positive counts instead of
+    * asserting zeros. */
+  private val BloomMBits = 1 << 20
+  private val BloomK = 3
+
+  /** the k bloom probe positions of SQL expression `e` — the DuckDB
+    * spelling of [[graft.operators.Sketches.bloomProbes]] */
+  private def bloomProbesSql(e: String): String =
+    (0 until BloomK).map(i =>
+      s"('0x' || substr(md5($e), ${1 + 6 * i}, 6))::BIGINT % $BloomMBits")
+      .mkString("[", ",\n               ", "]")
+
   /** q70's batch corpus stats, derived once per dir over the UNION
     * vocabulary (the per-dir cache convention — a bench rep must not
     * re-pay the stats scan). Separate from [[bm25StatsCache]], whose
@@ -4170,6 +4189,59 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
         q, k = 10, candidates = 50,
         rerank = v => KnnSearch.roundHalfUpCol(
           cosineSimilarityNative(v, KnnSearch.litVec(q)), 4))
+    }),
+
+    "q134_bloom_decontam" -> ((s, dir) => {
+      // Bloom-filter decontamination — the BROADCAST-side answer to
+      // q51's shuffle: when the contaminating set is bounded (a
+      // benchmark's grams, a blocklist), it compresses to a fixed
+      // 2^20-bit filter and the corpus-side membership test becomes a
+      // narrow pass + k tiny broadcast hash joins — no corpus gram
+      // shuffle at all (q51's exact join must shuffle because ITS
+      // build side scales with the corpus). Direction is the
+      // production one: the filter holds TEST grams, TRAIN docs are
+      // scanned for leakage before pre-training. The report carries
+      // the sketch's honest error: bloom-flagged vs exact-flagged doc
+      // counts, false-positive docs, and false-positive (doc, gram)
+      // pairs — no false negatives by construction (bloom ⊇ exact,
+      // spec-pinned), false positives quantified, not assumed away.
+      VectorExpressions.ensureRegistered(s)
+      val base = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"),
+          hashSplit(col("text")).as("split"))
+      val sh = base.select(col("doc_id"), col("lang"), col("split"),
+        explode(wordShinglesNative(col("text"), 8)).as("g"))
+      val testGrams = sh.filter(col("split") === "test")
+        .select(col("g")).distinct()
+      val bloom = Sketches.bloomBuild(testGrams, col("g"),
+        BloomMBits, BloomK)
+      val train = sh.filter(col("split") === "train")
+        .select(col("doc_id"), col("lang"), col("g"))
+      val probed = Sketches.withBloomHit(train, col("g"), bloom,
+          BloomMBits, BloomK, "bloom_hit")
+        .join(broadcast(testGrams.withColumn("__ex", lit(1))),
+          Seq("g"), "left")
+        .withColumn("exact_hit", col("__ex").isNotNull)
+      val perDoc = probed.groupBy(col("lang"), col("doc_id"))
+        .agg(max(col("bloom_hit").cast("long")).as("b"),
+          max(col("exact_hit").cast("long")).as("e"),
+          sum((col("bloom_hit") && !col("exact_hit")).cast("long"))
+            .as("fpg"))
+      val flags = perDoc.groupBy(col("lang")).agg(
+        sum(col("b")).as("n_flagged_bloom"),
+        sum(col("e")).as("n_flagged_exact"),
+        sum((col("b") === 1L && col("e") === 0L).cast("long"))
+          .as("n_fp_docs"),
+        sum(col("fpg")).as("n_fp_grams"))
+      base.filter(col("split") === "train")
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_train"))
+        .join(flags, Seq("lang"), "left")
+        .select(col("lang"), col("n_train"),
+          coalesce(col("n_flagged_bloom"), lit(0L)).as("n_flagged_bloom"),
+          coalesce(col("n_flagged_exact"), lit(0L)).as("n_flagged_exact"),
+          coalesce(col("n_fp_docs"), lit(0L)).as("n_fp_docs"),
+          coalesce(col("n_fp_grams"), lit(0L)).as("n_fp_grams"))
+        .orderBy(col("lang"))
     })
   )
 
@@ -7190,6 +7262,70 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
          SELECT vec_id, hamming,
            floor(list_cosine_similarity(embedding::DOUBLE[], qe::DOUBLE[])
              * 1e4 + 0.5::DOUBLE) / 1e4 AS cos_sim
-         FROM cand ORDER BY cos_sim DESC, vec_id LIMIT 10"""
+         FROM cand ORDER BY cos_sim DESC, vec_id LIMIT 10""",
+
+    // q134: the q51 split/shingle CTEs verbatim, then the bloom is
+    // REBUILT bit-for-bit (24-bit md5 substrings mod 2^20 — exact,
+    // no modulo bias; 32-bit words so << is sign-safe) and every
+    // count is an integer aggregate — no rounding surface.
+    "q134_bloom_decontam" ->
+      raw"""WITH s AS (
+           SELECT doc_id, lang,
+             CASE WHEN substr(md5(text), 1, 2) < 'cc' THEN 'train'
+                  WHEN substr(md5(text), 1, 2) < 'e6' THEN 'val'
+                  ELSE 'test' END AS split,
+             list_filter(string_split_regex(lower(text), '\s+'),
+               t -> len(t) > 0) AS ts
+           FROM documents),
+         sh AS (
+           SELECT doc_id, lang, split,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(ts) - 7, 0) + 1),
+               i -> array_to_string(ts[i : i + 7], ' ')))) AS g
+           FROM s),
+         tg AS (SELECT DISTINCT g FROM sh WHERE split = 'test'),
+         tp AS (SELECT unnest(${bloomProbesSql("g")}) AS p FROM tg),
+         bloom AS (
+           SELECT p // 32 AS bucket,
+             bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS word
+           FROM tp GROUP BY 1),
+         pr AS (
+           SELECT doc_id, lang, g,
+             unnest(${bloomProbesSql("g")}) AS p
+           FROM sh WHERE split = 'train'),
+         ghit AS (
+           SELECT pr.doc_id, pr.lang, pr.g,
+             (sum(CASE WHEN bloom.word IS NOT NULL
+                 AND (bloom.word >> CAST(pr.p % 32 AS INT)) & 1 = 1
+               THEN 1 ELSE 0 END) = $BloomK) AS bloom_hit,
+             (max(CASE WHEN tg2.g IS NOT NULL THEN 1 ELSE 0 END) = 1)
+               AS exact_hit
+           FROM pr
+           LEFT JOIN bloom ON pr.p // 32 = bloom.bucket
+           LEFT JOIN tg tg2 ON pr.g = tg2.g
+           GROUP BY 1, 2, 3),
+         pd AS (
+           SELECT lang, doc_id,
+             max(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS b,
+             max(CASE WHEN exact_hit THEN 1 ELSE 0 END) AS e,
+             sum(CASE WHEN bloom_hit AND NOT exact_hit
+               THEN 1 ELSE 0 END) AS fpg
+           FROM ghit GROUP BY 1, 2),
+         fl AS (
+           SELECT lang, sum(b) AS n_flagged_bloom,
+             sum(e) AS n_flagged_exact,
+             sum(CASE WHEN b = 1 AND e = 0 THEN 1 ELSE 0 END)
+               AS n_fp_docs,
+             sum(fpg) AS n_fp_grams
+           FROM pd GROUP BY 1),
+         tr AS (SELECT lang, count(*) AS n_train FROM s
+                WHERE split = 'train' GROUP BY 1)
+         SELECT tr.lang AS lang, n_train::BIGINT AS n_train,
+           coalesce(n_flagged_bloom, 0)::BIGINT AS n_flagged_bloom,
+           coalesce(n_flagged_exact, 0)::BIGINT AS n_flagged_exact,
+           coalesce(n_fp_docs, 0)::BIGINT AS n_fp_docs,
+           coalesce(n_fp_grams, 0)::BIGINT AS n_fp_grams
+         FROM tr LEFT JOIN fl ON tr.lang = fl.lang
+         ORDER BY tr.lang"""
   )
 }

@@ -205,4 +205,87 @@ object Sketches {
       .groupBy(col(termCol))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cm_est"))
   }
+
+  // ------------------------------------------------------------------
+  // Bloom filter — the fifth mergeable sketch: set MEMBERSHIP with
+  // no false negatives and a quantified false-positive rate. The
+  // 100 TB use: a bounded reference set (benchmark grams, a blocklist,
+  // yesterday's fingerprints) compresses to a fixed bit array that is
+  // BROADCAST, so the corpus-side membership test is a narrow pass +
+  // tiny-build hash joins — where the exact spelling (q51) must
+  // shuffle the corpus gram stream against a corpus-scale build side.
+  // Two bloom bucket tables over the same (mBits, k) merge by
+  // per-bucket bit_or — the sketch-union law the other four share.
+  //
+  // Exactness: probe positions are disjoint 24-bit md5 substrings mod
+  // mBits; mBits is a power of two ≤ 2^24, so the mod is an EXACT
+  // uniform projection (2^24 is a multiple of mBits — no modulo
+  // bias), and every bucket word is an integer bit_or of distinct
+  // powers of two. 32-bit words (not 64) so a DuckDB oracle's
+  // range-checked `<<` replays every bit.
+  // ------------------------------------------------------------------
+
+  /** bits per bloom bucket word — 32, so `1::BIGINT << bit` is
+    * sign-safe on every engine */
+  val BloomWordBits = 32
+
+  private def bloomCheck(mBits: Int, k: Int): Unit = {
+    require(mBits >= BloomWordBits && mBits <= (1 << 24)
+        && (mBits & (mBits - 1)) == 0,
+      s"mBits must be a power of two in [32, 2^24], got $mBits")
+    require(k >= 1 && k <= 5, s"k must be in [1, 5], got $k (5 disjoint " +
+      "6-hex-char probes exhaust the 32-char md5)")
+  }
+
+  /** The k probe positions of `item` in a `mBits`-bit bloom filter:
+    * position i = the i-th disjoint 6-hex-char (24-bit) md5 substring
+    * mod `mBits`. Shared by build and test so the two cannot drift. */
+  def bloomProbes(item: Column, mBits: Int, k: Int): Seq[Column] = {
+    bloomCheck(mBits, k)
+    (0 until k).map(i =>
+      conv(substring(md5(item), 1 + 6 * i, 6), 16, 10).cast("long")
+        % mBits)
+  }
+
+  /** Build the bloom filter over `df`'s `item` values as a bucket
+    * table `(bucket, word)` — only non-zero buckets materialize, so
+    * the frame is at most `min(n·k, mBits/32)` rows regardless of
+    * corpus size. One explode + one bucket-keyed aggregation with
+    * map-side combine (the only shuffle, bounded by the REFERENCE
+    * set's size, not the corpus's). */
+  def bloomBuild(df: DataFrame, item: Column, mBits: Int,
+      k: Int): DataFrame = {
+    bloomCheck(mBits, k)
+    df.select(explode(array(bloomProbes(item, mBits, k): _*)).as("p"))
+      .groupBy(expr(s"p DIV $BloomWordBits").as("bucket"))
+      .agg(expr(s"bit_or(shiftleft(CAST(1 AS BIGINT), " +
+        s"CAST(p % $BloomWordBits AS INT)))").as("word"))
+  }
+
+  /** Append a `out` boolean: might `item` be in the set `bloom` was
+    * built from? k broadcast hash joins on the bucket key (the bloom
+    * frame is broadcast — that is the point of the sketch), each
+    * probing one word; a missing bucket is an unset bit. No false
+    * negatives by construction; false positives at rate
+    * ~(fill fraction)^k, which callers REPORT by comparing against an
+    * exact join (q134) rather than assuming. */
+  def withBloomHit(df: DataFrame, item: Column, bloom: DataFrame,
+      mBits: Int, k: Int, out: String): DataFrame = {
+    bloomCheck(mBits, k)
+    val probes = bloomProbes(item, mBits, k)
+    var cur = df
+    val hits = probes.zipWithIndex.map { case (p, i) =>
+      val b = broadcast(bloom.select(col("bucket").as(s"__bb$i"),
+        col("word").as(s"__bw$i")))
+      cur = cur.withColumn(s"__bp$i", p)
+        .join(b, expr(s"__bp$i DIV $BloomWordBits") === col(s"__bb$i"),
+          "left")
+      col(s"__bw$i").isNotNull &&
+        expr(s"shiftright(__bw$i, CAST(__bp$i % $BloomWordBits AS INT))" +
+          " & 1") === 1L
+    }
+    cur.withColumn(out, hits.reduce(_ && _))
+      .drop((0 until k).flatMap(i =>
+        Seq(s"__bp$i", s"__bb$i", s"__bw$i")): _*)
+  }
 }

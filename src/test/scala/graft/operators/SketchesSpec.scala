@@ -192,4 +192,57 @@ class SketchesSpec extends SparkSpec {
         s"q=$q: estimate $e does not bracket exact $exact (width $width)")
     }
   }
+
+  test("bloom has NO false negatives: every inserted key tests positive") {
+    val keys = (0 until 300).map(i => s"key-$i")
+    val df = keys.toDF("k")
+    val bloom = Sketches.bloomBuild(df, col("k"), 1 << 12, 3)
+    val hits = Sketches.withBloomHit(df, col("k"), bloom, 1 << 12, 3, "hit")
+      .filter(!col("hit")).count()
+    assert(hits == 0L, s"$hits inserted keys tested negative")
+  }
+
+  test("bloom merge law: bit_or of two sketches == sketch of the union") {
+    val a = (0 until 120).map(i => s"a-$i").toDF("k")
+    val b = (0 until 120).map(i => s"b-$i").toDF("k")
+    val merged = Sketches.bloomBuild(a, col("k"), 1 << 12, 3)
+      .union(Sketches.bloomBuild(b, col("k"), 1 << 12, 3))
+      .groupBy("bucket").agg(expr("bit_or(word)").as("word"))
+    val direct = Sketches.bloomBuild(a.union(b), col("k"), 1 << 12, 3)
+    assert(merged.except(direct).count() == 0L
+      && direct.except(merged).count() == 0L)
+  }
+
+  test("bloom false positives exist at high fill and are deterministic") {
+    // tiny filter, heavy fill: non-members MUST collide; two runs of
+    // the same build+test agree exactly (no RNG anywhere)
+    val members = (0 until 400).map(i => s"m-$i").toDF("k")
+    val probes = (0 until 400).map(i => s"p-$i").toDF("k")
+    def fpSet = {
+      val bloom = Sketches.bloomBuild(members, col("k"), 1 << 8, 2)
+      Sketches.withBloomHit(probes, col("k"), bloom, 1 << 8, 2, "hit")
+        .filter(col("hit")).select("k").collect().map(_.getString(0)).toSet
+    }
+    val fp1 = fpSet
+    assert(fp1.nonEmpty, "a 256-bit filter holding 400 keys must collide")
+    assert(fp1 == fpSet, "false-positive set must be deterministic")
+  }
+
+  test("bloom layout invariance: build is identical under any partitioning") {
+    val df = (0 until 500).map(i => s"k-$i").toDF("k")
+    val one = Sketches.bloomBuild(df.repartition(1), col("k"), 1 << 12, 3)
+      .orderBy("bucket").collect().toSeq
+    val many = Sketches.bloomBuild(df.repartition(7), col("k"), 1 << 12, 3)
+      .orderBy("bucket").collect().toSeq
+    assert(one == many)
+  }
+
+  test("bloom geometry guards: non-power-of-two mBits and oversized k throw") {
+    intercept[IllegalArgumentException] {
+      Sketches.bloomBuild(Seq("x").toDF("k"), col("k"), 1000, 3)
+    }
+    intercept[IllegalArgumentException] {
+      Sketches.bloomProbes(col("k"), 1 << 12, 6)
+    }
+  }
 }
