@@ -4242,6 +4242,24 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
           coalesce(col("n_fp_docs"), lit(0L)).as("n_fp_docs"),
           coalesce(col("n_fp_grams"), lit(0L)).as("n_fp_grams"))
         .orderBy(col("lang"))
+    }),
+
+    "q135_knn_graph" -> ((s, dir) => {
+      // kNN-graph construction: EVERY corpus row probes its own 2
+      // nearest IVF clusters and keeps its 3 nearest other rows — the
+      // neighbor graph that feeds SemDeDup-style curation (q86),
+      // clustering, and kNN classification. Probe selection moves
+      // INTO the plan (a narrow array_sort over exact-double
+      // (L2², cluster) structs against literal centroids — the same
+      // fold and tie rule the single-query driver path uses), because
+      // per-row driver planning is impossible when n = corpus. The
+      // one corpus-scale shuffle is the probe-pair ⋈ cluster equi-join
+      // — pair work bounded to ~nprobe/nlist of all-pairs — and the
+      // per-source top-3 is a rank-limit window Spark rewrites to
+      // WindowGroupLimit (bounded heaps, no full per-group sort).
+      VectorExpressions.ensureRegistered(s)
+      ivfIndexFor(s, dir).knnGraph(k = 3, nprobe = 2, rankRoundDp = 4)
+        .orderBy(col("src"), col("rank"))
     })
   )
 
@@ -7326,6 +7344,42 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
            coalesce(n_fp_docs, 0)::BIGINT AS n_fp_docs,
            coalesce(n_fp_grams, 0)::BIGINT AS n_fp_grams
          FROM tr LEFT JOIN fl ON tr.lang = fl.lang
-         ORDER BY tr.lang"""
+         ORDER BY tr.lang""",
+
+    // q135: per-ROW probe replay over the exported replica — the q36
+    // probe CTE generalized from one query to every vec_id (same
+    // exact-double centroid fold, same cluster-id ties), then the
+    // pruned pair join, 4-dp floor-rounded L2 rank, nbr ties.
+    "q135_knn_graph" ->
+      raw"""WITH cent AS (
+           SELECT cluster_id, centroid FROM
+             read_parquet('$IvfOracleRoot/single/centroids/*.parquet')),
+         data AS (
+           SELECT vec_id, embedding, __ivf_cluster FROM
+             read_parquet('$IvfOracleRoot/single/data/*.parquet')),
+         probes AS (
+           SELECT d.vec_id AS src, c.cluster_id,
+             row_number() OVER (PARTITION BY d.vec_id ORDER BY
+               list_sum(list_transform(range(1, len(c.centroid) + 1),
+                 i -> (d.embedding[i]::DOUBLE - c.centroid[i]::DOUBLE) *
+                      (d.embedding[i]::DOUBLE - c.centroid[i]::DOUBLE))),
+               c.cluster_id) AS pr
+           FROM data d CROSS JOIN cent c),
+         pp AS (SELECT src, cluster_id FROM probes WHERE pr <= 2),
+         cand AS (
+           SELECT pp.src, n.vec_id AS nbr,
+             floor(list_distance(ds.embedding::DOUBLE[],
+               n.embedding::DOUBLE[]) * 1e4 + 0.5::DOUBLE) / 1e4 AS dist
+           FROM pp
+           JOIN data n ON n.__ivf_cluster = pp.cluster_id
+           JOIN data ds ON ds.vec_id = pp.src
+           WHERE n.vec_id != pp.src),
+         r AS (
+           SELECT src, nbr, dist,
+             row_number() OVER (PARTITION BY src ORDER BY dist, nbr)
+               AS rank
+           FROM cand)
+         SELECT src, rank::BIGINT AS rank, nbr, dist
+         FROM r WHERE rank <= 3 ORDER BY src, rank"""
   )
 }

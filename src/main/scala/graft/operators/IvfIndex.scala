@@ -157,6 +157,67 @@ final case class IvfIndex(
       gate = Some(KnnSearch.BatchGate(IvfIndex.ClusterCol, perQueryProbes)))
   }
 
+  /** kNN-GRAPH construction over the whole index: every corpus row is
+    * a query, probing its own `nprobe` nearest clusters (L2) and
+    * keeping its `k` nearest OTHER rows — the bounded-candidate
+    * neighbor-graph build that feeds SemDeDup-style semantic curation,
+    * graph clustering, and kNN classification.
+    *
+    * When every row is a query, driver-side probe planning
+    * ([[search]]/[[searchBatch]]'s shape) is impossible by
+    * construction — so probe selection moves INTO the plan: centroids
+    * are literals (nlist ≪ corpus, the same broadcast-as-literal
+    * argument as the single-query path), each row ranks them with a
+    * NARROW `array_sort` over (exact-double L2², cluster-id) structs —
+    * the identical fold and tie rule as [[probeOrder]], so a SQL
+    * replay ranks identically — and explodes its own top-`nprobe`.
+    * The ONE corpus-scale shuffle is the equi-join of probe pairs
+    * against the cluster-keyed index: each row meets only its probed
+    * clusters' rows, so pair work is bounded by `nprobe/nlist` of the
+    * all-pairs square (with FAISS-style nlist ∝ √n the build is
+    * ~n^1.5, not n²). Per-source top-k is a rank-limit window that
+    * Spark rewrites to WindowGroupLimit — bounded per-partition heaps
+    * BEFORE the final shuffle, never a full per-group sort.
+    *
+    * Ranking rounds at `rankRoundDp` with neighbor-id ties (the
+    * engine-stable contract every ranked surface uses). Self-pairs are
+    * excluded; `k·n` rows come out. */
+  def knnGraph(k: Int, nprobe: Int,
+      rankRoundDp: Int = 4): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val np = math.max(1, math.min(nprobe, nlist))
+    graft.plans.VectorExpressions.ensureRegistered(assigned.sparkSession)
+    import graft.functions.VectorFunctions.{l2DistanceNative, l2SquaredNative}
+    val probeStructs = centroids.zip(clusterIds).map { case (c, cid) =>
+      struct(
+        l2SquaredNative(col(vecCol), KnnSearch.litVec(c.toSeq)).as("d"),
+        lit(cid).as("cid"))
+    }
+    val pairsLeft = assigned
+      .select(col(idCol).as("__src"), col(vecCol).as("__sv"),
+        slice(array_sort(array(probeStructs: _*)), 1, np).as("__ps"))
+      .select(col("__src"), col("__sv"),
+        explode(col("__ps.cid")).as("__pcRaw"))
+      .select(col("__src"), col("__sv"),
+        col("__pcRaw").cast("long").as("__pc"))
+    val right = assigned.select(
+      col(IvfIndex.ClusterCol).cast("long").as("__nc"),
+      col(idCol).as("__nbr"), col(vecCol).as("__nv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__src"))
+      .orderBy(col("dist"), col("__nbr"))
+    pairsLeft.join(right, col("__pc") === col("__nc"))
+      .filter(col("__nbr") =!= col("__src"))
+      .select(col("__src"), col("__nbr"),
+        KnnSearch.roundHalfUpCol(
+          l2DistanceNative(col("__sv"), col("__nv")), rankRoundDp)
+          .as("dist"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("__src").as("src"), col("rank"), col("__nbr").as("nbr"),
+        col("dist"))
+  }
+
   /** Quantized V5 (IVF-SQ8, the FAISS `IVF...,SQ8` shape): the
     * approximate ranking pass scans the 1-byte/dim `__sq8_code` column
     * instead of the 4-byte/dim float vectors — parquet column pruning

@@ -970,4 +970,44 @@ class IvfIndexSpec extends SparkSpec {
           s"seed=$seed, nlist=$nlist)")
     }
   }
+
+  test("knnGraph at nprobe = nlist is the exact per-row top-k graph") {
+    val g = index.knnGraph(k = 3, nprobe = index.nlist)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    // brute force for a sample of sources: rank ALL other rows by the
+    // same rounded distance + nbr ties
+    val all = embeddings.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    def l2(a: Seq[Float], b: Seq[Float]): Double =
+      math.sqrt(a.zip(b).map { case (x, y) =>
+        val d = x.toDouble - y.toDouble; d * d }.sum)
+    val sample = all.take(20)
+    sample.foreach { case (src, sv) =>
+      val expect = all.filter(_._1 != src)
+        .map { case (id, v) => (KnnSearch.roundHalfUp(l2(sv, v), 1e4), id) }
+        .sorted.take(3).zipWithIndex
+        .map { case ((_, id), i) => (src, (i + 1).toLong, id) }.toSet
+      val got = g.filter(_._1 == src)
+      assert(got == expect, s"graph row mismatch for src=$src")
+    }
+  }
+
+  test("knnGraph has no self edges and exactly k rows per source") {
+    val g = index.knnGraph(k = 3, nprobe = 2)
+    assert(g.filter(col("src") === col("nbr")).count() == 0L)
+    val perSrc = g.groupBy("src").count()
+      .select("count").distinct().collect().map(_.getLong(0)).toSeq
+    assert(perSrc == Seq(3L), s"per-source counts: $perSrc")
+    assert(g.count() == embeddings.count() * 3)
+  }
+
+  test("knnGraph plans a rank-limit window (WindowGroupLimit), not a full sort, and no cartesian") {
+    val plan = index.knnGraph(k = 3, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected WindowGroupLimit in:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"cartesian product in knnGraph plan:\n$plan")
+  }
 }
