@@ -4260,6 +4260,22 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
       VectorExpressions.ensureRegistered(s)
       ivfIndexFor(s, dir).knnGraph(k = 3, nprobe = 2, rankRoundDp = 4)
         .orderBy(col("src"), col("rank"))
+    }),
+
+    "q136_mmr_rerank" -> ((s, dir) => {
+      // Maximal marginal relevance (Carbonell & Goldstein 1998): the
+      // diversity-aware rerank — greedy λ·rel − (1−λ)·maxsim over a
+      // top-20 candidate pool, λ = 0.7 as integer tenths, relevance
+      // and pairwise cosine quantized to integers at 4 dp — so the
+      // whole greedy trace is integer arithmetic the oracle UNROLLS
+      // step by step (the PageRank-oracle trick applied to a greedy
+      // selection). One corpus-scale TakeOrderedAndProject feeds the
+      // pool; the O(20·5) greedy is driver arithmetic in the same
+      // k·refine budget class as the SQ8/PQ refine collects.
+      VectorExpressions.ensureRegistered(s)
+      val q = queryVec(s, dir)
+      Rerank.mmr(t(s, dir, "embeddings"), "embedding", "vec_id", q,
+        k = 5, candidates = 20, lambdaTenths = 7, rankRoundDp = 4)
     })
   )
 
@@ -7380,6 +7396,57 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
                AS rank
            FROM cand)
          SELECT src, rank::BIGINT AS rank, nbr, dist
-         FROM r WHERE rank <= 3 ORDER BY src, rank"""
+         FROM r WHERE rank <= 3 ORDER BY src, rank""",
+
+    "q136_mmr_rerank" -> mmrOracleSql
   )
+
+  /** q136's unrolled greedy-MMR oracle: candidate pool + pairwise-sim
+    * CTEs, then one CTE PER GREEDY STEP (the q119 unrolled-iteration
+    * trick applied to a greedy selection) — step t's argmax scans the
+    * candidates not yet in s1..s(t−1), scoring
+    * `7·rel − 3·max(sim to the selected set)` in integers, ties on
+    * vec_id. Step 1's diversity term is 0 by the operator's
+    * convention. */
+  private lazy val mmrOracleSql: String = {
+    val k = 5
+    def selUnion(t: Int): String =
+      (1 until t).map(j => s"SELECT vec_id FROM s$j")
+        .mkString(" UNION ALL ")
+    val steps = (2 to k).map { t =>
+      s"""s$t AS (
+         SELECT c.vec_id, c.rel, max(sim.s) AS ms,
+           7 * c.rel - 3 * max(sim.s) AS mmr
+         FROM cand c JOIN sim ON sim.ia = c.vec_id
+           AND sim.ib IN (${selUnion(t)})
+         WHERE c.vec_id NOT IN (${selUnion(t)})
+         GROUP BY c.vec_id, c.rel
+         ORDER BY mmr DESC, c.vec_id LIMIT 1)"""
+    }.mkString(",\n         ")
+    val out = (1 to k).map(t =>
+      s"SELECT $t::BIGINT AS rank, vec_id, rel, ms AS max_sim, " +
+        s"mmr AS mmr_score FROM s$t")
+      .mkString("\n         UNION ALL ")
+    raw"""WITH q AS (
+           SELECT embedding::DOUBLE[] AS qv FROM embeddings
+           WHERE vec_id = 0),
+         cand AS (
+           SELECT vec_id, embedding,
+             CAST(floor(list_cosine_similarity(embedding::DOUBLE[],
+               (SELECT qv FROM q)) * 1e4 + 0.5::DOUBLE) AS BIGINT)
+               AS rel
+           FROM embeddings ORDER BY rel DESC, vec_id LIMIT 20),
+         sim AS (
+           SELECT a.vec_id AS ia, b.vec_id AS ib,
+             CAST(floor(list_cosine_similarity(a.embedding::DOUBLE[],
+               b.embedding::DOUBLE[]) * 1e4 + 0.5::DOUBLE) AS BIGINT)
+               AS s
+           FROM cand a JOIN cand b ON a.vec_id != b.vec_id),
+         s1 AS (
+           SELECT vec_id, rel, 0::BIGINT AS ms, 7 * rel AS mmr
+           FROM cand ORDER BY rel DESC, vec_id LIMIT 1),
+         $steps
+         $out
+         ORDER BY rank"""
+  }
 }

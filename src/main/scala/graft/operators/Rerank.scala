@@ -74,4 +74,97 @@ object Rerank {
       .orderBy(col(scoreCol).desc, col(tieBreak))
       .limit(limit)
   }
+
+  /** Maximal marginal relevance (Carbonell & Goldstein 1998) — the
+    * diversity-aware rerank between plain top-k and the cross-encoder:
+    * greedily pick the candidate maximizing
+    * `λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s)`, so near-duplicate
+    * hits stop crowding out coverage (the RAG context window is the
+    * north-star consumer: k slots should not hold one paragraph five
+    * times).
+    *
+    * ENGINE-EXACT arithmetic: relevance and pairwise similarity are
+    * the native cosine QUANTIZED to integers at `rankRoundDp`
+    * (`floor(cos·10^dp + 0.5)` — the same primitive floor form every
+    * ranked surface uses), λ enters as integer tenths
+    * (`λ = lambdaTenths/10` ⇒ score = `lambdaTenths·rel −
+    * (10−lambdaTenths)·maxSim`), and the first pick's diversity term
+    * is 0 by convention — so the whole greedy trace is integer
+    * arithmetic a SQL oracle unrolls step by step. Ties break on the
+    * smaller id at every pick.
+    *
+    * Scale shape: the candidate pool is `candidates` rows (k·refine
+    * sized, the answer contract) — ONE corpus-scale
+    * TakeOrderedAndProject produces it; the greedy loop is
+    * O(candidates·k) driver arithmetic over collected rows, the same
+    * budget class as the SQ8/PQ refine passes. The sequential
+    * dependence is intrinsic to MMR (pick t depends on picks 1..t−1);
+    * distributing it would serialize anyway. */
+  def mmr(corpus: DataFrame, vecCol: String, idCol: String,
+      query: Seq[Float], k: Int, candidates: Int,
+      lambdaTenths: Int = 7, rankRoundDp: Int = 4): DataFrame = {
+    require(k >= 1 && candidates >= k,
+      s"need candidates ($candidates) >= k ($k) >= 1")
+    require(lambdaTenths >= 0 && lambdaTenths <= 10,
+      s"lambdaTenths must be in [0, 10], got $lambdaTenths")
+    graft.plans.VectorExpressions.ensureRegistered(corpus.sparkSession)
+    val scale = math.pow(10, rankRoundDp)
+    val relInt = floor(
+      graft.functions.VectorFunctions.cosineSimilarityNative(
+        col(vecCol), KnnSearch.litVec(query)) * lit(scale) + lit(0.5))
+      .cast("long")
+    val cand = corpus
+      .select(col(idCol), col(vecCol), relInt.as("__rel"))
+      .orderBy(col("__rel").desc, col(idCol))
+      .limit(candidates)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getLong(2)))
+    // pairwise sims in the IDENTICAL interleaved fold as the native
+    // cosine expression (and the batch heap closures), quantized the
+    // same way — a SQL replay over the same vectors floors to the
+    // same integers
+    def simInt(a: Array[Float], b: Array[Float]): Long = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val xa = a(i).toDouble; val xb = b(i).toDouble
+        dot += xa * xb; na += xa * xa; nb += xb * xb; i += 1
+      }
+      val cos = if (na == 0.0 || nb == 0.0) 0.0
+        else dot / (math.sqrt(na) * math.sqrt(nb))
+      math.floor(cos * scale + 0.5).toLong
+    }
+    val n = cand.length
+    val maxSim = Array.fill(n)(Long.MinValue)
+    val picked = Array.fill(n)(false)
+    val out = Seq.newBuilder[(Long, Long, Long, Long, Long)]
+    var t = 1
+    while (t <= math.min(k, n)) {
+      var best = -1
+      var bestScore = 0L
+      (0 until n).foreach { i =>
+        if (!picked(i)) {
+          val ms = if (maxSim(i) == Long.MinValue) 0L else maxSim(i)
+          val score = lambdaTenths * cand(i)._3 -
+            (10 - lambdaTenths) * ms
+          if (best < 0 || score > bestScore ||
+              (score == bestScore && cand(i)._1 < cand(best)._1)) {
+            best = i; bestScore = score
+          }
+        }
+      }
+      val ms = if (maxSim(best) == Long.MinValue) 0L else maxSim(best)
+      out += ((t.toLong, cand(best)._1, cand(best)._3, ms, bestScore))
+      picked(best) = true
+      (0 until n).foreach { i =>
+        if (!picked(i)) {
+          val s = simInt(cand(i)._2, cand(best)._2)
+          if (s > maxSim(i)) maxSim(i) = s
+        }
+      }
+      t += 1
+    }
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    out.result().toDF("rank", "vec_id", "rel", "max_sim", "mmr_score")
+  }
 }

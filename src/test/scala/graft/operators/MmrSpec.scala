@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** [[Rerank.mmr]] — the greedy-diversity laws, pinned on constructed
+  * geometry (the cross-engine arithmetic half is the q136 oracle). */
+class MmrSpec extends SparkSpec {
+  import spark.implicits._
+
+  // query along +x; relevance is the x-component, diversity lives in
+  // the other dims (as in real retrieval pools: comparable relevance,
+  // different content). 2 is an exact scaled duplicate of 1 (cosine
+  // 1.0 to it); 3 matches 1's relevance but diverges; 4 slightly less
+  // relevant, diverse; 5 anti-relevant.
+  private val q = Seq(1f, 0f, 0f, 0f)
+  private def corpus = Seq(
+    (1L, Seq(0.9f, 0.4359f, 0f, 0f)),
+    (2L, Seq(1.8f, 0.8718f, 0f, 0f)),  // exact scaled dup of 1
+    (3L, Seq(0.9f, 0f, 0.4359f, 0f)),  // same rel as 1, diverse
+    (4L, Seq(0.88f, 0f, 0f, 0.475f)),  // diverse
+    (5L, Seq(-1f, 0f, 0f, 0f))         // anti-relevant
+  ).toDF("vec_id", "embedding")
+
+  test("rank 1 is the pure-relevance argmax with a zero diversity term") {
+    val r = Rerank.mmr(corpus, "embedding", "vec_id", q,
+      k = 3, candidates = 5).orderBy("rank").collect()
+    assert(r(0).getLong(1) == 1L)
+    assert(r(0).getLong(3) == 0L) // max_sim
+    assert(r(0).getLong(4) == 7L * r(0).getLong(2)) // mmr = 7*rel
+  }
+
+  test("a near-duplicate of the first pick is deferred behind diverse hits") {
+    val picks = Rerank.mmr(corpus, "embedding", "vec_id", q,
+        k = 3, candidates = 5)
+      .orderBy("rank").collect().map(_.getLong(1)).toSeq
+    assert(picks.head == 1L)
+    assert(picks(1) != 2L,
+      s"the near-duplicate must not be picked second, got $picks")
+    // ...but plain relevance ranking WOULD pick it second
+    val plain = corpus.select(col("vec_id"),
+        graft.functions.VectorFunctions.cosineSimilarity(col("embedding"),
+          KnnSearch.litVec(q)).as("c"))
+      .orderBy(col("c").desc, col("vec_id"))
+      .limit(2).collect().map(_.getLong(0)).toSeq
+    assert(plain == Seq(1L, 2L))
+  }
+
+  test("lambdaTenths = 10 reduces MMR to pure relevance order") {
+    val picks = Rerank.mmr(corpus, "embedding", "vec_id", q,
+        k = 4, candidates = 5, lambdaTenths = 10)
+      .orderBy("rank").collect().map(_.getLong(1)).toSeq
+    val rel = Rerank.mmr(corpus, "embedding", "vec_id", q,
+        k = 4, candidates = 5, lambdaTenths = 10)
+      .orderBy("rank").collect().map(_.getLong(2)).toSeq
+    assert(rel == rel.sorted(Ordering[Long].reverse),
+      s"relevance must be non-increasing at lambda=1: $rel")
+    assert(picks.head == 1L && picks(1) == 2L)
+  }
+
+  test("k clamps to the pool and guards reject bad geometry") {
+    assert(Rerank.mmr(corpus, "embedding", "vec_id", q,
+      k = 5, candidates = 5).count() == 5L)
+    intercept[IllegalArgumentException] {
+      Rerank.mmr(corpus, "embedding", "vec_id", q, k = 6, candidates = 5)
+    }
+    intercept[IllegalArgumentException] {
+      Rerank.mmr(corpus, "embedding", "vec_id", q, k = 1, candidates = 1,
+        lambdaTenths = 11)
+    }
+  }
+
+  test("the greedy trace is deterministic under repartitioning") {
+    val a = Rerank.mmr(corpus.repartition(7), "embedding", "vec_id", q,
+      k = 3, candidates = 5).collect().toSeq
+    val b = Rerank.mmr(corpus.repartition(1), "embedding", "vec_id", q,
+      k = 3, candidates = 5).collect().toSeq
+    assert(a.sortBy(_.getLong(0)) == b.sortBy(_.getLong(0)))
+  }
+}
