@@ -4276,6 +4276,33 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
       val q = queryVec(s, dir)
       Rerank.mmr(t(s, dir, "embeddings"), "embedding", "vec_id", q,
         k = 5, candidates = 20, lambdaTenths = 7, rankRoundDp = 4)
+    }),
+
+    "q137_graph_triangles" -> ((s, dir) => {
+      // Triangle census of the similarity graph (how clique-y are the
+      // near-dup neighborhoods?): edges = same-LSH-bucket pairs with
+      // 4-dp cosine >= 0.15 (the q44 bucket machinery at 4 bits — a
+      // bucketed edge set, never all-pairs), triangles by
+      // DEGREE-ORIENTED counting (each edge points from its lower
+      // (degree, id) endpoint, so path fan-out is Sigma out-deg^2 =
+      // O(edges^1.5) even on power-law graphs — a 10^6-degree hub
+      // emits no paths), wedges from the degree frame, clustering
+      // coefficient as integer ppm. Every count is exact integer
+      // arithmetic; the oracle rebuilds the identical buckets, edges,
+      // orientation, and joins.
+      VectorExpressions.ensureRegistered(s)
+      val b = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          NearDup.signBucket(col("embedding"),
+            NearDup.hyperplanes(4, 64)).as("bucket"))
+      val edges = b.as("a").join(b.as("c"),
+          col("a.bucket") === col("c.bucket") &&
+            col("a.vec_id") < col("c.vec_id"))
+        .filter(floor(cosineSimilarityNative(col("a.embedding"),
+            col("c.embedding")) * lit(1e4) + lit(0.5)).cast("long")
+          >= 1500L)
+        .select(col("a.vec_id").as("u"), col("c.vec_id").as("v"))
+      Graph.triangleStats(edges, "u", "v")
     })
   )
 
@@ -4290,9 +4317,7 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
     * sign → identical bucket. The plane components are exact binary
     * fractions (k/1024) whose shortest decimal repr round-trips exactly
     * through both parsers. */
-  private lazy val q44BucketSql: String = {
-    val dim = 64
-    val bits = 8
+  private def hyperplaneBucketSql(bits: Int, dim: Int): String = {
     val planes = NearDup.hyperplanes(bits, dim)
     (0 until bits).map { b =>
       val dot = (0 until dim).map(j =>
@@ -4301,6 +4326,7 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
       s"(CASE WHEN $dot >= 0 THEN '1' ELSE '0' END)"
     }.mkString(" || ")
   }
+  private lazy val q44BucketSql: String = hyperplaneBucketSql(8, 64)
 
   /** The BM25 replay CTEs (tokenize → per-term tf → integer corpus
     * stats → scored `lex`), shared VERBATIM by the q63 oracle and
@@ -7398,7 +7424,51 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
          SELECT src, rank::BIGINT AS rank, nbr, dist
          FROM r WHERE rank <= 3 ORDER BY src, rank""",
 
-    "q136_mmr_rerank" -> mmrOracleSql
+    "q136_mmr_rerank" -> mmrOracleSql,
+
+    // q137: identical bucket literals (4-bit q44 machinery), integer
+    // edge threshold, the same (degree, id) orientation CASE, and the
+    // path ⋈ edge closure — pure integer counts, `//` == Spark's div
+    // on the positive operands here.
+    "q137_graph_triangles" ->
+      raw"""WITH b AS (
+           SELECT vec_id, embedding, ${hyperplaneBucketSql(4, 64)}
+             AS bucket
+           FROM embeddings),
+         e AS (
+           SELECT a.vec_id AS u, c.vec_id AS v
+           FROM b a JOIN b c
+             ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+           WHERE CAST(floor(list_cosine_similarity(a.embedding::DOUBLE[],
+             c.embedding::DOUBLE[]) * 1e4 + 0.5::DOUBLE) AS BIGINT)
+             >= 1500),
+         deg AS (
+           SELECT node, count(*) AS d
+           FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+           GROUP BY 1),
+         o AS (
+           SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+                    THEN e.u ELSE e.v END AS s,
+                  CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+                    THEN e.v ELSE e.u END AS t
+           FROM e
+           JOIN deg du ON du.node = e.u
+           JOIN deg dv ON dv.node = e.v),
+         tri AS (
+           SELECT count(*) AS n_triangles
+           FROM o e1
+           JOIN o e2 ON e1.t = e2.s
+           JOIN o e3 ON e3.s = e1.s AND e3.t = e2.t),
+         w AS (SELECT count(*) AS n_nodes,
+                 sum(d * (d - 1) // 2) AS n_wedges FROM deg),
+         ne AS (SELECT count(*) AS n_edges FROM e)
+         SELECT n_nodes::BIGINT AS n_nodes, n_edges::BIGINT AS n_edges,
+           n_wedges::BIGINT AS n_wedges,
+           n_triangles::BIGINT AS n_triangles,
+           (CASE WHEN n_wedges > 0
+             THEN 3 * n_triangles * 1000000 // n_wedges
+             ELSE 0 END)::BIGINT AS clustering_ppm
+         FROM w, ne, tri"""
   )
 
   /** q136's unrolled greedy-MMR oracle: candidate pool + pairwise-sim

@@ -82,4 +82,64 @@ object Graph {
     }
     ranks
   }
+
+  /** Triangle census over an UNDIRECTED edge frame (one row per edge,
+    * any orientation, no self-loops required to be pre-filtered):
+    * node/edge/wedge/triangle counts and the global clustering
+    * coefficient `3·triangles / wedges` in integer ppm — the
+    * cohesion report for similarity graphs (how clique-y are the
+    * near-dup neighborhoods q135/q44 produce?).
+    *
+    * Exact integers throughout: wedges = Σ_v d(v)·(d(v)−1)/2 (the
+    * product of consecutive integers is even, so the halving is an
+    * exact IntegralDivide), triangles by DEGREE-ORIENTED counting —
+    * every edge points from its lower (degree, id) endpoint to the
+    * higher, each triangle closes exactly one oriented path — and the
+    * coefficient is one truncating `div`.
+    *
+    * The degree orientation is the scale device (Cohen 2009; the
+    * GraphX/Spark implementations do the same): path fan-out is
+    * Σ out-deg², and out-degree under (deg, id) orientation is
+    * O(√edges) even on power-law graphs — a hub of degree 10⁶ emits
+    * NO paths (every neighbor outranks... is outranked by it), where
+    * id-ordered orientation would square the hub. Three shuffles
+    * total: degree count, the two orient joins, the path⋈edge close
+    * (map-side-combined counts everywhere). */
+  def triangleStats(edges: DataFrame, uCol: String,
+      vCol: String): DataFrame = {
+    val e = edges.select(col(uCol).as("u"), col(vCol).as("v"))
+      .filter(col("u") =!= col("v"))
+    val deg = e.select(col("u").as("node"))
+      .union(e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    // orient: src = lower (deg, id) endpoint. Two joins fold both
+    // endpoint degrees onto the edge row; the orientation key is
+    // engine-replayable because (deg, id) pairs are exact integers.
+    val withDeg = e
+      .join(deg.select(col("node").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("d").as("dv")), "v")
+    val oriented = withDeg.select(
+      when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")),
+        struct(col("u").as("s"), col("v").as("t")))
+        .otherwise(struct(col("v").as("s"), col("u").as("t")))
+        .as("o"))
+      .select(col("o.s").as("s"), col("o.t").as("t"))
+    val paths = oriented.as("e1")
+      .join(oriented.as("e2"), col("e1.t") === col("e2.s"))
+      .select(col("e1.s").as("a"), col("e2.t").as("c"))
+    val triangles = paths.join(oriented.as("e3"),
+        col("a") === col("e3.s") && col("c") === col("e3.t"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val wedges = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      sum(expr("d * (d - 1) div 2")).as("n_wedges"))
+    val nEdges = e.agg(count(lit(1)).as("n_edges"))
+    wedges.crossJoin(nEdges).crossJoin(triangles)
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        when(col("n_wedges") > 0L,
+          expr("3 * n_triangles * 1000000 div n_wedges"))
+          .otherwise(lit(0L)).as("clustering_ppm"))
+  }
 }

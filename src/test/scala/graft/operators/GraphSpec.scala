@@ -55,4 +55,50 @@ class GraphSpec extends SparkSpec {
     assert(ranksOf(mirrored, 3, parts = 1) == ranksOf(mirrored, 3, parts = 13),
       "rank vector moved with partition count")
   }
+
+  private def triStats(edges: Seq[(Long, Long)]) =
+    Graph.triangleStats(edges.toDF("u", "v"), "u", "v").collect().head
+
+  test("triangleStats counts a known census: K4 plus a pendant") {
+    // K4 on 1..4 (4 triangles, 12 wedges) + pendant 5-1
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (5L, 1L))
+    val r = triStats(k4)
+    assert(r.getLong(0) == 5L) // nodes
+    assert(r.getLong(1) == 7L) // edges
+    // degrees: 1→4, 2→3, 3→3, 4→3, 5→1 ⇒ wedges 6+3+3+3+0 = 15
+    assert(r.getLong(2) == 15L)
+    assert(r.getLong(3) == 4L) // triangles
+    assert(r.getLong(4) == 3L * 4L * 1000000L / 15L) // 800000
+  }
+
+  test("triangleStats: a triangle-free graph (star) reports zero with nonzero wedges") {
+    val star = (2L to 6L).map(i => (1L, i))
+    val r = triStats(star)
+    assert(r.getLong(3) == 0L)
+    assert(r.getLong(2) == 10L) // C(5,2) wedges through the hub
+    assert(r.getLong(4) == 0L)
+  }
+
+  test("triangleStats is orientation- and layout-invariant") {
+    val tri = Seq((1L, 2L), (3L, 2L), (1L, 3L), (4L, 1L))
+    val flipped = tri.map(_.swap)
+    val a = triStats(tri)
+    val b = triStats(flipped)
+    assert(a.toSeq == b.toSeq)
+    val parts = Graph.triangleStats(
+      tri.toDF("u", "v").repartition(7), "u", "v").collect().head
+    assert(a.toSeq == parts.toSeq)
+  }
+
+  test("triangleStats: degree orientation keeps hub fan-out bounded") {
+    // a hub of degree 40 with triangle-free spokes: the hub must emit
+    // NO oriented paths (every spoke has lower (deg, id)), so the path
+    // frame is empty — the Cohen-orientation scale property, observable
+    // as a zero-row path join even though wedges are C(40,2)
+    val hub = (2L to 41L).map(i => (1L, i))
+    val r = triStats(hub)
+    assert(r.getLong(2) == (40L * 39L) / 2L)
+    assert(r.getLong(3) == 0L)
+  }
 }
