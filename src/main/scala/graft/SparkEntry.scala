@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
-import graft.operators.{AsofJoin, BinaryHash, Bm25, Fusion, Graph, IvfIndex, KnnSearch, Mixer, NearDup, PostRetrieval, Pq, RagPipeline, Ranker, RangeJoin, Rerank, Sampler, Sketches, SkewJoin, SnapshotDiff, TimeSeries}
+import graft.operators.{AsofJoin, BinaryHash, Bm25, Fusion, Graph, IvfIndex, KnnSearch, Mixer, NearDup, PostRetrieval, Pq, RagPipeline, Ranker, RangeJoin, Rerank, Sampler, Sketches, SkewJoin, SnapshotDiff, TimeSeries, VectorStats}
 import graft.plans.VectorExpressions
 import graft.sources.{MarkdownIngest, Multimodal}
 
@@ -4303,6 +4303,20 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
           >= 1500L)
         .select(col("a.vec_id").as("u"), col("c.vec_id").as("v"))
       Graph.triangleStats(edges, "u", "v")
+    }),
+
+    "q138_dim_covariance" -> ((s, dir) => {
+      // Dimension-covariance report — the QA pass before PCA/whitening
+      // or an index build: the top-20 most-covariant dimension pairs
+      // of the embedding corpus, from EXACT integer moments (vectors
+      // quantized floor(v·2^10+0.5); n, Σqi, Σqi², Σqiqj are order-
+      // free long sums — the q131 argument applied to the whole
+      // matrix). ONE corpus pass: each row explodes into 2 145 moment
+      // cells and map-side partial aggregation collapses them before
+      // the single pairs-sized shuffle. Correlation = the integer
+      // covariance over the two integer stddev cores, floor-6dp.
+      VectorStats.topCovariantPairs(t(s, dir, "embeddings"),
+        "embedding", k = 20)
     })
   )
 
@@ -7468,7 +7482,38 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
            (CASE WHEN n_wedges > 0
              THEN 3 * n_triangles * 1000000 // n_wedges
              ELSE 0 END)::BIGINT AS clustering_ppm
-         FROM w, ne, tri"""
+         FROM w, ne, tri""",
+
+    // q138: the same quantized integer moments (n·Sij − Si·Sj exact
+    // longs), the same floor-6dp Pearson; lateral range() cross joins
+    // regenerate the upper triangle.
+    "q138_dim_covariance" ->
+      raw"""WITH vq AS (
+           SELECT list_transform(embedding, x ->
+             CAST(floor(x::DOUBLE * 1024 + 0.5::DOUBLE) AS BIGINT))
+             AS q
+           FROM embeddings WHERE embedding IS NOT NULL),
+         nn AS (SELECT count(*) AS n FROM vq),
+         dims AS (
+           SELECT i, sum(q[i + 1]) AS s, sum(q[i + 1] * q[i + 1]) AS ss
+           FROM vq, range(64) t(i) GROUP BY i),
+         pairs AS (
+           SELECT a.i AS i, b.i AS j, sum(q[a.i + 1] * q[b.i + 1]) AS sij
+           FROM vq, range(64) a(i), range(64) b(i)
+           WHERE a.i < b.i GROUP BY 1, 2)
+         SELECT pairs.i::BIGINT AS dim_i, pairs.j::BIGINT AS dim_j,
+           (nn.n * sij - di.s * dj.s)::BIGINT AS cov_scaled,
+           (CASE WHEN nn.n * di.ss - di.s * di.s > 0
+                  AND nn.n * dj.ss - dj.s * dj.s > 0
+             THEN floor((nn.n * sij - di.s * dj.s)::DOUBLE
+               / (sqrt((nn.n * di.ss - di.s * di.s)::DOUBLE)
+                  * sqrt((nn.n * dj.ss - dj.s * dj.s)::DOUBLE))
+               * 1e6 + 0.5::DOUBLE) / 1e6
+             ELSE NULL END) AS corr_6dp
+         FROM pairs, nn
+         JOIN dims di ON di.i = pairs.i
+         JOIN dims dj ON dj.i = pairs.j
+         ORDER BY abs(cov_scaled) DESC, dim_i, dim_j LIMIT 20"""
   )
 
   /** q136's unrolled greedy-MMR oracle: candidate pool + pairwise-sim

@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Cross-dimension statistics of an embedding column — the QA pass
+  * before PCA/whitening or an index build: which dimensions are
+  * redundant (high |covariance|), which carry no signal. The input to
+  * every classical decomposition is the Gram/covariance matrix, and at
+  * corpus scale THAT is the expensive object — once the dim×dim
+  * moments exist (KBs), the eigen-work is driver-trivial. This
+  * operator produces those moments exactly.
+  *
+  * Deterministic-integer regime: vectors are quantized
+  * `floor(v·2^10 + 0.5)` to longs first, so every moment
+  * (n, Σqᵢ, Σqᵢqⱼ) is an order-free long sum — bit-stable under any
+  * partitioning and replayable in SQL — where double accumulation
+  * would be partition-order-dependent (the q131 argument, applied to
+  * the whole matrix). Doubles appear only in the final per-pair
+  * Pearson correlation (two correctly-rounded sqrts and one division,
+  * floor-rounded at 6 dp).
+  *
+  * Scale shape: ONE corpus pass. Each row explodes into its
+  * `dim·(dim+1)/2` upper-triangle product cells PLUS `dim` linear-sum
+  * cells (j = −1) PLUS one count cell (i = j = −1), and a single
+  * (i, j)-keyed aggregation with map-side partial combine collapses
+  * them — every partition emits at most 2 145 partial rows at dim 64,
+  * so the one shuffle is pairs-sized, never corpus-sized, and n / Σqᵢ
+  * / Σqᵢ² / Σqᵢqⱼ all ride the same scan. At dim ≳ 512 the explode
+  * fan-out (~131k cells/row) starts to dominate and the right spelling
+  * becomes a mapPartitions accumulate-into-array pass (the
+  * [[graft.functions.BatchEmbedder]] seam pattern) — documented, not
+  * needed at this dim. Overflow bound: |q| ≤ 2^10·|v|, so
+  * n·Σqᵢqⱼ − Σqᵢ·Σqⱼ ≤ n²·2^22·max|v|² — inside a long for
+  * n ≤ 2^20 rows at |v| ≤ 2, and the quantization scale is the knob
+  * for bigger corpora. */
+object VectorStats {
+
+  /** quantization scale — 2^10 keeps q ≤ ~2^10, products ≤ ~2^20,
+    * and the headroom analysis above simple */
+  val QuantScale = 1024
+
+  /** All integer moments in ONE pass: rows `(i, j, s)` where
+    * (i≥0, j≥0) carries Σqᵢqⱼ over the upper triangle i ≤ j,
+    * (i≥0, j=−1) carries Σqᵢ, and (−1, −1) carries the row count. */
+  private[operators] def moments(df: DataFrame,
+      vecCol: String): DataFrame = {
+    val q = transform(col(vecCol),
+      x => floor(x.cast("double") * lit(QuantScale) + lit(0.5))
+        .cast("long"))
+    val idx = sequence(lit(0), size(col("__q")) - 1)
+    df.filter(col(vecCol).isNotNull)
+      .select(q.as("__q"))
+      .select(explode(concat(
+        flatten(transform(idx,
+          i => transform(sequence(i, size(col("__q")) - 1),
+            j => struct(i.as("i"), j.as("j"),
+              (element_at(col("__q"), i + 1) *
+                element_at(col("__q"), j + 1)).as("s"))))),
+        transform(idx, i => struct(i.as("i"), lit(-1).as("j"),
+          element_at(col("__q"), i + 1).as("s"))),
+        array(struct(lit(-1).as("i"), lit(-1).as("j"),
+          lit(1L).as("s"))))).as("c"))
+      .groupBy(col("c.i").as("i"), col("c.j").as("j"))
+      .agg(sum(col("c.s")).as("s"))
+  }
+
+  /** The top-`k` most-covariant OFF-diagonal dimension pairs:
+    * `(dim_i, dim_j, cov_scaled = n·Σqᵢqⱼ − Σqᵢ·Σqⱼ, corr_6dp)`,
+    * ranked by |cov_scaled| (exact longs) with (i, j) ties. The
+    * correlation divides the integer covariance by the two integer
+    * standard-deviation cores — the q131 spelling per pair. */
+  def topCovariantPairs(df: DataFrame, vecCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    // the aggregated moment frame is ≤ dim·(dim+3)/2 + 1 rows; pin it
+    // so the three views below (pairs, linear sums, count) reuse ONE
+    // corpus scan instead of re-deriving it per join branch
+    val m = moments(df, vecCol).localCheckpoint()
+    val pairs = m.filter(col("i") >= 0 && col("j") >= 0 &&
+      col("i") < col("j")).select(col("i"), col("j"),
+      col("s").as("s_ij"))
+    val diag = m.filter(col("i") >= 0 && col("i") === col("j"))
+      .select(col("i"), col("s").as("ss"))
+    val lin = m.filter(col("j") === -1 && col("i") >= 0)
+      .select(col("i"), col("s").as("sl"))
+    val dims = lin.join(diag, "i")
+    val n = m.filter(col("i") === -1).select(col("s").as("n"))
+    pairs
+      .join(broadcast(dims.select(col("i"), col("sl").as("s_i"),
+        col("ss").as("ss_i"))), "i")
+      .join(broadcast(dims.select(col("i").as("j"),
+        col("sl").as("s_j"), col("ss").as("ss_j"))), "j")
+      .crossJoin(broadcast(n))
+      .select(col("i").cast("long").as("dim_i"),
+        col("j").cast("long").as("dim_j"),
+        (col("n") * col("s_ij") - col("s_i") * col("s_j"))
+          .as("cov_scaled"),
+        // a zero-variance dim has no correlation: emit NULL, never a
+        // divide-by-zero (ANSI mode) or a NaN that sorts surprisingly
+        when(col("n") * col("ss_i") - col("s_i") * col("s_i") > 0L &&
+            col("n") * col("ss_j") - col("s_j") * col("s_j") > 0L,
+          KnnSearch.roundHalfUpCol(
+            (col("n") * col("s_ij") - col("s_i") * col("s_j"))
+              .cast("double") /
+              (sqrt((col("n") * col("ss_i") - col("s_i") * col("s_i"))
+                .cast("double")) *
+                sqrt((col("n") * col("ss_j") - col("s_j") * col("s_j"))
+                  .cast("double"))), 6)).as("corr_6dp"))
+      .orderBy(abs(col("cov_scaled")).desc, col("dim_i"), col("dim_j"))
+      .limit(k)
+  }
+}
