@@ -4317,6 +4317,20 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
       // covariance over the two integer stddev cores, floor-6dp.
       VectorStats.topCovariantPairs(t(s, dir, "embeddings"),
         "embedding", k = 20)
+    }),
+
+    "q139_postings_export" -> ((s, dir) => {
+      // Inverted-index build (the artifact face of the BM25 stack):
+      // per-term df/cf/max_tf/extent plus md5 digests of the sorted
+      // doc:tf postings AND the gap-encoded doc ids (the classic
+      // index-compression step) — digests keep the gate row-bounded
+      // while pinning every byte of the artifact. One tokenize scan,
+      // one (term, doc) shuffle with map-side combine, one per-term
+      // fold; gated on the top-30 terms by collection frequency.
+      VectorExpressions.ensureRegistered(s)
+      Bm25.postingsExport(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("cf").desc, col("term"))
+        .limit(30)
     })
   )
 
@@ -7513,7 +7527,36 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
          FROM pairs, nn
          JOIN dims di ON di.i = pairs.i
          JOIN dims dj ON dj.i = pairs.j
-         ORDER BY abs(cov_scaled) DESC, dim_i, dim_j LIMIT 20"""
+         ORDER BY abs(cov_scaled) DESC, dim_i, dim_j LIMIT 20""",
+
+    // q139: the same whitespace tokenizer CTE as every lexical oracle,
+    // postings rebuilt with ORDER BY inside the aggregates, gaps via
+    // list arithmetic — md5 digests compare byte-for-byte.
+    "q139_postings_export" ->
+      raw"""WITH tk AS (
+           SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+               t -> len(t) > 0)) AS term
+           FROM documents WHERE text IS NOT NULL),
+         tf AS (
+           SELECT term, doc_id, count(*) AS tf
+           FROM tk GROUP BY 1, 2),
+         p AS (
+           SELECT term, count(*) AS df, sum(tf) AS cf,
+             max(tf) AS max_tf,
+             min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+             string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id)
+               AS plist,
+             list(doc_id ORDER BY doc_id) AS dl
+           FROM tf GROUP BY term)
+         SELECT term, df::BIGINT AS df, cf::BIGINT AS cf,
+           max_tf::BIGINT AS max_tf, first_doc, last_doc,
+           md5(plist) AS postings_md5,
+           md5(array_to_string(list_concat([dl[1]::VARCHAR],
+             list_transform(range(2, len(dl) + 1),
+               i -> (dl[i] - dl[i - 1])::VARCHAR)), ','))
+             AS delta_md5
+         FROM p ORDER BY cf DESC, term LIMIT 30"""
   )
 
   /** q136's unrolled greedy-MMR oracle: candidate pool + pairwise-sim

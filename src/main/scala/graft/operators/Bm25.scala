@@ -302,4 +302,60 @@ object Bm25 {
       .filter(col("__rn") <= k)
       .drop("__rn")
   }
+
+  /** Inverted-index BUILD — the artifact face of the lexical stack
+    * (what a serving index loads, what [[topK]] scores against
+    * conceptually): per term, document frequency, collection
+    * frequency, max tf, the doc-id extent, and two digests of the
+    * postings list itself — `postings_md5` over the sorted
+    * `doc:tf` pairs and `delta_md5` over the GAP-ENCODED doc ids
+    * (first id, then successive differences — the classic index
+    * compression step: gaps are small, varint-friendly numbers where
+    * absolute ids are not). Digests, not raw lists, keep the gated
+    * output row-bounded while still pinning every byte of the
+    * artifact.
+    *
+    * Shape: one tokenize-explode scan → (term, doc) tf aggregation
+    * (map-side combine, the only corpus-scale shuffle) → per-term
+    * fold of the sorted postings. The per-term value state is the
+    * term's postings list — that is the ARTIFACT, not an accident,
+    * and at 100 TB a stop-word's postings do not fit one reducer
+    * row: the production spelling shards each term's postings into
+    * doc-id ranges (term, shard) and digests per shard (the same
+    * code keyed by `(term, doc_id div shardSpan)`), then serves
+    * shard lists per term. The unsharded form here matches the
+    * reference-scale corpus and keeps the oracle replay direct. */
+  def postingsExport(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val tf = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("__doc"),
+        explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("term"), col("__doc"))
+      .agg(count(lit(1)).as("__tf"))
+    tf.groupBy(col("term"))
+      .agg(
+        count(lit(1)).as("df"),
+        sum(col("__tf")).as("cf"),
+        max(col("__tf")).as("max_tf"),
+        min(col("__doc")).as("first_doc"),
+        max(col("__doc")).as("last_doc"),
+        sort_array(collect_list(struct(col("__doc").as("d"),
+          col("__tf").as("t")))).as("__p"))
+      .select(col("term"), col("df"), col("cf"), col("max_tf"),
+        col("first_doc"), col("last_doc"),
+        md5(array_join(transform(col("__p"),
+          p => concat(p.getField("d").cast("string"), lit(":"),
+            p.getField("t").cast("string"))), ",")).as("postings_md5"),
+        md5(array_join(concat(
+          array(element_at(col("__p"), 1).getField("d").cast("string")),
+          // guard df = 1: Spark's sequence(2, 1) DESCENDS instead of
+          // being empty, which would fabricate a bogus gap
+          when(size(col("__p")) >= 2,
+            transform(sequence(lit(2), size(col("__p"))),
+              i => (element_at(col("__p"), i).getField("d") -
+                element_at(col("__p"), i - 1).getField("d"))
+                .cast("string")))
+            .otherwise(typedLit(Seq.empty[String]))), ","))
+          .as("delta_md5"))
+  }
 }

@@ -123,4 +123,43 @@ class Bm25Spec extends SparkSpec {
         "qid", "terms", k = 5, precomputed = Some(cs))
     }
   }
+
+  test("postingsExport digests match hand-built postings strings") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (10L, "alpha beta alpha"),
+      (3L, "beta gamma"),
+      (25L, "alpha")
+    ).toDF("doc_id", "text")
+    val r = Bm25.postingsExport(docs, "doc_id", "text")
+      .collect().map(x => x.getString(0) -> x).toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // alpha: docs 3? no — docs 10 (tf 2) and 25 (tf 1), sorted by id
+    val a = r("alpha")
+    assert(a.getLong(1) == 2L && a.getLong(2) == 3L && a.getLong(3) == 2L)
+    assert(a.getLong(4) == 10L && a.getLong(5) == 25L)
+    assert(a.getString(6) == md5hex("10:2,25:1"))
+    assert(a.getString(7) == md5hex("10,15")) // gap-encoded
+    // beta: docs 3 and 10
+    assert(r("beta").getString(6) == md5hex("3:1,10:1"))
+    assert(r("beta").getString(7) == md5hex("3,7"))
+    // gamma: df = 1 — the delta string is just the first id (the
+    // sequence(2,1)-descends guard)
+    assert(r("gamma").getLong(1) == 1L)
+    assert(r("gamma").getString(7) == md5hex("3"))
+  }
+
+  test("postingsExport is layout-invariant") {
+    import spark.implicits._
+    val docs = (0L until 60L).map(i =>
+      (i, s"t${i % 7} t${i % 3} shared")).toDF("doc_id", "text")
+    val a = Bm25.postingsExport(docs.repartition(1), "doc_id", "text")
+      .orderBy("term").collect().map(_.toSeq).toSeq
+    val b = Bm25.postingsExport(docs.repartition(11), "doc_id", "text")
+      .orderBy("term").collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
 }
