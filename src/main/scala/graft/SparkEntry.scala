@@ -4331,6 +4331,25 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
       Bm25.postingsExport(t(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("cf").desc, col("term"))
         .limit(30)
+    }),
+
+    "q140_waterfill_budget" -> ((s, dir) => {
+      // Max-min fair token-budget allocation across sources (the
+      // progressive-filling planner that precedes a mix): a 60%
+      // budget satisfies small sources in full and caps the large
+      // ones at a common water level, remainder distributed
+      // deterministically — Σ alloc = budget EXACTLY. Closed form
+      // over one sorted pass of the AGGREGATED demand frame
+      // (strata-sized windows, not corpus windows), every comparison
+      // cross-multiplied integers. The corpus-scale work is one
+      // map-side-combined token-count aggregation.
+      VectorExpressions.ensureRegistered(s)
+      val demands = t(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .groupBy(col("source"))
+        .agg(sum(tokenCount(col("text"))).as("demand"))
+      Mixer.waterfillPct(demands, "source", "demand", pctTenths = 6)
+        .orderBy(col("source"))
     })
   )
 
@@ -7556,7 +7575,41 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
              list_transform(range(2, len(dl) + 1),
                i -> (dl[i] - dl[i - 1])::VARCHAR)), ','))
              AS delta_md5
-         FROM p ORDER BY cf DESC, term LIMIT 30"""
+         FROM p ORDER BY cf DESC, term LIMIT 30""",
+
+    // q140: identical sorted-pass closed form — cross-multiplied
+    // satisfaction test, prefix sums over the same (demand, source)
+    // order, `//`/`%` on non-negative operands == Spark's div/%.
+    "q140_waterfill_budget" ->
+      raw"""WITH d AS (
+           SELECT source,
+             sum(len(list_filter(string_split_regex(text, '\s+'),
+               t -> len(t) > 0)))::BIGINT AS demand
+           FROM documents WHERE text IS NOT NULL GROUP BY source),
+         b AS (SELECT sum(demand) * 6 // 10 AS budget FROM d),
+         s AS (
+           SELECT source, demand, budget,
+             row_number() OVER (ORDER BY demand, source) AS rk,
+             coalesce(sum(demand) OVER (ORDER BY demand, source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS pre,
+             count(*) OVER () AS n
+           FROM d, b),
+         t AS (SELECT *, (demand * (n - rk + 1) <= budget - pre) AS sat
+               FROM s),
+         u AS (
+           SELECT *,
+             sum(CASE WHEN sat THEN demand ELSE 0 END) OVER () AS satsum,
+             sum(CASE WHEN sat THEN 1 ELSE 0 END) OVER () AS satcnt
+           FROM t)
+         SELECT source, demand,
+           (CASE WHEN sat THEN demand
+             ELSE (budget - satsum) // (n - satcnt)
+               + (CASE WHEN rk - satcnt <=
+                   (budget - satsum) % (n - satcnt)
+                 THEN 1 ELSE 0 END) END)::BIGINT AS alloc,
+           (CASE WHEN sat THEN 1 ELSE 0 END)::BIGINT AS satisfied
+         FROM u ORDER BY source"""
   )
 
   /** q136's unrolled greedy-MMR oracle: candidate pool + pairwise-sim

@@ -77,6 +77,80 @@ object Mixer {
     * md5 gate — so the whole mix replays deterministically (the pow()
     * cross-library seam is last-ulp, the same accepted class as BM25's
     * ln()). Empty strata get rate 0 (nothing to keep). */
+  /** Max-min fair (water-filling) budget allocation across strata —
+    * the budget planner that precedes a mix: given each stratum's
+    * token DEMAND and a total budget, satisfy small strata in full
+    * and cap the large ones at a common water level, so no stratum
+    * starves and no token of budget is left unspent (the classic
+    * progressive-filling allocation; mC4/data-mixture planning uses
+    * exactly this shape to cap head languages).
+    *
+    * EXACT integers end to end, closed-form over one sorted pass:
+    * strata sort ascending by (demand, key); stratum k (of n) is
+    * SATISFIED iff `d_k·(n−k+1) ≤ budget − prefix_{k−1}` — the
+    * cross-multiplied spelling of `d_k ≤ remaining/(n−k+1)`, and a
+    * self-consistent one: if k is unsatisfied then so is every larger
+    * k (provable from the inequality, spec-pinned), so the satisfied
+    * set is a prefix even though the prefix sums count full demands.
+    * Unsatisfied strata split the remaining budget as
+    * `base = R div m` with the first `R mod m` of them (in the same
+    * sort order) getting one extra — Σ alloc = min(budget, Σ demand)
+    * EXACTLY, never an off-by-rounding leak.
+    *
+    * Scale: the windows run over the AGGREGATED per-stratum frame
+    * (strata-count rows, not corpus rows) — a single-partition window
+    * here is strata-sized by construction, not the q129 hazard. */
+  def waterfill(demands: DataFrame, keyCol: String, demandCol: String,
+      budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    waterfillCore(demands.withColumn("__budget", lit(budget)),
+      keyCol, demandCol)
+  }
+
+  /** [[waterfill]] with the budget derived IN-PLAN as
+    * `pctTenths/10` of total demand (no driver-side collect — the
+    * 1-row total joins back). */
+  def waterfillPct(demands: DataFrame, keyCol: String,
+      demandCol: String, pctTenths: Int): DataFrame = {
+    require(pctTenths >= 0 && pctTenths <= 10,
+      s"pctTenths must be in [0, 10], got $pctTenths")
+    val tot = demands.agg(
+      expr(s"sum($demandCol) * $pctTenths div 10").as("__budget"))
+    waterfillCore(demands.crossJoin(broadcast(tot)),
+      keyCol, demandCol)
+  }
+
+  private def waterfillCore(withBudget: DataFrame, keyCol: String,
+      demandCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col(demandCol), col(keyCol))
+    val all = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val staged = withBudget
+      .withColumn("__rk", row_number().over(w).cast("long"))
+      .withColumn("__pre", coalesce(sum(col(demandCol)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__n", count(lit(1)).over(all))
+      .withColumn("__sat",
+        col(demandCol) * (col("__n") - col("__rk") + 1L)
+          <= col("__budget") - col("__pre"))
+      .withColumn("__satSum",
+        sum(when(col("__sat"), col(demandCol)).otherwise(0L)).over(all))
+      .withColumn("__satCnt",
+        sum(when(col("__sat"), 1L).otherwise(0L)).over(all))
+    staged.select(
+      col(keyCol),
+      col(demandCol).as("demand"),
+      when(col("__sat"), col(demandCol))
+        .otherwise(
+          expr("(__budget - __satSum) div (__n - __satCnt)") +
+            when(col("__rk") - col("__satCnt") <=
+              expr("(__budget - __satSum) % (__n - __satCnt)"), 1L)
+              .otherwise(0L))
+        .as("alloc"),
+      col("__sat").cast("long").as("satisfied"))
+  }
+
   def temperatureRates(
       counts: Map[String, Long],
       temperature: Double): Map[String, Double] = {

@@ -81,4 +81,65 @@ class MixerSpec extends SparkSpec {
       Mixer.temperatureRates(Map.empty[String, Long], 0.7))
   }
 
+  private def alloc(ds: Seq[(String, Long)], budget: Long) = {
+    import spark.implicits._
+    Mixer.waterfill(ds.toDF("k", "d"), "k", "d", budget)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+  }
+
+  test("waterfill: small strata satisfied in full, large capped at a common level") {
+    // demands 10, 20, 100, 100; budget 80: 10 + 20 fit, the two big
+    // ones split 50 -> 25 each
+    val a = alloc(Seq("a" -> 10L, "b" -> 20L, "c" -> 100L, "d" -> 100L),
+      80L)
+    assert(a("a") == ((10L, 10L, 1L)))
+    assert(a("b") == ((20L, 20L, 1L)))
+    assert(a("c") == ((100L, 25L, 0L)))
+    assert(a("d") == ((100L, 25L, 0L)))
+  }
+
+  test("waterfill: the allocation sums EXACTLY to min(budget, total demand)") {
+    // remainder distribution: budget 82 over the same demands gives
+    // 10+20 + 26+26 — the first unsatisfied (sort order) gets the +1s
+    val a = alloc(Seq("a" -> 10L, "b" -> 20L, "c" -> 100L, "d" -> 100L),
+      82L)
+    assert(a.values.map(_._2).sum == 82L)
+    assert(a("c")._2 == 26L && a("d")._2 == 26L)
+    val b = alloc(Seq("a" -> 10L, "b" -> 20L, "c" -> 100L, "d" -> 101L),
+      83L)
+    assert(b.values.map(_._2).sum == 83L)
+    // 53 over two: base 26 rem 1 -> c (earlier in (demand, key) order)
+    // gets 27
+    assert(b("c")._2 == 27L && b("d")._2 == 26L)
+    // abundant budget: everyone satisfied, sum == total demand
+    val c = alloc(Seq("a" -> 10L, "b" -> 20L), 1000L)
+    assert(c.values.map(_._2).sum == 30L)
+    assert(c.values.forall(_._3 == 1L))
+  }
+
+  test("waterfill: unsatisfied strata form a suffix of the (demand, key) order") {
+    val ds = Seq("a" -> 5L, "b" -> 7L, "c" -> 11L, "d" -> 13L,
+      "e" -> 17L, "f" -> 100L)
+    for (budget <- Seq(0L, 3L, 20L, 40L, 60L, 200L)) {
+      val a = alloc(ds, budget)
+      val ordered = ds.sortBy { case (k, d) => (d, k) }
+        .map { case (k, _) => a(k)._3 }
+      assert(ordered == ordered.sorted.reverse,
+        s"satisfied flags not a prefix at budget=$budget: $ordered")
+      assert(a.values.map(_._2).sum ==
+        math.min(budget, ds.map(_._2).sum))
+    }
+  }
+
+  test("waterfillPct derives the budget in-plan: 6/10 of total demand") {
+    import spark.implicits._
+    val ds = Seq("a" -> 10L, "b" -> 20L, "c" -> 100L).toDF("k", "d")
+    val viaPct = Mixer.waterfillPct(ds, "k", "d", 6)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val viaAbs = Mixer.waterfill(ds, "k", "d", 130L * 6 / 10)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(viaPct == viaAbs)
+    assert(viaPct.values.sum == 78L)
+  }
 }
