@@ -819,6 +819,10 @@ object IvfIndex {
     // silently break the component prune for every later scoped search
     withCodes.write.mode(SaveMode.Append)
       .partitionBy(idx.componentCol.toSeq :+ ClusterCol: _*).parquet(path)
+    // drop the session's cached file listing for the root: a reader
+    // whose listing predates the append would silently miss the new
+    // rows (and a post-delete reader would plan against removed files)
+    spark.catalog.refreshByPath(path)
   }
 
   /** Compact a fragmented index root into `destPath`: incremental
@@ -946,6 +950,89 @@ object IvfIndex {
       }
       graft.plans.IvfAutoProbe.invalidate(spark, destPath)
     } finally releaseCompactLock(spark, srcPath)
+  }
+
+  /** Targeted deletion from a PERSISTED index root — the
+    * right-to-be-forgotten pass and the `removed`/`changed` leg of a
+    * CDC-driven incremental maintenance cycle
+    * ([[graft.operators.SnapshotDiff]] → delete old rows → [[appendTo]]
+    * new rows; centroids stay fixed like every other index mutation,
+    * the documented drift trade-off). Mirrors
+    * [[graft.sources.CorpusStore.deleteByIds]]: only the partition
+    * directories that actually hold a doomed id are rewritten
+    * (dynamic partition overwrite over the index's own layout —
+    * component level included when present); untouched partitions
+    * keep their exact files, the sidecar is never touched, and
+    * re-running the same delete is a no-op.
+    *
+    * Dynamic overwrite has one silent gap this method CLOSES: a
+    * partition whose EVERY row is doomed produces no survivor rows,
+    * so the overwrite never visits it and the stale files would
+    * survive the delete. Fully-emptied partitions are detected from
+    * the survivor counts and their directories removed explicitly.
+    * Returns the number of affected partition directories. Same
+    * non-atomicity note as the corpus-store delete: a crash
+    * mid-rewrite is healed by re-running. */
+  def deleteByIds(spark: SparkSession, path: String, ids: DataFrame,
+      idCol: String, vecCol: String): Int = {
+    require(ids.schema.fields.length == 1,
+      s"ids must be a 1-column frame, got ${ids.schema.simpleString}")
+    val doomed = ids.distinct()
+      .withColumnRenamed(ids.columns.head, "__doomed_id")
+    val idx = load(spark, path, idCol, vecCol)
+    val parts = idx.componentCol.toSeq :+ ClusterCol
+    val data = idx.assigned
+    // the affected PARTITION TUPLES, via a semi-join (bounded by the
+    // partition count, not the corpus)
+    val affected = data
+      .join(doomed, data(idCol) === col("__doomed_id"), "left_semi")
+      .select(parts.map(col): _*).distinct()
+      .localCheckpoint()
+    val nAffected = affected.count().toInt
+    if (nAffected > 0) {
+      // survivors of ONLY the affected partitions; materialized before
+      // the overwrite (read-while-overwrite refusal, same as the
+      // corpus-store delete)
+      val survivors = data
+        .join(affected, parts, "left_semi")
+        .join(doomed, data(idCol) === col("__doomed_id"), "left_anti")
+        .localCheckpoint()
+      val prev = spark.conf
+        .getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+        "dynamic")
+      try survivors.write.mode(SaveMode.Overwrite)
+        .partitionBy(parts: _*).parquet(path)
+      finally prev match {
+        case Some(v) => spark.conf
+          .set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf
+          .unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      // close the dynamic-overwrite gap: affected partitions with ZERO
+      // survivors were never visited by the write — remove their
+      // directories explicitly or the doomed rows silently survive
+      val emptied = affected
+        .join(survivors.select(parts.map(col): _*).distinct(),
+          parts, "left_anti")
+        .collect()
+      if (emptied.nonEmpty) {
+        val conf = spark.sessionState.newHadoopConf()
+        val root = new org.apache.hadoop.fs.Path(path)
+        val fs = root.getFileSystem(conf)
+        emptied.foreach { row =>
+          val rel = parts.zipWithIndex
+            .map { case (p, i) => s"$p=${row.get(i)}" }.mkString("/")
+          fs.delete(new org.apache.hadoop.fs.Path(root, rel), true)
+        }
+      }
+      // the session caches parquet file listings per path — without a
+      // refresh, a reader in this session can plan against files the
+      // overwrite just replaced (FAILED_READ_FILE on the next action)
+      spark.catalog.refreshByPath(path)
+      graft.plans.IvfAutoProbe.invalidate(spark, path)
+    }
+    nAffected
   }
 
   /** Lock file [[compact]] holds on the SOURCE root while it copies —
