@@ -4350,6 +4350,109 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
         .agg(sum(tokenCount(col("text"))).as("demand"))
       Mixer.waterfillPct(demands, "source", "demand", pctTenths = 6)
         .orderBy(col("source"))
+    }),
+
+    "q141_dedup_quality_rep" -> ((s, dir) => {
+      // Quality-aware dedup survivor selection (the FineWeb refinement
+      // of q55/q57): within each near-dup cluster keep the HIGHEST-
+      // QUALITY member, not the smallest id — min-id keeps whichever
+      // copy crawled first; quality-argmax keeps the cleanest copy of
+      // the duplicated content. Clusters are q55's connected
+      // components verbatim; the ranking key is q03's floor-6dp
+      // quality with doc_id ties (both already hash-green), so this
+      // gates the COMPOSITION: cluster labels ⋈ quality → per-cluster
+      // argmax (a WindowGroupLimit rank filter, bounded heaps).
+      VectorExpressions.ensureRegistered(s)
+      val docs = t(s, dir, "documents")
+      val clusters = NearDup.duplicateClusters(
+        NearDup.minhashPairs(docs, "doc_id", "text",
+          shingleN = 3, numHashes = 12, bands = 4, threshold = 0.8))
+      val sw = Seq("the", "a", "of", "and", "value", "table")
+      val quality = docs
+        .select(col("doc_id"), col("text"),
+          tokenStatsNative(col("text"), sw).as("st"))
+        .select(col("doc_id"),
+          qualityFromStats(col("text"), col("st")).as("quality"))
+      val w = Window.partitionBy(col("cluster_rep"))
+        .orderBy(col("quality").desc, col("doc_id"))
+      val best = clusters.join(quality, "doc_id")
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("cluster_rep"), col("doc_id").as("best_doc"),
+          col("quality").as("best_quality"))
+      clusters.groupBy(col("cluster_rep"))
+        .agg(count(lit(1)).as("n_members"))
+        .join(best, "cluster_rep")
+        .orderBy(col("cluster_rep"))
+    }),
+
+    "q142_mrl_recall" -> ((s, dir) => {
+      // Matryoshka-truncation eval (Kusupati et al. 2022 MRL): modern
+      // embedding models front-load signal so a PREFIX of the vector
+      // searches almost as well at a fraction of the cost — recall@10
+      // of exact search on the first 16 of 64 dims vs the full-dim
+      // exact search, as integer ppm (the q109 eval shape pointed at
+      // the dimension axis instead of the probe axis). Both legs are
+      // one TakeOrderedAndProject scan; the truncated leg reads the
+      // same column but computes over a quarter of it — the
+      // scan-width-vs-recall curve this report lets an operator pick.
+      VectorExpressions.ensureRegistered(s)
+      val q = queryVec(s, dir)
+      val emb = t(s, dir, "embeddings")
+      val full = emb.select(col("vec_id"),
+          KnnSearch.roundHalfUpCol(
+            l2DistanceNative(col("embedding"), KnnSearch.litVec(q)), 4)
+            .as("d"))
+        .orderBy(col("d"), col("vec_id")).limit(10)
+        .select(col("vec_id").as("id_f"))
+      val trunc = emb.select(col("vec_id"),
+          KnnSearch.roundHalfUpCol(
+            l2DistanceNative(slice(col("embedding"), 1, 16),
+              KnnSearch.litVec(q.take(16))), 4).as("d"))
+        .orderBy(col("d"), col("vec_id")).limit(10)
+        .select(col("vec_id").as("id_t"))
+      full.join(trunc, col("id_f") === col("id_t"), "full_outer")
+        .agg(lit(10L).as("k"),
+          sum(when(col("id_f").isNotNull && col("id_t").isNotNull, 1L)
+            .otherwise(0L)).as("n_overlap"),
+          count(lit(1)).as("n_union"))
+        .withColumn("recall_ppm", expr("n_overlap * 1000000 div k"))
+    }),
+
+    "q143_returned_items" -> ((s, dir) => {
+      // The TPC-H Q10 shape — top customers by revenue lost to
+      // returned items in a quarter: the canonical
+      // fact⋈fact⋈dim⋈broadcast-dim ranking report. Scale story:
+      // lineitem prunes on l_returnflag BEFORE the one orderkey
+      // shuffle against the date-filtered orders; the customer join
+      // shuffles on custkey (customer is corpus-scale at 100 TB — not
+      // broadcastable by contract); 25-row nation broadcasts. Revenue
+      // rounds AFTER the double sum (2 dp), ranking on the rounded
+      // value with custkey ties.
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1993-10-01") &&
+          col("o_orderdate") < lit("1994-01-01"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val returned = t(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("rev"))
+      val cust = t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("n_name"))
+      returned
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("n_name"))
+        .agg(round(sum(col("rev")), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
     })
   )
 
@@ -7609,7 +7712,122 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
                    (budget - satsum) % (n - satcnt)
                  THEN 1 ELSE 0 END) END)::BIGINT AS alloc,
            (CASE WHEN sat THEN 1 ELSE 0 END)::BIGINT AS satisfied
-         FROM u ORDER BY source"""
+         FROM u ORDER BY source""",
+
+    // q141: q55's recursive-CTE cluster fixpoint verbatim, q03's
+    // quality spelling verbatim, composed with the same
+    // (quality DESC, doc_id) argmax window.
+    "q141_dedup_quality_rep" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id, list_filter(string_split_regex(lower(text),
+             '\s+'), t -> len(t) > 0) AS ts FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(list_transform(
+             range(1, greatest(len(ts) - 2, 0) + 1),
+             i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS shingles
+           FROM toks),
+         sigs AS (
+           SELECT doc_id, shingles, list_transform(range(0, 12),
+             i -> list_aggregate(list_transform(shingles,
+               s -> md5(i || '|' || s)), 'min')) AS sig
+           FROM sh WHERE len(shingles) > 0),
+         buckets AS (
+           SELECT doc_id, unnest(list_transform(range(0, 4),
+             b -> b || ':' || md5(array_to_string(sig[b*3+1 : b*3+3], '|'))))
+             AS bucket FROM sigs),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+           FROM buckets a JOIN buckets b
+             ON a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         pr AS (
+           SELECT a_id, b_id FROM cand
+           JOIN sigs sa ON a_id = sa.doc_id
+           JOIN sigs sb ON b_id = sb.doc_id
+           WHERE round(len(list_filter(sa.shingles,
+               x -> list_contains(sb.shingles, x)))::DOUBLE
+             / len(list_distinct(list_concat(sa.shingles, sb.shingles))),
+             4) >= 0.8),
+         edges AS (
+           SELECT a_id AS u, b_id AS v FROM pr
+           UNION SELECT b_id, a_id FROM pr),
+         reach AS (
+           SELECT u AS id, u AS m FROM edges
+           UNION
+           SELECT e.u, r.m FROM edges e JOIN reach r ON e.v = r.id),
+         labels AS (
+           SELECT id, min(m) AS cluster_rep FROM reach GROUP BY id),
+         qtk AS (
+           SELECT doc_id, text,
+             list_filter(string_split_regex(lower(text), '\s+'),
+               t -> len(t) > 0) AS ts
+           FROM documents),
+         comp AS (
+           SELECT doc_id, text, ts,
+             least(len(text) / 500.0, 1.0) AS len_score,
+             CASE WHEN len(text) = 0 THEN 0.0
+               ELSE len(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))::DOUBLE
+                 / len(text) END AS praw,
+             CASE WHEN len(ts) = 0 THEN 0.0
+               ELSE len(list_filter(ts, t -> list_contains(
+                 ['the','a','of','and','value','table'], t)))::DOUBLE
+                 / len(ts) END AS swraw
+           FROM qtk),
+         q AS (
+           SELECT doc_id,
+             floor((len_score * 0.4 + (1.0 - least(praw * 4.0, 1.0)) * 0.3
+               + (1.0 - abs(swraw - 0.4)) * 0.3) * 1000000.0 + 0.5)
+               / 1000000.0 AS quality
+           FROM comp),
+         j AS (
+           SELECT l.cluster_rep, l.id AS doc_id, q.quality,
+             row_number() OVER (PARTITION BY l.cluster_rep
+               ORDER BY q.quality DESC, l.id) AS rn
+           FROM labels l JOIN q ON q.doc_id = l.id),
+         m AS (SELECT cluster_rep, count(*) AS n_members
+               FROM labels GROUP BY 1)
+         SELECT m.cluster_rep, n_members::BIGINT AS n_members,
+           j.doc_id AS best_doc, j.quality AS best_quality
+         FROM m JOIN j ON j.cluster_rep = m.cluster_rep AND rn = 1
+         ORDER BY m.cluster_rep""",
+
+    // q142: both exact legs replayed independently (list slicing for
+    // the truncated one), intersected — the q109 oracle shape.
+    "q142_mrl_recall" ->
+      """WITH q AS (
+           SELECT embedding::DOUBLE[] AS qv,
+             (embedding[1:16])::DOUBLE[] AS qv16
+           FROM embeddings WHERE vec_id = 0),
+         f AS (
+           SELECT vec_id AS id_f FROM embeddings, q
+           ORDER BY floor(list_distance(embedding::DOUBLE[], qv)
+             * 1e4 + 0.5::DOUBLE) / 1e4, vec_id LIMIT 10),
+         t AS (
+           SELECT vec_id AS id_t FROM embeddings, q
+           ORDER BY floor(list_distance((embedding[1:16])::DOUBLE[], qv16)
+             * 1e4 + 0.5::DOUBLE) / 1e4, vec_id LIMIT 10)
+         SELECT 10::BIGINT AS k,
+           sum(CASE WHEN id_f IS NOT NULL AND id_t IS NOT NULL
+             THEN 1 ELSE 0 END)::BIGINT AS n_overlap,
+           count(*)::BIGINT AS n_union,
+           (sum(CASE WHEN id_f IS NOT NULL AND id_t IS NOT NULL
+             THEN 1 ELSE 0 END) * 1000000 // 10)::BIGINT AS recall_ppm
+         FROM f FULL OUTER JOIN t ON id_f = id_t""",
+
+    // q143: same join graph, revenue rounded after the sum, rounded-
+    // revenue ranking with custkey ties.
+    "q143_returned_items" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_items
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         WHERE l_returnflag = 'R'
+           AND o_orderdate >= TIMESTAMP '1993-10-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1994-01-01 00:00:00'
+         GROUP BY c_custkey, c_name, c_acctbal, n_name
+         ORDER BY revenue DESC, c_custkey LIMIT 20"""
   )
 
   /** q136's unrolled greedy-MMR oracle: candidate pool + pairwise-sim
