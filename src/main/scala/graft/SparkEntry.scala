@@ -4453,6 +4453,23 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
           count(lit(1)).as("n_items"))
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(20)
+    }),
+
+    "q144_corpus_digest" -> ((s, dir) => {
+      // Anti-entropy corpus digests (the Merkle exchange of a
+      // replication/CDC boundary): per source, constant-size
+      // order-free integer accumulators over the per-row content
+      // fingerprint — bit_xor of 52-bit md5 prefixes (disjoint unions
+      // merge by xor) AND a 40-bit sum + count (a duplicated row pair
+      // cancels in xor but not in sum — two accumulators so a
+      // divergence cannot hide). Two replicas compare these few rows
+      // and re-sync only mismatched groups — the 100 TB alternative
+      // to diffing corpora row-by-row. One map-side-combined scan.
+      SnapshotDiff.digest(
+        t(s, dir, "documents").filter(col("text").isNotNull),
+        Seq("source"),
+        concat_ws("|", col("doc_id"), col("text")))
+        .orderBy(col("source"))
     })
   )
 
@@ -7827,7 +7844,25 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
            AND o_orderdate >= TIMESTAMP '1993-10-01 00:00:00'
            AND o_orderdate < TIMESTAMP '1994-01-01 00:00:00'
          GROUP BY c_custkey, c_name, c_acctbal, n_name
-         ORDER BY revenue DESC, c_custkey LIMIT 20"""
+         ORDER BY revenue DESC, c_custkey LIMIT 20""",
+
+    // q144: identical md5-prefix accumulators — Spark's concat_ws and
+    // DuckDB's || agree on the '|' joint; bit_xor/sum/min/max are
+    // order-free integers.
+    "q144_corpus_digest" ->
+      raw"""WITH h AS (
+           SELECT source,
+             ('0x' || substr(md5(doc_id::VARCHAR || '|' || text), 1, 13))
+               ::BIGINT AS h52,
+             ('0x' || substr(md5(doc_id::VARCHAR || '|' || text), 1, 10))
+               ::BIGINT AS h40
+           FROM documents WHERE text IS NOT NULL)
+         SELECT source, count(*)::BIGINT AS n_rows,
+           bit_xor(h52)::BIGINT AS xor_digest,
+           sum(h40)::BIGINT AS sum_digest,
+           min(h52)::BIGINT AS min_fp,
+           max(h52)::BIGINT AS max_fp
+         FROM h GROUP BY source ORDER BY source"""
   )
 
   /** q136's unrolled greedy-MMR oracle: candidate pool + pairwise-sim

@@ -47,4 +47,36 @@ object SnapshotDiff {
           .otherwise(lit("changed")))
       .select(keyCols.map(col) :+ col("status"): _*)
   }
+
+  /** Merkle-style anti-entropy digest per group (per partition, per
+    * source, per replica...): `(groups..., n_rows, xor_digest,
+    * sum_digest, min/max fp)` over a row fingerprint — the
+    * constant-size summary two sides of a replication/CDC boundary
+    * exchange to find WHERE they diverge before shipping any data
+    * (compare digests per group; only mismatched groups re-sync).
+    *
+    * Exact, order-free, MERGEABLE integer accumulators (the sketch
+    * merge discipline): `xor_digest` = bit_xor of the 52-bit md5
+    * prefix of each row's fingerprint (disjoint unions merge by xor),
+    * `sum_digest` = the sum of the 40-bit prefixes (n ≤ 2^23 rows per
+    * group stays overflow-safe in a long; a group bigger than that
+    * should be digested at a finer grain). TWO independent
+    * accumulators on purpose: a duplicated row PAIR cancels out of
+    * the xor (x ⊕ x = 0) but not out of count + sum — either alone
+    * has a blind spot, together a divergence cannot hide. Min/max
+    * fingerprints bound the keyspace for range-narrowing protocols. */
+  def digest(df: DataFrame, groupCols: Seq[String],
+      fingerprint: Column): DataFrame = {
+    require(groupCols.nonEmpty, "digest needs at least one group column")
+    val h = md5(fingerprint.cast("string"))
+    df.select(groupCols.map(col) :+
+        conv(substring(h, 1, 13), 16, 10).cast("long").as("__h52") :+
+        conv(substring(h, 1, 10), 16, 10).cast("long").as("__h40"): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(__h52)").as("xor_digest"),
+        sum(col("__h40")).as("sum_digest"),
+        min(col("__h52")).as("min_fp"),
+        max(col("__h52")).as("max_fp"))
+  }
 }
