@@ -4470,6 +4470,38 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
         Seq("source"),
         concat_ws("|", col("doc_id"), col("text")))
         .orderBy(col("source"))
+    }),
+
+    "q145_tfidf_terms" -> ((s, dir) => {
+      // Per-language characteristic terms by TF-IDF — the corpus
+      // profiling report (what distinguishes each slice): collection
+      // tf per (lang, term), document frequency corpus-wide, idf in
+      // the q63 BM25 spelling (the one proven-replayable ln form),
+      // score floor-4dp with term ties, top-5 per language via a
+      // WindowGroupLimit rank filter. One tokenize explode feeds both
+      // aggregations; everything after the (term/lang-term) shuffles
+      // is vocabulary-sized.
+      VectorExpressions.ensureRegistered(s)
+      val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+      val toks = docs.select(col("doc_id"), col("lang"),
+        explode(tokens(lower(col("text")))).as("term"))
+      val dfq = toks.select(col("term"), col("doc_id")).distinct()
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val cf = toks.groupBy(col("lang"), col("term"))
+        .agg(count(lit(1)).as("cf"))
+      val nDocs = docs.agg(count(lit(1)).as("n"))
+      val scored = cf.join(dfq, "term").crossJoin(broadcast(nDocs))
+        .withColumn("score", KnnSearch.roundHalfUpCol(
+          col("cf").cast("double") *
+            log((col("n") - col("df") + lit(0.5)) /
+              (col("df") + lit(0.5)) + lit(1.0)), 4))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("score").desc, col("term"))
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("lang"), col("rank"), col("term"), col("cf"),
+          col("df"), col("score"))
+        .orderBy(col("lang"), col("rank"))
     })
   )
 
@@ -7862,7 +7894,34 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
            sum(h40)::BIGINT AS sum_digest,
            min(h52)::BIGINT AS min_fp,
            max(h52)::BIGINT AS max_fp
-         FROM h GROUP BY source ORDER BY source"""
+         FROM h GROUP BY source ORDER BY source""",
+
+    // q145: the q63 tokenizer + ln spelling, integer cf/df/n, floor-
+    // 4dp score, identical window.
+    "q145_tfidf_terms" ->
+      raw"""WITH tk AS (
+           SELECT doc_id, lang,
+             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+               t -> len(t) > 0)) AS term
+           FROM documents WHERE text IS NOT NULL),
+         nn AS (SELECT count(*) AS n FROM documents
+                WHERE text IS NOT NULL),
+         dfq AS (SELECT term, count(DISTINCT doc_id) AS df
+                 FROM tk GROUP BY 1),
+         cf AS (SELECT lang, term, count(*) AS cf FROM tk GROUP BY 1, 2),
+         sc AS (
+           SELECT lang, cf.term, cf.cf, dfq.df,
+             floor(cf.cf * ln((nn.n - dfq.df + 0.5::DOUBLE)
+                 / (dfq.df + 0.5::DOUBLE) + 1)
+               * 1e4 + 0.5::DOUBLE) / 1e4 AS score
+           FROM cf JOIN dfq ON cf.term = dfq.term, nn),
+         r AS (
+           SELECT *, row_number() OVER (PARTITION BY lang
+             ORDER BY score DESC, term) AS rank
+           FROM sc)
+         SELECT lang, rank::BIGINT AS rank, term, cf::BIGINT AS cf,
+           df::BIGINT AS df, score
+         FROM r WHERE rank <= 5 ORDER BY lang, rank"""
   )
 
   /** q136's unrolled greedy-MMR oracle: candidate pool + pairwise-sim

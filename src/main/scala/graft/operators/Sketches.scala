@@ -288,4 +288,43 @@ object Sketches {
       .drop((0 until k).flatMap(i =>
         Seq(s"__bp$i", s"__bb$i", s"__bw$i")): _*)
   }
+
+  /** Densify a [[bloomBuild]] bucket table into the full word array
+    * (absent buckets = 0) — the executor-local serving form: `mBits/32`
+    * longs, collected ONCE (the filter is fixed-size by construction;
+    * this is the collect the sketch earns). */
+  def bloomDense(bloom: DataFrame, mBits: Int): Seq[Long] = {
+    require(mBits >= BloomWordBits && (mBits & (mBits - 1)) == 0,
+      s"mBits must be a power of two >= 32, got $mBits")
+    val words = new Array[Long](mBits / BloomWordBits)
+    bloom.select("bucket", "word").collect().foreach { r =>
+      words(r.getLong(0).toInt) = r.getLong(1)
+    }
+    words.toSeq
+  }
+
+  /** Membership test of EVERY element of an array column against a
+    * dense bloom (`exists` over the items, k literal-array lookups per
+    * item) — a pure expression: no join, no shuffle, no state, so it
+    * runs IDENTICALLY in batch and Structured Streaming (the
+    * stream-side decontamination filter: grams of each arriving doc
+    * probe the broadcast-as-literal filter; Spark's own
+    * BloomFilterMightContain serves joins the same executor-local
+    * way). */
+  def bloomMightContainAny(items: Column, words: Seq[Long],
+      mBits: Int, k: Int): Column = {
+    bloomCheck(mBits, k)
+    require(words.length == mBits / BloomWordBits,
+      s"dense bloom must have ${mBits / BloomWordBits} words, " +
+        s"got ${words.length}")
+    val lut = typedLit(words)
+    exists(items, it =>
+      bloomProbes(it, mBits, k).map { p =>
+        call_function("shiftright",
+          element_at(lut,
+            floor(p / lit(BloomWordBits)).cast("int") + 1),
+          (p % lit(BloomWordBits)).cast("int"))
+          .bitwiseAND(lit(1L)) === 1L
+      }.reduce(_ && _))
+  }
 }

@@ -113,6 +113,33 @@ object EventStreams {
     deduped.drop("__sh")
   }
 
+  /** Streaming decontamination — the streaming face of the q134 bloom
+    * filter: drop arriving documents whose word-8-grams hit the
+    * benchmark bloom. The filter ships as a DENSE LITERAL word array
+    * ([[graft.operators.Sketches.bloomDense]]) probed by a pure
+    * `exists` expression over each doc's grams
+    * ([[graft.operators.Sketches.bloomMightContainAny]]) — no join,
+    * no shuffle, no state, so the operator is trivially
+    * streaming-safe and BATCH-IDENTICAL (one code path, no
+    * `isStreaming` branch at all; the spec pins batch == stream on
+    * the same feed). No false negatives by bloom construction: a
+    * truly contaminated doc can never slip through; false positives
+    * drop clean docs at the sketch's documented rate — the
+    * conservative direction for decontamination. */
+  def decontamStream(
+      docs: DataFrame,
+      textCol: String,
+      bloomWords: Seq[Long],
+      mBits: Int,
+      k: Int): DataFrame = {
+    graft.plans.VectorExpressions.ensureRegistered(docs.sparkSession)
+    docs.filter(col(textCol).isNotNull)
+      .filter(!graft.operators.Sketches.bloomMightContainAny(
+        graft.functions.TextFunctions.wordShinglesNative(
+          col(textCol), 8),
+        bloomWords, mBits, k))
+  }
+
   /** Stream-stream interval join — correlate two event feeds per key
     * within a bounded event-time horizon (click→purchase attribution,
     * request→error correlation). INNER join on the key plus a range

@@ -657,4 +657,47 @@ class EventStreamsSpec extends SparkSpec {
       Event(i.toLong, ts(i.toLong), 1, "click", 1.0)).toDS()
     assert(EventStreams.anomalyFlags(batch, 60L, 4).isEmpty)
   }
+
+  test("decontamStream drops bloom-hit docs; batch and stream agree; no false negatives") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.Sketches
+    import org.apache.spark.sql.functions.explode
+    graft.plans.VectorExpressions.ensureRegistered(spark)
+    val mBits = 1 << 12
+    // a benchmark doc whose 8-grams form the contamination set
+    val benchText = "zero one two three four five six seven eight nine"
+    val benchGrams = spark.createDataset(Seq(benchText)).toDF("text")
+      .select(explode(graft.functions.TextFunctions
+        .wordShinglesNative(col("text"), 8)).as("g"))
+    val dense = Sketches.bloomDense(
+      Sketches.bloomBuild(benchGrams, col("g"), mBits, 3), mBits)
+    val contaminated =
+      "intro words then zero one two three four five six seven closing"
+    val clean = "a completely unrelated document with its own words here"
+    val rows = Seq((1L, ts(0), contaminated), (2L, ts(1), clean),
+      (3L, ts(2), benchText))
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val docs = input.toDF().toDF("doc_id", "ts", "text")
+    val query = EventStreams.decontamStream(docs, "text", dense,
+        mBits, 3)
+      .writeStream.format("memory").queryName("decontam_docs")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(rows: _*)
+      query.processAllAvailable()
+      val kept = spark.table("decontam_docs")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      // contaminated docs CANNOT pass (no false negatives); the clean
+      // doc passes unless it false-positives, which this tiny gram set
+      // cannot produce at 4096 bits
+      assert(!kept(1L) && !kept(3L), s"contaminated doc passed: $kept")
+      assert(kept(2L), s"clean doc dropped: $kept")
+      // one code path: the batch run is the identical expression
+      val batchKept = EventStreams.decontamStream(
+          rows.toDF("doc_id", "ts", "text"), "text", dense, mBits, 3)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(batchKept == kept, s"batch $batchKept != stream $kept")
+    } finally query.stop()
+  }
 }
