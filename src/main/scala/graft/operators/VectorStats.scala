@@ -20,17 +20,19 @@ import org.apache.spark.sql.functions._
   * Pearson correlation (two correctly-rounded sqrts and one division,
   * floor-rounded at 6 dp).
   *
-  * Scale shape: ONE corpus pass. Each row explodes into its
-  * `dim·(dim+1)/2` upper-triangle product cells PLUS `dim` linear-sum
-  * cells (j = −1) PLUS one count cell (i = j = −1), and a single
-  * (i, j)-keyed aggregation with map-side partial combine collapses
-  * them — every partition emits at most 2 145 partial rows at dim 64,
-  * so the one shuffle is pairs-sized, never corpus-sized, and n / Σqᵢ
-  * / Σqᵢ² / Σqᵢqⱼ all ride the same scan. At dim ≳ 512 the explode
-  * fan-out (~131k cells/row) starts to dominate and the right spelling
-  * becomes a mapPartitions accumulate-into-array pass (the
-  * [[graft.functions.BatchEmbedder]] seam pattern) — documented, not
-  * needed at this dim. Overflow bound: |q| ≤ 2^10·|v|, so
+  * Scale shape: ONE corpus pass, mapPartitions accumulate-into-array
+  * (the [[graft.functions.BatchEmbedder]] seam pattern): each
+  * partition folds its rows into one local long array of
+  * `dim·(dim+1)/2 + dim + 1` cells — upper-triangle products, linear
+  * sums, count — in a tight primitive loop, then emits its cells as
+  * `(i, j, s)` partials; the one shuffle carries
+  * `numPartitions · cells` rows (2 145 cells at dim 64) regardless of
+  * corpus size OR dim. The first cut of this operator built the cell
+  * array per ROW through `transform`/`flatten` higher-order functions
+  * + explode — HOFs evaluate interpreted (CodegenFallback), and that
+  * construction alone measured 2.4 s at sf0.1; the partition fold
+  * removed it (momentsExploded stays as the spec cross-check, pinned
+  * bit-equal). Overflow bound: |q| ≤ 2^10·|v|, so
   * n·Σqᵢqⱼ − Σqᵢ·Σqⱼ ≤ n²·2^22·max|v|² — inside a long for
   * n ≤ 2^20 rows at |v| ≤ 2, and the quantization scale is the knob
   * for bigger corpora. */
@@ -40,10 +42,77 @@ object VectorStats {
     * and the headroom analysis above simple */
   val QuantScale = 1024
 
-  /** All integer moments in ONE pass: rows `(i, j, s)` where
-    * (i≥0, j≥0) carries Σqᵢqⱼ over the upper triangle i ≤ j,
-    * (i≥0, j=−1) carries Σqᵢ, and (−1, −1) carries the row count. */
+  /** All integer moments in ONE pass — the mapPartitions
+    * accumulate-into-array spelling (see object scaladoc): each
+    * partition folds into one local cell array in a tight primitive
+    * loop, then emits its cells as already-keyed `(i, j, s)` partials
+    * merged by a cells-sized groupBy-sum. Key space: (i≥0, j≥0) =
+    * Σqᵢqⱼ upper triangle, (i≥0, j=−1) = Σqᵢ, (−1, −1) = row
+    * count. */
   private[operators] def moments(df: DataFrame,
+      vecCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vecs = df.filter(col(vecCol).isNotNull).select(col(vecCol))
+    val partials = vecs.mapPartitions { it =>
+      var acc: Array[Long] = null
+      var dim = -1
+      it.foreach { row =>
+        val v = row.getSeq[Float](0)
+        if (dim < 0) {
+          dim = v.length
+          acc = new Array[Long](dim * (dim + 1) / 2 + dim + 1)
+        }
+        require(v.length == dim,
+          s"moments: mixed vector dims in one corpus ($dim vs " +
+            s"${v.length}) — quantized moments would be meaningless")
+        val q = new Array[Long](dim)
+        var i = 0
+        while (i < dim) {
+          q(i) = math.floor(
+            v(i).toDouble * QuantScale + 0.5).toLong
+          i += 1
+        }
+        var c = 0
+        i = 0
+        while (i < dim) {
+          var j = i
+          while (j < dim) {
+            acc(c) += q(i) * q(j); j += 1; c += 1
+          }
+          i += 1
+        }
+        i = 0
+        while (i < dim) { acc(c) += q(i); i += 1; c += 1 }
+        acc(c) += 1L
+      }
+      if (acc == null) Iterator.empty
+      else {
+        val dimF = dim
+        val out = Iterator.newBuilder[(Int, Int, Long)]
+        var c = 0
+        var i = 0
+        while (i < dimF) {
+          var j = i
+          while (j < dimF) { out += ((i, j, acc(c))); j += 1; c += 1 }
+          i += 1
+        }
+        i = 0
+        while (i < dimF) { out += ((i, -1, acc(c))); i += 1; c += 1 }
+        out += ((-1, -1, acc(c)))
+        out.result()
+      }
+    }
+    partials.toDF("i", "j", "s")
+      .groupBy(col("i"), col("j")).agg(sum(col("s")).as("s"))
+  }
+
+  /** The explode spelling of [[moments]] (kept as the cross-check:
+    * spec pins bit-equality with the mapPartitions fold): rows
+    * `(i, j, s)` where (i≥0, j≥0) carries Σqᵢqⱼ over the upper
+    * triangle i ≤ j, (i≥0, j=−1) carries Σqᵢ, and (−1, −1) carries
+    * the row count. */
+  private[operators] def momentsExploded(df: DataFrame,
       vecCol: String): DataFrame = {
     val q = transform(col(vecCol),
       x => floor(x.cast("double") * lit(QuantScale) + lit(0.5))

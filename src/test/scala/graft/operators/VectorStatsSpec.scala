@@ -40,6 +40,28 @@ class VectorStatsSpec extends SparkSpec {
     assert(r((0L, 1L))._1 == 4L * q.map(x => x * x).sum - q.sum * q.sum)
   }
 
+  test("the mapPartitions fold is bit-equal to the explode cross-check spelling") {
+    val big = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .repartition(7)
+    val fast = VectorStats.moments(big, "embedding")
+      .orderBy("i", "j").collect().map(_.toSeq).toSeq
+    val ref = VectorStats.momentsExploded(big, "embedding")
+      .orderBy("i", "j").collect().map(_.toSeq).toSeq
+    assert(fast == ref)
+  }
+
+  test("moments rejects mixed vector dims loudly") {
+    import spark.implicits._
+    val mixed = Seq(Seq(1f, 2f), Seq(1f, 2f, 3f)).toDF("embedding")
+      .repartition(1)
+    val e = intercept[org.apache.spark.SparkException] {
+      VectorStats.moments(mixed, "embedding").collect()
+    }
+    assert(e.getMessage.contains("mixed vector dims") ||
+      Option(e.getCause).exists(_.getMessage.contains("mixed vector dims")))
+  }
+
   test("moments are bit-identical under any partitioning") {
     val big = spark.read
       .parquet("/root/testdata/sf0.001/embeddings.parquet")
