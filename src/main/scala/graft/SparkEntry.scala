@@ -4502,6 +4502,32 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
         .select(col("lang"), col("rank"), col("term"), col("cf"),
           col("df"), col("score"))
         .orderBy(col("lang"), col("rank"))
+    }),
+
+    "q146_asof_forward" -> ((s, dir) => {
+      // FORWARD as-of (q95's mirror — merge_asof direction='forward'):
+      // for every click, the EARLIEST purchase by the same user
+      // at-or-after the click — the "next conversion" lookup behind
+      // time-to-convert metrics. Same scale shape as backward: one
+      // co-partitioning shuffle of the tagged union, one sort
+      // (descending this time), a linear carry pass with O(1) state.
+      // Oracle: DuckDB's native ASOF with l.ts <= r.ts, right side
+      // deduped per (user, ts) to the max event_id (the documented
+      // tie contract).
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("ts"), col("user_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("value"))
+      AsofJoin.forward(clicks, purchases, "user_id", "ts",
+          rightVals = Seq("value"), rightTieBreak = "event_id")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_clicks"),
+          sum(col("asof_value").isNotNull.cast("long")).as("n_matched"),
+          round(sum(coalesce(col("asof_value"), lit(0.0))), 2)
+            .as("matched_value_sum"))
+        .orderBy(col("user_id"))
     })
   )
 
@@ -7921,7 +7947,27 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
            FROM sc)
          SELECT lang, rank::BIGINT AS rank, term, cf::BIGINT AS cf,
            df::BIGINT AS df, score
-         FROM r WHERE rank <= 5 ORDER BY lang, rank"""
+         FROM r WHERE rank <= 5 ORDER BY lang, rank""",
+
+    // q146: q95's oracle mirrored — max-tiebreak dedup, then DuckDB's
+    // native forward ASOF (l.ts <= r.ts).
+    "q146_asof_forward" ->
+      """WITH c AS (
+           SELECT event_id, ts, user_id FROM events
+           WHERE event_type = 'click'),
+         p AS (
+           SELECT user_id, ts, value, row_number() OVER (
+             PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+           FROM events WHERE event_type = 'purchase'),
+         pd AS (SELECT user_id, ts, value FROM p WHERE rn = 1),
+         j AS (
+           SELECT c.user_id, pd.value AS av
+           FROM c ASOF LEFT JOIN pd
+             ON c.user_id = pd.user_id AND c.ts <= pd.ts)
+         SELECT user_id, count(*) AS n_clicks,
+           count(av)::BIGINT AS n_matched,
+           round(sum(coalesce(av, 0.0)), 2) AS matched_value_sum
+         FROM j GROUP BY user_id ORDER BY user_id"""
   )
 
   /** q136's unrolled greedy-MMR oracle: candidate pool + pairwise-sim

@@ -30,7 +30,28 @@ object AsofJoin {
 
   def backward(left: DataFrame, right: DataFrame, key: String,
       ts: String, rightVals: Seq[String],
-      rightTieBreak: String): DataFrame = {
+      rightTieBreak: String): DataFrame =
+    run(left, right, key, ts, rightVals, rightTieBreak,
+      forwardDir = false)
+
+  /** FORWARD as-of: for each left row, the single right row with the
+    * SMALLEST right.ts >= left.ts on the same key (Pandas
+    * `merge_asof(direction='forward')`; DuckDB `ASOF ... ON l.ts <=
+    * r.ts`) -- the "next scheduled event" lookup. Identical machinery
+    * to [[backward]] with the within-partition sort REVERSED on ts:
+    * scanning descending, the last-seen right row is the minimum
+    * ts >= the current left row. Same contracts, mirrored:
+    * equal ts MATCH (forward-inclusive), right (key, ts) ties resolve
+    * to the greatest `rightTieBreak`. */
+  def forward(left: DataFrame, right: DataFrame, key: String,
+      ts: String, rightVals: Seq[String],
+      rightTieBreak: String): DataFrame =
+    run(left, right, key, ts, rightVals, rightTieBreak,
+      forwardDir = true)
+
+  private def run(left: DataFrame, right: DataFrame, key: String,
+      ts: String, rightVals: Seq[String],
+      rightTieBreak: String, forwardDir: Boolean): DataFrame = {
     require(rightVals.nonEmpty, "rightVals must name at least one column")
     val leftSchema = left.schema
     val rvSchema = StructType(rightVals.map(c =>
@@ -66,8 +87,14 @@ object AsofJoin {
     val u = r.filter(col("__k").isNotNull && col("__ts").isNotNull)
       .unionByName(l)
       .repartition(col("__k"))
-      .sortWithinPartitions(col("__k"), col("__ts"), col("__side"),
-        col("__tb"))
+      // nulls_first in BOTH directions: a null-ts left row must scan
+      // before any right row so it emits unmatched (desc's default
+      // nulls-LAST would hand it the smallest right ts as a bogus
+      // forward match)
+      .sortWithinPartitions(col("__k"),
+        if (forwardDir) col("__ts").desc_nulls_first
+        else col("__ts").asc_nulls_first,
+        col("__side"), col("__tb"))
 
     val outSchema = StructType(leftSchema.fields ++
       rvSchema.fields.map(f => f.copy(name = s"asof_${f.name}")))

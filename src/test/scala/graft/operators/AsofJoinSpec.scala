@@ -130,4 +130,75 @@ class AsofJoinSpec extends SparkSpec {
     assert(exchanges == 1,
       s"exactly one co-partitioning shuffle expected, got $exchanges:\n$plan")
   }
+
+  test("forward as-of: earliest at-or-after match, inclusive, per key") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, ts(2), 100L),  // before both right rows: matches ts(3)
+      (1L, ts(4), 101L),  // between: matches the ts(7) row
+      (1L, ts(10), 102L), // after everything: unmatched
+      (2L, ts(5), 103L),  // exactly AT a right ts: inclusive match
+      (3L, ts(9), 104L)   // key with no right rows at all
+    ).toDF("user_id", "ts", "event_id")
+    val right = Seq(
+      (1L, ts(3), 1L, 30.0),
+      (1L, ts(7), 2L, 70.0),
+      (2L, ts(5), 3L, 50.0)
+    ).toDF("user_id", "ts", "event_id", "value")
+    val out = AsofJoin.forward(left, right, "user_id", "ts",
+        Seq("value"), "event_id")
+      .collect().map(r => r.getLong(2) ->
+        Option(r.getAs[Any]("asof_value"))).toMap
+    assert(out(100L) == Some(30.0)) // earliest following
+    assert(out(101L) == Some(70.0))
+    assert(out(102L) == None)       // nothing follows
+    assert(out(103L) == Some(50.0)) // equal ts matches (inclusive)
+    assert(out(104L) == None)
+  }
+
+  test("forward ties resolve to the greatest tiebreak; null left ts stays unmatched") {
+    import spark.implicits._
+    val left = Seq((1L, Some(ts(1)), 100L), (1L, None, 101L))
+      .toDF("user_id", "ts", "event_id")
+    val right = Seq(
+      (1L, ts(5), 1L, 10.0),
+      (1L, ts(5), 2L, 20.0) // same (key, ts): greater event_id wins
+    ).toDF("user_id", "ts", "event_id", "value")
+    val out = AsofJoin.forward(left, right, "user_id", "ts",
+        Seq("value"), "event_id")
+      .collect().map(r => r.getLong(2) ->
+        Option(r.getAs[Any]("asof_value"))).toMap
+    assert(out(100L) == Some(20.0), s"tie must pick max tiebreak: $out")
+    assert(out(101L) == None,
+      "a null-ts left row must not inherit the forward carry")
+  }
+
+  test("forward differential: agrees with a window-function reference") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val left = (0 until 200).map(i =>
+      (rnd.nextInt(5).toLong, ts(rnd.nextInt(100).toLong), i.toLong))
+      .toDF("k", "ts", "lid")
+    val right = (0 until 150).map(i =>
+      (rnd.nextInt(5).toLong, ts(rnd.nextInt(100).toLong), i.toLong,
+        rnd.nextInt(1000).toDouble))
+      .toDF("k", "ts", "rid", "v")
+    val got = AsofJoin.forward(left, right, "k", "ts", Seq("v"), "rid")
+      .collect().map(r => r.getLong(2) ->
+        Option(r.getAs[Any]("asof_v"))).toMap
+    // reference: per left row, min-ts right row at-or-after, max rid tie
+    val rightRows = right.collect().map(r =>
+      (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
+    left.collect().foreach { lr =>
+      val (k, t, lid) = (lr.getLong(0), lr.getTimestamp(1), lr.getLong(2))
+      val cand = rightRows.filter(r => r._1 == k && !r._2.before(t))
+      val want =
+        if (cand.isEmpty) None
+        else {
+          val minTs = cand.map(_._2.getTime).min
+          Some(cand.filter(_._2.getTime == minTs).maxBy(_._3)._4)
+        }
+      assert(got(lid) == want, s"lid=$lid: got ${got(lid)}, want $want")
+    }
+  }
 }
