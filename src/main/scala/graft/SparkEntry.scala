@@ -4528,6 +4528,28 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
           round(sum(coalesce(col("asof_value"), lit(0.0))), 2)
             .as("matched_value_sum"))
         .orderBy(col("user_id"))
+    }),
+
+    "q147_postings_shards" -> ((s, dir) => {
+      // The SHARDED postings export — q139's own 100 TB caveat closed
+      // behind the gate: postings key on (term, doc_id div 100), so a
+      // hot term's list splits into doc-range shards whose reducer
+      // rows are bounded by shard population, never corpus df; delta
+      // encoding restarts per shard (shards decode independently),
+      // df/cf recompose by addition (spec-pinned). Gated on every
+      // shard of the top-5 terms by total collection frequency.
+      VectorExpressions.ensureRegistered(s)
+      val shards = Bm25.postingsShardExport(
+        t(s, dir, "documents"), "doc_id", "text", shardSpan = 100L)
+      val top = shards.groupBy(col("term"))
+        .agg(sum(col("cf")).as("cf_total"))
+        .orderBy(col("cf_total").desc, col("term")).limit(5)
+      shards.join(broadcast(top), "term")
+        .select(col("term"), col("shard"), col("cf_total"),
+          col("df"), col("cf"), col("max_tf"),
+          col("first_doc"), col("last_doc"),
+          col("postings_md5"), col("delta_md5"))
+        .orderBy(col("cf_total").desc, col("term"), col("shard"))
     })
   )
 
@@ -7967,7 +7989,41 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
          SELECT user_id, count(*) AS n_clicks,
            count(av)::BIGINT AS n_matched,
            round(sum(coalesce(av, 0.0)), 2) AS matched_value_sum
-         FROM j GROUP BY user_id ORDER BY user_id"""
+         FROM j GROUP BY user_id ORDER BY user_id""",
+
+    // q147: the q139 replay with the shard key threaded through — per-
+    // shard postings strings and gaps, top-5 terms by recomposed cf.
+    "q147_postings_shards" ->
+      raw"""WITH tk AS (
+           SELECT doc_id, doc_id // 100 AS shard,
+             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+               t -> len(t) > 0)) AS term
+           FROM documents WHERE text IS NOT NULL),
+         tf AS (
+           SELECT term, shard, doc_id, count(*) AS tf
+           FROM tk GROUP BY 1, 2, 3),
+         p AS (
+           SELECT term, shard, count(*) AS df, sum(tf) AS cf,
+             max(tf) AS max_tf,
+             min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+             string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id)
+               AS plist,
+             list(doc_id ORDER BY doc_id) AS dl
+           FROM tf GROUP BY 1, 2),
+         tt AS (
+           SELECT term, sum(cf) AS cf_total FROM p GROUP BY 1
+           ORDER BY cf_total DESC, term LIMIT 5)
+         SELECT p.term AS term, shard::BIGINT AS shard,
+           cf_total::BIGINT AS cf_total, df::BIGINT AS df,
+           cf::BIGINT AS cf, max_tf::BIGINT AS max_tf,
+           first_doc, last_doc,
+           md5(plist) AS postings_md5,
+           md5(array_to_string(list_concat([dl[1]::VARCHAR],
+             list_transform(range(2, len(dl) + 1),
+               i -> (dl[i] - dl[i - 1])::VARCHAR)), ','))
+             AS delta_md5
+         FROM p JOIN tt ON p.term = tt.term
+         ORDER BY cf_total DESC, p.term, shard"""
   )
 
   /** q136's unrolled greedy-MMR oracle: candidate pool + pairwise-sim

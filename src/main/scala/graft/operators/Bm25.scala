@@ -326,13 +326,37 @@ object Bm25 {
     * shard lists per term. The unsharded form here matches the
     * reference-scale corpus and keeps the oracle replay direct. */
   def postingsExport(docs: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
-    val tf = docs.filter(col(textCol).isNotNull)
-      .select(col(idCol).as("__doc"),
-        explode(tokens(col(textCol))).as("term"))
-      .groupBy(col("term"), col("__doc"))
+      textCol: String): DataFrame =
+    postingsCore(docs, idCol, textCol, Nil)
+
+  /** The SHARDED form of [[postingsExport]] — the documented 100 TB
+    * spelling: postings key on `(term, shard = doc_id div shardSpan)`
+    * so a stop-word's list splits into doc-id-range shards, each
+    * reducer row bounded by the shard's doc population instead of the
+    * corpus's. Delta encoding restarts per shard (shards decode
+    * independently — the point of sharding a serving index); the
+    * per-term view is the concatenation of its shards in shard order,
+    * and df/cf recompose by addition. */
+  def postingsShardExport(docs: DataFrame, idCol: String,
+      textCol: String, shardSpan: Long): DataFrame = {
+    require(shardSpan >= 1, s"shardSpan must be >= 1, got $shardSpan")
+    postingsCore(docs, idCol, textCol,
+      Seq(expr(s"$idCol div $shardSpan").as("shard")))
+  }
+
+  private def postingsCore(docs: DataFrame, idCol: String,
+      textCol: String,
+      extraKeys: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    val keyed = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("__doc") +: extraKeys :+
+        explode(tokens(col(textCol))).as("term"): _*)
+    val extraNames = keyed.columns
+      .filterNot(c => c == "__doc" || c == "term")
+    val tf = keyed
+      .groupBy((Seq(col("term")) ++ extraNames.map(col) :+
+        col("__doc")): _*)
       .agg(count(lit(1)).as("__tf"))
-    tf.groupBy(col("term"))
+    tf.groupBy((Seq(col("term")) ++ extraNames.map(col)): _*)
       .agg(
         count(lit(1)).as("df"),
         sum(col("__tf")).as("cf"),
@@ -341,7 +365,8 @@ object Bm25 {
         max(col("__doc")).as("last_doc"),
         sort_array(collect_list(struct(col("__doc").as("d"),
           col("__tf").as("t")))).as("__p"))
-      .select(col("term"), col("df"), col("cf"), col("max_tf"),
+      .select(Seq(col("term")) ++ extraNames.map(col) ++ Seq(
+        col("df"), col("cf"), col("max_tf"),
         col("first_doc"), col("last_doc"),
         md5(array_join(transform(col("__p"),
           p => concat(p.getField("d").cast("string"), lit(":"),
@@ -356,6 +381,6 @@ object Bm25 {
                 element_at(col("__p"), i - 1).getField("d"))
                 .cast("string")))
             .otherwise(typedLit(Seq.empty[String]))), ","))
-          .as("delta_md5"))
+          .as("delta_md5")): _*)
   }
 }

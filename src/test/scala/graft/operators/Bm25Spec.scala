@@ -152,6 +152,33 @@ class Bm25Spec extends SparkSpec {
     assert(r("gamma").getString(7) == md5hex("3"))
   }
 
+  test("sharded postings recompose: df/cf sums match the unsharded export, deltas restart per shard") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, sum => fsum}
+    val docs = (0L until 40L).map(i => (i, s"common t${i % 4}"))
+      .toDF("doc_id", "text")
+    val whole = Bm25.postingsExport(docs, "doc_id", "text")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    val sharded = Bm25.postingsShardExport(docs, "doc_id", "text", 10L)
+    val recomposed = sharded.groupBy("term")
+      .agg(fsum("df").as("df"), fsum("cf").as("cf"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    assert(recomposed == whole)
+    // 'common' is in every doc: 4 shards of 10 docs each, and each
+    // shard's delta digest starts at ITS OWN first doc (independent
+    // decode) — all four shards digest the same gap structure
+    // (first-of-shard, then nine 1-gaps) with different first ids
+    val commons = sharded.filter(col("term") === "common")
+      .select("shard", "first_doc", "delta_md5")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(commons.length == 4)
+    assert(commons.map(_._2).sorted.toSeq == Seq(0L, 10L, 20L, 30L))
+    assert(commons.map(_._3).distinct.length == 4,
+      "per-shard delta strings start at different first ids")
+  }
+
   test("postingsExport is layout-invariant") {
     import spark.implicits._
     val docs = (0L until 60L).map(i =>
