@@ -4550,6 +4550,37 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
           col("first_doc"), col("last_doc"),
           col("postings_md5"), col("delta_md5"))
         .orderBy(col("cf_total").desc, col("term"), col("shard"))
+    }),
+
+    "q148_batch_plan" -> ((s, dir) => {
+      // Length-bucketed inference batch planning — the serving-prep
+      // pass before a batched embedder/reranker run: docs bucket to
+      // the next power-of-two token length (the standard dynamic-
+      // batching recipe: padding waste ≤ 50% by construction instead
+      // of padding everything to the corpus max), batches of 8 per
+      // bucket. The bucket cap is pure integer bit arithmetic —
+      // `1 << bitlen(len−1)` via the minimal-binary-string length,
+      // the q101 HLL trick — so the whole report (docs, batches,
+      // real vs padded tokens, waste ppm) replays exactly. One
+      // map-side-combined scan.
+      VectorExpressions.ensureRegistered(s)
+      val lens = t(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(tokenCount(col("text")).cast("long").as("len"))
+      lens
+        .withColumn("cap",
+          when(col("len") <= 1L, 1L)
+            .otherwise(call_function("shiftleft", lit(1L),
+              length(bin(col("len") - 1)).cast("int"))))
+        .groupBy(col("cap"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("len")).as("real_tokens"))
+        .withColumn("n_batches", expr("(n_docs + 7) div 8"))
+        .withColumn("padded_tokens", col("cap") * col("n_docs"))
+        .withColumn("waste_ppm",
+          expr("(padded_tokens - real_tokens) * 1000000" +
+            " div padded_tokens"))
+        .orderBy(col("cap"))
     })
   )
 
@@ -8023,7 +8054,30 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
                i -> (dl[i] - dl[i - 1])::VARCHAR)), ','))
              AS delta_md5
          FROM p JOIN tt ON p.term = tt.term
-         ORDER BY cf_total DESC, p.term, shard"""
+         ORDER BY cf_total DESC, p.term, shard""",
+
+    // q148: identical bit arithmetic (bin() is minimal in both
+    // engines), identical integer division.
+    "q148_batch_plan" ->
+      raw"""WITH l AS (
+           SELECT len(list_filter(string_split_regex(text, '\s+'),
+             t -> len(t) > 0))::BIGINT AS len
+           FROM documents WHERE text IS NOT NULL),
+         c AS (
+           SELECT len,
+             CASE WHEN len <= 1 THEN 1
+               ELSE 1::BIGINT << len(bin(len - 1)) END AS cap
+           FROM l),
+         g AS (
+           SELECT cap, count(*) AS n_docs, sum(len) AS real_tokens
+           FROM c GROUP BY cap)
+         SELECT cap, n_docs::BIGINT AS n_docs,
+           real_tokens::BIGINT AS real_tokens,
+           ((n_docs + 7) // 8)::BIGINT AS n_batches,
+           (cap * n_docs)::BIGINT AS padded_tokens,
+           ((cap * n_docs - real_tokens) * 1000000
+             // (cap * n_docs))::BIGINT AS waste_ppm
+         FROM g ORDER BY cap"""
   )
 
   /** q136's unrolled greedy-MMR oracle: candidate pool + pairwise-sim
