@@ -4581,6 +4581,34 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
           expr("(padded_tokens - real_tokens) * 1000000" +
             " div padded_tokens"))
         .orderBy(col("cap"))
+    }),
+
+    "q149_multiprobe_lsh" -> ((s, dir) => {
+      // Multi-probe LSH (Lv et al. 2007): the q44 bucket family's
+      // recall knob — probe the query's own sign bucket PLUS the
+      // buckets reached by flipping its 3 lowest-|margin| bits (the
+      // hyperplanes a true neighbor most likely disagrees on), then
+      // exact cosine top-10 inside the probed buckets only. The same
+      // recall/cost trade as IVF nprobe, on the LSH axis, with no
+      // bigger table. Margins are the identical left-assoc double
+      // chains the bucket expression computes; the flip ranking
+      // quantizes |margin| at 4 dp with bit ties so the oracle picks
+      // the same bits. At 100 TB the bucket is a partition/cluster
+      // key and the probe set prunes directories exactly like IVF.
+      VectorExpressions.ensureRegistered(s)
+      val q = queryVec(s, dir)
+      val probes = NearDup.multiProbeBuckets(q, bits = 8, dim = 64,
+        nFlips = 3)
+      t(s, dir, "embeddings")
+        .withColumn("bucket", NearDup.signBucket(col("embedding"),
+          NearDup.hyperplanes(8, 64)))
+        .filter(col("bucket").isin(probes: _*))
+        .select(col("vec_id"), col("bucket"),
+          KnnSearch.roundHalfUpCol(
+            cosineSimilarityNative(col("embedding"),
+              KnnSearch.litVec(q)), 4).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+        .limit(10)
     })
   )
 
@@ -4595,6 +4623,56 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
     * sign → identical bucket. The plane components are exact binary
     * fractions (k/1024) whose shortest decimal repr round-trips exactly
     * through both parsers. */
+  /** q149's oracle: the margin CASE (one left-assoc dot chain per
+    * bit — the same plane literals as the bucket SQL), the 4-dp
+    * |margin| flip ranking with bit ties, string bit-flips, and the
+    * probed-bucket exact top-k. */
+  private lazy val q149OracleSql: String = {
+    val bits = 8
+    val dim = 64
+    val planes = NearDup.hyperplanes(bits, dim)
+    def dot(b: Int): String = (0 until dim).map(j =>
+      s"embedding[${j + 1}]::DOUBLE * (${planes(b * dim + j)})")
+      .mkString(" + ")
+    val caseArms = (0 until bits).map(b =>
+      s"WHEN $b THEN ${dot(b)}").mkString("\n               ")
+    raw"""WITH q AS (
+           SELECT embedding FROM embeddings WHERE vec_id = 0),
+         m AS (
+           SELECT i AS bit,
+             (CASE i
+               $caseArms
+              END) AS margin
+           FROM range($bits) t(i), q),
+         fl AS (
+           SELECT bit FROM (
+             SELECT bit, row_number() OVER (ORDER BY
+               CAST(floor(abs(margin) * 1e4 + 0.5::DOUBLE) AS BIGINT),
+               bit) AS rk
+             FROM m)
+           WHERE rk <= 3),
+         base AS (SELECT (${hyperplaneBucketSql(bits, dim)}) AS b
+                  FROM q),
+         probes AS (
+           SELECT b AS bucket FROM base
+           UNION ALL
+           SELECT substr(b, 1, bit)
+             || (CASE WHEN substr(b, bit + 1, 1) = '1'
+                 THEN '0' ELSE '1' END)
+             || substr(b, bit + 2)
+           FROM base, fl),
+         sel AS (
+           SELECT vec_id, embedding,
+             ${hyperplaneBucketSql(bits, dim)} AS bucket
+           FROM embeddings)
+         SELECT vec_id, sel.bucket AS bucket,
+           floor(list_cosine_similarity(sel.embedding::DOUBLE[],
+             (SELECT embedding FROM q)::DOUBLE[])
+             * 1e4 + 0.5::DOUBLE) / 1e4 AS cos_sim
+         FROM sel WHERE sel.bucket IN (SELECT bucket FROM probes)
+         ORDER BY cos_sim DESC, vec_id LIMIT 10"""
+  }
+
   private def hyperplaneBucketSql(bits: Int, dim: Int): String = {
     val planes = NearDup.hyperplanes(bits, dim)
     (0 until bits).map { b =>
@@ -8077,7 +8155,9 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
            (cap * n_docs)::BIGINT AS padded_tokens,
            ((cap * n_docs - real_tokens) * 1000000
              // (cap * n_docs))::BIGINT AS waste_ppm
-         FROM g ORDER BY cap"""
+         FROM g ORDER BY cap""",
+
+    "q149_multiprobe_lsh" -> q149OracleSql
   )
 
   /** q136's unrolled greedy-MMR oracle: candidate pool + pairwise-sim

@@ -423,6 +423,41 @@ object NearDup {
   def signBucket(vec: Column, planes: Seq[Double]): Column =
     graft.functions.VectorFunctions.hyperplaneBucketNative(vec, planes)
 
+  /** Multi-probe LSH probe set (Lv et al. 2007): the query's own sign
+    * bucket plus the buckets reached by flipping its `nFlips`
+    * LOWEST-MARGIN bits — the bits whose hyperplane dot product sits
+    * closest to zero are the ones a true near-neighbor most likely
+    * disagrees on, so probing those buckets buys recall WITHOUT
+    * growing the table (the same recall/nprobe trade as IVF probes,
+    * on the LSH axis). Margins are the identical left-associated
+    * double dot chains the bucket expression evaluates (and the q44
+    * oracle replays); the flip ranking quantizes |margin| at 4 dp
+    * with bit-index ties, so a SQL replay picks the same bits. */
+  def multiProbeBuckets(query: Seq[Float], bits: Int, dim: Int,
+      nFlips: Int): Seq[String] = {
+    require(query.length == dim,
+      s"query dim ${query.length} != expected $dim")
+    require(nFlips >= 0 && nFlips <= bits,
+      s"nFlips must be in [0, $bits], got $nFlips")
+    val planes = hyperplanes(bits, dim)
+    val margins = (0 until bits).map { b =>
+      var s = 0.0
+      var j = 0
+      while (j < dim) {
+        s += query(j).toDouble * planes(b * dim + j); j += 1
+      }
+      s
+    }
+    val base = margins.map(m => if (m >= 0) '1' else '0').mkString
+    val flipBits = margins.zipWithIndex
+      .map { case (m, b) =>
+        (math.floor(math.abs(m) * 1e4 + 0.5).toLong, b) }
+      .sorted.take(nFlips).map(_._2)
+    base +: flipBits.map { b =>
+      base.updated(b, if (base(b) == '1') '0' else '1')
+    }
+  }
+
   /** Embedding-cosine near-dup: bucket by hyperplane sign bits, pair
     * within buckets only (bucket-keyed equi-join — no cartesian), score
     * by cosine, keep the global top-k pairs. `dim` must match the

@@ -328,4 +328,54 @@ class NearDupSpec extends SparkSpec {
     val n = buckets.count()
     assert(n < 10, s"suspiciously many candidate pairs: $n") // 5 docs -> few pairs
   }
+
+  test("multiProbeBuckets: base first, each probe flips exactly one lowest-margin bit") {
+    val rnd = new scala.util.Random(3)
+    val q = Seq.fill(64)(rnd.nextFloat() - 0.5f)
+    val probes = NearDup.multiProbeBuckets(q, bits = 8, dim = 64,
+      nFlips = 3)
+    assert(probes.length == 4 && probes.distinct.length == 4)
+    val base = probes.head
+    assert(base.length == 8 && base.forall(c => c == '0' || c == '1'))
+    // each non-base probe is Hamming distance 1 from the base
+    probes.tail.foreach { p =>
+      assert(p.length == 8 &&
+        p.zip(base).count { case (a, b) => a != b } == 1, s"$p vs $base")
+    }
+    // the flipped bits are the 3 smallest |margin| ones (recompute)
+    val planes = NearDup.hyperplanes(8, 64)
+    val margins = (0 until 8).map(b =>
+      (0 until 64).map(j => q(j).toDouble * planes(b * 64 + j)).sum)
+    val want = margins.zipWithIndex
+      .map { case (m, b) =>
+        (math.floor(math.abs(m) * 1e4 + 0.5).toLong, b) }
+      .sorted.take(3).map(_._2).toSet
+    val got = probes.tail
+      .map(p => p.zip(base).indexWhere { case (a, b) => a != b }).toSet
+    assert(got == want, s"flipped $got, expected lowest-margin $want")
+  }
+
+  test("multiProbeBuckets recall: probing never shrinks, usually grows, the candidate set") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val vecs = (0L until 300L).map(i =>
+      (i, Seq.fill(64)(rnd.nextFloat() - 0.5f))).toDF("vec_id", "embedding")
+    graft.plans.VectorExpressions.ensureRegistered(spark)
+    val q = Seq.fill(64)(rnd.nextFloat() - 0.5f)
+    def candidates(nFlips: Int): Set[Long] = {
+      val probes = NearDup.multiProbeBuckets(q, 8, 64, nFlips)
+      vecs.withColumn("b", NearDup.signBucket(
+          org.apache.spark.sql.functions.col("embedding"),
+          NearDup.hyperplanes(8, 64)))
+        .filter(org.apache.spark.sql.functions.col("b")
+          .isin(probes: _*))
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+    }
+    val single = candidates(0)
+    val multi = candidates(3)
+    assert(single.subsetOf(multi))
+    assert(multi.size > single.size,
+      s"3 extra buckets over 256 on 300 rows should widen the net " +
+        s"(single=${single.size}, multi=${multi.size})")
+  }
 }
