@@ -4609,6 +4609,45 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
               KnnSearch.litVec(q)), 4).as("cos_sim"))
         .orderBy(col("cos_sim").desc, col("vec_id"))
         .limit(10)
+    }),
+
+    "q150_psi_drift" -> ((s, dir) => {
+      // Population stability index — THE standard drift metric (is
+      // the test split's token distribution the train split's?):
+      // per hashed-token bucket, Laplace-smoothed integer rates per
+      // million for each split, and the PSI contribution
+      // (p − q)·ln(p/q) made ORDER-FREE by quantizing the ln to 1e-6
+      // (floor form) so each bucket's contribution is an exact
+      // integer product — the corpus-wide PSI is then an exact long
+      // sum any engine replays, instead of a partition-order-
+      // dependent double fold. One tokenize scan; everything after
+      // the 64-bucket aggregation is constant-sized.
+      VectorExpressions.ensureRegistered(s)
+      val base = t(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(hashSplit(col("text")).as("split"),
+          explode(tokens(lower(col("text")))).as("tok"))
+        .filter(col("split").isin("train", "test"))
+        .select(col("split"),
+          (conv(substring(md5(col("tok")), 1, 2), 16, 10)
+            .cast("long") % 64L).as("bucket"))
+      val counts = base.groupBy(col("bucket")).agg(
+        sum((col("split") === "train").cast("long")).as("ctr"),
+        sum((col("split") === "test").cast("long")).as("cte"))
+      val totals = base.groupBy().agg(
+        sum((col("split") === "train").cast("long")).as("ttr"),
+        sum((col("split") === "test").cast("long")).as("tte"))
+      counts.crossJoin(broadcast(totals))
+        .select(col("bucket"),
+          expr("(ctr + 1) * 1000000 div (ttr + 64)").as("train_ppm"),
+          expr("(cte + 1) * 1000000 div (tte + 64)").as("test_ppm"))
+        .withColumn("ln_q6",
+          floor(log(col("train_ppm").cast("double") /
+            col("test_ppm").cast("double")) * lit(1e6) + lit(0.5))
+            .cast("long"))
+        .withColumn("contrib_scaled",
+          (col("train_ppm") - col("test_ppm")) * col("ln_q6"))
+        .orderBy(col("bucket"))
     })
   )
 
@@ -8157,7 +8196,46 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
              // (cap * n_docs))::BIGINT AS waste_ppm
          FROM g ORDER BY cap""",
 
-    "q149_multiprobe_lsh" -> q149OracleSql
+    "q149_multiprobe_lsh" -> q149OracleSql,
+
+    // q150: q50's split, q85's hashed buckets, Laplace-smoothed
+    // integer ppm, ln quantized at 1e-6 so each contribution is an
+    // exact integer product.
+    "q150_psi_drift" ->
+      raw"""WITH tk AS (
+           SELECT CASE WHEN substr(md5(text), 1, 2) < 'cc' THEN 'train'
+                  WHEN substr(md5(text), 1, 2) < 'e6' THEN 'val'
+                  ELSE 'test' END AS split,
+             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+               t -> len(t) > 0)) AS tok
+           FROM documents WHERE text IS NOT NULL),
+         b AS (
+           SELECT split,
+             ('0x' || substr(md5(tok), 1, 2))::BIGINT % 64 AS bucket
+           FROM tk WHERE split IN ('train', 'test')),
+         counts AS (
+           SELECT bucket,
+             sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS ctr,
+             sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS cte
+           FROM b GROUP BY bucket),
+         totals AS (
+           SELECT sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END)
+               AS ttr,
+             sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS tte
+           FROM b),
+         r AS (
+           SELECT bucket,
+             (ctr + 1) * 1000000 // (ttr + 64) AS train_ppm,
+             (cte + 1) * 1000000 // (tte + 64) AS test_ppm
+           FROM counts, totals)
+         SELECT bucket, train_ppm::BIGINT AS train_ppm,
+           test_ppm::BIGINT AS test_ppm,
+           CAST(floor(ln(train_ppm::DOUBLE / test_ppm::DOUBLE) * 1e6
+             + 0.5::DOUBLE) AS BIGINT) AS ln_q6,
+           ((train_ppm - test_ppm) * CAST(floor(
+             ln(train_ppm::DOUBLE / test_ppm::DOUBLE) * 1e6
+             + 0.5::DOUBLE) AS BIGINT))::BIGINT AS contrib_scaled
+         FROM r ORDER BY bucket"""
   )
 
   /** q136's unrolled greedy-MMR oracle: candidate pool + pairwise-sim
