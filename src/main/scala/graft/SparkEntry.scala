@@ -4648,6 +4648,47 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
         .withColumn("contrib_scaled",
           (col("train_ppm") - col("test_ppm")) * col("ln_q6"))
         .orderBy(col("bucket"))
+    }),
+
+    "q151_attribution" -> ((s, dir) => {
+      // Multi-touch attribution with EXACT credit conservation: each
+      // purchase's value (integer cents) splits equally across the
+      // clicks in its 30-minute window — base = cents div n, and the
+      // `cents mod n` remainder goes to the EARLIEST clicks
+      // ((ts, click_id) order), so Σ credited == Σ attributed cents
+      // EXACTLY, never an off-by-rounding leak (the q140 waterfill
+      // discipline applied to attribution). Pairs come from the q96
+      // bin-bucketed range join (equi key + residual, never a
+      // nested-loop); the per-purchase split is a purchase-keyed
+      // window over match rows only.
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts").cast("long").as("p"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+          (col("ts").cast("long") - 1800L).as("lo"),
+          col("ts").cast("long").as("hi"))
+      val pairs = RangeJoin.pointInInterval(clicks, "p", purchases,
+        "lo", "hi", keys = Seq("user_id"), binWidth = 1800L)
+      val byPurchase = Window.partitionBy(col("purchase_id"))
+      val ordered = Window.partitionBy(col("purchase_id"))
+        .orderBy(col("p"), col("click_id"))
+      val credited = pairs
+        .withColumn("n", count(lit(1)).over(byPurchase))
+        .withColumn("rn", row_number().over(ordered))
+        .withColumn("credit",
+          expr("cents div n") +
+            when(col("rn") <= expr("cents % n"), 1L).otherwise(0L))
+      credited.groupBy(col("user_id"))
+        .agg(count_distinct(col("purchase_id"))
+            .as("n_purchases_attributed"),
+          count(lit(1)).as("n_clicks_credited"),
+          sum(col("credit")).as("credited_cents"),
+          sum(expr("CASE WHEN rn = 1 THEN cents ELSE 0 END"))
+            .as("attributed_cents"))
+        .orderBy(col("user_id"))
     })
   )
 
@@ -8235,7 +8276,44 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
            ((train_ppm - test_ppm) * CAST(floor(
              ln(train_ppm::DOUBLE / test_ppm::DOUBLE) * 1e6
              + 0.5::DOUBLE) AS BIGINT))::BIGINT AS contrib_scaled
-         FROM r ORDER BY bucket"""
+         FROM r ORDER BY bucket""",
+
+    // q151: the q96 join replayed as a plain BETWEEN (tiny in DuckDB),
+    // identical integer split and remainder order.
+    "q151_attribution" ->
+      """WITH c AS (
+           SELECT user_id, event_id AS click_id,
+             epoch_us(ts) // 1000000 AS p
+           FROM events WHERE event_type = 'click'),
+         pu AS (
+           SELECT user_id, event_id AS purchase_id,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             epoch_us(ts) // 1000000 AS hi
+           FROM events WHERE event_type = 'purchase'),
+         pairs AS (
+           SELECT c.user_id, c.click_id, c.p, pu.purchase_id, pu.cents
+           FROM c JOIN pu ON c.user_id = pu.user_id
+             AND c.p BETWEEN pu.hi - 1800 AND pu.hi),
+         w AS (
+           SELECT *,
+             count(*) OVER (PARTITION BY purchase_id) AS n,
+             row_number() OVER (PARTITION BY purchase_id
+               ORDER BY p, click_id) AS rn
+           FROM pairs),
+         cr AS (
+           SELECT user_id, purchase_id, cents,
+             cents // n + (CASE WHEN rn <= cents % n THEN 1 ELSE 0 END)
+               AS credit,
+             rn
+           FROM w)
+         SELECT user_id,
+           count(DISTINCT purchase_id)::BIGINT
+             AS n_purchases_attributed,
+           count(*)::BIGINT AS n_clicks_credited,
+           sum(credit)::BIGINT AS credited_cents,
+           sum(CASE WHEN rn = 1 THEN cents ELSE 0 END)::BIGINT
+             AS attributed_cents
+         FROM cr GROUP BY user_id ORDER BY user_id"""
   )
 
   /** q136's unrolled greedy-MMR oracle: candidate pool + pairwise-sim
