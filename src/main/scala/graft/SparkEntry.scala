@@ -4689,6 +4689,72 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
           sum(expr("CASE WHEN rn = 1 THEN cents ELSE 0 END"))
             .as("attributed_cents"))
         .orderBy(col("user_id"))
+    }),
+
+    "q152_pr_curve" -> ((s, dir) => {
+      // Precision/recall curve of a quality classifier — the eval
+      // report before trusting any filter threshold (the q93/q110
+      // family's missing piece): score = token count predicting the
+      // label n_chars >= 500, one curve row per distinct score with
+      // cumulative TP/FP at that threshold (predict positive when
+      // score >= t). EXACT integers: counts aggregate per score
+      // first (map-side combine), the cumulative sums and the ppm
+      // divisions run over the DISTINCT-SCORE frame — bounded by the
+      // score cardinality, so the global-order window is
+      // scores-sized, never the q129 corpus-window hazard.
+      VectorExpressions.ensureRegistered(s)
+      val scored = t(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(tokenCount(col("text")).cast("long").as("score"),
+          (col("n_chars") >= 500L).cast("long").as("label"))
+      val perScore = scored.groupBy(col("score"))
+        .agg(sum(col("label")).as("pos"),
+          sum(lit(1L) - col("label")).as("neg"))
+      val w = Window.orderBy(col("score").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = scored.agg(sum(col("label")).as("p_total"))
+      perScore
+        .withColumn("tp", sum(col("pos")).over(w))
+        .withColumn("fp", sum(col("neg")).over(w))
+        .crossJoin(broadcast(tot))
+        .select(col("score").as("threshold"), col("tp"), col("fp"),
+          expr("tp * 1000000 div (tp + fp)").as("precision_ppm"),
+          expr("tp * 1000000 div p_total").as("recall_ppm"))
+        .orderBy(col("threshold").desc)
+    }),
+
+    "q153_auc_exact" -> ((s, dir) => {
+      // Exact ROC AUC as integers (Mann–Whitney U with midranks):
+      // AUC = (Σ ranks(positives) − P(P+1)/2) / (P·N); ties take the
+      // midrank, which is a half-integer — so everything runs at 2×
+      // scale (rank2 = 2·midrank is always integral) and the one
+      // division floors at 6 dp. Ranks come from per-score counts +
+      // a scores-sized cumulative window (never a corpus-wide sort):
+      // rank2 of a tied block = 2·(below) + (count + 1), each
+      // occurrence contributing block-count-weighted integer sums.
+      VectorExpressions.ensureRegistered(s)
+      val scored = t(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(tokenCount(col("text")).cast("long").as("score"),
+          (col("n_chars") >= 500L).cast("long").as("label"))
+      val perScore = scored.groupBy(col("score"))
+        .agg(count(lit(1)).as("cnt"), sum(col("label")).as("pos"))
+      val w = Window.orderBy(col("score"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val staged = perScore
+        .withColumn("below", coalesce(sum(col("cnt")).over(w), lit(0L)))
+        // 2·midrank for every row in this tied block
+        .withColumn("rank2", lit(2L) * col("below") + col("cnt") + 1L)
+      staged
+        .agg(sum(col("pos")).as("p"),
+          sum(col("cnt") - col("pos")).as("n"),
+          sum(col("pos") * col("rank2")).as("ranksum2"))
+        .select(col("p"), col("n"),
+          KnnSearch.roundHalfUpCol(
+            (col("ranksum2") - col("p") * (col("p") + 1L))
+              .cast("double") /
+              (lit(2.0) * (col("p") * col("n")).cast("double")), 6)
+            .as("auc_6dp"))
     })
   )
 
@@ -8313,7 +8379,53 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
            sum(credit)::BIGINT AS credited_cents,
            sum(CASE WHEN rn = 1 THEN cents ELSE 0 END)::BIGINT
              AS attributed_cents
-         FROM cr GROUP BY user_id ORDER BY user_id"""
+         FROM cr GROUP BY user_id ORDER BY user_id""",
+
+    // q152/q153: per-score integer counts, scores-sized cumulative
+    // windows, ppm/6-dp floor divisions — identical on both engines.
+    "q152_pr_curve" ->
+      raw"""WITH s AS (
+           SELECT len(list_filter(string_split_regex(text, '\s+'),
+               t -> len(t) > 0))::BIGINT AS score,
+             (CASE WHEN n_chars >= 500 THEN 1 ELSE 0 END)::BIGINT
+               AS label
+           FROM documents WHERE text IS NOT NULL),
+         ps AS (SELECT score, sum(label) AS pos,
+                  sum(1 - label) AS neg
+                FROM s GROUP BY 1),
+         t AS (SELECT sum(label) AS p_total FROM s),
+         c AS (
+           SELECT score,
+             sum(pos) OVER (ORDER BY score DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+             sum(neg) OVER (ORDER BY score DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp
+           FROM ps)
+         SELECT score AS threshold, tp::BIGINT AS tp, fp::BIGINT AS fp,
+           (tp * 1000000 // (tp + fp))::BIGINT AS precision_ppm,
+           (tp * 1000000 // p_total)::BIGINT AS recall_ppm
+         FROM c, t ORDER BY threshold DESC""",
+
+    "q153_auc_exact" ->
+      raw"""WITH s AS (
+           SELECT len(list_filter(string_split_regex(text, '\s+'),
+               t -> len(t) > 0))::BIGINT AS score,
+             (CASE WHEN n_chars >= 500 THEN 1 ELSE 0 END)::BIGINT
+               AS label
+           FROM documents WHERE text IS NOT NULL),
+         ps AS (SELECT score, count(*) AS cnt, sum(label) AS pos
+                FROM s GROUP BY 1),
+         c AS (
+           SELECT *, coalesce(sum(cnt) OVER (ORDER BY score
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS below
+           FROM ps),
+         r AS (SELECT pos, cnt, 2 * below + cnt + 1 AS rank2 FROM c)
+         SELECT sum(pos)::BIGINT AS p, sum(cnt - pos)::BIGINT AS n,
+           floor((sum(pos * rank2) - sum(pos) * (sum(pos) + 1))::DOUBLE
+             / (2 * (sum(pos) * sum(cnt - pos))::DOUBLE)
+             * 1e6 + 0.5::DOUBLE) / 1e6 AS auc_6dp
+         FROM r"""
   )
 
   /** q136's unrolled greedy-MMR oracle: candidate pool + pairwise-sim
