@@ -4755,6 +4755,17 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
               .cast("double") /
               (lit(2.0) * (col("p") * col("n")).cast("double")), 6)
             .as("auc_6dp"))
+    }),
+
+    "q154_whitening_params" -> ((s, dir) => {
+      // The scaler artifact (sklearn StandardScaler's mean_/scale_,
+      // computed once at corpus scale): per-dim mean and population
+      // stddev decoded from the SAME exact integer moments q138
+      // consumes — one mapPartitions fold pass, floor-6dp only at the
+      // final decode. Zero-variance dims report std 0 loudly rather
+      // than hiding a downstream divide-by-zero.
+      VectorStats.dimStandardization(t(s, dir, "embeddings"),
+        "embedding")
     })
   )
 
@@ -8425,7 +8436,28 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
            floor((sum(pos * rank2) - sum(pos) * (sum(pos) + 1))::DOUBLE
              / (2 * (sum(pos) * sum(cnt - pos))::DOUBLE)
              * 1e6 + 0.5::DOUBLE) / 1e6 AS auc_6dp
-         FROM r"""
+         FROM r""",
+
+    // q154: the q138 quantized moments, decoded to value units with
+    // the identical operation order.
+    "q154_whitening_params" ->
+      raw"""WITH vq AS (
+           SELECT list_transform(embedding, x ->
+             CAST(floor(x::DOUBLE * 1024 + 0.5::DOUBLE) AS BIGINT))
+             AS q
+           FROM embeddings WHERE embedding IS NOT NULL),
+         nn AS (SELECT count(*) AS n FROM vq),
+         d AS (
+           SELECT i, sum(q[i + 1]) AS sl,
+             sum(q[i + 1] * q[i + 1]) AS ss
+           FROM vq, range(64) t(i) GROUP BY 1)
+         SELECT i::BIGINT AS dim, nn.n::BIGINT AS n_rows,
+           floor(sl::DOUBLE / (nn.n::DOUBLE * 1024)
+             * 1e6 + 0.5::DOUBLE) / 1e6 AS mean_6dp,
+           floor(sqrt((nn.n * ss - sl * sl)::DOUBLE)
+             / (nn.n::DOUBLE * 1024)
+             * 1e6 + 0.5::DOUBLE) / 1e6 AS std_6dp
+         FROM d, nn ORDER BY dim"""
   )
 
   /** q136's unrolled greedy-MMR oracle: candidate pool + pairwise-sim

@@ -134,6 +134,37 @@ object VectorStats {
       .agg(sum(col("c.s")).as("s"))
   }
 
+  /** Per-dimension standardization parameters — the scaler artifact a
+    * whitening/normalization stage exports (sklearn StandardScaler's
+    * mean_/scale_, produced once at corpus scale and applied
+    * anywhere): mean and population stddev of the QUANTIZED
+    * coordinates, decoded back to value units by dividing out
+    * [[QuantScale]], both floor-rounded at 6 dp from the exact
+    * integer moments (mean = Σq/(n·scale); var·scale² =
+    * (n·Σq² − (Σq)²)/n²). Zero-variance dims report std 0 — the
+    * consumer must drop or epsilon them, and seeing the 0 here beats
+    * a silent divide-by-zero downstream. */
+  def dimStandardization(df: DataFrame, vecCol: String): DataFrame = {
+    val m = moments(df, vecCol).localCheckpoint()
+    val diag = m.filter(col("i") >= 0 && col("i") === col("j"))
+      .select(col("i"), col("s").as("ss"))
+    val lin = m.filter(col("j") === -1 && col("i") >= 0)
+      .select(col("i"), col("s").as("sl"))
+    val n = m.filter(col("i") === -1).select(col("s").as("n"))
+    lin.join(diag, "i").crossJoin(broadcast(n))
+      .select(col("i").cast("long").as("dim"), col("n").as("n_rows"),
+        KnnSearch.roundHalfUpCol(
+          col("sl").cast("double") /
+            (col("n").cast("double") * lit(QuantScale.toDouble)), 6)
+          .as("mean_6dp"),
+        KnnSearch.roundHalfUpCol(
+          sqrt((col("n") * col("ss") - col("sl") * col("sl"))
+            .cast("double")) /
+            (col("n").cast("double") * lit(QuantScale.toDouble)), 6)
+          .as("std_6dp"))
+      .orderBy(col("dim"))
+  }
+
   /** The top-`k` most-covariant OFF-diagonal dimension pairs:
     * `(dim_i, dim_j, cov_scaled = n·Σqᵢqⱼ − Σqᵢ·Σqⱼ, corr_6dp)`,
     * ranked by |cov_scaled| (exact longs) with (i, j) ties. The

@@ -79,6 +79,19 @@ class VectorStatsSpec extends SparkSpec {
     assert(plan.contains("partial"), s"no map-side partial agg:\n$plan")
   }
 
+  test("dimStandardization: hand-checked mean/std, zero-variance std is 0") {
+    val r = VectorStats.dimStandardization(df, "embedding")
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getDouble(2), x.getDouble(3))).toMap
+    // dim0 values 1..4: mean 2.5, population std = sqrt(1.25)
+    assert(r(0L)._1 == 4L)
+    assert(math.abs(r(0L)._2 - 2.5) < 1e-6)
+    assert(math.abs(r(0L)._3 - math.sqrt(1.25)) < 1e-5)
+    // dim2 constant 5: mean 5, std exactly 0
+    assert(math.abs(r(2L)._2 - 5.0) < 1e-6)
+    assert(r(2L)._3 == 0.0)
+  }
+
   test("null vectors are skipped, not crashed on") {
     val withNull = Seq(Some(Seq(1f, 2f)), None, Some(Seq(3f, 4f)))
       .toDF("embedding")
