@@ -658,6 +658,49 @@ class EventStreamsSpec extends SparkSpec {
     assert(EventStreams.anomalyFlags(batch, 60L, 4).isEmpty)
   }
 
+  test("late data past the watermark is DROPPED and ACCOUNTED (numRowsDroppedByWatermark)") {
+    // the operational contract of every watermarked operator here:
+    // lateness is not silent — the engine's progress metrics report
+    // exactly how many rows the watermark discarded, which is what a
+    // production monitor alarms on (silent late-drop is data loss
+    // nobody sees)
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    // APPEND mode: finalized windows only — the mode where late rows
+    // are dropped rather than revising emitted results
+    val query = EventStreams.windowedCounts(input.toDF(), "10 minutes",
+        "10 minutes")
+      .writeStream.format("memory").queryName("late_counts")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(Event(1, ts(5), 1, "click", 1.0))
+      query.processAllAvailable()
+      // advance event time far past the first window; watermark moves
+      // to ts(200) - 10min on the NEXT batch
+      input.addData(Event(2, ts(200), 1, "click", 1.0))
+      query.processAllAvailable()
+      input.addData(Event(3, ts(201), 1, "click", 1.0))
+      query.processAllAvailable()
+      // this row is ~3 hours older than the watermark: dropped
+      input.addData(Event(4, ts(6), 1, "click", 99.0))
+      query.processAllAvailable()
+      val dropped = query.recentProgress
+        .flatMap(p => p.stateOperators.map(_.numRowsDroppedByWatermark))
+        .sum
+      assert(dropped >= 1,
+        s"the watermark drop must be visible in progress metrics, " +
+          s"got $dropped")
+      // and the late row's value never contaminated the emitted window
+      val w0 = spark.table("late_counts")
+        .filter(col("event_type") === "click")
+        .orderBy("window_start").collect()
+      assert(w0.nonEmpty && w0.head.getLong(2) == 1L &&
+        w0.head.getDouble(3) == 1.0,
+        s"late row leaked into a finalized window: ${w0.toSeq}")
+    } finally query.stop()
+  }
+
   test("decontamStream drops bloom-hit docs; batch and stream agree; no false negatives") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
