@@ -4766,6 +4766,27 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
       // than hiding a downstream divide-by-zero.
       VectorStats.dimStandardization(t(s, dir, "embeddings"),
         "embedding")
+    }),
+
+    "q155_graph_beam_search" -> ((s, dir) => {
+      // Graph-traversal ANN (the reference's index is HNSW; this is
+      // its single-layer navigable-small-world core over the q135
+      // kNN graph): start at the far end of the id space (max id),
+      // greedily expand graph neighbors for 3 hops with beam 4, and
+      // answer with the top-5 visited. The graph is localCheckpoint-
+      // pinned (build once, hop many — the index-build/search split);
+      // each hop is a point lookup of ≤ beam·k ids, never a corpus
+      // pass, and the whole walk is deterministic (floor-4dp dists,
+      // id ties, visited-set exclusion) so the oracle unrolls it hop
+      // by hop over the SAME graph CTEs q135 hashes.
+      VectorExpressions.ensureRegistered(s)
+      val idx = ivfIndexFor(s, dir)
+      val q = queryVec(s, dir)
+      val graph = idx.knnGraph(k = 3, nprobe = 2, rankRoundDp = 4)
+        .localCheckpoint()
+      val entry = idx.assigned.agg(max(col("vec_id")).as("m"))
+        .head().getLong(0)
+      idx.beamSearch(graph, q, entry, k = 5, beam = 4, hops = 3)
     })
   )
 
@@ -7904,36 +7925,10 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
     // q135: per-ROW probe replay over the exported replica — the q36
     // probe CTE generalized from one query to every vec_id (same
     // exact-double centroid fold, same cluster-id ties), then the
-    // pruned pair join, 4-dp floor-rounded L2 rank, nbr ties.
+    // pruned pair join, 4-dp floor-rounded L2 rank, nbr ties. The CTE
+    // chain is shared with q155's beam walk (knnGraphOracleCtes).
     "q135_knn_graph" ->
-      raw"""WITH cent AS (
-           SELECT cluster_id, centroid FROM
-             read_parquet('$IvfOracleRoot/single/centroids/*.parquet')),
-         data AS (
-           SELECT vec_id, embedding, __ivf_cluster FROM
-             read_parquet('$IvfOracleRoot/single/data/*.parquet')),
-         probes AS (
-           SELECT d.vec_id AS src, c.cluster_id,
-             row_number() OVER (PARTITION BY d.vec_id ORDER BY
-               list_sum(list_transform(range(1, len(c.centroid) + 1),
-                 i -> (d.embedding[i]::DOUBLE - c.centroid[i]::DOUBLE) *
-                      (d.embedding[i]::DOUBLE - c.centroid[i]::DOUBLE))),
-               c.cluster_id) AS pr
-           FROM data d CROSS JOIN cent c),
-         pp AS (SELECT src, cluster_id FROM probes WHERE pr <= 2),
-         cand AS (
-           SELECT pp.src, n.vec_id AS nbr,
-             floor(list_distance(ds.embedding::DOUBLE[],
-               n.embedding::DOUBLE[]) * 1e4 + 0.5::DOUBLE) / 1e4 AS dist
-           FROM pp
-           JOIN data n ON n.__ivf_cluster = pp.cluster_id
-           JOIN data ds ON ds.vec_id = pp.src
-           WHERE n.vec_id != pp.src),
-         r AS (
-           SELECT src, nbr, dist,
-             row_number() OVER (PARTITION BY src ORDER BY dist, nbr)
-               AS rank
-           FROM cand)
+      raw"""WITH $knnGraphOracleCtes
          SELECT src, rank::BIGINT AS rank, nbr, dist
          FROM r WHERE rank <= 3 ORDER BY src, rank""",
 
@@ -8457,8 +8452,84 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
            floor(sqrt((nn.n * ss - sl * sl)::DOUBLE)
              / (nn.n::DOUBLE * 1024)
              * 1e6 + 0.5::DOUBLE) / 1e6 AS std_6dp
-         FROM d, nn ORDER BY dim"""
+         FROM d, nn ORDER BY dim""",
+
+    "q155_graph_beam_search" -> beamSearchOracleSql
   )
+
+  /** The kNN-graph replay CTE chain over the exported IVF replica
+    * (per-row probe selection → pruned pair join → rounded rank),
+    * shared by the q135 oracle and q155's beam-walk oracle so the
+    * graph the walk traverses can never drift from the graph the
+    * graph query hashes. */
+  private lazy val knnGraphOracleCtes: String =
+    raw"""cent AS (
+           SELECT cluster_id, centroid FROM
+             read_parquet('$IvfOracleRoot/single/centroids/*.parquet')),
+         data AS (
+           SELECT vec_id, embedding, __ivf_cluster FROM
+             read_parquet('$IvfOracleRoot/single/data/*.parquet')),
+         probes AS (
+           SELECT d.vec_id AS src, c.cluster_id,
+             row_number() OVER (PARTITION BY d.vec_id ORDER BY
+               list_sum(list_transform(range(1, len(c.centroid) + 1),
+                 i -> (d.embedding[i]::DOUBLE - c.centroid[i]::DOUBLE) *
+                      (d.embedding[i]::DOUBLE - c.centroid[i]::DOUBLE))),
+               c.cluster_id) AS pr
+           FROM data d CROSS JOIN cent c),
+         pp AS (SELECT src, cluster_id FROM probes WHERE pr <= 2),
+         cand AS (
+           SELECT pp.src, n.vec_id AS nbr,
+             floor(list_distance(ds.embedding::DOUBLE[],
+               n.embedding::DOUBLE[]) * 1e4 + 0.5::DOUBLE) / 1e4 AS dist
+           FROM pp
+           JOIN data n ON n.__ivf_cluster = pp.cluster_id
+           JOIN data ds ON ds.vec_id = pp.src
+           WHERE n.vec_id != pp.src),
+         r AS (
+           SELECT src, nbr, dist,
+             row_number() OVER (PARTITION BY src ORDER BY dist, nbr)
+               AS rank
+           FROM cand)"""
+
+  /** q155's unrolled beam-walk oracle: the shared graph CTEs, then
+    * one (candidates → beam frontier → visited) CTE TRIPLE per hop —
+    * the q119/q136 unrolled-iteration trick applied to a graph
+    * traversal. Entry = max vec_id (the far end of the id space, so
+    * the walk is non-trivial); distances and ties are the operator's
+    * exact contract. */
+  private lazy val beamSearchOracleSql: String = {
+    val hops = 3
+    val beam = 4
+    val k = 5
+    val hopCtes = (1 to hops).map { t =>
+      s"""c$t AS (
+         SELECT DISTINCT g.nbr AS id FROM g JOIN f${t - 1}
+           ON g.src = f${t - 1}.id
+         WHERE g.nbr NOT IN (SELECT id FROM v${t - 1})),
+         f$t AS (
+           SELECT c$t.id FROM c$t JOIN d ON d.vec_id = c$t.id
+           ORDER BY d.dist, c$t.id LIMIT $beam),
+         v$t AS (SELECT id FROM v${t - 1}
+                 UNION ALL SELECT id FROM f$t)"""
+    }.mkString(",\n         ")
+    raw"""WITH $knnGraphOracleCtes,
+         g AS (SELECT src, nbr FROM r WHERE rank <= 3),
+         q AS (SELECT embedding FROM data WHERE vec_id = 0),
+         d AS (
+           SELECT vec_id,
+             floor(list_distance(embedding::DOUBLE[],
+               (SELECT embedding FROM q)::DOUBLE[])
+               * 1e4 + 0.5::DOUBLE) / 1e4 AS dist
+           FROM data),
+         e AS (SELECT max(vec_id) AS id FROM data),
+         f0 AS (SELECT id FROM e),
+         v0 AS (SELECT id FROM e),
+         $hopCtes
+         SELECT d.vec_id, d.dist FROM v$hops
+         JOIN d ON d.vec_id = v$hops.id
+         ORDER BY d.dist, d.vec_id LIMIT $k"""
+  }
 
   /** q136's unrolled greedy-MMR oracle: candidate pool + pairwise-sim
     * CTEs, then one CTE PER GREEDY STEP (the q119 unrolled-iteration

@@ -218,6 +218,64 @@ final case class IvfIndex(
         col("dist"))
   }
 
+  /** NSW-style greedy BEAM SEARCH over a [[knnGraph]] edge frame —
+    * the graph-traversal ANN family (the reference's actual index is
+    * HNSW; this is its single-layer navigable-small-world core,
+    * expressed over the materialized neighbor graph): start at
+    * `entryId`, repeatedly expand the current frontier's graph
+    * neighbors, score them against the query, and keep the `beam`
+    * closest unvisited nodes, for `hops` rounds; answer = the top-`k`
+    * of everything visited.
+    *
+    * DETERMINISTIC by the same contract as every ranked surface:
+    * distances floor-round at `rankRoundDp`, ties break on id, the
+    * visited set makes each hop a pure function of the last — so an
+    * unrolled SQL oracle replays the exact walk (the q119/q136
+    * unrolled-iteration trick on a graph traversal).
+    *
+    * Execution shape: graph search is pointer-chasing — each hop
+    * touches ≤ beam·k candidate ids, so the driver loop issues
+    * per-hop POINT LOOKUPS (id-pruned scans of the edge/vector
+    * frames, row-group-prunable at scale), never a corpus pass;
+    * serving deployments hold the graph in memory and this loop
+    * becomes array chasing (the HNSW reality), while the SPARK value
+    * is that the GRAPH ITSELF is built distributed ([[knnGraph]]) and
+    * the walk stays correct on the frame. Driver state = visited ids
+    * (≤ beam·hops + 1). */
+  def beamSearch(graph: DataFrame, query: Seq[Float], entryId: Long,
+      k: Int, beam: Int, hops: Int,
+      rankRoundDp: Int = 4): DataFrame = {
+    require(k >= 1 && beam >= 1 && hops >= 0,
+      s"need k >= 1, beam >= 1, hops >= 0; got ($k, $beam, $hops)")
+    graft.plans.VectorExpressions.ensureRegistered(assigned.sparkSession)
+    import graft.functions.VectorFunctions.l2DistanceNative
+    val distCol = KnnSearch.roundHalfUpCol(
+      l2DistanceNative(col(vecCol), KnnSearch.litVec(query)), rankRoundDp)
+    var visited = Vector(entryId)
+    var frontier = Set(entryId)
+    for (_ <- 0 until hops) {
+      val cand = graph
+        .filter(col("src").isin(frontier.toSeq: _*) &&
+          !col("nbr").isin(visited: _*))
+        .select(col("nbr")).distinct()
+        .collect().map(_.getLong(0))
+      if (cand.nonEmpty) {
+        val scored = assigned
+          .filter(col(idCol).isin(cand.toIndexedSeq: _*))
+          .select(col(idCol), distCol.as("__d"))
+          .orderBy(col("__d"), col(idCol))
+          .limit(beam)
+          .collect().map(_.getLong(0))
+        frontier = scored.toSet
+        visited = visited ++ scored
+      } else frontier = Set.empty
+    }
+    assigned.filter(col(idCol).isin(visited: _*))
+      .select(col(idCol), distCol.as("dist"))
+      .orderBy(col("dist"), col(idCol))
+      .limit(k)
+  }
+
   /** Quantized V5 (IVF-SQ8, the FAISS `IVF...,SQ8` shape): the
     * approximate ranking pass scans the 1-byte/dim `__sq8_code` column
     * instead of the 4-byte/dim float vectors — parquet column pruning

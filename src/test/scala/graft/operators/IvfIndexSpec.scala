@@ -1002,6 +1002,47 @@ class IvfIndexSpec extends SparkSpec {
     assert(g.count() == embeddings.count() * 3)
   }
 
+  test("beamSearch differential: the frame walk equals an independent in-memory walk") {
+    graft.plans.VectorExpressions.ensureRegistered(spark)
+    val graph = index.knnGraph(k = 3, nprobe = 2).localCheckpoint()
+    val q = queryVecs(1).head
+    val entry = embeddings.agg(max(col("vec_id"))).head().getLong(0)
+    val got = index.beamSearch(graph, q, entry, k = 5, beam = 4,
+        hops = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // independent reference walk over collected data
+    val edges = graph.select("src", "nbr").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).toSet }
+    val vecs = embeddings.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    def d(id: Long): Double = {
+      val v = vecs(id)
+      val s = v.zip(q).map { case (a, b) =>
+        val x = a.toDouble - b.toDouble; x * x }.sum
+      KnnSearch.roundHalfUp(math.sqrt(s), 1e4)
+    }
+    var visited = Vector(entry)
+    var frontier = Set(entry)
+    for (_ <- 0 until 3) {
+      val cand = frontier.flatMap(f => edges.getOrElse(f, Set.empty))
+        .diff(visited.toSet)
+      if (cand.nonEmpty) {
+        val top = cand.toSeq.map(id => (d(id), id)).sorted.take(4)
+          .map(_._2)
+        frontier = top.toSet
+        visited = visited ++ top
+      } else frontier = Set.empty
+    }
+    val want = visited.map(id => (d(id), id)).sorted.take(5)
+      .map { case (dist, id) => (id, dist) }
+    assert(got == want, s"walk mismatch:\n got=$got\nwant=$want")
+    // the walk from a far entry must IMPROVE on the entry's own
+    // distance (it navigates toward the query)
+    assert(got.head._2 < d(entry),
+      "beam search failed to navigate closer than its entry point")
+  }
+
   test("knnGraph plans a rank-limit window (WindowGroupLimit), not a full sort, and no cartesian") {
     val plan = index.knnGraph(k = 3, nprobe = 2)
       .queryExecution.executedPlan.toString
