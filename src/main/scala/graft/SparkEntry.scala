@@ -4787,6 +4787,22 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
       val entry = idx.assigned.agg(max(col("vec_id")).as("m"))
         .head().getLong(0)
       idx.beamSearch(graph, q, entry, k = 5, beam = 4, hops = 3)
+    }),
+
+    "q156_hier_beam_search" -> ((s, dir) => {
+      // The two-level form (HNSW's hierarchy collapsed to one coarse
+      // layer): entry = the closest node of the deterministic 1/16
+      // md5 sample — a corpus/16 scan standing in for the log-layer
+      // descent — then the SAME walk needs only 2 hops where q155's
+      // blind far entry needed 3. The walk, contract, and oracle
+      // machinery are shared; only the entry CTE differs.
+      VectorExpressions.ensureRegistered(s)
+      val idx = ivfIndexFor(s, dir)
+      val q = queryVec(s, dir)
+      val graph = idx.knnGraph(k = 3, nprobe = 2, rankRoundDp = 4)
+        .localCheckpoint()
+      val entry = idx.coarseEntry(q, sampleMod = 16, rankRoundDp = 4)
+      idx.beamSearch(graph, q, entry, k = 5, beam = 4, hops = 2)
     })
   )
 
@@ -8454,7 +8470,9 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
              * 1e6 + 0.5::DOUBLE) / 1e6 AS std_6dp
          FROM d, nn ORDER BY dim""",
 
-    "q155_graph_beam_search" -> beamSearchOracleSql
+    "q155_graph_beam_search" -> beamSearchOracleSql,
+
+    "q156_hier_beam_search" -> hierBeamOracleSql
   )
 
   /** The kNN-graph replay CTE chain over the exported IVF replica
@@ -8498,10 +8516,23 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
     * traversal. Entry = max vec_id (the far end of the id space, so
     * the walk is non-trivial); distances and ties are the operator's
     * exact contract. */
-  private lazy val beamSearchOracleSql: String = {
-    val hops = 3
-    val beam = 4
-    val k = 5
+  private lazy val beamSearchOracleSql: String =
+    beamWalkOracleSql(hops = 3, beam = 4, k = 5,
+      entryCte = "e AS (SELECT max(vec_id) AS id FROM data)")
+
+  /** q156's oracle: entry = the closest node of the deterministic
+    * 1/16 md5 coarse layer (HNSW's upper-layer descent collapsed to
+    * two levels), then the same unrolled walk. */
+  private lazy val hierBeamOracleSql: String =
+    beamWalkOracleSql(hops = 2, beam = 4, k = 5,
+      entryCte = """e AS (
+           SELECT vec_id AS id FROM d
+           WHERE ('0x' || substr(md5(vec_id::VARCHAR), 1, 2))::BIGINT
+             % 16 = 0
+           ORDER BY dist, vec_id LIMIT 1)""")
+
+  private def beamWalkOracleSql(hops: Int, beam: Int, k: Int,
+      entryCte: String): String = {
     val hopCtes = (1 to hops).map { t =>
       s"""c$t AS (
          SELECT DISTINCT g.nbr AS id FROM g JOIN f${t - 1}
@@ -8522,7 +8553,7 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
                (SELECT embedding FROM q)::DOUBLE[])
                * 1e4 + 0.5::DOUBLE) / 1e4 AS dist
            FROM data),
-         e AS (SELECT max(vec_id) AS id FROM data),
+         $entryCte,
          f0 AS (SELECT id FROM e),
          v0 AS (SELECT id FROM e),
          $hopCtes

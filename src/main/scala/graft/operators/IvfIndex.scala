@@ -242,6 +242,29 @@ final case class IvfIndex(
     * is that the GRAPH ITSELF is built distributed ([[knnGraph]]) and
     * the walk stays correct on the frame. Driver state = visited ids
     * (≤ beam·hops + 1). */
+  /** HNSW's upper-layer descent collapsed to TWO levels: the entry
+    * point for [[beamSearch]] is the closest node of a DETERMINISTIC
+    * 1/`sampleMod` md5 coarse layer (content-hash membership — the
+    * repo's no-RNG sampling discipline), instead of an arbitrary
+    * fixed node. One id+vector scan over the coarse layer
+    * (~corpus/sampleMod rows) replaces the log-layer hierarchy;
+    * production HNSW holds the upper layers in memory, and the walk
+    * below is unchanged. */
+  def coarseEntry(query: Seq[Float], sampleMod: Int = 16,
+      rankRoundDp: Int = 4): Long = {
+    require(sampleMod >= 1, s"sampleMod must be >= 1, got $sampleMod")
+    graft.plans.VectorExpressions.ensureRegistered(assigned.sparkSession)
+    import graft.functions.VectorFunctions.l2DistanceNative
+    assigned
+      .filter(conv(substring(md5(col(idCol).cast("string")), 1, 2),
+        16, 10).cast("long") % sampleMod === 0L)
+      .select(col(idCol), KnnSearch.roundHalfUpCol(
+        l2DistanceNative(col(vecCol), KnnSearch.litVec(query)),
+        rankRoundDp).as("__d"))
+      .orderBy(col("__d"), col(idCol))
+      .limit(1).head().getLong(0)
+  }
+
   def beamSearch(graph: DataFrame, query: Seq[Float], entryId: Long,
       k: Int, beam: Int, hops: Int,
       rankRoundDp: Int = 4): DataFrame = {
