@@ -4803,6 +4803,37 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
         .localCheckpoint()
       val entry = idx.coarseEntry(q, sampleMod = 16, rankRoundDp = 4)
       idx.beamSearch(graph, q, entry, k = 5, beam = 4, hops = 2)
+    }),
+
+    "q157_beam_recall" -> ((s, dir) => {
+      // Retrieval-quality eval for the GRAPH family (q109's shape on
+      // the walk axis): recall@5 of the hierarchical beam search
+      // against the exact scan, integer ppm. Graph ANN trades recall
+      // for touch count exactly like IVF trades it for nprobe — this
+      // report is where that trade is read off; both legs replay
+      // independently in the oracle (exact SQL top-k, unrolled walk).
+      VectorExpressions.ensureRegistered(s)
+      val idx = ivfIndexFor(s, dir)
+      val q = queryVec(s, dir)
+      val graph = idx.knnGraph(k = 3, nprobe = 2, rankRoundDp = 4)
+        .localCheckpoint()
+      val entry = idx.coarseEntry(q, sampleMod = 16, rankRoundDp = 4)
+      val approx = idx.beamSearch(graph, q, entry, k = 5, beam = 4,
+          hops = 2)
+        .select(col("vec_id").as("id_a"))
+      val exact = t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          KnnSearch.roundHalfUpCol(
+            l2DistanceNative(col("embedding"), KnnSearch.litVec(q)), 4)
+            .as("d"))
+        .orderBy(col("d"), col("vec_id")).limit(5)
+        .select(col("vec_id").as("id_e"))
+      exact.join(approx, col("id_e") === col("id_a"), "full_outer")
+        .agg(lit(5L).as("k"),
+          sum(when(col("id_e").isNotNull && col("id_a").isNotNull, 1L)
+            .otherwise(0L)).as("n_overlap"),
+          count(lit(1)).as("n_union"))
+        .withColumn("recall_ppm", expr("n_overlap * 1000000 div k"))
     })
   )
 
@@ -8472,7 +8503,9 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
 
     "q155_graph_beam_search" -> beamSearchOracleSql,
 
-    "q156_hier_beam_search" -> hierBeamOracleSql
+    "q156_hier_beam_search" -> hierBeamOracleSql,
+
+    "q157_beam_recall" -> beamRecallOracleSql
   )
 
   /** The kNN-graph replay CTE chain over the exported IVF replica
@@ -8531,8 +8564,32 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
              % 16 = 0
            ORDER BY dist, vec_id LIMIT 1)""")
 
+  /** q157's oracle: the hier walk's CTE chain with the final select
+    * swapped for an exact-leg intersect (both legs independent). */
+  private lazy val beamRecallOracleSql: String =
+    beamWalkOracleSql(hops = 2, beam = 4, k = 5,
+      entryCte = """e AS (
+           SELECT vec_id AS id FROM d
+           WHERE ('0x' || substr(md5(vec_id::VARCHAR), 1, 2))::BIGINT
+             % 16 = 0
+           ORDER BY dist, vec_id LIMIT 1)""",
+      finalSql = Some(
+        raw""",
+         ex AS (SELECT vec_id AS id_e FROM d
+                ORDER BY dist, vec_id LIMIT 5),
+         ap AS (SELECT d.vec_id AS id_a FROM v2
+                JOIN d ON d.vec_id = v2.id
+                ORDER BY d.dist, d.vec_id LIMIT 5)
+         SELECT 5::BIGINT AS k,
+           sum(CASE WHEN id_e IS NOT NULL AND id_a IS NOT NULL
+             THEN 1 ELSE 0 END)::BIGINT AS n_overlap,
+           count(*)::BIGINT AS n_union,
+           (sum(CASE WHEN id_e IS NOT NULL AND id_a IS NOT NULL
+             THEN 1 ELSE 0 END) * 1000000 // 5)::BIGINT AS recall_ppm
+         FROM ex FULL OUTER JOIN ap ON id_e = id_a"""))
+
   private def beamWalkOracleSql(hops: Int, beam: Int, k: Int,
-      entryCte: String): String = {
+      entryCte: String, finalSql: Option[String] = None): String = {
     val hopCtes = (1 to hops).map { t =>
       s"""c$t AS (
          SELECT DISTINCT g.nbr AS id FROM g JOIN f${t - 1}
@@ -8556,10 +8613,11 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
          $entryCte,
          f0 AS (SELECT id FROM e),
          v0 AS (SELECT id FROM e),
-         $hopCtes
+         $hopCtes${finalSql.getOrElse(
+        raw"""
          SELECT d.vec_id, d.dist FROM v$hops
          JOIN d ON d.vec_id = v$hops.id
-         ORDER BY d.dist, d.vec_id LIMIT $k"""
+         ORDER BY d.dist, d.vec_id LIMIT $k""")}"""
   }
 
   /** q136's unrolled greedy-MMR oracle: candidate pool + pairwise-sim

@@ -274,6 +274,12 @@ final case class IvfIndex(
     import graft.functions.VectorFunctions.l2DistanceNative
     val distCol = KnnSearch.roundHalfUpCol(
       l2DistanceNative(col(vecCol), KnnSearch.litVec(query)), rankRoundDp)
+    // a nonexistent entry would walk nowhere and return an EMPTY
+    // result that looks like a valid answer — fail loudly instead
+    require(assigned.filter(col(idCol) === entryId).limit(1)
+        .count() == 1L,
+      s"beamSearch: entry id $entryId is not in the index " +
+        s"(wrong corpus, or deleted?)")
     var visited = Vector(entryId)
     var frontier = Set(entryId)
     for (_ <- 0 until hops) {
