@@ -212,6 +212,24 @@ object SparkEntry {
     IvfIndex.load(s, path, "vec_id", "embedding")
   }
 
+  /** Build-once / walk-many kNN-graph lifecycle (the [[ivfIndexFor]]
+    * convention applied to the graph artifact): the q135 graph is an
+    * INDEX — q155/q156/q157 walk it per query and must not pay the
+    * probe-pair join again per bench rep. Cache the PATH, not the
+    * frame (frames pin sessions). */
+  private val knnGraphPathCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def knnGraphFor(s: SparkSession, dir: String): DataFrame = {
+    val path = knnGraphPathCache.computeIfAbsent(dir, _ => {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_knngraph_").toString
+      ivfIndexFor(s, dir).knnGraph(k = 3, nprobe = 2, rankRoundDp = 4)
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+    s.read.parquet(path)
+  }
+
   /** Fixed location of the DuckDB-readable replica of each persisted IVF
     * root. The index roots themselves are per-corpus temp dirs (aliasing
     * two corpora onto one root in a shared JVM would corrupt live
@@ -4782,8 +4800,7 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
       VectorExpressions.ensureRegistered(s)
       val idx = ivfIndexFor(s, dir)
       val q = queryVec(s, dir)
-      val graph = idx.knnGraph(k = 3, nprobe = 2, rankRoundDp = 4)
-        .localCheckpoint()
+      val graph = knnGraphFor(s, dir)
       val entry = idx.assigned.agg(max(col("vec_id")).as("m"))
         .head().getLong(0)
       idx.beamSearch(graph, q, entry, k = 5, beam = 4, hops = 3)
@@ -4799,8 +4816,7 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
       VectorExpressions.ensureRegistered(s)
       val idx = ivfIndexFor(s, dir)
       val q = queryVec(s, dir)
-      val graph = idx.knnGraph(k = 3, nprobe = 2, rankRoundDp = 4)
-        .localCheckpoint()
+      val graph = knnGraphFor(s, dir)
       val entry = idx.coarseEntry(q, sampleMod = 16, rankRoundDp = 4)
       idx.beamSearch(graph, q, entry, k = 5, beam = 4, hops = 2)
     }),
@@ -4815,8 +4831,7 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
       VectorExpressions.ensureRegistered(s)
       val idx = ivfIndexFor(s, dir)
       val q = queryVec(s, dir)
-      val graph = idx.knnGraph(k = 3, nprobe = 2, rankRoundDp = 4)
-        .localCheckpoint()
+      val graph = knnGraphFor(s, dir)
       val entry = idx.coarseEntry(q, sampleMod = 16, rankRoundDp = 4)
       val approx = idx.beamSearch(graph, q, entry, k = 5, beam = 4,
           hops = 2)
