@@ -4849,6 +4849,38 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
             .otherwise(0L)).as("n_overlap"),
           count(lit(1)).as("n_union"))
         .withColumn("recall_ppm", expr("n_overlap * 1000000 div k"))
+    }),
+
+    "q158_ivf_binary" -> ((s, dir) => {
+      // IVF × binary composition (FAISS's IVF + binary-refine shape,
+      // completing the pruning matrix: directory pruning from the
+      // probes × scan-width pruning from the sign codes): probe 4 of
+      // 8 clusters, Hamming-prefilter the probed rows to 30
+      // candidates on the 2-word sign codes, exact L2 re-rank to the
+      // top 10. At 100 TB the packed words are written at index-build
+      // time next to the SQ8 codes, so the first pass reads
+      // 16 bytes/row of ~half the directories — both prunes compose
+      // in one scan, like q62's SQ8 path with a 16× narrower code.
+      VectorExpressions.ensureRegistered(s)
+      val idx = ivfIndexFor(s, dir)
+      val q = queryVec(s, dir)
+      val probes = idx.probeOrder(q).take(4)
+      val qBits = BinaryHash.packVec(q)
+      val scan = idx.assigned
+        .filter(col(IvfIndex.ClusterCol).isin(probes: _*))
+      scan
+        .select(col("vec_id"), col("embedding"),
+          BinaryHash.hammingCol(
+            BinaryHash.packCol(col("embedding"), q.length), qBits)
+            .as("hamming"))
+        .orderBy(col("hamming"), col("vec_id"))
+        .limit(30)
+        .select(col("vec_id"), col("hamming"),
+          KnnSearch.roundHalfUpCol(
+            l2DistanceNative(col("embedding"), KnnSearch.litVec(q)), 4)
+            .as("dist"))
+        .orderBy(col("dist"), col("vec_id"))
+        .limit(10)
     })
   )
 
@@ -8520,7 +8552,58 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
 
     "q156_hier_beam_search" -> hierBeamOracleSql,
 
-    "q157_beam_recall" -> beamRecallOracleSql
+    "q157_beam_recall" -> beamRecallOracleSql,
+
+    // q158: the q36 probe replay (4 probes) + the q133 pack/xor/
+    // popcount spelling over the PROBED rows + exact re-rank.
+    "q158_ivf_binary" ->
+      raw"""WITH q AS (
+           SELECT embedding::DOUBLE[] AS qv, embedding AS qe
+           FROM embeddings WHERE vec_id = 0),
+         cent AS (
+           SELECT cluster_id, centroid FROM
+             read_parquet('$IvfOracleRoot/single/centroids/*.parquet')),
+         probes AS (
+           SELECT cluster_id FROM cent, q
+           ORDER BY list_sum(list_transform(range(1, len(centroid) + 1),
+             i -> (centroid[i]::DOUBLE - qv[i]) *
+                  (centroid[i]::DOUBLE - qv[i]))),
+             cluster_id
+           LIMIT 4),
+         qp AS (
+           SELECT
+             list_sum(list_transform(range(0, 32), i ->
+               CASE WHEN qe[i + 1] > 0
+                 THEN (1::BIGINT << i) ELSE 0::BIGINT END))::BIGINT
+               AS qw0,
+             list_sum(list_transform(range(0, 32), i ->
+               CASE WHEN qe[i + 33] > 0
+                 THEN (1::BIGINT << i) ELSE 0::BIGINT END))::BIGINT
+               AS qw1
+           FROM q),
+         sel AS (
+           SELECT vec_id, embedding,
+             list_sum(list_transform(range(0, 32), i ->
+               CASE WHEN embedding[i + 1] > 0
+                 THEN (1::BIGINT << i) ELSE 0::BIGINT END))::BIGINT
+               AS w0,
+             list_sum(list_transform(range(0, 32), i ->
+               CASE WHEN embedding[i + 33] > 0
+                 THEN (1::BIGINT << i) ELSE 0::BIGINT END))::BIGINT
+               AS w1
+           FROM read_parquet('$IvfOracleRoot/single/data/*.parquet')
+           WHERE __ivf_cluster IN (SELECT cluster_id FROM probes)),
+         cand AS (
+           SELECT vec_id, embedding,
+             (bit_count(xor(w0, (SELECT qw0 FROM qp)))
+              + bit_count(xor(w1, (SELECT qw1 FROM qp))))::BIGINT
+               AS hamming
+           FROM sel
+           ORDER BY hamming, vec_id LIMIT 30)
+         SELECT vec_id, hamming,
+           floor(list_distance(embedding::DOUBLE[],
+             (SELECT qv FROM q)) * 1e4 + 0.5::DOUBLE) / 1e4 AS dist
+         FROM cand ORDER BY dist, vec_id LIMIT 10"""
   )
 
   /** The kNN-graph replay CTE chain over the exported IVF replica
