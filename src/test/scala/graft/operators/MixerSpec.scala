@@ -132,6 +132,41 @@ class MixerSpec extends SparkSpec {
     }
   }
 
+  test("waterfill properties hold on random instances (max-min fairness characterization)") {
+    val rnd = new scala.util.Random(17)
+    for (trial <- 0 until 30) {
+      val n = 1 + rnd.nextInt(8)
+      val ds = (0 until n).map(i => s"s$i" -> (rnd.nextInt(1000) + 1L))
+      val total = ds.map(_._2).sum
+      val budget = rnd.nextInt((total * 3 / 2).toInt + 1).toLong
+      val a = alloc(ds, budget)
+      // (a) conservation: Σ alloc == min(budget, Σ demand)
+      assert(a.values.map(_._2).sum == math.min(budget, total),
+        s"trial $trial: conservation broke for $ds budget=$budget: $a")
+      ds.foreach { case (k, d) =>
+        val (_, got, sat) = a(k)
+        // (b) never over-allocate
+        assert(got <= d, s"trial $trial: $k got $got > demand $d")
+        // (c) satisfied strata get their full demand
+        if (sat == 1L) assert(got == d)
+      }
+      // (d) capped strata sit within 1 of a common water level
+      val capped = a.values.filter(_._3 == 0L).map(_._2).toSeq
+      if (capped.nonEmpty)
+        assert(capped.max - capped.min <= 1L,
+          s"trial $trial: capped allocations not level: $capped")
+      // (e) no satisfied stratum's demand may exceed the capped water
+      // level (otherwise capping it instead would be fairer)
+      if (capped.nonEmpty) {
+        val minCapped = capped.min
+        a.values.filter(_._3 == 1L).foreach { case (d, _, _) =>
+          assert(d <= minCapped + 1,
+            s"trial $trial: satisfied demand $d above capped level " +
+              s"$minCapped") }
+      }
+    }
+  }
+
   test("waterfillPct derives the budget in-plan: 6/10 of total demand") {
     import spark.implicits._
     val ds = Seq("a" -> 10L, "b" -> 20L, "c" -> 100L).toDF("k", "d")

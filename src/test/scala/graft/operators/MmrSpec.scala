@@ -70,6 +70,46 @@ class MmrSpec extends SparkSpec {
     }
   }
 
+  test("randomized differential: the operator's trace equals an independent naive greedy") {
+    val rnd = new scala.util.Random(23)
+    for (trial <- 0 until 5) {
+      val n = 25
+      val vs = (0 until n).map(i =>
+        (i.toLong, Seq.fill(16)(rnd.nextFloat() - 0.5f)))
+      val qv = Seq.fill(16)(rnd.nextFloat() - 0.5f)
+      val got = Rerank.mmr(vs.toDF("vec_id", "embedding"), "embedding",
+          "vec_id", qv, k = 6, candidates = n, lambdaTenths = 6)
+        .orderBy("rank").collect()
+        .map(r => (r.getLong(1), r.getLong(4))).toSeq
+      // independent greedy over driver-computed quantized scores
+      def cosI(a: Seq[Float], b: Seq[Float]): Long = {
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) {
+          val xa = a(i).toDouble; val xb = b(i).toDouble
+          dot += xa * xb; na += xa * xa; nb += xb * xb; i += 1
+        }
+        val c = if (na == 0.0 || nb == 0.0) 0.0
+          else dot / (math.sqrt(na) * math.sqrt(nb))
+        math.floor(c * 1e4 + 0.5).toLong
+      }
+      val rel = vs.map { case (id, v) => id -> cosI(v, qv) }.toMap
+      val vecs = vs.toMap
+      var sel = Vector.empty[(Long, Long)]
+      var rest = vs.map(_._1).sortBy(id => (-rel(id), id))
+      while (sel.size < 6 && rest.nonEmpty) {
+        val scored = rest.map { id =>
+          val ms = if (sel.isEmpty) 0L
+            else sel.map(s => cosI(vecs(id), vecs(s._1))).max
+          (6L * rel(id) - 4L * ms, id)
+        }
+        val best = scored.maxBy { case (sc, id) => (sc, -id) }
+        sel = sel :+ ((best._2, best._1))
+        rest = rest.filterNot(_ == best._2)
+      }
+      assert(got == sel, s"trial $trial: got $got, ref $sel")
+    }
+  }
+
   test("the greedy trace is deterministic under repartitioning") {
     val a = Rerank.mmr(corpus.repartition(7), "embedding", "vec_id", q,
       k = 3, candidates = 5).collect().toSeq
