@@ -4881,6 +4881,34 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
             .as("dist"))
         .orderBy(col("dist"), col("vec_id"))
         .limit(10)
+    }),
+
+    "q159_dedup_card" -> ((s, dir) => {
+      // The dedup-method comparison card — one row answering "how
+      // aggressive is each family on THIS corpus" before choosing a
+      // pipeline: survivors under exact fingerprint dedup, SimHash
+      // collision collapse, and MinHash connected-component collapse
+      // (minhash_kept = n − members + clusters: one representative
+      // per component). Every ingredient is an already-hash-green
+      // stage (q40/q45/q55); the card gates their COMPOSITION into
+      // the decision artifact. Corpus work: one scan for the three
+      // fingerprint counts + the q55 pair machinery.
+      VectorExpressions.ensureRegistered(s)
+      val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+      val counts = docs.agg(
+        count(lit(1)).as("n_docs"),
+        count_distinct(fingerprint(col("text"))).as("exact_kept"),
+        count_distinct(simHashNative(col("text"))).as("simhash_kept"))
+      val clusters = NearDup.duplicateClusters(
+        NearDup.minhashPairs(docs, "doc_id", "text",
+          shingleN = 3, numHashes = 12, bands = 4, threshold = 0.8))
+      val cstats = clusters.agg(
+        count(lit(1)).as("n_members"),
+        count_distinct(col("cluster_rep")).as("n_clusters"))
+      counts.crossJoin(broadcast(cstats))
+        .select(col("n_docs"), col("exact_kept"), col("simhash_kept"),
+          (col("n_docs") - col("n_members") + col("n_clusters"))
+            .as("minhash_kept"))
     })
   )
 
@@ -8603,7 +8631,74 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
          SELECT vec_id, hamming,
            floor(list_distance(embedding::DOUBLE[],
              (SELECT qv FROM q)) * 1e4 + 0.5::DOUBLE) / 1e4 AS dist
-         FROM cand ORDER BY dist, vec_id LIMIT 10"""
+         FROM cand ORDER BY dist, vec_id LIMIT 10""",
+
+    // q159: the q40 fingerprint, q45 simhash, and q55 cluster-
+    // fixpoint spellings composed into one decision row.
+    "q159_dedup_card" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id, list_filter(string_split_regex(lower(text),
+             '\s+'), t -> len(t) > 0) AS ts FROM documents
+           WHERE text IS NOT NULL),
+         sh AS (
+           SELECT doc_id, list_distinct(list_transform(
+             range(1, greatest(len(ts) - 2, 0) + 1),
+             i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS shingles
+           FROM toks),
+         sigs AS (
+           SELECT doc_id, shingles, list_transform(range(0, 12),
+             i -> list_aggregate(list_transform(shingles,
+               s -> md5(i || '|' || s)), 'min')) AS sig
+           FROM sh WHERE len(shingles) > 0),
+         buckets AS (
+           SELECT doc_id, unnest(list_transform(range(0, 4),
+             b -> b || ':' || md5(array_to_string(sig[b*3+1 : b*3+3], '|'))))
+             AS bucket FROM sigs),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+           FROM buckets a JOIN buckets b
+             ON a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         pr AS (
+           SELECT a_id, b_id FROM cand
+           JOIN sigs sa ON a_id = sa.doc_id
+           JOIN sigs sb ON b_id = sb.doc_id
+           WHERE round(len(list_filter(sa.shingles,
+               x -> list_contains(sb.shingles, x)))::DOUBLE
+             / len(list_distinct(list_concat(sa.shingles, sb.shingles))),
+             4) >= 0.8),
+         edges AS (
+           SELECT a_id AS u, b_id AS v FROM pr
+           UNION SELECT b_id, a_id FROM pr),
+         reach AS (
+           SELECT u AS id, u AS m FROM edges
+           UNION
+           SELECT e.u, r.m FROM edges e JOIN reach r ON e.v = r.id),
+         labels AS (
+           SELECT id, min(m) AS cluster_rep FROM reach GROUP BY id),
+         cstats AS (
+           SELECT count(*) AS n_members,
+             count(DISTINCT cluster_rep) AS n_clusters
+           FROM labels),
+         td AS (
+           SELECT doc_id, text, list_distinct(list_filter(
+             string_split_regex(lower(text), '\s+'),
+             t -> len(t) > 0)) AS dtoks
+           FROM documents WHERE text IS NOT NULL),
+         base AS (
+           SELECT count(*) AS n_docs,
+             count(DISTINCT substr(md5(regexp_replace(lower(trim(text)),
+               '\s+', ' ', 'g')), 1, 16)) AS exact_kept,
+             count(DISTINCT array_to_string(list_transform(range(1, 33),
+               p -> CASE WHEN list_sum(list_transform(dtoks, t ->
+                 2 * ((strpos('0123456789abcdef', substr(md5(t), p, 1))
+                   - 1) % 2) - 1)) > 0
+               THEN '1' ELSE '0' END), '')) AS simhash_kept
+           FROM td)
+         SELECT n_docs::BIGINT AS n_docs,
+           exact_kept::BIGINT AS exact_kept,
+           simhash_kept::BIGINT AS simhash_kept,
+           (n_docs - n_members + n_clusters)::BIGINT AS minhash_kept
+         FROM base, cstats"""
   )
 
   /** The kNN-graph replay CTE chain over the exported IVF replica
