@@ -4909,6 +4909,49 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
         .select(col("n_docs"), col("exact_kept"), col("simhash_kept"),
           (col("n_docs") - col("n_members") + col("n_clusters"))
             .as("minhash_kept"))
+    }),
+
+    "q160_robust_outliers" -> ((s, dir) => {
+      // Robust outlier report in the EXACT-integer regime: median and
+      // MAD (median absolute deviation) of token lengths as exact
+      // discrete percentiles — lower median = the smallest value
+      // whose cumulative count satisfies 2·cum ≥ n+1, computed over
+      // the per-length frame (scores-sized windows, the q152/q153
+      // discipline, never a corpus sort) — then outliers =
+      // |len − med| > 3·MAD by integer comparison. Mean/stddev
+      // 3σ breaks under the heavy tails this report exists for;
+      // median/MAD is the robust-statistics standard, and here every
+      // step is an integer any engine replays.
+      VectorExpressions.ensureRegistered(s)
+      val lens = t(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(tokenCount(col("text")).cast("long").as("len"))
+      val per = lens.groupBy(col("len")).agg(count(lit(1)).as("c"))
+      val n1 = lens.agg(count(lit(1)).as("n"))
+      val w = Window.orderBy(col("len"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val medDf = per.withColumn("cum", sum(col("c")).over(w))
+        .crossJoin(broadcast(n1))
+        .filter(col("cum") * 2L >= col("n") + 1L)
+        .agg(min(col("len")).as("med"))
+      val dev = per.crossJoin(broadcast(medDf))
+        .select(abs(col("len") - col("med")).as("dev"), col("c"))
+        .groupBy(col("dev")).agg(sum(col("c")).as("dc"))
+      val wd = Window.orderBy(col("dev"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val madDf = dev.withColumn("cumd", sum(col("dc")).over(wd))
+        .crossJoin(broadcast(n1))
+        .filter(col("cumd") * 2L >= col("n") + 1L)
+        .agg(min(col("dev")).as("mad"))
+      per.crossJoin(broadcast(medDf)).crossJoin(broadcast(madDf))
+        .crossJoin(broadcast(n1))
+        .agg(first(col("n")).as("n_docs"),
+          first(col("med")).as("median_len"),
+          first(col("mad")).as("mad"),
+          sum(when(abs(col("len") - col("med")) > lit(3L) * col("mad"),
+            col("c")).otherwise(0L)).as("n_outliers"),
+          min(col("len")).as("min_len"),
+          max(col("len")).as("max_len"))
     })
   )
 
@@ -8698,7 +8741,42 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
            exact_kept::BIGINT AS exact_kept,
            simhash_kept::BIGINT AS simhash_kept,
            (n_docs - n_members + n_clusters)::BIGINT AS minhash_kept
-         FROM base, cstats"""
+         FROM base, cstats""",
+
+    // q160: identical discrete-percentile rank arithmetic, identical
+    // integer outlier cut.
+    "q160_robust_outliers" ->
+      raw"""WITH l AS (
+           SELECT len(list_filter(string_split_regex(text, '\s+'),
+             t -> len(t) > 0))::BIGINT AS len
+           FROM documents WHERE text IS NOT NULL),
+         per AS (SELECT len, count(*) AS c FROM l GROUP BY len),
+         nn AS (SELECT count(*) AS n FROM l),
+         medt AS (
+           SELECT min(len) AS med FROM (
+             SELECT len, sum(c) OVER (ORDER BY len
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum
+             FROM per), nn
+           WHERE cum * 2 >= n + 1),
+         dev AS (
+           SELECT abs(len - med) AS dev, sum(c) AS dc
+           FROM per, medt GROUP BY 1),
+         madt AS (
+           SELECT min(dev) AS mad FROM (
+             SELECT dev, sum(dc) OVER (ORDER BY dev
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cumd
+             FROM dev), nn
+           WHERE cumd * 2 >= n + 1)
+         SELECT nn.n::BIGINT AS n_docs, med::BIGINT AS median_len,
+           mad::BIGINT AS mad,
+           (SELECT coalesce(sum(CASE WHEN abs(len - med) > 3 * mad
+             THEN c ELSE 0 END), 0) FROM per, medt, madt)::BIGINT
+             AS n_outliers,
+           (SELECT min(len) FROM per) AS min_len,
+           (SELECT max(len) FROM per) AS max_len
+         FROM nn, medt, madt"""
   )
 
   /** The kNN-graph replay CTE chain over the exported IVF replica
