@@ -4952,6 +4952,31 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
             col("c")).otherwise(0L)).as("n_outliers"),
           min(col("len")).as("min_len"),
           max(col("len")).as("max_len"))
+    }),
+
+    "q161_batch_beam_search" -> ((s, dir) => {
+      // Batch face of the graph-walk family (the one matrix cell r13
+      // left open): three queries walk the q156 hierarchical beam
+      // search TOGETHER — one coarse-layer scan seeds all three
+      // entries (coarseEntryBatch's map-side argmin), then each hop
+      // pays one bounded edge expansion + one bounded scoring job for
+      // the WHOLE set, so the per-hop job overhead the single-query
+      // walk documents amortizes across queries. Per query the rows
+      // are bit-equal to its single-query q156 walk (spec-asserted);
+      // the oracle unrolls all three walks side by side over the SAME
+      // graph CTEs q135/q155 hash.
+      VectorExpressions.ensureRegistered(s)
+      val idx = ivfIndexFor(s, dir)
+      val graph = knnGraphFor(s, dir)
+      val queries = t(s, dir, "embeddings")
+        .filter(col("vec_id").isin(0, 1, 2))
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1)))
+        .sortBy(_._1).toSeq
+      val entries = idx.coarseEntryBatch(queries, sampleMod = 16,
+        rankRoundDp = 4)
+      idx.beamSearchBatch(graph, queries, entries, k = 5, beam = 4,
+        hops = 2)
     })
   )
 
@@ -8776,7 +8801,11 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
              AS n_outliers,
            (SELECT min(len) FROM per) AS min_len,
            (SELECT max(len) FROM per) AS max_len
-         FROM nn, medt, madt"""
+         FROM nn, medt, madt""",
+
+    // q161: the q156 hierarchical walk unrolled once PER QUERY over
+    // the shared graph CTEs, query_id-tagged and UNION ALL'd.
+    "q161_batch_beam_search" -> batchBeamOracleSql
   )
 
   /** The kNN-graph replay CTE chain over the exported IVF replica
@@ -8858,6 +8887,59 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
            (sum(CASE WHEN id_e IS NOT NULL AND id_a IS NOT NULL
              THEN 1 ELSE 0 END) * 1000000 // 5)::BIGINT AS recall_ppm
          FROM ex FULL OUTER JOIN ap ON id_e = id_a"""))
+
+  /** q161's oracle: the q156 hierarchical walk unrolled PER QUERY —
+    * one suffixed (entry → hop-candidates → beam → visited) CTE chain
+    * per query id over the shared graph CTEs, then the per-query
+    * top-k legs UNION ALL'd under a query_id literal. The batch
+    * operator is defined as "each query's single walk, amortized", so
+    * the oracle IS q156's oracle replicated — any batch-side state
+    * leakage between queries breaks exactly one chain's hash. */
+  private lazy val batchBeamOracleSql: String = {
+    val hops = 2; val beam = 4; val k = 5
+    val qids = Seq(0, 1, 2)
+    val perQ = qids.map { q =>
+      val hopCtes = (1 to hops).map { t =>
+        s"""c${t}_$q AS (
+         SELECT DISTINCT g.nbr AS id FROM g JOIN f${t - 1}_$q
+           ON g.src = f${t - 1}_$q.id
+         WHERE g.nbr NOT IN (SELECT id FROM v${t - 1}_$q)),
+         f${t}_$q AS (
+           SELECT c${t}_$q.id FROM c${t}_$q JOIN d_$q
+             ON d_$q.vec_id = c${t}_$q.id
+           ORDER BY d_$q.dist, c${t}_$q.id LIMIT $beam),
+         v${t}_$q AS (SELECT id FROM v${t - 1}_$q
+                 UNION ALL SELECT id FROM f${t}_$q)"""
+      }.mkString(",\n         ")
+      s"""qq_$q AS (SELECT embedding FROM data WHERE vec_id = $q),
+         d_$q AS (
+           SELECT vec_id,
+             floor(list_distance(embedding::DOUBLE[],
+               (SELECT embedding FROM qq_$q)::DOUBLE[])
+               * 1e4 + 0.5::DOUBLE) / 1e4 AS dist
+           FROM data),
+         e_$q AS (
+           SELECT vec_id AS id FROM d_$q
+           WHERE ('0x' || substr(md5(vec_id::VARCHAR), 1, 2))::BIGINT
+             % 16 = 0
+           ORDER BY dist, vec_id LIMIT 1),
+         f0_$q AS (SELECT id FROM e_$q),
+         v0_$q AS (SELECT id FROM e_$q),
+         $hopCtes"""
+    }.mkString(",\n         ")
+    val legs = qids.map { q =>
+      s"""SELECT * FROM (
+           SELECT $q::BIGINT AS query_id, d_$q.vec_id, d_$q.dist
+           FROM v${hops}_$q
+           JOIN d_$q ON d_$q.vec_id = v${hops}_$q.id
+           ORDER BY d_$q.dist, d_$q.vec_id LIMIT $k)"""
+    }.mkString("\n         UNION ALL ")
+    raw"""WITH $knnGraphOracleCtes,
+         g AS (SELECT src, nbr FROM r WHERE rank <= 3),
+         $perQ
+         $legs
+         ORDER BY query_id, dist, vec_id"""
+  }
 
   private def beamWalkOracleSql(hops: Int, beam: Int, k: Int,
       entryCte: String, finalSql: Option[String] = None): String = {

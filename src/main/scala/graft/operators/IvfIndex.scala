@@ -305,6 +305,146 @@ final case class IvfIndex(
       .limit(k)
   }
 
+  /** Batch face of [[coarseEntry]]: ONE scan of the deterministic
+    * 1/`sampleMod` md5 coarse layer serves the whole query set. Each
+    * sampled row scores against every query (the query set is tiny and
+    * rides a broadcast), and the per-query argmin is a map-side-combined
+    * `min(struct(dist, id))` — only |queries| rows cross the shuffle,
+    * never the sampled layer. Per query the result is EXACTLY
+    * [[coarseEntry]]'s (same rounding, same (dist, id) tie rule —
+    * struct min orders fields left to right). Returned entries align
+    * with the input query order. */
+  def coarseEntryBatch(queries: Seq[(Long, Seq[Float])],
+      sampleMod: Int = 16, rankRoundDp: Int = 4): Seq[Long] = {
+    require(queries.nonEmpty, "coarseEntryBatch needs at least one query")
+    require(queries.map(_._1).distinct.length == queries.length,
+      "coarseEntryBatch: duplicate query ids")
+    require(sampleMod >= 1, s"sampleMod must be >= 1, got $sampleMod")
+    val spark = assigned.sparkSession
+    graft.plans.VectorExpressions.ensureRegistered(spark)
+    import graft.functions.VectorFunctions.l2DistanceNative
+    val qDf = spark.createDataFrame(queries).toDF("__qid", "__qv")
+    val entries = assigned
+      .filter(conv(substring(md5(col(idCol).cast("string")), 1, 2),
+        16, 10).cast("long") % sampleMod === 0L)
+      .select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(qDf))
+      .select(col("__qid"), struct(
+        KnnSearch.roundHalfUpCol(
+          l2DistanceNative(col(vecCol), col("__qv")), rankRoundDp)
+          .as("d"),
+        col(idCol).as("id")).as("__s"))
+      .groupBy(col("__qid")).agg(min(col("__s")).as("m"))
+      .select(col("__qid"), col("m.id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    queries.map { case (qid, _) =>
+      entries.getOrElse(qid, throw new IllegalStateException(
+        s"coarseEntryBatch: empty coarse layer — no entry for query $qid"))
+    }
+  }
+
+  /** Batch face of [[beamSearch]] — the whole query set walks the graph
+    * together. Per hop the walk pays TWO bounded jobs for ALL queries
+    * (an id-pruned edge expansion of the union frontier, then an
+    * id-pruned scoring scan with a per-query bounded rank) instead of
+    * two jobs per hop PER query, so the per-hop job-scheduling overhead
+    * the single-query walk documents amortizes across the query set —
+    * the same batch discipline as [[searchBatch]]'s probe gate. Driver
+    * state is per-query visited/frontier id sets (≤ beam·hops + 1 ids
+    * per query), and every scanned frame is pruned to ≤ |queries|·beam·
+    * graph-degree ids — never a corpus pass. Per query, every hop's
+    * candidate set, beam cut (rank over the identical rounded (dist,
+    * id) order), and final top-k replay [[beamSearch]]'s contract
+    * exactly, so each query's rows are bit-equal to its single-query
+    * walk (spec-asserted) and the unrolled per-query SQL oracle
+    * replays the batch verbatim. Output: (query_id, idCol, dist),
+    * ≤ k rows per query. */
+  def beamSearchBatch(graph: DataFrame, queries: Seq[(Long, Seq[Float])],
+      entryIds: Seq[Long], k: Int, beam: Int, hops: Int,
+      rankRoundDp: Int = 4): DataFrame = {
+    require(queries.nonEmpty, "beamSearchBatch needs at least one query")
+    require(entryIds.length == queries.length,
+      s"entryIds (${entryIds.length}) must align with queries " +
+        s"(${queries.length})")
+    require(queries.map(_._1).distinct.length == queries.length,
+      "beamSearchBatch: duplicate query ids")
+    require(k >= 1 && beam >= 1 && hops >= 0,
+      s"need k >= 1, beam >= 1, hops >= 0; got ($k, $beam, $hops)")
+    val spark = assigned.sparkSession
+    graft.plans.VectorExpressions.ensureRegistered(spark)
+    import graft.functions.VectorFunctions.l2DistanceNative
+    // ONE existence lookup for the whole entry set (the single-query
+    // walk's fail-loudly contract, amortized)
+    val entrySet = entryIds.distinct
+    val found = assigned.filter(col(idCol).isin(entrySet: _*))
+      .select(col(idCol)).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val missingEntries = entrySet.filterNot(found)
+    require(missingEntries.isEmpty,
+      s"beamSearchBatch: entry ids ${missingEntries.mkString(", ")} " +
+        "are not in the index (wrong corpus, or deleted?)")
+    val nq = queries.length
+    val qids = queries.map(_._1)
+    val qvById = queries.toMap
+    val visited = Array.tabulate(nq)(i => Vector(entryIds(i)))
+    val frontier = Array.tabulate(nq)(i => Set(entryIds(i)))
+    // (qid, candidate-id) pairs → id-pruned point-lookup scan +
+    // broadcast pair join + per-query rounded (dist, id) rank ≤ limit;
+    // the one scoring shape both the beam cut and the final top-k use
+    def rankedPairs(pairs: Seq[(Long, Long)], limit: Int): DataFrame = {
+      val pairDf = spark.createDataFrame(
+        pairs.map { case (qid, id) => (qid, id, qvById(qid)) })
+        .toDF("__qid", "__cid", "__qv")
+      val ids = pairs.map(_._2).distinct
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__qid")).orderBy(col("__d"), col("__cid"))
+      assigned.filter(col(idCol).isin(ids: _*))
+        .select(col(idCol).as("__vid"), col(vecCol).as("__v"))
+        .join(broadcast(pairDf), col("__vid") === col("__cid"))
+        .select(col("__qid"), col("__cid"),
+          KnnSearch.roundHalfUpCol(
+            l2DistanceNative(col("__v"), col("__qv")), rankRoundDp)
+            .as("__d"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= limit)
+    }
+    for (_ <- 0 until hops) {
+      val srcs = frontier.iterator.flatten.toSeq.distinct
+      if (srcs.nonEmpty) {
+        // bounded edge expansion: ≤ |union frontier|·degree rows
+        val bySrc = graph.filter(col("src").isin(srcs: _*))
+          .select(col("src"), col("nbr"))
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+          .groupBy(_._1).map { case (s, es) => (s, es.map(_._2)) }
+        val pairs = (for {
+          qi <- (0 until nq).iterator
+          src <- frontier(qi).iterator
+          nbr <- bySrc.getOrElse(src, Array.empty[Long]).iterator
+          if !visited(qi).contains(nbr)
+        } yield (qids(qi), nbr)).toSeq.distinct
+        if (pairs.nonEmpty) {
+          val byQ = rankedPairs(pairs, beam)
+            .select(col("__qid"), col("__cid"), col("__d"))
+            .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+            .groupBy(_._1)
+          for (qi <- 0 until nq) byQ.get(qids(qi)) match {
+            case Some(rows) =>
+              val scored = rows.sortBy(r => (r._3, r._2)).map(_._2)
+              frontier(qi) = scored.toSet
+              visited(qi) = visited(qi) ++ scored
+            case None => frontier(qi) = Set.empty
+          }
+        } else (0 until nq).foreach(qi => frontier(qi) = Set.empty)
+      }
+    }
+    val visitedPairs = (0 until nq).flatMap(qi =>
+      visited(qi).map(v => (qids(qi), v)))
+    rankedPairs(visitedPairs, k)
+      .select(col("__qid").as("query_id"), col("__cid").as(idCol),
+        col("__d").as("dist"))
+      .orderBy(col("query_id"), col("dist"), col(idCol))
+  }
+
   /** Quantized V5 (IVF-SQ8, the FAISS `IVF...,SQ8` shape): the
     * approximate ranking pass scans the 1-byte/dim `__sq8_code` column
     * instead of the 4-byte/dim float vectors — parquet column pruning

@@ -1043,6 +1043,53 @@ class IvfIndexSpec extends SparkSpec {
       "beam search failed to navigate closer than its entry point")
   }
 
+  test("coarseEntryBatch equals coarseEntry per query") {
+    graft.plans.VectorExpressions.ensureRegistered(spark)
+    val qs = embeddings.orderBy("vec_id").limit(3)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val batch = index.coarseEntryBatch(qs, sampleMod = 16)
+    val singles = qs.map { case (_, qv) =>
+      index.coarseEntry(qv, sampleMod = 16) }
+    assert(batch == singles,
+      s"batch entries $batch != single entries $singles")
+  }
+
+  test("beamSearchBatch is bit-equal per query to the single-query walk") {
+    graft.plans.VectorExpressions.ensureRegistered(spark)
+    val graph = index.knnGraph(k = 3, nprobe = 2).localCheckpoint()
+    val qs = embeddings.orderBy("vec_id").limit(3)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val entries = index.coarseEntryBatch(qs, sampleMod = 16)
+    val batch = index.beamSearchBatch(graph, qs, entries,
+        k = 5, beam = 4, hops = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+    qs.zip(entries).foreach { case ((qid, qv), entry) =>
+      val single = index.beamSearch(graph, qv, entry, k = 5, beam = 4,
+          hops = 2)
+        .collect().map(r => (qid, r.getLong(0), r.getDouble(1))).toSeq
+      val got = batch.getOrElse(qid, Array.empty).toSeq
+      assert(got == single,
+        s"query $qid: batch=$got\nsingle=$single")
+    }
+  }
+
+  test("beamSearchBatch fails loudly on an entry id not in the index") {
+    graft.plans.VectorExpressions.ensureRegistered(spark)
+    val graph = index.knnGraph(k = 3, nprobe = 2).localCheckpoint()
+    val qs = embeddings.orderBy("vec_id").limit(1)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val ex = intercept[IllegalArgumentException] {
+      index.beamSearchBatch(graph, qs, Seq(-12345L), k = 5, beam = 4,
+        hops = 1)
+    }
+    assert(ex.getMessage.contains("-12345"))
+  }
+
   test("knnGraph plans a rank-limit window (WindowGroupLimit), not a full sort, and no cartesian") {
     val plan = index.knnGraph(k = 3, nprobe = 2)
       .queryExecution.executedPlan.toString
