@@ -4977,6 +4977,24 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
         rankRoundDp = 4)
       idx.beamSearchBatch(graph, queries, entries, k = 5, beam = 4,
         hops = 2)
+    }),
+
+    "q162_hnsw_descent" -> ((s, dir) => {
+      // Multi-layer HNSW descent (the reference's index is
+      // hierarchical; q156 collapsed the hierarchy to ONE 1/16 layer):
+      // two nested content-hash layers (32-bit md5 prefix mod 256,
+      // mod 16), top layer scanned globally, the lower layer refined
+      // inside the query's 2 nearest IVF clusters with the incumbent
+      // carried down — then the SAME 2-hop beam walk as q156 from the
+      // descended entry. The oracle replays the probe selection, both
+      // layer argmins, the carry, and the unrolled walk.
+      VectorExpressions.ensureRegistered(s)
+      val idx = ivfIndexFor(s, dir)
+      val q = queryVec(s, dir)
+      val graph = knnGraphFor(s, dir)
+      val entry = idx.hierEntry(q, layers = 2, base = 16, nprobe = 2,
+        rankRoundDp = 4)
+      idx.beamSearch(graph, q, entry, k = 5, beam = 4, hops = 2)
     })
   )
 
@@ -8805,7 +8823,12 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
 
     // q161: the q156 hierarchical walk unrolled once PER QUERY over
     // the shared graph CTEs, query_id-tagged and UNION ALL'd.
-    "q161_batch_beam_search" -> batchBeamOracleSql
+    "q161_batch_beam_search" -> batchBeamOracleSql,
+
+    // q162: the two-layer descent (global top-layer argmin, probe-
+    // pruned lower-layer argmin, carry) as entry CTEs, then the q156
+    // unrolled walk.
+    "q162_hnsw_descent" -> hnswDescentOracleSql
   )
 
   /** The kNN-graph replay CTE chain over the exported IVF replica
@@ -8940,6 +8963,38 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
          $legs
          ORDER BY query_id, dist, vec_id"""
   }
+
+  /** q162's oracle: the multi-layer descent as entry CTEs — the
+    * query's probe clusters (`qp`), each row's 32-bit md5 prefix +
+    * cluster (`hx`), the global top-layer argmin (`e2`), the
+    * probe-pruned lower-layer argmin (`e1`), and the carry (`e` =
+    * argmin over both winners) — then the shared unrolled walk. */
+  private lazy val hnswDescentOracleSql: String =
+    beamWalkOracleSql(hops = 2, beam = 4, k = 5,
+      entryCte = """qp AS (
+           SELECT cluster_id FROM cent, q
+           ORDER BY list_sum(list_transform(range(1, len(centroid) + 1),
+             i -> (centroid[i]::DOUBLE - embedding[i]::DOUBLE) *
+                  (centroid[i]::DOUBLE - embedding[i]::DOUBLE))),
+             cluster_id
+           LIMIT 2),
+         hx AS (
+           SELECT d.vec_id, d.dist,
+             ('0x' || substr(md5(d.vec_id::VARCHAR), 1, 8))::BIGINT
+               AS h,
+             data.__ivf_cluster AS cl
+           FROM d JOIN data ON data.vec_id = d.vec_id),
+         e2 AS (
+           SELECT vec_id AS id, dist FROM hx WHERE h % 256 = 0
+           ORDER BY dist, vec_id LIMIT 1),
+         e1 AS (
+           SELECT vec_id AS id, dist FROM hx
+           WHERE h % 16 = 0 AND cl IN (SELECT cluster_id FROM qp)
+           ORDER BY dist, vec_id LIMIT 1),
+         e AS (
+           SELECT id FROM (SELECT id, dist FROM e2
+                           UNION ALL SELECT id, dist FROM e1)
+           ORDER BY dist, id LIMIT 1)""")
 
   private def beamWalkOracleSql(hops: Int, beam: Int, k: Int,
       entryCte: String, finalSql: Option[String] = None): String = {

@@ -265,6 +265,54 @@ final case class IvfIndex(
       .limit(1).head().getLong(0)
   }
 
+  /** Multi-layer HNSW descent — the reference index's actual shape
+    * (hierarchical HNSW, /root/reference/src/tools/load.py:26), where
+    * [[coarseEntry]] collapsed it to one layer: `layers` NESTED
+    * deterministic content-hash layers, layer ℓ = ids whose 32-bit md5
+    * prefix ≡ 0 (mod base^ℓ), so layer ℓ+1 ⊂ layer ℓ and expected
+    * density thins base× per level — the no-RNG analogue of HNSW's
+    * geometric level draw. Descent: the TOP layer scans globally
+    * (~n/base^layers rows, HNSW's fixed entry layer); each LOWER layer
+    * refines the entry over only its members inside the query's
+    * `nprobe` nearest IVF clusters — the hash gives the hierarchy, the
+    * cluster directory gives locality, and both prunes reach the scan
+    * (md5 filter + partition filter), so level ℓ touches
+    * ~(nprobe/nlist)·n/base^ℓ rows. The incumbent carries down, so the
+    * entry distance is monotone non-increasing across layers; the
+    * layer-1 winner seeds [[beamSearch]]. Every step is an argmin over
+    * the rounded (dist, id) contract — the oracle replays the descent
+    * as one CTE per layer. */
+  def hierEntry(query: Seq[Float], layers: Int = 2, base: Int = 16,
+      nprobe: Int = 2, rankRoundDp: Int = 4): Long = {
+    require(layers >= 1, s"layers must be >= 1, got $layers")
+    require(base >= 2, s"base must be >= 2, got $base")
+    graft.plans.VectorExpressions.ensureRegistered(assigned.sparkSession)
+    import graft.functions.VectorFunctions.l2DistanceNative
+    val probes = probeOrder(query).take(math.max(1, nprobe))
+    val h = conv(substring(md5(col(idCol).cast("string")), 1, 8),
+      16, 10).cast("long")
+    val distC = KnnSearch.roundHalfUpCol(
+      l2DistanceNative(col(vecCol), KnnSearch.litVec(query)), rankRoundDp)
+    var best: Option[(Double, Long)] = None
+    for (l <- layers to 1 by -1) {
+      val mod = Seq.fill(l)(base.toLong).product
+      val members = assigned.filter(h % mod === 0L)
+      val scan =
+        if (l == layers) members
+        else members.filter(col(IvfIndex.ClusterCol).isin(probes: _*))
+      val top = scan.select(col(idCol), distC.as("__d"))
+        .orderBy(col("__d"), col(idCol)).limit(1).collect()
+      if (top.nonEmpty) {
+        val c = (top(0).getDouble(1), top(0).getLong(0))
+        if (best.forall(b => Ordering[(Double, Long)].lt(c, b)))
+          best = Some(c)
+      }
+    }
+    best.getOrElse(throw new IllegalStateException(
+      "hierEntry: every layer scan came back empty — base/layers too " +
+        "aggressive for this corpus, or the probe set is wrong"))._2
+  }
+
   def beamSearch(graph: DataFrame, query: Seq[Float], entryId: Long,
       k: Int, beam: Int, hops: Int,
       rankRoundDp: Int = 4): DataFrame = {
