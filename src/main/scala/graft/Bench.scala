@@ -89,8 +89,18 @@ object Bench {
     }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_failed":${errors.size},"reps":$reps,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_failed":${errors.size},"reps":$reps,"sf":"$sfDir"}"""
+    println(json)
+    // self-archive: the driver's log capture has truncated the per-query
+    // tail before (r13 kept 71/152 times) — persist the full record next
+    // to the code so it survives any capture window
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_last.json"),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] bench_last.json write failed: $e")
+    }
     spark.stop()
   }
 }
