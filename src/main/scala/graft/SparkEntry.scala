@@ -740,6 +740,76 @@ ${pqAdcSumSql("tab.cluster_id = e.__ivf_cluster AND")}
          ORDER BY dist, vec_id LIMIT $pqK"""
   }
 
+  /** q163's oracle: q75's per-query probe ranking + gate composed with
+    * q76's residual machinery — the float-cast query residual and the
+    * ADC table both gain a `qid` key, each row's sum chain correlates
+    * to (its query, its own cluster), then per-query candidate cuts
+    * and the per-query floor-rounded exact re-rank. */
+  private lazy val pqResidBatchOracleSql: String = {
+    raw"""WITH q AS (
+           SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id IN (0, 1, 2)),
+         cent AS (
+           SELECT cluster_id, centroid FROM
+             read_parquet('$IvfOracleRoot/single/centroids/*.parquet')),
+         pranked AS (
+           SELECT q.qid, c.cluster_id,
+             row_number() OVER (PARTITION BY q.qid ORDER BY
+               list_sum(list_transform(range(1, len(c.centroid) + 1),
+                 i -> (c.centroid[i]::DOUBLE - q.qv[i]) *
+                      (c.centroid[i]::DOUBLE - q.qv[i]))),
+               c.cluster_id) AS rn
+           FROM cent c, q),
+         pp AS (SELECT qid, cluster_id FROM pranked
+                WHERE rn <= $pqBatchNprobe),
+         rq AS (
+           SELECT pp.qid, pp.cluster_id,
+             list_transform(range(1, len(c.centroid) + 1),
+               i -> CAST(q.qv[i] - c.centroid[i]::DOUBLE AS FLOAT)
+                      ::DOUBLE) AS rv
+           FROM pp
+           JOIN cent c ON c.cluster_id = pp.cluster_id
+           JOIN q ON q.qid = pp.qid),
+         tab AS (
+           SELECT rq.qid, rq.cluster_id, cb.sub, cb.code,
+             list_sum(list_transform(range(1, len(cb.centroid) + 1),
+               j -> (cb.centroid[j]::DOUBLE
+                       - rq.rv[cb.sub * len(cb.centroid) + j]) *
+                    (cb.centroid[j]::DOUBLE
+                       - rq.rv[cb.sub * len(cb.centroid) + j])))
+               AS partial
+           FROM read_parquet('$IvfOracleRoot/pqres/books/*.parquet') cb,
+             rq),
+         a AS (
+           SELECT pp.qid, e.vec_id,
+${pqAdcSumSql("tab.qid = pp.qid AND tab.cluster_id = e.__ivf_cluster AND")}
+             AS d
+           FROM pp
+           JOIN read_parquet('$IvfOracleRoot/pqres/data/*.parquet') e
+             ON e.__ivf_cluster = pp.cluster_id),
+         cand AS (
+           SELECT qid, vec_id FROM (
+             SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY d, vec_id) AS rn
+             FROM a)
+           WHERE rn <= ${pqBatchK * pqRefine}),
+         dd AS (
+           SELECT c.qid AS query_id, e.vec_id,
+             floor(list_distance(e.embedding::DOUBLE[], q.qv)
+               * 1e4 + 0.5::DOUBLE) / 1e4 AS dist
+           FROM cand c
+           JOIN q ON q.qid = c.qid
+           JOIN read_parquet('$IvfOracleRoot/pqres/data/*.parquet') e
+             ON e.vec_id = c.vec_id)
+         SELECT query_id, vec_id, dist FROM (
+           SELECT query_id, vec_id, dist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY dist, vec_id) AS rn
+           FROM dd)
+         WHERE rn <= $pqBatchK ORDER BY query_id, dist, vec_id"""
+  }
+
   /** q77's oracle (flat cosine PQ): the query unit-normalized with the
     * float cast (q69's qnorm pattern — the exact driver arithmetic),
     * the ADC table built against it from the NORMALIZED books, the
@@ -5032,6 +5102,32 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
       val entry = idx.hierEntry(q, layers = 2, base = 16, nprobe = 2,
         rankRoundDp = 4)
       idx.beamSearch(graph, q, entry, k = 5, beam = 4, hops = 2)
+    }),
+
+    "q163_ivf_pq_residual_batch" -> ((s, dir) => {
+      // Batch residual IVF-PQ — the last open cell of the
+      // {raw,residual}×{single,batch} PQ matrix: q76's per-(query,
+      // probed-cluster) residual ADC tables composed with q75's
+      // probe-gated shared code scan. Each row scores for a query by
+      // m lookups into that query's table for the row's OWN cluster;
+      // the oracle replays the per-query probe ranking, the float-cast
+      // query residuals per (qid, cluster), the (qid, cluster)-keyed
+      // tables, each row's query-and-cluster-correlated sum chain, and
+      // the per-query exact rounded re-rank.
+      VectorExpressions.ensureRegistered(s)
+      val idx = ivfIndexFor(s, dir)
+      val root = pqResidRootFor(s, dir)
+      val books = Pq.load(s, s"$root/books")
+      val enc = s.read.parquet(s"$root/data")
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id").isin(0, 1, 2))
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Pq.topKBatchProbedResidual(enc, "vec_id", "embedding", queries,
+          "qid", "qv", k = pqBatchK, books, idx.centroids,
+          idx.clusterIds, nprobe = pqBatchNprobe, refine = pqRefine,
+          tieBreak = "vec_id", rankRoundDp = Some(4))
+        .select(col("query_id"), col("vec_id"), col("dist"))
+        .orderBy(col("query_id"), col("dist"), col("vec_id"))
     })
   )
 
@@ -8865,7 +8961,11 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
     // q162: the two-layer descent (global top-layer argmin, probe-
     // pruned lower-layer argmin, carry) as entry CTEs, then the q156
     // unrolled walk.
-    "q162_hnsw_descent" -> hnswDescentOracleSql
+    "q162_hnsw_descent" -> hnswDescentOracleSql,
+
+    // q163: per-query probe gate × (qid, cluster)-keyed residual ADC
+    // tables, per-query candidate cut + exact rounded re-rank.
+    "q163_ivf_pq_residual_batch" -> pqResidBatchOracleSql
   )
 
   /** The kNN-graph replay CTE chain over the exported IVF replica

@@ -648,4 +648,93 @@ object Pq {
     KnnSearch.batchExactRerank(scan.drop(CodeCol), idCol, vecCol, cand,
       qSet, qidType, k, tieBreak, rankRoundDp, cosine = cosine)
   }
+
+  /** Batch RESIDUAL IVF-PQ — the last cell of the {raw,residual} ×
+    * {single,batch} PQ matrix: [[topKProbedResidual]]'s per-(query,
+    * probed-cluster) residual ADC tables composed with
+    * [[topKBatchProbed]]'s probe-gated shared scan. The tables are
+    * keyed (query, cluster) — a row's score for query `i` is m lookups
+    * into query i's table FOR THE ROW'S OWN CLUSTER (`v − q =
+    * (v − cent) − (q − cent)`, so distances stay comparable across a
+    * query's probes) — and the gate guarantees a scored row's cluster
+    * is in query i's probe set, so the table lookup is total. Same
+    * float-cast residual arithmetic, unrounded (dist, id) candidate
+    * heaps, and shared exact re-rank as the single-query path — per
+    * query the rows are bit-equal to [[topKProbedResidual]] at the
+    * same (nprobe, refine, rankRoundDp) (spec-asserted). L2 books
+    * only, the single-query residual contract. */
+  def topKBatchProbedResidual(
+      encoded: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      k: Int,
+      books: Codebooks,
+      centroids: Array[Array[Float]],
+      clusterIds: Array[Int],
+      nprobe: Int,
+      refine: Int = 4,
+      tieBreak: String = "",
+      rankRoundDp: Option[Int] = None): DataFrame = {
+    require(encoded.columns.contains(IvfIndex.ClusterCol),
+      s"corpus has no '${IvfIndex.ClusterCol}' column — residual " +
+        "IVF-PQ needs the IVF cluster layout")
+    require(encoded.columns.contains(CodeCol),
+      s"corpus has no '$CodeCol' column — Pq.encodeResidual it first")
+    require(k > 0, s"k must be > 0, got $k")
+    require(refine >= 1, s"refine must be >= 1, got $refine")
+    require(!books.normalized,
+      "Pq.topKBatchProbedResidual: residual coding composes with L2 " +
+        "books only — the single-query topKProbedResidual contract")
+    for (c <- Seq("dist", "query_id", "__qv", "__pq_d"))
+      require(!encoded.columns.contains(c),
+        s"corpus already has a '$c' column — topKBatchProbedResidual " +
+          "adds it")
+    val spark = encoded.sparkSession
+    graft.plans.VectorExpressions.ensureRegistered(spark)
+    val np = math.max(1, nprobe)
+    val qSet = KnnSearch.collectQueries(queries, queryIdCol, queryVecCol)
+    qSet.foreach { case (_, qv) =>
+      require(qv.length == books.dim,
+        s"query has dim ${qv.length}, codebooks ${books.dim}") }
+    val perQueryProbes: Array[Array[Int]] = qSet.map(q =>
+      IvfIndex.probeOrder(centroids, clusterIds, q._2.toSeq)
+        .take(np).toArray)
+    val union = perQueryProbes.flatten.distinct.toSeq
+    val scan = encoded.filter(col(IvfIndex.ClusterCol).isin(union: _*))
+    val cmap = clusterIds.zip(centroids).toMap
+    // (query, probe) → residual ADC table: the query's residual against
+    // each of ITS OWN probed clusters, with the encoder's exact
+    // double-subtract/float-cast arithmetic — nq·nprobe tables of
+    // m·ksub doubles (KBs), shipped once in the scorer closure
+    val tables: Array[Map[Int, Array[Array[Double]]]] =
+      qSet.zip(perQueryProbes).map { case ((_, qv), ps) =>
+        ps.map { c =>
+          val cent = cmap(c)
+          val qr = Array.tabulate(qv.length)(j =>
+            (qv(j).toDouble - cent(j).toDouble).toFloat)
+          c -> adcTable(books, qr)
+        }.toMap
+      }
+    val m = books.m
+    val ksub = books.ksub
+    val scorer = KnnSearch.RawScorer { (row, codeIdx, qi, _) =>
+      // row layout below: (id, code, cluster) — cluster at 2, as in
+      // topKProbedResidual's narrow scan
+      adcScore(tables(qi)(row.getAs[Number](2).intValue()),
+        row.getAs[Array[Byte]](codeIdx), m, ksub)
+    }
+    val qidType = queries.schema(queryIdCol).dataType
+    val cand = KnnSearch.topKBatchCollected(
+      scan.select(col(idCol), col(CodeCol), col(IvfIndex.ClusterCol)),
+      CodeCol, qSet, qidType, k * refine, tieBreak = idCol,
+      distCol = "__pq_d", rankRoundDp = None,
+      gate = Some(KnnSearch.BatchGate(IvfIndex.ClusterCol, perQueryProbes)),
+      rawScorer = Some(scorer))
+      .select(col("query_id"), col(idCol))
+    KnnSearch.batchExactRerank(scan.drop(CodeCol), idCol, vecCol, cand,
+      qSet, qidType, k, tieBreak, rankRoundDp, cosine = false)
+  }
 }

@@ -311,6 +311,56 @@ class PqSpec extends SparkSpec {
     assert(e.getMessage != null && e.getMessage.contains("centroid"))
   }
 
+  test("batch residual IVF-PQ is bit-equal per query to single " +
+      "topKProbedResidual; guards hold") {
+    val idx = IvfIndex.build(embeddings, "vec_id", "embedding", nlist = 8)
+    val rbooks = Pq.fitResidual(idx.assigned, "vec_id", "embedding",
+      idx.centroids, idx.clusterIds, m = 8, ksub = 16)
+    val renc = Pq.encodeResidual(idx.assigned, "embedding", rbooks,
+      idx.centroids, idx.clusterIds).cache()
+    val queries = embeddings.filter(col("vec_id").isin(0L, 1L, 2L))
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val batch = Pq.topKBatchProbedResidual(renc, "vec_id", "embedding",
+        queries, "qid", "qv", k = 3, rbooks, idx.centroids,
+        idx.clusterIds, nprobe = 4, refine = 4, tieBreak = "vec_id",
+        rankRoundDp = Some(4))
+      .select("query_id", "vec_id", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+      .map { case (q, rs) => q -> rs.map(t => (t._2, t._3))
+        .sortBy(identity).toSeq }
+    val single = Seq(0L, 1L, 2L).map { qid =>
+      val qv = embeddings.filter(col("vec_id") === qid)
+        .select("embedding").head().getSeq[Float](0)
+      qid -> Pq.topKProbedResidual(renc, "vec_id", "embedding", qv, 3,
+          rbooks, idx.centroids, idx.clusterIds, nprobe = 4,
+          refine = 4, tieBreak = Some("vec_id"), rankRoundDp = Some(4))
+        .select("vec_id", "dist").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).sortBy(identity).toSeq
+    }.toMap
+    assert(batch == single,
+      "batch residual IVF-PQ must equal the single-query path per query")
+    // normalized books are refused (the single-query residual contract)
+    val cosBooks = Pq.fit(embeddings, "vec_id", "embedding", m = 8,
+      ksub = 16, normalized = true)
+    intercept[IllegalArgumentException] {
+      Pq.topKBatchProbedResidual(renc, "vec_id", "embedding", queries,
+        "qid", "qv", 3, cosBooks, idx.centroids, idx.clusterIds,
+        nprobe = 2)
+    }
+    // collision + missing-layout guards
+    intercept[IllegalArgumentException] {
+      Pq.topKBatchProbedResidual(renc.withColumn("dist", lit(0.0)),
+        "vec_id", "embedding", queries, "qid", "qv", 3, rbooks,
+        idx.centroids, idx.clusterIds, nprobe = 2)
+    }
+    intercept[IllegalArgumentException] {
+      Pq.topKBatchProbedResidual(embeddings, "vec_id", "embedding",
+        queries, "qid", "qv", 3, rbooks, idx.centroids, idx.clusterIds,
+        nprobe = 2)
+    }
+  }
+
   test("cosine PQ: metric<->books enforced both ways, sidecar " +
       "round-trips geometry, full-refine equals exact cosine") {
     val cosBooks = Pq.fit(embeddings, "vec_id", "embedding", m = 8,
