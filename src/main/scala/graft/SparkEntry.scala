@@ -230,6 +230,19 @@ object SparkEntry {
     s.read.parquet(path)
   }
 
+  /** Stale-graph tripwire (round-13 advice): an index mutation
+    * ([[IvfIndex.deleteByIds]]/[[IvfIndex.appendTo]]) on a root this
+    * object derived a kNN graph from drops the graph-path cache entry,
+    * so the next walk (q155-q157/q161/q162) rebuilds against the
+    * mutated index instead of silently serving retired rows. Keyed by
+    * raw root string — the same value [[ivfPathCache]] stores. */
+  private val graphInvalidationHook: Unit =
+    IvfIndex.onInvalidated { root =>
+      import scala.jdk.CollectionConverters._
+      ivfPathCache.asScala.collect { case (dir, p) if p == root => dir }
+        .foreach(knnGraphPathCache.remove)
+    }
+
   /** Build-once / read-many duplicate-cluster lifecycle (the
     * [[ivfIndexFor]]/[[knnGraphFor]] convention applied to the third
     * derived artifact): the MinHash pair graph + connected-component

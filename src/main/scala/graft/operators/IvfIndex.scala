@@ -181,9 +181,16 @@ final case class IvfIndex(
     *
     * Ranking rounds at `rankRoundDp` with neighbor-id ties (the
     * engine-stable contract every ranked surface uses). Self-pairs are
-    * excluded; `k·n` rows come out. */
+    * excluded; `k·n` rows come out.
+    *
+    * `srcScope` restricts the SOURCE side to those ids (the
+    * destination side stays the whole index) — the incremental-repair
+    * path [[knnGraphMaintained]] rides: rebuilding `|scope|` rows'
+    * neighborhoods costs `|scope|·nprobe` cluster scans, never the
+    * full pair join. */
   def knnGraph(k: Int, nprobe: Int,
-      rankRoundDp: Int = 4): DataFrame = {
+      rankRoundDp: Int = 4, srcScope: Option[Seq[Long]] = None)
+      : DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val np = math.max(1, math.min(nprobe, nlist))
     graft.plans.VectorExpressions.ensureRegistered(assigned.sparkSession)
@@ -193,7 +200,11 @@ final case class IvfIndex(
         l2SquaredNative(col(vecCol), KnnSearch.litVec(c.toSeq)).as("d"),
         lit(cid).as("cid"))
     }
-    val pairsLeft = assigned
+    val srcSide = srcScope match {
+      case Some(ids) => assigned.filter(col(idCol).isin(ids: _*))
+      case None => assigned
+    }
+    val pairsLeft = srcSide
       .select(col(idCol).as("__src"), col(vecCol).as("__sv"),
         slice(array_sort(array(probeStructs: _*)), 1, np).as("__ps"))
       .select(col("__src"), col("__sv"),
@@ -216,6 +227,83 @@ final case class IvfIndex(
       .filter(col("rank") <= k)
       .select(col("__src").as("src"), col("rank"), col("__nbr").as("nbr"),
         col("dist"))
+  }
+
+  /** Incremental kNN-graph repair after CDC ([[IvfIndex.deleteByIds]]/
+    * [[IvfIndex.appendTo]]) — the graph analogue of the maintained-
+    * index lifecycle: instead of rebuilding the full pair join, re-kNN
+    * ONLY the affected neighborhoods of `oldGraph` (built on the
+    * pre-CDC index) against `this` (the POST-CDC index).
+    *
+    * Affected srcs, derived exactly from the build semantics (a row's
+    * candidate set is its probed clusters' rows, and its probe order
+    * depends only on its own vector and the fixed centroids):
+    *   - rows whose old top-k referenced a DELETED id (removal can
+    *     only change a row's top-k if the removed row was in it);
+    *   - rows with an APPENDED row in one of their probed clusters
+    *     beating their current k-th edge on the rounded (dist, id)
+    *     rank order (or holding fewer than k edges) — found with one
+    *     scan against the broadcast appended batch;
+    *   - the appended rows themselves (they need fresh neighborhoods);
+    * deleted srcs' edges drop. Everything else carries over verbatim,
+    * so the result is row-identical to a fresh [[knnGraph]] at the
+    * same (k, nprobe, rankRoundDp) (spec: maintained == fresh), at
+    * ~|affected|·nprobe cluster scans + one corpus pass instead of the
+    * full n·nprobe pair join. */
+  def knnGraphMaintained(oldGraph: DataFrame, k: Int, nprobe: Int,
+      deletedIds: Seq[Long], appendedIds: Seq[Long],
+      rankRoundDp: Int = 4): DataFrame = {
+    require(deletedIds.intersect(appendedIds).isEmpty,
+      "an id cannot be both deleted and appended in one maintenance " +
+        "step — apply the CDC batches in order")
+    graft.plans.VectorExpressions.ensureRegistered(assigned.sparkSession)
+    import graft.functions.VectorFunctions.{l2DistanceNative, l2SquaredNative}
+    val np = math.max(1, math.min(nprobe, nlist))
+    val affectedByDelete: Array[Long] =
+      if (deletedIds.isEmpty) Array.empty
+      else oldGraph.filter(col("nbr").isin(deletedIds: _*))
+        .select("src").distinct().collect().map(_.getLong(0))
+        .filterNot(deletedIds.toSet)
+    val affectedByAppend: Array[Long] =
+      if (appendedIds.isEmpty) Array.empty
+      else {
+        val app = assigned.filter(col(idCol).isin(appendedIds: _*))
+          .select(col(idCol).as("__aid"), col(vecCol).as("__av"),
+            col(IvfIndex.ClusterCol).cast("long").as("__ac"))
+        val kth = oldGraph.filter(col("rank") === lit(k.toLong))
+          .select(col("src").as("__s"), col("dist").as("__kd"),
+            col("nbr").as("__kn"))
+        val probeStructs = centroids.zip(clusterIds).map { case (c, cid) =>
+          struct(
+            l2SquaredNative(col(vecCol), KnnSearch.litVec(c.toSeq))
+              .as("d"),
+            lit(cid.toLong).as("cid"))
+        }
+        val existing = assigned
+          .filter(!col(idCol).isin(appendedIds: _*))
+          .select(col(idCol).as("__src"), col(vecCol).as("__sv"),
+            slice(array_sort(array(probeStructs: _*)), 1, np)("cid")
+              .as("__pc"))
+        existing
+          .join(broadcast(app),
+            array_contains(col("__pc"), col("__ac")) &&
+              col("__src") =!= col("__aid"))
+          .select(col("__src"), col("__aid"),
+            KnnSearch.roundHalfUpCol(
+              l2DistanceNative(col("__sv"), col("__av")), rankRoundDp)
+              .as("__ad"))
+          .join(kth, col("__src") === col("__s"), "left")
+          .filter(col("__kd").isNull || col("__ad") < col("__kd") ||
+            (col("__ad") === col("__kd") && col("__aid") < col("__kn")))
+          .select("__src").distinct().collect().map(_.getLong(0))
+      }
+    val rebuildSrcs =
+      (affectedByDelete ++ affectedByAppend ++ appendedIds).distinct.toSeq
+    val untouched = oldGraph.filter(
+      !col("src").isin(rebuildSrcs ++ deletedIds: _*))
+    if (rebuildSrcs.isEmpty) untouched
+    else untouched.unionByName(
+      knnGraph(k, np, rankRoundDp, srcScope = Some(rebuildSrcs)))
   }
 
   /** NSW-style greedy BEAM SEARCH over a [[knnGraph]] edge frame —
@@ -1098,6 +1186,8 @@ object IvfIndex {
     // whose listing predates the append would silently miss the new
     // rows (and a post-delete reader would plan against removed files)
     spark.catalog.refreshByPath(path)
+    graft.plans.IvfAutoProbe.invalidate(spark, path)
+    fireInvalidated(path)
   }
 
   /** Compact a fragmented index root into `destPath`: incremental
@@ -1272,18 +1362,12 @@ object IvfIndex {
         .join(affected, parts, "left_semi")
         .join(doomed, data(idCol) === col("__doomed_id"), "left_anti")
         .localCheckpoint()
-      val prev = spark.conf
-        .getOption("spark.sql.sources.partitionOverwriteMode")
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode",
-        "dynamic")
-      try survivors.write.mode(SaveMode.Overwrite)
+      // per-writer option, NOT session conf: flipping the session
+      // global for the rewrite window would silently hand dynamic-
+      // overwrite semantics to any concurrent write on this session
+      survivors.write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy(parts: _*).parquet(path)
-      finally prev match {
-        case Some(v) => spark.conf
-          .set("spark.sql.sources.partitionOverwriteMode", v)
-        case None => spark.conf
-          .unset("spark.sql.sources.partitionOverwriteMode")
-      }
       // close the dynamic-overwrite gap: affected partitions with ZERO
       // survivors were never visited by the write — remove their
       // directories explicitly or the doomed rows silently survive
@@ -1306,8 +1390,27 @@ object IvfIndex {
       // overwrite just replaced (FAILED_READ_FILE on the next action)
       spark.catalog.refreshByPath(path)
       graft.plans.IvfAutoProbe.invalidate(spark, path)
+      fireInvalidated(path)
     }
     nAffected
+  }
+
+  /** Invalidation hooks for DERIVED artifacts keyed on an index root —
+    * materialized kNN graphs, exported replicas, downstream caches.
+    * [[deleteByIds]]/[[appendTo]] fire every registered hook with the
+    * mutated root (alongside [[graft.plans.IvfAutoProbe.invalidate]]),
+    * so a cache owner that cannot be reached from here (e.g.
+    * [[graft.SparkEntry]]'s per-corpus graph-path cache) can drop its
+    * entry instead of silently serving a stale artifact. Hooks must be
+    * idempotent and cheap; exceptions propagate (a failed invalidation
+    * is corruption-in-waiting, not a warning). */
+  private val invalidationHooks =
+    new java.util.concurrent.CopyOnWriteArrayList[String => Unit]()
+  def onInvalidated(hook: String => Unit): Unit =
+    invalidationHooks.add(hook)
+  private def fireInvalidated(root: String): Unit = {
+    val it = invalidationHooks.iterator()
+    while (it.hasNext) it.next().apply(root)
   }
 
   /** Lock file [[compact]] holds on the SOURCE root while it copies —
