@@ -94,7 +94,11 @@ object BinaryHash {
       k: Int, candidates: Int, rerank: Column => Column): DataFrame = {
     require(candidates >= k, s"candidates ($candidates) must be >= k ($k)")
     val qBits = packVec(qVec)
-    df.select(col(idCol), col(vecCol),
+    // a null vector hashes to a null hamming distance, and ascending
+    // sort is NULLS FIRST — unfiltered, null rows would silently
+    // occupy prefilter slots and displace real candidates (r13 advice)
+    df.filter(col(vecCol).isNotNull)
+      .select(col(idCol), col(vecCol),
         hammingCol(packCol(col(vecCol), qVec.length), qBits).as("hamming"))
       .orderBy(col("hamming"), col(idCol))
       .limit(candidates)

@@ -107,8 +107,15 @@ object Graph {
     * (map-side-combined counts everywhere). */
   def triangleStats(edges: DataFrame, uCol: String,
       vCol: String): DataFrame = {
-    val e = edges.select(col(uCol).as("u"), col(vCol).as("v"))
-      .filter(col("u") =!= col("v"))
+    // normalize the edge set, don't trust it: an edge listed twice (or
+    // in both orientations) would silently double degrees and inflate
+    // wedge/triangle counts (r13 advice). Canonicalize to
+    // (least, greatest) and dedupe — self-loops stay tolerated.
+    val e = edges.select(col(uCol).as("u0"), col(vCol).as("v0"))
+      .filter(col("u0") =!= col("v0"))
+      .select(least(col("u0"), col("v0")).as("u"),
+        greatest(col("u0"), col("v0")).as("v"))
+      .distinct()
     val deg = e.select(col("u").as("node"))
       .union(e.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("d"))

@@ -200,9 +200,13 @@ final case class IvfIndex(
         l2SquaredNative(col(vecCol), KnnSearch.litVec(c.toSeq)).as("d"),
         lit(cid).as("cid"))
     }
+    // null vectors produce null probe/edge distances, which sort
+    // NULLS FIRST into every ranking — exclude them on both sides
+    // (r13 advice, the BinaryHash.topK consideration)
+    val nonNull = assigned.filter(col(vecCol).isNotNull)
     val srcSide = srcScope match {
-      case Some(ids) => assigned.filter(col(idCol).isin(ids: _*))
-      case None => assigned
+      case Some(ids) => nonNull.filter(col(idCol).isin(ids: _*))
+      case None => nonNull
     }
     val pairsLeft = srcSide
       .select(col(idCol).as("__src"), col(vecCol).as("__sv"),
@@ -211,7 +215,7 @@ final case class IvfIndex(
         explode(col("__ps.cid")).as("__pcRaw"))
       .select(col("__src"), col("__sv"),
         col("__pcRaw").cast("long").as("__pc"))
-    val right = assigned.select(
+    val right = nonNull.select(
       col(IvfIndex.ClusterCol).cast("long").as("__nc"),
       col(idCol).as("__nbr"), col(vecCol).as("__nv"))
     val w = org.apache.spark.sql.expressions.Window

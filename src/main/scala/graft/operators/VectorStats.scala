@@ -100,11 +100,41 @@ object VectorStats {
         i = 0
         while (i < dimF) { out += ((i, -1, acc(c))); i += 1; c += 1 }
         out += ((-1, -1, acc(c)))
+        out += ((-2, dimF, 1L)) // cross-partition dim marker
         out.result()
       }
     }
-    partials.toDF("i", "j", "s")
-      .groupBy(col("i"), col("j")).agg(sum(col("s")).as("s"))
+    validateOneDim(partials.toDF("i", "j", "s")
+      .groupBy(col("i"), col("j")).agg(sum(col("s")).as("s")))
+  }
+
+  /** Cross-partition dim tripwire shared by both moment spellings
+    * (r13 advice): each partition (or row, in the exploded spelling)
+    * emits a `(-2, dim, ·)` marker cell; more than one distinct
+    * marker after the merge means the corpus mixes vector dims — the
+    * per-partition latch alone cannot see that, and merging the cell
+    * keyspaces would produce silently wrong statistics. The check
+    * rides the VALUE column so column pruning cannot elide it; marker
+    * rows are removed from the output. */
+  private def validateOneDim(cells: DataFrame): DataFrame = {
+    // CELLS-sized global window (≤ dim²/2 + dim + marker rows), never
+    // the corpus — one extra single-partition exchange over a tiny
+    // frame, chosen over a self-join that would re-evaluate the whole
+    // corpus-scan subtree for the marker count
+    val w = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    cells
+      .withColumn("__nd",
+        sum(when(col("i") === -2, 1L).otherwise(0L)).over(w))
+      .filter(col("i") =!= -2)
+      .select(col("i"), col("j"),
+        when(col("__nd") > 1L, raise_error(lit(
+          "moments: mixed vector dims across partitions — quantized " +
+            "moments over incompatible cell keyspaces would be " +
+            "meaningless")))
+          .otherwise(col("s")).as("s"))
   }
 
   /** The explode spelling of [[moments]] (kept as the cross-check:
@@ -129,9 +159,12 @@ object VectorStats {
         transform(idx, i => struct(i.as("i"), lit(-1).as("j"),
           element_at(col("__q"), i + 1).as("s"))),
         array(struct(lit(-1).as("i"), lit(-1).as("j"),
-          lit(1L).as("s"))))).as("c"))
+          lit(1L).as("s")),
+          struct(lit(-2).as("i"), size(col("__q")).as("j"),
+            lit(1L).as("s"))))).as("c"))
       .groupBy(col("c.i").as("i"), col("c.j").as("j"))
       .agg(sum(col("c.s")).as("s"))
+      .transform(validateOneDim)
   }
 
   /** Per-dimension standardization parameters — the scaler artifact a

@@ -65,6 +65,31 @@ class BinaryHashSpec extends SparkSpec {
     assert(twoPass == exact)
   }
 
+  test("topK: null vectors never occupy candidate slots") {
+    VectorExpressions.ensureRegistered(spark)
+    val rnd = new scala.util.Random(11)
+    val vs = Seq.fill(12)(Seq.fill(16)(rnd.nextFloat() - 0.5f))
+    val q = vs.head
+    val rerank = (v: org.apache.spark.sql.Column) =>
+      KnnSearch.roundHalfUpCol(
+        graft.functions.VectorFunctions.cosineSimilarityNative(
+          v, KnnSearch.litVec(q)), 4)
+    val clean = toRows(vs)
+    // null rows ride ids above the clean range; nulls sort FIRST on
+    // the ascending hamming, so before the fix they would displace
+    // real candidates at a tight candidate budget
+    val withNulls = clean.unionByName(
+      spark.range(100, 110).selectExpr("id AS vec_id",
+        "CAST(NULL AS array<float>) AS embedding"))
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      BinaryHash.topK(df, "embedding", "vec_id", q, k = 3,
+          candidates = 5, rerank = rerank)
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val got = ids(withNulls)
+    assert(got == ids(clean), "null rows changed the ranking")
+    assert(got.forall(_ < 100L), "a null row surfaced in the top-k")
+  }
+
   test("packCol rejects a non-positive dim") {
     intercept[IllegalArgumentException] {
       BinaryHash.packCol(col("x"), 0)

@@ -91,6 +91,16 @@ class GraphSpec extends SparkSpec {
     assert(a.toSeq == parts.toSeq)
   }
 
+  test("triangleStats normalizes the edge set: duplicates and reversed listings change nothing") {
+    val clean = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (5L, 1L))
+    // every edge also listed reversed, two listed twice more, plus a
+    // self-loop — degrees/wedges/triangles must not inflate
+    val dirty = clean ++ clean.map(_.swap) ++
+      Seq((1L, 2L), (3L, 4L), (2L, 2L))
+    assert(triStats(dirty).toSeq == triStats(clean).toSeq)
+  }
+
   test("triangleStats: degree orientation keeps hub fan-out bounded") {
     // a hub of degree 40 with triangle-free spokes: the hub must emit
     // NO oriented paths (every spoke has lower (deg, id)), so the path

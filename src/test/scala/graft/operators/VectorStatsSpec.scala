@@ -62,6 +62,29 @@ class VectorStatsSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("mixed vector dims")))
   }
 
+  test("moments rejects mixed dims ACROSS partitions (the per-partition latch cannot see them)") {
+    import spark.implicits._
+    // each dim in its own partition: the in-partition require never
+    // fires, only the cross-partition marker tripwire can catch this
+    val p1 = Seq(Seq(1f, 2f)).toDF("embedding").repartition(1)
+    val p2 = Seq(Seq(1f, 2f, 3f)).toDF("embedding").repartition(1)
+    val mixed = p1.union(p2)
+    val e = intercept[Throwable] {
+      VectorStats.moments(mixed, "embedding").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("mixed vector dims")),
+      s"wrong failure: $e")
+    // the exploded spelling trips the same wire
+    val e2 = intercept[Throwable] {
+      VectorStats.momentsExploded(mixed, "embedding").collect()
+    }
+    assert(msgs(e2).exists(_.contains("mixed vector dims")),
+      s"wrong failure: $e2")
+  }
+
   test("moments are bit-identical under any partitioning") {
     val big = spark.read
       .parquet("/root/testdata/sf0.001/embeddings.parquet")
@@ -74,8 +97,13 @@ class VectorStatsSpec extends SparkSpec {
   test("one corpus scan, one pairs-sized shuffle (map-side combine)") {
     val plan = VectorStats.moments(df, "embedding")
       .queryExecution.executedPlan.toString
-    // exactly one Exchange, fed by a partial aggregate
-    assert("Exchange".r.findAllIn(plan).size == 1, plan)
+    // exactly two Exchanges: the cells-keyed shuffle fed by a partial
+    // aggregate (the ONE corpus-scale exchange), plus the dim-tripwire
+    // window's SinglePartition exchange over the already cells-sized
+    // frame
+    assert("Exchange".r.findAllIn(plan).size == 2, plan)
+    assert(plan.contains("SinglePartition"),
+      s"dim tripwire window missing:\n$plan")
     assert(plan.contains("partial"), s"no map-side partial agg:\n$plan")
   }
 
