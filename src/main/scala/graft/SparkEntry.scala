@@ -5141,6 +5141,30 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
           tieBreak = "vec_id", rankRoundDp = Some(4))
         .select(col("query_id"), col("vec_id"), col("dist"))
         .orderBy(col("query_id"), col("dist"), col("vec_id"))
+    }),
+
+    "q164_hnsw_descent_batch" -> ((s, dir) => {
+      // The full batch hierarchical pipeline (q162's descent × q161's
+      // batch walk): hierEntryBatch descends the layer hierarchy ONE
+      // job per layer for all queries — the top layer crossed with the
+      // broadcast query set, lower layers gated per query on its own
+      // probe clusters, incumbents carried on the rounded (dist, id)
+      // order — then beamSearchBatch walks all three frontiers
+      // together. Per query bit-equal to hierEntry + beamSearch
+      // (spec); the oracle replicates q162's descent CTEs per query
+      // into the shared batch-walk scaffolding.
+      VectorExpressions.ensureRegistered(s)
+      val idx = ivfIndexFor(s, dir)
+      val graph = knnGraphFor(s, dir)
+      val queries = t(s, dir, "embeddings")
+        .filter(col("vec_id").isin(0, 1, 2))
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1)))
+        .sortBy(_._1).toSeq
+      val entries = idx.hierEntryBatch(queries, layers = 2, base = 16,
+        nprobe = 2, rankRoundDp = 4)
+      idx.beamSearchBatch(graph, queries, entries, k = 5, beam = 4,
+        hops = 2)
     })
   )
 
@@ -8978,7 +9002,11 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
 
     // q163: per-query probe gate × (qid, cluster)-keyed residual ADC
     // tables, per-query candidate cut + exact rounded re-rank.
-    "q163_ivf_pq_residual_batch" -> pqResidBatchOracleSql
+    "q163_ivf_pq_residual_batch" -> pqResidBatchOracleSql,
+
+    // q164: per-query two-layer descent CTEs feeding the shared
+    // unrolled batch walk.
+    "q164_hnsw_descent_batch" -> batchHnswDescentOracleSql
   )
 
   /** The kNN-graph replay CTE chain over the exported IVF replica
@@ -9068,7 +9096,54 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
     * operator is defined as "each query's single walk, amortized", so
     * the oracle IS q156's oracle replicated — any batch-side state
     * leakage between queries breaks exactly one chain's hash. */
-  private lazy val batchBeamOracleSql: String = {
+  private lazy val batchBeamOracleSql: String =
+    batchBeamWalkOracleSql(q =>
+      s"""e_$q AS (
+           SELECT vec_id AS id FROM d_$q
+           WHERE ('0x' || substr(md5(vec_id::VARCHAR), 1, 2))::BIGINT
+             % 16 = 0
+           ORDER BY dist, vec_id LIMIT 1)""")
+
+  /** q164's oracle: q162's two-layer descent CTEs replicated per
+    * query (shared `hxb` hash+cluster frame, per-query probes,
+    * per-layer argmins, carry) feeding the shared batch walk. */
+  private lazy val batchHnswDescentOracleSql: String =
+    batchBeamWalkOracleSql(q =>
+      s"""qp_$q AS (
+           SELECT cluster_id FROM cent, qq_$q
+           ORDER BY list_sum(list_transform(range(1, len(centroid) + 1),
+             i -> (centroid[i]::DOUBLE - embedding[i]::DOUBLE) *
+                  (centroid[i]::DOUBLE - embedding[i]::DOUBLE))),
+             cluster_id
+           LIMIT 2),
+         e2_$q AS (
+           SELECT hxb.vec_id AS id, d_$q.dist FROM hxb
+           JOIN d_$q ON d_$q.vec_id = hxb.vec_id
+           WHERE hxb.h % 256 = 0
+           ORDER BY d_$q.dist, hxb.vec_id LIMIT 1),
+         e1_$q AS (
+           SELECT hxb.vec_id AS id, d_$q.dist FROM hxb
+           JOIN d_$q ON d_$q.vec_id = hxb.vec_id
+           WHERE hxb.h % 16 = 0
+             AND hxb.cl IN (SELECT cluster_id FROM qp_$q)
+           ORDER BY d_$q.dist, hxb.vec_id LIMIT 1),
+         e_$q AS (
+           SELECT id FROM (SELECT id, dist FROM e2_$q
+                           UNION ALL SELECT id, dist FROM e1_$q)
+           ORDER BY dist, id LIMIT 1)""",
+      sharedCtes = Some(
+        """hxb AS (
+           SELECT vec_id,
+             ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT AS h,
+             __ivf_cluster AS cl
+           FROM data)"""))
+
+  /** Shared batch-walk oracle scaffolding (q161/q164): per-query
+    * distance frames, an entry CTE chain from `entryCteFor` (must
+    * define `e_<q>(id)`), the unrolled per-query hop triples over the
+    * shared graph CTEs, and query_id-tagged top-k legs. */
+  private def batchBeamWalkOracleSql(entryCteFor: Int => String,
+      sharedCtes: Option[String] = None): String = {
     val hops = 2; val beam = 4; val k = 5
     val qids = Seq(0, 1, 2)
     val perQ = qids.map { q =>
@@ -9091,11 +9166,7 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
                (SELECT embedding FROM qq_$q)::DOUBLE[])
                * 1e4 + 0.5::DOUBLE) / 1e4 AS dist
            FROM data),
-         e_$q AS (
-           SELECT vec_id AS id FROM d_$q
-           WHERE ('0x' || substr(md5(vec_id::VARCHAR), 1, 2))::BIGINT
-             % 16 = 0
-           ORDER BY dist, vec_id LIMIT 1),
+         ${entryCteFor(q)},
          f0_$q AS (SELECT id FROM e_$q),
          v0_$q AS (SELECT id FROM e_$q),
          $hopCtes"""
@@ -9107,8 +9178,9 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
            JOIN d_$q ON d_$q.vec_id = v${hops}_$q.id
            ORDER BY d_$q.dist, d_$q.vec_id LIMIT $k)"""
     }.mkString("\n         UNION ALL ")
+    val shared = sharedCtes.map(s => s",\n         $s").getOrElse("")
     raw"""WITH $knnGraphOracleCtes,
-         g AS (SELECT src, nbr FROM r WHERE rank <= 3),
+         g AS (SELECT src, nbr FROM r WHERE rank <= 3)$shared,
          $perQ
          $legs
          ORDER BY query_id, dist, vec_id"""

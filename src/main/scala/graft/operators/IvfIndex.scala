@@ -405,6 +405,67 @@ final case class IvfIndex(
         "aggressive for this corpus, or the probe set is wrong"))._2
   }
 
+  /** Batch face of [[hierEntry]] — the whole query set descends the
+    * layer hierarchy together, ONE job per layer for all queries
+    * (the [[coarseEntryBatch]] discipline per level): the top layer's
+    * global scan crosses the broadcast query set once; each lower
+    * layer joins its members against the queries whose own probe set
+    * holds the member's cluster (a per-query cluster gate riding the
+    * broadcast frame), and every level's per-query argmin is a
+    * map-side-combined `min(struct(dist, id))` — |queries| rows per
+    * shuffle, never the layer. Incumbents carry down driver-side on
+    * the same rounded (dist, id) order, so per query the entry is
+    * EXACTLY [[hierEntry]]'s (spec-asserted). Entries align with the
+    * input query order. */
+  def hierEntryBatch(queries: Seq[(Long, Seq[Float])],
+      layers: Int = 2, base: Int = 16, nprobe: Int = 2,
+      rankRoundDp: Int = 4): Seq[Long] = {
+    require(queries.nonEmpty, "hierEntryBatch needs at least one query")
+    require(queries.map(_._1).distinct.length == queries.length,
+      "hierEntryBatch: duplicate query ids")
+    require(layers >= 1, s"layers must be >= 1, got $layers")
+    require(base >= 2, s"base must be >= 2, got $base")
+    val spark = assigned.sparkSession
+    graft.plans.VectorExpressions.ensureRegistered(spark)
+    import graft.functions.VectorFunctions.l2DistanceNative
+    val np = math.max(1, nprobe)
+    val qDf = spark.createDataFrame(queries.map { case (qid, qv) =>
+      (qid, qv, probeOrder(qv).take(np).map(_.toLong))
+    }).toDF("__qid", "__qv", "__qp")
+    val h = conv(substring(md5(col(idCol).cast("string")), 1, 8),
+      16, 10).cast("long")
+    val best = scala.collection.mutable.Map[Long, (Double, Long)]()
+    for (l <- layers to 1 by -1) {
+      val mod = Seq.fill(l)(base.toLong).product
+      val members = assigned.filter(h % mod === 0L)
+        .select(col(idCol), col(vecCol),
+          col(IvfIndex.ClusterCol).cast("long").as("__mc"))
+      val scan =
+        if (l == layers) members.crossJoin(broadcast(qDf))
+        else members.join(broadcast(qDf),
+          array_contains(col("__qp"), col("__mc")))
+      val winners = scan
+        .select(col("__qid"), struct(
+          KnnSearch.roundHalfUpCol(
+            l2DistanceNative(col(vecCol), col("__qv")), rankRoundDp)
+            .as("d"),
+          col(idCol).as("id")).as("__s"))
+        .groupBy(col("__qid")).agg(min(col("__s")).as("m"))
+        .select(col("__qid"), col("m.d"), col("m.id"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      winners.foreach { case (qid, d, id) =>
+        val c = (d, id)
+        if (best.get(qid).forall(b => Ordering[(Double, Long)].lt(c, b)))
+          best(qid) = c
+      }
+    }
+    queries.map { case (qid, _) =>
+      best.getOrElse(qid, throw new IllegalStateException(
+        s"hierEntryBatch: every layer scan came back empty for query " +
+          s"$qid — base/layers too aggressive for this corpus"))._2
+    }
+  }
+
   def beamSearch(graph: DataFrame, query: Seq[Float], entryId: Long,
       k: Int, beam: Int, hops: Int,
       rankRoundDp: Int = 4): DataFrame = {

@@ -1139,6 +1139,19 @@ class IvfIndexSpec extends SparkSpec {
       s"hier-entry walk recall $recH < coarse-entry walk recall $recC")
   }
 
+  test("hierEntryBatch equals hierEntry per query") {
+    graft.plans.VectorExpressions.ensureRegistered(spark)
+    val qs = embeddings.orderBy("vec_id").limit(5)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val batch = index.hierEntryBatch(qs, layers = 2, base = 16,
+      nprobe = 2)
+    val singles = qs.map { case (_, qv) =>
+      index.hierEntry(qv, layers = 2, base = 16, nprobe = 2) }
+    assert(batch == singles,
+      s"batch entries $batch != single entries $singles")
+  }
+
   test("beamSearchBatch fails loudly on an entry id not in the index") {
     graft.plans.VectorExpressions.ensureRegistered(spark)
     val graph = index.knnGraph(k = 3, nprobe = 2).localCheckpoint()
