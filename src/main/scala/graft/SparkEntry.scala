@@ -823,6 +823,63 @@ ${pqAdcSumSql("tab.qid = pp.qid AND tab.cluster_id = e.__ivf_cluster AND")}
          WHERE rn <= $pqBatchK ORDER BY query_id, dist, vec_id"""
   }
 
+  /** q165's oracle: q138's quantized-moment CTEs (full symmetric
+    * Σqᵢqⱼ matrix this time), the fixed LCG start vector, then one
+    * (S·v partial, mᵀ·v, y, max|y|, renorm) CTE group PER ITERATION —
+    * the q119 unrolled-iteration trick on a matvec — every product and
+    * sum in HUGEINT (the Scala side runs BigInt; a 64-bit replay would
+    * wrap at production counts), the renorm as
+    * `sign · (|y|·1024 // max)` where the absolute values keep DuckDB
+    * floor-division equal to BigInt truncation. */
+  private lazy val powerIterationOracleSql: String = {
+    // every CTE is MATERIALIZED: DuckDB inlines plain CTEs per
+    // reference, and each iteration references the previous one
+    // several times — un-materialized, the five-deep chain re-expands
+    // the corpus-scan subtree exponentially
+    val iters = 5
+    val itersSql = (1 to iters).map { t =>
+      s"""p$t AS MATERIALIZED (
+           SELECT ss.i, sum(ss.sij::HUGEINT * v${t - 1}.x::HUGEINT)
+             AS sv
+           FROM ss JOIN v${t - 1} ON v${t - 1}.i = ss.j GROUP BY ss.i),
+         w$t AS MATERIALIZED (
+           SELECT sum(mm.m::HUGEINT * v${t - 1}.x::HUGEINT) AS mv
+           FROM mm JOIN v${t - 1} ON v${t - 1}.i = mm.i),
+         y$t AS MATERIALIZED (
+           SELECT p$t.i,
+             (SELECT n FROM nn)::HUGEINT * p$t.sv
+               - mm.m::HUGEINT * (SELECT mv FROM w$t) AS y
+           FROM p$t JOIN mm ON mm.i = p$t.i),
+         x$t AS MATERIALIZED (SELECT max(abs(y)) AS mx FROM y$t),
+         v$t AS MATERIALIZED (
+           SELECT y$t.i,
+             CASE WHEN (SELECT mx FROM x$t) = 0 THEN 0::HUGEINT
+               ELSE (CASE WHEN y < 0 THEN -1 ELSE 1 END)::HUGEINT
+                 * ((abs(y) * 1024) // (SELECT mx FROM x$t))
+             END AS x
+           FROM y$t)"""
+    }.mkString(",\n         ")
+    raw"""WITH vq AS MATERIALIZED (
+           SELECT list_transform(embedding, e ->
+             CAST(floor(e::DOUBLE * 1024 + 0.5::DOUBLE) AS BIGINT))
+             AS q
+           FROM embeddings WHERE embedding IS NOT NULL),
+         nn AS MATERIALIZED (SELECT count(*) AS n FROM vq),
+         mm AS MATERIALIZED (
+           SELECT i, sum(q[i + 1]) AS m
+           FROM vq, range(64) t(i) GROUP BY i),
+         ss AS MATERIALIZED (
+           SELECT a.i AS i, b.i AS j, sum(q[a.i + 1] * q[b.i + 1])
+             AS sij
+           FROM vq, range(64) a(i), range(64) b(i) GROUP BY 1, 2),
+         v0 AS MATERIALIZED (
+           SELECT i, ((i * 2654435761) % 2039) - 1019 AS x
+           FROM range(64) t(i)),
+         $itersSql
+         SELECT i::BIGINT AS dim_i, x::BIGINT AS pc1 FROM v$iters
+         ORDER BY dim_i"""
+  }
+
   /** q77's oracle (flat cosine PQ): the query unit-normalized with the
     * float cast (q69's qnorm pattern — the exact driver arithmetic),
     * the ADC table built against it from the NORMALIZED books, the
@@ -5165,6 +5222,23 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
         nprobe = 2, rankRoundDp = 4)
       idx.beamSearchBatch(graph, queries, entries, k = 5, beam = 4,
         hops = 2)
+    }),
+
+    "q165_power_iteration_pc" -> ((s, dir) => {
+      // Top principal direction by exact-integer power iteration over
+      // the q138 moment cells (the PCA stage before whitening/MRL/
+      // index builds): covariance C = n*S - m*m^T applied as integer
+      // matvecs y = n*(S*v) - m*(m^T*v) with magnitude-truncating
+      // +-1024 renormalization per step and a fixed LCG start vector
+      // -- BigInt on the Scala side, HUGEINT in the oracle, so five
+      // iterations replay bit-for-bit. One corpus pass (the moments
+      // aggregation); the iteration is driver-side on the dim^2 cell
+      // summary -- the q119 unrolled-iteration discipline applied to
+      // linear algebra.
+      VectorExpressions.ensureRegistered(s)
+      VectorStats.powerIterationPc(t(s, dir, "embeddings"),
+        "embedding", dim = 64, iters = 5)
+        .orderBy(col("dim_i"))
     })
   )
 
@@ -9006,7 +9080,11 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
 
     // q164: per-query two-layer descent CTEs feeding the shared
     // unrolled batch walk.
-    "q164_hnsw_descent_batch" -> batchHnswDescentOracleSql
+    "q164_hnsw_descent_batch" -> batchHnswDescentOracleSql,
+
+    // q165: q138's moment CTEs + one (matvec, max, renorm) CTE triple
+    // per power iteration, all in HUGEINT.
+    "q165_power_iteration_pc" -> powerIterationOracleSql
   )
 
   /** The kNN-graph replay CTE chain over the exported IVF replica

@@ -167,6 +167,58 @@ object VectorStats {
       .transform(validateOneDim)
   }
 
+  /** Top principal direction by EXACT-INTEGER power iteration over the
+    * [[moments]] cells — the PCA stage that precedes whitening, MRL
+    * truncation analysis, or an index build, kept inside the repo's
+    * replayable-arithmetic regime: the (scaled) covariance is
+    * `C = n·S − m·mᵀ` where `S = Σ qᵢqⱼ` and `m = Σ qᵢ` are the exact
+    * long cells [[moments]] already produces, so the matvec
+    * `y = n·(S·v) − m·(mᵀ·v)` is integer arithmetic with no float
+    * anywhere; each iteration renormalizes to `±scale` by magnitude-
+    * truncating division (`sign(y)·(|y|·scale ÷ max|y|)` — absolute
+    * values keep floor == truncation on both engines). The start
+    * vector is a fixed LCG-style spread (no RNG). BigInt throughout —
+    * at production counts the intermediate `n²·2^36` exceeds a long,
+    * and a silent wrap would corrupt the direction (the oracle
+    * replays in 128-bit HUGEINT).
+    *
+    * Scale shape: the CORPUS pass is the one [[moments]] aggregation
+    * (one exchange, map-side combined); the iteration runs driver-side
+    * on the dim²-sized cell summary — the correct distributed split
+    * for moment-based PCA (the same cells serve q138's covariance
+    * report). Output: (dim_i, pc1) with pc1 ∈ [−scale, scale]. */
+  def powerIterationPc(df: DataFrame, vecCol: String, dim: Int,
+      iters: Int = 5, scale: Long = 1024L): DataFrame = {
+    require(dim >= 1 && iters >= 1 && scale >= 1,
+      s"need dim/iters/scale >= 1, got ($dim, $iters, $scale)")
+    val spark = df.sparkSession
+    val cells = moments(df, vecCol).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    def cell(i: Int, j: Int): BigInt = BigInt(cells.getOrElse((i, j),
+      throw new IllegalArgumentException(
+        s"powerIterationPc: missing moment cell ($i, $j) — does the " +
+          s"corpus really have dim $dim?")))
+    val n = BigInt(cells.getOrElse((-1, -1), 0L))
+    require(n > 0, "powerIterationPc: empty corpus")
+    val m = Array.tabulate(dim)(i => cell(i, -1))
+    val s2 = Array.tabulate(dim, dim)((i, j) =>
+      cell(math.min(i, j), math.max(i, j)))
+    var v = Array.tabulate(dim)(i =>
+      BigInt((i * 2654435761L) % 2039L - 1019L))
+    for (_ <- 0 until iters) {
+      val mv = (0 until dim).map(j => m(j) * v(j)).sum
+      val y = Array.tabulate(dim)(i =>
+        n * (0 until dim).map(j => s2(i)(j) * v(j)).sum - m(i) * mv)
+      val mx = y.map(_.abs).max
+      v = if (mx == 0) Array.fill(dim)(BigInt(0))
+        else y.map(x =>
+          (if (x < 0) BigInt(-1) else BigInt(1)) * (x.abs * scale / mx))
+    }
+    import spark.implicits._
+    (0 until dim).map(i => (i.toLong, v(i).toLong))
+      .toDF("dim_i", "pc1")
+  }
+
   /** Per-dimension standardization parameters — the scaler artifact a
     * whitening/normalization stage exports (sklearn StandardScaler's
     * mean_/scale_, produced once at corpus scale and applied

@@ -107,6 +107,66 @@ class VectorStatsSpec extends SparkSpec {
     assert(plan.contains("partial"), s"no map-side partial agg:\n$plan")
   }
 
+  test("powerIterationPc recovers a planted dominant direction") {
+    import spark.implicits._
+    // data = t·u + small per-dim jitter: the top eigenvector of the
+    // covariance is u (up to sign)
+    val dim = 8
+    val u = Array.tabulate(dim)(j => math.sin(j + 1.0)).map { x =>
+      val n = math.sqrt((0 until dim).map(j =>
+        math.sin(j + 1.0) * math.sin(j + 1.0)).sum)
+      (x / n).toFloat
+    }
+    val rows = (0 until 400).map { r =>
+      val t = (r % 21) - 10 // spread in [-10, 10]
+      Seq.tabulate(dim)(j =>
+        t * u(j) + ((r * 7 + j * 13) % 11 - 5) * 0.01f)
+    }
+    val pc = VectorStats.powerIterationPc(rows.toDF("embedding"),
+        "embedding", dim, iters = 8)
+      .orderBy("dim_i").collect().map(_.getLong(1).toDouble)
+    val nPc = math.sqrt(pc.map(x => x * x).sum)
+    val cos = math.abs(
+      pc.zip(u).map { case (a, b) => a * b }.sum) / nPc
+    assert(cos >= 0.99, s"planted-direction cosine $cos; pc=" +
+      pc.mkString(","))
+  }
+
+  test("powerIterationPc is bit-identical under any partitioning and matches a double-precision iteration") {
+    val big = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def run(parts: Int) =
+      VectorStats.powerIterationPc(big.repartition(parts), "embedding",
+        64, iters = 5).orderBy("dim_i").collect()
+        .map(_.getLong(1)).toSeq
+    val a = run(1)
+    assert(a == run(13))
+    // double-precision reference over the same quantized moments
+    val vs = big.select("embedding").collect()
+      .map(_.getSeq[Float](0).map(x =>
+        math.floor(x.toDouble * 1024 + 0.5)).toArray)
+    val n = vs.length.toDouble
+    val dim = 64
+    val m = Array.tabulate(dim)(i => vs.map(_(i)).sum)
+    val s2 = Array.tabulate(dim, dim)((i, j) =>
+      vs.map(v => v(i) * v(j)).sum)
+    var v = Array.tabulate(dim)(i =>
+      ((i * 2654435761L) % 2039L - 1019L).toDouble)
+    for (_ <- 0 until 5) {
+      val mv = (0 until dim).map(j => m(j) * v(j)).sum
+      val y = Array.tabulate(dim)(i =>
+        n * (0 until dim).map(j => s2(i)(j) * v(j)).sum - m(i) * mv)
+      val mx = y.map(math.abs).max
+      v = if (mx == 0) Array.fill(dim)(0.0) else y.map(_ / mx * 1024)
+    }
+    val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+    val nv = math.sqrt(v.map(x => x * x).sum)
+    val cos = math.abs(a.zip(v).map { case (x, y) =>
+      x.toDouble * y }.sum) / (na * nv)
+    assert(cos >= 0.999,
+      s"integer iteration diverged from the double reference: $cos")
+  }
+
   test("dimStandardization: hand-checked mean/std, zero-variance std is 0") {
     val r = VectorStats.dimStandardization(df, "embedding")
       .collect().map(x => x.getLong(0) ->
