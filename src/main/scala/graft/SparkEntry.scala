@@ -831,35 +831,57 @@ ${pqAdcSumSql("tab.qid = pp.qid AND tab.cluster_id = e.__ivf_cluster AND")}
     * wrap at production counts), the renorm as
     * `sign · (|y|·1024 // max)` where the absolute values keep DuckDB
     * floor-division equal to BigInt truncation. */
-  private lazy val powerIterationOracleSql: String = {
-    // every CTE is MATERIALIZED: DuckDB inlines plain CTEs per
-    // reference, and each iteration references the previous one
-    // several times — un-materialized, the five-deep chain re-expands
-    // the corpus-scan subtree exponentially
-    val iters = 5
-    val itersSql = (1 to iters).map { t =>
-      s"""p$t AS MATERIALIZED (
-           SELECT ss.i, sum(ss.sij::HUGEINT * v${t - 1}.x::HUGEINT)
-             AS sv
-           FROM ss JOIN v${t - 1} ON v${t - 1}.i = ss.j GROUP BY ss.i),
-         w$t AS MATERIALIZED (
-           SELECT sum(mm.m::HUGEINT * v${t - 1}.x::HUGEINT) AS mv
-           FROM mm JOIN v${t - 1} ON v${t - 1}.i = mm.i),
-         y$t AS MATERIALIZED (
-           SELECT p$t.i,
-             (SELECT n FROM nn)::HUGEINT * p$t.sv
-               - mm.m::HUGEINT * (SELECT mv FROM w$t) AS y
-           FROM p$t JOIN mm ON mm.i = p$t.i),
-         x$t AS MATERIALIZED (SELECT max(abs(y)) AS mx FROM y$t),
-         v$t AS MATERIALIZED (
-           SELECT y$t.i,
-             CASE WHEN (SELECT mx FROM x$t) = 0 THEN 0::HUGEINT
+  /** One (matvec partials, matvec, optional exact Gram-Schmidt
+    * projection off `orthoTo`, max, renorm) MATERIALIZED CTE group
+    * per power iteration — every CTE is MATERIALIZED because DuckDB
+    * inlines plain CTEs per reference, and each iteration references
+    * the previous one several times: un-materialized, the five-deep
+    * chain re-expands the corpus-scan subtree exponentially. */
+  private def pcIterCtesSql(pfx: String, iters: Int,
+      orthoTo: Option[(String, String)]): String =
+    (1 to iters).map { t =>
+      val prev = s"$pfx${t - 1}"
+      val renormSrc = orthoTo match {
+        case Some((u, dd)) =>
+          s""",
+         ${pfx}u$t AS MATERIALIZED (
+           SELECT sum($u.x::HUGEINT * ${pfx}y$t.y) AS uy
+           FROM $u JOIN ${pfx}y$t ON ${pfx}y$t.i = $u.i),
+         ${pfx}o$t AS MATERIALIZED (
+           SELECT ${pfx}y$t.i,
+             (SELECT d FROM $dd)::HUGEINT * ${pfx}y$t.y
+               - (SELECT uy FROM ${pfx}u$t) * $u.x::HUGEINT AS y
+           FROM ${pfx}y$t JOIN $u ON $u.i = ${pfx}y$t.i)"""
+        case None => ""
+      }
+      val src = if (orthoTo.isDefined) s"${pfx}o$t" else s"${pfx}y$t"
+      s"""${pfx}p$t AS MATERIALIZED (
+           SELECT ss.i, sum(ss.sij::HUGEINT * $prev.x::HUGEINT) AS sv
+           FROM ss JOIN $prev ON $prev.i = ss.j GROUP BY ss.i),
+         ${pfx}w$t AS MATERIALIZED (
+           SELECT sum(mm.m::HUGEINT * $prev.x::HUGEINT) AS mv
+           FROM mm JOIN $prev ON $prev.i = mm.i),
+         ${pfx}y$t AS MATERIALIZED (
+           SELECT ${pfx}p$t.i,
+             (SELECT n FROM nn)::HUGEINT * ${pfx}p$t.sv
+               - mm.m::HUGEINT * (SELECT mv FROM ${pfx}w$t) AS y
+           FROM ${pfx}p$t JOIN mm ON mm.i = ${pfx}p$t.i)$renormSrc,
+         ${pfx}x$t AS MATERIALIZED (
+           SELECT max(abs(y)) AS mx FROM $src),
+         $pfx$t AS MATERIALIZED (
+           SELECT $src.i,
+             CASE WHEN (SELECT mx FROM ${pfx}x$t) = 0 THEN 0::HUGEINT
                ELSE (CASE WHEN y < 0 THEN -1 ELSE 1 END)::HUGEINT
-                 * ((abs(y) * 1024) // (SELECT mx FROM x$t))
+                 * ((abs(y) * 1024) // (SELECT mx FROM ${pfx}x$t))
              END AS x
-           FROM y$t)"""
+           FROM $src)"""
     }.mkString(",\n         ")
-    raw"""WITH vq AS MATERIALIZED (
+
+  /** The quantized-moment CTEs + the fixed-LCG pc1 start shared by
+    * the power-iteration oracles (q138's arithmetic, full symmetric
+    * matrix). */
+  private val pcMomentCtesSql: String =
+    raw"""vq AS MATERIALIZED (
            SELECT list_transform(embedding, e ->
              CAST(floor(e::DOUBLE * 1024 + 0.5::DOUBLE) AS BIGINT))
              AS q
@@ -874,11 +896,30 @@ ${pqAdcSumSql("tab.qid = pp.qid AND tab.cluster_id = e.__ivf_cluster AND")}
            FROM vq, range(64) a(i), range(64) b(i) GROUP BY 1, 2),
          v0 AS MATERIALIZED (
            SELECT i, ((i * 2654435761) % 2039) - 1019 AS x
-           FROM range(64) t(i)),
-         $itersSql
-         SELECT i::BIGINT AS dim_i, x::BIGINT AS pc1 FROM v$iters
+           FROM range(64) t(i))"""
+
+  private lazy val powerIterationOracleSql: String =
+    raw"""WITH $pcMomentCtesSql,
+         ${pcIterCtesSql("v", 5, None)}
+         SELECT i::BIGINT AS dim_i, x::BIGINT AS pc1 FROM v5
          ORDER BY dim_i"""
-  }
+
+  /** q166's oracle: the pc1 chain, then d = pc1·pc1 and a second
+    * unrolled chain whose every iterate is exactly projected off pc1
+    * (`z = d·y − (u·y)·u`) before the renorm. */
+  private lazy val pc2OracleSql: String =
+    raw"""WITH $pcMomentCtesSql,
+         ${pcIterCtesSql("v", 5, None)},
+         dd AS MATERIALIZED (
+           SELECT sum(x::HUGEINT * x::HUGEINT) AS d FROM v5),
+         b0 AS MATERIALIZED (
+           SELECT i, ((i * 40503) % 1021) - 510 AS x
+           FROM range(64) t(i)),
+         ${pcIterCtesSql("b", 5, Some(("v5", "dd")))}
+         SELECT v5.i::BIGINT AS dim_i, v5.x::BIGINT AS pc1,
+           b5.x::BIGINT AS pc2
+         FROM v5 JOIN b5 ON b5.i = v5.i
+         ORDER BY dim_i"""
 
   /** q77's oracle (flat cosine PQ): the query unit-normalized with the
     * float cast (q69's qnorm pattern — the exact driver arithmetic),
@@ -5239,6 +5280,21 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
       VectorStats.powerIterationPc(t(s, dir, "embeddings"),
         "embedding", dim = 64, iters = 5)
         .orderBy(col("dim_i"))
+    }),
+
+    "q166_pc2_gram_schmidt" -> ((s, dir) => {
+      // Second principal direction by the same exact-integer power
+      // iteration with PER-STEP integer Gram-Schmidt: each pc2
+      // iterate applies the covariance matvec then projects off pc1
+      // exactly (z = d*y - (u.y)*u, d = u.u) before renormalizing --
+      // projection each step keeps the iterate orthogonal to the
+      // finite-precision pc1 with no eigenvalue ratio to represent.
+      // One corpus pass serves both directions; the oracle unrolls
+      // both chains in HUGEINT.
+      VectorExpressions.ensureRegistered(s)
+      VectorStats.powerIterationPc2(t(s, dir, "embeddings"),
+        "embedding", dim = 64, iters = 5)
+        .orderBy(col("dim_i"))
     })
   )
 
@@ -9084,7 +9140,11 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
 
     // q165: q138's moment CTEs + one (matvec, max, renorm) CTE triple
     // per power iteration, all in HUGEINT.
-    "q165_power_iteration_pc" -> powerIterationOracleSql
+    "q165_power_iteration_pc" -> powerIterationOracleSql,
+
+    // q166: the pc1 chain + a second chain with exact per-step
+    // Gram-Schmidt projection off pc1.
+    "q166_pc2_gram_schmidt" -> pc2OracleSql
   )
 
   /** The kNN-graph replay CTE chain over the exported IVF replica

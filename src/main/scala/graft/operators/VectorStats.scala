@@ -219,6 +219,60 @@ object VectorStats {
       .toDF("dim_i", "pc1")
   }
 
+  /** Top TWO principal directions — [[powerIterationPc]]'s exact-
+    * integer regime extended by per-step integer Gram-Schmidt: pc2's
+    * iteration applies the SAME covariance matvec and then projects
+    * the iterate off pc1 exactly — `z = d·y − (uᵀy)·u` with
+    * `d = uᵀu` — before the ±scale renormalization. Projection each
+    * step (rather than one-shot matrix deflation) keeps the iterate
+    * orthogonal to the FINITE-precision pc1 exactly, every operation
+    * stays integer, and no eigenvalue ratio ever needs representing.
+    * One corpus pass (the shared [[moments]] cells serve both
+    * directions); both iterations are driver-side on the dim² summary.
+    * Output: (dim_i, pc1, pc2). */
+  def powerIterationPc2(df: DataFrame, vecCol: String, dim: Int,
+      iters: Int = 5, scale: Long = 1024L): DataFrame = {
+    require(dim >= 1 && iters >= 1 && scale >= 1,
+      s"need dim/iters/scale >= 1, got ($dim, $iters, $scale)")
+    val spark = df.sparkSession
+    val cells = moments(df, vecCol).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    def cell(i: Int, j: Int): BigInt = BigInt(cells.getOrElse((i, j),
+      throw new IllegalArgumentException(
+        s"powerIterationPc2: missing moment cell ($i, $j) — does the " +
+          s"corpus really have dim $dim?")))
+    val n = BigInt(cells.getOrElse((-1, -1), 0L))
+    require(n > 0, "powerIterationPc2: empty corpus")
+    val m = Array.tabulate(dim)(i => cell(i, -1))
+    val s2 = Array.tabulate(dim, dim)((i, j) =>
+      cell(math.min(i, j), math.max(i, j)))
+    def matvec(v: Array[BigInt]): Array[BigInt] = {
+      val mv = (0 until dim).map(j => m(j) * v(j)).sum
+      Array.tabulate(dim)(i =>
+        n * (0 until dim).map(j => s2(i)(j) * v(j)).sum - m(i) * mv)
+    }
+    def renorm(y: Array[BigInt]): Array[BigInt] = {
+      val mx = y.map(_.abs).max
+      if (mx == 0) Array.fill(dim)(BigInt(0))
+      else y.map(x =>
+        (if (x < 0) BigInt(-1) else BigInt(1)) * (x.abs * scale / mx))
+    }
+    var u = Array.tabulate(dim)(i =>
+      BigInt((i * 2654435761L) % 2039L - 1019L))
+    for (_ <- 0 until iters) u = renorm(matvec(u))
+    val d = (0 until dim).map(j => u(j) * u(j)).sum
+    var v = Array.tabulate(dim)(i =>
+      BigInt((i * 40503L) % 1021L - 510L))
+    for (_ <- 0 until iters) {
+      val y = matvec(v)
+      val uy = (0 until dim).map(j => u(j) * y(j)).sum
+      v = renorm(Array.tabulate(dim)(i => d * y(i) - uy * u(i)))
+    }
+    import spark.implicits._
+    (0 until dim).map(i => (i.toLong, u(i).toLong, v(i).toLong))
+      .toDF("dim_i", "pc1", "pc2")
+  }
+
   /** Per-dimension standardization parameters — the scaler artifact a
     * whitening/normalization stage exports (sklearn StandardScaler's
     * mean_/scale_, produced once at corpus scale and applied

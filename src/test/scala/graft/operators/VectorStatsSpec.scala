@@ -167,6 +167,40 @@ class VectorStatsSpec extends SparkSpec {
       s"integer iteration diverged from the double reference: $cos")
   }
 
+  test("powerIterationPc2 recovers two planted directions, near-orthogonal") {
+    import spark.implicits._
+    val dim = 8
+    // two orthogonal planted directions with separated strengths
+    def normed(raw: Array[Double]) = {
+      val n = math.sqrt(raw.map(x => x * x).sum); raw.map(_ / n)
+    }
+    val u1 = normed(Array.tabulate(dim)(j => math.sin(j + 1.0)))
+    val u2raw = Array.tabulate(dim)(j => math.cos(2.0 * j + 0.5))
+    val proj = u1.zip(u2raw).map { case (a, b) => a * b }.sum
+    val u2 = normed(u2raw.zip(u1).map { case (b, a) => b - proj * a })
+    val rows = (0 until 500).map { r =>
+      val t1 = (r % 21) - 10
+      val t2 = ((r / 3) % 11) - 5 // weaker second direction
+      Seq.tabulate(dim)(j =>
+        (t1 * u1(j) + t2 * u2(j)).toFloat +
+          ((r * 7 + j * 13) % 11 - 5) * 0.01f)
+    }
+    val out = VectorStats.powerIterationPc2(rows.toDF("embedding"),
+        "embedding", dim, iters = 10)
+      .orderBy("dim_i").collect()
+    val pc1 = out.map(_.getLong(1).toDouble)
+    val pc2 = out.map(_.getLong(2).toDouble)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      math.abs(a.zip(b).map { case (x, y) => x * y }.sum) / (na * nb)
+    }
+    assert(cos(pc1, u1) >= 0.99, s"pc1 missed u1: ${cos(pc1, u1)}")
+    assert(cos(pc2, u2) >= 0.98, s"pc2 missed u2: ${cos(pc2, u2)}")
+    assert(cos(pc1, pc2) <= 0.05,
+      s"pc1/pc2 not orthogonal: ${cos(pc1, pc2)}")
+  }
+
   test("dimStandardization: hand-checked mean/std, zero-variance std is 0") {
     val r = VectorStats.dimStandardization(df, "embedding")
       .collect().map(x => x.getLong(0) ->
