@@ -921,6 +921,35 @@ ${pqAdcSumSql("tab.qid = pp.qid AND tab.cluster_id = e.__ivf_cluster AND")}
          FROM v5 JOIN b5 ON b5.i = v5.i
          ORDER BY dim_i"""
 
+  /** q167's oracle: the q166 chains, both directions gathered into
+    * ordered lists, per-row integer dot products, then the exact
+    * double floor-division binning (width 2^16 — quotients ≤ 2^26
+    * cannot misround) and the bucket counts. */
+  private lazy val pcProjectionOracleSql: String =
+    raw"""WITH $pcMomentCtesSql,
+         ${pcIterCtesSql("v", 5, None)},
+         dd AS MATERIALIZED (
+           SELECT sum(x::HUGEINT * x::HUGEINT) AS d FROM v5),
+         b0 AS MATERIALIZED (
+           SELECT i, ((i * 40503) % 1021) - 510 AS x
+           FROM range(64) t(i)),
+         ${pcIterCtesSql("b", 5, Some(("v5", "dd")))},
+         pcl AS MATERIALIZED (
+           SELECT (SELECT list(x ORDER BY i) FROM v5) AS p1,
+                  (SELECT list(x ORDER BY i) FROM b5) AS p2),
+         pr AS (
+           SELECT
+             list_sum(list_transform(range(1, 65),
+               i -> q[i]::HUGEINT * pcl.p1[i])) AS j1,
+             list_sum(list_transform(range(1, 65),
+               i -> q[i]::HUGEINT * pcl.p2[i])) AS j2
+           FROM vq, pcl)
+         SELECT
+           CAST(floor(j1::DOUBLE / 65536) AS BIGINT) AS b1,
+           CAST(floor(j2::DOUBLE / 65536) AS BIGINT) AS b2,
+           count(*) AS n_rows
+         FROM pr GROUP BY 1, 2 ORDER BY b1, b2"""
+
   /** q77's oracle (flat cosine PQ): the query unit-normalized with the
     * float cast (q69's qnorm pattern — the exact driver arithmetic),
     * the ADC table built against it from the NORMALIZED books, the
@@ -5295,6 +5324,25 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
       VectorStats.powerIterationPc2(t(s, dir, "embeddings"),
         "embedding", dim = 64, iters = 5)
         .orderBy(col("dim_i"))
+    }),
+
+    "q167_pc_projection_map" -> ((s, dir) => {
+      // The PCA artifact APPLIED: every row projects onto the two
+      // integer principal directions (pure integer dot products with
+      // broadcast literals, one narrow pass) and lands in a 2-D
+      // integer histogram -- the "embedding map" QA report. Bucket
+      // width 2^16 keeps the double floor-division exact on both
+      // engines (integer quotients of magnitude <= 2^26 cannot
+      // misround). The oracle re-derives both directions (the q166
+      // chains) and replays the projection + binning per row.
+      VectorExpressions.ensureRegistered(s)
+      val pcs = VectorStats.powerIterationPc2(t(s, dir, "embeddings"),
+          "embedding", dim = 64, iters = 5)
+        .orderBy("dim_i").collect()
+      VectorStats.pcProjectionMap(t(s, dir, "embeddings"), "embedding",
+          pcs.map(_.getLong(1)).toSeq, pcs.map(_.getLong(2)).toSeq,
+          bucketWidth = 65536L)
+        .orderBy(col("b1"), col("b2"))
     })
   )
 
@@ -9144,7 +9192,11 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
 
     // q166: the pc1 chain + a second chain with exact per-step
     // Gram-Schmidt projection off pc1.
-    "q166_pc2_gram_schmidt" -> pc2OracleSql
+    "q166_pc2_gram_schmidt" -> pc2OracleSql,
+
+    // q167: both pc chains + per-row integer projections + exact
+    // power-of-two-width floor binning.
+    "q167_pc_projection_map" -> pcProjectionOracleSql
   )
 
   /** The kNN-graph replay CTE chain over the exported IVF replica

@@ -273,6 +273,41 @@ object VectorStats {
       .toDF("dim_i", "pc1", "pc2")
   }
 
+  /** PCA projection map — the [[powerIterationPc2]] artifact APPLIED
+    * at corpus scale: every row's quantized vector projects onto the
+    * two integer principal directions (`projₖ = Σ qᵢ·pcₖᵢ` — pure
+    * integer dot products with broadcast-literal directions, one
+    * narrow corpus pass, no shuffle until the bucket counts), then a
+    * 2-D histogram over `bucketWidth`-wide integer cells — the
+    * "embedding map" QA report (cluster structure, outlier shelves,
+    * mode collapse) every corpus review starts from. Bucketing uses
+    * FLOOR division so negative projections bin consistently on both
+    * engines. Output: (b1, b2, n_rows), bucket-count-sized. */
+  def pcProjectionMap(df: DataFrame, vecCol: String,
+      pc1: Seq[Long], pc2: Seq[Long], bucketWidth: Long): DataFrame = {
+    require(pc1.nonEmpty && pc1.length == pc2.length,
+      s"pc1/pc2 must be same nonzero length, got ${pc1.length}/" +
+        s"${pc2.length}")
+    require(bucketWidth >= 1, s"bucketWidth must be >= 1, got " +
+      s"$bucketWidth")
+    val q = transform(col(vecCol),
+      x => floor(x.cast("double") * lit(QuantScale) + lit(0.5))
+        .cast("long"))
+    def proj(pc: Seq[Long]): org.apache.spark.sql.Column =
+      pc.zipWithIndex.map { case (w, i) =>
+        element_at(col("__q"), i + 1) * lit(w)
+      }.reduce(_ + _)
+    df.filter(col(vecCol).isNotNull)
+      .select(q.as("__q"))
+      .select(
+        floor(proj(pc1).cast("double") / lit(bucketWidth.toDouble))
+          .cast("long").as("b1"),
+        floor(proj(pc2).cast("double") / lit(bucketWidth.toDouble))
+          .cast("long").as("b2"))
+      .groupBy(col("b1"), col("b2"))
+      .agg(count(lit(1)).as("n_rows"))
+  }
+
   /** Per-dimension standardization parameters — the scaler artifact a
     * whitening/normalization stage exports (sklearn StandardScaler's
     * mean_/scale_, produced once at corpus scale and applied

@@ -201,6 +201,26 @@ class VectorStatsSpec extends SparkSpec {
       s"pc1/pc2 not orthogonal: ${cos(pc1, pc2)}")
   }
 
+  test("pcProjectionMap: hand-checked buckets, floor binning on negatives") {
+    import spark.implicits._
+    // quantized vectors are floor(v*1024+0.5); choose v so q is exact:
+    // v = 1.0 -> q = 1024, v = -1.0 -> q = -1024
+    val rows = Seq(
+      Seq(1f, 0f),   // q = (1024, 0)    proj1 = 1024, proj2 = 0
+      Seq(-1f, 0f),  // q = (-1024, 0)   proj1 = -1024
+      Seq(0f, 1f),   // q = (0, 1024)    proj2 = 1024
+      Seq(0f, 0f))
+    // pc1 = (1, 0), pc2 = (0, 1), width 1000:
+    // proj1 buckets: floor(1024/1000)=1, floor(-1024/1000)=-2 (FLOOR,
+    // not truncation), 0, 0; proj2: 0, 0, 1, 0
+    val got = VectorStats.pcProjectionMap(rows.toDF("embedding"),
+        "embedding", Seq(1L, 0L), Seq(0L, 1L), bucketWidth = 1000L)
+      .orderBy("b1", "b2").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((-2L, 0L, 1L), (0L, 0L, 1L), (0L, 1L, 1L),
+      (1L, 0L, 1L)), s"got $got")
+  }
+
   test("dimStandardization: hand-checked mean/std, zero-variance std is 0") {
     val r = VectorStats.dimStandardization(df, "embedding")
       .collect().map(x => x.getLong(0) ->
