@@ -308,6 +308,29 @@ object VectorStats {
       .agg(count(lit(1)).as("n_rows"))
   }
 
+  /** Incremental maintenance of the [[moments]] cell artifact under
+    * CDC — the moments are EXACT integer sums, so they form a group
+    * under addition: after an append/delete batch the maintained
+    * cells are `old + moments(appended) − moments(deleted)`,
+    * bit-identical to recomputing over the post-CDC corpus
+    * (spec-asserted) at the cost of two BATCH-sized passes instead of
+    * a corpus pass. This is what makes moment-backed artifacts (the
+    * q138 covariance report, the q165/q166 principal directions, the
+    * q167 projection map) cheap to keep fresh under streaming ingest:
+    * the corpus never rescans. Deleted rows must be passed with their
+    * ORIGINAL vectors (the standard CDC requirement — same as the
+    * index delete path knowing its doomed ids). */
+  def momentsMaintained(oldCells: DataFrame, appended: DataFrame,
+      deleted: DataFrame, vecCol: String): DataFrame = {
+    val plus = moments(appended, vecCol)
+      .select(col("i"), col("j"), col("s"))
+    val minus = moments(deleted, vecCol)
+      .select(col("i"), col("j"), (-col("s")).as("s"))
+    oldCells.select(col("i"), col("j"), col("s"))
+      .unionByName(plus).unionByName(minus)
+      .groupBy(col("i"), col("j")).agg(sum(col("s")).as("s"))
+  }
+
   /** Per-dimension standardization parameters — the scaler artifact a
     * whitening/normalization stage exports (sklearn StandardScaler's
     * mean_/scale_, produced once at corpus scale and applied

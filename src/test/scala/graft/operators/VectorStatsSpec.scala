@@ -221,6 +221,24 @@ class VectorStatsSpec extends SparkSpec {
       (1L, 0L, 1L)), s"got $got")
   }
 
+  test("momentsMaintained after append+delete is bit-identical to a fresh recompute") {
+    import spark.implicits._
+    def vec(i: Long, salt: Int): Seq[Float] =
+      (0 until 6).map(j => ((i * 31 + j * 7 + salt * 13) % 97) / 97f)
+    val snapA = (0L until 200L).map(i => vec(i, 0))
+    val removed = (0L until 200L).filter(_ % 9 == 0).map(i => vec(i, 0))
+    val added = (200L until 230L).map(i => vec(i, 1))
+    val snapB = (0L until 200L).filterNot(_ % 9 == 0).map(i =>
+      vec(i, 0)) ++ added
+    val old = VectorStats.moments(snapA.toDF("embedding"), "embedding")
+    val maintained = VectorStats.momentsMaintained(old,
+        added.toDF("embedding"), removed.toDF("embedding"), "embedding")
+      .orderBy("i", "j").collect().map(_.toSeq).toSeq
+    val fresh = VectorStats.moments(snapB.toDF("embedding"), "embedding")
+      .orderBy("i", "j").collect().map(_.toSeq).toSeq
+    assert(maintained == fresh)
+  }
+
   test("dimStandardization: hand-checked mean/std, zero-variance std is 0") {
     val r = VectorStats.dimStandardization(df, "embedding")
       .collect().map(x => x.getLong(0) ->
