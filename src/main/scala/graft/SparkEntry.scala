@@ -950,6 +950,55 @@ ${pqAdcSumSql("tab.qid = pp.qid AND tab.cluster_id = e.__ivf_cluster AND")}
            count(*) AS n_rows
          FROM pr GROUP BY 1, 2 ORDER BY b1, b2"""
 
+  /** q168's oracle: the SAME integer plane matrix embedded as list
+    * literals (generated from NearDup.hyperplanesInt — the q44
+    * plane-literal discipline, integer form), per-row and per-query
+    * projections as BIGINT dot folds, the exact reduced-space L2²
+    * top-10, and the 4-dp full-dim leg. */
+  private lazy val jlRecallOracleSql: String = {
+    val dim = 64; val bits = 16
+    val planes = NearDup.hyperplanesInt(bits, dim)
+    def planeList(b: Int): String =
+      (0 until dim).map(i => planes(b * dim + i))
+        .mkString("[", ", ", "]")
+    def projExpr(b: Int): String =
+      s"""list_sum(list_transform(range(1, ${dim + 1}),
+             i -> q[i] * (${planeList(b)})[i]))"""
+    val rowProjs = (0 until bits).map(b =>
+      s"${projExpr(b)} AS p$b").mkString(",\n             ")
+    val d2Chain = (0 until bits).map(b =>
+      s"(pr.p$b - (SELECT p$b FROM qp)) * " +
+        s"(pr.p$b - (SELECT p$b FROM qp))").mkString("\n             + ")
+    raw"""WITH vq AS MATERIALIZED (
+           SELECT vec_id, list_transform(embedding, e ->
+             CAST(floor(e::DOUBLE * 1024 + 0.5::DOUBLE) AS BIGINT))
+             AS q
+           FROM embeddings WHERE embedding IS NOT NULL),
+         qp AS MATERIALIZED (
+           SELECT $rowProjs
+           FROM vq WHERE vec_id = 0),
+         pr AS MATERIALIZED (
+           SELECT vec_id, $rowProjs FROM vq),
+         ap AS (
+           SELECT vec_id AS id_a FROM pr
+           ORDER BY $d2Chain, vec_id LIMIT 10),
+         ex AS (
+           SELECT vec_id AS id_e FROM (
+             SELECT vec_id,
+               floor(list_distance(embedding::DOUBLE[],
+                 (SELECT embedding FROM embeddings WHERE vec_id = 0)
+                   ::DOUBLE[]) * 1e4 + 0.5::DOUBLE) / 1e4 AS d
+             FROM embeddings)
+           ORDER BY d, vec_id LIMIT 10)
+         SELECT 10::BIGINT AS k,
+           sum(CASE WHEN id_e IS NOT NULL AND id_a IS NOT NULL
+             THEN 1 ELSE 0 END)::BIGINT AS n_overlap,
+           count(*)::BIGINT AS n_union,
+           (sum(CASE WHEN id_e IS NOT NULL AND id_a IS NOT NULL
+             THEN 1 ELSE 0 END) * 1000000 // 10)::BIGINT AS recall_ppm
+         FROM ex FULL OUTER JOIN ap ON id_e = id_a"""
+  }
+
   /** q77's oracle (flat cosine PQ): the query unit-normalized with the
     * float cast (q69's qnorm pattern — the exact driver arithmetic),
     * the ADC table built against it from the NORMALIZED books, the
@@ -5343,6 +5392,55 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
           pcs.map(_.getLong(1)).toSeq, pcs.map(_.getLong(2)).toSeq,
           bucketWidth = 65536L)
         .orderBy(col("b1"), col("b2"))
+    }),
+
+    "q168_jl_recall" -> ((s, dir) => {
+      // Johnson-Lindenstrauss projection recall -- the q142 MRL eval
+      // pointed at the PROJECTION axis: project 64 dims onto 16
+      // Achlioptas-style integer random directions (the q44 LCG plane
+      // matrix in its integer form -- projection rank is
+      // scale-invariant, so the whole reduced-space ranking is exact
+      // BIGINT arithmetic with no float fold to replay), take the
+      // top-10 by exact integer L2^2 in the reduced space, and score
+      // overlap against the full-dim exact top-10 in ppm. One narrow
+      // pass per leg; the reduced scan computes 16 dot products per
+      // row against broadcast literals.
+      VectorExpressions.ensureRegistered(s)
+      val dim = 64; val bits = 16
+      val planes = NearDup.hyperplanesInt(bits, dim)
+      val q = queryVec(s, dir)
+      val qq = q.map(x => math.floor(x.toDouble * 1024 + 0.5).toLong)
+      val qp = (0 until bits).map(b =>
+        (0 until dim).map(i => qq(i) * planes(b * dim + i)).sum)
+      val emb = t(s, dir, "embeddings")
+      val qcol = transform(col("embedding"),
+        x => floor(x.cast("double") * lit(1024) + lit(0.5))
+          .cast("long"))
+      val pcols = (0 until bits).map(b =>
+        (0 until dim).map(i =>
+          element_at(col("__q"), i + 1) * lit(planes(b * dim + i)))
+          .reduce(_ + _).as(s"__p$b"))
+      val projected = emb.select(col("vec_id"), qcol.as("__q"))
+        .select(col("vec_id") +: pcols: _*)
+      val d2 = (0 until bits).map { b =>
+        val diff = col(s"__p$b") - lit(qp(b)); diff * diff
+      }.reduce(_ + _)
+      val approx = projected
+        .select(col("vec_id"), d2.as("__d2"))
+        .orderBy(col("__d2"), col("vec_id")).limit(10)
+        .select(col("vec_id").as("id_a"))
+      val exact = emb.select(col("vec_id"),
+          KnnSearch.roundHalfUpCol(
+            l2DistanceNative(col("embedding"), KnnSearch.litVec(q)), 4)
+            .as("d"))
+        .orderBy(col("d"), col("vec_id")).limit(10)
+        .select(col("vec_id").as("id_e"))
+      exact.join(approx, col("id_e") === col("id_a"), "full_outer")
+        .agg(lit(10L).as("k"),
+          sum(when(col("id_e").isNotNull && col("id_a").isNotNull, 1L)
+            .otherwise(0L)).as("n_overlap"),
+          count(lit(1)).as("n_union"))
+        .withColumn("recall_ppm", expr("n_overlap * 1000000 div k"))
     })
   )
 
@@ -9196,7 +9294,11 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
 
     // q167: both pc chains + per-row integer projections + exact
     // power-of-two-width floor binning.
-    "q167_pc_projection_map" -> pcProjectionOracleSql
+    "q167_pc_projection_map" -> pcProjectionOracleSql,
+
+    // q168: integer plane-literal projections per row + query, exact
+    // BIGINT reduced-space top-10 vs the 4-dp full-dim top-10.
+    "q168_jl_recall" -> jlRecallOracleSql
   )
 
   /** The kNN-graph replay CTE chain over the exported IVF replica

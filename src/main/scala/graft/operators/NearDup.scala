@@ -408,6 +408,21 @@ object NearDup {
     }
   }
 
+  /** The INTEGER form of [[hyperplanes]] (same LCG, components
+    * k ∈ [−1000, 1000] instead of k/1024): for uses where the plane
+    * arithmetic should stay wholly in the exact-integer regime —
+    * Achlioptas-style discrete random projections rank identically to
+    * the scaled-double form (projection is scale-invariant) with no
+    * float fold to replay. */
+  def hyperplanesInt(bits: Int, dim: Int,
+      seed: Long = 0x9E3779B97F4A7C15L): Seq[Long] = {
+    var x = seed
+    Seq.fill(bits * dim) {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      ((x >>> 33) % 2001) - 1000
+    }
+  }
+
   /** Random-hyperplane sign bucket for embeddings: the concatenated sign
     * bits of the vector's dot products with `planes` (packed row-major,
     * length = bits·dim — see [[hyperplanes]]). Vectors with high cosine

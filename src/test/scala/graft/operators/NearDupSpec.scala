@@ -355,6 +355,16 @@ class NearDupSpec extends SparkSpec {
     assert(got == want, s"flipped $got, expected lowest-margin $want")
   }
 
+  test("hyperplanesInt is exactly the double plane matrix times 1024") {
+    val d = NearDup.hyperplanes(16, 64)
+    val i = NearDup.hyperplanesInt(16, 64)
+    assert(d.length == i.length)
+    d.zip(i).foreach { case (x, k) =>
+      assert(x == k / 1024.0, s"$x vs $k")
+      assert(k >= -1000 && k <= 1000)
+    }
+  }
+
   test("multiProbeBuckets recall: probing never shrinks, usually grows, the candidate set") {
     import spark.implicits._
     val rnd = new scala.util.Random(5)
