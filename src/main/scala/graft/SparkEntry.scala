@@ -5441,6 +5441,99 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
             .otherwise(0L)).as("n_overlap"),
           count(lit(1)).as("n_union"))
         .withColumn("recall_ppm", expr("n_overlap * 1000000 div k"))
+    }),
+
+    "q169_readability" -> ((s, dir) => {
+      // Flesch-Kincaid readability per source, wholly in the exact-
+      // integer regime: whitespace words, sentence runs [.!?]+
+      // (min 1), vowel-group syllables [aeiouy]+ over the lowercased
+      // text — then ONE grade per source from the aggregate totals,
+      // grade*100 = (39*W^2 + 1180*Sy*S - 1559*S*W) floor-div (S*W)
+      // (the FK formula over a common denominator; floor via
+      // (num - pmod) div den so negative grades bin identically to
+      // DuckDB's // floor division). Readability is a standard
+      // curation quality axis q03's punctuation/stopword score does
+      // not cover. One scan, counts-sized shuffle.
+      VectorExpressions.ensureRegistered(s)
+      val per = t(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("source"),
+          tokenCount(col("text")).as("w"),
+          greatest(lit(1L),
+            size(expr("regexp_extract_all(text, '[.!?]+', 0)"))
+              .cast("long")).as("st"),
+          size(expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)"))
+            .cast("long").as("sy"))
+        .filter(col("w") > 0L)
+      per.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("w")).as("n_words"),
+          sum(col("st")).as("n_sentences"),
+          sum(col("sy")).as("n_syllables"))
+        .withColumn("__num",
+          lit(39L) * col("n_words") * col("n_words") +
+            lit(1180L) * col("n_syllables") * col("n_sentences") -
+            lit(1559L) * col("n_sentences") * col("n_words"))
+        // num - pmod(num, den) is exactly divisible, so integer div
+        // IS the floor for either sign — matching DuckDB's //
+        .withColumn("fk_grade_x100", expr(
+          "(__num - pmod(__num, n_sentences * n_words)) div " +
+            "(n_sentences * n_words)"))
+        .drop("__num")
+        .orderBy(col("source"))
+    }),
+
+    "q170_minhash_accuracy" -> ((s, dir) => {
+      // Sketch-accuracy eval for the dedup family (the q109 recall
+      // shape pointed at the MinHash estimator): over the LSH
+      // bucket-collided candidate pairs, compare the 12-hash
+      // signature estimate (matching positions / 12) against the
+      // exact shingle-set Jaccard, both as integer ppm, and report
+      // the error distribution — n_pairs, mean/max absolute error,
+      // and the count of pairs the estimate misjudges by > 0.25 (the
+      // band-threshold decision margin). Everything is integer
+      // arithmetic over the same signature/bucket machinery q43
+      // hashes.
+      VectorExpressions.ensureRegistered(s)
+      val sh = t(s, dir, "documents")
+        .select(col("doc_id"),
+          wordShinglesNative(col("text"), 3).as("sh"))
+        .filter(size(col("sh")) > 0)
+      val sig = sh.select(col("doc_id"), col("sh"),
+        minhashNative(col("sh"), 12).as("sig"))
+      val bucketCols = (0 until 4).map { b =>
+        concat(lit(s"$b:"), md5(concat_ws("|",
+          (0 until 3).map(r => element_at(col("sig"), b * 3 + r + 1))
+            : _*)))
+      }
+      val bk = sig.select(col("doc_id"), col("sh"), col("sig"),
+        explode(array(bucketCols: _*)).as("bucket"))
+      val pairs = bk.as("a").join(bk.as("b"),
+          col("a.bucket") === col("b.bucket") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+          col("a.sig").as("sa"), col("b.sig").as("sb"),
+          col("a.sh").as("ha"), col("b.sh").as("hb"))
+        .dropDuplicates("a_id", "b_id")
+      val errs = pairs
+        .withColumn("mh", expr(
+          "size(filter(zip_with(sa, sb, (x, y) -> x = y), z -> z))")
+          .cast("long"))
+        .withColumn("inter",
+          size(array_intersect(col("ha"), col("hb"))).cast("long"))
+        .withColumn("uni",
+          size(array_union(col("ha"), col("hb"))).cast("long"))
+        .withColumn("err", abs(expr("mh * 1000000 div 12") -
+          expr("inter * 1000000 div uni")))
+        .select(col("err"))
+      errs.agg(count(lit(1)).as("n_pairs"),
+          sum(col("err")).as("__se"),
+          max(col("err")).as("max_abs_err_ppm"),
+          sum(when(col("err") > 250000L, 1L).otherwise(0L))
+            .as("n_over_quarter"))
+        .select(col("n_pairs"),
+          expr("__se div n_pairs").as("mean_abs_err_ppm"),
+          col("max_abs_err_ppm"), col("n_over_quarter"))
     })
   )
 
@@ -9298,7 +9391,76 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
 
     // q168: integer plane-literal projections per row + query, exact
     // BIGINT reduced-space top-10 vs the 4-dp full-dim top-10.
-    "q168_jl_recall" -> jlRecallOracleSql
+    "q168_jl_recall" -> jlRecallOracleSql,
+
+    // q169: identical token/sentence/vowel-run counts, the same
+    // common-denominator FK formula, floor division on both engines.
+    "q169_readability" ->
+      raw"""WITH per AS (
+           SELECT source,
+             len(list_filter(string_split_regex(text, '\s+'),
+               t -> len(t) > 0))::BIGINT AS w,
+             greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+               ::BIGINT AS st,
+             len(regexp_extract_all(lower(text), '[aeiouy]+'))
+               ::BIGINT AS sy
+           FROM documents WHERE text IS NOT NULL),
+         agg AS (
+           SELECT source, count(*) AS n_docs, sum(w) AS n_words,
+             sum(st) AS n_sentences, sum(sy) AS n_syllables
+           FROM per WHERE w > 0 GROUP BY source)
+         SELECT source, n_docs::BIGINT AS n_docs,
+           n_words::BIGINT AS n_words,
+           n_sentences::BIGINT AS n_sentences,
+           n_syllables::BIGINT AS n_syllables,
+           ((39 * n_words * n_words
+             + 1180 * n_syllables * n_sentences
+             - 1559 * n_sentences * n_words)
+            // (n_sentences * n_words))::BIGINT AS fk_grade_x100
+         FROM agg ORDER BY source""",
+
+    // q170: q43's signature/bucket CTEs, per-pair position matches vs
+    // exact shingle Jaccard, both integer ppm, integer error stats.
+    "q170_minhash_accuracy" ->
+      raw"""WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(lower(text),
+             '\s+'), t -> len(t) > 0) AS ts FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(list_transform(
+             range(1, greatest(len(ts) - 2, 0) + 1),
+             i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS shingles
+           FROM toks),
+         sigs AS (
+           SELECT doc_id, shingles, list_transform(range(0, 12),
+             i -> list_aggregate(list_transform(shingles,
+               s -> md5(i || '|' || s)), 'min')) AS sig
+           FROM sh WHERE len(shingles) > 0),
+         buckets AS (
+           SELECT doc_id, unnest(list_transform(range(0, 4),
+             b -> b || ':' || md5(array_to_string(sig[b*3+1 : b*3+3],
+               '|')))) AS bucket FROM sigs),
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+           FROM buckets a JOIN buckets b
+             ON a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         errs AS (
+           SELECT
+             abs((len(list_filter(range(1, 13),
+                 i -> sa.sig[i] = sb.sig[i]))::BIGINT * 1000000 // 12)
+               - (len(list_filter(sa.shingles,
+                   x -> list_contains(sb.shingles, x)))::BIGINT
+                 * 1000000
+                 // len(list_distinct(list_concat(sa.shingles,
+                     sb.shingles)))::BIGINT)) AS err
+           FROM pairs
+           JOIN sigs sa ON a_id = sa.doc_id
+           JOIN sigs sb ON b_id = sb.doc_id)
+         SELECT count(*)::BIGINT AS n_pairs,
+           (sum(err) // count(*))::BIGINT AS mean_abs_err_ppm,
+           max(err)::BIGINT AS max_abs_err_ppm,
+           coalesce(sum(CASE WHEN err > 250000 THEN 1 ELSE 0 END), 0)
+             ::BIGINT AS n_over_quarter
+         FROM errs"""
   )
 
   /** The kNN-graph replay CTE chain over the exported IVF replica
