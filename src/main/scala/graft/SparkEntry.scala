@@ -5534,6 +5534,87 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
         .select(col("n_pairs"),
           expr("__se div n_pairs").as("mean_abs_err_ppm"),
           col("max_abs_err_ppm"), col("n_over_quarter"))
+    }),
+
+    "q171_robust_outliers_by_source" -> ((s, dir) => {
+      // q160's exact-integer median/MAD robust-outlier report GROUPED
+      // BY SOURCE — the form a mixing decision actually consumes
+      // (which source's length distribution is pathological?). The
+      // discrete percentiles run per source over the per-(source,
+      // len) count frame: windows partition by source, so every
+      // frame stays counts-sized and no corpus sort exists anywhere.
+      VectorExpressions.ensureRegistered(s)
+      val lens = t(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("source"),
+          tokenCount(col("text")).cast("long").as("len"))
+      val per = lens.groupBy(col("source"), col("len"))
+        .agg(count(lit(1)).as("c"))
+      val n1 = lens.groupBy(col("source"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("source")).orderBy(col("len"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val medDf = per.withColumn("cum", sum(col("c")).over(w))
+        .join(n1, "source")
+        .filter(col("cum") * 2L >= col("n") + 1L)
+        .groupBy(col("source")).agg(min(col("len")).as("med"))
+      val dev = per.join(medDf, "source")
+        .select(col("source"), abs(col("len") - col("med")).as("dev"),
+          col("c"))
+        .groupBy(col("source"), col("dev"))
+        .agg(sum(col("c")).as("dc"))
+      val wd = Window.partitionBy(col("source")).orderBy(col("dev"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val madDf = dev.withColumn("cumd", sum(col("dc")).over(wd))
+        .join(n1, "source")
+        .filter(col("cumd") * 2L >= col("n") + 1L)
+        .groupBy(col("source")).agg(min(col("dev")).as("mad"))
+      per.join(medDf, "source").join(madDf, "source").join(n1, "source")
+        .groupBy(col("source"))
+        .agg(first(col("n")).as("n_docs"),
+          first(col("med")).as("median_len"),
+          first(col("mad")).as("mad"),
+          sum(when(abs(col("len") - col("med")) > lit(3L) * col("mad"),
+            col("c")).otherwise(0L)).as("n_outliers"),
+          min(col("len")).as("min_len"),
+          max(col("len")).as("max_len"))
+        .orderBy(col("source"))
+    }),
+
+    "q172_rerank_diversity" -> ((s, dir) => {
+      // Intra-list diversity eval for the rerank family: the metric
+      // MMR optimizes, read off both lists — ILD = Sigma over
+      // unordered result pairs of (10^4 - cos4dp) for the plain
+      // top-5 and for q136's MMR top-5, plus the gain. Both lists
+      // come from the same corpus-scale TakeOrderedAndProject pool;
+      // the pairwise stage is 10 pairs per list. Integer end to end
+      // (the 4-dp quantized cosines), so the oracle replays the MMR
+      // greedy AND both pair sums exactly.
+      VectorExpressions.ensureRegistered(s)
+      val q = queryVec(s, dir)
+      val emb = t(s, dir, "embeddings")
+      val relInt = floor(cosineSimilarityNative(col("embedding"),
+        KnnSearch.litVec(q)) * lit(1e4) + lit(0.5)).cast("long")
+      val plain = emb
+        .select(col("vec_id"), col("embedding"), relInt.as("rel"))
+        .orderBy(col("rel").desc, col("vec_id")).limit(5)
+        .select(col("vec_id"), col("embedding"))
+      val mmrIds = Rerank.mmr(emb, "embedding", "vec_id", q, k = 5,
+          candidates = 20, lambdaTenths = 7, rankRoundDp = 4)
+        .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
+      val msel = emb.filter(col("vec_id").isin(mmrIds: _*))
+        .select(col("vec_id"), col("embedding"))
+      def ild(five: DataFrame): DataFrame = five.as("a")
+        .join(five.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .select((lit(10000L) -
+          floor(cosineSimilarityNative(col("a.embedding"),
+            col("b.embedding")) * lit(1e4) + lit(0.5)).cast("long"))
+          .as("d"))
+        .agg(count(lit(1)).as("n_pairs"), sum(col("d")).as("ild"))
+      ild(plain).select(col("n_pairs"), col("ild").as("ild_plain_sum"))
+        .crossJoin(ild(msel).select(col("ild").as("ild_mmr_sum")))
+        .withColumn("diversity_gain",
+          col("ild_mmr_sum") - col("ild_plain_sum"))
     })
   )
 
@@ -9460,7 +9541,54 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
            max(err)::BIGINT AS max_abs_err_ppm,
            coalesce(sum(CASE WHEN err > 250000 THEN 1 ELSE 0 END), 0)
              ::BIGINT AS n_over_quarter
-         FROM errs"""
+         FROM errs""",
+
+    // q171: q160's discrete-percentile arithmetic with every window
+    // and group keyed by source.
+    "q171_robust_outliers_by_source" ->
+      raw"""WITH l AS (
+           SELECT source,
+             len(list_filter(string_split_regex(text, '\s+'),
+               t -> len(t) > 0))::BIGINT AS len
+           FROM documents WHERE text IS NOT NULL),
+         per AS (SELECT source, len, count(*) AS c FROM l
+                 GROUP BY source, len),
+         nn AS (SELECT source, count(*) AS n FROM l GROUP BY source),
+         medt AS (
+           SELECT source, min(len) AS med FROM (
+             SELECT per.source, len, nn.n,
+               sum(c) OVER (PARTITION BY per.source ORDER BY len
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS cum
+             FROM per JOIN nn ON nn.source = per.source)
+           WHERE cum * 2 >= n + 1 GROUP BY source),
+         dev AS (
+           SELECT per.source, abs(len - med) AS dev, sum(c) AS dc
+           FROM per JOIN medt ON medt.source = per.source
+           GROUP BY per.source, abs(len - med)),
+         madt AS (
+           SELECT source, min(dev) AS mad FROM (
+             SELECT dev.source, dev.dev, nn.n,
+               sum(dc) OVER (PARTITION BY dev.source ORDER BY dev.dev
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS cumd
+             FROM dev JOIN nn ON nn.source = dev.source)
+           WHERE cumd * 2 >= n + 1 GROUP BY source)
+         SELECT per.source, nn.n::BIGINT AS n_docs,
+           med::BIGINT AS median_len, mad::BIGINT AS mad,
+           sum(CASE WHEN abs(len - med) > 3 * mad THEN c ELSE 0 END)
+             ::BIGINT AS n_outliers,
+           min(len) AS min_len, max(len) AS max_len
+         FROM per
+         JOIN nn ON nn.source = per.source
+         JOIN medt ON medt.source = per.source
+         JOIN madt ON madt.source = per.source
+         GROUP BY per.source, nn.n, med, mad
+         ORDER BY per.source""",
+
+    // q172: the shared MMR chain + ILD pair sums over the same sim
+    // frame for both lists.
+    "q172_rerank_diversity" -> rerankDiversityOracleSql
   )
 
   /** The kNN-graph replay CTE chain over the exported IVF replica
@@ -9711,7 +9839,9 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
     * `7·rel − 3·max(sim to the selected set)` in integers, ties on
     * vec_id. Step 1's diversity term is 0 by the operator's
     * convention. */
-  private lazy val mmrOracleSql: String = {
+  /** The q136 greedy-MMR CTE chain (candidate pool, pairwise sims,
+    * one CTE per greedy step) shared with q172's diversity eval. */
+  private lazy val mmrCtesSql: String = {
     val k = 5
     def selUnion(t: Int): String =
       (1 until t).map(j => s"SELECT vec_id FROM s$j")
@@ -9726,11 +9856,7 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
          GROUP BY c.vec_id, c.rel
          ORDER BY mmr DESC, c.vec_id LIMIT 1)"""
     }.mkString(",\n         ")
-    val out = (1 to k).map(t =>
-      s"SELECT $t::BIGINT AS rank, vec_id, rel, ms AS max_sim, " +
-        s"mmr AS mmr_score FROM s$t")
-      .mkString("\n         UNION ALL ")
-    raw"""WITH q AS (
+    raw"""q AS (
            SELECT embedding::DOUBLE[] AS qv FROM embeddings
            WHERE vec_id = 0),
          cand AS (
@@ -9748,8 +9874,45 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
          s1 AS (
            SELECT vec_id, rel, 0::BIGINT AS ms, 7 * rel AS mmr
            FROM cand ORDER BY rel DESC, vec_id LIMIT 1),
-         $steps
+         $steps"""
+  }
+
+  private lazy val mmrOracleSql: String = {
+    val out = (1 to 5).map(t =>
+      s"SELECT $t::BIGINT AS rank, vec_id, rel, ms AS max_sim, " +
+        s"mmr AS mmr_score FROM s$t")
+      .mkString("\n         UNION ALL ")
+    raw"""WITH $mmrCtesSql
          $out
          ORDER BY rank"""
+  }
+
+  /** q172's oracle: the shared MMR chain, then the ILD pair sums of
+    * the plain top-5 and the selected set over the SAME `sim` frame
+    * (both sets are subsets of the candidate pool). */
+  private lazy val rerankDiversityOracleSql: String = {
+    val msel = (1 to 5).map(t => s"SELECT vec_id FROM s$t")
+      .mkString(" UNION ALL ")
+    raw"""WITH $mmrCtesSql,
+         plain5 AS (
+           SELECT vec_id FROM cand ORDER BY rel DESC, vec_id LIMIT 5),
+         mset AS ($msel),
+         ip AS (
+           SELECT count(*) AS n_pairs, sum(10000 - sim.s) AS ild
+           FROM sim
+           WHERE sim.ia IN (SELECT vec_id FROM plain5)
+             AND sim.ib IN (SELECT vec_id FROM plain5)
+             AND sim.ia < sim.ib),
+         im AS (
+           SELECT sum(10000 - sim.s) AS ild
+           FROM sim
+           WHERE sim.ia IN (SELECT vec_id FROM mset)
+             AND sim.ib IN (SELECT vec_id FROM mset)
+             AND sim.ia < sim.ib)
+         SELECT ip.n_pairs::BIGINT AS n_pairs,
+           ip.ild::BIGINT AS ild_plain_sum,
+           im.ild::BIGINT AS ild_mmr_sum,
+           (im.ild - ip.ild)::BIGINT AS diversity_gain
+         FROM ip, im"""
   }
 }
