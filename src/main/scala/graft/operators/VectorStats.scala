@@ -50,6 +50,29 @@ object VectorStats {
     * Σqᵢqⱼ upper triangle, (i≥0, j=−1) = Σqᵢ, (−1, −1) = row
     * count. */
   private[operators] def moments(df: DataFrame,
+      vecCol: String): DataFrame =
+    validateOneDim(momentPartials(df, vecCol)
+      .groupBy(col("i"), col("j")).agg(sum(col("s")).as("s")))
+
+  /** STREAMING face of [[moments]]: the identical per-partition fold,
+    * with the running cells as a streaming aggregation (the
+    * max/sum-merge state update — use update or complete output
+    * mode). The cross-partition dim tripwire is a window and cannot
+    * run on a stream, so marker cells are dropped before the
+    * aggregation; mixed dims WITHIN a micro-batch partition still
+    * fail loudly in the fold, and the snapshot-equality spec pins the
+    * merged cells against the batch path. Because the cells are exact
+    * integer sums, the streaming state is the artifact — the same
+    * group-merge argument as [[momentsMaintained]]. */
+  def momentsStream(df: DataFrame, vecCol: String): DataFrame =
+    momentPartials(df, vecCol)
+      .filter(col("i") =!= -2)
+      .groupBy(col("i"), col("j")).agg(sum(col("s")).as("s"))
+
+  /** the shared mapPartitions fold: already-keyed `(i, j, s)` partial
+    * cells per partition, plus a `(-2, dim, 1)` marker cell per
+    * partition for the batch path's cross-partition dim tripwire. */
+  private def momentPartials(df: DataFrame,
       vecCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -104,8 +127,7 @@ object VectorStats {
         out.result()
       }
     }
-    validateOneDim(partials.toDF("i", "j", "s")
-      .groupBy(col("i"), col("j")).agg(sum(col("s")).as("s")))
+    partials.toDF("i", "j", "s")
   }
 
   /** Cross-partition dim tripwire shared by both moment spellings

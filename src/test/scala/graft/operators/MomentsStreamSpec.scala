@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.SparkSpec
+
+/** Streaming face of the moments artifact: the running cell
+  * aggregation over a MemoryStream must snapshot to exactly the batch
+  * cells — the exact-integer group-merge argument, observed through
+  * Structured Streaming's state store instead of momentsMaintained's
+  * explicit add/subtract. */
+class MomentsStreamSpec extends SparkSpec {
+
+  private def vec(i: Long, salt: Int): Seq[Float] =
+    (0 until 6).map(j => ((i * 31 + j * 7 + salt * 13) % 97) / 97f)
+
+  test("momentsStream snapshot equals batch moments after two micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val b1 = (0L until 80L).map(i => vec(i, 0))
+    val b2 = (80L until 130L).map(i => vec(i, 1))
+    val input = MemoryStream[Seq[Float]]
+    val query = VectorStats.momentsStream(
+        input.toDF().withColumnRenamed("value", "embedding"),
+        "embedding")
+      .writeStream.format("memory").queryName("moment_cells")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      input.addData(b1: _*)
+      query.processAllAvailable()
+      input.addData(b2: _*)
+      query.processAllAvailable()
+      val streamed = spark.table("moment_cells")
+        .orderBy("i", "j").collect().map(_.toSeq).toSeq
+      val batch = VectorStats.moments(
+          (b1 ++ b2).toDF("embedding"), "embedding")
+        .orderBy("i", "j").collect().map(_.toSeq).toSeq
+      assert(streamed == batch,
+        s"streamed cells diverged from batch (${streamed.size} vs " +
+          s"${batch.size} rows)")
+    } finally query.stop()
+  }
+}
