@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Cross-dimension statistics of an embedding column — the QA pass
@@ -210,11 +210,22 @@ object VectorStats {
     * for moment-based PCA (the same cells serve q138's covariance
     * report). Output: (dim_i, pc1) with pc1 ∈ [−scale, scale]. */
   def powerIterationPc(df: DataFrame, vecCol: String, dim: Int,
+      iters: Int = 5, scale: Long = 1024L): DataFrame =
+    powerIterationPcFromCells(df.sparkSession, moments(df, vecCol),
+      dim, iters, scale)
+
+  /** [[powerIterationPc]] from an already-materialized cell frame —
+    * the consumer face of the maintained-artifact lifecycle: a cell
+    * frame kept fresh by [[momentsMaintained]] (or snapshotted from
+    * [[momentsStream]]'s state) yields bit-identical directions to a
+    * fresh corpus recompute (spec), so the PCA never rescans the
+    * corpus under CDC. */
+  def powerIterationPcFromCells(spark: SparkSession,
+      cellsDf: DataFrame, dim: Int,
       iters: Int = 5, scale: Long = 1024L): DataFrame = {
     require(dim >= 1 && iters >= 1 && scale >= 1,
       s"need dim/iters/scale >= 1, got ($dim, $iters, $scale)")
-    val spark = df.sparkSession
-    val cells = moments(df, vecCol).collect()
+    val cells = cellsDf.select(col("i"), col("j"), col("s")).collect()
       .map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
     def cell(i: Int, j: Int): BigInt = BigInt(cells.getOrElse((i, j),
       throw new IllegalArgumentException(

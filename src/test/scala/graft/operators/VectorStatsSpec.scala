@@ -221,6 +221,28 @@ class VectorStatsSpec extends SparkSpec {
       (1L, 0L, 1L)), s"got $got")
   }
 
+  test("principal directions from MAINTAINED cells equal a fresh corpus recompute") {
+    import spark.implicits._
+    def vec(i: Long, salt: Int): Seq[Float] =
+      (0 until 6).map(j => ((i * 37 + j * 11 + salt * 17) % 89) / 89f)
+    val snapA = (0L until 150L).map(i => vec(i, 0))
+    val removed = (0L until 150L).filter(_ % 7 == 0).map(i => vec(i, 0))
+    val added = (150L until 190L).map(i => vec(i, 1))
+    val snapB = (0L until 150L).filterNot(_ % 7 == 0).map(i =>
+      vec(i, 0)) ++ added
+    val maintainedCells = VectorStats.momentsMaintained(
+      VectorStats.moments(snapA.toDF("embedding"), "embedding"),
+      added.toDF("embedding"), removed.toDF("embedding"), "embedding")
+    val fromMaintained = VectorStats.powerIterationPcFromCells(spark,
+        maintainedCells, dim = 6, iters = 5)
+      .orderBy("dim_i").collect().map(_.toSeq).toSeq
+    val fresh = VectorStats.powerIterationPc(snapB.toDF("embedding"),
+        "embedding", dim = 6, iters = 5)
+      .orderBy("dim_i").collect().map(_.toSeq).toSeq
+    assert(fromMaintained == fresh,
+      "PCA from maintained cells diverged from the fresh corpus")
+  }
+
   test("momentsMaintained after append+delete is bit-identical to a fresh recompute") {
     import spark.implicits._
     def vec(i: Long, salt: Int): Seq[Float] =
