@@ -5615,6 +5615,60 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
         .crossJoin(ild(msel).select(col("ild").as("ild_mmr_sum")))
         .withColumn("diversity_gain",
           col("ild_mmr_sum") - col("ild_plain_sum"))
+    }),
+
+    "q173_variance_dims_recall" -> ((s, dir) => {
+      // The third cell of the dimension-reduction matrix (q142 = MRL
+      // prefix, q168 = JL random projection, here = supervised-free
+      // FEATURE SELECTION): keep the 16 highest-variance dimensions
+      // — per-dim scaled variance n*ss - s^2 is exact integer
+      // arithmetic straight off the q138 moment cells, ties on dim —
+      // and score reduced-space exact top-10 recall against the
+      // full-dim top-10 in ppm. The selection is driver arithmetic on
+      // the cells; the reduced leg is one narrow scan over only the
+      // chosen dims.
+      VectorExpressions.ensureRegistered(s)
+      val dim = 64; val keep = 16
+      val q = queryVec(s, dir)
+      val emb = t(s, dir, "embeddings")
+      val qq = q.map(x => math.floor(x.toDouble * 1024 + 0.5).toLong)
+      // per-dim integer moments for the selection: one aggregation
+      val qcol = transform(col("embedding"),
+        x => floor(x.cast("double") * lit(1024) + lit(0.5))
+          .cast("long"))
+      val perDim = emb.filter(col("embedding").isNotNull)
+        .select(qcol.as("__q"))
+        .select(explode(expr(
+          "transform(__q, (x, i) -> struct(i AS i, x AS s, x * x AS ss))"))
+          .as("c"))
+        .groupBy(col("c.i").as("i"))
+        .agg(count(lit(1)).as("n"), sum(col("c.s")).as("s"),
+          sum(col("c.ss")).as("ss"))
+        .collect().map(r => (r.getInt(0),
+          r.getLong(1) * r.getLong(3) - r.getLong(2) * r.getLong(2)))
+      val dims = perDim.sortBy { case (i, v) => (-v, i) }.take(keep)
+        .map(_._1).sorted.toSeq
+      // reduced-space exact integer L2^2 over the selected dims
+      val d2 = dims.map { i =>
+        val diff = element_at(col("__q"), i + 1) - lit(qq(i))
+        diff * diff
+      }.reduce(_ + _)
+      val approx = emb.select(col("vec_id"), qcol.as("__q"))
+        .select(col("vec_id"), d2.as("__d2"))
+        .orderBy(col("__d2"), col("vec_id")).limit(10)
+        .select(col("vec_id").as("id_a"))
+      val exact = emb.select(col("vec_id"),
+          KnnSearch.roundHalfUpCol(
+            l2DistanceNative(col("embedding"), KnnSearch.litVec(q)), 4)
+            .as("d"))
+        .orderBy(col("d"), col("vec_id")).limit(10)
+        .select(col("vec_id").as("id_e"))
+      exact.join(approx, col("id_e") === col("id_a"), "full_outer")
+        .agg(lit(10L).as("k"),
+          sum(when(col("id_e").isNotNull && col("id_a").isNotNull, 1L)
+            .otherwise(0L)).as("n_overlap"),
+          count(lit(1)).as("n_union"))
+        .withColumn("recall_ppm", expr("n_overlap * 1000000 div k"))
     })
   )
 
@@ -9588,7 +9642,49 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
 
     // q172: the shared MMR chain + ILD pair sums over the same sim
     // frame for both lists.
-    "q172_rerank_diversity" -> rerankDiversityOracleSql
+    "q172_rerank_diversity" -> rerankDiversityOracleSql,
+
+    // q173: per-dim integer scaled variances off the quantized
+    // vectors, top-16 selection with dim ties, exact reduced-space
+    // integer L2^2 top-10 vs the 4-dp full-dim top-10.
+    "q173_variance_dims_recall" ->
+      raw"""WITH vq AS MATERIALIZED (
+           SELECT vec_id, list_transform(embedding, e ->
+             CAST(floor(e::DOUBLE * 1024 + 0.5::DOUBLE) AS BIGINT))
+             AS q
+           FROM embeddings WHERE embedding IS NOT NULL),
+         per AS (
+           SELECT i, count(*) AS n, sum(q[i + 1]) AS s,
+             sum(q[i + 1] * q[i + 1]) AS ss
+           FROM vq, range(64) t(i) GROUP BY i),
+         sel AS MATERIALIZED (
+           SELECT i FROM per
+           ORDER BY (n * ss - s * s) DESC, i LIMIT 16),
+         qq AS MATERIALIZED (SELECT q FROM vq WHERE vec_id = 0),
+         ap AS (
+           SELECT vec_id AS id_a FROM (
+             SELECT vq.vec_id,
+               sum((vq.q[sel.i + 1] - (SELECT q FROM qq)[sel.i + 1])
+                 * (vq.q[sel.i + 1] - (SELECT q FROM qq)[sel.i + 1]))
+                 AS d2
+             FROM vq, sel
+             GROUP BY vq.vec_id)
+           ORDER BY d2, vec_id LIMIT 10),
+         ex AS (
+           SELECT vec_id AS id_e FROM (
+             SELECT vec_id,
+               floor(list_distance(embedding::DOUBLE[],
+                 (SELECT embedding FROM embeddings WHERE vec_id = 0)
+                   ::DOUBLE[]) * 1e4 + 0.5::DOUBLE) / 1e4 AS d
+             FROM embeddings)
+           ORDER BY d, vec_id LIMIT 10)
+         SELECT 10::BIGINT AS k,
+           sum(CASE WHEN id_e IS NOT NULL AND id_a IS NOT NULL
+             THEN 1 ELSE 0 END)::BIGINT AS n_overlap,
+           count(*)::BIGINT AS n_union,
+           (sum(CASE WHEN id_e IS NOT NULL AND id_a IS NOT NULL
+             THEN 1 ELSE 0 END) * 1000000 // 10)::BIGINT AS recall_ppm
+         FROM ex FULL OUTER JOIN ap ON id_e = id_a"""
   )
 
   /** The kNN-graph replay CTE chain over the exported IVF replica
