@@ -5506,15 +5506,22 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
           (0 until 3).map(r => element_at(col("sig"), b * 3 + r + 1))
             : _*)))
       }
-      val bk = sig.select(col("doc_id"), col("sh"), col("sig"),
+      // dedupe candidate pairs on BARE IDS, then hydrate the array
+      // payloads: routing the shingle/signature arrays through the
+      // distinct shuffle would move corpus-scale array data where two
+      // id-keyed joins move it once
+      val bk = sig.select(col("doc_id"),
         explode(array(bucketCols: _*)).as("bucket"))
-      val pairs = bk.as("a").join(bk.as("b"),
+      val pairIds = bk.as("a").join(bk.as("b"),
           col("a.bucket") === col("b.bucket") &&
             col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-          col("a.sig").as("sa"), col("b.sig").as("sb"),
-          col("a.sh").as("ha"), col("b.sh").as("hb"))
-        .dropDuplicates("a_id", "b_id")
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .distinct()
+      val pairs = pairIds
+        .join(sig.select(col("doc_id").as("a_id"),
+          col("sig").as("sa"), col("sh").as("ha")), "a_id")
+        .join(sig.select(col("doc_id").as("b_id"),
+          col("sig").as("sb"), col("sh").as("hb")), "b_id")
       val errs = pairs
         .withColumn("mh", expr(
           "size(filter(zip_with(sa, sb, (x, y) -> x = y), z -> z))")
