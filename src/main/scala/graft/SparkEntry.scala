@@ -5676,6 +5676,26 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
             .otherwise(0L)).as("n_overlap"),
           count(lit(1)).as("n_union"))
         .withColumn("recall_ppm", expr("n_overlap * 1000000 div k"))
+    }),
+
+    "q174_mmr_batch" -> ((s, dir) => {
+      // Batch face of the MMR rerank (q136): all three queries'
+      // candidate pools come from ONE shared corpus scan — a
+      // RawScorer returning the negated rounded relevance makes the
+      // per-query bounded heaps rank on exactly the single path's
+      // (rel DESC, id) key — and each query's greedy trace replays
+      // bit-equal to its single-query q136 (spec). The oracle is the
+      // unrolled greedy chain replicated per query id.
+      VectorExpressions.ensureRegistered(s)
+      val queries = t(s, dir, "embeddings")
+        .filter(col("vec_id").isin(0, 1, 2))
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1)))
+        .sortBy(_._1).toSeq
+      Rerank.mmrBatch(t(s, dir, "embeddings"), "embedding", "vec_id",
+          queries, k = 5, candidates = 20, lambdaTenths = 7,
+          rankRoundDp = 4)
+        .orderBy(col("query_id"), col("rank"))
     })
   )
 
@@ -9691,7 +9711,10 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
            count(*)::BIGINT AS n_union,
            (sum(CASE WHEN id_e IS NOT NULL AND id_a IS NOT NULL
              THEN 1 ELSE 0 END) * 1000000 // 10)::BIGINT AS recall_ppm
-         FROM ex FULL OUTER JOIN ap ON id_e = id_a"""
+         FROM ex FULL OUTER JOIN ap ON id_e = id_a""",
+
+    // q174: the unrolled MMR greedy chain per query id, UNION ALL'd.
+    "q174_mmr_batch" -> mmrBatchOracleSql
   )
 
   /** The kNN-graph replay CTE chain over the exported IVF replica
@@ -9943,41 +9966,59 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
     * vec_id. Step 1's diversity term is 0 by the operator's
     * convention. */
   /** The q136 greedy-MMR CTE chain (candidate pool, pairwise sims,
-    * one CTE per greedy step) shared with q172's diversity eval. */
-  private lazy val mmrCtesSql: String = {
+    * one CTE per greedy step), shared with q172's diversity eval and
+    * — suffixed per query — with q174's batch face. */
+  private def mmrCtesFor(qid: Int, x: String): String = {
     val k = 5
     def selUnion(t: Int): String =
-      (1 until t).map(j => s"SELECT vec_id FROM s$j")
+      (1 until t).map(j => s"SELECT vec_id FROM s$j$x")
         .mkString(" UNION ALL ")
     val steps = (2 to k).map { t =>
-      s"""s$t AS (
-         SELECT c.vec_id, c.rel, max(sim.s) AS ms,
-           7 * c.rel - 3 * max(sim.s) AS mmr
-         FROM cand c JOIN sim ON sim.ia = c.vec_id
-           AND sim.ib IN (${selUnion(t)})
+      s"""s$t$x AS (
+         SELECT c.vec_id, c.rel, max(sim$x.s) AS ms,
+           7 * c.rel - 3 * max(sim$x.s) AS mmr
+         FROM cand$x c JOIN sim$x ON sim$x.ia = c.vec_id
+           AND sim$x.ib IN (${selUnion(t)})
          WHERE c.vec_id NOT IN (${selUnion(t)})
          GROUP BY c.vec_id, c.rel
          ORDER BY mmr DESC, c.vec_id LIMIT 1)"""
     }.mkString(",\n         ")
-    raw"""q AS (
+    raw"""q$x AS (
            SELECT embedding::DOUBLE[] AS qv FROM embeddings
-           WHERE vec_id = 0),
-         cand AS (
+           WHERE vec_id = $qid),
+         cand$x AS (
            SELECT vec_id, embedding,
              CAST(floor(list_cosine_similarity(embedding::DOUBLE[],
-               (SELECT qv FROM q)) * 1e4 + 0.5::DOUBLE) AS BIGINT)
+               (SELECT qv FROM q$x)) * 1e4 + 0.5::DOUBLE) AS BIGINT)
                AS rel
            FROM embeddings ORDER BY rel DESC, vec_id LIMIT 20),
-         sim AS (
+         sim$x AS (
            SELECT a.vec_id AS ia, b.vec_id AS ib,
              CAST(floor(list_cosine_similarity(a.embedding::DOUBLE[],
                b.embedding::DOUBLE[]) * 1e4 + 0.5::DOUBLE) AS BIGINT)
                AS s
-           FROM cand a JOIN cand b ON a.vec_id != b.vec_id),
-         s1 AS (
+           FROM cand$x a JOIN cand$x b ON a.vec_id != b.vec_id),
+         s1$x AS (
            SELECT vec_id, rel, 0::BIGINT AS ms, 7 * rel AS mmr
-           FROM cand ORDER BY rel DESC, vec_id LIMIT 1),
+           FROM cand$x ORDER BY rel DESC, vec_id LIMIT 1),
          $steps"""
+  }
+
+  private lazy val mmrCtesSql: String = mmrCtesFor(0, "")
+
+  /** q174's oracle: the q136 chain replicated per query id,
+    * query_id-tagged and UNION ALL'd. */
+  private lazy val mmrBatchOracleSql: String = {
+    val qids = Seq(0, 1, 2)
+    val chains = qids.map(q => mmrCtesFor(q, s"_$q"))
+      .mkString(",\n         ")
+    val out = qids.flatMap(q => (1 to 5).map(t =>
+      s"SELECT $q::BIGINT AS query_id, $t::BIGINT AS rank, vec_id, " +
+        s"rel, ms AS max_sim, mmr AS mmr_score FROM s${t}_$q"))
+      .mkString("\n         UNION ALL ")
+    raw"""WITH $chains
+         $out
+         ORDER BY query_id, rank"""
   }
 
   private lazy val mmrOracleSql: String = {

@@ -119,20 +119,33 @@ object Rerank {
       .limit(candidates)
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getLong(2)))
-    // pairwise sims in the IDENTICAL interleaved fold as the native
-    // cosine expression (and the batch heap closures), quantized the
-    // same way — a SQL replay over the same vectors floors to the
-    // same integers
-    def simInt(a: Array[Float], b: Array[Float]): Long = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < a.length) {
-        val xa = a(i).toDouble; val xb = b(i).toDouble
-        dot += xa * xb; na += xa * xa; nb += xb * xb; i += 1
-      }
-      val cos = if (na == 0.0 || nb == 0.0) 0.0
-        else dot / (math.sqrt(na) * math.sqrt(nb))
-      math.floor(cos * scale + 0.5).toLong
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    mmrGreedy(cand, k, lambdaTenths, scale)
+      .toDF("rank", "vec_id", "rel", "max_sim", "mmr_score")
+  }
+
+  /** pairwise sims in the IDENTICAL interleaved fold as the native
+    * cosine expression (and the batch heap closures), quantized the
+    * same way — a SQL replay over the same vectors floors to the
+    * same integers */
+  private def simInt(a: Array[Float], b: Array[Float],
+      scale: Double): Long = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      val xa = a(i).toDouble; val xb = b(i).toDouble
+      dot += xa * xb; na += xa * xa; nb += xb * xb; i += 1
     }
+    val cos = if (na == 0.0 || nb == 0.0) 0.0
+      else dot / (math.sqrt(na) * math.sqrt(nb))
+    math.floor(cos * scale + 0.5).toLong
+  }
+
+  /** the greedy MMR trace over a collected candidate pool — shared by
+    * [[mmr]] and [[mmrBatch]] so both faces pick identically. */
+  private def mmrGreedy(cand: Array[(Long, Array[Float], Long)],
+      k: Int, lambdaTenths: Int, scale: Double)
+      : Seq[(Long, Long, Long, Long, Long)] = {
     val n = cand.length
     val maxSim = Array.fill(n)(Long.MinValue)
     val picked = Array.fill(n)(false)
@@ -157,14 +170,61 @@ object Rerank {
       picked(best) = true
       (0 until n).foreach { i =>
         if (!picked(i)) {
-          val s = simInt(cand(i)._2, cand(best)._2)
+          val s = simInt(cand(i)._2, cand(best)._2, scale)
           if (s > maxSim(i)) maxSim(i) = s
         }
       }
       t += 1
     }
+    out.result()
+  }
+
+  /** Batch face of [[mmr]] — the whole query set's candidate pools
+    * come from ONE shared corpus scan: a [[KnnSearch.RawScorer]]
+    * returning `−relInt` makes the per-query bounded heaps rank on
+    * exactly the single path's (rounded rel DESC, id) key (the
+    * negated rounded integer is exact in a double), so each query's
+    * pool — and therefore its whole greedy trace — is bit-equal to
+    * its single-query [[mmr]] (spec-asserted). The greedy loops stay
+    * O(candidates·k) driver arithmetic per query over the collected
+    * pools. Output adds `query_id`. */
+  def mmrBatch(corpus: DataFrame, vecCol: String, idCol: String,
+      queries: Seq[(Long, Seq[Float])], k: Int, candidates: Int,
+      lambdaTenths: Int = 7, rankRoundDp: Int = 4): DataFrame = {
+    require(queries.nonEmpty, "mmrBatch needs at least one query")
+    require(queries.map(_._1).distinct.length == queries.length,
+      "mmrBatch: duplicate query ids")
+    require(k >= 1 && candidates >= k,
+      s"need candidates ($candidates) >= k ($k) >= 1")
+    require(lambdaTenths >= 0 && lambdaTenths <= 10,
+      s"lambdaTenths must be in [0, 10], got $lambdaTenths")
     val spark = corpus.sparkSession
+    graft.plans.VectorExpressions.ensureRegistered(spark)
+    val scale = math.pow(10, rankRoundDp)
+    val qSet: Array[(Any, Array[Float])] =
+      queries.map { case (qid, qv) => (qid: Any, qv.toArray) }.toArray
+    val scorer = KnnSearch.RawScorer { (row, vecIdx, qi, _) =>
+      -simInt(row.getSeq[Float](vecIdx).toArray, qSet(qi)._2, scale)
+        .toDouble
+    }
+    val pools = KnnSearch.topKBatchCollected(
+        corpus.select(col(idCol), col(vecCol)),
+        vecCol, qSet,
+        org.apache.spark.sql.types.LongType, candidates,
+        tieBreak = idCol, distCol = "__negrel",
+        rawScorer = Some(scorer))
+      .collect()
+      .map(r => (r.getLong(3), // query_id
+        (r.getLong(0), r.getSeq[Float](1).toArray,
+          -r.getDouble(2).toLong)))
+      .groupBy(_._1)
     import spark.implicits._
-    out.result().toDF("rank", "vec_id", "rel", "max_sim", "mmr_score")
+    queries.flatMap { case (qid, _) =>
+      val cand = pools.getOrElse(qid, Array.empty).map(_._2)
+        .sortBy(c => (-c._3, c._1))
+      mmrGreedy(cand, k, lambdaTenths, scale)
+        .map(o => (qid, o._1, o._2, o._3, o._4, o._5))
+    }.toDF("query_id", "rank", "vec_id", "rel", "max_sim",
+      "mmr_score")
   }
 }

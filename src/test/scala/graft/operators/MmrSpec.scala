@@ -110,6 +110,32 @@ class MmrSpec extends SparkSpec {
     }
   }
 
+  test("mmrBatch is bit-equal per query to the single-query mmr") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.orderBy("vec_id").limit(3)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val batch = Rerank.mmrBatch(emb, "embedding", "vec_id", queries,
+        k = 5, candidates = 20)
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))))
+      .groupBy(_._1).map { case (q, rs) =>
+        q -> rs.map(_._2).sortBy(_._1).toSeq }
+    queries.foreach { case (qid, qv) =>
+      val single = Rerank.mmr(emb, "embedding", "vec_id", qv,
+          k = 5, candidates = 20)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).sortBy(_._1).toSeq
+      assert(batch(qid) == single, s"query $qid diverged")
+    }
+    intercept[IllegalArgumentException] {
+      Rerank.mmrBatch(emb, "embedding", "vec_id",
+        Seq((1L, Seq(1f)), (1L, Seq(2f))), 1, 1)
+    }
+  }
+
   test("the greedy trace is deterministic under repartitioning") {
     val a = Rerank.mmr(corpus.repartition(7), "embedding", "vec_id", q,
       k = 3, candidates = 5).collect().toSeq
