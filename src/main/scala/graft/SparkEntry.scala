@@ -5696,6 +5696,56 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
           queries, k = 5, candidates = 20, lambdaTenths = 7,
           rankRoundDp = 4)
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "q175_counting_bloom" -> ((s, dir) => {
+      // COUNTING bloom decontamination with a RETIRED test batch —
+      // the deletable form of q134 (a bit filter cannot un-insert a
+      // deprecated benchmark; counters can, because counter frames
+      // are a group under addition like the moment cells): build over
+      // the v1 test suite's per-doc gram multisets (doc_id % 7 == 0),
+      // SUBTRACT the deprecated half's own build (doc_id % 14 == 0 —
+      // a sub-multiset by construction), and scan the remaining docs
+      // for leakage against the maintained filter. The report pins
+      // the lifecycle INSIDE the hash: maintained cells vs a fresh
+      // rebuild over the remaining multiset (n_cell_mismatch = 0),
+      // plus flagged/exact/false-positive doc counts — no false
+      // negatives for the remaining set by construction.
+      VectorExpressions.ensureRegistered(s)
+      val sh = t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(wordShinglesNative(col("text"), 8)).as("g"))
+      val aG = sh.filter(col("doc_id") % 7 === 0).select(col("g"))
+      val bG = sh.filter(col("doc_id") % 14 === 0).select(col("g"))
+      val remDocs = col("doc_id") % 7 === 0 && col("doc_id") % 14 =!= 0
+      val maintained = Sketches.countingBloomSubtract(
+        Sketches.countingBloomBuild(aG, col("g"), BloomMBits, BloomK),
+        Sketches.countingBloomBuild(bG, col("g"), BloomMBits, BloomK))
+      val fresh = Sketches.countingBloomBuild(
+        sh.filter(remDocs).select(col("g")), col("g"),
+        BloomMBits, BloomK)
+      val mism = maintained.select(col("p"), col("c").as("cm"))
+        .join(fresh.select(col("p"), col("c").as("cf")),
+          Seq("p"), "full_outer")
+        .agg(count(lit(1)).as("n_cells"),
+          sum(when(col("cm").isNull || col("cf").isNull ||
+            col("cm") =!= col("cf"), 1L).otherwise(0L))
+            .as("n_cell_mismatch"))
+      val remG = sh.filter(remDocs).select(col("g")).distinct()
+      val train = sh.filter(col("doc_id") % 7 =!= 0)
+      val perDoc = Sketches.withCountingBloomHit(train, col("g"),
+          maintained, BloomMBits, BloomK, "hit")
+        .join(broadcast(remG.withColumn("__ex", lit(1))),
+          Seq("g"), "left")
+        .groupBy(col("doc_id"))
+        .agg(max(col("hit").cast("long")).as("b"),
+          max(col("__ex").isNotNull.cast("long")).as("e"))
+      perDoc.agg(count(lit(1)).as("n_train_docs"),
+          sum(col("b")).as("n_flagged"),
+          sum(col("e")).as("n_exact"),
+          sum(when(col("b") === 1L && col("e") === 0L, 1L)
+            .otherwise(0L)).as("n_fp_docs"))
+        .crossJoin(broadcast(mism))
     })
   )
 
@@ -9714,7 +9764,76 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
          FROM ex FULL OUTER JOIN ap ON id_e = id_a""",
 
     // q174: the unrolled MMR greedy chain per query id, UNION ALL'd.
-    "q174_mmr_batch" -> mmrBatchOracleSql
+    "q174_mmr_batch" -> mmrBatchOracleSql,
+
+    // q175: integer probe counts for the v1/deprecated multisets,
+    // maintained = a − b cells vs a fresh rebuild (mismatch counted
+    // inside the hash), then the 3-probe presence scan.
+    "q175_counting_bloom" ->
+      raw"""WITH s AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+               t -> len(t) > 0) AS ts
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(ts) - 7, 0) + 1),
+               i -> array_to_string(ts[i : i + 7], ' ')))) AS g
+           FROM s),
+         ca AS (
+           SELECT p, count(*) AS c FROM (
+             SELECT unnest(${bloomProbesSql("g")}) AS p
+             FROM sh WHERE doc_id % 7 = 0) GROUP BY p),
+         cb AS (
+           SELECT p, count(*) AS c FROM (
+             SELECT unnest(${bloomProbesSql("g")}) AS p
+             FROM sh WHERE doc_id % 14 = 0) GROUP BY p),
+         cm AS (
+           SELECT p, sum(c) AS c FROM (
+             SELECT p, c FROM ca
+             UNION ALL SELECT p, -c FROM cb)
+           GROUP BY p HAVING sum(c) > 0),
+         cf AS (
+           SELECT p, count(*) AS c FROM (
+             SELECT unnest(${bloomProbesSql("g")}) AS p
+             FROM sh WHERE doc_id % 7 = 0 AND doc_id % 14 != 0)
+           GROUP BY p),
+         mism AS (
+           SELECT count(*) AS n_cells,
+             sum(CASE WHEN cm.c IS NULL OR cf.c IS NULL
+               OR cm.c != cf.c THEN 1 ELSE 0 END) AS n_cell_mismatch
+           FROM cm FULL OUTER JOIN cf ON cm.p = cf.p),
+         remg AS (
+           SELECT DISTINCT g FROM sh
+           WHERE doc_id % 7 = 0 AND doc_id % 14 != 0),
+         pr AS (
+           SELECT doc_id, g, unnest(${bloomProbesSql("g")}) AS p
+           FROM sh WHERE doc_id % 7 != 0),
+         ghit AS (
+           SELECT pr.doc_id, pr.g,
+             (sum(CASE WHEN cm.p IS NOT NULL THEN 1 ELSE 0 END)
+               = $BloomK) AS hit,
+             (max(CASE WHEN remg.g IS NOT NULL THEN 1 ELSE 0 END) = 1)
+               AS ex
+           FROM pr
+           LEFT JOIN cm ON pr.p = cm.p
+           LEFT JOIN remg ON pr.g = remg.g
+           GROUP BY 1, 2),
+         pd AS (
+           SELECT doc_id,
+             max(CASE WHEN hit THEN 1 ELSE 0 END) AS b,
+             max(CASE WHEN ex THEN 1 ELSE 0 END) AS e
+           FROM ghit GROUP BY 1)
+         SELECT count(*)::BIGINT AS n_train_docs,
+           sum(b)::BIGINT AS n_flagged,
+           sum(e)::BIGINT AS n_exact,
+           sum(CASE WHEN b = 1 AND e = 0 THEN 1 ELSE 0 END)::BIGINT
+             AS n_fp_docs,
+           (SELECT n_cells FROM mism)::BIGINT AS n_cells,
+           (SELECT n_cell_mismatch FROM mism)::BIGINT
+             AS n_cell_mismatch
+         FROM pd"""
   )
 
   /** The kNN-graph replay CTE chain over the exported IVF replica

@@ -289,6 +289,63 @@ object Sketches {
         Seq(s"__bp$i", s"__bb$i", s"__bw$i")): _*)
   }
 
+  /** COUNTING Bloom filter — the deletable decontam sketch (the bit
+    * bloom's one lifecycle gap: bits cannot RETIRE a test set, counts
+    * can): each bit position holds the number of insertions probing
+    * it, so counter frames form a group under addition exactly like
+    * the moment cells — merge by summed union, retire a batch by
+    * [[countingBloomSubtract]]ing the batch's own build. Membership =
+    * all k probed counters > 0; no false negatives for the remaining
+    * multiset by construction. Cells: `(p, c)` bit-indexed counts
+    * (counts don't pack into words), ≤ min(n·k, mBits) rows — still
+    * reference-set-sized, never corpus-sized. */
+  def countingBloomBuild(df: DataFrame, item: Column, mBits: Int,
+      k: Int): DataFrame = {
+    bloomCheck(mBits, k)
+    df.select(explode(array(bloomProbes(item, mBits, k): _*)).as("p"))
+      .groupBy(col("p")).agg(count(lit(1)).as("c"))
+  }
+
+  /** Retire `retired`'s insertions from `filter`: cells subtract and
+    * zeroed counters drop. A counter going NEGATIVE means the caller
+    * subtracted a multiset that was never fully inserted — that is
+    * corruption (membership would silently under-report), so it fails
+    * loudly instead of clamping. The result is cell-identical to
+    * rebuilding over the remaining multiset (spec + gate-pinned). */
+  def countingBloomSubtract(filter: DataFrame,
+      retired: DataFrame): DataFrame =
+    filter.select(col("p"), col("c"))
+      .unionByName(retired.select(col("p"), (-col("c")).as("c")))
+      .groupBy(col("p")).agg(sum(col("c")).as("c"))
+      .select(col("p"),
+        when(col("c") < 0L, raise_error(lit(
+          "countingBloomSubtract: counter went negative — the " +
+            "retired batch was not a sub-multiset of what was " +
+            "inserted")))
+          .otherwise(col("c")).as("c"))
+      .filter(col("c") > 0L)
+
+  /** Append an `out` boolean: might `item` be in the counting
+    * filter's remaining multiset? k broadcast joins on the bit index
+    * (the counter frame is reference-set-sized — that is the point);
+    * a present cell means count > 0 by [[countingBloomSubtract]]'s
+    * contract. */
+  def withCountingBloomHit(df: DataFrame, item: Column,
+      cb: DataFrame, mBits: Int, k: Int, out: String): DataFrame = {
+    bloomCheck(mBits, k)
+    val probes = bloomProbes(item, mBits, k)
+    var cur = df
+    val hits = probes.zipWithIndex.map { case (p, i) =>
+      val b = broadcast(cb.filter(col("c") > 0L)
+        .select(col("p").as(s"__cb$i")))
+      cur = cur.withColumn(s"__cp$i", p)
+        .join(b, col(s"__cp$i") === col(s"__cb$i"), "left")
+      col(s"__cb$i").isNotNull
+    }
+    cur.withColumn(out, hits.reduce(_ && _))
+      .drop((0 until k).flatMap(i => Seq(s"__cp$i", s"__cb$i")): _*)
+  }
+
   /** Densify a [[bloomBuild]] bucket table into the full word array
     * (absent buckets = 0) — the executor-local serving form: `mBits/32`
     * longs, collected ONCE (the filter is fixed-size by construction;

@@ -213,6 +213,38 @@ class SketchesSpec extends SparkSpec {
       && direct.except(merged).count() == 0L)
   }
 
+  test("counting bloom: subtracting a retired batch equals a fresh rebuild; negative counters fail loudly") {
+    val a = (0 until 300).map(i => s"k-${i % 200}").toDF("k") // dups too
+    val b = (0 until 100).map(i => s"k-$i").toDF("k") // sub-multiset
+    val remaining = (0 until 300).map(i => s"k-${i % 200}")
+      .diff((0 until 100).map(i => s"k-$i")).toDF("k")
+    val maintained = Sketches.countingBloomSubtract(
+      Sketches.countingBloomBuild(a, col("k"), 1 << 12, 3),
+      Sketches.countingBloomBuild(b, col("k"), 1 << 12, 3))
+    val fresh = Sketches.countingBloomBuild(remaining, col("k"),
+      1 << 12, 3)
+    assert(maintained.except(fresh).count() == 0L &&
+      fresh.except(maintained).count() == 0L,
+      "maintained cells != fresh rebuild")
+    // no false negatives for the remaining multiset
+    val misses = Sketches.withCountingBloomHit(remaining.distinct(),
+        col("k"), maintained, 1 << 12, 3, "hit")
+      .filter(!col("hit")).count()
+    assert(misses == 0L, s"$misses remaining keys tested negative")
+    // retired keys NOT in the remaining multiset need not test
+    // positive anymore (that's the point); subtracting something
+    // never inserted is loud corruption
+    val e = intercept[Exception] {
+      Sketches.countingBloomSubtract(
+        Sketches.countingBloomBuild(b, col("k"), 1 << 12, 3),
+        Sketches.countingBloomBuild(a, col("k"), 1 << 12, 3)).count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("negative")), s"wrong error: $e")
+  }
+
   test("bloom false positives exist at high fill and are deterministic") {
     // tiny filter, heavy fill: non-members MUST collide; two runs of
     // the same build+test agree exactly (no RNG anywhere)
