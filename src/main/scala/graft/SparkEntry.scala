@@ -5746,6 +5746,50 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
           sum(when(col("b") === 1L && col("e") === 0L, 1L)
             .otherwise(0L)).as("n_fp_docs"))
         .crossJoin(broadcast(mism))
+    }),
+
+    "q176_theil_sen" -> ((s, dir) => {
+      // Theil-Sen robust trend per event type — the slope a daily
+      // ops dashboard should fit (one outage day wrecks least-squares;
+      // the median of pairwise slopes shrugs it off). Exact-integer
+      // regime end to end: daily counts, pairwise slopes floored at
+      // 1e6 via (num - pmod) div dx (dx > 0, so floor matches
+      // DuckDB's // on negative dy), and the lower-median slope by
+      // the q160 discrete-percentile rule over per-value counts —
+      // day-count-sized frames after the one corpus aggregation,
+      // pair work bounded by days^2 per type, never events^2.
+      val daily = t(s, dir, "events")
+        .select(col("event_type"), to_date(col("ts")).as("d"))
+        .groupBy(col("event_type"), col("d"))
+        .agg(count(lit(1)).as("y"))
+        .select(col("event_type"),
+          datediff(col("d"), to_date(lit("1970-01-01")))
+            .cast("long").as("x"),
+          col("y"))
+      val pairs = daily.as("a").join(daily.as("b"),
+          col("a.event_type") === col("b.event_type") &&
+            col("a.x") < col("b.x"))
+        .select(col("a.event_type").as("event_type"),
+          ((col("b.y") - col("a.y")) * lit(1000000L)).as("__n"),
+          (col("b.x") - col("a.x")).as("__dx"))
+        .withColumn("s", expr("(__n - pmod(__n, __dx)) div __dx"))
+      val per = pairs.groupBy(col("event_type"), col("s"))
+        .agg(count(lit(1)).as("c"))
+      val n1 = pairs.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("s"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      per.withColumn("cum", sum(col("c")).over(w))
+        .join(n1, "event_type")
+        .filter(col("cum") * 2L >= col("n") + 1L)
+        .groupBy(col("event_type"))
+        .agg(min(col("s")).as("sen_slope_x1e6"),
+          first(col("n")).as("n_pairs"))
+        .join(daily.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_days")), "event_type")
+        .select(col("event_type"), col("n_days"), col("n_pairs"),
+          col("sen_slope_x1e6"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -9833,7 +9877,49 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
            (SELECT n_cells FROM mism)::BIGINT AS n_cells,
            (SELECT n_cell_mismatch FROM mism)::BIGINT
              AS n_cell_mismatch
-         FROM pd"""
+         FROM pd""",
+
+    // q176: identical daily counts, floor-1e6 pairwise slopes
+    // (// floor == the Spark pmod form since dx > 0), the same
+    // 2*cum >= n+1 lower-median rule per event type.
+    "q176_theil_sen" ->
+      raw"""WITH daily AS (
+           SELECT event_type,
+             (ts::DATE - DATE '1970-01-01')::BIGINT AS x,
+             count(*) AS y
+           FROM events GROUP BY event_type, ts::DATE),
+         pairs0 AS (
+           SELECT a.event_type,
+             (b.y - a.y) * 1000000 AS n2, (b.x - a.x) AS dx
+           FROM daily a JOIN daily b
+             ON a.event_type = b.event_type AND a.x < b.x),
+         pairs AS (
+           -- FLOOR division via the pmod form: DuckDB's integer //
+           -- truncates toward zero on a negative dividend, unlike
+           -- the floor the statistic is defined with
+           SELECT event_type,
+             (n2 - (((n2 % dx) + dx) % dx)) // dx AS s
+           FROM pairs0),
+         per AS (SELECT event_type, s, count(*) AS c FROM pairs
+                 GROUP BY event_type, s),
+         nn AS (SELECT event_type, count(*) AS n FROM pairs
+                GROUP BY event_type),
+         med AS (
+           SELECT event_type, min(s) AS sen_slope_x1e6,
+             min(n) AS n_pairs FROM (
+             SELECT per.event_type, s, nn.n,
+               sum(c) OVER (PARTITION BY per.event_type ORDER BY s
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS cum
+             FROM per JOIN nn ON nn.event_type = per.event_type)
+           WHERE cum * 2 >= n + 1 GROUP BY event_type),
+         nd AS (SELECT event_type, count(*) AS n_days FROM daily
+                GROUP BY event_type)
+         SELECT med.event_type AS event_type,
+           n_days::BIGINT AS n_days, n_pairs::BIGINT AS n_pairs,
+           sen_slope_x1e6::BIGINT AS sen_slope_x1e6
+         FROM med JOIN nd ON nd.event_type = med.event_type
+         ORDER BY med.event_type"""
   )
 
   /** The kNN-graph replay CTE chain over the exported IVF replica
