@@ -5790,6 +5790,49 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
         .select(col("event_type"), col("n_days"), col("n_pairs"),
           col("sen_slope_x1e6"))
         .orderBy(col("event_type"))
+    }),
+
+    "q177_corpus_card" -> ((s, dir) => {
+      // The corpus DATASHEET card (Gebru et al. "Datasheets for
+      // Datasets" as a query): one row a data consumer reads before
+      // training — volume (docs/tokens), provenance breadth
+      // (sources/langs), exact-dup rate, median length, mean quality
+      // — every ingredient an already-hash-green stage (q01/q03/q40/
+      // q160), the card gating their COMPOSITION. One corpus scan
+      // feeds the aggregates; quality sums as the exact 6-dp
+      // integers; the median rides the q160 percentile machinery.
+      VectorExpressions.ensureRegistered(s)
+      val sw = Seq("the", "a", "of", "and", "value", "table")
+      val per = t(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("source"), col("lang"),
+          tokenCount(col("text")).as("tok"),
+          fingerprint(col("text")).as("fp"),
+          floor(qualityFromStats(col("text"),
+            tokenStatsNative(col("text"), sw)) * lit(1e6) + lit(0.5))
+            .cast("long").as("qx"))
+      val base = per.agg(count(lit(1)).as("n_docs"),
+        sum(col("tok")).as("n_tokens"),
+        count_distinct(col("source")).as("n_sources"),
+        count_distinct(col("lang")).as("n_langs"),
+        count_distinct(col("fp")).as("n_distinct_fp"),
+        sum(col("qx")).as("__sq"))
+      val perLen = per.groupBy(col("tok").as("len"))
+        .agg(count(lit(1)).as("c"))
+      val n1 = per.agg(count(lit(1)).as("n"))
+      val w = Window.orderBy(col("len"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val medDf = perLen.withColumn("cum", sum(col("c")).over(w))
+        .crossJoin(broadcast(n1))
+        .filter(col("cum") * 2L >= col("n") + 1L)
+        .agg(min(col("len")).as("med"))
+      base.crossJoin(broadcast(medDf))
+        .select(col("n_docs"), col("n_tokens"), col("n_sources"),
+          col("n_langs"),
+          expr("(n_docs - n_distinct_fp) * 1000000 div n_docs")
+            .as("exact_dup_ppm"),
+          col("med").as("median_len"),
+          expr("__sq div n_docs").as("mean_quality_x1e6"))
     })
   )
 
@@ -9919,7 +9962,56 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
            n_days::BIGINT AS n_days, n_pairs::BIGINT AS n_pairs,
            sen_slope_x1e6::BIGINT AS sen_slope_x1e6
          FROM med JOIN nd ON nd.event_type = med.event_type
-         ORDER BY med.event_type"""
+         ORDER BY med.event_type""",
+
+    // q177: the q03 quality arithmetic re-quantized to exact 6-dp
+    // integers, the q40 fingerprint, the q160 median rule — one card.
+    "q177_corpus_card" ->
+      raw"""WITH per AS (
+           SELECT source, lang,
+             len(list_filter(string_split_regex(text, '\s+'),
+               t -> len(t) > 0))::BIGINT AS tok,
+             substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ',
+               'g')), 1, 16) AS fp,
+             CAST(floor((floor((least(len(text) / 500.0, 1.0) * 0.4
+               + (1.0 - least((CASE WHEN len(text) = 0 THEN 0.0
+                   ELSE len(regexp_replace(text, '[A-Za-z0-9\s]', '',
+                     'g'))::DOUBLE / len(text) END) * 4.0, 1.0)) * 0.3
+               + (1.0 - abs((CASE WHEN len(list_filter(
+                     string_split_regex(lower(text), '\s+'),
+                     t -> len(t) > 0)) = 0 THEN 0.0
+                   ELSE len(list_filter(list_filter(
+                       string_split_regex(lower(text), '\s+'),
+                       t -> len(t) > 0),
+                     t -> list_contains(['the','a','of','and','value',
+                       'table'], t)))::DOUBLE
+                     / len(list_filter(string_split_regex(lower(text),
+                       '\s+'), t -> len(t) > 0)) END) - 0.4)) * 0.3)
+               * 1000000.0 + 0.5) / 1000000.0) * 1000000.0 + 0.5)
+               AS BIGINT) AS qx
+           FROM documents WHERE text IS NOT NULL),
+         base AS (
+           SELECT count(*) AS n_docs, sum(tok) AS n_tokens,
+             count(DISTINCT source) AS n_sources,
+             count(DISTINCT lang) AS n_langs,
+             count(DISTINCT fp) AS n_distinct_fp,
+             sum(qx) AS sq
+           FROM per),
+         pl AS (SELECT tok AS len, count(*) AS c FROM per GROUP BY tok),
+         medt AS (
+           SELECT min(len) AS med FROM (
+             SELECT len, sum(c) OVER (ORDER BY len
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum
+             FROM pl), base
+           WHERE cum * 2 >= n_docs + 1)
+         SELECT n_docs::BIGINT AS n_docs, n_tokens::BIGINT AS n_tokens,
+           n_sources::BIGINT AS n_sources, n_langs::BIGINT AS n_langs,
+           ((n_docs - n_distinct_fp) * 1000000 // n_docs)::BIGINT
+             AS exact_dup_ppm,
+           med::BIGINT AS median_len,
+           (sq // n_docs)::BIGINT AS mean_quality_x1e6
+         FROM base, medt"""
   )
 
   /** The kNN-graph replay CTE chain over the exported IVF replica
