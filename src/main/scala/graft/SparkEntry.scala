@@ -5833,6 +5833,42 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
             .as("exact_dup_ppm"),
           col("med").as("median_len"),
           expr("__sq div n_docs").as("mean_quality_x1e6"))
+    }),
+
+    "q178_quality_calibration" -> ((s, dir) => {
+      // Threshold calibration table — the artifact that PRECEDES
+      // choosing q03's keep threshold: per quality decile (exact
+      // 6-dp integer quality, bucket = qx div 100000 capped at 9),
+      // doc/token mass plus the cumulative keep rate IF the threshold
+      // were set at that decile's lower edge (sum from the top,
+      // decile-sized window). Reading off "0.5 keeps 61% of tokens"
+      // beats guessing; every number is an exact integer.
+      VectorExpressions.ensureRegistered(s)
+      val sw = Seq("the", "a", "of", "and", "value", "table")
+      val per = t(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(tokenCount(col("text")).as("tok"),
+          floor(qualityFromStats(col("text"),
+            tokenStatsNative(col("text"), sw)) * lit(1e6) + lit(0.5))
+            .cast("long").as("qx"))
+        .select(least(expr("qx div 100000"), lit(9L)).as("bucket"),
+          col("tok"))
+      val byB = per.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tokens"))
+      val w = Window.orderBy(col("bucket").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = per.agg(count(lit(1)).as("td"), sum(col("tok")).as("tt"))
+      byB.withColumn("cum_docs_kept", sum(col("n_docs")).over(w))
+        .withColumn("cum_tokens_kept", sum(col("n_tokens")).over(w))
+        .crossJoin(broadcast(tot))
+        .select(col("bucket"),
+          (col("bucket") * 100000L).as("threshold_x1e6"),
+          col("n_docs"), col("n_tokens"),
+          col("cum_docs_kept"), col("cum_tokens_kept"),
+          expr("cum_docs_kept * 1000000 div td").as("keep_docs_ppm"),
+          expr("cum_tokens_kept * 1000000 div tt")
+            .as("keep_tokens_ppm"))
+        .orderBy(col("bucket"))
     })
   )
 
@@ -10011,7 +10047,56 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
              AS exact_dup_ppm,
            med::BIGINT AS median_len,
            (sq // n_docs)::BIGINT AS mean_quality_x1e6
-         FROM base, medt"""
+         FROM base, medt""",
+
+    // q178: the q177 quality quantization, decile buckets, and
+    // top-down cumulative keep rates — all integer.
+    "q178_quality_calibration" ->
+      raw"""WITH per AS (
+           SELECT
+             len(list_filter(string_split_regex(text, '\s+'),
+               t -> len(t) > 0))::BIGINT AS tok,
+             CAST(floor((floor((least(len(text) / 500.0, 1.0) * 0.4
+               + (1.0 - least((CASE WHEN len(text) = 0 THEN 0.0
+                   ELSE len(regexp_replace(text, '[A-Za-z0-9\s]', '',
+                     'g'))::DOUBLE / len(text) END) * 4.0, 1.0)) * 0.3
+               + (1.0 - abs((CASE WHEN len(list_filter(
+                     string_split_regex(lower(text), '\s+'),
+                     t -> len(t) > 0)) = 0 THEN 0.0
+                   ELSE len(list_filter(list_filter(
+                       string_split_regex(lower(text), '\s+'),
+                       t -> len(t) > 0),
+                     t -> list_contains(['the','a','of','and','value',
+                       'table'], t)))::DOUBLE
+                     / len(list_filter(string_split_regex(lower(text),
+                       '\s+'), t -> len(t) > 0)) END) - 0.4)) * 0.3)
+               * 1000000.0 + 0.5) / 1000000.0) * 1000000.0 + 0.5)
+               AS BIGINT) AS qx
+           FROM documents WHERE text IS NOT NULL),
+         pb AS (
+           SELECT least(qx // 100000, 9) AS bucket, tok FROM per),
+         byb AS (
+           SELECT bucket, count(*) AS n_docs, sum(tok) AS n_tokens
+           FROM pb GROUP BY bucket),
+         tot AS (SELECT count(*) AS td, sum(tok) AS tt FROM pb)
+         SELECT bucket::BIGINT AS bucket,
+           (bucket * 100000)::BIGINT AS threshold_x1e6,
+           n_docs::BIGINT AS n_docs, n_tokens::BIGINT AS n_tokens,
+           sum(n_docs) OVER (ORDER BY bucket DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+             AS cum_docs_kept,
+           sum(n_tokens) OVER (ORDER BY bucket DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+             AS cum_tokens_kept,
+           (sum(n_docs) OVER (ORDER BY bucket DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             * 1000000 // (SELECT td FROM tot))::BIGINT
+             AS keep_docs_ppm,
+           (sum(n_tokens) OVER (ORDER BY bucket DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             * 1000000 // (SELECT tt FROM tot))::BIGINT
+             AS keep_tokens_ppm
+         FROM byb ORDER BY bucket"""
   )
 
   /** The kNN-graph replay CTE chain over the exported IVF replica
