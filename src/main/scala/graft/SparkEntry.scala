@@ -999,6 +999,49 @@ ${pqAdcSumSql("tab.qid = pp.qid AND tab.cluster_id = e.__ivf_cluster AND")}
          FROM ex FULL OUTER JOIN ap ON id_e = id_a"""
   }
 
+  /** q179's oracle: the q36 probe-selection + pruned-scan replay at
+    * four widths, each intersected with the shared exact leg. */
+  private lazy val nprobeSweepOracleSql: String = {
+    val legs = Seq(2, 4, 6, 8).map { np =>
+      s"""SELECT $np::BIGINT AS nprobe,
+           (SELECT count(*) FROM (
+              SELECT vec_id FROM (
+                SELECT vec_id,
+                  floor(list_distance(embedding::DOUBLE[],
+                    (SELECT qv FROM q)) * 1e4 + 0.5::DOUBLE) / 1e4
+                    AS dist
+                FROM read_parquet('$IvfOracleRoot/single/data/*.parquet')
+                WHERE __ivf_cluster IN (
+                  SELECT cluster_id FROM cent, q
+                  ORDER BY list_sum(list_transform(
+                    range(1, len(centroid) + 1),
+                    i -> (centroid[i]::DOUBLE - qv[i]) *
+                         (centroid[i]::DOUBLE - qv[i]))),
+                    cluster_id
+                  LIMIT $np))
+              ORDER BY dist, vec_id LIMIT 10) ap
+            WHERE ap.vec_id IN (SELECT id_e FROM ex))::BIGINT
+             AS n_overlap"""
+    }.mkString("\n         UNION ALL ")
+    raw"""WITH q AS MATERIALIZED (
+           SELECT embedding::DOUBLE[] AS qv FROM embeddings
+           WHERE vec_id = 0),
+         cent AS MATERIALIZED (
+           SELECT cluster_id, centroid FROM
+             read_parquet('$IvfOracleRoot/single/centroids/*.parquet')),
+         ex AS MATERIALIZED (
+           SELECT vec_id AS id_e FROM (
+             SELECT vec_id,
+               floor(list_distance(embedding::DOUBLE[],
+                 (SELECT qv FROM q)) * 1e4 + 0.5::DOUBLE) / 1e4 AS d
+             FROM embeddings)
+           ORDER BY d, vec_id LIMIT 10)
+         SELECT nprobe, n_overlap,
+           (n_overlap * 1000000 // 10)::BIGINT AS recall_ppm
+         FROM ($legs)
+         ORDER BY nprobe"""
+  }
+
   /** q77's oracle (flat cosine PQ): the query unit-normalized with the
     * float cast (q69's qnorm pattern — the exact driver arithmetic),
     * the ADC table built against it from the NORMALIZED books, the
@@ -5869,6 +5912,36 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
           expr("cum_tokens_kept * 1000000 div tt")
             .as("keep_tokens_ppm"))
         .orderBy(col("bucket"))
+    }),
+
+    "q179_nprobe_sweep" -> ((s, dir) => {
+      // The IVF TUNING CURVE as one artifact (q109 is recall at one
+      // operating point; an operator picks nprobe off the whole
+      // curve): recall@10 of the probed search vs the exact scan at
+      // nprobe in {2, 4, 6, 8}, one row per point with the probed
+      // cluster count. Each leg is the already-hash-green q36
+      // machinery at a different width; the oracle replays all four
+      // probe selections + pruned scans + top-k independently.
+      VectorExpressions.ensureRegistered(s)
+      val idx = ivfIndexFor(s, dir)
+      val q = queryVec(s, dir)
+      val exact = t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          KnnSearch.roundHalfUpCol(
+            l2DistanceNative(col("embedding"), KnnSearch.litVec(q)), 4)
+            .as("d"))
+        .orderBy(col("d"), col("vec_id")).limit(10)
+        .select(col("vec_id").as("id_e"))
+      Seq(2, 4, 6, 8).map { np =>
+        val approx = idx.search(q, 10, nprobe = np,
+            tieBreak = Some("vec_id"), rankRoundDp = Some(4))
+          .select(col("vec_id").as("id_a"))
+        exact.join(approx, col("id_e") === col("id_a"), "full_outer")
+          .agg(lit(np.toLong).as("nprobe"),
+            sum(when(col("id_e").isNotNull && col("id_a").isNotNull,
+              1L).otherwise(0L)).as("n_overlap"))
+          .withColumn("recall_ppm", expr("n_overlap * 1000000 div 10"))
+      }.reduce(_.unionByName(_)).orderBy(col("nprobe"))
     })
   )
 
@@ -10096,7 +10169,11 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
              * 1000000 // (SELECT tt FROM tot))::BIGINT
              AS keep_tokens_ppm
-         FROM byb ORDER BY bucket"""
+         FROM byb ORDER BY bucket""",
+
+    // q179: four q36-style probe replays at different widths, each
+    // leg's recall vs the shared exact leg.
+    "q179_nprobe_sweep" -> nprobeSweepOracleSql
   )
 
   /** The kNN-graph replay CTE chain over the exported IVF replica
