@@ -378,6 +378,7 @@ final case class IvfIndex(
       nprobe: Int = 2, rankRoundDp: Int = 4): Long = {
     require(layers >= 1, s"layers must be >= 1, got $layers")
     require(base >= 2, s"base must be >= 2, got $base")
+    IvfIndex.requireModFits(layers, base)
     graft.plans.VectorExpressions.ensureRegistered(assigned.sparkSession)
     import graft.functions.VectorFunctions.l2DistanceNative
     val probes = probeOrder(query).take(math.max(1, nprobe))
@@ -425,6 +426,7 @@ final case class IvfIndex(
       "hierEntryBatch: duplicate query ids")
     require(layers >= 1, s"layers must be >= 1, got $layers")
     require(base >= 2, s"base must be >= 2, got $base")
+    IvfIndex.requireModFits(layers, base)
     val spark = assigned.sparkSession
     graft.plans.VectorExpressions.ensureRegistered(spark)
     import graft.functions.VectorFunctions.l2DistanceNative
@@ -989,6 +991,17 @@ final case class IvfIndex(
 }
 
 object IvfIndex {
+
+  /** `base^layers` must fit a long or the layer-membership modulus
+    * silently wraps into deterministic garbage (every layer would
+    * still hash — to the wrong members). The 32-bit md5 prefix also
+    * caps meaningful moduli at 2^32, so the bound is tight, not just
+    * defensive. */
+  private[operators] def requireModFits(layers: Int, base: Int): Unit =
+    require(layers * (64.0 - java.lang.Long
+        .numberOfLeadingZeros(base.toLong)) < 32.0,
+      s"base^layers ($base^$layers) exceeds the 32-bit hash-prefix " +
+        "space — lower layers or base")
   val ClusterCol = "__ivf_cluster"
 
   /** nearest-centroid cluster ids, closest first — shared by

@@ -1152,6 +1152,15 @@ class IvfIndexSpec extends SparkSpec {
       s"batch entries $batch != single entries $singles")
   }
 
+  test("hierEntry rejects a layer stack deeper than the hash-prefix space") {
+    graft.plans.VectorExpressions.ensureRegistered(spark)
+    val q = queryVecs(1).head
+    val ex = intercept[IllegalArgumentException] {
+      index.hierEntry(q, layers = 9, base = 16)
+    }
+    assert(ex.getMessage.contains("hash-prefix"))
+  }
+
   test("beamSearchBatch fails loudly on an entry id not in the index") {
     graft.plans.VectorExpressions.ensureRegistered(spark)
     val graph = index.knnGraph(k = 3, nprobe = 2).localCheckpoint()
