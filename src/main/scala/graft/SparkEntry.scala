@@ -5542,8 +5542,11 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
         .select(col("doc_id"),
           wordShinglesNative(col("text"), 3).as("sh"))
         .filter(size(col("sh")) > 0)
+      // materialized ONCE: the bucket frame and both hydration joins
+      // read sig — without the checkpoint each branch re-runs the
+      // native shingling+minhash corpus pass (plan-audit finding)
       val sig = sh.select(col("doc_id"), col("sh"),
-        minhashNative(col("sh"), 12).as("sig"))
+        minhashNative(col("sh"), 12).as("sig")).localCheckpoint()
       val bucketCols = (0 until 4).map { b =>
         concat(lit(s"$b:"), md5(concat_ws("|",
           (0 until 3).map(r => element_at(col("sig"), b * 3 + r + 1))
@@ -5809,6 +5812,9 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
           datediff(col("d"), to_date(lit("1970-01-01")))
             .cast("long").as("x"),
           col("y"))
+        // day-count-sized; checkpointed so the self-join's two sides
+        // don't each re-run the corpus aggregation
+        .localCheckpoint()
       val pairs = daily.as("a").join(daily.as("b"),
           col("a.event_type") === col("b.event_type") &&
             col("a.x") < col("b.x"))
@@ -5854,6 +5860,9 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
           floor(qualityFromStats(col("text"),
             tokenStatsNative(col("text"), sw)) * lit(1e6) + lit(0.5))
             .cast("long").as("qx"))
+        // three consumers (aggregates, length histogram, count) —
+        // checkpoint so the tokenization+quality pass runs once
+        .localCheckpoint()
       val base = per.agg(count(lit(1)).as("n_docs"),
         sum(col("tok")).as("n_tokens"),
         count_distinct(col("source")).as("n_sources"),
@@ -5896,6 +5905,8 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
             .cast("long").as("qx"))
         .select(least(expr("qx div 100000"), lit(9L)).as("bucket"),
           col("tok"))
+        // two consumers (per-bucket mass, totals) — one quality pass
+        .localCheckpoint()
       val byB = per.groupBy(col("bucket"))
         .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tokens"))
       val w = Window.orderBy(col("bucket").desc)
