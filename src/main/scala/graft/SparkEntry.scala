@@ -5812,9 +5812,10 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
           datediff(col("d"), to_date(lit("1970-01-01")))
             .cast("long").as("x"),
           col("y"))
-        // day-count-sized; checkpointed so the self-join's two sides
-        // don't each re-run the corpus aggregation
-        .localCheckpoint()
+      // (the self-join's two sides each re-run the cheap daily
+      // aggregation; an eager checkpoint measured SLOWER at every SF
+      // tried — the narrow duplicate scan costs less than the
+      // materialization job)
       val pairs = daily.as("a").join(daily.as("b"),
           col("a.event_type") === col("b.event_type") &&
             col("a.x") < col("b.x"))
@@ -5860,9 +5861,6 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
           floor(qualityFromStats(col("text"),
             tokenStatsNative(col("text"), sw)) * lit(1e6) + lit(0.5))
             .cast("long").as("qx"))
-        // three consumers (aggregates, length histogram, count) —
-        // checkpoint so the tokenization+quality pass runs once
-        .localCheckpoint()
       val base = per.agg(count(lit(1)).as("n_docs"),
         sum(col("tok")).as("n_tokens"),
         count_distinct(col("source")).as("n_sources"),
@@ -5905,8 +5903,6 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
             .cast("long").as("qx"))
         .select(least(expr("qx div 100000"), lit(9L)).as("bucket"),
           col("tok"))
-        // two consumers (per-bucket mass, totals) — one quality pass
-        .localCheckpoint()
       val byB = per.groupBy(col("bucket"))
         .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tokens"))
       val w = Window.orderBy(col("bucket").desc)
