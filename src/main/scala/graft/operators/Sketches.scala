@@ -346,6 +346,24 @@ object Sketches {
       .drop((0 until k).flatMap(i => Seq(s"__cp$i", s"__cb$i")): _*)
   }
 
+  /** Densify a COUNTING filter into the bit bloom's word-array
+    * serving form (bit set ⇔ count > 0): after a retire cycle the
+    * maintained counters collapse to exactly the bits a fresh
+    * [[bloomBuild]] over the remaining multiset would set
+    * (spec-pinned), so the streaming probe path —
+    * [[bloomMightContainAny]] over the dense words — serves the
+    * DELETABLE filter with zero new probe code. */
+  def countingBloomDense(cb: DataFrame, mBits: Int): Seq[Long] = {
+    require(mBits >= BloomWordBits && (mBits & (mBits - 1)) == 0,
+      s"mBits must be a power of two >= 32, got $mBits")
+    val words = new Array[Long](mBits / BloomWordBits)
+    cb.filter(col("c") > 0L).select("p").collect().foreach { r =>
+      val p = r.getLong(0)
+      words((p / BloomWordBits).toInt) |= 1L << (p % BloomWordBits)
+    }
+    words.toSeq
+  }
+
   /** Densify a [[bloomBuild]] bucket table into the full word array
     * (absent buckets = 0) — the executor-local serving form: `mBits/32`
     * longs, collected ONCE (the filter is fixed-size by construction;

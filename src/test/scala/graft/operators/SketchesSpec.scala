@@ -245,6 +245,28 @@ class SketchesSpec extends SparkSpec {
     assert(msgs(e).exists(_.contains("negative")), s"wrong error: $e")
   }
 
+  test("counting bloom densifies to exactly the bit bloom of the remaining multiset") {
+    val a = (0 until 300).map(i => s"k-${i % 200}").toDF("k")
+    val b = (0 until 100).map(i => s"k-$i").toDF("k")
+    val remaining = (0 until 300).map(i => s"k-${i % 200}")
+      .diff((0 until 100).map(i => s"k-$i")).toDF("k")
+    val maintained = Sketches.countingBloomSubtract(
+      Sketches.countingBloomBuild(a, col("k"), 1 << 12, 3),
+      Sketches.countingBloomBuild(b, col("k"), 1 << 12, 3))
+    val dense = Sketches.countingBloomDense(maintained, 1 << 12)
+    val fresh = Sketches.bloomDense(
+      Sketches.bloomBuild(remaining, col("k"), 1 << 12, 3), 1 << 12)
+    assert(dense == fresh,
+      "dense counting filter != bit bloom of the remaining set")
+    // and the existing streaming probe path serves it unchanged
+    import org.apache.spark.sql.functions.array
+    val hit = remaining.limit(5)
+      .select(Sketches.bloomMightContainAny(array(col("k")), dense,
+        1 << 12, 3).as("h"))
+      .collect().forall(_.getBoolean(0))
+    assert(hit, "a remaining key tested negative through the dense probe")
+  }
+
   test("bloom false positives exist at high fill and are deterministic") {
     // tiny filter, heavy fill: non-members MUST collide; two runs of
     // the same build+test agree exactly (no RNG anywhere)
