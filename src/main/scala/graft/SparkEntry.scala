@@ -5949,6 +5949,42 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
               1L).otherwise(0L)).as("n_overlap"))
           .withColumn("recall_ppm", expr("n_overlap * 1000000 div 10"))
       }.reduce(_.unionByName(_)).orderBy(col("nprobe"))
+    }),
+
+    "q180_entry_strategy_recall" -> ((s, dir) => {
+      // WHY the descent hierarchy exists, as a hashed artifact: the
+      // SAME 2-hop/beam-4 walk from three entry strategies — the
+      // blind far entry (max id), the flat 1/16 coarse layer, and
+      // the two-layer hierarchical descent — each scored recall@5
+      // against the exact scan. The spec measured the descent's
+      // 3x mean-recall win; this pins the per-query comparison
+      // under the gate with all three walks replayed in the oracle.
+      VectorExpressions.ensureRegistered(s)
+      val idx = ivfIndexFor(s, dir)
+      val q = queryVec(s, dir)
+      val graph = knnGraphFor(s, dir)
+      val exact = t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          KnnSearch.roundHalfUpCol(
+            l2DistanceNative(col("embedding"), KnnSearch.litVec(q)), 4)
+            .as("d"))
+        .orderBy(col("d"), col("vec_id")).limit(5)
+        .localCheckpoint()
+        .select(col("vec_id").as("id_e"))
+      val entries = Seq(
+        "1_far" -> idx.assigned.agg(max(col("vec_id"))).head().getLong(0),
+        "2_coarse" -> idx.coarseEntry(q, sampleMod = 16),
+        "3_hier" -> idx.hierEntry(q, layers = 2, base = 16, nprobe = 2))
+      entries.map { case (kind, entry) =>
+        val walked = idx.beamSearch(graph, q, entry, k = 5, beam = 4,
+            hops = 2)
+          .select(col("vec_id").as("id_a"))
+        exact.join(walked, col("id_e") === col("id_a"), "full_outer")
+          .agg(lit(kind).as("entry_kind"),
+            sum(when(col("id_e").isNotNull && col("id_a").isNotNull,
+              1L).otherwise(0L)).as("n_overlap"))
+          .withColumn("recall_ppm", expr("n_overlap * 1000000 div 5"))
+      }.reduce(_.unionByName(_)).orderBy(col("entry_kind"))
     })
   )
 
@@ -10180,7 +10216,11 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
 
     // q179: four q36-style probe replays at different widths, each
     // leg's recall vs the shared exact leg.
-    "q179_nprobe_sweep" -> nprobeSweepOracleSql
+    "q179_nprobe_sweep" -> nprobeSweepOracleSql,
+
+    // q180: three unrolled 2-hop walks (far / coarse / hier entries)
+    // over the shared graph CTEs, each intersected with the exact leg.
+    "q180_entry_strategy_recall" -> entryStrategyOracleSql
   )
 
   /** The kNN-graph replay CTE chain over the exported IVF replica
@@ -10391,6 +10431,90 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
            SELECT id FROM (SELECT id, dist FROM e2
                            UNION ALL SELECT id, dist FROM e1)
            ORDER BY dist, id LIMIT 1)""")
+
+  /** q180's oracle: the q155 far entry, the q156 coarse entry, and
+    * the q162 descent entry each feeding the SAME unrolled 2-hop walk
+    * over the shared graph CTEs, each result intersected with the
+    * exact top-5 leg. */
+  private lazy val entryStrategyOracleSql: String = {
+    val hops = 2; val beam = 4; val k = 5
+    def chain(x: String, entryCtes: String): String = {
+      val hopCtes = (1 to hops).map { t =>
+        s"""c$t$x AS (
+         SELECT DISTINCT g.nbr AS id FROM g JOIN f${t - 1}$x
+           ON g.src = f${t - 1}$x.id
+         WHERE g.nbr NOT IN (SELECT id FROM v${t - 1}$x)),
+         f$t$x AS (
+           SELECT c$t$x.id FROM c$t$x JOIN d ON d.vec_id = c$t$x.id
+           ORDER BY d.dist, c$t$x.id LIMIT $beam),
+         v$t$x AS (SELECT id FROM v${t - 1}$x
+                 UNION ALL SELECT id FROM f$t$x)"""
+      }.mkString(",\n         ")
+      s"""$entryCtes,
+         f0$x AS (SELECT id FROM e$x),
+         v0$x AS (SELECT id FROM e$x),
+         $hopCtes,
+         ap$x AS (
+           SELECT d.vec_id AS id_a FROM v$hops$x
+           JOIN d ON d.vec_id = v$hops$x.id
+           ORDER BY d.dist, d.vec_id LIMIT $k)"""
+    }
+    def leg(kind: String, x: String): String =
+      s"""SELECT '$kind' AS entry_kind,
+           (SELECT count(*) FROM ap$x
+            WHERE id_a IN (SELECT id_e FROM ex))::BIGINT AS n_overlap,
+           ((SELECT count(*) FROM ap$x
+             WHERE id_a IN (SELECT id_e FROM ex)) * 1000000 // 5)
+             ::BIGINT AS recall_ppm"""
+    raw"""WITH $knnGraphOracleCtes,
+         g AS (SELECT src, nbr FROM r WHERE rank <= 3),
+         q AS (SELECT embedding FROM data WHERE vec_id = 0),
+         d AS (
+           SELECT vec_id,
+             floor(list_distance(embedding::DOUBLE[],
+               (SELECT embedding FROM q)::DOUBLE[])
+               * 1e4 + 0.5::DOUBLE) / 1e4 AS dist
+           FROM data),
+         ex AS (SELECT vec_id AS id_e FROM d
+                ORDER BY dist, vec_id LIMIT 5),
+         ${chain("_f",
+        "e_f AS (SELECT max(vec_id) AS id FROM data)")},
+         ${chain("_c",
+        """e_c AS (
+           SELECT vec_id AS id FROM d
+           WHERE ('0x' || substr(md5(vec_id::VARCHAR), 1, 2))::BIGINT
+             % 16 = 0
+           ORDER BY dist, vec_id LIMIT 1)""")},
+         ${chain("_h",
+        """hx0 AS (
+           SELECT d.vec_id, d.dist,
+             ('0x' || substr(md5(d.vec_id::VARCHAR), 1, 8))::BIGINT
+               AS h,
+             data.__ivf_cluster AS cl
+           FROM d JOIN data ON data.vec_id = d.vec_id),
+         qp0 AS (
+           SELECT cluster_id FROM cent, q
+           ORDER BY list_sum(list_transform(range(1, len(centroid) + 1),
+             i -> (centroid[i]::DOUBLE - embedding[i]::DOUBLE) *
+                  (centroid[i]::DOUBLE - embedding[i]::DOUBLE))),
+             cluster_id
+           LIMIT 2),
+         e2h AS (
+           SELECT vec_id AS id, dist FROM hx0 WHERE h % 256 = 0
+           ORDER BY dist, vec_id LIMIT 1),
+         e1h AS (
+           SELECT vec_id AS id, dist FROM hx0
+           WHERE h % 16 = 0 AND cl IN (SELECT cluster_id FROM qp0)
+           ORDER BY dist, vec_id LIMIT 1),
+         e_h AS (
+           SELECT id FROM (SELECT id, dist FROM e2h
+                           UNION ALL SELECT id, dist FROM e1h)
+           ORDER BY dist, id LIMIT 1)""")}
+         ${leg("1_far", "_f")}
+         UNION ALL ${leg("2_coarse", "_c")}
+         UNION ALL ${leg("3_hier", "_h")}
+         ORDER BY entry_kind"""
+  }
 
   private def beamWalkOracleSql(hops: Int, beam: Int, k: Int,
       entryCte: String, finalSql: Option[String] = None): String = {
