@@ -94,9 +94,12 @@ object Bench {
     println(json)
     // self-archive: the driver's log capture has truncated the per-query
     // tail before (r13 kept 71/152 times) — persist the full record next
-    // to the code so it survives any capture window
+    // to the code so it survives any capture window. The path anchors on
+    // SPARK_GRAFT_BENCH_OUT when set (r14 advice: a cwd-relative path
+    // lands elsewhere when launched outside the repo root).
     try java.nio.file.Files.write(
-      java.nio.file.Paths.get("bench_last.json"),
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json")),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] bench_last.json write failed: $e")

@@ -992,14 +992,14 @@ final case class IvfIndex(
 
 object IvfIndex {
 
-  /** `base^layers` must fit a long or the layer-membership modulus
-    * silently wraps into deterministic garbage (every layer would
-    * still hash — to the wrong members). The 32-bit md5 prefix also
-    * caps meaningful moduli at 2^32, so the bound is tight, not just
-    * defensive. */
+  /** `base^layers` must fit the 32-bit md5-prefix space or the
+    * layer-membership modulus silently wraps into deterministic
+    * garbage (every layer would still hash — to the wrong members).
+    * Checked on the ACTUAL product (exact BigInt power), not a
+    * bit-length bound — a bit-length form would reject valid stacks
+    * like 16^7 = 2^28 (r14 advice). */
   private[operators] def requireModFits(layers: Int, base: Int): Unit =
-    require(layers * (64.0 - java.lang.Long
-        .numberOfLeadingZeros(base.toLong)) < 32.0,
+    require(BigInt(base).pow(layers) <= (BigInt(1) << 32),
       s"base^layers ($base^$layers) exceeds the 32-bit hash-prefix " +
         "space — lower layers or base")
   val ClusterCol = "__ivf_cluster"

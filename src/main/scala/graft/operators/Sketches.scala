@@ -333,6 +333,15 @@ object Sketches {
   def withCountingBloomHit(df: DataFrame, item: Column,
       cb: DataFrame, mBits: Int, k: Int, out: String): DataFrame = {
     bloomCheck(mBits, k)
+    // collision guards (the repo's convention, r14 advice): a caller
+    // column named like the output or a probe temp would be silently
+    // joined-on or dropped
+    require(!df.columns.contains(out),
+      s"input already has a '$out' column")
+    for (i <- 0 until k; c <- Seq(s"__cp$i", s"__cb$i"))
+      require(!df.columns.contains(c),
+        s"input already has a '$c' column — withCountingBloomHit " +
+          "uses it as a probe temp")
     val probes = bloomProbes(item, mBits, k)
     var cur = df
     val hits = probes.zipWithIndex.map { case (p, i) =>

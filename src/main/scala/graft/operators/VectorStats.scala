@@ -58,16 +58,27 @@ object VectorStats {
     * with the running cells as a streaming aggregation (the
     * max/sum-merge state update — use update or complete output
     * mode). The cross-partition dim tripwire is a window and cannot
-    * run on a stream, so marker cells are dropped before the
-    * aggregation; mixed dims WITHIN a micro-batch partition still
-    * fail loudly in the fold, and the snapshot-equality spec pins the
-    * merged cells against the batch path. Because the cells are exact
-    * integer sums, the streaming state is the artifact — the same
-    * group-merge argument as [[momentsMaintained]]. */
+    * run on a stream, so the `(-2, dim)` marker cells STAY IN STATE
+    * (a `(-2, dim)` group per distinct dim ever seen) and the check
+    * runs at snapshot time: read the state through [[snapshotCells]],
+    * which raises on more than one distinct marker and strips them —
+    * a stream partition feeding a different dim is caught the first
+    * time anyone consumes the artifact, not silently merged (r14
+    * advice). Mixed dims WITHIN a micro-batch partition still fail
+    * loudly in the fold itself. Because the cells are exact integer
+    * sums, the streaming state is the artifact — the same group-merge
+    * argument as [[momentsMaintained]]. */
   def momentsStream(df: DataFrame, vecCol: String): DataFrame =
     momentPartials(df, vecCol)
-      .filter(col("i") =!= -2)
       .groupBy(col("i"), col("j")).agg(sum(col("s")).as("s"))
+
+  /** Consume a [[momentsStream]] state snapshot: assert ONE distinct
+    * dim marker (raise on a mixed-dim keyspace) and strip the marker
+    * rows, yielding the exact [[moments]] cell frame. */
+  def snapshotCells(cells: DataFrame): DataFrame =
+    validateOneDim(cells,
+      "moments: mixed vector dims across stream partitions — the " +
+        "snapshot merges incompatible cell keyspaces")
 
   /** the shared mapPartitions fold: already-keyed `(i, j, s)` partial
     * cells per partition, plus a `(-2, dim, 1)` marker cell per
@@ -138,7 +149,10 @@ object VectorStats {
     * keyspaces would produce silently wrong statistics. The check
     * rides the VALUE column so column pruning cannot elide it; marker
     * rows are removed from the output. */
-  private def validateOneDim(cells: DataFrame): DataFrame = {
+  private def validateOneDim(cells: DataFrame,
+      msg: String = "moments: mixed vector dims across partitions — " +
+        "quantized moments over incompatible cell keyspaces would be " +
+        "meaningless"): DataFrame = {
     // CELLS-sized global window (≤ dim²/2 + dim + marker rows), never
     // the corpus — one extra single-partition exchange over a tiny
     // frame, chosen over a self-join that would re-evaluate the whole
@@ -152,10 +166,7 @@ object VectorStats {
         sum(when(col("i") === -2, 1L).otherwise(0L)).over(w))
       .filter(col("i") =!= -2)
       .select(col("i"), col("j"),
-        when(col("__nd") > 1L, raise_error(lit(
-          "moments: mixed vector dims across partitions — quantized " +
-            "moments over incompatible cell keyspaces would be " +
-            "meaningless")))
+        when(col("__nd") > 1L, raise_error(lit(msg)))
           .otherwise(col("s")).as("s"))
   }
 
@@ -186,7 +197,7 @@ object VectorStats {
             lit(1L).as("s"))))).as("c"))
       .groupBy(col("c.i").as("i"), col("c.j").as("j"))
       .agg(sum(col("c.s")).as("s"))
-      .transform(validateOneDim)
+      .transform(c => validateOneDim(c))
   }
 
   /** Top principal direction by EXACT-INTEGER power iteration over the
@@ -355,13 +366,31 @@ object VectorStats {
     * index delete path knowing its doomed ids). */
   def momentsMaintained(oldCells: DataFrame, appended: DataFrame,
       deleted: DataFrame, vecCol: String): DataFrame = {
+    // pin the batch cell frames: each is consumed twice below (the
+    // merge and its dim marker) and re-deriving one would rescan its
+    // CDC batch — the frames themselves are ≤ dim²/2 + dim + 1 rows
     val plus = moments(appended, vecCol)
-      .select(col("i"), col("j"), col("s"))
+      .select(col("i"), col("j"), col("s")).localCheckpoint()
     val minus = moments(deleted, vecCol)
-      .select(col("i"), col("j"), (-col("s")).as("s"))
-    oldCells.select(col("i"), col("j"), col("s"))
-      .unionByName(plus).unionByName(minus)
-      .groupBy(col("i"), col("j")).agg(sum(col("s")).as("s"))
+      .select(col("i"), col("j"), (-col("s")).as("s")).localCheckpoint()
+    // dim tripwire ACROSS the three cell frames (r14 advice): each
+    // non-empty frame contributes a (-2, its dim) marker derived from
+    // its cell extent; after the merge more than one distinct marker
+    // means a CDC batch carried a different vector dim than the
+    // maintained artifact — silently merging the keyspaces is the
+    // exact failure the within-batch tripwire exists to stop.
+    def marker(cells: DataFrame) = cells.filter(col("i") >= 0)
+      .agg((max(col("i")) + 1).as("d")).filter(col("d").isNotNull)
+      .select(lit(-2).as("i"), col("d").cast("int").as("j"),
+        lit(1L).as("s"))
+    validateOneDim(
+      oldCells.select(col("i"), col("j"), col("s"))
+        .unionByName(plus).unionByName(minus)
+        .unionByName(marker(oldCells)).unionByName(marker(plus))
+        .unionByName(marker(minus))
+        .groupBy(col("i"), col("j")).agg(sum(col("s")).as("s")),
+      "moments: a CDC batch's vector dim differs from the maintained " +
+        "cells' — refusing to merge incompatible cell keyspaces")
   }
 
   /** Per-dimension standardization parameters — the scaler artifact a

@@ -150,17 +150,31 @@ object CorpusStore {
         .filter(col("component_code").isin(affected.map(Integer.valueOf): _*))
         .join(ids.distinct(), corpus("id") === ids(idCol), "left_anti")
         .localCheckpoint()
-      val prev = spark.conf
-        .getOption("spark.sql.sources.partitionOverwriteMode")
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      try survivors.write.mode(SaveMode.Overwrite)
+      // per-writer option, NOT session conf: flipping the session global
+      // for the rewrite window would silently hand dynamic-overwrite
+      // semantics to any concurrent write on this session (the
+      // IvfIndex.deleteByIds discipline)
+      survivors.write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy("component_code").parquet(path)
-      finally prev match {
-        case Some(v) => spark.conf
-          .set("spark.sql.sources.partitionOverwriteMode", v)
-        case None => spark.conf
-          .unset("spark.sql.sources.partitionOverwriteMode")
+      // dynamic overwrite never visits a partition with ZERO survivors —
+      // its stale files would silently outlive the delete. Remove those
+      // directories explicitly (the IvfIndex.deleteByIds gap-closure).
+      val surviving = survivors.select(col("component_code"))
+        .distinct().collect().map(_.getInt(0)).toSet
+      val emptied = affected.filterNot(surviving)
+      if (emptied.nonEmpty) {
+        val conf = spark.sessionState.newHadoopConf()
+        val root = new org.apache.hadoop.fs.Path(path)
+        val fs = root.getFileSystem(conf)
+        emptied.foreach { c =>
+          fs.delete(
+            new org.apache.hadoop.fs.Path(root, s"component_code=$c"), true)
+        }
       }
+      // drop the session's cached file listing: a reader whose listing
+      // predates the rewrite would plan against replaced files
+      spark.catalog.refreshByPath(path)
     }
     affected
   }

@@ -30,7 +30,10 @@ class MomentsStreamSpec extends SparkSpec {
       query.processAllAvailable()
       input.addData(b2: _*)
       query.processAllAvailable()
-      val streamed = spark.table("moment_cells")
+      // the snapshot carries the (-2, dim) marker state — consume it
+      // through snapshotCells, which validates and strips it
+      val streamed = VectorStats.snapshotCells(
+          spark.table("moment_cells"))
         .orderBy("i", "j").collect().map(_.toSeq).toSeq
       val batch = VectorStats.moments(
           (b1 ++ b2).toDF("embedding"), "embedding")
@@ -38,6 +41,33 @@ class MomentsStreamSpec extends SparkSpec {
       assert(streamed == batch,
         s"streamed cells diverged from batch (${streamed.size} vs " +
           s"${batch.size} rows)")
+    } finally query.stop()
+  }
+
+  test("a stream batch with a different dim trips the snapshot-time tripwire") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Seq[Float]]
+    val query = VectorStats.momentsStream(
+        input.toDF().withColumnRenamed("value", "embedding"),
+        "embedding")
+      .writeStream.format("memory").queryName("moment_cells_mixed")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      input.addData((0L until 10L).map(i => vec(i, 0)): _*)
+      query.processAllAvailable()
+      // a second batch of dim-7 vectors: within-partition fold can't
+      // see the dim-6 history, but the marker state can
+      input.addData((0L until 10L).map(i =>
+        (0 until 7).map(j => ((i * 31 + j * 7) % 97) / 97f)): _*)
+      query.processAllAvailable()
+      val ex = intercept[Exception] {
+        VectorStats.snapshotCells(spark.table("moment_cells_mixed"))
+          .collect()
+      }
+      assert(ex.getMessage != null &&
+        ex.getMessage.contains("mixed vector dims"),
+        s"wrong failure: ${ex.getMessage}")
     } finally query.stop()
   }
 }

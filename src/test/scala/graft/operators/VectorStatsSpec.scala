@@ -261,6 +261,22 @@ class VectorStatsSpec extends SparkSpec {
     assert(maintained == fresh)
   }
 
+  test("momentsMaintained refuses a CDC batch whose vector dim differs from the cells'") {
+    import spark.implicits._
+    val old = VectorStats.moments(
+      (0L until 50L).map(i => (0 until 6).map(j =>
+        ((i * 31 + j * 7) % 97) / 97f)).toDF("embedding"), "embedding")
+    val wrongDim = (0L until 10L).map(i => (0 until 7).map(j =>
+      ((i * 31 + j * 7) % 97) / 97f)).toDF("embedding")
+    val ex = intercept[Exception] {
+      VectorStats.momentsMaintained(old, wrongDim,
+        spark.emptyDataset[Seq[Float]].toDF("embedding"), "embedding")
+        .collect()
+    }
+    assert(ex.getMessage != null && ex.getMessage.contains("dim"),
+      s"wrong failure: ${ex.getMessage}")
+  }
+
   test("dimStandardization: hand-checked mean/std, zero-variance std is 0") {
     val r = VectorStats.dimStandardization(df, "embedding")
       .collect().map(x => x.getLong(0) ->

@@ -67,6 +67,32 @@ class DeleteByIdsSpec extends SparkSpec {
     assert(CorpusStore.read(spark, dir).count() == 11)
   }
 
+  test("delete never mutates the session's partitionOverwriteMode (per-writer option only)") {
+    val dir = seed()
+    // a sentinel value proves neither a set nor an unset happened
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    try {
+      CorpusStore.deleteByIds(spark, dir, Seq("doc-1-2").toDF("id"))
+      assert(spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+        == "static",
+        "deleteByIds mutated the session-global overwrite mode")
+    } finally spark.conf
+      .unset("spark.sql.sources.partitionOverwriteMode")
+  }
+
+  test("deleting every row of a partition removes its directory (the dynamic-overwrite gap)") {
+    val dir = seed()
+    val affected = CorpusStore.deleteByIds(spark, dir,
+      (1 to 4).map(i => s"doc-2-$i").toDF("id"))
+    assert(affected == Seq(2))
+    assert(!Files.exists(Paths.get(dir, "component_code=2")),
+      "fully-emptied partition directory must be removed, not left stale")
+    val ids = CorpusStore.read(spark, dir)
+      .select("id").collect().map(_.getString(0)).toSet
+    assert(ids.size == 8 && !ids.exists(_.startsWith("doc-2-")),
+      "doomed partition rows silently survived the delete")
+  }
+
   test("a delete spanning partitions rewrites exactly those partitions") {
     val dir = seed()
     val before2 = filesOf(dir, 2)
