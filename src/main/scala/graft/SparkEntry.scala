@@ -390,6 +390,19 @@ object SparkEntry {
       .write.mode("overwrite").parquet(s"$IvfOracleRoot/pqcos/books")
     s.read.parquet(s"${pqIvfCosRootFor(s, dir)}/data").coalesce(1)
       .write.mode("overwrite").parquet(s"$IvfOracleRoot/pqivfcos/data")
+    // q183's reference side: a FRESH encode of the FULL corpus with
+    // the q73 books and the single root's centroids — the replica the
+    // CDC-maintained root's search must hash-equal. Deliberately NOT
+    // the maintained root's own data: exporting that would only prove
+    // the maintained search self-consistent.
+    val cdcIdx = ivfIndexFor(s, dir)
+    Pq.encode(
+        IvfIndex.assignToCentroids(
+          t(s, dir, "embeddings").select("vec_id", "embedding"),
+          "embedding", cdcIdx.centroids, cdcIdx.clusterIds),
+        "embedding", Pq.load(s, s"${pqRootFor(s, dir)}/books"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$IvfOracleRoot/pqcdc/data")
   }
 
   /** The COMPONENT-SCOPED index for the same corpus: two-level
@@ -553,6 +566,63 @@ object SparkEntry {
       p
     })
 
+  /** The MAINTAINED IVF-PQ root for `dir` (q183): built over a
+    * SABOTAGED snapshot — one in five corpus rows held out, 100
+    * reversed-vector fakes added — then brought to the real corpus by
+    * the CDC lifecycle: [[Pq.deleteEncoded]] retires the fakes
+    * partition-scoped, [[Pq.appendEncoded]] lands the held-out rows
+    * encoded against the FIXED persisted books + centroids (no
+    * refit — the [[IvfIndex.appendTo]] contract for the code
+    * sidecar). q183's oracle replays the search from a FRESH encode
+    * of the full corpus, so the gate's hash equality proves the
+    * maintained code bytes ≡ a fresh build at every candidate. */
+  private val pqCdcPathCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def pqCdcRootFor(s: SparkSession, dir: String): String =
+    pqCdcPathCache.computeIfAbsent(dir, _ => {
+      val idx = ivfIndexFor(s, dir)
+      val books = Pq.load(s, s"${pqRootFor(s, dir)}/books")
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val kept = emb.filter(pmod(col("vec_id"), lit(5L)) =!= 2L)
+      val fakes = emb.filter(pmod(col("vec_id"), lit(5L)) === 4L)
+        .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+          reverse(col("embedding")).as("embedding"))
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_pqcdc_").toString + "/pq"
+      Pq.writeRoot(s, p, kept.unionByName(fakes), "embedding", books,
+        ivf = Some((idx.centroids, idx.clusterIds)))
+      Pq.deleteEncoded(s, p, fakes.select("vec_id"), "vec_id")
+      Pq.appendEncoded(s, p,
+        emb.filter(pmod(col("vec_id"), lit(5L)) === 2L), "embedding")
+      p
+    })
+
+  /** The MAINTAINED binary sign-code root for `dir` (q184): the same
+    * sabotage-then-repair CDC cycle as [[pqCdcRootFor]] over
+    * [[BinaryHash]]'s persisted code column. q184's oracle is q133's
+    * inline-pack replay over the LIVE corpus, so hash equality proves
+    * the persisted + maintained codes match a fresh pack
+    * bit-for-bit. */
+  private val binCdcPathCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def binCdcRootFor(s: SparkSession, dir: String): String =
+    binCdcPathCache.computeIfAbsent(dir, _ => {
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val dim = queryVec(s, dir).length
+      val kept = emb.filter(pmod(col("vec_id"), lit(5L)) =!= 2L)
+      val fakes = emb.filter(pmod(col("vec_id"), lit(5L)) === 4L)
+        .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+          reverse(col("embedding")).as("embedding"))
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_bincdc_").toString + "/bin"
+      BinaryHash.writeRoot(s, p, kept.unionByName(fakes), "embedding",
+        dim)
+      BinaryHash.deleteByIds(s, p, fakes.select("vec_id"), "vec_id")
+      BinaryHash.appendTo(s, p,
+        emb.filter(pmod(col("vec_id"), lit(5L)) === 2L), "embedding")
+      p
+    })
+
   /** the per-query ADC lookup-table CTE shared by the q73/q74/q75
     * oracles — Pq.adcTable's replay: one row per (sub, code) (per
     * (qid, sub, code) when `perQuery`), `partial` = the fixed-order
@@ -613,8 +683,11 @@ ${pqAdcSumSql()}
   /** q74's oracle: q36's per-term-squared probe selection over the
     * single root's exported centroids (the pqivf data preserves that
     * root's assignment), then q73's ADC-table candidate + exact replay
-    * restricted to the probed clusters. */
-  private lazy val ivfPqOracleSql: String = {
+    * restricted to the probed clusters. Parameterized on the data
+    * export so q183 replays the SAME search over the fresh-encode
+    * replica its maintained root must hash-equal. */
+  private lazy val ivfPqOracleSql: String = ivfPqOracleSqlFor("pqivf")
+  private def ivfPqOracleSqlFor(dataSub: String): String = {
     raw"""WITH q AS (
            SELECT embedding::DOUBLE[] AS qv FROM embeddings
            WHERE vec_id = 0),
@@ -633,14 +706,14 @@ ${pqAdcSumSql()}
            SELECT e.vec_id,
 ${pqAdcSumSql()}
              AS d
-           FROM read_parquet('$IvfOracleRoot/pqivf/data/*.parquet') e
+           FROM read_parquet('$IvfOracleRoot/$dataSub/data/*.parquet') e
            WHERE e.__ivf_cluster IN (SELECT cluster_id FROM probes)),
          cand AS (SELECT vec_id FROM ad ORDER BY d, vec_id
                   LIMIT ${pqK * pqRefine})
          SELECT e.vec_id,
            floor(list_distance(e.embedding::DOUBLE[], (SELECT qv FROM q))
              * 1e4 + 0.5::DOUBLE) / 1e4 AS dist
-         FROM read_parquet('$IvfOracleRoot/pqivf/data/*.parquet') e, q
+         FROM read_parquet('$IvfOracleRoot/$dataSub/data/*.parquet') e, q
          WHERE e.vec_id IN (SELECT vec_id FROM cand)
            AND e.__ivf_cluster IN (SELECT cluster_id FROM probes)
          ORDER BY dist, vec_id LIMIT $pqK"""
@@ -5985,6 +6058,43 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
               1L).otherwise(0L)).as("n_overlap"))
           .withColumn("recall_ppm", expr("n_overlap * 1000000 div 5"))
       }.reduce(_.unionByName(_)).orderBy(col("entry_kind"))
+    }),
+
+    "q183_pq_cdc_search" -> ((s, dir) => {
+      // The PQ lifecycle UNDER THE GATE (r14 verdict #1): this root
+      // was built over a sabotaged snapshot (1/5 rows held out, 100
+      // fakes added) and brought to the real corpus by deleteEncoded +
+      // appendEncoded against the FIXED persisted books/centroids. The
+      // entry searches the MAINTAINED root; the oracle replays q74's
+      // probe + ADC + exact re-rank from a FRESH full-corpus encode —
+      // hash equality proves maintained codes == fresh build at every
+      // candidate, not merely that the search is self-consistent.
+      VectorExpressions.ensureRegistered(s)
+      val idx = ivfIndexFor(s, dir)
+      val root = Pq.loadRoot(s, pqCdcRootFor(s, dir))
+      Pq.topKProbed(root.data(s), "vec_id", "embedding",
+          queryVec(s, dir), k = pqK, root.books, idx.centroids,
+          idx.clusterIds, nprobe = 6, refine = pqRefine,
+          tieBreak = Some("vec_id"), rankRoundDp = Some(4))
+        .select(col("vec_id"), col("dist"))
+        .orderBy(col("dist"), col("vec_id"))
+    }),
+
+    "q184_binary_cdc_search" -> ((s, dir) => {
+      // Stored-sign-code search over the MAINTAINED binary root (the
+      // q183 sabotage-then-repair cycle for the sign-code rung): the
+      // prefilter reads the PERSISTED (id, code) pair — 16 bytes/row,
+      // the production pack-once shape — while the oracle re-packs the
+      // live corpus inline (q133's replay), so hash equality proves
+      // the maintained codes match a fresh pack bit-for-bit.
+      VectorExpressions.ensureRegistered(s)
+      val q = queryVec(s, dir)
+      val data = s.read.parquet(
+        s"${binCdcRootFor(s, dir)}/${BinaryHash.DataSubdir}")
+      BinaryHash.topKStored(data, BinaryHash.CodeCol, "embedding",
+        "vec_id", q, k = 10, candidates = 50,
+        rerank = v => KnnSearch.roundHalfUpCol(
+          cosineSimilarityNative(v, KnnSearch.litVec(q)), 4))
     })
   )
 
@@ -6084,6 +6194,32 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
       "           FROM s, g\n" +
       s"           WHERE ${bm25HitSql(idxs)})"
   }
+
+  /** the q133 pack/xor/popcount replay over the LIVE embeddings
+    * table — shared by q133 (inline pack) and q184 (persisted codes
+    * over the CDC-maintained binary root). */
+  private lazy val hammingKnnOracleSql: String =
+    raw"""WITH p AS (
+           SELECT vec_id, embedding,
+             list_sum(list_transform(range(0, 32), i ->
+               CASE WHEN embedding[i + 1] > 0
+                 THEN (1::BIGINT << i) ELSE 0::BIGINT END))::BIGINT AS w0,
+             list_sum(list_transform(range(0, 32), i ->
+               CASE WHEN embedding[i + 33] > 0
+                 THEN (1::BIGINT << i) ELSE 0::BIGINT END))::BIGINT AS w1
+           FROM embeddings),
+         q AS (SELECT w0 AS qw0, w1 AS qw1, embedding AS qe
+               FROM p WHERE vec_id = 0),
+         h AS (
+           SELECT p.vec_id, p.embedding, q.qe,
+             (bit_count(xor(p.w0, q.qw0))
+              + bit_count(xor(p.w1, q.qw1)))::BIGINT AS hamming
+           FROM p CROSS JOIN q),
+         cand AS (SELECT * FROM h ORDER BY hamming, vec_id LIMIT 50)
+         SELECT vec_id, hamming,
+           floor(list_cosine_similarity(embedding::DOUBLE[], qe::DOUBLE[])
+             * 1e4 + 0.5::DOUBLE) / 1e4 AS cos_sim
+         FROM cand ORDER BY cos_sim DESC, vec_id LIMIT 10"""
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -9032,29 +9168,18 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
     // q133: the pack is a sum of distinct powers of two and the
     // distance is xor + popcount — pure integers, replayed verbatim;
     // only the final cosine re-rank rounds (the q31 spelling). 32-bit
-    // words because DuckDB's << range-checks the sign bit.
-    "q133_hamming_knn" ->
-      raw"""WITH p AS (
-           SELECT vec_id, embedding,
-             list_sum(list_transform(range(0, 32), i ->
-               CASE WHEN embedding[i + 1] > 0
-                 THEN (1::BIGINT << i) ELSE 0::BIGINT END))::BIGINT AS w0,
-             list_sum(list_transform(range(0, 32), i ->
-               CASE WHEN embedding[i + 33] > 0
-                 THEN (1::BIGINT << i) ELSE 0::BIGINT END))::BIGINT AS w1
-           FROM embeddings),
-         q AS (SELECT w0 AS qw0, w1 AS qw1, embedding AS qe
-               FROM p WHERE vec_id = 0),
-         h AS (
-           SELECT p.vec_id, p.embedding, q.qe,
-             (bit_count(xor(p.w0, q.qw0))
-              + bit_count(xor(p.w1, q.qw1)))::BIGINT AS hamming
-           FROM p CROSS JOIN q),
-         cand AS (SELECT * FROM h ORDER BY hamming, vec_id LIMIT 50)
-         SELECT vec_id, hamming,
-           floor(list_cosine_similarity(embedding::DOUBLE[], qe::DOUBLE[])
-             * 1e4 + 0.5::DOUBLE) / 1e4 AS cos_sim
-         FROM cand ORDER BY cos_sim DESC, vec_id LIMIT 10""",
+    // words because DuckDB's << range-checks the sign bit. q184 runs
+    // the SAME replay against the stored-code search over the
+    // maintained binary root: the inline pack over the live corpus is
+    // the fresh-build reference its codes must match bit-for-bit.
+    "q133_hamming_knn" -> hammingKnnOracleSql,
+    "q184_binary_cdc_search" -> hammingKnnOracleSql,
+
+    // q183: q74's probe + ADC + exact-re-rank replay, but over the
+    // pqcdc export — a FRESH full-corpus encode with the same books —
+    // while the Spark side searches the CDC-MAINTAINED root.
+    "q183_pq_cdc_search" -> ivfPqOracleSqlFor("pqcdc"),
+
 
     // q134: the q51 split/shingle CTEs verbatim, then the bloom is
     // REBUILT bit-for-bit (24-bit md5 substrings mod 2^20 — exact,

@@ -106,4 +106,103 @@ object BinaryHash {
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)
   }
+
+  // ---- persisted-code CDC lifecycle -----------------------------------
+
+  /** the persisted sign-code column [[withCodes]] adds */
+  private[graft] val CodeCol = "__bin_code"
+
+  /** subdirectories of a persisted binary root */
+  private[graft] val DataSubdir = "data"
+  private[graft] val MetaSubdir = "_bin_meta"
+
+  /** Append the packed sign-code column — the pack-once-at-build pass
+    * the scaladoc's production shape calls for. A null or mis-sized
+    * vector raises instead of landing a null code that would silently
+    * hide the row from every later stored-code search. */
+  def withCodes(df: DataFrame, vecCol: String, dim: Int): DataFrame = {
+    require(!df.columns.contains(CodeCol),
+      s"input already has a '$CodeCol' column")
+    df.withColumn(CodeCol,
+      when(col(vecCol).isNull || size(col(vecCol)) =!= dim,
+        raise_error(concat(
+          lit(s"BinaryHash.withCodes: vector must be non-null with " +
+            s"dim $dim, got dim "),
+          coalesce(size(col(vecCol)).cast("string"), lit("null")))))
+        .otherwise(packCol(col(vecCol), dim)))
+  }
+
+  /** Build a persisted binary root: `data/` carries the corpus with
+    * its packed sign codes, `_bin_meta/` records the dim so a CDC
+    * batch packs in the SAME bit space. Unlike PQ there is no fitted
+    * artifact — the pack is content-deterministic — so the only
+    * maintained invariant is the dimension. */
+  def writeRoot(spark: org.apache.spark.sql.SparkSession, path: String,
+      corpus: DataFrame, vecCol: String, dim: Int): Unit = {
+    import spark.implicits._
+    withCodes(corpus, vecCol, dim)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/$DataSubdir")
+    Seq(dim).toDF("dim")
+      .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/$MetaSubdir")
+  }
+
+  private[graft] def loadDim(spark: org.apache.spark.sql.SparkSession,
+      path: String): Int =
+    spark.read.parquet(s"$path/$MetaSubdir").collect().head.getInt(0)
+
+  /** Append RAW rows to a persisted binary root: pack against the
+    * root's recorded dim (a different-dim batch fails loudly in the
+    * pack guard), land, refresh the listing, fire the invalidation
+    * hooks — the [[Pq.appendEncoded]] contract for the sign-code
+    * rung. */
+  def appendTo(spark: org.apache.spark.sql.SparkSession, path: String,
+      newRows: DataFrame, vecCol: String): Unit = {
+    require(!newRows.columns.contains(CodeCol),
+      s"appendTo takes RAW rows — input already has '$CodeCol'")
+    val dim = loadDim(spark, path)
+    withCodes(newRows, vecCol, dim)
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(s"$path/$DataSubdir")
+    spark.catalog.refreshByPath(s"$path/$DataSubdir")
+    IvfIndex.fireInvalidated(path)
+  }
+
+  /** Targeted deletion from a persisted binary root (flat layout —
+    * the sign-code scan is the cheap full-pass family, so there is no
+    * directory prune to preserve). Idempotent; returns 1 if anything
+    * was deleted. */
+  def deleteByIds(spark: org.apache.spark.sql.SparkSession,
+      path: String, ids: DataFrame, idCol: String): Int = {
+    val n = IvfIndex.flatDelete(spark, s"$path/$DataSubdir", idCol, ids)
+    if (n > 0) IvfIndex.fireInvalidated(path)
+    n
+  }
+
+  /** [[topK]] over the PERSISTED code column — the production query
+    * path: the prefilter reads `(id, code)` (16 bytes/row at dim 64)
+    * and never touches the vector until the `candidates`-row exact
+    * re-rank. A null or mis-sized stored code raises — it means the
+    * row bypassed [[withCodes]] or the root mixes dims, and silently
+    * ranking it would return wrong neighbors with no error. */
+  def topKStored(df: DataFrame, codeCol: String, vecCol: String,
+      idCol: String, qVec: Seq[Float], k: Int, candidates: Int,
+      rerank: Column => Column): DataFrame = {
+    require(candidates >= k, s"candidates ($candidates) must be >= k ($k)")
+    val qBits = packVec(qVec)
+    val nWords = qBits.length
+    val guarded = when(col(codeCol).isNull ||
+        size(col(codeCol)) =!= nWords,
+      raise_error(lit(s"BinaryHash.topKStored: stored code must have " +
+        s"$nWords words — row bypassed withCodes, or the root mixes " +
+        "dims")))
+      .otherwise(hammingCol(col(codeCol), qBits))
+    df.select(col(idCol), col(vecCol), guarded.as("hamming"))
+      .orderBy(col("hamming"), col(idCol))
+      .limit(candidates)
+      .select(col(idCol), col("hamming"), rerank(col(vecCol)).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
 }

@@ -1418,13 +1418,35 @@ object IvfIndex {
     * mid-rewrite is healed by re-running. */
   def deleteByIds(spark: SparkSession, path: String, ids: DataFrame,
       idCol: String, vecCol: String): Int = {
+    val idx = load(spark, path, idCol, vecCol)
+    val parts = idx.componentCol.toSeq :+ ClusterCol
+    val nAffected =
+      partitionScopedDelete(spark, path, idx.assigned, parts, idCol, ids)
+    if (nAffected > 0) {
+      graft.plans.IvfAutoProbe.invalidate(spark, path)
+      fireInvalidated(path)
+    }
+    nAffected
+  }
+
+  /** The partition-scoped delete CORE shared by [[deleteByIds]] and
+    * the encoded-sidecar lifecycles ([[Pq.deleteEncoded]]): rewrite
+    * only the partition directories that hold a doomed id (dynamic
+    * partition overwrite as a PER-WRITER option), remove
+    * fully-emptied directories explicitly (dynamic overwrite never
+    * visits a zero-survivor partition — its stale files would
+    * silently outlive the delete), and refresh the session's file
+    * listing. Returns the affected partition-directory count;
+    * re-running the same delete is a no-op. Cache/probe invalidation
+    * stays with the CALLER — this core knows nothing about what is
+    * derived from the root. */
+  private[operators] def partitionScopedDelete(spark: SparkSession,
+      path: String, data: DataFrame, parts: Seq[String], idCol: String,
+      ids: DataFrame): Int = {
     require(ids.schema.fields.length == 1,
       s"ids must be a 1-column frame, got ${ids.schema.simpleString}")
     val doomed = ids.distinct()
       .withColumnRenamed(ids.columns.head, "__doomed_id")
-    val idx = load(spark, path, idCol, vecCol)
-    val parts = idx.componentCol.toSeq :+ ClusterCol
-    val data = idx.assigned
     // the affected PARTITION TUPLES, via a semi-join (bounded by the
     // partition count, not the corpus)
     val affected = data
@@ -1467,10 +1489,35 @@ object IvfIndex {
       // refresh, a reader in this session can plan against files the
       // overwrite just replaced (FAILED_READ_FILE on the next action)
       spark.catalog.refreshByPath(path)
-      graft.plans.IvfAutoProbe.invalidate(spark, path)
-      fireInvalidated(path)
     }
     nAffected
+  }
+
+  /** Targeted delete from an UNPARTITIONED data directory — the flat
+    * encoded-root twin of [[partitionScopedDelete]]. With no layout to
+    * scope to, any hit rewrites the whole directory (survivors
+    * materialized first — read-while-overwrite refusal); the flat form
+    * is the encode-once artifact shape, the partitioned form is the
+    * scale path. Returns 1 if anything was deleted, else 0 (no-op,
+    * idempotent). */
+  private[operators] def flatDelete(spark: SparkSession, path: String,
+      idCol: String, ids: DataFrame): Int = {
+    require(ids.schema.fields.length == 1,
+      s"ids must be a 1-column frame, got ${ids.schema.simpleString}")
+    val doomed = ids.distinct()
+      .withColumnRenamed(ids.columns.head, "__doomed_id")
+    val data = spark.read.parquet(path)
+    val nDoomed = data
+      .join(doomed, data(idCol) === col("__doomed_id"), "left_semi")
+      .count()
+    if (nDoomed > 0) {
+      val survivors = data
+        .join(doomed, data(idCol) === col("__doomed_id"), "left_anti")
+        .localCheckpoint()
+      survivors.write.mode(SaveMode.Overwrite).parquet(path)
+      spark.catalog.refreshByPath(path)
+      1
+    } else 0
   }
 
   /** Invalidation hooks for DERIVED artifacts keyed on an index root —
@@ -1486,7 +1533,7 @@ object IvfIndex {
     new java.util.concurrent.CopyOnWriteArrayList[String => Unit]()
   def onInvalidated(hook: String => Unit): Unit =
     invalidationHooks.add(hook)
-  private def fireInvalidated(root: String): Unit = {
+  private[operators] def fireInvalidated(root: String): Unit = {
     val it = invalidationHooks.iterator()
     while (it.hasNext) it.next().apply(root)
   }

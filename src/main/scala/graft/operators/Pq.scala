@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{BinaryType, StructField, StructType}
 
@@ -736,5 +736,200 @@ object Pq {
       .select(col("query_id"), col(idCol))
     KnnSearch.batchExactRerank(scan.drop(CodeCol), idCol, vecCol, cand,
       qSet, qidType, k, tieBreak, rankRoundDp, cosine = false)
+  }
+
+  // ---- persisted-root CDC lifecycle -----------------------------------
+
+  /** subdirectories of a persisted PQ root ([[writeRoot]]'s layout) */
+  private[graft] val DataSubdir = "data"
+  private[graft] val BooksSubdir = "books"
+  private[graft] val CentroidsSubdir = "centroids"
+  private[graft] val MetaSubdir = "_pq_meta"
+
+  /** A loaded persisted PQ root: the encoded corpus plus everything a
+    * CDC batch needs to keep it consistent — the FIXED codebooks, the
+    * residual-coding flag, and (for the IVF layout) the fixed
+    * centroids the rows were assigned against. */
+  final case class PqRoot(path: String, books: Codebooks,
+      residual: Boolean,
+      ivf: Option[(Array[Array[Float]], Array[Int])]) {
+    def dataPath: String = s"$path/$DataSubdir"
+    def data(spark: SparkSession): DataFrame =
+      spark.read.parquet(dataPath)
+  }
+
+  /** Build a persisted PQ root from a RAW corpus: assign (IVF layout,
+    * when centroids are passed), encode raw or residual with the
+    * given books, and lay everything out so the root is
+    * SELF-MAINTAINING — `data/` (cluster-partitioned when IVF, so
+    * probe filters prune directories), `books/` (the q73-replayable
+    * sidecar), `centroids/` + `_pq_meta/` (what [[appendEncoded]]
+    * needs to encode a CDC batch identically, without the caller
+    * re-supplying — and mis-supplying — the build-time config).
+    *
+    * This closes the one index family that had no maintenance story
+    * (r14 verdict): without it, any CDC batch left the persisted code
+    * column stale and every later PQ query either rebuilt from
+    * scratch or served retired rows. The reference's index maintains
+    * itself on INSERT (reference embedding/doc_embedder.py:90-114);
+    * this is that contract for the PQ rung, with the same
+    * fixed-artifact trade as [[graft.operators.IvfIndex.appendTo]]:
+    * books and centroids NEVER refit on append — codes drift as the
+    * corpus distribution does, and a rebuild refreshes both. */
+  def writeRoot(spark: SparkSession, path: String, corpus: DataFrame,
+      vecCol: String, books: Codebooks, residual: Boolean = false,
+      ivf: Option[(Array[Array[Float]], Array[Int])] = None): Unit = {
+    import spark.implicits._
+    require(!residual || ivf.nonEmpty,
+      "writeRoot: residual coding needs the IVF layout — pass ivf")
+    require(!(residual && books.normalized),
+      "writeRoot: residual coding composes with L2 books only")
+    val encoded = encodeFor(corpus, vecCol, books, residual, ivf)
+    val w = encoded.write.mode(SaveMode.Overwrite)
+    ivf match {
+      case Some(_) =>
+        w.partitionBy(IvfIndex.ClusterCol).parquet(s"$path/$DataSubdir")
+      case None => w.parquet(s"$path/$DataSubdir")
+    }
+    books.write(spark, s"$path/$BooksSubdir")
+    ivf.foreach { case (cents, cids) =>
+      cids.zip(cents).toSeq
+        .map { case (c, v) => (c, v.toSeq) }
+        .toDF("cluster_id", "centroid")
+        .coalesce(1).write.mode(SaveMode.Overwrite)
+        .parquet(s"$path/$CentroidsSubdir")
+    }
+    Seq(residual).toDF("residual")
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$path/$MetaSubdir")
+  }
+
+  /** the one encode dispatch shared by build and append — a CDC batch
+    * MUST go through the identical arithmetic as the original build
+    * or maintained codes silently diverge from a fresh rebuild */
+  private def encodeFor(corpus: DataFrame, vecCol: String,
+      books: Codebooks, residual: Boolean,
+      ivf: Option[(Array[Array[Float]], Array[Int])]): DataFrame =
+    ivf match {
+      case Some((cents, cids)) =>
+        // rows may arrive pre-assigned (reading an IVF root's layout);
+        // raw rows get nearest-FIXED-centroid assignment, the appendTo
+        // contract
+        val assigned =
+          if (corpus.columns.contains(IvfIndex.ClusterCol)) corpus
+          else IvfIndex.assignToCentroids(corpus, vecCol, cents, cids)
+        if (residual) encodeResidual(assigned, vecCol, books, cents, cids)
+        else encode(assigned, vecCol, books)
+      case None => encode(corpus, vecCol, books)
+    }
+
+  def loadRoot(spark: SparkSession, path: String): PqRoot = {
+    val books = load(spark, s"$path/$BooksSubdir")
+    val residual = spark.read.parquet(s"$path/$MetaSubdir")
+      .collect().head.getBoolean(0)
+    val conf = spark.sessionState.newHadoopConf()
+    val centPath =
+      new org.apache.hadoop.fs.Path(s"$path/$CentroidsSubdir")
+    val ivf =
+      if (centPath.getFileSystem(conf).exists(centPath)) {
+        val rows = spark.read.parquet(centPath.toString).collect()
+          .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+          .sortBy(_._1)
+        Some((rows.map(_._2), rows.map(_._1)))
+      } else None
+    PqRoot(path, books, residual, ivf)
+  }
+
+  /** Append RAW rows to a persisted PQ root: encode against the FIXED
+    * persisted codebooks (no refit — mirroring
+    * [[IvfIndex.appendTo]]'s fixed-centroid contract), assign against
+    * the fixed centroids when the root carries the IVF layout, land
+    * into the same directory layout, refresh the session listing, and
+    * fire the derived-artifact invalidation hooks. Rows must arrive
+    * UN-encoded and un-assigned — a pre-assigned row could carry an
+    * assignment from different centroids, which would silently break
+    * every later probe prune. */
+  def appendEncoded(spark: SparkSession, path: String,
+      newRows: DataFrame, vecCol: String): Unit = {
+    val root = loadRoot(spark, path)
+    require(!newRows.columns.contains(CodeCol),
+      s"appendEncoded takes RAW rows — input already has '$CodeCol'")
+    require(!newRows.columns.contains(IvfIndex.ClusterCol),
+      s"appendEncoded takes RAW rows — input already has " +
+        s"'${IvfIndex.ClusterCol}' (assignment happens here, against " +
+        "the root's own centroids)")
+    val encoded =
+      encodeFor(newRows, vecCol, root.books, root.residual, root.ivf)
+    val w = encoded.write.mode(SaveMode.Append)
+    root.ivf match {
+      case Some(_) =>
+        w.partitionBy(IvfIndex.ClusterCol).parquet(root.dataPath)
+      case None => w.parquet(root.dataPath)
+    }
+    spark.catalog.refreshByPath(root.dataPath)
+    IvfIndex.fireInvalidated(path)
+  }
+
+  /** Targeted deletion from a persisted PQ root — the
+    * removed/changed leg of the CDC cycle ([[graft.operators
+    * .SnapshotDiff]] → deleteEncoded → [[appendEncoded]]). IVF-layout
+    * roots rewrite only the affected cluster directories
+    * ([[IvfIndex.partitionScopedDelete]] — per-writer dynamic
+    * overwrite, zero-survivor directories removed); flat roots
+    * rewrite the data directory. Idempotent; returns the affected
+    * partition count (flat: 1 if anything was deleted). */
+  def deleteEncoded(spark: SparkSession, path: String, ids: DataFrame,
+      idCol: String): Int = {
+    val root = loadRoot(spark, path)
+    val n = root.ivf match {
+      case Some(_) =>
+        IvfIndex.partitionScopedDelete(spark, root.dataPath,
+          root.data(spark), Seq(IvfIndex.ClusterCol), idCol, ids)
+      case None =>
+        IvfIndex.flatDelete(spark, root.dataPath, idCol, ids)
+    }
+    if (n > 0) IvfIndex.fireInvalidated(path)
+    n
+  }
+
+  /** Compact a fragmented PQ root into `destPath` (incremental
+    * [[appendEncoded]] leaves one file per batch per directory; at
+    * scale the small-file COUNT dominates listing + task overhead):
+    * one shuffle keyed on the cluster column (IVF layout) with
+    * `maxRecordsPerFile` bounding sizes, sidecars copied so the
+    * fresh root is [[loadRoot]]-compatible. Copy-compact, never
+    * in-place (the [[graft.sources.CorpusStore.copyCompactInto]]
+    * non-overlap guard) — swap readers to the fresh root after. */
+  def compactRoot(spark: SparkSession, srcPath: String,
+      destPath: String, targetRowsPerFile: Long = 500000L): Unit = {
+    val root = loadRoot(spark, srcPath)
+    root.ivf match {
+      case Some(_) =>
+        graft.sources.CorpusStore.copyCompactInto(root.data(spark),
+          Seq(IvfIndex.ClusterCol), root.dataPath,
+          s"$destPath/$DataSubdir", targetRowsPerFile)
+      case None =>
+        // flat root: no partition key to shuffle on — bound file sizes
+        // on a straight rewrite (the same non-overlap rule applies)
+        require(!(destPath + "/").startsWith(srcPath + "/") &&
+          !(srcPath + "/").startsWith(destPath + "/"),
+          s"compactRoot is copy-based: $destPath must be disjoint " +
+            s"from $srcPath")
+        root.data(spark).write.mode(SaveMode.Overwrite)
+          .option("maxRecordsPerFile", targetRowsPerFile)
+          .parquet(s"$destPath/$DataSubdir")
+    }
+    val conf = spark.sessionState.newHadoopConf()
+    for (sub <- Seq(BooksSubdir, CentroidsSubdir, MetaSubdir)) {
+      val src = new org.apache.hadoop.fs.Path(s"$srcPath/$sub")
+      if (src.getFileSystem(conf).exists(src)) {
+        val dst = new org.apache.hadoop.fs.Path(s"$destPath/$sub")
+        require(org.apache.hadoop.fs.FileUtil.copy(
+          src.getFileSystem(conf), src, dst.getFileSystem(conf), dst,
+          false, conf),
+          s"compactRoot: sidecar copy to $dst failed — destPath is " +
+            "incomplete; re-run")
+      }
+    }
   }
 }
