@@ -230,6 +230,27 @@ object SparkEntry {
     s.read.parquet(path)
   }
 
+  /** The PER-LAYER neighbor graphs of the q162 hash hierarchy
+    * (base 16, two layers), built once per corpus like
+    * [[knnGraphFor]]'s base graph — q181's walked descent traverses
+    * them instead of scanning the layers. Same (k, nprobe, rounding)
+    * as the base graph so the whole graph family shares one
+    * contract. */
+  private val layerGraphPathCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def layerGraphFor(s: SparkSession, dir: String,
+      layer: Int): DataFrame = {
+    val path = layerGraphPathCache.computeIfAbsent(s"$dir|$layer", _ => {
+      val p = java.nio.file.Files
+        .createTempDirectory(s"graft_layergraph${layer}_").toString
+      ivfIndexFor(s, dir)
+        .layerGraph(layer, base = 16, k = 3, nprobe = 2, rankRoundDp = 4)
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+    s.read.parquet(path)
+  }
+
   /** Stale-graph tripwire (round-13 advice): an index mutation
     * ([[IvfIndex.deleteByIds]]/[[IvfIndex.appendTo]]) on a root this
     * object derived a kNN graph from drops the graph-path cache entry,
@@ -240,7 +261,13 @@ object SparkEntry {
     IvfIndex.onInvalidated { root =>
       import scala.jdk.CollectionConverters._
       ivfPathCache.asScala.collect { case (dir, p) if p == root => dir }
-        .foreach(knnGraphPathCache.remove)
+        .foreach { dir =>
+          knnGraphPathCache.remove(dir)
+          // the per-layer graphs derive from the same index root
+          layerGraphPathCache.asScala.keys
+            .filter(_.startsWith(dir + "|"))
+            .foreach(layerGraphPathCache.remove)
+        }
     }
 
   /** Build-once / read-many duplicate-cluster lifecycle (the
@@ -6047,7 +6074,10 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
       val entries = Seq(
         "1_far" -> idx.assigned.agg(max(col("vec_id"))).head().getLong(0),
         "2_coarse" -> idx.coarseEntry(q, sampleMod = 16),
-        "3_hier" -> idx.hierEntry(q, layers = 2, base = 16, nprobe = 2))
+        "3_hier" -> idx.hierEntry(q, layers = 2, base = 16, nprobe = 2),
+        "4_walk" -> idx.hierWalkEntry(
+          (1 to 2).map(l => layerGraphFor(s, dir, l)), q, base = 16,
+          hopsPerLayer = 2))
       entries.map { case (kind, entry) =>
         val walked = idx.beamSearch(graph, q, entry, k = 5, beam = 4,
             hops = 2)
@@ -6058,6 +6088,28 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
               1L).otherwise(0L)).as("n_overlap"))
           .withColumn("recall_ppm", expr("n_overlap * 1000000 div 5"))
       }.reduce(_.unionByName(_)).orderBy(col("entry_kind"))
+    }),
+
+    "q181_hnsw_walked_descent" -> ((s, dir) => {
+      // TRUE per-layer HNSW descent (the r14 structural gap): q162
+      // picked each layer's entry by SCANNING the layer for its
+      // argmin; here each layer is WALKED on its OWN kNN neighbor
+      // graph — min-id top-layer entry (HNSW's fixed topmost point),
+      // a greedy beam-1 walk per layer with the incumbent carried
+      // down — which is the reference index's actual algorithm
+      // (hierarchical HNSW). The walked layer-1 winner then seeds the
+      // SAME 2-hop beam-4 walk as q162. The oracle replays the
+      // per-layer graph builds, both layer walks unrolled hop by hop,
+      // the carry, and the final walk — every step on the rounded
+      // (dist, id) contract.
+      VectorExpressions.ensureRegistered(s)
+      val idx = ivfIndexFor(s, dir)
+      val q = queryVec(s, dir)
+      val graph = knnGraphFor(s, dir)
+      val entry = idx.hierWalkEntry(
+        (1 to 2).map(l => layerGraphFor(s, dir, l)), q, base = 16,
+        hopsPerLayer = 2)
+      idx.beamSearch(graph, q, entry, k = 5, beam = 4, hops = 2)
     }),
 
     "q183_pq_cdc_search" -> ((s, dir) => {
@@ -9945,6 +9997,12 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
     // unrolled walk.
     "q162_hnsw_descent" -> hnswDescentOracleSql,
 
+    // q181: the per-layer graph builds (member-restricted kNN, both
+    // sides), the min-id top-layer entry, both greedy beam-1 layer
+    // walks unrolled hop by hop, the carried incumbent, and the final
+    // 2-hop beam-4 walk — all on the rounded (dist, id) contract.
+    "q181_hnsw_walked_descent" -> walkedDescentOracleSql,
+
     // q163: per-query probe gate × (qid, cluster)-keyed residual ADC
     // tables, per-query candidate cut + exact rounded re-rank.
     "q163_ivf_pq_residual_batch" -> pqResidBatchOracleSql,
@@ -10557,10 +10615,91 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
                            UNION ALL SELECT id, dist FROM e1)
            ORDER BY dist, id LIMIT 1)""")
 
-  /** q180's oracle: the q155 far entry, the q156 coarse entry, and
-    * the q162 descent entry each feeding the SAME unrolled 2-hop walk
-    * over the shared graph CTEs, each result intersected with the
-    * exact top-5 leg. */
+  /** q181's per-layer graph replay: the [[knnGraphOracleCtes]] build
+    * restricted to layer members on BOTH sides (mod on the 32-bit md5
+    * prefix — [[IvfIndex.layerGraph]]'s exact member filter), suffixed
+    * so two layers coexist in one statement. Probe ranks use the same
+    * exact-double list_sum chain as the base graph (the operator ranks
+    * on unrounded squared distance with cluster-id ties). */
+  private def layerGraphOracleCtes(sfx: String, mod: Long): String =
+    s"""mem$sfx AS (
+           SELECT vec_id, embedding, __ivf_cluster FROM data
+           WHERE ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT
+             % $mod = 0),
+         pr$sfx AS (
+           SELECT m.vec_id AS src, c.cluster_id,
+             row_number() OVER (PARTITION BY m.vec_id ORDER BY
+               list_sum(list_transform(range(1, len(c.centroid) + 1),
+                 i -> (m.embedding[i]::DOUBLE - c.centroid[i]::DOUBLE) *
+                      (m.embedding[i]::DOUBLE - c.centroid[i]::DOUBLE))),
+               c.cluster_id) AS pr
+           FROM mem$sfx m CROSS JOIN cent c),
+         pp$sfx AS (SELECT src, cluster_id FROM pr$sfx WHERE pr <= 2),
+         cd$sfx AS (
+           SELECT pp$sfx.src, nn.vec_id AS nbr,
+             floor(list_distance(ds.embedding::DOUBLE[],
+               nn.embedding::DOUBLE[]) * 1e4 + 0.5::DOUBLE) / 1e4
+               AS dist
+           FROM pp$sfx
+           JOIN mem$sfx nn ON nn.__ivf_cluster = pp$sfx.cluster_id
+           JOIN mem$sfx ds ON ds.vec_id = pp$sfx.src
+           WHERE nn.vec_id != pp$sfx.src),
+         g$sfx AS (
+           SELECT src, nbr FROM (
+             SELECT src, nbr,
+               row_number() OVER (PARTITION BY src ORDER BY dist, nbr)
+                 AS rank
+             FROM cd$sfx)
+           WHERE rank <= 3)"""
+
+  /** one greedy beam-1 layer walk, unrolled ([[IvfIndex.beamSearch]]
+    * with beam 1 over a layer graph): `we$sfx` = the best visited node
+    * on the rounded (dist, id) order after `hops` hops from the start
+    * CTE. */
+  private def layerWalkCtes(sfx: String, gName: String,
+      startSql: String, hops: Int = 2): String = {
+    val hopCtes = (1 to hops).map { t =>
+      s"""wc$t$sfx AS (
+           SELECT DISTINCT $gName.nbr AS id FROM $gName
+           JOIN wf${t - 1}$sfx ON $gName.src = wf${t - 1}$sfx.id
+           WHERE $gName.nbr NOT IN (SELECT id FROM wv${t - 1}$sfx)),
+         wf$t$sfx AS (
+           SELECT wc$t$sfx.id FROM wc$t$sfx
+           JOIN d ON d.vec_id = wc$t$sfx.id
+           ORDER BY d.dist, wc$t$sfx.id LIMIT 1),
+         wv$t$sfx AS (SELECT id FROM wv${t - 1}$sfx
+                 UNION ALL SELECT id FROM wf$t$sfx)"""
+    }.mkString(",\n         ")
+    s"""wf0$sfx AS ($startSql),
+         wv0$sfx AS ($startSql),
+         $hopCtes,
+         we$sfx AS (
+           SELECT v.id FROM wv$hops$sfx v JOIN d ON d.vec_id = v.id
+           ORDER BY d.dist, v.id LIMIT 1)"""
+  }
+
+  /** q181's walked-descent entry chain: both layer graphs, the min-id
+    * top-layer entry, the top-layer walk, and the lower-layer walk
+    * seeded by the carried incumbent — final CTE `finalName(id)`. */
+  private def walkedDescentEntryCtes(finalName: String): String =
+    s"""${layerGraphOracleCtes("L2", 256L)},
+         ${layerGraphOracleCtes("L1", 16L)},
+         eT AS (SELECT min(vec_id) AS id FROM memL2),
+         ${layerWalkCtes("T", "gL2", "SELECT id FROM eT")},
+         ${layerWalkCtes("B", "gL1", "SELECT id FROM weT")},
+         $finalName AS (SELECT id FROM weB)"""
+
+  /** q181's oracle: the walked-descent entry chain feeding the shared
+    * unrolled 2-hop beam-4 walk — every layer hop, the carry, and the
+    * final walk replayed on the rounded (dist, id) contract. */
+  private lazy val walkedDescentOracleSql: String =
+    beamWalkOracleSql(hops = 2, beam = 4, k = 5,
+      entryCte = walkedDescentEntryCtes("e"))
+
+  /** q180's oracle: the q155 far entry, the q156 coarse entry, the
+    * q162 descent entry, and the q181 walked-descent entry each
+    * feeding the SAME unrolled 2-hop walk over the shared graph CTEs,
+    * each result intersected with the exact top-5 leg. */
   private lazy val entryStrategyOracleSql: String = {
     val hops = 2; val beam = 4; val k = 5
     def chain(x: String, entryCtes: String): String = {
@@ -10634,10 +10773,12 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
          e_h AS (
            SELECT id FROM (SELECT id, dist FROM e2h
                            UNION ALL SELECT id, dist FROM e1h)
-           ORDER BY dist, id LIMIT 1)""")}
+           ORDER BY dist, id LIMIT 1)""")},
+         ${chain("_w", walkedDescentEntryCtes("e_w"))}
          ${leg("1_far", "_f")}
          UNION ALL ${leg("2_coarse", "_c")}
          UNION ALL ${leg("3_hier", "_h")}
+         UNION ALL ${leg("4_walk", "_w")}
          ORDER BY entry_kind"""
   }
 

@@ -187,9 +187,16 @@ final case class IvfIndex(
     * destination side stays the whole index) — the incremental-repair
     * path [[knnGraphMaintained]] rides: rebuilding `|scope|` rows'
     * neighborhoods costs `|scope|·nprobe` cluster scans, never the
-    * full pair join. */
+    * full pair join.
+    *
+    * `members` restricts BOTH sides to rows matching the predicate —
+    * the per-layer neighbor lists of the HNSW hierarchy
+    * ([[layerGraph]]): a layer's edges must not leave the layer, or
+    * the greedy layer walk would descend early and the per-layer
+    * oracle replay would diverge. */
   def knnGraph(k: Int, nprobe: Int,
-      rankRoundDp: Int = 4, srcScope: Option[Seq[Long]] = None)
+      rankRoundDp: Int = 4, srcScope: Option[Seq[Long]] = None,
+      members: Option[Column] = None)
       : DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val np = math.max(1, math.min(nprobe, nlist))
@@ -203,7 +210,8 @@ final case class IvfIndex(
     // null vectors produce null probe/edge distances, which sort
     // NULLS FIRST into every ranking — exclude them on both sides
     // (r13 advice, the BinaryHash.topK consideration)
-    val nonNull = assigned.filter(col(vecCol).isNotNull)
+    val nonNullAll = assigned.filter(col(vecCol).isNotNull)
+    val nonNull = members.map(nonNullAll.filter).getOrElse(nonNullAll)
     val srcSide = srcScope match {
       case Some(ids) => nonNull.filter(col(idCol).isin(ids: _*))
       case None => nonNull
@@ -382,8 +390,7 @@ final case class IvfIndex(
     graft.plans.VectorExpressions.ensureRegistered(assigned.sparkSession)
     import graft.functions.VectorFunctions.l2DistanceNative
     val probes = probeOrder(query).take(math.max(1, nprobe))
-    val h = conv(substring(md5(col(idCol).cast("string")), 1, 8),
-      16, 10).cast("long")
+    val h = layerHash
     val distC = KnnSearch.roundHalfUpCol(
       l2DistanceNative(col(vecCol), KnnSearch.litVec(query)), rankRoundDp)
     var best: Option[(Double, Long)] = None
@@ -434,8 +441,7 @@ final case class IvfIndex(
     val qDf = spark.createDataFrame(queries.map { case (qid, qv) =>
       (qid, qv, probeOrder(qv).take(np).map(_.toLong))
     }).toDF("__qid", "__qv", "__qp")
-    val h = conv(substring(md5(col(idCol).cast("string")), 1, 8),
-      16, 10).cast("long")
+    val h = layerHash
     val best = scala.collection.mutable.Map[Long, (Double, Long)]()
     for (l <- layers to 1 by -1) {
       val mod = Seq.fill(l)(base.toLong).product
@@ -466,6 +472,73 @@ final case class IvfIndex(
         s"hierEntryBatch: every layer scan came back empty for query " +
           s"$qid — base/layers too aggressive for this corpus"))._2
     }
+  }
+
+  /** the 32-bit md5-prefix membership hash shared by every layer
+    * surface ([[hierEntry]]/[[hierEntryBatch]]/[[layerGraph]]/
+    * [[hierWalkEntry]]) — ONE definition so the hierarchy cannot
+    * drift between the scan path and the walk path */
+  private def layerHash: Column =
+    conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("long")
+
+  /** The PER-LAYER neighbor graph of the md5-prefix hierarchy — the
+    * true HNSW layer structure (the reference's index is hierarchical
+    * HNSW, reference tools/load.py:26): layer ℓ's members (32-bit md5
+    * prefix ≡ 0 mod base^ℓ, the [[hierEntry]] membership) connected
+    * to their `k` nearest OTHER MEMBERS by the same probe-bounded
+    * [[knnGraph]] join with BOTH sides filtered to the layer, so
+    * edges never leave the layer. Built once per layer at index-build
+    * time (each layer graph is `k·n/base^ℓ` rows — geometrically
+    * cheaper than the base graph); [[hierWalkEntry]] walks them. */
+  def layerGraph(layer: Int, base: Int, k: Int, nprobe: Int,
+      rankRoundDp: Int = 4): DataFrame = {
+    require(layer >= 1, s"layer must be >= 1, got $layer")
+    require(base >= 2, s"base must be >= 2, got $base")
+    IvfIndex.requireModFits(layer, base)
+    val mod = Seq.fill(layer)(base.toLong).product
+    knnGraph(k, nprobe, rankRoundDp,
+      members = Some(layerHash % mod === 0L))
+  }
+
+  /** TRUE multi-layer HNSW descent (the r14 structural gap):
+    * [[hierEntry]] picks each layer's entry by SCANNING the layer for
+    * its argmin — correct, but it touches every (probe-pruned) layer
+    * member. This WALKS each layer's own neighbor graph instead,
+    * which is the actual HNSW algorithm: start at the min-id member
+    * of the top layer (HNSW's fixed topmost entry — an id-only
+    * lookup, no distance scan), and at each layer ℓ run the existing
+    * [[beamSearch]] machinery with beam 1 over [[layerGraph]](ℓ) for
+    * `hopsPerLayer` hops; the best visited node on the rounded
+    * (dist, id) order carries down as layer ℓ−1's start (nested
+    * membership guarantees it IS a member of every lower layer).
+    * Rows touched: ≤ layers·(hopsPerLayer·kGraph + 1) point lookups
+    * plus one id-only min — versus [[hierEntry]]'s full layer scans
+    * (spec-measured); entry quality is pinned alongside the other
+    * strategies in q180's comparison. Deterministic hop by hop, so an
+    * unrolled per-layer SQL oracle replays the whole descent
+    * (q181). */
+  def hierWalkEntry(layerGraphs: Seq[DataFrame], query: Seq[Float],
+      base: Int, hopsPerLayer: Int = 2, rankRoundDp: Int = 4): Long = {
+    val layers = layerGraphs.length
+    require(layers >= 1, "hierWalkEntry needs at least one layer graph")
+    require(base >= 2, s"base must be >= 2, got $base")
+    require(hopsPerLayer >= 0,
+      s"hopsPerLayer must be >= 0, got $hopsPerLayer")
+    IvfIndex.requireModFits(layers, base)
+    val topMod = Seq.fill(layers)(base.toLong).product
+    val top = assigned.filter(layerHash % topMod === 0L)
+      .agg(min(col(idCol))).head()
+    require(!top.isNullAt(0),
+      s"hierWalkEntry: top layer (mod $topMod) is empty — lower " +
+        "layers or base")
+    var entry = top.getLong(0)
+    // layerGraphs(l-1) = layer l's graph, walked top layer first
+    for (l <- layers to 1 by -1)
+      entry = beamSearch(layerGraphs(l - 1), query, entry, k = 1,
+        beam = 1, hops = hopsPerLayer, rankRoundDp = rankRoundDp)
+        .head().getLong(0)
+    entry
   }
 
   def beamSearch(graph: DataFrame, query: Seq[Float], entryId: Long,
