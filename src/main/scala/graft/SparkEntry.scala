@@ -10625,7 +10625,7 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
     s"""mem$sfx AS (
            SELECT vec_id, embedding, __ivf_cluster FROM data
            WHERE ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT
-             % $mod = 0),
+             % $mod = 0 AND embedding IS NOT NULL),
          pr$sfx AS (
            SELECT m.vec_id AS src, c.cluster_id,
              row_number() OVER (PARTITION BY m.vec_id ORDER BY

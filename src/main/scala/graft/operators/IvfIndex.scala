@@ -527,7 +527,13 @@ final case class IvfIndex(
       s"hopsPerLayer must be >= 0, got $hopsPerLayer")
     IvfIndex.requireModFits(layers, base)
     val topMod = Seq.fill(layers)(base.toLong).product
-    val top = assigned.filter(layerHash % topMod === 0L)
+    // null-vector rows are excluded from every layer graph (the r13
+    // convention [[knnGraph]] applies to both sides), so a null min-id
+    // top member would have no edges anywhere and its null rounded
+    // distance would sort NULLS FIRST through the whole descent —
+    // exclude them from the entry selection too (r15 advice)
+    val top = assigned
+      .filter(layerHash % topMod === 0L && col(vecCol).isNotNull)
       .agg(min(col(idCol))).head()
     require(!top.isNullAt(0),
       s"hierWalkEntry: top layer (mod $topMod) is empty — lower " +

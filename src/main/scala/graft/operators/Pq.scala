@@ -909,13 +909,22 @@ object Pq {
           Seq(IvfIndex.ClusterCol), root.dataPath,
           s"$destPath/$DataSubdir", targetRowsPerFile)
       case None =>
-        // flat root: no partition key to shuffle on — bound file sizes
-        // on a straight rewrite (the same non-overlap rule applies)
-        require(!(destPath + "/").startsWith(srcPath + "/") &&
-          !(srcPath + "/").startsWith(destPath + "/"),
-          s"compactRoot is copy-based: $destPath must be disjoint " +
-            s"from $srcPath")
-        root.data(spark).write.mode(SaveMode.Overwrite)
+        // flat root: no partition key to shuffle on — repartition to
+        // ceil(rows / targetRowsPerFile) so the small-file COUNT
+        // actually shrinks (r15 verdict: maxRecordsPerFile alone
+        // bounds sizes but keeps one output file per input task, so N
+        // tiny appends came out as N tiny files); the Hadoop-qualified
+        // non-overlap guard is shared with the IVF branch (r15 advice:
+        // a raw string comparison let aliased spellings of the same
+        // directory through, and the lazy read + Overwrite would then
+        // delete the source mid-job)
+        graft.sources.CorpusStore.requireDisjointRoots(spark,
+          root.dataPath, s"$destPath/$DataSubdir")
+        val data = root.data(spark)
+        val nFiles = math.max(1L,
+          (data.count() + targetRowsPerFile - 1L) / targetRowsPerFile)
+        data.repartition(nFiles.toInt)
+          .write.mode(SaveMode.Overwrite)
           .option("maxRecordsPerFile", targetRowsPerFile)
           .parquet(s"$destPath/$DataSubdir")
     }

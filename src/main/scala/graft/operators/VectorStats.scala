@@ -238,6 +238,15 @@ object VectorStats {
       s"need dim/iters/scale >= 1, got ($dim, $iters, $scale)")
     val cells = cellsDf.select(col("i"), col("j"), col("s")).collect()
       .map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    // a raw [[momentsStream]] state still carries its (-2, dim)
+    // markers; silently ignoring them would skip the mixed-dim check
+    // the markers exist for and compute directions over merged
+    // incompatible keyspaces (r15 advice) — force the snapshot
+    // through [[snapshotCells]]
+    require(!cells.keys.exists(_._1 == -2),
+      "powerIterationPc: cells contain stream dim-marker rows " +
+        "(i = -2) — route a momentsStream state snapshot through " +
+        "snapshotCells before consuming it")
     def cell(i: Int, j: Int): BigInt = BigInt(cells.getOrElse((i, j),
       throw new IllegalArgumentException(
         s"powerIterationPc: missing moment cell ($i, $j) — does the " +

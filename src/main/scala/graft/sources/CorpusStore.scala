@@ -234,7 +234,26 @@ object CorpusStore {
   private[graft] def copyCompactInto(df: DataFrame,
       partitionCols: Seq[String], srcPath: String, destPath: String,
       targetRowsPerFile: Long): Unit = {
-    val conf = df.sparkSession.sessionState.newHadoopConf()
+    requireDisjointRoots(df.sparkSession, srcPath, destPath)
+    df.repartition(partitionCols.map(col): _*)
+      .write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", targetRowsPerFile)
+      .partitionBy(partitionCols: _*)
+      .parquet(destPath)
+  }
+
+  /** The copy-compact disjointness guard, shared with every copy-based
+    * rewrite (flat [[graft.operators.Pq.compactRoot]] included — r15
+    * advice: a raw string comparison lets aliased spellings of the
+    * same directory through, e.g. `file:/root/x` vs `/root/x`, and
+    * the lazy read + Overwrite would then delete the source mid-job).
+    * Compares HADOOP-qualified paths: qualification resolves scheme,
+    * authority, and relative paths against the filesystem's working
+    * directory, so equal or ancestor/descendant roots are caught in
+    * any spelling. */
+  private[graft] def requireDisjointRoots(spark: SparkSession,
+      srcPath: String, destPath: String): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
     def qualified(p: String) = {
       val hp = new org.apache.hadoop.fs.Path(p)
       hp.getFileSystem(conf).makeQualified(hp)
@@ -246,11 +265,6 @@ object CorpusStore {
     require(!covers(s, d) && !covers(d, s),
       s"compact is copy-based: destPath must be disjoint from srcPath " +
         s"(got $s vs $d)")
-    df.repartition(partitionCols.map(col): _*)
-      .write.mode(SaveMode.Overwrite)
-      .option("maxRecordsPerFile", targetRowsPerFile)
-      .partitionBy(partitionCols: _*)
-      .parquet(destPath)
   }
 
   // ---- JSON round-trip (S8/S9) ----------------------------------------

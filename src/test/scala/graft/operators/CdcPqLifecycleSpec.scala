@@ -223,6 +223,64 @@ class CdcPqLifecycleSpec extends SparkSpec {
       "stored-code search diverged from the inline-pack search")
   }
 
+  test("all-doomed flat delete leaves a READABLE empty root, and append refills it") {
+    // r15 advice raised this as a schema-inference hazard; on this
+    // Spark the empty-survivors Overwrite writes one schema-bearing
+    // empty part file (SPARK-23271), so the root stays loadRoot- and
+    // read-compatible. Pinned here so a Spark upgrade that regresses
+    // to a part-file-less directory fails THIS spec, not a production
+    // read.
+    val books = Pq.fit(df(snapA), "vec_id", "embedding", m = 4, ksub = 8)
+    val root =
+      Files.createTempDirectory("graft-cdc-pqempty-").toString + "/pq"
+    Pq.writeRoot(spark, root, df(snapA), "embedding", books)
+    assert(Pq.deleteEncoded(spark, root,
+      df(snapA).select("vec_id"), "vec_id") == 1)
+    assert(Pq.loadRoot(spark, root).data(spark).count() == 0L,
+      "empty root must stay readable after an all-doomed delete")
+    Pq.appendEncoded(spark, root, df(snapB.take(10)), "embedding")
+    assert(Pq.loadRoot(spark, root).data(spark).count() == 10L)
+  }
+
+  test("flat compactRoot SHRINKS the file count and refuses aliased paths") {
+    val books = Pq.fit(df(snapA), "vec_id", "embedding", m = 4, ksub = 8)
+    val src =
+      Files.createTempDirectory("graft-cdc-pqfcomp-").toString + "/pq"
+    Pq.writeRoot(spark, src, df(snapA), "embedding", books)
+    for (b <- 0 until 3)
+      Pq.appendEncoded(spark, src,
+        df((140L + b * 5 until 145L + b * 5).map(i => (i, vec(i, 2)))),
+        "embedding")
+    def partFiles(p: String) =
+      new java.io.File(s"$p/${Pq.DataSubdir}").listFiles()
+        .count(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet"))
+    assert(partFiles(src) > 3, "fragmentation premise broken")
+    val dest =
+      Files.createTempDirectory("graft-cdc-pqfcomp-d-").toString + "/pq"
+    // 135 rows at 50/file → exactly ceil(135/50) = 3 files (r15
+    // verdict: maxRecordsPerFile alone left one file per input task)
+    Pq.compactRoot(spark, src, dest, targetRowsPerFile = 50L)
+    assert(partFiles(dest) == 3,
+      s"flat compact must coalesce to ceil(rows/target) files, " +
+        s"got ${partFiles(dest)}")
+    def contents(p: String) = Pq.loadRoot(spark, p).data(spark)
+      .collect().map { r =>
+        r.getLong(0) -> (r.getSeq[Float](1),
+          r.getAs[Array[Byte]](2).toSeq)
+      }.toMap
+    assert(contents(dest) == contents(src))
+    // the disjointness guard must compare HADOOP-qualified paths
+    // (r15 advice): 'file:' + src is the same directory in a different
+    // spelling — a raw string comparison would let it through and the
+    // Overwrite would destroy the source mid-job
+    val e = intercept[IllegalArgumentException] {
+      Pq.compactRoot(spark, src, "file:" + src)
+    }
+    assert(e.getMessage.contains("disjoint"))
+    assert(contents(src).size == 135, "guard must fire BEFORE any write")
+  }
+
   test("append of a wrong-dim batch fails loudly on both roots") {
     val books = Pq.fit(df(snapA), "vec_id", "embedding", m = 4, ksub = 8)
     val pq =

@@ -74,6 +74,32 @@ class HierWalkSpec extends SparkSpec {
       s"walk bound $walkBound must beat the scan's $scanRows scored rows")
   }
 
+  test("a null-vector min-id top member cannot become the descent entry") {
+    // r15 advice: layer graphs exclude null-vector rows on both sides
+    // (the r13 convention), but the top-entry min(id) did not — a
+    // null-vector min-id top member has no edges in ANY layer graph
+    // and a null rounded distance that sorts NULLS FIRST, so the whole
+    // descent silently carried a degenerate entry. Null out the
+    // top-layer min member's vector and pin that the descent now
+    // behaves as if the row were absent.
+    val m = memberIds(2).min
+    val nulled = idx.copy(assigned = idx.assigned
+      .withColumn("embedding",
+        when(col("vec_id") === m, lit(null).cast("array<float>"))
+          .otherwise(col("embedding"))))
+    val dropped = idx.copy(assigned =
+      idx.assigned.filter(col("vec_id") =!= m))
+    val q = vec(7L).map(_ * 1.1f)
+    def descend(i: IvfIndex): Long = i.hierWalkEntry(
+      (1 to layers).map(l =>
+        i.layerGraph(l, base, k = kGraph, nprobe = 2).localCheckpoint()),
+      q, base, hopsPerLayer)
+    val eNulled = descend(nulled)
+    assert(eNulled != m, "descent entry must not be the null-vector row")
+    assert(eNulled == descend(dropped),
+      "a null-vector row must act exactly like an absent row")
+  }
+
   test("entry quality: walked descent's downstream recall matches the scanning descent's on this corpus") {
     val graph = idx.knnGraph(k = kGraph, nprobe = 2).localCheckpoint()
     def recallFrom(entry: Long, q: Seq[Float]): Double = {

@@ -70,4 +70,25 @@ class MomentsStreamSpec extends SparkSpec {
         s"wrong failure: ${ex.getMessage}")
     } finally query.stop()
   }
+
+  test("powerIterationPcFromCells refuses a RAW stream state (markers present)") {
+    // r15 advice: the PCA consumer used to silently ignore unknown
+    // keys, so feeding it raw momentsStream state bypassed the
+    // mixed-dim check the (-2, dim) markers exist for — it must force
+    // the snapshotCells route instead
+    import spark.implicits._
+    val dim = 4
+    val corpus = (0L until 20L).map(i => Tuple1(vec(i, 0).take(dim)))
+      .toDF("embedding")
+    val raw = VectorStats.momentsStream(corpus, "embedding")
+    val ex = intercept[IllegalArgumentException] {
+      VectorStats.powerIterationPcFromCells(spark, raw, dim)
+    }
+    assert(ex.getMessage.contains("snapshotCells"),
+      s"wrong failure: ${ex.getMessage}")
+    // and the sanctioned route works on the very same frame
+    val viaSnapshot = VectorStats.powerIterationPcFromCells(spark,
+      VectorStats.snapshotCells(raw), dim).collect()
+    assert(viaSnapshot.length == dim)
+  }
 }
