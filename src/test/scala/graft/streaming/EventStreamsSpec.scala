@@ -443,6 +443,86 @@ class EventStreamsSpec extends SparkSpec {
     assert(spark.read.parquet(path).count() == baseCount + rows.length)
   }
 
+  test("servingSearch: stream results == per-batch searchBatch; appends visible next trigger; markers skip re-delivery") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    import graft.operators.IvfIndex
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val base = emb.filter(col("vec_id") % 2 === 0)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-serve-").toString
+    val path = s"$tmp/ivf"
+    IvfIndex.build(base, "vec_id", "embedding", nlist = 8).write(path)
+    val out = s"$tmp/out"
+
+    val qs = emb.filter(col("vec_id") % 2 === 1)
+      .select("vec_id", "embedding").orderBy("vec_id").limit(6)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val (b1, b2) = qs.splitAt(3)
+    val input = MemoryStream[(Long, Seq[Float])]
+    val queries = input.toDF().toDF("qid", "qv")
+    // the embed seam reduced to a projection, as in the ingest spec
+    val embedStage = (df: DataFrame) => df.select(col("qid"), col("qv"))
+    def expectedFor(batch: Array[(Long, Seq[Float])]) =
+      IvfIndex.load(spark, path, "vec_id", "embedding")
+        .searchBatch(batch.toSeq.toDF("qid", "qv"), "qid", "qv",
+          k = 5, nprobe = 3, tieBreak = "vec_id", rankRoundDp = Some(4))
+        .select(col("query_id"), col("vec_id"), col("dist"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+    def start() = EventStreams.servingSearch(queries, embedStage,
+        "qid", "qv", path, "vec_id", "embedding", out, "serve-a",
+        k = 5, nprobe = 3)
+      .option("checkpointLocation", s"$tmp/ckpt").start()
+    val query = start()
+    val (exp1, exp2) =
+      try {
+        input.addData(b1.toSeq: _*)
+        query.processAllAvailable()
+        val e1 = expectedFor(b1) // BEFORE the append — batch 1's snapshot
+        // a vector appended between triggers must be searchable at the
+        // NEXT trigger (the serving face re-lists the root per batch)
+        IvfIndex.appendTo(spark, path,
+          Seq((900001L, b2.head._2)).toDF("vec_id", "embedding"),
+          "vec_id", "embedding")
+        input.addData(b2.toSeq: _*)
+        query.processAllAvailable()
+        (e1, expectedFor(b2))
+      } finally query.stop()
+
+    def results() = spark.read.parquet(s"$out/results")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(results() == exp1 ++ exp2,
+      "streamed results must equal the per-micro-batch searchBatch runs")
+    assert((exp1 ++ exp2).contains((b2.head._1, 900001L, 0.0)),
+      "the between-trigger append must answer batch 2's first query " +
+        "at distance 0")
+    val markers =
+      new java.io.File(s"$out/${EventStreams.ServingLogDir}/serve-a")
+        .listFiles()
+    assert(markers != null && markers.map(_.getName)
+      .filterNot(_.startsWith(".")).toSet == Set("batch-0", "batch-1"))
+
+    // re-delivery: a fresh checkpoint restarts batchIds at 0, so
+    // feeding batch 1's rows again hits the batch-0 marker and is
+    // SKIPPED — result rows must not duplicate
+    val nBefore = results().size
+    val input2 = MemoryStream[(Long, Seq[Float])]
+    val query2 = EventStreams.servingSearch(
+        input2.toDF().toDF("qid", "qv"), embedStage,
+        "qid", "qv", path, "vec_id", "embedding", out, "serve-a",
+        k = 5, nprobe = 3)
+      .option("checkpointLocation", s"$tmp/ckpt2").start()
+    try {
+      input2.addData(b1.toSeq: _*)
+      query2.processAllAvailable()
+    } finally query2.stop()
+    assert(results().size == nBefore,
+      "a marker-committed batch must not re-append its results")
+  }
+
   test("dedupStream batch form dedups on the same fingerprint") {
     import spark.implicits._
     val batch = Seq(
