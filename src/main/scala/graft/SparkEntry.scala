@@ -453,6 +453,13 @@ object SparkEntry {
       .write.mode("overwrite").parquet(s"$IvfOracleRoot/pqcos/books")
     s.read.parquet(s"${pqIvfCosRootFor(s, dir)}/data").coalesce(1)
       .write.mode("overwrite").parquet(s"$IvfOracleRoot/pqivfcos/data")
+    val opqRoot = opqRootFor(s, dir)
+    s.read.parquet(s"$opqRoot/${Pq.DataSubdir}").coalesce(1)
+      .write.mode("overwrite").parquet(s"$IvfOracleRoot/opq/data")
+    s.read.parquet(s"$opqRoot/${Pq.BooksSubdir}").coalesce(1)
+      .write.mode("overwrite").parquet(s"$IvfOracleRoot/opq/books")
+    s.read.parquet(s"$opqRoot/${Pq.PermSubdir}").coalesce(1)
+      .write.mode("overwrite").parquet(s"$IvfOracleRoot/opq/perm")
     // q183's reference side: a FRESH encode of the FULL corpus with
     // the q73 books and the single root's centroids — the replica the
     // CDC-maintained root's search must hash-equal. Deliberately NOT
@@ -533,6 +540,8 @@ object SparkEntry {
   // q75's batch layout (mirrors q68's: 3 queries, smaller k/nprobe)
   private val pqBatchK = 3
   private val pqBatchNprobe = 4
+  /** q182's recall-panel size (queries vec_id < opqNq) */
+  private val opqNq = 10
   private def pqRootFor(s: SparkSession, dir: String): String =
     pqPathCache.computeIfAbsent(dir, _ => {
       val emb = t(s, dir, "embeddings")
@@ -543,6 +552,30 @@ object SparkEntry {
       Pq.encode(emb, "embedding", books).write.mode("overwrite")
         .parquet(s"$p/data")
       books.write(s, s"$p/books")
+      p
+    })
+
+  /** The OPQ root for `dir` (q182): the same corpus at the SAME code
+    * budget (m, ksub) as [[pqRootFor]], but the coordinates are
+    * variance-balance PERMUTED ([[Pq.opqPermutation]] — the
+    * eigenvalue-allocation move of OPQ, derived from the exact integer
+    * moment cells) before the subspace split, books trained on the
+    * permuted sample, and the whole thing persisted through
+    * [[Pq.writeRoot]] with the permutation as a sidecar — so the root
+    * is BORN maintained: [[Pq.appendEncoded]] re-applies the stored
+    * permutation through the shared encode dispatch. */
+  private val opqPathCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def opqRootFor(s: SparkSession, dir: String): String =
+    opqPathCache.computeIfAbsent(dir, _ => {
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val perm = Pq.opqPermutation(emb, "embedding", pqM)
+      val books = Pq.fit(
+        emb.withColumn("__opq_vec", Pq.permuteCol("embedding", perm)),
+        "vec_id", "__opq_vec", m = pqM, ksub = pqKsub)
+      val p = java.nio.file.Files.createTempDirectory("graft_opq_")
+        .toString
+      Pq.writeRoot(s, p, emb, "embedding", books, perm = Some(perm))
       p
     })
 
@@ -711,10 +744,11 @@ object SparkEntry {
     * literal `p0 + p1 + … + p7` chain is the same IEEE sequence as the
     * Scala fold (0.0 + p0 ≡ p0). `corr` correlates the lookup to the
     * row's query in the batch oracle (e.g. "tab.qid = pr.qid AND"). */
-  private def pqAdcSumSql(corr: String = ""): String =
+  private def pqAdcSumSql(corr: String = "",
+      tab: String = "tab"): String =
     (0 until pqM).map { sub =>
-      s"""        (SELECT partial FROM tab
-           WHERE $corr tab.sub = $sub AND tab.code = CAST(concat('0x',
+      s"""        (SELECT partial FROM $tab
+           WHERE $corr $tab.sub = $sub AND $tab.code = CAST(concat('0x',
              substr(hex(e.__pq_code), ${2 * sub + 1}, 2)) AS INT))"""
     }.mkString("\n      + \n")
 
@@ -741,6 +775,92 @@ ${pqAdcSumSql()}
          FROM read_parquet('$IvfOracleRoot/pq/data/*.parquet') e, q
          WHERE e.vec_id IN (SELECT vec_id FROM cand)
          ORDER BY dist, vec_id LIMIT $pqK"""
+  }
+
+  /** q182's oracle: BOTH recall chains replayed end to end. The plain
+    * leg is q73's machinery verbatim (pq books/data export, raw
+    * query); the OPQ leg re-applies the exported permutation to the
+    * query (`list(qv[src_dim + 1] ORDER BY pos)` — the literal
+    * `rotated(p) = v(perm(p))` contract), builds its ADC table from
+    * the OPQ books, cuts candidates on the OPQ codes, and exact
+    * re-ranks on the ORIGINAL vectors and raw query (the rotation
+    * never touches the exact pass). Recall legs count overlap with
+    * the shared exact top-k. */
+  private lazy val opqRecallOracleSql: String = {
+    def chain(x: String, tab: String, data: String): String =
+      s"""ad$x AS (
+           SELECT q.qid, e.vec_id,
+${pqAdcSumSql(s"$tab.qid = q.qid AND", tab = tab)}
+             AS d
+           FROM read_parquet('$IvfOracleRoot/$data/*.parquet') e, q),
+         cand$x AS (
+           SELECT qid, vec_id FROM (
+             SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY d, vec_id) AS rn
+             FROM ad$x)
+           WHERE rn <= ${pqK * pqRefine}),
+         rr$x AS MATERIALIZED (
+           SELECT qid, vec_id FROM (
+             SELECT c.qid, e.vec_id,
+               row_number() OVER (PARTITION BY c.qid ORDER BY
+                 floor(list_distance(e.embedding::DOUBLE[], q.qv)
+                   * 1e4 + 0.5::DOUBLE) / 1e4, e.vec_id) AS rn
+             FROM cand$x c
+             JOIN q ON q.qid = c.qid
+             JOIN read_parquet('$IvfOracleRoot/$data/*.parquet') e
+               ON e.vec_id = c.vec_id)
+           WHERE rn <= $pqK),
+         cnt$x AS (
+           SELECT count(*) AS c FROM rr$x
+           JOIN ex ON ex.qid = rr$x.qid AND ex.id_e = rr$x.vec_id)"""
+    raw"""WITH q AS MATERIALIZED (
+           SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < $opqNq),
+         qo AS MATERIALIZED (
+           SELECT q.qid, list(q.qv[p.src_dim + 1] ORDER BY p.pos) AS qv
+           FROM read_parquet('$IvfOracleRoot/opq/perm/*.parquet') p, q
+           GROUP BY q.qid),
+         ex AS MATERIALIZED (
+           SELECT qid, vec_id AS id_e FROM (
+             SELECT q.qid, e.vec_id,
+               row_number() OVER (PARTITION BY q.qid ORDER BY
+                 floor(list_distance(e.embedding::DOUBLE[], q.qv)
+                   * 1e4 + 0.5::DOUBLE) / 1e4, e.vec_id) AS rn
+             FROM embeddings e, q)
+           WHERE rn <= $pqK),
+         tabP AS MATERIALIZED (
+           SELECT q.qid, cb.sub, cb.code,
+             list_sum(list_transform(range(1, len(cb.centroid) + 1),
+               j -> (cb.centroid[j]::DOUBLE
+                       - q.qv[cb.sub * len(cb.centroid) + j]) *
+                    (cb.centroid[j]::DOUBLE
+                       - q.qv[cb.sub * len(cb.centroid) + j])))
+               AS partial
+           FROM read_parquet('$IvfOracleRoot/pq/books/*.parquet') cb,
+                q),
+         tabO AS MATERIALIZED (
+           SELECT qo.qid, cb.sub, cb.code,
+             list_sum(list_transform(range(1, len(cb.centroid) + 1),
+               j -> (cb.centroid[j]::DOUBLE
+                       - qo.qv[cb.sub * len(cb.centroid) + j]) *
+                    (cb.centroid[j]::DOUBLE
+                       - qo.qv[cb.sub * len(cb.centroid) + j])))
+               AS partial
+           FROM read_parquet('$IvfOracleRoot/opq/books/*.parquet') cb,
+                qo),
+         ${chain("P", "tabP", "pq/data")},
+         ${chain("O", "tabO", "opq/data")}
+         SELECT method, n_overlap, recall_ppm FROM (
+           SELECT '1_pq' AS method,
+             (SELECT c FROM cntP)::BIGINT AS n_overlap,
+             ((SELECT c FROM cntP) * 1000000 // ${pqK * opqNq})::BIGINT
+               AS recall_ppm
+           UNION ALL
+           SELECT '2_opq',
+             (SELECT c FROM cntO)::BIGINT,
+             ((SELECT c FROM cntO) * 1000000 // ${pqK * opqNq})::BIGINT)
+         ORDER BY method"""
   }
 
   /** q74's oracle: q36's per-term-squared probe selection over the
@@ -6152,6 +6272,59 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
       idx.beamSearch(graph, q, entry, k = 5, beam = 4, hops = 2)
     }),
 
+    "q182_opq_recall" -> ((s, dir) => {
+      // OPQ vs plain PQ at EQUAL code budget (same m, ksub — same
+      // m bytes/row): the variance-balancing dimension permutation
+      // (Pq.opqPermutation — OPQ's eigenvalue-allocation move, derived
+      // from the exact integer moment cells) is applied before the
+      // subspace split, books re-trained on the permuted sample, and
+      // both pipelines' final recall@10 against the exact scan is
+      // reported side by side — the recall evidence the brief asks
+      // for, hashed. The oracle replays BOTH chains end to end: the
+      // exported permutation re-applied to the query, both ADC tables
+      // from the exported books, both candidate cuts, both exact
+      // re-ranks.
+      VectorExpressions.ensureRegistered(s)
+      val emb = t(s, dir, "embeddings")
+      // a 10-query panel, not one probe: single-query recall at this
+      // code budget swings ±2 hits on fit noise — the aggregate is
+      // what the comparison claims anything about
+      val qDf = emb.filter(col("vec_id") < opqNq)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        .localCheckpoint()
+      val exact = emb.crossJoin(broadcast(qDf))
+        .select(col("qid"), col("vec_id"),
+          KnnSearch.roundHalfUpCol(
+            l2DistanceNative(col("embedding"), col("qv")), 4).as("d"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(col("d"), col("vec_id"))))
+        .filter(col("rn") <= pqK)
+        .select(col("qid").as("qid_e"), col("vec_id").as("id_e"))
+        .localCheckpoint()
+      def leg(method: String, root: String, books: Pq.Codebooks,
+          perm: Option[Array[Int]]): DataFrame = {
+        val res = Pq.topKBatch(
+            s.read.parquet(s"$root/${Pq.DataSubdir}"), "vec_id",
+            "embedding", qDf, "qid", "qv", k = pqK, books,
+            refine = pqRefine, tieBreak = "vec_id",
+            rankRoundDp = Some(4), perm = perm)
+          .select(col("query_id"), col("vec_id").as("id_a"))
+        res.join(exact, col("query_id") === col("qid_e") &&
+            col("id_a") === col("id_e"))
+          .agg(lit(method).as("method"),
+            count(lit(1)).as("n_overlap"))
+          .withColumn("recall_ppm",
+            expr(s"n_overlap * 1000000 div ${pqK * opqNq}"))
+      }
+      val plainRoot = pqRootFor(s, dir)
+      val opqRoot = Pq.loadRoot(s, opqRootFor(s, dir))
+      leg("1_pq", plainRoot, Pq.load(s, s"$plainRoot/books"), None)
+        .unionByName(
+          leg("2_opq", opqRoot.path, opqRoot.books, opqRoot.perm))
+        .orderBy(col("method"))
+    }),
+
     "q183_pq_cdc_search" -> ((s, dir) => {
       // The PQ lifecycle UNDER THE GATE (r14 verdict #1): this root
       // was built over a sabotaged snapshot (1/5 rows held out, 100
@@ -10042,6 +10215,12 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
     // walks unrolled hop by hop, the carried incumbent, and the final
     // 2-hop beam-4 walk — all on the rounded (dist, id) contract.
     "q181_hnsw_walked_descent" -> walkedDescentOracleSql,
+
+    // q182: both PQ recall chains — the exported OPQ permutation
+    // re-applied to the query, both ADC tables from the exported
+    // books, both candidate cuts and exact re-ranks, recall vs the
+    // shared exact top-k
+    "q182_opq_recall" -> opqRecallOracleSql,
 
     // q163: per-query probe gate × (qid, cluster)-keyed residual ADC
     // tables, per-query candidate cut + exact rounded re-rank.

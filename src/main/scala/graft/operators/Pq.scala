@@ -333,13 +333,16 @@ object Pq {
       refine: Int = 4,
       tieBreak: Option[String] = None,
       rankRoundDp: Option[Int] = None,
-      metric: KnnSearch.Metric = KnnSearch.NativeL2): DataFrame = {
+      metric: KnnSearch.Metric = KnnSearch.NativeL2,
+      perm: Option[Array[Int]] = None): DataFrame = {
     require(encoded.columns.contains(IvfIndex.ClusterCol),
       s"corpus has no '${IvfIndex.ClusterCol}' column — IVF-PQ needs " +
         "the IVF cluster layout (assign + partition first, then encode)")
     // cosine probes rank ANGULARLY on the raw query (the quantized-key
     // ranking the whole cosine IVF family uses) — the books contract
-    // itself is enforced inside topK
+    // itself is enforced inside topK. Probes rank on the RAW query:
+    // assignment is in the original coordinates (encodeFor), the OPQ
+    // permutation only reorders what the CODES see.
     val cosine =
       requireMetricMatchesBooks(metric, books, "Pq.topKProbed")
     val probes =
@@ -348,7 +351,7 @@ object Pq {
         .take(math.max(1, nprobe))
     topK(encoded.filter(col(IvfIndex.ClusterCol).isin(probes: _*)),
       idCol, vecCol, query, k, books, refine, tieBreak, rankRoundDp,
-      metric)
+      metric, perm)
   }
 
   /** the PQ metric↔books contract (the SQ8 family's metric↔grid
@@ -384,23 +387,32 @@ object Pq {
       refine: Int = 4,
       tieBreak: Option[String] = None,
       rankRoundDp: Option[Int] = None,
-      metric: KnnSearch.Metric = KnnSearch.NativeL2): DataFrame = {
+      metric: KnnSearch.Metric = KnnSearch.NativeL2,
+      perm: Option[Array[Int]] = None): DataFrame = {
     require(encoded.columns.contains(CodeCol),
       s"corpus has no '$CodeCol' column — Pq.encode it first")
     require(k > 0, s"k must be > 0, got $k")
     require(refine >= 1, s"refine must be >= 1, got $refine")
     require(query.length == books.dim,
       s"query has dim ${query.length}, codebooks ${books.dim}")
+    perm.foreach(p => require(p.length == books.dim,
+      s"perm has length ${p.length}, codebooks dim ${books.dim}"))
     val cosine = requireMetricMatchesBooks(metric, books, "Pq.topK")
     val spark = encoded.sparkSession
     graft.plans.VectorExpressions.ensureRegistered(spark)
     val bc = spark.sparkContext.broadcast(books)
+    // OPQ roots: the codes live in the PERMUTED coordinate order, so
+    // the ADC table is built against the permuted query (permute FIRST
+    // — encode normalizes the permuted vector, so the cosine path must
+    // too); the exact re-rank below stays on the raw query and raw
+    // vectors, untouched by the rotation
+    val qRot = perm.map(p => p.map(i => query(i))).getOrElse(query.toArray)
     // cosine: the codes represent unit-normalized vectors, so the ADC
     // table is built against the unit-normalized query (on the unit
     // sphere L2² is monotone in cosine distance); the exact re-rank
     // below scores TRUE cosine over the raw vectors and raw query
     val q =
-      if (cosine) IvfIndex.unitNormalize(query).toArray else query.toArray
+      if (cosine) IvfIndex.unitNormalize(qRot.toSeq).toArray else qRot
     val narrow = encoded.select(col(idCol), col(CodeCol))
     val idIdx = 0
     val codeIdx = 1
@@ -581,6 +593,61 @@ object Pq {
     * true L2 over raw vectors, floor-form rounding, per-query rank. At
     * scale: Σ_q nprobe/nlist row-scores over one union scan instead of
     * |queries| separate scans. */
+  /** Batch face of the FLAT [[topK]] (the {flat, IVF} × {single,
+    * batch} matrix's last open cell, opened for q182's multi-query
+    * recall eval): per-query ADC tables built once driver-side
+    * (m·ksub doubles per query), ONE narrow (id, code) corpus scan
+    * scores every row for every query via the shared per-partition
+    * heap pass, then the shared exact re-rank — per query bit-equal
+    * to [[topK]] at the same (refine, rankRoundDp) (spec-asserted).
+    * `perm` is the OPQ contract of [[topK]]: ADC tables on the
+    * permuted queries, exact re-rank untouched. */
+  def topKBatch(
+      encoded: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      k: Int,
+      books: Codebooks,
+      refine: Int = 4,
+      tieBreak: String = "",
+      rankRoundDp: Option[Int] = None,
+      metric: KnnSearch.Metric = KnnSearch.NativeL2,
+      perm: Option[Array[Int]] = None): DataFrame = {
+    require(encoded.columns.contains(CodeCol),
+      s"corpus has no '$CodeCol' column — Pq.encode it first")
+    require(k > 0, s"k must be > 0, got $k")
+    require(refine >= 1, s"refine must be >= 1, got $refine")
+    for (c <- Seq("dist", "query_id", "__qv", "__pq_d"))
+      require(!encoded.columns.contains(c),
+        s"corpus already has a '$c' column — topKBatch adds it")
+    val cosine = requireMetricMatchesBooks(metric, books, "Pq.topKBatch")
+    val spark = encoded.sparkSession
+    graft.plans.VectorExpressions.ensureRegistered(spark)
+    val qSet = KnnSearch.collectQueries(queries, queryIdCol, queryVecCol)
+    val tables = qSet.map { q =>
+      val qRot = perm.map(p => p.map(i => q._2(i))).getOrElse(q._2)
+      adcTable(books,
+        if (cosine) IvfIndex.unitNormalize(qRot.toSeq).toArray else qRot)
+    }
+    val m = books.m
+    val ksub = books.ksub
+    val scorer = KnnSearch.RawScorer { (row, codeIdx, qi, _) =>
+      adcScore(tables(qi), row.getAs[Array[Byte]](codeIdx), m, ksub)
+    }
+    val qidType = queries.schema(queryIdCol).dataType
+    val cand = KnnSearch.topKBatchCollected(
+      encoded.select(col(idCol), col(CodeCol)),
+      CodeCol, qSet, qidType, k * refine, tieBreak = idCol,
+      distCol = "__pq_d", rankRoundDp = None,
+      rawScorer = Some(scorer))
+      .select(col("query_id"), col(idCol))
+    KnnSearch.batchExactRerank(encoded.drop(CodeCol), idCol, vecCol,
+      cand, qSet, qidType, k, tieBreak, rankRoundDp, cosine = cosine)
+  }
+
   def topKBatchProbed(
       encoded: DataFrame,
       idCol: String,
@@ -738,6 +805,74 @@ object Pq {
       qSet, qidType, k, tieBreak, rankRoundDp, cosine = false)
   }
 
+  // ---- OPQ: variance-balanced dimension permutation --------------------
+
+  /** OPQ rotation restricted to a PERMUTATION matrix — the
+    * eigenvalue-allocation idea of Optimized Product Quantization
+    * (Ge et al., CVPR 2013: balance information across the m subspaces
+    * before splitting) applied directly to the coordinate dimensions:
+    * sort dims by variance, then greedily deal them into the m
+    * subspace buckets, each dim landing in the not-yet-full bucket
+    * with the smallest variance PRODUCT (the independence-assumption
+    * objective of the parametric OPQ solution). A permutation is
+    * exactly orthogonal, costs one array reorder per row to apply
+    * (never a dim² matmul), exports as a dim-row sidecar a SQL oracle
+    * replays verbatim, and — unlike a learned dense rotation — keeps
+    * every downstream code path in the engine's replayable-arithmetic
+    * regime.
+    *
+    * Derived ENTIRELY from the exact integer moment cells
+    * ([[VectorStats.moments]] — one corpus pass, the same artifact the
+    * PCA family consumes): scaled variance per dim is
+    * `n·Σqᵢ² − (Σqᵢ)²` in BigInt, bucket products multiply
+    * `(var + 1)` in BigInt (the +1 keeps a zero-variance dim from
+    * pinning its bucket's product at 0 and absorbing every later
+    * dim), so the permutation is a pure integer function of the corpus
+    * — no doubles, no RNG, replayable anywhere. Ties: equal variance →
+    * lower dim first; equal product → lower bucket index.
+    *
+    * Returns `perm` where `perm(outPos) = srcDim` — row layout
+    * `rotated(p) = v(perm(p))`, subspace `s` owning positions
+    * `[s·dsub, (s+1)·dsub)`. */
+  def opqPermutation(df: DataFrame, vecCol: String, m: Int): Array[Int] = {
+    val cells = VectorStats.moments(df, vecCol)
+      .select(col("i"), col("j"), col("s")).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    require(cells.getOrElse((-1, -1), 0L) > 0,
+      "opqPermutation: empty corpus")
+    val n = BigInt(cells((-1, -1)))
+    val dim = cells.keys.collect { case (i, -1) if i >= 0 => i }.max + 1
+    require(m > 0 && dim % m == 0,
+      s"opqPermutation: m=$m must divide dim=$dim")
+    val dsub = dim / m
+    val varScaled = Array.tabulate(dim) { i =>
+      n * BigInt(cells((i, i))) - BigInt(cells((i, -1))).pow(2)
+    }
+    val order = (0 until dim).sortWith { (a, b) =>
+      varScaled(a) > varScaled(b) ||
+        (varScaled(a) == varScaled(b) && a < b)
+    }
+    val buckets = Array.fill(m)(Vector.empty[Int])
+    val prod = Array.fill(m)(BigInt(1))
+    for (d <- order) {
+      val b = (0 until m).filter(buckets(_).length < dsub)
+        .minBy(b => (prod(b), b))
+      buckets(b) = buckets(b) :+ d
+      prod(b) *= (varScaled(d) + 1)
+    }
+    buckets.flatten
+  }
+
+  /** the rotated row — `out(p) = v(perm(p))`, a narrow codegen'd
+    * array of getItems (no UDF, no shuffle); null rows stay null so
+    * [[encode]]'s null guard still fires with its clear message */
+  def permuteCol(vecCol: String, perm: Array[Int]): org.apache.spark.sql.Column =
+    when(col(vecCol).isNull, lit(null))
+      .otherwise(array(perm.map(i => col(vecCol).getItem(i)): _*))
+
+  /** temp column carrying the permuted vector through an OPQ encode */
+  private val OpqVecCol = "__opq_vec"
+
   // ---- persisted-root CDC lifecycle -----------------------------------
 
   /** subdirectories of a persisted PQ root ([[writeRoot]]'s layout) */
@@ -745,14 +880,17 @@ object Pq {
   private[graft] val BooksSubdir = "books"
   private[graft] val CentroidsSubdir = "centroids"
   private[graft] val MetaSubdir = "_pq_meta"
+  private[graft] val PermSubdir = "opq_perm"
 
   /** A loaded persisted PQ root: the encoded corpus plus everything a
     * CDC batch needs to keep it consistent — the FIXED codebooks, the
-    * residual-coding flag, and (for the IVF layout) the fixed
-    * centroids the rows were assigned against. */
+    * residual-coding flag, (for the IVF layout) the fixed centroids
+    * the rows were assigned against, and (for an OPQ root) the fixed
+    * dimension permutation the codes were trained under. */
   final case class PqRoot(path: String, books: Codebooks,
       residual: Boolean,
-      ivf: Option[(Array[Array[Float]], Array[Int])]) {
+      ivf: Option[(Array[Array[Float]], Array[Int])],
+      perm: Option[Array[Int]] = None) {
     def dataPath: String = s"$path/$DataSubdir"
     def data(spark: SparkSession): DataFrame =
       spark.read.parquet(dataPath)
@@ -778,13 +916,20 @@ object Pq {
     * corpus distribution does, and a rebuild refreshes both. */
   def writeRoot(spark: SparkSession, path: String, corpus: DataFrame,
       vecCol: String, books: Codebooks, residual: Boolean = false,
-      ivf: Option[(Array[Array[Float]], Array[Int])] = None): Unit = {
+      ivf: Option[(Array[Array[Float]], Array[Int])] = None,
+      perm: Option[Array[Int]] = None): Unit = {
     import spark.implicits._
     require(!residual || ivf.nonEmpty,
       "writeRoot: residual coding needs the IVF layout — pass ivf")
     require(!(residual && books.normalized),
       "writeRoot: residual coding composes with L2 books only")
-    val encoded = encodeFor(corpus, vecCol, books, residual, ivf)
+    require(!(residual && perm.nonEmpty),
+      "writeRoot: OPQ permutation composes with raw or IVF coding, " +
+        "not residual (the residual geometry is per-cluster)")
+    perm.foreach(p => require(p.length == books.dim &&
+      p.sorted.sameElements(0 until books.dim),
+      s"writeRoot: perm must be a permutation of 0 until ${books.dim}"))
+    val encoded = encodeFor(corpus, vecCol, books, residual, ivf, perm)
     val w = encoded.write.mode(SaveMode.Overwrite)
     ivf match {
       case Some(_) =>
@@ -802,26 +947,43 @@ object Pq {
     Seq(residual).toDF("residual")
       .coalesce(1).write.mode(SaveMode.Overwrite)
       .parquet(s"$path/$MetaSubdir")
+    perm.foreach { p =>
+      p.zipWithIndex.map { case (src, pos) => (pos, src) }.toSeq
+        .toDF("pos", "src_dim")
+        .coalesce(1).write.mode(SaveMode.Overwrite)
+        .parquet(s"$path/$PermSubdir")
+    }
   }
 
   /** the one encode dispatch shared by build and append — a CDC batch
     * MUST go through the identical arithmetic as the original build
-    * or maintained codes silently diverge from a fresh rebuild */
+    * or maintained codes silently diverge from a fresh rebuild. An
+    * OPQ permutation rotates the row into a TEMP column; the original
+    * vector rides through untouched for the exact re-rank. */
   private def encodeFor(corpus: DataFrame, vecCol: String,
       books: Codebooks, residual: Boolean,
-      ivf: Option[(Array[Array[Float]], Array[Int])]): DataFrame =
+      ivf: Option[(Array[Array[Float]], Array[Int])],
+      perm: Option[Array[Int]] = None): DataFrame = {
+    def encodePerm(df: DataFrame): DataFrame = perm match {
+      case Some(p) =>
+        encode(df.withColumn(OpqVecCol, permuteCol(vecCol, p)),
+          OpqVecCol, books).drop(OpqVecCol)
+      case None => encode(df, vecCol, books)
+    }
     ivf match {
       case Some((cents, cids)) =>
         // rows may arrive pre-assigned (reading an IVF root's layout);
         // raw rows get nearest-FIXED-centroid assignment, the appendTo
-        // contract
+        // contract. Assignment is on the RAW vector — the permutation
+        // only reorders the coordinates the CODES are trained on.
         val assigned =
           if (corpus.columns.contains(IvfIndex.ClusterCol)) corpus
           else IvfIndex.assignToCentroids(corpus, vecCol, cents, cids)
         if (residual) encodeResidual(assigned, vecCol, books, cents, cids)
-        else encode(assigned, vecCol, books)
-      case None => encode(corpus, vecCol, books)
+        else encodePerm(assigned)
+      case None => encodePerm(corpus)
     }
+  }
 
   def loadRoot(spark: SparkSession, path: String): PqRoot = {
     val books = load(spark, s"$path/$BooksSubdir")
@@ -837,7 +999,14 @@ object Pq {
           .sortBy(_._1)
         Some((rows.map(_._2), rows.map(_._1)))
       } else None
-    PqRoot(path, books, residual, ivf)
+    val permPath = new org.apache.hadoop.fs.Path(s"$path/$PermSubdir")
+    val perm =
+      if (permPath.getFileSystem(conf).exists(permPath))
+        Some(spark.read.parquet(permPath.toString).collect()
+          .map(r => (r.getInt(0), r.getInt(1)))
+          .sortBy(_._1).map(_._2))
+      else None
+    PqRoot(path, books, residual, ivf, perm)
   }
 
   /** Append RAW rows to a persisted PQ root: encode against the FIXED
@@ -858,8 +1027,8 @@ object Pq {
       s"appendEncoded takes RAW rows — input already has " +
         s"'${IvfIndex.ClusterCol}' (assignment happens here, against " +
         "the root's own centroids)")
-    val encoded =
-      encodeFor(newRows, vecCol, root.books, root.residual, root.ivf)
+    val encoded = encodeFor(newRows, vecCol, root.books, root.residual,
+      root.ivf, root.perm)
     val w = encoded.write.mode(SaveMode.Append)
     root.ivf match {
       case Some(_) =>
@@ -929,7 +1098,7 @@ object Pq {
           .parquet(s"$destPath/$DataSubdir")
     }
     val conf = spark.sessionState.newHadoopConf()
-    for (sub <- Seq(BooksSubdir, CentroidsSubdir, MetaSubdir)) {
+    for (sub <- Seq(BooksSubdir, CentroidsSubdir, MetaSubdir, PermSubdir)) {
       val src = new org.apache.hadoop.fs.Path(s"$srcPath/$sub")
       if (src.getFileSystem(conf).exists(src)) {
         val dst = new org.apache.hadoop.fs.Path(s"$destPath/$sub")
