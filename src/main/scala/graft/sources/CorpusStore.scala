@@ -250,13 +250,30 @@ object CorpusStore {
     * Compares HADOOP-qualified paths: qualification resolves scheme,
     * authority, and relative paths against the filesystem's working
     * directory, so equal or ancestor/descendant roots are caught in
-    * any spelling. */
+    * any spelling. Qualification alone leaves `..` segments and
+    * symlinks unresolved (r16 advice: `/root/x/../x` or a symlinked
+    * alias of srcPath would pass a qualified-only compare), so the
+    * qualified URI is normalized and, on the local filesystem,
+    * canonicalized via `java.io.File` — which resolves symlinks on
+    * the existing prefix even when the leaf (a not-yet-written
+    * destPath) does not exist. Remote schemes get best-effort
+    * `FileSystem.resolvePath`. */
   private[graft] def requireDisjointRoots(spark: SparkSession,
       srcPath: String, destPath: String): Unit = {
     val conf = spark.sessionState.newHadoopConf()
     def qualified(p: String) = {
       val hp = new org.apache.hadoop.fs.Path(p)
-      hp.getFileSystem(conf).makeQualified(hp)
+      val fs = hp.getFileSystem(conf)
+      // qualify first (now absolute), then URI-normalize the '..'/'.'
+      // segments Hadoop Path preserves
+      val norm = new org.apache.hadoop.fs.Path(
+        fs.makeQualified(hp).toUri.normalize())
+      if (norm.toUri.getScheme == "file")
+        fs.makeQualified(new org.apache.hadoop.fs.Path(
+          new java.io.File(norm.toUri.getPath).getCanonicalPath))
+      else
+        try fs.resolvePath(norm)
+        catch { case _: java.io.IOException => norm }
     }
     val (s, d) = (qualified(srcPath), qualified(destPath))
     def covers(a: org.apache.hadoop.fs.Path,

@@ -357,8 +357,12 @@ object EventStreams {
     * rows, but the marker spares the search too). The crash window
     * BETWEEN result commit and marker write duplicates that one
     * batch's rows (at-least-once with duplication, never loss) —
-    * collapse on (`servingId`, query id, result id) downstream when it
-    * matters. `servingId` must be 1:1 with the checkpoint lifecycle,
+    * result rows carry `batch_id` so the collapse key is
+    * (`servingId`, `batch_id`, query id, result id): without the
+    * batch identity, a query id legitimately RE-SUBMITTED in a later
+    * batch would be indistinguishable from a duplicate delivery and
+    * downstream dedup would drop real answers (r16 advice).
+    * `servingId` must be 1:1 with the checkpoint lifecycle,
     * exactly like `ingestId`: batchIds restart at 0 for a fresh
     * checkpoint, and stale markers from an earlier lifecycle would
     * silently swallow the new stream's first answers.
@@ -401,7 +405,8 @@ object EventStreams {
               // searchBatch's output carries the query id as `query_id`
               idx.searchBatch(embedded, queryIdCol, queryVecCol, k,
                   nprobe, tieBreak = idCol, rankRoundDp = rankRoundDp)
-                .select(col("query_id"), col(idCol), col("dist"))
+                .select(col("query_id"), col(idCol), col("dist"),
+                  lit(batchId).as("batch_id"))
                 .write.mode("append").parquet(s"$outPath/results")
             }
             fs.create(marker, true).close()

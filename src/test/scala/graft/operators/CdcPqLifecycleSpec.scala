@@ -278,6 +278,22 @@ class CdcPqLifecycleSpec extends SparkSpec {
       Pq.compactRoot(spark, src, "file:" + src)
     }
     assert(e.getMessage.contains("disjoint"))
+    // '..' segments survive Hadoop qualification (r16 advice): the
+    // same directory spelled through its parent must also be refused
+    val srcDir = new java.io.File(src)
+    val dotted = s"${srcDir.getParent}/../${srcDir.getParentFile.getName}/pq"
+    val e2 = intercept[IllegalArgumentException] {
+      Pq.compactRoot(spark, src, dotted)
+    }
+    assert(e2.getMessage.contains("disjoint"))
+    // a symlinked alias of the source directory must be refused too
+    val linkParent = Files.createTempDirectory("graft-cdc-pqfcomp-l-")
+    val link = linkParent.resolve("alias")
+    Files.createSymbolicLink(link, java.nio.file.Paths.get(srcDir.getParent))
+    val e3 = intercept[IllegalArgumentException] {
+      Pq.compactRoot(spark, src, s"$link/pq")
+    }
+    assert(e3.getMessage.contains("disjoint"))
     assert(contents(src).size == 135, "guard must fire BEFORE any write")
   }
 

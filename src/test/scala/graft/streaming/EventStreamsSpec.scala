@@ -491,11 +491,20 @@ class EventStreamsSpec extends SparkSpec {
         (e1, expectedFor(b2))
       } finally query.stop()
 
-    def results() = spark.read.parquet(s"$out/results")
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    def resultsWithBatch() = spark.read.parquet(s"$out/results")
+      .select("query_id", "vec_id", "dist", "batch_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
       .toSet
+    def results() = resultsWithBatch().map(t => (t._1, t._2, t._3))
     assert(results() == exp1 ++ exp2,
       "streamed results must equal the per-micro-batch searchBatch runs")
+    // rows carry their micro-batch identity (r16 advice: the crash
+    // window's dedup key needs batch_id or a re-submitted query id in
+    // a later batch would collapse with its earlier answers)
+    assert(resultsWithBatch() ==
+      exp1.map(t => (t._1, t._2, t._3, 0L)) ++
+        exp2.map(t => (t._1, t._2, t._3, 1L)),
+      "result rows must carry the emitting micro-batch's batch_id")
     assert((exp1 ++ exp2).contains((b2.head._1, 900001L, 0.0)),
       "the between-trigger append must answer batch 2's first query " +
         "at distance 0")
