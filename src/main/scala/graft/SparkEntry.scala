@@ -460,6 +460,24 @@ object SparkEntry {
       .write.mode("overwrite").parquet(s"$IvfOracleRoot/opq/books")
     s.read.parquet(s"$opqRoot/${Pq.PermSubdir}").coalesce(1)
       .write.mode("overwrite").parquet(s"$IvfOracleRoot/opq/perm")
+    // q182's anisotropic-slice roots (r16 verdict #2)
+    val apRoot = anisoPqRootFor(s, dir)
+    s.read.parquet(s"$apRoot/data").coalesce(1)
+      .write.mode("overwrite").parquet(s"$IvfOracleRoot/p182a/data")
+    s.read.parquet(s"$apRoot/books").coalesce(1)
+      .write.mode("overwrite").parquet(s"$IvfOracleRoot/p182a/books")
+    val aoRoot = anisoOpqRootFor(s, dir)
+    s.read.parquet(s"$aoRoot/${Pq.DataSubdir}").coalesce(1)
+      .write.mode("overwrite").parquet(s"$IvfOracleRoot/o182a/data")
+    s.read.parquet(s"$aoRoot/${Pq.BooksSubdir}").coalesce(1)
+      .write.mode("overwrite").parquet(s"$IvfOracleRoot/o182a/books")
+    s.read.parquet(s"$aoRoot/${Pq.PermSubdir}").coalesce(1)
+      .write.mode("overwrite").parquet(s"$IvfOracleRoot/o182a/perm")
+    // q185's probed-OPQ root (read BACK the persisted root so the
+    // oracle sees partition-column types as a fresh reader would)
+    s.read.parquet(s"${opqIvfRootFor(s, dir)}/${Pq.DataSubdir}")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$IvfOracleRoot/o185/data")
     // q183's reference side: a FRESH encode of the FULL corpus with
     // the q73 books and the single root's centroids — the replica the
     // CDC-maintained root's search must hash-equal. Deliberately NOT
@@ -576,6 +594,77 @@ object SparkEntry {
       val p = java.nio.file.Files.createTempDirectory("graft_opq_")
         .toString
       Pq.writeRoot(s, p, emb, "embedding", books, perm = Some(perm))
+      p
+    })
+
+  /** q182's ANISOTROPIC slice (r16 verdict #2): the driver corpus's
+    * hash-derived embeddings have near-uniform per-dim variance, so
+    * on the real corpus the OPQ and plain-PQ legs TIE — variance
+    * balancing has nothing to balance, and the gate could not detect
+    * a pessimal permutation. This slice scales the first
+    * [[opqAnisoBand]] dims by 8 (a power of two, so the float
+    * multiply is EXACT and the oracle replays it verbatim as
+    * `embedding[j]::DOUBLE * 8`): the hot band then fills exactly
+    * two of the m=8 subspaces under identity layout, while the
+    * variance-balanced permutation deals 2 hot dims to each bucket —
+    * the constructed-anisotropy shape PqSpec proves separates. */
+  private val opqAnisoBand = 16
+  private def anisoEmb(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings").select(col("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        when(i < lit(opqAnisoBand), x * lit(8.0f)).otherwise(x))
+        .as("embedding"))
+
+  private val anisoPqPathCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def anisoPqRootFor(s: SparkSession, dir: String): String =
+    anisoPqPathCache.computeIfAbsent(dir, _ => {
+      val emb = anisoEmb(s, dir)
+      val books = Pq.fit(emb, "vec_id", "embedding", m = pqM,
+        ksub = pqKsub)
+      val p = java.nio.file.Files.createTempDirectory("graft_pqa_")
+        .toString
+      Pq.encode(emb, "embedding", books).write.mode("overwrite")
+        .parquet(s"$p/data")
+      books.write(s, s"$p/books")
+      p
+    })
+
+  private val anisoOpqPathCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def anisoOpqRootFor(s: SparkSession, dir: String): String =
+    anisoOpqPathCache.computeIfAbsent(dir, _ => {
+      val emb = anisoEmb(s, dir)
+      val perm = Pq.opqPermutation(emb, "embedding", pqM)
+      val books = Pq.fit(
+        emb.withColumn("__opq_vec", Pq.permuteCol("embedding", perm)),
+        "vec_id", "__opq_vec", m = pqM, ksub = pqKsub)
+      val p = java.nio.file.Files.createTempDirectory("graft_opqa_")
+        .toString
+      Pq.writeRoot(s, p, emb, "embedding", books, perm = Some(perm))
+      p
+    })
+
+  /** The OPQ × IVF root for `dir` (q185 — r16 verdict #8: writeRoot
+    * composes perm with the IVF layout but no query exercised the
+    * PROBED OPQ path): the single IVF root's cluster layout with
+    * OPQ-permuted codes — [[opqRootFor]]'s books and permutation (one
+    * fit serves both OPQ roots, exactly as [[pqIvfRootFor]] shares
+    * [[pqRootFor]]'s), rows assigned against the single root's
+    * centroids and partitioned by cluster so probe filters prune
+    * directories. Probes rank on the RAW query (assignment is in the
+    * original coordinates); only the CODES see the permutation. */
+  private val opqIvfPathCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def opqIvfRootFor(s: SparkSession, dir: String): String =
+    opqIvfPathCache.computeIfAbsent(dir, _ => {
+      val idx = ivfIndexFor(s, dir)
+      val flat = Pq.loadRoot(s, opqRootFor(s, dir))
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val p = java.nio.file.Files.createTempDirectory("graft_opqivf_")
+        .toString
+      Pq.writeRoot(s, p, emb, "embedding", flat.books,
+        ivf = Some((idx.centroids, idx.clusterIds)), perm = flat.perm)
       p
     })
 
@@ -777,89 +866,128 @@ ${pqAdcSumSql()}
          ORDER BY dist, vec_id LIMIT $pqK"""
   }
 
-  /** q182's oracle: BOTH recall chains replayed end to end. The plain
+  /** q182's oracle: every recall chain replayed end to end. The plain
     * leg is q73's machinery verbatim (pq books/data export, raw
-    * query); the OPQ leg re-applies the exported permutation to the
+    * query); each OPQ leg re-applies its exported permutation to the
     * query (`list(qv[src_dim + 1] ORDER BY pos)` — the literal
     * `rotated(p) = v(perm(p))` contract), builds its ADC table from
     * the OPQ books, cuts candidates on the OPQ codes, and exact
-    * re-ranks on the ORIGINAL vectors and raw query (the rotation
-    * never touches the exact pass). Recall legs count overlap with
-    * the shared exact top-k. */
+    * re-ranks on the (panel's) vectors and un-permuted query (the
+    * rotation never touches the exact pass). The aniso panel scales
+    * the first [[opqAnisoBand]] dims by 8 IN SQL — a power-of-two
+    * float multiply is exact, so `embedding[j]::DOUBLE * 8` equals
+    * the Spark-side scaled float bit for bit — and runs at refine=1
+    * against its own exact top-k. Perm rows re-derive the linear and
+    * quadratic position-weighted checksums from the exported perm
+    * sidecars. Null-embedding rows are excluded everywhere the Spark
+    * side excludes them (r16 advice). */
   private lazy val opqRecallOracleSql: String = {
-    def chain(x: String, tab: String, data: String): String =
+    def chain(x: String, tab: String, data: String, q: String,
+        ex: String, refine: Int): String =
       s"""ad$x AS (
-           SELECT q.qid, e.vec_id,
-${pqAdcSumSql(s"$tab.qid = q.qid AND", tab = tab)}
+           SELECT $q.qid, e.vec_id,
+${pqAdcSumSql(s"$tab.qid = $q.qid AND", tab = tab)}
              AS d
-           FROM read_parquet('$IvfOracleRoot/$data/*.parquet') e, q),
+           FROM read_parquet('$IvfOracleRoot/$data/*.parquet') e, $q),
          cand$x AS (
            SELECT qid, vec_id FROM (
              SELECT qid, vec_id,
                row_number() OVER (PARTITION BY qid
                                   ORDER BY d, vec_id) AS rn
              FROM ad$x)
-           WHERE rn <= ${pqK * pqRefine}),
+           WHERE rn <= ${pqK * refine}),
          rr$x AS MATERIALIZED (
            SELECT qid, vec_id FROM (
              SELECT c.qid, e.vec_id,
                row_number() OVER (PARTITION BY c.qid ORDER BY
-                 floor(list_distance(e.embedding::DOUBLE[], q.qv)
+                 floor(list_distance(e.embedding::DOUBLE[], $q.qv)
                    * 1e4 + 0.5::DOUBLE) / 1e4, e.vec_id) AS rn
              FROM cand$x c
-             JOIN q ON q.qid = c.qid
+             JOIN $q ON $q.qid = c.qid
              JOIN read_parquet('$IvfOracleRoot/$data/*.parquet') e
                ON e.vec_id = c.vec_id)
            WHERE rn <= $pqK),
          cnt$x AS (
            SELECT count(*) AS c FROM rr$x
-           JOIN ex ON ex.qid = rr$x.qid AND ex.id_e = rr$x.vec_id)"""
+           JOIN $ex ON $ex.qid = rr$x.qid AND $ex.id_e = rr$x.vec_id)"""
+    def adcTab(name: String, books: String, q: String): String =
+      s"""$name AS MATERIALIZED (
+           SELECT $q.qid, cb.sub, cb.code,
+             list_sum(list_transform(range(1, len(cb.centroid) + 1),
+               j -> (cb.centroid[j]::DOUBLE
+                       - $q.qv[cb.sub * len(cb.centroid) + j]) *
+                    (cb.centroid[j]::DOUBLE
+                       - $q.qv[cb.sub * len(cb.centroid) + j])))
+               AS partial
+           FROM read_parquet('$IvfOracleRoot/$books/*.parquet') cb,
+                $q)"""
+    def exTopK(name: String, q: String, embExpr: String): String =
+      s"""$name AS MATERIALIZED (
+           SELECT qid, vec_id AS id_e FROM (
+             SELECT $q.qid, e.vec_id,
+               row_number() OVER (PARTITION BY $q.qid ORDER BY
+                 floor(list_distance($embExpr, $q.qv)
+                   * 1e4 + 0.5::DOUBLE) / 1e4, e.vec_id) AS rn
+             FROM embeddings e, $q
+             WHERE e.embedding IS NOT NULL)
+           WHERE rn <= $pqK)"""
+    def permuted(name: String, q: String, perm: String): String =
+      s"""$name AS MATERIALIZED (
+           SELECT $q.qid, list($q.qv[p.src_dim + 1] ORDER BY p.pos)
+             AS qv
+           FROM read_parquet('$IvfOracleRoot/$perm/*.parquet') p, $q
+           GROUP BY $q.qid)"""
+    val anisoSql =
+      s"""list_transform(range(1, len(e.embedding) + 1),
+             j -> CASE WHEN j <= $opqAnisoBand
+                  THEN e.embedding[j]::DOUBLE * 8
+                  ELSE e.embedding[j]::DOUBLE END)"""
+    def recallRow(m: String, cnt: String): String =
+      s"""SELECT '$m' AS method,
+             (SELECT c FROM $cnt)::BIGINT AS n_overlap,
+             ((SELECT c FROM $cnt) * 1000000 // ${pqK * opqNq})::BIGINT
+               AS recall_ppm"""
+    def permSum(name: String, perm: String): String =
+      s"""$name AS (
+           SELECT sum((pos + 1) * (src_dim + 1))::BIGINT AS lin,
+             sum((pos + 1) * (pos + 1) * (src_dim + 1))::BIGINT AS quad
+           FROM read_parquet('$IvfOracleRoot/$perm/*.parquet'))"""
     raw"""WITH q AS MATERIALIZED (
            SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
-           FROM embeddings WHERE vec_id < $opqNq),
-         qo AS MATERIALIZED (
-           SELECT q.qid, list(q.qv[p.src_dim + 1] ORDER BY p.pos) AS qv
-           FROM read_parquet('$IvfOracleRoot/opq/perm/*.parquet') p, q
-           GROUP BY q.qid),
-         ex AS MATERIALIZED (
-           SELECT qid, vec_id AS id_e FROM (
-             SELECT q.qid, e.vec_id,
-               row_number() OVER (PARTITION BY q.qid ORDER BY
-                 floor(list_distance(e.embedding::DOUBLE[], q.qv)
-                   * 1e4 + 0.5::DOUBLE) / 1e4, e.vec_id) AS rn
-             FROM embeddings e, q)
-           WHERE rn <= $pqK),
-         tabP AS MATERIALIZED (
-           SELECT q.qid, cb.sub, cb.code,
-             list_sum(list_transform(range(1, len(cb.centroid) + 1),
-               j -> (cb.centroid[j]::DOUBLE
-                       - q.qv[cb.sub * len(cb.centroid) + j]) *
-                    (cb.centroid[j]::DOUBLE
-                       - q.qv[cb.sub * len(cb.centroid) + j])))
-               AS partial
-           FROM read_parquet('$IvfOracleRoot/pq/books/*.parquet') cb,
-                q),
-         tabO AS MATERIALIZED (
-           SELECT qo.qid, cb.sub, cb.code,
-             list_sum(list_transform(range(1, len(cb.centroid) + 1),
-               j -> (cb.centroid[j]::DOUBLE
-                       - qo.qv[cb.sub * len(cb.centroid) + j]) *
-                    (cb.centroid[j]::DOUBLE
-                       - qo.qv[cb.sub * len(cb.centroid) + j])))
-               AS partial
-           FROM read_parquet('$IvfOracleRoot/opq/books/*.parquet') cb,
-                qo),
-         ${chain("P", "tabP", "pq/data")},
-         ${chain("O", "tabO", "opq/data")}
+           FROM embeddings
+           WHERE vec_id < $opqNq AND embedding IS NOT NULL),
+         qa AS MATERIALIZED (
+           SELECT e.vec_id AS qid, $anisoSql AS qv
+           FROM embeddings e
+           WHERE e.vec_id < $opqNq AND e.embedding IS NOT NULL),
+         ${permuted("qo", "q", "opq/perm")},
+         ${permuted("qoa", "qa", "o182a/perm")},
+         ${exTopK("ex", "q", "e.embedding::DOUBLE[]")},
+         ${exTopK("exa", "qa", anisoSql)},
+         ${adcTab("tabP", "pq/books", "q")},
+         ${adcTab("tabO", "opq/books", "qo")},
+         ${adcTab("tabPA", "p182a/books", "qa")},
+         ${adcTab("tabOA", "o182a/books", "qoa")},
+         ${chain("P", "tabP", "pq/data", "q", "ex", pqRefine)},
+         ${chain("O", "tabO", "opq/data", "q", "ex", pqRefine)},
+         ${chain("PA", "tabPA", "p182a/data", "qa", "exa", 1)},
+         ${chain("OA", "tabOA", "o182a/data", "qa", "exa", 1)},
+         ${permSum("ps", "opq/perm")},
+         ${permSum("psa", "o182a/perm")}
          SELECT method, n_overlap, recall_ppm FROM (
-           SELECT '1_pq' AS method,
-             (SELECT c FROM cntP)::BIGINT AS n_overlap,
-             ((SELECT c FROM cntP) * 1000000 // ${pqK * opqNq})::BIGINT
-               AS recall_ppm
+           ${recallRow("1_pq", "cntP")}
            UNION ALL
-           SELECT '2_opq',
-             (SELECT c FROM cntO)::BIGINT,
-             ((SELECT c FROM cntO) * 1000000 // ${pqK * opqNq})::BIGINT)
+           ${recallRow("2_opq", "cntO")}
+           UNION ALL
+           ${recallRow("3_pq_aniso", "cntPA")}
+           UNION ALL
+           ${recallRow("4_opq_aniso", "cntOA")}
+           UNION ALL
+           SELECT '5_perm', (SELECT lin FROM ps),
+             (SELECT quad FROM ps)
+           UNION ALL
+           SELECT '6_perm_aniso', (SELECT lin FROM psa),
+             (SELECT quad FROM psa))
          ORDER BY method"""
   }
 
@@ -897,6 +1025,57 @@ ${pqAdcSumSql()}
            floor(list_distance(e.embedding::DOUBLE[], (SELECT qv FROM q))
              * 1e4 + 0.5::DOUBLE) / 1e4 AS dist
          FROM read_parquet('$IvfOracleRoot/$dataSub/data/*.parquet') e, q
+         WHERE e.vec_id IN (SELECT vec_id FROM cand)
+           AND e.__ivf_cluster IN (SELECT cluster_id FROM probes)
+         ORDER BY dist, vec_id LIMIT $pqK"""
+  }
+
+  /** q185's oracle: q74's probe + ADC + exact-re-rank machinery with
+    * the OPQ permutation applied to the query BEFORE the ADC table is
+    * built (the `rotated(p) = v(perm(p))` contract over the exported
+    * opq/perm sidecar). Probes rank on the RAW query over the single
+    * root's centroids — assignment is in original coordinates, only
+    * the codes see the permutation — and the exact re-rank uses the
+    * raw query against the original vectors. */
+  private lazy val opqIvfOracleSql: String = {
+    raw"""WITH q AS (
+           SELECT embedding::DOUBLE[] AS qv FROM embeddings
+           WHERE vec_id = 0),
+         qo AS (
+           SELECT list(q.qv[p.src_dim + 1] ORDER BY p.pos) AS qv
+           FROM read_parquet('$IvfOracleRoot/opq/perm/*.parquet') p, q),
+         cent AS (
+           SELECT cluster_id, centroid FROM
+             read_parquet('$IvfOracleRoot/single/centroids/*.parquet')),
+         probes AS (
+           SELECT cluster_id FROM cent, q
+           ORDER BY list_sum(list_transform(range(1, len(centroid) + 1),
+             i -> (centroid[i]::DOUBLE - qv[i]) *
+                  (centroid[i]::DOUBLE - qv[i]))),
+             cluster_id
+           LIMIT 6),
+         tab AS (
+           SELECT cb.sub, cb.code,
+             list_sum(list_transform(range(1, len(cb.centroid) + 1),
+               j -> (cb.centroid[j]::DOUBLE
+                       - qo.qv[cb.sub * len(cb.centroid) + j]) *
+                    (cb.centroid[j]::DOUBLE
+                       - qo.qv[cb.sub * len(cb.centroid) + j])))
+               AS partial
+           FROM read_parquet('$IvfOracleRoot/opq/books/*.parquet') cb,
+                qo),
+         ad AS (
+           SELECT e.vec_id,
+${pqAdcSumSql()}
+             AS d
+           FROM read_parquet('$IvfOracleRoot/o185/data/*.parquet') e
+           WHERE e.__ivf_cluster IN (SELECT cluster_id FROM probes)),
+         cand AS (SELECT vec_id FROM ad ORDER BY d, vec_id
+                  LIMIT ${pqK * pqRefine})
+         SELECT e.vec_id,
+           floor(list_distance(e.embedding::DOUBLE[], (SELECT qv FROM q))
+             * 1e4 + 0.5::DOUBLE) / 1e4 AS dist
+         FROM read_parquet('$IvfOracleRoot/o185/data/*.parquet') e, q
          WHERE e.vec_id IN (SELECT vec_id FROM cand)
            AND e.__ivf_cluster IN (SELECT cluster_id FROM probes)
          ORDER BY dist, vec_id LIMIT $pqK"""
@@ -6280,48 +6459,86 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
       // subspace split, books re-trained on the permuted sample, and
       // both pipelines' final recall@10 against the exact scan is
       // reported side by side — the recall evidence the brief asks
-      // for, hashed. The oracle replays BOTH chains end to end: the
-      // exported permutation re-applied to the query, both ADC tables
-      // from the exported books, both candidate cuts, both exact
-      // re-ranks.
+      // for, hashed. The oracle replays ALL chains end to end: the
+      // exported permutations re-applied to the queries, every ADC
+      // table from the exported books, every candidate cut and exact
+      // re-rank. Three panels (r16 verdict #2 — the real-corpus legs
+      // alone TIE at this budget, so the gate could not see an OPQ
+      // regression):
+      //   1_pq/2_opq — the real corpus at refine=pqRefine (the
+      //     production shape);
+      //   3_pq_aniso/4_opq_aniso — the anisoEmb scaled-band slice at
+      //     refine=1 (no exact-re-rank headroom: the candidate cut IS
+      //     the answer, so the codes' own resolution is measured and
+      //     the legs SEPARATE — a pessimal permutation drops leg 4);
+      //   5_perm/6_perm_aniso — position-weighted integer checksums
+      //     of both permutation sidecars (linear + quadratic weights:
+      //     a single transposition always moves the linear sum), so
+      //     ANY change to opqPermutation's output is a changed gated
+      //     value even where recall would tie.
       VectorExpressions.ensureRegistered(s)
-      val emb = t(s, dir, "embeddings")
+      import s.implicits._
       // a 10-query panel, not one probe: single-query recall at this
       // code budget swings ±2 hits on fit noise — the aggregate is
-      // what the comparison claims anything about
-      val qDf = emb.filter(col("vec_id") < opqNq)
-        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-        .localCheckpoint()
-      val exact = emb.crossJoin(broadcast(qDf))
-        .select(col("qid"), col("vec_id"),
-          KnnSearch.roundHalfUpCol(
-            l2DistanceNative(col("embedding"), col("qv")), 4).as("d"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("qid"))
-            .orderBy(col("d"), col("vec_id"))))
-        .filter(col("rn") <= pqK)
-        .select(col("qid").as("qid_e"), col("vec_id").as("id_e"))
-        .localCheckpoint()
-      def leg(method: String, root: String, books: Pq.Codebooks,
-          perm: Option[Array[Int]]): DataFrame = {
-        val res = Pq.topKBatch(
-            s.read.parquet(s"$root/${Pq.DataSubdir}"), "vec_id",
-            "embedding", qDf, "qid", "qv", k = pqK, books,
-            refine = pqRefine, tieBreak = "vec_id",
-            rankRoundDp = Some(4), perm = perm)
-          .select(col("query_id"), col("vec_id").as("id_a"))
-        res.join(exact, col("query_id") === col("qid_e") &&
-            col("id_a") === col("id_e"))
-          .agg(lit(method).as("method"),
-            count(lit(1)).as("n_overlap"))
-          .withColumn("recall_ppm",
-            expr(s"n_overlap * 1000000 div ${pqK * opqNq}"))
+      // what the comparison claims anything about. Null-embedding
+      // rows are excluded on BOTH panel sides (r16 advice: Spark's
+      // ASC window sorts NULLS FIRST, DuckDB's last — a null vector
+      // would corrupt the exact panel asymmetrically).
+      def legsOver(emb: DataFrame, refine: Int,
+          legs: Seq[(String, DataFrame, Pq.Codebooks,
+            Option[Array[Int]])]): DataFrame = {
+        val qDf = emb
+          .filter(col("vec_id") < opqNq && col("embedding").isNotNull)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+          .localCheckpoint()
+        val exact = emb.filter(col("embedding").isNotNull)
+          .crossJoin(broadcast(qDf))
+          .select(col("qid"), col("vec_id"),
+            KnnSearch.roundHalfUpCol(
+              l2DistanceNative(col("embedding"), col("qv")), 4).as("d"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("qid"))
+              .orderBy(col("d"), col("vec_id"))))
+          .filter(col("rn") <= pqK)
+          .select(col("qid").as("qid_e"), col("vec_id").as("id_e"))
+          .localCheckpoint()
+        legs.map { case (method, data, books, perm) =>
+          Pq.topKBatch(data, "vec_id", "embedding", qDf, "qid", "qv",
+              k = pqK, books, refine = refine, tieBreak = "vec_id",
+              rankRoundDp = Some(4), perm = perm)
+            .select(col("query_id"), col("vec_id").as("id_a"))
+            .join(exact, col("query_id") === col("qid_e") &&
+              col("id_a") === col("id_e"))
+            .agg(lit(method).as("method"),
+              count(lit(1)).as("n_overlap"))
+            .withColumn("recall_ppm",
+              expr(s"n_overlap * 1000000 div ${pqK * opqNq}"))
+        }.reduce(_.unionByName(_))
+      }
+      def permRow(method: String, perm: Array[Int]): DataFrame = {
+        val lin = perm.zipWithIndex
+          .map { case (src, pos) => (pos + 1L) * (src + 1L) }.sum
+        val quad = perm.zipWithIndex
+          .map { case (src, pos) =>
+            (pos + 1L) * (pos + 1L) * (src + 1L) }.sum
+        Seq((method, lin, quad))
+          .toDF("method", "n_overlap", "recall_ppm")
       }
       val plainRoot = pqRootFor(s, dir)
       val opqRoot = Pq.loadRoot(s, opqRootFor(s, dir))
-      leg("1_pq", plainRoot, Pq.load(s, s"$plainRoot/books"), None)
-        .unionByName(
-          leg("2_opq", opqRoot.path, opqRoot.books, opqRoot.perm))
+      val anisoPq = anisoPqRootFor(s, dir)
+      val anisoOpq = Pq.loadRoot(s, anisoOpqRootFor(s, dir))
+      legsOver(t(s, dir, "embeddings"), pqRefine, Seq(
+          ("1_pq", s.read.parquet(s"$plainRoot/data"),
+            Pq.load(s, s"$plainRoot/books"), None),
+          ("2_opq", opqRoot.data(s), opqRoot.books, opqRoot.perm)))
+        .unionByName(legsOver(anisoEmb(s, dir), 1, Seq(
+          ("3_pq_aniso", s.read.parquet(s"$anisoPq/data"),
+            Pq.load(s, s"$anisoPq/books"), None),
+          ("4_opq_aniso", anisoOpq.data(s), anisoOpq.books,
+            anisoOpq.perm))))
+        .unionByName(permRow("5_perm", opqRoot.perm.get))
+        .unionByName(permRow("6_perm_aniso", anisoOpq.perm.get))
         .orderBy(col("method"))
     }),
 
@@ -6360,6 +6577,29 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
         "vec_id", q, k = 10, candidates = 50,
         rerank = v => KnnSearch.roundHalfUpCol(
           cosineSimilarityNative(v, KnnSearch.litVec(q)), 4))
+    }),
+
+    "q185_opq_ivf_search" -> ((s, dir) => {
+      // The PROBED OPQ cell completing the {plain, OPQ} × {flat, IVF}
+      // matrix (r16 verdict #8): q182 searches the flat OPQ root; this
+      // searches the cluster-partitioned one — probes rank on the RAW
+      // query over the single root's centroids (assignment never sees
+      // the permutation), the pruned scan covers only the probed
+      // cluster directories, the ADC table is built against the
+      // PERMUTED query, and the exact re-rank rides the original
+      // vectors. The oracle replays q74's probe + ADC + re-rank with
+      // the permutation applied to the query before table
+      // construction.
+      VectorExpressions.ensureRegistered(s)
+      val idx = ivfIndexFor(s, dir)
+      val root = Pq.loadRoot(s, opqIvfRootFor(s, dir))
+      Pq.topKProbed(root.data(s), "vec_id", "embedding",
+          queryVec(s, dir), k = pqK, root.books, idx.centroids,
+          idx.clusterIds, nprobe = 6, refine = pqRefine,
+          tieBreak = Some("vec_id"), rankRoundDp = Some(4),
+          perm = root.perm)
+        .select(col("vec_id"), col("dist"))
+        .orderBy(col("dist"), col("vec_id"))
     })
   )
 
@@ -9444,6 +9684,7 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
     // pqcdc export — a FRESH full-corpus encode with the same books —
     // while the Spark side searches the CDC-MAINTAINED root.
     "q183_pq_cdc_search" -> ivfPqOracleSqlFor("pqcdc"),
+    "q185_opq_ivf_search" -> opqIvfOracleSql,
 
 
     // q134: the q51 split/shingle CTEs verbatim, then the bloom is

@@ -540,6 +540,49 @@ class PqSpec extends SparkSpec {
       s"OPQ recall ($ho) did not beat plain PQ ($hp) at equal budget")
   }
 
+  test("probed OPQ root: probe filters prune cluster dirs; all-probe == flat") {
+    // the q185 cell: writeRoot composes the permutation with the IVF
+    // layout — the probed scan must still prune cluster DIRECTORIES
+    // (the permutation only reorders what the codes see), and probing
+    // every cluster must reproduce the flat OPQ search exactly (the
+    // layout changes where rows live, never what they score)
+    val perm = Pq.opqPermutation(aniso, "embedding", m = 4)
+    val booksO = Pq.fit(
+      aniso.withColumn("__r", Pq.permuteCol("embedding", perm)),
+      "vec_id", "__r", m = 4, ksub = 16)
+    val idx = IvfIndex.build(aniso, "vec_id", "embedding", nlist = 4)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-pq-opqivf-").toString
+    Pq.writeRoot(spark, tmp, aniso, "embedding", booksO,
+      ivf = Some((idx.centroids, idx.clusterIds)), perm = Some(perm))
+    val data = spark.read.parquet(s"$tmp/${Pq.DataSubdir}")
+    val q = anisoVec(5, 16).map(_ * 1.01f)
+    val probed = Pq.topKProbed(data, "vec_id", "embedding", q, 5,
+      booksO, idx.centroids, idx.clusterIds, nprobe = 2, refine = 2,
+      tieBreak = Some("vec_id"), rankRoundDp = Some(4),
+      perm = Some(perm))
+    val plan = probed.queryExecution.executedPlan.toString
+    val pf = "PartitionFilters: \\[[^\\]]*\\]".r.findFirstIn(plan)
+    assert(pf.exists(_.contains(IvfIndex.ClusterCol)),
+      s"expected a cluster-pruned scan on the OPQ root, got $pf in:\n$plan")
+    val all = Pq.topKProbed(data, "vec_id", "embedding", q, 5,
+        booksO, idx.centroids, idx.clusterIds, nprobe = 4, refine = 2,
+        tieBreak = Some("vec_id"), rankRoundDp = Some(4),
+        perm = Some(perm))
+      .select("vec_id", "dist").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val flatEnc = Pq.encode(
+      aniso.withColumn("__r", Pq.permuteCol("embedding", perm)),
+      "__r", booksO).drop("__r")
+    val flat = Pq.topK(flatEnc, "vec_id", "embedding", q, 5, booksO,
+        refine = 2, tieBreak = Some("vec_id"), rankRoundDp = Some(4),
+        perm = Some(perm))
+      .select("vec_id", "dist").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(all == flat,
+      s"all-probe OPQ-IVF must equal the flat OPQ search: $all vs $flat")
+  }
+
   test("the approximate pass reads only (id, code) — never the floats") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-pq-scan-")
       .toString
