@@ -478,6 +478,16 @@ object SparkEntry {
     s.read.parquet(s"${opqIvfRootFor(s, dir)}/${Pq.DataSubdir}")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$IvfOracleRoot/o185/data")
+    // q186's drift roots: the maintained root's data INCLUDES the
+    // appendEncoded batch (the drift under test), its books are the
+    // stale base fit; the refit root is the fresh final-corpus build
+    val (driftM, driftR) = driftRootsFor(s, dir)
+    for ((root, sub) <- Seq((driftM, "m186"), (driftR, "r186"))) {
+      s.read.parquet(s"$root/${Pq.DataSubdir}").coalesce(1)
+        .write.mode("overwrite").parquet(s"$IvfOracleRoot/$sub/data")
+      s.read.parquet(s"$root/${Pq.BooksSubdir}").coalesce(1)
+        .write.mode("overwrite").parquet(s"$IvfOracleRoot/$sub/books")
+    }
     // q183's reference side: a FRESH encode of the FULL corpus with
     // the q73 books and the single root's centroids — the replica the
     // CDC-maintained root's search must hash-equal. Deliberately NOT
@@ -666,6 +676,85 @@ object SparkEntry {
       Pq.writeRoot(s, p, emb, "embedding", flat.books,
         ivf = Some((idx.centroids, idx.clusterIds)), perm = flat.perm)
       p
+    })
+
+  /** The shared recall-panel machinery of q182/q186: an aggregate
+    * panel (single-query recall at these code budgets swings ±2 hits
+    * on fit noise — the aggregate is what any comparison claims
+    * something about), each leg's batch ADC search scored for overlap
+    * with the exact top-[[pqK]] over the SAME corpus frame.
+    * Null-embedding rows are excluded on BOTH panel sides (r16
+    * advice: Spark's ASC window sorts NULLS FIRST, DuckDB's last — a
+    * null vector would corrupt the exact panel asymmetrically). */
+  private def pqRecallLegs(emb: DataFrame, qPred: Column, nq: Int,
+      refine: Int, legs: Seq[(String, DataFrame, Pq.Codebooks,
+        Option[Array[Int]])]): DataFrame = {
+    val qDf = emb.filter(qPred && col("embedding").isNotNull)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .localCheckpoint()
+    val exact = emb.filter(col("embedding").isNotNull)
+      .crossJoin(broadcast(qDf))
+      .select(col("qid"), col("vec_id"),
+        KnnSearch.roundHalfUpCol(
+          l2DistanceNative(col("embedding"), col("qv")), 4).as("d"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("d"), col("vec_id"))))
+      .filter(col("rn") <= pqK)
+      .select(col("qid").as("qid_e"), col("vec_id").as("id_e"))
+      .localCheckpoint()
+    legs.map { case (method, data, books, perm) =>
+      Pq.topKBatch(data, "vec_id", "embedding", qDf, "qid", "qv",
+          k = pqK, books, refine = refine, tieBreak = "vec_id",
+          rankRoundDp = Some(4), perm = perm)
+        .select(col("query_id"), col("vec_id").as("id_a"))
+        .join(exact, col("query_id") === col("qid_e") &&
+          col("id_a") === col("id_e"))
+        .agg(lit(method).as("method"),
+          count(lit(1)).as("n_overlap"))
+        .withColumn("recall_ppm",
+          expr(s"n_overlap * 1000000 div ${pqK * nq}"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** q186's drift scenario (r15 verdict #8, carried to r16 #3): the
+    * CDC lifecycle keeps codes byte-fresh against FIXED books — and
+    * documents that codes drift as the distribution does. This
+    * measures that drift: every vec_id ≡ 3 (mod 5) row is
+    * DISTRIBUTION-SHIFTED (first [[opqAnisoBand]] dims × 8 — the
+    * exact power-of-two scale the oracle replays), the maintained
+    * root fits books on the UNSHIFTED 80% and brings in the shifted
+    * rows via [[Pq.appendEncoded]] against those stale books, the
+    * refit root fits on the final corpus. Recall is scored from the
+    * shifted region, where staleness hurts. */
+  private def driftShiftCol: Column =
+    when(pmod(col("vec_id"), lit(5L)) === 3L,
+      transform(col("embedding"), (x, i) =>
+        when(i < lit(opqAnisoBand), x * lit(8.0f)).otherwise(x)))
+      .otherwise(col("embedding"))
+  private def driftCorpus(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("vec_id"), driftShiftCol.as("embedding"))
+  private val driftPathCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private def driftRootsFor(s: SparkSession,
+      dir: String): (String, String) =
+    driftPathCache.computeIfAbsent(dir, _ => {
+      val fin = driftCorpus(s, dir)
+      val base = fin.filter(pmod(col("vec_id"), lit(5L)) =!= 3L)
+      val shifted = fin.filter(pmod(col("vec_id"), lit(5L)) === 3L)
+      val booksBase = Pq.fit(base, "vec_id", "embedding", m = pqM,
+        ksub = pqKsub)
+      val pm = java.nio.file.Files
+        .createTempDirectory("graft_driftm_").toString
+      Pq.writeRoot(s, pm, base, "embedding", booksBase)
+      Pq.appendEncoded(s, pm, shifted, "embedding")
+      val booksFresh = Pq.fit(fin, "vec_id", "embedding", m = pqM,
+        ksub = pqKsub)
+      val pr = java.nio.file.Files
+        .createTempDirectory("graft_driftr_").toString
+      Pq.writeRoot(s, pr, fin, "embedding", booksFresh)
+      (pm, pr)
     })
 
   /** The IVF-PQ root for `dir` (q74): the single IVF root's rows —
@@ -881,10 +970,13 @@ ${pqAdcSumSql()}
     * quadratic position-weighted checksums from the exported perm
     * sidecars. Null-embedding rows are excluded everywhere the Spark
     * side excludes them (r16 advice). */
-  private lazy val opqRecallOracleSql: String = {
-    def chain(x: String, tab: String, data: String, q: String,
-        ex: String, refine: Int): String =
-      s"""ad$x AS (
+  /** The recall-chain CTE block shared by the q182/q186 oracles: ADC
+    * distances from `tab` over the exported `data`, per-query
+    * candidate cut at pqK·refine, exact re-rank over the export's own
+    * float vectors, overlap count against `ex`. */
+  private def pqChainCte(x: String, tab: String, data: String,
+      q: String, ex: String, refine: Int): String =
+    s"""ad$x AS (
            SELECT $q.qid, e.vec_id,
 ${pqAdcSumSql(s"$tab.qid = $q.qid AND", tab = tab)}
              AS d
@@ -910,8 +1002,9 @@ ${pqAdcSumSql(s"$tab.qid = $q.qid AND", tab = tab)}
          cnt$x AS (
            SELECT count(*) AS c FROM rr$x
            JOIN $ex ON $ex.qid = rr$x.qid AND $ex.id_e = rr$x.vec_id)"""
-    def adcTab(name: String, books: String, q: String): String =
-      s"""$name AS MATERIALIZED (
+  private def pqAdcTabCte(name: String, books: String,
+      q: String): String =
+    s"""$name AS MATERIALIZED (
            SELECT $q.qid, cb.sub, cb.code,
              list_sum(list_transform(range(1, len(cb.centroid) + 1),
                j -> (cb.centroid[j]::DOUBLE
@@ -921,6 +1014,19 @@ ${pqAdcSumSql(s"$tab.qid = $q.qid AND", tab = tab)}
                AS partial
            FROM read_parquet('$IvfOracleRoot/$books/*.parquet') cb,
                 $q)"""
+  private def pqRecallRowSql(m: String, cnt: String,
+      denom: Int): String =
+    s"""SELECT '$m' AS method,
+             (SELECT c FROM $cnt)::BIGINT AS n_overlap,
+             ((SELECT c FROM $cnt) * 1000000 // $denom)::BIGINT
+               AS recall_ppm"""
+
+  private lazy val opqRecallOracleSql: String = {
+    def chain(x: String, tab: String, data: String, q: String,
+        ex: String, refine: Int): String =
+      pqChainCte(x, tab, data, q, ex, refine)
+    def adcTab(name: String, books: String, q: String): String =
+      pqAdcTabCte(name, books, q)
     def exTopK(name: String, q: String, embExpr: String): String =
       s"""$name AS MATERIALIZED (
            SELECT qid, vec_id AS id_e FROM (
@@ -943,10 +1049,7 @@ ${pqAdcSumSql(s"$tab.qid = $q.qid AND", tab = tab)}
                   THEN e.embedding[j]::DOUBLE * 8
                   ELSE e.embedding[j]::DOUBLE END)"""
     def recallRow(m: String, cnt: String): String =
-      s"""SELECT '$m' AS method,
-             (SELECT c FROM $cnt)::BIGINT AS n_overlap,
-             ((SELECT c FROM $cnt) * 1000000 // ${pqK * opqNq})::BIGINT
-               AS recall_ppm"""
+      pqRecallRowSql(m, cnt, pqK * opqNq)
     def permSum(name: String, perm: String): String =
       s"""$name AS (
            SELECT sum((pos + 1) * (src_dim + 1))::BIGINT AS lin,
@@ -1079,6 +1182,63 @@ ${pqAdcSumSql()}
          WHERE e.vec_id IN (SELECT vec_id FROM cand)
            AND e.__ivf_cluster IN (SELECT cluster_id FROM probes)
          ORDER BY dist, vec_id LIMIT $pqK"""
+  }
+
+  /** q186's oracle: both drift chains replayed end to end over the
+    * SHIFTED final corpus — built in SQL with the same exact
+    * power-of-two band scale on vec_id ≡ 3 (mod 5) rows the Spark
+    * side applies — queries drawn from the shifted region, ADC tables
+    * from the maintained root's (stale, base-fit) and the refit
+    * root's exported books, candidate cuts at refine=1, exact re-rank
+    * over each export's own float vectors, overlap against the
+    * final-corpus exact top-k. */
+  private lazy val driftRecallOracleSql: String = {
+    val shiftSql =
+      s"""CASE WHEN e.vec_id % 5 = 3
+           THEN list_transform(range(1, len(e.embedding) + 1),
+             j -> CASE WHEN j <= $opqAnisoBand
+                  THEN e.embedding[j]::DOUBLE * 8
+                  ELSE e.embedding[j]::DOUBLE END)
+           ELSE e.embedding::DOUBLE[] END"""
+    def exCte(name: String, q: String): String =
+      s"""$name AS MATERIALIZED (
+           SELECT qid, vec_id AS id_e FROM (
+             SELECT $q.qid, e.vec_id,
+               row_number() OVER (PARTITION BY $q.qid ORDER BY
+                 floor(list_distance($shiftSql, $q.qv)
+                   * 1e4 + 0.5::DOUBLE) / 1e4, e.vec_id) AS rn
+             FROM embeddings e, $q
+             WHERE e.embedding IS NOT NULL)
+           WHERE rn <= $pqK)"""
+    raw"""WITH q AS MATERIALIZED (
+           SELECT e.vec_id AS qid, $shiftSql AS qv
+           FROM embeddings e
+           WHERE e.vec_id < 50 AND e.vec_id % 5 = 3
+             AND e.embedding IS NOT NULL),
+         qc AS MATERIALIZED (
+           SELECT e.vec_id AS qid, $shiftSql AS qv
+           FROM embeddings e
+           WHERE e.vec_id < 12 AND e.vec_id % 5 <> 3
+             AND e.embedding IS NOT NULL),
+         ${exCte("ex", "q")},
+         ${exCte("exc", "qc")},
+         ${pqAdcTabCte("tabM", "m186/books", "q")},
+         ${pqAdcTabCte("tabR", "r186/books", "q")},
+         ${pqAdcTabCte("tabMC", "m186/books", "qc")},
+         ${pqAdcTabCte("tabRC", "r186/books", "qc")},
+         ${pqChainCte("M", "tabM", "m186/data", "q", "ex", 1)},
+         ${pqChainCte("R", "tabR", "r186/data", "q", "ex", 1)},
+         ${pqChainCte("MC", "tabMC", "m186/data", "qc", "exc", 1)},
+         ${pqChainCte("RC", "tabRC", "r186/data", "qc", "exc", 1)}
+         SELECT method, n_overlap, recall_ppm FROM (
+           ${pqRecallRowSql("1_maintained", "cntM", pqK * 10)}
+           UNION ALL
+           ${pqRecallRowSql("2_refit", "cntR", pqK * 10)}
+           UNION ALL
+           ${pqRecallRowSql("3_maintained_ctl", "cntMC", pqK * 10)}
+           UNION ALL
+           ${pqRecallRowSql("4_refit_ctl", "cntRC", pqK * 10)})
+         ORDER BY method"""
   }
 
   /** q75's oracle: q68's batch structure (per-query L2 probe ranking +
@@ -6478,43 +6638,6 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
       //     value even where recall would tie.
       VectorExpressions.ensureRegistered(s)
       import s.implicits._
-      // a 10-query panel, not one probe: single-query recall at this
-      // code budget swings ±2 hits on fit noise — the aggregate is
-      // what the comparison claims anything about. Null-embedding
-      // rows are excluded on BOTH panel sides (r16 advice: Spark's
-      // ASC window sorts NULLS FIRST, DuckDB's last — a null vector
-      // would corrupt the exact panel asymmetrically).
-      def legsOver(emb: DataFrame, refine: Int,
-          legs: Seq[(String, DataFrame, Pq.Codebooks,
-            Option[Array[Int]])]): DataFrame = {
-        val qDf = emb
-          .filter(col("vec_id") < opqNq && col("embedding").isNotNull)
-          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-          .localCheckpoint()
-        val exact = emb.filter(col("embedding").isNotNull)
-          .crossJoin(broadcast(qDf))
-          .select(col("qid"), col("vec_id"),
-            KnnSearch.roundHalfUpCol(
-              l2DistanceNative(col("embedding"), col("qv")), 4).as("d"))
-          .withColumn("rn", row_number().over(
-            Window.partitionBy(col("qid"))
-              .orderBy(col("d"), col("vec_id"))))
-          .filter(col("rn") <= pqK)
-          .select(col("qid").as("qid_e"), col("vec_id").as("id_e"))
-          .localCheckpoint()
-        legs.map { case (method, data, books, perm) =>
-          Pq.topKBatch(data, "vec_id", "embedding", qDf, "qid", "qv",
-              k = pqK, books, refine = refine, tieBreak = "vec_id",
-              rankRoundDp = Some(4), perm = perm)
-            .select(col("query_id"), col("vec_id").as("id_a"))
-            .join(exact, col("query_id") === col("qid_e") &&
-              col("id_a") === col("id_e"))
-            .agg(lit(method).as("method"),
-              count(lit(1)).as("n_overlap"))
-            .withColumn("recall_ppm",
-              expr(s"n_overlap * 1000000 div ${pqK * opqNq}"))
-        }.reduce(_.unionByName(_))
-      }
       def permRow(method: String, perm: Array[Int]): DataFrame = {
         val lin = perm.zipWithIndex
           .map { case (src, pos) => (pos + 1L) * (src + 1L) }.sum
@@ -6528,11 +6651,13 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
       val opqRoot = Pq.loadRoot(s, opqRootFor(s, dir))
       val anisoPq = anisoPqRootFor(s, dir)
       val anisoOpq = Pq.loadRoot(s, anisoOpqRootFor(s, dir))
-      legsOver(t(s, dir, "embeddings"), pqRefine, Seq(
+      pqRecallLegs(t(s, dir, "embeddings"), col("vec_id") < opqNq,
+          opqNq, pqRefine, Seq(
           ("1_pq", s.read.parquet(s"$plainRoot/data"),
             Pq.load(s, s"$plainRoot/books"), None),
           ("2_opq", opqRoot.data(s), opqRoot.books, opqRoot.perm)))
-        .unionByName(legsOver(anisoEmb(s, dir), 1, Seq(
+        .unionByName(pqRecallLegs(anisoEmb(s, dir),
+          col("vec_id") < opqNq, opqNq, 1, Seq(
           ("3_pq_aniso", s.read.parquet(s"$anisoPq/data"),
             Pq.load(s, s"$anisoPq/books"), None),
           ("4_opq_aniso", anisoOpq.data(s), anisoOpq.books,
@@ -6600,6 +6725,41 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
           perm = root.perm)
         .select(col("vec_id"), col("dist"))
         .orderBy(col("dist"), col("vec_id"))
+    }),
+
+    "q186_recall_drift" -> ((s, dir) => {
+      // Maintained-root recall DRIFT under a skewed append (r15
+      // verdict #8 / r16 #3): the CDC lifecycle proves maintained
+      // codes == fresh-encode codes against the SAME fixed books
+      // (q183) — this measures the cost of the books themselves going
+      // stale. Every vec_id ≡ 3 (mod 5) row is distribution-shifted
+      // (scaled band ×8); the maintained root appended those rows
+      // through Pq.appendEncoded against books fit on the UNSHIFTED
+      // 80%, the refit root trained on the final corpus. Both legs
+      // score recall@10 at refine=1 (code resolution, no re-rank
+      // headroom) over a query panel drawn FROM the shifted region —
+      // where staleness hurts. The gap between the rows is the
+      // rebuild-vs-maintain decision signal (PLANS.md note).
+      VectorExpressions.ensureRegistered(s)
+      val (mRoot, rRoot) = driftRootsFor(s, dir)
+      val m = Pq.loadRoot(s, mRoot)
+      val r = Pq.loadRoot(s, rRoot)
+      val fin = driftCorpus(s, dir)
+      // control pair: queries from the UNSHIFTED region (10 ids <12,
+      // ≢3 mod 5) isolate the drift effect — where no drift occurred
+      // the two roots should score comparably, so any gap in rows
+      // 1/2 is attributable to the append, not the gauge
+      pqRecallLegs(fin,
+        col("vec_id") < 50L && pmod(col("vec_id"), lit(5L)) === 3L,
+        nq = 10, refine = 1, Seq(
+          ("1_maintained", m.data(s), m.books, None),
+          ("2_refit", r.data(s), r.books, None)))
+        .unionByName(pqRecallLegs(fin,
+          col("vec_id") < 12L && pmod(col("vec_id"), lit(5L)) =!= 3L,
+          nq = 10, refine = 1, Seq(
+            ("3_maintained_ctl", m.data(s), m.books, None),
+            ("4_refit_ctl", r.data(s), r.books, None))))
+        .orderBy(col("method"))
     })
   )
 
@@ -9685,6 +9845,7 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
     // while the Spark side searches the CDC-MAINTAINED root.
     "q183_pq_cdc_search" -> ivfPqOracleSqlFor("pqcdc"),
     "q185_opq_ivf_search" -> opqIvfOracleSql,
+    "q186_recall_drift" -> driftRecallOracleSql,
 
 
     // q134: the q51 split/shingle CTEs verbatim, then the bloom is
