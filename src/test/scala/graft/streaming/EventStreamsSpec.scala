@@ -532,6 +532,102 @@ class EventStreamsSpec extends SparkSpec {
       "a marker-committed batch must not re-append its results")
   }
 
+  test("servingSearch under maintenance: deletes visible next trigger; compact + root swap served seamlessly") {
+    // the r16 chaos brief: the scaladoc promises the serving face
+    // coexists with the whole maintenance surface — exercise a
+    // deleteByIds, a copy-based compact WHILE the stream is live, and
+    // the root SWAP, pinning next-trigger visibility of each and that
+    // no trigger ever reads a torn root
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    import graft.operators.IvfIndex
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val base = emb.filter(col("vec_id") % 2 === 0)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-serve-chaos-").toString
+    val path = s"$tmp/live"
+    IvfIndex.build(base, "vec_id", "embedding", nlist = 8).write(path)
+    val out = s"$tmp/out"
+    val qRows = emb.filter(col("vec_id") % 2 === 1)
+      .select("vec_id", "embedding").orderBy("vec_id").limit(3)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val input = MemoryStream[(Long, Seq[Float])]
+    val embedStage = (df: DataFrame) => df.select(col("qid"), col("qv"))
+    def expected(qs: Seq[(Long, Seq[Float])]) =
+      IvfIndex.load(spark, path, "vec_id", "embedding")
+        .searchBatch(qs.toDF("qid", "qv"), "qid", "qv",
+          k = 5, nprobe = 3, tieBreak = "vec_id", rankRoundDp = Some(4))
+        .select(col("query_id"), col("vec_id"), col("dist"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+    def resultsFor(batchId: Long) =
+      spark.read.parquet(s"$out/results")
+        .filter(col("batch_id") === batchId)
+        .select("query_id", "vec_id", "dist").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val query = EventStreams.servingSearch(
+        input.toDF().toDF("qid", "qv"), embedStage,
+        "qid", "qv", path, "vec_id", "embedding", out, "serve-chaos",
+        k = 5, nprobe = 3)
+      .option("checkpointLocation", s"$tmp/ckpt").start()
+    try {
+      // batch 0: baseline
+      input.addData(qRows.toSeq: _*)
+      query.processAllAvailable()
+      val r0 = resultsFor(0L)
+      assert(r0 == expected(qRows.toSeq), "baseline batch must match")
+
+      // deleteByIds the top hit of the first query → the NEXT trigger
+      // must not serve the retired row
+      val doomed = r0.filter(_._1 == qRows.head._1).minBy(_._3)._2
+      IvfIndex.deleteByIds(spark, path,
+        Seq(doomed).toDF("vec_id"), "vec_id", "embedding")
+      val qs1 = qRows.map { case (id, v) => (id + 1000L, v) }.toSeq
+      input.addData(qs1: _*)
+      query.processAllAvailable()
+      val r1 = resultsFor(1L)
+      assert(!r1.exists(_._2 == doomed),
+        s"deleted id $doomed must be gone at the next trigger")
+      assert(r1 == expected(qs1),
+        "post-delete batch must match searchBatch on the maintained root")
+
+      // compact (copy-based) WHILE the stream is live: a trigger that
+      // fires mid-lifecycle serves the OLD root — the source stays
+      // intact until the caller swaps
+      val compacted = s"$tmp/compacted"
+      IvfIndex.compact(spark, path, compacted)
+      val qs2 = qRows.map { case (id, v) => (id + 2000L, v) }.toSeq
+      val expOld = expected(qs2)
+      input.addData(qs2: _*)
+      query.processAllAvailable()
+      assert(resultsFor(2L) == expOld,
+        "a trigger between compact and swap serves the old root")
+
+      // the SWAP: retire the live root, move the compacted root into
+      // its place — the serving face re-loads per trigger, so the
+      // very next batch must answer from the compacted root with no
+      // torn read (compact preserves contents, so answers are
+      // hash-equal to the pre-swap root's)
+      val livePath = java.nio.file.Paths.get(path)
+      java.nio.file.Files.move(livePath,
+        java.nio.file.Paths.get(s"$tmp/retired"))
+      java.nio.file.Files.move(java.nio.file.Paths.get(compacted),
+        livePath)
+      // deliberately NO refreshByPath here: the swapper is a different
+      // process in production and cannot reach the serving JVM's
+      // caches — the serving face's own per-trigger re-list must cope
+      val qs3 = qRows.map { case (id, v) => (id + 3000L, v) }.toSeq
+      input.addData(qs3: _*)
+      query.processAllAvailable()
+      val r3 = resultsFor(3L)
+      assert(r3 == expected(qs3),
+        "post-swap batch must match searchBatch on the swapped root")
+      assert(r3.map { case (q, v, d) => (q - 1000L, v, d) } == expOld,
+        "compact+swap must preserve every answer bit for bit")
+    } finally query.stop()
+  }
+
   test("dedupStream batch form dedups on the same fingerprint") {
     import spark.implicits._
     val batch = Seq(
