@@ -352,17 +352,18 @@ object EventStreams {
     * Delivery: foreachBatch is AT-LEAST-ONCE, so a restarted query
     * re-runs its last uncommitted batch; a marker under
     * `outPath/_serving_log/<servingId>/` makes the re-run skip the
-    * result write (searchBatch is deterministic — rounded (dist, id)
+    * work entirely (searchBatch is deterministic — rounded (dist, id)
     * ranking — so a re-delivered batch would re-derive byte-identical
-    * rows, but the marker spares the search too). The crash window
-    * BETWEEN result commit and marker write duplicates that one
-    * batch's rows (at-least-once with duplication, never loss) —
-    * result rows carry `batch_id` so the collapse key is
-    * (`servingId`, `batch_id`, query id, result id): without the
-    * batch identity, a query id legitimately RE-SUBMITTED in a later
-    * batch would be indistinguishable from a duplicate delivery and
-    * downstream dedup would drop real answers (r16 advice).
-    * `servingId` must be 1:1 with the checkpoint lifecycle,
+    * rows, but the marker spares the search too). Results themselves
+    * commit ATOMICALLY: each batch writes to a staging dir and is
+    * RENAMED into `results/batch_id=N`, so the crash window between
+    * result commit and marker write duplicates nothing — the re-run
+    * finds the dest dir present, skips the write, and restores the
+    * marker. Result delivery is exactly-once; the hive-style
+    * partition dir surfaces `batch_id` to readers, keeping the
+    * (`servingId`, `batch_id`, query id, result id) identity a
+    * re-submitted query id needs (r16 advice). `servingId` must be
+    * 1:1 with the checkpoint lifecycle,
     * exactly like `ingestId`: batchIds restart at 0 for a fresh
     * checkpoint, and stale markers from an earlier lifecycle would
     * silently swallow the new stream's first answers.
@@ -399,15 +400,30 @@ object EventStreams {
           // the embed seam runs once per batch, not once per action
           val embedded = embed(batch).persist()
           try {
-            if (!embedded.isEmpty) {
+            // the batch's results commit by RENAME into a hive-style
+            // batch_id=N partition dir: write to a staging dir, move
+            // it into place atomically, THEN write the marker. A crash
+            // between rename and marker re-runs the batch, finds the
+            // dest already present, and skips straight to the marker —
+            // so results are exactly-once, not merely
+            // at-least-once-with-duplication (r16 verdict #4). The
+            // partition dir also carries batch_id to readers, keeping
+            // the (servingId, batch_id, query id, result id) key.
+            val dest = new org.apache.hadoop.fs.Path(
+              s"$outPath/results/batch_id=$batchId")
+            if (!fs.exists(dest) && !embedded.isEmpty) {
               val idx = graft.operators.IvfIndex.load(spark, indexPath,
                 idCol, vecCol)
+              val staging = new org.apache.hadoop.fs.Path(
+                s"$outPath/_serving_staging/$servingId/batch-$batchId")
               // searchBatch's output carries the query id as `query_id`
               idx.searchBatch(embedded, queryIdCol, queryVecCol, k,
                   nprobe, tieBreak = idCol, rankRoundDp = rankRoundDp)
-                .select(col("query_id"), col(idCol), col("dist"),
-                  lit(batchId).as("batch_id"))
-                .write.mode("append").parquet(s"$outPath/results")
+                .select(col("query_id"), col(idCol), col("dist"))
+                .write.mode("overwrite").parquet(staging.toString)
+              fs.mkdirs(dest.getParent)
+              require(fs.rename(staging, dest),
+                s"servingSearch: commit rename $staging -> $dest failed")
             }
             fs.create(marker, true).close()
           } finally embedded.unpersist()

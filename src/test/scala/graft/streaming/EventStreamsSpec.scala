@@ -492,7 +492,9 @@ class EventStreamsSpec extends SparkSpec {
       } finally query.stop()
 
     def resultsWithBatch() = spark.read.parquet(s"$out/results")
-      .select("query_id", "vec_id", "dist", "batch_id").collect()
+      .select(col("query_id"), col("vec_id"), col("dist"),
+        col("batch_id").cast("long"))
+      .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
       .toSet
     def results() = resultsWithBatch().map(t => (t._1, t._2, t._3))
@@ -530,6 +532,27 @@ class EventStreamsSpec extends SparkSpec {
     } finally query2.stop()
     assert(results().size == nBefore,
       "a marker-committed batch must not re-append its results")
+
+    // crash WINDOW between result commit and marker write: results
+    // renamed into place, marker lost — the re-run must find the
+    // committed batch_id dir, add NOTHING, and restore the marker
+    // (exactly-once, not at-least-once-with-duplication)
+    val m0 = new java.io.File(
+      s"$out/${EventStreams.ServingLogDir}/serve-a/batch-0")
+    assert(m0.delete(), "precondition: drop batch-0's marker")
+    val input3 = MemoryStream[(Long, Seq[Float])]
+    val query3 = EventStreams.servingSearch(
+        input3.toDF().toDF("qid", "qv"), embedStage,
+        "qid", "qv", path, "vec_id", "embedding", out, "serve-a",
+        k = 5, nprobe = 3)
+      .option("checkpointLocation", s"$tmp/ckpt3").start()
+    try {
+      input3.addData(b1.toSeq: _*)
+      query3.processAllAvailable()
+    } finally query3.stop()
+    assert(results().size == nBefore,
+      "a crash between rename and marker must not duplicate results")
+    assert(m0.exists(), "the re-run must restore the lost marker")
   }
 
   test("servingSearch under maintenance: deletes visible next trigger; compact + root swap served seamlessly") {
