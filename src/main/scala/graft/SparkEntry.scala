@@ -871,6 +871,35 @@ object SparkEntry {
       p
     })
 
+  /** The MAINTAINED OPQ root for `dir` (q189): the q183
+    * sabotage-then-repair cycle over the PERMUTED-code rung — built
+    * from a sabotaged snapshot with [[opqRootFor]]'s books AND
+    * permutation, brought to the real corpus by deleteEncoded +
+    * appendEncoded (which re-applies the STORED permutation through
+    * the shared encode dispatch). Because books, perm, and final
+    * corpus all match [[opqRootFor]]'s fresh build, the maintained
+    * root's search must hash-equal a replay over the fresh opq/data
+    * export — the CDC path for the OPQ rung sits inside the hash. */
+  private val opqCdcPathCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def opqCdcRootFor(s: SparkSession, dir: String): String =
+    opqCdcPathCache.computeIfAbsent(dir, _ => {
+      val flat = Pq.loadRoot(s, opqRootFor(s, dir))
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val kept = emb.filter(pmod(col("vec_id"), lit(5L)) =!= 2L)
+      val fakes = emb.filter(pmod(col("vec_id"), lit(5L)) === 4L)
+        .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+          reverse(col("embedding")).as("embedding"))
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_opqcdc_").toString + "/opq"
+      Pq.writeRoot(s, p, kept.unionByName(fakes), "embedding",
+        flat.books, perm = flat.perm)
+      Pq.deleteEncoded(s, p, fakes.select("vec_id"), "vec_id")
+      Pq.appendEncoded(s, p,
+        emb.filter(pmod(col("vec_id"), lit(5L)) === 2L), "embedding")
+      p
+    })
+
   /** The MAINTAINED binary sign-code root for `dir` (q184): the same
     * sabotage-then-repair CDC cycle as [[pqCdcRootFor]] over
     * [[BinaryHash]]'s persisted code column. q184's oracle is q133's
@@ -1239,6 +1268,56 @@ ${pqAdcSumSql()}
            UNION ALL
            ${pqRecallRowSql("4_refit_ctl", "cntRC", pqK * 10)})
          ORDER BY method"""
+  }
+
+  /** q187's oracle: cluster assignment from the single-root export,
+    * the same md5-of-id rank within each cluster, the same cap. */
+  private lazy val clusterDiversityOracleSql: String =
+    raw"""WITH a AS (
+           SELECT vec_id, __ivf_cluster AS cluster_id
+           FROM read_parquet('$IvfOracleRoot/single/data/*.parquet')),
+         r AS (
+           SELECT cluster_id, vec_id,
+             row_number() OVER (PARTITION BY cluster_id
+               ORDER BY md5(vec_id::VARCHAR), vec_id) AS pick_rank
+           FROM a)
+         SELECT cluster_id, vec_id, pick_rank FROM r
+         WHERE pick_rank <= 20
+         ORDER BY cluster_id, pick_rank"""
+
+  /** q189's oracle: the q73 flat ADC replay with the PERMUTED query
+    * (qo over the exported perm sidecar) against the FRESH
+    * full-corpus OPQ encode — the maintained CDC root must agree. */
+  private lazy val opqCdcOracleSql: String = {
+    raw"""WITH q AS (
+           SELECT embedding::DOUBLE[] AS qv FROM embeddings
+           WHERE vec_id = 0),
+         qo AS (
+           SELECT list(q.qv[p.src_dim + 1] ORDER BY p.pos) AS qv
+           FROM read_parquet('$IvfOracleRoot/opq/perm/*.parquet') p, q),
+         tab AS (
+           SELECT cb.sub, cb.code,
+             list_sum(list_transform(range(1, len(cb.centroid) + 1),
+               j -> (cb.centroid[j]::DOUBLE
+                       - qo.qv[cb.sub * len(cb.centroid) + j]) *
+                    (cb.centroid[j]::DOUBLE
+                       - qo.qv[cb.sub * len(cb.centroid) + j])))
+               AS partial
+           FROM read_parquet('$IvfOracleRoot/opq/books/*.parquet') cb,
+                qo),
+         ad AS (
+           SELECT e.vec_id,
+${pqAdcSumSql()}
+             AS d
+           FROM read_parquet('$IvfOracleRoot/opq/data/*.parquet') e),
+         cand AS (SELECT vec_id FROM ad ORDER BY d, vec_id
+                  LIMIT ${pqK * pqRefine})
+         SELECT e.vec_id,
+           floor(list_distance(e.embedding::DOUBLE[], (SELECT qv FROM q))
+             * 1e4 + 0.5::DOUBLE) / 1e4 AS dist
+         FROM read_parquet('$IvfOracleRoot/opq/data/*.parquet') e, q
+         WHERE e.vec_id IN (SELECT vec_id FROM cand)
+         ORDER BY dist, vec_id LIMIT $pqK"""
   }
 
   /** q75's oracle: q68's batch structure (per-query L2 probe ranking +
@@ -6760,6 +6839,72 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
             ("3_maintained_ctl", m.data(s), m.books, None),
             ("4_refit_ctl", r.data(s), r.books, None))))
         .orderBy(col("method"))
+    }),
+
+    "q187_cluster_diversity_sample" -> ((s, dir) => {
+      // D4-style head-cluster capping over the semantic (IVF)
+      // clusters (Tirumala et al. 2023's cluster-then-thin move, the
+      // diversity counterpart of q86's SemDeDup): each cluster
+      // contributes at most `cap` rows, selected by content-hash rank
+      // within the cluster — over-represented head clusters lose
+      // mass, tail clusters survive whole, and the pick is a pure
+      // function of (corpus, cap): reproducible across runs and
+      // engines, no RNG. The rank-≤-cap filter compiles to
+      // WindowGroupLimit (map-side partial top-k per cluster), so no
+      // cluster's full membership ever crosses the shuffle.
+      val cap = 20
+      val assigned = ivfIndexFor(s, dir).assigned
+      assigned
+        .select(col(IvfIndex.ClusterCol).as("cluster_id"),
+          col("vec_id"),
+          md5(col("vec_id").cast("string")).as("hk"))
+        .withColumn("pick_rank", row_number().over(
+          Window.partitionBy(col("cluster_id"))
+            .orderBy(col("hk"), col("vec_id"))))
+        .filter(col("pick_rank") <= cap)
+        .select(col("cluster_id"), col("vec_id"), col("pick_rank"))
+        .orderBy(col("cluster_id"), col("pick_rank"))
+    }),
+
+    "q188_semi_anti_join" -> ((s, dir) => {
+      // §2.3's two uncovered join shapes as one gated row pair:
+      // LEFT SEMI (orders with at least one high-quantity line — the
+      // TPC-H Q4 EXISTS shape) and LEFT ANTI (orders with none).
+      // Both plan as a single shuffled hash join carrying ONLY the
+      // join key on the build side; the gate pins count + key range
+      // per side so a semantics drift (dup-inflating inner join,
+      // null-swallowing anti) breaks the hash.
+      val hi = t(s, dir, "lineitem").filter(col("l_quantity") > 45)
+        .select(col("l_orderkey"))
+      val o = t(s, dir, "orders")
+      def side(tag: String, joinType: String): DataFrame =
+        o.join(hi, o("o_orderkey") === hi("l_orderkey"), joinType)
+          .agg(lit(tag).as("side"), count(lit(1)).as("n_orders"),
+            min(col("o_orderkey")).as("min_key"),
+            max(col("o_orderkey")).as("max_key"))
+      side("1_semi", "left_semi")
+        .unionByName(side("2_anti", "left_anti"))
+        .orderBy(col("side"))
+    }),
+
+    "q189_opq_cdc_search" -> ((s, dir) => {
+      // The OPQ rung's lifecycle UNDER THE GATE (q183's shape for the
+      // permuted codes): the root was built over a sabotaged snapshot
+      // with the fresh root's books AND permutation, repaired to the
+      // real corpus by deleteEncoded + appendEncoded — the append
+      // path re-applies the STORED permutation, which is exactly what
+      // this hash checks: the oracle replays the flat OPQ search over
+      // the FRESH full-corpus encode (opq/data), so any maintained
+      // code that diverged — e.g. an append that forgot the perm —
+      // changes a candidate and breaks equality.
+      VectorExpressions.ensureRegistered(s)
+      val root = Pq.loadRoot(s, opqCdcRootFor(s, dir))
+      Pq.topK(root.data(s), "vec_id", "embedding", queryVec(s, dir),
+          k = pqK, root.books, refine = pqRefine,
+          tieBreak = Some("vec_id"), rankRoundDp = Some(4),
+          perm = root.perm)
+        .select(col("vec_id"), col("dist"))
+        .orderBy(col("dist"), col("vec_id"))
     })
   )
 
@@ -9846,6 +9991,21 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
     "q183_pq_cdc_search" -> ivfPqOracleSqlFor("pqcdc"),
     "q185_opq_ivf_search" -> opqIvfOracleSql,
     "q186_recall_drift" -> driftRecallOracleSql,
+    "q187_cluster_diversity_sample" -> clusterDiversityOracleSql,
+    "q188_semi_anti_join" ->
+      """WITH hi AS (SELECT DISTINCT l_orderkey FROM lineitem
+                     WHERE l_quantity > 45)
+         SELECT side, n_orders, min_key, max_key FROM (
+           SELECT '1_semi' AS side, count(*) AS n_orders,
+             min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+           FROM orders
+           WHERE o_orderkey IN (SELECT l_orderkey FROM hi)
+           UNION ALL
+           SELECT '2_anti', count(*), min(o_orderkey), max(o_orderkey)
+           FROM orders
+           WHERE o_orderkey NOT IN (SELECT l_orderkey FROM hi))
+         ORDER BY side""",
+    "q189_opq_cdc_search" -> opqCdcOracleSql,
 
 
     // q134: the q51 split/shingle CTEs verbatim, then the bloom is

@@ -436,6 +436,66 @@ object EventStreams {
     }
   }
 
+  case class BudgetDoc(source: String, doc_id: Long, n_toks: Long)
+  case class AdmitRow(source: String, doc_id: Long, n_toks: Long,
+      cum: Long)
+
+  /** Streaming token-budget gate — the INGESTION-TIME face of q87's
+    * batch truncation (every pre-training mix caps each stratum at a
+    * token budget; this applies the cap while the data arrives
+    * instead of after it lands): per source, a document is admitted
+    * while the source's RUNNING token total — advanced by every doc
+    * SEEN, admitted or not, the same prefix rule q87's window cumsum
+    * applies — stays within `budget`. Once a source's prefix crosses
+    * the budget nothing later readmits (cum is monotone), so a
+    * source simply goes quiet: the shape a crawl frontier consumes
+    * to stop pulling from an exhausted source.
+    *
+    * Determinism contract: cross-trigger order is arrival order (a
+    * stream's only order); within a trigger the group's rows fold in
+    * `doc_id` order. The batch face is the q87 window cumsum over
+    * (source, doc_id) — stream == batch whenever docs arrive in id
+    * order, which the differential spec feeds.
+    *
+    * State per source is ONE long (the seen-token total), bounded by
+    * the source vocabulary, not the stream; per-trigger work
+    * materializes only that trigger's rows per group. Batch
+    * execution runs the same handler with empty state — one big
+    * trigger — and equals the batch face exactly. */
+  def budgetGate(docs: Dataset[BudgetDoc],
+      budget: Long): Dataset[AdmitRow] = {
+    import docs.sparkSession.implicits._
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    docs.groupByKey(_.source)
+      .flatMapGroupsWithState[Long, AdmitRow](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) {
+        (src: String, rows: Iterator[BudgetDoc],
+            state: GroupState[Long]) =>
+          var seen = state.getOption.getOrElse(0L)
+          val admitted = rows.toVector.sortBy(_.doc_id).flatMap { d =>
+            seen += d.n_toks
+            if (seen <= budget)
+              Some(AdmitRow(src, d.doc_id, d.n_toks, seen))
+            else None
+          }
+          state.update(seen)
+          admitted.iterator
+      }
+  }
+
+  /** q87's window-cumsum shape at an absolute budget — the batch face
+    * [[budgetGate]] must agree with on an id-ordered feed. */
+  def budgetGateBatch(docs: DataFrame, sourceCol: String,
+      idCol: String, toksCol: String, budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs
+      .withColumn("cum", sum(col(toksCol)).over(
+        Window.partitionBy(col(sourceCol)).orderBy(col(idCol))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("cum") <= budget)
+  }
+
   case class FlagRow(event_type: String, bin_start: Long, n: Long,
       trailing_sum: Long)
 

@@ -651,6 +651,51 @@ class EventStreamsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("budgetGate: prefix rule across triggers; stream == batch face; batch execution agrees") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import EventStreams.BudgetDoc
+    val b1 = Seq(BudgetDoc("a", 1L, 40L), BudgetDoc("a", 2L, 40L),
+      BudgetDoc("b", 1L, 90L))
+    val b2 = Seq(BudgetDoc("a", 3L, 30L), BudgetDoc("a", 4L, 15L),
+      BudgetDoc("b", 2L, 5L))
+    val input = MemoryStream[BudgetDoc]
+    val query = EventStreams.budgetGate(input.toDS(), budget = 100L)
+      .writeStream.format("memory").queryName("budget_out")
+      .outputMode("append").start()
+    def admitted() = spark.table("budget_out")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+      .toSet
+    try {
+      input.addData(b1: _*)
+      query.processAllAvailable()
+      assert(admitted() == Set(("a", 1L, 40L), ("a", 2L, 80L),
+        ("b", 1L, 90L)))
+      input.addData(b2: _*)
+      query.processAllAvailable()
+      // the PREFIX rule with state carried across triggers: a3 takes
+      // source a's seen total to 110 (> 100, dropped) and a4 stays
+      // dropped at 125 even though 80+15 would fit — the cum counts
+      // every doc SEEN, exactly like q87's window cumsum; b still has
+      // room and admits at 95
+      assert(admitted() == Set(("a", 1L, 40L), ("a", 2L, 80L),
+        ("b", 1L, 90L), ("b", 2L, 95L)))
+    } finally query.stop()
+    // differential: the batch face over the same id-ordered feed
+    val all = (b1 ++ b2).toDF()
+    val batchFace = EventStreams.budgetGateBatch(all, "source",
+        "doc_id", "n_toks", 100L)
+      .select("source", "doc_id", "cum").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(batchFace == admitted(),
+      "stream and the q87-shaped batch face must admit identically")
+    // batch execution of the SAME handler (one big trigger)
+    val batchRun = EventStreams.budgetGate((b1 ++ b2).toDS(), 100L)
+      .collect().map(a => (a.source, a.doc_id, a.cum)).toSet
+    assert(batchRun == batchFace,
+      "batch execution of the stateful handler must agree")
+  }
+
   test("dedupStream batch form dedups on the same fingerprint") {
     import spark.implicits._
     val batch = Seq(
