@@ -6905,6 +6905,29 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
           perm = root.perm)
         .select(col("vec_id"), col("dist"))
         .orderBy(col("dist"), col("vec_id"))
+    }),
+
+    "q190_graph_hubness" -> ((s, dir) => {
+      // Hubness diagnostic (Radovanović et al., JMLR 2010): in high
+      // dimensions a few points recur in many k-NN lists ("hubs")
+      // while others vanish from all of them ("anti-hubs"), and both
+      // degrade the graph family — walks funnel through hubs,
+      // anti-hubs become unreachable from any entry. The artifact is
+      // the IN-DEGREE distribution of the persisted k=3 graph with
+      // zero-degree nodes included (the anti-hub count IS the
+      // reachability story). One edge-frame aggregation + one
+      // node-keyed join; histogram-sized output. The oracle rebuilds
+      // the graph from the shared q135/q155 CTE replay, so this
+      // distribution can never drift from the graph the walks hash.
+      val g = knnGraphFor(s, dir)
+      val nodes = ivfIndexFor(s, dir).assigned
+        .filter(col("embedding").isNotNull).select(col("vec_id"))
+      nodes
+        .join(g.groupBy(col("nbr")).agg(count(lit(1)).as("d")),
+          nodes("vec_id") === col("nbr"), "left")
+        .select(coalesce(col("d"), lit(0L)).as("in_deg"))
+        .groupBy(col("in_deg")).agg(count(lit(1)).as("n_nodes"))
+        .orderBy(col("in_deg"))
     })
   )
 
@@ -10006,6 +10029,7 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
            WHERE o_orderkey NOT IN (SELECT l_orderkey FROM hi))
          ORDER BY side""",
     "q189_opq_cdc_search" -> opqCdcOracleSql,
+    "q190_graph_hubness" -> hubnessOracleSql,
 
 
     // q134: the q51 split/shingle CTEs verbatim, then the bloom is
@@ -11221,6 +11245,21 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
              row_number() OVER (PARTITION BY src ORDER BY dist, nbr)
                AS rank
            FROM cand)"""
+
+  /** q190's oracle: the shared graph replay, edges cut at the same
+    * k=3, in-degree per non-null node (LEFT JOIN so anti-hubs count
+    * at zero), then the histogram. */
+  private lazy val hubnessOracleSql: String =
+    raw"""WITH $knnGraphOracleCtes,
+         g AS (SELECT src, nbr FROM r WHERE rank <= 3),
+         nodes AS (
+           SELECT vec_id FROM data WHERE embedding IS NOT NULL),
+         indeg AS (
+           SELECT n.vec_id, count(g.src) AS in_deg
+           FROM nodes n LEFT JOIN g ON g.nbr = n.vec_id
+           GROUP BY n.vec_id)
+         SELECT in_deg::BIGINT AS in_deg, count(*)::BIGINT AS n_nodes
+         FROM indeg GROUP BY in_deg ORDER BY in_deg"""
 
   /** q155's unrolled beam-walk oracle: the shared graph CTEs, then
     * one (candidates → beam frontier → visited) CTE TRIPLE per hop —
