@@ -6928,6 +6928,70 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
         .select(coalesce(col("d"), lit(0L)).as("in_deg"))
         .groupBy(col("in_deg")).agg(count(lit(1)).as("n_nodes"))
         .orderBy(col("in_deg"))
+    }),
+
+    "q191_pack_chunk_report" -> ((s, dir) => {
+      // Concat-and-chunk packing report — the GPT-style pre-training
+      // pack (per language, the token stream concatenates in doc_id
+      // order and splits into fixed context windows) priced against
+      // its costs: documents SPLIT across a block boundary (attention
+      // fragmentation), block count, and the tail padding. q148
+      // prices the pad-each-doc recipe; this prices concat-and-chunk
+      // — the two ends of the packing trade, both gated. Integer
+      // throughout; the window is q87's per-lang cumsum shape (a
+      // range-partitioned sort at scale, never a global window).
+      VectorExpressions.ensureRegistered(s)
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("lang"), col("doc_id"),
+          tokenCount(col("text")).as("len"))
+        .filter(col("len") > 0L)
+        .withColumn("cum", sum(col("len")).over(w))
+        .withColumn("chunk", explode(array(lit(1024L), lit(2048L))))
+        .withColumn("split", expr(
+          "CASE WHEN (cum - len) div chunk != (cum - 1) div chunk" +
+            " THEN 1L ELSE 0L END"))
+        .groupBy(col("chunk"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("split")).as("n_split"),
+          max(col("cum")).as("tok_total"))
+        .withColumn("n_blocks",
+          expr("(tok_total + chunk - 1) div chunk"))
+        .withColumn("split_ppm",
+          expr("n_split * 1000000 div n_docs"))
+        .withColumn("tail_waste_ppm",
+          expr("(n_blocks * chunk - tok_total) * 1000000" +
+            " div (n_blocks * chunk)"))
+        .orderBy(col("chunk"), col("lang"))
+    }),
+
+    "q192_binary_candidates_sweep" -> ((s, dir) => {
+      // The binary rung's operating curve (q179's nprobe-sweep shape
+      // for sign codes): recall@10 vs the exact cosine top-10 at
+      // Hamming-prefilter widths {20, 50, 100} — `candidates` is the
+      // binary family's nprobe, and the curve is what an operator
+      // picks it from where q133 samples one point. Each leg is the
+      // same 16-bytes/row Hamming scan + bounded exact re-rank.
+      VectorExpressions.ensureRegistered(s)
+      val q = queryVec(s, dir)
+      val emb = t(s, dir, "embeddings")
+      val ex = KnnSearch.topK(emb, "embedding", q, 10,
+          KnnSearch.NativeCosine, tieBreak = Some("vec_id"),
+          rankRoundDp = Some(4))
+        .select(col("vec_id").as("id_e")).localCheckpoint()
+      Seq(20, 50, 100).map { c =>
+        BinaryHash.topK(emb, "embedding", "vec_id", q, k = 10,
+            candidates = c,
+            rerank = v => KnnSearch.roundHalfUpCol(
+              cosineSimilarityNative(v, KnnSearch.litVec(q)), 4))
+          .select(col("vec_id").as("id_a"))
+          .join(ex, col("id_a") === col("id_e"))
+          .agg(lit(c.toLong).as("candidates"),
+            count(lit(1)).as("n_overlap"))
+          .withColumn("recall_ppm",
+            expr("n_overlap * 1000000 div 10"))
+      }.reduce(_.unionByName(_)).orderBy(col("candidates"))
     })
   )
 
@@ -10030,6 +10094,38 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
          ORDER BY side""",
     "q189_opq_cdc_search" -> opqCdcOracleSql,
     "q190_graph_hubness" -> hubnessOracleSql,
+    "q191_pack_chunk_report" ->
+      raw"""WITH t AS (
+           SELECT lang, doc_id,
+             len(list_filter(string_split_regex(text, '\s+'),
+               x -> len(x) > 0))::BIGINT AS len
+           FROM documents WHERE text IS NOT NULL),
+         c AS (
+           SELECT lang, doc_id, len,
+             sum(len) OVER (PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM t WHERE len > 0),
+         e AS (
+           SELECT c.*, ch.chunk FROM c
+           CROSS JOIN (VALUES (1024::BIGINT), (2048::BIGINT))
+             AS ch(chunk)),
+         g AS (
+           SELECT chunk, lang, count(*) AS n_docs,
+             sum(CASE WHEN (cum - len) // chunk <> (cum - 1) // chunk
+                 THEN 1 ELSE 0 END)::BIGINT AS n_split,
+             max(cum) AS tok_total
+           FROM e GROUP BY chunk, lang),
+         b AS (
+           SELECT *, (tok_total + chunk - 1) // chunk AS n_blocks
+           FROM g)
+         SELECT chunk, lang, n_docs::BIGINT AS n_docs, n_split,
+           tok_total::BIGINT AS tok_total,
+           n_blocks::BIGINT AS n_blocks,
+           (n_split * 1000000 // n_docs)::BIGINT AS split_ppm,
+           ((n_blocks * chunk - tok_total) * 1000000
+             // (n_blocks * chunk))::BIGINT AS tail_waste_ppm
+         FROM b ORDER BY chunk, lang""",
+    "q192_binary_candidates_sweep" -> binaryCandidatesSweepOracleSql,
 
 
     // q134: the q51 split/shingle CTEs verbatim, then the bloom is
@@ -11260,6 +11356,59 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
            GROUP BY n.vec_id)
          SELECT in_deg::BIGINT AS in_deg, count(*)::BIGINT AS n_nodes
          FROM indeg GROUP BY in_deg ORDER BY in_deg"""
+
+  /** q192's oracle: q133's bit-pack + Hamming replay, three candidate
+    * widths sharing the packed CTE, each width's exact-cosine re-rank
+    * intersected with the shared exact top-10. */
+  private lazy val binaryCandidatesSweepOracleSql: String = {
+    val widths = Seq(20, 50, 100)
+    val chains = widths.map { c =>
+      s"""cand$c AS (SELECT vec_id, embedding, qe FROM h
+             ORDER BY hamming, vec_id LIMIT $c),
+         rr$c AS (
+           SELECT vec_id FROM (
+             SELECT vec_id,
+               floor(list_cosine_similarity(embedding::DOUBLE[],
+                 qe::DOUBLE[]) * 1e4 + 0.5::DOUBLE) / 1e4 AS cs
+             FROM cand$c)
+           ORDER BY cs DESC, vec_id LIMIT 10),
+         cnt$c AS (SELECT count(*) AS c FROM rr$c
+           JOIN ex ON ex.vec_id = rr$c.vec_id)"""
+    }.mkString(",\n         ")
+    val rows = widths.map { c =>
+      s"""SELECT ${c}::BIGINT AS candidates,
+             (SELECT c FROM cnt$c)::BIGINT AS n_overlap,
+             ((SELECT c FROM cnt$c) * 1000000 // 10)::BIGINT
+               AS recall_ppm"""
+    }.mkString("\n           UNION ALL\n           ")
+    raw"""WITH p AS (
+           SELECT vec_id, embedding,
+             list_sum(list_transform(range(0, 32), i ->
+               CASE WHEN embedding[i + 1] > 0
+                 THEN (1::BIGINT << i) ELSE 0::BIGINT END))::BIGINT AS w0,
+             list_sum(list_transform(range(0, 32), i ->
+               CASE WHEN embedding[i + 33] > 0
+                 THEN (1::BIGINT << i) ELSE 0::BIGINT END))::BIGINT AS w1
+           FROM embeddings),
+         q AS (SELECT w0 AS qw0, w1 AS qw1, embedding AS qe
+               FROM p WHERE vec_id = 0),
+         ex AS MATERIALIZED (
+           SELECT vec_id FROM (
+             SELECT p.vec_id,
+               floor(list_cosine_similarity(p.embedding::DOUBLE[],
+                 q.qe::DOUBLE[]) * 1e4 + 0.5::DOUBLE) / 1e4 AS cs
+             FROM p, q)
+           ORDER BY cs DESC, vec_id LIMIT 10),
+         h AS MATERIALIZED (
+           SELECT p.vec_id, p.embedding, q.qe,
+             (bit_count(xor(p.w0, q.qw0))
+              + bit_count(xor(p.w1, q.qw1)))::BIGINT AS hamming
+           FROM p CROSS JOIN q),
+         $chains
+         SELECT candidates, n_overlap, recall_ppm FROM (
+           $rows)
+         ORDER BY candidates"""
+  }
 
   /** q155's unrolled beam-walk oracle: the shared graph CTEs, then
     * one (candidates → beam frontier → visited) CTE TRIPLE per hop —
