@@ -6992,6 +6992,69 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
           .withColumn("recall_ppm",
             expr("n_overlap * 1000000 div 10"))
       }.reduce(_.unionByName(_)).orderBy(col("candidates"))
+    }),
+
+    "q193_maxsim_pruned" -> ((s, dir) => {
+      // PLAID-style pruned late interaction (Santhanam et al. 2022:
+      // route to centroid-adjacent candidates, shortlist, then score
+      // exactly — realized in the engine's no-RNG integer
+      // discipline): the vocabulary partitions by the SIGN PATTERN of
+      // the first 4 embedding dims (a SimHash bucket — the binary
+      // rung applied to token space), each query token probes its own
+      // bucket plus all Hamming-1 neighbors (5 of 16), docs are
+      // ROUTED by how many of their distinct tokens land in probed
+      // buckets (the centroid-interaction proxy), the top-50 by
+      // (hits DESC, doc_id) form the shortlist — a
+      // TakeOrderedAndProject, bounded per-partition state, never a
+      // corpus window — and q104's exact factored MaxSim runs ONLY
+      // over the shortlist: the expensive interaction is structurally
+      // capped at 50 docs regardless of corpus size. The probe set
+      // derives driver-side from the 3 query embeddings (a 3-row
+      // collect). Top-10 where q104 reports 20, so the two artifacts
+      // stay distinct.
+      import graft.functions.TextFunctions.tokens
+      import s.implicits._
+      def emb(tok: Column): Column =
+        transform(sequence(lit(0), lit(15)), j =>
+          conv(substring(md5(concat_ws("|", j.cast("string"), tok)),
+            1, 4), 16, 10).cast("long") % 2001L - 1000L)
+      def bucketOf(e: Column): Column =
+        (0 until 4).map(j =>
+          when(element_at(e, j + 1) > 0L, lit(1L << j))
+            .otherwise(lit(0L)))
+          .reduce(_ + _)
+      val qtoks = Seq("spark", "query", "join")
+      val qdf = qtoks.toDF("qtok").withColumn("qe", emb(col("qtok")))
+        .localCheckpoint()
+      val qBuckets = qdf.select(bucketOf(col("qe")).as("b"))
+        .collect().map(_.getLong(0)).toSet
+      val probed = (0L until 16L).filter(b =>
+        qBuckets.exists(qb => java.lang.Long.bitCount(b ^ qb) <= 1))
+      val dtok = t(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .distinct()
+      val candTok = dtok.select(col("tok")).distinct()
+        .filter(bucketOf(emb(col("tok"))).isin(probed: _*))
+      val candDoc = dtok.join(candTok, Seq("tok"), "left_semi")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("hits"))
+        .orderBy(col("hits").desc, col("doc_id")).limit(50)
+        .select(col("doc_id"))
+      val tkC = dtok.join(candDoc, Seq("doc_id"), "left_semi")
+      val dots = tkC.select(col("tok")).distinct()
+        .withColumn("de", emb(col("tok")))
+        .crossJoin(broadcast(qdf))
+        .select(col("tok"), col("qtok"),
+          aggregate(zip_with(col("qe"), col("de"), (x, y) => x * y),
+            lit(0L), (acc, x) => acc + x).as("dot"))
+      tkC.join(dots, Seq("tok"))
+        .groupBy(col("doc_id"), col("qtok"))
+        .agg(max(col("dot")).as("m"),
+          count_distinct(col("tok")).as("nt"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("nt")).as("n_doc_tokens"),
+          sum(col("m")).as("maxsim"))
+        .orderBy(col("maxsim").desc, col("doc_id"))
+        .limit(10)
     })
   )
 
@@ -10126,6 +10189,56 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
              // (n_blocks * chunk))::BIGINT AS tail_waste_ppm
          FROM b ORDER BY chunk, lang""",
     "q192_binary_candidates_sweep" -> binaryCandidatesSweepOracleSql,
+    "q193_maxsim_pruned" ->
+      raw"""WITH tk AS (
+           SELECT DISTINCT doc_id, tok FROM (
+             SELECT doc_id,
+               unnest(list_filter(string_split_regex(text, '\s+'),
+                 w -> len(w) > 0)) AS tok
+             FROM documents WHERE text IS NOT NULL)),
+         qt(qtok) AS (VALUES ('spark'), ('query'), ('join')),
+         jj AS (SELECT unnest(range(0, 16)) AS j),
+         tb AS (
+           SELECT tok,
+             sum(CASE WHEN (('0x' || substr(md5(jj.j::VARCHAR || '|'
+                   || tok), 1, 4))::BIGINT % 2001 - 1000) > 0
+                 THEN (1::BIGINT << jj.j) ELSE 0 END)::BIGINT AS b
+           FROM (SELECT DISTINCT tok FROM tk) CROSS JOIN jj
+           WHERE jj.j < 4 GROUP BY tok),
+         qb AS (
+           SELECT qtok,
+             sum(CASE WHEN (('0x' || substr(md5(jj.j::VARCHAR || '|'
+                   || qtok), 1, 4))::BIGINT % 2001 - 1000) > 0
+                 THEN (1::BIGINT << jj.j) ELSE 0 END)::BIGINT AS b
+           FROM qt CROSS JOIN jj WHERE jj.j < 4 GROUP BY qtok),
+         probes AS (
+           SELECT DISTINCT t.b
+           FROM (SELECT unnest(range(0, 16)) AS b) t
+           JOIN qb ON bit_count(xor(t.b, qb.b)) <= 1),
+         canddoc AS (
+           SELECT doc_id FROM (
+             SELECT tk.doc_id, count(*) AS hits FROM tk
+             JOIN tb ON tb.tok = tk.tok
+             WHERE tb.b IN (SELECT b FROM probes)
+             GROUP BY tk.doc_id)
+           ORDER BY hits DESC, doc_id LIMIT 50),
+         tkc AS (
+           SELECT * FROM tk
+           WHERE doc_id IN (SELECT doc_id FROM canddoc)),
+         dot AS (
+           SELECT tkc.doc_id, tkc.tok, qt.qtok,
+             sum((('0x' || substr(md5(jj.j::VARCHAR || '|' || tkc.tok),
+                 1, 4))::BIGINT % 2001 - 1000)
+               * (('0x' || substr(md5(jj.j::VARCHAR || '|' || qt.qtok),
+                 1, 4))::BIGINT % 2001 - 1000))::BIGINT AS d
+           FROM tkc CROSS JOIN qt CROSS JOIN jj
+           GROUP BY 1, 2, 3),
+         mx AS (SELECT doc_id, qtok, max(d) AS m FROM dot GROUP BY 1, 2),
+         nt AS (SELECT doc_id, count(*)::BIGINT AS n_doc_tokens
+           FROM tkc GROUP BY 1)
+         SELECT mx.doc_id, nt.n_doc_tokens, sum(mx.m)::BIGINT AS maxsim
+         FROM mx JOIN nt ON mx.doc_id = nt.doc_id
+         GROUP BY 1, 2 ORDER BY maxsim DESC, mx.doc_id LIMIT 10""",
 
 
     // q134: the q51 split/shingle CTEs verbatim, then the bloom is
