@@ -300,6 +300,63 @@ object CorpusStore {
   def loadJson(spark: SparkSession, path: String): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** S9-CSV: the corpus flattened to a CSV interchange file — CSV has
+    * no nested types, so the complex columns (embedding, metadata)
+    * ride as JSON strings and [[loadCsv]] reverses the encoding
+    * exactly. Spark's univocity writer quotes per RFC 4180, so
+    * documents containing commas, quotes, or newlines round-trip. */
+  def exportCsv(corpus: DataFrame, path: String): Unit =
+    corpus.select(col("id"),
+        to_json(col("embedding")).as("embedding"),
+        col("document"),
+        to_json(col("metadata")).as("metadata"),
+        col("component_code"))
+      .write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+
+  /** S8-CSV: bulk load of the [[exportCsv]] interchange layout with
+    * the same read-time schema enforcement as [[loadJson]] —
+    * un-coercible rows surface as nulls (PERMISSIVE). */
+  def loadCsv(spark: SparkSession, path: String): DataFrame = {
+    val flat = StructType(Seq(
+      StructField("id", StringType, nullable = false),
+      StructField("embedding", StringType),
+      StructField("document", StringType),
+      StructField("metadata", StringType),
+      StructField("component_code", IntegerType, nullable = false)))
+    spark.read.option("header", "true").schema(flat).csv(path)
+      .select(col("id"),
+        from_json(col("embedding"), ArrayType(FloatType))
+          .as("embedding"),
+        col("document"),
+        from_json(col("metadata"), metadataType).as("metadata"),
+        col("component_code"))
+  }
+
+  /** Parquet BLOOM-FILTER indexes on selected columns — the
+    * point-lookup pruning lever at 100 TB: a reader filtering
+    * `id = x` skips every row group whose bloom excludes the value
+    * WITHOUT scanning it, no shuffle and no sort required —
+    * complementing min-max/Z-order pruning, which only bites when
+    * the column is clustered. Off by default in Spark because the
+    * filter costs write-side memory and file bytes proportional to
+    * `ndv`; this enables it per column at write time. Readers need
+    * nothing: parquet-mr consults blooms under the default
+    * `parquet.filter.bloom.enabled`. */
+  def writeWithBloomFilters(df: DataFrame, path: String,
+      bloomCols: Seq[String], ndv: Long = 100000L): Unit = {
+    require(bloomCols.nonEmpty, "writeWithBloomFilters: no columns")
+    bloomCols.foreach(c => require(df.columns.contains(c),
+      s"writeWithBloomFilters: '$c' is not a column"))
+    bloomCols
+      .flatMap(c => Seq(
+        s"parquet.bloom.filter.enabled#$c" -> "true",
+        s"parquet.bloom.filter.expected.ndv#$c" -> ndv.toString))
+      .foldLeft(df.write.mode(SaveMode.Overwrite)) {
+        case (w, (k, v)) => w.option(k, v)
+      }
+      .parquet(path)
+  }
+
   // ---- introspection (S11, A1) ----------------------------------------
 
   /** `has_collection` analogue (db.py:297-308). */

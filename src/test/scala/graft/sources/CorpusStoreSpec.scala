@@ -94,6 +94,67 @@ class CorpusStoreSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("CSV export/load round-trip: complex columns ride as JSON and come back typed") {
+    val back = spark.read.parquet(s"$tmp/corpus")
+    CorpusStore.exportCsv(back, s"$tmp/export-csv")
+    val loaded = CorpusStore.loadCsv(spark, s"$tmp/export-csv")
+    assert(loaded.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      CorpusStore.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(loaded.count() == back.count())
+    // documents carry markdown (commas, quotes, newlines) — the CSV
+    // quoting must round-trip them byte-for-byte, and the embedding
+    // must come back as the same float array
+    val a = back.select("id", "document", "component_code", "embedding")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2),
+        r.getSeq[Float](3))).toSet
+    val b = loaded
+      .select("id", "document", "component_code", "embedding")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2),
+        r.getSeq[Float](3))).toSet
+    assert(a == b)
+  }
+
+  test("writeWithBloomFilters: footer carries the bloom, lookups answer, point reads stay correct") {
+    import scala.jdk.CollectionConverters._
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .coalesce(1)
+    val p = s"$tmp/bloomed"
+    CorpusStore.writeWithBloomFilters(emb, p, Seq("vec_id"),
+      ndv = 1000L)
+    val part = new java.io.File(p).listFiles()
+      .filter(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet")).head
+    val conf = spark.sessionState.newHadoopConf()
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(part.getAbsolutePath), conf))
+    try {
+      val rg = reader.getFooter.getBlocks.get(0)
+      val colMeta = rg.getColumns.asScala
+        .find(_.getPath.toDotString == "vec_id").get
+      assert(colMeta.getBloomFilterOffset > 0,
+        "vec_id must carry a bloom filter in the footer")
+      val bloom = reader.getBloomFilterDataReader(rg)
+        .readBloomFilter(colMeta)
+      assert(bloom != null)
+      // every present id answers positive; absent ids are mostly
+      // excluded (FPP is small but nonzero — assert a strong majority)
+      val present = Seq(0L, 1L, 2L, 50L)
+      assert(present.forall(v => bloom.findHash(bloom.hash(v))))
+      val absentExcluded = (1000000L until 1000100L)
+        .count(v => !bloom.findHash(bloom.hash(v)))
+      assert(absentExcluded > 80,
+        s"bloom excluded only $absentExcluded/100 absent ids")
+    } finally reader.close()
+    // and the bloomed file still answers point reads correctly
+    val row = spark.read.parquet(p).filter(col("vec_id") === 50L)
+      .select("vec_id").collect()
+    assert(row.map(_.getLong(0)).toSeq == Seq(50L))
+  }
+
   test("compact collapses small files while preserving data and pruning") {
     // fragment: 8 tiny appends per component → many files per partition
     val chunks = MarkdownIngest.ingest(spark, corpusDir, Seq("oracle"))
