@@ -247,6 +247,72 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("opqPermutation property: valid permutation; the m hottest dims land in m distinct subspaces") {
+    import spark.implicits._
+    import graft.operators.Pq
+    // random anisotropic corpora: per-dim scale drawn 1..64, values
+    // md5-free (plain arithmetic) but deterministic via the seed
+    val caseGen = Gen.zip(
+      Gen.listOfN(16, Gen.chooseNum(1, 64)),
+      Gen.chooseNum(2, 4).map(1 << _)) // m ∈ {4, 8, 16}
+    samples(caseGen, 4).foreach { case (scales, m0) =>
+      val m = if (16 % m0 == 0) m0 else 4
+      val rows = (0L until 120L).map { i =>
+        (i, scales.zipWithIndex.map { case (sc, j) =>
+          (((i * (3 + 2 * j) + j * 7) % 97).toFloat / 97f - 0.5f) * sc
+        })
+      }
+      val df = rows.toDF("vec_id", "embedding")
+      val perm = Pq.opqPermutation(df, "embedding", m)
+      // a permutation, exactly
+      assert(perm.sorted.sameElements(0 until 16),
+        s"not a permutation: ${perm.toSeq}")
+      // determinism
+      assert(Pq.opqPermutation(df, "embedding", m).sameElements(perm))
+      // eigenvalue-allocation essence: the m highest-variance dims are
+      // dealt to m DISTINCT subspaces (greedy fills empty buckets
+      // first — always true by construction, and exactly what the
+      // identity layout violates on a scaled band)
+      val n = rows.length
+      val varScaled = (0 until 16).map { j =>
+        val xs = rows.map(r => BigDecimal(r._2(j).toDouble))
+        val s = xs.sum; val ss = xs.map(x => x * x).sum
+        (j, n * ss - s * s)
+      }
+      val hot = varScaled.sortBy(-_._2).take(m).map(_._1).toSet
+      val dsub = 16 / m
+      val owners = hot.map(d => perm.indexOf(d) / dsub)
+      assert(owners.size == m,
+        s"hot dims $hot landed in buckets $owners (m=$m)")
+    }
+  }
+
+  test("budgetGate batch-execution property: equals the sequential fold on random feeds") {
+    import spark.implicits._
+    import graft.streaming.EventStreams
+    import graft.streaming.EventStreams.BudgetDoc
+    val caseGen = Gen.zip(
+      Gen.listOfN(80, Gen.zip(Gen.oneOf("a", "b", "c"),
+        Gen.chooseNum(1L, 40L))),
+      Gen.chooseNum(50L, 400L))
+    samples(caseGen, 5).foreach { case (docs, budget) =>
+      val rows = docs.zipWithIndex.map { case ((src, w), i) =>
+        BudgetDoc(src, i.toLong, w) }
+      // sequential reference: per source in doc_id order, admit while
+      // the SEEN prefix stays within budget
+      val expected = rows.groupBy(_.source).flatMap { case (_, ds) =>
+        var seen = 0L
+        ds.sortBy(_.doc_id).flatMap { d =>
+          seen += d.n_toks
+          if (seen <= budget) Some((d.source, d.doc_id, seen)) else None
+        }
+      }.toSet
+      val got = EventStreams.budgetGate(rows.toDS(), budget)
+        .collect().map(a => (a.source, a.doc_id, a.cum)).toSet
+      assert(got == expected, s"budget=$budget: $got vs $expected")
+    }
+  }
+
   test("shingle guards: short/empty/null inputs yield empty arrays") {
     import spark.implicits._
     import graft.functions.TextFunctions._
