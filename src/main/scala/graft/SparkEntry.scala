@@ -56,6 +56,14 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[String, Bm25.CorpusStats]()
   private val bm25Terms =
     Seq("spark", "query", "join", "table", "window", "agg")
+
+  /** q194's integer NDCG discount table: floor(1e6 / log2(rank+1)),
+    * computed ONCE here and embedded as literals in BOTH engines'
+    * plans — the metric's only irrational ingredient becomes a shared
+    * constant, keeping DCG/IDCG exact integer sums. */
+  private val ndcgDisc: Map[Int, Long] = (1 to 10).map(i =>
+    i -> math.floor(1e6 / (math.log(i + 1.0) / math.log(2.0))).toLong)
+    .toMap
   private def bm25StatsFor(s: SparkSession, dir: String): Bm25.CorpusStats =
     bm25StatsCache.computeIfAbsent(dir, _ =>
       Bm25.stats(t(s, dir, "documents"), "doc_id", "text", bm25Terms))
@@ -7055,6 +7063,55 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
           sum(col("m")).as("maxsim"))
         .orderBy(col("maxsim").desc, col("doc_id"))
         .limit(10)
+    }),
+
+    "q194_bm25_ndcg" -> ((s, dir) => {
+      // NDCG@10 for the lexical rung — the eval-surface cell the
+      // recall panels don't cover (recall is set overlap; NDCG grades
+      // the ORDER). Graded qrels are DENSE judgments — cosine-rank
+      // buckets of the query embedding (top-10 → gain 7, top-50 → 3,
+      // top-100 → 1, else 0, the 2^g−1 ladder) — so the lexical
+      // system is judged by an INDEPENDENT semantic signal, never its
+      // own term statistics (term-presence grades saturate: 188 of
+      // 500 sf0.01 docs carry all six terms and NDCG pins at 1.0).
+      // The metric's one irrational ingredient, the 1/log2(rank+1)
+      // discount, becomes a table of integer LITERALS
+      // floor(1e6/log2(rank+1)) computed once ([[ndcgDisc]]) and
+      // embedded in BOTH engines' plans, so DCG and IDCG are exact
+      // integer sums and NDCG a single integer division.
+      VectorExpressions.ensureRegistered(s)
+      val discCase = "CASE rank " + (1 to 10).map(i =>
+        s"WHEN $i THEN ${ndcgDisc(i)}L").mkString(" ") + " ELSE 0L END"
+      val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+      val qv = queryVec(s, dir)
+      val ranked = t(s, dir, "embeddings")
+        .select(col("vec_id").as("doc_id"),
+          KnnSearch.roundHalfUpCol(cosineSimilarityNative(
+            col("embedding"), KnnSearch.litVec(qv)), 4).as("cs"))
+        .orderBy(col("cs").desc, col("doc_id")).limit(100)
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("cs").desc, col("doc_id"))))
+        .select(col("doc_id"), expr(
+          "CASE WHEN rnk <= 10 THEN 7L WHEN rnk <= 50 THEN 3L" +
+            " ELSE 1L END").as("g0"))
+      val grades = docs.select(col("doc_id"))
+        .join(ranked, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("g0"), lit(0L)).as("gain"))
+        .localCheckpoint()
+      val top = Bm25.topK(docs, "doc_id", "text", bm25Terms, k = 10,
+          precomputed = Some(bm25StatsFor(s, dir)))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id"))))
+      val dcg = top.join(grades, "doc_id")
+        .agg(sum(expr(s"gain * ($discCase)")).as("dcg"))
+      val idcg = grades
+        .orderBy(col("gain").desc, col("doc_id")).limit(10)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("gain").desc, col("doc_id"))))
+        .agg(sum(expr(s"gain * ($discCase)")).as("idcg"))
+      dcg.crossJoin(idcg)
+        .withColumn("ndcg_ppm", expr("dcg * 1000000 div idcg"))
     })
   )
 
@@ -9516,6 +9573,50 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
     // with a missing leg contributing 0 through NULL propagation +
     // coalesce exactly like the Spark side.
     "q70_bm25_batch" -> bm25BatchOracleSql,
+
+    "q194_bm25_ndcg" -> {
+      val discCase = "CASE rank " + (1 to 10).map(i =>
+        s"WHEN $i THEN ${ndcgDisc(i)}").mkString(" ") + " ELSE 0 END"
+      raw"""WITH $Bm25LexCtes,
+         top AS (
+           SELECT doc_id,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+           FROM (SELECT doc_id, score FROM lex
+                 ORDER BY score DESC, doc_id LIMIT 10) tt),
+         qvq AS (SELECT embedding::DOUBLE[] AS v FROM embeddings
+                 WHERE vec_id = 0),
+         rk AS (
+           SELECT doc_id,
+             row_number() OVER (ORDER BY cs DESC, doc_id) AS rnk
+           FROM (
+             SELECT vec_id AS doc_id,
+               floor(list_cosine_similarity(embedding::DOUBLE[],
+                 (SELECT v FROM qvq)) * 1e4 + 0.5::DOUBLE) / 1e4 AS cs
+             FROM embeddings
+             ORDER BY cs DESC, doc_id LIMIT 100) t),
+         qr AS (
+           SELECT dd.doc_id,
+             coalesce(CASE WHEN rk.rnk <= 10 THEN 7
+               WHEN rk.rnk <= 50 THEN 3
+               WHEN rk.rnk <= 100 THEN 1 END, 0) AS gain
+           FROM (SELECT doc_id FROM documents
+                 WHERE text IS NOT NULL) dd
+           LEFT JOIN rk ON rk.doc_id = dd.doc_id),
+         dc AS (
+           SELECT sum(qr.gain * ($discCase))::BIGINT AS dcg
+           FROM top JOIN qr ON qr.doc_id = top.doc_id),
+         ideal AS (
+           SELECT gain, rank FROM (
+             SELECT gain,
+               row_number() OVER (ORDER BY gain DESC, doc_id) AS rank
+             FROM qr)
+           WHERE rank <= 10),
+         ic AS (
+           SELECT sum(gain * ($discCase))::BIGINT AS idcg FROM ideal)
+         SELECT dc.dcg, ic.idcg,
+           (dc.dcg * 1000000 // ic.idcg)::BIGINT AS ndcg_ppm
+         FROM dc, ic"""
+    },
 
     "q73_pq_adc" -> pqAdcOracleSql,
 
