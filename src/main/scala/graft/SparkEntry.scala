@@ -7112,6 +7112,36 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
         .agg(sum(expr(s"gain * ($discCase)")).as("idcg"))
       dcg.crossJoin(idcg)
         .withColumn("ndcg_ppm", expr("dcg * 1000000 div idcg"))
+    }),
+
+    "q195_budget_gate" -> ((s, dir) => {
+      // The streaming budget gate's batch face as a GATED artifact:
+      // per source, the absolute-budget prefix truncation
+      // (EventStreams.budgetGateBatch — the q87 window-cumsum shape
+      // at an absolute cap, the rule the streaming face replays with
+      // one long of state). Output per source: total vs admitted doc
+      // and token mass — the ingestion-planning table a crawl
+      // operator reads to see which sources exhaust their budget.
+      VectorExpressions.ensureRegistered(s)
+      val budget = 5000L
+      val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("source"), col("doc_id"),
+          tokenCount(col("text")).as("n_toks"))
+        .filter(col("n_toks") > 0L)
+      val admitted = graft.streaming.EventStreams.budgetGateBatch(
+          docs, "source", "doc_id", "n_toks", budget)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_admitted"),
+          sum(col("n_toks")).as("tok_admitted"))
+      docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("tok_total"))
+        .join(admitted, Seq("source"), "left")
+        .select(col("source"), col("n_docs"),
+          coalesce(col("n_admitted"), lit(0L)).as("n_admitted"),
+          col("tok_total"),
+          coalesce(col("tok_admitted"), lit(0L)).as("tok_admitted"))
+        .orderBy(col("source"))
     })
   )
 
@@ -10290,6 +10320,22 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
              // (n_blocks * chunk))::BIGINT AS tail_waste_ppm
          FROM b ORDER BY chunk, lang""",
     "q192_binary_candidates_sweep" -> binaryCandidatesSweepOracleSql,
+    "q195_budget_gate" ->
+      raw"""WITH t AS (
+           SELECT source, doc_id,
+             len(list_filter(string_split_regex(text, '\s+'),
+               x -> len(x) > 0))::BIGINT AS n_toks
+           FROM documents WHERE text IS NOT NULL),
+         c AS (
+           SELECT source, doc_id, n_toks,
+             sum(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM t WHERE n_toks > 0)
+         SELECT source, count(*)::BIGINT AS n_docs,
+           sum((cum <= 5000)::BIGINT)::BIGINT AS n_admitted,
+           sum(n_toks)::BIGINT AS tok_total,
+           sum(n_toks * (cum <= 5000)::BIGINT)::BIGINT AS tok_admitted
+         FROM c GROUP BY source ORDER BY source""",
     "q193_maxsim_pruned" ->
       raw"""WITH tk AS (
            SELECT DISTINCT doc_id, tok FROM (

@@ -332,6 +332,16 @@ object CorpusStore {
         col("component_code"))
   }
 
+  /** S9-ORC / S8-ORC: the columnar interchange pair for ORC
+    * consumers — ORC holds the full nested schema natively (unlike
+    * CSV), so the pair is a plain format swap with the same
+    * read-time schema enforcement as [[loadJson]]. */
+  def exportOrc(corpus: DataFrame, path: String): Unit =
+    corpus.write.mode(SaveMode.Overwrite).orc(path)
+
+  def loadOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(schema).orc(path)
+
   /** Parquet BLOOM-FILTER indexes on selected columns — the
     * point-lookup pruning lever at 100 TB: a reader filtering
     * `id = x` skips every row group whose bloom excludes the value

@@ -116,6 +116,56 @@ class CorpusStoreSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("ORC export/load round-trip preserves rows, nested schema, and embeddings") {
+    val back = spark.read.parquet(s"$tmp/corpus")
+    CorpusStore.exportOrc(back, s"$tmp/export-orc")
+    val loaded = CorpusStore.loadOrc(spark, s"$tmp/export-orc")
+    assert(loaded.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      CorpusStore.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    val a = back.select("id", "document", "component_code", "embedding")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2),
+        r.getSeq[Float](3))).toSet
+    val b = loaded
+      .select("id", "document", "component_code", "embedding")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2),
+        r.getSeq[Float](3))).toSet
+    assert(a == b)
+  }
+
+  test("parquet aggregate pushdown: COUNT/MIN/MAX answered from footers, no row scan") {
+    // the metadata-only fast path for corpus-stats probes (info(), the
+    // datasheet volume row): with aggregatePushDown on, COUNT/MIN/MAX
+    // over an unfiltered parquet table read row-group FOOTERS, not
+    // rows — at 100 TB that is the difference between a stats call
+    // and a full scan
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val p = s"$tmp/aggpd"
+    emb.select("vec_id").write.mode("overwrite").parquet(p)
+    // pushdown lives in the DataSource V2 read path — V1 (the
+    // default) plans a row scan regardless of the flag
+    val keys = Seq(
+      "spark.sql.parquet.aggregatePushdown" -> "true",
+      "spark.sql.sources.useV1SourceList" -> "")
+    val prev = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val agg = spark.read.parquet(p)
+        .agg(count(lit(1)).as("n"), min(col("vec_id")).as("lo"),
+          max(col("vec_id")).as("hi"))
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedAggregation") &&
+        plan.contains("COUNT(*)") && plan.contains("MIN(vec_id)"),
+        s"expected footer-served aggregates in:\n$plan")
+      val row = agg.head()
+      assert(row.getLong(0) == emb.count() && row.getLong(1) == 0L)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("writeWithBloomFilters: footer carries the bloom, lookups answer, point reads stay correct") {
     import scala.jdk.CollectionConverters._
     val emb = spark.read
