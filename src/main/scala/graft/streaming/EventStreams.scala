@@ -217,16 +217,19 @@ object EventStreams {
     * earlier lifecycle would then silently SKIP the new stream's first
     * batches (data loss, strictly worse than the duplicates they
     * prevent); hence the id is a required parameter, not a default.
-    * Two windows can still DUPLICATE one batch — plain parquet has no
-    * atomic multi-file commit: a crash BETWEEN the data commit and the
-    * marker, and the post-append compact-lock re-check below (an
-    * appended batch deliberately left unmarked so the compacted root
-    * cannot silently lose it — the re-delivery appends its rows again).
-    * Both are at-least-once-with-duplication, never silent loss;
-    * collapse the duplicate ids at the next
-    * [[graft.operators.IvfIndex.compact]] (`dedupIdCol = Some(id)`), or
-    * feed a transactional table format through a custom `embed`+sink
-    * when strict exactly-once matters.
+    * Plain parquet has no atomic multi-file commit, so the two windows
+    * that could DUPLICATE a batch — a crash BETWEEN the data commit
+    * and the marker, and the post-append compact-lock re-check below
+    * (an appended batch deliberately left unmarked so the compacted
+    * root cannot silently lose it) — are closed with a STARTED marker
+    * (`batch-N.started`, written before the append): a re-delivered
+    * batch that finds started-but-not-committed first PURGES its own
+    * ids ([[graft.operators.IvfIndex.deleteByIds]] — partition-scoped,
+    * removes whatever subset of the crashed append landed, full or
+    * partial) and then appends cleanly. Ingest is therefore
+    * exactly-once end to end; the purge job runs ONLY on the
+    * crash-recovery path — the happy path pays one extra marker-file
+    * create per batch.
     *
     * Coordination with [[graft.operators.IvfIndex.compact]]: while the
     * compactor holds `_compact_lock` on this root, every batch FAILS
@@ -278,6 +281,20 @@ object EventStreams {
           // model compute — so pin it for the batch's lifetime
           batch.persist()
           try {
+            val started = new org.apache.hadoop.fs.Path(
+              marker.toString + ".started")
+            // started-but-not-committed: a previous attempt crashed
+            // between its append and its marker (or was refused by the
+            // TOCTOU lock re-check below) — some or all of its files
+            // may have landed. Purge this batch's OWN ids before
+            // re-appending, turning the at-least-once re-delivery into
+            // an exactly-once commit. Only the crash-recovery path
+            // pays the delete job.
+            if (fs.exists(started) && !batch.isEmpty)
+              graft.operators.IvfIndex.deleteByIds(
+                spark, indexPath, batch.select(col(idCol)), idCol,
+                vecCol)
+            fs.create(started, true).close()
             // an empty micro-batch must not pay the load + write job
             if (!batch.isEmpty)
               graft.operators.IvfIndex.appendTo(
@@ -296,11 +313,9 @@ object EventStreams {
                   s"$batchId's append on $indexPath — leaving the batch " +
                   "UNMARKED so a restart re-delivers it; marking it now " +
                   "could let the compacted root silently miss its files. " +
-                  "NOTE: this batch's append already landed, so the " +
-                  "re-delivery APPENDS ITS ROWS AGAIN — at-least-once " +
-                  "with duplication for this one batch (loss traded for " +
-                  "dupes); collapse duplicates with " +
-                  "IvfIndex.compact(dedupIdCol = Some(id)).")
+                  "The batch's append already landed, but its .started " +
+                  "marker makes the re-delivery purge those rows before " +
+                  "re-appending — no duplicates.")
             // create() makes missing parents itself — no mkdirs RPC
             fs.create(marker, true).close()
           } finally batch.unpersist()

@@ -362,23 +362,29 @@ class EventStreamsSpec extends SparkSpec {
     assert(count() == afterFirst,
       "a marked batch must be idempotently skipped on re-delivery")
 
+    // the append left a .started marker alongside the commit marker —
+    // the breadcrumb the crash-recovery purge keys on
+    val started =
+      new java.io.File(s"$path/_ingest_log/chaos-a/batch-0.started")
+    assert(started.exists(),
+      "a committed batch leaves its .started marker too")
+
     assert(marker.delete()) // act 3: crash between append and marker
     deliver("ckpt3")
     val loaded = IvfIndex.load(spark, path, "vec_id", "embedding")
-    assert(loaded.assigned.count() == afterFirst + b1.length,
-      "the marker-less batch must be re-appended exactly once")
-    // blast radius is EXACTLY that batch: every b1 row twice, every
-    // other row exactly once
+    // started-but-not-committed → the re-delivery PURGES the crashed
+    // attempt's rows by id and re-appends: exactly-once, not
+    // at-least-once-with-duplication
+    assert(loaded.assigned.count() == afterFirst,
+      "the crashed batch's rows are purged and re-appended — exactly " +
+        "once overall")
     val perId = loaded.assigned.groupBy("vec_id").count()
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val b1Ids = b1.map(_._1).toSet
-    assert(b1Ids.forall(id => perId(id) == 2L),
-      "each row of the crashed batch appears exactly twice")
-    assert(perId.filter(_._2 != 1L).keySet == b1Ids,
-      "no row outside the crashed batch is duplicated")
-    // the duplicate is benign for search: identical (dist, vec_id) keys
-    // rank adjacently, so top-1 still answers the right id, and the
-    // centroids (and so probe planning) are untouched
+    assert(perId.values.forall(_ == 1L),
+      "no row is duplicated after crash recovery")
+    assert(marker.exists(), "the re-delivery restores the marker")
+    // centroids (and so probe planning) are untouched and search still
+    // answers the right id
     assert(loaded.centroids.map(_.toSeq).toSeq ==
       built.centroids.map(_.toSeq).toSeq)
     val hit = loaded.search(b1.head._2, 1, nprobe = 2,
