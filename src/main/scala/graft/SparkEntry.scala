@@ -1724,6 +1724,53 @@ ${pqAdcSumSql("tab.qid = pp.qid AND tab.cluster_id = e.__ivf_cluster AND")}
          ORDER BY nprobe"""
   }
 
+  /** q196's oracle: per-query 2-probe selection over the single
+    * root's centroids, the pruned per-query scan ranked at 4 dp,
+    * the top-20 cut, and the anti-join against the per-query exact
+    * top-10 — the same mined pairs, replayed end to end. */
+  private lazy val hardNegativesOracleSql: String =
+    raw"""WITH q AS MATERIALIZED (
+           SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+           FROM embeddings
+           WHERE vec_id < $opqNq AND embedding IS NOT NULL),
+         cent AS MATERIALIZED (
+           SELECT cluster_id, centroid FROM
+             read_parquet('$IvfOracleRoot/single/centroids/*.parquet')),
+         pr AS (
+           SELECT qid, cluster_id FROM (
+             SELECT q.qid, c.cluster_id,
+               row_number() OVER (PARTITION BY q.qid ORDER BY
+                 list_sum(list_transform(range(1, len(c.centroid) + 1),
+                   i -> (c.centroid[i]::DOUBLE - q.qv[i]) *
+                        (c.centroid[i]::DOUBLE - q.qv[i]))),
+                 c.cluster_id) AS rn
+             FROM cent c, q)
+           WHERE rn <= 2),
+         ann20 AS (
+           SELECT qid, vec_id, ann_rank FROM (
+             SELECT pr.qid, e.vec_id,
+               row_number() OVER (PARTITION BY pr.qid ORDER BY
+                 floor(list_distance(e.embedding::DOUBLE[], q.qv)
+                   * 1e4 + 0.5::DOUBLE) / 1e4, e.vec_id) AS ann_rank
+             FROM read_parquet('$IvfOracleRoot/single/data/*.parquet') e
+             JOIN pr ON e.__ivf_cluster = pr.cluster_id
+             JOIN q ON q.qid = pr.qid)
+           WHERE ann_rank <= 20),
+         ex AS MATERIALIZED (
+           SELECT qid, vec_id AS id_e FROM (
+             SELECT q.qid, e.vec_id,
+               row_number() OVER (PARTITION BY q.qid ORDER BY
+                 floor(list_distance(e.embedding::DOUBLE[], q.qv)
+                   * 1e4 + 0.5::DOUBLE) / 1e4, e.vec_id) AS rn
+             FROM embeddings e, q
+             WHERE e.embedding IS NOT NULL)
+           WHERE rn <= $pqK)
+         SELECT a.qid, a.vec_id, a.ann_rank::BIGINT AS ann_rank
+         FROM ann20 a
+         LEFT JOIN ex ON ex.qid = a.qid AND ex.id_e = a.vec_id
+         WHERE ex.id_e IS NULL
+         ORDER BY a.qid, a.ann_rank"""
+
   /** q77's oracle (flat cosine PQ): the query unit-normalized with the
     * float cast (q69's qnorm pattern — the exact driver arithmetic),
     * the ADC table built against it from the NORMALIZED books, the
@@ -7142,6 +7189,48 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
           col("tok_total"),
           coalesce(col("tok_admitted"), lit(0L)).as("tok_admitted"))
         .orderBy(col("source"))
+    }),
+
+    "q196_hard_negatives" -> ((s, dir) => {
+      // DPR/ANCE-style hard-negative mining (Karpukhin et al. 2020;
+      // Xiong et al. 2021: the negatives that train a retriever are
+      // the ones the CURRENT index ranks highly that aren't true
+      // positives): for each panel query, the ANN top-20 at nprobe=2
+      // (imperfect recall BY DESIGN — that's what makes its mistakes
+      // near the decision boundary) anti-joined against the exact
+      // top-10. What remains are the mined training pairs
+      // (qid, vec_id, ann_rank) a contrastive trainer consumes. One
+      // probe-pruned batch search + one broadcast-sized anti-join;
+      // output ≤ 20 rows/query.
+      VectorExpressions.ensureRegistered(s)
+      val emb = t(s, dir, "embeddings")
+      val qDf = emb
+        .filter(col("vec_id") < opqNq && col("embedding").isNotNull)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        .localCheckpoint()
+      val idx = ivfIndexFor(s, dir)
+      val ann = idx.searchBatch(qDf, "qid", "qv", k = 20, nprobe = 2,
+          tieBreak = "vec_id", rankRoundDp = Some(4))
+        .select(col("query_id"), col("vec_id"), col("dist"))
+        .withColumn("ann_rank", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("dist"), col("vec_id"))))
+      val exact = emb.filter(col("embedding").isNotNull)
+        .crossJoin(broadcast(qDf))
+        .select(col("qid"), col("vec_id"),
+          KnnSearch.roundHalfUpCol(
+            l2DistanceNative(col("embedding"), col("qv")), 4).as("d"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(col("d"), col("vec_id"))))
+        .filter(col("rn") <= pqK)
+        .select(col("qid").as("qid_e"), col("vec_id").as("id_e"))
+      ann.join(exact,
+          ann("query_id") === exact("qid_e") &&
+            ann("vec_id") === exact("id_e"), "left_anti")
+        .select(col("query_id").as("qid"), col("vec_id"),
+          col("ann_rank"))
+        .orderBy(col("qid"), col("ann_rank"))
     })
   )
 
@@ -10336,6 +10425,7 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
            sum(n_toks)::BIGINT AS tok_total,
            sum(n_toks * (cum <= 5000)::BIGINT)::BIGINT AS tok_admitted
          FROM c GROUP BY source ORDER BY source""",
+    "q196_hard_negatives" -> hardNegativesOracleSql,
     "q193_maxsim_pruned" ->
       raw"""WITH tk AS (
            SELECT DISTINCT doc_id, tok FROM (
