@@ -7231,6 +7231,31 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
         .select(col("query_id").as("qid"), col("vec_id"),
           col("ann_rank"))
         .orderBy(col("qid"), col("ann_rank"))
+    }),
+
+    "q197_source_dup_matrix" -> ((s, dir) => {
+      // Cross-source duplication matrix — which sources MIRROR which:
+      // the q43 MinHash near-dup pairs at the same threshold, each
+      // endpoint joined to its document's source, pair direction
+      // canonicalized (least, greatest) so A↔B collapses to one cell.
+      // The artifact a crawl dedup policy reads ("site B is a mirror
+      // of site A — drop it at fetch time, not after"): intra-source
+      // cells are template/boilerplate duplication, off-diagonal
+      // cells are mirrors. Sources²-sized output; the pair derivation
+      // is the audited band-bucket equi-join, never a cartesian.
+      val docs = t(s, dir, "documents")
+      val src = docs.select(col("doc_id"), col("source"))
+      NearDup.minhashPairs(docs, "doc_id", "text",
+          shingleN = 3, numHashes = 12, bands = 4, threshold = 0.8)
+        .join(src.select(col("doc_id").as("a_id"),
+          col("source").as("sa")), "a_id")
+        .join(src.select(col("doc_id").as("b_id"),
+          col("source").as("sb")), "b_id")
+        .select(least(col("sa"), col("sb")).as("src_a"),
+          greatest(col("sa"), col("sb")).as("src_b"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("src_a"), col("src_b"))
     })
   )
 
@@ -9941,6 +9966,46 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
            JOIN sigs sb ON b_id = sb.doc_id)
          SELECT a_id, b_id, jaccard FROM scored
          WHERE jaccard >= 0.8 ORDER BY a_id, b_id""",
+
+    // q197: q43's pair CTEs verbatim, endpoints joined to their
+    // sources, direction canonicalized, matrix-cell counts.
+    "q197_source_dup_matrix" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(lower(text),
+             '\s+'), t -> len(t) > 0) AS ts FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(list_transform(
+             range(1, greatest(len(ts) - 2, 0) + 1),
+             i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS shingles
+           FROM toks),
+         sigs AS (
+           SELECT doc_id, shingles, list_transform(range(0, 12),
+             i -> list_aggregate(list_transform(shingles,
+               s -> md5(i || '|' || s)), 'min')) AS sig
+           FROM sh WHERE len(shingles) > 0),
+         buckets AS (
+           SELECT doc_id, unnest(list_transform(range(0, 4),
+             b -> b || ':' || md5(array_to_string(sig[b*3+1 : b*3+3], '|'))))
+             AS bucket FROM sigs),
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+           FROM buckets a JOIN buckets b
+             ON a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         pr AS (
+           SELECT a_id, b_id FROM pairs
+           JOIN sigs sa ON a_id = sa.doc_id
+           JOIN sigs sb ON b_id = sb.doc_id
+           WHERE round(len(list_filter(sa.shingles,
+               x -> list_contains(sb.shingles, x)))::DOUBLE
+             / len(list_distinct(list_concat(sa.shingles, sb.shingles))),
+             4) >= 0.8)
+         SELECT least(da.source, db.source) AS src_a,
+           greatest(da.source, db.source) AS src_b,
+           count(*)::BIGINT AS n_pairs
+         FROM pr
+         JOIN documents da ON da.doc_id = pr.a_id
+         JOIN documents db ON db.doc_id = pr.b_id
+         GROUP BY 1, 2 ORDER BY src_a, src_b""",
 
     // q55: q43's pair derivation, then connected components as a
     // recursive CTE — reach(id, m) is all (node, reachable id) pairs,
