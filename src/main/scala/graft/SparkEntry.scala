@@ -496,6 +496,11 @@ object SparkEntry {
       s.read.parquet(s"$root/${Pq.BooksSubdir}").coalesce(1)
         .write.mode("overwrite").parquet(s"$IvfOracleRoot/$sub/books")
     }
+    // q198's binary-rung size leg reads the persisted sign-code root
+    s.read.parquet(
+        s"${binCdcRootFor(s, dir)}/${BinaryHash.DataSubdir}")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$IvfOracleRoot/b198/data")
     // q183's reference side: a FRESH encode of the FULL corpus with
     // the q73 books and the single root's centroids — the replica the
     // CDC-maintained root's search must hash-equal. Deliberately NOT
@@ -7256,6 +7261,51 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
         .groupBy(col("src_a"), col("src_b"))
         .agg(count(lit(1)).as("n_pairs"))
         .orderBy(col("src_a"), col("src_b"))
+    }),
+
+    "q198_rung_sizes" -> ((s, dir) => {
+      // The quantization ladder's SIZE column — the other axis of the
+      // rung decision (q179/q182/q192 measure recall; this measures
+      // what each rung PAYS): per representation, stored code bytes
+      // MEASURED off the persisted roots (never derived from dim —
+      // a packing bug would show up here), bytes/row, and the
+      // compression ratio vs float32 in ppm. At 100 TB this table is
+      // the memory budget: float32 256 B/row → SQ8 64 → PQ/OPQ 8 →
+      // binary 8.
+      val emb = t(s, dir, "embeddings")
+        .filter(col("embedding").isNotNull)
+      val singleRoot = { ivfIndexFor(s, dir); ivfPathCache.get(dir) }
+      def leg(tag: String, df: DataFrame,
+          bytes: Column): DataFrame =
+        df.agg(lit(tag).as("rung"), count(lit(1)).as("n_rows"),
+          sum(bytes.cast("long")).as("code_bytes"))
+      val legs = leg("1_float32", emb, size(col("embedding")) * 4)
+        .unionByName(leg("2_sq8",
+          s.read.parquet(singleRoot)
+            .filter(col(IvfIndex.Sq8CodeCol).isNotNull),
+          length(col(IvfIndex.Sq8CodeCol))))
+        .unionByName(leg("3_pq",
+          s.read.parquet(s"${pqRootFor(s, dir)}/data"),
+          length(col(Pq.CodeCol))))
+        .unionByName(leg("4_opq",
+          Pq.loadRoot(s, opqRootFor(s, dir)).data(s),
+          length(col(Pq.CodeCol))))
+        // the sign-code column stores packed 32-BIT WORDS (an array,
+        // one element per word) — logical size is 4 bytes per word
+        .unionByName(leg("5_binary",
+          s.read.parquet(
+            s"${binCdcRootFor(s, dir)}/${BinaryHash.DataSubdir}")
+            .filter(col(BinaryHash.CodeCol).isNotNull),
+          size(col(BinaryHash.CodeCol)) * 4))
+      legs
+        .crossJoin(broadcast(leg("f", emb, size(col("embedding")) * 4)
+          .select(col("code_bytes").as("float_bytes"))))
+        .withColumn("bytes_per_row_x100",
+          expr("code_bytes * 100 div n_rows"))
+        .withColumn("ratio_ppm",
+          expr("code_bytes * 1000000 div float_bytes"))
+        .drop("float_bytes")
+        .orderBy(col("rung"))
     })
   )
 
@@ -10491,6 +10541,38 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
            sum(n_toks * (cum <= 5000)::BIGINT)::BIGINT AS tok_admitted
          FROM c GROUP BY source ORDER BY source""",
     "q196_hard_negatives" -> hardNegativesOracleSql,
+    "q198_rung_sizes" -> {
+      def sizeCte(name: String, src: String, col: String) =
+        s"""$name AS (
+           SELECT count(*)::BIGINT AS n,
+             sum(octet_length($col))::BIGINT AS b
+           FROM read_parquet('$IvfOracleRoot/$src/*.parquet')
+           WHERE $col IS NOT NULL)"""
+      raw"""WITH fl AS (
+           SELECT count(*)::BIGINT AS n,
+             sum(len(embedding) * 4)::BIGINT AS b
+           FROM embeddings WHERE embedding IS NOT NULL),
+         ${sizeCte("sq", "single/data", "__sq8_code")},
+         ${sizeCte("pq", "pq/data", "__pq_code")},
+         ${sizeCte("opq", "opq/data", "__pq_code")},
+         bi AS (
+           SELECT count(*)::BIGINT AS n,
+             sum(len(__bin_code) * 4)::BIGINT AS b
+           FROM read_parquet('$IvfOracleRoot/b198/data/*.parquet')
+           WHERE __bin_code IS NOT NULL)
+         SELECT rung, n_rows, code_bytes,
+           (code_bytes * 100 // n_rows)::BIGINT AS bytes_per_row_x100,
+           (code_bytes * 1000000 // (SELECT b FROM fl))::BIGINT
+             AS ratio_ppm
+         FROM (
+           SELECT '1_float32' AS rung, n AS n_rows, b AS code_bytes
+           FROM fl
+           UNION ALL SELECT '2_sq8', n, b FROM sq
+           UNION ALL SELECT '3_pq', n, b FROM pq
+           UNION ALL SELECT '4_opq', n, b FROM opq
+           UNION ALL SELECT '5_binary', n, b FROM bi)
+         ORDER BY rung"""
+    },
     "q193_maxsim_pruned" ->
       raw"""WITH tk AS (
            SELECT DISTINCT doc_id, tok FROM (
