@@ -7306,6 +7306,43 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
           expr("code_bytes * 1000000 div float_bytes"))
         .drop("float_bytes")
         .orderBy(col("rung"))
+    }),
+
+    "q199_ab_funnel" -> ((s, dir) => {
+      // Deterministic A/B experiment readout — the analysis face of
+      // the q50 hash-bucketing convention applied at the UNIT OF
+      // RANDOMIZATION (the user: every event of a user lands in one
+      // arm, the consistency requirement of any experiment): arm =
+      // user_id mod 2, funnel = click → purchase within 30 minutes
+      // (q105's correlate — the batch face of the stream-stream
+      // interval join). Per arm: exposed users, clickers, converters,
+      // and both conversion rates in exact ppm. The experiment
+      // readout a data-mixing team runs on ITS OWN pipeline changes.
+      val ev = t(s, dir, "events")
+      def armCount(df: DataFrame, name: String): DataFrame =
+        df.select(col("user_id")).distinct()
+          .groupBy(pmod(col("user_id"), lit(2L)).as("arm"))
+          .agg(count(lit(1)).as(name))
+      val users = armCount(ev, "n_users")
+      val clickers =
+        armCount(ev.filter(col("event_type") === "click"), "n_clickers")
+      val converters = armCount(
+        graft.streaming.EventStreams.correlate(
+          ev.filter(col("event_type") === "click"),
+          ev.filter(col("event_type") === "purchase"),
+          key = "user_id", horizon = "30 minutes"),
+        "n_converters")
+      users.join(clickers, Seq("arm"), "left")
+        .join(converters, Seq("arm"), "left")
+        .select(col("arm"), col("n_users"),
+          coalesce(col("n_clickers"), lit(0L)).as("n_clickers"),
+          coalesce(col("n_converters"), lit(0L)).as("n_converters"))
+        .withColumn("conv_of_clickers_ppm", expr(
+          "CASE WHEN n_clickers = 0 THEN 0L" +
+            " ELSE n_converters * 1000000 div n_clickers END"))
+        .withColumn("conv_of_users_ppm",
+          expr("n_converters * 1000000 div n_users"))
+        .orderBy(col("arm"))
     })
   )
 
@@ -10573,6 +10610,33 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
            UNION ALL SELECT '5_binary', n, b FROM bi)
          ORDER BY rung"""
     },
+    "q199_ab_funnel" ->
+      raw"""WITH u AS (SELECT DISTINCT user_id FROM events),
+         ua AS (SELECT user_id % 2 AS arm, count(*) AS n_users
+                FROM u GROUP BY 1),
+         cl AS (SELECT DISTINCT user_id FROM events
+                WHERE event_type = 'click'),
+         ca AS (SELECT user_id % 2 AS arm, count(*) AS n_clickers
+                FROM cl GROUP BY 1),
+         cv AS (SELECT DISTINCT c.user_id FROM events c
+                JOIN events p ON c.user_id = p.user_id
+                  AND c.event_type = 'click'
+                  AND p.event_type = 'purchase'
+                  AND p.ts >= c.ts
+                  AND p.ts <= c.ts + INTERVAL 30 MINUTE),
+         va AS (SELECT user_id % 2 AS arm, count(*) AS n_converters
+                FROM cv GROUP BY 1)
+         SELECT ua.arm::BIGINT AS arm, ua.n_users::BIGINT AS n_users,
+           coalesce(ca.n_clickers, 0)::BIGINT AS n_clickers,
+           coalesce(va.n_converters, 0)::BIGINT AS n_converters,
+           (CASE WHEN coalesce(ca.n_clickers, 0) = 0 THEN 0
+              ELSE coalesce(va.n_converters, 0) * 1000000
+                // ca.n_clickers END)::BIGINT AS conv_of_clickers_ppm,
+           (coalesce(va.n_converters, 0) * 1000000
+             // ua.n_users)::BIGINT AS conv_of_users_ppm
+         FROM ua LEFT JOIN ca ON ca.arm = ua.arm
+         LEFT JOIN va ON va.arm = ua.arm
+         ORDER BY arm""",
     "q193_maxsim_pruned" ->
       raw"""WITH tk AS (
            SELECT DISTINCT doc_id, tok FROM (

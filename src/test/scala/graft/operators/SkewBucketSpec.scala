@@ -21,6 +21,49 @@ class SkewBucketSpec extends SparkSpec {
     assert(salted.toSeq == plain.toSeq)
   }
 
+  test("AQE splits the skewed partition of a sort-merge join (skew=true), result unchanged") {
+    import spark.implicits._
+    // the runtime half of the skew story: saltedJoin is the STATIC
+    // remedy (above); AQE's skew-join split is the engine-native one
+    // the 100 TB plan notes lean on — prove this session's engine
+    // actually performs it. One hot key carries ~99% of the big side,
+    // so its post-shuffle partition dwarfs the threshold and the
+    // final adaptive plan must mark the join skew=true and still
+    // return exactly the plain join's rows.
+    val keys = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" ->
+        "2KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      keys.foreach { case (k, v) => spark.conf.set(k, v) }
+      val big = (1 to 20000)
+        .map(i => (if (i % 100 == 0) i.toLong else 1L, i.toLong))
+        .toDF("k", "payload")
+      val right = (1L to 200L).map(k => (k, s"n$k")).toDF("rk", "name")
+      val joined = big.join(right, col("k") === col("rk"))
+      // execute THIS frame (count() would plan a separate query and
+      // leave joined's adaptive plan un-finalized)
+      val rows = joined.collect().length.toLong
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected AQE to mark the skewed join, got:\n$plan")
+      // plain (AQE-off) reference count: hot key 1 matches 1 right
+      // row, every i%100==0 key <= 200 matches one
+      val expect = 19800L + (1 to 20000).count(i =>
+        i % 100 == 0 && i <= 200)
+      assert(rows == expect, s"skew-split join returned $rows rows")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("bucketed tables co-locate the join (no shuffle exchange)") {
     val dir = "/root/testdata/sf0.001"
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
