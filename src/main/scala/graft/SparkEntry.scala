@@ -7090,10 +7090,21 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
         .collect().map(_.getLong(0)).toSet
       val probed = (0L until 16L).filter(b =>
         qBuckets.exists(qb => java.lang.Long.bitCount(b ^ qb) <= 1))
+      // dtok feeds routing, the shortlist join, the dot factoring,
+      // and the final interaction join — materialize the
+      // explode+distinct ONCE (the r14 multiply-consumed-frame rule;
+      // unpinned, the suite re-ran it five times: 11.4 s → ~1 s)
       val dtok = t(s, dir, "documents").filter(col("text").isNotNull)
         .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-        .distinct()
-      val candTok = dtok.select(col("tok")).distinct()
+        .distinct().localCheckpoint()
+      // the vocab MUST materialize before the bucket filter: a
+      // deterministic filter pushes THROUGH Aggregate, so unpinned,
+      // bucketOf's 64 interpreted md5 evaluations ran per (doc, tok)
+      // ROW instead of per distinct token (measured 2.9 s → ms on a
+      // ~30-token vocabulary; the q104 factoring rule applied to a
+      // FILTER instead of a projection)
+      val vocab = dtok.select(col("tok")).distinct().localCheckpoint()
+      val candTok = vocab
         .filter(bucketOf(emb(col("tok"))).isin(probed: _*))
       val candDoc = dtok.join(candTok, Seq("tok"), "left_semi")
         .groupBy(col("doc_id")).agg(count(lit(1)).as("hits"))
@@ -7343,6 +7354,45 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
         .withColumn("conv_of_users_ppm",
           expr("n_converters * 1000000 div n_users"))
         .orderBy(col("arm"))
+    }),
+
+    "q200_curation_v2" -> ((s, dir) => {
+      // The diversity-aware curation export — this round's new
+      // pipeline stages composed into one deterministic selection
+      // (the q113 grand-composition discipline applied to the wave):
+      //   1. exact-dup SURVIVOR — min doc_id per content hash (the
+      //      q40 dedup as a keep-decision);
+      //   2. per-source token BUDGET — the q195 prefix rule at 5,000
+      //      tokens (the crawl cap);
+      //   3. cluster DIVERSITY cap — the q187 head-cluster thinning
+      //      at 20 rows per semantic cluster, hash-ranked.
+      // Output per source: surviving doc and token mass. Every stage
+      // is individually hash-green; this gates their COMPOSITION —
+      // order matters (budget sees only dedup survivors, the cap only
+      // budgeted rows) and the oracle replays the exact chain.
+      VectorExpressions.ensureRegistered(s)
+      val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("source"), col("doc_id"), col("text"),
+          tokenCount(col("text")).as("n_toks"))
+        .filter(col("n_toks") > 0L)
+      val surv = docs.withColumn("h", md5(col("text")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("h")).orderBy(col("doc_id"))))
+        .filter(col("rn") === 1).drop("h", "rn", "text")
+      val budgeted = graft.streaming.EventStreams.budgetGateBatch(
+        surv, "source", "doc_id", "n_toks", 5000L).drop("cum")
+      val assigned = ivfIndexFor(s, dir).assigned
+        .select(col("vec_id").as("doc_id"),
+          col(IvfIndex.ClusterCol).as("cl"))
+      budgeted.join(assigned, "doc_id")
+        .withColumn("pick", row_number().over(
+          Window.partitionBy(col("cl"))
+            .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
+        .filter(col("pick") <= 20)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("n_tokens"))
+        .orderBy(col("source"))
     })
   )
 
@@ -10637,6 +10687,40 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
          FROM ua LEFT JOIN ca ON ca.arm = ua.arm
          LEFT JOIN va ON va.arm = ua.arm
          ORDER BY arm""",
+    "q200_curation_v2" ->
+      raw"""WITH d AS (
+           SELECT source, doc_id, text,
+             len(list_filter(string_split_regex(text, '\s+'),
+               x -> len(x) > 0))::BIGINT AS n_toks
+           FROM documents WHERE text IS NOT NULL),
+         d2 AS (SELECT * FROM d WHERE n_toks > 0),
+         surv AS (
+           SELECT source, doc_id, n_toks FROM (
+             SELECT source, doc_id, n_toks,
+               row_number() OVER (PARTITION BY md5(text)
+                 ORDER BY doc_id) AS rn
+             FROM d2)
+           WHERE rn = 1),
+         bud AS (
+           SELECT source, doc_id, n_toks FROM (
+             SELECT source, doc_id, n_toks,
+               sum(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS cum
+             FROM surv)
+           WHERE cum <= 5000),
+         capd AS (
+           SELECT source, doc_id, n_toks FROM (
+             SELECT b.source, b.doc_id, b.n_toks,
+               row_number() OVER (PARTITION BY a.__ivf_cluster
+                 ORDER BY md5(b.doc_id::VARCHAR), b.doc_id) AS pick
+             FROM bud b
+             JOIN read_parquet('$IvfOracleRoot/single/data/*.parquet') a
+               ON a.vec_id = b.doc_id)
+           WHERE pick <= 20)
+         SELECT source, count(*)::BIGINT AS n_docs,
+           sum(n_toks)::BIGINT AS n_tokens
+         FROM capd GROUP BY source ORDER BY source""",
     "q193_maxsim_pruned" ->
       raw"""WITH tk AS (
            SELECT DISTINCT doc_id, tok FROM (
