@@ -7393,6 +7393,26 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_toks")).as("n_tokens"))
         .orderBy(col("source"))
+    }),
+
+    "q201_event_transitions" -> ((s, dir) => {
+      // First-order event-flow matrix — the Markov structure behind
+      // every funnel/path analysis (q116's funnel reads ONE path off
+      // this matrix; the matrix is all of them at once): per user,
+      // events ordered by (ts, event_id), each consecutive
+      // (prev_type → type) step counted. One per-user window (the
+      // sessionize shuffle shape) + a types²-sized aggregation.
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .groupBy(col("prev").as("from_type"),
+          col("event_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("from_type"), col("to_type"))
     })
   )
 
@@ -10721,6 +10741,16 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
          SELECT source, count(*)::BIGINT AS n_docs,
            sum(n_toks)::BIGINT AS n_tokens
          FROM capd GROUP BY source ORDER BY source""",
+    "q201_event_transitions" ->
+      raw"""WITH o AS (
+           SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS prev
+           FROM events)
+         SELECT prev AS from_type, event_type AS to_type,
+           count(*)::BIGINT AS n
+         FROM o WHERE prev IS NOT NULL
+         GROUP BY 1, 2 ORDER BY from_type, to_type""",
     "q193_maxsim_pruned" ->
       raw"""WITH tk AS (
            SELECT DISTINCT doc_id, tok FROM (
