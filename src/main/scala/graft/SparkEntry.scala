@@ -7413,6 +7413,36 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
           col("event_type").as("to_type"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("from_type"), col("to_type"))
+    }),
+
+    "q202_mrl_ladder" -> ((s, dir) => {
+      // The dimension axis's OPERATING CURVE — q142 samples one MRL
+      // truncation point (16 of 64); this sweeps prefix ∈
+      // {8, 16, 32, 48} the way q179 sweeps nprobe and q192 sweeps
+      // Hamming candidates, completing the knob-curve trio. Each leg
+      // is one TakeOrderedAndProject over a narrower slice of the
+      // same column; recall@10 vs the shared full-dim leg.
+      VectorExpressions.ensureRegistered(s)
+      val q = queryVec(s, dir)
+      val emb = t(s, dir, "embeddings")
+      val full = emb.select(col("vec_id").as("id_f"),
+          KnnSearch.roundHalfUpCol(
+            l2DistanceNative(col("embedding"), KnnSearch.litVec(q)), 4)
+            .as("d"))
+        .orderBy(col("d"), col("id_f")).limit(10)
+        .select(col("id_f")).localCheckpoint()
+      Seq(8, 16, 32, 48).map { dims =>
+        emb.select(col("vec_id"),
+            KnnSearch.roundHalfUpCol(
+              l2DistanceNative(slice(col("embedding"), 1, dims),
+                KnnSearch.litVec(q.take(dims))), 4).as("d"))
+          .orderBy(col("d"), col("vec_id")).limit(10)
+          .join(full, col("vec_id") === col("id_f"))
+          .agg(lit(dims.toLong).as("dims"),
+            count(lit(1)).as("n_overlap"))
+          .withColumn("recall_ppm",
+            expr("n_overlap * 1000000 div 10"))
+      }.reduce(_.unionByName(_)).orderBy(col("dims"))
     })
   )
 
@@ -10751,6 +10781,33 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
            count(*)::BIGINT AS n
          FROM o WHERE prev IS NOT NULL
          GROUP BY 1, 2 ORDER BY from_type, to_type""",
+    "q202_mrl_ladder" -> {
+      val legs = Seq(8, 16, 32, 48).map { dims =>
+        s"""SELECT ${dims}::BIGINT AS dims,
+           (SELECT count(*) FROM (
+              SELECT vec_id FROM embeddings, q
+              ORDER BY floor(list_distance(
+                  (embedding[1:$dims])::DOUBLE[], qv$dims)
+                * 1e4 + 0.5::DOUBLE) / 1e4, vec_id LIMIT 10) t
+            WHERE t.vec_id IN (SELECT id_f FROM f))::BIGINT
+             AS n_overlap"""
+      }.mkString("\n           UNION ALL ")
+      raw"""WITH q AS MATERIALIZED (
+           SELECT embedding::DOUBLE[] AS qv,
+             (embedding[1:8])::DOUBLE[] AS qv8,
+             (embedding[1:16])::DOUBLE[] AS qv16,
+             (embedding[1:32])::DOUBLE[] AS qv32,
+             (embedding[1:48])::DOUBLE[] AS qv48
+           FROM embeddings WHERE vec_id = 0),
+         f AS MATERIALIZED (
+           SELECT vec_id AS id_f FROM embeddings, q
+           ORDER BY floor(list_distance(embedding::DOUBLE[], qv)
+             * 1e4 + 0.5::DOUBLE) / 1e4, vec_id LIMIT 10)
+         SELECT dims, n_overlap,
+           (n_overlap * 1000000 // 10)::BIGINT AS recall_ppm
+         FROM ($legs)
+         ORDER BY dims"""
+    },
     "q193_maxsim_pruned" ->
       raw"""WITH tk AS (
            SELECT DISTINCT doc_id, tok FROM (
