@@ -7443,6 +7443,37 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
           .withColumn("recall_ppm",
             expr("n_overlap * 1000000 div 10"))
       }.reduce(_.unionByName(_)).orderBy(col("dims"))
+    }),
+
+    "q203_cluster_topics" -> ((s, dir) => {
+      // Cluster LABELING — the interpretability face of the semantic
+      // (IVF) clusters every curation decision leans on (q86 SemDeDup
+      // collapses within them, q187 caps them — this answers "what IS
+      // cluster 5 about"): per cluster, the top-3 tokens by
+      // document frequency WITHIN the cluster, rarest-corpus-first on
+      // ties so generic vocabulary doesn't win them. The rank≤3
+      // filter compiles to WindowGroupLimit; output is 3·nlist rows.
+      val dtok = t(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          explode(graft.functions.TextFunctions.tokens(col("text")))
+            .as("tok"))
+        .distinct()
+      val corpusDf = dtok.groupBy(col("tok"))
+        .agg(count(lit(1)).as("cdf"))
+      val assigned = ivfIndexFor(s, dir).assigned
+        .select(col("vec_id").as("doc_id"),
+          col(IvfIndex.ClusterCol).as("cluster_id"))
+      dtok.join(assigned, "doc_id")
+        .groupBy(col("cluster_id"), col("tok"))
+        .agg(count(lit(1)).as("n_docs"))
+        .join(corpusDf, "tok")
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("cluster_id"))
+            .orderBy(col("n_docs").desc, col("cdf"), col("tok"))))
+        .filter(col("rnk") <= 3)
+        .select(col("cluster_id"), col("rnk"), col("tok"),
+          col("n_docs"), col("cdf"))
+        .orderBy(col("cluster_id"), col("rnk"))
     })
   )
 
@@ -10808,6 +10839,30 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
          FROM ($legs)
          ORDER BY dims"""
     },
+    "q203_cluster_topics" ->
+      raw"""WITH tk AS (
+           SELECT DISTINCT doc_id, tok FROM (
+             SELECT doc_id,
+               unnest(list_filter(string_split_regex(text, '\s+'),
+                 w -> len(w) > 0)) AS tok
+             FROM documents WHERE text IS NOT NULL)),
+         cdfs AS (SELECT tok, count(*)::BIGINT AS cdf
+                  FROM tk GROUP BY tok),
+         a AS (
+           SELECT vec_id AS doc_id, __ivf_cluster AS cluster_id
+           FROM read_parquet('$IvfOracleRoot/single/data/*.parquet')),
+         ct AS (
+           SELECT a.cluster_id, tk.tok, count(*)::BIGINT AS n_docs
+           FROM tk JOIN a ON a.doc_id = tk.doc_id
+           GROUP BY 1, 2),
+         r AS (
+           SELECT cluster_id, tok, n_docs, cdf,
+             row_number() OVER (PARTITION BY cluster_id
+               ORDER BY n_docs DESC, cdf, tok) AS rnk
+           FROM ct JOIN cdfs USING (tok))
+         SELECT cluster_id, rnk::BIGINT AS rnk, tok, n_docs, cdf
+         FROM r WHERE rnk <= 3
+         ORDER BY cluster_id, rnk""",
     "q193_maxsim_pruned" ->
       raw"""WITH tk AS (
            SELECT DISTINCT doc_id, tok FROM (
