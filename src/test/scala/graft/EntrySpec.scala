@@ -97,4 +97,27 @@ class EntrySpec extends SparkSpec {
     assert(semiLines.forall(l => !l.contains("Broadcast")),
       s"broadcast semi join in q51 plan:\n$plan")
   }
+
+  test("round-17 queries (q185-q203): no cartesian, no unbounded per-group collect") {
+    // the sweeping audit for the round's whole wave: every new gated
+    // plan must be free of CartesianProduct (broadcast nested-loop
+    // against a bounded panel is the documented and ALLOWED shape —
+    // the exact-panel crossJoin(broadcast(qDf)) pattern) and must
+    // never buffer per-group lists. Catches a regression in any
+    // composed stage without a hand-written case per query.
+    val wave = SparkEntry.queries.keys.filter { n =>
+      val num = n.drop(1).takeWhile(_.isDigit)
+      num.nonEmpty && num.toInt >= 185 && num.toInt <= 203
+    }.toSeq.sorted
+    assert(wave.size == 19, s"expected 19 wave queries, got $wave")
+    for (q <- wave) {
+      val plan = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"cartesian in $q plan:\n$plan")
+      assert(!plan.contains("collect_set") &&
+        !plan.contains("collect_list"),
+        s"unbounded per-group collect in $q plan:\n$plan")
+    }
+  }
 }
