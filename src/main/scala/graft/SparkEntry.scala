@@ -7474,6 +7474,43 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
         .select(col("cluster_id"), col("rnk"), col("tok"),
           col("n_docs"), col("cdf"))
         .orderBy(col("cluster_id"), col("rnk"))
+    }),
+
+    "q204_transition_dwell" -> ((s, dir) => {
+      // The TIMING face of q201's structure matrix: per transition
+      // edge, the exact LOWER-MEDIAN dwell (whole seconds between the
+      // two events — the q105 unix_timestamp arithmetic) via the q160
+      // discrete-percentile rule per group: no interpolation, no
+      // doubles, the min lag whose cumulative count reaches
+      // ceil(n/2). Frames are (edge, lag-value)-sized after one
+      // per-user window pass.
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val steps = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .select(col("prev_type").as("from_type"),
+          col("event_type").as("to_type"),
+          (unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")))
+            .as("lag_s"))
+      val per = steps
+        .groupBy(col("from_type"), col("to_type"), col("lag_s"))
+        .agg(count(lit(1)).as("c"))
+      per
+        .withColumn("cum", sum(col("c")).over(
+          Window.partitionBy(col("from_type"), col("to_type"))
+            .orderBy(col("lag_s"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("n", sum(col("c")).over(
+          Window.partitionBy(col("from_type"), col("to_type"))))
+        .filter(col("cum") * 2L >= col("n") + 1L)
+        .groupBy(col("from_type"), col("to_type"))
+        .agg(max(col("n")).as("n_steps"),
+          min(col("lag_s")).as("median_lag_s"))
+        .orderBy(col("from_type"), col("to_type"))
     })
   )
 
@@ -10863,6 +10900,33 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
          SELECT cluster_id, rnk::BIGINT AS rnk, tok, n_docs, cdf
          FROM r WHERE rnk <= 3
          ORDER BY cluster_id, rnk""",
+    "q204_transition_dwell" ->
+      raw"""WITH o AS (
+           SELECT user_id, ts, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS prev_type,
+             lag(ts) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS prev_ts
+           FROM events),
+         st AS (
+           SELECT prev_type AS from_type, event_type AS to_type,
+             date_diff('second', prev_ts, ts)::BIGINT AS lag_s
+           FROM o WHERE prev_type IS NOT NULL),
+         per AS (
+           SELECT from_type, to_type, lag_s, count(*)::BIGINT AS c
+           FROM st GROUP BY 1, 2, 3),
+         cum AS (
+           SELECT from_type, to_type, lag_s, c,
+             sum(c) OVER (PARTITION BY from_type, to_type
+               ORDER BY lag_s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum,
+             sum(c) OVER (PARTITION BY from_type, to_type) AS n
+           FROM per)
+         SELECT from_type, to_type, max(n)::BIGINT AS n_steps,
+           min(lag_s)::BIGINT AS median_lag_s
+         FROM cum WHERE cum * 2 >= n + 1
+         GROUP BY 1, 2 ORDER BY from_type, to_type""",
     "q193_maxsim_pruned" ->
       raw"""WITH tk AS (
            SELECT DISTINCT doc_id, tok FROM (
