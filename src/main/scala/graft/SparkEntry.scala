@@ -7511,6 +7511,40 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
         .agg(max(col("n")).as("n_steps"),
           min(col("lag_s")).as("median_lag_s"))
         .orderBy(col("from_type"), col("to_type"))
+    }),
+
+    "q205_graph_components" -> ((s, dir) => {
+      // Navigability's OTHER diagnostic (q190 counts hubs; this
+      // counts ISLANDS): weakly-connected components of the k=3
+      // graph. A walk can never leave its component, so the largest
+      // component's node share IS the ceiling on single-entry walk
+      // recall, and a node with no edges at all is unreachable from
+      // every entry. Components via the same pointer-jumping
+      // min-label propagation the dup clusters ride
+      // (NearDup.duplicateClusters over the edge frame); edgeless
+      // nodes label themselves.
+      VectorExpressions.ensureRegistered(s)
+      val g = knnGraphFor(s, dir)
+        .select(col("src").as("a_id"), col("nbr").as("b_id"))
+      val labels = NearDup.duplicateClusters(g)
+      val nodes = ivfIndexFor(s, dir).assigned
+        .filter(col("embedding").isNotNull).select(col("vec_id"))
+      val sized = nodes
+        .join(labels, nodes("vec_id") === labels("doc_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("cluster_rep"), col("vec_id")).as("rep"),
+          col("cluster_rep").isNull.cast("long").as("iso"))
+        .localCheckpoint()
+      val comp = sized.groupBy(col("rep")).agg(count(lit(1)).as("sz"))
+      comp.agg(sum(col("sz")).as("n_nodes"),
+          count(lit(1)).as("n_components"),
+          max(col("sz")).as("largest"))
+        .crossJoin(broadcast(
+          sized.agg(sum(col("iso")).as("n_isolated"))))
+        .withColumn("largest_ppm",
+          expr("largest * 1000000 div n_nodes"))
+        .select(col("n_nodes"), col("n_components"), col("largest"),
+          col("largest_ppm"), col("n_isolated"))
     })
   )
 
@@ -10927,6 +10961,32 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
            min(lag_s)::BIGINT AS median_lag_s
          FROM cum WHERE cum * 2 >= n + 1
          GROUP BY 1, 2 ORDER BY from_type, to_type""",
+    "q205_graph_components" ->
+      raw"""WITH RECURSIVE $knnGraphOracleCtes,
+         g AS (SELECT src, nbr FROM r WHERE rank <= 3),
+         edges AS (
+           SELECT src AS u, nbr AS v FROM g
+           UNION SELECT nbr, src FROM g),
+         reach AS (
+           SELECT u AS id, u AS m FROM edges
+           UNION
+           SELECT e.u, rc.m FROM edges e JOIN reach rc ON e.v = rc.id),
+         labels AS (
+           SELECT id, min(m) AS rep FROM reach GROUP BY id),
+         nodes AS (
+           SELECT vec_id FROM data WHERE embedding IS NOT NULL),
+         sized AS (
+           SELECT n.vec_id, coalesce(l.rep, n.vec_id) AS rep,
+             (l.rep IS NULL)::BIGINT AS iso
+           FROM nodes n LEFT JOIN labels l ON l.id = n.vec_id),
+         comp AS (SELECT rep, count(*)::BIGINT AS sz
+                  FROM sized GROUP BY rep)
+         SELECT sum(sz)::BIGINT AS n_nodes,
+           count(*)::BIGINT AS n_components,
+           max(sz)::BIGINT AS largest,
+           (max(sz) * 1000000 // sum(sz))::BIGINT AS largest_ppm,
+           (SELECT sum(iso) FROM sized)::BIGINT AS n_isolated
+         FROM comp""",
     "q193_maxsim_pruned" ->
       raw"""WITH tk AS (
            SELECT DISTINCT doc_id, tok FROM (
