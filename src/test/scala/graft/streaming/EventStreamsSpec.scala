@@ -829,6 +829,45 @@ class EventStreamsSpec extends SparkSpec {
       s"restart must add exactly the new pair: ${pairs()}")
   }
 
+  test("budgetGate survives a checkpointed restart: the seen-prefix carries") {
+    import spark.implicits._
+    import EventStreams.BudgetDoc
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-budget-").toString
+    val (in, out, ckpt) = (s"$tmp/in", s"$tmp/out", s"$tmp/ckpt")
+    val schema =
+      implicitly[org.apache.spark.sql.Encoder[BudgetDoc]].schema
+    def add(rows: BudgetDoc*): Unit =
+      rows.toDF().coalesce(1).write.mode("append").parquet(in)
+    def run(): Unit = {
+      val q = EventStreams.budgetGate(
+          spark.readStream.schema(schema).parquet(in).as[BudgetDoc],
+          budget = 100L)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append()).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    def admitted(): Set[(String, Long, Long)] = spark.read.parquet(out)
+      .select("source", "doc_id", "cum").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    add(BudgetDoc("a", 1L, 40L), BudgetDoc("a", 2L, 40L))
+    run()
+    assert(admitted() == Set(("a", 1L, 40L), ("a", 2L, 80L)))
+    // a FRESH query from the same checkpoint: source a's seen total
+    // (80) must survive the restart — a3 (30) crosses the budget and
+    // a4 (15) stays dropped at prefix 125 even though 80+15 would
+    // fit, which is exactly what distinguishes carried state + the
+    // prefix rule from a silent state reset (a reset would admit
+    // both a3 and a4)
+    add(BudgetDoc("a", 3L, 30L), BudgetDoc("a", 4L, 15L),
+      BudgetDoc("b", 1L, 90L))
+    run()
+    assert(admitted() == Set(("a", 1L, 40L), ("a", 2L, 80L),
+      ("b", 1L, 90L)),
+      s"state must carry across the restart: ${admitted()}")
+  }
+
   test("windowedCounts runs over a real file stream (readStream source)") {
     val batchDf = graft.Tables(spark, "/root/testdata/sf0.001", "events")
     // The raw file's ts type varies by data drop (TIMESTAMP(NANOS) read
