@@ -7545,6 +7545,30 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
           expr("largest * 1000000 div n_nodes"))
         .select(col("n_nodes"), col("n_components"), col("largest"),
           col("largest_ppm"), col("n_isolated"))
+    }),
+
+    "q206_cluster_balance" -> ((s, dir) => {
+      // IVF load-balance diagnostic: probe pruning's win is
+      // `nprobe/nlist` ONLY when clusters are balanced — a
+      // mega-cluster makes every probe that touches it scan a corpus
+      // fraction far above its share, and q86/q187's per-cluster work
+      // scales with the square/cap of the biggest one. One row off
+      // the persisted assignment: cluster count, smallest/largest,
+      // the largest's corpus share, and the max/mean skew ratio in
+      // x100 (integer cross-multiplied — largest·nlist·100 div
+      // total).
+      val singleRoot = { ivfIndexFor(s, dir); ivfPathCache.get(dir) }
+      s.read.parquet(singleRoot)
+        .groupBy(col(IvfIndex.ClusterCol).cast("long").as("cl"))
+        .agg(count(lit(1)).as("sz"))
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(col("sz")).as("n_rows"),
+          min(col("sz")).as("smallest"),
+          max(col("sz")).as("largest"))
+        .withColumn("largest_share_ppm",
+          expr("largest * 1000000 div n_rows"))
+        .withColumn("skew_x100",
+          expr("largest * n_clusters * 100 div n_rows"))
     })
   )
 
@@ -10987,6 +11011,19 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
            (max(sz) * 1000000 // sum(sz))::BIGINT AS largest_ppm,
            (SELECT sum(iso) FROM sized)::BIGINT AS n_isolated
          FROM comp""",
+    "q206_cluster_balance" ->
+      raw"""WITH c AS (
+           SELECT __ivf_cluster::BIGINT AS cl, count(*)::BIGINT AS sz
+           FROM read_parquet('$IvfOracleRoot/single/data/*.parquet')
+           GROUP BY 1)
+         SELECT count(*)::BIGINT AS n_clusters,
+           sum(sz)::BIGINT AS n_rows,
+           min(sz)::BIGINT AS smallest,
+           max(sz)::BIGINT AS largest,
+           (max(sz) * 1000000 // sum(sz))::BIGINT
+             AS largest_share_ppm,
+           (max(sz) * count(*) * 100 // sum(sz))::BIGINT AS skew_x100
+         FROM c""",
     "q193_maxsim_pruned" ->
       raw"""WITH tk AS (
            SELECT DISTINCT doc_id, tok FROM (
