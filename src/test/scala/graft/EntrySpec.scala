@@ -107,9 +107,9 @@ class EntrySpec extends SparkSpec {
     // composed stage without a hand-written case per query.
     val wave = SparkEntry.queries.keys.filter { n =>
       val num = n.drop(1).takeWhile(_.isDigit)
-      num.nonEmpty && num.toInt >= 185 && num.toInt <= 205
+      num.nonEmpty && num.toInt >= 185 && num.toInt <= 206
     }.toSeq.sorted
-    assert(wave.size == 21, s"expected 21 wave queries, got $wave")
+    assert(wave.size == 22, s"expected 22 wave queries, got $wave")
     for (q <- wave) {
       val plan = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
         .queryExecution.executedPlan.toString
