@@ -1681,6 +1681,73 @@ object IvfIndex {
     p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, false)
   }
 
+  /** Root-relative paths of every DATA file under `root` — the
+    * recursive listing minus hidden names at any level, under SPARK'S
+    * visibility rule (HadoopFSUtils.shouldFilterOutPathName): a name
+    * is hidden when it starts with `.`, or starts with `_` WITHOUT
+    * containing `=` — the `=` exception keeps hive partition
+    * directories for underscore-prefixed partition COLUMNS visible
+    * (this index's own `__ivf_cluster=N` dirs; sidecars, ingest logs,
+    * locks, markers, `_SUCCESS` stay hidden). Anything Spark would
+    * scan, this lists — a stricter rule here once made the recovery
+    * purge see zero files and silently keep crashed duplicates. This is
+    * the snapshot [[graft.streaming.EventStreams.indexedIngest]]
+    * records in a batch's `.started` marker BEFORE its append, so the
+    * crash-recovery purge can remove exactly the files that crashed
+    * append added — file-scoped, never id-scoped, because ids may
+    * legitimately repeat across batches (upstream streaming dedup is
+    * by content fingerprint within a watermark, not by id) and an
+    * id-scoped purge would silently delete an EARLIER batch's
+    * committed row. Metadata-only: no Spark job. */
+  private[graft] def listDataFiles(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Set[String] = {
+    val q = fs.makeQualified(root)
+    val out = Set.newBuilder[String]
+    def walk(p: org.apache.hadoop.fs.Path): Unit =
+      fs.listStatus(p).foreach { st =>
+        val name = st.getPath.getName
+        if (!name.startsWith(".") &&
+            (!name.startsWith("_") || name.contains("="))) {
+          if (st.isDirectory) walk(st.getPath)
+          else out += st.getPath.toString
+            .stripPrefix(q.toString).stripPrefix("/")
+        }
+      }
+    walk(q)
+    out.result()
+  }
+
+  /** Delete every data file under `root` that is NOT in `snapshot` (a
+    * prior [[listDataFiles]] capture) — the crash-recovery arm of the
+    * streaming-ingest commit protocol: files added after the snapshot
+    * are exactly the crashed append's remnants (full or partial).
+    * SINGLE-WRITER contract: correctness requires that no other
+    * writer touched the root between the snapshot and this purge —
+    * [[compact]] is excluded by its lock (the ingest sink refuses
+    * batches under it), and concurrent [[deleteByIds]]/[[appendTo]]
+    * against a live ingest root were already outside the supported
+    * lifecycle (their rewrites would race the ingest's own listing).
+    * Emptied partition directories are left in place (partition
+    * discovery tolerates them; the next append or compact reclaims
+    * them). Returns the number of files removed; refreshes the
+    * session file-listing cache and fires invalidation hooks only
+    * when something was removed. */
+  private[graft] def purgeFilesNotIn(spark: SparkSession, path: String,
+      snapshot: Set[String]): Int = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val added = (listDataFiles(fs, root) -- snapshot).toSeq.sorted
+    added.foreach { rel =>
+      fs.delete(new org.apache.hadoop.fs.Path(root, rel), false)
+    }
+    if (added.nonEmpty) {
+      spark.catalog.refreshByPath(path)
+      graft.plans.IvfAutoProbe.invalidate(spark, path)
+      fireInvalidated(path)
+    }
+    added.size
+  }
+
   /** every committed-batch marker under `root/_ingest_log`, as
     * root-relative paths — the concurrent-ingest tripwire for
     * [[compact]]. Empty when the directory is absent (a root never fed

@@ -303,19 +303,35 @@ object CorpusStore {
   /** S9-CSV: the corpus flattened to a CSV interchange file — CSV has
     * no nested types, so the complex columns (embedding, metadata)
     * ride as JSON strings and [[loadCsv]] reverses the encoding
-    * exactly. Spark's univocity writer quotes per RFC 4180, so
-    * documents containing commas, quotes, or newlines round-trip. */
+    * exactly. `escape` is pinned to `"` so embedded quotes are written
+    * as RFC 4180 doubled quotes (Spark's default is backslash-escape,
+    * which only Spark itself reads back); with quoting + doubling,
+    * documents containing commas, quotes, or newlines round-trip and
+    * stay readable by any RFC 4180 consumer. */
   def exportCsv(corpus: DataFrame, path: String): Unit =
     corpus.select(col("id"),
         to_json(col("embedding")).as("embedding"),
         col("document"),
         to_json(col("metadata")).as("metadata"),
         col("component_code"))
-      .write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+      .write.mode(SaveMode.Overwrite).option("header", "true")
+      .option("escape", "\"")
+      // the WRITER trims field-edge whitespace by default (the read
+      // side doesn't) — a document ending in whitespace or a newline
+      // would come back shortened; RFC 4180 preserves everything
+      // inside the quotes, so turn the trimming off on both edges
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
+      .csv(path)
 
   /** S8-CSV: bulk load of the [[exportCsv]] interchange layout with
     * the same read-time schema enforcement as [[loadJson]] —
-    * un-coercible rows surface as nulls (PERMISSIVE). */
+    * un-coercible rows surface as nulls (PERMISSIVE). `multiLine`
+    * lets a quoted field span record separators (a document with an
+    * embedded newline would otherwise be split mid-record and
+    * null-padded); the cost is that a multiLine CSV file is not
+    * splittable, acceptable for an interchange format whose bulk
+    * sibling is parquet/ORC. */
   def loadCsv(spark: SparkSession, path: String): DataFrame = {
     val flat = StructType(Seq(
       StructField("id", StringType, nullable = false),
@@ -323,7 +339,8 @@ object CorpusStore {
       StructField("document", StringType),
       StructField("metadata", StringType),
       StructField("component_code", IntegerType, nullable = false)))
-    spark.read.option("header", "true").schema(flat).csv(path)
+    spark.read.option("header", "true").option("multiLine", "true")
+      .option("escape", "\"").schema(flat).csv(path)
       .select(col("id"),
         from_json(col("embedding"), ArrayType(FloatType))
           .as("embedding"),

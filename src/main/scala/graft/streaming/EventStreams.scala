@@ -222,14 +222,23 @@ object EventStreams {
     * and the marker, and the post-append compact-lock re-check below
     * (an appended batch deliberately left unmarked so the compacted
     * root cannot silently lose it) — are closed with a STARTED marker
-    * (`batch-N.started`, written before the append): a re-delivered
-    * batch that finds started-but-not-committed first PURGES its own
-    * ids ([[graft.operators.IvfIndex.deleteByIds]] — partition-scoped,
-    * removes whatever subset of the crashed append landed, full or
-    * partial) and then appends cleanly. Ingest is therefore
-    * exactly-once end to end; the purge job runs ONLY on the
-    * crash-recovery path — the happy path pays one extra marker-file
-    * create per batch.
+    * (`batch-N.started`, written ATOMICALLY — temp file + rename —
+    * before the append, carrying the root's pre-append data-file
+    * listing): a re-delivered batch that finds started-but-not-
+    * committed first PURGES the files added since that snapshot
+    * ([[graft.operators.IvfIndex.purgeFilesNotIn]] — exactly the
+    * crashed append's remnants, full or partial) and then appends
+    * cleanly. The purge is FILE-scoped, not id-scoped, because ids may
+    * legitimately repeat across batches (the upstream [[dedupStream]]
+    * dedups by content fingerprint within a watermark, not by id) and
+    * deleting by the re-delivered batch's ids would silently remove an
+    * EARLIER batch's committed row — exactly the silent loss this
+    * module forbids. Ingest is therefore exactly-once end to end; the
+    * purge runs ONLY on the crash-recovery path and is metadata-only
+    * (no Spark job) — the happy path pays one marker write plus one
+    * recursive file listing of the root per non-empty batch (listing
+    * cost tracks file count, which [[graft.operators.IvfIndex.compact]]
+    * exists to bound).
     *
     * Coordination with [[graft.operators.IvfIndex.compact]]: while the
     * compactor holds `_compact_lock` on this root, every batch FAILS
@@ -283,20 +292,51 @@ object EventStreams {
           try {
             val started = new org.apache.hadoop.fs.Path(
               marker.toString + ".started")
+            val rootPath = new org.apache.hadoop.fs.Path(indexPath)
+            val nonEmpty = !batch.isEmpty
             // started-but-not-committed: a previous attempt crashed
             // between its append and its marker (or was refused by the
             // TOCTOU lock re-check below) — some or all of its files
-            // may have landed. Purge this batch's OWN ids before
-            // re-appending, turning the at-least-once re-delivery into
-            // an exactly-once commit. Only the crash-recovery path
-            // pays the delete job.
-            if (fs.exists(started) && !batch.isEmpty)
-              graft.operators.IvfIndex.deleteByIds(
-                spark, indexPath, batch.select(col(idCol)), idCol,
-                vecCol)
-            fs.create(started, true).close()
+            // may have landed. Purge exactly the FILES added since the
+            // snapshot the crashed attempt recorded in its .started
+            // marker (never by id: ids can repeat across batches, and
+            // an id purge would delete an earlier batch's committed
+            // row), turning the at-least-once re-delivery into an
+            // exactly-once commit. Metadata-only — no Spark job.
+            if (fs.exists(started) && nonEmpty) {
+              val snap = {
+                val in = fs.open(started)
+                val bytes =
+                  try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
+                  finally in.close()
+                new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+                  .linesIterator.filter(_.nonEmpty).toSet
+              }
+              graft.operators.IvfIndex.purgeFilesNotIn(
+                spark, indexPath, snap)
+            }
+            // record the PRE-append listing in the .started marker via
+            // write-temp-then-rename: a torn snapshot would make the
+            // recovery purge treat pre-existing files as crashed
+            // remnants and delete committed data, so the marker must
+            // appear atomically or not at all. (Crash before the
+            // rename: no .started, nothing appended — a clean re-run.)
+            val snapshot =
+              if (nonEmpty)
+                graft.operators.IvfIndex.listDataFiles(fs, rootPath)
+                  .toSeq.sorted
+              else Seq.empty[String]
+            val startedTmp = new org.apache.hadoop.fs.Path(
+              started.toString + ".tmp")
+            val out = fs.create(startedTmp, true)
+            try out.write(snapshot.mkString("\n")
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            finally out.close()
+            if (fs.exists(started)) fs.delete(started, false)
+            require(fs.rename(startedTmp, started),
+              s"indexedIngest: could not publish $started")
             // an empty micro-batch must not pay the load + write job
-            if (!batch.isEmpty)
+            if (nonEmpty)
               graft.operators.IvfIndex.appendTo(
                 spark, indexPath, batch, idCol, vecCol)
             // TOCTOU shrink: a compact lock that landed DURING the
@@ -314,8 +354,8 @@ object EventStreams {
                   "UNMARKED so a restart re-delivers it; marking it now " +
                   "could let the compacted root silently miss its files. " +
                   "The batch's append already landed, but its .started " +
-                  "marker makes the re-delivery purge those rows before " +
-                  "re-appending — no duplicates.")
+                  "snapshot makes the re-delivery purge those files " +
+                  "before re-appending — no duplicates.")
             // create() makes missing parents itself — no mkdirs RPC
             fs.create(marker, true).close()
           } finally batch.unpersist()

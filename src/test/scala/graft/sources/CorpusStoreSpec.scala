@@ -95,7 +95,29 @@ class CorpusStoreSpec extends SparkSpec {
   }
 
   test("CSV export/load round-trip: complex columns ride as JSON and come back typed") {
+    import spark.implicits._
+    // the ingested fixture chunks happen to trim to single lines, so the
+    // newline claim needs a constructed row: a document spanning three
+    // lines with an embedded RFC 4180 quote and a comma. Without
+    // multiLine=true on the reader this row is split mid-record and the
+    // count/row assertions below fail.
+    val hostile = Seq(
+      ("hostile-1",
+        Seq(0.25f, -1.5f),
+        "line one, with a comma\nline \"two\" quotes a word\nline three",
+        ("u", "n", "observer", "t", "e"),
+        1),
+      ("hostile-2",
+        Seq(1.0f),
+        "trailing newline doc\n",
+        ("u2", "n2", "ocp", "t2", "e2"),
+        2))
+      .toDF("id", "embedding", "document", "m", "component_code")
+      .select($"id", $"embedding", $"document",
+        $"m".cast(CorpusStore.metadataType).as("metadata"),
+        $"component_code")
     val back = spark.read.parquet(s"$tmp/corpus")
+      .unionByName(hostile)
     CorpusStore.exportCsv(back, s"$tmp/export-csv")
     val loaded = CorpusStore.loadCsv(spark, s"$tmp/export-csv")
     assert(loaded.schema.fields.map(f => (f.name, f.dataType)).toSeq ==

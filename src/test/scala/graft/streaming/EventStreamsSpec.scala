@@ -316,9 +316,9 @@ class EventStreamsSpec extends SparkSpec {
     // the batch under the same batchId. Three acts:
     //   1. normal ingest of one batch — appended once, marker exists;
     //   2. re-delivery WITH the marker intact — idempotently skipped;
-    //   3. delete the marker (the crash) and re-deliver — the batch is
-    //      re-appended EXACTLY once more; nothing else changes, search
-    //      still answers correctly over the duplicated rows.
+    //   3. delete the marker (the crash) and re-deliver — the recovery
+    //      purges the crashed append's files via the .started snapshot
+    //      and re-appends EXACTLY once; no duplicates anywhere.
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     import org.apache.spark.sql.DataFrame
@@ -391,6 +391,88 @@ class EventStreamsSpec extends SparkSpec {
         tieBreak = Some("vec_id"))
       .select("vec_id").head().getLong(0)
     assert(hit == b1.head._1)
+  }
+
+  test("crash recovery purges FILES, not ids: an id repeated across batches keeps the earlier batch's row") {
+    // The r17-advice failure mode: upstream dedupStream dedups by
+    // CONTENT fingerprint, so the same id can legitimately arrive in
+    // two batches with different content. The old recovery purge
+    // deleted by the re-delivered batch's ids — which also removed the
+    // EARLIER batch's committed row for a shared id (silent loss). The
+    // snapshot-scoped purge removes only the files the crashed append
+    // added, so the earlier row must survive: after recovering a
+    // crashed batch 1 that repeats an id from committed batch 0, that
+    // id has exactly TWO rows and the total count is unchanged.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions.col
+    import graft.operators.IvfIndex
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val base = emb.filter(col("vec_id") % 2 === 0)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-chaos-xbatch-").toString
+    val path = s"$tmp/ivf"
+    IvfIndex.build(base, "vec_id", "embedding", nlist = 8).write(path)
+    val odd = emb.filter(col("vec_id") % 2 === 1).limit(20)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val (b0, b1new) = odd.splitAt(10)
+    val sharedId = b0.head._1
+    // batch 1 = 10 fresh ids PLUS the shared id with DIFFERENT content
+    // (different text -> different fingerprint -> survives dedupStream)
+    val b1 = b1new :+ (sharedId, b0.head._2)
+    val embedStage =
+      (df: DataFrame) => df.select(col("vec_id"), col("embedding"))
+    def deliver(ckpt: String): Unit = {
+      val input = MemoryStream[(Long, Timestamp, String, Seq[Float])]
+      val docs = input.toDF().toDF("vec_id", "ts", "text", "embedding")
+      val query = EventStreams.indexedIngest(docs, "text", "ts",
+          embedStage, path, "vec_id", "embedding", ingestId = "xbatch-a")
+        .option("checkpointLocation", s"$tmp/$ckpt").start()
+      try {
+        input.addData(b0.map { case (id, v) =>
+          (id, ts(0), s"first doc $id", v) }.toSeq: _*)
+        query.processAllAvailable()
+        input.addData(b1.map { case (id, v) =>
+          (id, ts(1), s"second doc $id", v) }.toSeq: _*)
+        query.processAllAvailable()
+      } finally query.stop()
+    }
+    deliver("ckpt1") // both batches commit
+    val committed = spark.read.parquet(path).count()
+    assert(committed == base.count() + b0.length + b1.length)
+    // batch numbering under the stateful dedup: each processAllAvailable
+    // is followed by an EMPTY watermark-advance micro-batch, so b0 is
+    // batch-0, b1 is batch-2 (1 and 3 are the empty ones). Crashing an
+    // empty batch would make this test pass vacuously — pin the layout
+    // so a numbering change fails loudly instead of silently weakening
+    // the test.
+    val log = new java.io.File(s"$path/_ingest_log/xbatch-a")
+    assert(log.listFiles().map(_.getName).toSet
+      .filterNot(n => n.contains(".started") || n.startsWith(".")) ==
+      Set("batch-0", "batch-1", "batch-2", "batch-3"))
+    val marker2 =
+      new java.io.File(s"$path/_ingest_log/xbatch-a/batch-2")
+    val started2 =
+      new java.io.File(s"$path/_ingest_log/xbatch-a/batch-2.started")
+    assert(marker2.exists() && started2.exists())
+    // b1's .started snapshot predates its own append but includes b0's
+    // files — nonempty, unlike an empty batch's (vacuity tripwire #2)
+    assert(java.nio.file.Files.readString(started2.toPath)
+      .linesIterator.count(_.nonEmpty) > 0)
+
+    assert(marker2.delete()) // crash between batch 2's append + marker
+    deliver("ckpt2")         // fresh run: batch 0 skipped, batch 2 recovered
+    val perId = spark.read.parquet(path).groupBy("vec_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(spark.read.parquet(path).count() == committed,
+      "recovery must neither lose nor duplicate rows")
+    assert(perId(sharedId) == 2L,
+      "the id shared across batches keeps BOTH committed rows — an " +
+        "id-scoped purge would have silently deleted batch 0's row")
+    assert(b1new.forall { case (id, _) => perId(id) == 1L })
+    assert(marker2.exists(), "the re-delivery restores batch 2's marker")
   }
 
   test("indexedIngest refuses batches while the compact lock is held, resumes after release") {
