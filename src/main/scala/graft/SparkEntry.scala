@@ -7569,6 +7569,66 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
           expr("largest * 1000000 div n_rows"))
         .withColumn("skew_x100",
           expr("largest * n_clusters * 100 div n_rows"))
+    }),
+
+    "q207_cusum_changepoint" -> ((s, dir) => {
+      // CUSUM changepoint localization (Page 1954) — the drift
+      // detectors' localizing sibling: q89/q150 say THAT a
+      // distribution moved, this says WHEN a type's event rate
+      // shifted. Per event type, hourly-bucket counts n_j; the
+      // mean-free cumulative sum S_i = Σ_{j≤i} (n_j·T − N) over the
+      // type's T non-empty buckets and N events (multiplying the
+      // mean N/T through by T keeps every term an exact integer),
+      // and the changepoint is the bucket maximizing |S| (earliest
+      // on ties). The sign of S there says which side of the shift
+      // the prefix sits on: S<0 means the early regime ran BELOW
+      // the long-run mean, i.e. the rate stepped UP at the
+      // changepoint. Scale shape: one groupBy(type, hour) with
+      // map-side partial aggregation collapses events to
+      // type×hour rows, then every window pass runs over
+      // bucket-count-sized frames — the raw-event scan dominates
+      // and per-type state is one row per non-empty hour.
+      val wt = Window.partitionBy(col("event_type"))
+      val wo = Window.partitionBy(col("event_type"))
+        .orderBy(col("bucket"))
+      t(s, dir, "events")
+        .groupBy(col("event_type"),
+          expr("unix_timestamp(ts) div 3600").as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("tcnt", count(lit(1)).over(wt))
+        .withColumn("ntot", sum(col("n")).over(wt))
+        .withColumn("cusum",
+          sum(col("n") * col("tcnt") - col("ntot")).over(wo))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("event_type"))
+            .orderBy(abs(col("cusum")).desc, col("bucket"))))
+        .filter(col("rn") === 1)
+        .select(col("event_type"),
+          (col("bucket") * 3600).as("cp_epoch"),
+          abs(col("cusum")).as("max_abs_cusum"),
+          when(col("cusum") < 0, lit(-1)).otherwise(lit(1))
+            .as("cusum_sign"),
+          col("tcnt").as("n_buckets"),
+          col("ntot").as("n_events"))
+        .orderBy(col("event_type"))
+    }),
+
+    "q208_kcenter_coreset" -> ((s, dir) => {
+      // Farthest-first k-center coreset (Gonzalez 1985): 5 exemplars
+      // picked by greedy max-min cosine distance — the COVERAGE
+      // selector next to the mass-apportioning samplers (q65/q71/
+      // q120/q187), the shape a distillation or annotation-budget
+      // pass runs. Each chosen point's max-min distance is the
+      // covering radius of the set before it joined, so the output
+      // doubles as the radius-vs-k curve (2-approx of optimal).
+      // Integer 4-dp quantized distances, id tie-break — the greedy
+      // trace unrolls exactly in the oracle (the q136 discipline).
+      // Scale: k driver steps, each one narrow corpus scan against
+      // ≤ k broadcast center literals + TakeOrderedAndProject(1) —
+      // no join, no shuffle, no corpus-scale collect.
+      VectorExpressions.ensureRegistered(s)
+      graft.operators.Coreset.farthestFirst(t(s, dir, "embeddings"),
+        "embedding", "vec_id", k = 5, seedId = 0L)
     })
   )
 
@@ -12252,7 +12312,41 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
 
     // q180: three unrolled 2-hop walks (far / coarse / hier entries)
     // over the shared graph CTEs, each intersected with the exact leg.
-    "q180_entry_strategy_recall" -> entryStrategyOracleSql
+    "q180_entry_strategy_recall" -> entryStrategyOracleSql,
+
+    "q207_cusum_changepoint" ->
+      raw"""WITH hb AS (
+           SELECT event_type,
+             epoch_us(ts) // 1000000 // 3600 AS bucket,
+             count(*)::BIGINT AS n
+           FROM events GROUP BY 1, 2),
+         c AS (
+           SELECT event_type, bucket, n,
+             count(*) OVER (PARTITION BY event_type) AS tcnt,
+             sum(n) OVER (PARTITION BY event_type) AS ntot
+           FROM hb),
+         s AS (
+           SELECT event_type, bucket, tcnt, ntot,
+             sum(n * tcnt - ntot) OVER (PARTITION BY event_type
+               ORDER BY bucket) AS cusum
+           FROM c),
+         r AS (
+           SELECT *, row_number() OVER (PARTITION BY event_type
+             ORDER BY abs(cusum) DESC, bucket) AS rn
+           FROM s)
+         SELECT event_type,
+           (bucket * 3600)::BIGINT AS cp_epoch,
+           abs(cusum)::BIGINT AS max_abs_cusum,
+           (CASE WHEN cusum < 0 THEN -1 ELSE 1 END)::INT
+             AS cusum_sign,
+           tcnt::BIGINT AS n_buckets,
+           ntot::BIGINT AS n_events
+         FROM r WHERE rn = 1 ORDER BY event_type""",
+
+    // q208: the farthest-first greedy unrolled one CTE per step
+    // (the q136 discipline), MATERIALIZED so the 5-deep chain of
+    // references to every earlier step can't re-inline exponentially.
+    "q208_kcenter_coreset" -> kcenterOracleSql
   )
 
   /** The kNN-graph replay CTE chain over the exported IVF replica
@@ -12792,6 +12886,40 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
     raw"""WITH $chains
          $out
          ORDER BY query_id, rank"""
+  }
+
+  /** q208's oracle: Gonzalez farthest-first unrolled step by step.
+    * Step t scans the corpus minus the selected set, takes min over
+    * the ≤ t−1 selected centers of the integer 4-dp cosine distance
+    * (the identical quantization the Spark greedy uses), and keeps
+    * the max-min row (id tie-break). CTEs are MATERIALIZED — each
+    * step references every earlier one, and DuckDB re-inlines plain
+    * CTEs per reference (the q165 exponential-expansion trap). */
+  private lazy val kcenterOracleSql: String = {
+    val k = 5
+    def selUnion(t: Int): String =
+      (1 until t).map(j => s"SELECT vec_id FROM ks$j")
+        .mkString(" UNION ALL ")
+    val steps = (2 to k).map { t =>
+      s"""ks$t AS MATERIALIZED (
+         SELECT e.vec_id,
+           min(10000 - CAST(floor(list_cosine_similarity(
+             e.embedding::DOUBLE[], c.embedding::DOUBLE[]) * 1e4
+             + 0.5::DOUBLE) AS BIGINT)) AS d
+         FROM embeddings e JOIN embeddings c
+           ON c.vec_id IN (${selUnion(t)})
+         WHERE e.vec_id NOT IN (${selUnion(t)})
+         GROUP BY e.vec_id
+         ORDER BY d DESC, e.vec_id LIMIT 1)"""
+    }.mkString(",\n         ")
+    val out = (1 to k).map(t =>
+      s"SELECT $t::BIGINT AS rank, vec_id, d AS radius FROM ks$t")
+      .mkString("\n         UNION ALL ")
+    raw"""WITH ks1 AS MATERIALIZED (
+           SELECT 0::BIGINT AS vec_id, 0::BIGINT AS d),
+         $steps
+         $out
+         ORDER BY rank"""
   }
 
   private lazy val mmrOracleSql: String = {

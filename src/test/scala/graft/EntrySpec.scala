@@ -24,6 +24,32 @@ class EntrySpec extends SparkSpec {
     assert((SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).isEmpty)
   }
 
+  test("q207 CUSUM localizes a constructed rate shift at the last pre-shift bucket") {
+    // type "up": 5 hourly buckets at 1 event/h then 5 at 5/h — T=10,
+    // N=30, per-bucket terms n·T−N = −20 (low) / +20 (high), so the
+    // CUSUM walks −20..−100 and back to 0: max |S| = 100 at bucket 4
+    // (the LAST low hour — this operator's changepoint convention),
+    // sign −1 = the prefix ran below the mean, i.e. the rate stepped
+    // UP. Type "down" is the mirror: same |S| and bucket, sign +1.
+    import spark.implicits._
+    val rows = for {
+      (tp, counts) <- Seq(
+        ("up", Seq(1, 1, 1, 1, 1, 5, 5, 5, 5, 5)),
+        ("down", Seq(5, 5, 5, 5, 5, 1, 1, 1, 1, 1)))
+      (c, h) <- counts.zipWithIndex
+      i <- 0 until c
+    } yield (new java.sql.Timestamp((h * 3600L + 60L * i) * 1000L), tp)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-q207-").toString
+    rows.toDF("ts", "event_type").write.parquet(s"$dir/events.parquet")
+    val r = SparkEntry.queries("q207_cusum_changepoint")(spark, dir)
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(2), x.getInt(3), x.getLong(4),
+          x.getLong(5))).toMap
+    assert(r("up") == ((4L * 3600L, 100L, -1, 10L, 30L)))
+    assert(r("down") == ((4L * 3600L, 100L, 1, 10L, 30L)))
+  }
+
   test("q53/q54 plans: no cartesian, no unbounded per-group collect") {
     for (q <- Seq("q53_jaccard_pairs", "q54_curation_pipeline")) {
       val plan = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
@@ -98,7 +124,7 @@ class EntrySpec extends SparkSpec {
       s"broadcast semi join in q51 plan:\n$plan")
   }
 
-  test("round-17 queries (q185-q203): no cartesian, no unbounded per-group collect") {
+  test("round-17/18 queries (q185-q208): no cartesian, no unbounded per-group collect") {
     // the sweeping audit for the round's whole wave: every new gated
     // plan must be free of CartesianProduct (broadcast nested-loop
     // against a bounded panel is the documented and ALLOWED shape —
@@ -107,9 +133,9 @@ class EntrySpec extends SparkSpec {
     // composed stage without a hand-written case per query.
     val wave = SparkEntry.queries.keys.filter { n =>
       val num = n.drop(1).takeWhile(_.isDigit)
-      num.nonEmpty && num.toInt >= 185 && num.toInt <= 206
+      num.nonEmpty && num.toInt >= 185 && num.toInt <= 208
     }.toSeq.sorted
-    assert(wave.size == 22, s"expected 22 wave queries, got $wave")
+    assert(wave.size == 24, s"expected 24 wave queries, got $wave")
     for (q <- wave) {
       val plan = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
         .queryExecution.executedPlan.toString
