@@ -2718,10 +2718,17 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
       VectorExpressions.ensureRegistered(s)
       import graft.functions.TextFunctions.{spanKey, wordSpans}
       val kSk = 128
+      // the span set feeds FIVE consumers (sketch, source list, the
+      // exact self-join's two sides, per-source counts) and its
+      // subtree is the expensive kind (interpreted HOF explode + md5
+      // span keys + a distinct) — materialize once (the q170/q193
+      // measured rule: eager localCheckpoint pays exactly when the
+      // recomputed subtree dominates; here 2.21 s → 1.77 s at sf0.1)
       val sp = t(s, dir, "documents").filter(col("text").isNotNull)
         .select(col("source"), explode(wordSpans(col("text"), 8)).as("sp"))
         .select(col("source"), spanKey(col("sp")).as("k"))
         .distinct()
+        .localCheckpoint(true)
       val sk = Sketches.kmvSketch(sp, col("k"), Seq("source"), kSk)
       val sources = sp.select("source").distinct()
       val pairs = sources.as("a").join(sources.as("b"),
@@ -6887,17 +6894,54 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
       // control pair: queries from the UNSHIFTED region (10 ids <12,
       // ≢3 mod 5) isolate the drift effect — where no drift occurred
       // the two roots should score comparably, so any gap in rows
-      // 1/2 is attributable to the append, not the gauge
-      pqRecallLegs(fin,
-        col("vec_id") < 50L && pmod(col("vec_id"), lit(5L)) === 3L,
-        nq = 10, refine = 1, Seq(
-          ("1_maintained", m.data(s), m.books, None),
-          ("2_refit", r.data(s), r.books, None)))
-        .unionByName(pqRecallLegs(fin,
-          col("vec_id") < 12L && pmod(col("vec_id"), lit(5L)) =!= 3L,
-          nq = 10, refine = 1, Seq(
-            ("3_maintained_ctl", m.data(s), m.books, None),
-            ("4_refit_ctl", r.data(s), r.books, None))))
+      // 1/2 is attributable to the append, not the gauge.
+      // The two panels are DISJOINT and tag-derivable from the id
+      // (shifted ⇔ vec_id ≡ 3 mod 5), so both ride ONE 20-query
+      // batch per root and one shared exact pass — half the
+      // corpus×panel work of two separate pqRecallLegs calls
+      // (measured 2.76 s → see PLANS round 18); per-query search
+      // and the per-(root, panel) recalls are unchanged (batch ADC
+      // is per-query independent).
+      import s.implicits._
+      val shifted = pmod(col("vec_id"), lit(5L)) === 3L
+      val qDf = fin.filter(col("embedding").isNotNull &&
+          ((col("vec_id") < 50L && shifted) ||
+            (col("vec_id") < 12L && !shifted)))
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        .localCheckpoint()
+      val exact = fin.filter(col("embedding").isNotNull)
+        .crossJoin(broadcast(qDf))
+        .select(col("qid"), col("vec_id"),
+          KnnSearch.roundHalfUpCol(
+            l2DistanceNative(col("embedding"), col("qv")), 4).as("d"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(col("d"), col("vec_id"))))
+        .filter(col("rn") <= pqK)
+        .select(col("qid").as("qid_e"), col("vec_id").as("id_e"))
+        .localCheckpoint()
+      // a panel with zero overlap must still emit its row — anchor
+      // each (root, panel) cell on a literal scaffold
+      val legs = Seq(
+        ("1_maintained", "3_maintained_ctl", m),
+        ("2_refit", "4_refit_ctl", r))
+      legs.map { case (nmShift, nmCtl, root) =>
+        val ov = Pq.topKBatch(root.data(s), "vec_id", "embedding",
+            qDf, "qid", "qv", k = pqK, root.books, refine = 1,
+            tieBreak = "vec_id", rankRoundDp = Some(4), perm = None)
+          .select(col("query_id"), col("vec_id").as("id_a"))
+          .join(exact, col("query_id") === col("qid_e") &&
+            col("id_a") === col("id_e"))
+          .groupBy(when(pmod(col("query_id"), lit(5L)) === 3L,
+            nmShift).otherwise(nmCtl).as("method"))
+          .agg(count(lit(1)).as("n_overlap"))
+        Seq(nmShift, nmCtl).toDF("method")
+          .join(ov, Seq("method"), "left")
+          .select(col("method"),
+            coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+          .withColumn("recall_ppm",
+            expr(s"n_overlap * 1000000 div ${pqK * 10}"))
+      }.reduce(_.unionByName(_))
         .orderBy(col("method"))
     }),
 
@@ -7629,6 +7673,176 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
       VectorExpressions.ensureRegistered(s)
       graft.operators.Coreset.farthestFirst(t(s, dir, "embeddings"),
         "embedding", "vec_id", k = 5, seedId = 0L)
+    }),
+
+    "q209_filtered_ann" -> ((s, dir) => {
+      // FILTERED vector search — the policy table every metadata-
+      // constrained ANN query needs (the reference's hybrid form:
+      // metadata WHERE + similarity_search; q56 showed the
+      // partition-pruned special case, this gates the GENERAL
+      // predicate, which no partition layout serves). The filter is
+      // vec_id ≡ 1 (mod 3) — deliberately geometry-INDEPENDENT: a
+      // cross-label filter was built first and rejected (this
+      // corpus's labels correlate with embedding direction, so
+      // "query labeled A, filter B" reads recall 0 on every leg —
+      // true but non-discriminating, the q182/q194 rule), while a
+      // ~33% id filter makes each leg's recall move with its
+      // candidate budget. Two strategies at the same nprobe=2
+      // budget against the exact filtered truth (top-10 L2 over
+      // the full filtered subset):
+      //   1_prefilter   — the predicate pushed INTO the probed scan:
+      //                   every label-3 row in the probed clusters
+      //                   competes (recall bounded only by probe
+      //                   coverage);
+      //   {2,3,4}_post_x{1,2,4} — filter AFTER an unfiltered top-10f
+      //                   overfetch, the only option when the filter
+      //                   is a join/UDF the scan can't see: at ×1 the
+      //                   filter eats the candidate list (n_cand ≈
+      //                   selectivity·k), and the ×2/×4 rows price
+      //                   how much overfetch buys recall back.
+      // ONE probed scan serves all three postfilter legs (each is a
+      // rank-prefix of the same top-40), so at scale the policy table
+      // costs one pruned scan + one tiny prefilter scan. Probe
+      // selection, 4-dp distances, and id tie-breaks are the q36
+      // regime — the oracle replays everything.
+      VectorExpressions.ensureRegistered(s)
+      import s.implicits._
+      val q = queryVec(s, dir)
+      val idx = ivfIndexFor(s, dir)
+      val root = ivfPathCache.get(dir)
+      val lab = t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          (pmod(col("vec_id"), lit(3L)) === 1L).as("m"))
+      val truth = t(s, dir, "embeddings")
+        .filter(pmod(col("vec_id"), lit(3L)) === 1L &&
+          col("embedding").isNotNull)
+        .select(col("vec_id"),
+          KnnSearch.roundHalfUpCol(l2DistanceNative(col("embedding"),
+            KnnSearch.litVec(q)), 4).as("d"))
+        .orderBy(col("d"), col("vec_id")).limit(10)
+        .select(col("vec_id").as("tid"))
+        .localCheckpoint()
+      val ranked = idx.search(q, 40, nprobe = 2,
+          metric = KnnSearch.NativeL2, tieBreak = Some("vec_id"),
+          rankRoundDp = Some(4))
+        .select(col("vec_id"), col("dist"))
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("dist"), col("vec_id"))))
+        .join(broadcast(lab), Seq("vec_id"))
+        .localCheckpoint()
+      def row(tag: String, cand: DataFrame): DataFrame = {
+        val sel = cand.orderBy(col("dist"), col("vec_id")).limit(10)
+        cand.agg(count(lit(1)).as("n_candidates"))
+          .crossJoin(sel.join(truth, sel("vec_id") === truth("tid"))
+            .agg(count(lit(1)).as("n_overlap")))
+          .select(lit(tag).as("strategy"), col("n_candidates"),
+            col("n_overlap"),
+            expr("n_overlap * 1000000 div 10").as("recall_ppm"))
+      }
+      val probes = idx.probeOrder(q).take(2)
+      val pre = s.read.parquet(root)
+        .filter(col(IvfIndex.ClusterCol).isin(probes: _*))
+        .select(col("vec_id"),
+          KnnSearch.roundHalfUpCol(l2DistanceNative(col("embedding"),
+            KnnSearch.litVec(q)), 4).as("dist"))
+        .join(broadcast(lab), Seq("vec_id"))
+        .filter(col("m"))
+      (row("1_prefilter", pre) +:
+        Seq(1, 2, 4).zipWithIndex.map { case (f, i) =>
+          row(s"${i + 2}_post_x$f",
+            ranked.filter(col("rn") <= 10 * f && col("m")))
+        }).reduce(_.unionByName(_))
+        .orderBy(col("strategy"))
+    }),
+
+    "q210_rung_distortion" -> ((s, dir) => {
+      // The quantization ladder's DISTORTION column — the third axis
+      // of the rung decision (q179/q182/q192 measure recall, q198
+      // measures bytes; this measures how far each rung's
+      // reconstruction sits from the vector it encodes): per rung,
+      // the 4-dp-floored L2 between every stored code's decode and
+      // its own raw vector (OPQ decodes in the PERMUTED coordinates,
+      // so its reconstruction is compared against the permuted row —
+      // rotation preserves distance, staying in code coordinates
+      // keeps the decode trivial). Mean is an exact integer (the
+      // floored per-row values sum order-free); max rides along (the
+      // tail is what kills a re-rank-free serving path). Binary
+      // sign-codes have no reconstruction — the rung is absent by
+      // nature, not omission. Scale shape: one narrow scan per rung,
+      // decode is per-row arithmetic against broadcast-literal books
+      // (SQ8: the fused code-distance expression with the row's OWN
+      // vector as the query; PQ/OPQ: m sub-centroid lookups into a
+      // 1024-float literal), no join, no shuffle below the 1-row agg.
+      VectorExpressions.ensureRegistered(s)
+      val idx = ivfIndexFor(s, dir)
+      val singleRoot = ivfPathCache.get(dir)
+      val (mins, scales) = idx.sq8Params.getOrElse(
+        throw new IllegalStateException("single root not quantized"))
+      def row(tag: String, perRow: DataFrame): DataFrame =
+        perRow.agg(lit(tag).as("rung"), count(lit(1)).as("n_rows"),
+          expr("sum(dx) div count(1)").as("mean_dist_x1e4"),
+          max(col("dx")).as("max_dist_x1e4"))
+      val sq8 = s.read.parquet(singleRoot)
+        .filter(col(IvfIndex.Sq8CodeCol).isNotNull &&
+          col("embedding").isNotNull)
+        .select(floor(sqrt(call_function("graft_sq8_l2sq",
+            col(IvfIndex.Sq8CodeCol), col("embedding"),
+            typedLit(mins ++ scales))) * lit(1e4) + lit(0.5))
+          .cast("long").as("dx"))
+      def pqDx(data: DataFrame, books: Pq.Codebooks,
+          perm: Option[Array[Int]]): DataFrame = {
+        val cb: Seq[Seq[Seq[Float]]] =
+          books.cb.map(_.map(_.toSeq).toSeq).toSeq
+        val decoded = flatten(array((0 until books.m).map { j =>
+          element_at(typedLit(cb(j)),
+            conv(substring(hex(col(Pq.CodeCol)), 2 * j + 1, 2),
+              16, 10).cast("int") + lit(1))
+        }: _*))
+        val x = perm.map(p => Pq.permuteCol("embedding", p))
+          .getOrElse(col("embedding"))
+        data.filter(col(Pq.CodeCol).isNotNull &&
+            col("embedding").isNotNull)
+          .select(floor(l2DistanceNative(x, decoded) * lit(1e4)
+            + lit(0.5)).cast("long").as("dx"))
+      }
+      val pqRoot = pqRootFor(s, dir)
+      val opq = Pq.loadRoot(s, opqRootFor(s, dir))
+      row("1_sq8", sq8)
+        .unionByName(row("2_pq",
+          pqDx(s.read.parquet(s"$pqRoot/data"),
+            Pq.load(s, s"$pqRoot/books"), None)))
+        .unionByName(row("3_opq", pqDx(opq.data(s), opq.books,
+          opq.perm)))
+        .orderBy(col("rung"))
+    }),
+
+    "q211_range_frame" -> ((s, dir) => {
+      // Trailing-calendar-week revenue — the RANGE window frame, the
+      // one window-execution mode no other query exercises (every
+      // other frame here is ROWS or growing/unbounded): per order
+      // priority and day, the sum over days in [day−6, day] — a
+      // VALUE-bounded frame, so calendar gaps shrink the window
+      // (days_in_window rides along to show it; a ROWS 6-preceding
+      // frame would silently reach past a gap — the classic
+      // trailing-metric bug this mode exists to avoid). The q132
+      // discipline end to end: day = epoch div 86400, money as
+      // integer cents, every sum a long. Scale: the corpus-sized
+      // work is the one (priority, day) partial-agg groupBy; the
+      // window runs over day-count-bounded frames (calendar-bounded,
+      // not corpus-bounded).
+      val daily = t(s, dir, "orders")
+        .select(col("o_orderpriority").as("priority"),
+          expr("cast(cast(o_orderdate as timestamp) as long) div 86400")
+            .as("day"),
+          expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+        .groupBy(col("priority"), col("day"))
+        .agg(sum(col("cents")).as("revenue_cents"))
+      val w = Window.partitionBy(col("priority")).orderBy(col("day"))
+        .rangeBetween(-6, Window.currentRow)
+      daily
+        .withColumn("trail7_cents", sum(col("revenue_cents")).over(w))
+        .withColumn("days_in_window", count(lit(1)).over(w))
+        .orderBy(col("priority"), col("day"))
     })
   )
 
@@ -12346,7 +12560,37 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
     // q208: the farthest-first greedy unrolled one CTE per step
     // (the q136 discipline), MATERIALIZED so the 5-deep chain of
     // references to every earlier step can't re-inline exponentially.
-    "q208_kcenter_coreset" -> kcenterOracleSql
+    "q208_kcenter_coreset" -> kcenterOracleSql,
+
+    // q209: the q36 probe replay at nprobe=2, one top-40 ranking
+    // whose rank-prefixes are the postfilter legs, plus the
+    // in-scan-prefilter leg; every leg scored against the exact
+    // filtered truth.
+    "q209_filtered_ann" -> filteredAnnOracleSql,
+
+    // q210: per rung, decode every stored code (SQ8: the q62 affine
+    // hex decode against the row's OWN vector; PQ/OPQ: the ordered
+    // sub-centroid concat off the books sidecar; OPQ compares in
+    // permuted coordinates via the perm sidecar) and aggregate the
+    // 4-dp-floored per-row L2.
+    "q210_rung_distortion" -> rungDistortionOracleSql,
+
+    "q211_range_frame" ->
+      raw"""WITH daily AS (
+           SELECT o_orderpriority AS priority,
+             epoch_us(o_orderdate) // 1000000 // 86400 AS day,
+             sum(round(o_totalprice * 100)::BIGINT)::BIGINT
+               AS revenue_cents
+           FROM orders GROUP BY 1, 2)
+         SELECT priority, day, revenue_cents,
+           sum(revenue_cents) OVER (PARTITION BY priority
+             ORDER BY day
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)::BIGINT
+             AS trail7_cents,
+           count(*) OVER (PARTITION BY priority ORDER BY day
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)::BIGINT
+             AS days_in_window
+         FROM daily ORDER BY priority, day"""
   )
 
   /** The kNN-graph replay CTE chain over the exported IVF replica
@@ -12886,6 +13130,150 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
     raw"""WITH $chains
          $out
          ORDER BY query_id, rank"""
+  }
+
+  /** q210's oracle: the SQ8 leg replays q62's hex affine decode with
+    * the row's own vector as the query; the PQ/OPQ legs join each
+    * code byte to the books sidecar, rebuild the decoded vector by
+    * ordered sub-centroid concatenation, and (OPQ) permute the raw
+    * row via the perm sidecar before comparing. Per-row values are
+    * 4-dp-floored L2 — integers whose sum is order-free. */
+  private lazy val rungDistortionOracleSql: String = {
+    def pqLeg(name: String, dataPath: String, booksPath: String,
+        permPath: Option[String]): String = {
+      val embExpr = permPath match {
+        case Some(_) => s"pe_$name.pe"
+        case None => "dec.emb::DOUBLE[]"
+      }
+      val permCtes = permPath.map { pp =>
+        s""",
+         pe_$name AS MATERIALIZED (
+           SELECT e.vec_id,
+             list(e.embedding[pm.src_dim + 1]::DOUBLE
+               ORDER BY pm.pos) AS pe
+           FROM read_parquet('$IvfOracleRoot/$dataPath/*.parquet') e,
+             read_parquet('$IvfOracleRoot/$pp/*.parquet') pm
+           WHERE e.__pq_code IS NOT NULL AND e.embedding IS NOT NULL
+           GROUP BY e.vec_id)"""
+      }.getOrElse("")
+      val join = permPath.map(_ =>
+        s"JOIN pe_$name ON pe_$name.vec_id = dec.vec_id").getOrElse("")
+      s"""dec_$name AS MATERIALIZED (
+           SELECT e.vec_id,
+             flatten(list(b.centroid ORDER BY b.sub)) AS dv,
+             any_value(e.embedding) AS emb
+           FROM read_parquet('$IvfOracleRoot/$dataPath/*.parquet') e
+           JOIN read_parquet('$IvfOracleRoot/$booksPath/*.parquet') b
+             ON b.code = CAST(concat('0x',
+               substr(hex(e.__pq_code), 2 * b.sub + 1, 2)) AS INT)
+           WHERE e.__pq_code IS NOT NULL AND e.embedding IS NOT NULL
+           GROUP BY e.vec_id)$permCtes,
+         dx_$name AS (
+           SELECT CAST(floor(list_distance($embExpr, dec.dv::DOUBLE[])
+             * 1e4 + 0.5::DOUBLE) AS BIGINT) AS dx
+           FROM dec_$name dec $join)"""
+    }
+    raw"""WITH p AS (
+           SELECT mins, scales FROM
+             read_parquet('$IvfOracleRoot/single/sq8/*.parquet')),
+         dx_sq AS (
+           SELECT CAST(floor(sqrt(list_sum(list_transform(
+               range(1, len(e.embedding) + 1), i ->
+               ((p.mins[i] + CAST(concat('0x',
+                   substr(hex(e.__sq8_code), 2 * i - 1, 2)) AS INT)
+                   * p.scales[i]) - e.embedding[i]::DOUBLE)
+               * ((p.mins[i] + CAST(concat('0x',
+                   substr(hex(e.__sq8_code), 2 * i - 1, 2)) AS INT)
+                   * p.scales[i]) - e.embedding[i]::DOUBLE))))
+             * 1e4 + 0.5::DOUBLE) AS BIGINT) AS dx
+           FROM read_parquet('$IvfOracleRoot/single/data/*.parquet') e,
+             p
+           WHERE e.__sq8_code IS NOT NULL AND e.embedding IS NOT NULL),
+         ${pqLeg("pq", "pq/data", "pq/books", None)},
+         ${pqLeg("opq", "opq/data", "opq/books", Some("opq/perm"))}
+         SELECT rung, n_rows, mean_dist_x1e4, max_dist_x1e4 FROM (
+           SELECT '1_sq8' AS rung, count(*)::BIGINT AS n_rows,
+             (sum(dx) // count(*))::BIGINT AS mean_dist_x1e4,
+             max(dx)::BIGINT AS max_dist_x1e4 FROM dx_sq
+           UNION ALL
+           SELECT '2_pq', count(*)::BIGINT,
+             (sum(dx) // count(*))::BIGINT, max(dx)::BIGINT FROM dx_pq
+           UNION ALL
+           SELECT '3_opq', count(*)::BIGINT,
+             (sum(dx) // count(*))::BIGINT, max(dx)::BIGINT
+           FROM dx_opq)
+         ORDER BY rung"""
+  }
+
+  /** q209's oracle: q36's probe selection at nprobe=2, the pruned
+    * top-40 ranking (whose rank-prefixes are the three postfilter
+    * legs), the label-filtered in-scan leg, and the exact filtered
+    * truth — each leg one scalar-subquery row. */
+  private lazy val filteredAnnOracleSql: String = {
+    val postLegs = Seq(1, 2, 4).zipWithIndex.map { case (f, i) =>
+      s"""SELECT '${i + 2}_post_x$f' AS strategy,
+         (SELECT count(*) FROM rr
+            WHERE rn <= ${10 * f} AND m)::BIGINT
+           AS n_candidates,
+         (SELECT count(*) FROM (
+            SELECT vec_id FROM rr
+            WHERE rn <= ${10 * f} AND m
+            ORDER BY dist, vec_id LIMIT 10) s
+          JOIN truth t ON s.vec_id = t.tid)::BIGINT AS n_overlap"""
+    }
+    val legs = (Seq(
+      s"""SELECT '1_prefilter' AS strategy,
+         (SELECT count(*) FROM pre)::BIGINT AS n_candidates,
+         (SELECT count(*) FROM (
+            SELECT vec_id FROM pre
+            ORDER BY dist, vec_id LIMIT 10) s
+          JOIN truth t ON s.vec_id = t.tid)::BIGINT AS n_overlap""")
+      ++ postLegs).mkString("\n         UNION ALL ")
+    raw"""WITH q AS (
+           SELECT embedding::DOUBLE[] AS qv FROM embeddings
+           WHERE vec_id = 0),
+         cent AS (
+           SELECT cluster_id, centroid FROM
+             read_parquet('$IvfOracleRoot/single/centroids/*.parquet')),
+         probes AS MATERIALIZED (
+           SELECT cluster_id FROM cent, q
+           ORDER BY list_sum(list_transform(range(1, len(centroid) + 1),
+             i -> (centroid[i]::DOUBLE - qv[i]) *
+                  (centroid[i]::DOUBLE - qv[i]))),
+             cluster_id
+           LIMIT 2),
+         lab AS MATERIALIZED (
+           SELECT vec_id, vec_id % 3 = 1 AS m FROM embeddings),
+         truth AS MATERIALIZED (
+           SELECT vec_id AS tid FROM embeddings
+           WHERE vec_id % 3 = 1 AND embedding IS NOT NULL
+           ORDER BY floor(list_distance(embedding::DOUBLE[],
+               (SELECT qv FROM q)) * 1e4 + 0.5::DOUBLE) / 1e4,
+             vec_id
+           LIMIT 10),
+         ranked AS MATERIALIZED (
+           SELECT vec_id,
+             floor(list_distance(embedding::DOUBLE[],
+               (SELECT qv FROM q)) * 1e4 + 0.5::DOUBLE) / 1e4 AS dist
+           FROM read_parquet('$IvfOracleRoot/single/data/*.parquet')
+           WHERE __ivf_cluster IN (SELECT cluster_id FROM probes)
+           ORDER BY dist, vec_id LIMIT 40),
+         rr AS MATERIALIZED (
+           SELECT r.vec_id, r.dist, l.m,
+             row_number() OVER (ORDER BY r.dist, r.vec_id) AS rn
+           FROM ranked r JOIN lab l USING (vec_id)),
+         pre AS MATERIALIZED (
+           SELECT d.vec_id,
+             floor(list_distance(d.embedding::DOUBLE[],
+               (SELECT qv FROM q)) * 1e4 + 0.5::DOUBLE) / 1e4 AS dist
+           FROM read_parquet('$IvfOracleRoot/single/data/*.parquet') d
+           JOIN lab l ON l.vec_id = d.vec_id
+           WHERE d.__ivf_cluster IN (SELECT cluster_id FROM probes)
+             AND l.m)
+         SELECT strategy, n_candidates, n_overlap,
+           (n_overlap * 1000000 // 10)::BIGINT AS recall_ppm
+         FROM ($legs)
+         ORDER BY strategy"""
   }
 
   /** q208's oracle: Gonzalez farthest-first unrolled step by step.
