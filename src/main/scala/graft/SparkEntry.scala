@@ -7843,6 +7843,53 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
         .withColumn("trail7_cents", sum(col("revenue_cents")).over(w))
         .withColumn("days_in_window", count(lit(1)).over(w))
         .orderBy(col("priority"), col("day"))
+    }),
+
+    "q212_kcore_peel" -> ((s, dir) => {
+      // 4-core peeling of the k-NN graph — the DENSITY diagnostic
+      // next to q190 (hubs), q205 (islands), q137 (triangles): the
+      // k-core is what survives repeatedly deleting nodes of degree
+      // < k, and since every node of a k=3 out-degree graph has
+      // undirected degree ≥ 3, k=4 is the first non-trivial core —
+      // survivors are nodes the graph RECIPROCATES (in-links from
+      // still-dense regions), the anti-hub tail peels in round 1 and
+      // cascades after. The trajectory (nodes, edges per round) is
+      // gated for a FIXED 5 rounds plus a stable flag — a bounded-
+      // round peel, exact whether or not the fixpoint has landed
+      // (and the flag says which). Scale shape: undirected edge
+      // canonicalization + per-round degree aggregations over the
+      // EDGE frame (never per-node adjacency lists); 5 bounded
+      // semi-join rounds, alive sets localCheckpointed so lineage
+      // stays flat.
+      VectorExpressions.ensureRegistered(s)
+      val g = knnGraphFor(s, dir)
+      val edges0 = g.filter(col("src") =!= col("nbr"))
+        .select(least(col("src"), col("nbr")).as("u"),
+          greatest(col("src"), col("nbr")).as("v"))
+        .distinct().localCheckpoint()
+      def degrees(e: DataFrame): DataFrame =
+        e.select(col("u").as("id"))
+          .unionAll(e.select(col("v").as("id")))
+          .groupBy(col("id")).agg(count(lit(1)).as("c"))
+      import s.implicits._
+      var e = edges0
+      var stats = Vector.empty[(Long, Long, Long)]
+      stats :+= ((0L, degrees(e).count(), e.count()))
+      for (t <- 1 to 5) {
+        val alive = degrees(e).filter(col("c") >= 4)
+          .select(col("id")).localCheckpoint()
+        e = e.join(alive.select(col("id").as("u")), Seq("u"))
+          .join(alive.select(col("id").as("v")), Seq("v"))
+          .select(col("u"), col("v")).localCheckpoint()
+        stats :+= ((t.toLong, alive.count(), e.count()))
+      }
+      val stable =
+        if (stats(5)._2 == stats(4)._2 && stats(5)._3 == stats(4)._3)
+          1L
+        else 0L
+      stats.map { case (t, n, m) => (t, n, m, stable) }
+        .toDF("round", "n_nodes", "n_edges", "stable_by_5")
+        .orderBy(col("round"))
     })
   )
 
@@ -12575,6 +12622,11 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
     // 4-dp-floored per-row L2.
     "q210_rung_distortion" -> rungDistortionOracleSql,
 
+    // q212: the shared kNN-graph replay, undirected-canonicalized,
+    // then 5 unrolled peel rounds (degree ≥ 4), MATERIALIZED so each
+    // round's references to the previous don't re-inline.
+    "q212_kcore_peel" -> kcoreOracleSql,
+
     "q211_range_frame" ->
       raw"""WITH daily AS (
            SELECT o_orderpriority AS priority,
@@ -13130,6 +13182,48 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
     raw"""WITH $chains
          $out
          ORDER BY query_id, rank"""
+  }
+
+  /** q212's oracle: q205's graph replay canonicalized to undirected
+    * edges, then the 4-core peel unrolled one (degree, alive, edge)
+    * CTE triple per round — bounded-round exact, like the Spark side,
+    * whether or not the fixpoint has landed (the stable flag says). */
+  private lazy val kcoreOracleSql: String = {
+    val rounds = (1 to 5).map { t =>
+      s"""d$t AS MATERIALIZED (
+           SELECT id, count(*) AS c FROM (
+             SELECT u AS id FROM e${t - 1}
+             UNION ALL SELECT v FROM e${t - 1})
+           GROUP BY id),
+         a$t AS MATERIALIZED (SELECT id FROM d$t WHERE c >= 4),
+         e$t AS MATERIALIZED (
+           SELECT e.u, e.v FROM e${t - 1} e
+           JOIN a$t x ON e.u = x.id
+           JOIN a$t y ON e.v = y.id)"""
+    }.mkString(",\n         ")
+    val rows = (0 to 5).map { t =>
+      val nn = if (t == 0)
+        "(SELECT count(DISTINCT id) FROM (SELECT u AS id FROM e0 " +
+          "UNION ALL SELECT v FROM e0))"
+      else s"(SELECT count(*) FROM a$t)"
+      s"""SELECT $t::BIGINT AS round, $nn::BIGINT AS n_nodes,
+         (SELECT count(*) FROM e$t)::BIGINT AS n_edges"""
+    }.mkString("\n         UNION ALL ")
+    raw"""WITH $knnGraphOracleCtes,
+         g AS (SELECT src, nbr FROM r WHERE rank <= 3),
+         e0 AS MATERIALIZED (
+           SELECT DISTINCT least(src, nbr) AS u,
+             greatest(src, nbr) AS v
+           FROM g WHERE src <> nbr),
+         $rounds,
+         st AS (
+           SELECT (CASE WHEN
+               (SELECT count(*) FROM a5) = (SELECT count(*) FROM a4)
+               AND (SELECT count(*) FROM e5) = (SELECT count(*) FROM e4)
+             THEN 1 ELSE 0 END)::BIGINT AS s)
+         SELECT round, n_nodes, n_edges,
+           (SELECT s FROM st) AS stable_by_5
+         FROM ($rows) ORDER BY round"""
   }
 
   /** q210's oracle: the SQ8 leg replays q62's hex affine decode with

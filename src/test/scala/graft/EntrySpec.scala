@@ -124,7 +124,7 @@ class EntrySpec extends SparkSpec {
       s"broadcast semi join in q51 plan:\n$plan")
   }
 
-  test("round-17/18 queries (q185-q211): no cartesian, no unbounded per-group collect") {
+  test("round-17/18 queries (q185-q212): no cartesian, no unbounded per-group collect") {
     // the sweeping audit for the round's whole wave: every new gated
     // plan must be free of CartesianProduct (broadcast nested-loop
     // against a bounded panel is the documented and ALLOWED shape —
@@ -133,9 +133,9 @@ class EntrySpec extends SparkSpec {
     // composed stage without a hand-written case per query.
     val wave = SparkEntry.queries.keys.filter { n =>
       val num = n.drop(1).takeWhile(_.isDigit)
-      num.nonEmpty && num.toInt >= 185 && num.toInt <= 211
+      num.nonEmpty && num.toInt >= 185 && num.toInt <= 212
     }.toSeq.sorted
-    assert(wave.size == 27, s"expected 27 wave queries, got $wave")
+    assert(wave.size == 28, s"expected 28 wave queries, got $wave")
     for (q <- wave) {
       val plan = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
         .queryExecution.executedPlan.toString
