@@ -3746,15 +3746,24 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
       // the cleaned token stream — verified at byte level (md5 of the
       // space-joined cleaned tokens), not by counts alone. Mechanics:
       // q88's boiler set per source (distinct-per-doc occurrence >= 25%
-      // of >= 5 docs) gathers into one SMALL per-source array (bounded
-      // by construction — boilerplate is the stuff that repeats, its
-      // distinct count is tiny) and broadcasts; each doc then computes
-      // POSITIONAL grams and keep-flags with materialized-column HOFs
-      // (arrays are attributes, not re-evaluated expressions — the
-      // round-3 interpreted-HOF trap). One corpus scan + the q88 gram
-      // shuffle; the removal itself is narrow.
+      // of >= 5 docs) stays a small frame; each doc's boilerplate
+      // OCCURRENCE POSITIONS come from one positional explode of the
+      // same native shingles joined back to that broadcast set, and
+      // the removal itself is [[graft.functions.TextFunctions
+      // .dropCovered]] — the O(tokens+starts) two-pointer native
+      // sweep q106 proved out (its HOF spelling measured 16 s at
+      // sf0.1; this query's previous 3-projection HOF chain measured
+      // 1.13 s vs ~0.9 s for this shape — modest HERE because the
+      // boiler-detection shuffle dominates at sf0.1, but the removal
+      // side is now O(tokens+starts) codegen-adjacent instead of
+      // per-token interpreted lambdas, the part that scales with
+      // corpus size). One corpus scan + the q88 gram shuffle + one
+      // bounded per-doc starts aggregation.
       VectorExpressions.ensureRegistered(s)
+      import graft.functions.TextFunctions.dropCovered
       val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+      // detection side UNCHANGED from q88: shingles are per-doc
+      // DISTINCT (set semantics), so in_docs counts documents
       val grams = docs.select(col("source"), col("doc_id"),
         explode(wordShinglesNative(col("text"), 2)).as("gram"))
       val srcDocs = docs.groupBy(col("source"))
@@ -3764,33 +3773,30 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
         .join(srcDocs, Seq("source"))
         .filter(col("in_docs") * 4L >= col("n_docs") &&
           col("n_docs") >= 5L)
-      val bgPerSource = boiler.groupBy(col("source"))
-        .agg(collect_list(col("gram")).as("bg"))
-      val withToks = docs
+        .select(col("source"), col("gram"))
+      // POSITIONAL occurrences need the span variant (shingles are
+      // distinct — their indices are not token positions): spans of
+      // the lowercased text align 1:1 with tokens(lower(text)), and
+      // the span/shingle strings coincide, so membership in the
+      // boiler set carries over. starts = positions where a
+      // boilerplate 2-gram occurs; bounded per doc by token count,
+      // sorted for the two-pointer sweep.
+      val rem = docs
+        .select(col("source"), col("doc_id"),
+          posexplode(wordSpans(lower(col("text")), 2))
+            .as(Seq("p", "gram")))
+        .join(broadcast(boiler), Seq("source", "gram"))
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(col("p"))).as("starts"))
+      docs
         .select(col("source"), col("doc_id"),
           tokens(lower(col("text"))).as("ts"))
-        .join(broadcast(bgPerSource), Seq("source"), "left")
-      // positional grams: g(i) = ts(i)+" "+ts(i+1); zip_with pads the
-      // short side with null, so g(n-1) is null (no gram starts there)
-      val staged = withToks.select(col("source"), col("doc_id"),
-        col("ts"), col("bg"),
-        zip_with(col("ts"), slice(col("ts"), lit(2), greatest(
-            size(col("ts")) - 1, lit(0))),
-          (a, b) => concat(a, lit(" "), b)).as("g"))
-      val flagged = staged.select(col("source"), col("doc_id"), col("ts"),
-        transform(col("g"),
-          x => coalesce(array_contains(col("bg"), x), lit(false)))
-          .as("c1"))
-      val cleaned = flagged.select(col("source"), col("doc_id"), col("ts"),
-        zip_with(col("c1"),
-          concat(array(lit(false)), slice(col("c1"), lit(1), greatest(
-            size(col("c1")) - 1, lit(0)))),
-          (a, b) => !(coalesce(a, lit(false)) ||
-            coalesce(b, lit(false)))).as("k"))
-      cleaned.select(col("source"), col("doc_id"),
+        .join(rem, Seq("doc_id"), "left")
+        .select(col("source"), col("doc_id"),
           size(col("ts")).cast("long").as("n_before"),
-          filter(zip_with(col("ts"), col("k"),
-            (t, kf) => when(kf, t)), x => x.isNotNull).as("clean"))
+          dropCovered(col("ts"),
+            coalesce(col("starts"), array().cast("array<int>")), 2)
+            .as("clean"))
         .select(col("source"), col("doc_id"), col("n_before"),
           size(col("clean")).cast("long").as("n_after"),
           md5(concat_ws(" ", col("clean"))).as("clean_fp"))

@@ -124,6 +124,20 @@ class EntrySpec extends SparkSpec {
       s"broadcast semi join in q51 plan:\n$plan")
   }
 
+  test("q209 prefilter leg prunes the probed cluster partitions") {
+    // the prefilter strategy's whole value is that the metadata
+    // predicate rides INSIDE a probe-pruned scan: the plan must show
+    // a non-empty PartitionFilters on __ivf_cluster (2 of 8 probed
+    // directories read, not a full scan + post-hoc filter)
+    val plan = SparkEntry.queries("q209_filtered_ann")(
+        spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    val pf = "PartitionFilters: \\[[^\\]]*__ivf_cluster[^\\]]*\\]".r
+      .findFirstIn(plan)
+    assert(pf.exists(f => !f.contains("[]")),
+      s"no cluster partition prune in q209 plan:\n$plan")
+  }
+
   test("round-17/18 queries (q185-q212): no cartesian, no unbounded per-group collect") {
     // the sweeping audit for the round's whole wave: every new gated
     // plan must be free of CartesianProduct (broadcast nested-loop
