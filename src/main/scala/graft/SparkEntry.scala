@@ -7896,6 +7896,78 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
       stats.map { case (t, n, m) => (t, n, m, stable) }
         .toDF("round", "n_nodes", "n_edges", "stable_by_5")
         .orderBy(col("round"))
+    }),
+
+    "q213_binary_nn_mrr" -> ((s, dir) => {
+      // Hamming rank of the TRUE nearest neighbor — the
+      // distributional summary q192's fixed-width sweep samples: for
+      // each panel query, where does the exact cosine top-1 (non-
+      // self) land in the binary sign-code Hamming order? rr =
+      // floor(1e6/rank), MRR the exact integer mean — directly "how
+      // deep must a binary prefilter scan before the true neighbor
+      // surfaces". REJECTED first design recorded per the
+      // discrimination rule: MRR of the probed-IVF top-10 against
+      // the exact top-10 saturates at 1.0 at nprobe=1 AND 2 (the
+      // nearest probed row is essentially always inside the exact
+      // top-10) — a tautology; ranking the single true NN in the
+      // genuinely-scrambled Hamming order is where the metric moves.
+      // Scale shape: rank is computed as a COUNT of strictly-smaller
+      // (hamming, id) keys — an aggregation, never a corpus-wide
+      // sort; the panel rides one broadcast crossJoin (packed words
+      // are columns, xor+popcount per pair).
+      VectorExpressions.ensureRegistered(s)
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val qRows = emb
+        .filter(col("vec_id") < opqNq && col("embedding").isNotNull)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      val qPanel = broadcast(qRows.map { case (id, v) =>
+        val w = BinaryHash.packVec(v)
+        (id, w(0), w(1))
+      }.toSeq.toDF("qid", "qw0", "qw1"))
+      val qVecs = broadcast(qRows.map { case (id, v) => (id, v) }
+        .toSeq.toDF("qid", "qv"))
+      val dim = qRows.head._2.length
+      val ham = emb.filter(col("embedding").isNotNull)
+        .select(col("vec_id"),
+          BinaryHash.packCol(col("embedding"), dim).as("w"))
+        .crossJoin(qPanel)
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          (bit_count(element_at(col("w"), 1).bitwiseXOR(col("qw0"))) +
+            bit_count(element_at(col("w"), 2).bitwiseXOR(col("qw1"))))
+            .cast("long").as("ham"))
+        .localCheckpoint()
+      val nn = emb.filter(col("embedding").isNotNull)
+        .crossJoin(qVecs)
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          KnnSearch.roundHalfUpCol(cosineSimilarityNative(
+            col("embedding"), col("qv")), 4).as("cs"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(col("cs").desc, col("vec_id"))))
+        .filter(col("rn") === 1)
+        .select(col("qid").as("nqid"), col("vec_id").as("nn_id"))
+      val nnHam = ham.join(nn,
+          ham("qid") === nn("nqid") && ham("vec_id") === nn("nn_id"))
+        .select(col("nqid").as("hqid"), col("nn_id"),
+          col("ham").as("nn_ham"))
+      // rank = 1 + smaller-key count via a CONDITIONAL sum over all
+      // rows, never a filter-then-group (a rank-1 query would have
+      // zero qualifying rows and vanish from a filtered groupBy)
+      val per = ham.join(broadcast(nnHam), ham("qid") === col("hqid"))
+        .groupBy(col("qid"), col("nn_id"), col("nn_ham"))
+        .agg((sum(when(col("ham") < col("nn_ham") ||
+            (col("ham") === col("nn_ham") &&
+              col("vec_id") < col("nn_id")), 1L).otherwise(0L)) + 1L)
+          .as("nn_hamming_rank"))
+        .select(col("qid"), col("nn_id"), col("nn_hamming_rank"),
+          expr("1000000 div nn_hamming_rank").as("rr_x1e6"))
+      per.crossJoin(broadcast(per
+          .agg(expr("sum(rr_x1e6) div count(1)").as("mrr_x1e6"))))
+        .orderBy(col("qid"))
     })
   )
 
@@ -12627,6 +12699,57 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
     // permuted coordinates via the perm sidecar) and aggregate the
     // 4-dp-floored per-row L2.
     "q210_rung_distortion" -> rungDistortionOracleSql,
+
+    // q213: the q133 word-packing CTE generalized to the panel, the
+    // exact cosine top-1 per query, and the true NN's Hamming rank
+    // via the same smaller-key conditional count the Spark side runs.
+    "q213_binary_nn_mrr" ->
+      raw"""WITH p AS MATERIALIZED (
+           SELECT vec_id, embedding,
+             list_sum(list_transform(range(0, 32), i ->
+               CASE WHEN embedding[i + 1] > 0
+                 THEN (1::BIGINT << i) ELSE 0::BIGINT END))::BIGINT
+               AS w0,
+             list_sum(list_transform(range(0, 32), i ->
+               CASE WHEN embedding[i + 33] > 0
+                 THEN (1::BIGINT << i) ELSE 0::BIGINT END))::BIGINT
+               AS w1
+           FROM embeddings WHERE embedding IS NOT NULL),
+         q AS MATERIALIZED (
+           SELECT vec_id AS qid, w0 AS qw0, w1 AS qw1,
+             embedding::DOUBLE[] AS qv
+           FROM p WHERE vec_id < $opqNq),
+         ham AS MATERIALIZED (
+           SELECT q.qid, p.vec_id,
+             (bit_count(xor(p.w0, q.qw0))
+              + bit_count(xor(p.w1, q.qw1)))::BIGINT AS ham
+           FROM p, q WHERE p.vec_id <> q.qid),
+         nn AS (
+           SELECT qid, vec_id AS nn_id FROM (
+             SELECT q.qid, e.vec_id,
+               row_number() OVER (PARTITION BY q.qid ORDER BY
+                 floor(list_cosine_similarity(e.embedding::DOUBLE[],
+                   q.qv) * 1e4 + 0.5::DOUBLE) / 1e4 DESC,
+                 e.vec_id) AS rn
+             FROM embeddings e, q
+             WHERE e.embedding IS NOT NULL AND e.vec_id <> q.qid)
+           WHERE rn = 1),
+         nh AS (
+           SELECT n.qid, n.nn_id, h.ham AS nn_ham
+           FROM nn n JOIN ham h
+             ON h.qid = n.qid AND h.vec_id = n.nn_id),
+         per AS MATERIALIZED (
+           SELECT nh.qid, nh.nn_id,
+             (1 + sum(CASE WHEN h.ham < nh.nn_ham
+                 OR (h.ham = nh.nn_ham AND h.vec_id < nh.nn_id)
+               THEN 1 ELSE 0 END))::BIGINT AS nn_hamming_rank
+           FROM nh JOIN ham h ON h.qid = nh.qid
+           GROUP BY nh.qid, nh.nn_id)
+         SELECT qid, nn_id, nn_hamming_rank,
+           (1000000 // nn_hamming_rank)::BIGINT AS rr_x1e6,
+           (SELECT (sum(1000000 // nn_hamming_rank)
+              // count(*))::BIGINT FROM per) AS mrr_x1e6
+         FROM per ORDER BY qid""",
 
     // q212: the shared kNN-graph replay, undirected-canonicalized,
     // then 5 unrolled peel rounds (degree ≥ 4), MATERIALIZED so each
