@@ -7938,7 +7938,10 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
           (bit_count(element_at(col("w"), 1).bitwiseXOR(col("qw0"))) +
             bit_count(element_at(col("w"), 2).bitwiseXOR(col("qw1"))))
             .cast("long").as("ham"))
-        .localCheckpoint()
+      // ham is consumed twice but deliberately NOT checkpointed: it is
+      // |corpus|×|panel| rows — materializing that at 100 TB costs far
+      // more than re-running the narrow pack+xor scan; the q170 rule
+      // cuts BOTH ways
       val nn = emb.filter(col("embedding").isNotNull)
         .crossJoin(qVecs)
         .filter(col("vec_id") =!= col("qid"))
@@ -7968,6 +7971,37 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
       per.crossJoin(broadcast(per
           .agg(expr("sum(rr_x1e6) div count(1)").as("mrr_x1e6"))))
         .orderBy(col("qid"))
+    }),
+
+    "q214_session_window" -> ((s, dir) => {
+      // The NATIVE session-window aggregation — Spark's third
+      // event-time window kind (tumbling q05, sliding q92, session
+      // HERE), exercised nowhere else: q07 sessionizes through
+      // custom flatMapGroupsWithState state, this is the built-in
+      // `session_window(ts, gap)` whose merge rule (an event joins
+      // while it starts strictly before previous_end = last_ts +
+      // gap; diff ≥ gap opens a new session) the oracle replays as
+      // the classic lag/flag/cumsum island pattern — in epoch
+      // MICROSECONDS, because the generator emits sub-second
+      // timestamps and a seconds-truncated replay would disagree at
+      // gap boundaries. Per user: session count, events, the longest
+      // session (micros, end = last event + gap per Spark's window
+      // struct), the busiest session. One groupBy(user, session)
+      // with map-side merge, then a user-sized rollup — the same
+      // operator runs streaming (q07's custom face covers that side;
+      // this gates the batch semantics).
+      val sess = t(s, dir, "events")
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_ev"),
+          (unix_micros(col("sw.end")) - unix_micros(col("sw.start")))
+            .as("dur_us"))
+      sess.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("n_ev")).as("n_events"),
+          max(col("n_ev")).as("max_session_events"),
+          max(col("dur_us")).as("max_session_us"))
+        .orderBy(col("user_id"))
     })
   )
 
@@ -12750,6 +12784,38 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
            (SELECT (sum(1000000 // nn_hamming_rank)
               // count(*))::BIGINT FROM per) AS mrr_x1e6
          FROM per ORDER BY qid""",
+
+    // q214: session_window's merge rule as the lag/flag/cumsum island
+    // pattern in epoch MICROSECONDS (sub-second event times make a
+    // seconds replay disagree at gap boundaries); duration replays
+    // Spark's window struct: end = last event + gap.
+    "q214_session_window" ->
+      raw"""WITH o AS (
+           SELECT user_id, epoch_us(ts) AS eu,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id
+               ORDER BY epoch_us(ts)) AS prev
+           FROM events),
+         f AS (
+           SELECT user_id, eu,
+             (CASE WHEN prev IS NULL
+                OR eu - prev >= 1800000000 THEN 1 ELSE 0 END) AS brk
+           FROM o),
+         sid AS (
+           SELECT user_id, eu,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY eu
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS sess
+           FROM f),
+         sess AS (
+           SELECT user_id, sess, count(*)::BIGINT AS n_ev,
+             (max(eu) - min(eu) + 1800000000)::BIGINT AS dur_us
+           FROM sid GROUP BY user_id, sess)
+         SELECT user_id,
+           count(*)::BIGINT AS n_sessions,
+           sum(n_ev)::BIGINT AS n_events,
+           max(n_ev)::BIGINT AS max_session_events,
+           max(dur_us)::BIGINT AS max_session_us
+         FROM sess GROUP BY user_id ORDER BY user_id""",
 
     // q212: the shared kNN-graph replay, undirected-canonicalized,
     // then 5 unrolled peel rounds (degree ≥ 4), MATERIALIZED so each
