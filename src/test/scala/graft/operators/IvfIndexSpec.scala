@@ -1182,4 +1182,42 @@ class IvfIndexSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"),
       s"cartesian product in knnGraph plan:\n$plan")
   }
+
+  test("listDataFiles mirrors Spark's hidden-path rule; purgeFilesNotIn removes exactly the post-snapshot delta") {
+    // the r18 recovery-purge bug class: a naive hide-underscore rule
+    // hid the __ivf_cluster=N partition dirs and made the purge a
+    // silent no-op. Pin Spark's actual rule (dot-prefixed hidden;
+    // underscore-prefixed hidden UNLESS the name contains '=') and
+    // the purge's file-scoped delta semantics on a constructed tree.
+    import java.nio.file.{Files => JFiles, Paths}
+    val tmp = JFiles.createTempDirectory("graft-listfiles-").toString
+    def put(rel: String): Unit = {
+      val p = Paths.get(tmp, rel)
+      JFiles.createDirectories(p.getParent)
+      JFiles.write(p, Array[Byte](1))
+    }
+    put("__ivf_cluster=0/part-a.parquet")
+    put("__ivf_cluster=1/part-b.parquet")
+    put("__ivf_cluster=1/.part-b.parquet.crc") // dot-hidden child
+    put("top.parquet")
+    put("_centroids/x.parquet")    // underscore sidecar: hidden
+    put("_ingest_log/a/batch-0")   // marker tree: hidden
+    put("_SUCCESS")
+    val root = new org.apache.hadoop.fs.Path(tmp)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val snap = IvfIndex.listDataFiles(fs, root)
+    assert(snap == Set("__ivf_cluster=0/part-a.parquet",
+      "__ivf_cluster=1/part-b.parquet", "top.parquet"))
+    // a crashed append lands files in an existing AND a new dir
+    put("__ivf_cluster=0/part-crash.parquet")
+    put("__ivf_cluster=2/part-crash2.parquet")
+    assert(IvfIndex.purgeFilesNotIn(spark, tmp, snap) == 2)
+    assert(IvfIndex.listDataFiles(fs, root) == snap,
+      "the purge restores exactly the snapshot")
+    // sidecars and markers are untouched by the purge
+    assert(JFiles.exists(Paths.get(tmp, "_centroids/x.parquet")))
+    assert(JFiles.exists(Paths.get(tmp, "_ingest_log/a/batch-0")))
+    // idempotent: nothing left to remove
+    assert(IvfIndex.purgeFilesNotIn(spark, tmp, snap) == 0)
+  }
 }
