@@ -8002,6 +8002,55 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
           max(col("n_ev")).as("max_session_events"),
           max(col("dur_us")).as("max_session_us"))
         .orderBy(col("user_id"))
+    }),
+
+    "q215_unpivot" -> ((s, dir) => {
+      // UNPIVOT (melt) — the wide→long reshape q116's pivot reverses,
+      // and a distinct physical operator (Expand: each input row fans
+      // out to one row per value column BEFORE the aggregation's
+      // map-side combine — narrow, no extra shuffle; the k× row
+      // inflation is the entire cost model at scale, same as q92's
+      // window fan-out). Four lineitem measures melt into
+      // (metric, value) and one grouped pass yields the per-measure
+      // profile — the data-card summary shape. Money/quantity sums
+      // use q01's round(sum, 2) regime; min/max exact.
+      t(s, dir, "lineitem")
+        .select(col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax"))
+        .unpivot(Array.empty[Column],
+          Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")),
+          "metric", "value")
+        .groupBy(col("metric"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 2).as("sum_value"),
+          round(min(col("value")), 2).as("min_value"),
+          round(max(col("value")), 2).as("max_value"))
+        .orderBy(col("metric"))
+    }),
+
+    "q216_grouping_sets" -> ((s, dir) => {
+      // Explicit irregular GROUPING SETS — the lattice neither
+      // rollup (q09) nor cube (q94) expresses: per-priority rows AND
+      // per-status rows AND the grand total, WITHOUT the
+      // (priority × status) cross cells a cube would force the
+      // shuffle to carry. Spark expands exactly the three requested
+      // sets before the aggregation; per-column grouping() flags
+      // (not grouping_id — DuckDB's bit order need not match)
+      // disambiguate which dimension each row aggregates out. The
+      // one-scan-many-reports shape of every dataset card.
+      t(s, dir, "orders").createOrReplaceTempView("q216_orders")
+      s.sql("""
+        SELECT coalesce(o_orderpriority, '(all)') AS priority,
+          coalesce(o_orderstatus, '(all)') AS status,
+          cast(grouping(o_orderpriority) AS bigint) AS g_prio,
+          cast(grouping(o_orderstatus) AS bigint) AS g_status,
+          count(*) AS n_orders,
+          sum(cast(round(o_totalprice * 100) AS bigint))
+            AS revenue_cents
+        FROM q216_orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        ORDER BY g_prio, g_status, priority, status""")
     })
   )
 
@@ -12816,6 +12865,33 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
            max(n_ev)::BIGINT AS max_session_events,
            max(dur_us)::BIGINT AS max_session_us
          FROM sess GROUP BY user_id ORDER BY user_id""",
+
+    "q215_unpivot" ->
+      raw"""WITH u AS (
+           SELECT 'l_quantity' AS metric, l_quantity AS value
+           FROM lineitem
+           UNION ALL SELECT 'l_extendedprice', l_extendedprice
+           FROM lineitem
+           UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+           UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
+         SELECT metric, count(*)::BIGINT AS n,
+           round(sum(value), 2) AS sum_value,
+           round(min(value), 2) AS min_value,
+           round(max(value), 2) AS max_value
+         FROM u GROUP BY metric ORDER BY metric""",
+
+    "q216_grouping_sets" ->
+      raw"""SELECT coalesce(o_orderpriority, '(all)') AS priority,
+           coalesce(o_orderstatus, '(all)') AS status,
+           grouping(o_orderpriority)::BIGINT AS g_prio,
+           grouping(o_orderstatus)::BIGINT AS g_status,
+           count(*)::BIGINT AS n_orders,
+           sum(round(o_totalprice * 100)::BIGINT)::BIGINT
+             AS revenue_cents
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus),
+           ())
+         ORDER BY g_prio, g_status, priority, status""",
 
     // q212: the shared kNN-graph replay, undirected-canonicalized,
     // then 5 unrolled peel rounds (degree ≥ 4), MATERIALIZED so each
