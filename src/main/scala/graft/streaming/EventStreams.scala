@@ -644,6 +644,93 @@ object EventStreams {
       }
   }
 
+  case class HeavyRow(event_type: String, window_start: Long,
+      user_id: Long, est: Long, err: Long, window_n: Long)
+
+  /** per-type monitor state: for each OPEN tumbling window, the
+    * space-saving counter summary (user → (est, err)) and the
+    * window's true event total */
+  case class HeavyState(
+      pending: Map[Long, (Map[Long, (Long, Long)], Long)])
+
+  /** Streaming heavy hitters — per event type and tumbling event-time
+    * window, the space-saving top-k (Metwally et al. 2005) of user
+    * ids: the "who dominates this window's traffic" monitor a crawl
+    * or serving feed runs continuously (hot-key detection for the
+    * skew remedies, abuse triage, cache seeding). The summary keeps
+    * `capacity` counters per open window: a known key increments; an
+    * unknown key on a full summary EVICTS the minimum counter
+    * ((count, key) order, deterministic) and inherits its count as
+    * `est` with `err` = the inherited part. The classic guarantees —
+    * est ≥ true ≥ est − err, and every key with true count >
+    * window_total/capacity is PRESENT — hold under ANY arrival
+    * order; the point estimates themselves are order-dependent, as
+    * in every streaming sketch (rows fold in (ts, event_id) order
+    * within a batch, so a given trigger shape is reproducible).
+    * A window finalizes when the watermark passes its end — the
+    * handler then emits its top-k by (est desc, user asc) with the
+    * window total, and drops the summary. State per (type, open
+    * window) is `capacity` counters — watermark-bounded, trigger-
+    * shape-independent in SIZE. Batch execution (no watermark)
+    * finalizes nothing, matching [[anomalyFlags]]' documented batch
+    * behavior. */
+  def heavyHitters(
+      events: Dataset[Event],
+      windowSecs: Long = 3600L,
+      k: Int = 5,
+      capacity: Int = 16,
+      watermark: String = "10 minutes"): Dataset[HeavyRow] = {
+    import events.sparkSession.implicits._
+    require(windowSecs >= 1 && k >= 1 && capacity >= k,
+      s"need windowSecs>=1, k>=1, capacity>=k; " +
+        s"got $windowSecs/$k/$capacity")
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[HeavyState, HeavyRow](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) {
+        (typ: String, rows: Iterator[Event],
+            state: GroupState[HeavyState]) =>
+          var pending = state.getOption
+            .getOrElse(HeavyState(Map.empty)).pending
+          def insert(m: Map[Long, (Long, Long)],
+              key: Long): Map[Long, (Long, Long)] =
+            m.get(key) match {
+              case Some((c, e)) => m + (key -> (c + 1L, e))
+              case None if m.size < capacity => m + (key -> (1L, 0L))
+              case None =>
+                val (evictKey, (evictC, _)) =
+                  m.minBy { case (mk, (mc, _)) => (mc, mk) }
+                m - evictKey + (key -> (evictC + 1L, evictC))
+            }
+          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            .foreach { e =>
+              val sec = Math.floorDiv(e.ts.getTime, 1000L)
+              val w = sec - Math.floorMod(sec, windowSecs)
+              val (m, n) =
+                pending.getOrElse(w, (Map.empty[Long, (Long, Long)], 0L))
+              pending = pending + (w -> (insert(m, e.user_id), n + 1L))
+            }
+          // batch execution throws on getCurrentWatermarkMs — treat
+          // as watermark 0: nothing finalizes (documented behavior)
+          val wmSec = scala.util.Try(state.getCurrentWatermarkMs())
+            .getOrElse(0L) / 1000L
+          val (done, keep) = pending.partition {
+            case (w, _) => w + windowSecs <= wmSec
+          }
+          state.update(HeavyState(keep))
+          done.toSeq.sortBy(_._1).iterator.flatMap { case (w, (m, n)) =>
+            m.toSeq
+              .sortBy { case (key, (est, _)) => (-est, key) }
+              .take(k)
+              .map { case (key, (est, err)) =>
+                HeavyRow(typ, w, key, est, err, n)
+              }
+          }
+      }
+  }
+
   /** Stateful sessionization with the GroupState API
     * (`mapGroupsWithState`) — the Spark-native analogue of the
     * reference's stateful stream buffer (ST2, rag_graph.py:451-477),

@@ -1031,6 +1031,68 @@ class EventStreamsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("heavyHitters: space-saving guarantees hold, small windows are exact, windows finalize at the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def tsec(s: Long): Timestamp = new Timestamp(1704067200000L + s * 1000)
+    var id = 0L
+    def ev(s: Long, user: Long): Event = {
+      id += 1; Event(id, tsec(s), user, "click", 1.0)
+    }
+    // window 0 [0,600): u1×6, u2×4, u3×2, u4×1, u5×1 — 14 events over
+    // 5 distinct users with capacity 4, so eviction fires; guaranteed
+    // present: true > 14/4 = 3.5 → u1 and u2. window 1 [600,1200):
+    // u7×3, u8×2, u9×1 — 3 distinct ≤ capacity → EXACT (err 0).
+    val feed0 = Seq(1L, 2L, 1L, 3L, 1L, 4L, 2L, 1L, 5L, 2L, 1L, 3L,
+      2L, 1L).zipWithIndex.map { case (u, i) => ev(i * 10L, u) }
+    val feed1 = Seq(7L, 8L, 7L, 9L, 8L, 7L).zipWithIndex
+      .map { case (u, i) => ev(600L + i * 10L, u) }
+    val trueW0 = Map(1L -> 6L, 2L -> 4L, 3L -> 2L, 4L -> 1L, 5L -> 1L)
+    val input = MemoryStream[Event]
+    val query = EventStreams
+      .heavyHitters(input.toDS(), windowSecs = 600L, k = 3,
+        capacity = 4, watermark = "2 minutes")
+      .writeStream.format("memory").queryName("heavy_hitters")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // split across triggers — the guarantees must hold regardless
+      input.addData(feed0.take(7): _*)
+      query.processAllAvailable()
+      input.addData((feed0.drop(7) ++ feed1): _*)
+      query.processAllAvailable()
+      // two sentinels: the first advances the watermark past both
+      // windows, the second delivers a batch whose handler RUNS with
+      // that watermark and finalizes them
+      input.addData(ev(3600L, 99L)); query.processAllAvailable()
+      input.addData(ev(4200L, 99L)); query.processAllAvailable()
+      val rows = spark.table("heavy_hitters")
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toSeq
+      val w0 = rows.filter(_._1 == 1704067200L).sortBy(x => (-x._3, x._2))
+      val w1 = rows.filter(_._1 == 1704067200L + 600L)
+        .sortBy(x => (-x._3, x._2))
+      assert(w0.size == 3 && w0.forall(_._5 == 14L))
+      assert(w0.map(_._2).toSet.intersect(Set(1L, 2L)) == Set(1L, 2L),
+        s"guaranteed-heavy users missing: $w0")
+      w0.foreach { case (_, u, est, err, _) =>
+        val t = trueW0.getOrElse(u, 0L)
+        assert(est >= t && est - err <= t,
+          s"space-saving bounds violated for u$u: est=$est err=$err true=$t")
+      }
+      // the small window is exact: counts match, zero error
+      assert(w1 == Seq((1704067200L + 600L, 7L, 3L, 0L, 6L),
+        (1704067200L + 600L, 8L, 2L, 0L, 6L),
+        (1704067200L + 600L, 9L, 1L, 0L, 6L)), w1.toString)
+    } finally query.stop()
+  }
+
+  test("heavyHitters on a batch frame emits nothing (watermark is 0, like anomalyFlags)") {
+    import spark.implicits._
+    val batch = (0 until 30).map(i =>
+      Event(i.toLong, ts(i.toLong), i.toLong % 3, "click", 1.0)).toDS()
+    assert(EventStreams.heavyHitters(batch).isEmpty)
+  }
+
   test("anomalyFlags on a batch frame emits nothing (watermark is 0; the batch face is q122)") {
     import spark.implicits._
     val batch = (0 until 50).map(i =>
