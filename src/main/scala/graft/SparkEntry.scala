@@ -8051,6 +8051,36 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
         FROM q216_orders
         GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
         ORDER BY g_prio, g_status, priority, status""")
+    }),
+
+    "q217_benford_digits" -> ((s, dir) => {
+      // Benford first-digit QA (Newcomb 1881/Benford 1938 — the
+      // fraud/synthetic-data tripwire finance auditors run; here the
+      // numeric-column sanity probe for a data card): the leading
+      // digit of every order total vs the log10(1+1/d) expectation.
+      // The irrational expectation becomes nine shared integer
+      // literals ([[benfordPpm]], the q194 discount-table trick);
+      // the first digit is STRING arithmetic on integer cents
+      // (substr of the decimal rendering — exact on any engine,
+      // where a float log10 route could misclassify at powers of
+      // ten). One narrow scan + a 9-row aggregation. A uniform
+      // generator reads LARGE deviations — the diagnostic
+      // discriminates in both directions by construction.
+      val expCase = "CASE digit " + (1 to 9).map(d =>
+        s"WHEN $d THEN ${benfordPpm(d)}L").mkString(" ") + " ELSE 0L END"
+      t(s, dir, "orders")
+        .select(substring(
+          expr("cast(cast(round(o_totalprice * 100) as bigint) " +
+            "as string)"), 1, 1).cast("long").as("digit"))
+        .groupBy(col("digit"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("total", sum(col("n")).over(Window.partitionBy()))
+        .select(col("digit"), col("n"),
+          expr("n * 1000000 div total").as("obs_ppm"),
+          expr(expCase).as("benford_ppm"),
+          abs(expr("n * 1000000 div total") - expr(expCase))
+            .as("abs_diff_ppm"))
+        .orderBy(col("digit"))
     })
   )
 
@@ -12880,6 +12910,8 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
            round(max(value), 2) AS max_value
          FROM u GROUP BY metric ORDER BY metric""",
 
+    "q217_benford_digits" -> benfordOracleSql,
+
     "q216_grouping_sets" ->
       raw"""SELECT coalesce(o_orderpriority, '(all)') AS priority,
            coalesce(o_orderstatus, '(all)') AS status,
@@ -13454,6 +13486,34 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
          $out
          ORDER BY query_id, rank"""
   }
+
+  /** q217's oracle: the same string-arithmetic first digit over
+    * integer cents and the same nine [[benfordPpm]] literals. */
+  private lazy val benfordOracleSql: String = {
+    val expCase = "CASE digit " + (1 to 9).map(d =>
+      s"WHEN $d THEN ${benfordPpm(d)}").mkString(" ") + " ELSE 0 END"
+    raw"""WITH d AS (
+           SELECT substr(round(o_totalprice * 100)::BIGINT::VARCHAR,
+             1, 1)::BIGINT AS digit
+           FROM orders),
+         g AS (
+           SELECT digit, count(*)::BIGINT AS n FROM d GROUP BY digit),
+         t AS (SELECT sum(n) AS total FROM g)
+         SELECT digit, n,
+           (n * 1000000 // (SELECT total FROM t))::BIGINT AS obs_ppm,
+           ($expCase)::BIGINT AS benford_ppm,
+           abs((n * 1000000 // (SELECT total FROM t))
+             - ($expCase))::BIGINT AS abs_diff_ppm
+         FROM g ORDER BY digit"""
+  }
+
+  /** floor(log10(1 + 1/d)·1e6 + 0.5) for d ∈ 1..9 — Benford's
+    * expectation as integer ppm literals shared by both engines
+    * (the q194 discount-table trick: the only irrational ingredient
+    * computed ONCE, embedded as literals, so every gated value is an
+    * exact integer). */
+  private lazy val benfordPpm: Map[Int, Long] = (1 to 9).map(d =>
+    d -> math.floor(math.log10(1.0 + 1.0 / d) * 1e6 + 0.5).toLong).toMap
 
   /** q212's oracle: q205's graph replay canonicalized to undirected
     * edges, then the 4-core peel unrolled one (degree, alive, edge)
