@@ -8081,6 +8081,32 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
           abs(expr("n * 1000000 div total") - expr(expCase))
             .as("abs_diff_ppm"))
         .orderBy(col("digit"))
+    }),
+
+    "q218_outer_funnel" -> ((s, dir) => {
+      // The batch face of EventStreams.correlateOuter — q105's inner
+      // interval join widened to LEFT OUTER, which is what funnel
+      // ABANDONMENT needs: a click with no purchase inside the
+      // horizon is a row (the verdict "nothing followed"), not an
+      // absence. Per user: clicks, matched pairs, abandoned clicks
+      // (no purchase within 30 min), and the abandonment rate in
+      // exact ppm. Identical code runs streaming, where the
+      // null-padded row may only emit after the watermark proves no
+      // match can still arrive — that timing is spec-pinned; this
+      // gates the join's values.
+      val ev = t(s, dir, "events")
+      graft.streaming.EventStreams.correlateOuter(
+          ev.filter(col("event_type") === "click"),
+          ev.filter(col("event_type") === "purchase"),
+          key = "user_id", horizon = "30 minutes")
+        .groupBy(col("user_id"))
+        .agg(count_distinct(col("l_event_id")).as("n_clicks"),
+          sum(col("r_event_id").isNotNull.cast("long")).as("n_pairs"),
+          sum(col("r_event_id").isNull.cast("long"))
+            .as("n_abandoned"))
+        .withColumn("abandoned_ppm",
+          expr("n_abandoned * 1000000 div n_clicks"))
+        .orderBy(col("user_id"))
     })
   )
 
@@ -12911,6 +12937,28 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
          FROM u GROUP BY metric ORDER BY metric""",
 
     "q217_benford_digits" -> benfordOracleSql,
+
+    "q218_outer_funnel" ->
+      raw"""WITH c AS (SELECT user_id, event_id, ts FROM events
+                    WHERE event_type = 'click'),
+         p AS (SELECT user_id, event_id, ts FROM events
+               WHERE event_type = 'purchase'),
+         j AS (
+           SELECT c.user_id, c.event_id AS l_event_id,
+             p.event_id AS r_event_id
+           FROM c LEFT JOIN p ON c.user_id = p.user_id
+             AND p.ts >= c.ts
+             AND p.ts <= c.ts + INTERVAL 30 MINUTE)
+         SELECT user_id,
+           count(DISTINCT l_event_id)::BIGINT AS n_clicks,
+           sum(CASE WHEN r_event_id IS NOT NULL THEN 1
+             ELSE 0 END)::BIGINT AS n_pairs,
+           sum(CASE WHEN r_event_id IS NULL THEN 1
+             ELSE 0 END)::BIGINT AS n_abandoned,
+           (sum(CASE WHEN r_event_id IS NULL THEN 1 ELSE 0 END)
+             * 1000000 // count(DISTINCT l_event_id))::BIGINT
+             AS abandoned_ppm
+         FROM j GROUP BY user_id ORDER BY user_id""",
 
     "q216_grouping_sets" ->
       raw"""SELECT coalesce(o_orderpriority, '(all)') AS priority,

@@ -186,6 +186,43 @@ object EventStreams {
           .as("lag_s"))
   }
 
+  /** LEFT OUTER stream-stream interval join — [[correlate]]'s other
+    * half, and the semantics every funnel abandonment / SLA-miss
+    * monitor actually needs: matched (l, r) pairs emit exactly like
+    * the inner join, and an UNMATCHED left row emits ONCE,
+    * null-padded, only after the watermark proves no right row can
+    * still arrive inside its horizon (the null is a VERDICT —
+    * "nothing followed within 30 minutes" — not an absence; emitting
+    * it early would be wrong, which is why outer stream joins
+    * REQUIRE both watermarks plus the time-range bound). State is
+    * the same watermark-bounded buffer as the inner join; batch
+    * frames run the identical plain left-outer join (gated as the
+    * q218 batch face). */
+  def correlateOuter(
+      left: DataFrame,
+      right: DataFrame,
+      key: String = "user_id",
+      horizon: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame = {
+    def side(df: DataFrame, p: String): DataFrame = {
+      val renamed = df.select(
+        col(key).as(s"${p}_key"), col("ts").as(s"${p}_ts"),
+        col("event_id").as(s"${p}_event_id"))
+      if (df.isStreaming) renamed.withWatermark(s"${p}_ts", watermark)
+      else renamed
+    }
+    side(left, "l")
+      .join(side(right, "r"),
+        col("l_key") === col("r_key") &&
+          col("r_ts") >= col("l_ts") &&
+          col("r_ts") <= col("l_ts") + expr(s"INTERVAL $horizon"),
+        "left_outer")
+      .select(col("l_key").as(key), col("l_event_id"),
+        col("r_event_id"), col("l_ts"), col("r_ts"),
+        (unix_timestamp(col("r_ts")) - unix_timestamp(col("l_ts")))
+          .as("lag_s"))
+  }
+
   /** Streaming index ingest — the reference's continuous lifecycle
     * (create the indexed table once, insert embedded documents forever
     * after: load.py:26 + doc_embedder.py:90-114) as one Structured

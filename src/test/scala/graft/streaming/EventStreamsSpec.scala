@@ -874,6 +874,61 @@ class EventStreamsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("correlateOuter: matches emit like the inner join; the null verdict waits for the watermark") {
+    // the left-outer subtlety this operator exists for: an unmatched
+    // click's null-padded row is a VERDICT ("nothing followed within
+    // the horizon") the engine may only issue once the watermark
+    // proves no purchase can still arrive — emitting it earlier would
+    // be wrong, and emitting the click twice (null + late match)
+    // never happens.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val clicks = MemoryStream[Event]
+    val buys = MemoryStream[Event]
+    val joined = EventStreams.correlateOuter(
+      clicks.toDF(), buys.toDF(), horizon = "30 minutes",
+      watermark = "10 minutes")
+    val query = joined.writeStream.format("memory")
+      .queryName("corr_outer").outputMode(OutputMode.Append()).start()
+    def rows(): Set[(Long, Option[Long])] = spark.table("corr_outer")
+      .select("l_event_id", "r_event_id").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+    try {
+      clicks.addData(
+        Event(1, ts(0), 1, "click", 1.0),   // will match
+        Event(2, ts(10), 2, "click", 1.0))  // will stay unmatched
+      buys.addData(Event(10, ts(20), 1, "purchase", 5.0))
+      query.processAllAvailable()
+      // the match may emit now; the null verdict for click 2 MUST NOT
+      // (its horizon end 40m + 10m delay is far past both watermarks)
+      assert(!rows().exists(_._2.isEmpty),
+        s"null verdict emitted before the watermark allowed it: ${rows()}")
+      // advance both watermarks well past click 2's horizon + delay
+      clicks.addData(Event(3, ts(300), 9, "click", 1.0))
+      buys.addData(Event(11, ts(300), 9, "purchase", 5.0))
+      query.processAllAvailable()
+      clicks.addData(Event(4, ts(400), 8, "click", 1.0))
+      buys.addData(Event(12, ts(400), 8, "purchase", 5.0))
+      query.processAllAvailable()
+      val r = rows()
+      assert(r.contains((1L, Some(10L))), s"matched pair missing: $r")
+      assert(r.contains((2L, None)), s"null verdict never emitted: $r")
+      assert(r.count(_._1 == 2L) == 1,
+        s"unmatched click must emit exactly once: $r")
+      // the SAME function over batch frames: plain left-outer rows
+      val batch = EventStreams.correlateOuter(
+          Seq(Event(1, ts(0), 1, "click", 1.0),
+            Event(2, ts(10), 2, "click", 1.0)).toDF(),
+          Seq(Event(10, ts(20), 1, "purchase", 5.0)).toDF(),
+          horizon = "30 minutes")
+        .select("l_event_id", "r_event_id").collect()
+        .map(x => (x.getLong(0),
+          if (x.isNullAt(1)) None else Some(x.getLong(1)))).toSet
+      assert(batch == Set((1L, Some(10L)), (2L, None)), batch.toString)
+    } finally query.stop()
+  }
+
   test("correlate survives a checkpointed restart: every pair lands exactly once") {
     import spark.implicits._
     val tmp = java.nio.file.Files
