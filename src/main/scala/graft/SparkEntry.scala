@@ -8107,6 +8107,37 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
         .withColumn("abandoned_ppm",
           expr("n_abandoned * 1000000 div n_clicks"))
         .orderBy(col("user_id"))
+    }),
+
+    "q219_column_profile" -> ((s, dir) => {
+      // The data-profiler table (the Deequ/ANALYZE-stats shape every
+      // ingest QA pass emits before anything trains): per column —
+      // row count, nulls, exact distinct cardinality, and the MODE
+      // (most frequent value, smallest-value tie-break) with its
+      // count. One groupBy(value) per column feeding both the
+      // distinct count and a TakeOrderedAndProject(1) mode cut —
+      // value-cardinality-sized state, never a corpus collect; at
+      // 100 TB the exact distinct is the one corpus shuffle per
+      // column (the approx face is q101/q127's HLL). The `text`
+      // column rides too: its mode is the most-duplicated document —
+      // the profiler doubles as a cheap exact-dup tripwire.
+      val docs = t(s, dir, "documents")
+      def profile(c: String): DataFrame = {
+        val vals = docs.select(col(c).cast("string").as("v"))
+        val grouped = vals.filter(col("v").isNotNull)
+          .groupBy(col("v")).agg(count(lit(1)).as("n"))
+          .localCheckpoint()
+        val mode = grouped
+          .orderBy(col("n").desc, col("v")).limit(1)
+          .select(col("v").as("mode_value"), col("n").as("mode_n"))
+        vals.agg(lit(c).as("col_name"), count(lit(1)).as("n_rows"),
+            sum(col("v").isNull.cast("long")).as("n_nulls"))
+          .crossJoin(grouped.agg(count(lit(1)).as("n_distinct")))
+          .crossJoin(mode)
+      }
+      Seq("lang", "source", "text").map(profile)
+        .reduce(_.unionByName(_))
+        .orderBy(col("col_name"))
     })
   )
 
@@ -12937,6 +12968,25 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
          FROM u GROUP BY metric ORDER BY metric""",
 
     "q217_benford_digits" -> benfordOracleSql,
+
+    "q219_column_profile" -> {
+      def leg(c: String): String =
+        s"""SELECT '$c' AS col_name,
+           (SELECT count(*) FROM documents)::BIGINT AS n_rows,
+           (SELECT count(*) FROM documents
+              WHERE $c IS NULL)::BIGINT AS n_nulls,
+           (SELECT count(DISTINCT $c) FROM documents)::BIGINT
+             AS n_distinct,
+           (SELECT $c FROM documents WHERE $c IS NOT NULL
+              GROUP BY $c ORDER BY count(*) DESC, $c LIMIT 1)
+             AS mode_value,
+           (SELECT count(*) FROM documents WHERE $c IS NOT NULL
+              GROUP BY $c ORDER BY count(*) DESC, $c LIMIT 1)::BIGINT
+             AS mode_n"""
+      Seq("lang", "source", "text").map(leg)
+        .mkString("\n         UNION ALL ") +
+        "\n         ORDER BY col_name"
+    },
 
     "q218_outer_funnel" ->
       raw"""WITH c AS (SELECT user_id, event_id, ts FROM events

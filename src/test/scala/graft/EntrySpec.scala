@@ -138,7 +138,7 @@ class EntrySpec extends SparkSpec {
       s"no cluster partition prune in q209 plan:\n$plan")
   }
 
-  test("round-17/18 queries (q185-q218): no cartesian, no unbounded per-group collect") {
+  test("round-17/18 queries (q185-q219): no cartesian, no unbounded per-group collect") {
     // the sweeping audit for the round's whole wave: every new gated
     // plan must be free of CartesianProduct (broadcast nested-loop
     // against a bounded panel is the documented and ALLOWED shape —
@@ -147,9 +147,9 @@ class EntrySpec extends SparkSpec {
     // composed stage without a hand-written case per query.
     val wave = SparkEntry.queries.keys.filter { n =>
       val num = n.drop(1).takeWhile(_.isDigit)
-      num.nonEmpty && num.toInt >= 185 && num.toInt <= 218
+      num.nonEmpty && num.toInt >= 185 && num.toInt <= 219
     }.toSeq.sorted
-    assert(wave.size == 34, s"expected 34 wave queries, got $wave")
+    assert(wave.size == 35, s"expected 35 wave queries, got $wave")
     for (q <- wave) {
       val plan = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
         .queryExecution.executedPlan.toString
