@@ -442,6 +442,8 @@ object SparkEntry {
       s"$IvfOracleRoot/scoped")
     exportIvfOracle(s, ivfCosPathCache.get(dir),
       s"$IvfOracleRoot/singlen")
+    // q221's REBALANCED root (sidecar + repaired two-generation layout)
+    exportIvfOracle(s, rebalancedRootFor(s, dir), s"$IvfOracleRoot/reb")
     val pqRoot = pqRootFor(s, dir)
     s.read.parquet(s"$pqRoot/data").coalesce(1)
       .write.mode("overwrite").parquet(s"$IvfOracleRoot/pq/data")
@@ -881,6 +883,28 @@ object SparkEntry {
       Pq.deleteEncoded(s, p, fakes.select("vec_id"), "vec_id")
       Pq.appendEncoded(s, p,
         emb.filter(pmod(col("vec_id"), lit(5L)) === 2L), "embedding")
+      p
+    })
+
+  /** The REBALANCED root for `dir` (q221): a deliberately UNDER-FIT
+    * build (nlist = 2 — every cell ~3× the target size, the mega-cell
+    * shape q206 diagnoses) repaired by [[IvfIndex.rebalance]] at
+    * maxCellRows = n/6. q221's full-probe leg hashes the repaired
+    * root's search against the exact top-10 from the RAW corpus — the
+    * sabotage-then-repair proof that rebalancing lost, duplicated,
+    * and corrupted nothing — and its probed leg replays probe
+    * selection over the rebalanced sidecar export. */
+  private val rebalPathCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def rebalancedRootFor(s: SparkSession, dir: String): String =
+    rebalPathCache.computeIfAbsent(dir, _ => {
+      val emb = t(s, dir, "embeddings")
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_rebal_").toString + "/ivf"
+      IvfIndex.build(emb, "vec_id", "embedding", nlist = 2).write(p)
+      val n = emb.count()
+      IvfIndex.rebalance(s, p, "vec_id", "embedding",
+        maxCellRows = math.max(1L, n / 6))
       p
     })
 
@@ -7715,10 +7739,12 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
       import s.implicits._
       val q = queryVec(s, dir)
       val idx = ivfIndexFor(s, dir)
-      val root = ivfPathCache.get(dir)
-      val lab = t(s, dir, "embeddings")
-        .select(col("vec_id"),
-          (pmod(col("vec_id"), lit(3L)) === 1L).as("m"))
+      // the predicate is derived INLINE from vec_id arithmetic — an
+      // earlier draft joined a broadcast (vec_id, m) frame, which is
+      // corpus-sized and would dominate (likely kill) the query at
+      // 100 TB; a real opaque predicate would be a shuffled key join,
+      // never a corpus-wide broadcast
+      val m = pmod(col("vec_id"), lit(3L)) === 1L
       val truth = t(s, dir, "embeddings")
         .filter(pmod(col("vec_id"), lit(3L)) === 1L &&
           col("embedding").isNotNull)
@@ -7734,7 +7760,7 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
         .select(col("vec_id"), col("dist"))
         .withColumn("rn", row_number().over(
           Window.orderBy(col("dist"), col("vec_id"))))
-        .join(broadcast(lab), Seq("vec_id"))
+        .withColumn("m", m)
         .localCheckpoint()
       def row(tag: String, cand: DataFrame): DataFrame = {
         val sel = cand.orderBy(col("dist"), col("vec_id")).limit(10)
@@ -7745,14 +7771,11 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
             col("n_overlap"),
             expr("n_overlap * 1000000 div 10").as("recall_ppm"))
       }
-      val probes = idx.probeOrder(q).take(2)
-      val pre = s.read.parquet(root)
-        .filter(col(IvfIndex.ClusterCol).isin(probes: _*))
+      val pre = idx.probedScan(q, nprobe = 2,
+          metric = KnnSearch.NativeL2, filter = Some(m))
         .select(col("vec_id"),
           KnnSearch.roundHalfUpCol(l2DistanceNative(col("embedding"),
             KnnSearch.litVec(q)), 4).as("dist"))
-        .join(broadcast(lab), Seq("vec_id"))
-        .filter(col("m"))
       (row("1_prefilter", pre) +:
         Seq(1, 2, 4).zipWithIndex.map { case (f, i) =>
           row(s"${i + 2}_post_x$f",
@@ -8138,6 +8161,70 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
       Seq("lang", "source", "text").map(profile)
         .reduce(_.unionByName(_))
         .orderBy(col("col_name"))
+    }),
+
+    "q220_filtered_search" -> ((s, dir) => {
+      // FIRST-CLASS filtered ANN search — q209 priced the policies,
+      // this gates the OPERATOR that ships the winning one:
+      // IvfIndex.search(filter = ...) pushes the predicate INTO the
+      // probe-pruned scan and widens the probe budget by
+      // 1/selectivity (filterSelectivity = 1/3 at nprobe 2 → 6
+      // probes of nlist 8 — q209's own 30% recall at the unwidened
+      // budget is exactly the gap this compensation closes). The
+      // gate is the full ranked top-10 hash, not a recall summary:
+      // probe selection (L2 centroid order, id ties), the widened
+      // LIMIT, the in-scan predicate, 4-dp floored distances, and
+      // id tie-breaks all replay in the oracle. Scale shape: ONE
+      // doubly-pruned directory scan (cluster PartitionFilters +
+      // pushed predicate — spec-pinned), TakeOrderedAndProject(10);
+      // the predicate thins the scan, never a post-hoc candidate
+      // list.
+      VectorExpressions.ensureRegistered(s)
+      val q = queryVec(s, dir)
+      val idx = ivfIndexFor(s, dir)
+      idx.search(q, 10, nprobe = 2, metric = KnnSearch.NativeL2,
+          tieBreak = Some("vec_id"), rankRoundDp = Some(4),
+          filter = Some(pmod(col("vec_id"), lit(3L)) === 1L),
+          filterSelectivity = Some(1.0 / 3))
+        .select(col("vec_id"), col("dist"))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("dist"), col("vec_id"))).cast("long"))
+    }),
+
+    "q221_rebalanced_search" -> ((s, dir) => {
+      // IVF REBALANCE under the gate (the q183/q184 sabotage-then-
+      // repair pattern applied to load balance): the root behind this
+      // query was built deliberately UNDER-FIT (nlist = 2, every cell
+      // ~3× the target) and repaired by IvfIndex.rebalance — split
+      // cells re-fit by cell-scoped k-means under fresh ids, the
+      // sidecar swapped, old dirs retired. Two legs:
+      //   1_full   — full-probe top-10 from the REPAIRED root vs the
+      //              oracle's exact top-10 over the RAW corpus: hash
+      //              equality proves the repair lost, duplicated, and
+      //              corrupted nothing (full probe == exact is the
+      //              IVF invariant, so parity with fresh is parity
+      //              with the same truth);
+      //   2_probed — nprobe=2 over the repaired layout, replayed from
+      //              the exported rebalanced sidecar + data: probe
+      //              ranking, directory pruning, and the sub-cells'
+      //              assignment all sit inside the hash.
+      // Scale shape: rebalance touches ONLY oversized cells (cell-
+      // scoped fit + narrow reassignment, driver loop ≤ nlist); the
+      // search legs are the standard pruned TakeOrderedAndProject.
+      VectorExpressions.ensureRegistered(s)
+      val q = queryVec(s, dir)
+      val idx = IvfIndex.load(s, rebalancedRootFor(s, dir),
+        "vec_id", "embedding")
+      def leg(tag: String, np: Int): DataFrame =
+        idx.search(q, 10, nprobe = np, metric = KnnSearch.NativeL2,
+            tieBreak = Some("vec_id"), rankRoundDp = Some(4))
+          .select(lit(tag).as("strategy"),
+            row_number().over(
+              Window.orderBy(col("dist"), col("vec_id")))
+              .cast("long").as("rank"),
+            col("vec_id"), col("dist"))
+      leg("1_full", idx.nlist).unionByName(leg("2_probed", 2))
+        .orderBy(col("strategy"), col("rank"))
     })
   )
 
@@ -13043,7 +13130,17 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
            count(*) OVER (PARTITION BY priority ORDER BY day
              RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)::BIGINT
              AS days_in_window
-         FROM daily ORDER BY priority, day"""
+         FROM daily ORDER BY priority, day""",
+
+    // q220: probe replay at the WIDENED budget (nprobe 2 /
+    // selectivity 1/3 → LIMIT 6), predicate inside the pruned scan,
+    // exact filtered top-10 at 4-dp floored L2 with id ties.
+    "q220_filtered_search" -> filteredSearchOracleSql,
+
+    // q221: the rebalanced root's full-probe leg vs the exact top-10
+    // from the RAW corpus (repair lost/duplicated nothing) + the
+    // probed leg replayed over the rebalanced sidecar export.
+    "q221_rebalanced_search" -> rebalancedSearchOracleSql
   )
 
   /** The kNN-graph replay CTE chain over the exported IVF replica
@@ -13798,6 +13895,80 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
          FROM ($legs)
          ORDER BY strategy"""
   }
+
+  /** q220's oracle: [[filteredAnnOracleSql]]'s probe replay at the
+    * WIDENED budget — IvfIndex.widenedNprobe(2, 1/3) = 6 centroids by
+    * exact-double L2 with cluster-id ties — then the predicate-scoped
+    * pruned scan and the exact ranked top-10 (4-dp floored distances,
+    * id tie-breaks): the full output of the first-class filtered
+    * search operator, row for row. */
+  private lazy val filteredSearchOracleSql: String =
+    raw"""WITH q AS (
+           SELECT embedding::DOUBLE[] AS qv FROM embeddings
+           WHERE vec_id = 0),
+         cent AS (
+           SELECT cluster_id, centroid FROM
+             read_parquet('$IvfOracleRoot/single/centroids/*.parquet')),
+         probes AS MATERIALIZED (
+           SELECT cluster_id FROM cent, q
+           ORDER BY list_sum(list_transform(range(1, len(centroid) + 1),
+             i -> (centroid[i]::DOUBLE - qv[i]) *
+                  (centroid[i]::DOUBLE - qv[i]))),
+             cluster_id
+           LIMIT 6),
+         sel AS (
+           SELECT vec_id,
+             floor(list_distance(embedding::DOUBLE[],
+               (SELECT qv FROM q)) * 1e4 + 0.5::DOUBLE) / 1e4 AS dist
+           FROM read_parquet('$IvfOracleRoot/single/data/*.parquet')
+           WHERE __ivf_cluster IN (SELECT cluster_id FROM probes)
+             AND vec_id % 3 = 1)
+         SELECT vec_id, dist,
+           row_number() OVER (ORDER BY dist, vec_id)::BIGINT AS rank
+         FROM sel ORDER BY dist, vec_id LIMIT 10"""
+
+  /** q221's oracle: leg 1_full is the exact ranked top-10 over the
+    * RAW embeddings table — hash equality against the repaired root's
+    * full-probe search proves the rebalance preserved the row set;
+    * leg 2_probed replays probe selection (exact-double L2,
+    * cluster-id ties, LIMIT 2) over the REBALANCED centroid export
+    * and ranks the pruned scan of the rebalanced data export. */
+  private lazy val rebalancedSearchOracleSql: String =
+    raw"""WITH q AS (
+           SELECT embedding::DOUBLE[] AS qv FROM embeddings
+           WHERE vec_id = 0),
+         cent AS (
+           SELECT cluster_id, centroid FROM
+             read_parquet('$IvfOracleRoot/reb/centroids/*.parquet')),
+         probes AS MATERIALIZED (
+           SELECT cluster_id FROM cent, q
+           ORDER BY list_sum(list_transform(range(1, len(centroid) + 1),
+             i -> (centroid[i]::DOUBLE - qv[i]) *
+                  (centroid[i]::DOUBLE - qv[i]))),
+             cluster_id
+           LIMIT 2),
+         full_leg AS (
+           SELECT vec_id,
+             floor(list_distance(embedding::DOUBLE[],
+               (SELECT qv FROM q)) * 1e4 + 0.5::DOUBLE) / 1e4 AS dist
+           FROM embeddings WHERE embedding IS NOT NULL
+           ORDER BY dist, vec_id LIMIT 10),
+         probed AS (
+           SELECT vec_id,
+             floor(list_distance(embedding::DOUBLE[],
+               (SELECT qv FROM q)) * 1e4 + 0.5::DOUBLE) / 1e4 AS dist
+           FROM read_parquet('$IvfOracleRoot/reb/data/*.parquet')
+           WHERE __ivf_cluster IN (SELECT cluster_id FROM probes)
+           ORDER BY dist, vec_id LIMIT 10)
+         SELECT strategy, rank, vec_id, dist FROM (
+           SELECT '1_full' AS strategy,
+             row_number() OVER (ORDER BY dist, vec_id)::BIGINT AS rank,
+             vec_id, dist FROM full_leg
+           UNION ALL
+           SELECT '2_probed',
+             row_number() OVER (ORDER BY dist, vec_id)::BIGINT,
+             vec_id, dist FROM probed)
+         ORDER BY strategy, rank"""
 
   /** q208's oracle: Gonzalez farthest-first unrolled step by step.
     * Step t scans the corpus minus the selected set, takes min over

@@ -45,19 +45,31 @@ object Coreset {
     def qdist(center: Seq[Float]): Column =
       lit(10000L) - floor(cosineSimilarityNative(col(vecCol),
         KnnSearch.litVec(center)) * lit(1e4) + lit(0.5)).cast("long")
-    val seed = corpus.filter(col(idCol) === seedId)
-      .select(col(vecCol)).head().getSeq[Float](0)
+    val seedRow = corpus.filter(col(idCol) === seedId)
+      .select(col(vecCol)).collect().headOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"farthestFirst: no row with $idCol = $seedId in the corpus"))
+    val seed = Option(seedRow.getSeq[Float](0)).getOrElse(
+      throw new IllegalArgumentException(
+        s"farthestFirst: seed row $idCol = $seedId has a null $vecCol"))
     var selected = Vector[(Long, Seq[Float], Long)]((seedId, seed, 0L))
-    for (_ <- 2 to k) {
+    // fewer than k usable rows → truncate (the selected prefix is
+    // still the exact greedy trace) rather than NPE mid-loop
+    var exhausted = false
+    for (_ <- 2 to k if !exhausted) {
       val minDist = selected.map(s => qdist(s._2)).reduce(least(_, _))
-      val chosen = corpus
-        .filter(!col(idCol).isInCollection(selected.map(_._1)))
+      corpus
+        .filter(!col(idCol).isInCollection(selected.map(_._1)) &&
+          col(vecCol).isNotNull)
         .select(col(idCol).cast("long"), col(vecCol),
           minDist.as("d"))
         .orderBy(col("d").desc, col(idCol))
-        .limit(1).head()
-      selected :+= ((chosen.getLong(0), chosen.getSeq[Float](1),
-        chosen.getLong(2)))
+        .limit(1).collect().headOption match {
+        case Some(chosen) =>
+          selected :+= ((chosen.getLong(0), chosen.getSeq[Float](1),
+            chosen.getLong(2)))
+        case None => exhausted = true
+      }
     }
     import spark.implicits._
     selected.zipWithIndex

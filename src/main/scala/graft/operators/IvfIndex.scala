@@ -83,6 +83,53 @@ final case class IvfIndex(
     case _ => probeOrder(query)
   }
 
+  /** The probe budget a FILTERED search should spend: a predicate
+    * keeping a `selectivity` fraction of the corpus thins each probed
+    * cluster to ~selectivity of its rows, so the filtered true top-k
+    * spreads over ~1/selectivity as many clusters as the unfiltered
+    * one — widening nprobe by that factor restores the candidate
+    * budget the caller sized for the unfiltered case (q209's measured
+    * curve: the ~33% predicate at nprobe=2 reads 30% recall; tripling
+    * the budget recovers it). Capped at nlist — a very selective
+    * predicate degrades to the exact filtered scan, which is correct
+    * (and what a planner should do there anyway). */
+  def widenedNprobe(nprobe: Int, selectivity: Double): Int = {
+    require(selectivity > 0.0 && selectivity <= 1.0,
+      s"selectivity must be in (0, 1], got $selectivity")
+    math.min(nlist,
+      math.ceil(math.max(1, nprobe) / selectivity).toInt)
+  }
+
+  private def effectiveNprobe(nprobe: Int, filter: Option[Column],
+      filterSelectivity: Option[Double]): Int = {
+    require(filterSelectivity.isEmpty || filter.isDefined,
+      "filterSelectivity without a filter has nothing to compensate")
+    filterSelectivity.fold(math.max(1, nprobe))(
+      widenedNprobe(nprobe, _))
+  }
+
+  /** The probe-pruned (optionally component- and predicate-scoped)
+    * scan under [[search]] — exposed so diagnostics (candidate
+    * counts, operating-curve queries like q209) read the same frame
+    * the operator ranks, instead of hand-rolling the root read. The
+    * predicate sits directly on the scan: a partition-valued or
+    * data-column predicate reaches the parquet source as
+    * PartitionFilters / PushedFilters alongside the cluster prune
+    * (spec-pinned). */
+  def probedScan(
+      query: Seq[Float],
+      nprobe: Int,
+      metric: KnnSearch.Metric = KnnSearch.L2,
+      components: Seq[Int] = Nil,
+      filter: Option[Column] = None,
+      filterSelectivity: Option[Double] = None): DataFrame = {
+    val np = effectiveNprobe(nprobe, filter, filterSelectivity)
+    val probes = probesFor(metric, query).take(np)
+    val scan = componentScope(components)
+      .filter(col(IvfIndex.ClusterCol).isin(probes: _*))
+    filter.foldLeft(scan)(_.filter(_))
+  }
+
   /** V5 approximate search: probe the `nprobe` nearest clusters, exact
     * top-k inside them. A non-empty `components` additionally restricts
     * the scan to those component partitions — on a two-level
@@ -90,7 +137,20 @@ final case class IvfIndex(
     * the reference's `partition_names` + ANN flagship query is ONE
     * doubly-pruned directory scan (asserted in IvfIndexSpec). Requires a
     * component-scoped index; silently ignoring `components` on an
-    * unscoped index would return out-of-scope rows. */
+    * unscoped index would return out-of-scope rows.
+    *
+    * FILTERED search (the reference's flagship shape: metadata WHERE +
+    * similarity_search, doc_embedder.py:173-220): pass `filter` and
+    * the predicate is pushed INTO the pruned scan — every in-probe
+    * row matching it competes, so recall against the filtered truth
+    * is bounded only by probe coverage, never by an overfetch factor
+    * (q209 prices this leg against the post-filter alternatives).
+    * A selective predicate thins the candidate pool, so recall at a
+    * fixed nprobe DROPS with selectivity; pass `filterSelectivity`
+    * (the kept fraction, when known — from stats or a prior count)
+    * and the probe budget widens by 1/selectivity ([[widenedNprobe]])
+    * to compensate, degrading gracefully to the exact filtered scan
+    * at nlist. */
   def search(
       query: Seq[Float],
       k: Int,
@@ -98,13 +158,13 @@ final case class IvfIndex(
       metric: KnnSearch.Metric = KnnSearch.L2,
       tieBreak: Option[String] = None,
       components: Seq[Int] = Nil,
-      rankRoundDp: Option[Int] = None): DataFrame = {
-    val probes = probesFor(metric, query).take(math.max(1, nprobe))
+      rankRoundDp: Option[Int] = None,
+      filter: Option[Column] = None,
+      filterSelectivity: Option[Double] = None): DataFrame =
     KnnSearch.topK(
-      componentScope(components)
-        .filter(col(IvfIndex.ClusterCol).isin(probes: _*)),
+      probedScan(query, nprobe, metric, components, filter,
+        filterSelectivity),
       vecCol, query, k, metric, tieBreak, rankRoundDp = rankRoundDp)
-  }
 
   /** Batch V5: ONE pruned scan serves a whole query set, and every
     * query gets EXACTLY its single-query [[search]] result. The scan
@@ -139,8 +199,10 @@ final case class IvfIndex(
       tieBreak: String,
       rankRoundDp: Option[Int] = None,
       components: Seq[Int] = Nil,
-      metric: KnnSearch.Metric = KnnSearch.L2): DataFrame = {
-    val np = math.max(1, nprobe)
+      metric: KnnSearch.Metric = KnnSearch.L2,
+      filter: Option[Column] = None,
+      filterSelectivity: Option[Double] = None): DataFrame = {
+    val np = effectiveNprobe(nprobe, filter, filterSelectivity)
     // ONE driver-side collect serves both probe planning and the
     // broadcast heap pass (the query table is small by contract, but
     // re-collecting it would still re-run its plan — e.g. a model
@@ -149,9 +211,15 @@ final case class IvfIndex(
     val perQueryProbes: Array[Array[Int]] =
       qSet.map(q => probesFor(metric, q._2.toSeq).take(np).toArray)
     val union = perQueryProbes.flatten.distinct.toSeq
+    // the FILTER sits on the shared scan, before the per-query gated
+    // heaps: one predicate evaluation per scanned row, all queries —
+    // so each query's result is bit-equal to its single [[search]] at
+    // the same (filter, effective nprobe): the filtered-batch parity
+    // contract, spec-asserted like the unfiltered one
+    val scan = componentScope(components)
+      .filter(col(IvfIndex.ClusterCol).isin(union: _*))
     KnnSearch.topKBatchCollected(
-      componentScope(components)
-        .filter(col(IvfIndex.ClusterCol).isin(union: _*)),
+      filter.foldLeft(scan)(_.filter(_)),
       vecCol, qSet, queries.schema(queryIdCol).dataType, k, tieBreak,
       rankRoundDp = rankRoundDp, metric = metric,
       gate = Some(KnnSearch.BatchGate(IvfIndex.ClusterCol, perQueryProbes)))
@@ -1506,6 +1574,176 @@ object IvfIndex {
       fireInvalidated(path)
     }
     nAffected
+  }
+
+  /** Rebalance a persisted root IN PLACE: split every cluster holding
+    * more than `maxCellRows` rows into `ceil(size / maxCellRows)`
+    * sub-cells via a deterministic sub-fit k-means over that cluster's
+    * own rows (fixed `seed`), retiring the split cluster's id and
+    * centroid in favor of the sub-cells' — the repair for the skew
+    * q206 diagnoses: probe pruning's `nprobe/nlist` win and every
+    * per-cell work bound (q86/q187's pair caps, scan-task balance)
+    * assume no mega-cell, and an append-heavy lifecycle concentrates
+    * drifted inserts into whichever centroid sits nearest the new
+    * mass. The result is a PLAIN IVF root with more, smaller cells —
+    * [[load]]/[[IvfIndex#search]]/[[appendTo]]/[[deleteByIds]]/
+    * [[compact]] all keep their contracts verbatim (append assigns
+    * against the new sidecar, so future inserts spread over the
+    * sub-cells; search at full probe is exact because the sub-cells
+    * PARTITION the old cell's rows). Quantized roots keep their
+    * stored SQ8 codes byte-for-byte — the grid is row-scoped, not
+    * cluster-scoped, so a row changing cells never re-encodes.
+    *
+    * Scale shape: only OVERSIZED cells are touched — per split, one
+    * cell-scoped k-means fit + one narrow reassignment write of that
+    * cell's rows (never a corpus pass, never a shuffle beyond the
+    * fit), a driver loop bounded by nlist. Untouched cells' files are
+    * not read, not rewritten.
+    *
+    * Crash ordering (the [[graft.streaming.EventStreams.indexedIngest]]
+    * lock discipline guards concurrent ingest; this method holds the
+    * same `_compact_lock`): sub-cell rows APPEND under fresh cluster
+    * ids first, the sidecar swap then publishes them and retires the
+    * split ids, old directories are deleted last. Readers rank probes
+    * against SIDECAR ids only, so at every crash point a search
+    * answers correctly — rows are never half-visible: before the swap
+    * the sub-dirs are orphans (ids not in the sidecar → never
+    * probed), after it the OLD dirs are the orphans. The orphan-purge
+    * pass at the START of the next rebalance (any cluster directory
+    * whose id the sidecar does not know) completes a crashed run;
+    * like [[compact]], a crash DURING the sidecar overwrite itself
+    * (non-atomic on plain parquet) is the one window needing manual
+    * re-run before readers load the fallback centroids.
+    *
+    * Splitting runs in PASSES: k-means does not balance, so a split
+    * of a 5×-oversized cell can leave a sub-cell itself oversized —
+    * each pass re-splits what the previous one left too big, until
+    * every cell fits, a pass makes no progress (a degenerate cell of
+    * near-identical points that k-means cannot separate is FROZEN
+    * after a split returns it whole), or `maxPasses` is hit.
+    *
+    * Returns the TOTAL number of cells split across passes (0 =
+    * already balanced, nothing touched beyond the orphan purge). */
+  def rebalance(spark: SparkSession, path: String, idCol: String,
+      vecCol: String, maxCellRows: Long, seed: Long = 42L,
+      maxPasses: Int = 8): Int = {
+    require(maxCellRows >= 1, s"maxCellRows must be >= 1, got $maxCellRows")
+    require(maxPasses >= 1, s"maxPasses must be >= 1, got $maxPasses")
+    import spark.implicits._
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val sidecarPath = new org.apache.hadoop.fs.Path(root, CentroidSidecar)
+    require(fs.exists(sidecarPath),
+      s"rebalance: $path has no $CentroidSidecar sidecar — refusing to " +
+        "rebalance a root whose centroid provenance is unknown (legacy " +
+        "fallback roots must be rebuilt first)")
+    acquireCompactLock(fs, root)
+    try {
+      // recovery: a crashed earlier rebalance leaves cluster dirs the
+      // sidecar does not know (either generation of orphans — see the
+      // crash-ordering note). They are invisible to every probe, so
+      // deleting them restores exactly the last published state.
+      val knownIds = spark.read.parquet(sidecarPath.toString)
+        .select("cluster_id").collect().map(_.getInt(0)).toSet
+      clusterDirs(fs, root).foreach { case (cid, p) =>
+        if (!knownIds.contains(cid)) fs.delete(p, true)
+      }
+      spark.catalog.refreshByPath(path)
+
+      val featCol = "__ivf_features"
+      var totalSplits = 0
+      var frozen = Set.empty[Int]
+      // child id -> parent size, from the LAST pass: a child as big
+      // as its parent came back whole from its split — k-means cannot
+      // separate it (near-identical points); freeze it or loop forever
+      var lastChildren = Map.empty[Int, Long]
+      var pass = 0
+      var progressing = true
+      while (progressing && pass < maxPasses) {
+        pass += 1
+        val idx = load(spark, path, idCol, vecCol)
+        val parts = idx.componentCol.toSeq :+ ClusterCol
+        val sizes = idx.assigned
+          .groupBy(col(ClusterCol)).agg(count(lit(1)).as("n"))
+          .collect().map(r => (r.getInt(0), r.getLong(1)))
+        frozen ++= sizes.collect {
+          case (cid, n) if lastChildren.get(cid).contains(n) => cid
+        }
+        val oversized = sizes
+          .filter { case (c, n) => n > maxCellRows && !frozen(c) }
+          .sortBy(_._1)
+        if (oversized.isEmpty) progressing = false
+        else {
+          var nextId = idx.clusterIds.max + 1
+          var cents: Seq[(Int, Array[Float])] =
+            idx.clusterIds.zip(idx.centroids).toSeq
+          val children = Map.newBuilder[Int, Long]
+          for ((cid, sz) <- oversized) {
+            val j = math.ceil(sz.toDouble / maxCellRows).toInt
+            val rows = idx.assigned
+              .filter(col(ClusterCol) === cid).drop(ClusterCol)
+            val feats = rows.withColumn(featCol,
+              array_to_vector(col(vecCol).cast("array<double>")))
+            val model = new KMeans()
+              .setK(j).setSeed(seed)
+              .setFeaturesCol(featCol).setPredictionCol("__sub")
+              .fit(feats)
+            val subCents = model.clusterCenters
+              .map(_.toArray.map(_.toFloat))
+            val subIds = subCents.indices.map(nextId + _).toArray
+            nextId += subCents.length
+            // the shared assignment core: same distance arithmetic and
+            // argmin tie rule as build/append, so the sub-cells obey
+            // the exact contract every later append extends
+            assignToCentroids(rows, vecCol, subCents, subIds)
+              .write.mode(SaveMode.Append)
+              .partitionBy(parts: _*).parquet(path)
+            cents = cents.filterNot(_._1 == cid) ++ subIds.zip(subCents)
+            subIds.foreach(k => children += k -> sz)
+          }
+          // publish: the sidecar swap makes the sub-cells live and
+          // retires the split ids in one reader-visible step
+          cents.sortBy(_._1).toDF("cluster_id", "centroid")
+            .coalesce(1).write.mode(SaveMode.Overwrite)
+            .parquet(sidecarPath.toString)
+          // retire the split cells' directories (now sidecar-orphans)
+          val splitIds = oversized.map(_._1).toSet
+          clusterDirs(fs, root).foreach { case (cid, p) =>
+            if (splitIds.contains(cid)) fs.delete(p, true)
+          }
+          spark.catalog.refreshByPath(path)
+          totalSplits += oversized.length
+          lastChildren = children.result()
+        }
+      }
+      if (totalSplits > 0) {
+        graft.plans.IvfAutoProbe.invalidate(spark, path)
+        fireInvalidated(path)
+      }
+      totalSplits
+    } finally releaseCompactLock(spark, path)
+  }
+
+  /** every `__ivf_cluster=N` partition directory under `root` (one
+    * level down on a flat layout, under each component dir on a
+    * two-level one), with its parsed cluster id */
+  private def clusterDirs(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path)
+      : Seq[(Int, org.apache.hadoop.fs.Path)] = {
+    val prefix = s"$ClusterCol="
+    def walk(p: org.apache.hadoop.fs.Path, depth: Int)
+        : Seq[(Int, org.apache.hadoop.fs.Path)] =
+      fs.listStatus(p).toSeq.filter(_.isDirectory).flatMap { st =>
+        val name = st.getPath.getName
+        if (name.startsWith(prefix))
+          name.stripPrefix(prefix).toIntOption
+            .map(id => (id, st.getPath)).toSeq
+        else if (depth < 1 && !name.startsWith("_") &&
+          !name.startsWith("."))
+          walk(st.getPath, depth + 1) // the component level
+        else Seq.empty
+      }
+    walk(root, 0)
   }
 
   /** The partition-scoped delete CORE shared by [[deleteByIds]] and

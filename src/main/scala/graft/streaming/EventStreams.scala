@@ -339,8 +339,13 @@ object EventStreams {
             // marker (never by id: ids can repeat across batches, and
             // an id purge would delete an earlier batch's committed
             // row), turning the at-least-once re-delivery into an
-            // exactly-once commit. Metadata-only — no Spark job.
-            if (fs.exists(started) && nonEmpty) {
+            // exactly-once commit. Metadata-only — no Spark job. Runs
+            // whenever .started exists, EVEN IF this re-delivery is
+            // empty (a nondeterministic source can re-deliver a
+            // crashed non-empty batch as empty — its remnants, full
+            // or torn, must still be purged; the purge keys on the
+            // snapshot, never on this batch's rows).
+            if (fs.exists(started)) {
               val snap = {
                 val in = fs.open(started)
                 val bytes =
@@ -358,24 +363,27 @@ object EventStreams {
             // remnants and delete committed data, so the marker must
             // appear atomically or not at all. (Crash before the
             // rename: no .started, nothing appended — a clean re-run.)
-            val snapshot =
-              if (nonEmpty)
-                graft.operators.IvfIndex.listDataFiles(fs, rootPath)
-                  .toSeq.sorted
-              else Seq.empty[String]
-            val startedTmp = new org.apache.hadoop.fs.Path(
-              started.toString + ".tmp")
-            val out = fs.create(startedTmp, true)
-            try out.write(snapshot.mkString("\n")
-              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-            finally out.close()
-            if (fs.exists(started)) fs.delete(started, false)
-            require(fs.rename(startedTmp, started),
-              s"indexedIngest: could not publish $started")
-            // an empty micro-batch must not pay the load + write job
-            if (nonEmpty)
+            // An EMPTY batch writes NO .started at all: no append
+            // follows, so there is nothing to recover — and an empty
+            // snapshot would be a loaded gun if the batchId were ever
+            // re-delivered non-empty (a nondeterministic source /
+            // dedup replay), making recovery purge the ENTIRE root.
+            if (nonEmpty) {
+              val snapshot = graft.operators.IvfIndex
+                .listDataFiles(fs, rootPath).toSeq.sorted
+              val startedTmp = new org.apache.hadoop.fs.Path(
+                started.toString + ".tmp")
+              val out = fs.create(startedTmp, true)
+              try out.write(snapshot.mkString("\n")
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              finally out.close()
+              if (fs.exists(started)) fs.delete(started, false)
+              require(fs.rename(startedTmp, started),
+                s"indexedIngest: could not publish $started")
+              // an empty micro-batch must not pay the load + write job
               graft.operators.IvfIndex.appendTo(
                 spark, indexPath, batch, idCol, vecCol)
+            }
             // TOCTOU shrink: a compact lock that landed DURING the
             // append means the compactor's plan-time listing may not
             // include this batch's files — refuse to mark the batch
@@ -395,6 +403,15 @@ object EventStreams {
                   "before re-appending — no duplicates.")
             // create() makes missing parents itself — no mkdirs RPC
             fs.create(marker, true).close()
+            // the .started marker is only consulted when the commit
+            // marker is ABSENT — once the commit lands it is dead
+            // weight (each carries a full root file listing, so
+            // leaving them would grow _ingest_log O(batches × files)
+            // over a long-running ingest). Safe even if the delete
+            // itself crashes: the commit marker already routes every
+            // re-delivery to the skip branch.
+            if (fs.exists(started)) fs.delete(started, false)
+            ()
           } finally batch.unpersist()
         } else {
           // a marked (already-committed) batch is skipped for the SINK,
@@ -706,10 +723,17 @@ object EventStreams {
     * within a batch, so a given trigger shape is reproducible).
     * A window finalizes when the watermark passes its end — the
     * handler then emits its top-k by (est desc, user asc) with the
-    * window total, and drops the summary. State per (type, open
-    * window) is `capacity` counters — watermark-bounded, trigger-
-    * shape-independent in SIZE. Batch execution (no watermark)
-    * finalizes nothing, matching [[anomalyFlags]]' documented batch
+    * window total, and drops the summary. An IDLE type flushes too:
+    * the handler registers an event-time TIMEOUT at the earliest
+    * open window's end, so once the watermark (advanced by OTHER
+    * types' traffic) passes it, Spark invokes the handler with no
+    * rows and the window finalizes — without the timeout, a type
+    * that stops receiving events would hold its last windows open
+    * forever, the exact failure an abuse monitor can't afford.
+    * State per (type, open window) is `capacity` counters —
+    * watermark-bounded, trigger-shape-independent in SIZE. Batch
+    * execution (no watermark, timeouts never fire) finalizes
+    * nothing, matching [[anomalyFlags]]' documented batch
     * behavior. */
   def heavyHitters(
       events: Dataset[Event],
@@ -726,7 +750,7 @@ object EventStreams {
       .groupByKey(_.event_type)
       .flatMapGroupsWithState[HeavyState, HeavyRow](
         org.apache.spark.sql.streaming.OutputMode.Append(),
-        GroupStateTimeout.NoTimeout) {
+        GroupStateTimeout.EventTimeTimeout) {
         (typ: String, rows: Iterator[Event],
             state: GroupState[HeavyState]) =>
           var pending = state.getOption
@@ -751,12 +775,28 @@ object EventStreams {
             }
           // batch execution throws on getCurrentWatermarkMs — treat
           // as watermark 0: nothing finalizes (documented behavior)
-          val wmSec = scala.util.Try(state.getCurrentWatermarkMs())
-            .getOrElse(0L) / 1000L
+          val wmMs = scala.util.Try(state.getCurrentWatermarkMs())
+            .toOption
+          val wmSec = wmMs.getOrElse(0L) / 1000L
           val (done, keep) = pending.partition {
             case (w, _) => w + windowSecs <= wmSec
           }
-          state.update(HeavyState(keep))
+          // a type with no open windows holds no information — drop
+          // its state row entirely (new events recreate it) instead
+          // of keeping an empty struct per dead type forever
+          if (keep.isEmpty && wmMs.isDefined) state.remove()
+          else state.update(HeavyState(keep))
+          // idle-type flush: arm an event-time timeout at the
+          // earliest still-open window's end, so this handler runs
+          // again (with no rows) when the watermark passes it even
+          // if this type never receives another event. The end is
+          // strictly beyond the current watermark by construction
+          // (keep = windows NOT yet finalized), which is what
+          // setTimeoutTimestamp requires. Streaming only: batch
+          // execution has no watermark and timeouts never fire.
+          if (wmMs.isDefined && keep.nonEmpty)
+            state.setTimeoutTimestamp(
+              (keep.keys.min + windowSecs) * 1000L)
           done.toSeq.sortBy(_._1).iterator.flatMap { case (w, (m, n)) =>
             m.toSeq
               .sortBy { case (key, (est, _)) => (-est, key) }

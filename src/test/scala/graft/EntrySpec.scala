@@ -138,26 +138,57 @@ class EntrySpec extends SparkSpec {
       s"no cluster partition prune in q209 plan:\n$plan")
   }
 
-  test("round-17/18 queries (q185-q219): no cartesian, no unbounded per-group collect") {
-    // the sweeping audit for the round's whole wave: every new gated
-    // plan must be free of CartesianProduct (broadcast nested-loop
-    // against a bounded panel is the documented and ALLOWED shape —
-    // the exact-panel crossJoin(broadcast(qDf)) pattern) and must
-    // never buffer per-group lists. Catches a regression in any
-    // composed stage without a hand-written case per query.
-    val wave = SparkEntry.queries.keys.filter { n =>
-      val num = n.drop(1).takeWhile(_.isDigit)
-      num.nonEmpty && num.toInt >= 185 && num.toInt <= 219
-    }.toSeq.sorted
-    assert(wave.size == 35, s"expected 35 wave queries, got $wave")
-    for (q <- wave) {
-      val plan = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+  test("EVERY gated entry: no cartesian product, no unbounded per-group collect (named whitelists only)") {
+    // the all-entries plan sweep (r17 #4 / r18 #4): every gated plan —
+    // not just the newest wave — must be free of CartesianProduct
+    // (broadcast nested-loop against a bounded panel is the documented
+    // and ALLOWED shape — the exact-panel crossJoin(broadcast(qDf))
+    // pattern) and must never buffer per-group lists. A query that
+    // NEEDS an exception earns a named whitelist entry with the reason
+    // spelled out, so the exception is visible in review instead of
+    // silently excluded from the sweep.
+    val collectWhitelist: Map[String, String] = Map(
+      "q13_context_concat" ->
+        "A3 ordered concat folds the top-k retrieval panel — k-bounded",
+      "q16_history" ->
+        ("per-user chat history then last-10 truncation: state is " +
+          "conversation-bounded by the serving contract (F6)"),
+      "q20_chunker" ->
+        ("S2 assembles one markdown unit per source by definition — " +
+          "the collect IS the file-sized ingest unit"),
+      "q100_boilerplate_removal" ->
+        "per-doc removable start positions — document-length-bounded",
+      "q106_dedup_removal" ->
+        "per-doc removable start positions — document-length-bounded",
+      "q112_retention" ->
+        ("per-user active-day set — calendar-span-bounded, not " +
+          "event-count-bounded"),
+      "q139_postings_export" ->
+        ("per-term postings digest: the inverted-index artifact is the " +
+          "per-term list; a production export streams per-term shards, " +
+          "the gate pins its bytes via the fold"),
+      "q147_postings_shards" ->
+        "same per-term postings digest as q139, sharded")
+    val cartesianWhitelist: Map[String, String] = Map(
+      // (none today — 1-row × 1-row crossJoins plan as
+      // BroadcastNestedLoopJoin, which is allowed)
+    )
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    assert(names.size >= 215, s"sweep lost queries: ${names.size}")
+    val failures = scala.collection.mutable.ListBuffer[String]()
+    for (name <- names) {
+      val plan = SparkEntry.queries(name)(
+          spark, "/root/testdata/sf0.001")
         .queryExecution.executedPlan.toString
-      assert(!plan.contains("CartesianProduct"),
-        s"cartesian in $q plan:\n$plan")
-      assert(!plan.contains("collect_set") &&
-        !plan.contains("collect_list"),
-        s"unbounded per-group collect in $q plan:\n$plan")
+      if (plan.contains("CartesianProduct") &&
+          !cartesianWhitelist.contains(name))
+        failures += s"$name: CartesianProduct"
+      if ((plan.contains("collect_set") ||
+          plan.contains("collect_list")) &&
+          !collectWhitelist.contains(name))
+        failures += s"$name: unbounded per-group collect"
     }
+    assert(failures.isEmpty,
+      s"plan sweep violations:\n${failures.mkString("\n")}")
   }
 }

@@ -1220,4 +1220,198 @@ class IvfIndexSpec extends SparkSpec {
     // idempotent: nothing left to remove
     assert(IvfIndex.purgeFilesNotIn(spark, tmp, snap) == 0)
   }
+
+  test("rebalance: sabotage-then-repair — skew drops, rows preserved, search exact at full probe, contracts survive") {
+    // SABOTAGE: a deliberately under-fit root (nlist = 2 — both cells
+    // ~15× the target size, the mega-cell shape q206 diagnoses).
+    // REPAIR: rebalance(maxCellRows = n/6) must split both cells via
+    // sub-fit k-means, retire their ids, and leave a plain IVF whose
+    // search/append/delete contracts hold verbatim.
+    val n = embeddings.count()
+    val tmp = Files.createTempDirectory("graft-rebal-").toString
+    val path = s"$tmp/ivf"
+    IvfIndex.build(embeddings, "vec_id", "embedding", nlist = 2)
+      .write(path)
+    val before = spark.read.parquet(path)
+      .groupBy(col(IvfIndex.ClusterCol)).count()
+      .collect().map(_.getLong(1))
+    val maxCell = n / 6
+    assert(before.max > maxCell, "sabotage must be oversized")
+
+    val nSplit = IvfIndex.rebalance(spark, path, "vec_id", "embedding",
+      maxCellRows = maxCell)
+    // every initially-oversized cell split at least once (later passes
+    // may re-split uneven sub-cells — k-means does not balance)
+    assert(nSplit >= before.count(_ > maxCell),
+      s"expected >= ${before.count(_ > maxCell)} splits, got $nSplit " +
+        s"(sizes ${before.toSeq})")
+
+    val after = IvfIndex.load(spark, path, "vec_id", "embedding")
+    // rows preserved exactly: same count, every id exactly once
+    assert(after.assigned.count() == n)
+    assert(after.assigned.groupBy("vec_id").count()
+      .filter(col("count") > 1).isEmpty, "no id may duplicate")
+    // the skew measurably drops: every cell smaller than the old max,
+    // and the cell count grew (2 → ceil-split sub-cells)
+    val sizesAfter = after.assigned
+      .groupBy(col(IvfIndex.ClusterCol)).count()
+      .collect().map(_.getLong(1))
+    assert(sizesAfter.max <= maxCell,
+      s"rebalance must converge on this corpus (distinct points): " +
+        s"largest ${sizesAfter.max} > target $maxCell")
+    assert(after.nlist > 2)
+    // the split ids are retired: sidecar ids == directory ids
+    val dirIds = new java.io.File(path).listFiles()
+      .filter(f => f.isDirectory &&
+        f.getName.startsWith(s"${IvfIndex.ClusterCol}="))
+      .map(_.getName.split("=")(1).toInt).toSet
+    assert(dirIds == after.clusterIds.toSet,
+      s"sidecar/layout drift: $dirIds vs ${after.clusterIds.toSet}")
+    // search parity with a fresh index: at full probe BOTH are the
+    // exact top-k, so the repaired root hash-equals fresh by equaling
+    // the same exact truth
+    val q = queryVecs(1).head
+    val res = after.search(q, 10, nprobe = after.nlist,
+        tieBreak = Some("vec_id"))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(res == exactTopK(q, 10))
+    // append contract: a new row assigns against the NEW sidecar and
+    // is immediately searchable
+    import spark.implicits._
+    val novelVec = q.map(x => x + 0.0001f)
+    IvfIndex.appendTo(spark, path,
+      Seq((9999999L, novelVec)).toDF("vec_id", "embedding"),
+      "vec_id", "embedding")
+    val reloaded = IvfIndex.load(spark, path, "vec_id", "embedding")
+    // query WITH the appended vector: its own row (dist 0) must win
+    val hit = reloaded.search(novelVec, 1, nprobe = 2,
+        tieBreak = Some("vec_id"))
+      .select("vec_id").head().getLong(0)
+    assert(hit == 9999999L, s"appended row must win the probe, got $hit")
+    // idempotent: a balanced root is untouched
+    assert(IvfIndex.rebalance(spark, path, "vec_id", "embedding",
+      maxCellRows = maxCell) == 0)
+    // the lock is released — a follow-up compact can take it
+    assert(!new java.io.File(s"$path/${IvfIndex.CompactLockFile}")
+      .exists())
+  }
+
+  test("rebalance recovery: orphan cluster dirs (a crashed run's remnants) are purged, never half-visible") {
+    // crash simulation: a sub-cell directory whose id the sidecar does
+    // not know (the append-before-swap window). It must be invisible
+    // to search (probes rank sidecar ids only) and the next rebalance
+    // must purge it.
+    val tmp = Files.createTempDirectory("graft-rebal-crash-").toString
+    val path = s"$tmp/ivf"
+    IvfIndex.build(embeddings, "vec_id", "embedding", nlist = 4)
+      .write(path)
+    val n = spark.read.parquet(path).count()
+    // fabricate the orphan from real rows under an unknown cluster id
+    embeddings.limit(25).select("vec_id", "label", "embedding")
+      .write.parquet(s"$path/${IvfIndex.ClusterCol}=77")
+    spark.catalog.refreshByPath(path)
+    val idx = IvfIndex.load(spark, path, "vec_id", "embedding")
+    assert(idx.assigned.count() == n + 25, "orphan rows are on disk")
+    // ...but no probe ever selects id 77 (not in the sidecar), so the
+    // full-probe search still answers the exact pre-crash truth
+    val q = queryVecs(1).head
+    val res = idx.search(q, 10, nprobe = idx.nlist,
+        tieBreak = Some("vec_id"))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(res == exactTopK(q, 10))
+    // a rebalance (even a no-op one) purges the orphan first
+    assert(IvfIndex.rebalance(spark, path, "vec_id", "embedding",
+      maxCellRows = n) == 0)
+    assert(spark.read.parquet(path).count() == n,
+      "the crashed run's orphan rows must be purged")
+    assert(!new java.io.File(s"$path/${IvfIndex.ClusterCol}=77").exists())
+  }
+
+  test("filtered search: exact at full probe, widening math, selectivity-widened recall recovers the unwidened loss") {
+    val m = pmod(col("vec_id"), lit(3L)) === 1L
+    def filteredTruth(q: Seq[Float]): Set[Long] =
+      KnnSearch.topK(embeddings.filter(m), "embedding", q, 10,
+          KnnSearch.L2, tieBreak = Some("vec_id"))
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+    // at full probe the filtered search IS the exact filtered top-k
+    val q = queryVecs(1).head
+    val full = index.search(q, 10, nprobe = index.nlist,
+        tieBreak = Some("vec_id"), filter = Some(m))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(full == filteredTruth(q))
+    // widening: 1/selectivity probe multiplier, capped at nlist,
+    // selectivity validated, meaningless-without-filter rejected
+    assert(index.widenedNprobe(2, 1.0 / 3) == 6)
+    assert(index.widenedNprobe(4, 0.1) == index.nlist)
+    assert(index.widenedNprobe(2, 1.0) == 2)
+    intercept[IllegalArgumentException](index.widenedNprobe(2, 0.0))
+    intercept[IllegalArgumentException](index.search(q, 10, nprobe = 2,
+      filterSelectivity = Some(0.5)))
+    // recall vs the FILTERED truth at the ~33% predicate: the widened
+    // budget (2/selectivity = 6 probes) must recover at least what
+    // the unwidened 2 probes lose
+    def meanRecall(sel: Option[Double]): Double = {
+      val rs = queryVecs(10).map { qq =>
+        val t = filteredTruth(qq)
+        val a = index.search(qq, 10, nprobe = 2,
+            tieBreak = Some("vec_id"), filter = Some(m),
+            filterSelectivity = sel)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        t.intersect(a).size.toDouble / 10
+      }
+      rs.sum / rs.size
+    }
+    val unwidened = meanRecall(None)
+    val widened = meanRecall(Some(1.0 / 3))
+    assert(widened >= unwidened,
+      s"widening must not lose recall: $widened < $unwidened")
+    assert(widened >= 0.9,
+      s"widened filtered recall too low: $widened (unwidened $unwidened)")
+  }
+
+  test("filtered search on a persisted root keeps the cluster PartitionFilters with the predicate present") {
+    val tmp = Files.createTempDirectory("graft-ivf-filt-").toString
+    index.write(s"$tmp/ivf")
+    val loaded = IvfIndex.load(spark, s"$tmp/ivf", "vec_id", "embedding")
+    val q = queryVecs(1).head
+    val m = pmod(col("vec_id"), lit(3L)) === 1L
+    val scan = loaded.probedScan(q, nprobe = 2, filter = Some(m))
+    val plan = scan.queryExecution.executedPlan.toString
+    val pf = "PartitionFilters: \\[[^\\]]*__ivf_cluster[^\\]]*\\]".r
+      .findFirstIn(plan)
+    assert(pf.exists(f => !f.contains("[]")),
+      s"predicate must not evict the cluster prune:\n$plan")
+    // and search through the same scan answers the filtered truth
+    // at full probe
+    val res = loaded.search(q, 10, nprobe = loaded.nlist,
+        tieBreak = Some("vec_id"), filter = Some(m))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val truth = KnnSearch.topK(embeddings.filter(m), "embedding", q,
+        10, KnnSearch.L2, tieBreak = Some("vec_id"))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(res == truth)
+  }
+
+  test("filtered searchBatch is bit-equal per query to single filtered search at the same widened budget") {
+    val m = pmod(col("vec_id"), lit(3L)) === 1L
+    val qs = embeddings.filter(col("vec_id").isin(0, 1, 2))
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val batch = index.searchBatch(qs, "qid", "qv", k = 5, nprobe = 2,
+        tieBreak = "vec_id", rankRoundDp = Some(4), filter = Some(m),
+        filterSelectivity = Some(1.0 / 3))
+      .select(col("query_id"), col("vec_id"), col("dist"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.map(x => (x._2, x._3)).toSet).toMap
+    for (qid <- Seq(0L, 1L, 2L)) {
+      val qv = embeddings.filter(col("vec_id") === qid)
+        .select("embedding").head().getSeq[Float](0)
+      val single = index.search(qv, 5, nprobe = 2,
+          tieBreak = Some("vec_id"), rankRoundDp = Some(4),
+          filter = Some(m), filterSelectivity = Some(1.0 / 3))
+        .select(col("vec_id"), col("dist"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(batch(qid) == single,
+        s"filtered batch/single divergence for query $qid")
+    }
+  }
 }

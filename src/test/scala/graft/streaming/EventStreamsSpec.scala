@@ -331,6 +331,13 @@ class EventStreamsSpec extends SparkSpec {
     val path = s"$tmp/ivf"
     val built = IvfIndex.build(base, "vec_id", "embedding", nlist = 8)
     built.write(path)
+    // the pre-append data-file listing — exactly what batch 0's
+    // .started marker records before its append; used below to
+    // reconstruct the crash state (the commit path DELETES .started,
+    // so the simulation must put it back the way the crash left it)
+    val rootP = new org.apache.hadoop.fs.Path(path)
+    val fsH = rootP.getFileSystem(spark.sessionState.newHadoopConf())
+    val preSnap = IvfIndex.listDataFiles(fsH, rootP).toSeq.sorted
     val b1 = emb.filter(col("vec_id") % 2 === 1).limit(50)
       .select("vec_id", "embedding").collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1)))
@@ -362,14 +369,21 @@ class EventStreamsSpec extends SparkSpec {
     assert(count() == afterFirst,
       "a marked batch must be idempotently skipped on re-delivery")
 
-    // the append left a .started marker alongside the commit marker —
-    // the breadcrumb the crash-recovery purge keys on
+    // once the commit marker lands, the .started breadcrumb (which
+    // carries a full root file listing) is CLEANED UP — leaving it
+    // would grow _ingest_log O(batches × files) over a long ingest
     val started =
       new java.io.File(s"$path/_ingest_log/chaos-a/batch-0.started")
-    assert(started.exists(),
-      "a committed batch leaves its .started marker too")
+    assert(!started.exists(),
+      "a committed batch must clean up its .started marker")
 
-    assert(marker.delete()) // act 3: crash between append and marker
+    // act 3: crash between append and marker — the crash leaves the
+    // append's files on disk, the .started marker (with the
+    // pre-append snapshot) present, and NO commit marker; reconstruct
+    // exactly that state
+    java.nio.file.Files.writeString(started.toPath,
+      preSnap.mkString("\n"))
+    assert(marker.delete())
     deliver("ckpt3")
     val loaded = IvfIndex.load(spark, path, "vec_id", "embedding")
     // started-but-not-committed → the re-delivery PURGES the crashed
@@ -383,6 +397,8 @@ class EventStreamsSpec extends SparkSpec {
     assert(perId.values.forall(_ == 1L),
       "no row is duplicated after crash recovery")
     assert(marker.exists(), "the re-delivery restores the marker")
+    assert(!started.exists(),
+      "the re-delivered commit cleans up .started again")
     // centroids (and so probe planning) are untouched and search still
     // answers the right id
     assert(loaded.centroids.map(_.toSeq).toSeq ==
@@ -424,6 +440,13 @@ class EventStreamsSpec extends SparkSpec {
     val b1 = b1new :+ (sharedId, b0.head._2)
     val embedStage =
       (df: DataFrame) => df.select(col("vec_id"), col("embedding"))
+    // batch 2's PRE-append data-file listing (captured after batch 0
+    // commits, before batch 2 appends, on the first delivery only) —
+    // what its .started marker recorded; the commit path deletes the
+    // marker, so the crash simulation below reconstructs it from this
+    val rootP = new org.apache.hadoop.fs.Path(path)
+    val fsH = rootP.getFileSystem(spark.sessionState.newHadoopConf())
+    var snapB2: Seq[String] = null
     def deliver(ckpt: String): Unit = {
       val input = MemoryStream[(Long, Timestamp, String, Seq[Float])]
       val docs = input.toDF().toDF("vec_id", "ts", "text", "embedding")
@@ -434,6 +457,8 @@ class EventStreamsSpec extends SparkSpec {
         input.addData(b0.map { case (id, v) =>
           (id, ts(0), s"first doc $id", v) }.toSeq: _*)
         query.processAllAvailable()
+        if (snapB2 == null)
+          snapB2 = IvfIndex.listDataFiles(fsH, rootP).toSeq.sorted
         input.addData(b1.map { case (id, v) =>
           (id, ts(1), s"second doc $id", v) }.toSeq: _*)
         query.processAllAvailable()
@@ -449,20 +474,25 @@ class EventStreamsSpec extends SparkSpec {
     // so a numbering change fails loudly instead of silently weakening
     // the test.
     val log = new java.io.File(s"$path/_ingest_log/xbatch-a")
+    // commit markers only: every .started was cleaned up at commit
+    // (empty batches 1 and 3 never write one at all)
     assert(log.listFiles().map(_.getName).toSet
-      .filterNot(n => n.contains(".started") || n.startsWith(".")) ==
+      .filterNot(_.startsWith(".")) ==
       Set("batch-0", "batch-1", "batch-2", "batch-3"))
     val marker2 =
       new java.io.File(s"$path/_ingest_log/xbatch-a/batch-2")
     val started2 =
       new java.io.File(s"$path/_ingest_log/xbatch-a/batch-2.started")
-    assert(marker2.exists() && started2.exists())
+    assert(marker2.exists() && !started2.exists())
     // b1's .started snapshot predates its own append but includes b0's
-    // files — nonempty, unlike an empty batch's (vacuity tripwire #2)
-    assert(java.nio.file.Files.readString(started2.toPath)
-      .linesIterator.count(_.nonEmpty) > 0)
+    // files — nonempty, unlike an empty snapshot (vacuity tripwire #2)
+    assert(snapB2 != null && snapB2.nonEmpty)
 
-    assert(marker2.delete()) // crash between batch 2's append + marker
+    // crash between batch 2's append + marker: its files are on disk,
+    // its .started (pre-append snapshot) present, commit marker gone
+    java.nio.file.Files.writeString(started2.toPath,
+      snapB2.mkString("\n"))
+    assert(marker2.delete())
     deliver("ckpt2")         // fresh run: batch 0 skipped, batch 2 recovered
     val perId = spark.read.parquet(path).groupBy("vec_id").count()
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -1138,6 +1168,45 @@ class EventStreamsSpec extends SparkSpec {
       assert(w1 == Seq((1704067200L + 600L, 7L, 3L, 0L, 6L),
         (1704067200L + 600L, 8L, 2L, 0L, 6L),
         (1704067200L + 600L, 9L, 1L, 0L, 6L)), w1.toString)
+    } finally query.stop()
+  }
+
+  test("heavyHitters: an IDLE type's windows flush via the event-time timeout when other traffic advances the watermark") {
+    // the r18-advice gap: with NoTimeout the handler only ran for
+    // types present in the current batch, so a type that stopped
+    // receiving traffic held its windows open forever. Now the
+    // handler arms an EventTimeTimeout at the earliest open window's
+    // end — here 'burst' goes quiet after window 0 and ONLY 'other'
+    // traffic advances the watermark, yet burst's window finalizes.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def tsec(s: Long): Timestamp = new Timestamp(1704067200000L + s * 1000)
+    var id = 0L
+    def ev(s: Long, user: Long, typ: String): Event = {
+      id += 1; Event(id, tsec(s), user, typ, 1.0)
+    }
+    val input = MemoryStream[Event]
+    val query = EventStreams
+      .heavyHitters(input.toDS(), windowSecs = 600L, k = 3,
+        capacity = 4, watermark = "2 minutes")
+      .writeStream.format("memory").queryName("heavy_idle")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(ev(10L, 1L, "burst"), ev(20L, 1L, "burst"),
+        ev(30L, 2L, "burst"))
+      query.processAllAvailable()
+      // two sentinel batches of a DIFFERENT type: the first advances
+      // the watermark past burst's window end, the second's trigger
+      // fires burst's timeout (timeouts evaluate against the batch's
+      // starting watermark — the usual two-sentinel shape)
+      input.addData(ev(3600L, 99L, "other")); query.processAllAvailable()
+      input.addData(ev(4200L, 99L, "other")); query.processAllAvailable()
+      val rows = spark.table("heavy_idle")
+        .filter($"event_type" === "burst")
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toSeq.sortBy(x => (-x._3, x._2))
+      assert(rows == Seq((1704067200L, 1L, 2L, 0L, 3L),
+        (1704067200L, 2L, 1L, 0L, 3L)), rows.toString)
     } finally query.stop()
   }
 
