@@ -908,6 +908,25 @@ object SparkEntry {
       p
     })
 
+  /** The REFIT root for `dir` (q222): [[Pq.refitRoot]] run on the
+    * q186 MAINTAINED drift root — whose books are stale by
+    * construction (fit on the unshifted 80%, then a shifted 20%
+    * appended against them). The refit re-fits books from the root's
+    * CURRENT rows and re-encodes; because fit's sample is
+    * orderBy(id)-deterministic, the result must BIT-EQUAL the fresh
+    * final-corpus build (q186's refit leg root), whose export q222's
+    * oracle replays. */
+  private val refitPathCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def refitRootFor(s: SparkSession, dir: String): String =
+    refitPathCache.computeIfAbsent(dir, _ => {
+      val (driftM, _) = driftRootsFor(s, dir)
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_refit_").toString + "/pq"
+      Pq.refitRoot(s, driftM, p, "vec_id", "embedding")
+      p
+    })
+
   /** The MAINTAINED OPQ root for `dir` (q189): the q183
     * sabotage-then-repair cycle over the PERMUTED-code rung — built
     * from a sabotaged snapshot with [[opqRootFor]]'s books AND
@@ -8225,6 +8244,34 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
             col("vec_id"), col("dist"))
       leg("1_full", idx.nlist).unionByName(leg("2_probed", 2))
         .orderBy(col("strategy"), col("rank"))
+    }),
+
+    "q222_refit_search" -> ((s, dir) => {
+      // REFIT LIFECYCLE under the gate (q186 measured WHEN a refit
+      // beats maintaining; Pq.refitRoot is the operator that acts on
+      // it, and this hashes that it acts CORRECTLY): the root behind
+      // this query is the q186 maintained drift root — books fit on
+      // the unshifted 80%, a distribution-shifted 20% appended
+      // against them (stale by construction) — passed through
+      // Pq.refitRoot, which re-fits books from the root's CURRENT
+      // rows and re-encodes every code. The oracle replays the q73
+      // ADC + exact-re-rank search over the FRESH final-corpus
+      // build's export (q186's refit leg — never this root's own
+      // data), so hash equality proves refit(maintained) ≡ a fresh
+      // build bit for bit: books, codes, and ranking. The query is
+      // drawn from the SHIFTED region, where the stale books err
+      // most. Scale shape: refit = one bounded driver-side sample
+      // fit + one narrow re-encode pass; the search is the q73
+      // two-pass ADC shape.
+      VectorExpressions.ensureRegistered(s)
+      val root = Pq.loadRoot(s, refitRootFor(s, dir))
+      val qv = driftCorpus(s, dir).filter(col("vec_id") === 3L)
+        .select("embedding").head().getSeq[Float](0)
+      Pq.topK(root.data(s), "vec_id", "embedding", qv, k = pqK,
+          root.books, refine = pqRefine, tieBreak = Some("vec_id"),
+          rankRoundDp = Some(4))
+        .select(col("vec_id"), col("dist"))
+        .orderBy(col("dist"), col("vec_id"))
     })
   )
 
@@ -13140,7 +13187,11 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
     // q221: the rebalanced root's full-probe leg vs the exact top-10
     // from the RAW corpus (repair lost/duplicated nothing) + the
     // probed leg replayed over the rebalanced sidecar export.
-    "q221_rebalanced_search" -> rebalancedSearchOracleSql
+    "q221_rebalanced_search" -> rebalancedSearchOracleSql,
+
+    // q222: the q73 ADC replay over the FRESH final-corpus export
+    // (r186) — the refit-of-maintained root must hash-equal it.
+    "q222_refit_search" -> refitSearchOracleSql
   )
 
   /** The kNN-graph replay CTE chain over the exported IVF replica
@@ -13969,6 +14020,47 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
              row_number() OVER (ORDER BY dist, vec_id)::BIGINT,
              vec_id, dist FROM probed)
          ORDER BY strategy, rank"""
+
+  /** q222's oracle: the q73 flat ADC + exact-re-rank replay, but over
+    * the FRESH final-corpus drift export (r186 books + data) with the
+    * SHIFTED vec-3 query — the refit-of-maintained root's search must
+    * hash-equal it, proving [[Pq.refitRoot]] reproduced the fresh
+    * build's books and codes exactly. */
+  private lazy val refitSearchOracleSql: String = {
+    val shiftSql =
+      s"""CASE WHEN e.vec_id % 5 = 3
+           THEN list_transform(range(1, len(e.embedding) + 1),
+             j -> CASE WHEN j <= $opqAnisoBand
+                  THEN e.embedding[j]::DOUBLE * 8
+                  ELSE e.embedding[j]::DOUBLE END)
+           ELSE e.embedding::DOUBLE[] END"""
+    raw"""WITH q AS (
+           SELECT $shiftSql AS qv FROM embeddings e
+           WHERE e.vec_id = 3),
+         tab AS (
+           SELECT cb.sub, cb.code,
+             list_sum(list_transform(range(1, len(cb.centroid) + 1),
+               j -> (cb.centroid[j]::DOUBLE
+                       - q.qv[cb.sub * len(cb.centroid) + j]) *
+                    (cb.centroid[j]::DOUBLE
+                       - q.qv[cb.sub * len(cb.centroid) + j])))
+               AS partial
+           FROM read_parquet('$IvfOracleRoot/r186/books/*.parquet') cb,
+             q),
+         ad AS (
+           SELECT e.vec_id,
+${pqAdcSumSql()}
+             AS d
+           FROM read_parquet('$IvfOracleRoot/r186/data/*.parquet') e),
+         cand AS (SELECT vec_id FROM ad ORDER BY d, vec_id
+                  LIMIT ${pqK * pqRefine})
+         SELECT e.vec_id,
+           floor(list_distance(e.embedding::DOUBLE[], (SELECT qv FROM q))
+             * 1e4 + 0.5::DOUBLE) / 1e4 AS dist
+         FROM read_parquet('$IvfOracleRoot/r186/data/*.parquet') e, q
+         WHERE e.vec_id IN (SELECT vec_id FROM cand)
+         ORDER BY dist, vec_id LIMIT $pqK"""
+  }
 
   /** q208's oracle: Gonzalez farthest-first unrolled step by step.
     * Step t scans the corpus minus the selected set, takes min over

@@ -985,6 +985,62 @@ object Pq {
     }
   }
 
+  /** REFIT lifecycle — the operator q186 priced but the engine could
+    * not run: rebuild a root's quantizer from its CURRENT rows into
+    * `destPath`. A maintained root's books go stale as appends drift
+    * the corpus distribution ([[appendEncoded]] encodes against the
+    * FIXED build-time books by contract); q186 measured the recall
+    * gap that opens and when a refit pays — this closes the loop.
+    *
+    * Family dispatch mirrors the build exactly: cosine books refit
+    * normalized, an OPQ root re-derives its permutation from the
+    * current rows and refits in the permuted coordinates, a residual
+    * root refits over residuals, and an IVF layout keeps its STORED
+    * centroids — the quantizer refits, the partition layout does not
+    * ([[graft.operators.IvfIndex.rebalance]] owns the centroid
+    * lifecycle). Hyperparameters default to the source books' own
+    * shape (same m, same ksub), and [[fit]]'s sample is
+    * `orderBy(id).limit(n)` — storage order is immaterial — so
+    * refitting a maintained root is BIT-EQUAL to a fresh build over
+    * the same rows (gate q222 hashes exactly that).
+    *
+    * Copy-based like [[IvfIndex.compact]]: the live root stays
+    * intact until the caller swaps readers — under a versioned
+    * layout, [[graft.sources.VersionedRoot.publish]] is that swap.
+    * Scale shape: one bounded driver-side sample fit (sampleN rows),
+    * one encode pass over the corpus (narrow, per-row), one
+    * partitioned write — no corpus-scale shuffle beyond the
+    * partitioning the layout already demands. */
+  def refitRoot(spark: SparkSession, srcPath: String, destPath: String,
+      idCol: String, vecCol: String, sampleN: Int = 256,
+      seed: Long = 42L, iterations: Int = 10): Unit = {
+    require(new org.apache.hadoop.fs.Path(srcPath) !=
+      new org.apache.hadoop.fs.Path(destPath),
+      s"refitRoot: src and dest must differ (copy-based, like compact)")
+    val src = loadRoot(spark, srcPath)
+    val m = src.books.m
+    val ksub = src.books.ksub
+    val corpus = src.data(spark).drop(CodeCol)
+    val perm = src.perm.map(_ => opqPermutation(corpus, vecCol, m))
+    val books =
+      if (src.residual) {
+        val (cents, cids) = src.ivf.getOrElse(throw new IllegalStateException(
+          s"refitRoot: residual root $srcPath lost its centroids sidecar"))
+        fitResidual(corpus, idCol, vecCol, cents, cids, m, ksub,
+          sampleN, seed, iterations)
+      } else perm match {
+        case Some(p) =>
+          fit(corpus.withColumn(OpqVecCol, permuteCol(vecCol, p)),
+            idCol, OpqVecCol, m, ksub, sampleN, seed, iterations,
+            normalized = src.books.normalized)
+        case None =>
+          fit(corpus, idCol, vecCol, m, ksub, sampleN, seed, iterations,
+            normalized = src.books.normalized)
+      }
+    writeRoot(spark, destPath, corpus, vecCol, books,
+      residual = src.residual, ivf = src.ivf, perm = perm)
+  }
+
   def loadRoot(spark: SparkSession, path: String): PqRoot = {
     val books = load(spark, s"$path/$BooksSubdir")
     val residual = spark.read.parquet(s"$path/$MetaSubdir")

@@ -453,7 +453,13 @@ object EventStreams {
     * slots in — then the index root is RE-LOADED (a sidecar read plus
     * a lazy parquet listing, no corpus scan) so rows appended by a
     * concurrent [[indexedIngest]] become searchable at the very next
-    * trigger, and one searchBatch serves the whole batch: probe
+    * trigger. `indexPath` may also be a
+    * [[graft.sources.VersionedRoot]] BASE: the `_current` pointer is
+    * resolved per trigger, so a rebuild published by pointer swap
+    * (compact/rebalance/refit into `v-N` + `publish`) is served
+    * atomically from the next batch — no retire-then-move window
+    * where a trigger finds no root. One searchBatch serves the whole
+    * batch: probe
     * planning collects only the micro-batch's queries (bounded by the
     * trigger, the documented query-set regime) and the corpus-side
     * scan is pruned to the UNION of their probed clusters.
@@ -521,7 +527,14 @@ object EventStreams {
             val dest = new org.apache.hadoop.fs.Path(
               s"$outPath/results/batch_id=$batchId")
             if (!fs.exists(dest) && !embedded.isEmpty) {
-              val idx = graft.operators.IvfIndex.load(spark, indexPath,
+              // follow the version pointer (if the root is versioned)
+              // ONCE PER TRIGGER: a publisher's atomic pointer swap
+              // (VersionedRoot.publish — rename, never a torn read)
+              // lands at the very next batch with no channel into
+              // this JVM; an unversioned indexPath resolves to itself
+              val liveRoot = graft.sources.VersionedRoot
+                .resolve(spark, indexPath)
+              val idx = graft.operators.IvfIndex.load(spark, liveRoot,
                 idCol, vecCol)
               val staging = new org.apache.hadoop.fs.Path(
                 s"$outPath/_serving_staging/$servingId/batch-$batchId")

@@ -594,4 +594,59 @@ class PqSpec extends SparkSpec {
     assert(plan.contains(Pq.CodeCol) && !plan.contains("embedding"),
       s"approx pass must not read the float column:\n$plan")
   }
+
+  test("refitRoot: refit of a maintained root bit-equals the fresh build; OPQ perm re-derives; same-path refused") {
+    import spark.implicits._
+    val emb = embeddings.select("vec_id", "embedding")
+    val base = emb.filter(pmod(col("vec_id"), lit(5L)) =!= 3L)
+    val appended = emb.filter(pmod(col("vec_id"), lit(5L)) === 3L)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-refit-")
+      .toString
+    // MAINTAINED root: books fit on 80%, the rest appended against
+    // them (q186's drift construction, unshifted is enough here —
+    // bit-equality is the claim, not recall)
+    val maintained = s"$tmp/maintained"
+    Pq.writeRoot(spark, maintained, base, "embedding",
+      Pq.fit(base, "vec_id", "embedding", m = 8, ksub = 16))
+    Pq.appendEncoded(spark, maintained, appended, "embedding")
+    val refit = s"$tmp/refit"
+    Pq.refitRoot(spark, maintained, refit, "vec_id", "embedding")
+    // FRESH build over the full corpus with the same hyperparameters
+    val fresh = s"$tmp/fresh"
+    Pq.writeRoot(spark, fresh, emb, "embedding",
+      Pq.fit(emb, "vec_id", "embedding", m = 8, ksub = 16))
+    def codesOf(p: String): Map[Long, Seq[Byte]] =
+      spark.read.parquet(s"$p/data")
+        .select("vec_id", Pq.CodeCol).collect()
+        .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    val (rBooks, fBooks) =
+      (Pq.load(spark, s"$refit/books"), Pq.load(spark, s"$fresh/books"))
+    rBooks.cb.zip(fBooks.cb).foreach { case (a, b) =>
+      a.zip(b).foreach { case (x, y) => assert(x.sameElements(y),
+        "refit books must bit-equal the fresh fit") }
+    }
+    assert(codesOf(refit) == codesOf(fresh),
+      "refit codes must bit-equal the fresh encode, row for row")
+
+    // OPQ root: the refit must RE-DERIVE the permutation from the
+    // current rows and stay loadable/searchable
+    val perm = Pq.opqPermutation(base, "embedding", 8)
+    val opqSrc = s"$tmp/opq"
+    Pq.writeRoot(spark, opqSrc, base, "embedding",
+      Pq.fit(base.withColumn("__ov", Pq.permuteCol("embedding", perm)),
+        "vec_id", "__ov", m = 8, ksub = 16),
+      perm = Some(perm))
+    Pq.appendEncoded(spark, opqSrc, appended, "embedding")
+    val opqRefit = s"$tmp/opq_refit"
+    Pq.refitRoot(spark, opqSrc, opqRefit, "vec_id", "embedding")
+    val loaded = Pq.loadRoot(spark, opqRefit)
+    assert(loaded.perm.nonEmpty, "OPQ refit must keep a permutation")
+    val freshPerm = Pq.opqPermutation(emb, "embedding", 8)
+    assert(loaded.perm.get.sameElements(freshPerm),
+      "the refit permutation must re-derive from the CURRENT rows")
+    assert(loaded.data(spark).count() == emb.count())
+
+    intercept[IllegalArgumentException](
+      Pq.refitRoot(spark, refit, refit, "vec_id", "embedding"))
+  }
 }

@@ -673,22 +673,33 @@ class EventStreamsSpec extends SparkSpec {
     assert(m0.exists(), "the re-run must restore the lost marker")
   }
 
-  test("servingSearch under maintenance: deletes visible next trigger; compact + root swap served seamlessly") {
-    // the r16 chaos brief: the scaladoc promises the serving face
-    // coexists with the whole maintenance surface — exercise a
-    // deleteByIds, a copy-based compact WHILE the stream is live, and
-    // the root SWAP, pinning next-trigger visibility of each and that
-    // no trigger ever reads a torn root
+  test("servingSearch under maintenance: deletes visible next trigger; compact published by POINTER SWAP served seamlessly") {
+    // the r16 chaos brief, re-pointed (r18 #3) at the VersionedRoot
+    // pointer swap instead of a directory rename: the serving face is
+    // handed the BASE, maintenance writes v-2 and publishes it by
+    // atomic pointer rename — no retire-then-move window where a
+    // trigger finds no root at all. Exercises deleteByIds on the live
+    // version, a copy-based compact into the next version WHILE the
+    // stream is live, and the publish, pinning next-trigger
+    // visibility of each.
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     import org.apache.spark.sql.DataFrame
     import graft.operators.IvfIndex
+    import graft.sources.VersionedRoot
     val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     val base = emb.filter(col("vec_id") % 2 === 0)
     val tmp = java.nio.file.Files
       .createTempDirectory("graft-serve-chaos-").toString
-    val path = s"$tmp/live"
-    IvfIndex.build(base, "vec_id", "embedding", nlist = 8).write(path)
+    val root = s"$tmp/live"
+    assert(VersionedRoot.nextVersion(spark, root) == 1)
+    IvfIndex.build(base, "vec_id", "embedding", nlist = 8)
+      .write(VersionedRoot.versionDir(root, 1))
+    // publishing a version that was never written must fail loudly
+    intercept[IllegalArgumentException](
+      VersionedRoot.publish(spark, root, 9))
+    VersionedRoot.publish(spark, root, 1)
+    assert(VersionedRoot.resolve(spark, root) == s"$root/v-1")
     val out = s"$tmp/out"
     val qRows = emb.filter(col("vec_id") % 2 === 1)
       .select("vec_id", "embedding").orderBy("vec_id").limit(3)
@@ -696,7 +707,8 @@ class EventStreamsSpec extends SparkSpec {
     val input = MemoryStream[(Long, Seq[Float])]
     val embedStage = (df: DataFrame) => df.select(col("qid"), col("qv"))
     def expected(qs: Seq[(Long, Seq[Float])]) =
-      IvfIndex.load(spark, path, "vec_id", "embedding")
+      IvfIndex.load(spark, VersionedRoot.resolve(spark, root),
+          "vec_id", "embedding")
         .searchBatch(qs.toDF("qid", "qv"), "qid", "qv",
           k = 5, nprobe = 3, tieBreak = "vec_id", rankRoundDp = Some(4))
         .select(col("query_id"), col("vec_id"), col("dist"))
@@ -709,20 +721,20 @@ class EventStreamsSpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     val query = EventStreams.servingSearch(
         input.toDF().toDF("qid", "qv"), embedStage,
-        "qid", "qv", path, "vec_id", "embedding", out, "serve-chaos",
+        "qid", "qv", root, "vec_id", "embedding", out, "serve-chaos",
         k = 5, nprobe = 3)
       .option("checkpointLocation", s"$tmp/ckpt").start()
     try {
-      // batch 0: baseline
+      // batch 0: baseline, served through the pointer
       input.addData(qRows.toSeq: _*)
       query.processAllAvailable()
       val r0 = resultsFor(0L)
       assert(r0 == expected(qRows.toSeq), "baseline batch must match")
 
-      // deleteByIds the top hit of the first query → the NEXT trigger
-      // must not serve the retired row
+      // deleteByIds ON THE LIVE VERSION the pointer names → the NEXT
+      // trigger must not serve the retired row
       val doomed = r0.filter(_._1 == qRows.head._1).minBy(_._3)._2
-      IvfIndex.deleteByIds(spark, path,
+      IvfIndex.deleteByIds(spark, VersionedRoot.resolve(spark, root),
         Seq(doomed).toDF("vec_id"), "vec_id", "embedding")
       val qs1 = qRows.map { case (id, v) => (id + 1000L, v) }.toSeq
       input.addData(qs1: _*)
@@ -733,39 +745,40 @@ class EventStreamsSpec extends SparkSpec {
       assert(r1 == expected(qs1),
         "post-delete batch must match searchBatch on the maintained root")
 
-      // compact (copy-based) WHILE the stream is live: a trigger that
-      // fires mid-lifecycle serves the OLD root — the source stays
-      // intact until the caller swaps
-      val compacted = s"$tmp/compacted"
-      IvfIndex.compact(spark, path, compacted)
+      // compact (copy-based) into the NEXT VERSION while the stream is
+      // live: a trigger that fires before the publish serves the old
+      // version — the pointer still names it
+      assert(VersionedRoot.nextVersion(spark, root) == 2)
+      IvfIndex.compact(spark, s"$root/v-1",
+        VersionedRoot.versionDir(root, 2))
       val qs2 = qRows.map { case (id, v) => (id + 2000L, v) }.toSeq
       val expOld = expected(qs2)
       input.addData(qs2: _*)
       query.processAllAvailable()
       assert(resultsFor(2L) == expOld,
-        "a trigger between compact and swap serves the old root")
+        "a trigger between compact and publish serves the old version")
 
-      // the SWAP: retire the live root, move the compacted root into
-      // its place — the serving face re-loads per trigger, so the
-      // very next batch must answer from the compacted root with no
-      // torn read (compact preserves contents, so answers are
-      // hash-equal to the pre-swap root's)
-      val livePath = java.nio.file.Paths.get(path)
-      java.nio.file.Files.move(livePath,
-        java.nio.file.Paths.get(s"$tmp/retired"))
-      java.nio.file.Files.move(java.nio.file.Paths.get(compacted),
-        livePath)
-      // deliberately NO refreshByPath here: the swapper is a different
-      // process in production and cannot reach the serving JVM's
-      // caches — the serving face's own per-trigger re-list must cope
+      // the PUBLISH: one atomic pointer rename — the serving face
+      // resolves the pointer per trigger, so the very next batch
+      // answers from v-2; both versions stay whole on disk throughout
+      // (no torn-root window by construction). NO refreshByPath: the
+      // publisher is a different process in production and cannot
+      // reach the serving JVM's caches.
+      VersionedRoot.publish(spark, root, 2)
+      assert(VersionedRoot.resolve(spark, root) == s"$root/v-2")
       val qs3 = qRows.map { case (id, v) => (id + 3000L, v) }.toSeq
       input.addData(qs3: _*)
       query.processAllAvailable()
       val r3 = resultsFor(3L)
       assert(r3 == expected(qs3),
-        "post-swap batch must match searchBatch on the swapped root")
+        "post-publish batch must match searchBatch on the new version")
       assert(r3.map { case (q, v, d) => (q - 1000L, v, d) } == expOld,
-        "compact+swap must preserve every answer bit for bit")
+        "compact+publish must preserve every answer bit for bit")
+      // rollback stays one publish away until pruned; prune keeps the
+      // current version and removes the retired one
+      assert(VersionedRoot.prune(spark, root, keep = 0) == Seq(1))
+      assert(new java.io.File(s"$root/v-2").exists() &&
+        !new java.io.File(s"$root/v-1").exists())
     } finally query.stop()
   }
 
