@@ -199,24 +199,97 @@ object SparkEntry {
       "         ORDER BY query_id, score DESC, doc_id"
   }
 
+  /** Cross-session cache for every derived index root (the r17/r18
+    * temp-root-lifecycle item): the 23 per-corpus artifacts behind the
+    * gated queries (IVF roots, kNN/layer graphs, PQ/OPQ/residual/
+    * binary roots, CDC/drift/rebalance/refit fixtures) used to land in
+    * fresh `createTempDirectory` dirs — rebuilt every session, cleaned
+    * by nobody. They now build ONCE into a deterministic slot keyed on
+    * the CORPUS FINGERPRINT (name + size + mtime of every parquet
+    * under the sf dir, so regenerated testdata can never serve stale
+    * roots) and are reused by every later session: a second Verify or
+    * Bench run rebuilds zero roots (spec-pinned).
+    *
+    * Publish discipline: build into a pid-suffixed staging dir, then
+    * one atomic directory RENAME into the slot — a reader sees a
+    * complete root or none, and a concurrent builder that loses the
+    * race just adopts the winner's slot and drops its own staging.
+    * A crashed build leaves only an unpublished staging dir; stale
+    * stagings and dead fingerprints (older testdata generations) are
+    * reaped past a 48 h grace window, the
+    * [[exportIvfOracles]] reaper convention. Bump
+    * [[RootCacheFormatVersion]] whenever any builder's recipe
+    * changes — the version is in the base path, so old-format roots
+    * become unreachable rather than silently wrong. */
+  private val RootCacheFormatVersion = 1
+  private lazy val rootCacheBase: String = {
+    val tmp = sys.props.getOrElse("java.io.tmpdir", "/tmp")
+      .stripSuffix("/")
+    val user = sys.props.getOrElse("user.name", "anon")
+    s"$tmp/graft_root_cache_v${RootCacheFormatVersion}_$user"
+  }
+  private def corpusFingerprint(dir: String): String = {
+    def sig(f: java.io.File): String =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).sortBy(_.getName)
+          .map(c => s"${c.getName}:${c.length}:${c.lastModified}")
+          .mkString(s"${f.getName}[", ",", "]")
+      else s"${f.getName}:${f.length}:${f.lastModified}"
+    val entries = Option(new java.io.File(dir).listFiles())
+      .getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      .map(sig)
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(entries.mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+  }
+  private[graft] def cachedRoot(dir: String, name: String,
+      sub: String = "")(build: String => Unit): String = {
+    val key = corpusFingerprint(dir)
+    val slot = new java.io.File(s"$rootCacheBase/$key/$name")
+    def subPath(base: java.io.File): String =
+      if (sub.isEmpty) base.getPath else s"${base.getPath}/$sub"
+    if (!slot.isDirectory) {
+      // reap other-generation fingerprints and crashed stagings, past
+      // a grace window long enough for any concurrent multi-SF run
+      val cutoff = System.currentTimeMillis() - 48L * 3600 * 1000
+      Option(new java.io.File(rootCacheBase).listFiles())
+        .getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName != key &&
+          f.lastModified() < cutoff)
+        .foreach(org.apache.hadoop.fs.FileUtil.fullyDelete)
+      val staging = new java.io.File(slot.getParentFile,
+        s".building-$name-${ProcessHandle.current().pid()}")
+      org.apache.hadoop.fs.FileUtil.fullyDelete(staging)
+      build(subPath(staging))
+      require(staging.isDirectory,
+        s"cachedRoot: builder for $name produced nothing at $staging")
+      if (!staging.renameTo(slot)) {
+        // lost the publish race (or a parallel run finished first):
+        // adopt the published slot, drop our staging
+        org.apache.hadoop.fs.FileUtil.fullyDelete(staging)
+        require(slot.isDirectory,
+          s"cachedRoot: could not publish $slot and no winner exists")
+      }
+    }
+    subPath(slot)
+  }
+
   private val ivfPathCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def ivfIndexFor(s: SparkSession, dir: String): IvfIndex = {
     // cache the PATH, not the index: a cached IvfIndex would pin
     // DataFrames to whichever session built it, breaking later sessions
     // in the same JVM. Re-loading is a sidecar read — cheap.
-    val path = ivfPathCache.computeIfAbsent(dir, _ => {
-      val built = IvfIndex.build(t(s, dir, "embeddings"), "vec_id",
-        "embedding", nlist = 8)
-      val p = java.nio.file.Files
-        .createTempDirectory("graft_ivf_").toString
-      // quantize: the SAME root serves the exact probed path (q36 reads
-      // only the float vectors) and the SQ8 path (q62 reads only the
-      // 1-byte/dim codes) — parquet column pruning keeps each from
-      // paying for the other's column
-      built.write(p, quantize = true)
-      p
-    })
+    val path = ivfPathCache.computeIfAbsent(dir, _ =>
+      cachedRoot(dir, "ivf_single") { p =>
+        // quantize: the SAME root serves the exact probed path (q36
+        // reads only the float vectors) and the SQ8 path (q62 reads
+        // only the 1-byte/dim codes) — parquet column pruning keeps
+        // each from paying for the other's column
+        IvfIndex.build(t(s, dir, "embeddings"), "vec_id",
+          "embedding", nlist = 8).write(p, quantize = true)
+      })
     IvfIndex.load(s, path, "vec_id", "embedding")
   }
 
@@ -228,13 +301,11 @@ object SparkEntry {
   private val knnGraphPathCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def knnGraphFor(s: SparkSession, dir: String): DataFrame = {
-    val path = knnGraphPathCache.computeIfAbsent(dir, _ => {
-      val p = java.nio.file.Files
-        .createTempDirectory("graft_knngraph_").toString
-      ivfIndexFor(s, dir).knnGraph(k = 3, nprobe = 2, rankRoundDp = 4)
-        .write.mode("overwrite").parquet(p)
-      p
-    })
+    val path = knnGraphPathCache.computeIfAbsent(dir, _ =>
+      cachedRoot(dir, "knngraph") { p =>
+        ivfIndexFor(s, dir).knnGraph(k = 3, nprobe = 2, rankRoundDp = 4)
+          .write.mode("overwrite").parquet(p)
+      })
     s.read.parquet(path)
   }
 
@@ -248,14 +319,13 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def layerGraphFor(s: SparkSession, dir: String,
       layer: Int): DataFrame = {
-    val path = layerGraphPathCache.computeIfAbsent(s"$dir|$layer", _ => {
-      val p = java.nio.file.Files
-        .createTempDirectory(s"graft_layergraph${layer}_").toString
-      ivfIndexFor(s, dir)
-        .layerGraph(layer, base = 16, k = 3, nprobe = 2, rankRoundDp = 4)
-        .write.mode("overwrite").parquet(p)
-      p
-    })
+    val path = layerGraphPathCache.computeIfAbsent(s"$dir|$layer", _ =>
+      cachedRoot(dir, s"layergraph$layer") { p =>
+        ivfIndexFor(s, dir)
+          .layerGraph(layer, base = 16, k = 3, nprobe = 2,
+            rankRoundDp = 4)
+          .write.mode("overwrite").parquet(p)
+      })
     s.read.parquet(path)
   }
 
@@ -326,15 +396,13 @@ object SparkEntry {
   private val dupClustersPathCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def dupClustersFor(s: SparkSession, dir: String): DataFrame = {
-    val path = dupClustersPathCache.computeIfAbsent(dir, _ => {
-      val p = java.nio.file.Files
-        .createTempDirectory("graft_dupclusters_").toString
+    val path = dupClustersPathCache.computeIfAbsent(dir, _ =>
+      cachedRoot(dir, "dupclusters") { p =>
       NearDup.duplicateClusters(
         NearDup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
           shingleN = 3, numHashes = 12, bands = 4, threshold = 0.8))
         .write.mode("overwrite").parquet(p)
-      p
-    })
+      })
     s.read.parquet(path)
   }
 
@@ -346,15 +414,13 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def curationClustersFor(s: SparkSession, dir: String)
       : DataFrame = {
-    val path = curationClustersPathCache.computeIfAbsent(dir, _ => {
-      val p = java.nio.file.Files
-        .createTempDirectory("graft_curclusters_").toString
+    val path = curationClustersPathCache.computeIfAbsent(dir, _ =>
+      cachedRoot(dir, "curclusters") { p =>
       NearDup.duplicateClusters(
         NearDup.minhashPairs(curationDeduped(s, dir), "doc_id", "text",
           shingleN = 3, numHashes = 12, bands = 4, threshold = 0.8))
         .write.mode("overwrite").parquet(p)
-      p
-    })
+      })
     s.read.parquet(path)
   }
 
@@ -527,14 +593,11 @@ object SparkEntry {
   private val ivfComponentPathCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def ivfComponentIndexFor(s: SparkSession, dir: String): IvfIndex = {
-    val path = ivfComponentPathCache.computeIfAbsent(dir, _ => {
-      val built = IvfIndex.build(t(s, dir, "embeddings"), "vec_id",
-        "embedding", nlist = 8, componentCol = Some("label"))
-      val p = java.nio.file.Files
-        .createTempDirectory("graft_ivf_comp_").toString
-      built.write(p)
-      p
-    })
+    val path = ivfComponentPathCache.computeIfAbsent(dir, _ =>
+      cachedRoot(dir, "ivf_comp") { p =>
+        IvfIndex.build(t(s, dir, "embeddings"), "vec_id",
+          "embedding", nlist = 8, componentCol = Some("label")).write(p)
+      })
     IvfIndex.load(s, path, "vec_id", "embedding")
   }
 
@@ -548,21 +611,19 @@ object SparkEntry {
   private val ivfCosPathCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def ivfCosIndexFor(s: SparkSession, dir: String): IvfIndex = {
-    val path = ivfCosPathCache.computeIfAbsent(dir, _ => {
+    val path = ivfCosPathCache.computeIfAbsent(dir, _ =>
       // ONE k-means serves both quantized roots: reuse the raw root's
       // fit (building that root first if this JVM hasn't) and derive
       // only the grid — drop the raw-grid codes + params so write()
       // re-encodes NORMALIZED from the untouched raw vectors. A second
       // build() would pay an identical fit for identical centroids.
-      val raw = ivfIndexFor(s, dir)
-      val uncoded = raw.copy(
-        assigned = raw.assigned.drop(IvfIndex.Sq8CodeCol),
-        sq8Params = None, sq8Normalized = false)
-      val p = java.nio.file.Files
-        .createTempDirectory("graft_ivf_cos_").toString
-      uncoded.write(p, quantizeNormalized = true)
-      p
-    })
+      cachedRoot(dir, "ivf_cos") { p =>
+        val raw = ivfIndexFor(s, dir)
+        raw.copy(
+            assigned = raw.assigned.drop(IvfIndex.Sq8CodeCol),
+            sq8Params = None, sq8Normalized = false)
+          .write(p, quantizeNormalized = true)
+      })
     IvfIndex.load(s, path, "vec_id", "embedding")
   }
 
@@ -586,17 +647,15 @@ object SparkEntry {
   /** q182's recall-panel size (queries vec_id < opqNq) */
   private val opqNq = 10
   private def pqRootFor(s: SparkSession, dir: String): String =
-    pqPathCache.computeIfAbsent(dir, _ => {
-      val emb = t(s, dir, "embeddings")
-      val books = Pq.fit(emb, "vec_id", "embedding", m = pqM,
-        ksub = pqKsub)
-      val p = java.nio.file.Files.createTempDirectory("graft_pq_")
-        .toString
-      Pq.encode(emb, "embedding", books).write.mode("overwrite")
-        .parquet(s"$p/data")
-      books.write(s, s"$p/books")
-      p
-    })
+    pqPathCache.computeIfAbsent(dir, _ =>
+      cachedRoot(dir, "pq_flat") { p =>
+        val emb = t(s, dir, "embeddings")
+        val books = Pq.fit(emb, "vec_id", "embedding", m = pqM,
+          ksub = pqKsub)
+        Pq.encode(emb, "embedding", books).write.mode("overwrite")
+          .parquet(s"$p/data")
+        books.write(s, s"$p/books")
+      })
 
   /** The OPQ root for `dir` (q182): the same corpus at the SAME code
     * budget (m, ksub) as [[pqRootFor]], but the coordinates are
@@ -610,17 +669,15 @@ object SparkEntry {
   private val opqPathCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def opqRootFor(s: SparkSession, dir: String): String =
-    opqPathCache.computeIfAbsent(dir, _ => {
-      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
-      val perm = Pq.opqPermutation(emb, "embedding", pqM)
-      val books = Pq.fit(
-        emb.withColumn("__opq_vec", Pq.permuteCol("embedding", perm)),
-        "vec_id", "__opq_vec", m = pqM, ksub = pqKsub)
-      val p = java.nio.file.Files.createTempDirectory("graft_opq_")
-        .toString
-      Pq.writeRoot(s, p, emb, "embedding", books, perm = Some(perm))
-      p
-    })
+    opqPathCache.computeIfAbsent(dir, _ =>
+      cachedRoot(dir, "opq") { p =>
+        val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+        val perm = Pq.opqPermutation(emb, "embedding", pqM)
+        val books = Pq.fit(
+          emb.withColumn("__opq_vec", Pq.permuteCol("embedding", perm)),
+          "vec_id", "__opq_vec", m = pqM, ksub = pqKsub)
+        Pq.writeRoot(s, p, emb, "embedding", books, perm = Some(perm))
+      })
 
   /** q182's ANISOTROPIC slice (r16 verdict #2): the driver corpus's
     * hash-derived embeddings have near-uniform per-dim variance, so
@@ -643,32 +700,28 @@ object SparkEntry {
   private val anisoPqPathCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def anisoPqRootFor(s: SparkSession, dir: String): String =
-    anisoPqPathCache.computeIfAbsent(dir, _ => {
-      val emb = anisoEmb(s, dir)
-      val books = Pq.fit(emb, "vec_id", "embedding", m = pqM,
-        ksub = pqKsub)
-      val p = java.nio.file.Files.createTempDirectory("graft_pqa_")
-        .toString
-      Pq.encode(emb, "embedding", books).write.mode("overwrite")
-        .parquet(s"$p/data")
-      books.write(s, s"$p/books")
-      p
-    })
+    anisoPqPathCache.computeIfAbsent(dir, _ =>
+      cachedRoot(dir, "pq_aniso") { p =>
+        val emb = anisoEmb(s, dir)
+        val books = Pq.fit(emb, "vec_id", "embedding", m = pqM,
+          ksub = pqKsub)
+        Pq.encode(emb, "embedding", books).write.mode("overwrite")
+          .parquet(s"$p/data")
+        books.write(s, s"$p/books")
+      })
 
   private val anisoOpqPathCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def anisoOpqRootFor(s: SparkSession, dir: String): String =
-    anisoOpqPathCache.computeIfAbsent(dir, _ => {
-      val emb = anisoEmb(s, dir)
-      val perm = Pq.opqPermutation(emb, "embedding", pqM)
-      val books = Pq.fit(
-        emb.withColumn("__opq_vec", Pq.permuteCol("embedding", perm)),
-        "vec_id", "__opq_vec", m = pqM, ksub = pqKsub)
-      val p = java.nio.file.Files.createTempDirectory("graft_opqa_")
-        .toString
-      Pq.writeRoot(s, p, emb, "embedding", books, perm = Some(perm))
-      p
-    })
+    anisoOpqPathCache.computeIfAbsent(dir, _ =>
+      cachedRoot(dir, "opq_aniso") { p =>
+        val emb = anisoEmb(s, dir)
+        val perm = Pq.opqPermutation(emb, "embedding", pqM)
+        val books = Pq.fit(
+          emb.withColumn("__opq_vec", Pq.permuteCol("embedding", perm)),
+          "vec_id", "__opq_vec", m = pqM, ksub = pqKsub)
+        Pq.writeRoot(s, p, emb, "embedding", books, perm = Some(perm))
+      })
 
   /** The OPQ × IVF root for `dir` (q185 — r16 verdict #8: writeRoot
     * composes perm with the IVF layout but no query exercised the
@@ -682,16 +735,14 @@ object SparkEntry {
   private val opqIvfPathCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def opqIvfRootFor(s: SparkSession, dir: String): String =
-    opqIvfPathCache.computeIfAbsent(dir, _ => {
-      val idx = ivfIndexFor(s, dir)
-      val flat = Pq.loadRoot(s, opqRootFor(s, dir))
-      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
-      val p = java.nio.file.Files.createTempDirectory("graft_opqivf_")
-        .toString
-      Pq.writeRoot(s, p, emb, "embedding", flat.books,
-        ivf = Some((idx.centroids, idx.clusterIds)), perm = flat.perm)
-      p
-    })
+    opqIvfPathCache.computeIfAbsent(dir, _ =>
+      cachedRoot(dir, "opq_ivf") { p =>
+        val idx = ivfIndexFor(s, dir)
+        val flat = Pq.loadRoot(s, opqRootFor(s, dir))
+        val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+        Pq.writeRoot(s, p, emb, "embedding", flat.books,
+          ivf = Some((idx.centroids, idx.clusterIds)), perm = flat.perm)
+      })
 
   /** The shared recall-panel machinery of q182/q186: an aggregate
     * panel (single-query recall at these code budgets swings ±2 hits
@@ -758,17 +809,17 @@ object SparkEntry {
       val fin = driftCorpus(s, dir)
       val base = fin.filter(pmod(col("vec_id"), lit(5L)) =!= 3L)
       val shifted = fin.filter(pmod(col("vec_id"), lit(5L)) === 3L)
-      val booksBase = Pq.fit(base, "vec_id", "embedding", m = pqM,
-        ksub = pqKsub)
-      val pm = java.nio.file.Files
-        .createTempDirectory("graft_driftm_").toString
-      Pq.writeRoot(s, pm, base, "embedding", booksBase)
-      Pq.appendEncoded(s, pm, shifted, "embedding")
-      val booksFresh = Pq.fit(fin, "vec_id", "embedding", m = pqM,
-        ksub = pqKsub)
-      val pr = java.nio.file.Files
-        .createTempDirectory("graft_driftr_").toString
-      Pq.writeRoot(s, pr, fin, "embedding", booksFresh)
+      val pm = cachedRoot(dir, "drift_m") { p =>
+        val booksBase = Pq.fit(base, "vec_id", "embedding", m = pqM,
+          ksub = pqKsub)
+        Pq.writeRoot(s, p, base, "embedding", booksBase)
+        Pq.appendEncoded(s, p, shifted, "embedding")
+      }
+      val pr = cachedRoot(dir, "drift_r") { p =>
+        val booksFresh = Pq.fit(fin, "vec_id", "embedding", m = pqM,
+          ksub = pqKsub)
+        Pq.writeRoot(s, p, fin, "embedding", booksFresh)
+      }
       (pm, pr)
     })
 
@@ -780,18 +831,16 @@ object SparkEntry {
   private val pqIvfPathCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def pqIvfRootFor(s: SparkSession, dir: String): String =
-    pqIvfPathCache.computeIfAbsent(dir, _ => {
-      val ivfRoot = { ivfIndexFor(s, dir); ivfPathCache.get(dir) }
-      val books = Pq.load(s, s"${pqRootFor(s, dir)}/books")
-      val p = java.nio.file.Files.createTempDirectory("graft_pqivf_")
-        .toString
-      Pq.encode(
-          s.read.parquet(ivfRoot).drop(IvfIndex.Sq8CodeCol),
-          "embedding", books)
-        .write.mode("overwrite")
-        .partitionBy(IvfIndex.ClusterCol).parquet(s"$p/data")
-      p
-    })
+    pqIvfPathCache.computeIfAbsent(dir, _ =>
+      cachedRoot(dir, "pq_ivf") { p =>
+        val ivfRoot = { ivfIndexFor(s, dir); ivfPathCache.get(dir) }
+        val books = Pq.load(s, s"${pqRootFor(s, dir)}/books")
+        Pq.encode(
+            s.read.parquet(ivfRoot).drop(IvfIndex.Sq8CodeCol),
+            "embedding", books)
+          .write.mode("overwrite")
+          .partitionBy(IvfIndex.ClusterCol).parquet(s"$p/data")
+      })
 
   /** The RESIDUAL IVF-PQ root for `dir` (q76): FAISS IVFPQ's default
     * form — codebooks trained on and codes representing
@@ -802,21 +851,19 @@ object SparkEntry {
   private val pqResidPathCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def pqResidRootFor(s: SparkSession, dir: String): String =
-    pqResidPathCache.computeIfAbsent(dir, _ => {
-      val idx = ivfIndexFor(s, dir)
-      val ivfRoot = ivfPathCache.get(dir)
-      val assigned = s.read.parquet(ivfRoot).drop(IvfIndex.Sq8CodeCol)
-      val books = Pq.fitResidual(assigned, "vec_id", "embedding",
-        idx.centroids, idx.clusterIds, m = pqM, ksub = pqKsub)
-      val p = java.nio.file.Files.createTempDirectory("graft_pqres_")
-        .toString
-      Pq.encodeResidual(assigned, "embedding", books, idx.centroids,
-          idx.clusterIds)
-        .write.mode("overwrite")
-        .partitionBy(IvfIndex.ClusterCol).parquet(s"$p/data")
-      books.write(s, s"$p/books")
-      p
-    })
+    pqResidPathCache.computeIfAbsent(dir, _ =>
+      cachedRoot(dir, "pq_resid") { p =>
+        val idx = ivfIndexFor(s, dir)
+        val ivfRoot = ivfPathCache.get(dir)
+        val assigned = s.read.parquet(ivfRoot).drop(IvfIndex.Sq8CodeCol)
+        val books = Pq.fitResidual(assigned, "vec_id", "embedding",
+          idx.centroids, idx.clusterIds, m = pqM, ksub = pqKsub)
+        Pq.encodeResidual(assigned, "embedding", books, idx.centroids,
+            idx.clusterIds)
+          .write.mode("overwrite")
+          .partitionBy(IvfIndex.ClusterCol).parquet(s"$p/data")
+        books.write(s, s"$p/books")
+      })
 
   /** The COSINE-PQ roots for `dir` (q77 flat, q78 probed): one fit of
     * NORMALIZED codebooks (fit(normalized = true) — the FAISS
@@ -827,33 +874,29 @@ object SparkEntry {
   private val pqCosPathCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def pqCosRootFor(s: SparkSession, dir: String): String =
-    pqCosPathCache.computeIfAbsent(dir, _ => {
-      val emb = t(s, dir, "embeddings")
-      val books = Pq.fit(emb, "vec_id", "embedding", m = pqM,
-        ksub = pqKsub, normalized = true)
-      val p = java.nio.file.Files.createTempDirectory("graft_pqcos_")
-        .toString
-      Pq.encode(emb, "embedding", books).write.mode("overwrite")
-        .parquet(s"$p/data")
-      books.write(s, s"$p/books")
-      p
-    })
+    pqCosPathCache.computeIfAbsent(dir, _ =>
+      cachedRoot(dir, "pq_cos") { p =>
+        val emb = t(s, dir, "embeddings")
+        val books = Pq.fit(emb, "vec_id", "embedding", m = pqM,
+          ksub = pqKsub, normalized = true)
+        Pq.encode(emb, "embedding", books).write.mode("overwrite")
+          .parquet(s"$p/data")
+        books.write(s, s"$p/books")
+      })
 
   private val pqIvfCosPathCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def pqIvfCosRootFor(s: SparkSession, dir: String): String =
-    pqIvfCosPathCache.computeIfAbsent(dir, _ => {
-      val ivfRoot = { ivfIndexFor(s, dir); ivfPathCache.get(dir) }
-      val books = Pq.load(s, s"${pqCosRootFor(s, dir)}/books")
-      val p = java.nio.file.Files.createTempDirectory("graft_pqivfcos_")
-        .toString
-      Pq.encode(
-          s.read.parquet(ivfRoot).drop(IvfIndex.Sq8CodeCol),
-          "embedding", books)
-        .write.mode("overwrite")
-        .partitionBy(IvfIndex.ClusterCol).parquet(s"$p/data")
-      p
-    })
+    pqIvfCosPathCache.computeIfAbsent(dir, _ =>
+      cachedRoot(dir, "pq_ivf_cos") { p =>
+        val ivfRoot = { ivfIndexFor(s, dir); ivfPathCache.get(dir) }
+        val books = Pq.load(s, s"${pqCosRootFor(s, dir)}/books")
+        Pq.encode(
+            s.read.parquet(ivfRoot).drop(IvfIndex.Sq8CodeCol),
+            "embedding", books)
+          .write.mode("overwrite")
+          .partitionBy(IvfIndex.ClusterCol).parquet(s"$p/data")
+      })
 
   /** The MAINTAINED IVF-PQ root for `dir` (q183): built over a
     * SABOTAGED snapshot — one in five corpus rows held out, 100
@@ -876,14 +919,13 @@ object SparkEntry {
       val fakes = emb.filter(pmod(col("vec_id"), lit(5L)) === 4L)
         .select((col("vec_id") + lit(1000000L)).as("vec_id"),
           reverse(col("embedding")).as("embedding"))
-      val p = java.nio.file.Files
-        .createTempDirectory("graft_pqcdc_").toString + "/pq"
-      Pq.writeRoot(s, p, kept.unionByName(fakes), "embedding", books,
-        ivf = Some((idx.centroids, idx.clusterIds)))
-      Pq.deleteEncoded(s, p, fakes.select("vec_id"), "vec_id")
-      Pq.appendEncoded(s, p,
-        emb.filter(pmod(col("vec_id"), lit(5L)) === 2L), "embedding")
-      p
+      cachedRoot(dir, "pq_cdc", sub = "pq") { p =>
+        Pq.writeRoot(s, p, kept.unionByName(fakes), "embedding", books,
+          ivf = Some((idx.centroids, idx.clusterIds)))
+        Pq.deleteEncoded(s, p, fakes.select("vec_id"), "vec_id")
+        Pq.appendEncoded(s, p,
+          emb.filter(pmod(col("vec_id"), lit(5L)) === 2L), "embedding")
+      }
     })
 
   /** The REBALANCED root for `dir` (q221): a deliberately UNDER-FIT
@@ -898,14 +940,13 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def rebalancedRootFor(s: SparkSession, dir: String): String =
     rebalPathCache.computeIfAbsent(dir, _ => {
-      val emb = t(s, dir, "embeddings")
-      val p = java.nio.file.Files
-        .createTempDirectory("graft_rebal_").toString + "/ivf"
-      IvfIndex.build(emb, "vec_id", "embedding", nlist = 2).write(p)
-      val n = emb.count()
-      IvfIndex.rebalance(s, p, "vec_id", "embedding",
-        maxCellRows = math.max(1L, n / 6))
-      p
+      cachedRoot(dir, "rebalanced", sub = "ivf") { p =>
+        val emb = t(s, dir, "embeddings")
+        IvfIndex.build(emb, "vec_id", "embedding", nlist = 2).write(p)
+        val n = emb.count()
+        IvfIndex.rebalance(s, p, "vec_id", "embedding",
+          maxCellRows = math.max(1L, n / 6))
+      }
     })
 
   /** The REFIT root for `dir` (q222): [[Pq.refitRoot]] run on the
@@ -920,11 +961,10 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def refitRootFor(s: SparkSession, dir: String): String =
     refitPathCache.computeIfAbsent(dir, _ => {
-      val (driftM, _) = driftRootsFor(s, dir)
-      val p = java.nio.file.Files
-        .createTempDirectory("graft_refit_").toString + "/pq"
-      Pq.refitRoot(s, driftM, p, "vec_id", "embedding")
-      p
+      cachedRoot(dir, "refit", sub = "pq") { p =>
+        val (driftM, _) = driftRootsFor(s, dir)
+        Pq.refitRoot(s, driftM, p, "vec_id", "embedding")
+      }
     })
 
   /** The MAINTAINED OPQ root for `dir` (q189): the q183
@@ -946,14 +986,13 @@ object SparkEntry {
       val fakes = emb.filter(pmod(col("vec_id"), lit(5L)) === 4L)
         .select((col("vec_id") + lit(1000000L)).as("vec_id"),
           reverse(col("embedding")).as("embedding"))
-      val p = java.nio.file.Files
-        .createTempDirectory("graft_opqcdc_").toString + "/opq"
-      Pq.writeRoot(s, p, kept.unionByName(fakes), "embedding",
-        flat.books, perm = flat.perm)
-      Pq.deleteEncoded(s, p, fakes.select("vec_id"), "vec_id")
-      Pq.appendEncoded(s, p,
-        emb.filter(pmod(col("vec_id"), lit(5L)) === 2L), "embedding")
-      p
+      cachedRoot(dir, "opq_cdc", sub = "opq") { p =>
+        Pq.writeRoot(s, p, kept.unionByName(fakes), "embedding",
+          flat.books, perm = flat.perm)
+        Pq.deleteEncoded(s, p, fakes.select("vec_id"), "vec_id")
+        Pq.appendEncoded(s, p,
+          emb.filter(pmod(col("vec_id"), lit(5L)) === 2L), "embedding")
+      }
     })
 
   /** The MAINTAINED binary sign-code root for `dir` (q184): the same
@@ -972,14 +1011,13 @@ object SparkEntry {
       val fakes = emb.filter(pmod(col("vec_id"), lit(5L)) === 4L)
         .select((col("vec_id") + lit(1000000L)).as("vec_id"),
           reverse(col("embedding")).as("embedding"))
-      val p = java.nio.file.Files
-        .createTempDirectory("graft_bincdc_").toString + "/bin"
-      BinaryHash.writeRoot(s, p, kept.unionByName(fakes), "embedding",
-        dim)
-      BinaryHash.deleteByIds(s, p, fakes.select("vec_id"), "vec_id")
-      BinaryHash.appendTo(s, p,
-        emb.filter(pmod(col("vec_id"), lit(5L)) === 2L), "embedding")
-      p
+      cachedRoot(dir, "bin_cdc", sub = "bin") { p =>
+        BinaryHash.writeRoot(s, p, kept.unionByName(fakes), "embedding",
+          dim)
+        BinaryHash.deleteByIds(s, p, fakes.select("vec_id"), "vec_id")
+        BinaryHash.appendTo(s, p,
+          emb.filter(pmod(col("vec_id"), lit(5L)) === 2L), "embedding")
+      }
     })
 
   /** the per-query ADC lookup-table CTE shared by the q73/q74/q75
@@ -8272,6 +8310,51 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
           rankRoundDp = Some(4))
         .select(col("vec_id"), col("dist"))
         .orderBy(col("dist"), col("vec_id"))
+    }),
+
+    "q223_heavy_hitters_batch" -> ((s, dir) => {
+      // The space-saving sketch's BATCH FACE under the hash gate —
+      // the last sketch-family member living spec-only (r18 #7): per
+      // (event type, hourly window), the top-3 heavy hitters from the
+      // SAME Metwally fold the streaming monitor runs, at a capacity
+      // (256) that exceeds every window's distinct-user count at any
+      // test SF (measured max 51 at sf0.1) — the regime where the
+      // summary provably degenerates to EXACT counts (est = true,
+      // err = 0, spec-pinned with evictions exercised separately), so
+      // a plain groupBy-count oracle replays every row. Scale shape:
+      // one (type, window) shuffle; per-group state is `capacity`
+      // counters; output is k rows per window.
+      import s.implicits._
+      graft.streaming.EventStreams.heavyHittersBatch(
+          t(s, dir, "events").as[graft.streaming.EventStreams.Event],
+          windowSecs = 3600L, k = 3, capacity = 256)
+        .toDF()
+        .orderBy(col("event_type"), col("window_start"),
+          col("est").desc, col("user_id"))
+    }),
+
+    "q224_filtered_sq8" -> ((s, dir) => {
+      // Filtered ANN on the QUANTIZED rung — q220's operator contract
+      // composed with q62's two-pass IVF-SQ8: the predicate rides the
+      // shared probed scan, so the k·refine candidate budget is spent
+      // only on eligible CODE rows (a post-filter would let
+      // ineligible rows crowd the candidate list — the exact failure
+      // q209 priced) and the exact re-rank inherits it; the probe
+      // budget widens 1/selectivity (2 → 6 of 8). The oracle replays
+      // everything: widened probe selection, the hex-decoded affine
+      // code distance with the predicate inside, the 40-candidate
+      // cut, and the exact filtered re-rank. Scale shape: one pruned
+      // (id, code) scan + one 40-row exact pass — the cheapest
+      // filtered-search rung in the family.
+      VectorExpressions.ensureRegistered(s)
+      val q = queryVec(s, dir)
+      ivfIndexFor(s, dir).searchQuantized(q, 10, nprobe = 2,
+          refine = 4, tieBreak = Some("vec_id"), rankRoundDp = Some(4),
+          filter = Some(pmod(col("vec_id"), lit(3L)) === 1L),
+          filterSelectivity = Some(1.0 / 3))
+        .select(col("vec_id"), col("dist"))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("dist"), col("vec_id"))).cast("long"))
     })
   )
 
@@ -13191,7 +13274,77 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
 
     // q222: the q73 ADC replay over the FRESH final-corpus export
     // (r186) — the refit-of-maintained root must hash-equal it.
-    "q222_refit_search" -> refitSearchOracleSql
+    "q222_refit_search" -> refitSearchOracleSql,
+
+    // q223: the sketch runs in its exact regime (capacity ≥ every
+    // window's distinct keys), so the oracle is the plain per-window
+    // count + (est DESC, user) rank cut.
+    "q223_heavy_hitters_batch" ->
+      raw"""WITH b AS (
+           SELECT event_type,
+             (epoch_us(ts) // 1000000 // 3600) * 3600 AS window_start,
+             user_id, count(*)::BIGINT AS est
+           FROM events GROUP BY 1, 2, 3),
+         t AS (
+           SELECT event_type, window_start,
+             sum(est)::BIGINT AS window_n
+           FROM b GROUP BY 1, 2),
+         r AS (
+           SELECT b.event_type, b.window_start, b.user_id, b.est,
+             t.window_n,
+             row_number() OVER (PARTITION BY b.event_type, b.window_start
+               ORDER BY b.est DESC, b.user_id) AS rk
+           FROM b JOIN t USING (event_type, window_start))
+         SELECT event_type, window_start, user_id, est,
+           0::BIGINT AS err, window_n
+         FROM r WHERE rk <= 3
+         ORDER BY event_type, window_start, est DESC, user_id""",
+
+    // q224: q62's SQ8 replay at the WIDENED probe budget with the
+    // predicate inside both passes.
+    "q224_filtered_sq8" ->
+      raw"""WITH q AS (
+           SELECT embedding::DOUBLE[] AS qv FROM embeddings
+           WHERE vec_id = 0),
+         cent AS (
+           SELECT cluster_id, centroid FROM
+             read_parquet('$IvfOracleRoot/single/centroids/*.parquet')),
+         probes AS (
+           SELECT cluster_id FROM cent, q
+           ORDER BY list_sum(list_transform(range(1, len(centroid) + 1),
+             i -> (centroid[i]::DOUBLE - qv[i]) *
+                  (centroid[i]::DOUBLE - qv[i]))),
+             cluster_id
+           LIMIT 6),
+         p AS (
+           SELECT mins, scales FROM
+             read_parquet('$IvfOracleRoot/single/sq8/*.parquet')),
+         a AS (
+           SELECT e.vec_id,
+             list_sum(list_transform(range(1, len(q.qv) + 1), i ->
+               ((p.mins[i] + CAST(concat('0x',
+                   substr(hex(e.__sq8_code), 2 * i - 1, 2)) AS INT)
+                   * p.scales[i]) - q.qv[i])
+               * ((p.mins[i] + CAST(concat('0x',
+                   substr(hex(e.__sq8_code), 2 * i - 1, 2)) AS INT)
+                   * p.scales[i]) - q.qv[i]))) AS ad
+           FROM read_parquet('$IvfOracleRoot/single/data/*.parquet') e,
+             q, p
+           WHERE e.__ivf_cluster IN (SELECT cluster_id FROM probes)
+             AND e.vec_id % 3 = 1),
+         cand AS (
+           SELECT vec_id FROM a ORDER BY ad, vec_id LIMIT 40),
+         sel AS (
+           SELECT e.vec_id,
+             floor(list_distance(e.embedding::DOUBLE[],
+               (SELECT qv FROM q)) * 1e4 + 0.5::DOUBLE) / 1e4 AS dist
+           FROM read_parquet('$IvfOracleRoot/single/data/*.parquet') e, q
+           WHERE e.vec_id IN (SELECT vec_id FROM cand)
+             AND e.__ivf_cluster IN (SELECT cluster_id FROM probes)
+             AND e.vec_id % 3 = 1)
+         SELECT vec_id, dist,
+           row_number() OVER (ORDER BY dist, vec_id)::BIGINT AS rank
+         FROM sel ORDER BY dist, vec_id LIMIT 10"""
   )
 
   /** The kNN-graph replay CTE chain over the exported IVF replica

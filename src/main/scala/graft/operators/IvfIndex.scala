@@ -826,7 +826,9 @@ final case class IvfIndex(
       tieBreak: Option[String] = None,
       components: Seq[Int] = Nil,
       rankRoundDp: Option[Int] = None,
-      metric: KnnSearch.Metric = KnnSearch.L2): DataFrame = {
+      metric: KnnSearch.Metric = KnnSearch.L2,
+      filter: Option[Column] = None,
+      filterSelectivity: Option[Double] = None): DataFrame = {
     val (mins, scales) = sq8Params.getOrElse(throw new IllegalStateException(
       "searchQuantized needs a quantized index: write(path, " +
         "quantize = true), then load(...) — this one has no " +
@@ -841,12 +843,20 @@ final case class IvfIndex(
     // ranks against the unit-normalized query (the codes encode
     // normalized vectors — unit-sphere L2² = 2 − 2·cos is monotone in
     // cosine distance, the grid argument in [[write]])
-    val probes = probesFor(metric, query).take(math.max(1, nprobe))
+    val probes = probesFor(metric, query)
+      .take(effectiveNprobe(nprobe, filter, filterSelectivity))
     val codeQuery = if (cosine) IvfIndex.unitNormalize(query) else query
-    val scan = componentScope(components)
-      .filter(col(IvfIndex.ClusterCol).isin(probes: _*))
+    // the FILTER sits on the shared scan, so the k·refine candidate
+    // budget is spent only on eligible rows (prefilter semantics —
+    // the q209/q220 argument on the quantized rung) and the exact
+    // pass inherits it; widening compensates a selective predicate
+    // exactly like [[search]]
+    val scan = filter.foldLeft(
+      componentScope(components)
+        .filter(col(IvfIndex.ClusterCol).isin(probes: _*)))(_.filter(_))
     // approximate pass: ReadSchema is (id, code) + partition columns —
-    // the float vectors are never read here (spec-asserted)
+    // the float vectors are never read here (spec-asserted; a filter
+    // referencing other data columns widens the read by exactly those)
     val cand = scan
       .select(col(idCol), call_function("graft_sq8_l2sq",
         col(IvfIndex.Sq8CodeCol), KnnSearch.litVec(codeQuery),
@@ -920,7 +930,9 @@ final case class IvfIndex(
       tieBreak: String = "",
       rankRoundDp: Option[Int] = None,
       components: Seq[Int] = Nil,
-      metric: KnnSearch.Metric = KnnSearch.L2): DataFrame = {
+      metric: KnnSearch.Metric = KnnSearch.L2,
+      filter: Option[Column] = None,
+      filterSelectivity: Option[Double] = None): DataFrame = {
     val (mins, scales) = sq8Params.getOrElse(throw new IllegalStateException(
       "searchQuantizedBatch needs a quantized index: write(path, " +
         "quantize = true), then load(...) — this one has no " +
@@ -940,7 +952,7 @@ final case class IvfIndex(
     val cosine = requireMetricMatchesGrid(metric, "searchQuantizedBatch")
     val spark = assigned.sparkSession
     graft.plans.VectorExpressions.ensureRegistered(spark)
-    val np = math.max(1, nprobe)
+    val np = effectiveNprobe(nprobe, filter, filterSelectivity)
     val qSet = KnnSearch.collectQueries(queries, queryIdCol, queryVecCol)
     val perQueryProbes: Array[Array[Int]] =
       qSet.map(q => probesFor(metric, q._2.toSeq).take(np).toArray)
@@ -954,8 +966,11 @@ final case class IvfIndex(
         }
       else qSet
     val union = perQueryProbes.flatten.distinct.toSeq
-    val scan = componentScope(components)
-      .filter(col(IvfIndex.ClusterCol).isin(union: _*))
+    // filter on the shared scan — both the gated code pass and the
+    // exact re-rank see only eligible rows (see [[searchQuantized]])
+    val scan = filter.foldLeft(
+      componentScope(components)
+        .filter(col(IvfIndex.ClusterCol).isin(union: _*)))(_.filter(_))
     val minsArr = mins.toArray
     val scalesArr = scales.toArray
     val scorer = KnnSearch.RawScorer { (row, codeIdx, _, qv) =>

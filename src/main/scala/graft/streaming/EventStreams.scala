@@ -714,6 +714,67 @@ object EventStreams {
   case class HeavyRow(event_type: String, window_start: Long,
       user_id: Long, est: Long, err: Long, window_n: Long)
 
+  /** one space-saving step (Metwally et al. 2005): a known key
+    * increments; an unknown key on a full summary EVICTS the minimum
+    * counter ((count, key) order — deterministic) and inherits its
+    * count as est with err = the inherited part. Shared by the
+    * streaming handler and [[heavyHittersBatch]] so the two faces can
+    * never drift. */
+  private[streaming] def spaceSavingInsert(m: Map[Long, (Long, Long)],
+      key: Long, capacity: Int): Map[Long, (Long, Long)] =
+    m.get(key) match {
+      case Some((c, e)) => m + (key -> (c + 1L, e))
+      case None if m.size < capacity => m + (key -> (1L, 0L))
+      case None =>
+        val (evictKey, (evictC, _)) =
+          m.minBy { case (mk, (mc, _)) => (mc, mk) }
+        m - evictKey + (key -> (evictC + 1L, evictC))
+    }
+
+  /** The BATCH face of [[heavyHitters]] — the same space-saving
+    * summary run per (type, tumbling window) group over a bounded
+    * frame, where EVERY window finalizes at end of input (the batch
+    * semantic; the streaming face finalizes at the watermark). Rows
+    * fold in (ts, event_id) order inside each group, exactly the
+    * within-trigger order the stream uses, so on a single-trigger
+    * feed the two faces are row-identical (spec-pinned, evictions
+    * included). When a window's distinct keys fit `capacity` the
+    * summary degenerates to EXACT counts (est = true, err = 0) — the
+    * regime the q223 gate pins against a plain groupBy-count oracle.
+    * Scale shape: one shuffle on (type, window); per-group state is
+    * `capacity` counters and the fold is one pass over the group —
+    * the group is window-bounded, never corpus-bounded. */
+  def heavyHittersBatch(
+      events: Dataset[Event],
+      windowSecs: Long = 3600L,
+      k: Int = 5,
+      capacity: Int = 16): Dataset[HeavyRow] = {
+    import events.sparkSession.implicits._
+    require(windowSecs >= 1 && k >= 1 && capacity >= k,
+      s"need windowSecs>=1, k>=1, capacity>=k; " +
+        s"got $windowSecs/$k/$capacity")
+    events
+      .groupByKey { e =>
+        val sec = Math.floorDiv(e.ts.getTime, 1000L)
+        (e.event_type, sec - Math.floorMod(sec, windowSecs))
+      }
+      .flatMapGroups { (key: (String, Long), rows: Iterator[Event]) =>
+        val (typ, w) = key
+        var m = Map.empty[Long, (Long, Long)]
+        var n = 0L
+        rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+          m = spaceSavingInsert(m, e.user_id, capacity)
+          n += 1L
+        }
+        m.toSeq
+          .sortBy { case (key, (est, _)) => (-est, key) }
+          .take(k)
+          .map { case (key, (est, err)) =>
+            HeavyRow(typ, w, key, est, err, n)
+          }.iterator
+      }
+  }
+
   /** per-type monitor state: for each OPEN tumbling window, the
     * space-saving counter summary (user → (est, err)) and the
     * window's true event total */
@@ -768,23 +829,14 @@ object EventStreams {
             state: GroupState[HeavyState]) =>
           var pending = state.getOption
             .getOrElse(HeavyState(Map.empty)).pending
-          def insert(m: Map[Long, (Long, Long)],
-              key: Long): Map[Long, (Long, Long)] =
-            m.get(key) match {
-              case Some((c, e)) => m + (key -> (c + 1L, e))
-              case None if m.size < capacity => m + (key -> (1L, 0L))
-              case None =>
-                val (evictKey, (evictC, _)) =
-                  m.minBy { case (mk, (mc, _)) => (mc, mk) }
-                m - evictKey + (key -> (evictC + 1L, evictC))
-            }
           rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
             .foreach { e =>
               val sec = Math.floorDiv(e.ts.getTime, 1000L)
               val w = sec - Math.floorMod(sec, windowSecs)
               val (m, n) =
                 pending.getOrElse(w, (Map.empty[Long, (Long, Long)], 0L))
-              pending = pending + (w -> (insert(m, e.user_id), n + 1L))
+              pending = pending +
+                (w -> (spaceSavingInsert(m, e.user_id, capacity), n + 1L))
             }
           // batch execution throws on getCurrentWatermarkMs — treat
           // as watermark 0: nothing finalizes (documented behavior)

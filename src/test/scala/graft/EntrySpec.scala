@@ -138,6 +138,48 @@ class EntrySpec extends SparkSpec {
       s"no cluster partition prune in q209 plan:\n$plan")
   }
 
+  test("cachedRoot: a second session rebuilds ZERO roots; a regenerated corpus rebuilds; sub-paths resolve into the slot") {
+    // the temp-root lifecycle fix (r17 #5): derived roots live in a
+    // deterministic slot keyed on the corpus fingerprint. The in-JVM
+    // ConcurrentHashMaps are what dedupe WITHIN a session, so calling
+    // cachedRoot directly again IS exactly what a fresh session does —
+    // the build fn must not run a second time.
+    import java.nio.file.{Files => JF, Paths}
+    val corpus = JF.createTempDirectory("graft-cache-corpus-").toString
+    JF.write(Paths.get(corpus, "embeddings.parquet"),
+      "fake-bytes".getBytes)
+    var builds = 0
+    def build(p: String): Unit = {
+      builds += 1
+      JF.createDirectories(Paths.get(p))
+      JF.write(Paths.get(p, "root.txt"), "r".getBytes)
+    }
+    val p1 = SparkEntry.cachedRoot(corpus, "spec_root")(build)
+    assert(builds == 1 && JF.exists(Paths.get(p1, "root.txt")))
+    val p2 = SparkEntry.cachedRoot(corpus, "spec_root")(build)
+    assert(builds == 1, "a second session must rebuild zero roots")
+    assert(p2 == p1, "the slot is deterministic")
+    // sub-rooted artifacts (the CDC fixtures' <slot>/pq shape) land
+    // inside their slot and reuse the same way
+    val ps = SparkEntry.cachedRoot(corpus, "spec_subbed",
+      sub = "pq")(build)
+    assert(builds == 2 && ps.endsWith("/spec_subbed/pq") &&
+      JF.exists(Paths.get(ps, "root.txt")))
+    assert(SparkEntry.cachedRoot(corpus, "spec_subbed",
+      sub = "pq")(build) == ps && builds == 2)
+    // a REGENERATED corpus (same path, different bytes) changes the
+    // fingerprint — stale roots can never serve the new data
+    JF.write(Paths.get(corpus, "embeddings.parquet"),
+      "fake-bytes-regenerated".getBytes)
+    val p3 = SparkEntry.cachedRoot(corpus, "spec_root")(build)
+    assert(builds == 3 && p3 != p1,
+      "a regenerated corpus must land in a fresh slot")
+    // a builder that produces nothing fails loudly instead of
+    // publishing an empty slot
+    intercept[IllegalArgumentException](
+      SparkEntry.cachedRoot(corpus, "spec_empty")(_ => ()))
+  }
+
   test("EVERY gated entry: no cartesian product, no unbounded per-group collect (named whitelists only)") {
     // the all-entries plan sweep (r17 #4 / r18 #4): every gated plan —
     // not just the newest wave — must be free of CartesianProduct

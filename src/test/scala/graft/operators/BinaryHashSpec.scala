@@ -95,4 +95,50 @@ class BinaryHashSpec extends SparkSpec {
       BinaryHash.packCol(col("x"), 0)
     }
   }
+
+  test("perm x binary is a MEASURED won't-do: the OPQ permutation leaves every Hamming distance bit-identical on the aniso corpus") {
+    // The r17 #6 / r18 #6 carry, closed with data instead of a guess:
+    // would the OPQ coordinate permutation buy the binary rung recall
+    // the way it buys PQ? The structural answer is no — per-DIMENSION
+    // sign bits permute WITH the coordinates, identically for every
+    // row and for the query, and XOR+popcount is invariant under any
+    // fixed bit permutation — and this test MEASURES it where the
+    // permutation has the most to work with: the anisotropic corpus
+    // (hot band ×8, the q182 slice that made OPQ beat plain PQ) with
+    // the REAL variance-balancing permutation derived from it. Every
+    // per-row Hamming distance is bit-identical, so every downstream
+    // ranking, recall, and operating-curve number is too — the rung
+    // matrix cell is closed as a won't-do in PLANS.md, citing this.
+    VectorExpressions.ensureRegistered(spark)
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .filter(col("embedding").isNotNull)
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          (x, i) => when(i < 16, x * lit(8f)).otherwise(x))
+          .as("embedding"))
+      .limit(2000)
+    val dim = 64
+    val perm = Pq.opqPermutation(emb, "embedding", 8)
+    assert(!perm.sameElements(0 until dim),
+      "the aniso permutation must actually move coordinates")
+    val q = emb.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0)
+    def hammings(corpus: org.apache.spark.sql.DataFrame,
+        qv: Seq[Float]): Map[Long, Long] =
+      corpus.select(col("vec_id"),
+          BinaryHash.hammingCol(
+            BinaryHash.packCol(col("embedding"), dim),
+            BinaryHash.packVec(qv)).as("h"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val raw = hammings(emb, q)
+    val permuted = hammings(
+      emb.select(col("vec_id"),
+        Pq.permuteCol("embedding", perm).as("embedding")),
+      perm.map(q(_)).toSeq)
+    assert(raw == permuted,
+      "sign-code Hamming must be invariant under the permutation — " +
+        "if this ever fails, the won't-do is void and perm-binary " +
+        "becomes a real rung")
+  }
 }

@@ -1392,6 +1392,45 @@ class IvfIndexSpec extends SparkSpec {
     assert(res == truth)
   }
 
+  test("filtered searchQuantized: exact filtered truth at full probe; batch face bit-equal per query") {
+    val tmp = Files.createTempDirectory("graft-sq8-filt-").toString
+    index.write(s"$tmp/ivf", quantize = true)
+    val loaded = IvfIndex.load(spark, s"$tmp/ivf", "vec_id", "embedding")
+    val m = pmod(col("vec_id"), lit(3L)) === 1L
+    val q = queryVecs(1).head
+    // full probe + refine covering the filtered corpus → exact
+    // filtered truth (the q62 invariant with the predicate inside)
+    val n = embeddings.count().toInt
+    val res = loaded.searchQuantized(q, 10, nprobe = loaded.nlist,
+        refine = n, tieBreak = Some("vec_id"), filter = Some(m))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val truth = KnnSearch.topK(embeddings.filter(m), "embedding", q,
+        10, KnnSearch.L2, tieBreak = Some("vec_id"))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(res == truth)
+    // batch face parity at the widened partial budget
+    val qs = embeddings.filter(col("vec_id").isin(0, 1, 2))
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val batch = loaded.searchQuantizedBatch(qs, "qid", "qv", k = 5,
+        nprobe = 2, refine = 4, tieBreak = "vec_id",
+        rankRoundDp = Some(4), filter = Some(m),
+        filterSelectivity = Some(1.0 / 3))
+      .select(col("query_id"), col("vec_id"), col("dist"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.map(x => (x._2, x._3)).toSet).toMap
+    for (qid <- Seq(0L, 1L, 2L)) {
+      val qv = embeddings.filter(col("vec_id") === qid)
+        .select("embedding").head().getSeq[Float](0)
+      val single = loaded.searchQuantized(qv, 5, nprobe = 2,
+          refine = 4, tieBreak = Some("vec_id"), rankRoundDp = Some(4),
+          filter = Some(m), filterSelectivity = Some(1.0 / 3))
+        .select(col("vec_id"), col("dist"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(batch(qid) == single,
+        s"filtered quantized batch/single divergence for query $qid")
+    }
+  }
+
   test("filtered searchBatch is bit-equal per query to single filtered search at the same widened budget") {
     val m = pmod(col("vec_id"), lit(3L)) === 1L
     val qs = embeddings.filter(col("vec_id").isin(0, 1, 2))

@@ -1223,6 +1223,61 @@ class EventStreamsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("heavyHittersBatch == streaming heavyHitters on a single-trigger feed, EVICTIONS included; exact when keys fit capacity") {
+    // the two faces share spaceSavingInsert and the (ts, event_id)
+    // fold order, so on one trigger they must be row-identical even
+    // in the eviction regime (capacity 4 < 5 distinct users); and
+    // with capacity ≥ distinct keys the batch face is provably exact
+    // (est = true count, err = 0) — the q223 gate regime.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def tsec(s: Long): Timestamp = new Timestamp(1704067200000L + s * 1000)
+    var id = 0L
+    def ev(s: Long, user: Long): Event = {
+      id += 1; Event(id, tsec(s), user, "click", 1.0)
+    }
+    val feed = Seq(1L, 2L, 1L, 3L, 1L, 4L, 2L, 1L, 5L, 2L, 1L, 3L,
+      2L, 1L).zipWithIndex.map { case (u, i) => ev(i * 10L, u) } ++
+      Seq(7L, 8L, 7L, 9L, 8L, 7L).zipWithIndex
+        .map { case (u, i) => ev(600L + i * 10L, u) }
+    // batch face, eviction regime
+    val batch = EventStreams
+      .heavyHittersBatch(feed.toDS(), windowSecs = 600L, k = 3,
+        capacity = 4)
+      .collect().map(r =>
+        (r.event_type, r.window_start, r.user_id, r.est, r.err,
+          r.window_n)).toSet
+    // streaming face, ONE trigger + the two-sentinel flush
+    val input = MemoryStream[Event]
+    val query = EventStreams
+      .heavyHitters(input.toDS(), windowSecs = 600L, k = 3,
+        capacity = 4, watermark = "2 minutes")
+      .writeStream.format("memory").queryName("hh_faces")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(feed: _*)
+      query.processAllAvailable()
+      input.addData(ev(3600L, 99L)); query.processAllAvailable()
+      input.addData(ev(4200L, 99L)); query.processAllAvailable()
+      val stream = spark.table("hh_faces")
+        .filter($"window_start" < 1704067200L + 1200L)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+      assert(batch == stream,
+        s"faces diverged:\nbatch  $batch\nstream $stream")
+    } finally query.stop()
+    // exact regime: capacity ≥ distinct keys → plain counts, err 0
+    val exact = EventStreams
+      .heavyHittersBatch(feed.toDS(), windowSecs = 600L, k = 3,
+        capacity = 16)
+      .collect()
+    assert(exact.forall(_.err == 0L))
+    val trueW0 = Map(1L -> 6L, 2L -> 4L, 3L -> 2L)
+    exact.filter(_.window_start == 1704067200L).foreach { r =>
+      assert(trueW0(r.user_id) == r.est, s"not exact: $r")
+    }
+  }
+
   test("heavyHitters on a batch frame emits nothing (watermark is 0, like anomalyFlags)") {
     import spark.implicits._
     val batch = (0 until 30).map(i =>
