@@ -8355,6 +8355,67 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
         .select(col("vec_id"), col("dist"))
         .withColumn("rank", row_number().over(
           Window.orderBy(col("dist"), col("vec_id"))).cast("long"))
+    }),
+
+    "q225_filtered_pq" -> ((s, dir) => {
+      // Filtered ANN on the PQ rung — the third face of the filtered
+      // contract (raw q220, SQ8 q224, PQ here), so the WHOLE
+      // quantization ladder serves the reference's metadata-WHERE +
+      // similarity flagship: Pq.topKProbed pushes the predicate onto
+      // the probed scan (ADC candidate pass AND exact re-rank see
+      // only eligible rows) and widens the probe budget by
+      // 1/selectivity (2 → 6 of 8). Oracle: q74's probe + hex-decoded
+      // ADC + exact-re-rank replay with the predicate inside both
+      // passes. Scale shape: one pruned m-bytes/row candidate scan +
+      // one 40-row exact pass.
+      VectorExpressions.ensureRegistered(s)
+      val idx = ivfIndexFor(s, dir)
+      val root = pqIvfRootFor(s, dir)
+      val books = Pq.load(s, s"${pqRootFor(s, dir)}/books")
+      Pq.topKProbed(s.read.parquet(s"$root/data"), "vec_id",
+          "embedding", queryVec(s, dir), k = pqK, books,
+          idx.centroids, idx.clusterIds, nprobe = 2,
+          refine = pqRefine, tieBreak = Some("vec_id"),
+          rankRoundDp = Some(4),
+          filter = Some(pmod(col("vec_id"), lit(3L)) === 1L),
+          filterSelectivity = Some(1.0 / 3))
+        .select(col("vec_id"), col("dist"))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("dist"), col("vec_id"))).cast("long"))
+    }),
+
+    "q226_group_split" -> ((s, dir) => {
+      // LEAKAGE-SAFE train/val/test split — the split every training
+      // pipeline needs before anything else: the split key is the
+      // SOURCE, never the document, because near-duplicates cluster
+      // within a source (boilerplate, re-crawls, mirrored pages) and
+      // a doc-level random split leaks train content into eval. Every
+      // doc of a source lands in ONE split by construction:
+      // split = bucket(md5(source)) — deterministic, engine-
+      // replayable (the md5-derived integer regime), stable under
+      // corpus growth (a source's bucket never moves, so an
+      // incremental crawl extends splits without re-shuffling them —
+      // the property a frozen eval set requires). 80/10/10 by
+      // pmod(conv(md5 prefix), 100). Output: per split, docs /
+      // distinct sources / whitespace tokens / doc share in ppm.
+      // Scale shape: one corpus scan into a 3-row aggregate — the
+      // md5 is per-row codegen, no shuffle beyond the groupBy.
+      VectorExpressions.ensureRegistered(s)
+      import graft.functions.TextFunctions.tokenCount
+      val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+      val bucket = pmod(
+        conv(substring(md5(col("source")), 1, 8), 16, 10).cast("long"),
+        lit(100L))
+      val split = when(bucket < 80, "1_train")
+        .when(bucket < 90, "2_val").otherwise("3_test")
+      docs.withColumn("split", split)
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("source")).as("n_sources"),
+          sum(tokenCount(col("text"))).as("n_tokens"))
+        .withColumn("share_ppm",
+          expr("n_docs * 1000000 div sum(n_docs) over ()"))
+        .orderBy(col("split"))
     })
   )
 
@@ -13344,7 +13405,35 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
              AND e.vec_id % 3 = 1)
          SELECT vec_id, dist,
            row_number() OVER (ORDER BY dist, vec_id)::BIGINT AS rank
-         FROM sel ORDER BY dist, vec_id LIMIT 10"""
+         FROM sel ORDER BY dist, vec_id LIMIT 10""",
+
+    // q225: q74's probe + ADC + exact replay at the widened budget
+    // with the predicate inside both passes.
+    "q225_filtered_pq" -> filteredPqOracleSql,
+
+    // q226: the md5-bucket source split replayed verbatim (the
+    // '0x'||hex::BIGINT parse is DuckDB's conv twin).
+    "q226_group_split" ->
+      raw"""WITH d AS (
+           SELECT source, text,
+             CASE WHEN b < 80 THEN '1_train'
+                  WHEN b < 90 THEN '2_val'
+                  ELSE '3_test' END AS split
+           FROM (
+             SELECT source, text,
+               CAST(concat('0x', substr(md5(source), 1, 8)) AS BIGINT)
+                 % 100 AS b
+             FROM documents WHERE text IS NOT NULL)),
+         g AS (
+           SELECT split, count(*)::BIGINT AS n_docs,
+             count(DISTINCT source)::BIGINT AS n_sources,
+             sum(len(list_filter(string_split_regex(text, '\s+'),
+               x -> len(x) > 0)))::BIGINT AS n_tokens
+           FROM d GROUP BY split)
+         SELECT split, n_docs, n_sources, n_tokens,
+           (n_docs * 1000000 // (SELECT sum(n_docs) FROM g))::BIGINT
+             AS share_ppm
+         FROM g ORDER BY split"""
   )
 
   /** The kNN-graph replay CTE chain over the exported IVF replica
@@ -14214,6 +14303,46 @@ ${pqAdcSumSql()}
          WHERE e.vec_id IN (SELECT vec_id FROM cand)
          ORDER BY dist, vec_id LIMIT $pqK"""
   }
+
+  /** q225's oracle: [[ivfPqOracleSqlFor]]'s probe + hex-decoded ADC +
+    * exact-re-rank machinery over the pqivf export, with the
+    * vec_id ≡ 1 (mod 3) predicate inside BOTH passes and the probe
+    * budget already widened (LIMIT 6 = widen(2, 1/3)). */
+  private lazy val filteredPqOracleSql: String =
+    raw"""WITH q AS (
+           SELECT embedding::DOUBLE[] AS qv FROM embeddings
+           WHERE vec_id = 0),
+         cent AS (
+           SELECT cluster_id, centroid FROM
+             read_parquet('$IvfOracleRoot/single/centroids/*.parquet')),
+         probes AS (
+           SELECT cluster_id FROM cent, q
+           ORDER BY list_sum(list_transform(range(1, len(centroid) + 1),
+             i -> (centroid[i]::DOUBLE - qv[i]) *
+                  (centroid[i]::DOUBLE - qv[i]))),
+             cluster_id
+           LIMIT 6),
+         ${pqTabCteSql(perQuery = false)},
+         ad AS (
+           SELECT e.vec_id,
+${pqAdcSumSql()}
+             AS d
+           FROM read_parquet('$IvfOracleRoot/pqivf/data/*.parquet') e
+           WHERE e.__ivf_cluster IN (SELECT cluster_id FROM probes)
+             AND e.vec_id % 3 = 1),
+         cand AS (SELECT vec_id FROM ad ORDER BY d, vec_id
+                  LIMIT ${pqK * pqRefine}),
+         sel AS (
+           SELECT e.vec_id,
+             floor(list_distance(e.embedding::DOUBLE[],
+               (SELECT qv FROM q)) * 1e4 + 0.5::DOUBLE) / 1e4 AS dist
+           FROM read_parquet('$IvfOracleRoot/pqivf/data/*.parquet') e, q
+           WHERE e.vec_id IN (SELECT vec_id FROM cand)
+             AND e.__ivf_cluster IN (SELECT cluster_id FROM probes)
+             AND e.vec_id % 3 = 1)
+         SELECT vec_id, dist,
+           row_number() OVER (ORDER BY dist, vec_id)::BIGINT AS rank
+         FROM sel ORDER BY dist, vec_id LIMIT $pqK"""
 
   /** q208's oracle: Gonzalez farthest-first unrolled step by step.
     * Step t scans the corpus minus the selected set, takes min over

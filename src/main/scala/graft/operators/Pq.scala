@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{BinaryType, StructField, StructType}
 
@@ -334,10 +334,16 @@ object Pq {
       tieBreak: Option[String] = None,
       rankRoundDp: Option[Int] = None,
       metric: KnnSearch.Metric = KnnSearch.NativeL2,
-      perm: Option[Array[Int]] = None): DataFrame = {
+      perm: Option[Array[Int]] = None,
+      filter: Option[Column] = None,
+      filterSelectivity: Option[Double] = None): DataFrame = {
     require(encoded.columns.contains(IvfIndex.ClusterCol),
       s"corpus has no '${IvfIndex.ClusterCol}' column — IVF-PQ needs " +
         "the IVF cluster layout (assign + partition first, then encode)")
+    require(filterSelectivity.isEmpty || filter.isDefined,
+      "filterSelectivity without a filter has nothing to compensate")
+    filterSelectivity.foreach(sel => require(sel > 0.0 && sel <= 1.0,
+      s"selectivity must be in (0, 1], got $sel"))
     // cosine probes rank ANGULARLY on the raw query (the quantized-key
     // ranking the whole cosine IVF family uses) — the books contract
     // itself is enforced inside topK. Probes rank on the RAW query:
@@ -345,11 +351,21 @@ object Pq {
     // permutation only reorders what the CODES see.
     val cosine =
       requireMetricMatchesBooks(metric, books, "Pq.topKProbed")
+    // FILTERED search on the PQ rung (the IvfIndex.search contract):
+    // the predicate sits on the probed scan, so both the ADC candidate
+    // pass and the exact re-rank see only eligible rows — the k·refine
+    // candidate budget is never crowded by ineligible ones — and a
+    // known selectivity widens the probe budget by 1/selectivity,
+    // capped at the cluster count.
+    val np = filterSelectivity.fold(math.max(1, nprobe))(sel =>
+      math.min(clusterIds.length,
+        math.ceil(math.max(1, nprobe) / sel).toInt))
     val probes =
       (if (cosine) IvfIndex.probeOrderCosine(centroids, clusterIds, query)
        else IvfIndex.probeOrder(centroids, clusterIds, query))
-        .take(math.max(1, nprobe))
-    topK(encoded.filter(col(IvfIndex.ClusterCol).isin(probes: _*)),
+        .take(np)
+    val scan = encoded.filter(col(IvfIndex.ClusterCol).isin(probes: _*))
+    topK(filter.foldLeft(scan)((d, f) => d.filter(f)),
       idCol, vecCol, query, k, books, refine, tieBreak, rankRoundDp,
       metric, perm)
   }
