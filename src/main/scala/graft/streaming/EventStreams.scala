@@ -462,7 +462,12 @@ object EventStreams {
     * batch: probe
     * planning collects only the micro-batch's queries (bounded by the
     * trigger, the documented query-set regime) and the corpus-side
-    * scan is pruned to the UNION of their probed clusters.
+    * scan is pruned to the UNION of their probed clusters. A `filter`
+    * (+ `filterSelectivity` widening) applies the
+    * [[graft.operators.IvfIndex#search]] filtered-ANN contract to
+    * every served query — the reference's serving loop is
+    * metadata-WHERE + similarity, so the streaming face takes the
+    * same predicate.
     *
     * Delivery: foreachBatch is AT-LEAST-ONCE, so a restarted query
     * re-runs its last uncommitted batch; a marker under
@@ -500,7 +505,9 @@ object EventStreams {
       servingId: String,
       k: Int,
       nprobe: Int,
-      rankRoundDp: Option[Int] = Some(4)): DataStreamWriter[Row] = {
+      rankRoundDp: Option[Int] = Some(4),
+      filter: Option[org.apache.spark.sql.Column] = None,
+      filterSelectivity: Option[Double] = None): DataStreamWriter[Row] = {
     require(servingId.nonEmpty && !servingId.contains("/"),
       s"servingId must be a non-empty path segment, got '$servingId'")
     queries.writeStream.foreachBatch {
@@ -538,9 +545,13 @@ object EventStreams {
                 idCol, vecCol)
               val staging = new org.apache.hadoop.fs.Path(
                 s"$outPath/_serving_staging/$servingId/batch-$batchId")
-              // searchBatch's output carries the query id as `query_id`
+              // searchBatch's output carries the query id as `query_id`;
+              // the optional metadata predicate rides the probe-pruned
+              // scan with the widened budget (the reference's serving
+              // loop IS filtered search — doc_embedder.py:173-220)
               idx.searchBatch(embedded, queryIdCol, queryVecCol, k,
-                  nprobe, tieBreak = idCol, rankRoundDp = rankRoundDp)
+                  nprobe, tieBreak = idCol, rankRoundDp = rankRoundDp,
+                  filter = filter, filterSelectivity = filterSelectivity)
                 .select(col("query_id"), col(idCol), col("dist"))
                 .write.mode("overwrite").parquet(staging.toString)
               fs.mkdirs(dest.getParent)

@@ -1431,6 +1431,40 @@ class IvfIndexSpec extends SparkSpec {
     }
   }
 
+  test("filter composes with component scope: both prunes + the predicate in one scan, exact within scope at full probe") {
+    // the reference's full flagship shape — partition_names AND a
+    // metadata WHERE AND similarity — in one doubly-pruned, filtered
+    // scan on the two-level layout
+    val scoped = IvfIndex.build(embeddings, "vec_id", "embedding",
+      nlist = 8, componentCol = Some("label"))
+    val tmp = Files.createTempDirectory("graft-scope-filt-").toString
+    scoped.write(s"$tmp/ivf")
+    val loaded = IvfIndex.load(spark, s"$tmp/ivf", "vec_id", "embedding")
+    val m = pmod(col("vec_id"), lit(3L)) === 1L
+    val comp = embeddings.filter(col("vec_id") === 0)
+      .select("label").head().getInt(0)
+    val q = queryVecs(1).head
+    val res = loaded.search(q, 10, nprobe = loaded.nlist,
+        tieBreak = Some("vec_id"), components = Seq(comp),
+        filter = Some(m))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val truth = KnnSearch.topK(
+        embeddings.filter(m && col("label") === comp), "embedding", q,
+        10, KnnSearch.L2, tieBreak = Some("vec_id"))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(res == truth,
+      "scoped + filtered full-probe search must be the exact " +
+        "filtered within-scope top-k")
+    // both directory levels still prune with the predicate present
+    val plan = loaded.probedScan(q, nprobe = 2,
+        components = Seq(comp), filter = Some(m))
+      .queryExecution.executedPlan.toString
+    val pf = "PartitionFilters: \\[[^\\]]*\\]".r.findFirstIn(plan)
+    assert(pf.exists(f => f.contains(IvfIndex.ClusterCol) &&
+      f.contains("label")),
+      s"both partition levels must prune:\n$plan")
+  }
+
   test("filtered searchBatch is bit-equal per query to single filtered search at the same widened budget") {
     val m = pmod(col("vec_id"), lit(3L)) === 1L
     val qs = embeddings.filter(col("vec_id").isin(0, 1, 2))

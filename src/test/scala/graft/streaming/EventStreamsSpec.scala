@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.{col, expr, sum, timestamp_micros}
+import org.apache.spark.sql.functions.{col, expr, lit, pmod, sum, timestamp_micros}
 import org.apache.spark.sql.streaming.OutputMode
 import graft.SparkSpec
 import EventStreams.{Event, SessionSummary}
@@ -671,6 +671,50 @@ class EventStreamsSpec extends SparkSpec {
     assert(results().size == nBefore,
       "a crash between rename and marker must not duplicate results")
     assert(m0.exists(), "the re-run must restore the lost marker")
+  }
+
+  test("servingSearch with a filter serves the filtered searchBatch answer (the metadata-WHERE serving shape)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    import graft.operators.IvfIndex
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val base = emb.filter(col("vec_id") % 2 === 0)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-serve-filt-").toString
+    val path = s"$tmp/ivf"
+    IvfIndex.build(base, "vec_id", "embedding", nlist = 8).write(path)
+    val out = s"$tmp/out"
+    val m = pmod(col("vec_id"), lit(3L)) === 1L
+    val qs = emb.filter(col("vec_id") % 2 === 1)
+      .select("vec_id", "embedding").orderBy("vec_id").limit(3)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val input = MemoryStream[(Long, Seq[Float])]
+    val embedStage = (df: DataFrame) => df.select(col("qid"), col("qv"))
+    val expected = IvfIndex.load(spark, path, "vec_id", "embedding")
+      .searchBatch(qs.toSeq.toDF("qid", "qv"), "qid", "qv",
+        k = 5, nprobe = 2, tieBreak = "vec_id", rankRoundDp = Some(4),
+        filter = Some(m), filterSelectivity = Some(1.0 / 3))
+      .select(col("query_id"), col("vec_id"), col("dist"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(expected.nonEmpty &&
+      expected.forall { case (_, v, _) => v % 3 == 1 })
+    val query = EventStreams.servingSearch(
+        input.toDF().toDF("qid", "qv"), embedStage,
+        "qid", "qv", path, "vec_id", "embedding", out, "serve-filt",
+        k = 5, nprobe = 2, filter = Some(m),
+        filterSelectivity = Some(1.0 / 3))
+      .option("checkpointLocation", s"$tmp/ckpt").start()
+    try {
+      input.addData(qs.toSeq: _*)
+      query.processAllAvailable()
+    } finally query.stop()
+    val got = spark.read.parquet(s"$out/results")
+      .select("query_id", "vec_id", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expected,
+      "the served rows must equal the filtered batch face exactly")
   }
 
   test("servingSearch under maintenance: deletes visible next trigger; compact published by POINTER SWAP served seamlessly") {
