@@ -221,7 +221,9 @@ object SparkEntry {
     * [[RootCacheFormatVersion]] whenever any builder's recipe
     * changes — the version is in the base path, so old-format roots
     * become unreachable rather than silently wrong. */
-  private val RootCacheFormatVersion = 1
+  // v2: rebalance moved to the sample-fit driver-side sub-k-means —
+  // the rebalanced root's sub-centroids changed
+  private val RootCacheFormatVersion = 2
   private lazy val rootCacheBase: String = {
     val tmp = sys.props.getOrElse("java.io.tmpdir", "/tmp")
       .stripSuffix("/")

@@ -1593,8 +1593,9 @@ object IvfIndex {
 
   /** Rebalance a persisted root IN PLACE: split every cluster holding
     * more than `maxCellRows` rows into `ceil(size / maxCellRows)`
-    * sub-cells via a deterministic sub-fit k-means over that cluster's
-    * own rows (fixed `seed`), retiring the split cluster's id and
+    * sub-cells via a deterministic driver-side k-means fit on a
+    * bounded lowest-id SAMPLE of that cluster's own rows (fixed
+    * `seed`; the full cell pays one narrow assignment pass), retiring the split cluster's id and
     * centroid in favor of the sub-cells' — the repair for the skew
     * q206 diagnoses: probe pruning's `nprobe/nlist` win and every
     * per-cell work bound (q86/q187's pair caps, scan-task balance)
@@ -1665,7 +1666,6 @@ object IvfIndex {
       }
       spark.catalog.refreshByPath(path)
 
-      val featCol = "__ivf_features"
       var totalSplits = 0
       var frozen = Set.empty[Int]
       // child id -> parent size, from the LAST pass: a child as big
@@ -1693,29 +1693,49 @@ object IvfIndex {
           var cents: Seq[(Int, Array[Float])] =
             idx.clusterIds.zip(idx.centroids).toSeq
           val children = Map.newBuilder[Int, Long]
+          val reassigned = Seq.newBuilder[DataFrame]
           for ((cid, sz) <- oversized) {
             val j = math.ceil(sz.toDouble / maxCellRows).toInt
             val rows = idx.assigned
               .filter(col(ClusterCol) === cid).drop(ClusterCol)
-            val feats = rows.withColumn(featCol,
-              array_to_vector(col(vecCol).cast("array<double>")))
-            val model = new KMeans()
-              .setK(j).setSeed(seed)
-              .setFeaturesCol(featCol).setPredictionCol("__sub")
-              .fit(feats)
-            val subCents = model.clusterCenters
-              .map(_.toArray.map(_.toFloat))
+            // SAMPLE-FIT, driver-side (the Pq.fit / FAISS recipe, and
+            // the same trade as build's fitSampleFraction): the
+            // sub-centroids come from a deterministic lowest-id sample
+            // of the cell — one bounded pruned collect — and the full
+            // cell pays exactly ONE narrow assignment pass. The
+            // previous MLlib sub-fit ran multi-job k-means over the
+            // whole cell per iteration — measured in
+            // tools/RebalanceScaleBench as the dominant cost, and the
+            // shape that would re-scan a mega-cell iterations× at
+            // 100 TB.
+            val sample = rows
+              .filter(col(vecCol).isNotNull)
+              .orderBy(col(idCol)).limit(math.max(256, 32 * j))
+              .select(col(vecCol)).collect()
+              .map(_.getSeq[Float](0).toArray)
+            // a cell of near-identical points can hold fewer distinct
+            // vectors than j — fit what exists; a 1-centroid "split"
+            // makes no progress and the freeze above retires the cell
+            val kEff = math.min(j, sample.map(_.toSeq).distinct.length)
+            val subCents = Pq.lloyd(sample, kEff, seed, iterations = 10)
             val subIds = subCents.indices.map(nextId + _).toArray
             nextId += subCents.length
             // the shared assignment core: same distance arithmetic and
             // argmin tie rule as build/append, so the sub-cells obey
             // the exact contract every later append extends
-            assignToCentroids(rows, vecCol, subCents, subIds)
-              .write.mode(SaveMode.Append)
-              .partitionBy(parts: _*).parquet(path)
+            reassigned += assignToCentroids(rows, vecCol, subCents, subIds)
             cents = cents.filterNot(_._1 == cid) ++ subIds.zip(subCents)
             subIds.foreach(k => children += k -> sz)
           }
+          // ONE append job lands every split cell of this pass (the
+          // per-split spelling paid a full write barrier per cell —
+          // measured 15 jobs for an 8-cell root in
+          // tools/RebalanceScaleBench; job count is the toy-scale
+          // cost, write VOLUME the at-scale one, and batching fixes
+          // the first without touching the second)
+          reassigned.result().reduce(_.unionByName(_))
+            .write.mode(SaveMode.Append)
+            .partitionBy(parts: _*).parquet(path)
           // publish: the sidecar swap makes the sub-cells live and
           // retires the split ids in one reader-visible step
           cents.sortBy(_._1).toDF("cluster_id", "centroid")

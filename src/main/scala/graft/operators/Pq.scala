@@ -143,8 +143,8 @@ object Pq {
   /** driver-side Lloyd's k-means: seeded distinct-index init, fixed
     * iteration count, lowest-index assignment ties, empty clusters keep
     * their previous centroid — every step deterministic */
-  private def lloyd(points: Array[Array[Float]], k: Int, seed: Long,
-      iterations: Int): Array[Array[Float]] = {
+  private[operators] def lloyd(points: Array[Array[Float]], k: Int,
+      seed: Long, iterations: Int): Array[Array[Float]] = {
     val d = points.head.length
     // seeds drawn from CONTENT-distinct points (first-occurrence order)
     // so no two initial centroids coincide; k <= distinct count is the
