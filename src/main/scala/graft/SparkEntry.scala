@@ -8418,6 +8418,28 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
         .withColumn("share_ppm",
           expr("n_docs * 1000000 div sum(n_docs) over ()"))
         .orderBy(col("split"))
+    }),
+
+    "q227_filtered_binary" -> ((s, dir) => {
+      // Filtered ANN on the BINARY rung — the fourth and last face of
+      // the filtered ladder (raw q220, SQ8 q224, PQ q225): the
+      // predicate sits on the scan BEFORE the Hamming prefilter, so
+      // the 50-candidate budget is spent only on eligible rows; the
+      // exact cosine re-rank inherits it. Unlike the probed rungs
+      // there is no budget to widen — the sign-code pass scans every
+      // eligible row anyway, which makes the cheapest rung also the
+      // one whose filtered recall never moves with selectivity (the
+      // decision-relevant contrast to q220/q224/q225's widening).
+      // Oracle: q133's two-word pack + xor/popcount replay with the
+      // predicate inside both passes. Scale shape: one filtered
+      // 16-bytes/row scan + one 50-row exact pass.
+      VectorExpressions.ensureRegistered(s)
+      val q = queryVec(s, dir)
+      BinaryHash.topK(t(s, dir, "embeddings"), "embedding", "vec_id",
+        q, k = 10, candidates = 50,
+        rerank = v => KnnSearch.roundHalfUpCol(
+          cosineSimilarityNative(v, KnnSearch.litVec(q)), 4),
+        filter = Some(pmod(col("vec_id"), lit(3L)) === 1L))
     })
   )
 
@@ -13435,7 +13457,33 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
          SELECT split, n_docs, n_sources, n_tokens,
            (n_docs * 1000000 // (SELECT sum(n_docs) FROM g))::BIGINT
              AS share_ppm
-         FROM g ORDER BY split"""
+         FROM g ORDER BY split""",
+
+    // q227: q133's pack + xor/popcount replay with the predicate
+    // inside both passes (no probe budget on the binary rung).
+    "q227_filtered_binary" ->
+      raw"""WITH p AS (
+           SELECT vec_id, embedding,
+             list_sum(list_transform(range(0, 32), i ->
+               CASE WHEN embedding[i + 1] > 0
+                 THEN (1::BIGINT << i) ELSE 0::BIGINT END))::BIGINT AS w0,
+             list_sum(list_transform(range(0, 32), i ->
+               CASE WHEN embedding[i + 33] > 0
+                 THEN (1::BIGINT << i) ELSE 0::BIGINT END))::BIGINT AS w1
+           FROM embeddings),
+         q AS (SELECT w0 AS qw0, w1 AS qw1, embedding AS qe
+               FROM p WHERE vec_id = 0),
+         h AS (
+           SELECT p.vec_id, p.embedding, q.qe,
+             (bit_count(xor(p.w0, q.qw0))
+              + bit_count(xor(p.w1, q.qw1)))::BIGINT AS hamming
+           FROM p CROSS JOIN q
+           WHERE p.vec_id % 3 = 1),
+         cand AS (SELECT * FROM h ORDER BY hamming, vec_id LIMIT 50)
+         SELECT vec_id, hamming,
+           floor(list_cosine_similarity(embedding::DOUBLE[], qe::DOUBLE[])
+             * 1e4 + 0.5::DOUBLE) / 1e4 AS cos_sim
+         FROM cand ORDER BY cos_sim DESC, vec_id LIMIT 10"""
   )
 
   /** The kNN-graph replay CTE chain over the exported IVF replica

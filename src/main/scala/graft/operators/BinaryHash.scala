@@ -89,15 +89,26 @@ object BinaryHash {
     * partition, k-row merge at the driver), then exact re-rank of the
     * survivors with `rerank` (e.g. rounded native cosine). Ties break
     * on `idCol` at both cuts so the result is deterministic under any
-    * partitioning. */
+    * partitioning.
+    *
+    * FILTERED form (the [[graft.operators.IvfIndex#search]] contract
+    * on the binary rung, completing the filtered ladder raw/SQ8/PQ/
+    * binary): `filter` sits on the scan BEFORE the Hamming cut, so
+    * the `candidates` budget is spent only on eligible rows — a
+    * post-filter would let ineligible rows crowd the prefilter list,
+    * the exact failure q209 priced. The binary rung has no probe
+    * budget to widen: the code pass already scans every (eligible)
+    * row, so selectivity costs nothing — the cheapest rung is also
+    * the one whose filtered recall never degrades with the predicate. */
   def topK(df: DataFrame, vecCol: String, idCol: String, qVec: Seq[Float],
-      k: Int, candidates: Int, rerank: Column => Column): DataFrame = {
+      k: Int, candidates: Int, rerank: Column => Column,
+      filter: Option[Column] = None): DataFrame = {
     require(candidates >= k, s"candidates ($candidates) must be >= k ($k)")
     val qBits = packVec(qVec)
     // a null vector hashes to a null hamming distance, and ascending
     // sort is NULLS FIRST — unfiltered, null rows would silently
     // occupy prefilter slots and displace real candidates (r13 advice)
-    df.filter(col(vecCol).isNotNull)
+    filter.foldLeft(df.filter(col(vecCol).isNotNull))((d, f) => d.filter(f))
       .select(col(idCol), col(vecCol),
         hammingCol(packCol(col(vecCol), qVec.length), qBits).as("hamming"))
       .orderBy(col("hamming"), col(idCol))
