@@ -8440,6 +8440,70 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
         rerank = v => KnnSearch.roundHalfUpCol(
           cosineSimilarityNative(v, KnnSearch.litVec(q)), 4),
         filter = Some(pmod(col("vec_id"), lit(3L)) === 1L))
+    }),
+
+    "q228_filtered_rungs" -> ((s, dir) => {
+      // The filtered-rung DECISION TABLE — which quantization rung
+      // should serve a metadata-constrained query at a FIXED raw
+      // budget (q220/q224/q225/q227 gate each operator; this is the
+      // q209-style policy table ACROSS them): every probed rung runs
+      // UNWIDENED at nprobe=2 (widening would saturate all three at
+      // the same coverage and the table would stop discriminating —
+      // the q182 rule), the binary rung spends its analogous
+      // 50-candidate budget over its full filtered code scan, and
+      // every leg re-ranks by exact 4-dp L2 against the SAME filtered
+      // truth, so the recall column isolates exactly two effects:
+      // probe coverage (shared by raw/SQ8/PQ, absent for binary) and
+      // code resolution (SQ8/PQ/binary's candidate cuts vs raw's
+      // none). Oracle: the four proven replay chains (q220's pruned
+      // scan, q62's hex SQ8 decode, q73's ADC, q133's pack/popcount),
+      // each compressed to its overlap count. Scale: one pruned scan
+      // per probed rung + one 16-bytes/row code scan for binary, each
+      // cut to ≤ 50 rows before the exact pass.
+      VectorExpressions.ensureRegistered(s)
+      import graft.functions.VectorFunctions.l2DistanceNative
+      val q = queryVec(s, dir)
+      val idx = ivfIndexFor(s, dir)
+      val m = pmod(col("vec_id"), lit(3L)) === 1L
+      val truth = t(s, dir, "embeddings")
+        .filter(m && col("embedding").isNotNull)
+        .select(col("vec_id"),
+          KnnSearch.roundHalfUpCol(l2DistanceNative(col("embedding"),
+            KnnSearch.litVec(q)), 4).as("d"))
+        .orderBy(col("d"), col("vec_id")).limit(10)
+        .select(col("vec_id").as("tid"))
+        .localCheckpoint()
+      def row(tag: String, sel: DataFrame): DataFrame =
+        sel.join(truth, sel("vec_id") === truth("tid"))
+          .agg(lit(tag).as("rung"),
+            count(lit(1)).as("n_overlap"),
+            expr("count(1) * 1000000 div 10").as("recall_ppm"))
+      val raw = idx.search(q, 10, nprobe = 2,
+        metric = KnnSearch.NativeL2, tieBreak = Some("vec_id"),
+        rankRoundDp = Some(4), filter = Some(m))
+      val sq8 = idx.searchQuantized(q, 10, nprobe = 2, refine = 4,
+        tieBreak = Some("vec_id"), rankRoundDp = Some(4),
+        filter = Some(m))
+      val pq = Pq.topKProbed(
+        s.read.parquet(s"${pqIvfRootFor(s, dir)}/data"), "vec_id",
+        "embedding", q, k = pqK,
+        Pq.load(s, s"${pqRootFor(s, dir)}/books"),
+        idx.centroids, idx.clusterIds, nprobe = 2, refine = pqRefine,
+        tieBreak = Some("vec_id"), rankRoundDp = Some(4),
+        filter = Some(m))
+      // the binary leg re-ranks by exact NEGATED rounded L2 (desc on
+      // −d = asc d), so all four legs answer against the ONE truth
+      val bin = BinaryHash.topK(t(s, dir, "embeddings"), "embedding",
+        "vec_id", q, k = 10, candidates = 50,
+        rerank = v => -KnnSearch.roundHalfUpCol(
+          l2DistanceNative(v, KnnSearch.litVec(q)), 4),
+        filter = Some(m))
+      Seq(row("1_raw", raw.select("vec_id")),
+          row("2_sq8", sq8.select("vec_id")),
+          row("3_pq", pq.select("vec_id")),
+          row("4_binary", bin.select("vec_id")))
+        .reduce(_.unionByName(_))
+        .orderBy(col("rung"))
     })
   )
 
@@ -13483,7 +13547,11 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
          SELECT vec_id, hamming,
            floor(list_cosine_similarity(embedding::DOUBLE[], qe::DOUBLE[])
              * 1e4 + 0.5::DOUBLE) / 1e4 AS cos_sim
-         FROM cand ORDER BY cos_sim DESC, vec_id LIMIT 10"""
+         FROM cand ORDER BY cos_sim DESC, vec_id LIMIT 10""",
+
+    // q228: the four filtered-rung chains, each compressed to its
+    // overlap against one exact filtered-L2 truth.
+    "q228_filtered_rungs" -> filteredRungsOracleSql
   )
 
   /** The kNN-graph replay CTE chain over the exported IVF replica
@@ -14393,6 +14461,131 @@ ${pqAdcSumSql()}
          SELECT vec_id, dist,
            row_number() OVER (ORDER BY dist, vec_id)::BIGINT AS rank
          FROM sel ORDER BY dist, vec_id LIMIT $pqK"""
+
+  /** q228's oracle: the four filtered-rung replay chains — q220's
+    * pruned raw scan, q62's hex SQ8 decode, q73's ADC, q133's
+    * pack/popcount — each with the predicate inside both passes, each
+    * compressed to its overlap count against ONE exact filtered-L2
+    * truth. Probed rungs replay at the UNWIDENED LIMIT 2. */
+  private lazy val filteredRungsOracleSql: String =
+    raw"""WITH q AS (
+           SELECT embedding::DOUBLE[] AS qv,
+             embedding AS qe
+           FROM embeddings WHERE vec_id = 0),
+         cent AS (
+           SELECT cluster_id, centroid FROM
+             read_parquet('$IvfOracleRoot/single/centroids/*.parquet')),
+         probes AS MATERIALIZED (
+           SELECT cluster_id FROM cent, q
+           ORDER BY list_sum(list_transform(range(1, len(centroid) + 1),
+             i -> (centroid[i]::DOUBLE - qv[i]) *
+                  (centroid[i]::DOUBLE - qv[i]))),
+             cluster_id
+           LIMIT 2),
+         truth AS MATERIALIZED (
+           SELECT vec_id AS tid FROM embeddings
+           WHERE vec_id % 3 = 1 AND embedding IS NOT NULL
+           ORDER BY floor(list_distance(embedding::DOUBLE[],
+               (SELECT qv FROM q)) * 1e4 + 0.5::DOUBLE) / 1e4,
+             vec_id
+           LIMIT 10),
+         rawsel AS MATERIALIZED (
+           SELECT vec_id FROM (
+             SELECT e.vec_id,
+               floor(list_distance(e.embedding::DOUBLE[],
+                 (SELECT qv FROM q)) * 1e4 + 0.5::DOUBLE) / 1e4 AS dist
+             FROM read_parquet('$IvfOracleRoot/single/data/*.parquet') e
+             WHERE e.__ivf_cluster IN (SELECT cluster_id FROM probes)
+               AND e.vec_id % 3 = 1)
+           ORDER BY dist, vec_id LIMIT 10),
+         gp8 AS (
+           SELECT mins, scales FROM
+             read_parquet('$IvfOracleRoot/single/sq8/*.parquet')),
+         a8 AS (
+           SELECT e.vec_id,
+             list_sum(list_transform(range(1, len(q.qv) + 1), i ->
+               ((gp8.mins[i] + CAST(concat('0x',
+                   substr(hex(e.__sq8_code), 2 * i - 1, 2)) AS INT)
+                   * gp8.scales[i]) - q.qv[i])
+               * ((gp8.mins[i] + CAST(concat('0x',
+                   substr(hex(e.__sq8_code), 2 * i - 1, 2)) AS INT)
+                   * gp8.scales[i]) - q.qv[i]))) AS ad
+           FROM read_parquet('$IvfOracleRoot/single/data/*.parquet') e,
+             q, gp8
+           WHERE e.__ivf_cluster IN (SELECT cluster_id FROM probes)
+             AND e.vec_id % 3 = 1),
+         c8 AS (SELECT vec_id FROM a8 ORDER BY ad, vec_id LIMIT 40),
+         s8 AS MATERIALIZED (
+           SELECT vec_id FROM (
+             SELECT e.vec_id,
+               floor(list_distance(e.embedding::DOUBLE[],
+                 (SELECT qv FROM q)) * 1e4 + 0.5::DOUBLE) / 1e4 AS dist
+             FROM read_parquet('$IvfOracleRoot/single/data/*.parquet') e
+             WHERE e.vec_id IN (SELECT vec_id FROM c8)
+               AND e.__ivf_cluster IN (SELECT cluster_id FROM probes)
+               AND e.vec_id % 3 = 1)
+           ORDER BY dist, vec_id LIMIT 10),
+         ${pqTabCteSql(perQuery = false)},
+         adp AS (
+           SELECT e.vec_id,
+${pqAdcSumSql()}
+             AS d
+           FROM read_parquet('$IvfOracleRoot/pqivf/data/*.parquet') e
+           WHERE e.__ivf_cluster IN (SELECT cluster_id FROM probes)
+             AND e.vec_id % 3 = 1),
+         cp AS (SELECT vec_id FROM adp ORDER BY d, vec_id
+                LIMIT ${pqK * pqRefine}),
+         sp AS MATERIALIZED (
+           SELECT vec_id FROM (
+             SELECT e.vec_id,
+               floor(list_distance(e.embedding::DOUBLE[],
+                 (SELECT qv FROM q)) * 1e4 + 0.5::DOUBLE) / 1e4 AS dist
+             FROM read_parquet('$IvfOracleRoot/pqivf/data/*.parquet') e
+             WHERE e.vec_id IN (SELECT vec_id FROM cp)
+               AND e.__ivf_cluster IN (SELECT cluster_id FROM probes)
+               AND e.vec_id % 3 = 1)
+           ORDER BY dist, vec_id LIMIT 10),
+         pk AS (
+           SELECT vec_id, embedding,
+             list_sum(list_transform(range(0, 32), i ->
+               CASE WHEN embedding[i + 1] > 0
+                 THEN (1::BIGINT << i) ELSE 0::BIGINT END))::BIGINT AS w0,
+             list_sum(list_transform(range(0, 32), i ->
+               CASE WHEN embedding[i + 33] > 0
+                 THEN (1::BIGINT << i) ELSE 0::BIGINT END))::BIGINT AS w1
+           FROM embeddings),
+         qb AS (SELECT w0 AS qw0, w1 AS qw1 FROM pk WHERE vec_id = 0),
+         cb50 AS (
+           SELECT vec_id, embedding FROM (
+             SELECT pk.vec_id, pk.embedding,
+               (bit_count(xor(pk.w0, qb.qw0))
+                + bit_count(xor(pk.w1, qb.qw1)))::BIGINT AS hamming
+             FROM pk CROSS JOIN qb
+             WHERE pk.vec_id % 3 = 1)
+           ORDER BY hamming, vec_id LIMIT 50),
+         sb AS MATERIALIZED (
+           SELECT vec_id FROM (
+             SELECT vec_id,
+               floor(list_distance(embedding::DOUBLE[],
+                 (SELECT qv FROM q)) * 1e4 + 0.5::DOUBLE) / 1e4 AS dist
+             FROM cb50)
+           ORDER BY dist, vec_id LIMIT 10)
+         SELECT rung, n_overlap,
+           (n_overlap * 1000000 // 10)::BIGINT AS recall_ppm
+         FROM (
+           SELECT '1_raw' AS rung, (SELECT count(*) FROM rawsel
+             JOIN truth ON rawsel.vec_id = truth.tid)::BIGINT
+             AS n_overlap
+           UNION ALL
+           SELECT '2_sq8', (SELECT count(*) FROM s8
+             JOIN truth ON s8.vec_id = truth.tid)::BIGINT
+           UNION ALL
+           SELECT '3_pq', (SELECT count(*) FROM sp
+             JOIN truth ON sp.vec_id = truth.tid)::BIGINT
+           UNION ALL
+           SELECT '4_binary', (SELECT count(*) FROM sb
+             JOIN truth ON sb.vec_id = truth.tid)::BIGINT)
+         ORDER BY rung"""
 
   /** q208's oracle: Gonzalez farthest-first unrolled step by step.
     * Step t scans the corpus minus the selected set, takes min over
