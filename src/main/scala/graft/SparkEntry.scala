@@ -8504,6 +8504,33 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
           row("4_binary", bin.select("vec_id")))
         .reduce(_.unionByName(_))
         .orderBy(col("rung"))
+    }),
+
+    "q229_filtered_batch" -> ((s, dir) => {
+      // The filtered BATCH face under the hash gate (q220 gates the
+      // single face; the spec pins batch==single — this puts the
+      // batch machinery itself in the hash regime): three queries,
+      // ONE probed scan over the union of their widened probe sets,
+      // per-query gated heaps, the predicate on the shared scan. The
+      // oracle replays per-query L2 probe ranking at the widened
+      // LIMIT 6, the (qid, cluster) gate join, the in-scan predicate,
+      // and each query's exact ranked top-5. Scale shape: one union-
+      // pruned scan serves the whole batch — Σq probe work with one
+      // read (the q59/ProbeUnionBench argument), filter included.
+      VectorExpressions.ensureRegistered(s)
+      val idx = ivfIndexFor(s, dir)
+      val qs = t(s, dir, "embeddings")
+        .filter(col("vec_id").isin(0L, 1L, 2L))
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      idx.searchBatch(qs, "qid", "qv", k = 5, nprobe = 2,
+          tieBreak = "vec_id", rankRoundDp = Some(4),
+          filter = Some(pmod(col("vec_id"), lit(3L)) === 1L),
+          filterSelectivity = Some(1.0 / 3))
+        .select(col("query_id"), col("vec_id"), col("dist"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("dist"), col("vec_id"))).cast("long"))
+        .orderBy(col("query_id"), col("rank"))
     })
   )
 
@@ -13551,7 +13578,41 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
 
     // q228: the four filtered-rung chains, each compressed to its
     // overlap against one exact filtered-L2 truth.
-    "q228_filtered_rungs" -> filteredRungsOracleSql
+    "q228_filtered_rungs" -> filteredRungsOracleSql,
+
+    // q229: per-query L2 probe ranking at the widened LIMIT 6, the
+    // (qid, cluster) gate join, the predicate, per-query exact top-5.
+    "q229_filtered_batch" ->
+      raw"""WITH q AS (
+           SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id IN (0, 1, 2)),
+         cent AS (
+           SELECT cluster_id, centroid FROM
+             read_parquet('$IvfOracleRoot/single/centroids/*.parquet')),
+         pranked AS (
+           SELECT q.qid, c.cluster_id,
+             row_number() OVER (PARTITION BY q.qid ORDER BY
+               list_sum(list_transform(range(1, len(c.centroid) + 1),
+                 i -> (c.centroid[i]::DOUBLE - q.qv[i]) *
+                      (c.centroid[i]::DOUBLE - q.qv[i]))),
+               c.cluster_id) AS rn
+           FROM cent c, q),
+         d AS (
+           SELECT p.qid AS query_id, e.vec_id,
+             floor(list_distance(e.embedding::DOUBLE[], q.qv)
+               * 1e4 + 0.5::DOUBLE) / 1e4 AS dist
+           FROM pranked p
+           JOIN q ON q.qid = p.qid
+           JOIN read_parquet('$IvfOracleRoot/single/data/*.parquet') e
+             ON e.__ivf_cluster = p.cluster_id
+           WHERE p.rn <= 6 AND e.vec_id % 3 = 1),
+         r AS (
+           SELECT query_id, vec_id, dist,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY dist, vec_id)::BIGINT AS rank
+           FROM d)
+         SELECT query_id, vec_id, dist, rank FROM r WHERE rank <= 5
+         ORDER BY query_id, rank"""
   )
 
   /** The kNN-graph replay CTE chain over the exported IVF replica

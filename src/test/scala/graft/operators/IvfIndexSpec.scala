@@ -1296,6 +1296,57 @@ class IvfIndexSpec extends SparkSpec {
       .exists())
   }
 
+  test("rebalance preserves the TWO-LEVEL component layout: split cells stay scoped, both prunes survive, scoped search exact") {
+    // a cluster's rows span every component directory — splitting it
+    // must rewrite label=*/__ivf_cluster=cid across ALL components
+    // (the clusterDirs walker's depth-1 case) and keep the component
+    // prune intact for later scoped searches
+    val n = embeddings.count()
+    val tmp = Files.createTempDirectory("graft-rebal-scoped-").toString
+    val path = s"$tmp/ivf"
+    IvfIndex.build(embeddings, "vec_id", "embedding", nlist = 2,
+      componentCol = Some("label")).write(path)
+    val nSplit = IvfIndex.rebalance(spark, path, "vec_id", "embedding",
+      maxCellRows = n / 6)
+    assert(nSplit >= 1)
+    val after = IvfIndex.load(spark, path, "vec_id", "embedding")
+    assert(after.componentCol.contains("label"),
+      "the two-level layout must survive the rebalance")
+    assert(after.assigned.count() == n)
+    assert(after.assigned.groupBy("vec_id").count()
+      .filter(col("count") > 1).isEmpty)
+    // the retired ids are gone from EVERY component directory
+    val clusterDirIds = new java.io.File(path).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("label="))
+      .flatMap(_.listFiles())
+      .filter(f => f.isDirectory &&
+        f.getName.startsWith(s"${IvfIndex.ClusterCol}="))
+      .map(_.getName.split("=")(1).toInt).toSet
+    assert(clusterDirIds == after.clusterIds.toSet,
+      s"layout/sidecar drift: $clusterDirIds vs ${after.clusterIds.toSet}")
+    // scoped + full-probe search answers the exact within-scope top-k
+    val comp = embeddings.filter(col("vec_id") === 0)
+      .select("label").head().getInt(0)
+    val q = queryVecs(1).head
+    val res = after.search(q, 10, nprobe = after.nlist,
+        tieBreak = Some("vec_id"), components = Seq(comp))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val truth = KnnSearch.topK(
+        embeddings.filter(col("label") === comp), "embedding", q, 10,
+        KnnSearch.L2, tieBreak = Some("vec_id"))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(res == truth)
+    // both directory levels still prune on the rebalanced layout
+    val probes = after.probeOrder(q).take(2)
+    val plan = after.assigned
+      .filter(col("label") === comp &&
+        col(IvfIndex.ClusterCol).isin(probes: _*))
+      .queryExecution.executedPlan.toString
+    val pf = "PartitionFilters: \\[[^\\]]*\\]".r.findFirstIn(plan)
+    assert(pf.exists(f => f.contains(IvfIndex.ClusterCol) &&
+      f.contains("label")), s"both levels must prune:\n$plan")
+  }
+
   test("rebalance recovery: orphan cluster dirs (a crashed run's remnants) are purged, never half-visible") {
     // crash simulation: a sub-cell directory whose id the sidecar does
     // not know (the append-before-swap window). It must be invisible
