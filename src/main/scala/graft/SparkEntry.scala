@@ -223,8 +223,12 @@ object SparkEntry {
     * become unreachable rather than silently wrong. */
   // v2: rebalance moved to the sample-fit driver-side sub-k-means —
   // the rebalanced root's sub-centroids changed
-  private val RootCacheFormatVersion = 2
-  private lazy val rootCacheBase: String = {
+  // v3: rebalance publishes the sidecar atomically (generation dir +
+  // _centroids_ptr pointer) — values unchanged, layout changed; the
+  // bump makes every gate rebuild through (and so exercise) the
+  // pointer publish instead of serving pre-pointer cached roots
+  private val RootCacheFormatVersion = 3
+  private[graft] lazy val rootCacheBase: String = {
     val tmp = sys.props.getOrElse("java.io.tmpdir", "/tmp")
       .stripSuffix("/")
     val user = sys.props.getOrElse("user.name", "anon")
@@ -248,19 +252,34 @@ object SparkEntry {
   private[graft] def cachedRoot(dir: String, name: String,
       sub: String = "")(build: String => Unit): String = {
     val key = corpusFingerprint(dir)
-    val slot = new java.io.File(s"$rootCacheBase/$key/$name")
+    val fpDir = new java.io.File(rootCacheBase, key)
+    val slot = new java.io.File(fpDir, name)
     def subPath(base: java.io.File): String =
       if (sub.isEmpty) base.getPath else s"${base.getPath}/$sub"
     if (!slot.isDirectory) {
-      // reap other-generation fingerprints and crashed stagings, past
-      // a grace window long enough for any concurrent multi-SF run
+      // reap other-generation fingerprints and crashed stagings — but
+      // only when BOTH guards pass: past a grace window long enough
+      // for any concurrent multi-SF run (cache HITS refresh the dir's
+      // mtime below, so a live steady-state generation never ages
+      // out), AND with no `.live-<pid>` marker whose JVM is still
+      // running (a session older than the window — a long soak, a
+      // paused debugger — still holds in-JVM path caches into its
+      // generation; reaping it would hand that session
+      // FileNotFoundException mid-read). The pid-liveness rule is
+      // [[exportIvfOracles]]'s reaper convention.
       val cutoff = System.currentTimeMillis() - 48L * 3600 * 1000
+      def pinnedByLiveJvm(gen: java.io.File): Boolean =
+        Option(gen.listFiles()).getOrElse(Array.empty)
+          .exists(f => f.getName.startsWith(LiveMarkerPrefix) &&
+            f.getName.stripPrefix(LiveMarkerPrefix).toLongOption
+              .exists(pid => ProcessHandle.of(pid)
+                .map[java.lang.Boolean](_.isAlive).orElse(false)))
       Option(new java.io.File(rootCacheBase).listFiles())
         .getOrElse(Array.empty)
         .filter(f => f.isDirectory && f.getName != key &&
-          f.lastModified() < cutoff)
+          f.lastModified() < cutoff && !pinnedByLiveJvm(f))
         .foreach(org.apache.hadoop.fs.FileUtil.fullyDelete)
-      val staging = new java.io.File(slot.getParentFile,
+      val staging = new java.io.File(fpDir,
         s".building-$name-${ProcessHandle.current().pid()}")
       org.apache.hadoop.fs.FileUtil.fullyDelete(staging)
       build(subPath(staging))
@@ -274,8 +293,23 @@ object SparkEntry {
           s"cachedRoot: could not publish $slot and no winner exists")
       }
     }
+    // pin the generation for this JVM's lifetime and refresh its age:
+    // hits never used to touch mtime, so a sibling-SF generation in
+    // steady state (built once, hit forever) aged past the window and
+    // was reaped by any later miss — rebuild churn at best, a torn
+    // read in a concurrent session at worst (r19 advice)
+    try {
+      fpDir.setLastModified(System.currentTimeMillis())
+      val live = new java.io.File(fpDir,
+        s"$LiveMarkerPrefix${ProcessHandle.current().pid()}")
+      if (!live.exists()) live.createNewFile()
+    } catch { case scala.util.control.NonFatal(_) => }
     subPath(slot)
   }
+
+  /** `.live-<pid>` marker files inside a root-cache generation dir —
+    * written on every [[cachedRoot]] access, consulted by the reaper */
+  private[graft] val LiveMarkerPrefix = ".live-"
 
   private val ivfPathCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -463,7 +497,8 @@ object SparkEntry {
     // included
     s.read.parquet(indexRoot).coalesce(1)
       .write.mode("overwrite").parquet(s"$dest/data")
-    s.read.parquet(s"$indexRoot/${IvfIndex.CentroidSidecar}").coalesce(1)
+    s.read.parquet(IvfIndex.resolvedCentroidSidecar(s, indexRoot))
+      .coalesce(1)
       .write.mode("overwrite").parquet(s"$dest/centroids")
     // quantized roots also export their SQ8 grid so the q62 oracle can
     // replay the byte decode (index roots are local temp dirs)
@@ -8430,13 +8465,20 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
       // eligible row anyway, which makes the cheapest rung also the
       // one whose filtered recall never moves with selectivity (the
       // decision-relevant contrast to q220/q224/q225's widening).
+      // Served from the PERSISTED maintained code root (q184's CDC
+      // fixture — content equals the live corpus, codes fresh-pack
+      // equal), so the gate covers the production pack-once path:
+      // the prefilter reads (id, code), never re-packing per query.
       // Oracle: q133's two-word pack + xor/popcount replay with the
-      // predicate inside both passes. Scale shape: one filtered
-      // 16-bytes/row scan + one 50-row exact pass.
+      // predicate inside both passes — hash equality doubles as the
+      // stored==packed proof under the filter. Scale shape: one
+      // filtered 16-bytes/row scan + one 50-row exact pass.
       VectorExpressions.ensureRegistered(s)
       val q = queryVec(s, dir)
-      BinaryHash.topK(t(s, dir, "embeddings"), "embedding", "vec_id",
-        q, k = 10, candidates = 50,
+      val data = s.read.parquet(
+        s"${binCdcRootFor(s, dir)}/${BinaryHash.DataSubdir}")
+      BinaryHash.topKStored(data, BinaryHash.CodeCol, "embedding",
+        "vec_id", q, k = 10, candidates = 50,
         rerank = v => KnnSearch.roundHalfUpCol(
           cosineSimilarityNative(v, KnnSearch.litVec(q)), 4),
         filter = Some(pmod(col("vec_id"), lit(3L)) === 1L))

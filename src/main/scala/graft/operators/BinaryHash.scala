@@ -196,10 +196,19 @@ object BinaryHash {
     * and never touches the vector until the `candidates`-row exact
     * re-rank. A null or mis-sized stored code raises — it means the
     * row bypassed [[withCodes]] or the root mixes dims, and silently
-    * ranking it would return wrong neighbors with no error. */
+    * ranking it would return wrong neighbors with no error.
+    *
+    * `filter` is [[topK]]'s filtered-ANN contract on the stored-code
+    * path: the predicate sits on the scan BEFORE the Hamming cut, so
+    * the `candidates` budget is spent only on eligible rows — at
+    * scale the stored root IS the serving path (pack-once is the
+    * point), so the filtered contract must reach it, not just the
+    * per-query pack face. Same no-widening note as [[topK]]: the code
+    * pass scans every eligible row, so selectivity costs nothing. */
   def topKStored(df: DataFrame, codeCol: String, vecCol: String,
       idCol: String, qVec: Seq[Float], k: Int, candidates: Int,
-      rerank: Column => Column): DataFrame = {
+      rerank: Column => Column,
+      filter: Option[Column] = None): DataFrame = {
     require(candidates >= k, s"candidates ($candidates) must be >= k ($k)")
     val qBits = packVec(qVec)
     val nWords = qBits.length
@@ -209,7 +218,8 @@ object BinaryHash {
         s"$nWords words — row bypassed withCodes, or the root mixes " +
         "dims")))
       .otherwise(hammingCol(col(codeCol), qBits))
-    df.select(col(idCol), col(vecCol), guarded.as("hamming"))
+    filter.foldLeft(df)((d, f) => d.filter(f))
+      .select(col(idCol), col(vecCol), guarded.as("hamming"))
       .orderBy(col("hamming"), col(idCol))
       .limit(candidates)
       .select(col(idCol), col("hamming"), rerank(col(vecCol)).as("cos_sim"))

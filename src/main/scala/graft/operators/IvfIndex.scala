@@ -139,8 +139,11 @@ final case class IvfIndex(
     * component-scoped index; silently ignoring `components` on an
     * unscoped index would return out-of-scope rows.
     *
-    * FILTERED search (the reference's flagship shape: metadata WHERE +
-    * similarity_search, doc_embedder.py:173-220): pass `filter` and
+    * FILTERED search — the general-predicate form of the reference's
+    * scoped retrieval: the reference's flagship query constrains ANN
+    * by `partition_names` only (doc_embedder.py:173-220, mapped to
+    * `components` here); `filter` GENERALIZES that scoping to any
+    * metadata predicate rather than replaying it. Pass `filter` and
     * the predicate is pushed INTO the pruned scan — every in-probe
     * row matching it competes, so recall against the filtered truth
     * is bounded only by probe coverage, never by an overfetch factor
@@ -615,11 +618,35 @@ final case class IvfIndex(
     entry
   }
 
+  /** Greedy graph-ANN walk over a [[knnGraph]]. FILTERED form (the
+    * [[IvfIndex#search]] filtered-ANN contract on the graph rung,
+    * closing the ladder raw/SQ8/PQ/binary/graph): the walk TRAVERSES
+    * the graph unrestricted — ineligible nodes still route, because
+    * restricting traversal to predicate survivors disconnects the
+    * navigable graph at low selectivity (the open problem filtered
+    * graph-ANN methods like ACORN and filtered-DiskANN address; this
+    * is the ACORN-1 shape: predicate-blind traversal, predicate-aware
+    * answers) — and `filter` applies at the FINAL top-k over the
+    * visited set only. The compensation axis is `beamWiden` (the
+    * [[IvfIndex#widenedNprobe]] analogue for the walk family): the
+    * per-hop beam widens to `ceil(beam · beamWiden)`, growing the
+    * visited pool so ~`1/selectivity` more candidates survive the
+    * final cut — 1/selectivity is the natural setting, and the q231
+    * recall sweep reads the trade off the gate. Unlike the probed
+    * rungs there is no nlist ceiling: the walk's touch count stays
+    * `hops · beamEff · degree` point lookups regardless of corpus
+    * size. */
   def beamSearch(graph: DataFrame, query: Seq[Float], entryId: Long,
       k: Int, beam: Int, hops: Int,
-      rankRoundDp: Int = 4): DataFrame = {
+      rankRoundDp: Int = 4,
+      filter: Option[Column] = None,
+      beamWiden: Double = 1.0): DataFrame = {
     require(k >= 1 && beam >= 1 && hops >= 0,
       s"need k >= 1, beam >= 1, hops >= 0; got ($k, $beam, $hops)")
+    require(beamWiden >= 1.0, s"beamWiden must be >= 1, got $beamWiden")
+    require(filter.isDefined || beamWiden == 1.0,
+      "beamWiden without a filter has nothing to compensate")
+    val beamEff = math.ceil(beam * beamWiden).toInt
     graft.plans.VectorExpressions.ensureRegistered(assigned.sparkSession)
     import graft.functions.VectorFunctions.l2DistanceNative
     val distCol = KnnSearch.roundHalfUpCol(
@@ -643,13 +670,16 @@ final case class IvfIndex(
           .filter(col(idCol).isin(cand.toIndexedSeq: _*))
           .select(col(idCol), distCol.as("__d"))
           .orderBy(col("__d"), col(idCol))
-          .limit(beam)
+          .limit(beamEff)
           .collect().map(_.getLong(0))
         frontier = scored.toSet
         visited = visited ++ scored
       } else frontier = Set.empty
     }
-    assigned.filter(col(idCol).isin(visited: _*))
+    // the predicate cuts ANSWERS, never routing: it lands on the
+    // bounded visited-set lookup (≤ beamEff·hops + 1 ids)
+    filter.foldLeft(assigned.filter(col(idCol).isin(visited: _*)))(
+        (d, f) => d.filter(f))
       .select(col(idCol), distCol.as("dist"))
       .orderBy(col("dist"), col(idCol))
       .limit(k)
@@ -1141,6 +1171,12 @@ final case class IvfIndex(
     clusterIds.zip(centroids).toSeq.toDF("cluster_id", "centroid")
       .coalesce(1).write.mode(SaveMode.Overwrite)
       .parquet(s"$path/${IvfIndex.CentroidSidecar}")
+    // a wholesale rebuild makes the DEFAULT sidecar authoritative
+    // again: drop any generation pointer (and its generations) a prior
+    // in-place rebalance left — under a dynamic-partition-overwrite
+    // session conf the data overwrite would not have cleared them, and
+    // a stale pointer would shadow the sidecar just written
+    IvfIndex.dropSidecarPointer(spark, path)
     sq8.foreach { case (mins, scales) =>
       Seq((mins, scales, normalized)).toDF("mins", "scales", "normalized")
         .coalesce(1).write.mode(SaveMode.Overwrite)
@@ -1310,6 +1346,119 @@ object IvfIndex {
   }
 
   private[graft] val CentroidSidecar = "_centroids"
+
+  /** pointer FILE naming the LIVE centroid sidecar directory — the
+    * [[graft.sources.VersionedRoot]] primitive at sidecar granularity.
+    * A parquet sidecar is a DIRECTORY, and no filesystem renames a
+    * directory over a non-empty one atomically, so in-place lifecycles
+    * that must swap the centroid set while readers run (rebalance's
+    * per-pass publish) write a fresh `_centroids_v<N>` generation and
+    * swap this one-line pointer by atomic rename instead — a reader
+    * resolves the old generation or the new one, never a torn or
+    * deleted-mid-rewrite sidecar (the r19 verdict #1 window).
+    * Absent pointer = the default `_centroids` directory, keeping
+    * every existing root and fresh [[IvfIndex#write]] layout
+    * first-class. Underscore-prefixed, `=`-free names stay hidden
+    * from Spark's data listing. */
+  private[graft] val CentroidPtr = "_centroids_ptr"
+  private val CentroidVersionPrefix = "_centroids_v"
+
+  private def isSidecarGen(name: String): Boolean =
+    name == CentroidSidecar ||
+      (name.startsWith(CentroidVersionPrefix) &&
+        name.stripPrefix(CentroidVersionPrefix).toIntOption.nonEmpty)
+
+  /** the LIVE centroid sidecar directory for `root`: follow
+    * [[CentroidPtr]] when present, else the default [[CentroidSidecar]] */
+  private[graft] def centroidSidecarDir(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.Path = {
+    val ptr = new org.apache.hadoop.fs.Path(root, CentroidPtr)
+    if (!fs.exists(ptr)) new org.apache.hadoop.fs.Path(root, CentroidSidecar)
+    else {
+      val in = fs.open(ptr)
+      val name =
+        try new String(in.readAllBytes(), "UTF-8").trim
+        finally in.close()
+      require(isSidecarGen(name),
+        s"corrupt centroid-sidecar pointer $ptr: '$name'")
+      new org.apache.hadoop.fs.Path(root, name)
+    }
+  }
+
+  /** Retire a root's generation pointer and every versioned sidecar
+    * generation, making the default `_centroids` directory
+    * authoritative — [[IvfIndex#write]]'s wholesale-rebuild reset.
+    * Pointer first: a crash after it leaves only unreferenced
+    * generation dirs (invisible to readers), never a pointer naming a
+    * deleted dir. */
+  private[operators] def dropSidecarPointer(spark: SparkSession,
+      path: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(root, CentroidPtr), false)
+    if (fs.exists(root)) fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && isSidecarGen(st.getPath.getName) &&
+        st.getPath.getName != CentroidSidecar)
+      .foreach(st => fs.delete(st.getPath, true))
+  }
+
+  /** [[centroidSidecarDir]] as a string path for `spark.read` callers */
+  private[graft] def resolvedCentroidSidecar(spark: SparkSession,
+      path: String): String = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    centroidSidecarDir(
+      root.getFileSystem(spark.sessionState.newHadoopConf()), root)
+      .toString
+  }
+
+  /** Atomically publish a new centroid set for a LIVE root: write the
+    * frame into a fresh `_centroids_v<N>` generation, then swap
+    * [[CentroidPtr]] by write-temp-and-rename (the VersionedRoot
+    * primitive — FileContext Rename.OVERWRITE, atomic on posix and
+    * HDFS). The previously-live generation stays on disk for exactly
+    * one publish cycle (a reader that resolved just before the swap
+    * still streams it); every OLDER generation — including a crashed
+    * publish's half-written dir, which no pointer ever named — is
+    * purged BEFORE the new write. Crash anywhere: readers keep the
+    * old pointer and a complete old generation; re-running completes
+    * the publish. Caller holds whatever lifecycle lock the mutation
+    * needs (rebalance's compact lock) — concurrency here is
+    * publisher-vs-READERS, not publisher-vs-publisher. */
+  private[operators] def publishCentroids(spark: SparkSession,
+      path: String, cents: DataFrame): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = root.getFileSystem(conf)
+    val cur = centroidSidecarDir(fs, root).getName
+    val gens = fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && isSidecarGen(st.getPath.getName))
+      .map(_.getPath.getName)
+    val next = CentroidVersionPrefix + (gens.map { n =>
+      if (n == CentroidSidecar) 1
+      else n.stripPrefix(CentroidVersionPrefix).toInt
+    }.maxOption.getOrElse(0) + 1)
+    gens.filterNot(n => n == cur || n == next).foreach(n =>
+      fs.delete(new org.apache.hadoop.fs.Path(root, n), true))
+    cents.coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$path/$next")
+    val ptr = new org.apache.hadoop.fs.Path(root, CentroidPtr)
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"$path/.$CentroidPtr.${ProcessHandle.current().pid()}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(next.getBytes("UTF-8"))
+    finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      ptr.toUri, conf)
+    try fc.rename(tmp, ptr,
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    catch {
+      case e: Throwable =>
+        try fs.delete(tmp, false)
+        catch { case scala.util.control.NonFatal(_) => }
+        throw e
+    }
+  }
 
   /** 1-byte/dim SQ8 code column a `quantize = true` [[IvfIndex#write]]
     * stores beside each vector */
@@ -1504,7 +1653,10 @@ object IvfIndex {
       }
       graft.sources.CorpusStore.copyCompactInto(data, parts, srcPath,
         destPath, targetRowsPerFile)
-      val src = new org.apache.hadoop.fs.Path(s"$srcPath/$CentroidSidecar")
+      // resolve the src's live sidecar generation (a rebalanced root
+      // carries a pointer); the fresh dest gets the DEFAULT name —
+      // copy-based lifecycles need no generation history
+      val src = centroidSidecarDir(srcFs, srcRoot)
       val dst = new org.apache.hadoop.fs.Path(s"$destPath/$CentroidSidecar")
       val copied = org.apache.hadoop.fs.FileUtil.copy(
         src.getFileSystem(conf), src, dst.getFileSystem(conf), dst,
@@ -1555,6 +1707,65 @@ object IvfIndex {
       }
       graft.plans.IvfAutoProbe.invalidate(spark, destPath)
     } finally releaseCompactLock(spark, srcPath)
+  }
+
+  /** [[compact]] into a fresh [[graft.sources.VersionedRoot]] version
+    * of `base` and publish it by pointer swap — the ONE publish idiom
+    * ([[graft.sources.VersionedRoot.publishVia]]) for every
+    * rebuild-shaped lifecycle: readers resolving `base` serve the old
+    * version until the atomic rename, then the compacted one; a crash
+    * anywhere leaves the pointer on the old version and an
+    * unreferenced build dir that [[graft.sources.VersionedRoot.prune]]
+    * reclaims once superseded. Requires `base` to be pointered already
+    * (build the first root into `v-1` and
+    * [[graft.sources.VersionedRoot.publish]] it) — compacting an
+    * unversioned root INTO its own subdirectory would leave the old
+    * files shadowing the data path. Returns the published version. */
+  def compactVersioned(spark: SparkSession, base: String,
+      targetRowsPerFile: Long = 500000L,
+      dedupIdCol: Option[String] = None): Int = {
+    val src = graft.sources.VersionedRoot.current(spark, base)
+      .getOrElse(throw new IllegalArgumentException(
+        s"compactVersioned: $base carries no version pointer — write " +
+          "the first root into v-1 and publish it, or use compact() " +
+          "with an explicit destPath"))
+    graft.sources.VersionedRoot.publishVia(spark, base)(dest =>
+      compact(spark, src, dest, targetRowsPerFile, dedupIdCol))
+  }
+
+  /** [[rebalance]] ONTO A COPY published through
+    * [[graft.sources.VersionedRoot]]: the current version is copied
+    * into a fresh `v-N`, the copy is rebalanced in place (only its
+    * oversized cells pay the split work), and the pointer swap
+    * publishes the repaired layout atomically — the
+    * fully-versioned alternative to the in-place [[rebalance]] for
+    * deployments that want instant rollback (`publish` the old
+    * number) around every maintenance action. The copy pays one full
+    * root read+write — the price of version isolation; the in-place
+    * face with its atomic sidecar publish
+    * ([[IvfIndex.publishCentroids]]) is the cheap default. Returns
+    * (published version, total cells split). */
+  def rebalanceVersioned(spark: SparkSession, base: String,
+      idCol: String, vecCol: String, maxCellRows: Long,
+      seed: Long = 42L, maxPasses: Int = 8): (Int, Int) = {
+    val src = graft.sources.VersionedRoot.current(spark, base)
+      .getOrElse(throw new IllegalArgumentException(
+        s"rebalanceVersioned: $base carries no version pointer — " +
+          "write the first root into v-1 and publish it, or use the " +
+          "in-place rebalance()"))
+    var splits = 0
+    val conf = spark.sessionState.newHadoopConf()
+    val v = graft.sources.VersionedRoot.publishVia(spark, base) { dest =>
+      val srcP = new org.apache.hadoop.fs.Path(src)
+      val dstP = new org.apache.hadoop.fs.Path(dest)
+      val fs = srcP.getFileSystem(conf)
+      require(org.apache.hadoop.fs.FileUtil.copy(fs, srcP,
+        dstP.getFileSystem(conf), dstP, false, conf),
+        s"rebalanceVersioned: copy $src -> $dest failed")
+      splits = rebalance(spark, dest, idCol, vecCol, maxCellRows,
+        seed, maxPasses)
+    }
+    (v, splits)
   }
 
   /** Targeted deletion from a PERSISTED index root — the
@@ -1626,10 +1837,16 @@ object IvfIndex {
     * the sub-dirs are orphans (ids not in the sidecar → never
     * probed), after it the OLD dirs are the orphans. The orphan-purge
     * pass at the START of the next rebalance (any cluster directory
-    * whose id the sidecar does not know) completes a crashed run;
-    * like [[compact]], a crash DURING the sidecar overwrite itself
-    * (non-atomic on plain parquet) is the one window needing manual
-    * re-run before readers load the fallback centroids.
+    * whose id the sidecar does not know) completes a crashed run.
+    * The sidecar swap itself is ATOMIC ([[IvfIndex.publishCentroids]]:
+    * fresh `_centroids_v<N>` generation + one pointer-file rename,
+    * the [[graft.sources.VersionedRoot]] primitive at sidecar
+    * granularity), so a CONCURRENT reader — readers take no lock; a
+    * live [[graft.streaming.EventStreams.servingSearch]] reloads the
+    * root per trigger — resolves the old centroid set or the new one,
+    * never a deleted-mid-rewrite sidecar, and a crash during the
+    * publish leaves the old generation live (the r19 manual-re-run
+    * window is closed; spec: rebalance-while-serving chaos act).
     *
     * Splitting runs in PASSES: k-means does not balance, so a split
     * of a 5×-oversized cell can leave a sub-cell itself oversized —
@@ -1648,8 +1865,7 @@ object IvfIndex {
     import spark.implicits._
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    val sidecarPath = new org.apache.hadoop.fs.Path(root, CentroidSidecar)
-    require(fs.exists(sidecarPath),
+    require(fs.exists(centroidSidecarDir(fs, root)),
       s"rebalance: $path has no $CentroidSidecar sidecar — refusing to " +
         "rebalance a root whose centroid provenance is unknown (legacy " +
         "fallback roots must be rebuilt first)")
@@ -1659,7 +1875,10 @@ object IvfIndex {
       // sidecar does not know (either generation of orphans — see the
       // crash-ordering note). They are invisible to every probe, so
       // deleting them restores exactly the last published state.
-      val knownIds = spark.read.parquet(sidecarPath.toString)
+      // (Resolve the sidecar pointer AFTER the lock: the live one is
+      // whatever the last completed publish named.)
+      val knownIds = spark.read
+        .parquet(centroidSidecarDir(fs, root).toString)
         .select("cluster_id").collect().map(_.getInt(0)).toSet
       clusterDirs(fs, root).foreach { case (cid, p) =>
         if (!knownIds.contains(cid)) fs.delete(p, true)
@@ -1736,11 +1955,13 @@ object IvfIndex {
           reassigned.result().reduce(_.unionByName(_))
             .write.mode(SaveMode.Append)
             .partitionBy(parts: _*).parquet(path)
-          // publish: the sidecar swap makes the sub-cells live and
-          // retires the split ids in one reader-visible step
-          cents.sortBy(_._1).toDF("cluster_id", "centroid")
-            .coalesce(1).write.mode(SaveMode.Overwrite)
-            .parquet(sidecarPath.toString)
+          // publish: the ATOMIC sidecar swap (fresh generation +
+          // pointer rename) makes the sub-cells live and retires the
+          // split ids in one reader-visible step — a concurrent
+          // serving trigger resolves a complete centroid set on
+          // either side of it
+          publishCentroids(spark, path,
+            cents.sortBy(_._1).toDF("cluster_id", "centroid"))
           // retire the split cells' directories (now sidecar-orphans)
           val splitIds = oversized.map(_._1).toSet
           clusterDirs(fs, root).foreach { case (cid, p) =>
@@ -2068,7 +2289,9 @@ object IvfIndex {
     val component = partitionColsOf(assigned)
       .filterNot(_ == ClusterCol).headOption
     val byId: Array[(Int, Array[Float])] = {
-      val sidecar = s"$path/$CentroidSidecar"
+      // follow the sidecar-generation pointer when the root has one
+      // (an in-place rebalance publishes by pointer swap)
+      val sidecar = resolvedCentroidSidecar(spark, path)
       val loaded =
         try {
           spark.read.parquet(sidecar).collect()

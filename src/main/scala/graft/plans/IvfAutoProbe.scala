@@ -51,6 +51,12 @@ case class IvfAutoProbe(spark: SparkSession) extends Rule[LogicalPlan] {
   private def nprobe: Int =
     Try(spark.conf.get(NprobeConf, "0").toInt).getOrElse(0)
 
+  /** declared kept-fraction for residual-filtered matches; None when
+    * unset, 0, or out of (0, 1] */
+  private def filterSelectivity: Option[Double] =
+    Try(spark.conf.get(FilterSelectivityConf, "0").toDouble).toOption
+      .filter(s => s > 0.0 && s <= 1.0)
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val np = nprobe
     if (np <= 0) plan
@@ -76,6 +82,7 @@ case class IvfAutoProbe(spark: SparkSession) extends Rule[LogicalPlan] {
     var aliases = Map.empty[ExprId, Expression]
     var node: LogicalPlan = s.child
     var probedAlready = false
+    var filterConds = List.empty[Expression]
     var rel: LogicalRelation = null
     var clusterAttr: AttributeReference = null
     while (rel == null) {
@@ -89,6 +96,7 @@ case class IvfAutoProbe(spark: SparkSession) extends Rule[LogicalPlan] {
         case f: Filter =>
           if (f.condition.references.exists(_.name == IvfIndex.ClusterCol))
             probedAlready = true
+          else filterConds ::= f.condition
           node = f.child
         case lr: LogicalRelation =>
           rel = lr
@@ -101,6 +109,15 @@ case class IvfAutoProbe(spark: SparkSession) extends Rule[LogicalPlan] {
           if h.partitionSchema.fieldNames.contains(IvfIndex.ClusterCol) => h
       case _ => return None
     }
+    // a DATA-column predicate thins every probed cluster's candidate
+    // pool (the filtered-recall collapse [[FilterSelectivityConf]]
+    // compensates); a partition-column-only predicate is component
+    // SCOPING — directories drop out whole, in-scope pools stay
+    // dense — and takes no widening, matching the API face where
+    // `components` never widens but `filter` may
+    val partCols = fs.partitionSchema.fieldNames.toSet
+    val userFiltered = filterConds.exists(
+      _.references.exists(r => !partCols.contains(r.name)))
     clusterAttr = rel.output.collectFirst {
       case a: AttributeReference if a.name == IvfIndex.ClusterCol => a
     }.getOrElse(return None)
@@ -168,9 +185,19 @@ case class IvfAutoProbe(spark: SparkSession) extends Rule[LogicalPlan] {
     // 3. centroids from the sidecar (driver-side, fingerprint-cached)
     val root = fs.location.rootPaths.headOption.getOrElse(return None)
     val cents = centroidsFor(spark, root.toString).getOrElse(return None)
-    if (np >= cents.length) return None // full scan anyway
+    // a residual data predicate thins every probed cluster — widen
+    // the budget by the session's declared selectivity (the API
+    // face's widenedNprobe contract); a budget reaching nlist means
+    // the honest plan is the exact filtered scan: decline the rewrite
+    val npEff =
+      if (!userFiltered) np
+      else filterSelectivity match {
+        case Some(sel) => math.ceil(np / sel).toInt
+        case None => np
+      }
+    if (npEff >= cents.length) return None // full scan anyway
     val probes = ranker(cents.map(_._2), cents.map(_._1), qVec.toSeq)
-      .take(np)
+      .take(npEff)
 
     // 4. inject the probe filter directly above the relation; the
     //    planner's PhysicalOperation collapse makes it a PartitionFilter
@@ -268,6 +295,24 @@ case class IvfAutoProbe(spark: SparkSession) extends Rule[LogicalPlan] {
 object IvfAutoProbe {
   val NprobeConf = "spark.graft.ivf.nprobe"
 
+  /** Assumed kept-fraction of any RESIDUAL data predicate riding the
+    * matched shape (a `Filter` between the sort and the relation that
+    * is not the cluster prune itself) — the declarative twin of
+    * [[graft.operators.IvfIndex#search]]'s `filterSelectivity`: a
+    * selective WHERE thins every probed cluster's candidate pool, so
+    * at the static [[NprobeConf]] budget filtered recall collapses
+    * (q209 measured ~30% at 1/3 selectivity). When this conf is set
+    * in (0, 1], a filtered match widens its probe budget to
+    * `ceil(nprobe / selectivity)`; a widened budget reaching nlist
+    * declines the rewrite — the exact filtered scan is the correct
+    * plan there. Unset/0 (default) keeps the static budget — with the
+    * documented caveat that filtered declarative queries should
+    * either set this conf or use the API face, which takes the
+    * per-query selectivity directly. Session-wide by nature (one
+    * number for every query), so a mixed workload with per-query
+    * selectivities belongs on the API. */
+  val FilterSelectivityConf = "spark.graft.ivf.filterSelectivity"
+
   /** How long (ms) a root's sidecar LISTING stays fresh —
     * see [[sidecarFingerprint]]. The default keeps steady-state queries
     * from paying a list RPC per optimizer pass while out-of-JVM
@@ -364,12 +409,16 @@ object IvfAutoProbe {
     if (cached != null && now - cached._1 < ttlNanos) cached._2
     else {
       val fp = Try {
+        // resolve the generation pointer first (an out-of-JVM rebalance
+        // publishes by pointer swap — the new generation's dir name is
+        // in the fingerprint, so the swap invalidates cached centroids
+        // within one TTL like any other rebuild)
         val p = new org.apache.hadoop.fs.Path(
-          s"$root/${IvfIndex.CentroidSidecar}")
+          IvfIndex.resolvedCentroidSidecar(spark, root))
         val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
         fs.listStatus(p).filter(_.isFile)
-          .map(st =>
-            s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+          .map(st => s"${p.getName}/${st.getPath.getName}:" +
+            s"${st.getLen}:${st.getModificationTime}")
           .sorted.mkString(",")
       }.toOption.filter(_.nonEmpty)
       // evict only when INSERTING a new root: a TTL refresh of an
@@ -396,7 +445,8 @@ object IvfAutoProbe {
     val cached = centroidCache.get(root)
     if (cached != null && cached._1 == fp) Some(cached._2)
     else Try {
-      spark.read.parquet(s"$root/${IvfIndex.CentroidSidecar}").collect()
+      spark.read
+        .parquet(IvfIndex.resolvedCentroidSidecar(spark, root)).collect()
         .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray)
         .sortBy(_._1)
     }.toOption match {

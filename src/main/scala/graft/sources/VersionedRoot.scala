@@ -72,8 +72,36 @@ object VersionedRoot {
     finally out.close()
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(
       pointer.toUri, conf)
-    fc.rename(tmp, pointer,
+    // a failed rename must not leak the tmp pointer: a later
+    // nextVersion/prune walks the base listing, and an orphaned
+    // `.`-file is harmless to readers but accretes forever
+    try fc.rename(tmp, pointer,
       org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    catch {
+      case e: Throwable =>
+        try fs.delete(tmp, false)
+        catch { case scala.util.control.NonFatal(_) => }
+        throw e
+    }
+  }
+
+  /** Build-then-publish in one idiom — the ONE publish path every
+    * rebuild-shaped lifecycle shares ([[graft.operators.IvfIndex.compact]]
+    * via `compactVersioned`, [[graft.operators.IvfIndex.rebalance]] via
+    * `rebalanceVersioned`, [[graft.operators.Pq.refitRoot]] callers):
+    * `build` writes a complete root into the fresh `v-N` directory this
+    * helper hands it, and the pointer swap publishes it atomically only
+    * AFTER the build returns — a build that throws leaves the pointer
+    * untouched (readers keep the old version; the abandoned `v-N` is
+    * invisible, never collides with the next build, and is reclaimed by
+    * [[prune]] once a newer version publishes past it). Returns the
+    * published version number. */
+  def publishVia(spark: SparkSession, base: String)
+      (build: String => Unit): Int = {
+    val n = nextVersion(spark, base)
+    build(versionDir(base, n))
+    publish(spark, base, n)
+    n
   }
 
   /** the currently-published version directory, if `base` carries a
@@ -100,20 +128,28 @@ object VersionedRoot {
   def resolve(spark: SparkSession, path: String): String =
     current(spark, path).getOrElse(path)
 
-  /** delete every version directory except the published one and the
-    * `keep` most recent others (rollback headroom); returns the
-    * removed versions. Never touches the pointer or the current dir. */
+  /** delete PUBLISHED-AND-SUPERSEDED version directories — versions
+    * strictly OLDER than the current pointer, beyond the `keep` most
+    * recent of them (rollback headroom); returns the removed versions.
+    * Never touches the pointer, the current dir, or any version NEWER
+    * than the published one: a newer directory is an in-progress (or
+    * abandoned) build awaiting publish, and deleting it would defeat
+    * [[nextVersion]]'s no-collision guarantee — it becomes prunable
+    * only once a later publish supersedes it. An unpointered base
+    * prunes nothing for the same reason (every version there is a
+    * build nothing has published yet). */
   def prune(spark: SparkSession, base: String, keep: Int = 1): Seq[Int] = {
     require(keep >= 0, s"keep must be >= 0, got $keep")
     val root = new org.apache.hadoop.fs.Path(base)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    val cur = current(spark, base)
-      .map(p => new org.apache.hadoop.fs.Path(p).getName)
+    val curN = current(spark, base)
+      .flatMap(p => new org.apache.hadoop.fs.Path(p).getName
+        .stripPrefix(VersionPrefix).toIntOption)
     val versions = fs.listStatus(root).toSeq
       .filter(_.isDirectory)
       .flatMap { st =>
         st.getPath.getName.stripPrefix(VersionPrefix).toIntOption
-          .filterNot(_ => cur.contains(st.getPath.getName))
+          .filter(n => curN.exists(n < _))
           .map(n => (n, st.getPath))
       }
       .sortBy(-_._1)

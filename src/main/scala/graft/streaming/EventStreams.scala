@@ -346,16 +346,43 @@ object EventStreams {
             // or torn, must still be purged; the purge keys on the
             // snapshot, never on this batch's rows).
             if (fs.exists(started)) {
-              val snap = {
+              val lines = {
                 val in = fs.open(started)
                 val bytes =
                   try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
                   finally in.close()
                 new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
-                  .linesIterator.filter(_.nonEmpty).toSet
+                  .linesIterator.toVector
               }
-              graft.operators.IvfIndex.purgeFilesNotIn(
-                spark, indexPath, snap)
+              val stamped = lines.headOption.contains(StartedFormatStamp)
+              val snap = (if (stamped) lines.tail else lines)
+                .filter(_.nonEmpty).toSet
+              // UPGRADE GUARD: a marker WITHOUT the format stamp is from
+              // the pre-snapshot format, which wrote .started even for
+              // EMPTY batches with an empty body — purging against that
+              // empty "snapshot" would delete every data file in the
+              // root. An empty stamped snapshot is legitimate (first
+              // batch into a fresh root: everything present IS the
+              // crashed attempt's remnant), so only the legacy-empty
+              // combination is refused. Upgrading a live ingest whose
+              // root carries an UNCOMMITTED legacy .started must clear
+              // that marker manually — the batch then re-delivers as
+              // at-least-once (possible duplicates, never data loss).
+              if (!stamped && snap.isEmpty &&
+                graft.operators.IvfIndex.listDataFiles(fs, rootPath)
+                  .nonEmpty) {
+                org.slf4j.LoggerFactory.getLogger(getClass)
+                  .warn(s"indexedIngest: $started is a LEGACY-format " +
+                  "marker with an empty snapshot over a non-empty root — " +
+                  "SKIPPING the recovery purge (purging would delete the " +
+                  "whole root). If this batch's previous attempt appended " +
+                  "files, they will duplicate; clear the marker and " +
+                  "deduplicate by content fingerprint if exactness is " +
+                  "required.")
+              } else {
+                graft.operators.IvfIndex.purgeFilesNotIn(
+                  spark, indexPath, snap)
+              }
             }
             // record the PRE-append listing in the .started marker via
             // write-temp-then-rename: a torn snapshot would make the
@@ -374,7 +401,11 @@ object EventStreams {
               val startedTmp = new org.apache.hadoop.fs.Path(
                 started.toString + ".tmp")
               val out = fs.create(startedTmp, true)
-              try out.write(snapshot.mkString("\n")
+              // the format stamp leads the body: recovery trusts an
+              // empty snapshot only when the stamp proves it was
+              // written by a format that never marks empty batches
+              try out.write((StartedFormatStamp +: snapshot)
+                .mkString("\n")
                 .getBytes(java.nio.charset.StandardCharsets.UTF_8))
               finally out.close()
               if (fs.exists(started)) fs.delete(started, false)
@@ -432,6 +463,15 @@ object EventStreams {
     * watches this directory for markers appearing mid-compact. */
   private[graft] val IngestLogDir = "_ingest_log"
 
+  /** first line of every `.started` marker — proves the body is a
+    * pre-append FILE SNAPSHOT from a format that never marks empty
+    * batches, so recovery may trust even an EMPTY snapshot (fresh
+    * root). An unstamped marker is the pre-snapshot legacy format,
+    * whose empty body over a non-empty root must NOT drive a purge
+    * (it would delete the whole root); data-file paths can never
+    * collide with the stamp (none starts with `#`). */
+  private[graft] val StartedFormatStamp = "#graft-started-v2"
+
   /** per-batch commit markers for [[servingSearch]] results — the same
     * discipline as [[IngestLogDir]], namespaced under the OUTPUT root */
   private[graft] val ServingLogDir = "_serving_log"
@@ -465,9 +505,9 @@ object EventStreams {
     * scan is pruned to the UNION of their probed clusters. A `filter`
     * (+ `filterSelectivity` widening) applies the
     * [[graft.operators.IvfIndex#search]] filtered-ANN contract to
-    * every served query — the reference's serving loop is
-    * metadata-WHERE + similarity, so the streaming face takes the
-    * same predicate.
+    * every served query — the reference's serving loop scopes ANN by
+    * `partition_names`; the streaming face takes the general
+    * predicate that scoping generalizes to.
     *
     * Delivery: foreachBatch is AT-LEAST-ONCE, so a restarted query
     * re-runs its last uncommitted batch; a marker under
@@ -547,8 +587,9 @@ object EventStreams {
                 s"$outPath/_serving_staging/$servingId/batch-$batchId")
               // searchBatch's output carries the query id as `query_id`;
               // the optional metadata predicate rides the probe-pruned
-              // scan with the widened budget (the reference's serving
-              // loop IS filtered search — doc_embedder.py:173-220)
+              // scan with the widened budget — generalizing the
+              // reference serving loop's partition_names scoping
+              // (doc_embedder.py:173-220) to any predicate
               idx.searchBatch(embedded, queryIdCol, queryVecCol, k,
                   nprobe, tieBreak = idCol, rankRoundDp = rankRoundDp,
                   filter = filter, filterSelectivity = filterSelectivity)

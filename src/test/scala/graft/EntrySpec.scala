@@ -180,6 +180,58 @@ class EntrySpec extends SparkSpec {
       SparkEntry.cachedRoot(corpus, "spec_empty")(_ => ()))
   }
 
+  test("cachedRoot reaper: a live-JVM generation survives past the age window; a dead stale one is reaped; hits refresh mtime") {
+    // the r19 liveness items: (a) cache hits must TOUCH the
+    // generation dir, or a steady-state sibling-SF generation ages out
+    // and gets reaped by any later miss; (b) even an aged generation
+    // is pinned while a `.live-<pid>` marker names a running JVM —
+    // pid-death is exportIvfOracles' reaper convention.
+    import java.nio.file.{Files => JF, Paths}
+    val base = new java.io.File(SparkEntry.rootCacheBase)
+    base.mkdirs()
+    val stale = System.currentTimeMillis() - 72L * 3600 * 1000
+    def plant(name: String, livePid: Option[Long]): java.io.File = {
+      val gen = new java.io.File(base, name)
+      new java.io.File(gen, "slot").mkdirs()
+      livePid.foreach(pid => JF.write(
+        Paths.get(gen.getPath, s"${SparkEntry.LiveMarkerPrefix}$pid"),
+        Array.empty[Byte]))
+      gen.setLastModified(stale)
+      gen
+    }
+    // fake generations: valid-hex names that can never collide with a
+    // real md5 fingerprint of this run's corpora
+    val pinned = plant("deadbeef-spec-pinned",
+      Some(ProcessHandle.current().pid()))
+    val reapable = plant("deadbeef-spec-dead", Some(999999999L))
+    val unmarked = plant("deadbeef-spec-unmarked", None)
+    try {
+      // a MISS triggers the reap pass
+      val corpus = JF.createTempDirectory("graft-reap-corpus-").toString
+      JF.write(Paths.get(corpus, "embeddings.parquet"), "x".getBytes)
+      def build(p: String): Unit = {
+        JF.createDirectories(Paths.get(p))
+        JF.write(Paths.get(p, "root.txt"), "r".getBytes)
+      }
+      val p = SparkEntry.cachedRoot(corpus, "spec_reap")(build)
+      assert(pinned.isDirectory,
+        "an aged generation with a LIVE pid marker must survive the reap")
+      assert(!reapable.isDirectory && !unmarked.isDirectory,
+        "aged generations with only dead/no markers must be reaped")
+      // the access touched the generation's mtime and left our own
+      // live marker — the steady-state-hit protection
+      val gen = new java.io.File(p).getParentFile
+      assert(gen.lastModified() > stale, "access must refresh mtime")
+      gen.setLastModified(stale)
+      SparkEntry.cachedRoot(corpus, "spec_reap")(build) // pure HIT
+      assert(gen.lastModified() > stale, "a HIT must refresh mtime too")
+      assert(Option(gen.listFiles()).get.exists(_.getName ==
+        s"${SparkEntry.LiveMarkerPrefix}${ProcessHandle.current().pid()}"),
+        "every access leaves this JVM's live marker")
+    } finally Seq(pinned, reapable, unmarked)
+      .foreach(org.apache.hadoop.fs.FileUtil.fullyDelete)
+  }
+
   test("EVERY gated entry: no cartesian product, no unbounded per-group collect (named whitelists only)") {
     // the all-entries plan sweep (r17 #4 / r18 #4): every gated plan —
     // not just the newest wave — must be free of CartesianProduct

@@ -96,6 +96,34 @@ class BinaryHashSpec extends SparkSpec {
     }
   }
 
+  test("topKStored(filter) equals topK(filter): the stored-code " +
+      "production path carries the same filtered-ANN contract as the " +
+      "per-query pack face") {
+    VectorExpressions.ensureRegistered(spark)
+    val rnd = new scala.util.Random(19)
+    val vs = Seq.fill(40)(Seq.fill(64)(rnd.nextFloat() - 0.5f))
+    val q = vs.head
+    val rerank = (v: org.apache.spark.sql.Column) =>
+      KnnSearch.roundHalfUpCol(
+        graft.functions.VectorFunctions.cosineSimilarityNative(
+          v, KnnSearch.litVec(q)), 4)
+    val pred = pmod(col("vec_id"), lit(3L)) === 1L
+    val stored = BinaryHash.withCodes(toRows(vs), "embedding", 64)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSeq
+    val viaStored = rows(BinaryHash.topKStored(stored, BinaryHash.CodeCol,
+      "embedding", "vec_id", q, k = 5, candidates = 8, rerank = rerank,
+      filter = Some(pred)))
+    val viaPacked = rows(BinaryHash.topK(toRows(vs), "embedding",
+      "vec_id", q, k = 5, candidates = 8, rerank = rerank,
+      filter = Some(pred)))
+    assert(viaStored == viaPacked,
+      "stored-code filtered search diverged from the pack-per-query face")
+    assert(viaStored.nonEmpty && viaStored.forall(_._1 % 3 == 1),
+      "an ineligible row survived the pushed filter")
+  }
+
   test("perm x binary is a MEASURED won't-do: the OPQ permutation leaves every Hamming distance bit-identical on the aniso corpus") {
     // The r17 #6 / r18 #6 carry, closed with data instead of a guess:
     // would the OPQ coordinate permutation buy the binary rung recall

@@ -1347,6 +1347,125 @@ class IvfIndexSpec extends SparkSpec {
       f.contains("label")), s"both levels must prune:\n$plan")
   }
 
+  test("rebalance of a QUANTIZED root: stored SQ8 codes ride through byte-for-byte, searchQuantized parity holds") {
+    // the r19-advice unpinned claim: the docstring says codes are
+    // row-scoped data that a cell change never re-encodes — prove it.
+    val n = embeddings.count()
+    val tmp = Files.createTempDirectory("graft-rebal-sq8-").toString
+    val path = s"$tmp/ivf"
+    IvfIndex.build(embeddings, "vec_id", "embedding", nlist = 2)
+      .write(path, quantize = true)
+    def codesById(): Map[Long, Seq[Byte]] =
+      spark.read.parquet(path)
+        .select(col("vec_id"), col(IvfIndex.Sq8CodeCol))
+        .collect()
+        .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    val sq8ParamsBefore = spark.read
+      .parquet(s"$path/${IvfIndex.Sq8Sidecar}").collect().toSeq.toString
+    val codesBefore = codesById()
+    assert(IvfIndex.rebalance(spark, path, "vec_id", "embedding",
+      maxCellRows = n / 6) >= 1)
+    assert(codesById() == codesBefore,
+      "every stored SQ8 code must survive the reassignment write " +
+        "byte-for-byte")
+    assert(spark.read.parquet(s"$path/${IvfIndex.Sq8Sidecar}")
+      .collect().toSeq.toString == sq8ParamsBefore,
+      "the SQ8 grid sidecar is never touched")
+    // searchQuantized on the rebalanced root: full probe + refine
+    // covering the corpus equals the exact truth (same contract the
+    // fresh quantized root pins), so parity with fresh holds by
+    // equaling the same truth
+    val q = queryVecs(1).head
+    val after = IvfIndex.load(spark, path, "vec_id", "embedding")
+    val res = after.searchQuantized(q, 10, nprobe = after.nlist,
+        refine = (n / 10).toInt + 1, tieBreak = Some("vec_id"))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(res == exactTopK(q, 10))
+  }
+
+  test("rebalance publishes the sidecar ATOMICALLY: pointer generation layout, bounded history, load/autoprobe resolve it") {
+    // the r19 verdict #1 window: the old publish overwrote _centroids
+    // in place (delete-then-rewrite) — a concurrent lock-free reader
+    // could load a half-deleted sidecar. The publish is now a fresh
+    // generation dir + one pointer rename; pin the layout mechanics.
+    val n = embeddings.count()
+    val tmp = Files.createTempDirectory("graft-rebal-atomic-").toString
+    val path = s"$tmp/ivf"
+    IvfIndex.build(embeddings, "vec_id", "embedding", nlist = 2)
+      .write(path)
+    assert(IvfIndex.rebalance(spark, path, "vec_id", "embedding",
+      maxCellRows = n / 6) >= 1)
+    def sidecarGens(): Set[String] =
+      new java.io.File(path).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("_centroids")
+          && f.getName != "_centroids_ptr")
+        .map(_.getName).toSet
+    val ptr = new java.io.File(s"$path/${IvfIndex.CentroidPtr}")
+    assert(ptr.isFile, "rebalance must leave a generation pointer")
+    val live = new String(java.nio.file.Files.readAllBytes(ptr.toPath),
+      "UTF-8").trim
+    assert(live.startsWith("_centroids_v"), s"unexpected pointer '$live'")
+    assert(sidecarGens().contains(live))
+    // bounded history: at most the live generation + one predecessor
+    // (the one-publish-cycle grace for in-flight readers)
+    assert(sidecarGens().size <= 2, s"unbounded history: ${sidecarGens()}")
+    // readers resolve the pointer: load() serves the repaired layout
+    val after = IvfIndex.load(spark, path, "vec_id", "embedding")
+    assert(after.nlist > 2)
+    assert(IvfIndex.resolvedCentroidSidecar(spark, path)
+      == s"$path/$live")
+    // a wholesale write() makes the DEFAULT sidecar authoritative
+    // again — pointer and generations dropped, no stale shadow
+    IvfIndex.build(embeddings, "vec_id", "embedding", nlist = 4)
+      .write(path)
+    assert(!ptr.exists(), "write() must retire the generation pointer")
+    assert(sidecarGens() == Set("_centroids"))
+    assert(IvfIndex.load(spark, path, "vec_id", "embedding").nlist == 4)
+  }
+
+  test("versioned lifecycles: compactVersioned and rebalanceVersioned publish fresh versions by pointer; the old version stays for rollback") {
+    import graft.sources.VersionedRoot
+    val n = embeddings.count()
+    val tmp = Files.createTempDirectory("graft-vlife-").toString
+    val base = s"$tmp/ivf"
+    // versioned bases start versioned: first root into v-1, publish
+    IvfIndex.build(embeddings, "vec_id", "embedding", nlist = 2)
+      .write(VersionedRoot.versionDir(base, 1))
+    VersionedRoot.publish(spark, base, 1)
+    // an unpointered base is refused by both faces
+    intercept[IllegalArgumentException](
+      IvfIndex.compactVersioned(spark, s"$tmp/nowhere"))
+    intercept[IllegalArgumentException](
+      IvfIndex.rebalanceVersioned(spark, s"$tmp/nowhere", "vec_id",
+        "embedding", maxCellRows = 10))
+    // compact → v-2, published, same rows
+    assert(IvfIndex.compactVersioned(spark, base) == 2)
+    assert(VersionedRoot.resolve(spark, base) == s"$base/v-2")
+    assert(spark.read.parquet(s"$base/v-2").count() == n)
+    // rebalance onto a copy → v-3: splits happen on the COPY, v-2
+    // keeps its skewed 2-cell layout for instant rollback
+    val (v, splits) = IvfIndex.rebalanceVersioned(spark, base,
+      "vec_id", "embedding", maxCellRows = n / 6)
+    assert(v == 3 && splits >= 1)
+    assert(VersionedRoot.resolve(spark, base) == s"$base/v-3")
+    val repaired = IvfIndex.load(spark, s"$base/v-3",
+      "vec_id", "embedding")
+    assert(repaired.nlist > 2 && repaired.assigned.count() == n)
+    assert(IvfIndex.load(spark, s"$base/v-2", "vec_id", "embedding")
+      .nlist == 2, "the rollback version must keep its old layout")
+    // full-probe search on the published version is exact
+    val q = queryVecs(1).head
+    assert(repaired.search(q, 10, nprobe = repaired.nlist,
+        tieBreak = Some("vec_id"))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+      == exactTopK(q, 10))
+    // prune keeps rollback headroom: current v-3 + the most recent
+    // superseded (v-2); v-1 is reclaimed
+    assert(VersionedRoot.prune(spark, base, keep = 1) == Seq(1))
+    assert(new java.io.File(s"$base/v-2").exists() &&
+      !new java.io.File(s"$base/v-1").exists())
+  }
+
   test("rebalance recovery: orphan cluster dirs (a crashed run's remnants) are purged, never half-visible") {
     // crash simulation: a sub-cell directory whose id the sidecar does
     // not know (the append-before-swap window). It must be invisible

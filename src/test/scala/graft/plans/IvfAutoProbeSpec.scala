@@ -347,6 +347,63 @@ class IvfAutoProbeSpec extends SparkSpec {
     } finally spark.conf.unset(IvfAutoProbe.ListingTtlConf)
   }
 
+  test("filterSelectivity conf widens the probe budget for data-column-" +
+      "filtered shapes; partition scoping never widens; nlist declines") {
+    // the declarative twin of the API's filterSelectivity (r19 verdict
+    // #5): a residual data predicate through the SQL path used to get
+    // the static nprobe with no compensation — q209's measured
+    // filtered-recall collapse. Count the injected probes via the IN
+    // literal list in the optimized plan.
+    def probeCount(plan: String): Option[Int] =
+      s"${IvfIndex.ClusterCol}#\\d+L? IN \\(([^)]*)\\)".r
+        .findFirstMatchIn(plan).map(_.group(1).split(",").length)
+    withRule(2) {
+      val loaded = spark.read.parquet(indexPath)
+      def filteredPlan() = KnnSearch.topK(
+          loaded.filter(pmod(col("vec_id"), lit(3L)) === 1L),
+          "embedding", queryVec, 5, KnnSearch.NativeL2,
+          tieBreak = Some("vec_id"))
+        .queryExecution.optimizedPlan.toString
+      // unset: static budget, documented caveat
+      assert(probeCount(filteredPlan()).contains(2),
+        s"unset conf must keep the static budget:\n${filteredPlan()}")
+      spark.conf.set(IvfAutoProbe.FilterSelectivityConf, "0.34")
+      try {
+        // ceil(2 / 0.34) = 6 of 8 clusters probed
+        assert(probeCount(filteredPlan()).contains(6),
+          s"expected a 6-cluster widened probe:\n${filteredPlan()}")
+        // an UNfiltered shape never widens
+        val bare = KnnSearch.topK(loaded, "embedding", queryVec, 5,
+            KnnSearch.NativeL2, tieBreak = Some("vec_id"))
+          .queryExecution.optimizedPlan.toString
+        assert(probeCount(bare).contains(2),
+          s"no filter, no widening:\n$bare")
+        // a budget reaching nlist declines the rewrite — exact scan
+        spark.conf.set(IvfAutoProbe.FilterSelectivityConf, "0.2")
+        assert(probeCount(filteredPlan()).isEmpty,
+          "ceil(2/0.2)=10 >= nlist=8 must decline the rewrite")
+      } finally spark.conf.unset(IvfAutoProbe.FilterSelectivityConf)
+    }
+    // partition-column scoping is not a thinning predicate: the
+    // component-filtered shape keeps its static budget under the conf
+    val tmp = Files.createTempDirectory("graft-autoprobe-sel-").toString
+    IvfIndex.build(embeddings, "vec_id", "embedding", nlist = 8,
+      componentCol = Some("label")).write(s"$tmp/ivf")
+    withRule(2) {
+      spark.conf.set(IvfAutoProbe.FilterSelectivityConf, "0.34")
+      try {
+        val scoped = KnnSearch.topK(
+            spark.read.parquet(s"$tmp/ivf")
+              .filter(col("label").isin(1, 3)),
+            "embedding", queryVec, 5, KnnSearch.NativeL2,
+            tieBreak = Some("vec_id"))
+          .queryExecution.optimizedPlan.toString
+        assert(probeCount(scoped).contains(2),
+          s"partition scoping must not widen:\n$scoped")
+      } finally spark.conf.unset(IvfAutoProbe.FilterSelectivityConf)
+    }
+  }
+
   test("probe filter prunes directories (fewer files read than full scan)") {
     withRule(2) {
       val loaded = spark.read.parquet(indexPath)

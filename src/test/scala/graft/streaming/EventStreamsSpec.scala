@@ -382,7 +382,7 @@ class EventStreamsSpec extends SparkSpec {
     // pre-append snapshot) present, and NO commit marker; reconstruct
     // exactly that state
     java.nio.file.Files.writeString(started.toPath,
-      preSnap.mkString("\n"))
+      (EventStreams.StartedFormatStamp +: preSnap).mkString("\n"))
     assert(marker.delete())
     deliver("ckpt3")
     val loaded = IvfIndex.load(spark, path, "vec_id", "embedding")
@@ -491,7 +491,7 @@ class EventStreamsSpec extends SparkSpec {
     // crash between batch 2's append + marker: its files are on disk,
     // its .started (pre-append snapshot) present, commit marker gone
     java.nio.file.Files.writeString(started2.toPath,
-      snapB2.mkString("\n"))
+      (EventStreams.StartedFormatStamp +: snapB2).mkString("\n"))
     assert(marker2.delete())
     deliver("ckpt2")         // fresh run: batch 0 skipped, batch 2 recovered
     val perId = spark.read.parquet(path).groupBy("vec_id").count()
@@ -503,6 +503,61 @@ class EventStreamsSpec extends SparkSpec {
         "id-scoped purge would have silently deleted batch 0's row")
     assert(b1new.forall { case (id, _) => perId(id) == 1L })
     assert(marker2.exists(), "the re-delivery restores batch 2's marker")
+  }
+
+  test("legacy EMPTY .started marker over a non-empty root SKIPS the purge instead of deleting the whole root") {
+    // The r19-advice upgrade hazard: the PRE-snapshot format wrote
+    // .started with an EMPTY body even for empty batches. A root
+    // carrying such a marker uncommitted (crash between .started and
+    // the commit marker, before the format upgrade) must NOT have the
+    // recovery purge treat "" as the pre-append snapshot — that would
+    // purgeFilesNotIn(∅) = delete every data file. The format stamp
+    // distinguishes the two: unstamped + empty + non-empty root →
+    // skip the purge loudly; a stamped empty snapshot (fresh root)
+    // still purges, preserving exactly-once there.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions.col
+    import graft.operators.IvfIndex
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val base = emb.filter(col("vec_id") % 2 === 0)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-legacy-started-").toString
+    val path = s"$tmp/ivf"
+    IvfIndex.build(base, "vec_id", "embedding", nlist = 8).write(path)
+    val baseCount = base.count()
+    val b1 = emb.filter(col("vec_id") % 2 === 1).limit(10)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    // the legacy crash state: an UNCOMMITTED empty-bodied .started
+    // from the old format, no commit marker, no appended files
+    val started = new java.io.File(
+      s"$path/_ingest_log/legacy-a/batch-0.started")
+    started.getParentFile.mkdirs()
+    java.nio.file.Files.writeString(started.toPath, "")
+    val embedStage =
+      (df: DataFrame) => df.select(col("vec_id"), col("embedding"))
+    val input = MemoryStream[(Long, Timestamp, String, Seq[Float])]
+    val docs = input.toDF().toDF("vec_id", "ts", "text", "embedding")
+    val query = EventStreams.indexedIngest(docs, "text", "ts",
+        embedStage, path, "vec_id", "embedding", ingestId = "legacy-a")
+      .option("checkpointLocation", s"$tmp/ckpt").start()
+    try {
+      input.addData(b1.map { case (id, v) =>
+        (id, ts(0), s"legacy doc $id", v) }.toSeq: _*)
+      query.processAllAvailable()
+    } finally query.stop()
+    // the pre-existing root survived the legacy marker, and the batch
+    // itself landed exactly once
+    val perId = spark.read.parquet(path).groupBy("vec_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(spark.read.parquet(path).count() == baseCount + b1.length,
+      "the legacy empty marker must not purge the root")
+    assert(perId.values.forall(_ == 1L), "no duplicates either")
+    // the commit replaced the legacy breadcrumb with a marker
+    assert(new java.io.File(s"$path/_ingest_log/legacy-a/batch-0")
+      .exists() && !started.exists())
   }
 
   test("indexedIngest refuses batches while the compact lock is held, resumes after release") {
@@ -715,6 +770,72 @@ class EventStreamsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(got == expected,
       "the served rows must equal the filtered batch face exactly")
+  }
+
+  test("rebalance-while-serving chaos: an in-place rebalance lands mid-stream; the next trigger serves the repaired layout with no failed micro-batch") {
+    // the r19 verdict #1 act: readers take no lock, so the rebalance's
+    // sidecar publish must be invisible-or-complete to a concurrent
+    // serving trigger. The publish is now a generation dir + pointer
+    // rename (IvfIndex.publishCentroids); this pins the end-to-end
+    // behavior: trigger → rebalance → trigger, second answer equals
+    // the batch face on the REPAIRED root (stale 2-cell centroids
+    // would probe retired ids and serve empty results).
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    import graft.operators.IvfIndex
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-serve-rebal-").toString
+    val path = s"$tmp/ivf"
+    // the q206 sabotage: nlist=2 mega-cells
+    IvfIndex.build(emb, "vec_id", "embedding", nlist = 2).write(path)
+    val out = s"$tmp/out"
+    val qs = emb.filter(col("vec_id") % 7 === 3)
+      .select("vec_id", "embedding").orderBy("vec_id").limit(3)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val embedStage = (df: DataFrame) => df.select(col("qid"), col("qv"))
+    def batchFace(queries: Seq[(Long, Seq[Float])]) =
+      IvfIndex.load(spark, path, "vec_id", "embedding")
+        .searchBatch(queries.toDF("qid", "qv"), "qid", "qv",
+          k = 5, nprobe = 2, tieBreak = "vec_id", rankRoundDp = Some(4))
+        .select(col("query_id"), col("vec_id"), col("dist"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+    def served(batchId: Long) =
+      spark.read.parquet(s"$out/results")
+        .filter(col("batch_id") === batchId)
+        .select("query_id", "vec_id", "dist").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val input = MemoryStream[(Long, Seq[Float])]
+    val query = EventStreams.servingSearch(
+        input.toDF().toDF("qid", "qv"), embedStage,
+        "qid", "qv", path, "vec_id", "embedding", out, "serve-rebal",
+        k = 5, nprobe = 2, rankRoundDp = Some(4))
+      .option("checkpointLocation", s"$tmp/ckpt").start()
+    try {
+      // trigger 0 on the skewed root (nprobe = nlist = 2 → exact)
+      val exp0 = batchFace(qs.toSeq)
+      input.addData(qs.toSeq: _*)
+      query.processAllAvailable()
+      assert(served(0L) == exp0, "baseline trigger on the skewed root")
+      // REBALANCE IN PLACE while the stream is live (between triggers)
+      assert(IvfIndex.rebalance(spark, path, "vec_id", "embedding",
+        maxCellRows = emb.count() / 6) >= 1)
+      assert(new java.io.File(s"$path/${IvfIndex.CentroidPtr}").isFile,
+        "precondition: this act must exercise the pointer publish")
+      // the very NEXT trigger answers from the repaired layout — the
+      // per-trigger load resolves the new generation; no restart, no
+      // failed micro-batch (processAllAvailable throws on one)
+      val qs1 = qs.map { case (id, v) => (id + 1000L, v) }.toSeq
+      val exp1 = batchFace(qs1)
+      assert(exp1.nonEmpty)
+      input.addData(qs1: _*)
+      query.processAllAvailable()
+      assert(served(1L) == exp1,
+        "the post-rebalance trigger must serve the repaired layout " +
+          "(stale centroids would probe retired ids and serve nothing)")
+    } finally query.stop()
   }
 
   test("servingSearch under maintenance: deletes visible next trigger; compact published by POINTER SWAP served seamlessly") {
