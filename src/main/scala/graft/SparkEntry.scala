@@ -8573,6 +8573,87 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
           Window.partitionBy(col("query_id"))
             .orderBy(col("dist"), col("vec_id"))).cast("long"))
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "q230_filtered_beam_walk" -> ((s, dir) => {
+      // Filtered ANN on the GRAPH rung — the walk family joins the
+      // filtered ladder (raw q220, SQ8 q224, PQ q225, binary q227):
+      // the walk TRAVERSES the q135 graph predicate-blind (restricting
+      // traversal to survivors disconnects the navigable graph at low
+      // selectivity — the open problem ACORN/filtered-DiskANN name;
+      // this is the ACORN-1 shape) and the predicate cuts the FINAL
+      // top-k over the visited set. Compensation is beamWiden — the
+      // widenedNprobe analogue on the walk axis: 1/selectivity = 3
+      // here, so the per-hop beam is 12 and ~3x more candidates
+      // survive the final cut. Entry is the q156 COARSE descent and
+      // hops = 4: at the graph's degree 3 the hop-4 candidate pool
+      // (~25-35) is where the widened beam-12 cut actually BINDS — a
+      // 2-hop walk caps at 1+3+9 candidates and any beam >= 9 gates
+      // nothing (measured; the far entry was also rejected — its
+      // blind walk never reaches this corpus's filtered neighborhood,
+      // recall 0 at every widen, the q182 non-discrimination rule).
+      // Oracle: q156's unrolled hop CTEs at the widened LIMIT with
+      // the predicate on the final select — the walk is deterministic
+      // hop by hop, so every visited id replays. Scale shape:
+      // hops·beamEff·degree point lookups — corpus-size-free, the
+      // cheapest filtered rung by touch count.
+      VectorExpressions.ensureRegistered(s)
+      val idx = ivfIndexFor(s, dir)
+      val q = queryVec(s, dir)
+      idx.beamSearch(knnGraphFor(s, dir), q, entryFor(s, dir, "coarse"),
+        k = 5, beam = 4, hops = 4,
+        filter = Some(pmod(col("vec_id"), lit(3L)) === 1L),
+        beamWiden = 3.0)
+    }),
+
+    "q231_filtered_walk_recall" -> ((s, dir) => {
+      // The beamWiden OPERATING CURVE for the filtered walk (q230
+      // gates the operator; this is its q228-style decision row):
+      // at widen 1x/2x/4x (beams 4/8/16, hops 5 — deep enough that
+      // every widened beam binds, see q230's hop-budget note), the
+      // panel reads BOTH what widening buys (n_eligible: predicate
+      // survivors in the visited pool — 8/11/16 here, strongly
+      // monotone) and how much converts to answer quality (recall@5
+      // vs the exact filtered truth). The conversion ceiling is the
+      // BASE walk's navigability — a degree-3 kNN graph over this
+      // isotropic 64-d corpus walks to ~1/5 unfiltered recall at the
+      // same budget (measured in the oracle replay), so low absolute
+      // recall here is the graph family's documented trade, not a
+      // filtered-path defect; the widen-monotone columns are the
+      // discriminating signal (the q182 rule). All-integer output;
+      // both engines replay the three walks and the exact leg
+      // independently.
+      VectorExpressions.ensureRegistered(s)
+      val idx = ivfIndexFor(s, dir)
+      val q = queryVec(s, dir)
+      val graph = knnGraphFor(s, dir)
+      val entry = entryFor(s, dir, "coarse")
+      val m = pmod(col("vec_id"), lit(3L)) === 1L
+      val exact = t(s, dir, "embeddings").filter(m)
+        .select(col("vec_id"),
+          KnnSearch.roundHalfUpCol(
+            l2DistanceNative(col("embedding"), KnnSearch.litVec(q)), 4)
+            .as("d"))
+        .orderBy(col("d"), col("vec_id")).limit(5)
+        .select(col("vec_id").as("id_e"))
+      Seq(1.0, 2.0, 4.0).map { w =>
+        // ONE walk per widen: k covers every eligible visited row, so
+        // the same ranked frame yields the pool size and its top-5
+        // (beamSearch(k=5) ≡ this frame's first 5 — same order)
+        val walked = idx.beamSearch(graph, q, entry, k = 1000000,
+          beam = 4, hops = 5, filter = Some(m), beamWiden = w)
+        val nEligible = walked.count()
+        walked.limit(5).select(col("vec_id").as("id_a"))
+          .join(exact, col("id_a") === col("id_e"), "left_outer")
+          .agg(count(col("id_a")).as("n_found"),
+            coalesce(sum(when(col("id_e").isNotNull, 1L).otherwise(0L)),
+              lit(0L)).as("n_overlap"))
+          .select(lit((w * 10).toLong).as("widen_x10"),
+            lit(nEligible).as("n_eligible"), col("n_found"),
+            col("n_overlap"))
+      }.reduce(_.unionByName(_))
+        .withColumn("recall_ppm", expr("n_overlap * 1000000 div 5"))
+        .orderBy(col("widen_x10"))
     })
   )
 
@@ -13654,7 +13735,15 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
                ORDER BY dist, vec_id)::BIGINT AS rank
            FROM d)
          SELECT query_id, vec_id, dist, rank FROM r WHERE rank <= 5
-         ORDER BY query_id, rank"""
+         ORDER BY query_id, rank""",
+
+    // q230: q155's unrolled walk at the widened beam (12), predicate
+    // on the final select only — traversal is predicate-blind.
+    "q230_filtered_beam_walk" -> filteredBeamWalkOracleSql,
+
+    // q231: three suffixed walk chains (beams 4/8/16) over the shared
+    // graph CTEs + one exact filtered leg, per-widen overlap rows.
+    "q231_filtered_walk_recall" -> filteredWalkRecallOracleSql
   )
 
   /** The kNN-graph replay CTE chain over the exported IVF replica
@@ -13804,6 +13893,92 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
            (sum(CASE WHEN id_e IS NOT NULL AND id_a IS NOT NULL
              THEN 1 ELSE 0 END) * 1000000 // 5)::BIGINT AS recall_ppm
          FROM ex FULL OUTER JOIN ap ON id_e = id_a"""))
+
+  /** the q156 coarse-entry CTE (closest node of the 1/16 md5 layer),
+    * shared by the hier walk oracles and the filtered-walk pair */
+  private val coarseEntryCte: String =
+    """e AS (
+           SELECT vec_id AS id FROM d
+           WHERE ('0x' || substr(md5(vec_id::VARCHAR), 1, 2))::BIGINT
+             % 16 = 0
+           ORDER BY dist, vec_id LIMIT 1)"""
+
+  /** q230's oracle: the q156 coarse-entry walk unrolled at the
+    * WIDENED beam (4 · beamWiden 3 = 12), with the predicate on the
+    * FINAL select only — the traversal CTEs are identical in shape to
+    * q156's, pinning that filtered routing is predicate-blind. */
+  private lazy val filteredBeamWalkOracleSql: String =
+    beamWalkOracleSql(hops = 4, beam = 12, k = 5,
+      entryCte = coarseEntryCte,
+      finalSql = Some(
+        raw"""
+         SELECT d.vec_id, d.dist FROM v4
+         JOIN d ON d.vec_id = v4.id
+         WHERE d.vec_id % 3 = 1
+         ORDER BY d.dist, d.vec_id LIMIT 5"""))
+
+  /** q231's oracle: three suffixed (hop-candidates → widened beam →
+    * visited) chains — beams 4, 8, 16 — over ONE shared graph +
+    * distance frame (both MATERIALIZED: nine hop CTEs reference them,
+    * and DuckDB re-inlines plain CTEs per reference — the r14 q165
+    * exponential-expansion trap), plus the exact filtered top-5 leg;
+    * one overlap row per widen. Scalar-subquery aggregates so a
+    * zero-survivor leg still emits its row, mirroring the Spark
+    * side's per-leg agg-on-possibly-empty-frame. */
+  private lazy val filteredWalkRecallOracleSql: String = {
+    val hops = 5
+    val legs = Seq((10, 4), (20, 8), (40, 16))
+    def chain(sfx: String, beamEff: Int): String = {
+      val hopCtes = (1 to hops).map { t =>
+        s"""c$t$sfx AS (
+         SELECT DISTINCT g.nbr AS id FROM g JOIN f${t - 1}$sfx
+           ON g.src = f${t - 1}$sfx.id
+         WHERE g.nbr NOT IN (SELECT id FROM v${t - 1}$sfx)),
+         f$t$sfx AS (
+           SELECT c$t$sfx.id FROM c$t$sfx JOIN d ON d.vec_id = c$t$sfx.id
+           ORDER BY d.dist, c$t$sfx.id LIMIT $beamEff),
+         v$t$sfx AS (SELECT id FROM v${t - 1}$sfx
+                 UNION ALL SELECT id FROM f$t$sfx)"""
+      }.mkString(",\n         ")
+      s"""f0$sfx AS (SELECT id FROM e),
+         v0$sfx AS (SELECT id FROM e),
+         $hopCtes,
+         ap$sfx AS (
+           SELECT d.vec_id AS id_a FROM v$hops$sfx
+           JOIN d ON d.vec_id = v$hops$sfx.id
+           WHERE d.vec_id % 3 = 1
+           ORDER BY d.dist, d.vec_id LIMIT 5)"""
+    }
+    val chains = legs.map { case (wx10, b) => chain(s"_w$wx10", b) }
+      .mkString(",\n         ")
+    val rows = legs.map { case (wx10, _) =>
+      s"""SELECT $wx10::BIGINT AS widen_x10,
+           (SELECT count(*) FROM v$hops${"_w" + wx10} v JOIN d
+             ON d.vec_id = v.id WHERE d.vec_id % 3 = 1)::BIGINT
+             AS n_eligible,
+           (SELECT count(*) FROM ap_w$wx10)::BIGINT AS n_found,
+           (SELECT count(*) FROM ap_w$wx10 JOIN ex ON id_a = id_e)::BIGINT
+             AS n_overlap,
+           ((SELECT count(*) FROM ap_w$wx10 JOIN ex ON id_a = id_e)
+             * 1000000 // 5)::BIGINT AS recall_ppm"""
+    }.mkString("\n         UNION ALL ")
+    raw"""WITH $knnGraphOracleCtes,
+         g AS MATERIALIZED (SELECT src, nbr FROM r WHERE rank <= 3),
+         q AS (SELECT embedding FROM data WHERE vec_id = 0),
+         d AS MATERIALIZED (
+           SELECT vec_id,
+             floor(list_distance(embedding::DOUBLE[],
+               (SELECT embedding FROM q)::DOUBLE[])
+               * 1e4 + 0.5::DOUBLE) / 1e4 AS dist
+           FROM data),
+         $coarseEntryCte,
+         ex AS (
+           SELECT vec_id AS id_e FROM d WHERE vec_id % 3 = 1
+           ORDER BY dist, vec_id LIMIT 5),
+         $chains
+         $rows
+         ORDER BY widen_x10"""
+  }
 
   /** q161's oracle: the q156 hierarchical walk unrolled PER QUERY —
     * one suffixed (entry → hop-candidates → beam → visited) CTE chain

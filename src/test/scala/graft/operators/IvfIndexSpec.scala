@@ -1497,6 +1497,46 @@ class IvfIndexSpec extends SparkSpec {
     assert(!new java.io.File(s"$path/${IvfIndex.ClusterCol}=77").exists())
   }
 
+  test("filtered beamSearch: traversal is predicate-blind, the cut is answer-only; beamWiden grows the eligible pool monotonically") {
+    // the graph rung of the filtered ladder (r19 verdict #2, the
+    // ACORN-1 shape): restricting traversal would disconnect the
+    // graph, so the predicate must not change WHICH nodes are walked —
+    // only which answers survive.
+    val graph = index.knnGraph(k = 3, nprobe = 2, rankRoundDp = 4)
+      .localCheckpoint()
+    val q = queryVecs(1).head
+    val entry = embeddings.agg(max(col("vec_id"))).head().getLong(0)
+    val m = pmod(col("vec_id"), lit(3L)) === 1L
+    // predicate-blind routing: the filtered walk's answers are EXACTLY
+    // the unfiltered walk's visited set cut by the predicate — run the
+    // unfiltered walk at a huge k (= the ranked visited set) and
+    // filter it driver-side
+    val unfilteredVisited = index.beamSearch(graph, q, entry, k = 1000000,
+        beam = 4, hops = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val expect = unfilteredVisited.filter(_._1 % 3 == 1).take(5).toSeq
+    val got = index.beamSearch(graph, q, entry, k = 5, beam = 4,
+        hops = 3, filter = Some(m))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == expect,
+      "filter must cut answers from the SAME walk, never reroute it")
+    // beamWiden grows the eligible pool monotonically (ceil(beam·w))
+    def poolSize(w: Double): Long =
+      index.beamSearch(graph, q, entry, k = 1000000, beam = 2,
+        hops = 4, filter = Some(m), beamWiden = w).count()
+    val pools = Seq(1.0, 2.0, 4.0).map(poolSize)
+    assert(pools == pools.sorted,
+      s"widening must never shrink the eligible pool: $pools")
+    assert(pools.last > pools.head,
+      s"widening must grow the pool somewhere on this corpus: $pools")
+    // guards: widen needs a filter; widen < 1 refused
+    intercept[IllegalArgumentException](
+      index.beamSearch(graph, q, entry, 5, 4, 2, beamWiden = 2.0))
+    intercept[IllegalArgumentException](
+      index.beamSearch(graph, q, entry, 5, 4, 2, filter = Some(m),
+        beamWiden = 0.5))
+  }
+
   test("filtered search: exact at full probe, widening math, selectivity-widened recall recovers the unwidened loss") {
     val m = pmod(col("vec_id"), lit(3L)) === 1L
     def filteredTruth(q: Seq[Float]): Set[Long] =
