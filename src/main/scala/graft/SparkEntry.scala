@@ -13864,21 +13864,13 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
     * two levels), then the same unrolled walk. */
   private lazy val hierBeamOracleSql: String =
     beamWalkOracleSql(hops = 2, beam = 4, k = 5,
-      entryCte = """e AS (
-           SELECT vec_id AS id FROM d
-           WHERE ('0x' || substr(md5(vec_id::VARCHAR), 1, 2))::BIGINT
-             % 16 = 0
-           ORDER BY dist, vec_id LIMIT 1)""")
+      entryCte = coarseEntryCte)
 
   /** q157's oracle: the hier walk's CTE chain with the final select
     * swapped for an exact-leg intersect (both legs independent). */
   private lazy val beamRecallOracleSql: String =
     beamWalkOracleSql(hops = 2, beam = 4, k = 5,
-      entryCte = """e AS (
-           SELECT vec_id AS id FROM d
-           WHERE ('0x' || substr(md5(vec_id::VARCHAR), 1, 2))::BIGINT
-             % 16 = 0
-           ORDER BY dist, vec_id LIMIT 1)""",
+      entryCte = coarseEntryCte,
       finalSql = Some(
         raw""",
          ex AS (SELECT vec_id AS id_e FROM d

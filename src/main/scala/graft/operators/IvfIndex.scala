@@ -738,10 +738,20 @@ final case class IvfIndex(
     * exactly, so each query's rows are bit-equal to its single-query
     * walk (spec-asserted) and the unrolled per-query SQL oracle
     * replays the batch verbatim. Output: (query_id, idCol, dist),
-    * ≤ k rows per query. */
+    * ≤ k rows per query.
+    *
+    * `filter`/`beamWiden` are the single walk's filtered-ANN contract
+    * ([[beamSearch]]): routing stays predicate-blind — the per-hop
+    * beam cut (widened to `ceil(beam · beamWiden)`) never consults
+    * the predicate — and the filter lands only on the FINAL per-query
+    * top-k over each visited set, so every query's filtered batch
+    * rows are bit-equal to its single filtered walk at the same
+    * (filter, beamWiden). */
   def beamSearchBatch(graph: DataFrame, queries: Seq[(Long, Seq[Float])],
       entryIds: Seq[Long], k: Int, beam: Int, hops: Int,
-      rankRoundDp: Int = 4): DataFrame = {
+      rankRoundDp: Int = 4,
+      filter: Option[Column] = None,
+      beamWiden: Double = 1.0): DataFrame = {
     require(queries.nonEmpty, "beamSearchBatch needs at least one query")
     require(entryIds.length == queries.length,
       s"entryIds (${entryIds.length}) must align with queries " +
@@ -750,6 +760,10 @@ final case class IvfIndex(
       "beamSearchBatch: duplicate query ids")
     require(k >= 1 && beam >= 1 && hops >= 0,
       s"need k >= 1, beam >= 1, hops >= 0; got ($k, $beam, $hops)")
+    require(beamWiden >= 1.0, s"beamWiden must be >= 1, got $beamWiden")
+    require(filter.isDefined || beamWiden == 1.0,
+      "beamWiden without a filter has nothing to compensate")
+    val beamEff = math.ceil(beam * beamWiden).toInt
     val spark = assigned.sparkSession
     graft.plans.VectorExpressions.ensureRegistered(spark)
     import graft.functions.VectorFunctions.l2DistanceNative
@@ -770,15 +784,19 @@ final case class IvfIndex(
     val frontier = Array.tabulate(nq)(i => Set(entryIds(i)))
     // (qid, candidate-id) pairs → id-pruned point-lookup scan +
     // broadcast pair join + per-query rounded (dist, id) rank ≤ limit;
-    // the one scoring shape both the beam cut and the final top-k use
-    def rankedPairs(pairs: Seq[(Long, Long)], limit: Int): DataFrame = {
+    // the one scoring shape both the beam cut and the final top-k use.
+    // `pred` is set ONLY on the final cut — hop cuts stay
+    // predicate-blind (the routing contract).
+    def rankedPairs(pairs: Seq[(Long, Long)], limit: Int,
+        pred: Option[Column] = None): DataFrame = {
       val pairDf = spark.createDataFrame(
         pairs.map { case (qid, id) => (qid, id, qvById(qid)) })
         .toDF("__qid", "__cid", "__qv")
       val ids = pairs.map(_._2).distinct
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("__qid")).orderBy(col("__d"), col("__cid"))
-      assigned.filter(col(idCol).isin(ids: _*))
+      pred.foldLeft(assigned.filter(col(idCol).isin(ids: _*)))(
+          (d, f) => d.filter(f))
         .select(col(idCol).as("__vid"), col(vecCol).as("__v"))
         .join(broadcast(pairDf), col("__vid") === col("__cid"))
         .select(col("__qid"), col("__cid"),
@@ -803,7 +821,7 @@ final case class IvfIndex(
           if !visited(qi).contains(nbr)
         } yield (qids(qi), nbr)).toSeq.distinct
         if (pairs.nonEmpty) {
-          val byQ = rankedPairs(pairs, beam)
+          val byQ = rankedPairs(pairs, beamEff)
             .select(col("__qid"), col("__cid"), col("__d"))
             .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
             .groupBy(_._1)
@@ -819,7 +837,7 @@ final case class IvfIndex(
     }
     val visitedPairs = (0 until nq).flatMap(qi =>
       visited(qi).map(v => (qids(qi), v)))
-    rankedPairs(visitedPairs, k)
+    rankedPairs(visitedPairs, k, filter)
       .select(col("__qid").as("query_id"), col("__cid").as(idCol),
         col("__d").as("dist"))
       .orderBy(col("query_id"), col("dist"), col(idCol))

@@ -1077,6 +1077,34 @@ class IvfIndexSpec extends SparkSpec {
     }
   }
 
+  test("FILTERED beamSearchBatch is bit-equal per query to the single filtered walk at the same (filter, beamWiden)") {
+    // the batch face of the graph-rung filtered contract (q230):
+    // routing predicate-blind at the widened beam, filter on the
+    // final per-query cut only — exactly the single walk, amortized
+    graft.plans.VectorExpressions.ensureRegistered(spark)
+    val graph = index.knnGraph(k = 3, nprobe = 2).localCheckpoint()
+    val m = pmod(col("vec_id"), lit(3L)) === 1L
+    val qs = embeddings.orderBy("vec_id").limit(3)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val entries = index.coarseEntryBatch(qs, sampleMod = 16)
+    val batch = index.beamSearchBatch(graph, qs, entries,
+        k = 5, beam = 2, hops = 4, filter = Some(m), beamWiden = 3.0)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+    qs.zip(entries).foreach { case ((qid, qv), entry) =>
+      val single = index.beamSearch(graph, qv, entry, k = 5, beam = 2,
+          hops = 4, filter = Some(m), beamWiden = 3.0)
+        .collect().map(r => (qid, r.getLong(0), r.getDouble(1))).toSeq
+      val got = batch.getOrElse(qid, Array.empty).toSeq
+      assert(got == single,
+        s"query $qid: filtered batch=$got\nsingle=$single")
+      assert(got.forall(_._2 % 3 == 1),
+        s"query $qid: an ineligible row survived the filtered cut")
+    }
+  }
+
   test("hierEntry: carry is monotone, the descent scans fewer rows than the flat coarse layer, and its entry walks to better recall") {
     graft.plans.VectorExpressions.ensureRegistered(spark)
     import graft.functions.VectorFunctions  // scalastyle:ignore
