@@ -8654,6 +8654,33 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
       }.reduce(_.unionByName(_))
         .withColumn("recall_ppm", expr("n_overlap * 1000000 div 5"))
         .orderBy(col("widen_x10"))
+    }),
+
+    "q232_filtered_binary_batch" -> ((s, dir) => {
+      // The binary rung's BATCH face under the gate — the last
+      // single-only rung joins the batch regime (raw q229, and the
+      // PQ/SQ8 batches q75/q79/q163): three queries share ONE narrow
+      // (id, code) scan of the PERSISTED maintained root; per row each
+      // query's Hamming is a codegen'd xor/popcount fan inlined to
+      // per-query rows, the 50-candidate cut is a per-query rank
+      // window, and only the bounded survivors pay the exact cosine
+      // re-rank (id-pruned vector scan + broadcast pair join). The
+      // predicate sits on the shared scan before every cut — the
+      // q227 filtered contract, batched. Oracle: q133's pack replay
+      // per query (one cross join against the 3-row query set) with
+      // the same two rank windows. Scale shape: bytes read are ONE
+      // 16-bytes/row filtered scan + 150 vectors, regardless of
+      // |queries| scans the per-query spelling would pay.
+      VectorExpressions.ensureRegistered(s)
+      val data = s.read.parquet(
+        s"${binCdcRootFor(s, dir)}/${BinaryHash.DataSubdir}")
+      val qs = t(s, dir, "embeddings")
+        .filter(col("vec_id").isin(0L, 1L, 2L))
+        .select("vec_id", "embedding").orderBy("vec_id").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+      BinaryHash.topKStoredBatch(data, BinaryHash.CodeCol, "embedding",
+        "vec_id", qs, k = 10, candidates = 50, rerankDp = 4,
+        filter = Some(pmod(col("vec_id"), lit(3L)) === 1L))
     })
   )
 
@@ -13743,7 +13770,45 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
 
     // q231: three suffixed walk chains (beams 4/8/16) over the shared
     // graph CTEs + one exact filtered leg, per-widen overlap rows.
-    "q231_filtered_walk_recall" -> filteredWalkRecallOracleSql
+    "q231_filtered_walk_recall" -> filteredWalkRecallOracleSql,
+
+    // q232: q133's two-word pack replay cross-joined against the
+    // 3-row query set, per-query Hamming rank <= 50 under the
+    // predicate, per-query exact rounded-cosine rank <= 10.
+    "q232_filtered_binary_batch" ->
+      raw"""WITH p AS (
+           SELECT vec_id, embedding,
+             list_sum(list_transform(range(0, 32), i ->
+               CASE WHEN embedding[i + 1] > 0
+                 THEN (1::BIGINT << i) ELSE 0::BIGINT END))::BIGINT AS w0,
+             list_sum(list_transform(range(0, 32), i ->
+               CASE WHEN embedding[i + 33] > 0
+                 THEN (1::BIGINT << i) ELSE 0::BIGINT END))::BIGINT AS w1
+           FROM embeddings),
+         q AS (SELECT vec_id AS query_id, w0 AS qw0, w1 AS qw1,
+               embedding AS qe FROM p WHERE vec_id IN (0, 1, 2)),
+         h AS (
+           SELECT q.query_id, p.vec_id, p.embedding, q.qe,
+             (bit_count(xor(p.w0, q.qw0))
+              + bit_count(xor(p.w1, q.qw1)))::BIGINT AS hamming
+           FROM p CROSS JOIN q
+           WHERE p.vec_id % 3 = 1),
+         cand AS (
+           SELECT query_id, vec_id, embedding, qe, hamming FROM (
+             SELECT h.*, row_number() OVER (PARTITION BY query_id
+               ORDER BY hamming, vec_id) AS rn FROM h)
+           WHERE rn <= 50),
+         r AS (
+           SELECT query_id, vec_id, hamming,
+             floor(list_cosine_similarity(embedding::DOUBLE[],
+               qe::DOUBLE[]) * 1e4 + 0.5::DOUBLE) / 1e4 AS cos_sim
+           FROM cand),
+         rk AS (
+           SELECT r.*, row_number() OVER (PARTITION BY query_id
+             ORDER BY cos_sim DESC, vec_id) AS krank FROM r)
+         SELECT query_id, vec_id, hamming, cos_sim FROM rk
+         WHERE krank <= 10
+         ORDER BY query_id, cos_sim DESC, vec_id"""
   )
 
   /** The kNN-graph replay CTE chain over the exported IVF replica

@@ -191,6 +191,91 @@ object BinaryHash {
     n
   }
 
+  /** Batch face of [[topKStored]] — the [[IvfIndex#searchBatch]]
+    * discipline on the binary rung, closing the last single-only rung
+    * (raw/SQ8/PQ all batch): ONE narrow `(id, code)` scan serves the
+    * whole query set. Per scanned row, each query's Hamming distance
+    * is a fixed codegen'd xor/popcount fan (queries are driver-packed
+    * literals — the query set is bounded by contract, like
+    * searchBatch's collected probes), stacked with `inline` into
+    * (query_id, hamming) rows — the row expansion is |queries|× AFTER
+    * column pruning to ~16 bytes/row, which still beats |queries|
+    * separate corpus scans on bytes read. The per-query `candidates`
+    * cut is a rank window (WindowGroupLimit — bounded per-partition
+    * heaps); the exact cosine re-rank then reads vectors for ONLY the
+    * ≤ |queries|·candidates survivors via an id-pruned scan + a
+    * broadcast pair join (the [[IvfIndex#beamSearchBatch]] rankedPairs
+    * shape; the driver holds just the bounded candidate pairs).
+    *
+    * `filter` is the [[topK]] filtered contract on the shared scan:
+    * eligible rows only, before every query's Hamming cut — and, like
+    * the single face, the binary rung needs no budget widening (the
+    * code pass already scans every eligible row). Per query the
+    * result is bit-equal to [[topKStored]] at the same (filter, k,
+    * candidates) — both cuts rank the identical (hamming, id) /
+    * (cos_sim desc, id) orders. Output: (query_id, idCol, hamming,
+    * cos_sim), ≤ k rows per query. */
+  def topKStoredBatch(df: DataFrame, codeCol: String, vecCol: String,
+      idCol: String, queries: Seq[(Long, Seq[Float])], k: Int,
+      candidates: Int, rerankDp: Int = 4,
+      filter: Option[Column] = None): DataFrame = {
+    require(queries.nonEmpty, "topKStoredBatch needs at least one query")
+    require(queries.map(_._1).distinct.length == queries.length,
+      "topKStoredBatch: duplicate query ids")
+    require(candidates >= k, s"candidates ($candidates) must be >= k ($k)")
+    val dims = queries.map(_._2.length).distinct
+    require(dims.length == 1,
+      s"topKStoredBatch: queries mix dims $dims — one code space per call")
+    val spark = df.sparkSession
+    graft.plans.VectorExpressions.ensureRegistered(spark)
+    val packed = queries.map { case (qid, qv) => (qid, packVec(qv)) }
+    val nWords = packed.head._2.length
+    val guarded = when(col(codeCol).isNull ||
+        size(col(codeCol)) =!= nWords,
+      raise_error(lit(s"BinaryHash.topKStoredBatch: stored code must " +
+        s"have $nWords words — row bypassed withCodes, or the root " +
+        "mixes dims")))
+      .otherwise(col(codeCol))
+    // stage 1: the shared narrow scan — per row, every query's
+    // Hamming fan over the guarded code, inlined to per-query rows,
+    // then the per-query candidate rank (WindowGroupLimit)
+    val perQuery = array(packed.map { case (qid, qw) =>
+      struct(lit(qid).as("query_id"),
+        hammingCol(guarded, qw).as("hamming"))
+    }: _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("hamming"), col(idCol))
+    val cand = filter.foldLeft(df)((d, f) => d.filter(f))
+      .select(col(idCol), inline(perQuery))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= candidates)
+      .select(col("query_id"), col(idCol), col("hamming"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // stage 2: exact re-rank of the bounded survivors — id-pruned
+    // vector scan + broadcast pair join, per-query rounded-cosine rank
+    import spark.implicits._
+    val qvById = queries.toMap
+    val pairDf = broadcast(cand.toSeq.map { case (qid, id, h) =>
+      (qid, id, h, qvById(qid))
+    }.toDF("query_id", "__cid", "hamming", "__qv"))
+    val ids = cand.map(_._2).distinct.toSeq
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("__cid"))
+    df.filter(col(idCol).isin(ids: _*))
+      .select(col(idCol).as("__vid"), col(vecCol).as("__v"))
+      .join(pairDf, col("__vid") === col("__cid"))
+      .select(col("query_id"), col("__cid"), col("hamming"),
+        graft.operators.KnnSearch.roundHalfUpCol(
+          graft.functions.VectorFunctions.cosineSimilarityNative(
+            col("__v"), col("__qv")), rerankDp).as("cos_sim"))
+      .withColumn("__rk", row_number().over(w2))
+      .filter(col("__rk") <= k)
+      .select(col("query_id"), col("__cid").as(idCol), col("hamming"),
+        col("cos_sim"))
+      .orderBy(col("query_id"), col("cos_sim").desc, col(idCol))
+  }
+
   /** [[topK]] over the PERSISTED code column — the production query
     * path: the prefilter reads `(id, code)` (16 bytes/row at dim 64)
     * and never touches the vector until the `candidates`-row exact

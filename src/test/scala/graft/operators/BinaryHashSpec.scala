@@ -96,6 +96,42 @@ class BinaryHashSpec extends SparkSpec {
     }
   }
 
+  test("topKStoredBatch is bit-equal per query to the single " +
+      "topKStored at the same (filter, candidates, k)") {
+    VectorExpressions.ensureRegistered(spark)
+    val rnd = new scala.util.Random(23)
+    val vs = Seq.fill(60)(Seq.fill(64)(rnd.nextFloat() - 0.5f))
+    val stored = BinaryHash.withCodes(toRows(vs), "embedding", 64)
+      .localCheckpoint()
+    val pred = pmod(col("vec_id"), lit(3L)) === 1L
+    val queries = Seq(0L, 1L, 2L).map(i => (i, vs(i.toInt)))
+    val batch = BinaryHash.topKStoredBatch(stored, BinaryHash.CodeCol,
+        "embedding", "vec_id", queries, k = 4, candidates = 8,
+        rerankDp = 4, filter = Some(pred))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1)
+    queries.foreach { case (qid, qv) =>
+      val single = BinaryHash.topKStored(stored, BinaryHash.CodeCol,
+          "embedding", "vec_id", qv, k = 4, candidates = 8,
+          rerank = v => KnnSearch.roundHalfUpCol(
+            graft.functions.VectorFunctions.cosineSimilarityNative(
+              v, KnnSearch.litVec(qv)), 4),
+          filter = Some(pred))
+        .collect()
+        .map(r => (qid, r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSeq
+      val got = batch.getOrElse(qid, Array.empty).toSeq
+      assert(got == single, s"query $qid: batch=$got\nsingle=$single")
+      assert(got.nonEmpty && got.forall(_._2 % 3 == 1),
+        s"query $qid: an ineligible row survived the shared-scan filter")
+    }
+    // mixed-dim query sets are refused (one code space per call)
+    intercept[IllegalArgumentException](BinaryHash.topKStoredBatch(
+      stored, BinaryHash.CodeCol, "embedding", "vec_id",
+      Seq((0L, vs(0)), (1L, vs(1).take(32))), k = 2, candidates = 4))
+  }
+
   test("topKStored(filter) equals topK(filter): the stored-code " +
       "production path carries the same filtered-ANN contract as the " +
       "per-query pack face") {
