@@ -588,7 +588,15 @@ final case class IvfIndex(
     * (spec-measured); entry quality is pinned alongside the other
     * strategies in q180's comparison. Deterministic hop by hop, so an
     * unrolled per-layer SQL oracle replays the whole descent
-    * (q181). */
+    * (q181).
+    *
+    * FILTERED searches need no filtered descent: the entry is a
+    * ROUTING seed, not an answer — [[beamSearch]]'s filtered contract
+    * keeps traversal predicate-blind precisely so an ineligible entry
+    * (or ineligible intermediate hops) still navigates toward the
+    * query's neighborhood, and the predicate cuts only the final
+    * top-k. Descending through eligible-only layers would re-create
+    * the disconnection problem the blind walk avoids. */
   def hierWalkEntry(layerGraphs: Seq[DataFrame], query: Seq[Float],
       base: Int, hopsPerLayer: Int = 2, rankRoundDp: Int = 4): Long = {
     val layers = layerGraphs.length
