@@ -8670,7 +8670,9 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
       // per query (one cross join against the 3-row query set) with
       // the same two rank windows. Scale shape: bytes read are ONE
       // 16-bytes/row filtered scan + 150 vectors, regardless of
-      // |queries| scans the per-query spelling would pay.
+      // |queries| scans the per-query spelling would pay — measured
+      // 4.8x over singles at 64 queries, per-query cost 127->19 ms
+      // (tools/BinaryBatchBench, PLANS.md round 20).
       VectorExpressions.ensureRegistered(s)
       val data = s.read.parquet(
         s"${binCdcRootFor(s, dir)}/${BinaryHash.DataSubdir}")
