@@ -1494,6 +1494,43 @@ class IvfIndexSpec extends SparkSpec {
       !new java.io.File(s"$base/v-1").exists())
   }
 
+  test("sidecar publish crash recovery: a half-written generation is invisible (pointer untouched) and purged by the next publish; a corrupt pointer fails loudly") {
+    val n = embeddings.count()
+    val tmp = Files.createTempDirectory("graft-sidecar-crash-").toString
+    val path = s"$tmp/ivf"
+    IvfIndex.build(embeddings, "vec_id", "embedding", nlist = 2)
+      .write(path)
+    // crash simulation: a publish died after writing part of its
+    // generation dir, before the pointer rename — readers must keep
+    // resolving the default sidecar as if nothing happened
+    val torn = new java.io.File(s"$path/_centroids_v7")
+    torn.mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(torn.getPath, "part-garbage.parquet"),
+      "not parquet")
+    assert(IvfIndex.resolvedCentroidSidecar(spark, path)
+      == s"$path/_centroids",
+      "an unreferenced generation must be invisible to resolution")
+    assert(IvfIndex.load(spark, path, "vec_id", "embedding").nlist == 2)
+    // the next completed publish (a rebalance pass) purges the torn
+    // generation: only the live generation + one predecessor remain
+    assert(IvfIndex.rebalance(spark, path, "vec_id", "embedding",
+      maxCellRows = n / 6) >= 1)
+    assert(!torn.exists(),
+      "the crashed publish's half-written generation must be purged")
+    val gens = new java.io.File(path).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("_centroids"))
+      .map(_.getName).toSet
+    assert(gens.size <= 2, s"unbounded sidecar history: $gens")
+    // a corrupt pointer is a loud failure, never a silent fallback
+    val ptr = java.nio.file.Paths.get(path, IvfIndex.CentroidPtr)
+    java.nio.file.Files.writeString(ptr, "garbage")
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(path, s".${IvfIndex.CentroidPtr}.crc"))
+    intercept[IllegalArgumentException](
+      IvfIndex.resolvedCentroidSidecar(spark, path))
+  }
+
   test("rebalance recovery: orphan cluster dirs (a crashed run's remnants) are purged, never half-visible") {
     // crash simulation: a sub-cell directory whose id the sidecar does
     // not know (the append-before-swap window). It must be invisible
