@@ -67,7 +67,10 @@ object Pq {
     }
   }
 
-  def load(spark: SparkSession, path: String): Codebooks = {
+  def load(spark: SparkSession, path: String): Codebooks =
+    booksCache.computeIfAbsent(path, _ => loadUncached(spark, path))
+
+  private def loadUncached(spark: SparkSession, path: String): Codebooks = {
     val df = spark.read.parquet(path)
     // pre-round-13 sidecars have no geometry column — raw (L2) books
     val hasNorm = df.columns.contains("normalized")
@@ -81,6 +84,36 @@ object Pq {
     Codebooks(cb.head.head.length * m, m, cb,
       normalized = rows.head._4)
   }
+
+  /** In-JVM cache of DESERIALIZED index metadata — codebooks and
+    * [[PqRoot]] sidecars — keyed on the exact path string (r21, guide
+    * §1.2 "per-task work"): every PQ query paid 2-4 tiny
+    * read-parquet-and-collect JOBS per invocation just to re-parse
+    * immutable sidecar bytes it had already parsed (q182 re-loaded
+    * four sidecar sets per rep — ~1.5 s of pure metadata job
+    * overhead). Sidecars are index ARTIFACTS, not query results: a
+    * serving system holds them resident (FAISS keeps the whole index
+    * in memory; [[graft.plans.IvfAutoProbe]] already caches the
+    * centroid sidecar the same way), and the data scan + ADC + re-rank
+    * still compute from parquet on every invocation. Entries are
+    * plain arrays (no session references), so they are safe across
+    * sessions in one JVM. Eviction rides the SAME invalidation bus
+    * every derived artifact uses ([[IvfIndex.onInvalidated]] — fired
+    * by appendEncoded/deleteEncoded and the IvfIndex mutators) plus
+    * explicit drops in [[writeRoot]]/[[refitRoot]]; a mutated root's
+    * whole subtree (books/centroids/perm sidecars live under it) is
+    * removed. */
+  private val booksCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Codebooks]()
+  private val rootMetaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, PqRoot]()
+  private[operators] def evictMeta(root: String): Unit = {
+    rootMetaCache.keySet.removeIf(k =>
+      k == root || k.startsWith(root + "/"))
+    booksCache.keySet.removeIf(k =>
+      k == root || k.startsWith(root + "/"))
+  }
+  IvfIndex.onInvalidated(evictMeta)
 
   /** Train per-subspace codebooks on the `sampleN` LOWEST-ID vectors —
     * a deterministic sample (content-independent of partitioning and
@@ -969,6 +1002,9 @@ object Pq {
         .coalesce(1).write.mode(SaveMode.Overwrite)
         .parquet(s"$path/$PermSubdir")
     }
+    // a wholesale (re)build replaces every sidecar — drop any cached
+    // parse of the old ones
+    evictMeta(path)
   }
 
   /** the one encode dispatch shared by build and append — a CDC batch
@@ -1057,7 +1093,11 @@ object Pq {
       residual = src.residual, ivf = src.ivf, perm = perm)
   }
 
-  def loadRoot(spark: SparkSession, path: String): PqRoot = {
+  def loadRoot(spark: SparkSession, path: String): PqRoot =
+    rootMetaCache.computeIfAbsent(path, _ => loadRootUncached(spark, path))
+
+  private def loadRootUncached(spark: SparkSession,
+      path: String): PqRoot = {
     val books = load(spark, s"$path/$BooksSubdir")
     val residual = spark.read.parquet(s"$path/$MetaSubdir")
       .collect().head.getBoolean(0)

@@ -52,10 +52,24 @@ case class IvfAutoProbe(spark: SparkSession) extends Rule[LogicalPlan] {
     Try(spark.conf.get(NprobeConf, "0").toInt).getOrElse(0)
 
   /** declared kept-fraction for residual-filtered matches; None when
-    * unset, 0, or out of (0, 1] */
-  private def filterSelectivity: Option[Double] =
-    Try(spark.conf.get(FilterSelectivityConf, "0").toDouble).toOption
-      .filter(s => s > 0.0 && s <= 1.0)
+    * unset or explicitly 0 (= off). A conf that is SET but unparsable
+    * or outside (0, 1] FAILS LOUDLY (r20 advice): silently falling
+    * back to the static probe budget would reproduce the exact
+    * filtered-recall collapse the conf exists to fix — the API face
+    * ([[IvfIndex#widenedNprobe]]) rejects the same input, and the
+    * declarative face must not be more forgiving. */
+  private def filterSelectivity: Option[Double] = {
+    val raw = spark.conf.get(FilterSelectivityConf, "0").trim
+    val v = raw.toDoubleOption.getOrElse(throw new IllegalArgumentException(
+      s"$FilterSelectivityConf must be a kept-fraction in (0, 1] " +
+        s"(or 0/unset = off), got '$raw'"))
+    if (v == 0.0) None
+    else if (v > 0.0 && v <= 1.0) Some(v)
+    else throw new IllegalArgumentException(
+      s"$FilterSelectivityConf must be a kept-fraction in (0, 1] " +
+        s"(or 0/unset = off), got '$raw' — e.g. a 34% survivor rate " +
+        "is 0.34, not 34")
+  }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val np = nprobe

@@ -409,11 +409,117 @@ case class Sq8L2SquaredExpr(left: Expression, middle: Expression,
     copy(left = newFirst, middle = newSecond, right = newThird)
 }
 
+/** Integer Johnson-Lindenstrauss projection distance (q168's reduced-
+  * space ranking) as ONE fused loop: quantize the float vector to the
+  * exact integer grid `q_i = floor(x_i·1024 + 0.5)` (long), project
+  * onto `bits` integer random directions, and return the exact BIGINT
+  * L2² to the pre-projected query — `Σ_b (Σ_i q_i·P[b·dim+i] − qp_b)²`.
+  * `right` packs the plane matrix row-major (bits·dim longs) followed
+  * by the query's `bits` projections, so `bits` is inferred as
+  * `len(right) / (dim + 1)`.
+  *
+  * Replaces a `transform` HOF (CodegenFallback) feeding a 16×64-term
+  * `element_at` tree — a shape that ejected the whole projection from
+  * WholeStageCodegen and evaluated interpreted (r21, guide §4). All
+  * arithmetic is the same long arithmetic in the same order, so the
+  * ranking — and the gated recall row — is bit-identical; the oracle
+  * replays it in SQL unchanged. Null vector / null element / length
+  * mismatch → null, matching the HOF form's null propagation (any
+  * null element nulled every projection). SQL name: `graft_jl_l2sq`. */
+case class JlProjectDistExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def prettyName: String = "graft_jl_l2sq"
+  override def inputTypes = Seq(ArrayType(FloatType),
+    ArrayType(org.apache.spark.sql.types.LongType))
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = true
+
+  protected override def nullSafeEval(a: Any, b: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val p = b.asInstanceOf[ArrayData]
+    val dim = v.numElements()
+    if (dim == 0 || p.numElements() % (dim + 1) != 0) return null
+    val bits = p.numElements() / (dim + 1)
+    val q = new Array[Long](dim)
+    var i = 0
+    while (i < dim) {
+      if (v.isNullAt(i)) return null
+      q(i) = math.floor(v.getFloat(i).toDouble * 1024.0 + 0.5).toLong
+      i += 1
+    }
+    var d2 = 0L
+    var b0 = 0
+    while (b0 < bits) {
+      var acc = 0L
+      var j = 0
+      while (j < dim) {
+        if (p.isNullAt(b0 * dim + j)) return null
+        acc += q(j) * p.getLong(b0 * dim + j)
+        j += 1
+      }
+      if (p.isNullAt(bits * dim + b0)) return null
+      val diff = acc - p.getLong(bits * dim + b0)
+      d2 += diff * diff
+      b0 += 1
+    }
+    d2
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val dim = ctx.freshName("dim")
+      val bits = ctx.freshName("bits")
+      val q = ctx.freshName("q")
+      val anyNull = ctx.freshName("anyNull")
+      val i = ctx.freshName("i")
+      val bI = ctx.freshName("b")
+      val j = ctx.freshName("j")
+      val acc = ctx.freshName("acc")
+      val diff = ctx.freshName("diff")
+      val d2 = ctx.freshName("d2")
+      s"""
+         |int $dim = $a.numElements();
+         |if ($dim == 0 || $b.numElements() % ($dim + 1) != 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $bits = $b.numElements() / ($dim + 1);
+         |  long[] $q = new long[$dim];
+         |  boolean $anyNull = false;
+         |  for (int $i = 0; $i < $dim; $i++) {
+         |    if ($a.isNullAt($i)) { $anyNull = true; break; }
+         |    $q[$i] = (long) Math.floor((double)$a.getFloat($i) * 1024.0 + 0.5);
+         |  }
+         |  long $d2 = 0L;
+         |  for (int $bI = 0; !$anyNull && $bI < $bits; $bI++) {
+         |    long $acc = 0L;
+         |    for (int $j = 0; $j < $dim; $j++) {
+         |      if ($b.isNullAt($bI * $dim + $j)) { $anyNull = true; break; }
+         |      $acc += $q[$j] * $b.getLong($bI * $dim + $j);
+         |    }
+         |    if ($anyNull || $b.isNullAt($bits * $dim + $bI)) {
+         |      $anyNull = true; break;
+         |    }
+         |    long $diff = $acc - $b.getLong($bits * $dim + $bI);
+         |    $d2 += $diff * $diff;
+         |  }
+         |  if ($anyNull) { ${ev.isNull} = true; }
+         |  else { ${ev.value} = $d2; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   /** the engine's full native-expression registry (vector + text) — both
     * registration routes (imperative + extensions) consume this list */
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     ("graft_l2sq", es => L2SquaredDistance(es(0), es(1))),
+    ("graft_jl_l2sq", es => JlProjectDistExpr(es(0), es(1))),
     ("graft_dot", es => DotProduct(es(0), es(1))),
     ("graft_cos", es => CosineSimilarityExpr(es(0), es(1))),
     ("graft_hyperplane_bucket", es => HyperplaneBucketExpr(es(0), es(1))),

@@ -1202,6 +1202,33 @@ class IvfIndexSpec extends SparkSpec {
     assert(ex.getMessage.contains("-12345"))
   }
 
+  test("beamSearch fails loudly on an entry id not in the index — " +
+      "folded hop-1 check (hops >= 1) and dedicated check (hops = 0)") {
+    // r21: the existence check folds into hop 1's scored scan (one
+    // fewer job per walk) — the fail-loudly contract must survive on
+    // every path: the folded scan, the no-hops walk, and an entry with
+    // no graph edges (empty first candidate set)
+    graft.plans.VectorExpressions.ensureRegistered(spark)
+    val graph = index.knnGraph(k = 3, nprobe = 2).localCheckpoint()
+    val q = queryVecs(1).head
+    for (hops <- Seq(0, 1, 2)) {
+      val ex = intercept[IllegalArgumentException] {
+        index.beamSearch(graph, q, entryId = -77L, k = 5, beam = 4,
+          hops = hops)
+      }
+      assert(ex.getMessage.contains("-77"), s"hops=$hops: $ex")
+    }
+    // entry absent from the GRAPH too (no out-edges → empty hop-1
+    // candidates → the dedicated fallback lookup must still raise)
+    val emptyGraph = graph.filter(col("src") === Long.MinValue)
+      .localCheckpoint()
+    val ex2 = intercept[IllegalArgumentException] {
+      index.beamSearch(emptyGraph, q, entryId = -77L, k = 5, beam = 4,
+        hops = 2)
+    }
+    assert(ex2.getMessage.contains("-77"))
+  }
+
   test("knnGraph plans a rank-limit window (WindowGroupLimit), not a full sort, and no cartesian") {
     val plan = index.knnGraph(k = 3, nprobe = 2)
       .queryExecution.executedPlan.toString
@@ -1434,9 +1461,11 @@ class IvfIndexSpec extends SparkSpec {
       "UTF-8").trim
     assert(live.startsWith("_centroids_v"), s"unexpected pointer '$live'")
     assert(sidecarGens().contains(live))
-    // bounded history: at most the live generation + one predecessor
-    // (the one-publish-cycle grace for in-flight readers)
-    assert(sidecarGens().size <= 2, s"unbounded history: ${sidecarGens()}")
+    // bounded history: at most the live generation + two predecessors
+    // (keep-2, r21 — TWO full publish cycles of grace for in-flight
+    // readers; the r20 one-cycle purge could delete the generation a
+    // reader resolved when two publishes landed inside its read window)
+    assert(sidecarGens().size <= 3, s"unbounded history: ${sidecarGens()}")
     // readers resolve the pointer: load() serves the repaired layout
     val after = IvfIndex.load(spark, path, "vec_id", "embedding")
     assert(after.nlist > 2)
@@ -1513,7 +1542,11 @@ class IvfIndexSpec extends SparkSpec {
       "an unreferenced generation must be invisible to resolution")
     assert(IvfIndex.load(spark, path, "vec_id", "embedding").nlist == 2)
     // the next completed publish (a rebalance pass) purges the torn
-    // generation: only the live generation + one predecessor remain
+    // generation: only the live generation + at most two predecessors
+    // remain (keep-2, r21 — the newest superseded generation survives
+    // one extra cycle so a reader slower than one publish cycle never
+    // loses the directory it resolved; a crashed dir sits ABOVE the
+    // live version and is never protected)
     assert(IvfIndex.rebalance(spark, path, "vec_id", "embedding",
       maxCellRows = n / 6) >= 1)
     assert(!torn.exists(),
@@ -1521,7 +1554,7 @@ class IvfIndexSpec extends SparkSpec {
     val gens = new java.io.File(path).listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("_centroids"))
       .map(_.getName).toSet
-    assert(gens.size <= 2, s"unbounded sidecar history: $gens")
+    assert(gens.size <= 3, s"unbounded sidecar history: $gens")
     // a corrupt pointer is a loud failure, never a silent fallback
     val ptr = java.nio.file.Paths.get(path, IvfIndex.CentroidPtr)
     java.nio.file.Files.writeString(ptr, "garbage")
@@ -1529,6 +1562,43 @@ class IvfIndexSpec extends SparkSpec {
       java.nio.file.Paths.get(path, s".${IvfIndex.CentroidPtr}.crc"))
     intercept[IllegalArgumentException](
       IvfIndex.resolvedCentroidSidecar(spark, path))
+  }
+
+  test("sidecar publish keeps the predecessor for a full extra cycle (keep-2): two back-to-back publishes never delete the generation a pre-swap reader resolved") {
+    // r20 verdict #2 / advice: the old purge kept exactly ONE cycle of
+    // grace — a multi-pass rebalance publishing twice in quick
+    // succession could delete the directory an in-flight reader had
+    // resolved just before the first swap. Keep-2: a generation
+    // survives the publish that supersedes it AND the one after.
+    val tmp = Files.createTempDirectory("graft-sidecar-keep2-").toString
+    val path = s"$tmp/ivf"
+    IvfIndex.build(embeddings, "vec_id", "embedding", nlist = 2)
+      .write(path)
+    val cents = spark.read
+      .parquet(s"$path/${IvfIndex.CentroidSidecar}").localCheckpoint()
+    def live() = IvfIndex.resolvedCentroidSidecar(spark, path)
+    val g0 = live() // the default _centroids dir
+    // a reader resolves g0 just before the swap...
+    IvfIndex.publishCentroids(spark, path, cents) // publish #1
+    val g1 = live()
+    assert(g1 != g0)
+    // ...then a second publish lands while that reader still streams
+    // g0 — the old one-cycle purge deleted g0 HERE
+    IvfIndex.publishCentroids(spark, path, cents) // publish #2
+    val g2 = live()
+    assert(g2 != g1)
+    assert(new java.io.File(g0).exists(),
+      s"keep-2 violated: $g0 deleted within two publish cycles")
+    // the THIRD publish finally reclaims g0 (bounded history)
+    IvfIndex.publishCentroids(spark, path, cents) // publish #3
+    assert(!new java.io.File(g0).exists(),
+      s"generation $g0 must age out after two supersessions")
+    val gens = new java.io.File(path).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("_centroids"))
+      .map(_.getName).toSet
+    assert(gens.size <= 3, s"unbounded sidecar history: $gens")
+    // every publish kept the resolved sidecar loadable end to end
+    assert(IvfIndex.load(spark, path, "vec_id", "embedding").nlist == 2)
   }
 
   test("rebalance recovery: orphan cluster dirs (a crashed run's remnants) are purged, never half-visible") {

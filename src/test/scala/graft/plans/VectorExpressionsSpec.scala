@@ -77,6 +77,64 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(viaCodegen > 0.0)
   }
 
+  test("graft_jl_l2sq matches the transform/element_at spelling bit-for-bit, runs inside codegen, nulls propagate") {
+    // r21: q168's reduced-space ranking moved from a CodegenFallback
+    // HOF + 16×64-term element_at tree to this fused loop — same long
+    // arithmetic, same order, so the values must be IDENTICAL
+    val dim = 64; val bits = 16
+    val planes = graft.operators.NearDup.hyperplanesInt(bits, dim)
+    val rnd = new scala.util.Random(13)
+    val qp = (0 until bits).map(b => rnd.between(-500000L, 500000L))
+    val params: Seq[Long] = planes ++ qp
+    // real physical scan (spark.range) so codegen actually runs
+    val gen = spark.range(500).select(col("id"),
+      array((1 to dim).map(i =>
+        (pmod(col("id") * i, lit(997)).cast("double") / 100.0 - 4.5)
+          .cast("float")): _*).as("v"))
+    val qcol = transform(col("v"),
+      x => floor(x.cast("double") * lit(1024) + lit(0.5)).cast("long"))
+    val pcols = (0 until bits).map(b =>
+      (0 until dim).map(i =>
+        element_at(col("__q"), i + 1) * lit(planes(b * dim + i)))
+        .reduce(_ + _).as(s"__p$b"))
+    val hof = gen.select(col("id"), qcol.as("__q"))
+      .select(col("id") +: pcols: _*)
+      .select(col("id"),
+        (0 until bits).map { b =>
+          val diff = col(s"__p$b") - lit(qp(b)); diff * diff
+        }.reduce(_ + _).as("d2"))
+    val nat = gen.select(col("id"),
+      call_function("graft_jl_l2sq", col("v"), typedLit(params))
+        .as("d2"))
+    assert(hof.except(nat).isEmpty && nat.except(hof).isEmpty,
+      "fused JL distance must equal the HOF spelling bit-for-bit")
+    // inside WholeStageCodegen (the point of the rewrite)
+    val plan = nat.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.contains("*(") && l.contains("graft_jl_l2sq")), plan)
+    // null/edge semantics: null vector, null element, bad params length
+    val r = spark.sql(
+      """SELECT
+         graft_jl_l2sq(CAST(NULL AS ARRAY<FLOAT>), array(1L, 2L)) AS n1,
+         graft_jl_l2sq(array(1.0F, CAST(NULL AS FLOAT)),
+                       array(1L, 2L, 3L, 4L, 5L, 6L)) AS n2,
+         graft_jl_l2sq(array(1.0F), array(1L, 2L, 3L)) AS n3,
+         graft_jl_l2sq(array(1.0F), array(2L, 3L)) AS ok""").head()
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+    // q = floor(1.0*1024 + 0.5) = 1024; proj = 1024*2 = 2048;
+    // d2 = (2048 - 3)^2
+    assert(r.getLong(3) == 2045L * 2045L)
+    // interpreted eval agrees with codegen
+    val expr = JlProjectDistExpr(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq(1f), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq(2L, 3L), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType)))
+    assert(expr.eval(null) == 2045L * 2045L)
+  }
+
   test("GraftExtensions injects the same builders") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext) // must not throw
