@@ -2996,6 +2996,12 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
       val qtoks = Seq("spark", "query", "join")
       import s.implicits._
       val qdf = qtoks.toDF("qtok").withColumn("qe", emb(col("qtok")))
+      // (r21 measured won't-do: localCheckpointing dtok — the r14
+      // multiply-consumed-frame rule q193 applies — benched 1.42 s vs
+      // 1.28 s min-of-5 here: with only TWO consumers the pin costs
+      // more than the saved explode+distinct, and unlike q193's
+      // five-consumer frame this one is corpus-scale, so recomputing
+      // the narrow pass is also the right 100 TB shape.)
       val dtok = t(s, dir, "documents").filter(col("text").isNotNull)
         .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
         .distinct()
@@ -5467,8 +5473,13 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
           hashSplit(col("text")).as("split"))
       val sh = base.select(col("doc_id"), col("lang"), col("split"),
         explode(wordShinglesNative(col("text"), 8)).as("g"))
+      // the test gram set feeds the bloom BUILD and the exact-hit
+      // broadcast join — unpinned, each re-ran the corpus shingle
+      // explode+distinct (r21, guide §2.4); it is bounded by the
+      // query's own premise (the contaminating set compresses to a
+      // fixed filter precisely because it is small)
       val testGrams = sh.filter(col("split") === "test")
-        .select(col("g")).distinct()
+        .select(col("g")).distinct().localCheckpoint()
       val bloom = Sketches.bloomBuild(testGrams, col("g"),
         BloomMBits, BloomK)
       val train = sh.filter(col("split") === "train")
@@ -6657,9 +6668,13 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
       val aG = sh.filter(col("doc_id") % 7 === 0).select(col("g"))
       val bG = sh.filter(col("doc_id") % 14 === 0).select(col("g"))
       val remDocs = col("doc_id") % 7 === 0 && col("doc_id") % 14 =!= 0
+      // maintained cells feed the mismatch audit AND the probe path —
+      // unpinned, each re-ran both corpus builds + the subtract (r21,
+      // guide §2.4); the cell frame is ≤ 2^20 rows by construction
       val maintained = Sketches.countingBloomSubtract(
         Sketches.countingBloomBuild(aG, col("g"), BloomMBits, BloomK),
         Sketches.countingBloomBuild(bG, col("g"), BloomMBits, BloomK))
+        .localCheckpoint()
       val fresh = Sketches.countingBloomBuild(
         sh.filter(remDocs).select(col("g")), col("g"),
         BloomMBits, BloomK)
@@ -8058,16 +8073,34 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
           .unionAll(e.select(col("v").as("id")))
           .groupBy(col("id")).agg(count(lit(1)).as("c"))
       import s.implicits._
+      // the peel itself is sequential (round t+1 needs round t's edge
+      // frame), but each round's TWO stat counts read already-
+      // checkpointed frames — fire them async and collect at the end
+      // (guide §2.6, r21: 12 serial count jobs -> overlapped with the
+      // next round's build; the counts are over pinned frames, so the
+      // values are identical)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.global
       var e = edges0
-      var stats = Vector.empty[(Long, Long, Long)]
-      stats :+= ((0L, degrees(e).count(), e.count()))
+      var statsF = Vector.empty[(Long, scala.concurrent.Future[Long],
+        scala.concurrent.Future[Long])]
+      statsF :+= ((0L,
+        { val d = degrees(e); scala.concurrent.Future(d.count()) },
+        { val e0 = e; scala.concurrent.Future(e0.count()) }))
       for (t <- 1 to 5) {
         val alive = degrees(e).filter(col("c") >= 4)
           .select(col("id")).localCheckpoint()
         e = e.join(alive.select(col("id").as("u")), Seq("u"))
           .join(alive.select(col("id").as("v")), Seq("v"))
           .select(col("u"), col("v")).localCheckpoint()
-        stats :+= ((t.toLong, alive.count(), e.count()))
+        val eT = e
+        statsF :+= ((t.toLong, scala.concurrent.Future(alive.count()),
+          scala.concurrent.Future(eT.count())))
+      }
+      val dur = scala.concurrent.duration.Duration.Inf
+      val stats = statsF.map { case (t, nF, mF) =>
+        (t, scala.concurrent.Await.result(nF, dur),
+          scala.concurrent.Await.result(mF, dur))
       }
       val stable =
         if (stats(5)._2 == stats(4)._2 && stats(5)._3 == stats(4)._3)

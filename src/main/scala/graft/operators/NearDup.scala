@@ -366,7 +366,12 @@ object NearDup {
     var converged = false
     while (!converged && iter < maxIter) {
       t0 = System.nanoTime()
-      // min over self, neighbors' labels, and rep's label (jump)
+      // min over self, neighbors' labels, and rep's label (jump).
+      // (r21 measured won't-do: a deeper per-round jump — rep³ via a
+      // second labels self-join — converged in the SAME 8 rounds on
+      // the q205 kNN graph: round count here is edge-diameter-bound
+      // (the min label must physically reach distant nodes through
+      // edges), so the extra join per round was pure cost. Reverted.)
       val viaEdges = edges
         .join(labels.select(col("id").as("v"), col("rep")), "v")
         .select(col("u").as("id"), col("rep"))

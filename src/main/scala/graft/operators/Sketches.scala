@@ -272,10 +272,20 @@ object Sketches {
   def withBloomHit(df: DataFrame, item: Column, bloom: DataFrame,
       mBits: Int, k: Int, out: String): DataFrame = {
     bloomCheck(mBits, k)
+    // pin the filter frame before fanning it to the k probe joins:
+    // the per-probe broadcasts canonicalize differently (distinct
+    // probe-temp aliases), so the planner reuses NONE of them and the
+    // filter's BUILD subtree — often a full corpus shingle pass — ran
+    // k times per query (q134's before-plan: 10 BroadcastExchanges, 0
+    // ReusedExchange, 3 independent corpus scans for one 3-probe
+    // filter; r21, guide §2.4). The pinned frame is ≤ mBits/64 rows —
+    // bounded by the filter's own construction, scale-free — and its
+    // values are byte-identical, so every probe answer is unchanged.
+    val pinned = bloom.localCheckpoint()
     val probes = bloomProbes(item, mBits, k)
     var cur = df
     val hits = probes.zipWithIndex.map { case (p, i) =>
-      val b = broadcast(bloom.select(col("bucket").as(s"__bb$i"),
+      val b = broadcast(pinned.select(col("bucket").as(s"__bb$i"),
         col("word").as(s"__bw$i")))
       cur = cur.withColumn(s"__bp$i", p)
         .join(b, expr(s"__bp$i DIV $BloomWordBits") === col(s"__bb$i"),
@@ -342,11 +352,16 @@ object Sketches {
       require(!df.columns.contains(c),
         s"input already has a '$c' column — withCountingBloomHit " +
           "uses it as a probe temp")
+    // pin the live cells once — the [[withBloomHit]] rationale: the k
+    // per-probe broadcasts never reuse each other's exchange, so an
+    // unpinned counting filter re-ran its whole build/subtract chain
+    // (corpus shingle passes included) k times per query (r21, guide
+    // §2.4). Cells are ≤ mBits rows — bounded by construction.
+    val pinned = cb.filter(col("c") > 0L).localCheckpoint()
     val probes = bloomProbes(item, mBits, k)
     var cur = df
     val hits = probes.zipWithIndex.map { case (p, i) =>
-      val b = broadcast(cb.filter(col("c") > 0L)
-        .select(col("p").as(s"__cb$i")))
+      val b = broadcast(pinned.select(col("p").as(s"__cb$i")))
       cur = cur.withColumn(s"__cp$i", p)
         .join(b, col(s"__cp$i") === col(s"__cb$i"), "left")
       col(s"__cb$i").isNotNull
