@@ -2265,6 +2265,17 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
     Seq("far", "coarse", "hier", "walk").foreach(k => entryFor(s, dir, k))
     dupClustersFor(s, dir)
     curationClustersFor(s, dir)
+    // r21 verdict #2: the root BUILDERS localCheckpoint corpus-scale
+    // intermediates whose blocks otherwise sit in the block manager for
+    // the JVM's life (the driver's r21 32-core bench degraded ~3× across
+    // the board; lingering warm-up residue was the prime suspect). Once
+    // every root is ON DISK nothing references those RDDs — every path
+    // cache above holds strings and every metadata cache holds plain
+    // arrays — so release them before any query's timed rep runs.
+    // Queries create their own per-invocation checkpoints; this sweeps
+    // only what warm-up itself left behind.
+    s.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
   }
 
   /** Shared scaffold for the optimizer-rule queries (q60/q61): install
