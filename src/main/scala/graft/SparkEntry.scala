@@ -29,6 +29,47 @@ object SparkEntry {
     * reference's single query-embedding call). Memoized per directory:
     * row-group pruning makes the lookup cheap, but a bench rep should not
     * pay even that scan again for a literal that cannot change. */
+  /** Bounded executor + Spark job group for a query's CONCURRENT legs
+    * (guide §2.6 overlap; r21 advice hardening): legs run blocking
+    * Spark actions, so they get a small dedicated pool instead of
+    * `ExecutionContext.global` (blocking actions would pin global-pool
+    * threads); every leg submits under one job group with
+    * interruptOnCancel, so a failed or timed-out leg CANCELS its
+    * siblings instead of leaving them running to completion; awaits
+    * are finite (generous — a hung executor surfaces as a loud timeout
+    * with a cancel, not a forever-blocked driver thread). Overlap
+    * only — leg rows and union order are whatever the caller wrote, so
+    * results are bit-equal to the sequential spelling. */
+  private final class LegRunner(s: SparkSession, label: String,
+      threads: Int) {
+    private val groupId =
+      s"graft-legs-$label-${LegRunnerSeq.incrementAndGet()}"
+    private val pool =
+      java.util.concurrent.Executors.newFixedThreadPool(threads)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    def leg[T](body: => T): scala.concurrent.Future[T] =
+      scala.concurrent.Future {
+        s.sparkContext.setJobGroup(groupId, label,
+          interruptOnCancel = true)
+        try body finally s.sparkContext.clearJobGroup()
+      }(ec)
+    /** await one leg; on ANY failure cancel the whole group first */
+    def await[T](f: scala.concurrent.Future[T]): T =
+      try scala.concurrent.Await.result(f,
+        scala.concurrent.duration.Duration(1,
+          java.util.concurrent.TimeUnit.HOURS))
+      catch {
+        case e: Throwable =>
+          try s.sparkContext.cancelJobGroup(groupId)
+          finally pool.shutdownNow()
+          throw e
+      }
+    /** release the pool (running legs finish; call after all awaits) */
+    def close(): Unit = pool.shutdown()
+  }
+  private val LegRunnerSeq = new java.util.concurrent.atomic.AtomicLong()
+
   private val queryVecCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[Float]]()
   private def queryVec(s: SparkSession, dir: String): Seq[Float] =
@@ -2882,11 +2923,22 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
         .select(col("source"), spanKey(col("sp")).as("k"))
         .distinct()
         .localCheckpoint(true)
+      // pin the three SOURCES-BOUNDED frames the plan re-derives from
+      // the pinned span frame (r22, guide §2.4; before-plan
+      // plans/r22/q102_kmv_source_overlap_before.txt): the sketch
+      // subtree ran once per ev leg (2 distinct+top-k passes over sp),
+      // the sources distinct ran 4× (once per pairs reference per
+      // leg), and the per-source counts aggregated sp twice. sk is
+      // ≤ sources·k rows, pairs ≤ sources², tcnt = sources — all
+      // bounded by the source count, never the corpus. Values
+      // identical; the sp passes drop from ~10 to ~6.
       val sk = Sketches.kmvSketch(sp, col("k"), Seq("source"), kSk)
+        .localCheckpoint()
       val sources = sp.select("source").distinct()
       val pairs = sources.as("a").join(sources.as("b"),
           col("a.source") < col("b.source"))
         .select(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .localCheckpoint()
       // fan each sketch row out to its pairs via TWO broadcast HASH
       // joins (src_a leg + src_b leg) — an OR-equality join would plan
       // nested-loop; the union of equi-legs is the same relation
@@ -2918,6 +2970,7 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
         .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
         .agg(count(lit(1)).as("true_shared"))
       val tcnt = sp.groupBy(col("source")).agg(count(lit(1)).as("n"))
+        .localCheckpoint()
       us.join(tru, Seq("src_a", "src_b"), "left")
         .join(broadcast(tcnt.select(col("source").as("src_a"),
           col("n").as("na"))), Seq("src_a"))
@@ -5493,10 +5546,20 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
         .select(col("g")).distinct().localCheckpoint()
       val bloom = Sketches.bloomBuild(testGrams, col("g"),
         BloomMBits, BloomK)
+      // serve the filter in its DENSE form (r21 verdict #6, guide
+      // §2.4/§3.2): the k per-probe broadcast joins become k pure
+      // codegen array lookups per gram row — zero joins, zero
+      // broadcasts on the corpus-side pass. The collect is the one
+      // the sketch earns: mBits/32 longs (256 KB at 2^20 bits), fixed
+      // by the filter's geometry, never corpus-sized, recomputed from
+      // the parquet inputs on every invocation. Values bit-identical
+      // to the probe-join form (SketchesSpec pins dense ≡ joins).
+      val words = Sketches.bloomDense(bloom, BloomMBits)
       val train = sh.filter(col("split") === "train")
         .select(col("doc_id"), col("lang"), col("g"))
-      val probed = Sketches.withBloomHit(train, col("g"), bloom,
-          BloomMBits, BloomK, "bloom_hit")
+      val probed = train
+        .withColumn("bloom_hit", Sketches.bloomMightContain(col("g"),
+          words, BloomMBits, BloomK))
         .join(broadcast(testGrams.withColumn("__ex", lit(1))),
           Seq("g"), "left")
         .withColumn("exact_hit", col("__ex").isNotNull)
@@ -6698,8 +6761,15 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
             .as("n_cell_mismatch"))
       val remG = sh.filter(remDocs).select(col("g")).distinct()
       val train = sh.filter(col("doc_id") % 7 =!= 0)
-      val perDoc = Sketches.withCountingBloomHit(train, col("g"),
-          maintained, BloomMBits, BloomK, "hit")
+      // dense serving form (r21 verdict #6, guide §2.4/§3.2): bit set
+      // ⇔ cell count > 0 (countingBloomDense, spec-pinned ≡ a fresh
+      // rebuild's bits), so the k per-probe broadcast joins become k
+      // codegen array lookups; the collect is filter-geometry-sized
+      // (mBits/32 longs) and recomputed per invocation.
+      val words = Sketches.countingBloomDense(maintained, BloomMBits)
+      val perDoc = train
+        .withColumn("hit", Sketches.bloomMightContain(col("g"),
+          words, BloomMBits, BloomK))
         .join(broadcast(remG.withColumn("__ex", lit(1))),
           Seq("g"), "left")
         .groupBy(col("doc_id"))
@@ -6983,29 +7053,29 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
       // two calls on the scheduler (guide §2.6, r21; per-panel rows
       // and the union order are untouched, so the result is bit-equal
       // to the sequential spelling)
-      implicit val ec: scala.concurrent.ExecutionContext =
-        scala.concurrent.ExecutionContext.global
-      val realF = scala.concurrent.Future {
-        pqRecallLegs(t(s, dir, "embeddings"), col("vec_id") < opqNq,
-          opqNq, pqRefine, Seq(
-          ("1_pq", s.read.parquet(s"$plainRoot/data"),
-            Pq.load(s, s"$plainRoot/books"), None),
-          ("2_opq", opqRoot.data(s), opqRoot.books, opqRoot.perm)))
-      }
-      val anisoF = scala.concurrent.Future {
-        pqRecallLegs(anisoEmb(s, dir),
-          col("vec_id") < opqNq, opqNq, 1, Seq(
-          ("3_pq_aniso", s.read.parquet(s"$anisoPq/data"),
-            Pq.load(s, s"$anisoPq/books"), None),
-          ("4_opq_aniso", anisoOpq.data(s), anisoOpq.books,
-            anisoOpq.perm)))
-      }
-      val dur = scala.concurrent.duration.Duration.Inf
-      scala.concurrent.Await.result(realF, dur)
-        .unionByName(scala.concurrent.Await.result(anisoF, dur))
-        .unionByName(permRow("5_perm", opqRoot.perm.get))
-        .unionByName(permRow("6_perm_aniso", anisoOpq.perm.get))
-        .orderBy(col("method"))
+      val runner = new LegRunner(s, "q182", 2)
+      try {
+        val realF = runner.leg {
+          pqRecallLegs(t(s, dir, "embeddings"), col("vec_id") < opqNq,
+            opqNq, pqRefine, Seq(
+            ("1_pq", s.read.parquet(s"$plainRoot/data"),
+              Pq.load(s, s"$plainRoot/books"), None),
+            ("2_opq", opqRoot.data(s), opqRoot.books, opqRoot.perm)))
+        }
+        val anisoF = runner.leg {
+          pqRecallLegs(anisoEmb(s, dir),
+            col("vec_id") < opqNq, opqNq, 1, Seq(
+            ("3_pq_aniso", s.read.parquet(s"$anisoPq/data"),
+              Pq.load(s, s"$anisoPq/books"), None),
+            ("4_opq_aniso", anisoOpq.data(s), anisoOpq.books,
+              anisoOpq.perm)))
+        }
+        runner.await(realF)
+          .unionByName(runner.await(anisoF))
+          .unionByName(permRow("5_perm", opqRoot.perm.get))
+          .unionByName(permRow("6_perm_aniso", anisoOpq.perm.get))
+          .orderBy(col("method"))
+      } finally runner.close()
     }),
 
     "q183_pq_cdc_search" -> ((s, dir) => {
@@ -8090,14 +8160,13 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
       // (guide §2.6, r21: 12 serial count jobs -> overlapped with the
       // next round's build; the counts are over pinned frames, so the
       // values are identical)
-      implicit val ec: scala.concurrent.ExecutionContext =
-        scala.concurrent.ExecutionContext.global
+      val runner = new LegRunner(s, "q212", 4)
       var e = edges0
       var statsF = Vector.empty[(Long, scala.concurrent.Future[Long],
         scala.concurrent.Future[Long])]
       statsF :+= ((0L,
-        { val d = degrees(e); scala.concurrent.Future(d.count()) },
-        { val e0 = e; scala.concurrent.Future(e0.count()) }))
+        { val d = degrees(e); runner.leg(d.count()) },
+        { val e0 = e; runner.leg(e0.count()) }))
       for (t <- 1 to 5) {
         val alive = degrees(e).filter(col("c") >= 4)
           .select(col("id")).localCheckpoint()
@@ -8105,14 +8174,13 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
           .join(alive.select(col("id").as("v")), Seq("v"))
           .select(col("u"), col("v")).localCheckpoint()
         val eT = e
-        statsF :+= ((t.toLong, scala.concurrent.Future(alive.count()),
-          scala.concurrent.Future(eT.count())))
+        statsF :+= ((t.toLong, runner.leg(alive.count()),
+          runner.leg(eT.count())))
       }
-      val dur = scala.concurrent.duration.Duration.Inf
-      val stats = statsF.map { case (t, nF, mF) =>
-        (t, scala.concurrent.Await.result(nF, dur),
-          scala.concurrent.Await.result(mF, dur))
-      }
+      val stats =
+        try statsF.map { case (t, nF, mF) =>
+          (t, runner.await(nF), runner.await(mF))
+        } finally runner.close()
       val stable =
         if (stats(5)._2 == stats(4)._2 && stats(5)._3 == stats(4)._3)
           1L
@@ -8755,10 +8823,9 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
       // ~1.2 s at sf0.1). Each leg's rows are untouched — same walk,
       // same cuts — and the union keeps the Seq order, so the result
       // is bit-equal to the sequential spelling.
-      implicit val ec: scala.concurrent.ExecutionContext =
-        scala.concurrent.ExecutionContext.global
+      val runner = new LegRunner(s, "q231", 3)
       val legs = Seq(1.0, 2.0, 4.0).map { w =>
-        scala.concurrent.Future {
+        runner.leg {
           // ONE walk per widen: k covers every eligible visited row, so
           // the same ranked frame yields the pool size and its top-5
           // (beamSearch(k=5) ≡ this frame's first 5 — same order)
@@ -8775,9 +8842,7 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
               col("n_overlap"))
         }
       }
-      scala.concurrent.Await
-        .result(scala.concurrent.Future.sequence(legs),
-          scala.concurrent.duration.Duration.Inf)
+      (try legs.map(runner.await) finally runner.close())
         .reduce(_.unionByName(_))
         .withColumn("recall_ppm", expr("n_overlap * 1000000 div 5"))
         .orderBy(col("widen_x10"))

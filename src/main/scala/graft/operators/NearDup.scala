@@ -28,9 +28,16 @@ import graft.plans.VectorExpressions
   * unregisters — the abandoned frame's cache entry goes with it. */
 private final class UnpersistAfterFirstAction(
     spark: SparkSession, target: DataFrame,
+    watch: Option[DataFrame] = None,
     maxMisses: Int = NearDup.ListenerMaxUnrelatedActions)
     extends QueryExecutionListener {
-  private val key = target.queryExecution.analyzed.canonicalized
+  // `watch` (default: the target itself) is the frame whose first
+  // completed action releases the cache — the pair operators pass
+  // their RETURNED frame so that the construction-time candidate
+  // checkpoint (which also consumes the shingle cache) cannot release
+  // it before the exact-scoring pass has read it (r22).
+  private val key =
+    watch.getOrElse(target).queryExecution.analyzed.canonicalized
   private val armed = new java.util.concurrent.atomic.AtomicBoolean(true)
   private val misses = new java.util.concurrent.atomic.AtomicInteger(0)
   private def release(): Unit =
@@ -150,8 +157,19 @@ object NearDup {
         (0 until rowsPerBand).map(r =>
           element_at(col("sig"), b * rowsPerBand + r + 1)): _*)))
     }
-    val buckets = sig
+    // pin the (id, bucket) frame before the self-join (r22, guide
+    // §2.4/§3.3): a self-join's two sides canonicalize with distinct
+    // expr ids, so NOTHING above the shingle cache is reused — the
+    // whole MinHash signature pass (numHashes salted-md5 minima over
+    // every shingle of every doc) ran TWICE per call. The pinned frame
+    // is bands rows per doc of (id, 35-char bucket) — narrow, a tiny
+    // fraction of the corpus bytes — and the values are identical, so
+    // the candidate set is unchanged. Gated on `persistShingles`, the
+    // operator's existing storage escape hatch.
+    val bucketsRaw = sig
       .select(col("id"), explode(array(bucketCols: _*)).as("bucket"))
+    val buckets =
+      if (persistShingles) bucketsRaw.localCheckpoint() else bucketsRaw
     val pairs = buckets.as("a")
       .join(buckets.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
@@ -159,10 +177,12 @@ object NearDup {
       .distinct()
     val shA = sh.select(col("id").as("a_id"), col("shingles").as("sh_a"))
     val shB = sh.select(col("id").as("b_id"), col("shingles").as("sh_b"))
-    pairs.join(shA, "a_id").join(shB, "b_id")
-      .select(col("a_id"), col("b_id"),
-        round(jaccard(col("sh_a"), col("sh_b")), roundDp).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    releaseAfter(
+      pairs.join(shA, "a_id").join(shB, "b_id")
+        .select(col("a_id"), col("b_id"),
+          round(jaccard(col("sh_a"), col("sh_b")), roundDp).as("jaccard"))
+        .filter(col("jaccard") >= threshold),
+      sh, persistShingles)
   }
 
   /** The (id, shingles) frame both pair operators start from: distinct
@@ -176,20 +196,30 @@ object NearDup {
       .filter(size(col("shingles")) > 0)
 
   /** Operator-owned persist for the (id, shingles) frame feeding several
-    * subtrees: MEMORY_AND_DISK with an [[UnpersistAfterFirstAction]]
-    * listener, so tokenization + shingling run once and the cache entry
-    * is released after the caller's first action (or after a bounded
-    * number of unrelated actions if the frame is abandoned). */
+    * subtrees: MEMORY_AND_DISK, so tokenization + shingling run once.
+    * Lifetime is closed by [[releaseAfter]] at the end of the operator
+    * (the listener must watch the RETURNED frame, not the cache itself:
+    * since r22 the operators run a construction-time candidate
+    * checkpoint that also consumes the cache, and that early action
+    * must not release it before the exact-scoring pass reads it). */
   private def ownedShingleCache(shRaw: DataFrame,
       persist: Boolean): DataFrame =
     if (!persist) shRaw
-    else {
-      val p = shRaw
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      p.sparkSession.listenerManager.register(
-        new UnpersistAfterFirstAction(p.sparkSession, p))
-      p
-    }
+    else shRaw
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** Register the cache-release listener: unpersist `sh` after the
+    * first completed action whose plan contains `result` (or after a
+    * bounded number of unrelated actions if the frame is abandoned).
+    * Returns `result` for chaining. */
+  private def releaseAfter(result: DataFrame, sh: DataFrame,
+      persist: Boolean): DataFrame = {
+    if (persist)
+      result.sparkSession.listenerManager.register(
+        new UnpersistAfterFirstAction(result.sparkSession, sh,
+          Some(result)))
+    result
+  }
 
   /** EXACT n-gram Jaccard near-dup pairs: every pair (a_id < b_id) with
     * word-`shingleN`-gram Jaccard ≥ `threshold` — no approximation,
@@ -246,17 +276,48 @@ object NearDup {
     val dfreq = grams.groupBy("gram").agg(count(lit(1)).as("df"))
     val byRarity = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy(col("df"), col("gram"))
-    val prefixes = grams.join(dfreq, "gram")
+    // pin the prefix frame before the self-join (r22, guide §2.4/§3.3):
+    // the self-join's sides canonicalize with distinct expr ids, so the
+    // ENTIRE prefix derivation — the corpus gram explode, the
+    // document-frequency aggregation (a corpus-gram-keyed shuffle), and
+    // the per-doc rank window — ran TWICE per call
+    // (plans/r22/q53_jaccard_pairs_before.txt: operators 8-24 ≡ 25-44).
+    // The pinned frame holds only each doc's PREFIX grams
+    // (m − ⌈t·m⌉ + 1 rows per doc ≈ (1−t) of the gram stream, narrow
+    // rows), values identical → same candidate superset. Gated on
+    // `persistShingles`, the operator's storage escape hatch.
+    val prefixesRaw = grams.join(dfreq, "gram")
       .withColumn("rk", row_number().over(byRarity))
       .filter(col("rk") <=
         col("m") - ceil(lit(threshold) * col("m") - lit(1e-9)).cast("int")
           + 1)
-      .select(col("id"), col("m"), col("gram"))
+      .select(col("id"), col("m"), col("gram"), col("rk"))
+    val prefixes =
+      if (persistShingles) prefixesRaw.localCheckpoint() else prefixesRaw
+    // POSITIONAL filtering on top of the prefix join (PPJoin, Xiao et
+    // al. 2008; r21 verdict #3, guide §3 join-input reduction): a
+    // shared gram at ranks (ra, rb) of the SAME global order bounds the
+    // overlap above by 1 + min(|A|−ra, |B|−rb), and J(A,B) ≥ t forces
+    // overlap ≥ t/(1+t)·(|A|+|B|); a gram occurrence whose bound can't
+    // reach that requirement generates no candidate. Never drops a true
+    // pair: for the FIRST common gram in the global order, every
+    // earlier gram of either doc is outside the intersection, so the
+    // bound holds with room — that occurrence always passes (and it is
+    // inside both prefixes, the classical prefix-filter guarantee).
+    // The same 1e-9 goes DOWN on the required-overlap side as on the
+    // prefix length: binary Double noise may only ADMIT candidates.
+    // Exact scoring below is untouched, so the result set is identical
+    // — only the candidate superset shrinks.
+    val reqOverlap = ceil(
+      lit(threshold / (1.0 + threshold)) *
+        (col("a.m") + col("b.m")).cast("double") - lit(1e-9))
     val pairs = prefixes.as("a")
       .join(prefixes.as("b"),
         col("a.gram") === col("b.gram") && col("a.id") < col("b.id") &&
           least(col("a.m"), col("b.m")).cast("double") >=
-            lit(threshold) * greatest(col("a.m"), col("b.m")) - lit(1e-9))
+            lit(threshold) * greatest(col("a.m"), col("b.m")) - lit(1e-9) &&
+          (lit(1L) + least(col("a.m") - col("a.rk"),
+            col("b.m") - col("b.rk"))).cast("double") >= reqOverlap)
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
       .distinct()
     val shA = sh.select(col("id").as("a_id"), col("shingles").as("sh_a"))
@@ -268,12 +329,14 @@ object NearDup {
     // would silently break "hash equality IS the exactness proof". Both
     // sides divide the same two integers (|A∩B| / |A∪B|), so the
     // unrounded comparison is IEEE-identical cross-engine.
-    pairs.join(shA, "a_id").join(shB, "b_id")
-      .select(col("a_id"), col("b_id"),
-        jaccard(col("sh_a"), col("sh_b")).as("__j"))
-      .filter(col("__j") >= threshold)
-      .select(col("a_id"), col("b_id"),
-        round(col("__j"), roundDp).as("jaccard"))
+    releaseAfter(
+      pairs.join(shA, "a_id").join(shB, "b_id")
+        .select(col("a_id"), col("b_id"),
+          jaccard(col("sh_a"), col("sh_b")).as("__j"))
+        .filter(col("__j") >= threshold)
+        .select(col("a_id"), col("b_id"),
+          round(col("__j"), roundDp).as("jaccard")),
+      sh, persistShingles)
   }
 
   /** Duplicate-cluster resolution: connected components over a near-dup
@@ -362,26 +425,39 @@ object NearDup {
     var prevSum = labelSum(labels)
     if (dbg) System.err.println(
       f"duplicateClusters init: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    // one min-propagation step: min over self, neighbors' labels, and
+    // rep's label (jump).
+    // (r21 measured won't-do: a deeper per-round jump — rep³ via a
+    // second labels self-join — converged in the SAME 8 rounds on
+    // the q205 kNN graph: round count here is edge-diameter-bound
+    // (the min label must physically reach distant nodes through
+    // edges), so the extra join per round was pure cost. Reverted.)
+    def step(l: DataFrame): DataFrame = {
+      val viaEdges = edges
+        .join(l.select(col("id").as("v"), col("rep")), "v")
+        .select(col("u").as("id"), col("rep"))
+      val viaReps = l.as("l")
+        .join(l.select(col("id").as("r_id"),
+          col("rep").as("r_rep")), col("l.rep") === col("r_id"))
+        .select(col("l.id").as("id"), col("r_rep").as("rep"))
+      viaEdges.union(viaReps).union(l)
+        .groupBy("id").agg(min(col("rep")).as("rep"))
+    }
+    // (r22 measured won't-do, the verdict-#4 idea: TWO propagation
+    // steps per materialization — step(step(labels)) — halves the
+    // job/sum/checkpoint count, and the hoped-for ReusedExchange on
+    // the inner step's aggregation would have made the fused DAG cost
+    // ~one round. Measured on q205's kNN graph at sf0.1: each fused
+    // round ran ~1.4 s vs ~0.45 s per single round (warm, debug
+    // timings) — the inner step's subtree feeds three differently-
+    // projected consumers and is recomputed, not reused, so 5 fused
+    // rounds cost 7.0 s where 8 single rounds cost 3.6 s. Reverted to
+    // the single-step loop; the values were identical both ways.)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
       t0 = System.nanoTime()
-      // min over self, neighbors' labels, and rep's label (jump).
-      // (r21 measured won't-do: a deeper per-round jump — rep³ via a
-      // second labels self-join — converged in the SAME 8 rounds on
-      // the q205 kNN graph: round count here is edge-diameter-bound
-      // (the min label must physically reach distant nodes through
-      // edges), so the extra join per round was pure cost. Reverted.)
-      val viaEdges = edges
-        .join(labels.select(col("id").as("v"), col("rep")), "v")
-        .select(col("u").as("id"), col("rep"))
-      val viaReps = labels.as("l")
-        .join(labels.select(col("id").as("r_id"),
-          col("rep").as("r_rep")), col("l.rep") === col("r_id"))
-        .select(col("l.id").as("id"), col("r_rep").as("rep"))
-      val next = viaEdges.union(viaReps).union(labels)
-        .groupBy("id").agg(min(col("rep")).as("rep"))
-        .localCheckpoint()
+      val next = step(labels).localCheckpoint()
       val nextSum = labelSum(next)
       labels = next
       converged = nextSum.compareTo(prevSum) == 0

@@ -64,11 +64,23 @@ object Pq {
         yield (s, c, cb(s)(c).toSeq, normalized))
         .toDF("sub", "code", "centroid", "normalized")
         .coalesce(1).write.mode("overwrite").parquet(path)
+      // a rewrite at a previously-loaded path must not leave the old
+      // parsed books behind (r21 advice): the stamp key already stops
+      // STALE serving, this keeps dead entries from accumulating and
+      // covers the fixture builders that write books sidecars directly
+      evictMeta(path)
     }
   }
 
   def load(spark: SparkSession, path: String): Codebooks =
-    booksCache.computeIfAbsent(path, _ => loadUncached(spark, path))
+    // keyed on path + content stamp (r21 verdict #7): sidecars are
+    // immutable per WRITE, not per path — a root rebuilt in place by
+    // another process must resolve to a fresh key, not be served the
+    // old parsed books (in-JVM eviction hooks cannot see foreign
+    // writers). The stamp is one listStatus — no Spark job.
+    booksCache.computeIfAbsent(
+      s"$path|${IvfIndex.fsStamp(spark, path)}",
+      _ => loadUncached(spark, path))
 
   private def loadUncached(spark: SparkSession, path: String): Codebooks = {
     val df = spark.read.parquet(path)
@@ -108,10 +120,12 @@ object Pq {
   private val rootMetaCache =
     new java.util.concurrent.ConcurrentHashMap[String, PqRoot]()
   private[operators] def evictMeta(root: String): Unit = {
+    // keys are "path|stamp" since the stamp-keying (r21 verdict #7):
+    // match the bare path, any subpath, and any stamped variant
     rootMetaCache.keySet.removeIf(k =>
-      k == root || k.startsWith(root + "/"))
+      k == root || k.startsWith(root + "/") || k.startsWith(root + "|"))
     booksCache.keySet.removeIf(k =>
-      k == root || k.startsWith(root + "/"))
+      k == root || k.startsWith(root + "/") || k.startsWith(root + "|"))
   }
   IvfIndex.onInvalidated(evictMeta)
 
@@ -1094,7 +1108,15 @@ object Pq {
   }
 
   def loadRoot(spark: SparkSession, path: String): PqRoot =
-    rootMetaCache.computeIfAbsent(path, _ => loadRootUncached(spark, path))
+    // stamp every sidecar the parsed root derives from (books, meta,
+    // centroids, perm — same rationale as [[load]]): a cross-process
+    // rewrite of any of them is a new key, never a stale serve. Four
+    // listStatus calls, no Spark job.
+    rootMetaCache.computeIfAbsent(
+      s"$path|${Seq(BooksSubdir, MetaSubdir, CentroidsSubdir, PermSubdir)
+          .map(sub => IvfIndex.fsStamp(spark, s"$path/$sub"))
+          .mkString("|")}",
+      _ => loadRootUncached(spark, path))
 
   private def loadRootUncached(spark: SparkSession,
       path: String): PqRoot = {

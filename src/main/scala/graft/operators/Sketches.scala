@@ -270,7 +270,7 @@ object Sketches {
     * ~(fill fraction)^k, which callers REPORT by comparing against an
     * exact join (q134) rather than assuming. */
   def withBloomHit(df: DataFrame, item: Column, bloom: DataFrame,
-      mBits: Int, k: Int, out: String): DataFrame = {
+      mBits: Int, k: Int, out: String, pin: Boolean = true): DataFrame = {
     bloomCheck(mBits, k)
     // pin the filter frame before fanning it to the k probe joins:
     // the per-probe broadcasts canonicalize differently (distinct
@@ -281,7 +281,10 @@ object Sketches {
     // filter; r21, guide §2.4). The pinned frame is ≤ mBits/64 rows —
     // bounded by the filter's own construction, scale-free — and its
     // values are byte-identical, so every probe answer is unchanged.
-    val pinned = bloom.localCheckpoint()
+    // NOTE the pin makes this combinator EAGER (the filter subtree
+    // runs at DataFrame-construction time); callers that already hold
+    // a pinned/materialized filter pass pin = false (r21 advice).
+    val pinned = if (pin) bloom.localCheckpoint() else bloom
     val probes = bloomProbes(item, mBits, k)
     var cur = df
     val hits = probes.zipWithIndex.map { case (p, i) =>
@@ -341,7 +344,8 @@ object Sketches {
     * a present cell means count > 0 by [[countingBloomSubtract]]'s
     * contract. */
   def withCountingBloomHit(df: DataFrame, item: Column,
-      cb: DataFrame, mBits: Int, k: Int, out: String): DataFrame = {
+      cb: DataFrame, mBits: Int, k: Int, out: String,
+      pin: Boolean = true): DataFrame = {
     bloomCheck(mBits, k)
     // collision guards (the repo's convention, r14 advice): a caller
     // column named like the output or a probe temp would be silently
@@ -356,8 +360,11 @@ object Sketches {
     // per-probe broadcasts never reuse each other's exchange, so an
     // unpinned counting filter re-ran its whole build/subtract chain
     // (corpus shingle passes included) k times per query (r21, guide
-    // §2.4). Cells are ≤ mBits rows — bounded by construction.
-    val pinned = cb.filter(col("c") > 0L).localCheckpoint()
+    // §2.4). Cells are ≤ mBits rows — bounded by construction. Eager
+    // when pin = true, like [[withBloomHit]] (r21 advice).
+    val pinned =
+      if (pin) cb.filter(col("c") > 0L).localCheckpoint()
+      else cb.filter(col("c") > 0L)
     val probes = bloomProbes(item, mBits, k)
     var cur = df
     val hits = probes.zipWithIndex.map { case (p, i) =>
@@ -416,14 +423,40 @@ object Sketches {
     require(words.length == mBits / BloomWordBits,
       s"dense bloom must have ${mBits / BloomWordBits} words, " +
         s"got ${words.length}")
-    val lut = typedLit(words)
-    exists(items, it =>
-      bloomProbes(it, mBits, k).map { p =>
-        call_function("shiftright",
-          element_at(lut,
-            floor(p / lit(BloomWordBits)).cast("int") + 1),
-          (p % lit(BloomWordBits)).cast("int"))
-          .bitwiseAND(lit(1L)) === 1L
-      }.reduce(_ && _))
+    exists(items, it => denseProbeHit(it, typedLit(words), mBits, k))
   }
+
+  /** Scalar membership test of ONE item against a dense bloom word
+    * array — the join-free serving form of [[withBloomHit]] (and, over
+    * [[countingBloomDense]] words, of [[withCountingBloomHit]]): k
+    * literal-array lookups per row, a pure codegen expression with no
+    * broadcast, no join, no shuffle. Bit-identical to the probe joins
+    * by construction: both read the same `bloomProbes` positions, and
+    * a missing bucket is an all-zero word = unset bit (spec-pinned
+    * equivalence in SketchesSpec). The corpus-side cost drops from k
+    * BroadcastHashJoins per row to k array lookups — the right
+    * 100 TB shape for a fixed-size filter (guide §3.2: the filter
+    * ships once; §2.4: no per-probe exchanges). One seam: a NULL item
+    * evaluates to NULL here where the probe-join form's failed
+    * equi-join yields false — callers probing nullable columns must
+    * coalesce (the shingle/gram producers here never emit nulls). */
+  def bloomMightContain(item: Column, words: Seq[Long],
+      mBits: Int, k: Int): Column = {
+    bloomCheck(mBits, k)
+    require(words.length == mBits / BloomWordBits,
+      s"dense bloom must have ${mBits / BloomWordBits} words, " +
+        s"got ${words.length}")
+    denseProbeHit(item, typedLit(words), mBits, k)
+  }
+
+  /** all k probes of `it` hit in the dense word array `lut` */
+  private def denseProbeHit(it: Column, lut: Column, mBits: Int,
+      k: Int): Column =
+    bloomProbes(it, mBits, k).map { p =>
+      call_function("shiftright",
+        element_at(lut,
+          floor(p / lit(BloomWordBits)).cast("int") + 1),
+        (p % lit(BloomWordBits)).cast("int"))
+        .bitwiseAND(lit(1L)) === 1L
+    }.reduce(_ && _)
 }

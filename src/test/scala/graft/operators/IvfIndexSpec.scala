@@ -836,6 +836,29 @@ class IvfIndexSpec extends SparkSpec {
       .assigned.count() == embeddings.count())
   }
 
+  test("a centroid sidecar rewritten by another process is re-read, not served stale") {
+    // the load-metadata cache keys on a content stamp of the sidecar
+    // files (r21 verdict #7 / advice): a root mutated at an UNCHANGED
+    // path + generation by a writer this JVM's eviction hooks cannot
+    // see must still be observed on the next load
+    val tmp = Files.createTempDirectory("graft-ivf-stamp").toString
+    index.write(s"$tmp/ivf", quantize = true)
+    val first = IvfIndex.load(spark, s"$tmp/ivf", "vec_id", "embedding")
+    val before = first.centroids.map(_.toSeq).toSeq
+    // simulate the foreign process: rewrite the DEFAULT sidecar parquet
+    // in place, calling NO evict/invalidation hook
+    import spark.implicits._
+    first.clusterIds.zip(first.centroids).toSeq
+      .map { case (c, v) => (c, v.map(_ + 1.0f).toSeq) }
+      .toDF("cluster_id", "centroid")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$tmp/ivf/${IvfIndex.CentroidSidecar}")
+    val second = IvfIndex.load(spark, s"$tmp/ivf", "vec_id", "embedding")
+    assert(second.centroids.map(_.toSeq).toSeq ==
+      before.map(_.map(_ + 1.0f)),
+      "load served the stale cached centroids after a foreign rewrite")
+  }
+
   test("load falls back to per-(cluster,dim) means without a sidecar") {
     val tmp = Files.createTempDirectory("graft-ivf-").toString
     index.write(s"$tmp/ivf")

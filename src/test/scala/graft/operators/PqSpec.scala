@@ -17,6 +17,26 @@ class PqSpec extends SparkSpec {
     embeddings.orderBy("vec_id").limit(n)
       .select("embedding").collect().map(_.getSeq[Float](0)).toSeq
 
+  test("a books sidecar rewritten by another process is re-read, not served stale") {
+    // booksCache keys on a content stamp of the sidecar files (r21
+    // verdict #7 / advice): a rewrite by a writer that fires no in-JVM
+    // eviction hook must be observed by the next load
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pq-stamp")
+      .toString
+    books.write(spark, s"$tmp/books")
+    val first = Pq.load(spark, s"$tmp/books")
+    // foreign rewrite: same schema, shifted centroid values, written
+    // directly with spark (NOT Codebooks.write — that evicts)
+    (for (s <- 0 until first.m; c <- 0 until first.ksub)
+      yield (s, c, first.cb(s)(c).map(_ + 1.0f).toSeq, first.normalized))
+      .toDF("sub", "code", "centroid", "normalized")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/books")
+    val second = Pq.load(spark, s"$tmp/books")
+    assert(second.cb(0)(0).toSeq == first.cb(0)(0).map(_ + 1.0f).toSeq,
+      "Pq.load served stale cached books after a foreign rewrite")
+  }
+
   test("fit and encode are deterministic; round-trip through parquet") {
     val again = Pq.fit(embeddings, "vec_id", "embedding", m = 8,
       ksub = 16)

@@ -202,6 +202,30 @@ class SketchesSpec extends SparkSpec {
     assert(hits == 0L, s"$hits inserted keys tested negative")
   }
 
+  test("scalar dense probe == the k probe joins, hit for hit") {
+    // the q134/q175 serving form (r22): bloomMightContain over the
+    // densified words must answer EXACTLY like withBloomHit's k
+    // broadcast joins for every probe — inserted keys, absent keys,
+    // and the high-fill false positives included
+    val keys = (0 until 300).map(i => s"key-$i").toDF("k")
+    val mBits = 1 << 10 // small → real false positives in the probe set
+    val bloom = Sketches.bloomBuild(keys, col("k"), mBits, 3)
+    val words = Sketches.bloomDense(bloom, mBits)
+    val probes = ((0 until 300).map(i => s"key-$i") ++
+      (0 until 300).map(i => s"absent-$i")).toDF("k")
+    val joined = Sketches.withBloomHit(probes, col("k"), bloom,
+        mBits, 3, "hit")
+      .select(col("k"), col("hit"))
+    val dense = probes.select(col("k"),
+      Sketches.bloomMightContain(col("k"), words, mBits, 3).as("hit"))
+    assert(joined.except(dense).count() == 0L &&
+      dense.except(joined).count() == 0L,
+      "dense scalar probe diverged from the probe-join form")
+    // sanity: the comparison exercised both outcomes
+    val n = dense.filter(col("hit")).count()
+    assert(n >= 300L && n < 600L, s"degenerate probe set: $n hits")
+  }
+
   test("bloom merge law: bit_or of two sketches == sketch of the union") {
     val a = (0 until 120).map(i => s"a-$i").toDF("k")
     val b = (0 until 120).map(i => s"b-$i").toDF("k")
