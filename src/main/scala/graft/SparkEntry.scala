@@ -5241,6 +5241,16 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
     "q43_near_dup" -> ((s, dir) => {
       // MinHash + LSH banding near-dup: bucket-join candidates only, exact
       // Jaccard within candidates — no cartesian (see NearDup scaladoc).
+      // (r22 won't-do, the r21-verdict-#8 idea: q43/q197/q106 share
+      // shingle-derived subtrees — hoist them into a warm-up-built
+      // persisted root like the IVF indexes. Rejected on the gaming
+      // line, not on cost: q43's DECLARED computation is the pair
+      // derivation itself, so a persisted pair/shingle artifact keyed
+      // on the corpus would make a timed rep read precomputed results
+      // instead of computing them. The legitimate form — stop
+      // recomputing the shared subtree WITHIN one invocation — landed
+      // in NearDup instead: the r22 candidate-frame pins,
+      // q43 1.25→0.82 s, q197 1.44→0.91 s min-of-5.)
       NearDup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
           shingleN = 3, numHashes = 12, bands = 4, threshold = 0.8)
         .orderBy(col("a_id"), col("b_id"))
@@ -5878,8 +5888,17 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
       // df/cf recompose by addition (spec-pinned). Gated on every
       // shard of the top-5 terms by total collection frequency.
       VectorExpressions.ensureRegistered(s)
+      // pin the shard table before it fans out (r22, guide §2.4):
+      // `shards` feeds the top-5 cut AND the join back, and the two
+      // consumers prune different columns, so the planner ran the
+      // corpus tokenize + tf shuffle + per-(term,shard) aggregation
+      // TWICE (before-plan: two `Scan parquet` + two full aggregation
+      // chains). The pinned frame is the postings table itself —
+      // (term, shard)-sized, the artifact this query exports — so one
+      // corpus pass builds it and both consumers replay rows.
       val shards = Bm25.postingsShardExport(
         t(s, dir, "documents"), "doc_id", "text", shardSpan = 100L)
+        .localCheckpoint()
       val top = shards.groupBy(col("term"))
         .agg(sum(col("cf")).as("cf_total"))
         .orderBy(col("cf_total").desc, col("term")).limit(5)
@@ -8418,14 +8437,22 @@ ${pqAdcSumSql("tab.qid = pr.qid AND")}
         val vals = docs.select(col(c).cast("string").as("v"))
         val grouped = vals.filter(col("v").isNotNull)
           .groupBy(col("v")).agg(count(lit(1)).as("n"))
-          .localCheckpoint()
-        val mode = grouped
-          .orderBy(col("n").desc, col("v")).limit(1)
-          .select(col("v").as("mode_value"), col("n").as("mode_n"))
+        // distinct count AND mode from ONE pass over the grouped frame
+        // (r22, guide §1.2): the mode's (n DESC, v ASC) cut is
+        // min(struct(-n, v)) — struct comparison is field-by-field, so
+        // -n ascending = n descending with the smallest value breaking
+        // ties, exactly the old orderBy().limit(1). One consumer means
+        // grouped needs NO localCheckpoint: the per-column eager pin
+        // job (3 sequential corpus groupBys at DataFrame-construction
+        // time — q219's build phase was 0.9-1.6 s of its ~1.9 s total)
+        // disappears and the whole query is one lazy DAG.
+        val prof = grouped.agg(count(lit(1)).as("n_distinct"),
+          min(struct((-col("n")).as("negn"), col("v").as("mv"))).as("m"))
+          .select(col("n_distinct"), col("m.mv").as("mode_value"),
+            (-col("m.negn")).as("mode_n"))
         vals.agg(lit(c).as("col_name"), count(lit(1)).as("n_rows"),
             sum(col("v").isNull.cast("long")).as("n_nulls"))
-          .crossJoin(grouped.agg(count(lit(1)).as("n_distinct")))
-          .crossJoin(mode)
+          .crossJoin(prof)
       }
       Seq("lang", "source", "text").map(profile)
         .reduce(_.unionByName(_))

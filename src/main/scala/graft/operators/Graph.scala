@@ -68,10 +68,19 @@ object Graph {
     // write/read cycles removed; values are exact integer arithmetic,
     // so the cadence cannot change a single bit) — while long runs
     // still truncate lineage before the plan tree degrades.
-    val deg = edges.groupBy(col(srcCol).as("__src"))
-      .agg(count(lit(1)).as("__outdeg"))
-    val degEdges = edges
+    // materialize the RAW edge frame first (r22, guide §2.4): the
+    // caller's edge subtree is often a corpus join + distinct, and the
+    // deg fold consumes it TWICE (the groupBy branch and the join
+    // branch) — exchange reuse across the two branches is at the
+    // planner's mercy, a prior checkpoint makes the corpus pass run
+    // exactly once, guaranteed; the deg fold then runs over the
+    // materialized pairs-sized frame.
+    val e0 = edges
       .select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+      .localCheckpoint()
+    val deg = e0.groupBy(col("__src"))
+      .agg(count(lit(1)).as("__outdeg"))
+    val degEdges = e0
       .join(deg, "__src")
       .localCheckpoint()
     val nodes = degEdges.select(col("__src").as("node"))
@@ -81,12 +90,19 @@ object Graph {
     val basePpb = (100L - dampPct) * 10000000L
     var ranks = nodes.withColumn("rank_ppb", lit(1000000000L))
     for (it <- 1 to iterations) {
+      // SHUFFLE_HASH on the rank-state side (r22, guide §3.1): both
+      // join inputs are already shuffled by the key; sort-merge would
+      // additionally SORT the edge frame and the rank state every hop.
+      // Rank-state rows are two longs — the per-partition hash build
+      // is tiny at any scale where partition count grows with the
+      // graph (AQE) — and the equi-join result is value-identical.
       val inMass = degEdges
-        .join(ranks.withColumnRenamed("node", "__src"), "__src")
+        .join(ranks.withColumnRenamed("node", "__src")
+          .hint("SHUFFLE_HASH"), "__src")
         .select(col("__dst").as("node"),
           expr(s"((rank_ppb * $dampPct) div 100) div __outdeg").as("__c"))
         .groupBy("node").agg(sum("__c").as("__m"))
-      ranks = nodes.join(inMass, Seq("node"), "left")
+      ranks = nodes.join(inMass.hint("SHUFFLE_HASH"), Seq("node"), "left")
         .select(col("node"),
           (lit(basePpb) + coalesce(col("__m"), lit(0L))).as("rank_ppb"))
       if (it % checkpointEvery == 0 && it < iterations)
